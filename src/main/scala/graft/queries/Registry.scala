@@ -1,0 +1,42 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark DataFrame build plus (optionally) the
+  * equivalent DuckDB SQL oracle run by the driver on the same parquet tables.
+  *
+  * Conventions that make the driver's hash-compare deterministic:
+  *   - every aggregate/computed column is aliased identically on both sides;
+  *   - double aggregates are rounded (sum-order across 32 partitions is
+  *     nondeterministic in the last ulps, so raw doubles never hash-match);
+  *   - every query ends in a total ORDER BY so row order is deterministic.
+  */
+final case class QueryDef(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+trait QueryModule {
+  def defs: Seq[QueryDef]
+}
+
+object Registry {
+  def modules: Seq[QueryModule] = Seq(
+    Tpch,
+    Relational,
+    DdlDml,
+    SourcesCatalog,
+    ExtDedup,
+    ExtSimilarity,
+    ExtText,
+    ExtMultimodal,
+    ExtEvents)
+
+  lazy val queryDefs: Seq[QueryDef] = modules.flatMap(_.defs)
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    queryDefs.map(d => d.name -> d.build).toMap
+
+  lazy val oracleSql: Map[String, String] =
+    queryDefs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+}

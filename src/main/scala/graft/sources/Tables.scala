@@ -1,0 +1,30 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader/registrar for the driver-generated parquet tables
+  * (`/root/testdata/sf*`; see TESTDATA.md).
+  *
+  * Mirrors the reference's catalog bootstrap (qurious registers tables into
+  * `qurious.public` via `ExecuteSession::register_table`,
+  * reference `qurious/src/execution/session.rs:106-115`) — here a table is a
+  * parquet-backed DataFrame registered as a temp view, so Catalyst gets
+  * predicate pushdown + column pruning into the scan for free.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  /** Register `names` (default: all) as temp views for `spark.sql`. Reading
+    * parquet lazily builds only the plan; nothing materializes until an
+    * action, so re-registration per query is cheap.
+    */
+  def register(spark: SparkSession, dir: String, names: Seq[String] = all): Unit =
+    names.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
+}
