@@ -21,7 +21,14 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     if len(df.columns):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     # normalize dtypes: ints to int64, floats to float64
+    import datetime
     for c in df.columns:
+        if df[c].dtype == object:
+            sample = df[c].dropna().head(5)
+            if len(sample) and all(
+                    isinstance(v, datetime.date) and not isinstance(v, datetime.datetime)
+                    for v in sample):
+                df[c] = pd.to_datetime(df[c])
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_float_dtype(df[c]):

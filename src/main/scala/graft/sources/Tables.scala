@@ -19,7 +19,16 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+    if (name == "events") {
+      // The events table stores ts as parquet TIMESTAMP(NANOS), which the
+      // Spark 4 vectorized reader rejects outright. Read nanos as Long and
+      // floor-convert to the engine's native microsecond timestamps (the
+      // driver data is microsecond-grained, so this is lossless). Oracles
+      // over events use CAST(ts AS TIMESTAMP) for the same µs view.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path(dir, name))
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(path(dir, name))
 
   /** Register `names` (default: all) as temp views for `spark.sql`. Reading
     * parquet lazily builds only the plan; nothing materializes until an
