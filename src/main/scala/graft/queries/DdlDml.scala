@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.GraftSession
+import graft.sources.Tables
+
+/** DDL/DML surface via [[graft.GraftSession]] — CREATE TABLE with declared
+  * schema + per-column DEFAULTs, CTAS, INSERT VALUES / column-subset /
+  * INSERT-SELECT, DELETE WHERE, UPDATE SET (executed — the reference only
+  * plans it, `qurious/src/execution/session.rs:130-134`), and the `row`
+  * count batches DML returns (`make_count_batch`,
+  * `qurious/src/utils/batch.rs:13-16`).
+  *
+  * Each query is self-contained: it re-creates its tables (DROP IF EXISTS
+  * first) so reruns in a shared session are idempotent.
+  */
+object DdlDml extends QueryModule {
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "ddl_create_insert_defaults",
+      (s, dir) => {
+        val g = new GraftSession(s)
+        Tables.register(s, dir, Seq("nation"))
+        g.sql("DROP TABLE IF EXISTS ddl_demo")
+        g.sql("""CREATE TABLE ddl_demo (
+            k INT, name STRING, score DOUBLE DEFAULT 1.5, tag VARCHAR DEFAULT 'none')""")
+        g.sql("INSERT INTO ddl_demo VALUES (1, 'a', 2.0, 'x'), (2, 'b', 3.0, 'y')")
+        g.sql("INSERT INTO ddl_demo (k, name) VALUES (3, 'c')") // defaults fill score/tag
+        g.sql("INSERT INTO ddl_demo SELECT n_nationkey, n_name, 9.9, 'nation' FROM nation WHERE n_nationkey < 3")
+        g.sql("SELECT * FROM ddl_demo ORDER BY k, name")
+      },
+      Some("""SELECT CAST(k AS BIGINT) AS k, name, CAST(score AS DOUBLE) AS score, tag FROM (
+          SELECT * FROM (VALUES (1, 'a', 2.0, 'x'), (2, 'b', 3.0, 'y'),
+                                (3, 'c', 1.5, 'none')) v(k, name, score, tag)
+          UNION ALL
+          SELECT n_nationkey, n_name, 9.9, 'nation' FROM nation WHERE n_nationkey < 3)
+        ORDER BY k, name""")),
+
+    QueryDef(
+      "dml_delete_where",
+      (s, dir) => {
+        val g = new GraftSession(s)
+        Tables.register(s, dir, Seq("supplier"))
+        g.sql("DROP TABLE IF EXISTS dml_del")
+        g.sql("CREATE TABLE dml_del AS SELECT * FROM supplier")
+        g.sql("DELETE FROM dml_del WHERE s_acctbal < 3000 OR s_nationkey = 7")
+        g.sql("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM dml_del ORDER BY s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        WHERE NOT (s_acctbal < 3000 OR s_nationkey = 7) ORDER BY s_suppkey""")),
+
+    QueryDef(
+      "dml_update_set",
+      (s, dir) => {
+        val g = new GraftSession(s)
+        Tables.register(s, dir, Seq("nation"))
+        g.sql("DROP TABLE IF EXISTS dml_upd")
+        g.sql("CREATE TABLE dml_upd AS SELECT n_nationkey, n_name, n_regionkey FROM nation")
+        g.sql("UPDATE dml_upd SET n_name = concat(n_name, '_EU'), n_regionkey = n_regionkey + 10 WHERE n_regionkey = 3")
+        g.sql("SELECT * FROM dml_upd ORDER BY n_nationkey")
+      },
+      Some("""SELECT n_nationkey,
+        CASE WHEN n_regionkey = 3 THEN n_name || '_EU' ELSE n_name END AS n_name,
+        CASE WHEN n_regionkey = 3 THEN n_regionkey + 10 ELSE n_regionkey END AS n_regionkey
+        FROM nation ORDER BY n_nationkey""")),
+
+    // DML count batches: `row` counts returned by INSERT/DELETE/UPDATE.
+    QueryDef(
+      "dml_count_batches",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.lit
+        val g = new GraftSession(s)
+        Tables.register(s, dir, Seq("supplier"))
+        g.sql("DROP TABLE IF EXISTS dml_cnt")
+        g.sql("CREATE TABLE dml_cnt AS SELECT * FROM supplier")
+        val del = g.sql("DELETE FROM dml_cnt WHERE s_acctbal < 500")
+        val upd = g.sql("UPDATE dml_cnt SET s_acctbal = s_acctbal + 1000 WHERE s_acctbal > 9000")
+        val ins = g.sql("INSERT INTO dml_cnt SELECT * FROM supplier WHERE s_suppkey < 5")
+        del.select(lit("delete").as("op"), $"row")
+          .unionAll(upd.select(lit("update").as("op"), $"row"))
+          .unionAll(ins.select(lit("insert").as("op"), $"row"))
+          .orderBy($"op")
+      },
+      Some("""SELECT 'delete' AS op, CAST((SELECT count(*) FROM supplier WHERE s_acctbal < 500) AS BIGINT) AS row
+        UNION ALL
+        SELECT 'insert', CAST((SELECT count(*) FROM supplier WHERE s_suppkey < 5) AS BIGINT)
+        UNION ALL
+        SELECT 'update', CAST((SELECT count(*) FROM supplier WHERE s_acctbal >= 500 AND s_acctbal > 9000) AS BIGINT)
+        ORDER BY op"""))
+  )
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.GraftSession
+import graft.sources.Tables
+
+/** File table functions in FROM (`read_csv/read_json/read_parquet` with
+  * options, reference `qurious/src/planner/sql.rs:751-774,1347-1399`),
+  * `COPY tbl FROM 'file'` (`sql.rs:324-375`), and the information_schema
+  * catalog surface (`execution/information_schema.rs:12-90`).
+  *
+  * CSV/JSON fixtures are generated at query time from the region table (5
+  * dimension rows at every SF) so the DuckDB oracle can check the read path
+  * against the same parquet-derived truth.
+  */
+object SourcesCatalog extends QueryModule {
+
+  private def fixturesDir: String = {
+    val d = Paths.get("target", "fixtures").toAbsolutePath
+    Files.createDirectories(d)
+    d.toString
+  }
+
+  private def regionRows(s: SparkSession, dir: String): Seq[(Int, String)] = {
+    import s.implicits._
+    Tables.load(s, dir, "region")
+      .select($"r_regionkey", $"r_name").as[(Int, String)]
+      .collect().sortBy(_._1).toSeq // 5-row dimension: fixture-sized
+  }
+
+  private def writeFixture(path: String, content: String): String = {
+    Files.write(Paths.get(path), content.getBytes(StandardCharsets.UTF_8))
+    path
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "src_read_parquet_tvf",
+      (s, dir) => {
+        val g = new GraftSession(s)
+        g.sql(s"""SELECT n_nationkey, n_name
+          FROM read_parquet('$dir/nation.parquet')
+          WHERE n_regionkey = 2 ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name FROM nation
+        WHERE n_regionkey = 2 ORDER BY n_nationkey""")),
+
+    QueryDef(
+      "src_read_csv_tvf",
+      (s, dir) => {
+        val g = new GraftSession(s)
+        val rows = regionRows(s, dir)
+        val csv = "r_regionkey|r_name\n" +
+          rows.map { case (k, n) => s"$k|$n" }.mkString("\n")
+        val path = writeFixture(s"$fixturesDir/region.csv", csv)
+        g.sql(s"""SELECT r_regionkey, r_name
+          FROM read_csv('$path', delim=>'|', header=>true)
+          ORDER BY r_regionkey""")
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    QueryDef(
+      "src_read_json_tvf",
+      (s, dir) => {
+        val g = new GraftSession(s)
+        val rows = regionRows(s, dir)
+        val json = rows.map { case (k, n) =>
+          s"""{"r_regionkey":$k,"r_name":"$n"}"""
+        }.mkString("\n")
+        val path = writeFixture(s"$fixturesDir/region.json", json)
+        g.sql(s"SELECT r_regionkey, r_name FROM read_json('$path') ORDER BY r_regionkey")
+      },
+      // Spark JSON inference reads integers as BIGINT.
+      Some("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    QueryDef(
+      "src_copy_from_csv",
+      (s, dir) => {
+        val g = new GraftSession(s)
+        val rows = regionRows(s, dir)
+        val csv = rows.map { case (k, n) => s"$k|$n" }.mkString("\n")
+        val path = writeFixture(s"$fixturesDir/region_noheader.csv", csv)
+        g.sql("DROP TABLE IF EXISTS region_copy")
+        g.sql("CREATE TABLE region_copy (r_regionkey INT, r_name STRING)")
+        g.sql(s"COPY region_copy FROM '$path' (DELIMITER '|')")
+        g.sql("SELECT * FROM region_copy ORDER BY r_regionkey")
+      },
+      // CREATE TABLE INT maps to Int64 (reference sql_to_arrow_data_type).
+      Some("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    QueryDef(
+      "cat_information_schema",
+      (s, _) => {
+        val g = new GraftSession(s)
+        g.sql("DROP TABLE IF EXISTS cat_demo_a")
+        g.sql("DROP TABLE IF EXISTS cat_demo_b")
+        g.sql("CREATE TABLE cat_demo_a (x INT)")
+        g.sql("CREATE TABLE cat_demo_b (y STRING)")
+        g.sql("""SELECT table_name, table_type FROM information_schema.tables
+          WHERE table_name LIKE 'cat_demo%' ORDER BY table_name""")
+      },
+      Some("""SELECT * FROM (VALUES ('cat_demo_a', 'BASE TABLE'),
+        ('cat_demo_b', 'BASE TABLE')) t(table_name, table_type)
+        ORDER BY table_name"""))
+  )
+}

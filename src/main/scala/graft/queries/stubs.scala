@@ -1,8 +1,6 @@
 package graft.queries
 
 // Placeholder modules — filled in as each layer lands (SURVEY.md §7 order).
-object DdlDml extends QueryModule { def defs: Seq[QueryDef] = Seq.empty }
-object SourcesCatalog extends QueryModule { def defs: Seq[QueryDef] = Seq.empty }
 object ExtDedup extends QueryModule { def defs: Seq[QueryDef] = Seq.empty }
 object ExtSimilarity extends QueryModule { def defs: Seq[QueryDef] = Seq.empty }
 object ExtText extends QueryModule { def defs: Seq[QueryDef] = Seq.empty }

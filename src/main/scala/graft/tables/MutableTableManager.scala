@@ -1,0 +1,157 @@
+package graft.tables
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** In-memory mutable tables with per-column defaults and INSERT / DELETE /
+  * UPDATE, mirroring the reference's `MemoryTable`
+  * (`qurious/src/datasource/memory.rs:21-140`) and its column-default surface
+  * (`TableProvider::get_column_default`, `qurious/src/provider/table.rs:43-45`).
+  *
+  * The reference holds `Vec<RecordBatch>` behind a RwLock and mutates in
+  * place; Spark DataFrames are immutable, so each mutation derives a new
+  * plan over the previous state and re-registers the temp view (view-swap,
+  * SURVEY.md §7.3). Data stays distributed — mutations are plan surgery, not
+  * driver-side row edits; plans are periodically localCheckpoint'ed so a
+  * long mutation chain can't grow unboundedly.
+  *
+  * Unlike the reference, UPDATE actually executes (qurious plans it then
+  * fails at runtime, `qurious/src/execution/session.rs:130-134`).
+  */
+final class MutableTableManager(spark: SparkSession) {
+
+  final case class TableState(
+      schema: StructType,
+      defaults: Map[String, String], // column name -> default expression SQL
+      df: DataFrame,
+      mutations: Int)
+
+  private val tables = TrieMap.empty[String, TableState]
+
+  private def norm(name: String): String = name.toLowerCase
+
+  def exists(name: String): Boolean = tables.contains(norm(name))
+
+  def table(name: String): DataFrame =
+    tables.getOrElse(norm(name), sys.error(s"table not found: $name")).df
+
+  def schema(name: String): StructType =
+    tables.getOrElse(norm(name), sys.error(s"table not found: $name")).schema
+
+  /** CREATE TABLE. With `data` = CTAS; otherwise an empty table with the
+    * declared schema. */
+  def create(
+      name: String,
+      schema: StructType,
+      defaults: Map[String, String] = Map.empty,
+      data: Option[DataFrame] = None,
+      ifNotExists: Boolean = false): Unit = {
+    val key = norm(name)
+    if (tables.contains(key)) {
+      if (ifNotExists) return
+      sys.error(s"table already exists: $name")
+    }
+    val df = data match {
+      case Some(d) => align(d, schema, schema.fieldNames.toSeq, defaults)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    put(key, TableState(schema, defaults.map { case (k, v) => norm(k) -> v }, df, 0))
+  }
+
+  def drop(name: String, ifExists: Boolean = false): Unit = {
+    val key = norm(name)
+    if (tables.remove(key).isEmpty && !ifExists) sys.error(s"table not found: $name")
+    spark.catalog.dropTempView(key)
+  }
+
+  /** INSERT; `cols` is the optional explicit column list — missing columns
+    * take their DEFAULT (or NULL), per the reference's insert planning
+    * (`qurious/src/planner/sql.rs:790-873`). Returns inserted row count. */
+  def insert(name: String, input: DataFrame, cols: Option[Seq[String]] = None): Long = {
+    val key = norm(name)
+    val st = tables.getOrElse(key, sys.error(s"table not found: $name"))
+    val targetCols = cols.map(_.map(norm)).getOrElse(st.schema.fieldNames.toSeq)
+    require(
+      input.schema.size == targetCols.size,
+      s"INSERT arity mismatch: ${input.schema.size} values for ${targetCols.size} columns")
+    val aligned = align(input, st.schema, targetCols, st.defaults)
+    val n = aligned.count()
+    put(key, st.copy(df = checkpointed(st.df.unionByName(aligned), st.mutations), mutations = st.mutations + 1))
+    n
+  }
+
+  /** DELETE WHERE; no predicate → truncate (reference memory.rs:113-140).
+    * Kept rows are those where the predicate is NOT TRUE (false or null) —
+    * same Kleene semantics as filtering on the negated predicate with
+    * null-rejection. Returns deleted count. */
+  def delete(name: String, where: Option[String] = None): Long = {
+    val key = norm(name)
+    val st = tables.getOrElse(key, sys.error(s"table not found: $name"))
+    val before = st.df.count()
+    val kept = where match {
+      case Some(pred) => st.df.filter(!coalesce(expr(pred), lit(false)))
+      case None => st.df.limit(0)
+    }
+    val after = kept.count()
+    put(key, st.copy(df = checkpointed(kept, st.mutations), mutations = st.mutations + 1))
+    before - after
+  }
+
+  /** UPDATE SET col = expr [, ...] WHERE pred — projection replacing the
+    * assigned columns where the predicate holds (the plan shape the
+    * reference produces in `update_to_plan`, `qurious/src/planner/sql.rs:377-432`,
+    * but actually executed). Returns affected row count. */
+  def update(name: String, set: Seq[(String, String)], where: Option[String] = None): Long = {
+    val key = norm(name)
+    val st = tables.getOrElse(key, sys.error(s"table not found: $name"))
+    val pred = where.map(expr).getOrElse(lit(true))
+    val affected = st.df.filter(coalesce(pred, lit(false))).count()
+    val assignments = set.map { case (c, e) => norm(c) -> e }.toMap
+    val projected = st.schema.fields.map { f =>
+      assignments.get(norm(f.name)) match {
+        case Some(e) =>
+          when(coalesce(pred, lit(false)), expr(e).cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }
+    put(key, st.copy(df = checkpointed(st.df.select(projected.toIndexedSeq: _*), st.mutations),
+      mutations = st.mutations + 1))
+    affected
+  }
+
+  /** Conform `input` (positional, possibly a column subset) to the target
+    * schema: name positionally, fill unlisted columns with their DEFAULT
+    * expression (or NULL), cast everything to the declared types. */
+  private def align(
+      input: DataFrame,
+      schema: StructType,
+      targetCols: Seq[String],
+      defaults: Map[String, String]): DataFrame = {
+    val renamed = input.toDF(targetCols: _*)
+    val projection = schema.fields.map { f =>
+      if (targetCols.contains(norm(f.name))) col(norm(f.name)).cast(f.dataType).as(f.name)
+      else defaults.get(norm(f.name)) match {
+        case Some(d) => expr(d).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    renamed.select(projection.toIndexedSeq: _*)
+  }
+
+  /** Bound mutation-chain plan depth: every few mutations, snapshot the
+    * lineage into cached partitions (stays distributed; no driver collect). */
+  private def checkpointed(df: DataFrame, mutations: Int): DataFrame =
+    if ((mutations + 1) % 8 == 0) df.localCheckpoint(eager = false) else df
+
+  private def put(key: String, st: TableState): Unit = {
+    tables.update(key, st)
+    st.df.createOrReplaceTempView(key)
+  }
+
+  def listTables(): Seq[String] = tables.keys.toSeq.sorted
+}
