@@ -1,0 +1,114 @@
+package graft.ops
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast join of the (small)
+  * query set against the (huge) candidate table; candidates never shuffle,
+  * ranking is a per-query top-k (window + filter ≈ TakeOrdered per group).
+  *
+  * Scale path: random-hyperplane LSH — each vector hashes to a signature of
+  * sign bits; probing only matching buckets cuts the candidate set by
+  * ~2^bits. The hyperplanes are generated from a fixed seed so signatures
+  * are deterministic and reusable across runs (at 100 TB the bucketed table
+  * would be written out partitioned by bucket and queries pruned to their
+  * bucket's partitions).
+  */
+object SimilarityOps {
+
+  /** Brute-force cosine top-k: for each query row, the k nearest candidate
+    * rows (excluding itself). */
+  def bruteForceTopK(
+      queries: DataFrame, candidates: DataFrame,
+      qId: Column, qVec: Column, cId: Column, cVec: Column,
+      k: Int): DataFrame = {
+    val q = queries.select(qId.as("q_id"), VectorOps.vecD(qVec).as("q_v"))
+    val c = candidates.select(cId.as("n_id"), VectorOps.vecD(cVec).as("n_v"))
+    import org.apache.spark.sql.expressions.Window
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cosine", VectorOps.cosine(col("q_v"), col("n_v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+  }
+
+  /** Deterministic random hyperplanes: `bits` planes of dimension `dim`. */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket id for a double-array vector column. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (plane, i)) =>
+      val planeCol = array(plane.map(lit(_)): _*)
+      val d = VectorOps.dot(vec, planeCol)
+      acc.bitwiseOR(when(d >= 0, lit(1L << i)).otherwise(lit(0L)))
+    }
+
+  /** Bucketed candidates: input plus a `bucket` column. */
+  def lshBuckets(df: DataFrame, vec: Column, planes: Array[Array[Double]]): DataFrame =
+    df.withColumn("bucket", lshBucket(VectorOps.vecD(vec), planes))
+
+  /** Multi-table LSH ANN: `tables` independent sign-bit tables of `bits`
+    * planes each; a candidate is ranked if it shares any table's bucket with
+    * the query (multi-probe widens each table's probe set to Hamming ≤ 1).
+    * Recall ≈ 1-(1-p_table)^tables at a ~2^bits candidate cut per table —
+    * the knobs trade recall against scan cost, and at 100 TB the bucketed
+    * candidates would be a table partitioned by (table, bucket) so each
+    * probe prunes to its partitions. */
+  def lshTopK(
+      queries: DataFrame, candidates: DataFrame,
+      qId: Column, qVec: Column, cId: Column, cVec: Column,
+      k: Int, bits: Int = 6, tables: Int = 4, multiProbe: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = 64
+    val allPlanes = (0 until tables).map(t => hyperplanes(dim, bits, seed = 42L + t))
+
+    def withBuckets(df: DataFrame, vecCol: String, out: String => String): DataFrame =
+      allPlanes.zipWithIndex.foldLeft(df) { case (d, (planes, t)) =>
+        d.withColumn(out(t.toString), lshBucket(col(vecCol), planes))
+      }
+
+    val q0 = queries.select(qId.as("q_id"), VectorOps.vecD(qVec).as("q_v"))
+    val c0 = candidates.select(cId.as("n_id"), VectorOps.vecD(cVec).as("n_v"))
+    val qb = withBuckets(q0, "q_v", t => s"qb_$t")
+    val cb = withBuckets(c0, "n_v", t => s"cb_$t")
+
+    // per-table probe sets (bucket + Hamming-1 neighbors), tagged by table id
+    val probeCols = (0 until tables).flatMap { t =>
+      val b = col(s"qb_$t")
+      val probes = if (multiProbe) b +: (0 until bits).map(i => b.bitwiseXOR(lit(1L << i)))
+                   else Seq(b)
+      probes.map(p => struct(lit(t).as("t"), p.as("b")))
+    }
+    val qProbes = qb
+      .select(col("q_id"), col("q_v"), explode(array(probeCols: _*)).as("pr"))
+      .select(col("q_id"), col("q_v"), col("pr.t").as("t"), col("pr.b").as("probe"))
+
+    // candidate bucket rows tagged by table id
+    val cBuckets = cb.select(
+      col("n_id"), col("n_v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), col(s"cb_$t").as("b"))): _*)).as("bk"))
+      .select(col("n_id"), col("n_v"), col("bk.t").as("t"), col("bk.b").as("bucket"))
+
+    val scored = cBuckets
+      .join(broadcast(qProbes),
+        qProbes("probe") === cBuckets("bucket") && qProbes("t") === cBuckets("t") &&
+          qProbes("q_id") =!= cBuckets("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("cosine", VectorOps.cosine(col("q_v"), col("n_v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+  }
+}

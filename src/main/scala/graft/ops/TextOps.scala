@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (BASELINE.json north star):
+  * token counting, n-gram shingling, quality scoring, language-ID heuristic,
+  * document fingerprinting. All are per-row codegen'd expressions — no UDFs,
+  * no shuffle — so they stream over a 100 TB corpus.
+  */
+object TextOps {
+
+  /** Whitespace tokens of lowercased text. */
+  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count estimate: word-piece regex splits on letter/digit
+    * boundaries, then ceil(chars/4) per long run approximates merges. */
+  def subwordCountEstimate(c: Column): Column = {
+    val pieces = split(lower(trim(c)), "[^\\p{L}\\p{N}]+")
+    aggregate(
+      pieces, lit(0L),
+      (acc, w) => acc + greatest(ceil(length(w) / 4.0).cast("long"), lit(1L)))
+  }
+
+  /** Distinct word n-gram shingles (default 3) — the unit for Jaccard
+    * near-dup detection. Rows with fewer than n tokens yield an empty set. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Ratio of distinct tokens to tokens — low values indicate repetitive,
+    * low-quality text. */
+  def uniqueTokenRatio(c: Column): Column = {
+    val toks = tokens(c)
+    size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+  }
+
+  /** Ratio of tokens that are common-word stopwords. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    size(filter(toks, t => t.isInCollection(stopwords))).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(c: Column): Column = {
+    val toks = tokens(c)
+    aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: rewards vocabulary diversity and a
+    * sane stopword share, penalizes degenerate token lengths. */
+  def qualityScore(c: Column): Column = {
+    val diversity = uniqueTokenRatio(c)
+    val stopOk = when(stopwordRatio(c).between(0.01, 0.6), lit(1.0)).otherwise(lit(0.5))
+    val lenOk = when(meanTokenLen(c).between(2.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    diversity * lit(0.6) + stopOk * lit(0.2) + lenOk * lit(0.2)
+  }
+
+  /** Stopword-evidence language-ID heuristic (n-gram-free variant): counts
+    * distinctive function words per language; ties/no-evidence → 'und'
+    * (undetermined). The marker sets are deliberately tiny and fixed so the
+    * heuristic is reproducible in plain SQL by any engine. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "es" -> Seq("el", "la", "y", "es"))
+
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    def score(words: Seq[String]): Column =
+      size(filter(toks, t => t.isInCollection(words)))
+    val scores = langMarkers.map { case (lang, words) => lang -> score(words) }
+    // highest score wins; ties resolve in langMarkers order; all-zero → 'und'
+    val best = scores.foldLeft((lit("und"), lit(0))) {
+      case ((bestLang, bestScore), (lang, sc)) =>
+        (when(sc > bestScore, lit(lang)).otherwise(bestLang),
+          when(sc > bestScore, sc).otherwise(bestScore))
+    }
+    best._1
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text. Exact
+    * dedup on near-identical whitespace variants; cheap to compute anywhere. */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+}

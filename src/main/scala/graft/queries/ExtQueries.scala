@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.sources.Tables
+
+/** LLM-data-pipeline extension queries (BASELINE.json north star) over the
+  * driver's `documents` / `embeddings` / `events` tables. Implementations
+  * live in `graft.ops.*`; where an oracle is omitted the algorithm is
+  * hash-seed-specific (MinHash/SimHash/LSH) and correctness is covered by
+  * ScalaTest cross-checks against the exact baseline instead.
+  */
+object ExtDedup extends QueryModule {
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "ext_dedup_exact",
+      (s, dir) => {
+        import s.implicits._
+        DedupOps.exactDedup(Tables.load(s, dir, "documents"), $"text", $"doc_id")
+          .select($"keeper_id", $"copies")
+          .orderBy($"keeper_id")
+      },
+      Some("""SELECT min(doc_id) AS keeper_id, count(*) AS copies
+        FROM documents GROUP BY text ORDER BY keeper_id""")),
+
+    QueryDef(
+      "ext_dedup_jaccard_pairs",
+      (s, dir) => {
+        import s.implicits._
+        DedupOps.jaccardPairs(Tables.load(s, dir, "documents"), $"doc_id", $"text",
+            n = 3, threshold = 0.8)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 count(*) AS inter
+          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) AS jaccard
+        FROM pairs
+        WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.8
+        ORDER BY id_a, id_b""")),
+
+    // MinHash/SimHash outputs depend on engine-internal hash functions —
+    // rows-only here; SparkDedupSpec cross-checks vs the exact baseline.
+    QueryDef(
+      "ext_dedup_minhash_lsh",
+      (s, dir) => {
+        import s.implicits._
+        DedupOps.minhashLshPairs(Tables.load(s, dir, "documents"), $"doc_id", $"text",
+            n = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+          .orderBy($"id_a", $"id_b")
+      },
+      None),
+
+    QueryDef(
+      "ext_dedup_simhash",
+      (s, dir) => {
+        import s.implicits._
+        DedupOps.simhashPairs(Tables.load(s, dir, "documents"), $"doc_id", $"text",
+            maxHamming = 3)
+          .orderBy($"id_a", $"id_b")
+      },
+      None),
+
+    QueryDef(
+      "ext_dedup_embedding_pairs",
+      (s, dir) => {
+        import s.implicits._
+        DedupOps.embeddingTopPairs(Tables.load(s, dir, "embeddings"), $"vec_id", $"embedding", 20)
+      },
+      Some("""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings),
+        d AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_sum(list_transform(list_zip(a.ve, b.ve), s -> s[1] * s[2])) AS dt,
+            sqrt(list_sum(list_transform(list_zip(a.ve, a.ve), s -> s[1] * s[2]))) AS na,
+            sqrt(list_sum(list_transform(list_zip(b.ve, b.ve), s -> s[1] * s[2]))) AS nb
+          FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, dt / (na * nb) AS cosine FROM d
+        ORDER BY cosine DESC, id_a, id_b LIMIT 20"""))
+  )
+}
+
+object ExtSimilarity extends QueryModule {
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "ext_ann_bruteforce",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        SimilarityOps.bruteForceTopK(
+            emb.filter($"vec_id" < 10), emb,
+            $"vec_id", $"embedding", $"vec_id", $"embedding", k = 5)
+          .orderBy($"q_id", $"rank")
+      },
+      Some("""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+            list_sum(list_transform(list_zip(q.ve, c.ve), s -> s[1] * s[2]))
+              / (sqrt(list_sum(list_transform(list_zip(q.ve, q.ve), s -> s[1] * s[2])))
+               * sqrt(list_sum(list_transform(list_zip(c.ve, c.ve), s -> s[1] * s[2])))) AS cosine
+          FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        ranked AS (
+          SELECT q_id, n_id, cosine,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+          FROM scored)
+        SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, cosine FROM ranked
+        WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // LSH bucketing uses seeded random hyperplanes — rows-only; recall vs the
+    // brute-force baseline is asserted in SparkSimilaritySpec.
+    QueryDef(
+      "ext_ann_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        SimilarityOps.lshTopK(
+            emb.filter($"vec_id" < 10), emb,
+            $"vec_id", $"embedding", $"vec_id", $"embedding", k = 5)
+          .orderBy($"q_id", $"rank")
+      },
+      None)
+  )
+}
+
+object ExtText extends QueryModule {
+  import graft.ops.TextOps
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "ext_text_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select(
+            $"doc_id",
+            TextOps.tokenCount($"text").as("n_tokens"),
+            TextOps.subwordCountEstimate($"text").as("subword_est"),
+            TextOps.uniqueTokenRatio($"text").as("uniq_ratio"),
+            TextOps.stopwordRatio($"text").as("stop_ratio"),
+            TextOps.meanTokenLen($"text").as("mean_tok_len"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk,
+                 string_split_regex(lower(trim(text)), '[^a-z0-9]+') AS pieces
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(tk) AS INTEGER) AS n_tokens,
+          CAST(list_sum(list_transform(pieces,
+               w -> greatest(CAST(ceil(length(w) / 4.0) AS BIGINT), 1))) AS BIGINT) AS subword_est,
+          CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS uniq_ratio,
+          CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+            / CAST(len(tk) AS DOUBLE) AS stop_ratio,
+          CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+            / CAST(len(tk) AS DOUBLE) AS mean_tok_len
+        FROM t ORDER BY doc_id""")),
+
+    QueryDef(
+      "ext_text_quality_langid",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select(
+            $"doc_id", $"lang",
+            TextOps.qualityScore($"text").as("quality"),
+            TextOps.langId($"text").as("lang_guess"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        m AS (
+          SELECT doc_id, lang,
+            CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS diversity,
+            CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+              / CAST(len(tk) AS DOUBLE) AS sr,
+            CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+              / CAST(len(tk) AS DOUBLE) AS mtl,
+            len(list_filter(tk, x -> x IN ('the','a','of','and'))) AS s_en,
+            len(list_filter(tk, x -> x IN ('der','die','und','ist'))) AS s_de,
+            len(list_filter(tk, x -> x IN ('le','la','et','est'))) AS s_fr,
+            len(list_filter(tk, x -> x IN ('el','la','y','es'))) AS s_es
+          FROM t)
+        SELECT doc_id, lang,
+          diversity * 0.6
+            + (CASE WHEN sr BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2
+            + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality,
+          CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+               WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+               WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+               WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+               ELSE 'es' END AS lang_guess
+        FROM m ORDER BY doc_id""")),
+
+    QueryDef(
+      "ext_text_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    QueryDef(
+      "ext_text_token_hist",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select(explode(TextOps.tokens($"text")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"token")
+          .limit(20)
+      },
+      Some("""SELECT token, count(*) AS cnt FROM (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents)
+        GROUP BY token ORDER BY cnt DESC, token LIMIT 20"""))
+  )
+}
+
+object ExtMultimodal extends QueryModule {
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "ext_multimodal_meta",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asBinaryPayload(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        media.select(
+            $"doc_id",
+            length($"payload").cast("long").as("byte_len"),
+            md5($"payload").as("checksum"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        md5(text) AS checksum FROM documents ORDER BY doc_id""")),
+
+    // Stubbed decode (no codecs in-container): deterministic fake features,
+    // real partition-parallel plumbing. Rows-only + SparkMultimodalSpec.
+    QueryDef(
+      "ext_multimodal_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asBinaryPayload(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        MultimodalOps.extractMeta(s, media).toDF()
+          .select($"doc_id", $"byte_len", $"checksum", $"width", $"height", $"feat_mean")
+          .orderBy($"doc_id")
+      },
+      None)
+  )
+}
+
+object ExtEvents extends QueryModule {
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "ext_events_tumbling",
+      (s, dir) => {
+        import s.implicits._
+        EventOps.tumbling(Tables.load(s, dir, "events"), "1 hour")
+          .orderBy($"window_start", $"event_type")
+      },
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    QueryDef(
+      "ext_events_sliding",
+      (s, dir) => {
+        import s.implicits._
+        EventOps.sliding(Tables.load(s, dir, "events"), "1 hour", "30 minutes")
+          .orderBy($"window_start", $"event_type")
+      },
+      // Each event falls in exactly two 1h/30m windows: starts at
+      // floor(t/30m)*30m and that minus 30m.
+      Some("""SELECT make_timestamp(
+          (epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000) * 1800000000
+            - j * 1800000000) AS window_start,
+        event_type, count(*) AS n
+        FROM events, (VALUES (0), (1)) AS probes(j)
+        GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    QueryDef(
+      "ext_events_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        EventOps.sessionize(Tables.load(s, dir, "events"), gapMinutes = 30)
+          .orderBy($"user_id", $"session_seq")
+      },
+      Some("""WITH e AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        x AS (
+          SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                           OR (epoch_us(ts) // 1000000) - (epoch_us(lag(ts) OVER w) // 1000000) > 1800
+                         THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (
+          SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM x)
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+          count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end,
+          CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+        FROM y GROUP BY 1, 2 ORDER BY user_id, session_seq"""))
+  )
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftSession surface: DDL/DML routing, defaults, error shapes, TVFs,
+  * COPY, catalog — the behaviors the reference's slt corpus exercises
+  * (create/insert/delete/update/select over in-memory tables). */
+class SessionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def fresh() = new GraftSession(spark)
+
+  test("create/insert/select round-trip with defaults") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_ses1")
+    g.sql("CREATE TABLE t_ses1 (a INT, b STRING DEFAULT 'dflt', c DOUBLE DEFAULT 0.5)")
+    assert(g.sql("INSERT INTO t_ses1 VALUES (1, 'x', 1.5)").collect().head.getLong(0) == 1)
+    assert(g.sql("INSERT INTO t_ses1 (a) VALUES (2), (3)").collect().head.getLong(0) == 2)
+    val rows = g.sql("SELECT a, b, c FROM t_ses1 ORDER BY a").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(1).getString(1) == "dflt" && rows(1).getDouble(2) == 0.5)
+  }
+
+  test("insert arity mismatch errors") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_ses2")
+    g.sql("CREATE TABLE t_ses2 (a INT, b INT)")
+    assertThrows[Exception](g.sql("INSERT INTO t_ses2 VALUES (1)"))
+  }
+
+  test("create duplicate errors unless IF NOT EXISTS; drop missing errors unless IF EXISTS") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_ses3")
+    g.sql("CREATE TABLE t_ses3 (a INT)")
+    assertThrows[Exception](g.sql("CREATE TABLE t_ses3 (a INT)"))
+    g.sql("CREATE TABLE IF NOT EXISTS t_ses3 (a INT)") // no-op
+    g.sql("DROP TABLE t_ses3")
+    assertThrows[Exception](g.sql("DROP TABLE t_ses3"))
+    g.sql("DROP TABLE IF EXISTS t_ses3") // no-op
+  }
+
+  test("delete without predicate truncates; with predicate is Kleene-safe") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_ses4")
+    g.sql("CREATE TABLE t_ses4 (a INT, b INT)")
+    g.sql("INSERT INTO t_ses4 VALUES (1, 10), (2, NULL), (3, 30)")
+    // predicate NULL on row 2 -> not deleted (NOT TRUE)
+    assert(g.sql("DELETE FROM t_ses4 WHERE b > 15").collect().head.getLong(0) == 1)
+    assert(g.sql("SELECT a FROM t_ses4 ORDER BY a").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(g.sql("DELETE FROM t_ses4").collect().head.getLong(0) == 2)
+    assert(g.sql("SELECT * FROM t_ses4").count() == 0)
+  }
+
+  test("update executes (reference only plans it)") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_ses5")
+    g.sql("CREATE TABLE t_ses5 (a INT, b STRING)")
+    g.sql("INSERT INTO t_ses5 VALUES (1, 'x'), (2, 'y')")
+    assert(g.sql("UPDATE t_ses5 SET b = upper(b) WHERE a = 2").collect().head.getLong(0) == 1)
+    assert(g.sql("SELECT b FROM t_ses5 ORDER BY a").collect().map(_.getString(0)).toSeq ==
+      Seq("x", "Y"))
+  }
+
+  test("UPDATE without WHERE touches all rows") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_ses6")
+    g.sql("CREATE TABLE t_ses6 (a INT)")
+    g.sql("INSERT INTO t_ses6 VALUES (1), (2)")
+    assert(g.sql("UPDATE t_ses6 SET a = a * 10").collect().head.getLong(0) == 2)
+    assert(g.sql("SELECT a FROM t_ses6 ORDER BY a").collect().map(_.getLong(0)).toSeq ==
+      Seq(10L, 20L))
+  }
+
+  test("qurious.public qualifier and SHOW TABLES parity") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_ses7")
+    g.sql("CREATE TABLE t_ses7 (a INT)")
+    g.sql("INSERT INTO qurious.public.t_ses7 VALUES (42)")
+    assert(g.sql("SELECT a FROM public.t_ses7").collect().head.getLong(0) == 42L)
+    val st = g.sql("SHOW TABLES")
+    assert(st.columns.toSeq ==
+      Seq("catalog_name", "schema_name", "table_name", "table_type"))
+    assert(st.collect().exists(r => r.getString(2) == "t_ses7" && r.getString(3) == "BASE TABLE"))
+  }
+
+  test("read_csv TVF honors delimiter/header options") {
+    val g = fresh()
+    val p = java.nio.file.Files.createTempFile("graft_tvf", ".csv")
+    java.nio.file.Files.writeString(p, "a;b\n1;x\n2;y\n")
+    val rows = g.sql(s"SELECT a, b FROM read_csv('$p', delim=>';', header=>true) ORDER BY a")
+      .collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "x"), (2, "y")))
+  }
+
+  test("COPY FROM appends with target schema") {
+    val g = fresh()
+    val p = java.nio.file.Files.createTempFile("graft_copy", ".csv")
+    java.nio.file.Files.writeString(p, "1|one\n2|two\n")
+    g.sql("DROP TABLE IF EXISTS t_ses8")
+    g.sql("CREATE TABLE t_ses8 (k INT, v STRING)")
+    assert(g.sql(s"COPY t_ses8 FROM '$p' (DELIMITER '|')").collect().head.getLong(0) == 2)
+    assert(g.sql("SELECT v FROM t_ses8 ORDER BY k").collect().map(_.getString(0)).toSeq ==
+      Seq("one", "two"))
+  }
+
+  test("CTAS and information_schema") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_ses9")
+    g.sql("CREATE TABLE t_ses9 AS SELECT 1 AS x, 'a' AS y")
+    val info = g.sql(
+      "SELECT table_type FROM information_schema.tables WHERE table_name = 't_ses9'")
+    assert(info.collect().head.getString(0) == "BASE TABLE")
+  }
+}
