@@ -1,0 +1,149 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot loops of the dedup/similarity
+  * pipelines. The composed higher-order-function forms (`transform` +
+  * `aggregate` + `slice` + `concat_ws`…) are semantically identical but cost
+  * far more: HOFs evaluate a lambda per element with per-step codegen, and
+  * the generated class for a 64-hash MinHash tree is large enough that
+  * janino compilation dominates single-shot query time. Each expression here
+  * compiles to a single static call (SURVEY.md §7.3 preference (b)).
+  */
+object Exprs {
+
+  /** Distinct word n-grams of a token array, first-occurrence order —
+    * matches array_distinct(transform(sequence…, slice+concat_ws)). */
+  def shingles(tokens: ArrayData, n: Int): ArrayData = {
+    val count = tokens.numElements()
+    if (count < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new mutable.LinkedHashSet[UTF8String]
+    var i = 0
+    while (i <= count - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        val t = tokens.getUTF8String(i + j)
+        parts(j) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        j += 1
+      }
+      seen += UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray[Any])
+  }
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: per hash j, min over shingles of the universal hash
+    * a_j*h+b_j of the shingle's FNV-1a 64. One pass over the shingle set. */
+  def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      a(j) = splitmix64(2L * j + 1) | 1L
+      b(j) = splitmix64(2L * j + 2)
+      j += 1
+    }
+    val out = Array.fill[Long](numHashes)(Long.MaxValue)
+    var i = 0
+    val n = shingles.numElements()
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val h = SimHash64.fnv1a64(shingles.getUTF8String(i).getBytes)
+        var k = 0
+        while (k < numHashes) {
+          val v = a(k) * h + b(k)
+          if (v < out(k)) out(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.map(Long.box): Array[Any])
+  }
+
+  /** Sequential-fold dot product of two double arrays — bit-identical to
+    * aggregate(zip_with(a,b,*), 0.0, +) and to DuckDB's
+    * list_sum(list_transform(list_zip(a,b), …)). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"word_shingles requires array<string>, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Exprs.shingles(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Exprs.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}
+
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"minhash_sig requires array<string>, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Exprs.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Exprs.minhashSig($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"dot_product requires two array<double>, got $other")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Exprs.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Exprs.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+object NativeFunctions {
+  import org.apache.spark.sql.graftshim._
+
+  def word_shingles(c: Column, n: Int): Column = columnOf(WordShingles(expressionOf(c), n))
+  def minhash_sig(c: Column, numHashes: Int): Column = columnOf(MinHashSig(expressionOf(c), numHashes))
+  def dot_product(a: Column, b: Column): Column = columnOf(DotProduct(expressionOf(a), expressionOf(b)))
+}

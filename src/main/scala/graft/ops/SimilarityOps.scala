@@ -27,10 +27,13 @@ object SimilarityOps {
       qId: Column, qVec: Column, cId: Column, cVec: Column,
       k: Int): DataFrame = {
     val q = queries.select(qId.as("q_id"), VectorOps.vecD(qVec).as("q_v"))
+      .withColumn("q_n", VectorOps.l2norm(col("q_v")))
     val c = candidates.select(cId.as("n_id"), VectorOps.vecD(cVec).as("n_v"))
+      .withColumn("n_n", VectorOps.l2norm(col("n_v")))
     import org.apache.spark.sql.expressions.Window
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cosine", VectorOps.cosine(col("q_v"), col("n_v")))
+      .withColumn("cosine",
+        VectorOps.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -77,7 +80,9 @@ object SimilarityOps {
       }
 
     val q0 = queries.select(qId.as("q_id"), VectorOps.vecD(qVec).as("q_v"))
+      .withColumn("q_n", VectorOps.l2norm(col("q_v")))
     val c0 = candidates.select(cId.as("n_id"), VectorOps.vecD(cVec).as("n_v"))
+      .withColumn("n_n", VectorOps.l2norm(col("n_v")))
     val qb = withBuckets(q0, "q_v", t => s"qb_$t")
     val cb = withBuckets(c0, "n_v", t => s"cb_$t")
 
@@ -89,22 +94,23 @@ object SimilarityOps {
       probes.map(p => struct(lit(t).as("t"), p.as("b")))
     }
     val qProbes = qb
-      .select(col("q_id"), col("q_v"), explode(array(probeCols: _*)).as("pr"))
-      .select(col("q_id"), col("q_v"), col("pr.t").as("t"), col("pr.b").as("probe"))
+      .select(col("q_id"), col("q_v"), col("q_n"), explode(array(probeCols: _*)).as("pr"))
+      .select(col("q_id"), col("q_v"), col("q_n"), col("pr.t").as("t"), col("pr.b").as("probe"))
 
     // candidate bucket rows tagged by table id
     val cBuckets = cb.select(
-      col("n_id"), col("n_v"),
+      col("n_id"), col("n_v"), col("n_n"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), col(s"cb_$t").as("b"))): _*)).as("bk"))
-      .select(col("n_id"), col("n_v"), col("bk.t").as("t"), col("bk.b").as("bucket"))
+      .select(col("n_id"), col("n_v"), col("n_n"), col("bk.t").as("t"), col("bk.b").as("bucket"))
 
     val scored = cBuckets
       .join(broadcast(qProbes),
         qProbes("probe") === cBuckets("bucket") && qProbes("t") === cBuckets("t") &&
           qProbes("q_id") =!= cBuckets("n_id"))
       .dropDuplicates("q_id", "n_id")
-      .withColumn("cosine", VectorOps.cosine(col("q_v"), col("n_v")))
+      .withColumn("cosine",
+        VectorOps.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -26,15 +26,13 @@ object TextOps {
   }
 
   /** Distinct word n-gram shingles (default 3) — the unit for Jaccard
-    * near-dup detection. Rows with fewer than n tokens yield an empty set. */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val toks = tokens(c)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-        .otherwise(array().cast("array<string>")))
-  }
+    * near-dup detection. Rows with fewer than n tokens yield an empty set.
+    * Native expression ([[graft.functions.WordShingles]]): semantically
+    * array_distinct(transform(sequence…, concat_ws(slice…))) but one static
+    * call instead of a four-deep HOF tree (which dominates single-shot query
+    * time via codegen size). */
+  def shingles(c: Column, n: Int = 3): Column =
+    graft.functions.NativeFunctions.word_shingles(tokens(c), n)
 
   /** Ratio of distinct tokens to tokens — low values indicate repetitive,
     * low-quality text. */

@@ -19,9 +19,11 @@ object VectorOps {
   /** array<float> → array<double>, elementwise. */
   def vecD(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Dot product of two double arrays (sequential fold). */
+  /** Dot product of two double arrays (sequential fold). Native expression
+    * ([[graft.functions.DotProduct]]) — bit-identical to
+    * aggregate(zip_with(a,b,*), 0.0, +) at a fraction of the cost. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.NativeFunctions.dot_product(a, b)
 
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+import graft.sources.Tables
+
+/** Scratch profiling harness (not part of the correctness suite — run
+  * explicitly with testOnly graft.ProfileScratch). */
+class ProfileScratch extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  test("jaccard breakdown", org.scalatest.Tag("profile")) {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    time("warmup count")(docs.count())
+    val sh = docs.select($"doc_id".as("id"), TextOps.shingles($"text", 3).as("sh"))
+    time("shingles only")(sh.count())
+    val idx = sh.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+    time("explode")(idx.count())
+    val a = idx.select(col("id").as("id_a"), col("sz").as("sz_a"), col("shingle"))
+    val b = idx.select(col("id").as("id_b"), col("sz").as("sz_b"), col("shingle"))
+    val joined = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+    time("self join")(joined.count())
+    val agg = joined.groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+    time("group")(agg.count())
+    time("full jaccardPairs")(
+      DedupOps.jaccardPairs(docs, $"doc_id", $"text", 3, 0.8).count())
+    time("full jaccardPairs again")(
+      DedupOps.jaccardPairs(docs, $"doc_id", $"text", 3, 0.8).count())
+    time("minhash")(
+      DedupOps.minhashLshPairs(docs, $"doc_id", $"text", 3, 16, 4, 0.8).count())
+    time("embedding pairs")(
+      DedupOps.embeddingTopPairs(
+        Tables.load(spark, TestSpark.sfDir, "embeddings"), $"vec_id", $"embedding", 20).count())
+  }
+}
