@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Registry
+
+/** Physical-plan shape guards: the properties that keep these queries fast
+  * at 100 TB — filter/column pushdown into the parquet scan, broadcast of
+  * dimension tables, top-N instead of global sort. A regression here won't
+  * fail correctness but would be a scale cliff, so it fails the build.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter pushed to parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q6: scan reads only the needed columns") {
+    val p = plan("q6_forecast_revenue")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // 4 predicate columns + extendedprice; no returnflag/linestatus/etc.
+    assert(readSchema.contains("l_extendedprice") && !readSchema.contains("l_returnflag"),
+      readSchema)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+  }
+
+  test("q5: dimension tables broadcast, no cartesian") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q3: top-N planned as TakeOrderedAndProject, not global sort+limit") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q11: scalar-subquery threshold is broadcast, not shuffled") {
+    val p = plan("q11_important_balances")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("ann brute force: query side broadcast so candidates never shuffle") {
+    val p = plan("ext_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("whole-stage codegen covers the q1 aggregation") {
+    // AQE finalizes (and annotates codegen stages) only after execution.
+    val df = Registry.queries("q1_pricing_summary")(spark, TestSpark.sfDir)
+    df.collect() // count() would execute a different (re-optimized) plan
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd stages render as "*(n) Operator" in the final AQE plan
+    assert(p.contains("*(") && p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("*(")), p)
+  }
+}
