@@ -32,4 +32,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
     assert(got.nonEmpty)
   }
+
+  test("stateful sessionization emits closed sessions with correct extents") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: two events 5 min apart (session A), then one 3 h later — the
+    // gap closes session A within the micro-batch; user 2's 23:00 event
+    // drives the watermark to 21:00, firing the event-time timeout that
+    // closes user 1's second session. User 2's own session stays open.
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:05:00")),
+      (1L, ts("2024-01-01 13:00:00")),
+      (2L, ts("2024-01-01 23:00:00")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    rows.toDF("user_id", "ts").write.mode("overwrite").parquet(dir)
+
+    val src = spark.readStream
+      .schema(rows.toDF("user_id", "ts").schema)
+      .parquet(dir)
+    val sessions = StreamingOps.sessionizeStateful(spark, src, gapMinutes = 30)
+
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val got = spark.table("sess_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(got == Set(
+      (1L, 2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00")),
+      (1L, 1L, ts("2024-01-01 13:00:00"), ts("2024-01-01 13:00:00"))))
+  }
 }
