@@ -91,16 +91,35 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** SimHash near-dup pairs within a Hamming radius. */
+  /** SimHash near-dup pairs within a Hamming radius, via chunk-bucket
+    * banding: the 64-bit signature splits into `chunks` equal bit-chunks;
+    * by pigeonhole, any pair within Hamming distance < chunks shares at
+    * least one identical chunk, so the equi-join on (chunk index, chunk
+    * value) is a candidate generator with *exact* recall for
+    * maxHamming ≤ chunks-1 — an equi-shuffle instead of the O(n²) cross
+    * join, the same trick Manku et al. use for web-scale simhash dedup. */
   def simhashPairs(
-      df: DataFrame, id: Column, text: Column, maxHamming: Int = 6): DataFrame = {
+      df: DataFrame, id: Column, text: Column, maxHamming: Int = 3,
+      chunks: Int = 4): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole guarantee needs maxHamming < chunks")
+    val bitsPerChunk = 64 / chunks
     val sigs = df.select(id.as("id"), SimHash64.simhash64(TextOps.tokens(text)).as("sig"))
-    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+    val chunkCols = (0 until chunks).map { c =>
+      struct(lit(c).as("c"),
+        shiftright(col("sig"), c * bitsPerChunk)
+          .bitwiseAND(lit((1L << bitsPerChunk) - 1)).as("v"))
+    }
+    val buckets = sigs
+      .select(col("id"), col("sig"), explode(array(chunkCols: _*)).as("ck"))
+      .select(col("id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
+    val a = buckets.select(col("c"), col("v"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = buckets.select(col("c"), col("v"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("c", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Embedding near-dup: top-k most similar pairs by cosine. At scale the

@@ -66,8 +66,7 @@ object ExtDedup extends QueryModule {
       "ext_dedup_simhash",
       (s, dir) => {
         import s.implicits._
-        DedupOps.simhashPairs(Tables.load(s, dir, "documents"), $"doc_id", $"text",
-            maxHamming = 3)
+        DedupOps.simhashPairs(Tables.load(s, dir, "documents"), $"doc_id", $"text")
           .orderBy($"id_a", $"id_b")
       },
       None),

@@ -46,6 +46,19 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
   }
 
+  test("chunk-banded simhash pairs equal brute force (pigeonhole recall)") {
+    import graft.functions.SimHash64.simhash64
+    val sigs = docs.select($"doc_id", simhash64(TextOps.tokens($"text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val banded = DedupOps.simhashPairs(docs, $"doc_id", $"text")
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute)
+  }
+
   test("exact dedup keeps one keeper per key") {
     val d = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "t")
     val got = DedupOps.exactDedup(d, $"t", $"id")
