@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout for co-located joins — the 100 TB answer to the
+  * fact-fact shuffle (SURVEY.md "Partitioning & shuffle"): persist both
+  * sides bucketed+sorted by the join key and equi-joins on that key read
+  * bucket-aligned files with NO Exchange on either side. At cluster scale
+  * this turns the nightly lineitem⋈orders shuffle (terabytes of network)
+  * into local merges; BucketingSpec proves the Exchange disappears.
+  */
+object BucketingOps {
+
+  /** Persist `df` as a bucketed, per-bucket-sorted managed parquet table. */
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key. When both sides share
+    * the bucket count, Catalyst plans SortMergeJoin over the existing
+    * layout — zero shuffle. The merge hint pins the strategy a real
+    * fact-fact join would get anyway (at fixture scale the planner would
+    * otherwise broadcast the small side and ignore the bucketing). */
+  def colocatedJoin(
+      spark: SparkSession, left: String, right: String,
+      leftKey: String, rightKey: String): DataFrame =
+    spark.table(left).hint("merge").join(
+      spark.table(right).hint("merge"),
+      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+}
