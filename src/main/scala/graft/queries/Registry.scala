@@ -23,6 +23,7 @@ trait QueryModule {
 object Registry {
   def modules: Seq[QueryModule] = Seq(
     Tpch,
+    Tpch2,
     Relational,
     DdlDml,
     SourcesCatalog,
