@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN: a coarse k-means quantizer partitions vectors
+  * into cells; a query scans only its `nprobe` nearest cells. The cluster
+  * assignment and per-cell candidate scan are distributed; only the K×dim
+  * centroid matrix ever touches the driver (the standard IVF layout — at
+  * 100 TB the cell-assigned table is written partitioned by cell and a
+  * query prunes to nprobe partitions).
+  *
+  * Deterministic: centroids seed from the first K vectors by id and Lloyd
+  * iterations are fixed-count, so results are reproducible run-to-run.
+  */
+object IvfOps {
+
+  /** K-means centroids (K × dim), seeded from the K lowest-id vectors,
+    * `iters` Lloyd steps. Assignment and the per-cluster mean run as
+    * DataFrame aggregations; only centroids collect to the driver. */
+  def trainCentroids(
+      df: DataFrame, id: Column, vec: Column,
+      k: Int, iters: Int = 3): Array[Array[Double]] = {
+    val v = df.select(id.as("id"), VectorOps.vecD(vec).as("v")).cache()
+    var centroids = v.orderBy(col("id")).limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(v, col("v"), centroids)
+      val dim = centroids(0).length
+      val sums = assigned
+        .select(col("cell") +: (0 until dim).map(i => element_at(col("v"), i + 1).as(s"x$i")): _*)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), (0 until dim).map(i => sum(col(s"x$i")).as(s"s$i")): _*)
+        .collect()
+      val next = centroids.clone()
+      sums.foreach { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        next(cell) = (0 until dim).map(i => r.getDouble(i + 2) / n).toArray
+      }
+      centroids = next
+    }
+    v.unpersist()
+    centroids
+  }
+
+  /** Nearest-centroid cell id for each row (centroids broadcast as plan
+    * literals; per-row argmin over K distances via a sorted (dist, cell)
+    * struct array — a when-chain fold would duplicate subtrees
+    * exponentially). */
+  def assignCells(df: DataFrame, vec: Column, centroids: Array[Array[Double]]): DataFrame = {
+    val distArr = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.sqDist(vec, array(c.map(lit(_)): _*)).as("d"), lit(i).as("cell"))
+    }: _*)
+    df.withColumn("cell", element_at(array_sort(distArr), 1).getField("cell"))
+  }
+
+  /** IVF top-k: per query, rank only the candidates whose cell is among the
+    * query's `nprobe` nearest centroids. */
+  def ivfTopK(
+      queries: DataFrame, candidates: DataFrame,
+      qId: Column, qVec: Column, cId: Column, cVec: Column,
+      k: Int, numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = trainCentroids(candidates, cId, cVec, numCells)
+    val c = assignCells(
+      candidates.select(cId.as("n_id"), VectorOps.vecD(cVec).as("n_v")), col("n_v"), centroids)
+      .withColumn("n_n", VectorOps.l2norm(col("n_v")))
+    // per query: the nprobe nearest cells
+    val q0 = queries.select(qId.as("q_id"), VectorOps.vecD(qVec).as("q_v"))
+      .withColumn("q_n", VectorOps.l2norm(col("q_v")))
+    val probeCols = array((0 until centroids.length).map { i =>
+      struct(VectorOps.sqDist(col("q_v"), array(centroids(i).map(lit(_)): _*)).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    val qProbes = q0
+      .withColumn("probes", slice(array_sort(probeCols), 1, nprobe))
+      .select(col("q_id"), col("q_v"), col("q_n"), explode(col("probes.cell")).as("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    c.join(broadcast(qProbes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", VectorOps.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+  }
+}

@@ -131,6 +131,21 @@ object ExtSimilarity extends QueryModule {
             $"vec_id", $"embedding", $"vec_id", $"embedding", k = 5)
           .orderBy($"q_id", $"rank")
       },
+      None),
+
+    // IVF coarse-quantizer ANN (deterministic k-means cells) — rows-only;
+    // recall + determinism asserted in ScaleOpsSpec.
+    QueryDef(
+      "ext_ann_ivf",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        IvfOps.ivfTopK(
+            emb.filter($"vec_id" < 10), emb,
+            $"vec_id", $"embedding", $"vec_id", $"embedding",
+            k = 5, numCells = 16, nprobe = 6)
+          .orderBy($"q_id", $"rank")
+      },
       None)
   )
 }
