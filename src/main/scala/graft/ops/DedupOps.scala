@@ -40,10 +40,17 @@ object DedupOps {
       df: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val idx = shingleIndex(df, id, text, n)
-    val a = idx.select(col("id").as("id_a"), col("sz").as("sz_a"), col("shingle"))
-    val b = idx.select(col("id").as("id_b"), col("sz").as("sz_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
+    // Self-join with aliases ABOVE identical subplans: both join inputs are
+    // the same scan→shingle→explode tree, so Catalyst's ReuseExchange ships
+    // one shuffle instead of two (renaming below the exchange would make
+    // the subtrees differ and double the shuffle).
+    val a = idx.alias("a")
+    val b = idx.alias("b")
+    a.join(b, col("a.shingle") === col("b.shingle"))
+      .filter(col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",

@@ -43,4 +43,21 @@ class ProfileScratch extends AnyFunSuite {
       DedupOps.embeddingTopPairs(
         Tables.load(spark, TestSpark.sfDir, "embeddings"), $"vec_id", $"embedding", 20).count())
   }
+
+  test("jaccard plan exchange reuse", org.scalatest.Tag("profile")) {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val df = DedupOps.jaccardPairs(docs, $"doc_id", $"text", 3, 0.8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    println("[profile] ReusedExchange present: " + plan.contains("ReusedExchange"))
+    println("[profile] num Exchange nodes: " +
+      plan.linesIterator.count(_.contains("Exchange hashpartitioning")))
+    println("[profile] ShuffleQueryStage ids: " +
+      "ShuffleQueryStage (\\d+)".r.findAllMatchIn(plan).map(_.group(1)).toList)
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    println("[profile] final: exchanges=" +
+      finalSection.linesIterator.count(_.contains("Exchange hashpartitioning")) +
+      " stages=" + "ShuffleQueryStage (\\d+)".r.findAllMatchIn(finalSection).map(_.group(1)).toList +
+      " reused=" + finalSection.contains("ReusedQueryStage"))
+  }
 }
