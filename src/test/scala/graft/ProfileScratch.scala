@@ -44,6 +44,14 @@ class ProfileScratch extends AnyFunSuite {
         Tables.load(spark, TestSpark.sfDir, "embeddings"), $"vec_id", $"embedding", 20).count())
   }
 
+  test("q5 at sf0.1 in isolation", org.scalatest.Tag("profile")) {
+    val q5 = graft.queries.Registry.queries("q5_local_supplier")
+    time("q5 sf0.1 cold")(q5(spark, "/root/testdata/sf0.1").count())
+    time("q5 sf0.1 warm")(q5(spark, "/root/testdata/sf0.1").count())
+    time("q7 sf0.1 cold")(
+      graft.queries.Registry.queries("q7_volume_shipping")(spark, "/root/testdata/sf0.1").count())
+  }
+
   test("jaccard plan exchange reuse", org.scalatest.Tag("profile")) {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val df = DedupOps.jaccardPairs(docs, $"doc_id", $"text", 3, 0.8)
