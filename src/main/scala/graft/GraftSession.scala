@@ -19,6 +19,13 @@ import graft.tables.MutableTableManager
   *     INSERT/UPDATE/DELETE, COPY FROM) are routed to [[MutableTableManager]],
   *     with embedded SELECT/VALUES/predicates still parsed by Catalyst via
   *     `spark.sql` / `expr` — there is no hand-written expression parser;
+  *   - all statement splitting is quote-aware (single-quoted literals with
+  *     `''` escapes, double-quoted identifiers), matching the discipline of
+  *     the reference's real tokenizer (`sqlparser/src/lexer.rs`) — a literal
+  *     containing `' where '` or `'public.'` passes through untouched;
+  *   - statements run in ANSI mode so cast overflow / division by zero error
+  *     like the reference (`qurious/src/physical/expr/cast.rs:16` uses
+  *     `safe: false`; Arrow div kernels error on zero);
   *   - `read_csv('p', delim=>'|') / read_json / read_parquet` table functions
   *     in FROM (reference `qurious/src/planner/sql.rs:751-774,1347-1399`) are
   *     pre-registered as temp views and substituted by name, mirroring the
@@ -27,9 +34,18 @@ import graft.tables.MutableTableManager
   *     (reference `session.rs:77-83`), built on demand from the catalog
   *     (reference `execution/information_schema.rs:12-90`);
   *   - `qurious.public.` / `public.` qualifiers normalize to bare names
-  *     (reference default catalog/schema, `execution/config.rs:1-13`).
+  *     (reference default catalog/schema, `execution/config.rs:1-13`);
+  *   - un-aliased aggregate outputs are renamed to the reference's display
+  *     names — `COUNT(*)` survives the count(1) rewrite, coercion casts are
+  *     stripped (`qurious/src/logical/expr/aggregate.rs:17-54,137-160`).
+  *
+  * @param pathResolver maps file paths in COPY/read_* statements (e.g. the
+  *   reference corpus's `./tests/tpch/data/x.tbl` relative paths) to real
+  *   locations; identity by default.
   */
-final class GraftSession(val spark: SparkSession) {
+final class GraftSession(
+    val spark: SparkSession,
+    pathResolver: String => String = identity) {
 
   val tables = new MutableTableManager(spark)
 
@@ -37,17 +53,23 @@ final class GraftSession(val spark: SparkSession) {
 
   // ---------------------------------------------------------------- sql()
 
-  def sql(query: String): DataFrame = {
-    val q = stripQualifiers(query.trim.stripSuffix(";"))
+  def sql(query: String): DataFrame = withAnsi {
+    val q = stripQualifiers(query.trim.stripSuffix(";").trim)
     val upper = q.toUpperCase(Locale.ROOT)
     if (upper.startsWith("CREATE TABLE")) createTable(q)
     else if (upper.startsWith("DROP TABLE")) dropTable(q)
+    else if (upper.startsWith("CREATE SCHEMA") || upper.startsWith("DROP SCHEMA") ||
+             upper.startsWith("CREATE DATABASE") || upper.startsWith("DROP DATABASE"))
+      // The reference parses these but its planner todo!()s them
+      // (`qurious/src/planner/sql.rs:187`); we reject with a clear error
+      // instead of falling through to the session catalog.
+      sys.error(s"unsupported statement (single-schema engine): ${q.takeWhile(_ != '(').take(40).trim}")
     else if (upper.startsWith("INSERT INTO")) insertInto(q)
     else if (upper.startsWith("DELETE FROM")) deleteFrom(q)
     else if (upper.startsWith("UPDATE ")) update(q)
     else if (upper.startsWith("COPY ")) copyFrom(q)
     else if (upper.startsWith("SHOW TABLES")) showTables()
-    else spark.sql(rewriteQuery(q))
+    else compatNames(spark.sql(rewriteQuery(q)))
   }
 
   /** Register an immutable source table (reference `register_table`,
@@ -64,13 +86,39 @@ final class GraftSession(val spark: SparkSession) {
       tb: scala.reflect.runtime.universe.TypeTag[B]): Unit =
     spark.udf.register(name, f)
 
+  /** Front-door statements run in ANSI mode (cast overflow and integer/
+    * decimal division-by-zero raise, like the reference / DuckDB). ANSI-ness
+    * is baked into expressions at parse/analysis time, so restoring the conf
+    * afterwards does not un-ANSI the returned (lazy) DataFrame. */
+  private def withAnsi[A](f: => A): A = {
+    val key = "spark.sql.ansi.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   // ------------------------------------------------------------------ DDL
 
+  /** Unquoted identifier or double-quoted identifier. */
+  private val Ident = """([A-Za-z_][\w]*|"[^"]+")"""
+
+  private def unquoteIdent(s: String): String = {
+    val raw =
+      if (s.length >= 2 && s.head == '"' && s.last == '"') s.substring(1, s.length - 1)
+      else s
+    raw.toLowerCase(Locale.ROOT)
+  }
+
   private val CreateRe =
-    """(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w]*)\s*(.*)""".r
+    ("""(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" + Ident + """\s*(.*)""").r
 
   private def createTable(q: String): DataFrame = q match {
-    case CreateRe(ifNot, name, rest0) =>
+    case CreateRe(ifNot, name0, rest0) =>
+      val name = unquoteIdent(name0)
       val ifNotExists = ifNot != null
       val rest = rest0.trim
       if (rest.startsWith("(")) {
@@ -90,11 +138,11 @@ final class GraftSession(val spark: SparkSession) {
   }
 
   private val DropRe =
-    """(?is)DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w]*)\s*""".r
+    ("""(?is)DROP\s+TABLE\s+(IF\s+EXISTS\s+)?""" + Ident + """\s*""").r
 
   private def dropTable(q: String): DataFrame = q match {
     case DropRe(ifEx, name) =>
-      tables.drop(name, ifEx != null)
+      tables.drop(unquoteIdent(name), ifEx != null)
       spark.emptyDataFrame
     case _ => sys.error(s"cannot parse DROP TABLE: $q")
   }
@@ -102,59 +150,80 @@ final class GraftSession(val spark: SparkSession) {
   // ------------------------------------------------------------------ DML
 
   private val InsertRe =
-    """(?is)INSERT\s+INTO\s+([A-Za-z_][\w]*)\s*(\([^)]*\))?\s*(.*)""".r
+    ("""(?is)INSERT\s+INTO\s+""" + Ident + """\s*(\([^)]*\))?\s*(.*)""").r
 
   private def insertInto(q: String): DataFrame = q match {
     case InsertRe(name, colList, body0) =>
       val cols = Option(colList).map(c =>
-        splitTopLevel(c.trim.stripPrefix("(").stripSuffix(")"), ',').map(_.trim))
+        splitTopLevel(c.trim.stripPrefix("(").stripSuffix(")"), ',').map(s => unquoteIdent(s.trim)))
       val body = body0.trim
       val input =
         if (body.toUpperCase(Locale.ROOT).startsWith("VALUES")) spark.sql(rewriteQuery(body))
         else sql(body)
-      countBatch(tables.insert(name, input, cols))
+      countBatch(tables.insert(unquoteIdent(name), input, cols))
     case _ => sys.error(s"cannot parse INSERT: $q")
   }
 
-  private val DeleteRe =
-    """(?is)DELETE\s+FROM\s+([A-Za-z_][\w]*)\s*(?:WHERE\s+(.*))?""".r
+  private val DeleteHeadRe = ("""(?is)DELETE\s+FROM\s+""" + Ident + """\s*(.*)""").r
 
   private def deleteFrom(q: String): DataFrame = q match {
-    case DeleteRe(name, where) =>
-      countBatch(tables.delete(name, Option(where)))
+    case DeleteHeadRe(name, rest0) =>
+      val rest = rest0.trim
+      val where =
+        if (rest.isEmpty) None
+        else if (rest.toUpperCase(Locale.ROOT).startsWith("WHERE"))
+          Some(rest.drop(5).trim)
+        else sys.error(s"cannot parse DELETE tail: $rest")
+      countBatch(tables.delete(unquoteIdent(name), where))
     case _ => sys.error(s"cannot parse DELETE: $q")
   }
 
-  private val UpdateRe =
-    """(?is)UPDATE\s+([A-Za-z_][\w]*)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?""".r
+  private val UpdateHeadRe = ("""(?is)UPDATE\s+""" + Ident + """\s+SET\s+(.*)""").r
 
   private def update(q: String): DataFrame = q match {
-    case UpdateRe(name, setClause, where) =>
+    case UpdateHeadRe(name, rest) =>
+      // Quote-aware WHERE boundary: a literal containing ' where ' must not
+      // split the SET clause (the reference's tokenizer never could).
+      val (setClause, where) = indexOfTopLevelKeyword(rest, "WHERE") match {
+        case -1 => (rest, None)
+        case i => (rest.take(i), Some(rest.drop(i + 5).trim))
+      }
       val assignments = splitTopLevel(setClause, ',').map { a =>
         val i = indexOfTopLevel(a, '=')
         require(i > 0, s"cannot parse assignment: $a")
-        (a.take(i).trim, a.drop(i + 1).trim)
+        (unquoteIdent(a.take(i).trim), a.drop(i + 1).trim)
       }
-      countBatch(tables.update(name, assignments, Option(where)))
+      countBatch(tables.update(unquoteIdent(name), assignments, where))
     case _ => sys.error(s"cannot parse UPDATE: $q")
   }
 
   // ------------------------------------------------------------ COPY FROM
 
   private val CopyRe =
-    """(?is)COPY\s+([A-Za-z_][\w]*)\s+FROM\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
+    ("""(?is)COPY\s+""" + Ident + """\s+FROM\s+'([^']+)'\s*(?:\((.*)\))?\s*""").r
 
   /** `COPY tbl FROM 'file' (DELIMITER '|', HEADER)` — reference
     * `copy_from_plan` (`qurious/src/planner/sql.rs:324-375`); csv only, read
-    * with the target table's declared schema, appended via insert. */
+    * with the target table's declared schema, appended via insert. A dbgen
+    * `.tbl` trailing delimiter (one extra empty column) is tolerated, like
+    * Arrow's CSV reader with the declared schema. */
   private def copyFrom(q: String): DataFrame = q match {
-    case CopyRe(name, path, optStr) =>
+    case CopyRe(name0, path, optStr) =>
+      val name = unquoteIdent(name0)
       val opts = Option(optStr).map(parseOptions).getOrElse(Map.empty)
-      val reader = spark.read
+      val schema = tables.schema(name)
+      val raw = spark.read
         .option("delimiter", opts.getOrElse("delimiter", ","))
         .option("header", opts.getOrElse("header", "false"))
-        .schema(tables.schema(name))
-      val df = reader.csv(path)
+        .csv(pathResolver(path))
+      // positional mapping; drop a trailing all-empty column from a trailing
+      // delimiter, then cast to the declared types
+      val trimmed =
+        if (raw.columns.length == schema.size + 1) raw.drop(raw.columns.last)
+        else raw
+      require(trimmed.columns.length == schema.size,
+        s"COPY column count ${trimmed.columns.length} != table arity ${schema.size}")
+      val df = trimmed.toDF(schema.fieldNames.toIndexedSeq: _*)
       countBatch(tables.insert(name, df, None))
     case _ => sys.error(s"cannot parse COPY: $q")
   }
@@ -182,7 +251,9 @@ final class GraftSession(val spark: SparkSession) {
   // ------------------------------------------------------- query rewrite
 
   /** Pre-pass on plain queries: substitute `read_*` TVFs with registered
-    * temp views and `information_schema.tables` with its materialized view. */
+    * temp views, `information_schema.tables` with its materialized view,
+    * fold the reference's interval-quantity arithmetic, and pin the
+    * reference's nulls-first ordering for DESC sorts. */
   private def rewriteQuery(q: String): String = {
     var out = q
     val TvfStart = """(?i)read_(csv|json|parquet)\s*\(""".r
@@ -197,10 +268,34 @@ final class GraftSession(val spark: SparkSession) {
     }
     if (out.toLowerCase(Locale.ROOT).contains("information_schema.tables")) {
       informationSchemaTables().createOrReplaceTempView("information_schema_tables")
-      out = out.replaceAll("(?i)information_schema\\.tables", "information_schema_tables")
+      out = mapUnquoted(out)(
+        _.replaceAll("(?i)information_schema\\.tables", "information_schema_tables"))
     }
+    out = foldIntervalArith(out)
+    out = mapUnquoted(out)(descNullsFirst)
     out
   }
+
+  /** The reference's interval literal accepts an arithmetic quantity:
+    * `INTERVAL '1' + '2' DAY` ≡ `INTERVAL '3' DAY`
+    * (`qurious/src/planner/sql.rs:1146-1229`); Spark's grammar doesn't, so
+    * fold the constant sum here. */
+  private val IntervalArithRe =
+    """(?i)\binterval\s+'(\d+)'((?:\s*\+\s*'\d+')+)\s+(year|month|week|day|hour|minute|second)s?\b""".r
+
+  private def foldIntervalArith(q: String): String =
+    IntervalArithRe.replaceAllIn(q, m => {
+      val more = """'(\d+)'""".r.findAllMatchIn(m.group(2)).map(_.group(1).toLong).sum
+      val total = m.group(1).toLong + more
+      s"interval '$total' ${m.group(3)}"
+    })
+
+  /** The reference's sort always puts nulls first regardless of direction
+    * (`qurious/src/planner/mod.rs:339-342`); Spark's DESC default is nulls
+    * last. `desc` appears as a bare token only in sort specs, so a
+    * token-level rewrite outside quotes is safe. */
+  private def descNullsFirst(s: String): String =
+    """(?i)\bdesc\b(?!\s+nulls)""".r.replaceAllIn(s, "desc nulls first")
 
   /** `read_csv('p', delim=>'|', header=>false)` → temp view name. Like the
     * reference, the file is registered as a table keyed by its arguments
@@ -209,7 +304,7 @@ final class GraftSession(val spark: SparkSession) {
   private def registerTvf(kind: String, argStr: String): String = {
     val args = splitTopLevel(argStr, ',').map(_.trim)
     require(args.nonEmpty, s"read_$kind needs a path argument")
-    val path = unquote(args.head)
+    val path = pathResolver(unquote(args.head))
     val opts = args.tail.map { a =>
       val kv = a.split("=>", 2)
       require(kv.length == 2, s"cannot parse read_$kind option: $a")
@@ -233,6 +328,38 @@ final class GraftSession(val spark: SparkSession) {
     view
   }
 
+  // ------------------------------------------------- output-name compat
+
+  /** Spark's auto-generated names for un-aliased aggregates differ from the
+    * reference's (`qurious/src/logical/expr/aggregate.rs:137-160`):
+    * Spark names `count(*)` → `count(1)`; the reference keeps `COUNT(*)`.
+    * Spark names `sum(a*b)` → `sum((a * b))`; the reference `SUM(a * b)`.
+    * Coercion casts never leak into Spark's auto names (they're minted from
+    * the pre-coercion expression), matching the reference's cast-stripping
+    * (`fmt_expr_for_name`, `aggregate.rs:17-54`). User aliases never match
+    * the agg-name shape and pass through untouched. */
+  private val AggAutoName = """(?i)(sum|min|max|avg|count)\((.*)\)""".r
+
+  private def compatNames(df: DataFrame): DataFrame = {
+    val renamed = df.columns.map {
+      case "count(1)" => "COUNT(*)"
+      case n @ AggAutoName(op, arg) =>
+        s"${op.toUpperCase(Locale.ROOT)}(${stripRedundantParens(arg)})"
+      case other => other
+    }
+    if (renamed.sameElements(df.columns)) df
+    else df.toDF(renamed.toIndexedSeq: _*)
+  }
+
+  /** `(a * b)` → `a * b` when the parens wrap the whole argument. */
+  private def stripRedundantParens(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("(") && t.endsWith(")")) {
+      val (inner, tail) = matchParen(t)
+      if (tail.trim.isEmpty) inner.trim else t
+    } else t
+  }
+
   // ----------------------------------------------------------- utilities
 
   /** DML result batch: one row, `row: UInt64` (reference `make_count_batch`,
@@ -242,20 +369,60 @@ final class GraftSession(val spark: SparkSession) {
     Seq(n).toDF("row")
   }
 
+  /** Apply `f` only to the segments of `s` outside single-quoted literals
+    * (with `''` escapes) and double-quoted identifiers — the quote-aware
+    * replacement discipline (reference tokenizer, `sqlparser/src/lexer.rs`). */
+  private def mapUnquoted(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val plain = new StringBuilder
+    var i = 0
+    def flush(): Unit = { out.append(f(plain.toString)); plain.clear() }
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          flush()
+          val end = endOfQuoted(s, i, '\'')
+          out.append(s.substring(i, end)); i = end - 1
+        case '"' =>
+          flush()
+          val end = endOfQuoted(s, i, '"')
+          out.append(s.substring(i, end)); i = end - 1
+        case c => plain.append(c)
+      }
+      i += 1
+    }
+    flush()
+    out.toString
+  }
+
+  /** End index (exclusive) of a quoted run starting at `start`; `''` inside
+    * a single-quoted literal escapes the quote. */
+  private def endOfQuoted(s: String, start: Int, quote: Char): Int = {
+    var i = start + 1
+    while (i < s.length) {
+      if (s.charAt(i) == quote) {
+        if (quote == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+        else return i + 1
+      } else i += 1
+    }
+    s.length
+  }
+
+  /** Strip `qurious.public.` / `public.` default-catalog qualifiers, but
+    * never inside string literals or quoted identifiers. */
   private def stripQualifiers(q: String): String =
-    q.replaceAll("(?i)\\bqurious\\.public\\.", "").replaceAll("(?i)\\bpublic\\.", "")
+    mapUnquoted(q)(
+      _.replaceAll("(?i)\\bqurious\\.public\\.", "").replaceAll("(?i)\\bpublic\\.", ""))
 
   /** Content of the leading parenthesized group + the tail after it. */
   private def matchParen(s: String): (String, String) = {
     require(s.startsWith("("), s"expected '(': $s")
     var depth = 0
-    var inQuote = false
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (inQuote) { if (c == '\'') inQuote = false }
-      else c match {
-        case '\'' => inQuote = true
+      s.charAt(i) match {
+        case '\'' => i = endOfQuoted(s, i, '\'') - 1
+        case '"' => i = endOfQuoted(s, i, '"') - 1
         case '(' => depth += 1
         case ')' =>
           depth -= 1
@@ -270,20 +437,20 @@ final class GraftSession(val spark: SparkSession) {
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val parts = Seq.newBuilder[String]
     var depth = 0
-    var inQuote = false
     var start = 0
-    for (i <- 0 until s.length) {
-      val c = s.charAt(i)
-      if (inQuote) { if (c == '\'') inQuote = false }
-      else c match {
-        case '\'' => inQuote = true
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => i = endOfQuoted(s, i, '\'') - 1
+        case '"' => i = endOfQuoted(s, i, '"') - 1
         case '(' => depth += 1
         case ')' => depth -= 1
-        case `sep` if depth == 0 =>
+        case c if c == sep && depth == 0 =>
           parts += s.substring(start, i)
           start = i + 1
         case _ =>
       }
+      i += 1
     }
     parts += s.substring(start)
     parts.result().filter(_.trim.nonEmpty)
@@ -291,17 +458,41 @@ final class GraftSession(val spark: SparkSession) {
 
   private def indexOfTopLevel(s: String, target: Char): Int = {
     var depth = 0
-    var inQuote = false
-    for (i <- 0 until s.length) {
-      val c = s.charAt(i)
-      if (inQuote) { if (c == '\'') inQuote = false }
-      else c match {
-        case '\'' => inQuote = true
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => i = endOfQuoted(s, i, '\'') - 1
+        case '"' => i = endOfQuoted(s, i, '"') - 1
         case '(' => depth += 1
         case ')' => depth -= 1
-        case `target` if depth == 0 => return i
+        case c if c == target && depth == 0 => return i
         case _ =>
       }
+      i += 1
+    }
+    -1
+  }
+
+  /** First index of `kw` as a whole word at paren depth 0, outside quotes. */
+  private def indexOfTopLevelKeyword(s: String, kw: String): Int = {
+    val upper = kw.toUpperCase(Locale.ROOT)
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => i = endOfQuoted(s, i, '\'') - 1
+        case '"' => i = endOfQuoted(s, i, '"') - 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case c if depth == 0 && Character.toUpperCase(c) == upper.head =>
+          val end = i + upper.length
+          if (end <= s.length && s.substring(i, end).toUpperCase(Locale.ROOT) == upper &&
+              (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_') &&
+              (end == s.length || !Character.isLetterOrDigit(s.charAt(end)) && s.charAt(end) != '_'))
+            return i
+        case _ =>
+      }
+      i += 1
     }
     -1
   }
@@ -335,7 +526,7 @@ final class GraftSession(val spark: SparkSession) {
       val d = colDef.trim
       val nameEnd = d.indexWhere(_.isWhitespace)
       require(nameEnd > 0, s"cannot parse column definition: $d")
-      val name = d.take(nameEnd)
+      val name = unquoteIdent(d.take(nameEnd))
       var rest = d.drop(nameEnd).trim
       val defaultIdx = rest.toUpperCase(Locale.ROOT).indexOf(" DEFAULT ")
       var default: Option[String] = None
@@ -344,9 +535,11 @@ final class GraftSession(val spark: SparkSession) {
         rest = rest.take(defaultIdx)
       }
       val notNull = rest.toUpperCase(Locale.ROOT).contains("NOT NULL")
-      val typeStr = rest.replaceAll("(?i)\\s*NOT\\s+NULL\\s*", "").trim
-      default.foreach(e => defaults += name.toLowerCase(Locale.ROOT) -> e)
-      StructField(name.toLowerCase(Locale.ROOT), sqlType(typeStr), nullable = !notNull)
+      // strip NOT NULL, then an explicit (default) NULL modifier: `v1 int null`
+      val typeStr = rest.replaceAll("(?i)\\s*NOT\\s+NULL\\s*", "")
+        .replaceAll("(?i)\\s+NULL\\s*$", "").trim
+      default.foreach(e => defaults += name -> e)
+      StructField(name, sqlType(typeStr), nullable = !notNull)
     }
     (StructType(fields.toIndexedSeq), defaults.result())
   }

@@ -17,9 +17,12 @@ object TextOps {
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** BPE-ish subword count estimate: word-piece regex splits on letter/digit
-    * boundaries, then ceil(chars/4) per long run approximates merges. */
+    * boundaries, then ceil(chars/4) per long run approximates merges. The
+    * split class is `[^a-z0-9]+` (over lowercased text) — deliberately the
+    * same ASCII class the DuckDB oracle uses, so the estimate is
+    * engine-agnostic even for non-ASCII corpora. */
   def subwordCountEstimate(c: Column): Column = {
-    val pieces = split(lower(trim(c)), "[^\\p{L}\\p{N}]+")
+    val pieces = split(lower(trim(c)), "[^a-z0-9]+")
     aggregate(
       pieces, lit(0L),
       (acc, w) => acc + greatest(ceil(length(w) / 4.0).cast("long"), lit(1L)))

@@ -75,6 +75,14 @@ final class MutableTableManager(spark: SparkSession) {
     val key = norm(name)
     val st = tables.getOrElse(key, sys.error(s"table not found: $name"))
     val targetCols = cols.map(_.map(norm)).getOrElse(st.schema.fieldNames.toSeq)
+    // Reject unknown / duplicate target columns up front — the reference's
+    // insert planning errors on them (`qurious/src/planner/sql.rs:790-873`);
+    // silently dropping a misspelled column would lose data.
+    val known = st.schema.fieldNames.map(norm).toSet
+    val unknown = targetCols.filterNot(known)
+    require(unknown.isEmpty, s"INSERT column(s) not in table $name: ${unknown.mkString(", ")}")
+    require(targetCols.distinct.size == targetCols.size,
+      s"INSERT duplicate target column(s): ${targetCols.diff(targetCols.distinct).mkString(", ")}")
     require(
       input.schema.size == targetCols.size,
       s"INSERT arity mismatch: ${input.schema.size} values for ${targetCols.size} columns")
