@@ -32,6 +32,18 @@ SHIPMODE = ["MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "REG AIR", "FOB"]
 SHIPINSTRUCT = ["DELIVER IN PERSON", "COLLECT COD", "NONE", "TAKE BACK RETURN"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
+# dbgen nation names by nationkey (the driver data has NATION_k placeholders;
+# the corpus queries filter on real names like GERMANY / FRANCE / BRAZIL).
+# Region keys keep the driver's modular assignment — internally consistent.
+NATIONS = ["ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", "EGYPT", "ETHIOPIA",
+           "FRANCE", "GERMANY", "INDIA", "INDONESIA", "IRAN", "IRAQ", "JAPAN",
+           "JORDAN", "KENYA", "MOROCCO", "MOZAMBIQUE", "PERU", "CHINA",
+           "ROMANIA", "RUSSIA", "SAUDI ARABIA", "VIETNAM", "UNITED KINGDOM",
+           "UNITED STATES"]
+SHADES = ["green", "navy", "rose", "ivory", "plum"]
+# so q7 (FRANCE<->GERMANY), q8/q11 (BRAZIL/GERMANY suppliers) are non-empty
+SUPP_NATION_OVERRIDE = {0: 2, 3: 6, 7: 7}
+
 
 def shift2y(d):
     """date minus 2 years (Feb 29 -> Feb 28)."""
@@ -67,22 +79,36 @@ def main():
         for r in rows_of("region")])
 
     write("nation", [
-        (n["n_nationkey"], n["n_name"], n["n_regionkey"],
+        (n["n_nationkey"], NATIONS[n["n_nationkey"]], n["n_regionkey"],
          f"nation comment {n['n_nationkey']}")
         for n in rows_of("nation")])
 
+    def supp_nation(s):
+        return SUPP_NATION_OVERRIDE.get(s["s_suppkey"], s["s_nationkey"])
+
     write("supplier", [
-        (s["s_suppkey"], s["s_name"], f"addr_{s['s_suppkey']}", s["s_nationkey"],
-         f"{10 + s['s_nationkey']:02d}-{(s['s_suppkey'] * 37) % 1000:03d}-"
+        (s["s_suppkey"], s["s_name"], f"addr_{s['s_suppkey']}", supp_nation(s),
+         f"{10 + supp_nation(s):02d}-{(s['s_suppkey'] * 37) % 1000:03d}-"
          f"{(s['s_suppkey'] * 71) % 1000:03d}-{(s['s_suppkey'] * 913) % 10000:04d}",
          money(s["s_acctbal"]), f"supplier comment {s['s_suppkey']}")
         for s in rows_of("supplier")])
 
+    def p_type(p):
+        # a deterministic slice matches q8's exact 'ECONOMY ANODIZED STEEL';
+        # every size-15 part is BRASS so q2's `like '%BRASS' and p_size = 15`
+        # selects rows
+        pk = p["p_partkey"]
+        if pk % 29 == 0:
+            return "ECONOMY ANODIZED STEEL"
+        material = "BRASS" if p["p_size"] == 15 else MATERIAL[(pk // 5) % 5]
+        return f"{p['p_type']} {FINISH[pk % 5]} {material}"
+
     parts = rows_of("part")
     write("part", [
-        (p["p_partkey"], p["p_name"], f"Manufacturer#{1 + p['p_partkey'] % 5}",
-         p["p_brand"],
-         f"{p['p_type']} {FINISH[p['p_partkey'] % 5]} {MATERIAL[(p['p_partkey'] // 5) % 5]}",
+        (p["p_partkey"],
+         f"{p['p_name']} {SHADES[p['p_partkey'] % 5]}",  # q9 needs '%green%'
+         f"Manufacturer#{1 + p['p_partkey'] % 5}",
+         p["p_brand"], p_type(p),
          p["p_size"], CONTAINERS[p["p_partkey"] % len(CONTAINERS)],
          money(p["p_retailprice"]), f"part comment {p['p_partkey']}")
         for p in parts])
