@@ -33,11 +33,15 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    SimHash64.eval(arr)
+    Exprs.simhash(arr)
   }
 
+  // Kernel lives on `Exprs` (standalone object → static mirror class);
+  // `graft.functions.SimHash64.eval` has no static forwarder (suppressed by
+  // the inherited Expression.eval overload), so calling it here made janino
+  // fail and Spark fall back to interpreted eval for the whole stage.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Exprs.simhash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -57,31 +61,6 @@ object SimHash64 {
       i += 1
     }
     h
-  }
-
-  /** Shared by interpreted eval and generated code. */
-  def eval(arr: ArrayData): Long = {
-    val votes = new Array[Int](64)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = fnv1a64(arr.getUTF8String(i).getBytes)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    out
   }
 
   /** Reference implementation for tests. */

@@ -77,6 +77,36 @@ object Exprs {
     new GenericArrayData(out.map(Long.box): Array[Any])
   }
 
+  /** SimHash64 kernel — lives here (a standalone object with a static
+    * mirror class) rather than on `SimHash64`'s companion, whose static
+    * forwarder scalac suppresses because the case class inherits an
+    * overloaded `eval` from `Expression`; generated code calling a
+    * non-existent static silently demoted every simhash plan to
+    * interpreted execution. */
+  def simhash(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = SimHash64.fnv1a64(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Sequential-fold dot product of two double arrays — bit-identical to
     * aggregate(zip_with(a,b,*), 0.0, +) and to DuckDB's
     * list_sum(list_transform(list_zip(a,b), …)). */

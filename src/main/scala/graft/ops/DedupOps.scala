@@ -28,18 +28,42 @@ object DedupOps {
     df.groupBy(key.as("dedup_key"))
       .agg(min(id).as("keeper_id"), count(lit(1)).as("copies"))
 
-  /** (id, shingle) inverted-index exploded view, distinct shingles per doc. */
-  private def shingleIndex(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
-    df.select(id.as("id"), TextOps.shingles(text, n).as("sh"))
+  /** (id, shingle) inverted-index exploded view, distinct shingles per doc.
+    *
+    * `maxDf > 0` drops shingles whose document frequency exceeds it — the
+    * skew guard for the self-join below: a corpus-common shingle ("of the
+    * and"-class) otherwise lands a df-long posting list on one reducer and
+    * emits O(df²) candidate pairs. The df count is a window over the same
+    * `shingle` key the self-join shuffles on, so the guard rides the
+    * existing exchange instead of adding one. */
+  private[graft] def shingleIndex(
+      df: DataFrame, id: Column, text: Column, n: Int, maxDf: Int = 0): DataFrame = {
+    val idx = df.select(id.as("id"), TextOps.shingles(text, n).as("sh"))
       .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+    if (maxDf <= 0) idx
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+      idx.withColumn("df", count(lit(1)).over(w))
+        .filter(col("df") <= maxDf)
+        .drop("df")
+    }
+  }
 
   /** All pairs (a < b) with shingle-set Jaccard ≥ threshold, by inverted-
     * index self-join: |A∩B| from matching shingles, |A∪B| from the per-doc
-    * set sizes carried alongside. */
+    * set sizes carried alongside.
+    *
+    * With `maxDf > 0`, shingles in more than `maxDf` docs are excluded from
+    * the index. Tradeoff is recall-only: a dropped shingle leaves `sz_a`/
+    * `sz_b` intact but can no longer contribute to `inter`, so the computed
+    * Jaccard only ever *under*-estimates — pairs whose overlap rides solely
+    * on corpus-common shingles are missed, never false-positived. For
+    * unbounded corpora prefer [[minhashLshPairs]] (constant amplification
+    * per doc regardless of shingle popularity). */
   def jaccardPairs(
       df: DataFrame, id: Column, text: Column,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val idx = shingleIndex(df, id, text, n)
+      n: Int = 3, threshold: Double = 0.8, maxDf: Int = 0): DataFrame = {
+    val idx = shingleIndex(df, id, text, n, maxDf)
     // Self-join with aliases ABOVE identical subplans: both join inputs are
     // the same scan→shingle→explode tree, so Catalyst's ReuseExchange ships
     // one shuffle instead of two (renaming below the exchange would make
@@ -129,10 +153,48 @@ object DedupOps {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** Embedding near-dup: top-k most similar pairs by cosine. At scale the
-    * candidate join comes from [[SimilarityOps.lshBuckets]] instead of the
-    * full cross product; the fixture table is 500 rows so brute force is the
-    * exact baseline. */
+  /** Embedding near-dup via LSH-bucketed candidates: vectors hash into
+    * sign-bit buckets per table ([[SimilarityOps.lshBucket]]); only pairs
+    * colliding in some table's bucket are scored, so the join is an
+    * equi-shuffle on (table, bucket) instead of the O(n²) cross product —
+    * the scale path for [[embeddingTopPairs]]. This is a *near-duplicate*
+    * finder: vectors within a few degrees collide per table with probability
+    * ~1, so recall on true near-dups (cosine ≳ 0.95) is ~1, while unrelated
+    * pairs (the ~60° apart kind) are intentionally never scored — if a
+    * corpus has no near-dups, its "top-k" here is a sample of bucket
+    * cohabitants, not the exact cartesian top-k. */
+  def embeddingTopPairsLsh(
+      df: DataFrame, id: Column, vec: Column, k: Int,
+      bits: Int = 6, tables: Int = 4, dim: Int = -1): DataFrame = {
+    val v = df.select(id.as("id"), VectorOps.vecD(vec).as("v"))
+      .withColumn("nrm", VectorOps.l2norm(col("v")))
+    val planeDim = if (dim > 0) dim else v.select(size(col("v"))).head.getInt(0)
+    val bucketCols = (0 until tables).map { t =>
+      val planes = SimilarityOps.hyperplanes(planeDim, bits, seed = 42L + t)
+      struct(lit(t).as("t"), SimilarityOps.lshBucket(col("v"), planes).as("b"))
+    }
+    val bucketed = v
+      .select(col("id"), col("v"), col("nrm"), explode(array(bucketCols: _*)).as("bk"))
+      .select(col("id"), col("v"), col("nrm"), col("bk.t").as("t"), col("bk.b").as("b"))
+    val a = bucketed.select(col("t"), col("b"),
+      col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = bucketed.select(col("t"), col("b"),
+      col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("t", "b"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine",
+        VectorOps.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
+  /** Embedding near-dup: top-k most similar pairs by cosine — the exact
+    * all-pairs baseline (the non-equi `id_a < id_b` join is a cartesian;
+    * fine for a fixture-sized table, quadratic at corpus scale). For large
+    * tables use [[embeddingTopPairsLsh]], whose candidate join equi-shuffles
+    * on LSH buckets. */
   def embeddingTopPairs(df: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
     // Norms are computed once per vector, not once per pair — same bits as
     // cosine(v_a, v_b), ~3x less work in the O(n^2) stage.

@@ -69,10 +69,18 @@ object SimilarityOps {
   def lshTopK(
       queries: DataFrame, candidates: DataFrame,
       qId: Column, qVec: Column, cId: Column, cVec: Column,
-      k: Int, bits: Int = 6, tables: Int = 4, multiProbe: Boolean = true): DataFrame = {
+      k: Int, bits: Int = 6, tables: Int = 4, multiProbe: Boolean = true,
+      dim: Int = -1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dim = 64
-    val allPlanes = (0 until tables).map(t => hyperplanes(dim, bits, seed = 42L + t))
+    // Hyperplanes must span the full embedding dimension: a short plane
+    // truncates the sign-bit dot product (dot() folds over min length) and
+    // silently degrades recall. Derive from the data unless the caller
+    // passes it (at 100 TB, pass it — the probe is a single-row job but
+    // it's one more scan kickoff).
+    val planeDim =
+      if (dim > 0) dim
+      else candidates.select(size(cVec)).head.getInt(0)
+    val allPlanes = (0 until tables).map(t => hyperplanes(planeDim, bits, seed = 42L + t))
 
     def withBuckets(df: DataFrame, vecCol: String, out: String => String): DataFrame =
       allPlanes.zipWithIndex.foldLeft(df) { case (d, (planes, t)) =>

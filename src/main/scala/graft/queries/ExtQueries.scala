@@ -87,7 +87,20 @@ object ExtDedup extends QueryModule {
             sqrt(list_sum(list_transform(list_zip(b.ve, b.ve), s -> s[1] * s[2]))) AS nb
           FROM v a JOIN v b ON a.vec_id < b.vec_id)
         SELECT id_a, id_b, dt / (na * nb) AS cosine FROM d
-        ORDER BY cosine DESC, id_a, id_b LIMIT 20"""))
+        ORDER BY cosine DESC, id_a, id_b LIMIT 20""")),
+
+    // Scale path for embedding near-dup: LSH-bucketed candidate equi-join
+    // instead of the cartesian above. Rows-only (bucket cohabitation is
+    // seed-specific); near-dup recall asserted on planted duplicates in
+    // OpsSpec.
+    QueryDef(
+      "ext_dedup_embedding_lsh",
+      (s, dir) => {
+        import s.implicits._
+        DedupOps.embeddingTopPairsLsh(
+          Tables.load(s, dir, "embeddings"), $"vec_id", $"embedding", 20)
+      },
+      None)
   )
 }
 
@@ -126,6 +139,23 @@ object ExtSimilarity extends QueryModule {
       (s, dir) => {
         import s.implicits._
         val emb = Tables.load(s, dir, "embeddings")
+        SimilarityOps.lshTopK(
+            emb.filter($"vec_id" < 10), emb,
+            $"vec_id", $"embedding", $"vec_id", $"embedding", k = 5)
+          .orderBy($"q_id", $"rank")
+      },
+      None),
+
+    // Same LSH pipeline over a non-native dimension (fixture embeddings
+    // sliced to 32) — rows-only; guards the hyperplane dimension derivation
+    // (round-1 bug: dim hard-coded to 64 silently truncated other widths).
+    QueryDef(
+      "ext_ann_lsh_dim32",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.slice
+        val emb = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", slice($"embedding", 1, 32).as("embedding"))
         SimilarityOps.lshTopK(
             emb.filter($"vec_id" < 10), emb,
             $"vec_id", $"embedding", $"vec_id", $"embedding", k = 5)

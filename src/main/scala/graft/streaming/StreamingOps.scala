@@ -32,15 +32,21 @@ object StreamingOps {
       user_id: Long, n_events: Long,
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
 
-  /** Open-session state (public: Catalyst codegen instantiates it; millis
-    * instead of Timestamp keeps the state encoder primitive-only). */
-  final case class SessionState(n: Long, startMs: Long, lastMs: Long)
+  /** Open-session state (public: Catalyst codegen instantiates it; epoch
+    * micros instead of Timestamp keep the state encoder primitive-only
+    * without losing the sub-millisecond precision batch timestamps carry). */
+  final case class SessionState(n: Long, startUs: Long, lastUs: Long)
 
   /** Custom streaming state: gap-based sessionization with
     * `flatMapGroupsWithState` — per-user state holds the open session;
     * events extending it update state, a gap beyond `gapMinutes` closes the
     * session and emits it. Event-time timeout evicts idle users' state (the
-    * unbounded-state guard that matters at real stream volume). */
+    * unbounded-state guard that matters at real stream volume).
+    *
+    * Gap semantics match [[graft.ops.EventOps.sessionize]] exactly: the gap
+    * compares *floor-second* timestamps (batch uses `unix_timestamp`, which
+    * truncates sub-second parts), and session extents keep full microsecond
+    * precision — so stream and batch are set-equal on the same events. */
   def sessionizeStateful(
       spark: SparkSession,
       events: DataFrame,
@@ -48,33 +54,41 @@ object StreamingOps {
       watermark: String = "2 hours"): Dataset[UserSession] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val gapMs = gapMinutes * 60000L
+    val gapSec = gapMinutes * 60L
 
     def fn(
         userId: Long,
         rows: Iterator[(Long, java.sql.Timestamp)],
         state: GroupState[SessionState]): Iterator[UserSession] = {
-      def toTs(ms: Long) = new java.sql.Timestamp(ms)
-      val sorted = rows.toSeq.map(_._2.getTime).sorted
+      def toUs(t: java.sql.Timestamp): Long =
+        t.getTime / 1000 * 1000000L + t.getNanos / 1000
+      def toTs(us: Long): java.sql.Timestamp = {
+        val t = new java.sql.Timestamp(us / 1000)
+        t.setNanos((us % 1000000L).toInt * 1000)
+        t
+      }
+      val sorted = rows.toSeq.map(r => toUs(r._2)).sorted
       var st = state.getOption.orNull
       val out = Seq.newBuilder[UserSession]
-      sorted.foreach { ms =>
+      sorted.foreach { us =>
         st match {
-          case null => st = SessionState(1, ms, ms)
-          case s if ms - s.lastMs <= gapMs =>
-            st = s.copy(n = s.n + 1, lastMs = ms)
+          case null => st = SessionState(1, us, us)
+          case s if us / 1000000L - s.lastUs / 1000000L <= gapSec =>
+            st = s.copy(n = s.n + 1, lastUs = us)
           case s =>
-            out += UserSession(userId, s.n, toTs(s.startMs), toTs(s.lastMs))
-            st = SessionState(1, ms, ms)
+            out += UserSession(userId, s.n, toTs(s.startUs), toTs(s.lastUs))
+            st = SessionState(1, us, us)
         }
       }
       if (st != null) {
         if (state.hasTimedOut) {
-          out += UserSession(userId, st.n, toTs(st.startMs), toTs(st.lastMs))
+          out += UserSession(userId, st.n, toTs(st.startUs), toTs(st.lastUs))
           state.remove()
         } else {
           state.update(st)
-          state.setTimeoutTimestamp(st.lastMs + gapMs)
+          // +1s slack: the gap is floor-second, so an event up to a second
+          // past lastUs+gap can still extend the session
+          state.setTimeoutTimestamp(st.lastUs / 1000 + gapSec * 1000 + 1000)
         }
       }
       out.result().iterator

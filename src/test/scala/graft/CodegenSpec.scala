@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+
+/** The native expressions exist for their codegen fast path, so "the
+  * generated code compiles" is a correctness property here:
+  * `GenerateUnsafeProjection.generate` throws on janino failure (unlike
+  * whole-stage codegen, which silently falls back to interpreted execution
+  * and defeats the expressions' purpose — the round-1 simhash64 bug).
+  * Each test also evaluates the *compiled* projection and checks the value
+  * against the interpreted/reference result.
+  */
+class CodegenSpec extends AnyFunSuite {
+
+  private def strArray(xs: String*) =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  private val tokRef = BoundReference(0, ArrayType(StringType), nullable = true)
+
+  test("simhash64 generated code compiles and matches reference") {
+    val proj = GenerateUnsafeProjection.generate(Seq(SimHash64(tokRef)))
+    val toks = Seq("the", "quick", "brown", "fox")
+    val out = proj(InternalRow(strArray(toks: _*)))
+    assert(out.getLong(0) == SimHash64.ofTokens(toks))
+  }
+
+  test("word_shingles generated code compiles and matches interpreted eval") {
+    val expr = WordShingles(tokRef, 2)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val in = InternalRow(strArray("a", "b", "c"))
+    val got = proj(in).getArray(0)
+    assert((0 until got.numElements()).map(got.getUTF8String(_).toString) ==
+      Seq("a b", "b c"))
+  }
+
+  test("minhash_sig generated code compiles and matches interpreted eval") {
+    val expr = MinHashSig(tokRef, 8)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val in = InternalRow(strArray("x y z", "y z w"))
+    val got = proj(in).getArray(0)
+    val expected = expr.nullSafeEval(strArray("x y z", "y z w"))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until 8).map(got.getLong) == (0 until 8).map(expected.getLong))
+  }
+
+  test("dot_product generated code compiles and matches interpreted eval") {
+    val vecRef = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val vecRef2 = BoundReference(1, ArrayType(DoubleType), nullable = true)
+    val proj = GenerateUnsafeProjection.generate(Seq(DotProduct(vecRef, vecRef2)))
+    val a = new GenericArrayData(Array[Any](1.0, 2.0, 3.0))
+    val b = new GenericArrayData(Array[Any](4.0, 5.0, 6.0))
+    assert(proj(InternalRow(a, b)).getDouble(0) == 32.0)
+  }
+}

@@ -40,6 +40,24 @@ class CompatSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == 3L)
   }
 
+  test("automatic aggregate output naming (no manual aliases)") {
+    val g = new GraftSession(spark)
+    g.sql("DROP TABLE IF EXISTS t_cmp0")
+    g.sql("CREATE TABLE t_cmp0 (v1 INT, v3 DOUBLE)")
+    g.sql("INSERT INTO t_cmp0 VALUES (1, 2.0), (2, 3.0)")
+    // COUNT(*) survives the count(1) rewrite
+    // (reference aggregate.rs:137-160); coercion casts and Spark's extra
+    // parens never leak into names (fmt_expr_for_name, aggregate.rs:17-54)
+    assert(g.sql("SELECT count(*) FROM t_cmp0").columns.toSeq == Seq("COUNT(*)"))
+    assert(g.sql("SELECT sum(v1) FROM t_cmp0").columns.toSeq == Seq("SUM(v1)"))
+    assert(g.sql("SELECT sum(v1 * v3) FROM t_cmp0").columns.toSeq == Seq("SUM(v1 * v3)"))
+    assert(g.sql("SELECT max(v1), min(v1) FROM t_cmp0").columns.toSeq ==
+      Seq("MAX(v1)", "MIN(v1)"))
+    // user aliases pass through untouched
+    assert(g.sql("SELECT count(*) AS total FROM t_cmp0").columns.toSeq == Seq("total"))
+    g.sql("DROP TABLE t_cmp0")
+  }
+
   test("UDF registration surface (reference UserDefinedFunction trait)") {
     val g = new GraftSession(spark)
     g.registerUdf[String, Int]("str_len2", (s: String) => s.length * 2)

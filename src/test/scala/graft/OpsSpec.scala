@@ -59,6 +59,64 @@ class OpsSpec extends AnyFunSuite {
     assert(banded == brute)
   }
 
+  test("jaccard maxDf guard bounds hot-shingle candidate pairs; off = brute force") {
+    // 40 docs all share the shingle "the common phrase" (df=40, i.e. 100% of
+    // the corpus); the rest of each doc is unique. Two true near-dups on top.
+    val hot = (0 until 40).map(i => (100L + i, s"the common phrase u${i}a u${i}b u${i}c"))
+    val dups = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta"),
+      (901L, "alpha beta gamma delta epsilon zeta"))
+    val corpus = (hot ++ dups).toDF("id", "text")
+
+    // unguarded index: the hot shingle alone yields C(40,2)+1 candidate pairs
+    def candidatePairs(maxDf: Int): Long = {
+      val idx = DedupOps.shingleIndex(corpus, $"id", $"text", 3, maxDf)
+      idx.alias("a").join(idx.alias("b"), $"a.shingle" === $"b.shingle")
+        .filter($"a.id" < $"b.id")
+        .select($"a.id", $"b.id").distinct().count()
+    }
+    assert(candidatePairs(0) >= 40 * 39 / 2) // quadratic blowup, unguarded
+    assert(candidatePairs(10) == 1)          // df cut: only the true dup pair survives
+
+    // guard on: still finds the real near-dups (their shingles are rare)
+    val guarded = DedupOps.jaccardPairs(corpus, $"id", $"text", 3, 0.8, maxDf = 10)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == Set((900L, 901L)))
+
+    // guard off: equality with local brute force over shingle sets
+    def shingleSet(t: String): Set[String] =
+      t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val all = (hot ++ dups).map { case (i, t) => (i, shingleSet(t)) }
+    val brute = (for {
+      (ia, sa) <- all; (ib, sb) <- all
+      if ia < ib
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= 0.8
+    } yield (ia, ib)).toSet
+    val unguarded = DedupOps.jaccardPairs(corpus, $"id", $"text", 3, 0.8)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded == brute)
+  }
+
+  test("LSH-bucketed embedding pairs find planted near-duplicates") {
+    // The fixture has no true near-dups (top pair cosine ≈ 0.48, ~60° —
+    // sign-bit LSH cannot and should not bucket those together). Plant
+    // five: deterministic small per-component perturbations of vec_ids 0-4,
+    // cosine ≈ 0.9999. Near-identical vectors collide per table with
+    // probability ~1, so the equi-join candidate cut must surface exactly
+    // these as the top pairs.
+    val planted = emb.filter($"vec_id" < 5).select(
+      ($"vec_id" + 1000L).as("vec_id"),
+      transform($"embedding", (x, i) =>
+        x * (lit(1.0f) + i.cast("float") * lit(0.0002f))).as("embedding"))
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(planted)
+    val got = DedupOps.embeddingTopPairsLsh(corpus, $"vec_id", $"embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSet ==
+      (0 until 5).map(i => (i.toLong, 1000L + i)).toSet)
+    assert(got.forall(_._3 > 0.99))
+  }
+
   test("exact dedup keeps one keeper per key") {
     val d = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "t")
     val got = DedupOps.exactDedup(d, $"t", $"id")
@@ -82,15 +140,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("LSH ANN achieves reasonable recall vs brute force") {
-    val brute = SimilarityOps.bruteForceTopK(
-        emb.filter($"vec_id" < 10), emb, $"vec_id", $"embedding", $"vec_id", $"embedding", 5)
-      .select($"q_id", $"n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = SimilarityOps.lshTopK(
-        emb.filter($"vec_id" < 10), emb, $"vec_id", $"embedding", $"vec_id", $"embedding", 5)
-      .select($"q_id", $"n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (brute & lsh).size.toDouble / brute.size
-    assert(recall >= 0.5, s"LSH recall too low: $recall") // 4 tables x 6 bits, multiprobe
+  test("LSH ANN achieves reasonable recall vs brute force (dims 32, 64, 128)") {
+    // The fixture is dim 64; slice to 32 and self-concat to 128 so the
+    // hyperplane dimension (derived from the data since round 2) is
+    // exercised off the fixture's native size — the round-1 hard-coded
+    // dim=64 silently truncated any wider embedding.
+    val variants: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "dim32" -> emb.select($"vec_id", slice($"embedding", 1, 32).as("embedding")),
+      "dim64" -> emb.select($"vec_id", $"embedding"),
+      "dim128" -> emb.select($"vec_id", concat($"embedding", $"embedding").as("embedding")))
+    for ((name, e) <- variants) {
+      val brute = SimilarityOps.bruteForceTopK(
+          e.filter($"vec_id" < 10), e, $"vec_id", $"embedding", $"vec_id", $"embedding", 5)
+        .select($"q_id", $"n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = SimilarityOps.lshTopK(
+          e.filter($"vec_id" < 10), e, $"vec_id", $"embedding", $"vec_id", $"embedding", 5)
+        .select($"q_id", $"n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute & lsh).size.toDouble / brute.size
+      assert(recall >= 0.5, s"LSH recall too low at $name: $recall") // 4 tables x 6 bits, multiprobe
+    }
   }
 
   test("text ops: token count, shingles, fingerprint") {

@@ -33,6 +33,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("stateful sessionization matches batch sessionize on driver events") {
+    import spark.implicits._
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+    // Sentinel user far past the last real event: once it flows through,
+    // the watermark passes every real session's timeout, so the stream's
+    // append output contains ALL real sessions closed — making it
+    // set-comparable with the batch result. (Without it, each user's last
+    // session would still be open state, not output.)
+    val maxTs = events.agg(org.apache.spark.sql.functions.max($"ts")).head.getTimestamp(0)
+    val sentinel = Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000)))
+      .toDF("user_id", "ts")
+    val staged = events.select($"user_id".cast("long").as("user_id"), $"ts")
+      .unionByName(sentinel)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_parity").toString
+    staged.write.mode("overwrite").parquet(dir)
+
+    val src = spark.readStream.schema(staged.schema).parquet(dir)
+    val q = StreamingOps.sessionizeStateful(spark, src, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("sess_parity").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val got = spark.table("sess_parity")
+      .filter($"user_id" >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    val batch = EventOps.sessionize(events, 30)
+      .select($"user_id".cast("long"), $"n_events", $"session_start", $"session_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("stateful sessionization emits closed sessions with correct extents") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
