@@ -39,6 +39,16 @@ object Bench {
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
 
+  /** The per-query breakdown printed on stdout is limited to the headline
+    * TPC-H analogs so the final JSON line stays well under the driver's
+    * 2000-char output-tail window (the full 80+-query map overflowed it and
+    * the driver recorded `parsed: null` in rounds 1-2). The complete
+    * breakdown still goes to stderr and all queries still run + error-check.
+    */
+  private def isHeadline(name: String): Boolean = name.matches("q\\d+_.*")
+
+  private def fmt(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -54,11 +64,14 @@ object Bench {
     try SparkEntry.queries.get("q6_forecast_revenue").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
     val res = runAll(spark, sfDir, SparkEntry.queries)
-    val qs = res.seconds.toSeq.sortBy(_._1)
-      .map { case (k, v) => jsonStr(k) + ":" + v }.mkString("{", ",", "}")
+    def qsJson(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => jsonStr(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val errs = res.errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${res.total},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    System.err.println(
+      s"""{"all_queries":${qsJson(res.seconds)},"n":${res.seconds.size}}""")
+    val headline = res.seconds.filter { case (k, _) => isHeadline(k) }
+    println(s"""{"metric":"total","value":${fmt(res.total)},"unit":"sec","queries":${qsJson(headline)},"n_queries":${res.seconds.size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (res.errors.nonEmpty) sys.exit(1)
   }

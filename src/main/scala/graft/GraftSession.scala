@@ -67,8 +67,13 @@ final class GraftSession(
     else if (upper.startsWith("INSERT INTO")) insertInto(q)
     else if (upper.startsWith("DELETE FROM")) deleteFrom(q)
     else if (upper.startsWith("UPDATE ")) update(q)
-    else if (upper.startsWith("COPY ")) copyFrom(q)
+    else if (upper.startsWith("COPY ")) {
+      if (indexOfTopLevelKeyword(q, "TO") >= 0 && indexOfTopLevelKeyword(q, "FROM") < 0)
+        copyTo(q)
+      else copyFrom(q)
+    }
     else if (upper.startsWith("SHOW TABLES")) showTables()
+    else if (upper.startsWith("EXPLAIN ")) explainStatement(q)
     else compatNames(spark.sql(rewriteQuery(q)))
   }
 
@@ -226,6 +231,77 @@ final class GraftSession(
       val df = trimmed.toDF(schema.fieldNames.toIndexedSeq: _*)
       countBatch(tables.insert(name, df, None))
     case _ => sys.error(s"cannot parse COPY: $q")
+  }
+
+  // -------------------------------------------------------------- COPY TO
+
+  private val CopyToRe = """(?s)'([^']+)'\s*(?:\((.*)\))?\s*""".r
+
+  /** `COPY tbl TO 'dir' (FORMAT PARQUET|CSV|JSON, DELIMITER ',', HEADER,
+    * PARTITION_BY (col, ...))` and `COPY (SELECT ...) TO 'dir' (...)`.
+    *
+    * The reference parses COPY TO but its planner rejects it
+    * (`qurious/src/planner/sql.rs:315-321` is `todo!()`) — we complete the
+    * semantics. Output is a directory of part files (the cluster-parallel
+    * layout; a single-file export would funnel 100 TB through one task),
+    * with Hive-style subdirectories under PARTITION_BY. Returns the
+    * exported row count as a DML-style count batch. */
+  private def copyTo(q: String): DataFrame = {
+    val toIdx = indexOfTopLevelKeyword(q, "TO")
+    val src = q.substring("COPY".length, toIdx).trim
+    q.substring(toIdx + 2).trim match {
+      case CopyToRe(path, optStr) =>
+        val opts = Option(optStr).map(parseOptions).getOrElse(Map.empty)
+        val df =
+          if (src.startsWith("(")) sql(src.substring(1, src.length - 1))
+          else sql(s"SELECT * FROM $src")
+        val out = pathResolver(path)
+        var w = df.write.mode("overwrite")
+        opts.get("partition_by").foreach { cols =>
+          val names = splitTopLevel(cols.trim.stripPrefix("(").stripSuffix(")"), ',')
+            .map(c => unquoteIdent(c.trim))
+          w = w.partitionBy(names: _*)
+        }
+        opts.getOrElse("format", "csv").toLowerCase(Locale.ROOT) match {
+          case "parquet" => w.parquet(out)
+          case "json" => w.json(out)
+          case "csv" => w
+            .option("delimiter", opts.getOrElse("delimiter", ","))
+            .option("header", opts.getOrElse("header", "false"))
+            .csv(out)
+          case other => sys.error(s"unsupported COPY TO format: $other")
+        }
+        countBatch(df.count())
+      case other => sys.error(s"cannot parse COPY TO target: $other")
+    }
+  }
+
+  // -------------------------------------------------------------- EXPLAIN
+
+  /** `EXPLAIN [FORMATTED|EXTENDED] <query>` → one row per plan line.
+    * Covers SELECT (Catalyst plan) and routed DML/DDL (described, not
+    * executed — EXPLAIN must be side-effect-free). */
+  private def explainStatement(q: String): DataFrame = {
+    import spark.implicits._
+    val rest0 = q.drop("EXPLAIN".length).trim
+    val (mode, rest) = {
+      val u = rest0.toUpperCase(Locale.ROOT)
+      if (u.startsWith("FORMATTED ")) ("formatted", rest0.drop("FORMATTED ".length))
+      else if (u.startsWith("EXTENDED ")) ("extended", rest0.drop("EXTENDED ".length))
+      else ("simple", rest0)
+    }
+    val upper = rest.toUpperCase(Locale.ROOT)
+    val text =
+      if (upper.startsWith("SELECT") || upper.startsWith("WITH") ||
+          upper.startsWith("VALUES"))
+        spark.sql(rewriteQuery(rest)).queryExecution.explainString(
+          mode match {
+            case "formatted" => org.apache.spark.sql.execution.FormattedMode
+            case "extended" => org.apache.spark.sql.execution.ExtendedMode
+            case _ => org.apache.spark.sql.execution.SimpleMode
+          })
+      else s"== Routed Statement ==\n${rest.takeWhile(_ != '\n').take(80)} (executed via GraftSession statement router)"
+    text.linesIterator.toSeq.toDF("plan")
   }
 
   // ----------------------------------------------------- catalog queries

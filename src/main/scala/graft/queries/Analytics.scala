@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** OLAP analytics surface beyond the reference's executable set: multi-level
+  * aggregation (ROLLUP / CUBE / GROUPING SETS), pivot, statistical
+  * aggregates, exact percentiles, and the full window-frame vocabulary.
+  *
+  * The reference parses GROUP BY but plans only plain grouping
+  * (`qurious/src/planner/sql.rs:550-662`); everything here is "beyond
+  * reference" surface a user of a complete engine expects, implemented as
+  * single declarative plans: one shuffle per grouping pass (Spark expands
+  * ROLLUP/CUBE into a single Expand + one hash aggregate, not one shuffle
+  * per grouping set) and one window exchange per partition key. At 100 TB
+  * nothing here materializes on the driver.
+  *
+  * Determinism for the DuckDB hash-oracle follows Tpch.scala: money doubles
+  * are decimal-cast before summing (exact, associative), true floating-point
+  * statistics are rounded, every query ends in a total ORDER BY.
+  */
+object Analytics extends QueryModule {
+
+  private val money = DecimalType(12, 2)
+  private def m(c: Column): Column = c.cast(money)
+  private def M(c: String) = s"CAST($c AS DECIMAL(12,2))"
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- ROLLUP: hierarchy totals in ONE pass (Expand + single hash agg;
+    // the naive alternative — N grouped queries UNION'd — is N shuffles) ----
+    QueryDef(
+      "an_rollup",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum(m($"l_quantity")).cast("double").as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy(
+            $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        CAST(sum(${M("l_quantity")}) AS DOUBLE) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // ---- CUBE: all 2^k grouping combinations, still one Expand pass ----
+    QueryDef(
+      "an_cube",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(
+            sum(m($"o_totalprice")).cast("double").as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(
+            $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+      },
+      Some(s"""SELECT o_orderstatus, o_orderpriority,
+        CAST(sum(${M("o_totalprice")}) AS DOUBLE) AS revenue, count(*) AS n_orders
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // ---- GROUPING SETS with explicit grouping_id disambiguation ----
+    QueryDef(
+      "an_grouping_sets",
+      (s, dir) => {
+        import s.implicits._
+        // (flag), (status), and grand total — spark.sql GROUPING SETS form
+        t(s, dir, "lineitem").createOrReplaceTempView("an_gs_lineitem")
+        s.sql(s"""SELECT l_returnflag, l_linestatus,
+            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+            CAST(grouping(l_returnflag) AS INT) AS g_flag,
+            CAST(grouping(l_linestatus) AS INT) AS g_status
+          FROM an_gs_lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        CAST(sum(${M("l_quantity")}) AS DOUBLE) AS sum_qty,
+        CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        CAST(grouping(l_linestatus) AS INT) AS g_status
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // ---- PIVOT: event_type → columns. Spark's relational pivot with an
+    // explicit value list (no extra distinct-discovery job); oracle is the
+    // equivalent conditional aggregation ----
+    QueryDef(
+      "an_pivot_events",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(($"user_id" % 10).cast("bigint").as("user_bucket"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy($"user_bucket")
+      },
+      Some("""SELECT user_id % 10 AS user_bucket,
+        count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY 1 ORDER BY user_bucket""")),
+
+    // ---- Statistical aggregates (one map-side-combinable pass) ----
+    QueryDef(
+      "an_stats_agg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+            round(stddev_pop($"l_quantity"), 4).as("sdp_qty"),
+            round(var_samp($"l_discount"), 4).as("var_disc"),
+            round(var_pop($"l_discount"), 4).as("varp_disc"),
+            round(corr($"l_extendedprice", $"l_quantity"), 4).as("corr_pq"),
+            round(covar_samp($"l_quantity", $"l_discount"), 4).as("cov_qd"),
+            round(covar_pop($"l_quantity", $"l_discount"), 4).as("covp_qd"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        round(stddev_samp(l_quantity), 4) AS sd_qty,
+        round(stddev_pop(l_quantity), 4) AS sdp_qty,
+        round(var_samp(l_discount), 4) AS var_disc,
+        round(var_pop(l_discount), 4) AS varp_disc,
+        round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+        round(covar_samp(l_quantity, l_discount), 4) AS cov_qd,
+        round(covar_pop(l_quantity, l_discount), 4) AS covp_qd
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- Exact percentiles / median (linear interpolation both engines) ----
+    QueryDef(
+      "an_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(
+            round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+            round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+        round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- Window frames: ROWS BETWEEN moving aggregate + edge values.
+    // One exchange on the partition key serves all four functions ----
+    QueryDef(
+      "an_window_frames",
+      (s, dir) => {
+        import s.implicits._
+        val byCust = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+        val moving = byCust.rowsBetween(-2, 0)
+        val full = byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .filter($"o_custkey" < 200)
+          .select(
+            $"o_custkey", $"o_orderkey",
+            sum(m($"o_totalprice")).over(moving).cast("double").as("moving_sum3"),
+            first(m($"o_totalprice")).over(full).cast("double").as("first_price"),
+            last(m($"o_totalprice")).over(full).cast("double").as("last_price"),
+            lag(m($"o_totalprice"), 1).over(byCust).cast("double").as("prev_price"),
+            lead(m($"o_totalprice"), 1).over(byCust).cast("double").as("next_price"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some(s"""SELECT o_custkey, o_orderkey,
+        CAST(sum(${M("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3,
+        CAST(first_value(${M("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS first_price,
+        CAST(last_value(${M("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS last_price,
+        CAST(lag(${M("o_totalprice")}, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+          AS DOUBLE) AS prev_price,
+        CAST(lead(${M("o_totalprice")}, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+          AS DOUBLE) AS next_price
+        FROM orders WHERE o_custkey < 200 ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- Ranking family: ntile / percent_rank / cume_dist / dense_rank.
+    // Unique (suppkey) order key keeps every rank deterministic ----
+    QueryDef(
+      "an_window_ranking",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"s_nationkey").orderBy($"s_acctbal".desc, $"s_suppkey")
+        t(s, dir, "supplier")
+          .select(
+            $"s_nationkey", $"s_suppkey",
+            row_number().over(w).as("rn"),
+            dense_rank().over(w).as("drk"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy($"s_nationkey", $"rn")
+      },
+      Some("""SELECT s_nationkey, s_suppkey,
+        row_number() OVER w AS rn,
+        dense_rank() OVER w AS drk,
+        ntile(4) OVER w AS quartile,
+        round(percent_rank() OVER w, 6) AS pct_rank,
+        round(cume_dist() OVER w, 6) AS cume
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        ORDER BY s_nationkey, rn""")),
+
+    // ---- Approximate aggregates: the sketches that replace exact
+    // distinct/percentile at 100 TB (HLL++ and t-digest-style quantiles are
+    // mergeable — map-side partials, no row shipping). Sketch internals are
+    // engine-specific so there is no DuckDB hash-oracle; AnalyticsSpec
+    // asserts relative error vs the exact answers instead ----
+    QueryDef(
+      "an_approx_agg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(
+            approx_count_distinct($"o_custkey", rsd = 0.02).as("approx_cust"),
+            expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx_median"),
+            count(lit(1)).as("n"))
+          .orderBy($"o_orderpriority")
+      },
+      None),
+
+    // ---- Conditional aggregation (FILTER-style, as CASE for parity) ----
+    QueryDef(
+      "an_agg_conditional",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_total"),
+            count(when($"o_orderstatus" === "F", 1)).as("n_finished"),
+            sum(when($"o_orderstatus" === "O", m($"o_totalprice")))
+              .cast("double").as("open_revenue"),
+            max(when($"o_totalprice" > 100000, $"o_orderkey")).as("max_big_order"))
+          .orderBy($"o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority,
+        count(*) AS n_total,
+        count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+        CAST(sum(CASE WHEN o_orderstatus = 'O' THEN ${M("o_totalprice")} END) AS DOUBLE)
+          AS open_revenue,
+        max(CASE WHEN o_totalprice > 100000 THEN o_orderkey END) AS max_big_order
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- Boolean + min/max-by aggregates ----
+    QueryDef(
+      "an_agg_bool_minmaxby",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .groupBy($"c_mktsegment")
+          .agg(
+            bool_and($"c_acctbal" > -1000).as("all_above"),
+            bool_or($"c_acctbal" > 9000).as("any_rich"),
+            max_by($"c_custkey", struct($"c_acctbal", $"c_custkey")).as("richest_cust"),
+            min_by($"c_custkey", struct($"c_acctbal", -$"c_custkey")).as("poorest_cust"))
+          .orderBy($"c_mktsegment")
+      },
+      // max_by/min_by need a deterministic tiebreak: acctbal ties are broken
+      // by custkey (highest key wins for max, highest key wins for min via
+      // the negated second struct field); DuckDB mirrors with arg_max/arg_min
+      // over the same composite.
+      Some("""SELECT c_mktsegment,
+        bool_and(c_acctbal > -1000) AS all_above,
+        bool_or(c_acctbal > 9000) AS any_rich,
+        first(c_custkey ORDER BY c_acctbal DESC, c_custkey DESC) AS richest_cust,
+        first(c_custkey ORDER BY c_acctbal ASC, c_custkey DESC) AS poorest_cust
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+  )
+}

@@ -362,6 +362,61 @@ object ExtEvents extends QueryModule {
         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end,
           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
-        FROM y GROUP BY 1, 2 ORDER BY user_id, session_seq"""))
+        FROM y GROUP BY 1, 2 ORDER BY user_id, session_seq""")),
+
+    // ---- as-of join: each purchase ← latest view at-or-before it.
+    // Single-shuffle union-scan operator (AsofOps); oracle is DuckDB's
+    // native ASOF LEFT JOIN over the identically deduped sides ----
+    QueryDef(
+      "ext_events_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val events = Tables.load(s, dir, "events")
+        val buys = events.filter($"event_type" === "purchase")
+          .select($"event_id".as("buy_id"), $"user_id", $"ts".as("buy_ts"))
+        // dedupe views per (user, ts) so the as-of winner is unique
+        val views = events.filter($"event_type" === "view")
+          .groupBy($"user_id", $"ts".as("view_ts"))
+          .agg(max($"event_id").as("view_id"))
+        AsofOps.asofJoin(buys, views, "user_id", "buy_ts", "view_ts",
+            Seq("view_id", "view_ts"))
+          .select($"buy_id", $"user_id", $"buy_ts", $"view_id", $"view_ts")
+          .orderBy($"buy_id")
+      },
+      Some("""WITH buys AS (
+          SELECT event_id AS buy_id, user_id, CAST(ts AS TIMESTAMP) AS buy_ts
+          FROM events WHERE event_type = 'purchase'),
+        views AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, max(event_id) AS view_id
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        SELECT buy_id, buys.user_id AS user_id, buy_ts, view_id, view_ts
+        FROM buys ASOF LEFT JOIN views
+          ON buys.user_id = views.user_id AND buys.buy_ts >= views.view_ts
+        ORDER BY buy_id""")),
+
+    // ---- bounded interval join: purchases within 10 min after a click.
+    // Time-binned equi-join (RangeJoinOps) — (key, bin) join + exact
+    // residual, vs the oracle's plain inequality join ----
+    QueryDef(
+      "ext_events_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val events = Tables.load(s, dir, "events")
+        val clicks = events.filter($"event_type" === "click")
+          .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+        val buys = events.filter($"event_type" === "purchase")
+          .select($"event_id".as("buy_id"), $"user_id", $"ts".as("buy_ts"))
+        RangeJoinOps.intervalJoin(clicks, buys, "user_id", "click_ts", "buy_ts", 600L)
+          .select($"click_id", $"user_id", $"click_ts", $"buy_id", $"buy_ts")
+          .orderBy($"click_id", $"buy_id")
+      },
+      Some("""SELECT a.event_id AS click_id, a.user_id AS user_id,
+          CAST(a.ts AS TIMESTAMP) AS click_ts,
+          b.event_id AS buy_id, CAST(b.ts AS TIMESTAMP) AS buy_ts
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        ORDER BY click_id, buy_id"""))
   )
 }

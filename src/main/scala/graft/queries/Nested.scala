@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Nested-data operators (arrays / maps / explode) and the scalar-function
+  * battery (string / date-time) a complete engine needs.
+  *
+  * The reference's scalar surface is a single builtin (EXTRACT,
+  * `qurious/src/functions/mod.rs`) plus a UDF registry; everything here is
+  * "beyond reference" surface. All of it stays inside whole-stage codegen
+  * (builtin functions only — no UDFs), so per-row cost is a tight generated
+  * loop and at 100 TB the work distributes with zero shuffle except where an
+  * explode legitimately widens rows.
+  *
+  * Oracle note: DuckDB's UNNEST/list functions differ in name but match in
+  * semantics (split → string_split_regex, transform → list_transform, …);
+  * each query aliases both sides identically and ends in a total ORDER BY.
+  */
+object Nested extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- explode: one row per token (Generate — narrow, no shuffle) ----
+    QueryDef(
+      "nx_explode_tokens",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .filter($"doc_id" < 50)
+          .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("token"))
+          .filter(length($"token") > 0)
+          .orderBy($"doc_id", $"token")
+      },
+      Some("""WITH f AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+          FROM documents WHERE doc_id < 50)
+        SELECT doc_id, token FROM f WHERE length(token) > 0
+        ORDER BY doc_id, token""")),
+
+    // ---- posexplode: ordinal-preserving flatten ----
+    QueryDef(
+      "nx_posexplode",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .filter($"doc_id" < 30)
+          .select($"doc_id", posexplode(split(lower($"text"), "\\s+")))
+          .withColumnRenamed("pos", "pos").withColumnRenamed("col", "token")
+          .filter(length($"token") > 0)
+          .select($"doc_id", $"pos".cast("int").as("pos"), $"token")
+          .orderBy($"doc_id", $"pos")
+      },
+      Some("""WITH f AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+          FROM documents WHERE doc_id < 30),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(tk, (x, i) -> {'pos': i - 1, 'tok': x})) AS u
+          FROM f)
+        SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS token FROM g
+        WHERE length(u.tok) > 0
+        ORDER BY doc_id, pos""")),
+
+    // ---- array functions: size/contains/sort/distinct/slice over split ----
+    QueryDef(
+      "nx_array_funcs",
+      (s, dir) => {
+        import s.implicits._
+        val toks = split(lower(trim($"text")), "\\s+")
+        t(s, dir, "documents")
+          .filter($"doc_id" < 100)
+          .select(
+            $"doc_id",
+            size(toks).cast("int").as("n_tokens"),
+            array_contains(toks, "the").as("has_the"),
+            size(array_distinct(toks)).cast("int").as("n_uniq"),
+            concat_ws(" ", slice(sort_array(array_distinct(toks)), 1, 3)).as("first3_sorted"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH f AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents WHERE doc_id < 100)
+        SELECT doc_id,
+          CAST(len(tk) AS INT) AS n_tokens,
+          list_contains(tk, 'the') AS has_the,
+          CAST(len(list_distinct(tk)) AS INT) AS n_uniq,
+          array_to_string(list_sort(list_distinct(tk))[1:3], ' ') AS first3_sorted
+        FROM f ORDER BY doc_id""")),
+
+    // ---- higher-order functions: transform / filter / aggregate ----
+    QueryDef(
+      "nx_array_hof",
+      (s, dir) => {
+        import s.implicits._
+        val toks = split(lower(trim($"text")), "\\s+")
+        t(s, dir, "documents")
+          .filter($"doc_id" < 100)
+          .select(
+            $"doc_id",
+            aggregate(transform(toks, w => length(w)), lit(0),
+              (acc, x) => acc + x).cast("bigint").as("total_chars"),
+            size(filter(toks, w => length(w) > 4)).cast("int").as("n_long"),
+            exists(toks, w => w.rlike("^[0-9]+$")).as("has_number"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH f AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents WHERE doc_id < 100)
+        SELECT doc_id,
+          CAST(list_sum(list_transform(tk, w -> length(w))) AS BIGINT) AS total_chars,
+          CAST(len(list_filter(tk, w -> length(w) > 4)) AS INT) AS n_long,
+          len(list_filter(tk, w -> regexp_matches(w, '^[0-9]+$'))) > 0 AS has_number
+        FROM f ORDER BY doc_id""")),
+
+    // ---- semi-structured: JSON props → typed map + lookups ----
+    QueryDef(
+      "nx_map_json",
+      (s, dir) => {
+        import s.implicits._
+        val mp = from_json($"props", lit("map<string,bigint>"))
+        t(s, dir, "events")
+          .filter($"event_id" < 500)
+          .select($"event_id", mp.as("m"), $"props")
+          .select(
+            $"event_id",
+            size(map_keys($"m")).cast("int").as("n_keys"),
+            element_at($"m", "k").as("k_val"),
+            get_json_object($"props", "$.k").cast("bigint").as("k_json"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+          CAST(len(json_keys(props)) AS INT) AS n_keys,
+          CAST(props->>'k' AS BIGINT) AS k_val,
+          CAST(props->>'k' AS BIGINT) AS k_json
+        FROM events WHERE event_id < 500 ORDER BY event_id""")),
+
+    // ---- string battery ----
+    QueryDef(
+      "nx_string_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part")
+          .filter($"p_partkey" < 300)
+          .select(
+            $"p_partkey",
+            upper($"p_name").as("up"),
+            lower($"p_brand").as("lo"),
+            substring($"p_name", 1, 5).as("sub5"),
+            length($"p_name").cast("int").as("len"),
+            trim(lit("  pad  ")).as("trimmed"),
+            lpad($"p_brand", 12, "*").as("padded"),
+            regexp_replace($"p_name", "[aeiou]", "_").as("devoweled"),
+            regexp_extract($"p_type", "([A-Z]+)", 1).as("first_word"),
+            concat($"p_brand", lit("/"), $"p_type").as("brand_type"),
+            translate($"p_brand", "#", "-").as("translated"),
+            ($"p_name".startsWith("a")).as("starts_a"),
+            ($"p_type".endsWith("D")).as("ends_d"),
+            instr($"p_name", "e").cast("int").as("first_e"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+        upper(p_name) AS up,
+        lower(p_brand) AS lo,
+        substring(p_name, 1, 5) AS sub5,
+        CAST(length(p_name) AS INT) AS len,
+        trim('  pad  ') AS trimmed,
+        lpad(p_brand, 12, '*') AS padded,
+        regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        coalesce(regexp_extract(p_type, '([A-Z]+)', 1), '') AS first_word,
+        p_brand || '/' || p_type AS brand_type,
+        replace(p_brand, '#', '-') AS translated,
+        starts_with(p_name, 'a') AS starts_a,
+        ends_with(p_type, 'D') AS ends_d,
+        CAST(strpos(p_name, 'e') AS INT) AS first_e
+        FROM part WHERE p_partkey < 300 ORDER BY p_partkey""")),
+
+    // ---- date/time battery ----
+    QueryDef(
+      "nx_date_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .filter($"o_orderkey" < 500)
+          .select(
+            $"o_orderkey",
+            date_trunc("month", $"o_orderdate").cast("date").as("month_start"),
+            year($"o_orderdate").cast("int").as("yr"),
+            quarter($"o_orderdate").cast("int").as("qtr"),
+            month($"o_orderdate").cast("int").as("mo"),
+            dayofmonth($"o_orderdate").cast("int").as("dom"),
+            dayofweek($"o_orderdate").cast("int").as("dow"),
+            add_months($"o_orderdate".cast("date"), 3).as("plus3m"),
+            last_day($"o_orderdate").as("month_end"),
+            datediff(lit(java.sql.Date.valueOf("1996-01-01")),
+              $"o_orderdate".cast("date")).cast("int").as("days_to_1996"))
+          .orderBy($"o_orderkey")
+      },
+      // DuckDB dayofweek: 0=Sunday; Spark: 1=Sunday → +1 on oracle side.
+      Some("""SELECT o_orderkey,
+        CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        CAST(year(o_orderdate) AS INT) AS yr,
+        CAST(quarter(o_orderdate) AS INT) AS qtr,
+        CAST(month(o_orderdate) AS INT) AS mo,
+        CAST(day(o_orderdate) AS INT) AS dom,
+        CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus3m,
+        last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') AS INT) AS days_to_1996
+        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")),
+
+    // ---- conditional / null-handling scalars ----
+    QueryDef(
+      "nx_null_scalars",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .filter($"c_custkey" < 300)
+          .select(
+            $"c_custkey",
+            coalesce(nullif($"c_mktsegment", lit("BUILDING")), lit("(b)")).as("seg_or_b"),
+            nvl2(nullif($"c_mktsegment", lit("AUTOMOBILE")), lit("other"), lit("auto")).as("auto_flag"),
+            greatest($"c_acctbal", lit(0.0)).as("bal_floor"),
+            least($"c_acctbal", lit(1000.0)).as("bal_cap"),
+            isnull(nullif($"c_mktsegment", lit("MACHINERY"))).as("is_machinery"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+        coalesce(nullif(c_mktsegment, 'BUILDING'), '(b)') AS seg_or_b,
+        CASE WHEN nullif(c_mktsegment, 'AUTOMOBILE') IS NOT NULL
+             THEN 'other' ELSE 'auto' END AS auto_flag,
+        greatest(c_acctbal, 0.0) AS bal_floor,
+        least(c_acctbal, 1000.0) AS bal_cap,
+        nullif(c_mktsegment, 'MACHINERY') IS NULL AS is_machinery
+        FROM customer WHERE c_custkey < 300 ORDER BY c_custkey"""))
+  )
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+import graft.sources.Tables
+
+/** The composed training-data cleaning pipeline — the end-to-end shape a
+  * 100 TB corpus run takes, as ONE declarative plan:
+  *
+  *   classify (lang-ID + quality + token count, per-row codegen'd)
+  *     → filter (keep confident-English, sane-quality, sane-length docs)
+  *     → exact-dedup (fingerprint hash; first doc_id wins)
+  *     → per-source report (docs kept, tokens kept, mean quality)
+  *
+  * Scale shape: the classify/filter stages are shuffle-free row maps; the
+  * dedup is the ONLY shuffle (hash on fingerprint), and the final report
+  * re-aggregates the survivors with map-side combine. Catalyst prunes the
+  * document text column after the last stage that needs it. The same plan
+  * with `minhashLshPairs` substituted for the fingerprint stage is the
+  * near-dup variant ([[graft.ops.DedupOps]]); the exact stage is used here
+  * because it is DuckDB-oracle-verifiable end to end.
+  */
+object Pipeline extends QueryModule {
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "pl_corpus_clean",
+      (s, dir) => {
+        import s.implicits._
+        val enriched = Tables.load(s, dir, "documents")
+          .select(
+            $"doc_id", $"source",
+            TextOps.langId($"text").as("lang_guess"),
+            TextOps.qualityScore($"text").as("quality"),
+            TextOps.tokenCount($"text").cast("bigint").as("n_tokens"),
+            TextOps.fingerprint($"text").as("fp"))
+        val kept = enriched.filter(
+          $"lang_guess" === "en" && $"quality" >= 0.5 &&
+            $"n_tokens".between(5, 1000))
+        val deduped = kept
+          .withColumn("rk", row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")))
+          .filter($"rk" === 1)
+        deduped.groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("total_tokens"),
+            round(avg($"quality"), 4).as("avg_quality"))
+          .orderBy($"source")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS tk,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents),
+        m AS (
+          SELECT doc_id, source, fp,
+            CAST(len(tk) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS diversity,
+            CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+              / CAST(len(tk) AS DOUBLE) AS sr,
+            CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+              / CAST(len(tk) AS DOUBLE) AS mtl,
+            len(list_filter(tk, x -> x IN ('the','a','of','and'))) AS s_en,
+            len(list_filter(tk, x -> x IN ('der','die','und','ist'))) AS s_de,
+            len(list_filter(tk, x -> x IN ('le','la','et','est'))) AS s_fr,
+            len(list_filter(tk, x -> x IN ('el','la','y','es'))) AS s_es
+          FROM t),
+        scored AS (
+          SELECT doc_id, source, fp, n_tokens,
+            diversity * 0.6
+              + (CASE WHEN sr BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2
+              + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality,
+            CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                 WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                 WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                 WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                 ELSE 'es' END AS lang_guess
+          FROM m),
+        kept AS (
+          SELECT * FROM scored
+          WHERE lang_guess = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 1000),
+        deduped AS (
+          SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk FROM kept)
+        SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+               round(avg(quality), 4) AS avg_quality
+        FROM deduped WHERE rk = 1
+        GROUP BY source ORDER BY source"""))
+  )
+}

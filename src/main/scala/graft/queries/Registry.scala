@@ -25,13 +25,17 @@ object Registry {
     Tpch,
     Tpch2,
     Relational,
+    Analytics,
+    Nested,
     DdlDml,
     SourcesCatalog,
+    Sinks,
     ExtDedup,
     ExtSimilarity,
     ExtText,
     ExtMultimodal,
-    ExtEvents)
+    ExtEvents,
+    Pipeline)
 
   lazy val queryDefs: Seq[QueryDef] = modules.flatMap(_.defs)
 

@@ -225,23 +225,33 @@ object Tpch2 extends QueryModule {
       "q21_late_shippers",
       (s, dir) => {
         import s.implicits._
-        val li = t(s, dir, "lineitem")
-        val late = $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")
-        val l1 = t(s, dir, "orders").filter($"o_orderstatus" === "F")
-          .join(li, $"o_orderkey" === $"l_orderkey")
-          .filter(late)
-          .select($"o_orderkey".as("okey"), $"l_suppkey".as("skey"))
-          .distinct()
-        val others = li.select($"l_orderkey".as("o2key"), $"l_suppkey".as("s2key")).distinct()
-        // exists another supplier in the order...
-        val withOther = l1.join(others,
-          $"okey" === $"o2key" && $"skey" =!= $"s2key", "left_semi")
-        // ...but no OTHER late supplier in the order
-        val withOtherLate = withOther.join(
-          l1.select($"okey".as("o3key"), $"skey".as("s3key")),
-          $"okey" === $"o3key" && $"skey" =!= $"s3key", "left_anti")
-        withOtherLate
-          .join(t(s, dir, "supplier"), $"skey" === $"s_suppkey")
+        // The EXISTS / NOT EXISTS pair decorrelates to ONE per-order
+        // aggregate: "another supplier exists" ⇔ distinct suppliers in the
+        // order ≥ 2; "no other late supplier" ⇔ distinct LATE suppliers = 1
+        // (the late pair's own supplier). One shuffle on orderkey replaces
+        // the distinct→semi→anti chain (3 wide stages + a full-lineitem
+        // distinct broadcast) the naive translation produces — the shape
+        // that survives 100×: lineitem streams through a single hash
+        // aggregate keyed on the join key it already shuffled on.
+        val li = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+          .select($"o_orderkey", $"o_orderdate")
+          .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+          .select(
+            $"l_orderkey", $"l_suppkey",
+            ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")).as("is_late"))
+        // Two-phase instead of countDistinct: the multi-distinct aggregate
+        // would Expand every row ×3 before the shuffle; aggregating to
+        // (order, supplier) grain first ships each pair once.
+        val perPair = li.groupBy($"l_orderkey", $"l_suppkey")
+          .agg(max($"is_late").as("is_late"))
+        val perOrder = perPair.groupBy($"l_orderkey")
+          .agg(
+            count(lit(1)).as("n_supp"),
+            sum(when($"is_late", 1L).otherwise(0L)).as("n_late_supp"),
+            max(when($"is_late", $"l_suppkey")).as("late_supp"))
+          .filter($"n_supp" > 1 && $"n_late_supp" === 1)
+        perOrder
+          .join(broadcast(t(s, dir, "supplier")), $"late_supp" === $"s_suppkey")
           .groupBy($"s_name")
           .agg(count(lit(1)).as("numwait"))
           .orderBy($"numwait".desc, $"s_name")

@@ -102,12 +102,64 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Watermarked streaming deduplication: first event wins per key.
+    * `dropDuplicates` with a watermark bounds the dedup state to the
+    * watermark horizon — the only formulation that survives an unbounded
+    * stream (unbounded-key dedup state otherwise grows forever). Batch twin
+    * for parity tests: groupBy(key).agg(min(...)) / row_number()=1. */
+  def dedupFirstEvent(
+      spark: SparkSession,
+      schema: StructType,
+      path: String,
+      watermark: String = "24 hours"): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(path)
+      .withWatermark("ts", watermark)
+      .dropDuplicates("user_id", "event_type")
+
+  /** Stream-stream inner join: each purchase joined to the same user's view
+    * events in the preceding hour. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can evict buffered rows
+    * once the watermark passes — bounded state, the requirement for a
+    * stream-stream join at volume (Spark drops rows older than
+    * watermark + range from the join buffers).
+    *
+    * At 100 TB/day this is the canonical attribution join: both sides
+    * shuffle on user_id once; state per key is bounded by the 1-hour range
+    * plus watermark slack. */
+  def viewToPurchaseJoin(
+      spark: SparkSession,
+      schema: StructType,
+      path: String,
+      watermark: String = "2 hours"): DataFrame = {
+    val views = spark.readStream.schema(schema).parquet(path)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    val purchases = spark.readStream.schema(schema).parquet(path)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("buy_ts"), col("event_id").as("buy_id"),
+        col("value").as("buy_value"))
+      .withWatermark("buy_ts", watermark)
+    purchases.join(
+      views,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("buy_ts") &&
+        col("view_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("buy_id"), col("buy_ts"), col("buy_value"),
+        col("view_id"), col("view_ts"))
+  }
+
   /** Run a streaming query to completion against the (finite) source and
     * return the materialized result from the memory sink. Used by tests to
     * prove batch/stream parity. */
-  def runToCompletion(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+  def runToCompletion(
+      spark: SparkSession, df: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
     val q = df.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .start()

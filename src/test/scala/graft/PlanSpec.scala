@@ -51,6 +51,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("an_rollup: ONE Expand pass, not a union of grouped aggregates") {
+    val p = plan("an_rollup")
+    assert(p.linesIterator.count(_.contains("Expand [")) == 1, p)
+    assert(!p.contains("Union"), p)
+  }
+
+  test("snk_parquet_partitioned: read back with partition pruning") {
+    val p = plan("snk_parquet_partitioned")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("o_orderpriority"),
+      s"expected partition pruning on o_orderpriority:\n$p")
+  }
+
+  test("asof join: single window pass, no pair-materializing join") {
+    val p = plan("ext_events_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window ["), p)
+  }
+
+  test("q21: one aggregate chain, no semi/anti join cascade") {
+    val p = plan("q21_late_shippers")
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"), p)
+    // broadcast the supplier dimension, shuffle only on the agg keys
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("pl_corpus_clean: dedup window is the only wide stage before the report agg") {
+    val p = plan("pl_corpus_clean")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // classify/filter stages are shuffle-free: exchanges = fp window + final agg
+    // (+ AQE may add one for the tiny ordered output)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n$p")
+  }
+
   test("whole-stage codegen covers the q1 aggregation") {
     // AQE finalizes (and annotates codegen stages) only after execution.
     val df = Registry.queries("q1_pricing_summary")(spark, TestSpark.sfDir)

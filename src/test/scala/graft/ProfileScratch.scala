@@ -52,6 +52,23 @@ class ProfileScratch extends AnyFunSuite {
       graft.queries.Registry.queries("q7_volume_shipping")(spark, "/root/testdata/sf0.1").count())
   }
 
+  test("tpch bench outliers sf0.1", org.scalatest.Tag("profile")) {
+    val names = Seq("q3_shipping_priority", "q4_order_priority",
+      "q18_large_orders", "q21_late_shippers")
+    for (n <- names; pass <- Seq("cold", "warm"))
+      time(s"$n $pass")(
+        graft.queries.Registry.queries(n)(spark, "/root/testdata/sf0.1").count())
+  }
+
+  test("q21 plan", org.scalatest.Tag("profile")) {
+    val df = graft.queries.Registry.queries("q21_late_shippers")(spark, "/root/testdata/sf0.1")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    println("[profile] q21 join nodes:")
+    plan.linesIterator.filter(l => l.contains("Join") || l.contains("Exchange") ||
+      l.contains("HashAggregate") || l.contains("Sort ")).foreach(l => println("  " + l.take(160)))
+  }
+
   test("jaccard plan exchange reuse", org.scalatest.Tag("profile")) {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val df = DedupOps.jaccardPairs(docs, $"doc_id", $"text", 3, 0.8)

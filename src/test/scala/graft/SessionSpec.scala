@@ -102,6 +102,49 @@ class SessionSpec extends AnyFunSuite {
       Seq("one", "two"))
   }
 
+  test("COPY TO exports csv and parquet, round-trips, counts rows") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_cpt")
+    g.sql("CREATE TABLE t_cpt (k INT, v STRING)")
+    g.sql("INSERT INTO t_cpt VALUES (1, 'one'), (2, 'two'), (3, 'three')")
+
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_copyto").toString + "/csv"
+    assert(g.sql(s"COPY t_cpt TO '$csvDir' (HEADER, DELIMITER '|')")
+      .collect().head.getLong(0) == 3)
+    val back = spark.read.option("header", "true").option("delimiter", "|")
+      .csv(csvDir)
+    assert(back.collect().map(_.getString(1)).sorted.toSeq == Seq("one", "three", "two"))
+
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_copyto").toString + "/pq"
+    assert(g.sql(s"COPY (SELECT k, v FROM t_cpt WHERE k < 3) TO '$pqDir' (FORMAT PARQUET)")
+      .collect().head.getLong(0) == 2)
+    assert(spark.read.parquet(pqDir).count() == 2)
+
+    // a literal containing ' to ' must not confuse the router
+    g.sql("DROP TABLE IF EXISTS t_cpt2")
+    g.sql("CREATE TABLE t_cpt2 (v STRING)")
+    g.sql("INSERT INTO t_cpt2 VALUES ('from a to b')")
+    val pqDir2 = java.nio.file.Files.createTempDirectory("graft_copyto").toString + "/pq2"
+    assert(g.sql(s"COPY t_cpt2 TO '$pqDir2' (FORMAT PARQUET)").collect().head.getLong(0) == 1)
+    assert(spark.read.parquet(pqDir2).head.getString(0) == "from a to b")
+  }
+
+  test("EXPLAIN returns a plan without executing") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_expl")
+    g.sql("CREATE TABLE t_expl (a INT)")
+    g.sql("INSERT INTO t_expl VALUES (1), (2)")
+    val plan = g.sql("EXPLAIN SELECT a FROM t_expl WHERE a > 1")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Physical Plan"), plan)
+    val formatted = g.sql("EXPLAIN FORMATTED SELECT count(*) FROM t_expl")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(formatted.contains("HashAggregate") || formatted.contains("Aggregate"), formatted)
+    // EXPLAIN of DML must not execute it
+    g.sql("EXPLAIN DELETE FROM t_expl")
+    assert(g.sql("SELECT count(*) AS n FROM t_expl").collect().head.getLong(0) == 2)
+  }
+
   test("CTAS and information_schema") {
     val g = fresh()
     g.sql("DROP TABLE IF EXISTS t_ses9")

@@ -67,6 +67,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming dedup keys equal batch distinct keys") {
+    import spark.implicits._
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+    events.write.mode("overwrite").parquet(dir)
+
+    val got = StreamingOps.runToCompletion(
+      spark,
+      StreamingOps.dedupFirstEvent(spark, events.schema, dir),
+      "stream_dedup", mode = "append")
+      .select($"user_id", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val batch = events.select($"user_id", $"event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
+  test("stream-stream view→purchase join equals batch join") {
+    import spark.implicits._
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssjoin").toString
+    events.write.mode("overwrite").parquet(dir)
+
+    val got = StreamingOps.runToCompletion(
+      spark,
+      StreamingOps.viewToPurchaseJoin(spark, events.schema, dir),
+      "stream_ssjoin", mode = "append")
+      .select($"buy_id", $"view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val views = events.filter($"event_type" === "view")
+      .select($"user_id".as("v_user_id"), $"ts".as("view_ts"), $"event_id".as("view_id"))
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("buy_ts"), $"event_id".as("buy_id"))
+    val batch = purchases.join(views,
+        $"user_id" === $"v_user_id" && $"view_ts" <= $"buy_ts" &&
+          $"view_ts" >= $"buy_ts" - org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"))
+      .select($"buy_id", $"view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("stateful sessionization emits closed sessions with correct extents") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
