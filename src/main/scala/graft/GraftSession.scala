@@ -58,6 +58,9 @@ final class GraftSession(
     val upper = q.toUpperCase(Locale.ROOT)
     if (upper.startsWith("CREATE TABLE")) createTable(q)
     else if (upper.startsWith("DROP TABLE")) dropTable(q)
+    else if (upper.startsWith("CREATE VIEW") ||
+             upper.startsWith("CREATE OR REPLACE VIEW")) createView(q)
+    else if (upper.startsWith("DROP VIEW")) dropView(q)
     else if (upper.startsWith("CREATE SCHEMA") || upper.startsWith("DROP SCHEMA") ||
              upper.startsWith("CREATE DATABASE") || upper.startsWith("DROP DATABASE"))
       // The reference parses these but its planner todo!()s them
@@ -67,6 +70,7 @@ final class GraftSession(
     else if (upper.startsWith("INSERT INTO")) insertInto(q)
     else if (upper.startsWith("DELETE FROM")) deleteFrom(q)
     else if (upper.startsWith("UPDATE ")) update(q)
+    else if (upper.startsWith("MERGE INTO")) mergeInto(q)
     else if (upper.startsWith("COPY ")) {
       if (indexOfTopLevelKeyword(q, "TO") >= 0 && indexOfTopLevelKeyword(q, "FROM") < 0)
         copyTo(q)
@@ -152,6 +156,39 @@ final class GraftSession(
     case _ => sys.error(s"cannot parse DROP TABLE: $q")
   }
 
+  // ---------------------------------------------------------------- views
+
+  private val CreateViewRe =
+    ("""(?is)CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+""" + Ident + """\s+AS\s+(.*)""").r
+  private val DropViewRe =
+    ("""(?is)DROP\s+VIEW\s+(IF\s+EXISTS\s+)?""" + Ident + """\s*""").r
+
+  /** `CREATE [OR REPLACE] VIEW name AS select` — beyond the reference (it
+    * has no view DDL). Snapshot-plan semantics: the view binds the SELECT's
+    * plan at creation time (like a saved query, not a live macro over
+    * later-mutated tables); listed as VIEW in information_schema. */
+  private def createView(q: String): DataFrame = q match {
+    case CreateViewRe(orReplace, name0, body) =>
+      val name = unquoteIdent(name0)
+      if (orReplace == null && spark.catalog.tableExists(name))
+        sys.error(s"view or table already exists: $name")
+      if (tables.exists(name))
+        sys.error(s"cannot replace base table with view: $name")
+      sql(body).createOrReplaceTempView(name)
+      spark.emptyDataFrame
+    case _ => sys.error(s"cannot parse CREATE VIEW: $q")
+  }
+
+  private def dropView(q: String): DataFrame = q match {
+    case DropViewRe(ifEx, name0) =>
+      val name = unquoteIdent(name0)
+      if (tables.exists(name)) sys.error(s"cannot DROP VIEW a base table: $name")
+      val dropped = spark.catalog.dropTempView(name)
+      if (!dropped && ifEx == null) sys.error(s"view not found: $name")
+      spark.emptyDataFrame
+    case _ => sys.error(s"cannot parse DROP VIEW: $q")
+  }
+
   // ------------------------------------------------------------------ DML
 
   private val InsertRe =
@@ -200,6 +237,114 @@ final class GraftSession(
       }
       countBatch(tables.update(unquoteIdent(name), assignments, where))
     case _ => sys.error(s"cannot parse UPDATE: $q")
+  }
+
+  // ------------------------------------------------------------ MERGE INTO
+
+  /** `MERGE INTO target [t] USING (subquery)|table [s] ON cond
+    *    WHEN MATCHED THEN UPDATE SET c = e, ... | WHEN MATCHED THEN DELETE
+    *    WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (exprs)`
+    *
+    * Beyond the reference (no MERGE in its grammar); executes as one
+    * full-outer join + projection in [[MutableTableManager.merge]].
+    * Conditional clauses (`WHEN MATCHED AND ...`) are rejected explicitly. */
+  private def mergeInto(q: String): DataFrame = {
+    val usingIdx = indexOfTopLevelKeyword(q, "USING")
+    require(usingIdx > 0, s"cannot parse MERGE (no USING): $q")
+    val onIdx = indexOfTopLevelKeyword(q, "ON", usingIdx)
+    require(onIdx > usingIdx, s"cannot parse MERGE (no ON): $q")
+
+    // WHEN boundaries: top-level WHEN followed by MATCHED / NOT MATCHED
+    // (a CASE WHEN inside the join condition is not a clause boundary)
+    val tail = q.substring(onIdx + 2)
+    var boundaries = List.empty[Int]
+    var from = 0
+    var going = true
+    while (going) {
+      val i = indexOfTopLevelKeyword(tail, "WHEN", from)
+      if (i < 0) going = false
+      else {
+        val rest = tail.substring(i + 4).trim.toUpperCase(Locale.ROOT)
+        if (rest.startsWith("MATCHED") || rest.startsWith("NOT MATCHED"))
+          boundaries = boundaries :+ i
+        from = i + 4
+      }
+    }
+    require(boundaries.nonEmpty, s"cannot parse MERGE (no WHEN clause): $q")
+    val cond = tail.take(boundaries.head).trim
+    val clauses = boundaries.zip(boundaries.tail :+ tail.length)
+      .map { case (a, b) => tail.substring(a, b).trim }
+
+    // target: name [alias]
+    val targetPart = q.substring("MERGE INTO".length, usingIdx).trim
+    val tParts = targetPart.split("\\s+")
+    require(tParts.length <= 2, s"cannot parse MERGE target: $targetPart")
+    val (tName, tAlias) = (unquoteIdent(tParts(0)),
+      if (tParts.length == 2) unquoteIdent(tParts(1)) else unquoteIdent(tParts(0)))
+
+    // source: (subquery) [AS] [alias]  |  table [AS] [alias]
+    val sourcePart = q.substring(usingIdx + "USING".length, onIdx).trim
+    val (srcDf, sAliasRaw) =
+      if (sourcePart.startsWith("(")) {
+        var depth = 0; var i = 0; var close = -1
+        while (close < 0 && i < sourcePart.length) {
+          sourcePart.charAt(i) match {
+            case '\'' => i = endOfQuoted(sourcePart, i, '\'') - 1
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        require(close > 0, s"cannot parse MERGE source: $sourcePart")
+        (sql(sourcePart.substring(1, close)), sourcePart.substring(close + 1).trim)
+      } else {
+        val parts = sourcePart.split("\\s+")
+        (sql(s"SELECT * FROM ${parts(0)}"), parts.drop(1).mkString(" "))
+      }
+    val sAlias = {
+      val a = sAliasRaw.replaceAll("(?i)^AS\\s+", "").trim
+      if (a.nonEmpty) unquoteIdent(a)
+      else if (!sourcePart.startsWith("(")) unquoteIdent(sourcePart.split("\\s+")(0))
+      else "src"
+    }
+
+    var updateSet: Option[Seq[(String, String)]] = None
+    var matchedDelete = false
+    var insertClause: Option[(Option[Seq[String]], Seq[String])] = None
+    clauses.foreach { c =>
+      val u = c.toUpperCase(Locale.ROOT)
+      if (u.matches("(?s)WHEN\\s+MATCHED\\s+AND.*") ||
+          u.matches("(?s)WHEN\\s+NOT\\s+MATCHED\\s+AND.*"))
+        sys.error(s"MERGE conditional WHEN clauses not supported: ${c.take(60)}")
+      else if (u.matches("(?s)WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s.*")) {
+        val setIdx = indexOfTopLevelKeyword(c, "SET")
+        val assignments = splitTopLevel(c.substring(setIdx + 3), ',').map { a =>
+          val i = indexOfTopLevel(a, '=')
+          require(i > 0, s"cannot parse MERGE assignment: $a")
+          (unquoteIdent(a.take(i).trim), a.drop(i + 1).trim)
+        }
+        updateSet = Some(assignments)
+      } else if (u.matches("(?s)WHEN\\s+MATCHED\\s+THEN\\s+DELETE\\s*"))
+        matchedDelete = true
+      else if (u.matches("(?s)WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s.*")) {
+        val insIdx = indexOfTopLevelKeyword(c, "INSERT")
+        val valIdx = indexOfTopLevelKeyword(c, "VALUES", insIdx)
+        require(valIdx > insIdx, s"cannot parse MERGE INSERT (no VALUES): $c")
+        val colsPart = c.substring(insIdx + "INSERT".length, valIdx).trim
+        val cols =
+          if (colsPart.isEmpty) None
+          else Some(splitTopLevel(
+            colsPart.stripPrefix("(").stripSuffix(")"), ',').map(x => unquoteIdent(x.trim)))
+        val valuesPart = c.substring(valIdx + "VALUES".length).trim
+        val values = splitTopLevel(
+          valuesPart.stripPrefix("(").stripSuffix(")"), ',').map(_.trim)
+        insertClause = Some((cols, values))
+      } else sys.error(s"cannot parse MERGE clause: ${c.take(60)}")
+    }
+
+    countBatch(tables.merge(
+      tName, tAlias, srcDf, sAlias, cond, updateSet, matchedDelete, insertClause))
   }
 
   // ------------------------------------------------------------ COPY FROM
@@ -550,10 +695,10 @@ final class GraftSession(
   }
 
   /** First index of `kw` as a whole word at paren depth 0, outside quotes. */
-  private def indexOfTopLevelKeyword(s: String, kw: String): Int = {
+  private def indexOfTopLevelKeyword(s: String, kw: String, from: Int = 0): Int = {
     val upper = kw.toUpperCase(Locale.ROOT)
     var depth = 0
-    var i = 0
+    var i = from
     while (i < s.length) {
       s.charAt(i) match {
         case '\'' => i = endOfQuoted(s, i, '\'') - 1

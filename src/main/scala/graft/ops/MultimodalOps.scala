@@ -6,24 +6,69 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` payloads with typed
   * metadata, processed batch-wise per partition.
   *
-  * The Spark-side structure is real — schema, partition-parallel batch
-  * processing, typed output rows. The media *decode* itself is STUBBED
-  * (`decodeStub`): the container has no image/audio codecs, so the stub
-  * derives deterministic fake dimensions/features from the payload bytes.
-  * Swapping in a real decoder (JNI/FFI or a vectorized Python worker via
-  * `mapInPandas` on PySpark) changes only the function body — the plumbing,
-  * batch shape, and schema stay as tested here.
+  * Two layers:
+  *   - REAL container-header parsing (`imageDims`): PNG / GIF / BMP / JPEG
+  *     dimensions read directly from the byte layout — pure byte decoding,
+  *     no codec library needed, so it runs anywhere Spark runs.
+  *   - STUBBED pixel decode (`decodeStub`): the container has no
+  *     image/audio codecs, so payloads that are not a recognized image
+  *     container get deterministic fake dimensions/features derived from
+  *     the bytes. Swapping in a real pixel decoder (JNI/FFI or a vectorized
+  *     Python worker via `mapInPandas` on PySpark) changes only that
+  *     function body — the plumbing, batch shape, and schema stay as
+  *     tested here.
   */
 object MultimodalOps {
 
-  /** Typed media row: payload + extracted metadata. */
+  /** Typed media row: payload + extracted metadata. `format` is the
+    * detected container ("png"/"gif"/"bmp"/"jpeg") or "raw" (stub path). */
   final case class MediaMeta(
       doc_id: Long,
       byte_len: Long,
       checksum: String,
+      format: String,
       width: Int,
       height: Int,
       feat_mean: Double)
+
+  /** Image dimensions from container headers — real byte-level parsing:
+    * PNG IHDR (big-endian at offset 16/20), GIF logical screen descriptor
+    * (little-endian at 6/8), BMP BITMAPINFOHEADER (little-endian at 18/22,
+    * height may be negative for top-down rows), JPEG SOFn marker scan.
+    * Returns None for anything that is not a recognized image container. */
+  def imageDims(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (b.length >= 24 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a)
+      Some(("png", be32(16), be32(20)))
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      Some(("gif", le16(6), le16(8)))
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      Some(("bmp", le32(18), math.abs(le32(22))))
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8)
+      jpegDims(b)
+    else None
+  }
+
+  /** JPEG: walk the marker segments to the first SOFn (0xC0-0xCF excluding
+    * DHT/JPG/DAC) and read height/width from its fixed offsets. */
+  private def jpegDims(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    var i = 2
+    while (i + 9 < b.length) {
+      if (u8(i) != 0xff) return None
+      val marker = u8(i + 1)
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+      else if (marker >= 0xc0 && marker <= 0xcf &&
+               marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+        return Some(("jpeg", be16(i + 7), be16(i + 5)))
+      else i += 2 + be16(i + 2)
+    }
+    None
+  }
 
   /** Wrap a text table as a binary media table (fixture adapter: the driver
     * data has no real media; payload = UTF-8 bytes). */
@@ -44,7 +89,9 @@ object MultimodalOps {
   }
 
   /** Partition-parallel batch decode: one task per partition, rows streamed
-    * through the decoder — the Scala analogue of `mapInPandas` batches. */
+    * through the decoder — the Scala analogue of `mapInPandas` batches.
+    * Recognized image containers get REAL header-parsed dimensions; other
+    * payloads fall back to the deterministic stub (format "raw"). */
   def extractMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
@@ -53,8 +100,16 @@ object MultimodalOps {
         rows.map { case (id, bytes) =>
           md.reset()
           val sum = md.digest(bytes).map("%02x".format(_)).mkString
-          val (w, h, mean) = decodeStub(bytes)
-          MediaMeta(id, bytes.length.toLong, sum, w, h, mean)
+          val mean =
+            if (bytes.isEmpty) 0.0
+            else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+          imageDims(bytes) match {
+            case Some((fmt, w, h)) =>
+              MediaMeta(id, bytes.length.toLong, sum, fmt, w, h, mean)
+            case None =>
+              val (w, h, _) = decodeStub(bytes)
+              MediaMeta(id, bytes.length.toLong, sum, "raw", w, h, mean)
+          }
         }
       }
   }

@@ -112,6 +112,27 @@ object Analytics extends QueryModule {
         count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         FROM events GROUP BY 1 ORDER BY user_bucket""")),
 
+    // ---- UNPIVOT (wide → long): the inverse of pivot, as a zero-shuffle
+    // row expansion; oracle is the equivalent stacked UNION ALL ----
+    QueryDef(
+      "an_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part")
+          .filter($"p_partkey" < 200)
+          .select($"p_partkey",
+            $"p_size".cast("double").as("size"),
+            $"p_retailprice".as("retail"))
+          .unpivot(Array($"p_partkey"), Array($"size", $"retail"), "metric", "value")
+          .orderBy($"p_partkey", $"metric")
+      },
+      Some("""SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+        FROM part WHERE p_partkey < 200
+        UNION ALL
+        SELECT p_partkey, 'retail' AS metric, p_retailprice AS value
+        FROM part WHERE p_partkey < 200
+        ORDER BY p_partkey, metric""")),
+
     // ---- Statistical aggregates (one map-side-combinable pass) ----
     QueryDef(
       "an_stats_agg",
@@ -192,6 +213,29 @@ object Analytics extends QueryModule {
         CAST(lead(${M("o_totalprice")}, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
           AS DOUBLE) AS next_price
         FROM orders WHERE o_custkey < 200 ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- value-based RANGE frame: peers by value distance, not row
+    // position (deterministic even under order ties — the frame is defined
+    // on the value axis) ----
+    QueryDef(
+      "an_window_range_frame",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("an_rf_orders")
+        s.sql("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+          count(*) OVER w AS n_within_10k,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_within_10k
+          FROM an_rf_orders WHERE o_orderkey < 2000
+          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                       RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+          ORDER BY o_orderkey""")
+      },
+      Some(s"""SELECT o_orderkey, o_orderpriority, o_totalprice,
+        count(*) OVER w AS n_within_10k,
+        CAST(sum(${M("o_totalprice")}) OVER w AS DOUBLE) AS sum_within_10k
+        FROM orders WHERE o_orderkey < 2000
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                     RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey""")),
 
     // ---- Ranking family: ntile / percent_rank / cume_dist / dense_rank.
     // Unique (suppkey) order key keeps every rank deterministic ----

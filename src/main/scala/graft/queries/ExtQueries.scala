@@ -176,7 +176,32 @@ object ExtSimilarity extends QueryModule {
             k = 5, numCells = 16, nprobe = 6)
           .orderBy($"q_id", $"rank")
       },
-      None)
+      None),
+
+    // ---- per-label centroids (embedding pooling): posexplode to
+    // (label, dim, value) grain, one hash aggregate — the distributed mean
+    // that k-means/IVF training and class-prototype computation need. At
+    // 100 TB only labels × dim aggregates exist after the map-side combine;
+    // no vector ever lands on the driver. ----
+    QueryDef(
+      "ext_embed_centroids",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "embeddings")
+          .select($"label", posexplode($"embedding"))
+          .select($"label", $"pos".cast("int").as("pos"),
+            $"col".cast("double").as("v"))
+          .groupBy($"label", $"pos")
+          .agg(round(avg($"v"), 4).as("mean_v"))
+          .orderBy($"label", $"pos")
+      },
+      Some("""WITH e AS (
+          SELECT label,
+                 unnest(list_transform(embedding,
+                   (x, i) -> {'pos': i - 1, 'v': CAST(x AS DOUBLE)})) AS u
+          FROM embeddings)
+        SELECT label, CAST(u.pos AS INT) AS pos, round(avg(u.v), 4) AS mean_v
+        FROM e GROUP BY 1, 2 ORDER BY label, pos"""))
   )
 }
 
@@ -304,7 +329,8 @@ object ExtMultimodal extends QueryModule {
         val media = MultimodalOps.asBinaryPayload(
           Tables.load(s, dir, "documents"), "doc_id", "text")
         MultimodalOps.extractMeta(s, media).toDF()
-          .select($"doc_id", $"byte_len", $"checksum", $"width", $"height", $"feat_mean")
+          .select($"doc_id", $"byte_len", $"checksum", $"format",
+            $"width", $"height", $"feat_mean")
           .orderBy($"doc_id")
       },
       None)

@@ -86,6 +86,45 @@ object Pipeline extends QueryModule {
         SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
                round(avg(quality), 4) AS avg_quality
         FROM deduped WHERE rk = 1
-        GROUP BY source ORDER BY source"""))
+        GROUP BY source ORDER BY source""")),
+
+    // ---- deterministic hash-based train/test split: the assignment is a
+    // pure function of the stable id (md5 prefix), so it reproduces
+    // identically on any engine, any partitioning, any day — the property
+    // a 100 TB split must have (no sampling state, no shuffle; the split
+    // column is computed in the scan's projection). 'e6' = 230/256 ≈ 90%. ----
+    QueryDef(
+      "pl_train_test_split",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .withColumn("split",
+            when(substring(md5($"doc_id".cast("string").cast("binary")), 1, 2) < "e6",
+              "train").otherwise("test"))
+          .groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+          .orderBy($"split")
+      },
+      Some("""SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                     THEN 'train' ELSE 'test' END AS split,
+               count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM documents GROUP BY 1 ORDER BY split""")),
+
+    // ---- seeded stratified sampling (per-language fractions): Bernoulli
+    // per-row draws keyed by a seed — no shuffle, no state; exact fractions
+    // are engine-specific so this is rows-only, with PipelineSpec asserting
+    // per-stratum tolerance and run-to-run determinism. ----
+    QueryDef(
+      "pl_sample_stratified",
+      (s, dir) => {
+        import s.implicits._
+        val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25,
+          "es" -> 0.1, "zh" -> 0.1)
+        Tables.load(s, dir, "documents")
+          .stat.sampleBy("lang", fractions, seed = 42L)
+          .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+          .orderBy($"lang")
+      },
+      None)
   )
 }

@@ -664,6 +664,54 @@ object Relational extends QueryModule {
           (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier)
         ORDER BY src, k""")),
 
+    QueryDef(
+      "op_intersect_except_all",
+      (s, dir) => {
+        import s.implicits._
+        // bag semantics: duplicates preserved/subtracted by multiplicity
+        val a = t(s, dir, "orders").filter($"o_orderkey" < 3000)
+          .select($"o_orderpriority".as("p"))
+        val b = t(s, dir, "orders").filter($"o_orderkey" >= 1500 && $"o_orderkey" < 4500)
+          .select($"o_orderpriority".as("p"))
+        val inter = a.intersectAll(b).groupBy($"p").agg(count(lit(1)).as("n_inter"))
+        val exc = a.exceptAll(b).groupBy($"p").agg(count(lit(1)).as("n_except"))
+        inter.join(exc, Seq("p"), "full")
+          .select($"p", coalesce($"n_inter", lit(0L)).as("n_inter"),
+            coalesce($"n_except", lit(0L)).as("n_except"))
+          .orderBy($"p")
+      },
+      Some("""WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderkey < 3000),
+          b AS (SELECT o_orderpriority AS p FROM orders
+                WHERE o_orderkey >= 1500 AND o_orderkey < 4500),
+          i AS (SELECT p, count(*) AS n_inter FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
+                GROUP BY p),
+          e AS (SELECT p, count(*) AS n_except FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b)
+                GROUP BY p)
+        SELECT coalesce(i.p, e.p) AS p, coalesce(n_inter, 0) AS n_inter,
+               coalesce(n_except, 0) AS n_except
+        FROM i FULL JOIN e ON i.p = e.p ORDER BY p""")),
+
+    // ---- LATERAL correlated subquery in FROM (beyond reference) ----
+    QueryDef(
+      "op_lateral_join",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "nation").createOrReplaceTempView("op_lat_nation")
+        t(s, dir, "supplier").createOrReplaceTempView("op_lat_supplier")
+        s.sql("""SELECT n.n_name, x.top_bal, x.n_rich
+          FROM op_lat_nation n,
+          LATERAL (SELECT max(s_acctbal) AS top_bal,
+                          count(CASE WHEN s_acctbal > 5000 THEN 1 END) AS n_rich
+                   FROM op_lat_supplier s WHERE s.s_nationkey = n.n_nationkey) x
+          ORDER BY n.n_name""")
+      },
+      Some("""SELECT n.n_name, x.top_bal, x.n_rich
+        FROM nation n,
+        LATERAL (SELECT max(s_acctbal) AS top_bal,
+                        count(CASE WHEN s_acctbal > 5000 THEN 1 END) AS n_rich
+                 FROM supplier s WHERE s.s_nationkey = n.n_nationkey) x
+        ORDER BY n.n_name""")),
+
     // ---- Window functions (beyond reference: no window syntax at all,
     // SURVEY §2.7; decimal-cast running sums keep the frame aggregation
     // order-independent for the oracle) ----

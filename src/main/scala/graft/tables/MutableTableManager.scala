@@ -132,6 +132,78 @@ final class MutableTableManager(spark: SparkSession) {
     affected
   }
 
+  /** MERGE INTO — the distributed upsert, executed as ONE full-outer join +
+    * projection (no per-row lookups, no driver round trips; at scale this
+    * is a single shuffle on the join keys):
+    *
+    *   - matched target rows: UPDATE SET projection or DELETE (filtered out)
+    *   - unmatched target rows: kept as-is
+    *   - unmatched source rows: INSERT projection (or dropped if no clause)
+    *
+    * `cond`, update and insert expressions may reference `targetAlias.col` /
+    * `sourceAlias.col`. Multiple source matches for one target row follow
+    * join semantics (the row multiplies) — callers wanting strict SQL
+    * MERGE cardinality should dedupe the source on the join key first.
+    * Returns affected rows (updated + deleted + inserted). */
+  def merge(
+      name: String,
+      targetAlias: String,
+      source: DataFrame,
+      sourceAlias: String,
+      cond: String,
+      updateSet: Option[Seq[(String, String)]],
+      matchedDelete: Boolean,
+      insert: Option[(Option[Seq[String]], Seq[String])]): Long = {
+    val key = norm(name)
+    val st = tables.getOrElse(key, sys.error(s"table not found: $name"))
+    require(!(updateSet.isDefined && matchedDelete),
+      "MERGE supports one WHEN MATCHED action (UPDATE or DELETE), not both")
+
+    val t = st.df.withColumn("__t_mark", lit(1)).alias(targetAlias)
+    val s = source.withColumn("__s_mark", lit(1)).alias(sourceAlias)
+    val j = t.join(s, expr(cond), "full_outer")
+    val matched = col("__t_mark").isNotNull && col("__s_mark").isNotNull
+    val targetOnly = col("__t_mark").isNotNull && col("__s_mark").isNull
+    val sourceOnly = col("__t_mark").isNull && col("__s_mark").isNotNull
+
+    // INSERT column list → per-target-column expression (DEFAULT/NULL fill)
+    val insertExprs: Map[String, String] = insert match {
+      case None => Map.empty
+      case Some((colsOpt, values)) =>
+        val cols = colsOpt.map(_.map(norm)).getOrElse(st.schema.fieldNames.map(norm).toSeq)
+        require(cols.size == values.size,
+          s"MERGE INSERT arity mismatch: ${values.size} values for ${cols.size} columns")
+        cols.zip(values).toMap
+    }
+    val updates = updateSet.getOrElse(Nil).map { case (c, e) => norm(c) -> e }.toMap
+
+    val keep =
+      (if (matchedDelete) !matched else lit(true)) &&
+        (if (insert.isEmpty) !sourceOnly else lit(true))
+
+    val outCols = st.schema.fields.map { f =>
+      val tRef = col(s"$targetAlias.${f.name}")
+      val matchedVal = updates.get(norm(f.name))
+        .map(e => expr(e).cast(f.dataType)).getOrElse(tRef)
+      val insertVal = insertExprs.get(norm(f.name))
+        .map(e => expr(e).cast(f.dataType))
+        .getOrElse(st.defaults.get(norm(f.name))
+          .map(d => expr(d).cast(f.dataType))
+          .getOrElse(lit(null).cast(f.dataType)))
+      when(matched, matchedVal)
+        .when(targetOnly, tRef)
+        .otherwise(insertVal)
+        .as(f.name)
+    }
+
+    val affected =
+      (if (updateSet.isDefined || matchedDelete) j.filter(matched).count() else 0L) +
+        (if (insert.isDefined) j.filter(sourceOnly).count() else 0L)
+    val merged = j.filter(keep).select(outCols.toIndexedSeq: _*)
+    put(key, st.copy(df = checkpointed(merged, st.mutations), mutations = st.mutations + 1))
+    affected
+  }
+
   /** Conform `input` (positional, possibly a column subset) to the target
     * schema: name positionally, fill unlisted columns with their DEFAULT
     * expression (or NULL), cast everything to the declared types. */

@@ -180,6 +180,42 @@ class OpsSpec extends AnyFunSuite {
     val b = MultimodalOps.extractMeta(spark, media).collect().sortBy(_.doc_id)
     assert(a.toSeq == b.toSeq) // deterministic
     assert(a.forall(m => m.byte_len > 0 && m.checksum.length == 32))
-    assert(a.forall(m => m.width >= 64 && m.height >= 64))
+    assert(a.forall(m => m.format == "raw" && m.width >= 64 && m.height >= 64))
+  }
+
+  test("image container headers parse real dimensions (no codec needed)") {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    // PNG: signature + IHDR chunk (len, "IHDR", width=640, height=480)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++ Array[Byte](8, 6, 0, 0, 0)
+    assert(MultimodalOps.imageDims(png).contains(("png", 640, 480)))
+
+    // GIF89a: little-endian logical screen 320x200
+    val gif = "GIF89a".getBytes ++ Array[Byte](0x40, 0x01, 0xc8.toByte, 0x00, 0, 0, 0, 0)
+    assert(MultimodalOps.imageDims(gif).contains(("gif", 320, 200)))
+
+    // BMP: "BM" + 16 bytes + LE width=800 at 18, LE height=-600 at 22 (top-down)
+    val bmp = "BM".getBytes ++ Array.fill[Byte](16)(0) ++
+      Array[Byte](0x20, 0x03, 0, 0) ++ be32(-600).reverse ++ Array.fill[Byte](4)(0)
+    assert(MultimodalOps.imageDims(bmp).contains(("bmp", 800, 600)))
+
+    // JPEG: SOI, APP0 (len 4), SOF0 (len 17: precision + h=1080 + w=1920 ...)
+    val jpeg = Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x00, 0x00,
+      0xff, 0xc0, 0x00, 0x11, 0x08,
+      0x04, 0x38, // height 1080
+      0x07, 0x80, // width 1920
+      0x03, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).map(_.toByte)
+    assert(MultimodalOps.imageDims(jpeg).contains(("jpeg", 1920, 1080)))
+
+    // non-image bytes → None (stub path)
+    assert(MultimodalOps.imageDims("hello world plain text".getBytes).isEmpty)
+
+    // end-to-end through the partition-parallel extractor
+    import spark.implicits._
+    val mixed = Seq((1L, png), (2L, jpeg), (3L, "plain".getBytes))
+      .toDF("doc_id", "payload")
+    val metas = MultimodalOps.extractMeta(spark, mixed).collect().sortBy(_.doc_id)
+    assert(metas.map(m => (m.format, m.width, m.height)).toSeq ==
+      Seq(("png", 640, 480), ("jpeg", 1920, 1080), ("raw", metas(2).width, metas(2).height)))
   }
 }

@@ -129,6 +129,65 @@ class SessionSpec extends AnyFunSuite {
     assert(spark.read.parquet(pqDir2).head.getString(0) == "from a to b")
   }
 
+  test("MERGE INTO upserts: update matched, insert unmatched, delete matched") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_mrg")
+    g.sql("CREATE TABLE t_mrg (k INT, v STRING, n INT DEFAULT 0)")
+    g.sql("INSERT INTO t_mrg VALUES (1, 'one', 10), (2, 'two', 20), (3, 'three', 30)")
+
+    // upsert: k=2 updated, k=4 inserted (n takes its DEFAULT)
+    val n1 = g.sql("""MERGE INTO t_mrg t
+        USING (SELECT 2 AS k, 'TWO' AS v UNION ALL SELECT 4 AS k, 'four' AS v) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v, n = t.n + 1
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+      .collect().head.getLong(0)
+    assert(n1 == 2)
+    val rows = g.sql("SELECT k, v, n FROM t_mrg ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "one", 10L), (2L, "TWO", 21L), (3L, "three", 30L),
+      (4L, "four", 0L)))
+
+    // matched delete
+    val n2 = g.sql("""MERGE INTO t_mrg t
+        USING (SELECT 1 AS k UNION ALL SELECT 4 AS k) s
+        ON t.k = s.k
+        WHEN MATCHED THEN DELETE""")
+      .collect().head.getLong(0)
+    assert(n2 == 2)
+    assert(g.sql("SELECT k FROM t_mrg ORDER BY k").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L, 3L))
+
+    // conditional clauses rejected loudly
+    assertThrows[Exception](g.sql("""MERGE INTO t_mrg t USING t_mrg s ON t.k = s.k
+        WHEN MATCHED AND t.k > 1 THEN DELETE"""))
+  }
+
+  test("CREATE VIEW / DROP VIEW lifecycle") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_vw")
+    g.sql("DROP VIEW IF EXISTS v_vw")
+    g.sql("CREATE TABLE t_vw (a INT, b INT)")
+    g.sql("INSERT INTO t_vw VALUES (1, 10), (2, 20), (3, 30)")
+    g.sql("CREATE VIEW v_vw AS SELECT a, b * 2 AS b2 FROM t_vw WHERE a > 1")
+    assert(g.sql("SELECT a, b2 FROM v_vw ORDER BY a").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 40L), (3L, 60L)))
+    // listed as VIEW, not BASE TABLE
+    val tpe = g.sql(
+      "SELECT table_type FROM information_schema.tables WHERE table_name = 'v_vw'")
+      .collect().head.getString(0)
+    assert(tpe == "VIEW")
+    assertThrows[Exception](g.sql("CREATE VIEW v_vw AS SELECT 1 AS x"))
+    g.sql("CREATE OR REPLACE VIEW v_vw AS SELECT count(*) AS n FROM t_vw")
+    assert(g.sql("SELECT n FROM v_vw").collect().head.getLong(0) == 3)
+    g.sql("DROP VIEW v_vw")
+    assertThrows[Exception](g.sql("DROP VIEW v_vw"))
+    g.sql("DROP VIEW IF EXISTS v_vw") // no-op
+    // views cannot shadow or drop base tables
+    assertThrows[Exception](g.sql("CREATE OR REPLACE VIEW t_vw AS SELECT 1 AS x"))
+    assertThrows[Exception](g.sql("DROP VIEW t_vw"))
+  }
+
   test("EXPLAIN returns a plan without executing") {
     val g = fresh()
     g.sql("DROP TABLE IF EXISTS t_expl")
