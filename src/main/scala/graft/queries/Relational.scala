@@ -691,6 +691,25 @@ object Relational extends QueryModule {
                coalesce(n_except, 0) AS n_except
         FROM i FULL JOIN e ON i.p = e.p ORDER BY p""")),
 
+    // ---- recursive CTE (beyond reference): generate a dense integer spine
+    // and left-join facts onto it — the gap-filling shape time-series
+    // reports need (missing buckets appear with count 0) ----
+    QueryDef(
+      "op_recursive_cte",
+      (s, dir) => {
+        t(s, dir, "part").createOrReplaceTempView("op_rec_part")
+        s.sql("""WITH RECURSIVE sizes(sz) AS (
+            SELECT 1 UNION ALL SELECT sz + 1 FROM sizes WHERE sz < 50)
+          SELECT sz, count(p_partkey) AS n_parts
+          FROM sizes LEFT JOIN op_rec_part ON p_size = sz
+          GROUP BY sz ORDER BY sz""")
+      },
+      Some("""WITH RECURSIVE sizes(sz) AS (
+          SELECT 1 UNION ALL SELECT sz + 1 FROM sizes WHERE sz < 50)
+        SELECT sz, count(p_partkey) AS n_parts
+        FROM sizes LEFT JOIN part ON p_size = sz
+        GROUP BY sz ORDER BY sz""")),
+
     // ---- LATERAL correlated subquery in FROM (beyond reference) ----
     QueryDef(
       "op_lateral_join",

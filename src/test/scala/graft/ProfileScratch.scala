@@ -60,6 +60,17 @@ class ProfileScratch extends AnyFunSuite {
         graft.queries.Registry.queries(n)(spark, "/root/testdata/sf0.1").count())
   }
 
+  test("recursive cte probe", org.scalatest.Tag("profile")) {
+    try {
+      val df = spark.sql("""WITH RECURSIVE r(n) AS (
+        SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 10)
+        SELECT n FROM r ORDER BY n""")
+      println("[profile] RECURSIVE-OK " + df.collect().map(_.get(0)).mkString(","))
+    } catch {
+      case e: Exception => println("[profile] RECURSIVE-FAIL " + e.getMessage.take(200))
+    }
+  }
+
   test("q21 plan", org.scalatest.Tag("profile")) {
     val df = graft.queries.Registry.queries("q21_late_shippers")(spark, "/root/testdata/sf0.1")
     df.count()
