@@ -49,6 +49,33 @@ object DedupOps {
     }
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minContainment` of a PROBE document's distinct n-gram shingles
+    * (containment = |corpus ∩ probe| / |probe| — the asymmetric overlap
+    * decontamination uses: a training doc that contains a benchmark item
+    * scores high even if the training doc is much longer).
+    *
+    * Inverted-index equi-join on shingle — same scale shape as
+    * [[jaccardPairs]]: candidates exist only where a shingle actually
+    * matches; `maxDf` bounds hot-shingle posting lists. The probe side is
+    * typically tiny (a benchmark suite), so Catalyst broadcasts it and the
+    * corpus never shuffles. */
+  def containmentPairs(
+      corpus: DataFrame, probe: DataFrame, id: Column, text: Column,
+      n: Int = 3, minContainment: Double = 0.5, maxDf: Int = 0): DataFrame = {
+    val ci = shingleIndex(corpus, id, text, n, maxDf)
+      .select(col("id").as("corpus_id"), col("shingle"))
+    val pi = shingleIndex(probe, id, text, n, maxDf)
+      .select(col("id").as("probe_id"), col("sz").as("sz_p"), col("shingle"))
+    ci.join(pi, "shingle")
+      .groupBy(col("corpus_id"), col("probe_id"), col("sz_p"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("sz_p").cast("double"), 4))
+      .filter(col("containment") >= minContainment)
+      .select(col("corpus_id"), col("probe_id"), col("containment"))
+  }
+
   /** All pairs (a < b) with shingle-set Jaccard ≥ threshold, by inverted-
     * index self-join: |A∩B| from matching shingles, |A∪B| from the per-doc
     * set sizes carried alongside.

@@ -98,4 +98,33 @@ object TextOps {
     * dedup on near-identical whitespace variants; cheap to compute anywhere. */
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  // ---- PII / sensitive-pattern scanning (pre-training redaction pass) ----
+
+  /** The fixed patterns the scan/redact pair share — identical regex on
+    * both the Spark and any-other-engine side so counts are reproducible. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[^\\s]+"
+  val phoneRe = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+
+  /** Occurrences of an arbitrary pattern (codegen'd, per-row). */
+  def patternCount(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0)))
+
+  /** Replace every email with a placeholder token (the redaction the scan
+    * motivates; same per-row shape, no shuffle). */
+  def redactEmails(c: Column, token: String = "<EMAIL>"): Column =
+    regexp_replace(c, emailRe, token)
+
+  // ---- repetition / boilerplate detection ----
+
+  /** Repeated-trigram ratio in [0,1]: 1 − distinct/total word trigrams.
+    * High values mean template/boilerplate text (the repetition filter
+    * every pre-training cleanup applies). Docs under 3 tokens score 0. */
+  def repetitionRatio(c: Column): Column = {
+    val total = greatest(tokenCount(c) - 2, lit(0))
+    val distinctTri = size(shingles(c, 3))
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) - distinctTri.cast("double") / total.cast("double"))
+  }
 }

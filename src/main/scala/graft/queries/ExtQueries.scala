@@ -299,7 +299,84 @@ object ExtText extends QueryModule {
       Some("""SELECT token, count(*) AS cnt FROM (
           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
           FROM documents)
-        GROUP BY token ORDER BY cnt DESC, token LIMIT 20"""))
+        GROUP BY token ORDER BY cnt DESC, token LIMIT 20""")),
+
+    // ---- PII scan + redaction (pre-training cleanup pass): fixed regex
+    // count columns + redacted length, all per-row codegen, no shuffle ----
+    QueryDef(
+      "ext_text_pii_scan",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select(
+            $"doc_id",
+            TextOps.patternCount($"text", TextOps.emailRe).cast("bigint").as("n_emails"),
+            TextOps.patternCount($"text", TextOps.urlRe).cast("bigint").as("n_urls"),
+            TextOps.patternCount($"text", TextOps.phoneRe).cast("bigint").as("n_phones"),
+            length(TextOps.redactEmails($"text")).cast("bigint").as("redacted_len"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+          len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+          len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+          len(regexp_extract_all(text, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS n_phones,
+          CAST(length(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS BIGINT)
+            AS redacted_len
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- repetition / boilerplate score: 1 - distinct/total trigrams ----
+    QueryDef(
+      "ext_text_repetition",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            round(TextOps.repetitionRatio($"text"), 4).as("rep_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        g AS (
+          SELECT doc_id,
+            CASE WHEN len(tk) < 3 THEN 0
+                 ELSE len(list_distinct(list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(tk[i:i+2], ' ')))) END AS n_distinct,
+            greatest(len(tk) - 2, 0) AS total
+          FROM t)
+        SELECT doc_id,
+          round(CASE WHEN total = 0 THEN 0.0
+                     ELSE 1.0 - CAST(n_distinct AS DOUBLE) / total END, 4) AS rep_ratio
+        FROM g ORDER BY doc_id""")),
+
+    // ---- benchmark decontamination: corpus docs containing >= 60% of a
+    // probe doc's distinct trigrams (inverted-index join; probe broadcast) ----
+    QueryDef(
+      "ext_text_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        DedupOps.containmentPairs(
+            docs.filter($"doc_id" >= 25), docs.filter($"doc_id" < 25),
+            $"doc_id", $"text", n = 3, minContainment = 0.6)
+          .orderBy($"corpus_id", $"probe_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        ci AS (SELECT doc_id AS corpus_id, unnest(shs) AS shingle FROM sh WHERE doc_id >= 25),
+        pi AS (SELECT doc_id AS probe_id, len(shs) AS sz_p, unnest(shs) AS shingle
+               FROM sh WHERE doc_id < 25),
+        pairs AS (
+          SELECT corpus_id, probe_id, sz_p, count(*) AS inter
+          FROM ci JOIN pi USING (shingle) GROUP BY 1, 2, 3)
+        SELECT corpus_id, probe_id,
+               round(CAST(inter AS DOUBLE) / sz_p, 4) AS containment
+        FROM pairs WHERE round(CAST(inter AS DOUBLE) / sz_p, 4) >= 0.6
+        ORDER BY corpus_id, probe_id"""))
   )
 }
 
