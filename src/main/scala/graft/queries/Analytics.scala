@@ -306,6 +306,30 @@ object Analytics extends QueryModule {
         max(CASE WHEN o_totalprice > 100000 THEN o_orderkey END) AS max_big_order
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- collection aggregates: collect_list / string_agg. Both are
+    // order-nondeterministic across partitions, so results are sorted
+    // inside the aggregate output before comparison (the only reproducible
+    // contract for a distributed collect) ----
+    QueryDef(
+      "an_agg_collect",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "nation")
+          .groupBy($"n_regionkey")
+          .agg(
+            count(lit(1)).as("n"),
+            concat_ws(",", sort_array(collect_list($"n_name"))).as("nations_csv"),
+            concat_ws(",", sort_array(collect_set(($"n_nationkey" % 5).cast("bigint"))))
+              .as("key_mods_csv"))
+          .orderBy($"n_regionkey")
+      },
+      // array payloads serialize to CSV so the cross-engine compare stays
+      // scalar (list-typed cells compare differently across arrow/pandas)
+      Some("""SELECT n_regionkey, count(*) AS n,
+        array_to_string(list_sort(list(n_name)), ',') AS nations_csv,
+        array_to_string(list_sort(list(DISTINCT n_nationkey % 5)), ',') AS key_mods_csv
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
     // ---- Boolean + min/max-by aggregates ----
     QueryDef(
       "an_agg_bool_minmaxby",

@@ -691,6 +691,16 @@ object Relational extends QueryModule {
                coalesce(n_except, 0) AS n_except
         FROM i FULL JOIN e ON i.p = e.p ORDER BY p""")),
 
+    // ---- range() table-generating function (numeric spine without
+    // recursion; planned as a parallel Range scan, not a driver loop) ----
+    QueryDef(
+      "op_range_tvf",
+      (s, dir) => {
+        s.sql("""SELECT id, id * id AS sq FROM range(0, 20, 3) ORDER BY id""")
+      },
+      Some("""SELECT generate_series AS id, generate_series * generate_series AS sq
+        FROM generate_series(0, 19, 3) ORDER BY id""")),
+
     // ---- recursive CTE (beyond reference): generate a dense integer spine
     // and left-join facts onto it — the gap-filling shape time-series
     // reports need (missing buckets appear with count 0) ----
