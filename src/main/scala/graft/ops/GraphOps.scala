@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the step that turns near-dup
+  * PAIRS (from Jaccard/MinHash/SimHash candidates) into duplicate CLUSTERS
+  * with one canonical keeper per cluster. A training-data pipeline dedups by
+  * cluster, not by pair: pair (a,b) + pair (b,c) must retire both b and c.
+  *
+  * Algorithm: iterative minimum-label propagation. Every vertex starts
+  * labeled with itself; each round every vertex takes the min label over
+  * itself and its neighbors; at fixpoint the label IS the component minimum.
+  * Each round is one shuffle-join (edges × labels) plus one groupBy-min —
+  * both map-side combinable, nothing on the driver but the one-row
+  * convergence count. Rounds needed = graph diameter; dedup-cluster graphs
+  * are near-cliques (diameter ≤ 3-4 in practice), so this beats the
+  * O(log n)-round alternating small-star/large-star construction (Kiveris
+  * et al., "Connected Components in MapReduce and Beyond") on constant
+  * factors; swap that in for adversarially long path graphs.
+  *
+  * `localCheckpoint` per round truncates the lineage so the plan does not
+  * grow with iteration count (same discipline as BpeOps / IvfOps).
+  */
+object GraphOps {
+
+  /** Components of the undirected graph given by `edges` (cols `src`, `dst`)
+    * over `vertices` (col `id`). Returns (id, component) where component is
+    * the minimum vertex id in the component. Isolated vertices keep their
+    * own id.
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = vertices.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      // neighbor labels flow along every (symmetric) edge
+      val prop = sym.join(labels, sym("src") === labels("id"))
+        .select(sym("dst").as("id"), col("component"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") < col("o.component"))
+        .count()
+      labels = next
+      converged = changed == 0
+    }
+    labels
+  }
+
+  /** Duplicate clusters from a near-dup pair list: every doc mapped to the
+    * min doc id of its duplicate group. Docs with no near-dup partner map to
+    * themselves. Output one row per doc in a non-singleton cluster:
+    * (doc_id, cluster_id, is_keeper).
+    */
+  def dedupClusters(docs: DataFrame, docId: Column, pairs: DataFrame,
+      idA: Column, idB: Column): DataFrame = {
+    val verts = docs.select(docId.as("id"))
+    val edges = pairs.select(idA.as("src"), idB.as("dst"))
+    val comp = connectedComponents(verts, edges)
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "component")
+      .filter(col("cluster_size") > 1)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("is_keeper"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF term weighting over a document corpus — keyword extraction /
+  * topical fingerprints for training-data curation.
+  *
+  * Scale shape: two shuffles total — (doc, term) term-frequency aggregation
+  * and term document-frequency aggregation — then a term-keyed join that AQE
+  * broadcast-converts when the vocabulary is small. The corpus size N joins
+  * in as a broadcast one-row aggregate, never a driver round-trip. Top-k per
+  * doc is a bounded window (rank ≤ k) — Spark plans a running TopK per
+  * partition key, no global sort.
+  */
+object TfIdfOps {
+
+  /** Smoothed idf: ln((N + 1) / (df + 1)) + 1 (the standard sklearn-style
+    * smoothing — never zero, defined for unseen terms). */
+  private def idf(n: Column, df: Column): Column =
+    log((n + lit(1.0)) / (df + lit(1.0))) + lit(1.0)
+
+  /** Top-k terms per document by tf-idf, deterministic tiebreak on term.
+    * Output: (doc_id, term, tf, df, tfidf, term_rank). */
+  def topTerms(docs: DataFrame, docId: Column, text: Column, k: Int): DataFrame = {
+    val toks = docs.select(docId.as("doc_id"),
+      explode(TextOps.tokens(text)).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf is already distinct per (doc, term) → df = row count per term
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") * idf(col("n_docs").cast("double"),
+          col("df").cast("double")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"), col("term_rank"))
+  }
+}

@@ -100,7 +100,44 @@ object ExtDedup extends QueryModule {
         DedupOps.embeddingTopPairsLsh(
           Tables.load(s, dir, "embeddings"), $"vec_id", $"embedding", 20)
       },
-      None)
+      None),
+
+    // ---- pairs → clusters: connected components over the Jaccard near-dup
+    // pair list, canonical keeper = min doc id per component. Oracle is a
+    // DuckDB recursive-CTE label closure over the identical edge list ----
+    QueryDef(
+      "ext_dedup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text", n = 3,
+          threshold = 0.8)
+        GraphOps.dedupClusters(docs, $"doc_id", pairs, $"id_a", $"id_b")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 count(*) AS inter
+          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.8),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        reach AS (
+          SELECT DISTINCT src AS id, src AS lab FROM sym
+          UNION
+          SELECT s.dst AS id, r.lab FROM reach r JOIN sym s ON s.src = r.id),
+        comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+        SELECT id AS doc_id, component AS cluster_id, id = component AS is_keeper
+        FROM comp ORDER BY doc_id"""))
   )
 }
 
@@ -376,7 +413,37 @@ object ExtText extends QueryModule {
         SELECT corpus_id, probe_id,
                round(CAST(inter AS DOUBLE) / sz_p, 4) AS containment
         FROM pairs WHERE round(CAST(inter AS DOUBLE) / sz_p, 4) >= 0.6
-        ORDER BY corpus_id, probe_id"""))
+        ORDER BY corpus_id, probe_id""")),
+
+    QueryDef(
+      "ext_text_tfidf",
+      (s, dir) => {
+        import s.implicits._
+        TfIdfOps.topTerms(
+            Tables.load(s, dir, "documents").filter($"doc_id" < 50),
+            $"doc_id", $"text", k = 3)
+          .orderBy($"doc_id", $"term_rank")
+      },
+      Some("""WITH docs AS (SELECT * FROM documents WHERE doc_id < 50),
+        toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM docs),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks
+          WHERE len(term) > 0 GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM docs),
+        scored AS (
+          SELECT doc_id, term, tf, df,
+            tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf,
+            row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+              AS term_rank
+          FROM scored)
+        SELECT doc_id, term, tf, df, tfidf, term_rank
+        FROM ranked WHERE term_rank <= 3 ORDER BY doc_id, term_rank"""))
   )
 }
 
@@ -521,5 +588,34 @@ object ExtEvents extends QueryModule {
          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
         WHERE a.event_type = 'click' AND b.event_type = 'purchase'
         ORDER BY click_id, buy_id"""))
+  )
+}
+
+/** Distributed BPE tokenizer induction (BpeOps). The training loop is
+  * iterative argmax-and-rewrite — not expressible as one SQL statement —
+  * so these are rows-only for the driver; BpeSpec proves merge-for-merge
+  * equality against a sequential in-memory reference implementation.
+  */
+object ExtBpe extends QueryModule {
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "ext_bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        BpeOps.train(s, Tables.load(s, dir, "documents"), $"text", k = 10)
+          .toDF().select($"rank", $"left", $"right", $"freq").orderBy($"rank")
+      },
+      None),
+
+    QueryDef(
+      "ext_bpe_token_counts",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val merges = BpeOps.train(s, docs, $"text", k = 6)
+        docs.select($"doc_id", BpeOps.encodeTokenCount($"text", merges).as("bpe_tokens"))
+          .orderBy($"doc_id").limit(50)
+      },
+      None)
   )
 }

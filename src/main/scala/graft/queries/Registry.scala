@@ -35,6 +35,7 @@ object Registry {
     ExtText,
     ExtMultimodal,
     ExtEvents,
+    ExtBpe,
     Pipeline)
 
   lazy val queryDefs: Seq[QueryDef] = modules.flatMap(_.defs)

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, GraphOps}
+import graft.sources.Tables
+
+/** Connected-components correctness: fixpoint label propagation vs
+  * hand-computed components, including multi-round convergence (path graph)
+  * and the pairs→clusters dedup composition. */
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("components of a path graph need multiple propagation rounds") {
+    // 0-1-2-3-4-5 path (diameter 5) + isolated 9 + separate pair 7-8
+    val verts = Seq(0L, 1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L).toDF("id")
+    val edges = Seq((1L, 0L), (1L, 2L), (3L, 2L), (3L, 4L), (5L, 4L), (7L, 8L))
+      .toDF("src", "dst")
+    val got = GraphOps.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      5L -> 0L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
+  test("dedupClusters merges transitively-linked pairs into one cluster") {
+    // (a,b) + (b,c) must become one cluster keyed by min id, even though
+    // (a,c) is not a pair
+    val docs = Seq(10L, 11L, 12L, 13L, 20L).toDF("doc_id")
+    val pairs = Seq((10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val got = GraphOps.dedupClusters(docs, $"doc_id", pairs, $"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((10L, 10L, true), (11L, 10L, false), (12L, 10L, false)))
+  }
+
+  test("clusters over driver jaccard pairs: every pair lands in one cluster") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text", 3, 0.8).cache()
+    val clusters = GraphOps.dedupClusters(docs, $"doc_id", pairs, $"id_a", $"id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairRows = pairs.select($"id_a", $"id_b").collect()
+    assert(pairRows.nonEmpty)
+    for (r <- pairRows)
+      assert(clusters(r.getLong(0)) == clusters(r.getLong(1)))
+    // exactly one keeper per cluster, and it is the min member
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.keys.min)
+    for ((cid, minId) <- byCluster) assert(cid == minId)
+  }
+}
