@@ -107,6 +107,17 @@ object Exprs {
     out
   }
 
+  /** Unicode normalization (+ optional ROOT-locale casefold) — corpus
+    * canonicalization before dedup/fingerprinting so visually-identical
+    * text (combining accents vs precomposed, compatibility ligatures)
+    * hashes identically. Matches DuckDB's nfc_normalize for form=NFC. */
+  def unicodeNormalize(s: UTF8String, form: String, casefold: Boolean): UTF8String = {
+    val normalized = java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.valueOf(form))
+    UTF8String.fromString(
+      if (casefold) normalized.toLowerCase(java.util.Locale.ROOT) else normalized)
+  }
+
   /** Sequential-fold dot product of two double arrays — bit-identical to
     * aggregate(zip_with(a,b,*), 0.0, +) and to DuckDB's
     * list_sum(list_transform(list_zip(a,b), …)). */
@@ -170,10 +181,28 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "dot_product"
 }
 
+case class UnicodeNormalize(child: Expression, form: String, casefold: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"unicode_normalize requires string, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Exprs.unicodeNormalize(input.asInstanceOf[UTF8String], form, casefold)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"""graft.functions.Exprs.unicodeNormalize($c, "$form", $casefold)""")
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "unicode_normalize"
+}
+
 object NativeFunctions {
   import org.apache.spark.sql.graftshim._
 
   def word_shingles(c: Column, n: Int): Column = columnOf(WordShingles(expressionOf(c), n))
   def minhash_sig(c: Column, numHashes: Int): Column = columnOf(MinHashSig(expressionOf(c), numHashes))
   def dot_product(a: Column, b: Column): Column = columnOf(DotProduct(expressionOf(a), expressionOf(b)))
+  def unicode_normalize(c: Column, form: String = "NFC", casefold: Boolean = false): Column =
+    columnOf(UnicodeNormalize(expressionOf(c), form, casefold))
 }

@@ -37,6 +37,13 @@ object TextOps {
   def shingles(c: Column, n: Int = 3): Column =
     graft.functions.NativeFunctions.word_shingles(tokens(c), n)
 
+  /** Unicode canonicalization (NFC default; NFKC + casefold for aggressive
+    * cleanup) — run BEFORE dedup/fingerprinting so combining-accent vs
+    * precomposed spellings hash identically. Native codegen'd expression
+    * ([[graft.functions.UnicodeNormalize]]). */
+  def normalizeText(c: Column, form: String = "NFC", casefold: Boolean = false): Column =
+    graft.functions.NativeFunctions.unicode_normalize(c, form, casefold)
+
   /** Ratio of distinct tokens to tokens — low values indicate repetitive,
     * low-quality text. */
   def uniqueTokenRatio(c: Column): Column = {

@@ -416,6 +416,20 @@ object ExtText extends QueryModule {
         ORDER BY corpus_id, probe_id""")),
 
     QueryDef(
+      "ext_text_normalize",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        docs.select($"doc_id",
+            TextOps.normalizeText($"text").as("norm_text"),
+            (TextOps.normalizeText($"text") === $"text").as("was_nfc"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, nfc_normalize(text) AS norm_text,
+        nfc_normalize(text) = text AS was_nfc
+        FROM documents ORDER BY doc_id""")),
+
+    QueryDef(
       "ext_text_tfidf",
       (s, dir) => {
         import s.implicits._

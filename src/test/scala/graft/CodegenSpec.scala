@@ -59,4 +59,22 @@ class CodegenSpec extends AnyFunSuite {
     val b = new GenericArrayData(Array[Any](4.0, 5.0, 6.0))
     assert(proj(InternalRow(a, b)).getDouble(0) == 32.0)
   }
+
+  test("unicode_normalize generated code compiles; NFC/NFKC/casefold correct") {
+    val strRef = BoundReference(0, StringType, nullable = true)
+    def run(form: String, casefold: Boolean, in: String): String = {
+      val proj = GenerateUnsafeProjection.generate(
+        Seq(UnicodeNormalize(strRef, form, casefold)))
+      proj(InternalRow(UTF8String.fromString(in))).getUTF8String(0).toString
+    }
+    // combining acute (e + U+0301) composes to precomposed é under NFC
+    assert(run("NFC", casefold = false, "café") == "café")
+    // NFC preserves compatibility chars; NFKC folds the ﬁ ligature
+    assert(run("NFC", casefold = false, "ﬁle") == "ﬁle")
+    assert(run("NFKC", casefold = false, "ﬁle") == "file")
+    // casefold lowers with ROOT locale (no Turkish-I surprise)
+    assert(run("NFKC", casefold = true, "ﬁLE É") == "file é")
+    // ASCII is a fixed point
+    assert(run("NFC", casefold = false, "plain ascii") == "plain ascii")
+  }
 }
