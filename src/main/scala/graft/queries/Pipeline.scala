@@ -125,6 +125,79 @@ object Pipeline extends QueryModule {
           .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
           .orderBy($"lang")
       },
-      None)
+      None),
+
+    // ---- sequence packing: greedy contiguous fill of fixed token-budget
+    // context windows (the standard LLM pretraining batching step). Packing
+    // is per-source so the running sum parallelizes across sources (at
+    // 100 TB you pack per shard — a GLOBAL running sum would serialize);
+    // within a source it is one partitioned window cumsum, no extra
+    // shuffle beyond the partition-by. pack_id = floor(preceding-tokens /
+    // budget): deterministic in (source, doc_id) order on any engine. ----
+    QueryDef(
+      "pl_pack_sequences",
+      (s, dir) => {
+        import s.implicits._
+        val budget = 512L
+        val docs = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source",
+            TextOps.tokenCount($"text").cast("bigint").as("n_tokens"))
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.withColumn("cum", sum($"n_tokens").over(w))
+          .withColumn("pack_id", floor(($"cum" - $"n_tokens") / budget))
+          .groupBy($"source", $"pack_id")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("pack_tokens"))
+          .orderBy($"source", $"pack_id")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, source,
+            CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+        SELECT source, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id,
+               count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+        FROM c GROUP BY 1, 2 ORDER BY source, pack_id""")),
+
+    // ---- weighted source mixing: per-language keep-rates as a pure hash
+    // function of (doc_id, lang) — the deterministic, stateless way to hit
+    // a target training mix at 100 TB (no sampling state, reproduces on
+    // any engine/partitioning; compare 16-bit md5 prefix to the rate
+    // threshold). en kept fully; de/fr at 1/2; es at 1/4; zh at 1/10. ----
+    QueryDef(
+      "pl_mix_weighted",
+      (s, dir) => {
+        import s.implicits._
+        val h = substring(
+          md5(concat($"doc_id".cast("string"), lit(":"), $"lang").cast("binary")),
+          1, 4)
+        val keep = when($"lang" === "en", lit(true))
+          .when($"lang" === "de" || $"lang" === "fr", h < "8000")
+          .when($"lang" === "es", h < "4000")
+          .when($"lang" === "zh", h < "1999")
+          .otherwise(lit(false))
+        Tables.load(s, dir, "documents")
+          .filter(keep)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextOps.tokenCount($"text").cast("bigint")).as("total_tokens"))
+          .orderBy($"lang")
+      },
+      Some("""WITH h AS (
+          SELECT lang, text,
+            substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4) AS hx
+          FROM documents)
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT)
+            AS total_tokens
+        FROM h
+        WHERE lang = 'en'
+           OR (lang IN ('de', 'fr') AND hx < '8000')
+           OR (lang = 'es' AND hx < '4000')
+           OR (lang = 'zh' AND hx < '1999')
+        GROUP BY lang ORDER BY lang"""))
   )
 }

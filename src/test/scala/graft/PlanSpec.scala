@@ -86,6 +86,30 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n$p")
   }
 
+  test("tfidf: corpus count broadcast, no cartesian pair blowup") {
+    val p = plan("ext_text_tfidf")
+    assert(!p.contains("CartesianProduct"), p)
+    // the one-row N aggregate joins in as a broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // per-doc top-k is a window + filter, not a global sort-limit
+    assert(p.contains("Window"), p)
+  }
+
+  test("pl_pack_sequences: ONE data shuffle (per-source window feeds the agg)") {
+    val p = plan("pl_pack_sequences")
+    // window partitions by source; the (source, pack_id) agg reuses that
+    // clustering (group keys are a superset), so no second hash exchange
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("pl_mix_weighted: filter is scan-side, single agg shuffle") {
+    val p = plan("pl_mix_weighted")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen covers the q1 aggregation") {
     // AQE finalizes (and annotates codegen stages) only after execution.
     val df = Registry.queries("q1_pricing_summary")(spark, TestSpark.sfDir)
