@@ -49,6 +49,10 @@ final class GraftSession(
 
   val tables = new MutableTableManager(spark)
 
+  // native expressions (simhash64, word_shingles, minhash_sig, dot_product,
+  // unicode_normalize) are SQL-callable through the front door
+  graft.functions.GraftFunctions.register(spark)
+
   private var tvfCounter = 0
 
   // ---------------------------------------------------------------- sql()

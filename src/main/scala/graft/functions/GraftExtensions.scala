@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType}
+
+/** SQL registration for the native Catalyst expressions (SURVEY.md §7.3
+  * preference (b)): after injection, `spark.sql` can call `word_shingles`,
+  * `minhash_sig`, `dot_product`, `simhash64`, and `unicode_normalize`
+  * directly — the idiomatic Spark route for a library shipping custom
+  * expressions:
+  *
+  *   - new sessions: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *     (or `builder.withExtensions(new GraftExtensions)`);
+  *   - an existing session: `GraftFunctions.register(spark)`.
+  *
+  * Static arguments (shingle width, hash count, normalization form) must be
+  * foldable literals — they parameterize the generated code itself.
+  */
+object GraftFunctions {
+
+  private def intLit(fn: String, arg: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def strLit(fn: String, arg: String, e: Expression): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a string literal, got $other")
+  }
+
+  private def boolLit(fn: String, arg: String, e: Expression): Boolean = e match {
+    case Literal(v: Boolean, BooleanType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a boolean literal, got $other")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], expected: Range): Unit =
+    if (!expected.contains(args.length))
+      throw new IllegalArgumentException(
+        s"$fn expects ${expected.mkString("..")} arguments, got ${args.length}")
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => {
+        arity("word_shingles", args, 2 to 2)
+        WordShingles(args.head, intLit("word_shingles", "n", args(1)))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        arity("minhash_sig", args, 2 to 2)
+        MinHashSig(args.head, intLit("minhash_sig", "num_hashes", args(1)))
+      }),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        arity("dot_product", args, 2 to 2)
+        DotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        arity("simhash64", args, 1 to 1)
+        SimHash64(args.head)
+      }),
+    (FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (args: Seq[Expression]) => {
+        arity("unicode_normalize", args, 1 to 3)
+        val form = if (args.length >= 2) strLit("unicode_normalize", "form", args(1)) else "NFC"
+        val casefold =
+          if (args.length == 3) boolLit("unicode_normalize", "casefold", args(2)) else false
+        UnicodeNormalize(args.head, form, casefold)
+      }))
+
+  /** Register into an already-built session (per-session function registry). */
+  def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
