@@ -30,8 +30,12 @@ object GraphOps {
     * own id.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    // materialize the (possibly expensive) edge pipeline ONCE — every
+    // propagation round re-scans it, and without this a jaccard/LSH
+    // candidate join upstream would recompute per round
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = vertices.select(col("id"), col("id").as("component"))
       .localCheckpoint()
     var converged = false

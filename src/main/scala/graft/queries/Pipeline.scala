@@ -198,6 +198,34 @@ object Pipeline extends QueryModule {
            OR (lang IN ('de', 'fr') AND hx < '8000')
            OR (lang = 'es' AND hx < '4000')
            OR (lang = 'zh' AND hx < '1999')
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- percentile-clip outlier filter: p05/p95 length thresholds from
+    // one aggregate, broadcast into the filter — the two-pass shape that
+    // replaces a driver round-trip (no collect; the threshold row rides a
+    // BroadcastExchange). Exact percentile matches DuckDB quantile_cont. ----
+    QueryDef(
+      "pl_length_clip",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val pcts = docs.agg(
+          expr("percentile(n_chars, array(0.05, 0.95))").as("p"))
+          .select($"p".getItem(0).as("lo"), $"p".getItem(1).as("hi"))
+        docs.join(broadcast(pcts))
+          .filter($"n_chars" >= $"lo" && $"n_chars" <= $"hi")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg($"n_chars"), 4).as("avg_chars"))
+          .orderBy($"lang")
+      },
+      Some("""WITH p AS (
+          SELECT quantile_cont(n_chars, 0.05) AS lo,
+                 quantile_cont(n_chars, 0.95) AS hi
+          FROM documents)
+        SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+        FROM documents, p
+        WHERE n_chars >= lo AND n_chars <= hi
         GROUP BY lang ORDER BY lang"""))
   )
 }
