@@ -34,4 +34,25 @@ object VectorOps {
   /** Squared euclidean distance. */
   def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  // ------------------------------------------------ int8 scalar quantization
+
+  /** Per-vector symmetric int8 quantization: scale = max(|x|)/127, codes =
+    * round(x/scale). 4× memory cut for ANN candidate storage (the reason
+    * billion-vector indexes fit at all); reconstruction error per element
+    * is ≤ scale/2. Returns a struct (scale, codes: array<tinyint>).
+    * Zero vectors get scale 0 and all-zero codes. */
+  def quantizeInt8(v: Column): Column = {
+    val absMax = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    val scale = absMax / lit(127.0)
+    struct(
+      scale.as("scale"),
+      transform(v, x =>
+        when(scale === 0.0, lit(0).cast("tinyint"))
+          .otherwise(round(x / scale).cast("tinyint"))).as("codes"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: codes × scale. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
 }

@@ -242,6 +242,45 @@ object ExtSimilarity extends QueryModule {
   )
 }
 
+object ExtQuantize extends QueryModule {
+  def defs: Seq[QueryDef] = Seq(
+    // int8 scalar quantization round-trip: per-vector scale + worst-case
+    // reconstruction error (bounded by scale/2). The 4× memory cut is what
+    // lets a billion-vector ANN candidate set stay in executor memory.
+    QueryDef(
+      "ext_embed_quantize",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", VectorOps.vecD($"embedding").as("v"))
+        val q = emb.withColumn("qz", VectorOps.quantizeInt8($"v"))
+          .withColumn("deq", VectorOps.dequantizeInt8($"qz"))
+        q.select($"vec_id",
+            round($"qz".getField("scale"), 6).as("scale"),
+            round(
+              aggregate(zip_with($"v", $"deq", (x, y) => abs(x - y)),
+                lit(0.0), (acc, e) => greatest(acc, e)), 8).as("max_err"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH q AS (
+          SELECT vec_id,
+            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+              AS scale,
+            embedding
+          FROM embeddings),
+        r AS (
+          SELECT vec_id, scale,
+            CASE WHEN scale = 0 THEN 0.0 ELSE
+              list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)
+                         - round(CAST(x AS DOUBLE) / scale) * scale)))
+            END AS max_err
+          FROM q)
+        SELECT vec_id, round(scale, 6) AS scale, round(max_err, 8) AS max_err
+        FROM r ORDER BY vec_id"""))
+  )
+}
+
 object ExtText extends QueryModule {
   import graft.ops.TextOps
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.TextOps
+import graft.ops.{DedupOps, GraphOps, TextOps}
 import graft.sources.Tables
 
 /** The composed training-data cleaning pipeline — the end-to-end shape a
@@ -226,6 +226,53 @@ object Pipeline extends QueryModule {
         SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
         FROM documents, p
         WHERE n_chars >= lo AND n_chars <= hi
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- the full near-dup dedup pass, end to end: shingle-Jaccard pairs
+    // → connected components → drop every non-keeper → per-lang survivor
+    // report. This is THE corpus-dedup shape at 100 TB (candidate join,
+    // fixpoint clustering, anti-join retirement); exact-Jaccard pairs keep
+    // it DuckDB-oracle-verifiable — swap minhashLshPairs in for the
+    // constant-amplification variant at scale. ----
+    QueryDef(
+      "pl_near_dedup_report",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text", n = 3,
+          threshold = 0.8)
+        val clusters = GraphOps.dedupClusters(docs, $"doc_id", pairs,
+          $"id_a", $"id_b")
+        val retired = clusters.filter(!$"is_keeper").select($"doc_id")
+        docs.join(retired, Seq("doc_id"), "left_anti")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("kept_chars"))
+          .orderBy($"lang")
+      },
+      Some("""WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 count(*) AS inter
+          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.8),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        reach AS (
+          SELECT DISTINCT src AS id, src AS lab FROM sym
+          UNION
+          SELECT s.dst AS id, r.lab FROM reach r JOIN sym s ON s.src = r.id),
+        retired AS (
+          SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> min(lab))
+        SELECT lang, count(*) AS n_kept, sum(n_chars) AS kept_chars
+        FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM retired)
         GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -32,6 +32,7 @@ object Registry {
     Sinks,
     ExtDedup,
     ExtSimilarity,
+    ExtQuantize,
     ExtText,
     ExtMultimodal,
     ExtEvents,

@@ -218,4 +218,31 @@ class OpsSpec extends AnyFunSuite {
     assert(metas.map(m => (m.format, m.width, m.height)).toSeq ==
       Seq(("png", 640, 480), ("jpeg", 1920, 1080), ("raw", metas(2).width, metas(2).height)))
   }
+
+  test("int8 quantization: error bounded by scale/2, cosine preserved, zero-safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.9, -0.4, 0.05, 0.7)),
+      (2L, Seq(127.0, -64.0, 1.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("id", "v")
+    val q = df.withColumn("qz", VectorOps.quantizeInt8($"v"))
+      .withColumn("deq", VectorOps.dequantizeInt8($"qz"))
+      .select($"id", $"v", $"qz.scale".as("scale"), $"deq")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2),
+        r.getSeq[Double](3))).sortBy(_._1)
+    for ((id, v, scale, deq) <- q) {
+      assert(scale == v.map(math.abs).max / 127.0)
+      val maxErr = v.zip(deq).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxErr <= scale / 2 + 1e-12, s"id=$id maxErr=$maxErr scale=$scale")
+    }
+    // zero vector round-trips to zeros with scale 0
+    assert(q(2)._3 == 0.0 && q(2)._4.forall(_ == 0.0))
+    // cosine between dequantized vectors stays close to the original
+    val (_, v1, _, d1) = q(0); val (_, v2, _, d2) = q(1)
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      dp / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(math.abs(cos(v1, v2) - cos(d1, d2)) < 0.01)
+  }
 }
