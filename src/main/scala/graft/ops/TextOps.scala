@@ -77,6 +77,40 @@ object TextOps {
     diversity * lit(0.6) + stopOk * lit(0.2) + lenOk * lit(0.2)
   }
 
+  // ------------------------------------------- Gopher-style quality rules
+
+  /** Share of tokens containing at least one alphabetic character — the
+    * Gopher "80% of words contain an alphabetic character" rule (Rae et al.
+    * 2021, public report). */
+  def alphaWordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Share of non-space characters that are letters or digits — low values
+    * mean symbol soup (markup, tables, encoding junk). */
+  def symbolRatio(c: Column): Column = {
+    val noSpace = regexp_replace(lower(trim(c)), "\\s+", "")
+    lit(1.0) - length(regexp_replace(noSpace, "[^a-z0-9]", "")).cast("double") /
+      nullif(length(noSpace), lit(0)).cast("double")
+  }
+
+  /** Share of lines that start like bullets — boilerplate/list-dump signal. */
+  def bulletLineRatio(c: Column): Column = {
+    val lines = filter(split(c, "\\n"), l => length(trim(l)) > 0)
+    size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double") /
+      nullif(size(lines), lit(0)).cast("double")
+  }
+
+  /** Share of lines ending in an ellipsis — truncated-scrape signal. */
+  def ellipsisLineRatio(c: Column): Column = {
+    val lines = filter(split(c, "\\n"), l => length(trim(l)) > 0)
+    size(filter(lines, l =>
+      trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") /
+      nullif(size(lines), lit(0)).cast("double")
+  }
+
   /** Stopword-evidence language-ID heuristic (n-gram-free variant): counts
     * distinctive function words per language; ties/no-evidence → 'und'
     * (undetermined). The marker sets are deliberately tiny and fixed so the

@@ -455,6 +455,48 @@ object ExtText extends QueryModule {
         ORDER BY corpus_id, probe_id""")),
 
     QueryDef(
+      "ext_text_gopher_rules",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        docs.select($"doc_id",
+            round(TextOps.alphaWordRatio($"text"), 6).as("alpha_ratio"),
+            round(TextOps.symbolRatio($"text"), 6).as("symbol_ratio"),
+            coalesce(round(TextOps.bulletLineRatio($"text"), 6), lit(0.0))
+              .as("bullet_ratio"),
+            coalesce(round(TextOps.ellipsisLineRatio($"text"), 6), lit(0.0))
+              .as("ellipsis_ratio"),
+            (TextOps.alphaWordRatio($"text") >= 0.8 &&
+              TextOps.symbolRatio($"text") <= 0.25).as("passes_gopher"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS tk,
+            regexp_replace(lower(trim(text)), '\s+', '', 'g') AS ns,
+            list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0)
+              AS lines
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+            CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+              / len(tk) AS alpha_ratio,
+            1.0 - CAST(length(regexp_replace(ns, '[^a-z0-9]', '', 'g')) AS DOUBLE)
+              / nullif(length(ns), 0) AS symbol_ratio,
+            CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+                 AS DOUBLE) / nullif(len(lines), 0) AS bullet_ratio,
+            CAST(len(list_filter(lines,
+                   l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+              / nullif(len(lines), 0) AS ellipsis_ratio
+          FROM t)
+        SELECT doc_id, round(alpha_ratio, 6) AS alpha_ratio,
+          round(symbol_ratio, 6) AS symbol_ratio,
+          coalesce(round(bullet_ratio, 6), 0.0) AS bullet_ratio,
+          coalesce(round(ellipsis_ratio, 6), 0.0) AS ellipsis_ratio,
+          (alpha_ratio >= 0.8 AND symbol_ratio <= 0.25) AS passes_gopher
+        FROM r ORDER BY doc_id""")),
+
+    QueryDef(
       "ext_text_normalize",
       (s, dir) => {
         import s.implicits._
