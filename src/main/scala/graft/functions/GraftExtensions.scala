@@ -69,6 +69,12 @@ object GraftFunctions {
         arity("simhash64", args, 1 to 1)
         SimHash64(args.head)
       }),
+    (FunctionIdentifier("compress_ratio"),
+      new ExpressionInfo(classOf[CompressRatio].getName, "compress_ratio"),
+      (args: Seq[Expression]) => {
+        arity("compress_ratio", args, 1 to 1)
+        CompressRatio(args.head)
+      }),
     (FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (args: Seq[Expression]) => {

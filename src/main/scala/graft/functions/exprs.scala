@@ -118,6 +118,23 @@ object Exprs {
       if (casefold) normalized.toLowerCase(java.util.Locale.ROOT) else normalized)
   }
 
+  /** Deflate-compressibility ratio (compressed/original bytes, level 6,
+    * raw stream): the classic cheap junk detector — repetitive boilerplate
+    * compresses far below natural prose. Empty input → 1.0. Only the
+    * compressed SIZE is kept; output buffers are discarded per call. */
+  def compressRatio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.isEmpty) return 1.0
+    val deflater = new java.util.zip.Deflater(6, true)
+    deflater.setInput(bytes)
+    deflater.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!deflater.finished()) total += deflater.deflate(buf)
+    deflater.end()
+    total.toDouble / bytes.length
+  }
+
   /** Sequential-fold dot product of two double arrays — bit-identical to
     * aggregate(zip_with(a,b,*), 0.0, +) and to DuckDB's
     * list_sum(list_transform(list_zip(a,b), …)). */
@@ -181,6 +198,21 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "dot_product"
 }
 
+case class CompressRatio(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"compress_ratio requires string, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Exprs.compressRatio(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Exprs.compressRatio($c)")
+  override protected def withNewChildInternal(newChild: Expression): CompressRatio =
+    copy(child = newChild)
+  override def prettyName: String = "compress_ratio"
+}
+
 case class UnicodeNormalize(child: Expression, form: String, casefold: Boolean)
     extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -205,4 +237,5 @@ object NativeFunctions {
   def dot_product(a: Column, b: Column): Column = columnOf(DotProduct(expressionOf(a), expressionOf(b)))
   def unicode_normalize(c: Column, form: String = "NFC", casefold: Boolean = false): Column =
     columnOf(UnicodeNormalize(expressionOf(c), form, casefold))
+  def compress_ratio(c: Column): Column = columnOf(CompressRatio(expressionOf(c)))
 }

@@ -77,6 +77,13 @@ object TextOps {
     diversity * lit(0.6) + stopOk * lit(0.2) + lenOk * lit(0.2)
   }
 
+  /** Deflate compressibility (compressed/original bytes) — repetitive
+    * boilerplate compresses far below natural prose, so a low ratio is a
+    * junk signal. Native codegen'd expression; rows-only for the oracle
+    * (zlib output size is library-specific), cross-checked in OpsSpec. */
+  def compressionRatio(c: Column): Column =
+    graft.functions.NativeFunctions.compress_ratio(c)
+
   // ------------------------------------------- Gopher-style quality rules
 
   /** Share of tokens containing at least one alphabetic character — the

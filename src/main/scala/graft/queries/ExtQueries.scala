@@ -454,6 +454,20 @@ object ExtText extends QueryModule {
         FROM pairs WHERE round(CAST(inter AS DOUBLE) / sz_p, 4) >= 0.6
         ORDER BY corpus_id, probe_id""")),
 
+    // zlib output size is library-specific → rows-only; OpsSpec pins the
+    // discriminative behavior (repetitive ≪ natural prose)
+    QueryDef(
+      "ext_text_compress",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            round(TextOps.compressionRatio($"text"), 4).as("compress_ratio"),
+            (TextOps.compressionRatio($"text") < 0.3).as("is_repetitive"))
+          .orderBy($"doc_id")
+      },
+      None),
+
     QueryDef(
       "ext_text_gopher_rules",
       (s, dir) => {

@@ -60,6 +60,18 @@ class CodegenSpec extends AnyFunSuite {
     assert(proj(InternalRow(a, b)).getDouble(0) == 32.0)
   }
 
+  test("compress_ratio generated code compiles; repetitive text scores low") {
+    val strRef = BoundReference(0, StringType, nullable = true)
+    val proj = GenerateUnsafeProjection.generate(Seq(CompressRatio(strRef)))
+    def ratio(s: String): Double =
+      proj(InternalRow(UTF8String.fromString(s))).getDouble(0)
+    val repetitive = "buy now! " * 200
+    val prose = (1 to 200).map(i => s"sentence$i about topic${i * 7 % 13}").mkString(" ")
+    assert(ratio(repetitive) < 0.1)
+    assert(ratio(prose) > ratio(repetitive) * 2)
+    assert(ratio("") == 1.0)
+  }
+
   test("unicode_normalize generated code compiles; NFC/NFKC/casefold correct") {
     val strRef = BoundReference(0, StringType, nullable = true)
     def run(form: String, casefold: Boolean, in: String): String = {
