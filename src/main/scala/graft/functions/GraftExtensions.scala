@@ -69,6 +69,13 @@ object GraftFunctions {
         arity("simhash64", args, 1 to 1)
         SimHash64(args.head)
       }),
+    (FunctionIdentifier("approx_top_k"),
+      new ExpressionInfo(classOf[ApproxTopK].getName, "approx_top_k"),
+      (args: Seq[Expression]) => {
+        arity("approx_top_k", args, 3 to 3)
+        ApproxTopK(args.head, intLit("approx_top_k", "k", args(1)),
+          intLit("approx_top_k", "capacity", args(2))).toAggregateExpression()
+      }),
     (FunctionIdentifier("compress_ratio"),
       new ExpressionInfo(classOf[CompressRatio].getName, "compress_ratio"),
       (args: Seq[Expression]) => {

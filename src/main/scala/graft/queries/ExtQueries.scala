@@ -454,6 +454,21 @@ object ExtText extends QueryModule {
         FROM pairs WHERE round(CAST(inter AS DOUBLE) / sz_p, 4) >= 0.6
         ORDER BY corpus_id, probe_id""")),
 
+    // Misra-Gries counts are merge-order-dependent in their error term →
+    // rows-only; ApproxTopKSpec pins the containment/bound guarantees
+    QueryDef(
+      "ext_text_top_terms_approx",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select(explode(TextOps.tokens($"text")).as("term"))
+          .filter(length($"term") > 0)
+          .agg(graft.functions.ApproxTopK.approx_top_k($"term", 20, 400).as("top"))
+          .select(explode($"top").as("t"))
+          .select($"t.term".as("term"), $"t.approx_count".as("approx_count"))
+      },
+      None),
+
     // zlib output size is library-specific → rows-only; OpsSpec pins the
     // discriminative behavior (repetitive ≪ natural prose)
     QueryDef(
