@@ -85,4 +85,41 @@ object IvfOps {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
   }
+
+  // ------------------------------------------------------ persisted index
+
+  /** Materialize the IVF index at rest: cell-assign every vector and write
+    * Hive-partitioned by cell. At 100 TB this is the whole point of IVF —
+    * a probe reads ONLY its nprobe cell directories (partition pruning at
+    * the source), so per-query scan cost is nprobe/numCells of the corpus.
+    * Returns the centroid matrix the probes need. */
+  def writeIndex(
+      df: DataFrame, id: Column, vec: Column,
+      path: String, numCells: Int = 16): Array[Array[Double]] = {
+    val centroids = trainCentroids(df, id, vec, numCells)
+    assignCells(df.select(id.as("n_id"), VectorOps.vecD(vec).as("n_v")),
+        col("n_v"), centroids)
+      .withColumn("n_n", VectorOps.l2norm(col("n_v")))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    centroids
+  }
+
+  /** Probe the persisted index: `cell IN (nprobe nearest cells)` prunes to
+    * those partition directories before any row is read. */
+  def probeIndex(
+      spark: SparkSession, path: String, centroids: Array[Array[Double]],
+      qVec: Seq[Double], k: Int, nprobe: Int = 4): DataFrame = {
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
+      .sortBy(_._1).take(nprobe).map(_._2)
+    val qArr = array(qVec.map(lit(_)): _*)
+    val qNorm = math.sqrt(qVec.map(x => x * x).sum)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells.toSeq: _*))
+      .withColumn("cosine",
+        VectorOps.dot(qArr, col("n_v")) / (lit(qNorm) * col("n_n")))
+      .orderBy(col("cosine").desc, col("n_id"))
+      .limit(k)
+      .select(col("n_id"), col("cosine"))
+  }
 }

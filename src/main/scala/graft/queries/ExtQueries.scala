@@ -215,6 +215,23 @@ object ExtSimilarity extends QueryModule {
       },
       None),
 
+    // persisted IVF layout: cell-partitioned parquet + partition-pruned
+    // probe (IvfIndexSpec proves the pruning). Deterministic centroids →
+    // deterministic result; rows-only (iterative training isn't one SQL
+    // statement).
+    QueryDef(
+      "ext_ann_ivf_persisted",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
+        val centroids = IvfOps.writeIndex(emb, $"vec_id", $"embedding", idxDir, 16)
+        val qVec = emb.orderBy($"vec_id").limit(1)
+          .select(graft.ops.VectorOps.vecD($"embedding")).head().getSeq[Double](0)
+        IvfOps.probeIndex(s, idxDir, centroids, qVec, k = 10, nprobe = 6)
+      },
+      None),
+
     // ---- per-label centroids (embedding pooling): posexplode to
     // (label, dim, value) grain, one hash aggregate — the distributed mean
     // that k-means/IVF training and class-prototype computation need. At

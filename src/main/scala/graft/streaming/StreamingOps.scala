@@ -118,6 +118,29 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicates("user_id", "event_type")
 
+  /** Streaming corpus ingest: the batch `pl_corpus_clean` shape on an
+    * unbounded document stream — per-row classify (lang/quality/fingerprint,
+    * all codegen'd, shuffle-free) → quality gate → fingerprint dedup whose
+    * state is bounded by the watermark horizon. This is how the cleaning
+    * pipeline runs CONTINUOUSLY at ingest time instead of as a nightly
+    * batch; survivors append to the curated sink. Batch twin for parity:
+    * the same classify+filter with row_number()=1 per fingerprint. */
+  def corpusCleanStream(
+      spark: SparkSession,
+      schema: StructType,
+      path: String,
+      watermark: String = "24 hours"): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(path)
+      .withColumn("lang_guess", graft.ops.TextOps.langId(col("text")))
+      .withColumn("quality", graft.ops.TextOps.qualityScore(col("text")))
+      .withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
+      .filter(col("lang_guess") === "en" && col("quality") >= 0.5)
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicates("fp")
+      .select(col("doc_id"), col("source"), col("quality"), col("fp"))
+
   /** Stream-stream inner join: each purchase joined to the same user's view
     * events in the preceding hour. Both sides carry watermarks and the join
     * condition bounds event-time distance, so Spark can evict buffered rows

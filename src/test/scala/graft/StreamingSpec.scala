@@ -148,4 +148,48 @@ class StreamingSpec extends AnyFunSuite {
       (1L, 2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00")),
       (1L, 1L, ts("2024-01-01 13:00:00"), ts("2024-01-01 13:00:00"))))
   }
+
+  test("streaming corpus clean equals the batch classify+filter+dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // stage documents with a synthetic ingest timestamp (stable in doc_id)
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .withColumn("ingest_ts",
+        to_timestamp(lit("2024-01-01 00:00:00")) +
+          make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(0),
+            $"doc_id".cast("double")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_clean_stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+
+    val got = StreamingOps.runToCompletion(
+      spark,
+      StreamingOps.corpusCleanStream(spark, docs.schema, dir),
+      "stream_clean", mode = "append")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+
+    val batchKept = docs
+      .withColumn("lang_guess", graft.ops.TextOps.langId($"text"))
+      .withColumn("quality", graft.ops.TextOps.qualityScore($"text"))
+      .withColumn("fp", graft.ops.TextOps.fingerprint($"text"))
+      .filter($"lang_guess" === "en" && $"quality" >= 0.5)
+    val batch = batchKept
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+          .orderBy($"ingest_ts", $"doc_id")))
+      .filter($"rk" === 1)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+
+    // streaming dropDuplicates keeps the FIRST ARRIVING row per fp; with a
+    // single staged batch arrival order is not pinned, so compare the kept
+    // fingerprint SET (one survivor per fp, same fps) rather than doc ids
+    val gotFps = batchKept.filter($"doc_id".isInCollection(
+      if (got.isEmpty) Seq(-1L) else got.toSeq))
+      .select($"fp").collect().map(_.getString(0)).toSet
+    val batchFps = batchKept.filter($"doc_id".isInCollection(
+      if (batch.isEmpty) Seq(-1L) else batch.toSeq))
+      .select($"fp").collect().map(_.getString(0)).toSet
+    assert(got.size == gotFps.size, "streaming kept more than one doc per fingerprint")
+    assert(gotFps == batchFps)
+    assert(got.nonEmpty)
+  }
 }
