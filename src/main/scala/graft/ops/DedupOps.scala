@@ -22,6 +22,34 @@ import graft.functions.SimHash64
   */
 object DedupOps {
 
+  /** Cross-doc substring coverage — the per-doc share of its positional
+    * word n-grams that also appear in ANOTHER doc. The Lee et al. exact-
+    * substring-dedup signal, at n-gram (not suffix-array) granularity: a
+    * high ratio means the doc is mostly boilerplate shared across the
+    * corpus. Positional grams (NOT distinct) in the numerator/denominator;
+    * sharedness via a distinct-gram document-frequency cut. Shuffles: gram
+    * df aggregate + left-semi membership join + per-doc aggregate. */
+  def substringCoverage(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val grams = df
+      .select(id.as("doc_id"), graft.ops.TextOps.tokens(text).as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(tk) - $n + 1), " +
+          s"i -> concat_ws(' ', slice(tk, i, $n)))")).as("gram"))
+    val shared = grams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("docs"))
+      .filter(col("docs") >= 2)
+      .select(col("gram"))
+    val marked = grams.join(shared, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("shared_grams"))
+    grams.groupBy(col("doc_id")).agg(count(lit(1)).as("total_grams"))
+      .join(marked, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("shared_grams"), lit(0L)).cast("double") /
+          col("total_grams").cast("double"), 6).as("shared_ratio"),
+        col("total_grams"))
+  }
+
   /** Exact dedup: one surviving row (min id) per key + duplicate count.
     * `groupBy` gives partial aggregation before the shuffle. */
   def exactDedup(df: DataFrame, key: Column, id: Column): DataFrame =

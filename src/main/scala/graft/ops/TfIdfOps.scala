@@ -42,4 +42,31 @@ object TfIdfOps {
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tfidf"), 6).as("tfidf"), col("term_rank"))
   }
+
+  /** Corpus-bigram log-probability per document — the classic cheap fluency
+    * signal (a KenLM stand-in computable in pure SQL): score(doc) = mean
+    * over its bigrams of ln(count(w1 w2) / count(w1 ·)), with counts taken
+    * from the corpus itself (so no zero probabilities). Gibberish scores
+    * far below template prose.
+    *
+    * Scale shape: bigram and unigram-context counts are two combinable
+    * aggregates; the per-doc score is a join on bigram (AQE broadcasts when
+    * the vocab is small) plus one doc-keyed aggregate.
+    */
+  def bigramLogProb(docs: DataFrame, docId: Column, text: Column): DataFrame = {
+    val toks = docs.select(docId.as("doc_id"), TextOps.tokens(text).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val grams = toks.select(col("doc_id"),
+      explode(expr("transform(sequence(1, size(tk) - 1), " +
+        "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"))
+        .as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val bi = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = bi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    grams.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(col("c12").cast("double") / col("c1").cast("double"))), 6)
+        .as("avg_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
 }

@@ -102,6 +102,40 @@ object ExtDedup extends QueryModule {
       },
       None),
 
+    // ---- cross-doc substring coverage: share of each doc's positional
+    // 5-grams that appear in another doc (Lee et al.-style exact-substring
+    // boilerplate signal at n-gram granularity) ----
+    QueryDef(
+      "ext_dedup_substring_shared",
+      (s, dir) => {
+        import s.implicits._
+        DedupOps.substringCoverage(Tables.load(s, dir, "documents"),
+            $"doc_id", $"text", n = 5)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        t2 AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 5),
+        grams AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(tk) - 3),
+              i -> array_to_string(tk[i:i+4], ' '))) AS gram
+          FROM t2),
+        shared AS (
+          SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM grams)
+          GROUP BY gram HAVING count(*) >= 2),
+        num AS (
+          SELECT doc_id, count(*) AS shared_grams FROM grams
+          WHERE gram IN (SELECT gram FROM shared) GROUP BY doc_id),
+        den AS (SELECT doc_id, count(*) AS total_grams FROM grams GROUP BY doc_id)
+        SELECT den.doc_id AS doc_id,
+          round(CAST(coalesce(shared_grams, 0) AS DOUBLE) / total_grams, 6)
+            AS shared_ratio,
+          total_grams
+        FROM den LEFT JOIN num ON den.doc_id = num.doc_id
+        ORDER BY doc_id""")),
+
     // ---- pairs → clusters: connected components over the Jaccard near-dup
     // pair list, canonical keeper = min doc id per component. Oracle is a
     // DuckDB recursive-CTE label closure over the identical edge list ----
@@ -555,6 +589,31 @@ object ExtText extends QueryModule {
       Some("""SELECT doc_id, nfc_normalize(text) AS norm_text,
         nfc_normalize(text) = text AS was_nfc
         FROM documents ORDER BY doc_id""")),
+
+    QueryDef(
+      "ext_text_bigram_logprob",
+      (s, dir) => {
+        import s.implicits._
+        TfIdfOps.bigramLogProb(Tables.load(s, dir, "documents"), $"doc_id", $"text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        t2 AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 2),
+        grams AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(tk)),
+              i -> {'w1': tk[i], 'w2': tk[i + 1]}), recursive := true)
+          FROM t2),
+        bi AS (SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY 1, 2),
+        uni AS (SELECT w1, sum(c12) AS c1 FROM bi GROUP BY 1)
+        SELECT doc_id,
+          round(avg(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))), 6)
+            AS avg_logprob,
+          count(*) AS n_bigrams
+        FROM grams JOIN bi USING (w1, w2) JOIN uni USING (w1)
+        GROUP BY doc_id ORDER BY doc_id""")),
 
     QueryDef(
       "ext_text_tfidf",
