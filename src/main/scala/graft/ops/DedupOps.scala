@@ -36,13 +36,17 @@ object DedupOps {
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(1, size(tk) - $n + 1), " +
           s"i -> concat_ws(' ', slice(tk, i, $n)))")).as("gram"))
-    val shared = grams.select(col("doc_id"), col("gram")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("docs"))
+    // collapse to per-(doc, gram) counts FIRST — the explode feeds exactly
+    // one shuffle, and every later stage works on the far smaller count
+    // table instead of re-scanning the corpus
+    val g = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val shared = g.groupBy(col("gram")).agg(count(lit(1)).as("docs"))
       .filter(col("docs") >= 2)
       .select(col("gram"))
-    val marked = grams.join(shared, Seq("gram"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("shared_grams"))
-    grams.groupBy(col("doc_id")).agg(count(lit(1)).as("total_grams"))
+    val marked = g.join(shared, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("cnt")).as("shared_grams"))
+    g.groupBy(col("doc_id")).agg(sum(col("cnt")).as("total_grams"))
       .join(marked, Seq("doc_id"), "left")
       .select(col("doc_id"),
         round(coalesce(col("shared_grams"), lit(0L)).cast("double") /
