@@ -401,9 +401,15 @@ final class GraftSession(
     q.substring(toIdx + 2).trim match {
       case CopyToRe(path, optStr) =>
         val opts = Option(optStr).map(parseOptions).getOrElse(Map.empty)
-        val df =
+        val df0 =
           if (src.startsWith("(")) sql(src.substring(1, src.length - 1))
           else sql(s"SELECT * FROM $src")
+        // observe the exported count on the WRITE pass itself — re-running
+        // the query for a count would double the cost and, for a
+        // nondeterministic source, report a count that doesn't match the
+        // rows actually written
+        val obs = new org.apache.spark.sql.Observation()
+        val df = df0.observe(obs, count(lit(1)).as("n"))
         val out = pathResolver(path)
         var w = df.write.mode("overwrite")
         opts.get("partition_by").foreach { cols =>
@@ -420,7 +426,7 @@ final class GraftSession(
             .csv(out)
           case other => sys.error(s"unsupported COPY TO format: $other")
         }
-        countBatch(df.count())
+        countBatch(obs.get("n").asInstanceOf[Long])
       case other => sys.error(s"cannot parse COPY TO target: $other")
     }
   }

@@ -52,7 +52,7 @@ case class ApproxTopK(
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(s"approx_top_k requires string, got $other")
+    case other => TypeCheckResult.TypeCheckFailure(s"mg_top_k requires string, got $other")
   }
 
   override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
@@ -137,12 +137,12 @@ case class ApproxTopK(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): ApproxTopK =
     copy(child = newChildren.head)
-  override def prettyName: String = "approx_top_k"
+  override def prettyName: String = "mg_top_k"
 }
 
 object ApproxTopK {
   import org.apache.spark.sql.graftshim._
 
-  def approx_top_k(c: Column, k: Int, capacity: Int): Column =
+  def mg_top_k(c: Column, k: Int, capacity: Int): Column =
     columnOf(ApproxTopK(expressionOf(c), k, capacity).toAggregateExpression())
 }

@@ -69,12 +69,15 @@ object GraftFunctions {
         arity("simhash64", args, 1 to 1)
         SimHash64(args.head)
       }),
-    (FunctionIdentifier("approx_top_k"),
-      new ExpressionInfo(classOf[ApproxTopK].getName, "approx_top_k"),
+    // "mg_top_k", not "approx_top_k" — Spark 4 ships a builtin of that name
+    // with a different contract (optional args, any type); shadowing it
+    // would silently break builtin-style calls through the front door
+    (FunctionIdentifier("mg_top_k"),
+      new ExpressionInfo(classOf[ApproxTopK].getName, "mg_top_k"),
       (args: Seq[Expression]) => {
-        arity("approx_top_k", args, 3 to 3)
-        ApproxTopK(args.head, intLit("approx_top_k", "k", args(1)),
-          intLit("approx_top_k", "capacity", args(2))).toAggregateExpression()
+        arity("mg_top_k", args, 3 to 3)
+        ApproxTopK(args.head, intLit("mg_top_k", "k", args(1)),
+          intLit("mg_top_k", "capacity", args(2))).toAggregateExpression()
       }),
     (FunctionIdentifier("compress_ratio"),
       new ExpressionInfo(classOf[CompressRatio].getName, "compress_ratio"),

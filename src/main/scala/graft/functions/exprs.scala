@@ -118,6 +118,40 @@ object Exprs {
       if (casefold) normalized.toLowerCase(java.util.Locale.ROOT) else normalized)
   }
 
+  /** BPE token count: whitespace-tokenize lowercased text, split each word
+    * to characters, apply the learned merges in rank order (greedy
+    * left-to-right per merge), return the total symbol count. Imperative so
+    * the cost is O(tokens × merges) with NO expression-tree growth — the
+    * HOF formulation nests one aggregate() per merge and collapses at
+    * realistic vocabulary sizes (codegen 64KB limit, analyzer blowup). */
+  def bpeEncodeCount(s: UTF8String, merges: Array[Array[String]]): Int = {
+    var total = 0
+    val words = s.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        var syms = w.map(_.toString).toArray
+        var mi = 0
+        while (mi < merges.length && syms.length > 1) {
+          val l = merges(mi)(0); val r = merges(mi)(1)
+          val out = new mutable.ArrayBuffer[String](syms.length)
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toArray
+          mi += 1
+        }
+        total += syms.length
+      }
+      wi += 1
+    }
+    total
+  }
+
   /** Deflate-compressibility ratio (compressed/original bytes, level 6,
     * raw stream): the classic cheap junk detector — repetitive boilerplate
     * compresses far below natural prose. Empty input → 1.0. Only the
@@ -198,6 +232,26 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "dot_product"
 }
 
+case class BpeEncodeCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  @transient private lazy val mergesArr: Array[Array[String]] =
+    merges.map { case (l, r) => Array(l, r) }.toArray
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"bpe_encode_count requires string, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Exprs.bpeEncodeCount(input.asInstanceOf[UTF8String], mergesArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", mergesArr, "java.lang.String[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Exprs.bpeEncodeCount($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeCount =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_encode_count"
+}
+
 case class CompressRatio(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -238,4 +292,6 @@ object NativeFunctions {
   def unicode_normalize(c: Column, form: String = "NFC", casefold: Boolean = false): Column =
     columnOf(UnicodeNormalize(expressionOf(c), form, casefold))
   def compress_ratio(c: Column): Column = columnOf(CompressRatio(expressionOf(c)))
+  def bpe_encode_count(c: Column, merges: Seq[(String, String)]): Column =
+    columnOf(BpeEncodeCount(expressionOf(c), merges))
 }

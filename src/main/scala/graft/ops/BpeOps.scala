@@ -102,17 +102,12 @@ object BpeOps {
   /** Encode: token count per document under the learned vocabulary.
     * Tokenization matches training exactly — whitespace-split words, each
     * encoded independently (merges never cross word boundaries), counts
-    * summed. Pure column expression: no shuffle, no UDF. */
-  def encodeTokenCount(text: Column, merges: Seq[Merge]): Column = {
-    val words = filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
-    aggregate(
-      words,
-      lit(0),
-      (acc, w) => {
-        val encoded = merges.foldLeft(split(w, "")) { (syms, m) =>
-          mergePair(syms, m.left, m.right)
-        }
-        acc + size(encoded)
-      })
-  }
+    * summed. Native imperative expression ([[graft.functions.BpeEncodeCount]]):
+    * a column-HOF formulation would nest one aggregate() per merge, whose
+    * expression tree collapses at realistic vocabulary sizes (thousands of
+    * merges); the native expression is O(tokens × merges) with a
+    * constant-size plan. */
+  def encodeTokenCount(text: Column, merges: Seq[Merge]): Column =
+    graft.functions.NativeFunctions.bpe_encode_count(
+      text, merges.map(m => (m.left, m.right)))
 }

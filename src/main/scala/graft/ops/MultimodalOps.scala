@@ -60,12 +60,18 @@ object MultimodalOps {
     var i = 2
     while (i + 9 < b.length) {
       if (u8(i) != 0xff) return None
-      val marker = u8(i + 1)
-      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
-      else if (marker >= 0xc0 && marker <= 0xcf &&
-               marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
-        return Some(("jpeg", be16(i + 7), be16(i + 5)))
-      else i += 2 + be16(i + 2)
+      // JPEG permits any number of 0xFF fill bytes before a marker —
+      // skip them instead of misreading the fill byte as a marker whose
+      // "length" field lands the scan mid-stream
+      if (u8(i + 1) == 0xff) i += 1
+      else {
+        val marker = u8(i + 1)
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+        else if (marker >= 0xc0 && marker <= 0xcf &&
+                 marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          return Some(("jpeg", be16(i + 7), be16(i + 5)))
+        else i += 2 + be16(i + 2)
+      }
     }
     None
   }
@@ -77,15 +83,15 @@ object MultimodalOps {
       col(id).cast("long").as("doc_id"),
       encode(col(payloadSrc), "UTF-8").as("payload"))
 
-  /** STUB decoder — deterministic fake of an image decode. Replace the body
-    * with a real codec to productionize; signature and batch shape stay. */
-  def decodeStub(payload: Array[Byte]): (Int, Int, Double) = {
+  /** STUB decoder — deterministic fake of an image decode (dimensions
+    * only; the caller computes the byte-mean "feature" in the same pass as
+    * its checksum). Replace the body with a real codec to productionize;
+    * signature and batch shape stay. */
+  def decodeStub(payload: Array[Byte]): (Int, Int) = {
     val h = graft.functions.SimHash64.fnv1a64(payload)
     val width = 64 + (math.abs(h) % 1024).toInt
     val height = 64 + (math.abs(h >> 32) % 1024).toInt
-    // "feature" = mean byte value — a stand-in for a pooled embedding
-    val mean = if (payload.isEmpty) 0.0 else payload.map(b => (b & 0xff).toDouble).sum / payload.length
-    (width, height, mean)
+    (width, height)
   }
 
   /** Partition-parallel batch decode: one task per partition, rows streamed
@@ -107,7 +113,7 @@ object MultimodalOps {
             case Some((fmt, w, h)) =>
               MediaMeta(id, bytes.length.toLong, sum, fmt, w, h, mean)
             case None =>
-              val (w, h, _) = decodeStub(bytes)
+              val (w, h) = decodeStub(bytes)
               MediaMeta(id, bytes.length.toLong, sum, "raw", w, h, mean)
           }
         }

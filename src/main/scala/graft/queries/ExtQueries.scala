@@ -258,7 +258,11 @@ object ExtSimilarity extends QueryModule {
       (s, dir) => {
         import s.implicits._
         val emb = Tables.load(s, dir, "embeddings")
-        val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
+        // stable per-sf-dir location (mode=overwrite) — a fresh temp dir
+        // per run would leave an index copy behind on every execution
+        val idxDir = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          s"graft_ivf_persisted_${math.abs(dir.hashCode)}").toString
         val centroids = IvfOps.writeIndex(emb, $"vec_id", $"embedding", idxDir, 16)
         val qVec = emb.orderBy($"vec_id").limit(1)
           .select(graft.ops.VectorOps.vecD($"embedding")).head().getSeq[Double](0)
@@ -514,7 +518,7 @@ object ExtText extends QueryModule {
         Tables.load(s, dir, "documents")
           .select(explode(TextOps.tokens($"text")).as("term"))
           .filter(length($"term") > 0)
-          .agg(graft.functions.ApproxTopK.approx_top_k($"term", 20, 400).as("top"))
+          .agg(graft.functions.ApproxTopK.mg_top_k($"term", 20, 400).as("top"))
           .select(explode($"top").as("t"))
           .select($"t.term".as("term"), $"t.approx_count".as("approx_count"))
       },

@@ -103,10 +103,13 @@ object StreamingOps {
   }
 
   /** Watermarked streaming deduplication: first event wins per key.
-    * `dropDuplicates` with a watermark bounds the dedup state to the
-    * watermark horizon — the only formulation that survives an unbounded
-    * stream (unbounded-key dedup state otherwise grows forever). Batch twin
-    * for parity tests: groupBy(key).agg(min(...)) / row_number()=1. */
+    * `dropDuplicatesWithinWatermark` is the formulation whose state Spark
+    * actually EVICTS at the watermark horizon when the event-time column is
+    * not part of the dedup key — plain `dropDuplicates("k")` under a
+    * watermark keeps every key forever (eviction only triggers when the
+    * event-time column is among the keys), which silently grows state
+    * without bound on a real stream. Batch twin for parity tests:
+    * groupBy(key).agg(min(...)) / row_number()=1. */
   def dedupFirstEvent(
       spark: SparkSession,
       schema: StructType,
@@ -116,7 +119,7 @@ object StreamingOps {
       .schema(schema)
       .parquet(path)
       .withWatermark("ts", watermark)
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   /** Streaming corpus ingest: the batch `pl_corpus_clean` shape on an
     * unbounded document stream — per-row classify (lang/quality/fingerprint,
@@ -124,7 +127,9 @@ object StreamingOps {
     * state is bounded by the watermark horizon. This is how the cleaning
     * pipeline runs CONTINUOUSLY at ingest time instead of as a nightly
     * batch; survivors append to the curated sink. Batch twin for parity:
-    * the same classify+filter with row_number()=1 per fingerprint. */
+    * the same classify+filter with row_number()=1 per fingerprint.
+    * Dedup state is evicted at the watermark via
+    * `dropDuplicatesWithinWatermark` (see [[dedupFirstEvent]]). */
   def corpusCleanStream(
       spark: SparkSession,
       schema: StructType,
@@ -138,7 +143,7 @@ object StreamingOps {
       .withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
       .filter(col("lang_guess") === "en" && col("quality") >= 0.5)
       .withWatermark("ingest_ts", watermark)
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
       .select(col("doc_id"), col("source"), col("quality"), col("fp"))
 
   /** Stream-stream inner join: each purchase joined to the same user's view

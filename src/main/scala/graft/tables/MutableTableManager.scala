@@ -196,11 +196,23 @@ final class MutableTableManager(spark: SparkSession) {
         .as(f.name)
     }
 
+    // ONE execution of the join: materialize projection + marks together,
+    // then derive both the affected counts and the stored table from the
+    // checkpoint. Separate count() actions would re-run the join (up to 3×
+    // the cost, and inconsistent counts for a nondeterministic source).
+    val full = j
+      .select((outCols.toIndexedSeq :+ matched.as("__matched")
+        :+ sourceOnly.as("__source_only") :+ keep.as("__keep")): _*)
+      .localCheckpoint()
+    val counts = full.agg(
+      coalesce(sum(when(col("__matched"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("__source_only"), 1L).otherwise(0L)), lit(0L))).head()
     val affected =
-      (if (updateSet.isDefined || matchedDelete) j.filter(matched).count() else 0L) +
-        (if (insert.isDefined) j.filter(sourceOnly).count() else 0L)
-    val merged = j.filter(keep).select(outCols.toIndexedSeq: _*)
-    put(key, st.copy(df = checkpointed(merged, st.mutations), mutations = st.mutations + 1))
+      (if (updateSet.isDefined || matchedDelete) counts.getLong(0) else 0L) +
+        (if (insert.isDefined) counts.getLong(1) else 0L)
+    val merged = full.filter(col("__keep"))
+      .select(st.schema.fieldNames.map(col).toIndexedSeq: _*)
+    put(key, st.copy(df = merged, mutations = st.mutations + 1))
     affected
   }
 

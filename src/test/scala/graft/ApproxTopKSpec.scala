@@ -25,7 +25,7 @@ class ApproxTopKSpec extends AnyFunSuite {
     val n = 3000L
     val capacity = 100
     val got = fixture.repartition(8)
-      .agg(ApproxTopK.approx_top_k($"term", 3, capacity).as("top"))
+      .agg(ApproxTopK.mg_top_k($"term", 3, capacity).as("top"))
       .select(explode($"top").as("t")).select($"t.term", $"t.approx_count")
       .collect().map(r => r.getString(0) -> r.getLong(1))
     // true freq > N/capacity = 30 → hot1/hot2/warm guaranteed present
@@ -39,7 +39,7 @@ class ApproxTopKSpec extends AnyFunSuite {
 
   test("single partition gives exact counts when vocabulary fits capacity") {
     val got = Seq("a", "b", "a", "c", "a", "b").toDF("term").coalesce(1)
-      .agg(ApproxTopK.approx_top_k($"term", 2, 10).as("top"))
+      .agg(ApproxTopK.mg_top_k($"term", 2, 10).as("top"))
       .select(explode($"top").as("t")).select($"t.term", $"t.approx_count")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     assert(got == Seq("a" -> 3L, "b" -> 2L))
@@ -54,7 +54,11 @@ class ApproxTopKSpec extends AnyFunSuite {
     (Seq.fill(100)("hot1") ++ (1 to 50).map(i => s"tail$i")).toDF("term")
       .createOrReplaceTempView("topk_fixture")
     val top = s.sql(
-      "SELECT inline(approx_top_k(term, 1, 50)) FROM topk_fixture").head()
+      "SELECT inline(mg_top_k(term, 1, 50)) FROM topk_fixture").head()
     assert(top.getString(0) == "hot1")
+    // Spark's builtin approx_top_k is NOT shadowed by the registration
+    val builtin = s.sql(
+      "SELECT approx_top_k(term) FROM topk_fixture").head()
+    assert(!builtin.isNullAt(0))
   }
 }

@@ -207,6 +207,14 @@ class OpsSpec extends AnyFunSuite {
       0x03, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).map(_.toByte)
     assert(MultimodalOps.imageDims(jpeg).contains(("jpeg", 1920, 1080)))
 
+    // JPEG with 0xFF fill bytes between segments (legal padding) — the
+    // fill byte must be skipped, not parsed as a marker with a length
+    val jpegPadded = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xe0, 0x00, 0x04,
+      0x00, 0x00, 0xff, 0xff, 0xc0, 0x00, 0x11, 0x08,
+      0x04, 0x38, 0x07, 0x80,
+      0x03, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).map(_.toByte)
+    assert(MultimodalOps.imageDims(jpegPadded).contains(("jpeg", 1920, 1080)))
+
     // non-image bytes → None (stub path)
     assert(MultimodalOps.imageDims("hello world plain text".getBytes).isEmpty)
 
