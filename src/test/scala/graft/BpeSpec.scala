@@ -98,6 +98,21 @@ class BpeSpec extends AnyFunSuite {
       assert(got(doc) == refEncodeCount(doc, merges), s"doc: $doc")
   }
 
+  test("encode scales to realistic vocabulary sizes (800 merges, one plan)") {
+    // the native imperative expression must handle vocab-scale merge lists
+    // (the HOF formulation nested one aggregate() per merge and collapsed);
+    // most of these merges never fire — the point is plan size, not effect
+    val real = refTrain(corpus, 10)
+    val filler = (0 until 790).map(i => (s"zz${i}a", s"zz${i}b", 1L))
+    val merges = (real ++ filler).zipWithIndex
+      .map { case ((l, r, f), i) => BpeOps.Merge(i, l, r, f) }
+    val got = corpus.toDF("text")
+      .select($"text", BpeOps.encodeTokenCount($"text", merges).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    for (doc <- corpus)
+      assert(got(doc) == refEncodeCount(doc, real), s"doc: $doc")
+  }
+
   test("merges shrink token counts monotonically vs character baseline") {
     val df = corpus.toDF("text")
     val merges = BpeOps.train(spark, df, $"text", k = 8)
