@@ -119,4 +119,23 @@ object MultimodalOps {
         }
       }
   }
+
+  /** Video frame sampling plumbing: each payload expands to `n` evenly-
+    * spaced frame rows (frame index, presentation timestamp at `fps`, and a
+    * per-frame fingerprint). The row expansion is a codegen'd posexplode —
+    * no shuffle, scales linearly with payload count × n. The per-frame
+    * fingerprint md5(payload ∥ ':' ∥ idx) STANDS IN for the decoded frame
+    * (no video codec in this container): a real decoder replaces that one
+    * expression with a mapPartitions batch decode, exactly like
+    * [[decodeStub]] — schema, partitioning, and expansion shape stay. */
+  def sampleFrames(media: DataFrame, n: Int, fps: Double = 1.0): DataFrame =
+    media.select(col("doc_id"), col("payload"),
+        posexplode(sequence(lit(0), lit(n - 1))).as(Seq("pos", "frame_idx")))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        round(col("frame_idx") / fps, 3).as("frame_ts"),
+        md5(concat(col("payload"),
+          encode(concat(lit(":"), col("frame_idx").cast("string")), "UTF-8")))
+          .as("frame_sig"))
 }

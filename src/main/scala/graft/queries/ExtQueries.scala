@@ -668,6 +668,24 @@ object ExtMultimodal extends QueryModule {
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         md5(text) AS checksum FROM documents ORDER BY doc_id""")),
 
+    // frame-sampling plumbing: payload → n frame rows via codegen'd
+    // posexplode; the md5 frame fingerprint stands in for the decoded
+    // frame (no codec in-container) and makes the expansion oracle-checkable
+    QueryDef(
+      "ext_multimodal_frames",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asBinaryPayload(
+          Tables.load(s, dir, "documents").filter($"doc_id" < 50), "doc_id", "text")
+        MultimodalOps.sampleFrames(media, n = 4, fps = 2.0)
+          .orderBy($"doc_id", $"frame_idx")
+      },
+      Some("""SELECT doc_id, CAST(i AS INT) AS frame_idx,
+          round(i / 2.0, 3) AS frame_ts,
+          md5(text || ':' || CAST(i AS VARCHAR)) AS frame_sig
+        FROM documents, unnest([0, 1, 2, 3]) AS f(i)
+        WHERE doc_id < 50 ORDER BY doc_id, frame_idx""")),
+
     // Stubbed decode (no codecs in-container): deterministic fake features,
     // real partition-parallel plumbing. Rows-only + SparkMultimodalSpec.
     QueryDef(
