@@ -110,6 +110,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("bigram logprob and substring coverage: key-equi joins only, no cartesian") {
+    for (q <- Seq("ext_text_bigram_logprob", "ext_dedup_substring_shared")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the q1 aggregation") {
     // AQE finalizes (and annotates codegen stages) only after execution.
     val df = Registry.queries("q1_pricing_summary")(spark, TestSpark.sfDir)
