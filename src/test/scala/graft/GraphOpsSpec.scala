@@ -33,6 +33,28 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == Set((10L, 10L, true), (11L, 10L, false), (12L, 10L, false)))
   }
 
+  test("random graphs match a union-find reference (seeded)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 24
+      val edges = (0 until 40).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      // union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for ((a, b) <- edges) parent(find(a.toInt)) = find(b.toInt)
+      val want = (0 until n).map { v =>
+        v.toLong -> (0 until n).filter(u => find(u) == find(v)).min.toLong
+      }.toMap
+
+      val got = GraphOps.connectedComponents(
+        (0L until n.toLong).toDF("id"), edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("clusters over driver jaccard pairs: every pair lands in one cluster") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text", 3, 0.8).cache()
