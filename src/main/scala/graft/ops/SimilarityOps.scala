@@ -59,6 +59,43 @@ object SimilarityOps {
   def lshBuckets(df: DataFrame, vec: Column, planes: Array[Array[Double]]): DataFrame =
     df.withColumn("bucket", lshBucket(VectorOps.vecD(vec), planes))
 
+  /** Approximate k-NN graph over the whole corpus — per vector, its top-k
+    * cosine neighbors among LSH-cohabitant candidates. The adjacency input
+    * for graph-based ANN (HNSW-style), kNN clustering, and outlier
+    * detection. Candidate generation is a bucket equi-join over `tables`
+    * independent sign-bit tables (union → dedup), so the pair space is the
+    * per-bucket cohabitant set, never the n² cartesian; top-k per vector is
+    * a bounded window. Symmetric: each edge (a,b) is scored once per
+    * direction so every vector gets k out-neighbors. */
+  def knnGraph(
+      df: DataFrame, id: Column, vec: Column,
+      k: Int, bits: Int = 6, tables: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(id.as("id"), VectorOps.vecD(vec).as("v"))
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    val withBuckets = (0 until tables).foldLeft(base) { (acc, t) =>
+      acc.withColumn(s"b$t", lshBucket(col("v"), hyperplanes(dim, bits, seed = 100 + t)))
+    }
+    val left = withBuckets.select(
+      (Seq(col("id").as("src"), col("v").as("src_v")) ++
+        (0 until tables).map(t => col(s"b$t").as(s"lb$t"))): _*)
+    val candidates = (0 until tables).map { t =>
+      left.join(
+        withBuckets.select(col("id").as("dst"), col("v").as("dst_v"),
+          col(s"b$t").as(s"rb$t")),
+        col(s"lb$t") === col(s"rb$t") && col("src") =!= col("dst"))
+        .select(col("src"), col("src_v"), col("dst"), col("dst_v"))
+    }.reduce(_ union _).dropDuplicates("src", "dst")
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    candidates
+      .withColumn("cosine",
+        VectorOps.dot(col("src_v"), col("dst_v")) /
+          (VectorOps.l2norm(col("src_v")) * VectorOps.l2norm(col("dst_v"))))
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= k)
+      .select(col("src"), col("nn_rank"), col("dst"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Multi-table LSH ANN: `tables` independent sign-bit tables of `bits`
     * planes each; a candidate is ranked if it shares any table's bucket with
     * the query (multi-probe widens each table's probe set to Hamming ≤ 1).

@@ -249,6 +249,20 @@ object ExtSimilarity extends QueryModule {
       },
       None),
 
+    // approximate kNN graph (HNSW/cluster input): per-vector top-k among
+    // LSH cohabitants — rows-only (bucket cohabitation is seed-specific);
+    // recall vs brute force asserted in OpsSpec
+    QueryDef(
+      "ext_ann_knn_graph",
+      (s, dir) => {
+        import s.implicits._
+        SimilarityOps.knnGraph(
+            Tables.load(s, dir, "embeddings").filter($"vec_id" < 100),
+            $"vec_id", $"embedding", k = 5, bits = 4, tables = 4)
+          .orderBy($"src", $"nn_rank")
+      },
+      None),
+
     // persisted IVF layout: cell-partitioned parquet + partition-pruned
     // probe (IvfIndexSpec proves the pruning). Deterministic centroids →
     // deterministic result; rows-only (iterative training isn't one SQL

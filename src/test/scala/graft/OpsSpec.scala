@@ -227,6 +227,26 @@ class OpsSpec extends AnyFunSuite {
       Seq(("png", 640, 480), ("jpeg", 1920, 1080), ("raw", metas(2).width, metas(2).height)))
   }
 
+  test("knn graph: k out-neighbors per vector, decent recall vs brute force") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    // small fixture (~50 vectors) → few wide buckets; at corpus scale the
+    // caller raises bits to keep per-bucket cohabitant sets bounded
+    val graph = SimilarityOps.knnGraph(emb, $"vec_id", $"embedding", k,
+      bits = 3, tables = 6).cache()
+    val perSrc = graph.groupBy($"src").count().collect()
+    assert(perSrc.nonEmpty && perSrc.forall(_.getLong(1) <= k))
+    // exact per-vector top-k via the brute-force scorer (self-join)
+    val exact = SimilarityOps.bruteForceTopK(emb, emb,
+        $"vec_id", $"embedding", $"vec_id", $"embedding", k)
+      .select($"q_id".as("src"), $"n_id".as("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graph.select($"src", $"dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"knn-graph recall too low: $recall")
+  }
+
   test("int8 quantization: error bounded by scale/2, cosine preserved, zero-safe") {
     import spark.implicits._
     val df = Seq(
