@@ -268,4 +268,70 @@ object DedupOps {
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(k)
   }
+
+  /** Corpus-level repeated-span removal (the CCNet/RefinedWeb line-dedup
+    * step, over fixed token windows instead of newlines so it applies to
+    * unstructured text too): cut each doc into consecutive `lineTokens`-token
+    * lines, drop every line whose distinct-document frequency is >= `minDf`
+    * anywhere in the corpus, and reassemble the survivors in original order.
+    * Output: (id, n_lines, n_kept, clean_text).
+    *
+    * Scale shape: explode -> one df aggregate on the line text -> anti-join
+    * back -> per-doc ordered reassembly. The boilerplate line set is tiny
+    * relative to the corpus (only lines with df >= minDf), so Catalyst
+    * broadcasts the anti-join side; the reassembly groupBy is the only
+    * full-width shuffle and carries (id, idx, line) — never whole docs. */
+  def lineDedup(df: DataFrame, id: Column, text: Column,
+      lineTokens: Int = 8, minDf: Int = 2): DataFrame = {
+    val toks = split(text, " ")
+    val nLines = ceil(size(toks).cast("double") / lineTokens).cast("int")
+    val linesArr = transform(sequence(lit(0), nLines - 1),
+      i => array_join(slice(toks, i * lineTokens + 1, lit(lineTokens)), " "))
+    val lines = df
+      .select(id.as("id"), posexplode(linesArr))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "line")
+    val boiler = lines.groupBy(col("line"))
+      .agg(countDistinct(col("id")).as("line_df"))
+      .filter(col("line_df") >= minDf)
+      .select(col("line"))
+    val rebuilt = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+            x => x.getField("line")), " ").as("clean_text"))
+    df.select(id.as("id"), nLines.cast("long").as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): k-means
+    * the embedding space into `numCells` cells, then compare vectors ONLY
+    * within their cell — the all-pairs cosine join becomes `numCells`
+    * independent equi-joins, sum of squared cell sizes instead of n^2.
+    * Emits (id_a, id_b, cosine) for within-cell pairs with cosine >=
+    * `threshold`; feed to [[graft.ops.GraphOps.dedupClusters]] to pick
+    * keepers. Centroids are deterministic ([[IvfOps.trainCentroids]]:
+    * first-k init + fixed iterations), so the pair set is reproducible. */
+  def semanticDedupPairs(df: DataFrame, id: Column, vec: Column,
+      numCells: Int, threshold: Double, iters: Int = 3): DataFrame = {
+    val v = df.select(id.as("id"), VectorOps.vecD(vec).as("v"))
+    val centroids = IvfOps.trainCentroids(v, col("id"), col("v"), numCells, iters)
+    val cells = IvfOps.assignCells(v, col("v"), centroids)
+      .withColumn("nrm", VectorOps.l2norm(col("v")))
+    val a = cells.select(col("cell"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = cells.select(col("cell"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        VectorOps.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
 }

@@ -661,7 +661,37 @@ object ExtText extends QueryModule {
               AS term_rank
           FROM scored)
         SELECT doc_id, term, tf, df, tfidf, term_rank
-        FROM ranked WHERE term_rank <= 3 ORDER BY doc_id, term_rank"""))
+        FROM ranked WHERE term_rank <= 3 ORDER BY doc_id, term_rank""")),
+
+    // ---- RAG chunking: overlapping fixed-width char windows (width 256,
+    // stride 200). Pure row expansion — sequence + posexplode + substr,
+    // zero shuffle, codegen end to end; md5 keeps chunk bodies out of the
+    // result while still value-checking every byte. ----
+    QueryDef(
+      "ext_text_chunks",
+      (s, dir) => {
+        import s.implicits._
+        val width = 256
+        val stride = 200
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text",
+            posexplode(sequence(lit(0),
+              greatest(length($"text") - 1, lit(0)), lit(stride))))
+          .select($"doc_id", $"pos".as("chunk_idx"),
+            $"text".substr($"col" + 1, lit(width)).as("chunk"))
+          .select($"doc_id", $"chunk_idx",
+            length($"chunk").cast("int").as("chunk_len"),
+            md5($"chunk".cast("binary")).as("chunk_md5"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH c AS (
+          SELECT doc_id, CAST(u.i / 200 AS INT) AS chunk_idx,
+                 substr(text, CAST(u.i AS INT) + 1, 256) AS chunk
+          FROM documents,
+               unnest(range(0, greatest(len(text) - 1, 0) + 1, 200)) u(i))
+        SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS chunk_len,
+               md5(chunk) AS chunk_md5
+        FROM c ORDER BY doc_id, chunk_idx"""))
   )
 }
 

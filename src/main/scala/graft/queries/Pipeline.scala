@@ -273,6 +273,88 @@ object Pipeline extends QueryModule {
           SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> min(lab))
         SELECT lang, count(*) AS n_kept, sum(n_chars) AS kept_chars
         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM retired)
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- corpus-level repeated-span removal (CCNet/RefinedWeb line dedup
+    // over fixed 8-token windows): drop every line shared by >= 2 docs,
+    // reassemble survivors in order. md5 of the rebuilt text makes the
+    // full reassembly oracle-checkable without hauling doc bodies. ----
+    QueryDef(
+      "pl_line_dedup",
+      (s, dir) => {
+        import s.implicits._
+        DedupOps.lineDedup(Tables.load(s, dir, "documents"),
+            $"doc_id", $"text", lineTokens = 8, minDf = 2)
+          .select($"id".as("doc_id"), $"n_lines", $"n_kept",
+            ($"n_lines" - $"n_kept").as("n_removed"),
+            md5($"clean_text".cast("binary")).as("clean_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        lines AS (
+          SELECT doc_id, u.i - 1 AS idx,
+                 array_to_string(tk[(u.i-1)*8+1:(u.i-1)*8+8], ' ') AS line
+          FROM t, unnest(range(1, CAST(ceil(len(tk) / 8.0) AS BIGINT) + 1)) u(i)),
+        boiler AS (
+          SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+        reb AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 md5(string_agg(line, ' ' ORDER BY idx)) AS clean_md5
+          FROM lines WHERE line NOT IN (SELECT line FROM boiler)
+          GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+        SELECT t.doc_id, t.n_lines,
+               coalesce(r.n_kept, 0) AS n_kept,
+               t.n_lines - coalesce(r.n_kept, 0) AS n_removed,
+               coalesce(r.clean_md5, md5('')) AS clean_md5
+        FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- per-source document cap (the CommonCrawl per-domain cap):
+    // deterministic "random" order inside each source via md5(doc_id), keep
+    // the first 40. One window shuffle partitioned by source; at corpus
+    // scale sources are many and small so the window parallelizes — a
+    // single hot source is the documented skew case for AQE. ----
+    QueryDef(
+      "pl_source_cap",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source")
+          .orderBy(md5($"doc_id".cast("string").cast("binary")), $"doc_id")
+        Tables.load(s, dir, "documents")
+          .withColumn("samp_rank", row_number().over(w))
+          .filter($"samp_rank" <= 40)
+          .select($"source", $"samp_rank", $"doc_id")
+          .orderBy($"source", $"samp_rank")
+      },
+      Some("""SELECT source, samp_rank, doc_id FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS samp_rank
+          FROM documents)
+        WHERE samp_rank <= 40 ORDER BY source, samp_rank""")),
+
+    // ---- SemDeDup (Abbas et al. 2023): k-means cells -> within-cell
+    // cosine pairs -> connected components -> retire non-keepers. Rows-only
+    // (iterative centroid training isn't one SQL statement); planted-
+    // duplicate correctness + no-cartesian plan shape in PipelineSpec. The
+    // 0.45 threshold is calibrated to the synthetic corpus (max pairwise
+    // cosine ~0.51) so retirement is actually exercised. ----
+    QueryDef(
+      "pl_semdedup",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val pairs = DedupOps.semanticDedupPairs(emb, $"vec_id", $"embedding",
+          numCells = 16, threshold = 0.45)
+        val clusters = GraphOps.dedupClusters(emb, $"vec_id", pairs,
+          $"id_a", $"id_b")
+        val retired = clusters.filter(!$"is_keeper")
+          .select($"doc_id".as("vec_id"))
+        emb.join(retired, Seq("vec_id"), "left_anti")
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy($"label")
+      },
+      None)
   )
 }

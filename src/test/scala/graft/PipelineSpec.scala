@@ -34,4 +34,62 @@ class PipelineSpec extends AnyFunSuite {
     val b = Registry.queries("pl_sample_stratified")(spark, TestSpark.sfDir).collect().toSeq
     assert(a == b)
   }
+
+  test("line dedup removes corpus-repeated lines and preserves order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 2-token lines; "spam spam" is shared by docs 1 and 2 (df=2 -> removed
+    // everywhere), "solo solo" appears twice but only inside doc 3 (df=1 ->
+    // kept); doc 4 is pure boilerplate -> fully emptied.
+    val docs = Seq(
+      (1L, "alpha beta spam spam gamma delta"),
+      (2L, "spam spam epsilon zeta"),
+      (3L, "solo solo solo solo eta theta"),
+      (4L, "spam spam")).toDF("doc_id", "text")
+    val out = graft.ops.DedupOps.lineDedup(docs, col("doc_id"), col("text"),
+        lineTokens = 2, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 2L, "alpha beta gamma delta")))
+    assert(out(2L) == ((2L, 1L, "epsilon zeta")))
+    assert(out(3L) == ((3L, 3L, "solo solo solo solo eta theta")))
+    assert(out(4L) == ((1L, 0L, "")))
+  }
+
+  test("semantic dedup: planted near-dups retired, no cartesian in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // three well-separated base directions; ids 1-3 (the first-k centroid
+    // init) span all three regions so the cells converge onto the bases
+    val b1 = Array[Float](1, 2, 3, 4, 5, 6, 7, 8)
+    val b2 = Array[Float](-8, -7, -6, -5, -4, -3, -2, -1)
+    val b3 = Array[Float](5, -5, 5, -5, 5, -5, 5, -5)
+    def jitter(b: Array[Float], comp: Int, eps: Float): Array[Float] = {
+      val v = b.clone(); v(comp) += eps; v
+    }
+    val rows = Seq(
+      1L -> jitter(b1, 0, 0.001f), 2L -> jitter(b2, 0, 0.001f),
+      3L -> jitter(b3, 0, 0.001f),
+      4L -> jitter(b1, 1, 0.002f), 5L -> jitter(b1, 2, 0.002f), // b1 dups
+      6L -> jitter(b2, 1, 0.002f), 7L -> jitter(b2, 2, 0.002f), // b2 dups
+      8L -> jitter(b3, 0, 4f), 9L -> jitter(b3, 1, 4f))         // b3, distinct
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = graft.ops.DedupOps.semanticDedupPairs(df, col("vec_id"),
+      col("embedding"), numCells = 3, threshold = 0.999)
+    assert(!pairs.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "within-cell pair join must stay an equi-join on the cell id")
+    val got = pairs.select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 4L), (1L, 5L), (4L, 5L), (2L, 6L), (2L, 7L), (6L, 7L)),
+      s"unexpected pairs: $got")
+    // keeper selection: min id per component survives, the rest retire
+    val clusters = graft.ops.GraphOps.dedupClusters(df, col("vec_id"), pairs,
+      col("id_a"), col("id_b"))
+    val keepers = clusters.filter(col("is_keeper")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val retired = clusters.filter(!col("is_keeper")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keepers == Set(1L, 2L) && retired == Set(4L, 5L, 6L, 7L),
+      s"keepers=$keepers retired=$retired")
+  }
 }
