@@ -60,6 +60,49 @@ object DedupOps {
     df.groupBy(key.as("dedup_key"))
       .agg(min(id).as("keeper_id"), count(lit(1)).as("copies"))
 
+  /** C4-style paragraph/block dedup: split each document into fixed-size
+    * token blocks (the stand-in for newline-delimited paragraphs on a
+    * corpus without line structure), keep only the GLOBALLY FIRST
+    * occurrence of each distinct block — ordered by (doc_id, position) —
+    * and reassemble the surviving blocks in document order. Later copies
+    * of boilerplate blocks vanish from every document, including repeats
+    * inside one document (exactly the C4 three-sentence-span rule at block
+    * granularity).
+    *
+    * Scale shape: one explode feeding a single window shuffle keyed on
+    * block content (posting lists are block-frequency long — bounded by
+    * corpus duplication, no quadratic pair blowup), then one per-doc
+    * aggregate to reassemble. Nothing touches the driver.
+    */
+  def blockDedup(df: DataFrame, id: Column, text: Column, blockTokens: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block")).orderBy(col("doc_id"), col("pos"))
+    // empty docs are filtered before the explode (sequence(1, 0) DESCENDS
+    // in Spark — it would fabricate two bogus blocks) and restored by the
+    // left join below with clean_text = ''
+    val blocks = df
+      .filter(length(trim(text)) > 0)
+      .select(id.as("doc_id"), TextOps.tokens(text).as("tk"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, cast(ceil(size(tk) / ${blockTokens}.0) as int)), " +
+            s"i -> concat_ws(' ', slice(tk, (i - 1) * $blockTokens + 1, $blockTokens)))")))
+      .select(col("doc_id"), col("pos"), col("col").as("block"))
+    val kept = blocks
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    df.select(id.as("doc_id"))
+      .join(
+        kept.groupBy(col("doc_id")).agg(
+          concat_ws(" ", array_sort(collect_list(struct(col("pos"), col("block"))))
+            .getField("block")).as("clean_text"),
+          count(lit(1)).as("blocks_kept")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("blocks_kept"), lit(0L)).as("blocks_kept"))
+  }
+
   /** (id, shingle) inverted-index exploded view, distinct shingles per doc.
     *
     * `maxDf > 0` drops shingles whose document frequency exceeds it — the

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for scan-time skipping. At 100 TB the cheapest
+  * byte is the one never read: parquet keeps per-row-group min/max stats,
+  * and Spark prunes row groups (and whole files) whose stat range misses
+  * the filter. A single-column sort clusters only that column; a Z-order
+  * (Morton) interleave clusters SEVERAL columns at once, so box predicates
+  * on any subset of the z-dimensions skip most of the data — the layout
+  * Delta/Iceberg `OPTIMIZE ZORDER BY` applies, built here from plain
+  * column arithmetic.
+  */
+object LayoutOps {
+
+  /** Morton (Z-order) value: interleave the low `bits` bits of two
+    * non-negative integral columns — x takes the even output bits, y the
+    * odd. Pure integer arithmetic (shift/and/add), codegen'd per row, no
+    * shuffle; 2×`bits` result bits must fit a long (bits ≤ 31). */
+  def zValue2(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val xs = x.cast("long")
+    val ys = y.cast("long")
+    (0 until bits).map { i =>
+      shiftright(xs, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(ys, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Rewrite `df` into `numFiles` files clustered by the Z-order of two
+    * columns: range-partition on the z-value (contiguous z-ranges per
+    * file) and sort within each partition, then write parquet. Each file
+    * then covers a compact rectangle-ish region of (x, y) space, so its
+    * min/max stats on BOTH columns are tight — the property the
+    * `LayoutSpec` file-skipping assertion measures. */
+  def zorderWrite(
+      df: DataFrame, x: Column, y: Column, bits: Int,
+      numFiles: Int, path: String): Unit = {
+    df.withColumn("__z", zValue2(x, y, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

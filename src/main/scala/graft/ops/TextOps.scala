@@ -175,4 +175,32 @@ object TextOps {
     when(total <= 0, lit(0.0))
       .otherwise(lit(1.0) - distinctTri.cast("double") / total.cast("double"))
   }
+
+  // ---- hashed linear classifier (fastText-style quality model) ----
+
+  /** Per-token weight under the hashing trick: the first two hex digits of
+    * md5(token) mapped to [-0.5, 0.5). Stands in for a trained weight
+    * vector — the lookup shape (hash token → bucket → weight) is exactly a
+    * fastText / VW linear model; swapping in real weights is a
+    *`Map[bucket, Double]` broadcast, the plan does not change. */
+  private def hashedWeight(t: Column): Column =
+    conv(substring(md5(t.cast("binary")), 1, 2), 16, 10).cast("double") /
+      255.0 - 0.5
+
+  /** Hashed linear classifier logit: bias + Σ_tokens weight(h(token)),
+    * averaged over tokens so length does not dominate. One higher-order-fn
+    * fold per row — shuffle-free, codegen'd, no vocabulary broadcast:
+    * the layout that scores 100 TB at scan speed. */
+  def hashedLinearLogit(c: Column, bias: Double = 0.0): Column = {
+    val toks = tokens(c)
+    when(size(toks) <= 0, lit(bias)).otherwise(
+      lit(bias) + aggregate(toks, lit(0.0), (acc, t) => acc + hashedWeight(t))
+        / size(toks).cast("double"))
+  }
+
+  /** Sigmoid of the hashed linear logit — a [0,1] quality probability. */
+  def hashedLinearScore(c: Column, bias: Double = 0.0): Column = {
+    val z = hashedLinearLogit(c, bias)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
 }

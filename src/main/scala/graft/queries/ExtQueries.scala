@@ -24,6 +24,42 @@ object ExtDedup extends QueryModule {
       Some("""SELECT min(doc_id) AS keeper_id, count(*) AS copies
         FROM documents GROUP BY text ORDER BY keeper_id""")),
 
+    // ---- C4-style block/paragraph dedup: globally-first occurrence of
+    // each 8-token block survives, documents are reassembled from their
+    // surviving blocks. Oracle mirrors the explode → first-occurrence
+    // window → ordered string_agg plan in DuckDB. ----
+    QueryDef(
+      "ext_dedup_blocks",
+      (s, dir) => {
+        import s.implicits._
+        DedupOps.blockDedup(Tables.load(s, dir, "documents"),
+            $"doc_id", $"text", blockTokens = 8)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents WHERE length(trim(text)) > 0),
+        blocks AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, CAST(ceil(len(tk) / 8.0) AS INT) + 1),
+              i -> {'pos': i - 1,
+                    'block': array_to_string(tk[(i-1)*8+1 : i*8], ' ')})) AS u
+          FROM toks),
+        b2 AS (SELECT doc_id, u.pos AS pos, u.block AS block FROM blocks),
+        kept AS (
+          SELECT doc_id, pos, block,
+            row_number() OVER (PARTITION BY block ORDER BY doc_id, pos) AS rk
+          FROM b2),
+        agg AS (
+          SELECT doc_id, string_agg(block, ' ' ORDER BY pos) AS clean_text,
+            count(*) AS blocks_kept
+          FROM kept WHERE rk = 1 GROUP BY doc_id)
+        SELECT d.doc_id AS doc_id,
+          coalesce(agg.clean_text, '') AS clean_text,
+          coalesce(agg.blocks_kept, 0) AS blocks_kept
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        ORDER BY doc_id""")),
+
     QueryDef(
       "ext_dedup_jaccard_pairs",
       (s, dir) => {
@@ -382,6 +418,37 @@ object ExtText extends QueryModule {
           CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
             / CAST(len(tk) AS DOUBLE) AS mean_tok_len
         FROM t ORDER BY doc_id""")),
+
+    // ---- fastText-style hashed linear classifier: logit = bias + mean of
+    // md5-hash-bucketed token weights, one shuffle-free fold per row. The
+    // hash-derived weights stand in for a trained model; the plan is the
+    // scoring plan. Oracle recomputes the identical fold in DuckDB (md5
+    // prefix → [-0.5,0.5) weight), same left-to-right summation order. ----
+    QueryDef(
+      "ext_text_hash_classifier",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            round(TextOps.hashedLinearLogit($"text"), 6).as("logit"),
+            round(TextOps.hashedLinearScore($"text"), 6).as("quality_prob"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        z AS (
+          SELECT doc_id,
+            CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+              list_sum(list_transform(tk, w ->
+                ((strpos('0123456789abcdef', substring(md5(w), 1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef', substring(md5(w), 2, 1)) - 1)
+                / 255.0 - 0.5))
+              / len(tk) END AS logit
+          FROM t)
+        SELECT doc_id, round(logit, 6) AS logit,
+          round(1.0 / (1.0 + exp(-logit)), 6) AS quality_prob
+        FROM z ORDER BY doc_id""")),
 
     QueryDef(
       "ext_text_quality_langid",

@@ -355,6 +355,36 @@ object Pipeline extends QueryModule {
           .agg(count(lit(1)).as("n_kept"))
           .orderBy($"label")
       },
-      None)
+      None),
+
+    // ---- Z-order (Morton) layout key: the multi-column clustering value
+    // behind Delta/Iceberg OPTIMIZE ZORDER BY — writing files in zval
+    // order gives tight per-file min/max on BOTH dimensions, so box
+    // predicates skip files at the scan (LayoutSpec proves the skipping on
+    // disk; this entry oracle-checks the interleave arithmetic itself,
+    // which is pure per-row shift/and/add — shuffle-free). ----
+    QueryDef(
+      "pl_zorder_events",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .select($"event_id",
+            ($"user_id" % 256).as("zx"), ($"event_id" % 256).as("zy"))
+          .withColumn("zval", graft.ops.LayoutOps.zValue2($"zx", $"zy", 8))
+          .orderBy($"zval", $"event_id")
+          .limit(100)
+      },
+      Some(s"""WITH b AS (
+          SELECT event_id, user_id % 256 AS zx, event_id % 256 AS zy
+          FROM events)
+        SELECT event_id, zx, zy, ${zOracleExpr("zx", "zy", 8)} AS zval
+        FROM b ORDER BY zval, event_id LIMIT 100"""))
   )
+
+  /** DuckDB-side Morton interleave: same shift/and/add expansion as
+    * [[graft.ops.LayoutOps.zValue2]], generated for `bits` bit positions. */
+  private def zOracleExpr(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
 }

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.LayoutOps
+
+/** Z-order layout: interleave arithmetic vs a bit-twiddling reference, and
+  * the property the layout exists for — a box predicate touches far fewer
+  * files under Z-order than under a single-column sort. */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def refZ(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).map { i =>
+      (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }.sum
+
+  test("zValue2 matches the reference interleave on a 32x32 grid") {
+    val pts = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", LayoutOps.zValue2($"x", $"y", 5).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) === refZ(x, y, 5), s"($x, $y)")
+    }
+  }
+
+  test("z-order locality: adjacent z-values are near in space") {
+    // the defining property vs a linear key: walking the curve stays local
+    val n = 1 << 12 // full 64x64 grid as a z-ordered walk
+    val cells = (0 until n).map { z =>
+      // deinterleave: even bits -> x, odd bits -> y
+      val x = (0 until 6).map(i => ((z >> (2 * i)) & 1) << i).sum
+      val y = (0 until 6).map(i => ((z >> (2 * i + 1)) & 1) << i).sum
+      (x, y)
+    }
+    val jumps = cells.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }.toSeq
+    // mean step along the curve is tiny relative to the 64-wide grid
+    assert(jumps.sum.toDouble / jumps.size < 3.0)
+  }
+
+  test("z-ordered files skip a box query that a linear sort cannot") {
+    val dir = Files.createTempDirectory("graft-layout").toFile
+    dir.deleteOnExit()
+    val zPath = s"${dir.getAbsolutePath}/zorder"
+    val linPath = s"${dir.getAbsolutePath}/linear"
+    // 64x64 grid, one row per cell
+    val grid = spark.range(0, 64L * 64L)
+      .select(($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+    LayoutOps.zorderWrite(grid, $"x", $"y", bits = 6, numFiles = 16, zPath)
+    grid.repartitionByRange(16, $"x")
+      .sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(linPath)
+
+    // per-file min/max stats — what parquet footer pruning sees
+    def overlapping(path: String): Long = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"x").as("x0"), max($"x").as("x1"),
+          min($"y").as("y0"), max($"y").as("y1"))
+      stats.filter($"x0" <= 31 && $"x1" >= 16 && $"y0" <= 31 && $"y1" >= 16)
+        .count()
+    }
+    val zFiles = overlapping(zPath)
+    val linFiles = overlapping(linPath)
+    // linear-by-x layout: every file spans all y, so only the x-range cuts
+    // (4 of 16 files); z-order confines the box to its quadrant files
+    assert(zFiles < linFiles, s"z=$zFiles linear=$linFiles")
+    assert(zFiles <= 2, s"z=$zFiles")
+    // both layouts hold the same rows
+    assert(spark.read.parquet(zPath).count() === 64L * 64L)
+    val box = spark.read.parquet(zPath)
+      .filter($"x".between(16, 31) && $"y".between(16, 31)).count()
+    assert(box === 256L)
+  }
+}
