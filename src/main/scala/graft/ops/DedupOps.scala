@@ -74,20 +74,25 @@ object DedupOps {
     * corpus duplication, no quadratic pair blowup), then one per-doc
     * aggregate to reassemble. Nothing touches the driver.
     */
-  def blockDedup(df: DataFrame, id: Column, text: Column, blockTokens: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("block")).orderBy(col("doc_id"), col("pos"))
-    // empty docs are filtered before the explode (sequence(1, 0) DESCENDS
-    // in Spark — it would fabricate two bogus blocks) and restored by the
-    // left join below with clean_text = ''
-    val blocks = df
-      .filter(length(trim(text)) > 0)
+  /** (doc_id, pos, block) exploded view of fixed-size token blocks.
+    * Empty docs are filtered before the explode (sequence(1, 0) DESCENDS
+    * in Spark — it would fabricate two bogus blocks). */
+  private[graft] def tokenBlocks(
+      df: DataFrame, id: Column, text: Column, blockTokens: Int): DataFrame =
+    df.filter(length(trim(text)) > 0)
       .select(id.as("doc_id"), TextOps.tokens(text).as("tk"))
       .select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(1, cast(ceil(size(tk) / ${blockTokens}.0) as int)), " +
             s"i -> concat_ws(' ', slice(tk, (i - 1) * $blockTokens + 1, $blockTokens)))")))
       .select(col("doc_id"), col("pos"), col("col").as("block"))
+
+  def blockDedup(df: DataFrame, id: Column, text: Column, blockTokens: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block")).orderBy(col("doc_id"), col("pos"))
+    // docs emptied by the explode filter are restored by the left join
+    // below with clean_text = ''
+    val blocks = tokenBlocks(df, id, text, blockTokens)
     val kept = blocks
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
@@ -206,15 +211,23 @@ object DedupOps {
       struct(lit(b).as("band"),
         hash(slice(col("mh"), b * rowsPerBand + 1, rowsPerBand)).as("sig"))
     }
+    // The band-bucket self-join moves ONLY (id, band, sig) — three scalars
+    // per bucket row. Shipping the shingle arrays through this shuffle
+    // would replicate every document's full shingle set ×bands; instead
+    // the arrays are re-attached to the (far smaller) deduped candidate
+    // pair list by two id-keyed joins before exact verification.
     val buckets = sig
-      .select(col("id"), col("sh"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val l = buckets.select(col("band"), col("sig"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = buckets.select(col("band"), col("sig"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val candidates = l.join(r, Seq("band", "sig"))
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val l = buckets.select(col("band"), col("sig"), col("id").as("id_a"))
+    val r = buckets.select(col("band"), col("sig"), col("id").as("id_b"))
+    val candPairs = l.join(r, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val candidates = candPairs
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     // exact verification on the (small) candidate set
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")

@@ -28,6 +28,21 @@ object LayoutOps {
     }.reduce(_ + _)
   }
 
+  /** Morton value over N columns: column j's bit i lands at output bit
+    * i·N + j (round-robin interleave, the general ZORDER BY key).
+    * N·`bits` result bits must fit a long. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, "zValueN needs at least two columns")
+    require(bits >= 1 && n * bits <= 63, s"need n*bits <= 63, got $n x $bits")
+    cols.zipWithIndex.map { case (c, j) =>
+      val cl = c.cast("long")
+      (0 until bits).map { i =>
+        shiftright(cl, i).bitwiseAND(lit(1L)) * lit(1L << (i * n + j))
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+  }
+
   /** Rewrite `df` into `numFiles` files clustered by the Z-order of two
     * columns: range-partition on the z-value (contiguous z-ranges per
     * file) and sort within each partition, then write parquet. Each file

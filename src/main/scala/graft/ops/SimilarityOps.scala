@@ -79,18 +79,23 @@ object SimilarityOps {
     val left = withBuckets.select(
       (Seq(col("id").as("src"), col("v").as("src_v")) ++
         (0 until tables).map(t => col(s"b$t").as(s"lb$t"))): _*)
+    // score INSIDE each per-table join so the union → dedup → top-k
+    // shuffles carry (src, dst, cosine) scalars, not two dim-wide vectors
+    // per candidate row (cosine is deterministic per pair, so scoring
+    // before the dedup is equivalent and the duplicate work is bounded by
+    // `tables`)
     val candidates = (0 until tables).map { t =>
       left.join(
         withBuckets.select(col("id").as("dst"), col("v").as("dst_v"),
           col(s"b$t").as(s"rb$t")),
         col(s"lb$t") === col(s"rb$t") && col("src") =!= col("dst"))
-        .select(col("src"), col("src_v"), col("dst"), col("dst_v"))
+        .select(col("src"), col("dst"),
+          (VectorOps.dot(col("src_v"), col("dst_v")) /
+            (VectorOps.l2norm(col("src_v")) * VectorOps.l2norm(col("dst_v"))))
+            .as("cosine"))
     }.reduce(_ union _).dropDuplicates("src", "dst")
     val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
     candidates
-      .withColumn("cosine",
-        VectorOps.dot(col("src_v"), col("dst_v")) /
-          (VectorOps.l2norm(col("src_v")) * VectorOps.l2norm(col("dst_v"))))
       .withColumn("nn_rank", row_number().over(w))
       .filter(col("nn_rank") <= k)
       .select(col("src"), col("nn_rank"), col("dst"), round(col("cosine"), 6).as("cosine"))
@@ -149,13 +154,17 @@ object SimilarityOps {
         struct(lit(t).as("t"), col(s"cb_$t").as("b"))): _*)).as("bk"))
       .select(col("n_id"), col("n_v"), col("n_n"), col("bk.t").as("t"), col("bk.b").as("bucket"))
 
+    // cosine is computed on the (map-side) broadcast-join output so the
+    // dedup + top-k shuffles move only (q_id, n_id, cosine) scalars — the
+    // vectors never enter an exchange
     val scored = cBuckets
       .join(broadcast(qProbes),
         qProbes("probe") === cBuckets("bucket") && qProbes("t") === cBuckets("t") &&
           qProbes("q_id") =!= cBuckets("n_id"))
-      .dropDuplicates("q_id", "n_id")
       .withColumn("cosine",
         VectorOps.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")))
+      .select(col("q_id"), col("n_id"), col("cosine"))
+      .dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -563,6 +563,40 @@ object ExtText extends QueryModule {
 
     // ---- benchmark decontamination: corpus docs containing >= 60% of a
     // probe doc's distinct trigrams (inverted-index join; probe broadcast) ----
+    // ---- Bloom-prefiltered exact decontamination: the probe set becomes
+    // a 16 KiB packed bit array carried as a plan literal, the 100 TB
+    // corpus scan tests membership with pure column arithmetic (no join,
+    // no shuffle), and only the surviving sliver reaches the exact
+    // semi-join. Bloom filters have no false negatives, so the final
+    // result equals the plain exact join — which is exactly what the
+    // oracle checks (the prefilter must be invisible to the answer). ----
+    QueryDef(
+      "ext_text_bloom_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val blocks = DedupOps.tokenBlocks(docs, $"doc_id", $"text", blockTokens = 8)
+        val probe = blocks.filter($"doc_id" < 25).select($"block")
+        val filt = BloomOps.buildFilter(probe, $"block", numBits = 1L << 16)
+        blocks.filter($"doc_id" >= 25)
+          .filter(BloomOps.mightContain($"block", filt))
+          .join(probe.distinct(), Seq("block"), "left_semi")
+          .select($"doc_id").distinct()
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents WHERE length(trim(text)) > 0),
+        blocks AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, CAST(ceil(len(tk) / 8.0) AS INT) + 1),
+              i -> array_to_string(tk[(i-1)*8+1 : i*8], ' '))) AS block
+          FROM toks)
+        SELECT DISTINCT doc_id FROM blocks
+        WHERE doc_id >= 25 AND block IN (
+          SELECT block FROM blocks WHERE doc_id < 25)
+        ORDER BY doc_id""")),
+
     QueryDef(
       "ext_text_decontaminate",
       (s, dir) => {

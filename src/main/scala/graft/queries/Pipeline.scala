@@ -378,7 +378,94 @@ object Pipeline extends QueryModule {
           SELECT event_id, user_id % 256 AS zx, event_id % 256 AS zy
           FROM events)
         SELECT event_id, zx, zy, ${zOracleExpr("zx", "zy", 8)} AS zval
-        FROM b ORDER BY zval, event_id LIMIT 100"""))
+        FROM b ORDER BY zval, event_id LIMIT 100""")),
+
+    // ---- incremental dedup: a NEW batch (sources src0/src1) lands
+    // against the already-ingested corpus. A batch doc is retired when it
+    // near-duplicates (trigram Jaccard ≥ 0.8) any corpus doc — the corpus
+    // copy always wins, id order irrelevant — or a lower-id doc of its own
+    // batch. The corpus is never rescanned against itself: at scale the
+    // shingle index of the existing corpus is a materialized table and
+    // only batch postings join against it. Exactly one retirement rule
+    // fires per pair, so the oracle is a CASE over the same pair list. ----
+    QueryDef(
+      "pl_incremental_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val batchIds = docs.filter($"source".isin("src0", "src1"))
+          .select($"doc_id")
+        val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text",
+          n = 3, threshold = 0.8)
+        val bm = batchIds.withColumn("is_b", lit(true))
+        val flagged = pairs
+          .join(broadcast(bm.select($"doc_id".as("id_a"), $"is_b".as("a_batch"))),
+            Seq("id_a"), "left")
+          .join(broadcast(bm.select($"doc_id".as("id_b"), $"is_b".as("b_batch"))),
+            Seq("id_b"), "left")
+        val retired = flagged.select(
+            when(coalesce($"b_batch", lit(false)), $"id_b")
+              .when(coalesce($"a_batch", lit(false)), $"id_a")
+              .as("doc_id"))
+          .filter($"doc_id".isNotNull).distinct()
+        docs.filter($"source".isin("src0", "src1"))
+          .join(retired, Seq("doc_id"), "left_anti")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_new"), sum($"n_chars").as("chars_new"))
+          .orderBy($"lang")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a,
+                   b.sz AS sz_b, count(*) AS inter
+            FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+          WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.8),
+        b AS (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')),
+        retired AS (
+          SELECT DISTINCT CASE
+            WHEN id_b IN (SELECT doc_id FROM b) THEN id_b
+            WHEN id_a IN (SELECT doc_id FROM b) THEN id_a END AS doc_id
+          FROM pairs),
+        surv AS (
+          SELECT d.* FROM documents d
+          WHERE d.source IN ('src0', 'src1')
+            AND NOT EXISTS (SELECT 1 FROM retired r WHERE r.doc_id = d.doc_id))
+        SELECT lang, count(*) AS n_new, sum(n_chars) AS chars_new
+        FROM surv GROUP BY lang ORDER BY lang""")),
+
+    // ---- deterministic shard manifest: md5-prefix shard assignment
+    // (engine- and partitioning-independent — the same doc lands in the
+    // same shard on any cluster size), with per-shard row/char totals.
+    // The write path is `.withColumn("shard", …).write.partitionBy` —
+    // this entry oracle-checks the assignment + balance report. ----
+    QueryDef(
+      "pl_shard_manifest",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .withColumn("shard",
+            conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 2),
+              16, 10).cast("int") % 16)
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+          .orderBy($"shard")
+      },
+      Some("""WITH t AS (
+          SELECT n_chars,
+            ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+            % 16 AS shard
+          FROM documents)
+        SELECT shard, count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM t GROUP BY shard ORDER BY shard"""))
   )
 
   /** DuckDB-side Morton interleave: same shift/and/add expansion as

@@ -29,6 +29,25 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("zValueN generalizes zValue2 and interleaves three columns") {
+    import graft.ops.LayoutOps.{zValue2, zValueN}
+    val pts = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    // N=2 must agree with the specialized two-column form
+    val both = pts.toDF("x", "y")
+      .select(zValue2($"x", $"y", 4).as("z2"), zValueN(Seq($"x", $"y"), 4).as("zn"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // three columns: bit i of column j lands at position 3i + j
+    val z3 = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (2L, 0L, 4L))
+      .toDF("a", "b", "c")
+      .select(zValueN(Seq($"a", $"b", $"c"), 4).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z3(0) === 1L)      // a bit0 -> out bit 0
+    assert(z3(1) === 2L)      // b bit0 -> out bit 1
+    assert(z3(2) === 4L)      // c bit0 -> out bit 2
+    assert(z3(3) === (1L << 3 | 1L << 8)) // a bit1 -> bit 3, c bit2 -> bit 8
+  }
+
   test("z-order locality: adjacent z-values are near in space") {
     // the defining property vs a linear key: walking the curve stays local
     val n = 1 << 12 // full 64x64 grid as a z-ordered walk
