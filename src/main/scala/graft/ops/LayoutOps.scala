@@ -43,6 +43,26 @@ object LayoutOps {
     }.reduce(_ + _)
   }
 
+  /** Compact a parquet directory to ~`targetBytes` files: the streaming-
+    * ingest small-file fix (thousands of KB-sized files make listing and
+    * task scheduling, not IO, the scan bottleneck at 100 TB). File count
+    * derives from the CURRENT on-disk byte size, data moves once through
+    * a round-robin repartition (no key skew), and the rewrite lands in
+    * `outPath` — compact-then-swap, never in place. Returns file count. */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String, targetBytes: Long): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(numFiles)
+      .write.mode("overwrite").parquet(outPath)
+    numFiles
+  }
+
   /** Rewrite `df` into `numFiles` files clustered by the Z-order of two
     * columns: range-partition on the z-value (contiguous z-ranges per
     * file) and sort within each partition, then write parquet. Each file

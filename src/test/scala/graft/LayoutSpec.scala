@@ -64,6 +64,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(jumps.sum.toDouble / jumps.size < 3.0)
   }
 
+  test("compact collapses a small-file directory, preserving rows") {
+    val dir = Files.createTempDirectory("graft-compact").toFile
+    dir.deleteOnExit()
+    val in = s"${dir.getAbsolutePath}/in"
+    val out = s"${dir.getAbsolutePath}/out"
+    // 64 tiny files
+    spark.range(0, 10000).withColumn("payload", md5($"id".cast("string")))
+      .repartition(64).write.parquet(in)
+    def parquetFiles(p: String): Array[java.io.File] =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in).length === 64)
+    val inBytes = parquetFiles(in).map(_.length()).sum
+    LayoutOps.compact(spark, in, out, targetBytes = inBytes / 4)
+    val outFiles = parquetFiles(out)
+    assert(outFiles.length <= 8 && outFiles.length >= 2,
+      s"got ${outFiles.length} files")
+    // content unchanged
+    assert(spark.read.parquet(out).count() === 10000L)
+    val a = spark.read.parquet(in).orderBy($"id").collect()
+    val b = spark.read.parquet(out).orderBy($"id").collect()
+    assert(a === b)
+  }
+
   test("z-ordered files skip a box query that a linear sort cannot") {
     val dir = Files.createTempDirectory("graft-layout").toFile
     dir.deleteOnExit()

@@ -118,6 +118,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("new cleanup queries: key-equi joins only, no cartesian") {
+    for (q <- Seq("ext_dedup_blocks", "ext_text_bloom_decontaminate",
+        "pl_incremental_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n$p")
+    }
+  }
+
+  test("pl_shard_manifest: single agg shuffle, classifier/shard math scan-side") {
+    val p = plan("pl_shard_manifest")
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("whole-stage codegen covers the q1 aggregation") {
     // AQE finalizes (and annotates codegen stages) only after execution.
     val df = Registry.queries("q1_pricing_summary")(spark, TestSpark.sfDir)
