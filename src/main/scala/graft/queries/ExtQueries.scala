@@ -343,7 +343,38 @@ object ExtSimilarity extends QueryModule {
                    (x, i) -> {'pos': i - 1, 'v': CAST(x AS DOUBLE)})) AS u
           FROM embeddings)
         SELECT label, CAST(u.pos AS INT) AS pos, round(avg(u.v), 4) AS mean_v
-        FROM e GROUP BY 1, 2 ORDER BY label, pos"""))
+        FROM e GROUP BY 1, 2 ORDER BY label, pos""")),
+
+    // ---- distributed PCA: two corpus aggregates (means + centered Gram),
+    // only dim×dim numbers reach the driver; eigensolve is driver-side
+    // power iteration (deterministic init, Gram-Schmidt stabilized) and
+    // the projection is a shuffle-free fold. Rows-only (iterative);
+    // PcaSpec proves the Gram equals a brute-force covariance and the
+    // per-component projected variance equals the eigenvalues. ----
+    QueryDef(
+      "ext_embed_pca",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val (means, eig) = PcaOps.fit(emb, $"vec_id", $"embedding", k = 8)
+        val total = eig.map(_._1).sum
+        val proj = emb.select(
+          PcaOps.project($"embedding", means, eig.map(_._2)).as("p"))
+        val n = emb.count().toDouble
+        val varAggs = (0 until 8).map { c =>
+          val pc = element_at($"p", c + 1)
+          (sum(pc * pc) / n).as(s"v$c")
+        }
+        val row = proj.agg(varAggs.head, varAggs.tail: _*).head
+        val varRows = (0 until 8).map(c => (c, eig(c)._1, row.getDouble(c)))
+        varRows.toDF("component", "eigenvalue", "projected_var")
+          .select($"component",
+            round($"eigenvalue", 6).as("eigenvalue"),
+            round($"projected_var", 6).as("projected_var"),
+            round($"eigenvalue" / total, 6).as("var_share"))
+          .orderBy($"component")
+      },
+      None)
   )
 }
 
@@ -449,6 +480,32 @@ object ExtText extends QueryModule {
         SELECT doc_id, round(logit, 6) AS logit,
           round(1.0 / (1.0 + exp(-logit)), 6) AS quality_prob
         FROM z ORDER BY doc_id""")),
+
+    // ---- distributed hashed-LR TRAINING: full-batch gradient descent
+    // where each iteration is two aggregates over a cached feature table
+    // and only the 256-double gradient reaches the driver. Trained here to
+    // predict a token-borne label (doc mentions 'spark'), then reported as
+    // per-class counts + mean predicted probability + accuracy. Rows-only:
+    // training is iterative (not one SQL statement) and gradient sums are
+    // partition-order floating-point; MlSpec asserts loss descent,
+    // accuracy, and scoring-fold parity. ----
+    QueryDef(
+      "ext_ml_hashed_lr",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val label = array_contains(TextOps.tokens($"text"), "spark")
+        val model = MlOps.trainHashedLR(docs, $"doc_id", $"text",
+          label.cast("int"), buckets = 256, iters = 10, step = 5.0)
+        docs.select(label.as("y"),
+            MlOps.scoreHashedLR($"text", model).as("p"))
+          .groupBy($"y")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg($"p"), 3).as("mean_prob"),
+            round(avg(($"y" === ($"p" >= 0.5)).cast("double")), 3).as("accuracy"))
+          .orderBy($"y")
+      },
+      None),
 
     QueryDef(
       "ext_text_quality_langid",
