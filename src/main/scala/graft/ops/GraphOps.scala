@@ -72,4 +72,21 @@ object GraphOps {
       .select(col("id").as("doc_id"), col("component").as("cluster_id"),
         (col("id") === col("component")).as("is_keeper"))
   }
+
+  /** [[dedupClusters]] with a QUALITY-chosen keeper — the production
+    * retirement rule ("keep the best copy", not the arbitrary min-id one).
+    * Keeper per cluster = highest `quality`, ties broken by lowest id
+    * (deterministic). One extra component-keyed window over the cluster
+    * rows — cost proportional to duplicate rows only, not the corpus. */
+  def dedupClustersBy(docs: DataFrame, docId: Column, quality: Column,
+      pairs: DataFrame, idA: Column, idB: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("q").desc, col("doc_id"))
+    dedupClusters(docs, docId, pairs, idA, idB)
+      .join(docs.select(docId.as("doc_id"), quality.as("q")), Seq("doc_id"))
+      .withColumn("is_keeper", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("q").as("quality"),
+        col("is_keeper"))
+  }
 }

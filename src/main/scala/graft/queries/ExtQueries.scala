@@ -207,7 +207,49 @@ object ExtDedup extends QueryModule {
           SELECT s.dst AS id, r.lab FROM reach r JOIN sym s ON s.src = r.id),
         comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
         SELECT id AS doc_id, component AS cluster_id, id = component AS is_keeper
-        FROM comp ORDER BY doc_id"""))
+        FROM comp ORDER BY doc_id""")),
+
+    // ---- quality-chosen keeper: same clusters, but the surviving copy is
+    // the highest-quality one (here: longest, n_chars; ties -> lowest id)
+    // instead of the arbitrary min-id — the production retirement rule. ----
+    QueryDef(
+      "ext_dedup_clusters_best",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text", n = 3,
+          threshold = 0.8)
+        GraphOps.dedupClustersBy(docs, $"doc_id", $"n_chars", pairs,
+            $"id_a", $"id_b")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 count(*) AS inter
+          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.8),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        reach AS (
+          SELECT DISTINCT src AS id, src AS lab FROM sym
+          UNION
+          SELECT s.dst AS id, r.lab FROM reach r JOIN sym s ON s.src = r.id),
+        comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        q AS (
+          SELECT c.id AS doc_id, c.component AS cluster_id, d.n_chars AS quality,
+                 row_number() OVER (PARTITION BY c.component
+                   ORDER BY d.n_chars DESC, c.id) = 1 AS is_keeper
+          FROM comp c JOIN documents d ON d.doc_id = c.id)
+        SELECT doc_id, cluster_id, quality, is_keeper FROM q ORDER BY doc_id"""))
   )
 }
 

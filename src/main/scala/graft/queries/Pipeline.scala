@@ -465,7 +465,58 @@ object Pipeline extends QueryModule {
             % 16 AS shard
           FROM documents)
         SELECT shard, count(*) AS n_docs, sum(n_chars) AS total_chars
-        FROM t GROUP BY shard ORDER BY shard"""))
+        FROM t GROUP BY shard ORDER BY shard""")),
+
+    // ---- length-bucketed batching: pack docs into fixed-size batches in
+    // token-length order vs arrival order and report the padding waste
+    // (each batch pads to its max length — the inference/training batcher
+    // economics). The global row_number here is the REPORT's total order;
+    // the production assignment is the same ntile idea per range partition
+    // (no single-partition window over 100 TB). Oracle mirrors both
+    // strategies exactly. ----
+    QueryDef(
+      "pl_length_buckets",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.load(s, dir, "documents")
+          .select($"doc_id", TextOps.tokenCount($"text").as("n"))
+        def waste(order: Seq[org.apache.spark.sql.Column], strategy: String) = {
+          val w = Window.orderBy(order: _*)
+          base
+            .withColumn("batch", ((row_number().over(w) - 1) / 32).cast("int"))
+            .groupBy($"batch")
+            .agg(max($"n").as("mx"), sum($"n").as("useful"),
+              count(lit(1)).as("cnt"))
+            .agg(sum($"mx" * $"cnt").as("padded"), sum($"useful").as("useful"))
+            .select(lit(strategy).as("strategy"), $"padded", $"useful",
+              round(($"padded" - $"useful") / $"padded", 6).as("waste_ratio"))
+        }
+        waste(Seq($"n", $"doc_id"), "length_sorted")
+          .union(waste(Seq($"doc_id"), "arrival"))
+          .orderBy($"strategy")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id,
+            len(string_split_regex(lower(trim(text)), '\s+')) AS n
+          FROM documents),
+        so AS (
+          SELECT n, CAST(floor((row_number() OVER (ORDER BY n, doc_id) - 1) / 32)
+            AS INT) AS batch FROM base),
+        sb AS (SELECT batch, max(n) AS mx, sum(n) AS useful, count(*) AS cnt
+               FROM so GROUP BY batch),
+        sw AS (SELECT 'length_sorted' AS strategy, sum(mx * cnt) AS padded,
+                      sum(useful) AS useful FROM sb),
+        ao AS (
+          SELECT n, CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 32)
+            AS INT) AS batch FROM base),
+        ab AS (SELECT batch, max(n) AS mx, sum(n) AS useful, count(*) AS cnt
+               FROM ao GROUP BY batch),
+        aw AS (SELECT 'arrival' AS strategy, sum(mx * cnt) AS padded,
+                      sum(useful) AS useful FROM ab)
+        SELECT strategy, padded, useful,
+          round((padded - useful) / CAST(padded AS DOUBLE), 6) AS waste_ratio
+        FROM (SELECT * FROM sw UNION ALL SELECT * FROM aw)
+        ORDER BY strategy"""))
   )
 
   /** DuckDB-side Morton interleave: same shift/and/add expansion as

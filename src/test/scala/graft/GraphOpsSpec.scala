@@ -23,6 +23,20 @@ class GraphOpsSpec extends AnyFunSuite {
       5L -> 0L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 
+  test("dedupClustersBy keeps the highest-quality copy, min id on ties") {
+    // cluster {1,2,3}: 2 has top quality; cluster {5,6}: tie -> 5 keeps
+    val docs = Seq((1L, 10L), (2L, 99L), (3L, 50L), (4L, 7L), (5L, 20L),
+      (6L, 20L)).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = GraphOps.dedupClustersBy(docs, $"doc_id", $"quality",
+        pairs, $"id_a", $"id_b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(got == Map(
+      1L -> (1L, false), 2L -> (1L, true), 3L -> (1L, false),
+      5L -> (5L, true), 6L -> (5L, false)))
+    assert(!got.contains(4L)) // singletons are not duplicate clusters
+  }
+
   test("dedupClusters merges transitively-linked pairs into one cluster") {
     // (a,b) + (b,c) must become one cluster keyed by min id, even though
     // (a,c) is not a pair
