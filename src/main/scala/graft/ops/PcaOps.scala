@@ -95,12 +95,19 @@ object PcaOps {
   }
 
   /** Project the (centered) embedding onto the top-k components — a
-    * shuffle-free per-row fold; components ride as plan literals. */
-  def project(vec: Column, means: Array[Double], components: Seq[Array[Double]]): Column = {
+    * shuffle-free per-row fold; components ride as plan literals. Pass
+    * `eigenvalues` to whiten: each coordinate divides by √λ so every
+    * output dimension has unit variance (the SemDeDup-style
+    * preprocessing that stops dominant directions swamping cosine). */
+  def project(
+      vec: Column, means: Array[Double], components: Seq[Array[Double]],
+      eigenvalues: Seq[Double] = Nil): Column = {
+    require(eigenvalues.isEmpty || eigenvalues.size == components.size)
     val meanLit = array(means.map(lit(_)): _*)
     val centered = transform(VectorOps.vecD(vec), (x, i) => x - element_at(meanLit, i + 1))
-    array(components.map { comp =>
-      VectorOps.dot(centered, array(comp.map(lit(_)): _*))
+    array(components.zipWithIndex.map { case (comp, c) =>
+      val d = VectorOps.dot(centered, array(comp.map(lit(_)): _*))
+      if (eigenvalues.isEmpty) d else d / lit(math.sqrt(eigenvalues(c)))
     }: _*)
   }
 

@@ -86,6 +86,53 @@ object ExtDedup extends QueryModule {
         WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.8
         ORDER BY id_a, id_b""")),
 
+    // ---- edit-distance verification of near-dup candidates: character-
+    // level Levenshtein similarity (1 - dist/max_len) over the Jaccard
+    // candidate pairs — the second-stage check that catches shingle-level
+    // coincidences. The quadratic-DP edit distance runs ONLY on candidate
+    // pairs (never the corpus cross product) and the builtin is codegen'd
+    // on both engines, so the oracle mirrors it exactly. ----
+    QueryDef(
+      "ext_dedup_edit_verify",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text", n = 3,
+          threshold = 0.8)
+        val t = docs.select($"doc_id", $"text")
+        pairs
+          .join(t.select($"doc_id".as("id_a"), $"text".as("t_a")), Seq("id_a"))
+          .join(t.select($"doc_id".as("id_b"), $"text".as("t_b")), Seq("id_b"))
+          .select($"id_a", $"id_b", $"jaccard",
+            round(lit(1.0) - levenshtein($"t_a", $"t_b").cast("double") /
+              greatest(length($"t_a"), length($"t_b")).cast("double"), 6)
+              .as("edit_sim"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        pairs AS (
+          SELECT id_a, id_b,
+                 CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) AS jaccard
+          FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                   count(*) AS inter
+            FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+          WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.8)
+        SELECT p.id_a, p.id_b, p.jaccard,
+          round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+            / greatest(length(da.text), length(db.text)), 6) AS edit_sim
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+        ORDER BY id_a, id_b""")),
+
     // MinHash/SimHash outputs depend on engine-internal hash functions —
     // rows-only here; SparkDedupSpec cross-checks vs the exact baseline.
     QueryDef(

@@ -516,7 +516,58 @@ object Pipeline extends QueryModule {
         SELECT strategy, padded, useful,
           round((padded - useful) / CAST(padded AS DOUBLE), 6) AS waste_ratio
         FROM (SELECT * FROM sw UNION ALL SELECT * FROM aw)
-        ORDER BY strategy"""))
+        ORDER BY strategy""")),
+
+    // ---- data-quality gate (dbt-test shape): null keys, constraint
+    // violations, PK duplicates, referential orphans — ONE row-level scan
+    // (conditional aggregates unpivoted via stack) plus one anti-join and
+    // one PK group count; the report every ingest runs before promoting a
+    // batch. ----
+    QueryDef(
+      "pl_data_quality_report",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem")
+        val ord = Tables.load(s, dir, "orders")
+        val rowChecks = li.agg(
+            sum(when($"l_orderkey".isNull, 1L).otherwise(0L)).as("null_orderkey"),
+            sum(when($"l_discount" < 0 || $"l_discount" > 0.2, 1L).otherwise(0L))
+              .as("discount_out_of_range"),
+            sum(when($"l_quantity" <= 0 || $"l_extendedprice" < 0, 1L)
+              .otherwise(0L)).as("nonpositive_values"))
+          .select(expr("""stack(3,
+            'l_orderkey_null', null_orderkey,
+            'discount_out_of_range', discount_out_of_range,
+            'nonpositive_values', nonpositive_values) AS (check_name, violations)"""))
+        val orphans = li
+          .join(ord, $"l_orderkey" === $"o_orderkey", "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("orphan_lineitems").as("check_name"), $"violations")
+        val dupPk = li.groupBy($"l_orderkey", $"l_linenumber")
+          .agg(count(lit(1)).as("c")).filter($"c" > 1)
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("duplicate_pk").as("check_name"), $"violations")
+        rowChecks.union(orphans).union(dupPk).orderBy($"check_name")
+      },
+      Some("""WITH rc AS (SELECT
+            sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_orderkey,
+            sum(CASE WHEN l_discount < 0 OR l_discount > 0.2 THEN 1 ELSE 0 END)
+              AS discount_out_of_range,
+            sum(CASE WHEN l_quantity <= 0 OR l_extendedprice < 0 THEN 1 ELSE 0 END)
+              AS nonpositive_values
+          FROM lineitem),
+        orph AS (SELECT count(*) AS c FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_orderkey = l.l_orderkey)),
+        dup AS (SELECT count(*) AS c FROM (
+          SELECT l_orderkey, l_linenumber FROM lineitem
+          GROUP BY 1, 2 HAVING count(*) > 1))
+        SELECT 'l_orderkey_null' AS check_name, null_orderkey AS violations FROM rc
+        UNION ALL SELECT 'discount_out_of_range', discount_out_of_range FROM rc
+        UNION ALL SELECT 'nonpositive_values', nonpositive_values FROM rc
+        UNION ALL SELECT 'orphan_lineitems', c FROM orph
+        UNION ALL SELECT 'duplicate_pk', c FROM dup
+        ORDER BY check_name"""))
   )
 
   /** DuckDB-side Morton interleave: same shift/and/add expansion as

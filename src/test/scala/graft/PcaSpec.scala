@@ -73,4 +73,16 @@ class PcaSpec extends AnyFunSuite {
     val plan = proj.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("whitened projection has unit variance per component") {
+    val (means, eig) = PcaOps.fit(emb, $"vec_id", $"embedding", k = 4)
+    val proj = emb.select(PcaOps.project($"embedding", means,
+      eig.map(_._2), eig.map(_._1)).as("p"))
+    val n = emb.count().toDouble
+    (0 until 4).foreach { c =>
+      val pc = element_at($"p", c + 1)
+      val v = proj.agg((sum(pc * pc) / n).as("v")).head.getDouble(0)
+      assert(math.abs(v - 1.0) < 1e-6, s"component $c variance $v")
+    }
+  }
 }
