@@ -64,6 +64,23 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"  ORACLE-ERROR       {name}: {e}")
             n_fail += 1
             continue
+        # Driver-contract strictness: the driver hashes raw values, so a
+        # DuckDB HUGEINT (→ float64) vs Spark int64, or a -0.0 vs +0.0,
+        # hash-mismatches even when int-coerced values agree. Flag both.
+        dtype_warn = []
+        got_kinds = {c: got[c].dtype.kind for c in got.columns}
+        for c in want.columns:
+            if (c in got_kinds and want[c].dtype.kind != got_kinds[c]
+                    and {want[c].dtype.kind, got_kinds[c]} <= {"i", "u", "f"}):
+                dtype_warn.append(
+                    f"{c}: oracle {want[c].dtype} vs spark {got[c].dtype}")
+        import numpy as np
+        for frame, side in ((got, "spark"), (want, "oracle")):
+            for c in frame.columns:
+                if frame[c].dtype.kind == "f":
+                    col = frame[c].to_numpy()
+                    if bool(np.any(np.signbit(col) & (col == 0.0))):
+                        dtype_warn.append(f"{c}: -0.0 present on {side} side")
         g, w = norm(got), norm(want)
         if sorted(g.columns) != sorted(w.columns):
             print(f"  COLS-MISMATCH      {name}: got {sorted(g.columns)} want {sorted(w.columns)}")
@@ -75,8 +92,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         try:
             pd.testing.assert_frame_equal(g, w, check_exact=True, check_dtype=False)
-            print(f"  PASS               {name} ({len(g)} rows)")
-            n_pass += 1
+            if dtype_warn:
+                print(f"  HASH-WEAK          {name}: {'; '.join(dtype_warn)}")
+                n_fail += 1
+            else:
+                print(f"  PASS               {name} ({len(g)} rows)")
+                n_pass += 1
         except AssertionError as e:
             print(f"  VALUES-MISMATCH    {name}: {str(e).splitlines()[-1][:200]}")
             # show first differing cells

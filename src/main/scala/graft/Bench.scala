@@ -10,6 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * A failing query is an error, not a fast timing: its message lands in the
   * JSON `errors` map and the process exits nonzero, so a broken query can
   * never masquerade as a good benchmark entry.
+  *
+  * Headline (TPC-H) queries are re-timed twice after the full pass and
+  * reported as per-query MEDIAN of 3 (plus a `queries_min` map): one-shot
+  * timings on a shared noisy host swing several × run-to-run (r3 showed a
+  * pure scan-filter-agg "regressing" 2.2× on scheduling noise), which buries
+  * real plan regressions. `value` stays the single-pass total so round-over-
+  * round totals remain comparable.
   */
 object Bench {
 
@@ -70,8 +77,20 @@ object Bench {
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }.mkString("{", ",", "}")
     System.err.println(
       s"""{"all_queries":${qsJson(res.seconds)},"n":${res.seconds.size}}""")
-    val headline = res.seconds.filter { case (k, _) => isHeadline(k) }
-    println(s"""{"metric":"total","value":${fmt(res.total)},"unit":"sec","queries":${qsJson(headline)},"n_queries":${res.seconds.size},"errors":$errs,"sf":"$sfDir"}""")
+    // headline stability: 2 extra timed repeats -> median-of-3 + min
+    val headlineRuns: Map[String, Seq[Double]] = res.seconds.collect {
+      case (name, first) if isHeadline(name) && !res.errors.contains(name) =>
+        val more = (0 until 2).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> (first +: more)
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val medians = headlineRuns.map { case (n, xs) => n -> median(xs) }
+    val mins = headlineRuns.map { case (n, xs) => n -> xs.min }
+    println(s"""{"metric":"total","value":${fmt(res.total)},"unit":"sec","queries":${qsJson(medians)},"queries_min":${qsJson(mins)},"n_queries":${res.seconds.size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (res.errors.nonEmpty) sys.exit(1)
   }

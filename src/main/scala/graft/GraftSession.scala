@@ -65,12 +65,14 @@ final class GraftSession(
     else if (upper.startsWith("CREATE VIEW") ||
              upper.startsWith("CREATE OR REPLACE VIEW")) createView(q)
     else if (upper.startsWith("DROP VIEW")) dropView(q)
-    else if (upper.startsWith("CREATE SCHEMA") || upper.startsWith("DROP SCHEMA") ||
-             upper.startsWith("CREATE DATABASE") || upper.startsWith("DROP DATABASE"))
+    else if (upper.startsWith("CREATE SCHEMA") || upper.startsWith("CREATE DATABASE"))
       // The reference parses these but its planner todo!()s them
-      // (`qurious/src/planner/sql.rs:187`); we reject with a clear error
-      // instead of falling through to the session catalog.
-      sys.error(s"unsupported statement (single-schema engine): ${q.takeWhile(_ != '(').take(40).trim}")
+      // (`qurious/src/planner/sql.rs:187`); we complete the semantics:
+      // schemas are namespaces over the single session catalog, qualified
+      // names normalize to a mangled flat name (see [[stripQualifiers]]).
+      createSchema(q)
+    else if (upper.startsWith("DROP SCHEMA") || upper.startsWith("DROP DATABASE"))
+      dropSchema(q)
     else if (upper.startsWith("INSERT INTO")) insertInto(q)
     else if (upper.startsWith("DELETE FROM")) deleteFrom(q)
     else if (upper.startsWith("UPDATE ")) update(q)
@@ -82,6 +84,7 @@ final class GraftSession(
     }
     else if (upper.startsWith("SHOW TABLES")) showTables()
     else if (upper.startsWith("EXPLAIN ")) explainStatement(q)
+    else if (upper.matches("(?s)SELECT\\s+DISTINCT\\s+ON\\s*\\(.*")) distinctOn(q)
     else compatNames(spark.sql(rewriteQuery(q)))
   }
 
@@ -159,6 +162,62 @@ final class GraftSession(
       spark.emptyDataFrame
     case _ => sys.error(s"cannot parse DROP TABLE: $q")
   }
+
+  // -------------------------------------------------------------- schemas
+
+  /** Registered schema namespaces. Spark temp views live in one flat
+    * namespace, so `sch.tbl` mangles to `sch__tbl` (quote-aware, known
+    * schemas only — an unknown qualifier errors at resolution, which is
+    * the right message for a schema that was never created). The
+    * reference parses CREATE SCHEMA but its planner `todo!()`s it
+    * (`qurious/src/planner/sql.rs:187`); we execute it. */
+  private val schemas = scala.collection.mutable.LinkedHashSet[String]("public")
+
+  private val CreateSchemaRe =
+    ("""(?is)CREATE\s+(?:SCHEMA|DATABASE)\s+(IF\s+NOT\s+EXISTS\s+)?""" + Ident + """\s*""").r
+  private val DropSchemaRe =
+    ("""(?is)DROP\s+(?:SCHEMA|DATABASE)\s+(IF\s+EXISTS\s+)?""" + Ident +
+      """\s*(?i:(CASCADE|RESTRICT))?\s*""").r
+
+  private def createSchema(q: String): DataFrame = q match {
+    case CreateSchemaRe(ifNot, name0) =>
+      val name = unquoteIdent(name0)
+      require(name != "information_schema", "reserved schema name: information_schema")
+      if (schemas.contains(name)) {
+        if (ifNot == null) sys.error(s"schema already exists: $name")
+      } else schemas += name
+      spark.emptyDataFrame
+    case _ => sys.error(s"cannot parse CREATE SCHEMA: $q")
+  }
+
+  private def dropSchema(q: String): DataFrame = q match {
+    case DropSchemaRe(ifEx, name0, mode) =>
+      val name = unquoteIdent(name0)
+      if (name == "public") sys.error("cannot drop the default schema: public")
+      if (!schemas.contains(name)) {
+        if (ifEx == null) sys.error(s"schema not found: $name")
+      } else {
+        val members = spark.catalog.listTables().collect()
+          .map(_.name).filter(_.startsWith(name + "__")).toSeq
+        if (members.nonEmpty &&
+            (mode == null || !mode.equalsIgnoreCase("CASCADE")))
+          sys.error(s"schema not empty: $name (${members.size} tables — use DROP SCHEMA $name CASCADE)")
+        members.foreach { t =>
+          if (tables.exists(t)) tables.drop(t, ifExists = true)
+          else spark.catalog.dropTempView(t)
+        }
+        schemas -= name
+      }
+      spark.emptyDataFrame
+    case _ => sys.error(s"cannot parse DROP SCHEMA: $q")
+  }
+
+  /** (schema, bare table name) decoded from a possibly-mangled flat name. */
+  private def schemaOf(flat: String): (String, String) =
+    flat.split("__", 2) match {
+      case Array(s, rest) if rest.nonEmpty && schemas.contains(s) => (s, rest)
+      case _ => ("public", flat)
+    }
 
   // ---------------------------------------------------------------- views
 
@@ -462,11 +521,13 @@ final class GraftSession(
   // ----------------------------------------------------- catalog queries
 
   /** information_schema.tables built on demand (reference
-    * `information_schema.rs:12-90`): one row per registered table/view. */
+    * `information_schema.rs:12-90`): one row per registered table/view,
+    * mangled schema-qualified names decoded back to (schema, table). */
   private def informationSchemaTables(): DataFrame = {
     val rows = spark.catalog.listTables().collect().toSeq.map { t =>
       val tpe = if (tables.exists(t.name)) "BASE TABLE" else "VIEW"
-      Row("qurious", "public", t.name, tpe)
+      val (sch, tbl) = schemaOf(t.name)
+      Row("qurious", sch, tbl, tpe)
     }
     val schema = StructType(Seq(
       StructField("catalog_name", StringType),
@@ -474,7 +535,49 @@ final class GraftSession(
       StructField("table_name", StringType),
       StructField("table_type", StringType)))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.sortBy(_.getString(2)), 1), schema)
+      spark.sparkContext.parallelize(
+        rows.sortBy(r => (r.getString(1), r.getString(2))), 1), schema)
+  }
+
+  /** information_schema.columns from `spark.catalog.listColumns` — the
+    * reference declares the table name but implements only `tables`
+    * (`information_schema.rs:12-90`); this is the first thing a BI tool or
+    * DESCRIBE-shaped query asks for, so we complete it. Type names render
+    * in SQL-standard (DuckDB-compatible) spelling. */
+  private def informationSchemaColumns(): DataFrame = {
+    val rows = spark.catalog.listTables().collect().toSeq.flatMap { t =>
+      val (sch, tbl) = schemaOf(t.name)
+      // a view whose plan no longer resolves simply has no column rows
+      scala.util.Try(spark.catalog.listColumns(t.name).collect().toSeq)
+        .getOrElse(Seq.empty).zipWithIndex.map {
+          case (c, i) =>
+            Row("qurious", sch, tbl, c.name, (i + 1).toLong,
+              sqlTypeName(c.dataType), if (c.nullable) "YES" else "NO")
+        }
+    }
+    val schema = StructType(Seq(
+      StructField("table_catalog", StringType),
+      StructField("table_schema", StringType),
+      StructField("table_name", StringType),
+      StructField("column_name", StringType),
+      StructField("ordinal_position", LongType),
+      StructField("data_type", StringType),
+      StructField("is_nullable", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.sortBy(r => (r.getString(1), r.getString(2), r.getLong(4))), 1), schema)
+  }
+
+  /** Spark catalog type string (`simpleString`) → SQL-standard spelling. */
+  private def sqlTypeName(t: String): String = {
+    val lower = t.toLowerCase(Locale.ROOT)
+    lower match {
+      case "int" => "INTEGER"
+      case "string" => "VARCHAR"
+      case s if s.startsWith("array<") =>
+        sqlTypeName(s.stripPrefix("array<").stripSuffix(">")) + "[]"
+      case s => s.toUpperCase(Locale.ROOT)
+    }
   }
 
   private def showTables(): DataFrame = informationSchemaTables()
@@ -501,6 +604,11 @@ final class GraftSession(
       informationSchemaTables().createOrReplaceTempView("information_schema_tables")
       out = mapUnquoted(out)(
         _.replaceAll("(?i)information_schema\\.tables", "information_schema_tables"))
+    }
+    if (out.toLowerCase(Locale.ROOT).contains("information_schema.columns")) {
+      informationSchemaColumns().createOrReplaceTempView("information_schema_columns")
+      out = mapUnquoted(out)(
+        _.replaceAll("(?i)information_schema\\.columns", "information_schema_columns"))
     }
     out = foldIntervalArith(out)
     out = mapUnquoted(out)(descNullsFirst)
@@ -557,6 +665,48 @@ final class GraftSession(
     val view = s"tvf_${kind}_${Integer.toHexString((path + opts).hashCode).replace('-', 'n')}_$tvfCounter"
     df.createOrReplaceTempView(view)
     view
+  }
+
+  // ----------------------------------------------------- DISTINCT ON
+
+  /** `SELECT DISTINCT ON (k1, ...) sel FROM ... [ORDER BY o1, ...] [LIMIT n]`
+    * → row_number-window rewrite (Postgres semantics: the first row of each
+    * key group under the ORDER BY). The reference PARSES this form
+    * (`sqlparser/src/parser.rs:581-599`) but silently drops the ON list at
+    * execution; Spark has no DISTINCT ON at all — the rewrite executes it
+    * correctly: partition by the ON keys, order by the query's ORDER BY
+    * (which, as in Postgres, should start with the ON keys), keep rank 1.
+    * Top-level statements only (not inside CTEs/subqueries). */
+  private def distinctOn(q: String): DataFrame = {
+    val head = """(?is)^SELECT\s+DISTINCT\s+ON\s*""".r.findFirstMatchIn(q)
+      .getOrElse(sys.error(s"cannot parse DISTINCT ON: $q"))
+    val afterOn = q.substring(head.end).trim
+    require(afterOn.startsWith("("), s"cannot parse DISTINCT ON: $q")
+    val (keys, tail) = matchParen(afterOn)
+    val selTail = tail.trim
+    val fromIdx = indexOfTopLevelKeyword(selTail, "FROM")
+    require(fromIdx >= 0, s"DISTINCT ON requires FROM: $q")
+    val selectList = selTail.take(fromIdx).trim
+    val obIdx = indexOfTopLevelKeyword(selTail, "ORDER", fromIdx)
+    val limIdx = indexOfTopLevelKeyword(selTail, "LIMIT", fromIdx)
+    val cutIdx = Seq(obIdx, limIdx).filter(_ >= 0).sorted.headOption
+      .getOrElse(selTail.length)
+    val fromPart = selTail.substring(fromIdx + 4, cutIdx).trim
+    val trailer = selTail.substring(cutIdx).trim
+    val orderExprs =
+      if (obIdx >= 0) {
+        val obEnd = if (limIdx > obIdx) limIdx else selTail.length
+        selTail.substring(obIdx, obEnd)
+          .replaceAll("(?is)^ORDER\\s+BY", "").trim
+      } else keys
+    val rewritten =
+      s"""SELECT $selectList FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY $keys ORDER BY $orderExprs)
+         |    AS __don_rn
+         |  FROM $fromPart) __don
+         |WHERE __don_rn = 1 ${if (trailer.nonEmpty) trailer else ""}""".stripMargin
+    // drop covers the `SELECT DISTINCT ON (k) *` case, harmless otherwise
+    compatNames(spark.sql(rewriteQuery(rewritten)).drop("__don_rn"))
   }
 
   // ------------------------------------------------- output-name compat
@@ -639,11 +789,23 @@ final class GraftSession(
     s.length
   }
 
-  /** Strip `qurious.public.` / `public.` default-catalog qualifiers, but
-    * never inside string literals or quoted identifiers. */
+  /** Strip `qurious.public.` / `public.` default-catalog qualifiers and
+    * mangle registered-schema qualifiers (`sch.tbl` → `sch__tbl` — Spark
+    * temp views are one flat namespace), but never inside string literals
+    * or quoted identifiers. `information_schema.` is left for
+    * [[rewriteQuery]]'s view substitution. */
   private def stripQualifiers(q: String): String =
-    mapUnquoted(q)(
-      _.replaceAll("(?i)\\bqurious\\.public\\.", "").replaceAll("(?i)\\bpublic\\.", ""))
+    mapUnquoted(q) { seg0 =>
+      var seg = seg0
+        .replaceAll("(?i)\\bqurious\\.public\\.", "")
+        .replaceAll("(?i)\\bpublic\\.", "")
+        .replaceAll("(?i)\\bqurious\\.(?=[A-Za-z_])", "")
+      for (s <- schemas if s != "public")
+        seg = seg.replaceAll(
+          "(?i)\\b" + java.util.regex.Pattern.quote(s) + "\\.(?=[A-Za-z_\"])",
+          s + "__")
+      seg
+    }
 
   /** Content of the leading parenthesized group + the tail after it. */
   private def matchParen(s: String): (String, String) = {

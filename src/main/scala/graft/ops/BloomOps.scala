@@ -18,15 +18,25 @@ import org.apache.spark.sql.functions._
   * false-positive rate and zero false negatives.
   *
   * Hashing is double-hashing (Kirsch–Mitzenmacher): g_i = h1 + i·h2 mod m
-  * with h1 = xxhash64, h2 = murmur3 — both deterministic, codegen'd
-  * builtins, so build and probe agree bit-for-bit.
+  * with h1 = xxhash64, h2 = 2·murmur3+1 (forced odd, coprime with the
+  * power-of-two m) — both deterministic, codegen'd builtins, so build and
+  * probe agree bit-for-bit.
   */
 object BloomOps {
+
+  /** h2 for Kirsch–Mitzenmacher double hashing, forced ODD (2·h+1): an
+    * even-or-zero h2 shares factors with the power-of-two m, collapsing
+    * the probe sequence (h2=0 degenerates to a single bit position and
+    * ruins the FPR for that key). Odd h2 is coprime with m, so the i·h2
+    * strides cover distinct positions. Shared by build and probe — the
+    * two sides must agree bit-for-bit. */
+  private def h2(key: Column): Column =
+    hash(key).cast("long") * lit(2L) + lit(1L)
 
   /** The `numHashes` bit positions a key sets/tests (array column). */
   private def bitPositions(key: Column, numBits: Long, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      pmod(xxhash64(key) + lit(i.toLong) * hash(key).cast("long"), lit(numBits))
+      pmod(xxhash64(key) + lit(i.toLong) * h2(key), lit(numBits))
     }: _*)
 
   /** Build the packed filter: m/64 longs. `numBits` must be a multiple
@@ -52,7 +62,7 @@ object BloomOps {
     val m = words.length * 64L
     val wordsLit = array(words.map(lit(_)): _*)
     (0 until numHashes).map { i =>
-      val pos = pmod(xxhash64(key) + lit(i.toLong) * hash(key).cast("long"), lit(m))
+      val pos = pmod(xxhash64(key) + lit(i.toLong) * h2(key), lit(m))
       val word = element_at(wordsLit, (pos / 64).cast("int") + 1)
       call_function("shiftright", word, (pos % 64).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)

@@ -191,6 +191,87 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental (batch-vs-corpus) Jaccard pairs: only postings of the NEW
+    * batch probe the corpus shingle index, so candidate generation is
+    * |batch postings| × posting-list joins — the corpus is never
+    * self-joined. At scale the corpus index is a materialized table and
+    * this probe is the only per-ingest work.
+    *
+    * Every qualifying pair with ≥1 batch member is emitted exactly once:
+    * batch-vs-corpus pairs as (id_a = batch doc, id_b = corpus doc,
+    * b_batch = false); batch-vs-batch pairs once with id_a < id_b
+    * (b_batch = true) — the `a.id < b.id`-only-when-both-batch filter stops
+    * the double orientation the symmetric probe would otherwise produce.
+    * `batchIds` must be a single-column frame of batch ids (small — it is
+    * broadcast to flag/filter index rows). `maxDf` as in [[jaccardPairs]]. */
+  def batchJaccardPairs(
+      df: DataFrame, batchIds: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.8, maxDf: Int = 0): DataFrame = {
+    val idx = shingleIndex(df, id, text, n, maxDf)
+    val bflag = batchIds.toDF("id").withColumn("is_b", lit(true))
+    val probe = idx.join(broadcast(bflag.select(col("id"))), Seq("id"), "left_semi")
+    val corpusIdx = idx.join(broadcast(bflag), Seq("id"), "left")
+      .withColumn("is_b", coalesce(col("is_b"), lit(false)))
+    val a = probe.alias("a")
+    val b = corpusIdx.alias("b")
+    a.join(b, col("a.shingle") === col("b.shingle"))
+      .filter(col("a.id") =!= col("b.id") &&
+        (!col("b.is_b") || col("a.id") < col("b.id")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"), col("b.is_b").as("b_batch"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"), col("b_batch"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("b_batch"), col("jaccard"))
+  }
+
+  /** Materialize the corpus shingle inverted index to parquet — the
+    * at-scale companion of [[batchJaccardPairs]]: the corpus is shingled
+    * ONCE at ingest time, and every later batch probes the stored
+    * (id, sz, shingle) postings instead of re-scanning corpus text. The
+    * `maxDf` cut is applied at build time over the corpus (document
+    * frequencies are corpus frequencies — a later batch doesn't change
+    * stored postings; re-build or compact periodically as the corpus
+    * grows). */
+  def writeShingleIndex(
+      df: DataFrame, id: Column, text: Column, path: String,
+      n: Int = 3, maxDf: Int = 0): Unit =
+    shingleIndex(df, id, text, n, maxDf)
+      .write.mode("overwrite").parquet(path)
+
+  /** Probe a persisted corpus index with a NEW batch: emits every
+    * Jaccard-qualifying pair with ≥1 batch member exactly once —
+    * batch-vs-corpus pairs as (id_a = batch doc, id_b = corpus doc,
+    * b_batch = false) from the postings join, batch-vs-batch pairs
+    * (id_a < id_b, b_batch = true) from an in-batch [[jaccardPairs]] (the
+    * batch is ingest-sized, so no df cut there). The corpus side is the
+    * stored index — corpus text is never re-read, and per-ingest work
+    * scales with the batch. */
+  def probeShingleIndex(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      batch: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val corpusIdx = spark.read.parquet(indexPath)
+    val batchIdx = shingleIndex(batch, id, text, n)
+    val cross = batchIdx.alias("a")
+      .join(corpusIdx.alias("b"), col("a.shingle") === col("b.shingle"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), lit(false).as("b_batch"), col("jaccard"))
+    val within = jaccardPairs(batch, id, text, n, threshold)
+      .select(col("id_a"), col("id_b"), lit(true).as("b_batch"), col("jaccard"))
+    cross.unionByName(within)
+  }
+
   /** MinHash+LSH near-dup pairs: band-bucket candidate join, then exact
     * Jaccard verification of candidates (false positives filtered; recall
     * governed by (bands, rowsPerBand) — 16×4 here, ≥0.9998 at J≥0.9).
@@ -279,13 +360,13 @@ object DedupOps {
     * corpus has no near-dups, its "top-k" here is a sample of bucket
     * cohabitants, not the exact cartesian top-k. */
   def embeddingTopPairsLsh(
-      df: DataFrame, id: Column, vec: Column, k: Int,
-      bits: Int = 6, tables: Int = 4, dim: Int = -1): DataFrame = {
+      df: DataFrame, id: Column, vec: Column, k: Int, dim: Int,
+      bits: Int = 6, tables: Int = 4): DataFrame = {
+    require(dim > 0, s"vector dim must be positive, got $dim")
     val v = df.select(id.as("id"), VectorOps.vecD(vec).as("v"))
       .withColumn("nrm", VectorOps.l2norm(col("v")))
-    val planeDim = if (dim > 0) dim else v.select(size(col("v"))).head.getInt(0)
     val bucketCols = (0 until tables).map { t =>
-      val planes = SimilarityOps.hyperplanes(planeDim, bits, seed = 42L + t)
+      val planes = SimilarityOps.hyperplanes(dim, bits, seed = 42L + t)
       struct(lit(t).as("t"), SimilarityOps.lshBucket(col("v"), planes).as("b"))
     }
     val bucketed = v

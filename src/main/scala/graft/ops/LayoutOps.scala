@@ -15,13 +15,17 @@ import org.apache.spark.sql.functions._
 object LayoutOps {
 
   /** Morton (Z-order) value: interleave the low `bits` bits of two
-    * non-negative integral columns — x takes the even output bits, y the
-    * odd. Pure integer arithmetic (shift/and/add), codegen'd per row, no
-    * shuffle; 2×`bits` result bits must fit a long (bits ≤ 31). */
+    * integral columns — x takes the even output bits, y the odd. Inputs
+    * are masked to their low `bits` bits first, so an out-of-range or
+    * negative value clamps to a deterministic two's-complement-low-bits
+    * interleave instead of leaking sign bits. Pure integer arithmetic
+    * (shift/and/add), codegen'd per row, no shuffle; 2×`bits` result bits
+    * must fit a long (bits ≤ 31). */
   def zValue2(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val xs = x.cast("long")
-    val ys = y.cast("long")
+    val mask = lit((1L << bits) - 1)
+    val xs = x.cast("long").bitwiseAND(mask)
+    val ys = y.cast("long").bitwiseAND(mask)
     (0 until bits).map { i =>
       shiftright(xs, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
         shiftright(ys, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
@@ -29,18 +33,59 @@ object LayoutOps {
   }
 
   /** Morton value over N columns: column j's bit i lands at output bit
-    * i·N + j (round-robin interleave, the general ZORDER BY key).
-    * N·`bits` result bits must fit a long. */
+    * i·N + j (round-robin interleave, the general ZORDER BY key). Inputs
+    * masked to their low `bits` bits as in [[zValue2]]. N·`bits` result
+    * bits must fit a long. */
   def zValueN(cols: Seq[Column], bits: Int): Column = {
     val n = cols.size
     require(n >= 2, "zValueN needs at least two columns")
     require(bits >= 1 && n * bits <= 63, s"need n*bits <= 63, got $n x $bits")
+    val mask = lit((1L << bits) - 1)
     cols.zipWithIndex.map { case (c, j) =>
-      val cl = c.cast("long")
+      val cl = c.cast("long").bitwiseAND(mask)
       (0 until bits).map { i =>
         shiftright(cl, i).bitwiseAND(lit(1L)) * lit(1L << (i * n + j))
       }.reduce(_ + _)
     }.reduce(_ + _)
+  }
+
+  /** Distributed global row_number — the scale-safe replacement for a
+    * `Window.orderBy(...)` with no partition (which funnels the whole
+    * table through ONE task). Three steps, none single-partition over the
+    * data: (1) one aggregate computes `buckets-1` approximate percentile
+    * boundaries of `rangeKey` and broadcasts them; (2) each row's bucket
+    * is the count of boundaries strictly below its key (monotone in the
+    * key, so bucket order = key order; ties stay in one bucket and are
+    * resolved by the within-bucket sort), and rows are numbered inside
+    * their bucket by a PARTITIONED window over `order`; (3) per-bucket
+    * counts (≤ `buckets` rows) prefix-sum via a tiny triangular self-join
+    * and broadcast back as offsets. The result column is the EXACT global
+    * rank — boundary skew only unbalances bucket sizes, never the ranks.
+    * `order` must start with (or be consistent with) `rangeKey`; `rangeKey`
+    * must be numeric and non-null. */
+  def globalRowNumber(
+      df: DataFrame, rangeKey: Column, order: Seq[Column], buckets: Int,
+      outCol: String = "global_rn"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val probs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    val bounds = df.agg(
+      percentile_approx(rangeKey, probs, lit(10000)).as("__bounds"))
+    val withBucket = df.crossJoin(broadcast(bounds))
+      .withColumn("__bkt",
+        size(filter(col("__bounds"), b => b < rangeKey)))
+      .drop("__bounds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt")).orderBy(order: _*)
+    val cnts = withBucket.groupBy(col("__bkt")).agg(count(lit(1)).as("__cnt"))
+    val offs = cnts.alias("x")
+      .join(cnts.alias("y"), col("y.__bkt") < col("x.__bkt"), "left")
+      .groupBy(col("x.__bkt").as("__bkt"))
+      .agg(sum(col("y.__cnt")).as("__off"))
+    withBucket
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(offs), Seq("__bkt"))
+      .withColumn(outCol, (coalesce(col("__off"), lit(0L)) + col("__rn")).cast("long"))
+      .drop("__bkt", "__rn", "__off")
   }
 
   /** Compact a parquet directory to ~`targetBytes` files: the streaming-

@@ -71,9 +71,12 @@ object MlOps {
         .agg(sum(col("x") * element_at(wLit, col("bucket") + 1)).as("z"))
         .select(col("id"), col("y"),
           (lit(1.0) / (lit(1.0) + exp(-(col("z") + lit(b))))).as("p"))
-      // residuals drive both the loss and the gradient
+      // residuals drive both the loss aggregate and the gradient join —
+      // persisted so the margin groupBy shuffle runs ONCE per iteration,
+      // not once per consumer (the table is (id, y, p, r) scalars, far
+      // smaller than the feature table)
       val r = perDoc.select(col("id"), col("y"), col("p"),
-        (col("p") - col("y")).as("r"))
+        (col("p") - col("y")).as("r")).persist()
       val eps = 1e-12
       val Array(lossRow) = r.agg(
         sum(-(col("y") * log(col("p") + eps) +
@@ -86,6 +89,7 @@ object MlOps {
         .groupBy(col("bucket"))
         .agg(sum(col("x") * col("r")).as("g"))
         .collect()
+      r.unpersist(blocking = false)
       val next = w.clone()
       grad.foreach(row => next(row.getInt(0)) -= step * row.getDouble(1) / nDocs)
       w = next

@@ -69,10 +69,10 @@ object SimilarityOps {
     * direction so every vector gets k out-neighbors. */
   def knnGraph(
       df: DataFrame, id: Column, vec: Column,
-      k: Int, bits: Int = 6, tables: Int = 2): DataFrame = {
+      k: Int, dim: Int, bits: Int = 6, tables: Int = 2): DataFrame = {
+    require(dim > 0, s"vector dim must be positive, got $dim")
     import org.apache.spark.sql.expressions.Window
     val base = df.select(id.as("id"), VectorOps.vecD(vec).as("v"))
-    val dim = base.select(size(col("v"))).head().getInt(0)
     val withBuckets = (0 until tables).foldLeft(base) { (acc, t) =>
       acc.withColumn(s"b$t", lshBucket(col("v"), hyperplanes(dim, bits, seed = 100 + t)))
     }
@@ -111,18 +111,16 @@ object SimilarityOps {
   def lshTopK(
       queries: DataFrame, candidates: DataFrame,
       qId: Column, qVec: Column, cId: Column, cVec: Column,
-      k: Int, bits: Int = 6, tables: Int = 4, multiProbe: Boolean = true,
-      dim: Int = -1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      k: Int, dim: Int, bits: Int = 6, tables: Int = 4,
+      multiProbe: Boolean = true): DataFrame = {
     // Hyperplanes must span the full embedding dimension: a short plane
     // truncates the sign-bit dot product (dot() folds over min length) and
-    // silently degrades recall. Derive from the data unless the caller
-    // passes it (at 100 TB, pass it — the probe is a single-row job but
-    // it's one more scan kickoff).
-    val planeDim =
-      if (dim > 0) dim
-      else candidates.select(size(cVec)).head.getInt(0)
-    val allPlanes = (0 until tables).map(t => hyperplanes(planeDim, bits, seed = 42L + t))
+    // silently degrades recall. Array columns carry no static width in the
+    // schema, so the caller MUST pass it — a data probe here would run a
+    // one-row job during plan construction.
+    require(dim > 0, s"vector dim must be positive, got $dim")
+    import org.apache.spark.sql.expressions.Window
+    val allPlanes = (0 until tables).map(t => hyperplanes(dim, bits, seed = 42L + t))
 
     def withBuckets(df: DataFrame, vecCol: String, out: String => String): DataFrame =
       allPlanes.zipWithIndex.foldLeft(df) { case (d, (planes, t)) =>

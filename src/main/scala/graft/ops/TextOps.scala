@@ -164,6 +164,29 @@ object TextOps {
   def redactEmails(c: Column, token: String = "<EMAIL>"): Column =
     regexp_replace(c, emailRe, token)
 
+  // ---- HTML → text extraction (the crawl-corpus pre-cleaning step) ----
+
+  /** Strip HTML to plain text as codegen'd regex passes — the
+    * parser-free 80% cleanup a crawl pipeline runs before any quality
+    * filter: drop script/style blocks wholesale, drop every tag, decode
+    * the common entities, collapse whitespace. Per-row, no shuffle. Pass
+    * ORDER is part of the spec (tags strip before entity decode, so a
+    * decoded `&lt;b&gt;` survives as text); the regexes avoid
+    * backreferences so the identical patterns run on RE2 engines
+    * (DuckDB) for oracle parity. */
+  def stripHtml(c: Column): Column = {
+    val noBlocks = regexp_replace(c,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val e1 = regexp_replace(noTags, "&nbsp;", " ")
+    val e2 = regexp_replace(e1, "&lt;", "<")
+    val e3 = regexp_replace(e2, "&gt;", ">")
+    val e4 = regexp_replace(e3, "&quot;", "\"")
+    val e5 = regexp_replace(e4, "&#39;|&apos;", "'")
+    val e6 = regexp_replace(e5, "&amp;", "&")
+    trim(regexp_replace(e6, "\\s+", " "))
+  }
+
   // ---- repetition / boilerplate detection ----
 
   /** Repeated-trigram ratio in [0,1]: 1 − distinct/total word trigrams.

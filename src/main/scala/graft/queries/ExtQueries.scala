@@ -181,7 +181,8 @@ object ExtDedup extends QueryModule {
       (s, dir) => {
         import s.implicits._
         DedupOps.embeddingTopPairsLsh(
-          Tables.load(s, dir, "embeddings"), $"vec_id", $"embedding", 20)
+          Tables.load(s, dir, "embeddings"), $"vec_id", $"embedding",
+          k = 20, dim = 64)
       },
       None),
 
@@ -337,13 +338,13 @@ object ExtSimilarity extends QueryModule {
         val emb = Tables.load(s, dir, "embeddings")
         SimilarityOps.lshTopK(
             emb.filter($"vec_id" < 10), emb,
-            $"vec_id", $"embedding", $"vec_id", $"embedding", k = 5)
+            $"vec_id", $"embedding", $"vec_id", $"embedding", k = 5, dim = 64)
           .orderBy($"q_id", $"rank")
       },
       None),
 
     // Same LSH pipeline over a non-native dimension (fixture embeddings
-    // sliced to 32) — rows-only; guards the hyperplane dimension derivation
+    // sliced to 32) — rows-only; guards the hyperplane dimension handling
     // (round-1 bug: dim hard-coded to 64 silently truncated other widths).
     QueryDef(
       "ext_ann_lsh_dim32",
@@ -354,7 +355,7 @@ object ExtSimilarity extends QueryModule {
           .select($"vec_id", slice($"embedding", 1, 32).as("embedding"))
         SimilarityOps.lshTopK(
             emb.filter($"vec_id" < 10), emb,
-            $"vec_id", $"embedding", $"vec_id", $"embedding", k = 5)
+            $"vec_id", $"embedding", $"vec_id", $"embedding", k = 5, dim = 32)
           .orderBy($"q_id", $"rank")
       },
       None),
@@ -383,7 +384,7 @@ object ExtSimilarity extends QueryModule {
         import s.implicits._
         SimilarityOps.knnGraph(
             Tables.load(s, dir, "embeddings").filter($"vec_id" < 100),
-            $"vec_id", $"embedding", k = 5, bits = 4, tables = 4)
+            $"vec_id", $"embedding", k = 5, dim = 64, bits = 4, tables = 4)
           .orderBy($"src", $"nn_rank")
       },
       None),
@@ -423,7 +424,9 @@ object ExtSimilarity extends QueryModule {
           .select($"label", $"pos".cast("int").as("pos"),
             $"col".cast("double").as("v"))
           .groupBy($"label", $"pos")
-          .agg(round(avg($"v"), 4).as("mean_v"))
+          // `+ 0` canonicalizes IEEE -0.0 (a tiny negative mean rounds to
+          // -0.0 in DuckDB) so the driver row hash agrees on both engines
+          .agg((round(avg($"v"), 4) + lit(0)).as("mean_v"))
           .orderBy($"label", $"pos")
       },
       Some("""WITH e AS (
@@ -431,7 +434,7 @@ object ExtSimilarity extends QueryModule {
                  unnest(list_transform(embedding,
                    (x, i) -> {'pos': i - 1, 'v': CAST(x AS DOUBLE)})) AS u
           FROM embeddings)
-        SELECT label, CAST(u.pos AS INT) AS pos, round(avg(u.v), 4) AS mean_v
+        SELECT label, CAST(u.pos AS INT) AS pos, round(avg(u.v), 4) + 0 AS mean_v
         FROM e GROUP BY 1, 2 ORDER BY label, pos""")),
 
     // ---- distributed PCA: two corpus aggregates (means + centered Gram),
@@ -548,10 +551,12 @@ object ExtText extends QueryModule {
       "ext_text_hash_classifier",
       (s, dir) => {
         import s.implicits._
+        // `+ 0` canonicalizes IEEE negative zero (-0.0 + 0 = +0.0) so the
+        // driver's row hash agrees with the identically-normalized oracle.
         Tables.load(s, dir, "documents")
           .select($"doc_id",
-            round(TextOps.hashedLinearLogit($"text"), 6).as("logit"),
-            round(TextOps.hashedLinearScore($"text"), 6).as("quality_prob"))
+            (round(TextOps.hashedLinearLogit($"text"), 6) + lit(0)).as("logit"),
+            (round(TextOps.hashedLinearScore($"text"), 6) + lit(0)).as("quality_prob"))
           .orderBy($"doc_id")
       },
       Some("""WITH t AS (
@@ -566,8 +571,8 @@ object ExtText extends QueryModule {
                 / 255.0 - 0.5))
               / len(tk) END AS logit
           FROM t)
-        SELECT doc_id, round(logit, 6) AS logit,
-          round(1.0 / (1.0 + exp(-logit)), 6) AS quality_prob
+        SELECT doc_id, round(logit, 6) + 0 AS logit,
+          round(1.0 / (1.0 + exp(-logit)), 6) + 0 AS quality_prob
         FROM z ORDER BY doc_id""")),
 
     // ---- distributed hashed-LR TRAINING: full-batch gradient descent

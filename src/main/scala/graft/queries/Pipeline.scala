@@ -83,7 +83,8 @@ object Pipeline extends QueryModule {
           WHERE lang_guess = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 1000),
         deduped AS (
           SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk FROM kept)
-        SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                round(avg(quality), 4) AS avg_quality
         FROM deduped WHERE rk = 1
         GROUP BY source ORDER BY source""")),
@@ -107,7 +108,7 @@ object Pipeline extends QueryModule {
       },
       Some("""SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
                      THEN 'train' ELSE 'test' END AS split,
-               count(*) AS n_docs, sum(n_chars) AS total_chars
+               count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1 ORDER BY split""")),
 
     // ---- seeded stratified sampling (per-language fractions): Bernoulli
@@ -159,7 +160,7 @@ object Pipeline extends QueryModule {
                       ROWS UNBOUNDED PRECEDING) AS cum
           FROM d)
         SELECT source, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id,
-               count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+               count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         FROM c GROUP BY 1, 2 ORDER BY source, pack_id""")),
 
     // ---- weighted source mixing: per-language keep-rates as a pure hash
@@ -233,14 +234,17 @@ object Pipeline extends QueryModule {
     // report. This is THE corpus-dedup shape at 100 TB (candidate join,
     // fixpoint clustering, anti-join retirement); exact-Jaccard pairs keep
     // it DuckDB-oracle-verifiable — swap minhashLshPairs in for the
-    // constant-amplification variant at scale. ----
+    // constant-amplification variant at scale. The maxDf cut is part of the
+    // SPEC (mirrored in the oracle's df window), not a fixture shortcut:
+    // it bounds every shingle posting list so a corpus-common shingle can
+    // never land O(df²) candidates on one reducer. ----
     QueryDef(
       "pl_near_dedup_report",
       (s, dir) => {
         import s.implicits._
         val docs = Tables.load(s, dir, "documents")
         val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text", n = 3,
-          threshold = 0.8)
+          threshold = 0.8, maxDf = 128)
         val clusters = GraphOps.dedupClusters(docs, $"doc_id", pairs,
           $"id_a", $"id_b")
         val retired = clusters.filter(!$"is_keeper").select($"doc_id")
@@ -255,7 +259,11 @@ object Pipeline extends QueryModule {
           SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
                    i -> array_to_string(tk[i:i+2], ' '))) AS shs
           FROM toks WHERE len(tk) >= 3),
-        idx AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx0 AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx AS (
+          SELECT doc_id, sz, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM idx0)
+          WHERE df <= 128),
         cand AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
                  count(*) AS inter
@@ -271,7 +279,7 @@ object Pipeline extends QueryModule {
           SELECT s.dst AS id, r.lab FROM reach r JOIN sym s ON s.src = r.id),
         retired AS (
           SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> min(lab))
-        SELECT lang, count(*) AS n_kept, sum(n_chars) AS kept_chars
+        SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM retired)
         GROUP BY lang ORDER BY lang""")),
 
@@ -369,7 +377,8 @@ object Pipeline extends QueryModule {
         import s.implicits._
         Tables.load(s, dir, "events")
           .select($"event_id",
-            ($"user_id" % 256).as("zx"), ($"event_id" % 256).as("zy"))
+            pmod($"user_id", lit(256)).as("zx"),
+            pmod($"event_id", lit(256)).as("zy"))
           .withColumn("zval", graft.ops.LayoutOps.zValue2($"zx", $"zy", 8))
           .orderBy($"zval", $"event_id")
           .limit(100)
@@ -384,10 +393,10 @@ object Pipeline extends QueryModule {
     // against the already-ingested corpus. A batch doc is retired when it
     // near-duplicates (trigram Jaccard ≥ 0.8) any corpus doc — the corpus
     // copy always wins, id order irrelevant — or a lower-id doc of its own
-    // batch. The corpus is never rescanned against itself: at scale the
-    // shingle index of the existing corpus is a materialized table and
-    // only batch postings join against it. Exactly one retirement rule
-    // fires per pair, so the oracle is a CASE over the same pair list. ----
+    // batch. Only BATCH postings probe the corpus shingle index
+    // ([[DedupOps.batchJaccardPairs]]) — the corpus is never self-joined,
+    // so per-ingest work scales with the batch, not the corpus. The maxDf
+    // cut is part of the spec (mirrored in the oracle's df window). ----
     QueryDef(
       "pl_incremental_dedup",
       (s, dir) => {
@@ -395,19 +404,13 @@ object Pipeline extends QueryModule {
         val docs = Tables.load(s, dir, "documents")
         val batchIds = docs.filter($"source".isin("src0", "src1"))
           .select($"doc_id")
-        val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text",
-          n = 3, threshold = 0.8)
-        val bm = batchIds.withColumn("is_b", lit(true))
-        val flagged = pairs
-          .join(broadcast(bm.select($"doc_id".as("id_a"), $"is_b".as("a_batch"))),
-            Seq("id_a"), "left")
-          .join(broadcast(bm.select($"doc_id".as("id_b"), $"is_b".as("b_batch"))),
-            Seq("id_b"), "left")
-        val retired = flagged.select(
-            when(coalesce($"b_batch", lit(false)), $"id_b")
-              .when(coalesce($"a_batch", lit(false)), $"id_a")
-              .as("doc_id"))
-          .filter($"doc_id".isNotNull).distinct()
+        val pairs = DedupOps.batchJaccardPairs(docs, batchIds, $"doc_id",
+          $"text", n = 3, threshold = 0.8, maxDf = 128)
+        // id_a is always a batch doc: retire the higher batch id of a
+        // batch-batch pair, else the batch side of a batch-corpus pair
+        val retired = pairs
+          .select(when($"b_batch", $"id_b").otherwise($"id_a").as("doc_id"))
+          .distinct()
         docs.filter($"source".isin("src0", "src1"))
           .join(retired, Seq("doc_id"), "left_anti")
           .groupBy($"lang")
@@ -420,7 +423,11 @@ object Pipeline extends QueryModule {
           SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
                    i -> array_to_string(tk[i:i+2], ' '))) AS shs
           FROM toks WHERE len(tk) >= 3),
-        idx AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx0 AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx AS (
+          SELECT doc_id, sz, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM idx0)
+          WHERE df <= 128),
         pairs AS (
           SELECT id_a, id_b FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a,
@@ -438,7 +445,7 @@ object Pipeline extends QueryModule {
           SELECT d.* FROM documents d
           WHERE d.source IN ('src0', 'src1')
             AND NOT EXISTS (SELECT 1 FROM retired r WHERE r.doc_id = d.doc_id))
-        SELECT lang, count(*) AS n_new, sum(n_chars) AS chars_new
+        SELECT lang, count(*) AS n_new, CAST(sum(n_chars) AS BIGINT) AS chars_new
         FROM surv GROUP BY lang ORDER BY lang""")),
 
     // ---- deterministic shard manifest: md5-prefix shard assignment
@@ -464,26 +471,29 @@ object Pipeline extends QueryModule {
              + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
             % 16 AS shard
           FROM documents)
-        SELECT shard, count(*) AS n_docs, sum(n_chars) AS total_chars
+        SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM t GROUP BY shard ORDER BY shard""")),
 
     // ---- length-bucketed batching: pack docs into fixed-size batches in
     // token-length order vs arrival order and report the padding waste
     // (each batch pads to its max length — the inference/training batcher
-    // economics). The global row_number here is the REPORT's total order;
-    // the production assignment is the same ntile idea per range partition
-    // (no single-partition window over 100 TB). Oracle mirrors both
-    // strategies exactly. ----
+    // economics). The global batch assignment uses the distributed
+    // [[graft.ops.LayoutOps.globalRowNumber]] (percentile-boundary range
+    // buckets + partitioned within-bucket numbering + tiny offset join) —
+    // EXACT global ranks with no single-partition window, so the same plan
+    // runs over 100 TB. Oracle mirrors both strategies with a plain global
+    // row_number (same ranks by construction). ----
     QueryDef(
       "pl_length_buckets",
       (s, dir) => {
         import s.implicits._
         val base = Tables.load(s, dir, "documents")
           .select($"doc_id", TextOps.tokenCount($"text").as("n"))
-        def waste(order: Seq[org.apache.spark.sql.Column], strategy: String) = {
-          val w = Window.orderBy(order: _*)
-          base
-            .withColumn("batch", ((row_number().over(w) - 1) / 32).cast("int"))
+        def waste(rangeKey: org.apache.spark.sql.Column,
+            order: Seq[org.apache.spark.sql.Column], strategy: String) = {
+          graft.ops.LayoutOps.globalRowNumber(base, rangeKey, order,
+              buckets = 32, outCol = "grn")
+            .withColumn("batch", (($"grn" - 1) / 32).cast("int"))
             .groupBy($"batch")
             .agg(max($"n").as("mx"), sum($"n").as("useful"),
               count(lit(1)).as("cnt"))
@@ -491,8 +501,8 @@ object Pipeline extends QueryModule {
             .select(lit(strategy).as("strategy"), $"padded", $"useful",
               round(($"padded" - $"useful") / $"padded", 6).as("waste_ratio"))
         }
-        waste(Seq($"n", $"doc_id"), "length_sorted")
-          .union(waste(Seq($"doc_id"), "arrival"))
+        waste($"n", Seq($"n", $"doc_id"), "length_sorted")
+          .union(waste($"doc_id", Seq($"doc_id"), "arrival"))
           .orderBy($"strategy")
       },
       Some("""WITH base AS (
@@ -513,7 +523,8 @@ object Pipeline extends QueryModule {
                FROM ao GROUP BY batch),
         aw AS (SELECT 'arrival' AS strategy, sum(mx * cnt) AS padded,
                       sum(useful) AS useful FROM ab)
-        SELECT strategy, padded, useful,
+        SELECT strategy, CAST(padded AS BIGINT) AS padded,
+          CAST(useful AS BIGINT) AS useful,
           round((padded - useful) / CAST(padded AS DOUBLE), 6) AS waste_ratio
         FROM (SELECT * FROM sw UNION ALL SELECT * FROM aw)
         ORDER BY strategy""")),
@@ -562,9 +573,12 @@ object Pipeline extends QueryModule {
         dup AS (SELECT count(*) AS c FROM (
           SELECT l_orderkey, l_linenumber FROM lineitem
           GROUP BY 1, 2 HAVING count(*) > 1))
-        SELECT 'l_orderkey_null' AS check_name, null_orderkey AS violations FROM rc
-        UNION ALL SELECT 'discount_out_of_range', discount_out_of_range FROM rc
-        UNION ALL SELECT 'nonpositive_values', nonpositive_values FROM rc
+        SELECT 'l_orderkey_null' AS check_name,
+               CAST(null_orderkey AS BIGINT) AS violations FROM rc
+        UNION ALL SELECT 'discount_out_of_range',
+               CAST(discount_out_of_range AS BIGINT) FROM rc
+        UNION ALL SELECT 'nonpositive_values',
+               CAST(nonpositive_values AS BIGINT) FROM rc
         UNION ALL SELECT 'orphan_lineitems', c FROM orph
         UNION ALL SELECT 'duplicate_pk', c FROM dup
         ORDER BY check_name"""))

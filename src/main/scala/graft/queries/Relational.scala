@@ -369,6 +369,21 @@ object Relational extends QueryModule {
       Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
         ORDER BY c_mktsegment, c_nationkey""")),
 
+    // Beyond reference: DISTINCT ON executes with Postgres semantics via the
+    // front-door row_number rewrite (the reference parses the ON list then
+    // silently drops it, sqlparser/src/parser.rs:581-599). Oracle is DuckDB's
+    // native DISTINCT ON over the identical statement.
+    QueryDef(
+      "op_distinct_on",
+      (s, dir) => {
+        val g = new graft.GraftSession(s)
+        graft.sources.Tables.register(s, dir, Seq("documents"))
+        g.sql("""SELECT DISTINCT ON (lang) lang, doc_id, n_chars FROM documents
+          ORDER BY lang, n_chars DESC, doc_id""")
+      },
+      Some("""SELECT DISTINCT ON (lang) lang, doc_id, n_chars FROM documents
+        ORDER BY lang, n_chars DESC, doc_id""")),
+
     // ---- CASE: searched + simple (ref case.rs; simple CASE is rewritten
     // to searched at plan time, sql.rs:1100-1136) ----
     QueryDef(

@@ -105,6 +105,69 @@ object SourcesCatalog extends QueryModule {
       },
       Some("""SELECT * FROM (VALUES ('cat_demo_a', 'BASE TABLE'),
         ('cat_demo_b', 'BASE TABLE')) t(table_name, table_type)
-        ORDER BY table_name"""))
+        ORDER BY table_name""")),
+
+    // information_schema.columns (the reference declares the name but
+    // implements only `tables`, information_schema.rs:12-90) — oracle is
+    // DuckDB's own information_schema over its views of the same parquet,
+    // so names, positions, and SQL type spellings must all line up.
+    QueryDef(
+      "cat_information_schema_columns",
+      (s, dir) => {
+        val g = new GraftSession(s)
+        Tables.register(s, dir, Seq("nation", "region"))
+        g.sql("""SELECT table_name, column_name, ordinal_position, data_type
+          FROM information_schema.columns
+          WHERE table_name IN ('nation', 'region')
+          ORDER BY table_name, ordinal_position""")
+      },
+      Some("""SELECT table_name, column_name,
+          CAST(ordinal_position AS BIGINT) AS ordinal_position, data_type
+        FROM information_schema.columns
+        WHERE table_name IN ('nation', 'region')
+        ORDER BY table_name, ordinal_position""")),
+
+    // CREATE/DROP SCHEMA routing (the last SURVEY §2 row: reference parses
+    // these, planner todo!()s — qurious/src/planner/sql.rs:187). Exercises
+    // create, IF NOT EXISTS idempotence, duplicate error, create-table-in,
+    // qualified DML/SELECT, non-empty drop error, CASCADE drop.
+    QueryDef(
+      "ddl_create_schema",
+      (s, _) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.{concat, lit}
+        val g = new GraftSession(s)
+        // self-cleaning rerun: registering the schema first lets CASCADE
+        // clear any leftover staging__* views from a prior (failed) run
+        g.sql("CREATE SCHEMA IF NOT EXISTS staging")
+        g.sql("DROP SCHEMA staging CASCADE")
+        g.sql("CREATE SCHEMA staging")
+        g.sql("CREATE SCHEMA IF NOT EXISTS staging")
+        val dupErr = scala.util.Try(g.sql("CREATE SCHEMA staging")).isFailure
+        g.sql("CREATE TABLE staging.docs (k INT, v STRING)")
+        g.sql("INSERT INTO staging.docs VALUES (1, 'a'), (2, 'b')")
+        val listed = g.sql("""SELECT schema_name, table_name
+          FROM information_schema.tables WHERE schema_name = 'staging'""")
+          .select(concat(lit("table:"), $"schema_name", lit("."), $"table_name")
+            .as("item"))
+        val data = g.sql("SELECT k, v FROM staging.docs ORDER BY k")
+          .select(concat(lit("data:"), $"k".cast("string"), lit(":"), $"v")
+            .as("item"))
+        val notEmptyErr = scala.util.Try(g.sql("DROP SCHEMA staging")).isFailure
+        g.sql("DROP SCHEMA staging CASCADE")
+        val after = g.sql("""SELECT count(*) AS c FROM information_schema.tables
+          WHERE schema_name = 'staging'""").head().getLong(0)
+        data.unionAll(listed)
+          .unionAll(Seq(
+            s"dup_create_errors:$dupErr",
+            s"drop_nonempty_errors:$notEmptyErr",
+            s"after_drop_tables:$after").toDF("item"))
+          .orderBy($"item")
+      },
+      Some("""SELECT * FROM (VALUES
+          ('after_drop_tables:0'), ('data:1:a'), ('data:2:b'),
+          ('drop_nonempty_errors:true'), ('dup_create_errors:true'),
+          ('table:staging.docs')) t(item)
+        ORDER BY item"""))
   )
 }

@@ -202,17 +202,23 @@ object Tpch extends QueryModule {
       "q7_volume_shipping",
       (s, dir) => {
         import s.implicits._
-        val n1 = t(s, dir, "nation").select(
+        // Pre-filter both nation dims to the two regions the cross-pair
+        // predicate can accept, and join them BEFORE the fact joins: the
+        // broadcast hash joins then prune out-of-region suppliers/customers
+        // at the scan side, so ineligible rows never enter the lineitem/
+        // orders shuffles (the OR filter below still removes the same-region
+        // 2-2 / 3-3 combinations).
+        val n1 = t(s, dir, "nation").filter($"n_regionkey".isin(2, 3)).select(
           $"n_nationkey".as("n1_key"), $"n_name".as("supp_nation"), $"n_regionkey".as("supp_region"))
-        val n2 = t(s, dir, "nation").select(
+        val n2 = t(s, dir, "nation").filter($"n_regionkey".isin(2, 3)).select(
           $"n_nationkey".as("n2_key"), $"n_name".as("cust_nation"), $"n_regionkey".as("cust_region"))
-        t(s, dir, "supplier")
+        val supp = t(s, dir, "supplier").join(broadcast(n1), $"s_nationkey" === $"n1_key")
+        val cust = t(s, dir, "customer").join(broadcast(n2), $"c_nationkey" === $"n2_key")
+        supp
           .join(t(s, dir, "lineitem"), $"s_suppkey" === $"l_suppkey")
           .filter($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1998-01-01"))
           .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
-          .join(broadcast(n1), $"s_nationkey" === $"n1_key")
-          .join(broadcast(n2), $"c_nationkey" === $"n2_key")
+          .join(cust, $"o_custkey" === $"c_custkey")
           .filter(
             ($"supp_region" === 2 && $"cust_region" === 3) ||
               ($"supp_region" === 3 && $"cust_region" === 2))

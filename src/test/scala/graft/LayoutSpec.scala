@@ -48,6 +48,40 @@ class LayoutSpec extends AnyFunSuite {
     assert(z3(3) === (1L << 3 | 1L << 8)) // a bit1 -> bit 3, c bit2 -> bit 8
   }
 
+  test("zValue2 clamps negative/out-of-range inputs to their low bits") {
+    // masked inputs: -1 has all low bits set → same z as the max in-range
+    // value; 2^bits + v aliases to v (no sign-bit leakage into the key)
+    val got = Seq((-1L, 0L), (31L, 0L), (33L, 0L), (1L, 0L))
+      .toDF("x", "y")
+      .select(LayoutOps.zValue2($"x", $"y", 5).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got(0) === got(1)) // -1 masks to 31
+    assert(got(2) === got(3)) // 33 masks to 1
+  }
+
+  test("globalRowNumber equals a global window row_number (ties included)") {
+    // keys with heavy ties so bucket boundaries land inside tie runs
+    val df = (1L to 1000L).map(i => (i, i % 7)).toDF("id", "k")
+    val expected = df
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"k", $"id")))
+      .select($"id", $"rn")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = LayoutOps.globalRowNumber(df, $"k", Seq($"k", $"id"), buckets = 16)
+      .select($"id", col("global_rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (id, rn) =>
+      assert(got(id) == rn.toLong, s"id $id")
+    }
+    // the plan must not contain an unpartitioned window over the data
+    val wins = LayoutOps.globalRowNumber(df, $"k", Seq($"k", $"id"), buckets = 16)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("z-order locality: adjacent z-values are near in space") {
     // the defining property vs a linear key: walking the curve stays local
     val n = 1 << 12 // full 64x64 grid as a z-ordered walk

@@ -98,6 +98,57 @@ class OpsSpec extends AnyFunSuite {
     assert(unguarded == brute)
   }
 
+  test("batch jaccard pairs: each pair once, no corpus-corpus candidates") {
+    // corpus: 1,2 are mutual dups; batch: 10 dups corpus 1/2; 11,12 mutual
+    // dups; 13 unique. Expected pairs: (10,1) (10,2) batch-vs-corpus, and
+    // (11,12) batch-vs-batch exactly once — NEVER the corpus pair (1,2).
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally unrelated corpus content here"),
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "one two three four five six seven"),
+      (12L, "one two three four five six seven"),
+      (13L, "unique batch document nothing shared")).toDF("id", "text")
+    val batchIds = Seq(10L, 11L, 12L, 13L).toDF("id")
+    val got = DedupOps.batchJaccardPairs(corpus, batchIds, $"id", $"text",
+        n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2)).toSet == Set((10L, 1L), (10L, 2L), (11L, 12L)))
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length) // once each
+    // exact dups: a double-counted orientation would inflate inter and
+    // push jaccard past 1 — 1.0 proves each shingle match counted once
+    assert(got.forall(_._4 == 1.0))
+    assert(got.collect { case (11L, 12L, bb, _) => bb }.head) // batch-batch flagged
+    assert(!got.collect { case (10L, 1L, bb, _) => bb }.head)
+  }
+
+  test("ANN/LSH op construction launches no Spark job (plan-time purity)") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // force the fixture loads first: spark.read.parquet runs a footer job
+    // at read time — that's Tables.load's cost, not the ops' plan build
+    locally { val _ = (docs.schema, emb.schema) }
+    org.apache.spark.TestBusFlush.flush(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      DedupOps.embeddingTopPairsLsh(emb, $"vec_id", $"embedding", k = 5, dim = 64)
+      SimilarityOps.lshTopK(emb.filter($"vec_id" < 5), emb,
+        $"vec_id", $"embedding", $"vec_id", $"embedding", k = 3, dim = 64)
+      SimilarityOps.knnGraph(emb, $"vec_id", $"embedding", k = 3, dim = 64)
+      graft.ops.LayoutOps.globalRowNumber(
+        docs.select($"doc_id", $"n_chars"), $"n_chars",
+        Seq($"n_chars", $"doc_id"), buckets = 8)
+      org.apache.spark.TestBusFlush.flush(spark.sparkContext)
+      assert(jobs.get() == 0,
+        s"op construction ran ${jobs.get()} Spark job(s); plans must be lazy")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("LSH-bucketed embedding pairs find planted near-duplicates") {
     // The fixture has no true near-dups (top pair cosine ≈ 0.48, ~60° —
     // sign-bit LSH cannot and should not bucket those together). Plant
@@ -110,7 +161,8 @@ class OpsSpec extends AnyFunSuite {
       transform($"embedding", (x, i) =>
         x * (lit(1.0f) + i.cast("float") * lit(0.0002f))).as("embedding"))
     val corpus = emb.select($"vec_id", $"embedding").unionByName(planted)
-    val got = DedupOps.embeddingTopPairsLsh(corpus, $"vec_id", $"embedding", 5)
+    val got = DedupOps.embeddingTopPairsLsh(corpus, $"vec_id", $"embedding",
+        k = 5, dim = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.map(t => (t._1, t._2)).toSet ==
       (0 until 5).map(i => (i.toLong, 1000L + i)).toSet)
@@ -142,19 +194,20 @@ class OpsSpec extends AnyFunSuite {
 
   test("LSH ANN achieves reasonable recall vs brute force (dims 32, 64, 128)") {
     // The fixture is dim 64; slice to 32 and self-concat to 128 so the
-    // hyperplane dimension (derived from the data since round 2) is
-    // exercised off the fixture's native size — the round-1 hard-coded
-    // dim=64 silently truncated any wider embedding.
-    val variants: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
-      "dim32" -> emb.select($"vec_id", slice($"embedding", 1, 32).as("embedding")),
-      "dim64" -> emb.select($"vec_id", $"embedding"),
-      "dim128" -> emb.select($"vec_id", concat($"embedding", $"embedding").as("embedding")))
-    for ((name, e) <- variants) {
+    // hyperplane dimension (a required caller parameter since round 4 —
+    // no plan-time data probe) is exercised off the fixture's native size;
+    // the round-1 hard-coded dim=64 silently truncated any wider embedding.
+    val variants: Seq[(String, Int, org.apache.spark.sql.DataFrame)] = Seq(
+      ("dim32", 32, emb.select($"vec_id", slice($"embedding", 1, 32).as("embedding"))),
+      ("dim64", 64, emb.select($"vec_id", $"embedding")),
+      ("dim128", 128, emb.select($"vec_id", concat($"embedding", $"embedding").as("embedding"))))
+    for ((name, d, e) <- variants) {
       val brute = SimilarityOps.bruteForceTopK(
           e.filter($"vec_id" < 10), e, $"vec_id", $"embedding", $"vec_id", $"embedding", 5)
         .select($"q_id", $"n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val lsh = SimilarityOps.lshTopK(
-          e.filter($"vec_id" < 10), e, $"vec_id", $"embedding", $"vec_id", $"embedding", 5)
+          e.filter($"vec_id" < 10), e, $"vec_id", $"embedding", $"vec_id", $"embedding",
+          k = 5, dim = d)
         .select($"q_id", $"n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (brute & lsh).size.toDouble / brute.size
       assert(recall >= 0.5, s"LSH recall too low at $name: $recall") // 4 tables x 6 bits, multiprobe
@@ -233,7 +286,7 @@ class OpsSpec extends AnyFunSuite {
     // small fixture (~50 vectors) → few wide buckets; at corpus scale the
     // caller raises bits to keep per-bucket cohabitant sets bounded
     val graph = SimilarityOps.knnGraph(emb, $"vec_id", $"embedding", k,
-      bits = 3, tables = 6).cache()
+      dim = 64, bits = 3, tables = 6).cache()
     val perSrc = graph.groupBy($"src").count().collect()
     assert(perSrc.nonEmpty && perSrc.forall(_.getLong(1) <= k))
     // exact per-vector top-k via the brute-force scorer (self-join)

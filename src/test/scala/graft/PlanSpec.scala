@@ -127,6 +127,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pl_length_buckets: every window is partitioned (no global sort funnel)") {
+    val df = Registry.queries("pl_length_buckets")(spark, TestSpark.sfDir)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected window-based ranking in the plan")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned Window found:\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("pl_incremental_dedup: batch postings probe the index (semi-join present)") {
+    val p = plan("pl_incremental_dedup")
+    // the probe side of the shingle join is the batch-filtered index — a
+    // LeftSemi against the broadcast batch-id list; without it the join
+    // would be the corpus×corpus self-join this entry exists to avoid
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("pl_shard_manifest: single agg shuffle, classifier/shard math scan-side") {
     val p = plan("pl_shard_manifest")
     assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1, p)

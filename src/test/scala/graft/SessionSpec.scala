@@ -212,4 +212,56 @@ class SessionSpec extends AnyFunSuite {
       "SELECT table_type FROM information_schema.tables WHERE table_name = 't_ses9'")
     assert(info.collect().head.getString(0) == "BASE TABLE")
   }
+
+  test("information_schema.columns lists names, positions, SQL type spellings") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_cols")
+    g.sql("CREATE TABLE t_cols (a INT, b STRING, c DOUBLE, d DATE)")
+    val rows = g.sql("""SELECT column_name, ordinal_position, data_type
+        FROM information_schema.columns WHERE table_name = 't_cols'
+        ORDER BY ordinal_position""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    // CREATE TABLE INT maps to Int64 (reference sql_to_arrow_data_type)
+    assert(rows == Seq(("a", 1L, "BIGINT"), ("b", 2L, "VARCHAR"),
+      ("c", 3L, "DOUBLE"), ("d", 4L, "DATE")))
+  }
+
+  test("CREATE/DROP SCHEMA lifecycle: namespaces, errors, CASCADE") {
+    val g = fresh()
+    g.sql("CREATE SCHEMA IF NOT EXISTS s_life")
+    g.sql("DROP SCHEMA s_life CASCADE") // clean slate for reruns
+    g.sql("CREATE SCHEMA s_life")
+    assertThrows[Exception](g.sql("CREATE SCHEMA s_life")) // duplicate
+    g.sql("CREATE SCHEMA IF NOT EXISTS s_life") // idempotent
+    g.sql("CREATE TABLE s_life.t (a INT)")
+    g.sql("INSERT INTO s_life.t VALUES (1), (2)")
+    assert(g.sql("SELECT count(*) AS n FROM s_life.t").head().getLong(0) == 2)
+    // schema-qualified name is invisible unqualified, and vice versa
+    assertThrows[Exception](g.sql("SELECT * FROM t"))
+    // catalog reports the schema
+    val cat = g.sql("""SELECT schema_name, table_name FROM information_schema.tables
+        WHERE schema_name = 's_life'""").collect()
+    assert(cat.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("s_life", "t")))
+    assertThrows[Exception](g.sql("DROP SCHEMA s_life")) // not empty
+    assertThrows[Exception](g.sql("DROP SCHEMA public")) // default schema
+    g.sql("DROP SCHEMA s_life CASCADE")
+    assertThrows[Exception](g.sql("SELECT * FROM s_life.t")) // table gone
+    assertThrows[Exception](g.sql("DROP SCHEMA s_life")) // already gone
+    g.sql("DROP SCHEMA IF EXISTS s_life")
+  }
+
+  test("DISTINCT ON keeps the first row per key under the ORDER BY") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_don")
+    g.sql("CREATE TABLE t_don (k INT, v STRING, n INT)")
+    g.sql("INSERT INTO t_don VALUES (1,'a',10), (1,'b',30), (2,'c',20), (2,'d',5)")
+    val rows = g.sql("""SELECT DISTINCT ON (k) k, v, n FROM t_don
+        ORDER BY k, n DESC""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "b", 30L), (2L, "c", 20L)))
+    // star select: the helper rank column must not leak into the output
+    val star = g.sql("SELECT DISTINCT ON (k) * FROM t_don ORDER BY k, n DESC")
+    assert(star.columns.toSeq == Seq("k", "v", "n"))
+    assert(star.count() == 2)
+  }
 }
