@@ -860,6 +860,48 @@ object ExtText extends QueryModule {
         nfc_normalize(text) = text AS was_nfc
         FROM documents ORDER BY doc_id""")),
 
+    // ---- HTML → text extraction (the crawl pre-cleaning step): each doc
+    // is wrapped in a fixed synthetic HTML shell (head/style, tags, a
+    // script block, entities) and stripped back to text by the regex-pass
+    // pipeline — block removal, tag removal, entity decode, whitespace
+    // collapse, in that spec'd order. The oracle runs the IDENTICAL
+    // RE2-compatible patterns in DuckDB, so md5 + length prove the whole
+    // transform byte-equal. Per-row codegen'd, no shuffle. ----
+    QueryDef(
+      "ext_text_html_strip",
+      (s, dir) => {
+        import s.implicits._
+        val pre = "<html><head><style>p{color:red}</style></head>" +
+          "<body><h1>Title</h1><p class=\"x\">"
+        val post = "</p><script>var x = \"<b>\";</script>" +
+          "<p>&amp; tail &lt;ok&gt;&nbsp;&#39;q&#39;</p></body></html>"
+        Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            TextOps.stripHtml(concat(lit(pre), $"text", lit(post))).as("clean"))
+          .select($"doc_id", length($"clean").as("n_clean"),
+            md5($"clean".cast("binary")).as("clean_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id,
+            '<html><head><style>p{color:red}</style></head><body><h1>Title</h1><p class="x">'
+              || text ||
+            '</p><script>var x = "<b>";</script><p>&amp; tail &lt;ok&gt;&nbsp;&#39;q&#39;</p></body></html>'
+              AS x
+          FROM documents),
+        s1 AS (SELECT doc_id,
+          regexp_replace(x, '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'gis') AS x FROM h),
+        s2 AS (SELECT doc_id, regexp_replace(x, '<[^>]+>', ' ', 'g') AS x FROM s1),
+        s3 AS (SELECT doc_id, regexp_replace(x, '&nbsp;', ' ', 'g') AS x FROM s2),
+        s4 AS (SELECT doc_id, regexp_replace(x, '&lt;', '<', 'g') AS x FROM s3),
+        s5 AS (SELECT doc_id, regexp_replace(x, '&gt;', '>', 'g') AS x FROM s4),
+        s6 AS (SELECT doc_id, regexp_replace(x, '&quot;', '"', 'g') AS x FROM s5),
+        s7 AS (SELECT doc_id, regexp_replace(x, '&#39;|&apos;', '''', 'g') AS x FROM s6),
+        s8 AS (SELECT doc_id, regexp_replace(x, '&amp;', '&', 'g') AS x FROM s7),
+        s9 AS (SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS x FROM s8)
+        SELECT doc_id, CAST(length(x) AS INTEGER) AS n_clean, md5(x) AS clean_md5
+        FROM s9 ORDER BY doc_id""")),
+
     QueryDef(
       "ext_text_bigram_logprob",
       (s, dir) => {

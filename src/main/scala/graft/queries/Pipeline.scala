@@ -529,6 +529,142 @@ object Pipeline extends QueryModule {
         FROM (SELECT * FROM sw UNION ALL SELECT * FROM aw)
         ORDER BY strategy""")),
 
+    // ---- CCNet-style perplexity bucketing: score every doc with the
+    // corpus bigram LM (the KenLM stand-in TfIdfOps.bigramLogProb), split
+    // each language at its own logprob terciles into head/middle/tail —
+    // the partition CCNet uses to keep fluent text and downsample the
+    // tail. Thresholds come from ONE per-lang percentile aggregate and
+    // ride a broadcast join (no driver round-trip, no global sort); the
+    // LM itself is two combinable aggregates. Head = highest logprob
+    // (lowest perplexity). ----
+    QueryDef(
+      "pl_perplexity_buckets",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val scored = graft.ops.TfIdfOps
+          .bigramLogProb(docs, $"doc_id", $"text")
+          .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+        val cuts = scored.groupBy($"lang")
+          .agg(expr("percentile(avg_logprob, array(1.0D/3, 2.0D/3))").as("p"))
+          .select($"lang", $"p".getItem(0).as("t1"), $"p".getItem(1).as("t2"))
+        scored.join(broadcast(cuts), Seq("lang"))
+          .withColumn("bucket",
+            when($"avg_logprob" <= $"t1", "tail")
+              .when($"avg_logprob" <= $"t2", "middle")
+              .otherwise("head"))
+          .groupBy($"lang", $"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            (round(avg($"avg_logprob"), 6) + lit(0)).as("mean_logprob"))
+          .orderBy($"lang", $"bucket")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        t2 AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 2),
+        grams AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(tk)),
+              i -> {'w1': tk[i], 'w2': tk[i + 1]}), recursive := true)
+          FROM t2),
+        bi AS (SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY 1, 2),
+        uni AS (SELECT w1, sum(c12) AS c1 FROM bi GROUP BY 1),
+        scored AS (
+          SELECT doc_id,
+            round(avg(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))), 6)
+              AS avg_logprob
+          FROM grams JOIN bi USING (w1, w2) JOIN uni USING (w1)
+          GROUP BY doc_id),
+        sl AS (
+          SELECT s.doc_id, d.lang, s.avg_logprob
+          FROM scored s JOIN documents d USING (doc_id)),
+        cuts AS (
+          SELECT lang, quantile_cont(avg_logprob, 1.0/3) AS t1,
+                 quantile_cont(avg_logprob, 2.0/3) AS t2
+          FROM sl GROUP BY lang),
+        b AS (
+          SELECT sl.lang,
+            CASE WHEN avg_logprob <= t1 THEN 'tail'
+                 WHEN avg_logprob <= t2 THEN 'middle'
+                 ELSE 'head' END AS bucket,
+            avg_logprob
+          FROM sl JOIN cuts USING (lang))
+        SELECT lang, bucket, count(*) AS n_docs,
+               round(avg(avg_logprob), 6) + 0 AS mean_logprob
+        FROM b GROUP BY 1, 2 ORDER BY lang, bucket""")),
+
+    // ---- incremental dedup against a PERSISTED corpus shingle index:
+    // the corpus is shingled once (writeShingleIndex, maxDf cut at build
+    // time over corpus document frequencies) and the new batch probes the
+    // stored postings — corpus TEXT is never re-read, per-ingest work
+    // scales with the batch. Retirement: a batch doc loses to any corpus
+    // near-dup (the ingested copy wins) or to a lower-id doc of its own
+    // batch. Oracle rebuilds the identical index (corpus-only df window)
+    // in SQL. ----
+    QueryDef(
+      "pl_incremental_dedup_persisted",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val corpus = docs.filter(!$"source".isin("src0", "src1"))
+        val batch = docs.filter($"source".isin("src0", "src1"))
+        // stable per-sf-dir location (mode=overwrite), like the IVF index
+        val idxDir = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          s"graft_shingle_idx_${math.abs(dir.hashCode)}").toString
+        DedupOps.writeShingleIndex(corpus, $"doc_id", $"text", idxDir,
+          n = 3, maxDf = 128)
+        val pairs = DedupOps.probeShingleIndex(s, idxDir, batch,
+          $"doc_id", $"text", n = 3, threshold = 0.8)
+        val retired = pairs
+          .select(when($"b_batch", $"id_b").otherwise($"id_a").as("doc_id"))
+          .distinct()
+        batch.join(retired, Seq("doc_id"), "left_anti")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_new"), sum($"n_chars").as("chars_new"))
+          .orderBy($"lang")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, source,
+                 string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id, source, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        cidx0 AS (
+          SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh
+          WHERE source NOT IN ('src0', 'src1')),
+        cidx AS (
+          SELECT doc_id, sz, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM cidx0)
+          WHERE df <= 128),
+        bidx AS (
+          SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh
+          WHERE source IN ('src0', 'src1')),
+        cross_retired AS (
+          SELECT DISTINCT id_a AS doc_id FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a,
+                   b.sz AS sz_b, count(*) AS inter
+            FROM bidx a JOIN cidx b ON a.shingle = b.shingle
+            GROUP BY 1, 2, 3, 4)
+          WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.8),
+        within_retired AS (
+          SELECT DISTINCT id_b AS doc_id FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a,
+                   b.sz AS sz_b, count(*) AS inter
+            FROM bidx a JOIN bidx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+          WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.8),
+        retired AS (
+          SELECT doc_id FROM cross_retired UNION SELECT doc_id FROM within_retired),
+        surv AS (
+          SELECT d.* FROM documents d
+          WHERE d.source IN ('src0', 'src1')
+            AND d.doc_id NOT IN (SELECT doc_id FROM retired))
+        SELECT lang, count(*) AS n_new, CAST(sum(n_chars) AS BIGINT) AS chars_new
+        FROM surv GROUP BY lang ORDER BY lang""")),
+
     // ---- data-quality gate (dbt-test shape): null keys, constraint
     // violations, PK duplicates, referential orphans — ONE row-level scan
     // (conditional aggregates unpivoted via stack) plus one anti-join and

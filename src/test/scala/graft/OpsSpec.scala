@@ -123,6 +123,38 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.collect { case (10L, 1L, bb, _) => bb }.head)
   }
 
+  test("persisted shingle index probe: batch-vs-corpus + within-batch pairs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different corpus content entirely")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // dups corpus 1
+      (11L, "one two three four five six seven"),
+      (12L, "one two three four five six seven"), // dups batch 11
+      (13L, "unique new batch content nothing shared")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shidx_test").toString
+    DedupOps.writeShingleIndex(corpus, $"id", $"text", dir, n = 3)
+    val pairs = DedupOps.probeShingleIndex(spark, dir, batch, $"id", $"text",
+        n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+    assert(pairs.map(t => (t._1, t._2, t._3)).toSet ==
+      Set((10L, 1L, false), (11L, 12L, true)))
+    assert(pairs.forall(_._4 == 1.0)) // exact dups; >1 would mean double count
+  }
+
+  test("stripHtml: blocks, tags, entities, whitespace — in spec'd order") {
+    val html = "<html><head><style>p{x}</style></head><body><h1>A</h1>" +
+      "<p class=\"c\">hello   world</p><script>var x=\"<b>\";</script>" +
+      "&amp;&nbsp;&lt;tag&gt; &#39;q&#39;</body></html>"
+    val got = Seq(html).toDF("h")
+      .select(TextOps.stripHtml($"h")).head().getString(0)
+    assert(got == "A hello world & <tag> 'q'", got)
+    // entity decode happens AFTER tag strip: an encoded tag survives as text
+    val enc = Seq("&lt;script&gt;x&lt;/script&gt;").toDF("h")
+      .select(TextOps.stripHtml($"h")).head().getString(0)
+    assert(enc == "<script>x</script>", enc)
+  }
+
   test("ANN/LSH op construction launches no Spark job (plan-time purity)") {
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {

@@ -10,6 +10,24 @@ import graft.sources.Tables
 class PipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("perplexity buckets: terciles per lang, head means above tail means") {
+    import spark.implicits._
+    val rows = Registry.queries("pl_perplexity_buckets")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, bs) =>
+      val m = bs.map(b => b._2 -> b._4).toMap
+      assert(m.keySet == Set("head", "middle", "tail"), s"$lang: ${m.keySet}")
+      // head = highest logprob (lowest perplexity)
+      assert(m("head") > m("middle") && m("middle") > m("tail"), s"$lang: $m")
+      // tercile split: group sizes within rounding of each other
+      val counts = bs.map(_._3)
+      assert(counts.max - counts.min <= 2, s"$lang: ${counts.toSeq}")
+    }
+  }
+
   test("stratified sample hits per-stratum fractions within tolerance") {
     import spark.implicits._
     val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25,
