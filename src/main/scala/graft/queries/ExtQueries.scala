@@ -60,6 +60,9 @@ object ExtDedup extends QueryModule {
         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         ORDER BY doc_id""")),
 
+    // Deliberately UNGUARDED (maxDf off): this is the exact-Jaccard oracle
+    // anchor for the op itself — every other jaccardPairs call site carries
+    // the maxDf posting-list cut (mirrored in its oracle's df window).
     QueryDef(
       "ext_dedup_jaccard_pairs",
       (s, dir) => {
@@ -98,7 +101,7 @@ object ExtDedup extends QueryModule {
         import s.implicits._
         val docs = Tables.load(s, dir, "documents")
         val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text", n = 3,
-          threshold = 0.8)
+          threshold = 0.8, maxDf = 128)
         val t = docs.select($"doc_id", $"text")
         pairs
           .join(t.select($"doc_id".as("id_a"), $"text".as("t_a")), Seq("id_a"))
@@ -115,7 +118,11 @@ object ExtDedup extends QueryModule {
           SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
                    i -> array_to_string(tk[i:i+2], ' '))) AS shs
           FROM toks WHERE len(tk) >= 3),
-        idx AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx0 AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx AS (
+          SELECT doc_id, sz, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM idx0)
+          WHERE df <= 128),
         pairs AS (
           SELECT id_a, id_b,
                  CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) AS jaccard
@@ -229,7 +236,7 @@ object ExtDedup extends QueryModule {
         import s.implicits._
         val docs = Tables.load(s, dir, "documents")
         val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text", n = 3,
-          threshold = 0.8)
+          threshold = 0.8, maxDf = 128)
         GraphOps.dedupClusters(docs, $"doc_id", pairs, $"id_a", $"id_b")
           .orderBy($"doc_id")
       },
@@ -239,7 +246,11 @@ object ExtDedup extends QueryModule {
           SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
                    i -> array_to_string(tk[i:i+2], ' '))) AS shs
           FROM toks WHERE len(tk) >= 3),
-        idx AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx0 AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx AS (
+          SELECT doc_id, sz, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM idx0)
+          WHERE df <= 128),
         cand AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
                  count(*) AS inter
@@ -266,7 +277,7 @@ object ExtDedup extends QueryModule {
         import s.implicits._
         val docs = Tables.load(s, dir, "documents")
         val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text", n = 3,
-          threshold = 0.8)
+          threshold = 0.8, maxDf = 128)
         GraphOps.dedupClustersBy(docs, $"doc_id", $"n_chars", pairs,
             $"id_a", $"id_b")
           .orderBy($"doc_id")
@@ -277,7 +288,11 @@ object ExtDedup extends QueryModule {
           SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
                    i -> array_to_string(tk[i:i+2], ' '))) AS shs
           FROM toks WHERE len(tk) >= 3),
-        idx AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx0 AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx AS (
+          SELECT doc_id, sz, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM idx0)
+          WHERE df <= 128),
         cand AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
                  count(*) AS inter

@@ -201,6 +201,57 @@ object Pipeline extends QueryModule {
            OR (lang = 'zh' AND hx < '1999')
         GROUP BY lang ORDER BY lang""")),
 
+    // ---- temperature-rebalanced language mixing (the multilingual-corpus
+    // α-sampling rule): per-language keep-rate ∝ N_l^(α-1), normalized so
+    // the SMALLEST language keeps everything — α = 0.5 upsamples rare
+    // languages relative to the natural distribution (en at 218 docs is
+    // halved; fr at 64 keeps all). Two aggregate shuffles: language counts
+    // (broadcast back) and the final report; the per-doc keep decision is
+    // a pure md5-threshold function, stateless and engine/partitioning-
+    // independent. floor(rate·65536) makes the threshold integer-exact on
+    // both engines. ----
+    QueryDef(
+      "pl_mix_temperature",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_orig"))
+        val minN = counts.agg(min($"n_orig").as("n_min"))
+        val rates = counts.join(broadcast(minN))
+          .withColumn("thresh",
+            floor(sqrt($"n_min".cast("double") / $"n_orig".cast("double"))
+              * 65536).cast("long"))
+        val hx = conv(
+          substring(md5($"doc_id".cast("string").cast("binary")), 1, 4),
+          16, 10).cast("long")
+        docs.join(broadcast(rates), Seq("lang"))
+          .withColumn("keep", hx < $"thresh")
+          .groupBy($"lang")
+          .agg(max($"n_orig").as("n_orig"),
+            sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+            max($"thresh").as("thresh"))
+          .orderBy($"lang")
+      },
+      Some("""WITH c AS (
+          SELECT lang, count(*) AS n_orig FROM documents GROUP BY lang),
+        m AS (SELECT min(n_orig) AS n_min FROM c),
+        r AS (
+          SELECT lang, n_orig,
+            CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_orig AS DOUBLE))
+              * 65536) AS BIGINT) AS thresh
+          FROM c, m),
+        d AS (
+          SELECT d.lang, r.n_orig, r.thresh,
+            ((strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1)) AS hx
+          FROM documents d JOIN r USING (lang))
+        SELECT lang, CAST(max(n_orig) AS BIGINT) AS n_orig,
+               CAST(sum(CASE WHEN hx < thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               max(thresh) AS thresh
+        FROM d GROUP BY lang ORDER BY lang""")),
+
     // ---- percentile-clip outlier filter: p05/p95 length thresholds from
     // one aggregate, broadcast into the filter — the two-pass shape that
     // replaces a driver round-trip (no collect; the threshold row rides a
