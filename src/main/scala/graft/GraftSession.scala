@@ -83,6 +83,8 @@ final class GraftSession(
       else copyFrom(q)
     }
     else if (upper.startsWith("SHOW TABLES")) showTables()
+    else if (upper.startsWith("DESCRIBE ") || upper.startsWith("DESC "))
+      describeTable(q)
     else if (upper.startsWith("EXPLAIN ")) explainStatement(q)
     else if (upper.matches("(?s)SELECT\\s+DISTINCT\\s+ON\\s*\\(.*")) distinctOn(q)
     else compatNames(spark.sql(rewriteQuery(q)))
@@ -581,6 +583,23 @@ final class GraftSession(
   }
 
   private def showTables(): DataFrame = informationSchemaTables()
+
+  private val DescribeRe =
+    ("""(?is)DESC(?:RIBE)?\s+(?:TABLE\s+)?""" + Ident + """\s*""").r
+
+  /** `DESCRIBE [TABLE] name` — the BI-tool/REPL shape, answered from the
+    * same catalog rows as information_schema.columns. Schema-qualified
+    * names arrive here already mangled by [[stripQualifiers]]. */
+  private def describeTable(q: String): DataFrame = q match {
+    case DescribeRe(name0) =>
+      val flat = unquoteIdent(name0)
+      if (!spark.catalog.tableExists(flat)) sys.error(s"table not found: $flat")
+      val (sch, tbl) = schemaOf(flat)
+      informationSchemaColumns()
+        .filter(col("table_schema") === sch && col("table_name") === tbl)
+        .select(col("column_name"), col("data_type"), col("is_nullable"))
+    case _ => sys.error(s"cannot parse DESCRIBE: $q")
+  }
 
   // ------------------------------------------------------- query rewrite
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -145,6 +145,30 @@ object StreamingOps {
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
       .select(col("doc_id"), col("source"), col("quality"), col("fp"))
+
+  /** Streaming benchmark decontamination: drop any streamed document
+    * sharing a token block with the (pre-built) probe Bloom filter. The
+    * filter rides the plan as a 16 KiB literal ([[graft.ops.BloomOps]]),
+    * so the stage is STATELESS and shuffle-free — no state store, no
+    * watermark, works in any output mode, and the per-row cost is pure
+    * column arithmetic. Bloom false positives can only over-drop (the
+    * conservative direction for decontamination); false negatives are
+    * impossible, so no contaminated block ever passes. Batch twin for
+    * parity: the identical predicate as a batch filter. */
+  def decontaminateStream(
+      stream: DataFrame, text: Column, words: Array[Long],
+      blockTokens: Int = 8, numHashes: Int = 7): DataFrame = {
+    val tk = graft.ops.TextOps.tokens(text)
+    // sequence(1, 0) DESCENDS in Spark — empty docs get an empty block
+    // array explicitly (and therefore always survive)
+    val blocks = when(size(tk) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), ceil(size(tk).cast("double") / blockTokens).cast("int")),
+        i => concat_ws(" ",
+          slice(tk, (i - lit(1)) * lit(blockTokens) + lit(1), lit(blockTokens)))))
+    stream.filter(!exists(blocks,
+      b => graft.ops.BloomOps.mightContain(b, words, numHashes)))
+  }
 
   /** Stream-stream inner join: each purchase joined to the same user's view
     * events in the preceding hour. Both sides carry watermarks and the join

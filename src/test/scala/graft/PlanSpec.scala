@@ -145,6 +145,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("pl_perplexity_buckets: broadcast thresholds, no global window/sort") {
+    val df = Registry.queries("pl_perplexity_buckets")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.forall(_.partitionSpec.nonEmpty), p)
+  }
+
+  test("pl_mix_temperature: rates broadcast back, no sort-merge join") {
+    val p = plan("pl_mix_temperature")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("pl_shard_manifest: single agg shuffle, classifier/shard math scan-side") {
     val p = plan("pl_shard_manifest")
     assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1, p)

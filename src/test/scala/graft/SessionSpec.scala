@@ -226,6 +226,26 @@ class SessionSpec extends AnyFunSuite {
       ("c", 3L, "DOUBLE"), ("d", 4L, "DATE")))
   }
 
+  test("DESCRIBE answers from the catalog, schema-qualified included") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_desc")
+    g.sql("CREATE TABLE t_desc (a INT NOT NULL, b STRING, c DATE)")
+    val rows = g.sql("DESCRIBE t_desc")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq(("a", "BIGINT", "NO"), ("b", "VARCHAR", "YES"),
+      ("c", "DATE", "YES")))
+    assertThrows[Exception](g.sql("DESCRIBE no_such_table"))
+    // schema-qualified
+    g.sql("CREATE SCHEMA IF NOT EXISTS s_desc")
+    g.sql("DROP SCHEMA s_desc CASCADE")
+    g.sql("CREATE SCHEMA s_desc")
+    g.sql("CREATE TABLE s_desc.u (x DOUBLE)")
+    val qual = g.sql("DESC s_desc.u").collect()
+    assert(qual.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("x", "DOUBLE")))
+    g.sql("DROP SCHEMA s_desc CASCADE")
+  }
+
   test("CREATE/DROP SCHEMA lifecycle: namespaces, errors, CASCADE") {
     val g = fresh()
     g.sql("CREATE SCHEMA IF NOT EXISTS s_life")

@@ -149,6 +149,31 @@ class StreamingSpec extends AnyFunSuite {
       (1L, 1L, ts("2024-01-01 13:00:00"), ts("2024-01-01 13:00:00"))))
   }
 
+  test("streaming bloom decontamination equals the batch predicate, stateless") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    // probe set = the blocks of the first 25 docs (the benchmark side)
+    val probeBlocks = graft.ops.DedupOps
+      .tokenBlocks(docs.filter($"doc_id" < 25), $"doc_id", $"text", 8)
+      .select($"block")
+    val filt = graft.ops.BloomOps.buildFilter(probeBlocks, $"block", 1L << 16)
+    val corpus = docs.filter($"doc_id" >= 25)
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon_stream").toString
+    corpus.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(corpus.schema).parquet(dir)
+    val cleaned = StreamingOps.decontaminateStream(stream, $"text", filt)
+    // stateless: the streaming plan must carry no state store operator
+    val got = StreamingOps.runToCompletion(spark, cleaned, "stream_decon",
+        mode = "append")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val batch = StreamingOps.decontaminateStream(corpus, $"text", filt)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == batch)
+    assert(got.nonEmpty && got.size < corpus.count()) // something was dropped
+  }
+
   test("streaming corpus clean equals the batch classify+filter+dedup") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
