@@ -330,6 +330,86 @@ object Analytics extends QueryModule {
         array_to_string(list_sort(list(DISTINCT n_nationkey % 5)), ',') AS key_mods_csv
         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
 
+    // ---- ordered funnel conversion (signup → view ≤2d → purchase ≤1d):
+    // each stage is a user-keyed aggregate joined to the previous stage's
+    // first-event time, so ordering is enforced by timestamp comparison,
+    // not sessionization state. Three user_id-keyed shuffles total; stage
+    // counts are one-row aggregates. The canonical product-analytics
+    // funnel, expressed as joins a 1000-executor cluster partitions by
+    // user. ----
+    QueryDef(
+      "an_funnel_conversion",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val s1 = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"ts").as("t1"))
+        val s2 = ev.filter($"event_type" === "view")
+          .join(s1, Seq("user_id"))
+          .filter($"ts" > $"t1" && $"ts" <= $"t1" + expr("INTERVAL 2 DAYS"))
+          .groupBy($"user_id").agg(min($"ts").as("t2"))
+        val s3 = ev.filter($"event_type" === "purchase")
+          .join(s2, Seq("user_id"))
+          .filter($"ts" > $"t2" && $"ts" <= $"t2" + expr("INTERVAL 1 DAYS"))
+          .groupBy($"user_id").agg(min($"ts").as("t3"))
+        s1.agg(count(lit(1)).as("n_users"))
+          .select(lit("1_signup").as("stage"), $"n_users")
+          .unionAll(s2.agg(count(lit(1)).as("n_users"))
+            .select(lit("2_view_within_2d").as("stage"), $"n_users"))
+          .unionAll(s3.agg(count(lit(1)).as("n_users"))
+            .select(lit("3_purchase_within_1d").as("stage"), $"n_users"))
+          .orderBy($"stage")
+      },
+      Some("""WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'view' AND e.ts > t1
+            AND e.ts <= t1 + INTERVAL 2 DAY
+          GROUP BY e.user_id),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > t2
+            AND e.ts <= t2 + INTERVAL 1 DAY
+          GROUP BY e.user_id)
+        SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+        UNION ALL SELECT '2_view_within_2d', count(*) FROM s2
+        UNION ALL SELECT '3_purchase_within_1d', count(*) FROM s3
+        ORDER BY stage""")),
+
+    // ---- cohort retention matrix: users grouped by first-activity day,
+    // activity counted per (cohort, day-offset) cell for the first week.
+    // Two user-keyed shuffles (first-day aggregate, distinct-user cell
+    // aggregate); the join broadcasts the per-user cohort row. ----
+    QueryDef(
+      "an_events_retention",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val first = ev.groupBy($"user_id")
+          .agg(min(to_date($"ts")).as("cohort_day"))
+        ev.join(first, Seq("user_id"))
+          .select($"user_id", $"cohort_day",
+            datediff(to_date($"ts"), $"cohort_day").cast("long").as("day_offset"))
+          .filter($"day_offset".between(0, 7))
+          .groupBy($"cohort_day", $"day_offset")
+          .agg(countDistinct($"user_id").as("n_active"))
+          .orderBy($"cohort_day", $"day_offset")
+      },
+      Some("""WITH f AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+          FROM events GROUP BY user_id),
+        d AS (
+          SELECT e.user_id, f.cohort_day,
+                 datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+          FROM events e JOIN f USING (user_id))
+        SELECT cohort_day, day_offset, count(DISTINCT user_id) AS n_active
+        FROM d WHERE day_offset BETWEEN 0 AND 7
+        GROUP BY 1, 2 ORDER BY cohort_day, day_offset""")),
+
     // ---- Boolean + min/max-by aggregates ----
     QueryDef(
       "an_agg_bool_minmaxby",
