@@ -139,18 +139,23 @@ final class GraftSession(
       val name = unquoteIdent(name0)
       val ifNotExists = ifNot != null
       val rest = rest0.trim
+      // `AS` may be followed by any whitespace (newline included) — a
+      // multi-line CTAS is the common pretty-printed form
+      val AsRe = """(?is)^AS\s+(.*)""".r
       if (rest.startsWith("(")) {
         val (inner, tail) = matchParen(rest)
         val (schema, defaults) = parseColumnDefs(inner)
-        val asSel = tail.trim
-        val data =
-          if (asSel.toUpperCase(Locale.ROOT).startsWith("AS ")) Some(sql(asSel.drop(3)))
-          else None
+        val data = tail.trim match {
+          case AsRe(sel) => Some(sql(sel))
+          case _ => None
+        }
         tables.create(name, schema, defaults, data, ifNotExists)
-      } else if (rest.toUpperCase(Locale.ROOT).startsWith("AS ")) {
-        val df = sql(rest.drop(3))
-        tables.create(name, df.schema, Map.empty, Some(df), ifNotExists)
-      } else sys.error(s"cannot parse CREATE TABLE: $q")
+      } else rest match {
+        case AsRe(sel) =>
+          val df = sql(sel)
+          tables.create(name, df.schema, Map.empty, Some(df), ifNotExists)
+        case _ => sys.error(s"cannot parse CREATE TABLE: $q")
+      }
       spark.emptyDataFrame
     case _ => sys.error(s"cannot parse CREATE TABLE: $q")
   }

@@ -64,6 +64,58 @@ object DdlDml extends QueryModule {
         CASE WHEN n_regionkey = 3 THEN n_regionkey + 10 ELSE n_regionkey END AS n_regionkey
         FROM nation ORDER BY n_nationkey""")),
 
+    // MERGE INTO as a driver-checked row (beyond the reference's grammar;
+    // executes as ONE full-outer join + projection). Upsert semantics:
+    // matched rows update, unmatched source rows insert — the oracle
+    // reconstructs the post-merge table from base relations.
+    QueryDef(
+      "dml_merge_upsert",
+      (s, dir) => {
+        val g = new GraftSession(s)
+        Tables.register(s, dir, Seq("nation"))
+        g.sql("DROP TABLE IF EXISTS m_tgt")
+        g.sql("""CREATE TABLE m_tgt AS
+          SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 15""")
+        g.sql("""MERGE INTO m_tgt t USING (
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+            WHERE n_nationkey >= 10) s
+          ON t.n_nationkey = s.n_nationkey
+          WHEN MATCHED THEN UPDATE SET n_regionkey = t.n_regionkey + 100
+          WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+            VALUES (s.n_nationkey, s.n_name, s.n_regionkey)""")
+        g.sql("SELECT * FROM m_tgt ORDER BY n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name,
+          CASE WHEN n_nationkey >= 10 AND n_nationkey < 15
+               THEN n_regionkey + 100 ELSE n_regionkey END AS n_regionkey
+        FROM nation ORDER BY n_nationkey""")),
+
+    // CREATE VIEW as a driver-checked row: snapshot-plan semantics (the
+    // view binds its SELECT at creation; later base-table mutations don't
+    // leak in), exercised by mutating the base AFTER the view exists.
+    QueryDef(
+      "ddl_view_snapshot",
+      (s, dir) => {
+        val g = new GraftSession(s)
+        Tables.register(s, dir, Seq("supplier"))
+        g.sql("DROP VIEW IF EXISTS v_rich")
+        g.sql("DROP TABLE IF EXISTS v_base")
+        g.sql("CREATE TABLE v_base AS SELECT s_suppkey, s_name, s_acctbal, s_nationkey FROM supplier")
+        // decimal-cast before summing (Tpch.scala discipline): double sums
+        // are partition-order-dependent; decimal sums are exact/associative
+        g.sql("""CREATE VIEW v_rich AS
+          SELECT s_nationkey, count(*) AS n_rich,
+                 CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+          FROM v_base WHERE s_acctbal > 5000 GROUP BY s_nationkey""")
+        // post-view mutation must NOT affect the snapshot view
+        g.sql("DELETE FROM v_base WHERE s_acctbal > 5000")
+        g.sql("SELECT * FROM v_rich ORDER BY s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_rich,
+          CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        FROM supplier WHERE s_acctbal > 5000
+        GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
     // DML count batches: `row` counts returned by INSERT/DELETE/UPDATE.
     QueryDef(
       "dml_count_batches",

@@ -226,6 +226,16 @@ class SessionSpec extends AnyFunSuite {
       ("c", 3L, "DOUBLE"), ("d", 4L, "DATE")))
   }
 
+  test("multi-line CTAS parses (AS followed by newline)") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_ml")
+    g.sql("CREATE TABLE t_ml AS\n  SELECT 1 AS a, 'x' AS b")
+    assert(g.sql("SELECT a, b FROM t_ml").collect().head.getInt(0) == 1)
+    g.sql("DROP TABLE IF EXISTS t_ml2")
+    g.sql("CREATE TABLE t_ml2 (a INT, b STRING) AS\n  SELECT 2, 'y'")
+    assert(g.sql("SELECT a FROM t_ml2").collect().head.getLong(0) == 2L)
+  }
+
   test("DESCRIBE answers from the catalog, schema-qualified included") {
     val g = fresh()
     g.sql("DROP TABLE IF EXISTS t_desc")
