@@ -73,6 +73,8 @@ final class GraftSession(
       createSchema(q)
     else if (upper.startsWith("DROP SCHEMA") || upper.startsWith("DROP DATABASE"))
       dropSchema(q)
+    else if (upper.startsWith("ALTER TABLE")) alterTable(q)
+    else if (upper.startsWith("TRUNCATE ")) truncateTable(q)
     else if (upper.startsWith("INSERT INTO")) insertInto(q)
     else if (upper.startsWith("DELETE FROM")) deleteFrom(q)
     else if (upper.startsWith("UPDATE ")) update(q)
@@ -225,6 +227,47 @@ final class GraftSession(
       case Array(s, rest) if rest.nonEmpty && schemas.contains(s) => (s, rest)
       case _ => ("public", flat)
     }
+
+  // ---------------------------------------------------------- ALTER TABLE
+
+  private val AlterRe =
+    ("""(?is)ALTER\s+TABLE\s+""" + Ident + """\s+(.*)""").r
+  private val AddColRe = """(?is)ADD\s+COLUMN\s+(.*)""".r
+  private val DropColRe = ("""(?is)DROP\s+COLUMN\s+""" + Ident + """\s*""").r
+  private val RenameColRe =
+    ("""(?is)RENAME\s+COLUMN\s+""" + Ident + """\s+TO\s+""" + Ident + """\s*""").r
+
+  /** `ALTER TABLE t ADD COLUMN def | DROP COLUMN c | RENAME COLUMN a TO b`
+    * — schema evolution over the view-swap tables (beyond the reference's
+    * grammar; the surface any long-lived data engine needs). ADD COLUMN
+    * reuses the CREATE TABLE column-def parser, so types/NOT NULL/DEFAULT
+    * behave identically; existing rows backfill with the DEFAULT. */
+  private def alterTable(q: String): DataFrame = q match {
+    case AlterRe(name0, action) =>
+      val name = unquoteIdent(name0)
+      action.trim match {
+        case AddColRe(colDef) =>
+          val (schema, defaults) = parseColumnDefs(colDef.trim)
+          require(schema.size == 1, s"ADD COLUMN takes one column: $colDef")
+          tables.addColumn(name, schema.fields.head,
+            defaults.get(schema.fields.head.name))
+        case DropColRe(c) => tables.dropColumn(name, unquoteIdent(c))
+        case RenameColRe(a, b) =>
+          tables.renameColumn(name, unquoteIdent(a), unquoteIdent(b))
+        case other => sys.error(s"cannot parse ALTER TABLE action: $other")
+      }
+      spark.emptyDataFrame
+    case _ => sys.error(s"cannot parse ALTER TABLE: $q")
+  }
+
+  private val TruncateRe =
+    ("""(?is)TRUNCATE\s+(?:TABLE\s+)?""" + Ident + """\s*""").r
+
+  /** `TRUNCATE [TABLE] t` — delete-all, returning the removed row count. */
+  private def truncateTable(q: String): DataFrame = q match {
+    case TruncateRe(name0) => countBatch(tables.delete(unquoteIdent(name0), None))
+    case _ => sys.error(s"cannot parse TRUNCATE: $q")
+  }
 
   // ---------------------------------------------------------------- views
 

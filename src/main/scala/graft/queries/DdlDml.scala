@@ -64,6 +64,30 @@ object DdlDml extends QueryModule {
         CASE WHEN n_regionkey = 3 THEN n_regionkey + 10 ELSE n_regionkey END AS n_regionkey
         FROM nation ORDER BY n_nationkey""")),
 
+    // ALTER TABLE schema evolution as a driver-checked row: add a defaulted
+    // column (backfill), rename, drop, then mutate + insert through the
+    // evolved schema. The oracle reconstructs the final table from the base
+    // relation.
+    QueryDef(
+      "ddl_alter_table",
+      (s, dir) => {
+        val g = new GraftSession(s)
+        Tables.register(s, dir, Seq("nation"))
+        g.sql("DROP TABLE IF EXISTS alt_t")
+        g.sql("CREATE TABLE alt_t AS SELECT n_nationkey, n_name, n_regionkey FROM nation")
+        g.sql("ALTER TABLE alt_t ADD COLUMN zone STRING DEFAULT 'zz'")
+        g.sql("ALTER TABLE alt_t RENAME COLUMN n_regionkey TO region_id")
+        g.sql("ALTER TABLE alt_t DROP COLUMN n_name")
+        g.sql("UPDATE alt_t SET zone = 'eu' WHERE region_id = 3")
+        g.sql("INSERT INTO alt_t (n_nationkey, region_id) VALUES (99, 9)")
+        g.sql("SELECT * FROM alt_t ORDER BY n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_regionkey AS region_id,
+          CASE WHEN n_regionkey = 3 THEN 'eu' ELSE 'zz' END AS zone
+        FROM nation
+        UNION ALL SELECT 99, 9, 'zz'
+        ORDER BY n_nationkey""")),
+
     // MERGE INTO as a driver-checked row (beyond the reference's grammar;
     // executes as ONE full-outer join + projection). Upsert semantics:
     // matched rows update, unmatched source rows insert — the oracle

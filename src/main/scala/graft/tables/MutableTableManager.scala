@@ -216,6 +216,58 @@ final class MutableTableManager(spark: SparkSession) {
     affected
   }
 
+  // -------------------------------------------------- ALTER TABLE surface
+
+  /** ADD COLUMN: existing rows backfill with the DEFAULT expression (or
+    * NULL), and the default persists for later INSERT column-subset fills.
+    * Schema evolution as plan surgery — a `withColumn` over the stored
+    * plan, nothing materializes. */
+  def addColumn(name: String, field: StructField, default: Option[String]): Unit = {
+    val key = norm(name)
+    val st = tables.getOrElse(key, sys.error(s"table not found: $name"))
+    require(!st.schema.fieldNames.exists(f => norm(f) == norm(field.name)),
+      s"column already exists: ${field.name}")
+    val value = default.map(e => expr(e).cast(field.dataType))
+      .getOrElse(lit(null).cast(field.dataType))
+    put(key, st.copy(
+      schema = StructType(st.schema.fields :+ field),
+      defaults = st.defaults ++ default.map(norm(field.name) -> _),
+      df = checkpointed(st.df.withColumn(field.name, value), st.mutations),
+      mutations = st.mutations + 1))
+  }
+
+  /** DROP COLUMN (the last column cannot be dropped). */
+  def dropColumn(name: String, colName: String): Unit = {
+    val key = norm(name)
+    val st = tables.getOrElse(key, sys.error(s"table not found: $name"))
+    val target = st.schema.fields.find(f => norm(f.name) == norm(colName))
+      .getOrElse(sys.error(s"column not found: $colName")).name
+    require(st.schema.size > 1, s"cannot drop the only column of $name")
+    put(key, st.copy(
+      schema = StructType(st.schema.fields.filterNot(_.name == target)),
+      defaults = st.defaults - norm(colName),
+      df = checkpointed(st.df.drop(target), st.mutations),
+      mutations = st.mutations + 1))
+  }
+
+  /** RENAME COLUMN — defaults follow the rename. */
+  def renameColumn(name: String, from: String, to: String): Unit = {
+    val key = norm(name)
+    val st = tables.getOrElse(key, sys.error(s"table not found: $name"))
+    val src = st.schema.fields.find(f => norm(f.name) == norm(from))
+      .getOrElse(sys.error(s"column not found: $from")).name
+    require(!st.schema.fieldNames.exists(f => norm(f) == norm(to)),
+      s"column already exists: $to")
+    put(key, st.copy(
+      schema = StructType(st.schema.fields.map(f =>
+        if (f.name == src) f.copy(name = to) else f)),
+      defaults = st.defaults.get(norm(from))
+        .map(d => st.defaults - norm(from) + (norm(to) -> d))
+        .getOrElse(st.defaults),
+      df = checkpointed(st.df.withColumnRenamed(src, to), st.mutations),
+      mutations = st.mutations + 1))
+  }
+
   /** Conform `input` (positional, possibly a column subset) to the target
     * schema: name positionally, fill unlisted columns with their DEFAULT
     * expression (or NULL), cast everything to the declared types. */

@@ -226,6 +226,28 @@ class SessionSpec extends AnyFunSuite {
       ("c", 3L, "DOUBLE"), ("d", 4L, "DATE")))
   }
 
+  test("ALTER TABLE: add/rename/drop column with defaults and TRUNCATE") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_alt")
+    g.sql("CREATE TABLE t_alt (a INT, b STRING)")
+    g.sql("INSERT INTO t_alt VALUES (1, 'x'), (2, 'y')")
+    g.sql("ALTER TABLE t_alt ADD COLUMN c DOUBLE DEFAULT 1.5")
+    // backfill: existing rows get the default
+    assert(g.sql("SELECT c FROM t_alt").collect().forall(_.getDouble(0) == 1.5))
+    // new inserts with a column subset also take the default
+    g.sql("INSERT INTO t_alt (a, b) VALUES (3, 'z')")
+    assert(g.sql("SELECT count(*) AS n FROM t_alt WHERE c = 1.5")
+      .head().getLong(0) == 3)
+    g.sql("ALTER TABLE t_alt RENAME COLUMN b TO label")
+    assert(g.sql("SELECT label FROM t_alt WHERE a = 1").head().getString(0) == "x")
+    g.sql("ALTER TABLE t_alt DROP COLUMN c")
+    assert(g.sql("SELECT * FROM t_alt").columns.toSeq == Seq("a", "label"))
+    assertThrows[Exception](g.sql("ALTER TABLE t_alt ADD COLUMN a INT")) // dup
+    assertThrows[Exception](g.sql("ALTER TABLE t_alt DROP COLUMN nope"))
+    val n = g.sql("TRUNCATE TABLE t_alt").head().getLong(0)
+    assert(n == 3 && g.sql("SELECT count(*) AS n FROM t_alt").head().getLong(0) == 0)
+  }
+
   test("multi-line CTAS parses (AS followed by newline)") {
     val g = fresh()
     g.sql("DROP TABLE IF EXISTS t_ml")
