@@ -89,6 +89,8 @@ final class GraftSession(
       describeTable(q)
     else if (upper.startsWith("EXPLAIN ")) explainStatement(q)
     else if (upper.matches("(?s)SELECT\\s+DISTINCT\\s+ON\\s*\\(.*")) distinctOn(q)
+    else if ((upper.startsWith("SELECT") || upper.startsWith("WITH")) &&
+             indexOfTopLevelKeyword(q, "QUALIFY") >= 0) qualifyFilter(q)
     else compatNames(spark.sql(rewriteQuery(q)))
   }
 
@@ -774,6 +776,43 @@ final class GraftSession(
          |WHERE __don_rn = 1 ${if (trailer.nonEmpty) trailer else ""}""".stripMargin
     // drop covers the `SELECT DISTINCT ON (k) *` case, harmless otherwise
     compatNames(spark.sql(rewriteQuery(rewritten)).drop("__don_rn"))
+  }
+
+  // --------------------------------------------------------- QUALIFY
+
+  /** `SELECT … FROM … [WHERE/GROUP BY/HAVING …] QUALIFY pred [ORDER BY …]
+    * [LIMIT n]` → post-window filter rewrite (DuckDB/Snowflake/BigQuery
+    * semantics: QUALIFY filters on window-function results the way HAVING
+    * filters on aggregates). Spark has no QUALIFY; the rewrite computes the
+    * predicate as an extra column in the same select scope (so it can use
+    * window expressions AND select-list aliases, via Spark's lateral column
+    * alias resolution) and filters outside:
+    * `[WITH …] SELECT * FROM (SELECT sel, (pred) AS __qual FROM …) WHERE
+    * __qual [trailer]`. Top-level statements only, like [[distinctOn]]. */
+  private def qualifyFilter(q: String): DataFrame = {
+    val selIdx = indexOfTopLevelKeyword(q, "SELECT")
+    require(selIdx >= 0, s"cannot parse QUALIFY statement: $q")
+    val prefix = q.take(selIdx) // WITH-clause chain, or empty
+    val body = q.substring(selIdx)
+    val fromIdx = indexOfTopLevelKeyword(body, "FROM")
+    val qIdx = indexOfTopLevelKeyword(body, "QUALIFY")
+    require(fromIdx >= 0 && qIdx > fromIdx, s"cannot parse QUALIFY statement: $q")
+    val selectList = body.substring("SELECT".length, fromIdx).trim
+    val fromPart = body.substring(fromIdx, qIdx).trim
+    val afterQualify = body.substring(qIdx + "QUALIFY".length)
+    val obIdx = indexOfTopLevelKeyword(afterQualify, "ORDER")
+    val limIdx = indexOfTopLevelKeyword(afterQualify, "LIMIT")
+    val cut = Seq(obIdx, limIdx).filter(_ >= 0).sorted.headOption
+      .getOrElse(afterQualify.length)
+    val pred = afterQualify.take(cut).trim
+    val trailer = afterQualify.substring(cut).trim
+    require(pred.nonEmpty, s"QUALIFY needs a predicate: $q")
+    val rewritten =
+      s"""$prefix SELECT * FROM (
+         |  SELECT $selectList, ($pred) AS __qual
+         |  $fromPart) __qual_sub
+         |WHERE __qual ${if (trailer.nonEmpty) trailer else ""}""".stripMargin
+    compatNames(spark.sql(rewriteQuery(rewritten)).drop("__qual"))
   }
 
   // ------------------------------------------------- output-name compat

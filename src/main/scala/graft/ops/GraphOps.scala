@@ -73,6 +73,38 @@ object GraphOps {
         (col("id") === col("component")).as("is_keeper"))
   }
 
+  /** Fixed-iteration PageRank over the undirected graph given by `edges`
+    * (cols `src`, `dst`) — the centrality score a crawl/corpus pipeline
+    * uses to weight documents by link authority (the original web-scale
+    * MapReduce workload). Vertices are the edge endpoints; each edge
+    * contributes both directions, so every vertex has outdeg ≥ 1 and there
+    * is no dangling mass. Each iteration is ONE shuffle-join (edges ×
+    * current ranks, both keyed by src) plus one map-side-combinable
+    * groupBy-sum; per-round `localCheckpoint` keeps the plan flat
+    * (iteration discipline of [[connectedComponents]]). Only the vertex
+    * COUNT touches the driver. Fixed `iters` (not convergence-tested) keeps
+    * the result a pure function of the graph — engine-independent, so a SQL
+    * oracle can unroll the same iterations.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val verts = sym.select(col("src").as("id")).distinct()
+    val n = verts.count().toDouble
+    var ranks = verts.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val contrib = sym.join(ranks, sym("src") === ranks("id"))
+        .join(deg, Seq("src"))
+        .select(sym("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
+      ranks = contrib.groupBy(col("id"))
+        .agg((lit((1 - damping) / n) + lit(damping) * sum(col("c"))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** [[dedupClusters]] with a QUALITY-chosen keeper — the production
     * retirement rule ("keep the best copy", not the arbitrary min-id one).
     * Keeper per cluster = highest `quality`, ties broken by lowest id

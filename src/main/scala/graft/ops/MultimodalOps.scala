@@ -120,6 +120,111 @@ object MultimodalOps {
       }
   }
 
+  /** Typed audio row: parsed container metadata. */
+  final case class AudioMeta(
+      doc_id: Long,
+      format: String,
+      channels: Int,
+      sample_rate: Int,
+      bits: Int,
+      data_bytes: Long,
+      duration_ms: Double)
+
+  /** WAV (RIFF) header parsing — real byte-level decoding like
+    * [[imageDims]]: verify the RIFF/WAVE magic, then walk the chunk list
+    * (4CC + LE32 size, odd sizes padded) collecting the `fmt ` fields
+    * (PCM format tag, channels, sample rate, bits/sample) and the `data`
+    * chunk size. Works on any chunk order / extra chunks (LIST, cue …),
+    * not just the canonical 44-byte layout. Returns None unless both
+    * chunks are present and sane. */
+  def wavMeta(b: Array[Byte]): Option[AudioMeta] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def cc(i: Int) = new String(b, i, 4, "US-ASCII")
+    if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var dataLen = -1L
+    while (i + 8 <= b.length) {
+      val id = cc(i)
+      val size = le32(i + 4)
+      if (size < 0) return None
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
+        val tag = le16(i + 8)
+        if (tag != 1) return None // PCM only
+        fmt = Some((le16(i + 10), le32(i + 12), le16(i + 22)))
+      } else if (id == "data") {
+        dataLen = size.toLong
+      }
+      i += 8 + size + (size & 1) // chunks are 2-byte aligned
+    }
+    fmt match {
+      case Some((ch, rate, bits)) if dataLen >= 0 && ch > 0 && rate > 0 && bits > 0 =>
+        val bytesPerSec = rate.toDouble * ch * (bits / 8)
+        Some(AudioMeta(-1L, "wav", ch, rate, bits, dataLen,
+          dataLen / bytesPerSec * 1000.0))
+      case _ => None
+    }
+  }
+
+  /** Fixture adapter (the audio sibling of [[asBinaryPayload]]): wrap a
+    * text table as REAL single-chunk PCM WAV containers — the header
+    * fields derive from the row id (rate 8/12/16/20 kHz, 1-2 channels,
+    * 16-bit) and the "samples" are the UTF-8 payload bytes, so an oracle
+    * can recompute every parsed field from the row without parsing bytes
+    * itself. The parse side ([[wavMeta]]) never sees the formula — it
+    * reads only the byte layout. */
+  def asWavPayload(spark: SparkSession, df: DataFrame, id: String,
+      payloadSrc: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id"),
+        encode(col(payloadSrc), "UTF-8").as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (docId, data) =>
+          val channels = 1 + (docId % 2).toInt
+          val rate = 8000 + (docId % 4).toInt * 4000
+          val bits = 16
+          val blockAlign = channels * (bits / 8)
+          val pad = data.length & 1
+          val buf = java.nio.ByteBuffer
+            .allocate(44 + data.length + pad)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII"))
+          buf.putInt(36 + data.length + pad)
+          buf.put("WAVE".getBytes("US-ASCII"))
+          buf.put("fmt ".getBytes("US-ASCII"))
+          buf.putInt(16)
+          buf.putShort(1) // PCM
+          buf.putShort(channels.toShort)
+          buf.putInt(rate)
+          buf.putInt(rate * blockAlign)
+          buf.putShort(blockAlign.toShort)
+          buf.putShort(bits.toShort)
+          buf.put("data".getBytes("US-ASCII"))
+          buf.putInt(data.length)
+          buf.put(data)
+          if (pad == 1) buf.put(0.toByte)
+          (docId, buf.array())
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Partition-parallel audio metadata extraction ([[extractMeta]] shape):
+    * real WAV header parse per payload; unrecognized containers are
+    * dropped (a production pipeline would route them to a quarantine
+    * sink). */
+  def extractAudioMeta(spark: SparkSession, media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          wavMeta(bytes).map(_.copy(doc_id = id))
+        }
+      }
+  }
+
   /** Video frame sampling plumbing: each payload expands to `n` evenly-
     * spaced frame rows (frame index, presentation timestamp at `fps`, and a
     * per-frame fingerprint). The row expansion is a codegen'd posexplode —

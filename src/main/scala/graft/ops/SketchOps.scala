@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches (Apache DataSketches HLL, built into
+  * Spark as `hll_sketch_agg`/`hll_union_agg`) — the pre-aggregation layout
+  * that makes "distinct users per X" queries cheap at 100 TB: each daily /
+  * per-shard job reduces its slice to a few-KB sketch ONCE, the sketches
+  * persist as ordinary binary parquet columns, and any later rollup (all
+  * days, all sources, ad-hoc slices) is a union of sketches — no re-scan of
+  * the raw data, no exact-distinct shuffle of raw keys. Estimates are
+  * within ~1.6%/sqrt(2^lgK); exactness is engine-specific, so registry
+  * entries over these are rows-only with [[graft.SketchSpec]] asserting
+  * relative error and merge-vs-direct consistency.
+  */
+object SketchOps {
+
+  /** One HLL sketch per group: the map-side-combinable aggregate runs as a
+    * single hash aggregate (partial sketches merge associatively inside
+    * Spark), emitting (grp, sketch-binary). */
+  def hllSketches(
+      df: DataFrame, group: Column, value: Column, lgK: Int = 12): DataFrame =
+    df.groupBy(group.as("grp"))
+      .agg(hll_sketch_agg(value, lit(lgK)).as("sketch"))
+
+  /** Union previously-built sketches (e.g. read back from parquet) into one
+    * — O(sketch bytes) per input row, never touching raw values. */
+  def hllUnion(sketches: DataFrame, sketch: Column): DataFrame =
+    sketches.agg(hll_union_agg(sketch, lit(true)).as("sketch"))
+
+  /** Distinct-count estimate of a sketch column. */
+  def estimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+}

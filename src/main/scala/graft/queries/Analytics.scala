@@ -433,6 +433,46 @@ object Analytics extends QueryModule {
         bool_or(c_acctbal > 9000) AS any_rich,
         first(c_custkey ORDER BY c_acctbal DESC, c_custkey DESC) AS richest_cust,
         first(c_custkey ORDER BY c_acctbal ASC, c_custkey DESC) AS poorest_cust
-        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- SCD Type-2 dimension build: the warehouse history table every
+    // nightly ingest maintains. Collapse each user's event stream to its
+    // state CHANGES (lag filter), then version each change with
+    // valid_from/valid_to interval columns (lead) and an is_current flag.
+    // Two windows over the SAME (user_id → ts, event_id) partitioning —
+    // Catalyst plans one Exchange + one sort reused by both Window nodes,
+    // so at 100 TB this is a single shuffle keyed by the dimension's
+    // natural key, no matter how many versions a hot user has. ----
+    QueryDef(
+      "an_scd2_history",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val changes = t(s, dir, "events")
+          .withColumn("prev", lag($"event_type", 1).over(w))
+          .filter($"prev".isNull || $"prev" =!= $"event_type")
+        changes
+          .withColumn("version", row_number().over(w))
+          .withColumn("valid_to", lead($"ts", 1).over(w))
+          .select($"user_id", $"version", $"event_type".as("state"),
+            $"ts".as("valid_from"), $"valid_to",
+            $"valid_to".isNull.as("is_current"))
+          .orderBy($"user_id", $"version")
+      },
+      Some("""WITH ch AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev
+          FROM events),
+        chg AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> event_type)
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS version,
+               event_type AS state, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS valid_to,
+               (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL) AS is_current
+        FROM chg ORDER BY user_id, version"""))
   )
 }

@@ -312,7 +312,66 @@ object ExtDedup extends QueryModule {
                  row_number() OVER (PARTITION BY c.component
                    ORDER BY d.n_chars DESC, c.id) = 1 AS is_keeper
           FROM comp c JOIN documents d ON d.doc_id = c.id)
-        SELECT doc_id, cluster_id, quality, is_keeper FROM q ORDER BY doc_id"""))
+        SELECT doc_id, cluster_id, quality, is_keeper FROM q ORDER BY doc_id""")),
+
+    // ---- PageRank over the near-dup graph: link-authority weight for the
+    // documents that participate in duplicate clusters (the web-scale
+    // iterative-join workload, GraphOps.pageRank). Fixed 3 iterations make
+    // the result a pure function of the edge list, so the oracle UNROLLS
+    // the same three iterations in SQL over the identical edge CTE; both
+    // engines compute (1 - 0.85)/n and 0.85·Σ r/outdeg in IEEE doubles,
+    // rounded to 6 so partial-sum order can't flip the hash. ----
+    QueryDef(
+      "ext_graph_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text", n = 3,
+          threshold = 0.8, maxDf = 128)
+        GraphOps.pageRank(pairs.select($"id_a".as("src"), $"id_b".as("dst")),
+            iters = 3, damping = 0.85)
+          .select($"id".as("doc_id"), round($"rank", 6).as("rank"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx0 AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx AS (
+          SELECT doc_id, sz, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM idx0)
+          WHERE df <= 128),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 count(*) AS inter
+          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.8),
+        sym AS (
+          SELECT src, dst FROM edges
+          UNION ALL SELECT dst AS src, src AS dst FROM edges),
+        deg AS (SELECT src AS id, count(*) AS outdeg FROM sym GROUP BY src),
+        nv AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM sym),
+        r0 AS (
+          SELECT DISTINCT s.src AS id, 1.0 / nv.n AS r FROM sym s CROSS JOIN nv),
+        r1 AS (
+          SELECT s.dst AS id, (1 - 0.85) / min(nv.n) + 0.85 * sum(p.r / d.outdeg) AS r
+          FROM sym s JOIN r0 p ON p.id = s.src JOIN deg d ON d.id = s.src
+          CROSS JOIN nv GROUP BY s.dst),
+        r2 AS (
+          SELECT s.dst AS id, (1 - 0.85) / min(nv.n) + 0.85 * sum(p.r / d.outdeg) AS r
+          FROM sym s JOIN r1 p ON p.id = s.src JOIN deg d ON d.id = s.src
+          CROSS JOIN nv GROUP BY s.dst),
+        r3 AS (
+          SELECT s.dst AS id, (1 - 0.85) / min(nv.n) + 0.85 * sum(p.r / d.outdeg) AS r
+          FROM sym s JOIN r2 p ON p.id = s.src JOIN deg d ON d.id = s.src
+          CROSS JOIN nv GROUP BY s.dst)
+        SELECT id AS doc_id, round(r, 6) AS rank FROM r3 ORDER BY doc_id"""))
   )
 }
 
@@ -386,6 +445,27 @@ object ExtSimilarity extends QueryModule {
             emb.filter($"vec_id" < 10), emb,
             $"vec_id", $"embedding", $"vec_id", $"embedding",
             k = 5, numCells = 16, nprobe = 6)
+          .orderBy($"q_id", $"rank")
+      },
+      None),
+
+    // product-quantized ANN (PqOps): m=32 sub-codebooks × 16 codes = 16 B
+    // per vector (16× compression of the dim-64 float corpus) scored by
+    // ADC lookup tables riding the broadcast join — deterministic
+    // codebooks → deterministic result, but iterative training isn't one
+    // SQL statement → rows-only; PqSpec asserts recall@5 and top-decile
+    // containment vs exact L2 (the fixture's unit vectors are near-uniform
+    // — no label clusters — so measured recall@5 is 0.62 at this budget,
+    // 0.96 within the exact top decile).
+    QueryDef(
+      "ext_ann_pq",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        PqOps.pqTopK(
+            emb.filter($"vec_id" < 10), emb,
+            $"vec_id", $"embedding", $"vec_id", $"embedding",
+            dim = 64, k = 5, m = 32, codesPerSub = 16)
           .orderBy($"q_id", $"rank")
       },
       None),
@@ -1052,7 +1132,35 @@ object ExtMultimodal extends QueryModule {
             $"width", $"height", $"feat_mean")
           .orderBy($"doc_id")
       },
-      None)
+      None),
+
+    // REAL audio-container parsing (the WAV sibling of the image-header
+    // layer): the fixture adapter wraps each doc as a genuine PCM WAV
+    // whose header fields derive from the row id, and wavMeta chunk-walks
+    // the RIFF byte layout to recover them. The oracle recomputes every
+    // field from the generation formula WITHOUT parsing — so a parse bug
+    // (endianness, chunk offset, padding) breaks the hash.
+    QueryDef(
+      "ext_multimodal_audio",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asWavPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id", "text")
+        MultimodalOps.extractAudioMeta(s, media).toDF()
+          .select($"doc_id", $"format", $"channels", $"sample_rate",
+            $"bits", $"data_bytes",
+            round($"duration_ms", 3).as("duration_ms"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, 'wav' AS format,
+          CAST(1 + doc_id % 2 AS INT) AS channels,
+          CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+          16 AS bits,
+          CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes,
+          round(octet_length(encode(text))
+            / (CAST(8000 + (doc_id % 4) * 4000 AS DOUBLE) * (1 + doc_id % 2) * 2)
+            * 1000, 3) AS duration_ms
+        FROM documents ORDER BY doc_id"""))
   )
 }
 
@@ -1162,7 +1270,89 @@ object ExtEvents extends QueryModule {
           ON a.user_id = b.user_id
          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
         WHERE a.event_type = 'click' AND b.event_type = 'purchase'
-        ORDER BY click_id, buy_id"""))
+        ORDER BY click_id, buy_id""")),
+
+    // ---- mergeable HLL distinct sketches (SketchOps): per-event_type
+    // user sketches built in ONE hash aggregate, then the all-types row is
+    // a union OF THE SKETCHES — the raw user ids are never re-scanned or
+    // re-shuffled, which is the entire 100 TB pre-aggregation story (daily
+    // sketches persist as binary parquet; any rollup is sketch-union).
+    // Sketch internals are engine-specific → rows-only; SketchSpec asserts
+    // ≤2% relative error vs exact and merge-vs-direct consistency. ----
+    QueryDef(
+      "ext_sketch_hll",
+      (s, dir) => {
+        import s.implicits._
+        val events = Tables.load(s, dir, "events")
+        val perType = SketchOps.hllSketches(events, $"event_type", $"user_id")
+        val all = SketchOps.hllUnion(perType, $"sketch")
+          .select(lit("ALL").as("grp"), $"sketch")
+        perType.unionByName(all)
+          .select($"grp".as("scope"),
+            SketchOps.estimate($"sketch").as("approx_users"))
+          .orderBy($"scope")
+      },
+      None)
+  )
+}
+
+/** Scale-technique operators as driver-checked queries: both produce
+  * results equal to their naive forms (that IS the oracle), so the DuckDB
+  * hash-compare proves the technique is transparent while the plan-shape
+  * specs (ScaleOpsSpec / BucketingSpec) prove the layout property — salt
+  * spreading and the no-Exchange co-located join.
+  */
+object ExtScale extends QueryModule {
+  private val money = org.apache.spark.sql.types.DecimalType(12, 2)
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- two-phase salted aggregation (SkewOps.saltedSum): the hot-key
+    // mitigation when one group dwarfs the rest — partial-agg on
+    // (key, salt) spreads the hot key over `salts` reducers, the combine
+    // shuffles only `keys × salts` partial rows. Equal to the plain
+    // groupBy — the oracle is exactly that plain groupBy. ----
+    QueryDef(
+      "ext_skew_salted_agg",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+          .select($"event_type", $"value".cast(money).as("v"))
+        SkewOps.saltedSum(ev, $"event_type", $"v", salts = 8)
+          .select($"key", $"total".cast("double").as("total"), $"n")
+          .orderBy($"key")
+      },
+      Some("""SELECT event_type AS key,
+          CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+          count(*) AS n
+        FROM events GROUP BY event_type ORDER BY key""")),
+
+    // ---- bucketed co-located join (BucketingOps): both fact tables
+    // persisted bucketed+sorted by the join key, so the equi-join reads
+    // bucket-aligned files with NO Exchange on either side (BucketingSpec
+    // proves the plan property). At 100 TB this turns the nightly
+    // lineitem⋈orders shuffle into local merges. Results equal the plain
+    // join — the oracle is the plain join. ----
+    QueryDef(
+      "ext_bucketed_join",
+      (s, dir) => {
+        import s.implicits._
+        BucketingOps.writeBucketed(
+          Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_extendedprice"),
+          "bj_lineitem", "l_orderkey", 8)
+        BucketingOps.writeBucketed(
+          Tables.load(s, dir, "orders").select($"o_orderkey", $"o_orderpriority"),
+          "bj_orders", "o_orderkey", 8)
+        BucketingOps.colocatedJoin(s, "bj_lineitem", "bj_orders",
+            "l_orderkey", "o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_extendedprice".cast(money)).cast("double").as("revenue"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
 

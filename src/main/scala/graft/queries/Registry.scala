@@ -37,6 +37,7 @@ object Registry {
     ExtMultimodal,
     ExtEvents,
     ExtBpe,
+    ExtScale,
     Pipeline)
 
   lazy val queryDefs: Seq[QueryDef] = modules.flatMap(_.defs)

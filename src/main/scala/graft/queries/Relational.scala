@@ -384,6 +384,41 @@ object Relational extends QueryModule {
       Some("""SELECT DISTINCT ON (lang) lang, doc_id, n_chars FROM documents
         ORDER BY lang, n_chars DESC, doc_id""")),
 
+    // Beyond reference: QUALIFY (DuckDB/Snowflake post-window filter) via
+    // the front-door subquery rewrite — the predicate is computed as an
+    // extra column in the window's select scope (alias-referencing works
+    // through Spark's lateral column alias resolution) and filtered
+    // outside. Oracle is DuckDB's native QUALIFY on the same statement.
+    QueryDef(
+      "op_qualify",
+      (s, dir) => {
+        val g = new graft.GraftSession(s)
+        graft.sources.Tables.register(s, dir, Seq("documents"))
+        g.sql("""SELECT lang, doc_id, n_chars,
+            row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+          FROM documents QUALIFY rk <= 3 ORDER BY lang, rk""")
+      },
+      Some("""SELECT lang, doc_id, n_chars,
+          row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents QUALIFY rk <= 3 ORDER BY lang, rk""")),
+
+    // Beyond reference: GROUP BY ALL / ORDER BY ALL (the DuckDB-popularized
+    // shorthands, native in Spark 3.4+/4.0+) — group by every non-aggregate
+    // select item, order by every output column. Same statement runs
+    // verbatim on both engines.
+    QueryDef(
+      "op_group_order_by_all",
+      (s, dir) => {
+        val g = new graft.GraftSession(s)
+        graft.sources.Tables.register(s, dir, Seq("documents"))
+        g.sql("""SELECT lang, source, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM documents GROUP BY ALL ORDER BY ALL""")
+      },
+      Some("""SELECT lang, source, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY ALL ORDER BY ALL""")),
+
     // ---- CASE: searched + simple (ref case.rs; simple CASE is rewritten
     // to searched at plan time, sql.rs:1100-1136) ----
     QueryDef(

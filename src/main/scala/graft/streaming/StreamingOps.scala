@@ -204,6 +204,24 @@ object StreamingOps {
         col("view_id"), col("view_ts"))
   }
 
+  /** Stream-static broadcast enrichment: every streamed event decorated
+    * with its user's dimension row. The static side re-resolves per
+    * micro-batch (so a dim-table refresh is picked up without restarting
+    * the query) and broadcasts — no shuffle of the stream, no state, no
+    * watermark: the 100 TB/day "decorate the firehose" join is a map-side
+    * hash probe per executor. Inner join drops events without a dimension
+    * row (route to a dead-letter sink in production). */
+  def enrichWithDim(
+      spark: SparkSession,
+      schema: StructType,
+      path: String,
+      dim: DataFrame,
+      eventKey: String,
+      dimKey: String): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(path)
+    stream.join(broadcast(dim), stream(eventKey) === dim(dimKey))
+  }
+
   /** Run a streaming query to completion against the (finite) source and
     * return the materialized result from the memory sink. Used by tests to
     * prove batch/stream parity. */

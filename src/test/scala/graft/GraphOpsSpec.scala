@@ -82,4 +82,29 @@ class GraphOpsSpec extends AnyFunSuite {
     val byCluster = clusters.groupBy(_._2).view.mapValues(_.keys.min)
     for ((cid, minId) <- byCluster) assert(cid == minId)
   }
+
+  test("pageRank matches a sequential reference and conserves total mass") {
+    // star 1-{2,3,4} plus pair 5-6: hub 1 must outrank leaves; the
+    // undirected graph has no dangling nodes so Σ rank = 1 exactly
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L)).toDF("src", "dst")
+    val got = GraphOps.pageRank(edges, iters = 3, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // sequential reference: same fixed-iteration update
+    val sym = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L), (4L, 1L),
+      (5L, 6L), (6L, 5L))
+    val outdeg = sym.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val ids = sym.map(_._1).distinct
+    val n = ids.size.toDouble
+    var r = ids.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until 3) {
+      val contrib = sym.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / outdeg(s) }.sum)
+      r = ids.map(id => id -> ((1 - 0.85) / n + 0.85 * contrib(id))).toMap
+    }
+    assert(got.keySet == r.keySet)
+    for ((id, v) <- r) assert(math.abs(got(id) - v) < 1e-12, s"id $id")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(got(1L) > got(2L) && got(2L) == got(3L))
+  }
 }

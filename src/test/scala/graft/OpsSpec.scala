@@ -312,6 +312,51 @@ class OpsSpec extends AnyFunSuite {
       Seq(("png", 640, 480), ("jpeg", 1920, 1080), ("raw", metas(2).width, metas(2).height)))
   }
 
+  test("WAV headers parse via chunk walk: canonical, reordered, invalid") {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def fmtChunk(ch: Int, rate: Int, bits: Int) =
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+        le32(rate * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits)
+    val data = Array.fill[Byte](1000)(7)
+    // canonical 44-byte layout: RIFF/WAVE + fmt + data
+    val wav = "RIFF".getBytes ++ le32(36 + 1000) ++ "WAVE".getBytes ++
+      fmtChunk(2, 44100, 16) ++ "data".getBytes ++ le32(1000) ++ data
+    val m = MultimodalOps.wavMeta(wav).get
+    assert((m.format, m.channels, m.sample_rate, m.bits, m.data_bytes) ==
+      ("wav", 2, 44100, 16, 1000L))
+    // duration: 1000 bytes / (44100 * 2ch * 2B) per sec
+    assert(math.abs(m.duration_ms - 1000.0 / (44100.0 * 2 * 2) * 1000.0) < 1e-9)
+
+    // non-canonical chunk order: a LIST chunk (odd size → padded) before fmt
+    val wav2 = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(5) ++ Array.fill[Byte](6)(0) ++ // 5 + pad
+      fmtChunk(1, 8000, 16) ++ "data".getBytes ++ le32(200) ++ Array.fill[Byte](200)(1)
+    val m2 = MultimodalOps.wavMeta(wav2).get
+    assert((m2.channels, m2.sample_rate, m2.data_bytes) == (1, 8000, 200L))
+
+    // not RIFF / truncated / non-PCM → None
+    assert(MultimodalOps.wavMeta("plain text".getBytes).isEmpty)
+    assert(MultimodalOps.wavMeta("RIFF".getBytes ++ le32(4) ++ "WAVE".getBytes).isEmpty)
+    val nonPcm = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      ("fmt ".getBytes ++ le32(16) ++ le16(3) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16)) ++
+      "data".getBytes ++ le32(0)
+    assert(MultimodalOps.wavMeta(nonPcm).isEmpty)
+  }
+
+  test("asWavPayload emits genuine parseable WAV containers end to end") {
+    val media = MultimodalOps.asWavPayload(spark, docs.limit(20), "doc_id", "text")
+    val metas = MultimodalOps.extractAudioMeta(spark, media).collect().sortBy(_.doc_id)
+    assert(metas.length == 20) // every payload parsed (none dropped)
+    for (m <- metas) {
+      assert(m.format == "wav" && m.bits == 16)
+      assert(m.channels == 1 + (m.doc_id % 2).toInt)
+      assert(m.sample_rate == 8000 + (m.doc_id % 4).toInt * 4000)
+      assert(m.data_bytes > 0)
+    }
+  }
+
   test("knn graph: k out-neighbors per vector, decent recall vs brute force") {
     import org.apache.spark.sql.expressions.Window
     val k = 5

@@ -217,4 +217,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotFps == batchFps)
     assert(got.nonEmpty)
   }
+
+  test("stream-static broadcast enrichment equals the batch join") {
+    import spark.implicits._
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    val dim = Tables.load(spark, TestSpark.sfDir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val dir = java.nio.file.Files.createTempDirectory("graft_enrich").toString
+    events.write.mode("overwrite").parquet(dir)
+
+    val enriched = StreamingOps.enrichWithDim(
+      spark, events.schema, dir, dim, "user_id", "c_custkey")
+    val got = StreamingOps.runToCompletion(spark, enriched, "stream_enrich",
+        mode = "append")
+      .select($"event_id", $"c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val batch = events.join(dim, $"user_id" === $"c_custkey")
+      .select($"event_id", $"c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
 }
