@@ -11,15 +11,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketingOps {
 
-  /** Persist `df` as a bucketed, per-bucket-sorted managed parquet table. */
+  /** Persist `df` as a bucketed, per-bucket-sorted managed parquet table.
+    * Drops any prior table AND its on-disk location first: the session
+    * catalog is in-memory, so a previous JVM's managed-table directory
+    * survives in the warehouse while the catalog forgets the table —
+    * without the cleanup a re-run dies with LOCATION_ALREADY_EXISTS. */
   def writeBucketed(
-      df: DataFrame, table: String, key: String, buckets: Int): Unit =
+      df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key. When both sides share
     * the bucket count, Catalyst plans SortMergeJoin over the existing

@@ -17,44 +17,88 @@ import org.apache.spark.sql.functions._
   * codebooks (m·k·D/m doubles) broadcast as plan literals. Composes with
   * [[IvfOps]] cells (IVF-PQ: prune to nprobe cells, then ADC-score codes).
   *
-  * Deterministic: codebooks train with [[IvfOps.trainCentroids]] (seeded
-  * from lowest-id vectors, fixed Lloyd iterations), so codes and rankings
-  * reproduce run-to-run; PqSpec asserts recall against exact search.
+  * Deterministic: codebooks train on the lowest-id sample with fixed Lloyd
+  * iterations, so codes and rankings reproduce run-to-run; PqSpec asserts
+  * recall against exact search.
   */
 object PqOps {
 
-  /** Per-subspace codebooks: `m` × `k` × (dim/m). Subspace `j` trains on
-    * `slice(vec, j·sub+1, sub)`; only centroids reach the driver. */
+  /** Per-subspace codebooks: `m` × `k` × (dim/m), trained on a bounded
+    * DETERMINISTIC sample driver-side — the FAISS discipline: PQ codebook
+    * k-means is a tiny-data problem (k centroids in a dim/m-dimensional
+    * subspace needs thousands of samples, not the corpus), so production
+    * trainers sample regardless of corpus size. One collect of
+    * `sampleSize`×dim doubles (lowest ids — reproducible on any engine /
+    * partitioning), then plain Lloyd iterations in memory; zero Spark jobs
+    * per iteration. The at-scale distributed parts of PQ — [[encode]] over
+    * the full corpus and the ADC scan — stay distributed. (A distributed
+    * trainer was measured at 3-4 s PER Lloyd iteration on 5k vectors:
+    * each round's fresh codebook literal forces full re-analysis/codegen
+    * of the assignment plan — all overhead, no arithmetic.)
+    *
+    * Seeded from the k lowest-id sample vectors, fixed `iters`: codes and
+    * rankings reproduce run-to-run. */
   def trainCodebooks(
       df: DataFrame, id: Column, vec: Column,
-      dim: Int, m: Int, k: Int, iters: Int = 3): Array[Array[Array[Double]]] = {
+      dim: Int, m: Int, k: Int, iters: Int = 3,
+      sampleSize: Int = 4096): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
-    val v = df.select(id.as("id"), VectorOps.vecD(vec).as("v")).cache()
-    val books = (0 until m).map { j =>
-      IvfOps.trainCentroids(
-        v.select(col("id"), slice(col("v"), j * sub + 1, sub).as("s")),
-        col("id"), col("s"), k, iters)
+    val sample = df.select(id.cast("long").as("id"), VectorOps.vecD(vec).as("v"))
+      .orderBy(col("id")).limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.length >= k, s"need ≥$k vectors to train, got ${sample.length}")
+    (0 until m).map { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      var cents = pts.take(k).map(_.clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k, sub)(0.0)
+        val counts = new Array[Long](k)
+        for (p <- pts) {
+          var best = 0; var bestD = Double.MaxValue
+          for (c <- 0 until k) {
+            var d = 0.0
+            var i = 0
+            while (i < sub) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+          }
+          counts(best) += 1
+          for (i <- 0 until sub) sums(best)(i) += p(i)
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(sub)(i => sums(c)(i) / counts(c))
+        }
+      }
+      cents
     }.toArray
-    v.unpersist()
-    books
   }
 
   /** Encode vectors to `m` codes: per subspace, the nearest codebook
-    * centroid's index (argmin via a sorted (dist, code) struct array, the
-    * [[IvfOps.assignCells]] shape). Adds `codes: array<int>`; shuffle-free,
-    * codegen'd per row. */
+    * centroid's index. One nested transform over the codebook literal
+    * (outer with index = subspace, inner with index = code), so the
+    * literal appears once and the whole encode is a single shuffle-free
+    * codegen'd projection. Adds `codes: array<int>`. */
   def encode(df: DataFrame, vec: Column, books: Array[Array[Array[Double]]]): DataFrame = {
     val sub = books(0)(0).length
-    val codeCols = books.zipWithIndex.map { case (book, j) =>
-      val s = slice(vec, j * sub + 1, sub)
-      val distArr = array(book.zipWithIndex.map { case (c, i) =>
-        struct(VectorOps.sqDist(s, array(c.map(lit(_)): _*)).as("d"),
-          lit(i).as("code"))
-      }: _*)
+    // (centroid, ‖centroid‖²) literal structs: argmin of ‖s−c‖² = argmin
+    // of ‖c‖² − 2·s·c (‖s‖² is constant per row×subspace), with the
+    // centroid norms precomputed INTO the literal — the inner expression
+    // runs corpus×m×k times (the hottest loop in PQ), so it is one native
+    // dot_product + one lookup, not an interpreted aggregate(zip_with(...))
+    val bookLit = array(books.map(book =>
+      array(book.map { c =>
+        val n2 = c.map(x => x * x).sum
+        struct(array(c.map(lit(_)): _*).as("cent"), lit(n2).as("n2"))
+      }: _*)): _*)
+    val codes = transform(bookLit, (book, j) => {
+      val s = slice(vec, j * sub + 1, lit(sub))
+      val distArr = transform(book, (entry, c) => struct(
+        (entry.getField("n2") - lit(2.0) * VectorOps.dot(s, entry.getField("cent"))).as("d"),
+        c.as("code")))
       element_at(array_sort(distArr), 1).getField("code")
-    }
-    df.withColumn("codes", array(codeCols: _*))
+    })
+    df.withColumn("codes", codes)
   }
 
   /** PQ-ADC top-k: approximate L2 distance from query `q` to a candidate is
@@ -77,10 +121,12 @@ object PqOps {
     // per-query LUT: lut[j][c] = squared distance from the query's j-th
     // subvector to codebook centroid c of subspace j
     val q0 = queries.select(qId.as("q_id"), VectorOps.vecD(qVec).as("q_v"))
-    val lut = array(books.zipWithIndex.map { case (book, j) =>
-      val s = slice(col("q_v"), j * sub + 1, sub)
-      array(book.map(c => VectorOps.sqDist(s, array(c.map(lit(_)): _*))): _*)
-    }: _*)
+    val bookLit = array(books.map(book =>
+      array(book.map(c => array(c.map(lit(_)): _*)): _*)): _*)
+    val lut = transform(bookLit, (book, j) => {
+      val s = slice(col("q_v"), j * sub + 1, lit(sub))
+      transform(book, cent => VectorOps.sqDist(s, cent))
+    })
     val qLut = q0.select(col("q_id"), lut.as("lut"))
     val approxDist = aggregate(
       zip_with(col("codes"), col("lut"),
