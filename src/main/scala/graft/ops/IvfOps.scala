@@ -17,31 +17,46 @@ import org.apache.spark.sql.functions._
 object IvfOps {
 
   /** K-means centroids (K × dim), seeded from the K lowest-id vectors,
-    * `iters` Lloyd steps. Assignment and the per-cluster mean run as
-    * DataFrame aggregations; only centroids collect to the driver. */
+    * `iters` Lloyd steps over a bounded DETERMINISTIC sample collected to
+    * the driver — the FAISS discipline: a coarse quantizer of K cells
+    * needs thousands of training points, not the corpus, so production
+    * trainers sample regardless of corpus size (the corpus-wide work —
+    * cell ASSIGNMENT and probing — stays distributed). One collect of
+    * `sampleSize`×dim doubles, ordered by id so the result reproduces on
+    * any engine/partitioning. (The previous distributed trainer spent
+    * 1-2 s PER Lloyd iteration re-analyzing/codegen'ing the assignment
+    * plan — each round's fresh centroid literals defeat plan caching.) */
   def trainCentroids(
       df: DataFrame, id: Column, vec: Column,
-      k: Int, iters: Int = 3): Array[Array[Double]] = {
-    val v = df.select(id.as("id"), VectorOps.vecD(vec).as("v")).cache()
-    var centroids = v.orderBy(col("id")).limit(k).collect()
-      .map(_.getSeq[Double](1).toArray)
+      k: Int, iters: Int = 3, sampleSize: Int = 4096): Array[Array[Double]] = {
+    val pts = df.select(id.cast("long").as("id"), VectorOps.vecD(vec).as("v"))
+      .orderBy(col("id")).limit(math.max(k, sampleSize))
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(pts.length >= k, s"need ≥$k vectors to train, got ${pts.length}")
+    val dim = pts(0).length
+    var centroids = pts.take(k).map(_.clone())
     for (_ <- 0 until iters) {
-      val assigned = assignCells(v, col("v"), centroids)
-      val dim = centroids(0).length
-      val sums = assigned
-        .select(col("cell") +: (0 until dim).map(i => element_at(col("v"), i + 1).as(s"x$i")): _*)
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"), (0 until dim).map(i => sum(col(s"x$i")).as(s"s$i")): _*)
-        .collect()
-      val next = centroids.clone()
-      sums.foreach { r =>
-        val cell = r.getInt(0)
-        val n = r.getLong(1).toDouble
-        next(cell) = (0 until dim).map(i => r.getDouble(i + 2) / n).toArray
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = new Array[Long](k)
+      for (p <- pts) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val t = p(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
       }
-      centroids = next
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(i => sums(c)(i) / counts(c))
+      }
     }
-    v.unpersist()
     centroids
   }
 
