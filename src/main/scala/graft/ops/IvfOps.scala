@@ -61,14 +61,14 @@ object IvfOps {
   }
 
   /** Nearest-centroid cell id for each row (centroids broadcast as plan
-    * literals; per-row argmin over K distances via a sorted (dist, cell)
-    * struct array — a when-chain fold would duplicate subtrees
-    * exponentially). */
+    * literals; per-row argmin over K distances via `array_min` on a
+    * (dist, cell) struct array — O(K) with no sort, and a when-chain fold
+    * would duplicate subtrees exponentially). */
   def assignCells(df: DataFrame, vec: Column, centroids: Array[Array[Double]]): DataFrame = {
     val distArr = array(centroids.zipWithIndex.map { case (c, i) =>
       struct(VectorOps.sqDist(vec, array(c.map(lit(_)): _*)).as("d"), lit(i).as("cell"))
     }: _*)
-    df.withColumn("cell", element_at(array_sort(distArr), 1).getField("cell"))
+    df.withColumn("cell", array_min(distArr).getField("cell"))
   }
 
   /** IVF top-k: per query, rank only the candidates whose cell is among the

@@ -96,7 +96,7 @@ object PqOps {
       val distArr = transform(book, (entry, c) => struct(
         (entry.getField("n2") - lit(2.0) * VectorOps.dot(s, entry.getField("cent"))).as("d"),
         c.as("code")))
-      element_at(array_sort(distArr), 1).getField("code")
+      array_min(distArr).getField("code")
     })
     df.withColumn("codes", codes)
   }
