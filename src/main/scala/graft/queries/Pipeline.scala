@@ -716,6 +716,81 @@ object Pipeline extends QueryModule {
         SELECT lang, count(*) AS n_new, CAST(sum(n_chars) AS BIGINT) AS chars_new
         FROM surv GROUP BY lang ORDER BY lang""")),
 
+    // ---- contrastive triplet mining (E5/GTE-style embedding-training
+    // data prep): anchors+positives from the near-dup pair list; negatives
+    // drawn per (anchor, positive) from a FIXED hash-sampled candidate
+    // pool — the pool is a corpus-side md5-prefix filter (no anchor ×
+    // corpus cross join, the pool broadcasts), ranked by md5(anchor:neg)
+    // so the draw is deterministic on any engine/partitioning. Negatives
+    // that are near-dups of the anchor are anti-joined out (they'd be
+    // false negatives in the training sense). Scale shape: pairs join ×
+    // broadcast pool; the only shuffle is the per-pair ranking window. ----
+    QueryDef(
+      "pl_contrastive_triplets",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text", n = 3,
+            threshold = 0.8, maxDf = 128)
+          .select($"id_a".as("anchor"), $"id_b".as("positive"))
+        val pool = docs
+          .filter(substring(md5($"doc_id".cast("string").cast("binary")), 1, 2) < "10")
+          .select($"doc_id".as("neg_id"))
+        val w = Window.partitionBy($"anchor", $"positive")
+          .orderBy(md5(concat($"anchor".cast("string"), lit(":"),
+            $"neg_id".cast("string")).cast("binary")))
+        // symmetric near-dup exclusion: a pool doc that near-dups the
+        // anchor in EITHER pair direction is a false negative
+        val nearDup = pairs.select($"anchor", $"positive".as("neg_id"))
+          .unionByName(pairs.select($"positive".as("anchor"),
+            $"anchor".as("neg_id")))
+        pairs.join(broadcast(pool))
+          .filter($"neg_id" =!= $"anchor" && $"neg_id" =!= $"positive")
+          .join(nearDup, Seq("anchor", "neg_id"), "left_anti")
+          .withColumn("neg_rank", row_number().over(w))
+          .filter($"neg_rank" <= 2)
+          .select($"anchor", $"positive", $"neg_id", $"neg_rank")
+          .orderBy($"anchor", $"positive", $"neg_rank")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx0 AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx AS (
+          SELECT doc_id, sz, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM idx0)
+          WHERE df <= 128),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 count(*) AS inter
+          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        pairs AS (
+          SELECT id_a AS anchor, id_b AS positive FROM cand
+          WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.8),
+        pool AS (
+          SELECT doc_id AS neg_id FROM documents
+          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10'),
+        cands AS (
+          SELECT p.anchor, p.positive, n.neg_id
+          FROM pairs p CROSS JOIN pool n
+          WHERE n.neg_id <> p.anchor AND n.neg_id <> p.positive
+            AND NOT EXISTS (SELECT 1 FROM pairs q
+              WHERE (q.anchor = p.anchor AND q.positive = n.neg_id)
+                 OR (q.positive = p.anchor AND q.anchor = n.neg_id))),
+        ranked AS (
+          SELECT anchor, positive, neg_id,
+                 row_number() OVER (PARTITION BY anchor, positive
+                   ORDER BY md5(CAST(anchor AS VARCHAR) || ':'
+                     || CAST(neg_id AS VARCHAR))) AS neg_rank
+          FROM cands)
+        SELECT anchor, positive, neg_id, CAST(neg_rank AS BIGINT) AS neg_rank
+        FROM ranked WHERE neg_rank <= 2
+        ORDER BY anchor, positive, neg_rank""")),
+
     // ---- data-quality gate (dbt-test shape): null keys, constraint
     // violations, PK duplicates, referential orphans — ONE row-level scan
     // (conditional aggregates unpivoted via stack) plus one anti-join and
