@@ -105,6 +105,49 @@ object GraphOps {
     ranks
   }
 
+  /** Triangle count per vertex over the undirected graph given by `edges`
+    * (cols `src`, `dst`) — the clustering-coefficient numerator, the
+    * standard density signal for near-dup cluster QUALITY (a clique-like
+    * dup group triangulates heavily; a chain of borderline matches does
+    * not). The classic two-join MapReduce shape with the degree-ordering
+    * optimization: orient each edge low→high degree (ties by id), so every
+    * triangle is counted exactly once and no reducer sees more than
+    * O(m^1.5) wedge candidates (Suri & Vassilvitskii, "Counting Triangles
+    * and the Curse of the Last Reducer", WWW 2011) — the hot-vertex wedge
+    * explosion never materializes because wedges pivot only on LOW-degree
+    * vertices. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    // orient: keep (a, b) only when (deg, id) of a < (deg, id) of b; carry
+    // the dst's degree so wedge endpoints can be compared in the SAME
+    // total order (comparing by id alone would miss triangles whose
+    // closing edge is oriented against the id order)
+    val oriented = sym
+      .join(deg.select(col("v").as("src"), col("d").as("ds")), Seq("src"))
+      .join(deg.select(col("v").as("dst"), col("d").as("dt")), Seq("dst"))
+      .filter(col("ds") < col("dt") ||
+        (col("ds") === col("dt") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("dt"))
+      .localCheckpoint()
+    // wedges pivot on the lowest-ranked vertex; close against an oriented
+    // edge — which exists iff the graph edge exists, since the wedge's
+    // endpoint order matches the orientation order
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.dt") < col("e2.dt") ||
+            (col("e1.dt") === col("e2.dt") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("pivot"), col("e1.dst").as("a"), col("e2.dst").as("b"))
+    val triangles = wedges.join(oriented.as("e3"),
+      col("a") === col("e3.src") && col("b") === col("e3.dst"))
+    // each triangle increments all three corners
+    triangles.select(col("pivot").as("id"))
+      .union(triangles.select(col("a").as("id")))
+      .union(triangles.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+  }
+
   /** [[dedupClusters]] with a QUALITY-chosen keeper — the production
     * retirement rule ("keep the best copy", not the arbitrary min-id one).
     * Keeper per cluster = highest `quality`, ties broken by lowest id

@@ -371,7 +371,57 @@ object ExtDedup extends QueryModule {
           SELECT s.dst AS id, (1 - 0.85) / min(nv.n) + 0.85 * sum(p.r / d.outdeg) AS r
           FROM sym s JOIN r2 p ON p.id = s.src JOIN deg d ON d.id = s.src
           CROSS JOIN nv GROUP BY s.dst)
-        SELECT id AS doc_id, round(r, 6) AS rank FROM r3 ORDER BY doc_id"""))
+        SELECT id AS doc_id, round(r, 6) AS rank FROM r3 ORDER BY doc_id""")),
+
+    // ---- per-vertex triangle counts over the near-dup graph (the
+    // clustering-coefficient numerator — clique-like dup groups
+    // triangulate heavily, chains of borderline matches don't). Two-join
+    // degree-ordered wedge closing (Suri & Vassilvitskii 2011): wedges
+    // pivot only on LOW-degree vertices so the hot-vertex wedge explosion
+    // never materializes. Oracle counts (a<b<c) triangles directly on the
+    // identical edge list. ----
+    QueryDef(
+      "ext_graph_triangles",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text", n = 3,
+          threshold = 0.8, maxDf = 128)
+        GraphOps.triangleCounts(
+            pairs.select($"id_a".as("src"), $"id_b".as("dst")))
+          .select($"id".as("doc_id"), $"triangles")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx0 AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx AS (
+          SELECT doc_id, sz, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM idx0)
+          WHERE df <= 128),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 count(*) AS inter
+          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.8),
+        tri AS (
+          SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM edges e1
+          JOIN edges e2 ON e2.src = e1.dst
+          JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        pv AS (
+          SELECT a AS doc_id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        SELECT doc_id, count(*) AS triangles
+        FROM pv GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
 

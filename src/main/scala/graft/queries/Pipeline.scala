@@ -791,6 +791,48 @@ object Pipeline extends QueryModule {
         FROM ranked WHERE neg_rank <= 2
         ORDER BY anchor, positive, neg_rank""")),
 
+    // ---- deterministic span masking (BERT/T5-style pretraining sample
+    // prep): tokens are masked in spans of 3 — span s of doc d is masked
+    // when md5(d:s) 8-bit prefix < 0x26 (≈15%) — a pure hash function of
+    // (doc_id, span), so the same doc masks identically on any engine,
+    // partitioning, or day (the reproducibility a 100 TB masking pass
+    // needs; no RNG state). Shuffle-free row map; the masked text is
+    // md5-fingerprinted so the oracle proves byte-equality of the full
+    // corruption, not just counts. Spark's lambda index is 0-based and
+    // DuckDB's is 1-based — the span formula aligns them. ----
+    QueryDef(
+      "pl_span_mask",
+      (s, dir) => {
+        import s.implicits._
+        val toks = split(lower(trim($"text")), "\\s+")
+        val masked = transform(toks, (t, i) =>
+          when(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+              floor(i / 3).cast("int").cast("string")).cast("binary")), 1, 2) < "26",
+            lit("<mask>")).otherwise(t))
+        Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            size(toks).cast("bigint").as("n_tokens"),
+            aggregate(masked, lit(0L),
+              (acc, t) => acc + when(t === "<mask>", 1L).otherwise(0L))
+              .as("n_masked"),
+            md5(concat_ws(" ", masked).cast("binary")).as("masked_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        m AS (
+          SELECT doc_id, tk,
+            list_transform(tk, (x, i) -> CASE
+              WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                || CAST((i - 1) // 3 AS VARCHAR)), 1, 2) < '26'
+              THEN '<mask>' ELSE x END) AS mk
+          FROM t)
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(mk, x -> x = '<mask>')) AS BIGINT) AS n_masked,
+          md5(array_to_string(mk, ' ')) AS masked_md5
+        FROM m ORDER BY doc_id""")),
+
     // ---- data-quality gate (dbt-test shape): null keys, constraint
     // violations, PK duplicates, referential orphans — ONE row-level scan
     // (conditional aggregates unpivoted via stack) plus one anti-join and

@@ -107,4 +107,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
     assert(got(1L) > got(2L) && got(2L) == got(3L))
   }
+
+  test("triangleCounts matches brute force on known and random graphs") {
+    // K4 on {1,2,3,4}: every vertex is in C(3,2)=3 triangles; pendant 5
+    val k4 = (for { a <- 1 to 4; b <- a + 1 to 4 } yield (a.toLong, b.toLong)) :+ (4L, 5L)
+    val got = GraphOps.triangleCounts(k4.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 20
+      val edges = (for { a <- 0 until n; b <- a + 1 until n
+        if rnd.nextDouble() < 0.2 } yield (a.toLong, b.toLong))
+      val adj = edges.toSet
+      def linked(a: Long, b: Long) = adj.contains((a min b, a max b))
+      val want = (0 until n).map { v =>
+        v.toLong -> (for { a <- 0 until n; b <- a + 1 until n
+          if a != v && b != v && linked(v, a) && linked(v, b) && linked(a, b)
+        } yield 1).size.toLong
+      }.filter(_._2 > 0).toMap
+      val res = GraphOps.triangleCounts(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(res == want, s"trial $trial")
+    }
+  }
 }
