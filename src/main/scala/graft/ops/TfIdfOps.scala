@@ -43,6 +43,40 @@ object TfIdfOps {
         round(col("tfidf"), 6).as("tfidf"), col("term_rank"))
   }
 
+  /** BM25 ranked retrieval for a fixed query-term set (Robertson/Okapi,
+    * the Lucene default scorer): score(d) = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·len_d/avg_len)), idf = ln((N − df + ½)/(df + ½)
+    * + 1).
+    *
+    * Scale shape: the query terms filter the (doc, term) stream BEFORE the
+    * tf aggregation (a |Q|-term isin — no full-vocabulary state), doc
+    * lengths are one combinable aggregate, and the corpus stats ride a
+    * broadcast one-row cross join. Scores round before ranking so the
+    * order is reproducible across engines. */
+  def bm25(docs: DataFrame, docId: Column, text: Column,
+      queryTerms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(docId.as("doc_id"),
+        explode(TextOps.tokens(text)).as("term"))
+      .filter(length(col("term")) > 0)
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("term").isInCollection(queryTerms))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val contrib = tf.join(dfreq, "term").join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+    contrib.groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Corpus-bigram log-probability per document — the classic cheap fluency
     * signal (a KenLM stand-in computable in pure SQL): score(doc) = mean
     * over its bigrams of ln(count(w1 w2) / count(w1 ·)), with counts taken

@@ -1102,6 +1102,39 @@ object ExtText extends QueryModule {
         SELECT doc_id, term, tf, df, tfidf, term_rank
         FROM ranked WHERE term_rank <= 3 ORDER BY doc_id, term_rank""")),
 
+    // ---- BM25 ranked retrieval (Robertson/Okapi, the Lucene default
+    // scorer) for a fixed query over the corpus: the query terms filter
+    // the (doc, term) stream BEFORE aggregation (no full-vocab state),
+    // corpus stats ride a broadcast one-row cross join, scores round
+    // before ranking so the order reproduces across engines. ----
+    QueryDef(
+      "ext_text_bm25",
+      (s, dir) => {
+        import s.implicits._
+        TfIdfOps.bm25(Tables.load(s, dir, "documents"), $"doc_id", $"text",
+          queryTerms = Seq("hash", "join", "vector"), topK = 25)
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        t AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+        lens AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM t
+          WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+        contrib AS (
+          SELECT f.doc_id,
+            ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+              * tf * (1.2 + 1) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              AS contrib
+          FROM tf f JOIN dfreq USING (term) JOIN lens USING (doc_id)
+          CROSS JOIN stats)
+        SELECT doc_id, round(sum(contrib), 6) AS bm25
+        FROM contrib GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 25""")),
+
     // ---- RAG chunking: overlapping fixed-width char windows (width 256,
     // stride 200). Pure row expansion — sequence + posexplode + substr,
     // zero shuffle, codegen end to end; md5 keeps chunk bodies out of the
