@@ -141,4 +141,61 @@ object PqOps {
       .select(col("q_id"), col("rank"), col("n_id"),
         round(col("adist"), 6).as("approx_dist"))
   }
+
+  /** IVF-PQ: the production ANN layout (FAISS "IVFx,PQy") — a coarse
+    * quantizer prunes the corpus to each query's `nprobe` nearest cells,
+    * and ONLY those cells' m-byte codes are ADC-scored. Per-query cost is
+    * (nprobe/numCells)·corpus code lookups; at rest the index is the
+    * cell-partitioned code table ([[IvfOps.writeIndex]] layout + `codes`),
+    * dim-width floats appear nowhere in the scan. This is the plain (non-
+    * residual) variant: codes quantize the vectors themselves, not the
+    * cell residuals — one codebook set serves all cells, at some recall
+    * cost vs FAISS's per-cell residual encoding.
+    *
+    * Shape: cell-keyed equi-join between the coded corpus and the
+    * broadcast (query × probe-cell) list — candidates never shuffle; only
+    * (q_id, n_id, adist) scalars enter the top-k window. */
+  def ivfPqTopK(
+      queries: DataFrame, candidates: DataFrame,
+      qId: Column, qVec: Column, cId: Column, cVec: Column,
+      dim: Int, k: Int, numCells: Int = 16, nprobe: Int = 4,
+      m: Int = 16, codesPerSub: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = IvfOps.trainCentroids(candidates, cId, cVec, numCells)
+    val books = trainCodebooks(candidates, cId, cVec, dim, m, codesPerSub)
+    val sub = dim / m
+    val coded = encode(
+      IvfOps.assignCells(
+        candidates.select(cId.as("n_id"), VectorOps.vecD(cVec).as("n_v")),
+        col("n_v"), centroids),
+      col("n_v"), books)
+      .select(col("n_id"), col("cell"), col("codes"))
+    val q0 = queries.select(qId.as("q_id"), VectorOps.vecD(qVec).as("q_v"))
+    val probeArr = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.sqDist(col("q_v"), array(c.map(lit(_)): _*)).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    val bookLit = array(books.map(book =>
+      array(book.map(c => array(c.map(lit(_)): _*)): _*)): _*)
+    val lut = transform(bookLit, (book, j) => {
+      val s = slice(col("q_v"), j * sub + 1, lit(sub))
+      transform(book, cent => VectorOps.sqDist(s, cent))
+    })
+    val qProbes = q0
+      .withColumn("lut", lut)
+      .withColumn("probes", slice(array_sort(probeArr), 1, nprobe))
+      .select(col("q_id"), col("lut"), explode(col("probes.cell")).as("cell"))
+    val approxDist = aggregate(
+      zip_with(col("codes"), col("lut"),
+        (code, lutJ) => element_at(lutJ, code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
+    coded.join(broadcast(qProbes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adist", approxDist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("adist"), 6).as("approx_dist"))
+  }
 }

@@ -520,6 +520,24 @@ object ExtSimilarity extends QueryModule {
       },
       None),
 
+    // IVF-PQ (the FAISS "IVFx,PQy" production layout): coarse cells prune
+    // the corpus to nprobe/numCells, PQ codes ADC-score only the surviving
+    // sliver — compressed storage AND pruned scans composed. Rows-only;
+    // PqSpec asserts probe-restriction consistency with full-scan ADC.
+    QueryDef(
+      "ext_ann_ivfpq",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        PqOps.ivfPqTopK(
+            emb.filter($"vec_id" < 10), emb,
+            $"vec_id", $"embedding", $"vec_id", $"embedding",
+            dim = 64, k = 5, numCells = 16, nprobe = 6,
+            m = 32, codesPerSub = 16)
+          .orderBy($"q_id", $"rank")
+      },
+      None),
+
     // approximate kNN graph (HNSW/cluster input): per-vector top-k among
     // LSH cohabitants — rows-only (bucket cohabitation is seed-specific);
     // recall vs brute force asserted in OpsSpec

@@ -70,6 +70,43 @@ class PqSpec extends AnyFunSuite {
       s"only $contained of ADC neighbors inside the exact top decile")
   }
 
+  test("IVF-PQ equals full-scan ADC restricted to the probed cells") {
+    import graft.ops.IvfOps
+    val queries = emb.filter($"vec_id" < 10)
+    val ivfpq = PqOps.ivfPqTopK(queries, emb, $"vec_id", $"embedding",
+        $"vec_id", $"embedding", dim = 64, k = 5, numCells = 16, nprobe = 6,
+        m = 32, codesPerSub = 16)
+      .select($"q_id", $"rank", $"n_id", $"approx_dist").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    // reference: full-scan ADC (same codebooks/codes), keep only
+    // candidates whose cell is among the query's nprobe nearest, re-rank
+    val centroids = IvfOps.trainCentroids(emb, $"vec_id", $"embedding", 16)
+    val cells = IvfOps.assignCells(
+        emb.select($"vec_id".as("id"), VectorOps.vecD($"embedding").as("v")),
+        col("v"), centroids)
+      .select($"id", $"cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def probeSet(q: Long): Set[Int] = {
+      val qvec = emb.filter($"vec_id" === q)
+        .select(VectorOps.vecD($"embedding")).head.getSeq[Double](0).toArray
+      centroids.zipWithIndex
+        .map { case (c, i) => (c.zip(qvec).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
+        .sortBy(_._1).take(6).map(_._2).toSet
+    }
+    val full = PqOps.pqTopK(queries, emb, $"vec_id", $"embedding",
+        $"vec_id", $"embedding", dim = 64, k = 500, m = 32, codesPerSub = 16)
+      .select($"q_id", $"n_id", $"approx_dist").collect()
+      .groupBy(_.getLong(0))
+    for (q <- 0L until 10L) {
+      val probes = probeSet(q)
+      val expect = full(q).filter(r => probes.contains(cells(r.getLong(1))))
+        .sortBy(r => (r.getDouble(2), r.getLong(1))).take(5)
+        .map(r => (r.getLong(1), r.getDouble(2)))
+      val got = (1 to 5).map(rk => ivfpq((q, rk)))
+      assert(got == expect.toSeq, s"query $q")
+    }
+  }
+
   test("registry entry ext_ann_pq returns k rows per query, ranked") {
     val rows = graft.queries.Registry.queries("ext_ann_pq")(spark, TestSpark.sfDir)
       .collect()
