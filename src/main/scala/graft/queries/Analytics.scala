@@ -410,6 +410,42 @@ object Analytics extends QueryModule {
         FROM d WHERE day_offset BETWEEN 0 AND 7
         GROUP BY 1, 2 ORDER BY cohort_day, day_offset""")),
 
+    // ---- top user-journey paths: each user-day's first 5 events in
+    // (ts, event_id) order collapse to a '>'-joined path string, then the
+    // corpus-wide path frequency table (the product-analytics "top flows"
+    // report). Two keyed shuffles: the per-user-day window + collect, and
+    // the path frequency aggregate; the ordered reassembly is
+    // array_sort(collect_list(struct(rn, type))) — no global sort. ----
+    QueryDef(
+      "an_event_paths",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val w = Window.partitionBy($"user_id", to_date($"ts"))
+          .orderBy($"ts", $"event_id")
+        ev.withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .groupBy($"user_id", to_date($"ts").as("day"))
+          .agg(concat_ws(">",
+            transform(array_sort(collect_list(struct($"rn", $"event_type"))),
+              x => x.getField("event_type"))).as("path"))
+          .groupBy($"path")
+          .agg(count(lit(1)).as("n_journeys"),
+            countDistinct($"user_id").as("n_users"))
+          .orderBy($"n_journeys".desc, $"path")
+          .limit(20)
+      },
+      Some("""WITH r AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts, event_id,
+            row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts, event_id) AS rn
+          FROM events),
+        p AS (
+          SELECT user_id, day, string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= 5 GROUP BY 1, 2)
+        SELECT path, count(*) AS n_journeys, count(DISTINCT user_id) AS n_users
+        FROM p GROUP BY path ORDER BY n_journeys DESC, path LIMIT 20""")),
+
     // ---- Boolean + min/max-by aggregates ----
     QueryDef(
       "an_agg_bool_minmaxby",
