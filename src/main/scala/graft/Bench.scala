@@ -80,10 +80,14 @@ object Bench {
     // headline stability: 2 extra timed repeats -> median-of-3 + min
     val headlineRuns: Map[String, Seq[Double]] = res.seconds.collect {
       case (name, first) if isHeadline(name) && !res.errors.contains(name) =>
-        val more = (0 until 2).map { _ =>
-          val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+        // a transient re-run failure must not abort the bench after the
+        // full timed pass already succeeded — fall back to the first timing
+        val more = (0 until 2).flatMap { _ =>
+          try {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
         }
         name -> (first +: more)
     }

@@ -160,6 +160,7 @@ final class GraftSession(
           tables.create(name, df.schema, Map.empty, Some(df), ifNotExists)
         case _ => sys.error(s"cannot parse CREATE TABLE: $q")
       }
+      recordMember(name)
       spark.emptyDataFrame
     case _ => sys.error(s"cannot parse CREATE TABLE: $q")
   }
@@ -170,6 +171,7 @@ final class GraftSession(
   private def dropTable(q: String): DataFrame = q match {
     case DropRe(ifEx, name) =>
       tables.drop(unquoteIdent(name), ifEx != null)
+      removeMember(unquoteIdent(name))
       spark.emptyDataFrame
     case _ => sys.error(s"cannot parse DROP TABLE: $q")
   }
@@ -183,6 +185,26 @@ final class GraftSession(
     * reference parses CREATE SCHEMA but its planner `todo!()`s it
     * (`qurious/src/planner/sql.rs:187`); we execute it. */
   private val schemas = scala.collection.mutable.LinkedHashSet[String]("public")
+
+  /** Flat names that were CREATED through a `sch.tbl` qualifier (or while
+    * their schema existed) — the authoritative membership record. A table
+    * literally named `sch__x` that predates `CREATE SCHEMA sch` is NOT a
+    * member, so DROP SCHEMA ... CASCADE can never claim it by prefix
+    * accident. */
+  private val schemaMembers =
+    scala.collection.mutable.Map[String, scala.collection.mutable.Set[String]]()
+
+  /** Record `flat` as a member of its schema iff that schema is currently
+    * registered (called at CREATE TABLE/VIEW time). */
+  private def recordMember(flat: String): Unit =
+    flat.split("__", 2) match {
+      case Array(s, rest) if rest.nonEmpty && schemas.contains(s) && s != "public" =>
+        schemaMembers.getOrElseUpdate(s, scala.collection.mutable.Set()) += flat
+      case _ =>
+    }
+
+  private def removeMember(flat: String): Unit =
+    schemaMembers.values.foreach(_ -= flat)
 
   private val CreateSchemaRe =
     ("""(?is)CREATE\s+(?:SCHEMA|DATABASE)\s+(IF\s+NOT\s+EXISTS\s+)?""" + Ident + """\s*""").r
@@ -208,8 +230,11 @@ final class GraftSession(
       if (!schemas.contains(name)) {
         if (ifEx == null) sys.error(s"schema not found: $name")
       } else {
-        val members = spark.catalog.listTables().collect()
-          .map(_.name).filter(_.startsWith(name + "__")).toSeq
+        // only RECORDED members — a prefix scan would also claim an
+        // unrelated table a user literally named `sch__x` before the
+        // schema existed
+        val members = schemaMembers.getOrElse(name, scala.collection.mutable.Set())
+          .toSeq.filter(spark.catalog.tableExists)
         if (members.nonEmpty &&
             (mode == null || !mode.equalsIgnoreCase("CASCADE")))
           sys.error(s"schema not empty: $name (${members.size} tables — use DROP SCHEMA $name CASCADE)")
@@ -217,16 +242,20 @@ final class GraftSession(
           if (tables.exists(t)) tables.drop(t, ifExists = true)
           else spark.catalog.dropTempView(t)
         }
+        schemaMembers -= name
         schemas -= name
       }
       spark.emptyDataFrame
     case _ => sys.error(s"cannot parse DROP SCHEMA: $q")
   }
 
-  /** (schema, bare table name) decoded from a possibly-mangled flat name. */
+  /** (schema, bare table name) decoded from a flat name — by the recorded
+    * membership, not prefix shape, so `sch__x` created outside the schema
+    * stays public. */
   private def schemaOf(flat: String): (String, String) =
     flat.split("__", 2) match {
-      case Array(s, rest) if rest.nonEmpty && schemas.contains(s) => (s, rest)
+      case Array(s, rest) if rest.nonEmpty &&
+          schemaMembers.get(s).exists(_.contains(flat)) => (s, rest)
       case _ => ("public", flat)
     }
 
@@ -290,6 +319,7 @@ final class GraftSession(
       if (tables.exists(name))
         sys.error(s"cannot replace base table with view: $name")
       sql(body).createOrReplaceTempView(name)
+      recordMember(name)
       spark.emptyDataFrame
     case _ => sys.error(s"cannot parse CREATE VIEW: $q")
   }
@@ -299,6 +329,7 @@ final class GraftSession(
       val name = unquoteIdent(name0)
       if (tables.exists(name)) sys.error(s"cannot DROP VIEW a base table: $name")
       val dropped = spark.catalog.dropTempView(name)
+      if (dropped) removeMember(name)
       if (!dropped && ifEx == null) sys.error(s"view not found: $name")
       spark.emptyDataFrame
     case _ => sys.error(s"cannot parse DROP VIEW: $q")
@@ -899,17 +930,34 @@ final class GraftSession(
     * mangle registered-schema qualifiers (`sch.tbl` → `sch__tbl` — Spark
     * temp views are one flat namespace), but never inside string literals
     * or quoted identifiers. `information_schema.` is left for
-    * [[rewriteQuery]]'s view substitution. */
+    * [[rewriteQuery]]'s view substitution.
+    *
+    * The schema rewrite is GUARDED: `sch.x` mangles only when it appears
+    * in a table position (preceded by TABLE/INTO/FROM/JOIN/VIEW/UPDATE/
+    * COPY/DESCRIBE/TRUNCATE/USING/EXISTS) or when `sch__x` is a known
+    * table/view — otherwise `s.col` where `s` is a table ALIAS that merely
+    * collides with a schema name would mangle into an unresolvable column
+    * (Postgres/DuckDB resolve the alias in that position). */
   private def stripQualifiers(q: String): String =
     mapUnquoted(q) { seg0 =>
       var seg = seg0
         .replaceAll("(?i)\\bqurious\\.public\\.", "")
         .replaceAll("(?i)\\bpublic\\.", "")
         .replaceAll("(?i)\\bqurious\\.(?=[A-Za-z_])", "")
-      for (s <- schemas if s != "public")
-        seg = seg.replaceAll(
-          "(?i)\\b" + java.util.regex.Pattern.quote(s) + "\\.(?=[A-Za-z_\"])",
-          s + "__")
+      for (s <- schemas if s != "public") {
+        val pat = ("(?i)(\\b(?:TABLE|INTO|FROM|JOIN|VIEW|UPDATE|COPY|DESCRIBE|DESC|TRUNCATE|USING|EXISTS)\\s+)?\\b" +
+          java.util.regex.Pattern.quote(s) + "\\.(?=([A-Za-z_][\\w]*|\"[^\"]+\"))").r
+        seg = pat.replaceAllIn(seg, m => {
+          val kw = Option(m.group(1)).getOrElse("")
+          val ident = Option(m.group(2)).getOrElse("")
+          val flat = s + "__" + unquoteIdent(ident)
+          val isTablePos = kw.nonEmpty || ident.startsWith("\"") ||
+            spark.catalog.tableExists(flat) ||
+            schemaMembers.get(s).exists(_.contains(flat))
+          scala.util.matching.Regex.quoteReplacement(
+            if (isTablePos) kw + s + "__" else m.matched)
+        })
+      }
       seg
     }
 

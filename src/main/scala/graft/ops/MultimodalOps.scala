@@ -143,21 +143,25 @@ object MultimodalOps {
     def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
     def cc(i: Int) = new String(b, i, 4, "US-ASCII")
     if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "WAVE") return None
-    var i = 12
+    // walk offsets in Long: a malformed declared size near Int.MaxValue
+    // must fail the bounds check, not wrap `i` negative and crash cc()
+    var i = 12L
     var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
     var dataLen = -1L
     while (i + 8 <= b.length) {
-      val id = cc(i)
-      val size = le32(i + 4)
-      if (size < 0) return None
-      if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
-        val tag = le16(i + 8)
+      val at = i.toInt
+      val id = cc(at)
+      val size = le32(at + 4)
+      // a chunk whose declared body overruns the payload is malformed
+      if (size < 0 || i + 8 + size > b.length) return None
+      if (id == "fmt " && size >= 16) {
+        val tag = le16(at + 8)
         if (tag != 1) return None // PCM only
-        fmt = Some((le16(i + 10), le32(i + 12), le16(i + 22)))
+        fmt = Some((le16(at + 10), le32(at + 12), le16(at + 22)))
       } else if (id == "data") {
         dataLen = size.toLong
       }
-      i += 8 + size + (size & 1) // chunks are 2-byte aligned
+      i += 8L + size + (size & 1) // chunks are 2-byte aligned
     }
     fmt match {
       case Some((ch, rate, bits)) if dataLen >= 0 && ch > 0 && rate > 0 && bits > 0 =>

@@ -175,8 +175,11 @@ object TextOps {
     * backreferences so the identical patterns run on RE2 engines
     * (DuckDB) for oracle parity. */
   def stripHtml(c: Column): Column = {
-    val noBlocks = regexp_replace(c,
-      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    // one pass per block tag: a combined <(script|style)>.*?</(script|style)>
+    // alternation would let a <script> block "close" at the next </style>,
+    // leaving raw JS in the extracted text
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noBlocks = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
     val e1 = regexp_replace(noTags, "&nbsp;", " ")
     val e2 = regexp_replace(e1, "&lt;", "<")

@@ -1052,8 +1052,10 @@ object ExtText extends QueryModule {
             '</p><script>var x = "<b>";</script><p>&amp; tail &lt;ok&gt;&nbsp;&#39;q&#39;</p></body></html>'
               AS x
           FROM documents),
+        s0 AS (SELECT doc_id,
+          regexp_replace(x, '<script[^>]*>.*?</script>', ' ', 'gis') AS x FROM h),
         s1 AS (SELECT doc_id,
-          regexp_replace(x, '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'gis') AS x FROM h),
+          regexp_replace(x, '<style[^>]*>.*?</style>', ' ', 'gis') AS x FROM s0),
         s2 AS (SELECT doc_id, regexp_replace(x, '<[^>]+>', ' ', 'g') AS x FROM s1),
         s3 AS (SELECT doc_id, regexp_replace(x, '&nbsp;', ' ', 'g') AS x FROM s2),
         s4 AS (SELECT doc_id, regexp_replace(x, '&lt;', '<', 'g') AS x FROM s3),

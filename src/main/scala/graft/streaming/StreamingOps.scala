@@ -158,7 +158,11 @@ object StreamingOps {
   def decontaminateStream(
       stream: DataFrame, text: Column, words: Array[Long],
       blockTokens: Int = 8, numHashes: Int = 7): DataFrame = {
-    val tk = graft.ops.TextOps.tokens(text)
+    val tk0 = graft.ops.TextOps.tokens(text)
+    // split('') yields [""] (size 1, one empty token), never [] — filter
+    // empty tokens so a blank doc gets a genuinely empty token list and
+    // the empty-doc guard below actually fires (it always survives)
+    val tk = filter(tk0, t => t =!= "")
     // sequence(1, 0) DESCENDS in Spark — empty docs get an empty block
     // array explicitly (and therefore always survive)
     val blocks = when(size(tk) === 0, array().cast("array<string>"))

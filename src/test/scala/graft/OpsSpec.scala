@@ -335,6 +335,12 @@ class OpsSpec extends AnyFunSuite {
     val m2 = MultimodalOps.wavMeta(wav2).get
     assert((m2.channels, m2.sample_rate, m2.data_bytes) == (1, 8000, 200L))
 
+    // malformed declared chunk size near Int.MaxValue must return None,
+    // not wrap the walk offset negative and crash
+    val huge = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(0x7ffffff0)
+    assert(MultimodalOps.wavMeta(huge).isEmpty)
+
     // not RIFF / truncated / non-PCM → None
     assert(MultimodalOps.wavMeta("plain text".getBytes).isEmpty)
     assert(MultimodalOps.wavMeta("RIFF".getBytes ++ le32(4) ++ "WAVE".getBytes).isEmpty)

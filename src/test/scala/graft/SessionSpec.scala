@@ -316,4 +316,34 @@ class SessionSpec extends AnyFunSuite {
     assert(star.columns.toSeq == Seq("k", "v", "n"))
     assert(star.count() == 2)
   }
+
+  test("schema name colliding with a table alias does not mangle the alias") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_alias_n")
+    g.sql("CREATE TABLE t_alias_n (n_nationkey INT)")
+    g.sql("INSERT INTO t_alias_n VALUES (7)")
+    g.sql("CREATE SCHEMA IF NOT EXISTS s")
+    // `s` is both a registered schema and the table alias here; Postgres/
+    // DuckDB resolve the alias, so s.n_nationkey must NOT mangle to s__...
+    val r = g.sql("SELECT s.n_nationkey FROM t_alias_n AS s").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(7L))
+    g.sql("DROP SCHEMA s")
+    g.sql("DROP TABLE t_alias_n")
+  }
+
+  test("DROP SCHEMA CASCADE drops only recorded members, not prefix lookalikes") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS cascprefix__x")
+    // a PUBLIC table that merely looks like a schema-qualified name
+    g.sql("CREATE TABLE cascprefix__x (k INT)")
+    g.sql("INSERT INTO cascprefix__x VALUES (1)")
+    g.sql("CREATE SCHEMA cascprefix")
+    g.sql("CREATE TABLE cascprefix.t (k INT)")
+    g.sql("INSERT INTO cascprefix.t VALUES (2)")
+    g.sql("DROP SCHEMA cascprefix CASCADE")
+    // the real member is gone, the lookalike survives with its data
+    val r = g.sql("SELECT k FROM cascprefix__x").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L))
+    g.sql("DROP TABLE cascprefix__x")
+  }
 }
