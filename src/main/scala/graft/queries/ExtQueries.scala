@@ -1375,6 +1375,42 @@ object ExtEvents extends QueryModule {
         WHERE a.event_type = 'click' AND b.event_type = 'purchase'
         ORDER BY click_id, buy_id""")),
 
+    // ---- native session_window aggregation (the declarative gap-session
+    // construct; same expression runs streaming with watermark eviction —
+    // StreamingSpec proves stream/batch parity). New session when the gap
+    // to the previous event is ≥ 30 min; session_end = last event + gap.
+    // Oracle rebuilds that exact rule with a lag/cumsum window. ----
+    QueryDef(
+      "ext_events_session_window",
+      (s, dir) => {
+        import s.implicits._
+        graft.streaming.StreamingOps.sessionWindowCounts(
+            Tables.load(s, dir, "events").select($"user_id", $"ts"),
+            "30 minutes", None)
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        o AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM e),
+        m AS (
+          SELECT user_id, ts,
+            CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_s
+          FROM o),
+        sq AS (
+          SELECT user_id, ts,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS seq
+          FROM m)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM sq GROUP BY user_id, seq
+        ORDER BY user_id, session_start""")),
+
     // ---- mergeable HLL distinct sketches (SketchOps): per-event_type
     // user sketches built in ONE hash aggregate, then the all-types row is
     // a union OF THE SKETCHES — the raw user ids are never re-scanned or

@@ -208,6 +208,27 @@ object StreamingOps {
         col("view_id"), col("view_ts"))
   }
 
+  /** Native session-window aggregation (`session_window(ts, gap)`) — the
+    * declarative sibling of [[sessionizeStateful]]: Spark merges
+    * overlapping per-event windows into gap-separated sessions inside the
+    * aggregation operator, with watermark-driven eviction. One user-keyed
+    * shuffle; state per key is bounded by open sessions only. The same
+    * expression aggregates a BATCH frame identically (StreamingSpec proves
+    * parity), which is the migration property: one definition, both
+    * execution modes. */
+  def sessionWindowCounts(
+      df: DataFrame,
+      gap: String = "30 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(df)(w => df.withWatermark("ts", w))
+    src.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
   /** Stream-static broadcast enrichment: every streamed event decorated
     * with its user's dimension row. The static side re-resolves per
     * micro-batch (so a dim-table refresh is picked up without restarting

@@ -218,6 +218,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("native session_window aggregation: stream equals batch, covers all events") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+      .select($"user_id", $"ts")
+    // sentinel far past the last event so the watermark closes every real
+    // session (same discipline as the stateful sessionizer parity test)
+    val maxTs = events.agg(max($"ts")).head.getTimestamp(0)
+    val sentinel = Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000)))
+      .toDF("user_id", "ts")
+    val staged = events.unionByName(sentinel)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sesswin").toString
+    staged.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(staged.schema).parquet(dir)
+    val got = StreamingOps.runToCompletion(spark,
+        StreamingOps.sessionWindowCounts(stream, "30 minutes", Some("1 hour")),
+        "sess_win", mode = "append")
+      .filter($"user_id" >= 0)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
+
+    // the SAME expression over the batch frame — one definition, two modes
+    val batch = StreamingOps.sessionWindowCounts(events, "30 minutes", None)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
+    assert(got == batch)
+    // every event lands in exactly one session
+    val total = batch.toSeq.map(_._3).sum
+    assert(total == events.count())
+  }
+
   test("stream-static broadcast enrichment equals the batch join") {
     import spark.implicits._
     val events = Tables.load(spark, TestSpark.sfDir, "events")
