@@ -229,4 +229,23 @@ object TextOps {
     val z = hashedLinearLogit(c, bias)
     lit(1.0) / (lit(1.0) + exp(-z))
   }
+
+  // ---- feature-hashing text embedding (RAG/retrieval without a model) ----
+
+  /** Hash a text into a dim-length L2-normalized bag-of-words vector:
+    * token t lands in component xxhash64(t) mod dim (the hashing trick —
+    * no vocabulary state, identical on any engine/partitioning). The map
+    * stand-in for a neural embedder in retrieval plumbing: real model
+    * embeddings swap in without touching the index/probe pipeline
+    * downstream. Per-row codegen'd column expression, no shuffle; Spark's
+    * subexpression elimination keeps the repeated counts subtree single. */
+  def hashEmbed(c: Column, dim: Int): Column = {
+    require(dim > 0, s"embedding dim must be positive, got $dim")
+    val tk = filter(tokens(c), t => t =!= "")
+    val counts = transform(sequence(lit(0), lit(dim - 1)),
+      i => size(filter(tk, t => pmod(xxhash64(t), lit(dim)) === i.cast("bigint")))
+        .cast("double"))
+    val n = sqrt(aggregate(counts, lit(0.0), (a, x) => a + x * x))
+    transform(counts, x => when(n > 0, x / n).otherwise(x))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, GraphOps, TextOps}
+import graft.ops.{DedupOps, GraphOps, IvfOps, TextOps}
 import graft.sources.Tables
 
 /** The composed training-data cleaning pipeline — the end-to-end shape a
@@ -832,6 +832,37 @@ object Pipeline extends QueryModule {
           CAST(len(list_filter(mk, x -> x = '<mask>')) AS BIGINT) AS n_masked,
           md5(array_to_string(mk, ' ')) AS masked_md5
         FROM m ORDER BY doc_id""")),
+
+    // ---- RAG retrieval plumbing end to end: overlapping char chunks →
+    // feature-hashed embeddings (vocabulary-free, engine-independent —
+    // the map stand-in a real model embedder swaps into) → IVF cells →
+    // per-query top-k chunks. Every stage is the already-proven operator
+    // (chunking posexplode, hashEmbed codegen, IvfOps cells); this entry
+    // pins their COMPOSITION. Rows-only (iterative k-means); PipelineSpec
+    // asserts exactness of the plumbing: an identical chunk planted under
+    // a fresh query id retrieves the original at rank 1, cosine ≈ 1. ----
+    QueryDef(
+      "pl_rag_index",
+      (s, dir) => {
+        import s.implicits._
+        val width = 256
+        val stride = 200
+        val dim = 32
+        val chunks = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text",
+            posexplode(sequence(lit(0),
+              greatest(length($"text") - 1, lit(0)), lit(stride))))
+          .select(($"doc_id" * 1000 + $"pos").as("chunk_id"),
+            $"text".substr($"col" + 1, lit(width)).as("chunk"))
+          .withColumn("emb", TextOps.hashEmbed($"chunk", dim))
+        val queries = chunks.filter($"chunk_id".isin(0, 5000, 9000))
+        IvfOps.ivfTopK(queries, chunks,
+            $"chunk_id", $"emb", $"chunk_id", $"emb",
+            k = 3, numCells = 8, nprobe = 4)
+          .select($"q_id", $"rank", $"n_id", round($"cosine", 6).as("cosine"))
+          .orderBy($"q_id", $"rank")
+      },
+      None),
 
     // ---- data-quality gate (dbt-test shape): null keys, constraint
     // violations, PK duplicates, referential orphans — ONE row-level scan

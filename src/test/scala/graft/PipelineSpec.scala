@@ -110,4 +110,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(keepers == Set(1L, 2L) && retired == Set(4L, 5L, 6L, 7L),
       s"keepers=$keepers retired=$retired")
   }
+
+  test("pl_rag_index: hash-embed retrieval plumbing is exact on identical text") {
+    import org.apache.spark.sql.functions._
+    // embeddings are unit-norm and deterministic
+    val e = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .filter(col("doc_id") < 5)
+      .select(graft.ops.TextOps.hashEmbed(col("text"), 32).as("emb"))
+      .collect().map(_.getSeq[Double](0))
+    assert(e.forall(v => math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9))
+
+    // identical chunk text under a fresh query id must retrieve the
+    // original chunk at rank 1 with cosine ~ 1 — exactness of the full
+    // chunk -> embed -> cell -> probe composition (the corpus is
+    // template-like word salad, so same-DOC retrieval is not a valid
+    // oracle; identical-text retrieval is)
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+    val chunks = docs
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(200))))
+      .select((col("doc_id") * 1000 + col("pos")).as("chunk_id"),
+        col("text").substr(col("col") + 1, lit(256)).as("chunk"))
+      .withColumn("emb", graft.ops.TextOps.hashEmbed(col("chunk"), 32))
+    val offset = 7777777L
+    val queries = chunks.filter(col("chunk_id").isin(0, 5000, 9000))
+      .select((col("chunk_id") + offset).as("chunk_id"), col("chunk"), col("emb"))
+    val top = graft.ops.IvfOps.ivfTopK(queries, chunks,
+        col("chunk_id"), col("emb"), col("chunk_id"), col("emb"),
+        k = 3, numCells = 8, nprobe = 4)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0) - offset, r.getLong(2), r.getDouble(3)))
+    assert(top.length == 3)
+    for ((q, n, cos) <- top) {
+      assert(q == n, s"query chunk $q retrieved $n at rank 1")
+      assert(cos > 0.999999, s"self-cosine $cos for chunk $q")
+    }
+
+    // registry entry sanity: k ranked rows per query, cosine non-increasing
+    val rows = graft.queries.Registry.queries("pl_rag_index")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      val cs = sorted.map(_._3)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }

@@ -167,6 +167,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("an_scd2_history: both windows share one user-keyed exchange") {
+    val p = plan("an_scd2_history")
+    // exactly 2 exchanges: the shared (user_id) window shuffle + the
+    // output ORDER BY range partition — a third would mean the lag filter
+    // and the version/lead windows stopped sharing their partitioning
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("ext_text_bm25: query-term IN filter sits below the tf aggregation") {
+    val p = plan("ext_text_bm25")
+    // the IN-list predicate must apply before (deeper in the tree than)
+    // the aggregates, so the full vocabulary never reaches an aggregation
+    val lines = p.linesIterator.toSeq
+    val filterIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("term") && l.contains(" IN "))
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    assert(filterIdx >= 0, s"no query-term IN filter found:\n$p")
+    assert(aggIdx >= 0 && filterIdx > aggIdx,
+      s"term filter (line $filterIdx) not below the aggregate (line $aggIdx):\n$p")
+  }
+
   test("whole-stage codegen covers the q1 aggregation") {
     // AQE finalizes (and annotates codegen stages) only after execution.
     val df = Registry.queries("q1_pricing_summary")(spark, TestSpark.sfDir)
