@@ -169,6 +169,38 @@ object Exprs {
     total.toDouble / bytes.length
   }
 
+  /** Feature-hashed bag-of-words embedding, one pass over the tokens:
+    * whitespace-split the lower(trim(text)), each non-empty token adds 1 to
+    * component pmod(xxhash64(token), dim) (Spark's xxhash64, seed 42), then
+    * L2-normalize. Bit-identical to the composed HOF form
+    * transform(sequence(0,dim-1), i -> size(filter(split(lower(trim(c)),
+    * '\\s+'), t -> t != '' and pmod(xxhash64(t), dim) = i))) / norm — but
+    * O(tokens + dim) instead of O(dim × tokens) with the whole tree
+    * re-evaluated per component, and it stays codegen'd where nested HOF
+    * lambdas fall back to interpreted eval. */
+  def hashEmbed(s: UTF8String, dim: Int): ArrayData = {
+    val counts = new Array[Double](dim)
+    val toks = s.trim().toLowerCase().toString.split("\\s+", -1)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(UTF8String.fromString(toks(i)), 42L)
+        counts((((h % dim) + dim) % dim).toInt) += 1.0
+      }
+      i += 1
+    }
+    var ss = 0.0
+    var j = 0
+    while (j < dim) { ss += counts(j) * counts(j); j += 1 }
+    if (ss > 0) {
+      val n = math.sqrt(ss)
+      j = 0
+      while (j < dim) { counts(j) /= n; j += 1 }
+    }
+    new GenericArrayData(counts)
+  }
+
   /** Sequential-fold dot product of two double arrays — bit-identical to
     * aggregate(zip_with(a,b,*), 0.0, +) and to DuckDB's
     * list_sum(list_transform(list_zip(a,b), …)). */
@@ -283,10 +315,26 @@ case class UnicodeNormalize(child: Expression, form: String, casefold: Boolean)
   override def prettyName: String = "unicode_normalize"
 }
 
+case class HashEmbedExpr(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"hash_embed requires string, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Exprs.hashEmbed(input.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Exprs.hashEmbed($c, $dim)")
+  override protected def withNewChildInternal(newChild: Expression): HashEmbedExpr =
+    copy(child = newChild)
+  override def prettyName: String = "hash_embed"
+}
+
 object NativeFunctions {
   import org.apache.spark.sql.graftshim._
 
   def word_shingles(c: Column, n: Int): Column = columnOf(WordShingles(expressionOf(c), n))
+  def hash_embed(c: Column, dim: Int): Column = columnOf(HashEmbedExpr(expressionOf(c), dim))
   def minhash_sig(c: Column, numHashes: Int): Column = columnOf(MinHashSig(expressionOf(c), numHashes))
   def dot_product(a: Column, b: Column): Column = columnOf(DotProduct(expressionOf(a), expressionOf(b)))
   def unicode_normalize(c: Column, form: String = "NFC", casefold: Boolean = false): Column =

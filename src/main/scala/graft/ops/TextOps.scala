@@ -237,15 +237,14 @@ object TextOps {
     * no vocabulary state, identical on any engine/partitioning). The map
     * stand-in for a neural embedder in retrieval plumbing: real model
     * embeddings swap in without touching the index/probe pipeline
-    * downstream. Per-row codegen'd column expression, no shuffle; Spark's
-    * subexpression elimination keeps the repeated counts subtree single. */
+    * downstream. Native single-pass expression (graft.functions.Exprs
+    * .hashEmbed): the composed HOF form — transform over sequence(0,dim-1)
+    * of size(filter(tokens, pmod(xxhash64(t),dim)=i)), normalized — is
+    * semantically identical but O(dim × tokens) with interpreted lambda
+    * eval, which made every downstream re-inline of the tree cost seconds
+    * per row. */
   def hashEmbed(c: Column, dim: Int): Column = {
     require(dim > 0, s"embedding dim must be positive, got $dim")
-    val tk = filter(tokens(c), t => t =!= "")
-    val counts = transform(sequence(lit(0), lit(dim - 1)),
-      i => size(filter(tk, t => pmod(xxhash64(t), lit(dim)) === i.cast("bigint")))
-        .cast("double"))
-    val n = sqrt(aggregate(counts, lit(0.0), (a, x) => a + x * x))
-    transform(counts, x => when(n > 0, x / n).otherwise(x))
+    graft.functions.NativeFunctions.hash_embed(c, dim)
   }
 }

@@ -848,13 +848,21 @@ object Pipeline extends QueryModule {
         val width = 256
         val stride = 200
         val dim = 32
+        // Materialize embeddings ONCE before the IVF stage (what a real
+        // index build does: embed → persist → index). Without the lineage
+        // cut, Catalyst re-inlines the hashEmbed tree into every downstream
+        // reference — 8 centroid distances + norm + dot. The repartition
+        // fans the single small source file out to all cores for the embed
+        // pass (at 100 TB the source is already many splits).
         val chunks = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text",
             posexplode(sequence(lit(0),
               greatest(length($"text") - 1, lit(0)), lit(stride))))
           .select(($"doc_id" * 1000 + $"pos").as("chunk_id"),
             $"text".substr($"col" + 1, lit(width)).as("chunk"))
+          .repartition(32)
           .withColumn("emb", TextOps.hashEmbed($"chunk", dim))
+          .localCheckpoint()
         val queries = chunks.filter($"chunk_id".isin(0, 5000, 9000))
         IvfOps.ivfTopK(queries, chunks,
             $"chunk_id", $"emb", $"chunk_id", $"emb",

@@ -89,4 +89,37 @@ class CodegenSpec extends AnyFunSuite {
     // ASCII is a fixed point
     assert(run("NFC", casefold = false, "plain ascii") == "plain ascii")
   }
+
+  test("hash_embed generated code compiles; unit norm, token placement exact") {
+    val strRef = BoundReference(0, StringType, nullable = true)
+    val dim = 16
+    val expr = HashEmbedExpr(strRef, dim)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    def run(s: String): Seq[Double] = {
+      val got = proj(InternalRow(UTF8String.fromString(s))).getArray(0)
+      (0 until got.numElements()).map(got.getDouble)
+    }
+    // empty / all-whitespace → zero vector (no tokens, norm stays 0)
+    assert(run("").forall(_ == 0.0) && run("  \t ").forall(_ == 0.0))
+    // non-empty → unit L2 norm
+    val v = run("The quick  Brown fox\tthe")
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-12)
+    // compiled projection matches interpreted eval
+    val interp = expr.nullSafeEval(UTF8String.fromString("The quick  Brown fox\tthe"))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until dim).map(interp.getDouble) == v)
+    // placement matches a by-hand count map over Spark's xxhash64 (seed 42)
+    // mod dim of the lowercased tokens, L2-normalized
+    val toks = Seq("the", "quick", "brown", "fox", "the")
+    val cm = new Array[Double](dim)
+    for (t <- toks) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(UTF8String.fromString(t), 42L)
+      cm((((h % dim) + dim) % dim).toInt) += 1.0
+    }
+    val n = math.sqrt(cm.map(x => x * x).sum)
+    assert(v == cm.map(_ / n).toSeq)
+    // case/trim/whitespace-run insensitivity
+    assert(run("  THE QUICK  brown FOX the ") == v)
+  }
 }
