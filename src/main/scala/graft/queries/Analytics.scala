@@ -471,6 +471,148 @@ object Analytics extends QueryModule {
         first(c_custkey ORDER BY c_acctbal ASC, c_custkey DESC) AS poorest_cust
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // ---- Bitwise aggregates (bit_and / bit_or / bit_xor): the flag-mask
+    // rollup shape — one map-side-combinable hash aggregate, no extra
+    // shuffle beyond the groupBy. ----
+    QueryDef(
+      "an_agg_bitwise",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("bit_and(l_orderkey)").as("mask_and"),
+            expr("bit_or(l_orderkey)").as("mask_or"),
+            expr("bit_xor(l_orderkey)").as("mask_xor"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        bit_and(l_orderkey) AS mask_and,
+        bit_or(l_orderkey) AS mask_or,
+        bit_xor(l_orderkey) AS mask_xor,
+        count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- Exact median + deterministic modal value. median interpolates
+    // identically on both engines (exact halves of doubles). The mode is
+    // computed as "highest count, smallest value on ties" via a two-level
+    // aggregate (count per value, then max_by over a composite key) because
+    // both engines' native mode() leaves ties implementation-defined —
+    // the same two-shuffle shape mode() itself costs distributed. ----
+    QueryDef(
+      "an_agg_median_mode",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val med = li.groupBy($"l_returnflag")
+          .agg(round(median($"l_quantity"), 4).as("med_qty"),
+            round(median($"l_extendedprice"), 4).as("med_price"))
+        val modal = li.groupBy($"l_returnflag", $"l_quantity")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy($"l_returnflag")
+          .agg(max_by($"l_quantity",
+            $"cnt" * 1000 + (lit(999) - $"l_quantity")).as("modal_qty"))
+        med.join(modal, "l_returnflag").orderBy($"l_returnflag")
+      },
+      Some("""WITH med AS (
+          SELECT l_returnflag,
+                 round(median(l_quantity), 4) AS med_qty,
+                 round(median(l_extendedprice), 4) AS med_price
+          FROM lineitem GROUP BY l_returnflag),
+        cnts AS (
+          SELECT l_returnflag, l_quantity, count(*) AS cnt
+          FROM lineitem GROUP BY 1, 2),
+        modal AS (
+          SELECT l_returnflag,
+                 arg_max(l_quantity, cnt * 1000 + (999 - l_quantity)) AS modal_qty
+          FROM cnts GROUP BY l_returnflag)
+        SELECT med.l_returnflag, med_qty, med_price, modal_qty
+        FROM med JOIN modal USING (l_returnflag)
+        ORDER BY l_returnflag""")),
+
+    // ---- Linear-regression aggregate family (regr_*): slope/intercept/R²
+    // of extendedprice vs quantity per flag — one hash aggregate, the
+    // moment sums combine map-side like any algebraic aggregate. ----
+    QueryDef(
+      "an_regression",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+            round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
+            round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+            expr("regr_count(l_extendedprice, l_quantity)").as("n"),
+            round(expr("regr_avgx(l_extendedprice, l_quantity)"), 4).as("avg_x"),
+            round(expr("regr_avgy(l_extendedprice, l_quantity)"), 4).as("avg_y"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+        round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- Ordered string aggregation (LISTAGG WITHIN GROUP — the SQL:2016
+    // form Spark 4 executes natively; DuckDB's string_agg ORDER BY is the
+    // same operation). Small-group shape: one shuffle on the group key. ----
+    QueryDef(
+      "an_listagg",
+      (s, dir) => {
+        t(s, dir, "nation").createOrReplaceTempView("an_la_nation")
+        s.sql("""SELECT n_regionkey,
+            listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+            count(*) AS n
+          FROM an_la_nation
+          GROUP BY n_regionkey ORDER BY n_regionkey""")
+      },
+      Some("""SELECT n_regionkey,
+        string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        count(*) AS n
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // ---- First/last-touch attribution: for each user who purchased, the
+    // first and the last event seen STRICTLY before their first purchase,
+    // then the (first_touch, last_touch) channel matrix. Composite scalar
+    // key epoch_ms·10⁶+event_id keeps arg-min/max deterministic on both
+    // engines without struct comparison. Two aggregates + one broadcast-able
+    // join (purchasers ≪ events at scale). ----
+    QueryDef(
+      "an_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val firstPurchase = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(min($"ts").as("fp_ts"))
+        val key = unix_millis($"ts") * 1000000L + $"event_id"
+        val touches = ev.join(firstPurchase, "user_id")
+          .filter($"ts" < $"fp_ts")
+          .groupBy($"user_id")
+          .agg(min_by($"event_type", key).as("first_touch"),
+            max_by($"event_type", key).as("last_touch"))
+        touches.groupBy($"first_touch", $"last_touch")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy($"first_touch", $"last_touch")
+      },
+      Some("""WITH fp AS (
+          SELECT user_id, min(ts) AS fp_ts
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        touches AS (
+          SELECT e.user_id,
+            arg_min(e.event_type, epoch_ms(e.ts) * 1000000 + e.event_id)
+              AS first_touch,
+            arg_max(e.event_type, epoch_ms(e.ts) * 1000000 + e.event_id)
+              AS last_touch
+          FROM events e JOIN fp USING (user_id)
+          WHERE e.ts < fp.fp_ts GROUP BY e.user_id)
+        SELECT first_touch, last_touch, count(*) AS n_users
+        FROM touches GROUP BY 1, 2 ORDER BY first_touch, last_touch""")),
+
     // ---- SCD Type-2 dimension build: the warehouse history table every
     // nightly ingest maintains. Collapse each user's event stream to its
     // state CHANGES (lag filter), then version each change with

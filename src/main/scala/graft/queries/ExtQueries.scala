@@ -1465,6 +1465,31 @@ object ExtScale extends QueryModule {
           count(*) AS n
         FROM events GROUP BY event_type ORDER BY key""")),
 
+    // ---- salted equi-join (SkewOps.saltedJoin): the dim side replicates
+    // ×salts, the fact side scatters over salts, so one hot key's rows land
+    // on `salts` reducers instead of one (the manual fallback where AQE
+    // skew handling doesn't apply — e.g. a broadcast-averse hot build
+    // side). Results equal the plain join — the oracle IS the plain
+    // join+aggregate. ----
+    QueryDef(
+      "ext_skew_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem")
+          .select($"l_suppkey", $"l_extendedprice".cast(money).as("v"))
+        val sup = Tables.load(s, dir, "supplier")
+          .select($"s_suppkey", $"s_nationkey")
+        SkewOps.saltedJoin(li, sup, "l_suppkey", "s_suppkey", salts = 8)
+          .groupBy($"s_nationkey")
+          .agg(sum($"v").cast("double").as("revenue"), count(lit(1)).as("n"))
+          .orderBy($"s_nationkey")
+      },
+      Some("""SELECT s_nationkey,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+          count(*) AS n
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
     // ---- bucketed co-located join (BucketingOps): both fact tables
     // persisted bucketed+sorted by the join key, so the equi-join reads
     // bucket-aligned files with NO Exchange on either side (BucketingSpec

@@ -235,6 +235,89 @@ object Nested extends QueryModule {
         greatest(c_acctbal, 0.0) AS bal_floor,
         least(c_acctbal, 1000.0) AS bal_cap,
         nullif(c_mktsegment, 'MACHINERY') IS NULL AS is_machinery
-        FROM customer WHERE c_custkey < 300 ORDER BY c_custkey"""))
+        FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""")),
+
+    // ---- date formatting battery: date_format patterns ↔ DuckDB strftime
+    // equivalents, plus epoch seconds (both sessions pinned UTC). Per-row
+    // scalars, no shuffle. ----
+    QueryDef(
+      "nx_date_format",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .filter($"o_orderkey" < 500)
+          .select(
+            $"o_orderkey",
+            date_format($"o_orderdate", "yyyy-MM-dd").as("iso"),
+            date_format($"o_orderdate", "yyyy-MM").as("ym"),
+            date_format($"o_orderdate", "MM/dd/yyyy").as("us"),
+            date_format($"o_orderdate", "yyyyMMdd").as("compact"),
+            unix_timestamp($"o_orderdate".cast("timestamp")).as("epoch_s"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS iso,
+        strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        strftime(CAST(o_orderdate AS DATE), '%m/%d/%Y') AS us,
+        strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS compact,
+        CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_s
+        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")),
+
+    // ---- string distance + structure functions: levenshtein (the fuzzy
+    // key-matching primitive), reverse/repeat/split_part. Per-row codegen'd
+    // scalars, no shuffle. ----
+    QueryDef(
+      "nx_string_distance",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .filter($"c_custkey" < 300)
+          .select(
+            $"c_custkey",
+            levenshtein($"c_name", lit("Customer#000000001")).cast("int").as("lev_c1"),
+            levenshtein($"c_mktsegment", lit("BUILDING")).cast("int").as("lev_seg"),
+            reverse($"c_mktsegment").as("seg_rev"),
+            expr("repeat(substring(c_mktsegment, 1, 2), 3)").as("seg_rep"),
+            expr("split_part(c_name, '#', 2)").as("name_num"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+        CAST(levenshtein(c_name, 'Customer#000000001') AS INT) AS lev_c1,
+        CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev_seg,
+        reverse(c_mktsegment) AS seg_rev,
+        repeat(substring(c_mktsegment, 1, 2), 3) AS seg_rep,
+        split_part(c_name, '#', 2) AS name_num
+        FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""")),
+
+    // ---- math scalar battery: atan2 / log2 / log10 / cbrt / sign /
+    // degrees / radians — rounded to 6 (libm last-ulp differences across
+    // engines are real; rounded values are exact). ----
+    QueryDef(
+      "nx_math_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .filter($"c_custkey" < 300 && $"c_acctbal" > 1.0)
+          .select(
+            $"c_custkey",
+            round(atan2($"c_acctbal", $"c_custkey".cast("double")), 6).as("at2"),
+            round(log2($"c_acctbal"), 6).as("lg2"),
+            round(log10($"c_acctbal"), 6).as("lg10"),
+            round(cbrt($"c_acctbal"), 6).as("cbrt_bal"),
+            signum($"c_acctbal" - 5000.0).cast("double").as("sgn"),
+            round(degrees($"c_acctbal" / 10000.0), 6).as("deg"),
+            round(radians($"c_acctbal" / 100.0), 6).as("rad"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+        round(atan2(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS at2,
+        round(log2(c_acctbal), 6) AS lg2,
+        round(log10(c_acctbal), 6) AS lg10,
+        round(cbrt(c_acctbal), 6) AS cbrt_bal,
+        CAST(sign(c_acctbal - 5000.0) AS DOUBLE) AS sgn,
+        round(degrees(c_acctbal / 10000.0), 6) AS deg,
+        round(radians(c_acctbal / 100.0), 6) AS rad
+        FROM customer WHERE c_custkey < 300 AND c_acctbal > 1.0
+        ORDER BY c_custkey"""))
   )
 }

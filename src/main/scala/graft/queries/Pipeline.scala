@@ -128,6 +128,32 @@ object Pipeline extends QueryModule {
       },
       None),
 
+    // ---- deterministic hash-rank sampling: exactly k docs per stratum,
+    // ranked by md5 of a seeded doc key. Unlike Bernoulli sampleBy
+    // (engine-specific RNG, rows-only above), the hash rank is a pure
+    // function of the data — the same sample on any engine, partitioning,
+    // or rerun, and it composes with incremental ingest (a doc's rank
+    // never changes). One per-stratum window shuffle, k·strata rows out. ----
+    QueryDef(
+      "pl_sample_hash_topk",
+      (s, dir) => {
+        import s.implicits._
+        val k = 20
+        val w = Window.partitionBy($"lang")
+          .orderBy(md5(concat(lit("smp:"), $"doc_id".cast("string"))))
+        Tables.load(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= k)
+          .select($"lang", $"doc_id", $"rn")
+          .orderBy($"lang", $"rn")
+      },
+      Some("""SELECT lang, doc_id,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY md5('smp:' || CAST(doc_id AS VARCHAR))) AS INT) AS rn
+        FROM documents
+        QUALIFY rn <= 20
+        ORDER BY lang, rn""")),
+
     // ---- sequence packing: greedy contiguous fill of fixed token-budget
     // context windows (the standard LLM pretraining batching step). Packing
     // is per-source so the running sum parallelizes across sources (at
