@@ -93,6 +93,12 @@ object GraftFunctions {
         val casefold =
           if (args.length == 3) boolLit("unicode_normalize", "casefold", args(2)) else false
         UnicodeNormalize(args.head, form, casefold)
+      }),
+    (FunctionIdentifier("hash_embed"),
+      new ExpressionInfo(classOf[HashEmbedExpr].getName, "hash_embed"),
+      (args: Seq[Expression]) => {
+        arity("hash_embed", args, 2 to 2)
+        HashEmbedExpr(args.head, intLit("hash_embed", "dim", args(1)))
       }))
 
   /** Register into an already-built session (per-session function registry). */

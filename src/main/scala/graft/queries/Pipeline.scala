@@ -154,6 +154,40 @@ object Pipeline extends QueryModule {
         QUALIFY rn <= 20
         ORDER BY lang, rn""")),
 
+    // ---- deterministic weighted sampling without replacement (Efraimidis-
+    // Spirakis): rank by u^(1/w) with u a pure md5-derived uniform (first
+    // 8 hex chars / 2³²), w = doc length — longer docs proportionally more
+    // likely, yet the whole draw is a deterministic function of the data
+    // (reproducible across engines/partitioning, auditable). The top-k is
+    // orderBy+limit → TakeOrderedAndProject: per-partition heaps + one
+    // k-row merge at the driver, NO global sort exchange. ----
+    QueryDef(
+      "pl_sample_weighted",
+      (s, dir) => {
+        import s.implicits._
+        val k = 30
+        val u = (expr("conv(substring(md5(concat('wsmp:', cast(doc_id as string))), 1, 8), 16, 10)")
+          .cast("double") + 1.0) / 4294967296.0
+        val topk = Tables.load(s, dir, "documents")
+          .withColumn("es_key", pow(u, lit(1.0) / $"n_chars".cast("double")))
+          .orderBy($"es_key".desc, $"doc_id")
+          .limit(k)
+        topk
+          .withColumn("rank",
+            row_number().over(Window.orderBy($"es_key".desc, $"doc_id")))
+          .select($"rank", $"doc_id", $"lang", round($"es_key", 9).as("es_key_r"))
+          .orderBy($"rank")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, lang,
+            pow((CAST('0x' || substring(md5('wsmp:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS UBIGINT) + 1) / 4294967296.0,
+                1.0 / n_chars) AS es_key
+          FROM documents)
+        SELECT CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS INT) AS rank,
+          doc_id, lang, round(es_key, 9) AS es_key_r
+        FROM t QUALIFY rank <= 30 ORDER BY rank""")),
+
     // ---- sequence packing: greedy contiguous fill of fixed token-budget
     // context windows (the standard LLM pretraining batching step). Packing
     // is per-source so the running sum parallelizes across sources (at

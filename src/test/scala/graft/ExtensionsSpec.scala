@@ -36,6 +36,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getString(2) == "file")
   }
 
+  test("hash_embed callable from SQL; unit-norm and consistent with the Column API") {
+    val row = spark.sql(
+      "SELECT hash_embed('the quick brown fox the', 16) AS emb").head()
+    val v = row.getSeq[Double](0)
+    assert(v.length == 16)
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-12)
+    import org.apache.spark.sql.functions.lit
+    val viaColumn = spark.range(1)
+      .select(graft.ops.TextOps.hashEmbed(lit("the quick brown fox the"), 16).as("emb"))
+      .head().getSeq[Double](0)
+    assert(v == viaColumn)
+  }
+
   test("non-literal static args are rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT word_shingles(array('a'), cast(rand() * 3 AS INT))").head()

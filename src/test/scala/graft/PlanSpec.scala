@@ -137,6 +137,18 @@ class PlanSpec extends AnyFunSuite {
       s"unpartitioned Window found:\n${df.queryExecution.optimizedPlan}")
   }
 
+  test("pl_sample_weighted: top-k is TakeOrderedAndProject, window only post-limit") {
+    val p = plan("pl_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the ES-key ranking itself must not be a global Sort over the corpus:
+    // the only full-width Sort allowed is inside TakeOrderedAndProject
+    val sorts = Registry.queries("pl_sample_weighted")(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }
+    assert(sorts.isEmpty, s"global SortExec found:\n$p")
+  }
+
   test("pl_incremental_dedup: batch postings probe the index (semi-join present)") {
     val p = plan("pl_incremental_dedup")
     // the probe side of the shingle join is the batch-filtered index — a
