@@ -99,6 +99,64 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         arity("hash_embed", args, 2 to 2)
         HashEmbedExpr(args.head, intLit("hash_embed", "dim", args(1)))
+      }),
+    (FunctionIdentifier("theta_sketch_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch_agg"),
+      (args: Seq[Expression]) => {
+        arity("theta_sketch_agg", args, 1 to 2)
+        val lgK = if (args.length == 2) intLit("theta_sketch_agg", "lgK", args(1)) else 12
+        ThetaSketchAgg(args.head, lgK).toAggregateExpression()
+      }),
+    (FunctionIdentifier("theta_union_agg"),
+      new ExpressionInfo(classOf[ThetaUnionAgg].getName, "theta_union_agg"),
+      (args: Seq[Expression]) => {
+        arity("theta_union_agg", args, 1 to 2)
+        val lgK = if (args.length == 2) intLit("theta_union_agg", "lgK", args(1)) else 12
+        ThetaUnionAgg(args.head, lgK).toAggregateExpression()
+      }),
+    (FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),
+      (args: Seq[Expression]) => {
+        arity("theta_estimate", args, 1 to 1)
+        ThetaEstimate(args.head)
+      }),
+    (FunctionIdentifier("theta_intersect_estimate"),
+      new ExpressionInfo(classOf[ThetaIntersectEstimate].getName, "theta_intersect_estimate"),
+      (args: Seq[Expression]) => {
+        arity("theta_intersect_estimate", args, 2 to 2)
+        ThetaIntersectEstimate(args.head, args(1))
+      }),
+    (FunctionIdentifier("theta_diff_estimate"),
+      new ExpressionInfo(classOf[ThetaDiffEstimate].getName, "theta_diff_estimate"),
+      (args: Seq[Expression]) => {
+        arity("theta_diff_estimate", args, 2 to 2)
+        ThetaDiffEstimate(args.head, args(1))
+      }),
+    (FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      (args: Seq[Expression]) => {
+        arity("kll_sketch_agg", args, 1 to 2)
+        val k = if (args.length == 2) intLit("kll_sketch_agg", "k", args(1)) else 200
+        KllSketchAgg(args.head, k).toAggregateExpression()
+      }),
+    (FunctionIdentifier("kll_merge_agg"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
+      (args: Seq[Expression]) => {
+        arity("kll_merge_agg", args, 1 to 2)
+        val k = if (args.length == 2) intLit("kll_merge_agg", "k", args(1)) else 200
+        KllMergeAgg(args.head, k).toAggregateExpression()
+      }),
+    (FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      (args: Seq[Expression]) => {
+        arity("kll_quantile", args, 2 to 2)
+        KllQuantile(args.head, args(1))
+      }),
+    (FunctionIdentifier("kll_rank"),
+      new ExpressionInfo(classOf[KllRank].getName, "kll_rank"),
+      (args: Seq[Expression]) => {
+        arity("kll_rank", args, 2 to 2)
+        KllRank(args.head, args(1))
       }))
 
   /** Register into an already-built session (per-session function registry). */

@@ -31,4 +31,45 @@ object SketchOps {
 
   /** Distinct-count estimate of a sketch column. */
   def estimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
+  // ------------------------------------------------------- theta sketches
+
+  /** One theta sketch per group (graft.functions.ThetaSketchAgg): same
+    * single-hash-aggregate shape as [[hllSketches]], but the sketches also
+    * support INTERSECTION — the cross-source overlap question HLL can't
+    * answer without inclusion-exclusion error blowup. */
+  def thetaSketches(
+      df: DataFrame, group: Column, value: Column, lgK: Int = 12): DataFrame =
+    df.groupBy(group.as("grp"))
+      .agg(graft.functions.ThetaFunctions.theta_sketch_agg(value, lgK).as("sketch"))
+
+  /** Union stored theta sketches into one. */
+  def thetaUnion(sketches: DataFrame, sketch: Column, lgK: Int = 12): DataFrame =
+    sketches.agg(graft.functions.ThetaFunctions.theta_union_agg(sketch, lgK).as("sketch"))
+
+  /** Distinct-count estimate of a theta sketch column. */
+  def thetaEstimate(sketch: Column): Column =
+    graft.functions.ThetaFunctions.theta_estimate(sketch)
+
+  /** Intersection-cardinality estimate of two theta sketch columns. */
+  def thetaIntersect(a: Column, b: Column): Column =
+    graft.functions.ThetaFunctions.theta_intersect_estimate(a, b)
+
+  // --------------------------------------------------- KLL quantile sketches
+
+  /** One KLL quantile sketch per group — same single-aggregate shape as the
+    * other sketch builders; any later quantile over any union of groups is
+    * sketch arithmetic, never a raw re-scan. */
+  def kllSketches(
+      df: DataFrame, group: Column, value: Column, k: Int = 200): DataFrame =
+    df.groupBy(group.as("grp"))
+      .agg(graft.functions.KllFunctions.kll_sketch_agg(value, k).as("sketch"))
+
+  /** Merge stored KLL sketches into one. */
+  def kllMerge(sketches: DataFrame, sketch: Column, k: Int = 200): DataFrame =
+    sketches.agg(graft.functions.KllFunctions.kll_merge_agg(sketch, k).as("sketch"))
+
+  /** Quantile at normalized rank (0..1) of a KLL sketch column. */
+  def kllQuantile(sketch: Column, rank: Double): Column =
+    graft.functions.KllFunctions.kll_quantile(sketch, lit(rank))
 }

@@ -1431,6 +1431,62 @@ object ExtEvents extends QueryModule {
             SketchOps.estimate($"sketch").as("approx_users"))
           .orderBy($"scope")
       },
+      None),
+
+    // ---- theta-sketch cross-source overlap (SketchOps.thetaSketches):
+    // per-source sketches of 3-gram shingles in ONE hash aggregate, then
+    // every pairwise overlap (intersection estimate + Jaccard) is
+    // arithmetic on the few-KB sketches — the raw shingles shuffle once,
+    // ever, no matter how many source pairs are asked. Theta keeps the k
+    // smallest hashes of the SET (order-independent, fixed seed), so the
+    // estimates are deterministic; rows-only (no DuckDB theta) with
+    // SketchSpec pinning error vs exact, merge-vs-direct equality, and
+    // parquet roundtrip. ----
+    QueryDef(
+      "ext_sketch_theta_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val sh = Tables.load(s, dir, "documents")
+          .select($"source", explode(graft.functions.NativeFunctions
+            .word_shingles(TextOps.tokens($"text"), 3)).as("sh"))
+        val sk = SketchOps.thetaSketches(sh, $"source", $"sh")
+        val a = sk.select($"grp".as("src_a"), $"sketch".as("sk_a"))
+        val b = sk.select($"grp".as("src_b"), $"sketch".as("sk_b"))
+        a.crossJoin(b).filter($"src_a" < $"src_b")
+          .select($"src_a", $"src_b",
+            round(SketchOps.thetaEstimate($"sk_a")).cast("long").as("n_a"),
+            round(SketchOps.thetaEstimate($"sk_b")).cast("long").as("n_b"),
+            round(SketchOps.thetaIntersect($"sk_a", $"sk_b")).cast("long").as("n_shared"),
+            round(graft.functions.ThetaFunctions
+              .theta_diff_estimate($"sk_a", $"sk_b")).cast("long").as("n_only_a"))
+          .withColumn("jaccard_est",
+            round($"n_shared" / ($"n_a" + $"n_b" - $"n_shared"), 6))
+          .orderBy($"src_a", $"src_b")
+      },
+      None),
+
+    // ---- KLL quantile sketches (SketchOps.kllSketches): per-source doc-
+    // length sketches in one aggregate, p50/p90/p99 read off the sketches,
+    // plus an ALL row whose sketch is the MERGE of the per-source sketches
+    // — the persisted-percentile layout (daily sketches at rest, any later
+    // slice/union answered without re-scanning raw lengths). Rows-only
+    // (KLL compaction is randomized); SketchSpec pins rank-error bounds
+    // and merge-vs-direct agreement. ----
+    QueryDef(
+      "ext_sketch_kll_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val perSource = SketchOps.kllSketches(docs, $"source", $"n_chars".cast("double"))
+        val all = SketchOps.kllMerge(perSource, $"sketch")
+          .select(lit("ALL").as("grp"), $"sketch")
+        perSource.unionByName(all)
+          .select($"grp".as("scope"),
+            round(SketchOps.kllQuantile($"sketch", 0.5)).cast("long").as("p50"),
+            round(SketchOps.kllQuantile($"sketch", 0.9)).cast("long").as("p90"),
+            round(SketchOps.kllQuantile($"sketch", 0.99)).cast("long").as("p99"))
+          .orderBy($"scope")
+      },
       None)
   )
 }

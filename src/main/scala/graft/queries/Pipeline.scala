@@ -918,12 +918,16 @@ object Pipeline extends QueryModule {
           .select($"doc_id", $"text",
             posexplode(sequence(lit(0),
               greatest(length($"text") - 1, lit(0)), lit(stride))))
-          .select(($"doc_id" * 1000 + $"pos").as("chunk_id"),
+          // chunk ordinal (pos = ordinal since sequence steps by stride),
+          // scaled so ids never collide across docs: 1M chunks/doc headroom
+          // (docs beyond 200M chars would need a wider scheme)
+          .select(($"doc_id" * 1000000L + $"pos").as("chunk_id"),
             $"text".substr($"col" + 1, lit(width)).as("chunk"))
           .repartition(32)
           .withColumn("emb", TextOps.hashEmbed($"chunk", dim))
           .localCheckpoint()
-        val queries = chunks.filter($"chunk_id".isin(0, 5000, 9000))
+        val queries = chunks.filter(
+          $"chunk_id".isin(0L, 5000000L, 9000000L))
         IvfOps.ivfTopK(queries, chunks,
             $"chunk_id", $"emb", $"chunk_id", $"emb",
             k = 3, numCells = 8, nprobe = 4)

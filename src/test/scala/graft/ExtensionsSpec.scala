@@ -49,6 +49,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(v == viaColumn)
   }
 
+  test("theta sketch family callable from SQL; intersection of equal sets is exact") {
+    val row = spark.sql(
+      """WITH t AS (SELECT explode(sequence(1, 500)) AS x)
+         SELECT theta_estimate(theta_sketch_agg(CAST(x AS STRING))) AS est,
+                theta_intersect_estimate(
+                  theta_sketch_agg(CAST(x AS STRING)),
+                  theta_sketch_agg(CAST(x AS STRING))) AS inter
+         FROM t""").head()
+    // 500 < 2^12 nominal entries: the sketch is in exact mode
+    assert(row.getDouble(0) == 500.0, row)
+    assert(row.getDouble(1) == 500.0, row)
+  }
+
   test("non-literal static args are rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT word_shingles(array('a'), cast(rand() * 3 AS INT))").head()

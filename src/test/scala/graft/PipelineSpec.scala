@@ -129,11 +129,11 @@ class PipelineSpec extends AnyFunSuite {
     val chunks = docs
       .select(col("doc_id"), col("text"),
         posexplode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(200))))
-      .select((col("doc_id") * 1000 + col("pos")).as("chunk_id"),
+      .select((col("doc_id") * 1000000L + col("pos")).as("chunk_id"),
         col("text").substr(col("col") + 1, lit(256)).as("chunk"))
       .withColumn("emb", graft.ops.TextOps.hashEmbed(col("chunk"), 32))
-    val offset = 7777777L
-    val queries = chunks.filter(col("chunk_id").isin(0, 5000, 9000))
+    val offset = 77777777777L
+    val queries = chunks.filter(col("chunk_id").isin(0L, 5000000L, 9000000L))
       .select((col("chunk_id") + offset).as("chunk_id"), col("chunk"), col("emb"))
     val top = graft.ops.IvfOps.ivfTopK(queries, chunks,
         col("chunk_id"), col("emb"), col("chunk_id"), col("emb"),

@@ -52,6 +52,128 @@ class SketchSpec extends AnyFunSuite {
     assert(reread == direct, s"roundtripped merge $reread != direct $direct")
   }
 
+  test("theta estimates and intersections track exact set arithmetic") {
+    import graft.functions.ThetaFunctions._
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val sh = docs.select($"source", explode(graft.functions.NativeFunctions
+      .word_shingles(graft.ops.TextOps.tokens($"text"), 3)).as("sh")).cache()
+    val sources = sh.select($"source").distinct().as[String].collect().sorted
+    assert(sources.length >= 2, "fixture needs ≥2 sources")
+    val (sa, sb) = (sources(0), sources(1))
+    val exactA = sh.filter($"source" === sa).select($"sh").distinct().count()
+    val exactB = sh.filter($"source" === sb).select($"sh").distinct().count()
+    val exactI = sh.filter($"source" === sa).select($"sh").distinct()
+      .intersect(sh.filter($"source" === sb).select($"sh").distinct()).count()
+    val sk = SketchOps.thetaSketches(sh, $"source", $"sh")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    def est(b: Array[Byte]) = graft.functions.ThetaOps.estimate(b)
+    assert(math.abs(est(sk(sa)) - exactA) / exactA <= 0.05,
+      s"$sa exact=$exactA est=${est(sk(sa))}")
+    assert(math.abs(est(sk(sb)) - exactB) / exactB <= 0.05,
+      s"$sb exact=$exactB est=${est(sk(sb))}")
+    val interEst = graft.functions.ThetaOps.intersectEstimate(sk(sa), sk(sb))
+    // intersection error bound is relative to the UNION size (theta keeps
+    // k min-hashes of each set); allow 5% of the union
+    val union = exactA + exactB - exactI
+    assert(math.abs(interEst - exactI) <= math.max(0.05 * union, 5.0),
+      s"intersection exact=$exactI est=$interEst union=$union")
+    // A-not-B (the batch-novelty metric): estimate tracks exact |A \ B|
+    val diffEst = graft.functions.ThetaOps.aNotBEstimate(sk(sa), sk(sb))
+    val exactD = exactA - exactI
+    assert(math.abs(diffEst - exactD) <= math.max(0.05 * union, 5.0),
+      s"aNotB exact=$exactD est=$diffEst")
+    // set-algebra consistency of the three estimators: |A∩B| + |A\B| ≈ |A|
+    // (exact equality in exact mode; bounded by estimation error otherwise)
+    assert(math.abs((interEst + diffEst) - est(sk(sa))) <= math.max(0.05 * union, 5.0),
+      s"inter+diff=${interEst + diffEst} != |A|=${est(sk(sa))}")
+    sh.unpersist()
+  }
+
+  test("theta union-of-sketches equals direct sketch; parquet roundtrip") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val sh = docs.select($"source", explode(graft.functions.NativeFunctions
+      .word_shingles(graft.ops.TextOps.tokens($"text"), 3)).as("sh"))
+    val perSource = SketchOps.thetaSketches(sh, $"source", $"sh")
+    val direct = sh.agg(graft.functions.ThetaFunctions
+        .theta_sketch_agg($"sh", 12).as("sketch"))
+      .select(SketchOps.thetaEstimate($"sketch")).head.getDouble(0)
+    val merged = SketchOps.thetaUnion(perSource, $"sketch")
+      .select(SketchOps.thetaEstimate($"sketch")).head.getDouble(0)
+    // theta union is order-independent (k smallest hashes of the set) —
+    // exact equality, not tolerance
+    assert(merged == direct, s"union-of-sketches $merged != direct $direct")
+    val dir = java.nio.file.Files.createTempDirectory("graft_theta").toString
+    perSource.write.mode("overwrite").parquet(dir)
+    val reread = SketchOps.thetaUnion(spark.read.parquet(dir), $"sketch")
+      .select(SketchOps.thetaEstimate($"sketch")).head.getDouble(0)
+    assert(reread == direct, s"roundtripped merge $reread != direct $direct")
+  }
+
+  test("ext_sketch_theta_overlap registry entry: sane pairwise matrix") {
+    val rows = Registry.queries("ext_sketch_theta_overlap")(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, shared, onlyA) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val j = r.getDouble(6)
+      assert(shared <= math.min(na, nb), s"shared $shared > min($na,$nb)")
+      assert(j >= 0.0 && j <= 1.0, s"jaccard $j out of range")
+      // |A\B| + |A∩B| ≈ |A| (rounded independently → ±1 each)
+      assert(math.abs(onlyA + shared - na) <= 2,
+        s"only_a $onlyA + shared $shared != n_a $na")
+    }
+  }
+
+  test("KLL quantiles within rank-error bound of exact; merge tracks direct") {
+    import graft.functions.KllFunctions._
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select($"source", $"n_chars".cast("double").as("len")).cache()
+    val n = docs.count()
+    val exactSorted = docs.select($"len").as[Double].collect().sorted
+    def exactQ(r: Double): Double = exactSorted(math.min(
+      (r * n).toInt, exactSorted.length - 1))
+    val sk = docs.agg(kll_sketch_agg($"len", 200).as("sk"))
+      .select(kll_quantile($"sk", lit(0.5)).as("p50"),
+        kll_quantile($"sk", lit(0.99)).as("p99"),
+        kll_rank($"sk", lit(exactQ(0.5))).as("r50"))
+      .head()
+    // k=200 → normalized rank error ~1.65%; assert the VALUE at the
+    // estimated quantile sits within ±3.5% rank of the target
+    def rankOf(v: Double): Double =
+      exactSorted.count(_ <= v).toDouble / n
+    assert(math.abs(rankOf(sk.getDouble(0)) - 0.5) <= 0.035,
+      s"p50 est=${sk.getDouble(0)} rank=${rankOf(sk.getDouble(0))}")
+    assert(math.abs(rankOf(sk.getDouble(1)) - 0.99) <= 0.035,
+      s"p99 est=${sk.getDouble(1)} rank=${rankOf(sk.getDouble(1))}")
+    assert(math.abs(sk.getDouble(2) - 0.5) <= 0.035, s"rank(p50)=${sk.getDouble(2)}")
+
+    // merge of per-source sketches answers within bound too (merged sketch
+    // retains the KLL guarantee), and parquet roundtrips
+    val perSource = SketchOps.kllSketches(docs, $"source", $"len")
+    val dir = java.nio.file.Files.createTempDirectory("graft_kll").toString
+    perSource.write.mode("overwrite").parquet(dir)
+    val merged = SketchOps.kllMerge(spark.read.parquet(dir), $"sketch")
+      .select(SketchOps.kllQuantile($"sketch", 0.5)).head.getDouble(0)
+    assert(math.abs(rankOf(merged) - 0.5) <= 0.035,
+      s"merged p50=$merged rank=${rankOf(merged)}")
+    docs.unpersist()
+  }
+
+  test("ext_sketch_kll_quantiles registry entry: monotone percentiles, sane ALL") {
+    val rows = Registry.queries("ext_sketch_kll_quantiles")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.exists(_._1 == "ALL"))
+    rows.foreach { case (scope, p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99, s"$scope: $p50/$p90/$p99 not monotone")
+    }
+    val (_, a50, _, a99) = rows.find(_._1 == "ALL").get
+    val others = rows.filter(_._1 != "ALL")
+    assert(a50 >= others.map(_._2).min && a50 <= others.map(_._2).max,
+      s"ALL p50 $a50 outside per-source range")
+    assert(a99 <= others.map(_._4).max, s"ALL p99 $a99 above every source")
+  }
+
   test("ext_sketch_hll registry entry: ALL row consistent with per-type rows") {
     val rows = Registry.queries("ext_sketch_hll")(spark, TestSpark.sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -248,6 +248,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == events.count())
   }
 
+  test("theta/KLL sketch aggregates run in streaming and match batch estimates") {
+    import spark.implicits._
+    import graft.functions.{KllFunctions, ThetaFunctions}
+    // the custom TypedImperativeAggregates must survive the state store's
+    // serialize/deserialize path (compact-sketch roundtrip) — a streaming
+    // complete-mode aggregation exercises it every micro-batch
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+      .select($"event_type", $"user_id", $"value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sketch").toString
+    events.write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream.schema(events.schema).parquet(dir)
+      .groupBy($"event_type")
+      .agg(
+        ThetaFunctions.theta_sketch_agg($"user_id".cast("string")).as("tsk"),
+        KllFunctions.kll_sketch_agg($"value").as("ksk"))
+      .select($"event_type",
+        org.apache.spark.sql.functions.round(
+          ThetaFunctions.theta_estimate($"tsk")).cast("long").as("users"),
+        org.apache.spark.sql.functions.round(
+          KllFunctions.kll_quantile($"ksk", org.apache.spark.sql.functions.lit(0.5)), 2)
+          .as("p50"))
+    val rows = StreamingOps.runToCompletion(spark, streamed, "stream_sketch").collect()
+    val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // KLL ran through the same path: every group produced a finite median
+    assert(rows.forall(r => !r.isNullAt(2) && !r.getDouble(2).isNaN))
+
+    // theta is deterministic (order-independent min-hash set): the streamed
+    // estimate must EQUAL the batch estimate exactly
+    val batch = events.groupBy($"event_type")
+      .agg(ThetaFunctions.theta_sketch_agg($"user_id".cast("string")).as("tsk"))
+      .select($"event_type", org.apache.spark.sql.functions.round(
+        ThetaFunctions.theta_estimate($"tsk")).cast("long").as("users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == batch, s"stream $got != batch $batch")
+    assert(got.nonEmpty)
+  }
+
   test("stream-static broadcast enrichment equals the batch join") {
     import spark.implicits._
     val events = Tables.load(spark, TestSpark.sfDir, "events")
