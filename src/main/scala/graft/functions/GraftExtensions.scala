@@ -94,6 +94,12 @@ object GraftFunctions {
           if (args.length == 3) boolLit("unicode_normalize", "casefold", args(2)) else false
         UnicodeNormalize(args.head, form, casefold)
       }),
+    (FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (args: Seq[Expression]) => {
+        arity("strip_accents", args, 1 to 1)
+        StripAccents(args.head)
+      }),
     (FunctionIdentifier("hash_embed"),
       new ExpressionInfo(classOf[HashEmbedExpr].getName, "hash_embed"),
       (args: Seq[Expression]) => {
@@ -131,6 +137,28 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         arity("theta_diff_estimate", args, 2 to 2)
         ThetaDiffEstimate(args.head, args(1))
+      }),
+    (FunctionIdentifier("cms_sketch_agg"),
+      new ExpressionInfo(classOf[CmsSketchAgg].getName, "cms_sketch_agg"),
+      (args: Seq[Expression]) => {
+        arity("cms_sketch_agg", args, 1 to 3)
+        val depth = if (args.length >= 2) intLit("cms_sketch_agg", "depth", args(1)) else 5
+        val width = if (args.length == 3) intLit("cms_sketch_agg", "width", args(2)) else 4096
+        CmsSketchAgg(args.head, depth, width).toAggregateExpression()
+      }),
+    (FunctionIdentifier("cms_merge_agg"),
+      new ExpressionInfo(classOf[CmsMergeAgg].getName, "cms_merge_agg"),
+      (args: Seq[Expression]) => {
+        arity("cms_merge_agg", args, 1 to 3)
+        val depth = if (args.length >= 2) intLit("cms_merge_agg", "depth", args(1)) else 5
+        val width = if (args.length == 3) intLit("cms_merge_agg", "width", args(2)) else 4096
+        CmsMergeAgg(args.head, depth, width).toAggregateExpression()
+      }),
+    (FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (args: Seq[Expression]) => {
+        arity("cms_estimate", args, 2 to 2)
+        CmsEstimate(args.head, args(1))
       }),
     (FunctionIdentifier("kll_sketch_agg"),
       new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),

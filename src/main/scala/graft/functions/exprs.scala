@@ -118,6 +118,26 @@ object Exprs {
       if (casefold) normalized.toLowerCase(java.util.Locale.ROOT) else normalized)
   }
 
+  private val combiningMarks = java.util.regex.Pattern.compile("\\p{Mn}+")
+
+  /** Accent/diacritic removal: NFD-decompose, then drop combining marks
+    * (category Mn). Matches DuckDB's `strip_accents` (utf8proc) on
+    * decomposable Latin — é→e, ñ→n, ç→c — and, like it, leaves
+    * non-decomposable letters (ø, ß, æ, ð) untouched. The canonical
+    * cross-lingual fold before dedup/fingerprinting: "café" and "café"
+    * and "cafe" all hash identically after stripAccents∘NFC. */
+  def stripAccents(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // Fast path: pure ASCII can't carry marks — skip the NFD allocation.
+    var i = 0
+    var ascii = true
+    while (ascii && i < str.length) { ascii = str.charAt(i) < 0x80; i += 1 }
+    if (ascii) return s
+    val decomposed =
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD)
+    UTF8String.fromString(combiningMarks.matcher(decomposed).replaceAll(""))
+  }
+
   /** BPE token count: whitespace-tokenize lowercased text, split each word
     * to characters, apply the learned merges in rank order (greedy
     * left-to-right per merge), return the total symbol count. Imperative so
@@ -315,6 +335,21 @@ case class UnicodeNormalize(child: Expression, form: String, casefold: Boolean)
   override def prettyName: String = "unicode_normalize"
 }
 
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"strip_accents requires string, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Exprs.stripAccents(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Exprs.stripAccents($c)")
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+  override def prettyName: String = "strip_accents"
+}
+
 case class HashEmbedExpr(child: Expression, dim: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -339,6 +374,7 @@ object NativeFunctions {
   def dot_product(a: Column, b: Column): Column = columnOf(DotProduct(expressionOf(a), expressionOf(b)))
   def unicode_normalize(c: Column, form: String = "NFC", casefold: Boolean = false): Column =
     columnOf(UnicodeNormalize(expressionOf(c), form, casefold))
+  def strip_accents(c: Column): Column = columnOf(StripAccents(expressionOf(c)))
   def compress_ratio(c: Column): Column = columnOf(CompressRatio(expressionOf(c)))
   def bpe_encode_count(c: Column, merges: Seq[(String, String)]): Column =
     columnOf(BpeEncodeCount(expressionOf(c), merges))

@@ -55,6 +55,27 @@ object SketchOps {
   def thetaIntersect(a: Column, b: Column): Column =
     graft.functions.ThetaFunctions.theta_intersect_estimate(a, b)
 
+  // --------------------------------------------- count-min frequency sketches
+
+  /** One count-min sketch per group — any-key frequency lookups over any
+    * later slice union as sketch arithmetic (Misra-Gries finds WHICH keys
+    * are heavy; CMS answers counts for keys chosen after the scan). */
+  def cmsSketches(
+      df: DataFrame, group: Column, value: Column,
+      depth: Int = 5, width: Int = 4096): DataFrame =
+    df.groupBy(group.as("grp"))
+      .agg(graft.functions.CmsFunctions.cms_sketch_agg(value, depth, width).as("sketch"))
+
+  /** Merge stored CMS sketches into one (exact elementwise add). */
+  def cmsMerge(
+      sketches: DataFrame, sketch: Column,
+      depth: Int = 5, width: Int = 4096): DataFrame =
+    sketches.agg(graft.functions.CmsFunctions.cms_merge_agg(sketch, depth, width).as("sketch"))
+
+  /** Estimated count of a key under a CMS sketch column (never under). */
+  def cmsEstimate(sketch: Column, key: Column): Column =
+    graft.functions.CmsFunctions.cms_estimate(sketch, key)
+
   // --------------------------------------------------- KLL quantile sketches
 
   /** One KLL quantile sketch per group — same single-aggregate shape as the

@@ -44,6 +44,12 @@ object TextOps {
   def normalizeText(c: Column, form: String = "NFC", casefold: Boolean = false): Column =
     graft.functions.NativeFunctions.unicode_normalize(c, form, casefold)
 
+  /** Accent/diacritic removal (NFD + drop combining marks), the
+    * cross-lingual fold applied after [[normalizeText]] — matches DuckDB's
+    * `strip_accents`. Native codegen'd ([[graft.functions.StripAccents]]). */
+  def stripAccents(c: Column): Column =
+    graft.functions.NativeFunctions.strip_accents(c)
+
   /** Ratio of distinct tokens to tokens — low values indicate repetitive,
     * low-quality text. */
   def uniqueTokenRatio(c: Column): Column = {

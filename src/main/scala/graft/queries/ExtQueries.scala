@@ -1067,6 +1067,38 @@ object ExtText extends QueryModule {
         SELECT doc_id, CAST(length(x) AS INTEGER) AS n_clean, md5(x) AS clean_md5
         FROM s9 ORDER BY doc_id""")),
 
+    // ---- unicode fold (TextOps.stripAccents ∘ normalizeText): the
+    // cross-lingual canonicalization before dedup/fingerprinting. The
+    // fixture text is ASCII, so accents are INJECTED first (translate
+    // vowels to precomposed forms); strip_accents must then restore the
+    // original bytes exactly — roundtrip true for every row, and the full
+    // NFC∘strip chain is md5-proved against DuckDB's native
+    // nfc_normalize/strip_accents. Per-row codegen'd scalars, zero
+    // shuffle. ----
+    QueryDef(
+      "ext_text_unicode_fold",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", substring($"text", 1, 120).as("head"))
+          .withColumn("accented",
+            translate($"head", "aeiouAEIOU", "áéíóúÁÉÍÓÚ"))
+          .select($"doc_id",
+            md5(TextOps.stripAccents(TextOps.normalizeText($"accented"))
+              .cast("binary")).as("folded_md5"),
+            (TextOps.stripAccents($"accented") === $"head").as("roundtrip"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id, substring(text, 1, 120) AS head,
+            translate(substring(text, 1, 120),
+              'aeiouAEIOU', 'áéíóúÁÉÍÓÚ') AS accented
+          FROM documents)
+        SELECT doc_id,
+          md5(strip_accents(nfc_normalize(accented))) AS folded_md5,
+          (strip_accents(accented) = head) AS roundtrip
+        FROM h ORDER BY doc_id""")),
+
     QueryDef(
       "ext_text_bigram_logprob",
       (s, dir) => {
@@ -1486,6 +1518,31 @@ object ExtEvents extends QueryModule {
             round(SketchOps.kllQuantile($"sketch", 0.9)).cast("long").as("p90"),
             round(SketchOps.kllQuantile($"sketch", 0.99)).cast("long").as("p99"))
           .orderBy($"scope")
+      },
+      None),
+
+    // ---- count-min frequency sketches (SketchOps.cmsSketches): per-source
+    // token-count sketches in one hash aggregate; estimates for keys chosen
+    // AFTER the scan read off the few-KB sketches. The entry emits estimate
+    // NEXT TO the exact count so the one-sided error is visible per row
+    // (n_est ≥ n_exact always; seeded hash rows → deterministic bytes).
+    // Rows-only (no DuckDB CMS); SketchSpec pins never-undercount,
+    // merge==direct byte equality, and the eps·N overcount bound. ----
+    QueryDef(
+      "ext_sketch_cms_freq",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.load(s, dir, "documents")
+          .select($"source", explode(TextOps.tokens($"text")).as("tok"))
+        val sk = SketchOps.cmsSketches(toks, $"source", $"tok")
+        val probes = Seq("the", "data", "spark", "join", "zzz_absent").toDF("tok")
+        val exact = toks.join(broadcast(probes), "tok")
+          .groupBy($"source", $"tok").count()
+        exact.join(sk, exact("source") === sk("grp"))
+          .select($"source", $"tok", $"count".as("n_exact"),
+            SketchOps.cmsEstimate($"sketch", $"tok").as("n_est"))
+          .withColumn("overcount", $"n_est" - $"n_exact")
+          .orderBy($"source", $"tok")
       },
       None)
   )

@@ -90,6 +90,20 @@ class CodegenSpec extends AnyFunSuite {
     assert(run("NFC", casefold = false, "plain ascii") == "plain ascii")
   }
 
+  test("strip_accents generated code compiles; NFD marks dropped, non-decomposables kept") {
+    val strRef = BoundReference(0, StringType, nullable = true)
+    val proj = GenerateUnsafeProjection.generate(Seq(StripAccents(strRef)))
+    def run(in: String): String =
+      proj(InternalRow(UTF8String.fromString(in))).getUTF8String(0).toString
+    // precomposed AND combining-mark spellings both fold to bare letters
+    assert(run("áéíóú ÀÈÌ ñç ý") == "aeiou AEI nc y")
+    assert(run("café") == "cafe")
+    // non-decomposable letters pass through (matches DuckDB strip_accents)
+    assert(run("øßæðł") == "øßæðł")
+    // ASCII fast path is a fixed point
+    assert(run("plain ascii 123") == "plain ascii 123")
+  }
+
   test("hash_embed generated code compiles; unit norm, token placement exact") {
     val strRef = BoundReference(0, StringType, nullable = true)
     val dim = 16

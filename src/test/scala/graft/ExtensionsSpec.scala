@@ -36,6 +36,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getString(2) == "file")
   }
 
+  test("cms functions callable from SQL") {
+    val row = spark.sql(
+      """SELECT cms_estimate(s, 'a') AS ca, cms_estimate(s, 'b') AS cb
+         FROM (SELECT cms_sketch_agg(t, 5, 1024) AS s
+               FROM VALUES ('a'),('a'),('b'),('a') AS v(t))""").head()
+    assert(row.getLong(0) == 3L && row.getLong(1) == 1L)
+  }
+
+  test("strip_accents callable from SQL") {
+    val row = spark.sql(
+      "SELECT strip_accents('École française: déjà vu!') AS s").head()
+    assert(row.getString(0) == "Ecole francaise: deja vu!")
+  }
+
   test("hash_embed callable from SQL; unit-norm and consistent with the Column API") {
     val row = spark.sql(
       "SELECT hash_embed('the quick brown fox the', 16) AS emb").head()

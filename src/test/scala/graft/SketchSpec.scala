@@ -174,6 +174,60 @@ class SketchSpec extends AnyFunSuite {
     assert(a99 <= others.map(_._4).max, s"ALL p99 $a99 above every source")
   }
 
+  test("CMS never undercounts; overcount within eps*N; merge == direct bytes") {
+    import graft.functions.CmsFunctions._
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val toks = docs.select($"source",
+      explode(graft.ops.TextOps.tokens($"text")).as("tok")).cache()
+    val n = toks.count()
+    val depth = 5; val width = 4096
+    val exact = toks.groupBy($"tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketch = toks.agg(cms_sketch_agg($"tok", depth, width).as("sketch"))
+      .head.getAs[Array[Byte]](0)
+    exact.foreach { case (tok, ex) =>
+      val est = graft.functions.CmsOps.estimateString(
+        sketch, org.apache.spark.unsafe.types.UTF8String.fromString(tok))
+      assert(est >= ex, s"CMS undercounted $tok: exact=$ex est=$est")
+      // width=4096 → eps = e/width ≈ 6.6e-4; classic bound overcount ≤ eps·N
+      // per row with prob 1-delta^depth — all-rows check with 3x headroom
+      assert(est - ex <= math.max(3 * 2.72 / width * n, 3.0),
+        s"CMS overcount on $tok: exact=$ex est=$est n=$n")
+    }
+    // absent key: bounded by the same eps·N (usually 0 on a sparse table)
+    val absent = graft.functions.CmsOps.estimateString(
+      sketch, org.apache.spark.unsafe.types.UTF8String.fromString("zzz_absent"))
+    assert(absent <= math.max(3 * 2.72 / width * n, 3.0))
+    // merge-of-per-source-sketches == direct sketch, BYTE equality (CMS
+    // merge is elementwise add; seeded hashes → deterministic layout)
+    val perSource = SketchOps.cmsSketches(toks, $"source", $"tok", depth, width)
+    val merged = SketchOps.cmsMerge(perSource, $"sketch", depth, width)
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, sketch),
+      "merged sketch bytes differ from direct build")
+    // parquet roundtrip preserves the bytes
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    perSource.write.mode("overwrite").parquet(dir)
+    val reread = SketchOps.cmsMerge(spark.read.parquet(dir), $"sketch", depth, width)
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(reread, sketch))
+    toks.unpersist()
+  }
+
+  test("ext_sketch_cms_freq registry entry: est >= exact per row, probes present") {
+    val rows = Registry.queries("ext_sketch_cms_freq")(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est, over) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(est >= exact, s"${r.getString(1)}: est $est < exact $exact")
+      assert(over == est - exact)
+    }
+    // common probes must appear for at least one source
+    val toks = rows.map(_.getString(1)).toSet
+    assert(toks.contains("the") && toks.contains("data"))
+  }
+
   test("ext_sketch_hll registry entry: ALL row consistent with per-type rows") {
     val rows = Registry.queries("ext_sketch_hll")(spark, TestSpark.sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
