@@ -651,6 +651,58 @@ object Analytics extends QueryModule {
                  AS valid_to,
                (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                  IS NULL) AS is_current
-        FROM chg ORDER BY user_id, version"""))
+        FROM chg ORDER BY user_id, version""")),
+
+    // ---- time-series gap fill + forward fill: the resampling primitive
+    // (sensor/metrics regularization before training). Per-user daily
+    // totals; the calendar spine is generated per user from its own
+    // [min_day, max_day] (sequence+explode — no driver round-trip, no
+    // global calendar broadcast), missing days left-joined in, values
+    // forward-filled with last(ignoreNulls) over the user's day order.
+    // One groupBy shuffle + one window over the same user partitioning;
+    // the spine join is user-keyed (never a cross join). Restricted to
+    // user_id < 50 to keep the dumped series small — the plan shape is
+    // SF-independent. ----
+    QueryDef(
+      "an_timeseries_gapfill",
+      (s, dir) => {
+        import s.implicits._
+        val daily = t(s, dir, "events")
+          .filter($"user_id" < 50)
+          .groupBy($"user_id", to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("n_events"), sum(m($"value")).as("v"))
+        val spine = daily.groupBy($"user_id")
+          .agg(min($"day").as("d0"), max($"day").as("d1"))
+          .select($"user_id",
+            explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .select($"user_id", $"day",
+            coalesce($"n_events", lit(0L)).as("n_events"),
+            $"v".isNull.as("is_gap"),
+            last($"v", ignoreNulls = true).over(w)
+              .cast("double").as("v_ffill"))
+          .orderBy($"user_id", $"day")
+      },
+      Some("""WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 count(*) AS n_events,
+                 sum(CAST(value AS DECIMAL(12,2))) AS v
+          FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        spine AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+                   CAST(max(day) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+                   AS day
+          FROM daily GROUP BY user_id)
+        SELECT s.user_id, s.day,
+               COALESCE(d.n_events, 0) AS n_events,
+               (d.v IS NULL) AS is_gap,
+               CAST(last_value(d.v IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.day) AS DOUBLE)
+                 AS v_ffill
+        FROM spine s LEFT JOIN daily d
+          ON s.user_id = d.user_id AND s.day = d.day
+        ORDER BY s.user_id, s.day"""))
   )
 }

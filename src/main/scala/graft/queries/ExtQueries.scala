@@ -1067,6 +1067,83 @@ object ExtText extends QueryModule {
         SELECT doc_id, CAST(length(x) AS INTEGER) AS n_clean, md5(x) AS clean_md5
         FROM s9 ORDER BY doc_id""")),
 
+    // ---- URL canonicalization battery: the crawl-dedup key derivation
+    // (scheme/host lowercased, default port stripped, www. and fragment
+    // dropped, utm_* tracking params removed, registered domain extracted)
+    // as one RE2-compatible regexp chain — the IDENTICAL chain runs in
+    // DuckDB, and the md5 of every canonical URL (sorted, concatenated)
+    // hash-proves byte equality. URLs are synthesized deterministically
+    // from event rows (no url column in the fixture). Per-row codegen'd
+    // scalars + one groupBy; at 100 TB the canon URL becomes the exact-
+    // dedup / shard key with no extra shuffle. ----
+    QueryDef(
+      "ext_text_url_normalize",
+      (s, dir) => {
+        import s.implicits._
+        val raw = Tables.load(s, dir, "events")
+          .select($"event_id",
+            concat(lit("HTTPS://WWW."), upper($"event_type"),
+              lit(".Example.COM:443/p/"), $"user_id",
+              lit("/item?utm_source=feed&ref="), $"event_id",
+              lit("&utm_medium=rss&q=1#frag")).as("url"))
+        val canon = raw
+          .withColumn("nofrag", regexp_replace($"url", "#.*$", ""))
+          .withColumn("scheme",
+            lower(regexp_extract($"nofrag", "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+          .withColumn("hostport",
+            lower(regexp_extract($"nofrag", "^[^:]+://([^/?#]*)", 1)))
+          .withColumn("path",
+            regexp_extract($"nofrag", "^[^:]+://[^/?#]*([^?]*)", 1))
+          .withColumn("qraw", regexp_extract($"nofrag", "\\?(.*)$", 1))
+          .withColumn("host",
+            regexp_replace(
+              regexp_replace($"hostport", ":(443|80)$", ""), "^www\\.", ""))
+          .withColumn("q",
+            regexp_replace(
+              regexp_replace(concat(lit("&"), $"qraw"), "&utm_[^&]*", ""),
+              "^&", ""))
+          .withColumn("domain",
+            regexp_extract($"host", "([^.]+\\.[^.]+)$", 1))
+          .withColumn("canon",
+            concat($"scheme", lit("://"), $"host", $"path",
+              when($"q" === "", lit(""))
+                .otherwise(concat(lit("?"), $"q"))))
+        canon.groupBy($"host", $"domain")
+          .agg(count(lit(1)).as("n_urls"),
+            md5(concat_ws("|", sort_array(collect_list($"canon")))
+              .cast("binary")).as("canon_md5"))
+          .orderBy($"host")
+      },
+      Some("""WITH raw AS (
+          SELECT event_id,
+            'HTTPS://WWW.' || upper(event_type) || '.Example.COM:443/p/' ||
+            user_id || '/item?utm_source=feed&ref=' || event_id ||
+            '&utm_medium=rss&q=1#frag' AS url
+          FROM events),
+        c1 AS (SELECT event_id, regexp_replace(url, '#.*$', '') AS nofrag
+          FROM raw),
+        c2 AS (SELECT event_id, nofrag,
+            lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+              AS scheme,
+            lower(regexp_extract(nofrag, '^[^:]+://([^/?#]*)', 1)) AS hostport,
+            regexp_extract(nofrag, '^[^:]+://[^/?#]*([^?]*)', 1) AS path,
+            regexp_extract(nofrag, '\?(.*)$', 1) AS qraw
+          FROM c1),
+        c3 AS (SELECT *,
+            regexp_replace(regexp_replace(hostport, ':(443|80)$', ''),
+              '^www\.', '') AS host,
+            regexp_replace(regexp_replace('&' || qraw, '&utm_[^&]*', '', 'g'),
+              '^&', '') AS q
+          FROM c2),
+        c4 AS (SELECT event_id, host,
+            regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+            scheme || '://' || host || path ||
+              CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon
+          FROM c3)
+        SELECT host, domain, count(*) AS n_urls,
+          md5(string_agg(canon, '|' ORDER BY canon)) AS canon_md5
+        FROM c4 GROUP BY host, domain ORDER BY host""")),
+
     // ---- unicode fold (TextOps.stripAccents ∘ normalizeText): the
     // cross-lingual canonicalization before dedup/fingerprinting. The
     // fixture text is ASCII, so accents are INJECTED first (translate

@@ -155,6 +155,31 @@ class OpsSpec extends AnyFunSuite {
     assert(enc == "<script>x</script>", enc)
   }
 
+  test("URL canonicalization agrees with Spark's native parse_url on host/path") {
+    // the registry entry derives host/path via the RE2 regexp chain (so the
+    // identical chain runs in DuckDB); Spark's java.net-based parse_url must
+    // agree on well-formed URLs — ties the native operator to the oracle
+    val urls = Seq(
+      "https://www.foo.example.com:443/p/1/item?utm_source=a&ref=2#frag",
+      "http://Bar.Example.ORG/x?q=1",
+      "https://plain.example.net/deep/path/here").toDF("url")
+    val both = urls.select(
+      lower(regexp_extract(regexp_replace($"url", "#.*$", ""),
+        "^[^:]+://([^/?#]*)", 1)).as("re_hostport"),
+      lower(parse_url($"url", lit("HOST"))).as("native_host"),
+      regexp_extract(regexp_replace($"url", "#.*$", ""),
+        "^[^:]+://[^/?#]*([^?]*)", 1).as("re_path"),
+      parse_url($"url", lit("PATH")).as("native_path")).collect()
+    both.foreach { r =>
+      // parse_url HOST excludes the port; the regexp keeps it until the
+      // explicit default-port strip — compare net of :port
+      assert(r.getString(0).replaceAll(":\\d+$", "") == r.getString(1),
+        s"host mismatch: ${r.mkString(",")}")
+      assert(r.getString(2) == r.getString(3),
+        s"path mismatch: ${r.mkString(",")}")
+    }
+  }
+
   test("ANN/LSH op construction launches no Spark job (plan-time purity)") {
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
