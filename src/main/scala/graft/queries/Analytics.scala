@@ -703,6 +703,71 @@ object Analytics extends QueryModule {
                  AS v_ffill
         FROM spine s LEFT JOIN daily d
           ON s.user_id = d.user_id AND s.day = d.day
-        ORDER BY s.user_id, s.day"""))
+        ORDER BY s.user_id, s.day""")),
+
+    // ---- rolling z-score anomaly detection: daily per-type totals scored
+    // against their own trailing-7-day window (current day EXCLUDED — no
+    // self-contamination). Cross-engine determinism: the windowed sums are
+    // over DECIMALS (exact, associative — DuckDB's segment-tree frame
+    // evaluation and Spark's running frame can add in any order), cast to
+    // double only for the final scalar mean/variance/z arithmetic, which is
+    // identical IEEE on both engines; z rounded. One groupBy + one window
+    // exchange on the same key. ----
+    QueryDef(
+      "an_anomaly_zscore",
+      (s, dir) => {
+        import s.implicits._
+        val daily = t(s, dir, "events")
+          .groupBy($"event_type", to_date($"ts").as("day"))
+          .agg(sum(m($"value")).as("v"))
+          .withColumn("v2", ($"v" * $"v").cast(DecimalType(28, 4)))
+        val w = Window.partitionBy($"event_type").orderBy($"day")
+          .rowsBetween(-7, -1)
+        daily
+          .select($"event_type", $"day", $"v",
+            sum($"v").over(w).cast("double").as("sv"),
+            sum($"v2").over(w).cast("double").as("sv2"),
+            count($"v").over(w).as("n_win"))
+          // ANSI front door: divisions stay behind n_win guards (a 0- or
+          // 1-row frame would otherwise divide by zero)
+          .withColumn("mu", when($"n_win" >= 1, $"sv" / $"n_win"))
+          .withColumn("sd", when($"n_win" >= 3, sqrt(
+            ($"sv2" - $"sv" * $"sv" / $"n_win") / ($"n_win" - 1))))
+          .withColumn("z",
+            when($"sd" > 0,
+              round(($"v".cast("double") - $"mu") / $"sd", 3)))
+          .select($"event_type", $"day", $"v".cast("double").as("v"),
+            $"n_win", round($"mu", 3).as("mu_trailing"), $"z",
+            ($"z".isNotNull && abs($"z") > 2.0).as("is_anomaly"))
+          .orderBy($"event_type", $"day")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 sum(CAST(value AS DECIMAL(12,2))) AS v
+          FROM events GROUP BY 1, 2),
+        d2 AS (SELECT *, CAST(v * v AS DECIMAL(28,4)) AS v2 FROM daily),
+        win AS (
+          SELECT event_type, day, v,
+            CAST(sum(v) OVER w AS DOUBLE) AS sv,
+            CAST(sum(v2) OVER w AS DOUBLE) AS sv2,
+            count(v) OVER w AS n_win
+          FROM d2
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        sc AS (
+          SELECT *,
+            CASE WHEN n_win >= 1 THEN sv / n_win END AS mu,
+            CASE WHEN n_win >= 3
+                 THEN sqrt((sv2 - sv * sv / n_win) / (n_win - 1)) END AS sd
+          FROM win),
+        z AS (
+          SELECT *,
+            CASE WHEN sd > 0
+                 THEN round((CAST(v AS DOUBLE) - mu) / sd, 3) END AS z
+          FROM sc)
+        SELECT event_type, day, CAST(v AS DOUBLE) AS v, n_win,
+               round(mu, 3) AS mu_trailing, z,
+               (z IS NOT NULL AND abs(z) > 2.0) AS is_anomaly
+        FROM z ORDER BY event_type, day"""))
   )
 }

@@ -250,7 +250,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("theta/KLL sketch aggregates run in streaming and match batch estimates") {
     import spark.implicits._
-    import graft.functions.{KllFunctions, ThetaFunctions}
+    import graft.functions.{CmsFunctions, KllFunctions, ThetaFunctions}
     // the custom TypedImperativeAggregates must survive the state store's
     // serialize/deserialize path (compact-sketch roundtrip) — a streaming
     // complete-mode aggregation exercises it every micro-batch
@@ -263,17 +263,28 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy($"event_type")
       .agg(
         ThetaFunctions.theta_sketch_agg($"user_id".cast("string")).as("tsk"),
-        KllFunctions.kll_sketch_agg($"value").as("ksk"))
+        KllFunctions.kll_sketch_agg($"value").as("ksk"),
+        CmsFunctions.cms_sketch_agg($"user_id").as("csk"))
       .select($"event_type",
         org.apache.spark.sql.functions.round(
           ThetaFunctions.theta_estimate($"tsk")).cast("long").as("users"),
         org.apache.spark.sql.functions.round(
           KllFunctions.kll_quantile($"ksk", org.apache.spark.sql.functions.lit(0.5)), 2)
-          .as("p50"))
+          .as("p50"),
+        CmsFunctions.cms_estimate($"csk",
+          org.apache.spark.sql.functions.lit(7L)).as("c7"))
     val rows = StreamingOps.runToCompletion(spark, streamed, "stream_sketch").collect()
     val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     // KLL ran through the same path: every group produced a finite median
     assert(rows.forall(r => !r.isNullAt(2) && !r.getDouble(2).isNaN))
+    // CMS is deterministic + exact-merge: streamed count == batch count
+    val cmsBatch = events.groupBy($"event_type")
+      .agg(CmsFunctions.cms_sketch_agg($"user_id").as("csk"))
+      .select($"event_type", CmsFunctions.cms_estimate($"csk",
+        org.apache.spark.sql.functions.lit(7L)).as("c7"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cmsGot = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(cmsGot == cmsBatch, s"CMS stream $cmsGot != batch $cmsBatch")
 
     // theta is deterministic (order-independent min-hash set): the streamed
     // estimate must EQUAL the batch estimate exactly
