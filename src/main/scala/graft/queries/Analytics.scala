@@ -768,6 +768,45 @@ object Analytics extends QueryModule {
         SELECT event_type, day, CAST(v AS DOUBLE) AS v, n_win,
                round(mu, 3) AS mu_trailing, z,
                (z IS NOT NULL AND abs(z) > 2.0) AS is_anomaly
-        FROM z ORDER BY event_type, day"""))
+        FROM z ORDER BY event_type, day""")),
+
+    // ---- window navigation battery with IGNORE NULLS: lag/lead/first/
+    // nth_value over a sparse (nullable) series — the sensor-carry-forward
+    // vocabulary beyond plain lag. Nulls are injected deterministically
+    // (value ≤ 50 → NULL); one window exchange, unique (ts, event_id)
+    // order. ----
+    QueryDef(
+      "an_window_navigation",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        t(s, dir, "events")
+          .filter($"user_id" < 30)
+          .select($"user_id", $"event_id", $"ts",
+            when($"value" > 50, m($"value")).as("v"))
+          .select($"user_id", $"event_id",
+            lag($"v", 1).over(w).cast("double").as("lag_plain"),
+            lag($"v", 1, null, ignoreNulls = true).over(w)
+              .cast("double").as("lag_skip"),
+            lead($"v", 1, null, ignoreNulls = true).over(w)
+              .cast("double").as("lead_skip"),
+            first($"v", ignoreNulls = true).over(w)
+              .cast("double").as("first_nn"),
+            nth_value($"v", 2, ignoreNulls = true).over(w)
+              .cast("double").as("second_nn"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN value > 50 THEN CAST(value AS DECIMAL(12,2)) END AS v
+          FROM events WHERE user_id < 30)
+        SELECT user_id, event_id,
+          CAST(lag(v, 1) OVER w AS DOUBLE) AS lag_plain,
+          CAST(lag(v, 1 IGNORE NULLS) OVER w AS DOUBLE) AS lag_skip,
+          CAST(lead(v, 1 IGNORE NULLS) OVER w AS DOUBLE) AS lead_skip,
+          CAST(first_value(v IGNORE NULLS) OVER w AS DOUBLE) AS first_nn,
+          CAST(nth_value(v, 2 IGNORE NULLS) OVER w AS DOUBLE) AS second_nn
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id"""))
   )
 }

@@ -318,6 +318,42 @@ object Nested extends QueryModule {
         round(degrees(c_acctbal / 10000.0), 6) AS deg,
         round(radians(c_acctbal / 100.0), 6) AS rad
         FROM customer WHERE c_custkey < 300 AND c_acctbal > 1.0
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // ---- error-safe (try_*) function battery: NULL-on-failure variants a
+    // complete ANSI engine needs alongside the strict front door (our
+    // session runs ANSI like the reference's safe:false casts — try_* is
+    // the per-expression opt-out). Oracle: DuckDB TRY_CAST natively; the
+    // zero-divide guard spelled as the equivalent CASE. ----
+    QueryDef(
+      "nx_try_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part")
+          .filter($"p_partkey" < 300)
+          .select($"p_partkey",
+            expr("try_cast(p_name AS INT)").as("name_int"),
+            expr("try_cast(cast(p_partkey AS STRING) AS INT)").as("key_int"),
+            expr("""try_cast(CASE WHEN p_partkey % 2 = 0
+                      THEN '2021-02-30' ELSE '2021-03-05' END AS DATE)""")
+              .as("maybe_date"),
+            expr("try_divide(cast(p_retailprice AS DOUBLE), " +
+              "cast(p_partkey % 3 AS DOUBLE))").as("maybe_div"),
+            expr("try_cast(concat('1e', cast(p_partkey % 5 AS STRING)) AS DOUBLE)")
+              .as("sci_double"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+          TRY_CAST(p_name AS INT) AS name_int,
+          TRY_CAST(CAST(p_partkey AS VARCHAR) AS INT) AS key_int,
+          TRY_CAST(CASE WHEN p_partkey % 2 = 0
+                   THEN '2021-02-30' ELSE '2021-03-05' END AS DATE)
+            AS maybe_date,
+          CASE WHEN p_partkey % 3 = 0 THEN NULL
+               ELSE CAST(p_retailprice AS DOUBLE) / (p_partkey % 3) END
+            AS maybe_div,
+          TRY_CAST('1e' || CAST(p_partkey % 5 AS VARCHAR) AS DOUBLE)
+            AS sci_double
+        FROM part WHERE p_partkey < 300 ORDER BY p_partkey"""))
   )
 }

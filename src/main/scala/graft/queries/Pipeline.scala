@@ -988,7 +988,48 @@ object Pipeline extends QueryModule {
                CAST(nonpositive_values AS BIGINT) FROM rc
         UNION ALL SELECT 'orphan_lineitems', c FROM orph
         UNION ALL SELECT 'duplicate_pk', c FROM dup
-        ORDER BY check_name"""))
+        ORDER BY check_name""")),
+
+    // ---- deterministic epoch reshuffle: a fresh pseudo-random global
+    // permutation per training epoch from md5(epoch:doc_id) — identical on
+    // any engine/partitioning/rerun (no RNG state), and each epoch's order
+    // is statistically independent of the last. Positions come from
+    // [[graft.ops.LayoutOps.globalRowNumber]] (percentile range buckets →
+    // within-bucket numbering → tiny offset join) — the EXACT global rank
+    // with no single-partition window; lexicographic hex order ==
+    // numeric-prefix order, so the bucketed rank reproduces DuckDB's plain
+    // ORDER BY md5. Dump filtered to doc_id < 200 AFTER ranking (ranks are
+    // over the full table; the filter only bounds the dumped rows). ----
+    QueryDef(
+      "pl_epoch_shuffle",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents").select($"doc_id")
+        Seq(1, 2).map { ep =>
+          val keyed = docs
+            .withColumn("epoch", lit(ep))
+            .withColumn("k", md5(concat(lit(s"$ep:"), $"doc_id").cast("binary")))
+            .withColumn("kn",
+              conv(substring($"k", 1, 15), 16, 10).cast("long"))
+          graft.ops.LayoutOps
+            .globalRowNumber(keyed, $"kn", Seq($"kn", $"k"), buckets = 8,
+              outCol = "pos")
+        }.reduce(_.unionByName(_))
+          .filter($"doc_id" < 200)
+          .select($"epoch", $"doc_id", $"pos")
+          .orderBy($"epoch", $"pos")
+      },
+      Some("""WITH e AS (SELECT 1 AS epoch UNION ALL SELECT 2),
+        k AS (
+          SELECT e.epoch, d.doc_id,
+            md5(e.epoch || ':' || d.doc_id) AS kk
+          FROM documents d CROSS JOIN e),
+        r AS (
+          SELECT epoch, doc_id,
+            row_number() OVER (PARTITION BY epoch ORDER BY kk) AS pos
+          FROM k)
+        SELECT epoch, doc_id, pos FROM r
+        WHERE doc_id < 200 ORDER BY epoch, pos"""))
   )
 
   /** DuckDB-side Morton interleave: same shift/and/add expansion as

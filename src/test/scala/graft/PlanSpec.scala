@@ -127,6 +127,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("rank-filter patterns plan WindowGroupLimit (map-side per-group top-k)") {
+    // Spark 3.5+ rewrites `row_number() OVER (...) <= k` filters into
+    // WindowGroupLimitExec — per-group limiting BEFORE the shuffle, so at
+    // 100 TB only ≤k rows per key per mapper reach the exchange instead of
+    // every row being shuffled and fully sorted. All our first-k-per-key
+    // surfaces (deterministic sampling, QUALIFY, DISTINCT ON) must keep
+    // planning into it: a refactor that hides the rank filter from the
+    // optimizer (e.g. a barrier in between) silently reverts to full
+    // window sorts.
+    for (q <- Seq("pl_sample_hash_topk", "op_qualify", "op_distinct_on")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost the WindowGroupLimit rewrite:\n${p.take(2000)}")
+    }
+  }
+
   test("pl_length_buckets: every window is partitioned (no global sort funnel)") {
     val df = Registry.queries("pl_length_buckets")(spark, TestSpark.sfDir)
     val wins = df.queryExecution.optimizedPlan.collect {
