@@ -85,6 +85,9 @@ final class GraftSession(
       else copyFrom(q)
     }
     else if (upper.startsWith("SHOW TABLES")) showTables()
+    else if (upper.startsWith("SHOW SCHEMAS") || upper.startsWith("SHOW DATABASES"))
+      showSchemas()
+    else if (upper.startsWith("SHOW COLUMNS")) showColumns(q)
     else if (upper.startsWith("DESCRIBE ") || upper.startsWith("DESC "))
       describeTable(q)
     else if (upper.startsWith("EXPLAIN ")) explainStatement(q)
@@ -664,6 +667,24 @@ final class GraftSession(
   }
 
   private def showTables(): DataFrame = informationSchemaTables()
+
+  /** `SHOW SCHEMAS` / `SHOW DATABASES` — the registered namespaces
+    * (always includes `public`), one VARCHAR column like DuckDB/Postgres. */
+  private def showSchemas(): DataFrame = {
+    val schema = StructType(Seq(StructField("schema_name", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        schemas.toSeq.sorted.map(Row(_)), 1), schema)
+  }
+
+  private val ShowColumnsRe =
+    ("""(?is)SHOW\s+COLUMNS\s+(?:FROM|IN)\s+""" + Ident + """\s*""").r
+
+  /** `SHOW COLUMNS FROM|IN name` — same rows as DESCRIBE. */
+  private def showColumns(q: String): DataFrame = q match {
+    case ShowColumnsRe(name0) => describeTable(s"DESCRIBE ${name0}")
+    case _ => sys.error(s"cannot parse SHOW COLUMNS: $q")
+  }
 
   private val DescribeRe =
     ("""(?is)DESC(?:RIBE)?\s+(?:TABLE\s+)?""" + Ident + """\s*""").r

@@ -278,6 +278,25 @@ class SessionSpec extends AnyFunSuite {
     g.sql("DROP SCHEMA s_desc CASCADE")
   }
 
+  test("SHOW SCHEMAS and SHOW COLUMNS answer from the catalog") {
+    val g = fresh()
+    val base = g.sql("SHOW SCHEMAS").collect().map(_.getString(0)).toSeq
+    assert(base.contains("public"))
+    g.sql("CREATE SCHEMA IF NOT EXISTS s_show")
+    g.sql("DROP SCHEMA s_show CASCADE")
+    g.sql("CREATE SCHEMA s_show")
+    assert(g.sql("SHOW DATABASES").collect().map(_.getString(0))
+      .contains("s_show"))
+    g.sql("DROP TABLE IF EXISTS t_showc")
+    g.sql("CREATE TABLE t_showc (a INT, b STRING)")
+    val cols = g.sql("SHOW COLUMNS FROM t_showc")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cols == Seq(("a", "BIGINT"), ("b", "VARCHAR")))
+    assert(g.sql("SHOW COLUMNS IN t_showc").collect().length == 2)
+    assertThrows[Exception](g.sql("SHOW COLUMNS FROM no_such"))
+    g.sql("DROP SCHEMA s_show CASCADE")
+  }
+
   test("CREATE/DROP SCHEMA lifecycle: namespaces, errors, CASCADE") {
     val g = fresh()
     g.sql("CREATE SCHEMA IF NOT EXISTS s_life")
