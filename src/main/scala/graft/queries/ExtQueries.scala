@@ -1067,6 +1067,44 @@ object ExtText extends QueryModule {
         SELECT doc_id, CAST(length(x) AS INTEGER) AS n_clean, md5(x) AS clean_md5
         FROM s9 ORDER BY doc_id""")),
 
+    // ---- sentence segmentation battery: regexp sentence split (the
+    // chunking prerequisite for context-window packing). Fixture text has
+    // no punctuation, so sentence breaks are INJECTED first (every 5 words
+    // → '. ', same RE2 rewrite both engines — only the backreference
+    // spelling differs, $1 vs \1), then split on the punctuation+space
+    // boundary; counts/lengths/md5 of first+last sentence hash-proved.
+    // Per-row codegen, zero shuffle. ----
+    QueryDef(
+      "ext_text_sentences",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            regexp_replace($"text",
+              "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. ").as("st"))
+          .withColumn("sents", split($"st", "\\.\\s+"))
+          .select($"doc_id",
+            size($"sents").as("n_sent"),
+            length(element_at($"sents", 1)).as("len_first"),
+            md5(element_at($"sents", 1).cast("binary")).as("md5_first"),
+            length(element_at($"sents", -1)).as("len_last"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH st AS (
+          SELECT doc_id,
+            regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g')
+              AS st
+          FROM documents),
+        sp AS (SELECT doc_id,
+            regexp_split_to_array(st, '\.\s+') AS sents
+          FROM st)
+        SELECT doc_id,
+          CAST(len(sents) AS INT) AS n_sent,
+          CAST(length(sents[1]) AS INT) AS len_first,
+          md5(sents[1]) AS md5_first,
+          CAST(length(sents[-1]) AS INT) AS len_last
+        FROM sp ORDER BY doc_id""")),
+
     // ---- URL canonicalization battery: the crawl-dedup key derivation
     // (scheme/host lowercased, default port stripped, www. and fragment
     // dropped, utm_* tracking params removed, registered domain extracted)
