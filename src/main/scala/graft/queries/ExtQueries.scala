@@ -1105,6 +1105,59 @@ object ExtText extends QueryModule {
           CAST(length(sents[-1]) AS INT) AS len_last
         FROM sp ORDER BY doc_id""")),
 
+    // ---- Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    // 2003 — the MOSS local-document-fingerprinting algorithm): hash every
+    // token 4-gram, slide a window of w=5 consecutive hashes, keep the
+    // minimum hash of each window, dedup + sort the selection. Guarantees
+    // any shared run of ≥ k+w−1 tokens contributes a common fingerprint,
+    // with ~2/(w+1) selection density — the standard near-dup/plagiarism
+    // sketch when MinHash's whole-doc granularity is too coarse. The hash
+    // is md5 (portable), so the IDENTICAL chain runs in DuckDB and the
+    // digest column hash-proves the full fingerprint set byte-for-byte.
+    // Everything is per-row array HOFs — zero shuffle; at 100 TB the
+    // fingerprint sets feed an exploded (fp → doc) inverted index exactly
+    // like [[graft.ops.DedupOps.jaccardPairs]]'s shingle index. ----
+    QueryDef(
+      "ext_text_winnow",
+      (s, dir) => {
+        import s.implicits._
+        val k = 4; val w = 5
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", TextOps.tokens($"text").as("tk"))
+          .filter(size($"tk") >= k + w - 1)
+          .withColumn("grams", expr(
+            s"transform(sequence(1, size(tk) - ${k - 1}), i -> md5(cast(concat_ws(' ', slice(tk, i, $k)) as binary)))"))
+          .withColumn("fps", expr(
+            s"array_sort(array_distinct(transform(sequence(1, size(grams) - ${w - 1}), j -> array_min(slice(grams, j, $w)))))"))
+          .select($"doc_id",
+            size($"grams").cast("bigint").as("n_grams"),
+            size($"fps").as("n_fp"),
+            element_at($"fps", 1).as("min_fp"),
+            md5(concat_ws("", $"fps").cast("binary")).as("fp_digest"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+            list_transform(range(1, len(tk) - 4 + 2),
+              i -> md5(array_to_string(list_slice(tk, i, i + 3), ' ')))
+              AS grams
+          FROM t WHERE len(tk) >= 8),
+        f AS (
+          SELECT doc_id, len(grams) AS n_grams,
+            list_sort(list_distinct(list_transform(
+              range(1, len(grams) - 5 + 2),
+              j -> list_aggregate(list_slice(grams, j, j + 4), 'min'))))
+              AS fps
+          FROM g)
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+          CAST(len(fps) AS INT) AS n_fp,
+          fps[1] AS min_fp,
+          md5(array_to_string(fps, '')) AS fp_digest
+        FROM f ORDER BY doc_id""")),
+
     // ---- URL canonicalization battery: the crawl-dedup key derivation
     // (scheme/host lowercased, default port stripped, www. and fragment
     // dropped, utm_* tracking params removed, registered domain extracted)

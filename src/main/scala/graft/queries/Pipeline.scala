@@ -1029,7 +1029,72 @@ object Pipeline extends QueryModule {
             row_number() OVER (PARTITION BY epoch ORDER BY kk) AS pos
           FROM k)
         SELECT epoch, doc_id, pos FROM r
-        WHERE doc_id < 200 ORDER BY epoch, pos"""))
+        WHERE doc_id < 200 ORDER BY epoch, pos""")),
+
+    // ---- DSIR importance resampling (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every raw
+    // doc by how target-like its unigram distribution is, then keep the
+    // top-K. Target distribution = the English slice of the corpus; the
+    // feature space = the top-V corpus vocabulary (V=128, count-desc /
+    // token-asc deterministic cut); Laplace(+1) smoothing over V. Doc
+    // score = Σ_w c_w(doc)·[ln p_tgt(w) − ln p_raw(w)].
+    //
+    // Scale shape: ONE token-keyed shuffle computes raw+target counts in
+    // the same combinable aggregate; the V-row vocabulary and its one-row
+    // totals ride broadcasts, so the scoring join is map-side; the doc
+    // score is a second (doc-keyed) shuffle; top-K is a TakeOrdered, never
+    // a global sort. Scores round(,6) BEFORE ranking so the order
+    // reproduces across engines (same rule as ext_text_bm25). ----
+    QueryDef(
+      "pl_importance_resample",
+      (s, dir) => {
+        import s.implicits._
+        val V = 128
+        val toks = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source", $"lang",
+            explode(TextOps.tokens($"text")).as("w"))
+          .filter(length($"w") > 0)
+        val counts = toks.groupBy($"w").agg(
+          count(lit(1)).as("c_raw"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_tgt"))
+        val vocab = counts.orderBy($"c_raw".desc, $"w").limit(V)
+        val tot = vocab.agg(
+          sum($"c_raw").as("n_raw"), sum($"c_tgt").as("n_tgt"))
+        val llr = vocab.crossJoin(broadcast(tot))
+          .select($"w",
+            (log(($"c_tgt" + 1).cast("double") / ($"n_tgt" + V).cast("double")) -
+             log(($"c_raw" + 1).cast("double") / ($"n_raw" + V).cast("double")))
+              .as("llr"))
+        toks.join(broadcast(llr), "w")
+          .groupBy($"doc_id", $"source")
+          .agg(round(sum($"llr"), 6).as("score"),
+            count(lit(1)).as("n_feat"))
+          .orderBy($"score".desc, $"doc_id")
+          .limit(20)
+          .select($"doc_id", $"source", $"n_feat", $"score")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, source, lang,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents),
+        t AS (SELECT * FROM toks WHERE len(w) > 0),
+        counts AS (
+          SELECT w, count(*) AS c_raw,
+            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+          FROM t GROUP BY w),
+        vocab AS (SELECT * FROM counts ORDER BY c_raw DESC, w LIMIT 128),
+        tot AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM vocab),
+        llr AS (
+          SELECT w,
+            ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(n_tgt + 128 AS DOUBLE)) -
+            ln(CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + 128 AS DOUBLE)) AS llr
+          FROM vocab CROSS JOIN tot),
+        scored AS (
+          SELECT doc_id, source, round(sum(llr), 6) AS score,
+            count(*) AS n_feat
+          FROM t JOIN llr USING (w) GROUP BY doc_id, source)
+        SELECT doc_id, source, n_feat, score
+        FROM scored ORDER BY score DESC, doc_id LIMIT 20"""))
   )
 
   /** DuckDB-side Morton interleave: same shift/and/add expansion as
