@@ -421,7 +421,51 @@ object ExtDedup extends QueryModule {
           UNION ALL SELECT b FROM tri
           UNION ALL SELECT c FROM tri)
         SELECT doc_id, count(*) AS triangles
-        FROM pv GROUP BY doc_id ORDER BY doc_id"""))
+        FROM pv GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Degree histogram of the near-dup graph — the quick skew/health read
+    // on a dedup pass (a fat-tailed degree histogram means template spam or
+    // a threshold set too loose; honest corpora are mostly degree 1-2).
+    // One union + two aggregates over the maxDf-bounded pair list; never
+    // touches text.
+    QueryDef(
+      "ext_graph_degrees",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text", n = 3,
+          threshold = 0.8, maxDf = 128)
+        pairs.select($"id_a".as("id"))
+          .unionAll(pairs.select($"id_b".as("id")))
+          .groupBy($"id").agg(count(lit(1)).as("degree"))
+          .groupBy($"degree").agg(count(lit(1)).as("n_docs"))
+          .orderBy($"degree")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx0 AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx AS (
+          SELECT doc_id, sz, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM idx0)
+          WHERE df <= 128),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 count(*) AS inter
+          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        edges AS (
+          SELECT id_a, id_b FROM cand
+          WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.8),
+        deg AS (
+          SELECT id, count(*) AS degree FROM (
+            SELECT id_a AS id FROM edges UNION ALL SELECT id_b FROM edges)
+          GROUP BY id)
+        SELECT degree, count(*) AS n_docs
+        FROM deg GROUP BY degree ORDER BY degree"""))
   )
 }
 
@@ -629,7 +673,65 @@ object ExtSimilarity extends QueryModule {
             round($"eigenvalue" / total, 6).as("var_share"))
           .orderBy($"component")
       },
-      None)
+      None),
+
+    // ---- retrieval quality evaluation (MRR / precision@k / hit-rate by
+    // class): brute-force cosine top-10 per query with relevance = same
+    // label, the offline eval every embedding/index change reruns. The
+    // rank list is k rows per query — the label joins and the two
+    // aggregates shuffle only (q_id, rank, label) scalars. At 100 TB the
+    // query set is the small side (broadcast); candidates stream through
+    // the scored window exactly like [[ext_ann_bruteforce]]. ----
+    QueryDef(
+      "ext_retrieval_eval",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val lbl = emb.select($"vec_id", $"label".cast("bigint").as("label"))
+        val topk = SimilarityOps.bruteForceTopK(
+          emb.filter($"vec_id" < 50), emb,
+          $"vec_id", $"embedding", $"vec_id", $"embedding", k = 10)
+        val perQuery = topk
+          .join(lbl.select($"vec_id".as("q_id"), $"label".as("q_label")), Seq("q_id"))
+          .join(lbl.select($"vec_id".as("n_id"), $"label".as("n_label")), Seq("n_id"))
+          .groupBy($"q_id", $"q_label")
+          .agg(
+            min(when($"n_label" === $"q_label", $"rank")).as("first_rel"),
+            sum(when($"n_label" === $"q_label", 1L).otherwise(0L)).as("n_rel"))
+        perQuery.groupBy($"q_label".as("label"))
+          .agg(count(lit(1)).as("n_queries"),
+            round(avg(coalesce(lit(1.0) / $"first_rel", lit(0.0))), 6).as("mrr"),
+            round(avg($"n_rel".cast("double") / 10.0), 6).as("prec_at_10"),
+            round(avg(when($"first_rel".isNotNull, 1.0).otherwise(0.0)), 6)
+              .as("hit_rate"))
+          .orderBy($"label")
+      },
+      Some("""WITH v AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS q_label,
+            c.vec_id AS n_id, CAST(c.label AS BIGINT) AS n_label,
+            list_sum(list_transform(list_zip(q.ve, c.ve), s -> s[1] * s[2]))
+              / (sqrt(list_sum(list_transform(list_zip(q.ve, q.ve), s -> s[1] * s[2])))
+               * sqrt(list_sum(list_transform(list_zip(c.ve, c.ve), s -> s[1] * s[2])))) AS cosine
+          FROM v q JOIN v c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        ranked AS (
+          SELECT q_id, q_label, n_id, n_label,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+          FROM scored),
+        per_query AS (
+          SELECT q_id, q_label,
+            min(CASE WHEN n_label = q_label THEN rank END) AS first_rel,
+            sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS n_rel
+          FROM ranked WHERE rank <= 10 GROUP BY 1, 2)
+        SELECT q_label AS label, count(*) AS n_queries,
+          round(avg(coalesce(1.0 / first_rel, 0.0)), 6) AS mrr,
+          round(avg(n_rel / 10.0), 6) AS prec_at_10,
+          round(avg(CASE WHEN first_rel IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+            AS hit_rate
+        FROM per_query GROUP BY 1 ORDER BY label"""))
   )
 }
 
@@ -1383,7 +1485,106 @@ object ExtText extends QueryModule {
                unnest(range(0, greatest(len(text) - 1, 0) + 1, 200)) u(i))
         SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS chunk_len,
                md5(chunk) AS chunk_md5
-        FROM c ORDER BY doc_id, chunk_idx"""))
+        FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // ---- per-language vocabulary statistics: type count, hapax count,
+    // type-token ratio — the lexical-richness read that flags synthetic or
+    // template-heavy slices (low TTR) and OCR noise (hapax explosion).
+    // Two combinable aggregates (token-keyed, then lang-keyed); the
+    // token-keyed shuffle is the same one TF-IDF/DSIR already pay, and at
+    // 100 TB it map-side combines to |vocab| rows per partition. ----
+    QueryDef(
+      "ext_text_vocab_stats",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.load(s, dir, "documents")
+          .select($"lang", explode(TextOps.tokens($"text")).as("w"))
+          .filter(length($"w") > 0)
+        toks.groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("vocab_size"),
+            sum(when($"c" === 1, 1L).otherwise(0L)).as("hapax"),
+            sum($"c").as("n_tokens"))
+          .select($"lang", $"vocab_size", $"hapax", $"n_tokens",
+            round($"vocab_size".cast("double") / $"n_tokens", 6).as("ttr"),
+            round($"hapax".cast("double") / $"vocab_size", 6).as("hapax_ratio"))
+          .orderBy($"lang")
+      },
+      Some("""WITH toks AS (
+          SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents),
+        t AS (SELECT * FROM toks WHERE len(w) > 0),
+        wc AS (SELECT lang, w, count(*) AS c FROM t GROUP BY 1, 2),
+        v AS (
+          SELECT lang, count(*) AS vocab_size,
+            sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+            sum(c) AS n_tokens
+          FROM wc GROUP BY lang)
+        SELECT lang, vocab_size,
+          CAST(hapax AS BIGINT) AS hapax, CAST(n_tokens AS BIGINT) AS n_tokens,
+          round(CAST(vocab_size AS DOUBLE) / n_tokens, 6) AS ttr,
+          round(CAST(hapax AS DOUBLE) / vocab_size, 6) AS hapax_ratio
+        FROM v ORDER BY lang""")),
+
+    // ---- unigram-distribution drift between corpus versions (the
+    // retrain/no-retrain monitor): Jensen-Shannon divergence over the
+    // top-V shared vocabulary, Laplace(+1)-smoothed, between the v1/v2
+    // snapshots of [[Pipeline pl_corpus_diff]]'s fixture. ONE token-keyed
+    // aggregate computes both versions' counts (membership is a pure
+    // doc_id predicate evaluated per row — the corpus is scanned once,
+    // not once per version); the V-row vocab and its totals ride
+    // broadcasts. JSD is symmetric and bounded by ln 2 — the stable
+    // drift score (raw KL explodes on vanishing bins). ----
+    QueryDef(
+      "ext_text_jsd_drift",
+      (s, dir) => {
+        import s.implicits._
+        val V = 64
+        val toks = Tables.load(s, dir, "documents")
+          .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
+          .filter(length($"w") > 0)
+          .withColumn("in_v1", $"doc_id" % 7 =!= 0)
+          .withColumn("in_v2", $"doc_id" % 11 =!= 3)
+        val counts = toks.groupBy($"w").agg(
+          sum(when($"in_v1", 1L).otherwise(0L)).as("c1"),
+          sum(when($"in_v2", 1L).otherwise(0L)).as("c2"),
+          count(lit(1)).as("c_all"))
+        val vocab = counts.orderBy($"c_all".desc, $"w").limit(V)
+        val tot = vocab.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+        vocab.crossJoin(broadcast(tot))
+          .select($"n1", $"n2",
+            (($"c1" + 1).cast("double") / ($"n1" + V).cast("double")).as("p"),
+            (($"c2" + 1).cast("double") / ($"n2" + V).cast("double")).as("q"))
+          .withColumn("m", ($"p" + $"q") / 2)
+          .groupBy($"n1", $"n2")
+          .agg(round(
+            sum($"p" * log($"p" / $"m")) * 0.5 +
+              sum($"q" * log($"q" / $"m")) * 0.5, 6).as("jsd_nats"))
+          .select($"n1".as("v1_tokens"), $"n2".as("v2_tokens"), $"jsd_nats")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents),
+        t AS (
+          SELECT w, doc_id % 7 <> 0 AS in_v1, doc_id % 11 <> 3 AS in_v2
+          FROM toks WHERE len(w) > 0),
+        counts AS (
+          SELECT w,
+            sum(CASE WHEN in_v1 THEN 1 ELSE 0 END) AS c1,
+            sum(CASE WHEN in_v2 THEN 1 ELSE 0 END) AS c2,
+            count(*) AS c_all
+          FROM t GROUP BY w),
+        vocab AS (SELECT * FROM counts ORDER BY c_all DESC, w LIMIT 64),
+        tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM vocab),
+        pq AS (
+          SELECT n1, n2,
+            CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 64 AS DOUBLE) AS p,
+            CAST(c2 + 1 AS DOUBLE) / CAST(n2 + 64 AS DOUBLE) AS q
+          FROM vocab CROSS JOIN tot)
+        SELECT CAST(n1 AS BIGINT) AS v1_tokens, CAST(n2 AS BIGINT) AS v2_tokens,
+          round(sum(p * ln(p / ((p + q) / 2))) * 0.5
+              + sum(q * ln(q / ((p + q) / 2))) * 0.5, 6) AS jsd_nats
+        FROM pq GROUP BY n1, n2"""))
   )
 }
 

@@ -1094,7 +1094,240 @@ object Pipeline extends QueryModule {
             count(*) AS n_feat
           FROM t JOIN llr USING (w) GROUP BY doc_id, source)
         SELECT doc_id, source, n_feat, score
-        FROM scored ORDER BY score DESC, doc_id LIMIT 20"""))
+        FROM scored ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // ---- leakage-safe group-holdout split: the split key is the SOURCE
+    // (domain), not the doc — every doc of a domain lands on the same side,
+    // so near-duplicates and templated siblings (which cluster within a
+    // domain) can never straddle train/heldout. 'cc' = 204/256 ≈ 80% of
+    // DOMAINS to train. Pure hash of the group key: no shuffle for the
+    // assignment, one aggregate for the report; reproduces on any engine,
+    // partitioning, or corpus size. ----
+    QueryDef(
+      "pl_group_holdout_split",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .withColumn("split",
+            when(substring(md5(concat(lit("grp:"), $"source").cast("binary")),
+              1, 2) < "cc", "train").otherwise("heldout"))
+          .groupBy($"split")
+          .agg(countDistinct($"source").as("n_sources"),
+            count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("total_chars"))
+          .orderBy($"split")
+      },
+      Some("""SELECT CASE WHEN substring(md5('grp:' || source), 1, 2) < 'cc'
+                     THEN 'train' ELSE 'heldout' END AS split,
+               count(DISTINCT source) AS n_sources, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1 ORDER BY split""")),
+
+    // ---- corpus snapshot diff (the ingest-audit between two crawl
+    // versions): v1/v2 membership and per-doc content fingerprints are
+    // deterministic functions of the fixture (v1 drops doc_id%7=0, v2
+    // drops doc_id%11=3 and rewrites doc_id%5=0), full-outer join on the
+    // id classifies added/removed/changed/unchanged. Only (id, source,
+    // 32-byte fp) ride the join — never document text — so the diff of a
+    // 100 TB corpus shuffles GBs, not TBs. ----
+    QueryDef(
+      "pl_corpus_diff",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source", md5($"text".cast("binary")).as("fp"))
+        val v1 = docs.filter($"doc_id" % 7 =!= 0)
+          .select($"doc_id", $"source", $"fp".as("fp1"))
+        val v2 = docs.filter($"doc_id" % 11 =!= 3)
+          .select($"doc_id", $"source",
+            when($"doc_id" % 5 === 0,
+              md5(concat($"fp", lit(":v2")).cast("binary")))
+              .otherwise($"fp").as("fp2"))
+        v1.join(v2, Seq("doc_id", "source"), "full_outer")
+          .withColumn("status",
+            when($"fp1".isNull, "added")
+              .when($"fp2".isNull, "removed")
+              .when($"fp1" === $"fp2", "unchanged")
+              .otherwise("changed"))
+          .groupBy($"status")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"source").as("n_sources"))
+          .orderBy($"status")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, source, md5(text) AS fp FROM documents),
+        v1 AS (SELECT doc_id, source, fp AS fp1 FROM d WHERE doc_id % 7 <> 0),
+        v2 AS (
+          SELECT doc_id, source,
+            CASE WHEN doc_id % 5 = 0 THEN md5(fp || ':v2') ELSE fp END AS fp2
+          FROM d WHERE doc_id % 11 <> 3),
+        j AS (
+          SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+                 coalesce(v1.source, v2.source) AS source, fp1, fp2
+          FROM v1 FULL OUTER JOIN v2
+            ON v1.doc_id = v2.doc_id AND v1.source = v2.source)
+        SELECT CASE WHEN fp1 IS NULL THEN 'added'
+                    WHEN fp2 IS NULL THEN 'removed'
+                    WHEN fp1 = fp2 THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               count(*) AS n_docs, count(DISTINCT source) AS n_sources
+        FROM j GROUP BY 1 ORDER BY status""")),
+
+    // ---- dedup threshold sweep (the tuning report run BEFORE committing a
+    // corpus-wide dedup threshold): ONE shingle-index pass at the loosest
+    // threshold, pairs banded by Jaccard decile — the marginal cost of the
+    // sweep over a single-threshold run is zero extra shuffles. maxDf is
+    // the same spec'd skew cut as the production pass, so the sweep
+    // measures exactly what the real pass would do. ----
+    QueryDef(
+      "pl_dedup_threshold_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        DedupOps.jaccardPairs(docs, $"doc_id", $"text", n = 3,
+            threshold = 0.5, maxDf = 128)
+          .withColumn("band",
+            when($"jaccard" >= 0.9, "[0.9,1.0]")
+              .when($"jaccard" >= 0.8, "[0.8,0.9)")
+              .when($"jaccard" >= 0.7, "[0.7,0.8)")
+              .when($"jaccard" >= 0.6, "[0.6,0.7)")
+              .otherwise("[0.5,0.6)"))
+          .groupBy($"band")
+          .agg(count(lit(1)).as("n_pairs"),
+            round(avg($"jaccard"), 6).as("mean_jaccard"))
+          .orderBy($"band")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx0 AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx AS (
+          SELECT doc_id, sz, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM idx0)
+          WHERE df <= 128),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 count(*) AS inter
+          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        pj AS (
+          SELECT CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) AS j
+          FROM cand),
+        banded AS (
+          SELECT CASE WHEN j >= 0.9 THEN '[0.9,1.0]'
+                      WHEN j >= 0.8 THEN '[0.8,0.9)'
+                      WHEN j >= 0.7 THEN '[0.7,0.8)'
+                      WHEN j >= 0.6 THEN '[0.6,0.7)'
+                      ELSE '[0.5,0.6)' END AS band, j
+          FROM pj WHERE j >= 0.5)
+        SELECT band, count(*) AS n_pairs, round(avg(j), 6) AS mean_jaccard
+        FROM banded GROUP BY band ORDER BY band""")),
+
+    // ---- cross-source duplication matrix (corpus forensics: which
+    // sources copy from each other): near-dup pairs keyed to the unordered
+    // (source, source) pair. The pair list is maxDf-bounded; attaching
+    // sources is two id-keyed joins against an (id, source) projection —
+    // text never rides the shuffle. ----
+    QueryDef(
+      "pl_cross_source_matrix",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val src = docs.select($"doc_id", $"source")
+        val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text", n = 3,
+          threshold = 0.8, maxDf = 128)
+        pairs
+          .join(src.select($"doc_id".as("id_a"), $"source".as("src_a")), Seq("id_a"))
+          .join(src.select($"doc_id".as("id_b"), $"source".as("src_b")), Seq("id_b"))
+          .select(least($"src_a", $"src_b").as("source_1"),
+            greatest($"src_a", $"src_b").as("source_2"))
+          .groupBy($"source_1", $"source_2")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"source_1", $"source_2")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx0 AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx AS (
+          SELECT doc_id, sz, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM idx0)
+          WHERE df <= 128),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 count(*) AS inter
+          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        pairs AS (
+          SELECT id_a, id_b FROM cand
+          WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.8),
+        m AS (
+          SELECT least(da.source, db.source) AS source_1,
+                 greatest(da.source, db.source) AS source_2
+          FROM pairs p
+          JOIN documents da ON da.doc_id = p.id_a
+          JOIN documents db ON db.doc_id = p.id_b)
+        SELECT source_1, source_2, count(*) AS n_pairs
+        FROM m GROUP BY 1, 2 ORDER BY source_1, source_2""")),
+
+    // ---- rank-fusion quality ensemble: per-language percent-rank of each
+    // quality signal (content quality score, doc length), averaged — the
+    // scale-free way to combine incommensurable signals (no re-calibration
+    // when a signal's distribution drifts), then bucketed into deciles for
+    // the keep/downsample decision. Windows partition BY LANGUAGE — no
+    // global sort; percent_rank is (rank-1)/(n-1) on both engines so the
+    // fused score reproduces bit-for-bit. ----
+    QueryDef(
+      "pl_quality_ensemble",
+      (s, dir) => {
+        import s.implicits._
+        val scored = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars",
+            TextOps.qualityScore($"text").as("q"))
+        val wq = Window.partitionBy($"lang").orderBy($"q")
+        val wl = Window.partitionBy($"lang").orderBy($"n_chars")
+        scored
+          .withColumn("r_q", percent_rank().over(wq))
+          .withColumn("r_len", percent_rank().over(wl))
+          .withColumn("ens", ($"r_q" + $"r_len") / 2)
+          .withColumn("decile", least(floor($"ens" * 10), lit(9)).cast("int"))
+          .groupBy($"lang", $"decile")
+          .agg(count(lit(1)).as("n_docs"), round(avg($"ens"), 6).as("mean_ens"))
+          .orderBy($"lang", $"decile")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, lang, n_chars,
+                 string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        m AS (
+          SELECT doc_id, lang, n_chars,
+            CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS diversity,
+            CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+              / CAST(len(tk) AS DOUBLE) AS sr,
+            CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+              / CAST(len(tk) AS DOUBLE) AS mtl
+          FROM t),
+        scored AS (
+          SELECT doc_id, lang, n_chars,
+            diversity * 0.6
+              + (CASE WHEN sr BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2
+              + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2 AS q
+          FROM m),
+        r AS (
+          SELECT lang,
+            percent_rank() OVER (PARTITION BY lang ORDER BY q) AS r_q,
+            percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS r_len
+          FROM scored),
+        e AS (SELECT lang, (r_q + r_len) / 2 AS ens FROM r)
+        SELECT lang, CAST(least(floor(ens * 10), 9) AS INT) AS decile,
+               count(*) AS n_docs, round(avg(ens), 6) AS mean_ens
+        FROM e GROUP BY 1, 2 ORDER BY lang, decile"""))
   )
 
   /** DuckDB-side Morton interleave: same shift/and/add expansion as

@@ -20,14 +20,28 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // The events table stores ts as parquet TIMESTAMP(NANOS), which the
-      // Spark 4 vectorized reader rejects outright. Read nanos as Long and
-      // floor-convert to the engine's native microsecond timestamps (the
-      // driver data is microsecond-grained, so this is lossless). Oracles
+      // Some testdata generations store ts as parquet TIMESTAMP(NANOS),
+      // which the Spark 4 vectorized reader rejects outright; others store
+      // native TIMESTAMP(MICROS). Probe the footer schema: when ts lands as
+      // an integral (nanosAsLong), floor-convert to the engine's native
+      // microsecond timestamps (driver data is µs-grained, so lossless);
+      // when it is already a timestamp, pass it through untouched. Oracles
       // over events use CAST(ts AS TIMESTAMP) for the same µs view.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path(dir, name))
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(path(dir, name))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // Sessions pin spark.sql.session.timeZone=UTC, so NTZ→TIMESTAMP is
+          // a lossless reinterpretation; the instant-typed column is what
+          // unix_millis(), streaming watermarks, and Row.getTimestamp need.
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast(
+              org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(path(dir, name))
 
   /** Register `names` (default: all) as temp views for `spark.sql`. Reading
