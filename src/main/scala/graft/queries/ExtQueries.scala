@@ -731,7 +731,56 @@ object ExtSimilarity extends QueryModule {
           round(avg(n_rel / 10.0), 6) AS prec_at_10,
           round(avg(CASE WHEN first_rel IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
             AS hit_rate
-        FROM per_query GROUP BY 1 ORDER BY label"""))
+        FROM per_query GROUP BY 1 ORDER BY label""")),
+
+    // ---- label-outlier detection (mislabel/contamination audit): cosine
+    // of every vector to its OWN label centroid, bottom-3 per label — the
+    // cheap first-pass screen before a human looks at suspect rows.
+    // Centroids come from one (label, dim)-keyed aggregate and ride a
+    // broadcast back into the per-vector dot product; the ranking window
+    // partitions BY LABEL (no global sort). Cosine rounds to 6 BEFORE
+    // ranking so the order reproduces across engines. ----
+    QueryDef(
+      "ext_embed_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val ex = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"label", posexplode($"embedding"))
+          .select($"vec_id", $"label", $"pos", $"col".cast("double").as("v"))
+        val cent = ex.groupBy($"label", $"pos").agg(avg($"v").as("c"))
+        val cos = ex.join(broadcast(cent), Seq("label", "pos"))
+          .groupBy($"vec_id", $"label")
+          .agg((sum($"v" * $"c") /
+            (sqrt(sum($"v" * $"v")) * sqrt(sum($"c" * $"c")))).as("cos"))
+          .withColumn("cos_r", round($"cos", 6))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"label").orderBy($"cos_r", $"vec_id")
+        cos.withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select($"label".cast("bigint").as("label"),
+            $"rk".as("outlier_rank"), $"vec_id",
+            $"cos_r".as("cos_to_centroid"))
+          .orderBy($"label", $"outlier_rank")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, label,
+                 unnest(list_transform(embedding,
+                   (x, i) -> {'pos': i - 1, 'v': CAST(x AS DOUBLE)})) AS u
+          FROM embeddings),
+        ex AS (SELECT vec_id, label, u.pos AS pos, u.v AS v FROM e),
+        cent AS (SELECT label, pos, avg(v) AS c FROM ex GROUP BY 1, 2),
+        cos AS (
+          SELECT vec_id, ex.label,
+            round(sum(v * c) / (sqrt(sum(v * v)) * sqrt(sum(c * c))), 6) AS cos_r
+          FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY label
+            ORDER BY cos_r, vec_id) AS rk
+          FROM cos)
+        SELECT CAST(label AS BIGINT) AS label, CAST(rk AS INT) AS outlier_rank,
+               vec_id, cos_r AS cos_to_centroid
+        FROM ranked WHERE rk <= 3 ORDER BY label, outlier_rank"""))
   )
 }
 

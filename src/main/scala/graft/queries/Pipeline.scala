@@ -1327,7 +1327,161 @@ object Pipeline extends QueryModule {
         e AS (SELECT lang, (r_q + r_len) / 2 AS ens FROM r)
         SELECT lang, CAST(least(floor(ens * 10), 9) AS INT) AS decile,
                count(*) AS n_docs, round(avg(ens), 6) AS mean_ens
-        FROM e GROUP BY 1, 2 ORDER BY lang, decile"""))
+        FROM e GROUP BY 1, 2 ORDER BY lang, decile""")),
+
+    // ---- token-budget allocation by waterfilling: spend budget B (here
+    // half the corpus) across sources so no source exceeds the common cap
+    // c, where c is the unique level with Σ min(tokens_i, c) = B — small
+    // sources keep everything, big sources are clipped to c (the standard
+    // fair-mixture rule). Closed form from ONE pass over the per-source
+    // aggregate: sort ascending, the first position k where the residual-
+    // budget-per-remaining-source fits under tokens_k yields c. The window
+    // runs over the AGGREGATED per-source table (thousands of rows at
+    // 100 TB, not the corpus); the corpus itself is touched once by the
+    // combinable token-count aggregate. ----
+    QueryDef(
+      "pl_token_budget_alloc",
+      (s, dir) => {
+        import s.implicits._
+        val perSrc = Tables.load(s, dir, "documents")
+          .groupBy($"source")
+          .agg(sum(TextOps.tokenCount($"text").cast("bigint")).as("t"))
+        val tot = perSrc.agg(sum($"t").as("total"),
+          count(lit(1)).as("n_src"))
+        val w = Window.orderBy($"t", $"source")
+        val cand = perSrc.crossJoin(broadcast(tot))
+          .withColumn("b", $"total".cast("double") / 2)
+          .withColumn("k", row_number().over(w))
+          .withColumn("cum", sum($"t").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cap_cand",
+            ($"b" - ($"cum" - $"t").cast("double")) / ($"n_src" - $"k" + 1))
+        val cap = cand.filter($"cap_cand" <= $"t".cast("double"))
+          .orderBy($"k").limit(1).select($"cap_cand".as("cap"))
+        perSrc.crossJoin(broadcast(cap))
+          .select($"source", $"t".as("tokens"),
+            round(least($"t".cast("double"), $"cap"), 4).as("alloc"),
+            round(least($"t".cast("double"), $"cap") / $"t", 6).as("keep_frac"))
+          .orderBy($"source")
+      },
+      Some("""WITH per_src AS (
+          SELECT source,
+            CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS t
+          FROM documents GROUP BY source),
+        tot AS (SELECT sum(t) AS total, count(*) AS n_src FROM per_src),
+        cand AS (
+          SELECT source, t, CAST(total AS DOUBLE) / 2 AS b,
+            row_number() OVER (ORDER BY t, source) AS k,
+            sum(t) OVER (ORDER BY t, source ROWS UNBOUNDED PRECEDING) AS cum,
+            n_src
+          FROM per_src CROSS JOIN tot),
+        c2 AS (
+          SELECT *, (b - CAST(cum - t AS DOUBLE)) / (n_src - k + 1) AS cap_cand
+          FROM cand),
+        cap AS (
+          SELECT cap_cand AS cap FROM c2
+          WHERE cap_cand <= CAST(t AS DOUBLE) ORDER BY k LIMIT 1)
+        SELECT source, t AS tokens,
+          round(least(CAST(t AS DOUBLE), cap), 4) AS alloc,
+          round(least(CAST(t AS DOUBLE), cap) / t, 6) AS keep_frac
+        FROM per_src CROSS JOIN cap ORDER BY source""")),
+
+    // ---- the full dedup CASCADE as one funnel report (the production
+    // composition every corpus actually runs, cheapest stage first so each
+    // stage shrinks the next one's input): exact fingerprint dedup →
+    // line-level boilerplate filter (drop docs that lose ≥half their
+    // lines) → near-dup clustering (trigram Jaccard ≥ 0.8, connected
+    // components, min-id keeper). Reports survivors after each stage —
+    // the attrition numbers a data lead signs off on before a train run.
+    // Every stage is the already-proven operator; this entry pins their
+    // COMPOSITION end to end under one oracle. ----
+    QueryDef(
+      "pl_dedup_cascade",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        val s1 = docs
+          .withColumn("fp", TextOps.fingerprint($"text"))
+          .withColumn("rk",
+            row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")))
+          .filter($"rk" === 1).select($"doc_id", $"text")
+        val ld = DedupOps.lineDedup(s1, $"doc_id", $"text",
+          lineTokens = 8, minDf = 2)
+        val s2 = s1.join(
+          ld.filter($"n_kept" * 2 >= $"n_lines").select($"id".as("doc_id")),
+          Seq("doc_id"))
+        val pairs = DedupOps.jaccardPairs(s2, $"doc_id", $"text", n = 3,
+          threshold = 0.8, maxDf = 128)
+        val clusters = GraphOps.dedupClusters(s2, $"doc_id", pairs,
+          $"id_a", $"id_b")
+        val retired = clusters.filter(!$"is_keeper").select($"doc_id")
+        val s3 = s2.join(retired, Seq("doc_id"), "left_anti")
+        def stage(name: String, df: DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(name).as("stage"), $"n_docs")
+        stage("0_raw", docs).union(stage("1_exact", s1))
+          .union(stage("2_line", s2)).union(stage("3_neardup", s3))
+          .orderBy($"stage")
+      },
+      Some("""WITH RECURSIVE raw AS (SELECT doc_id, text FROM documents),
+        fp AS (
+          SELECT doc_id, text,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM raw),
+        s1 AS (
+          SELECT doc_id, text FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+            FROM fp)
+          WHERE rk = 1),
+        t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM s1),
+        lines AS (
+          SELECT doc_id, u.i - 1 AS idx,
+                 array_to_string(tk[(u.i-1)*8+1:(u.i-1)*8+8], ' ') AS line
+          FROM t, unnest(range(1, CAST(ceil(len(tk) / 8.0) AS BIGINT) + 1)) u(i)),
+        boiler AS (
+          SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+        keptl AS (
+          SELECT doc_id, count(*) AS n_kept FROM lines
+          WHERE line NOT IN (SELECT line FROM boiler) GROUP BY doc_id),
+        totl AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+        s2 AS (
+          SELECT s1.doc_id, s1.text
+          FROM s1 JOIN totl USING (doc_id) LEFT JOIN keptl USING (doc_id)
+          WHERE coalesce(n_kept, 0) * 2 >= n_lines),
+        toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM s2),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx0 AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx AS (
+          SELECT doc_id, sz, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM idx0)
+          WHERE df <= 128),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 count(*) AS inter
+          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.8),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        reach AS (
+          SELECT DISTINCT src AS id, src AS lab FROM sym
+          UNION
+          SELECT s.dst AS id, r.lab FROM reach r JOIN sym s ON s.src = r.id),
+        retired AS (
+          SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> min(lab)),
+        s3 AS (
+          SELECT doc_id FROM s2
+          WHERE doc_id NOT IN (SELECT doc_id FROM retired))
+        SELECT '0_raw' AS stage, count(*) AS n_docs FROM raw
+        UNION ALL SELECT '1_exact', count(*) FROM s1
+        UNION ALL SELECT '2_line', count(*) FROM s2
+        UNION ALL SELECT '3_neardup', count(*) FROM s3
+        ORDER BY stage"""))
   )
 
   /** DuckDB-side Morton interleave: same shift/and/add expansion as

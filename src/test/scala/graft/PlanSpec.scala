@@ -183,6 +183,28 @@ class PlanSpec extends AnyFunSuite {
     assert(wins.forall(_.partitionSpec.nonEmpty), p)
   }
 
+  test("pl_dedup_cascade: no cartesian anywhere in the three-stage funnel") {
+    val p = plan("pl_dedup_cascade")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quality ensemble + embed outliers: every ranking window is partitioned") {
+    Seq("pl_quality_ensemble", "ext_embed_outliers").foreach { q =>
+      val df = Registry.queries(q)(spark, TestSpark.sfDir)
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        s"$q: unpartitioned Window found:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
+
+  test("pl_token_budget_alloc: cap broadcast back, no sort-merge join") {
+    val p = plan("pl_token_budget_alloc")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("pl_mix_temperature: rates broadcast back, no sort-merge join") {
     val p = plan("pl_mix_temperature")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
