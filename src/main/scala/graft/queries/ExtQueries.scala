@@ -1633,7 +1633,76 @@ object ExtText extends QueryModule {
         SELECT CAST(n1 AS BIGINT) AS v1_tokens, CAST(n2 AS BIGINT) AS v2_tokens,
           round(sum(p * ln(p / ((p + q) / 2))) * 0.5
               + sum(q * ln(q / ((p + q) / 2))) * 0.5, 6) AS jsd_nats
-        FROM pq GROUP BY n1, n2"""))
+        FROM pq GROUP BY n1, n2""")),
+
+    // ---- RAG-index chunk dedup report: how many chunk texts are shared
+    // across the index (each duplicate group stores one canonical copy and
+    // pollutes retrieval with the rest). Chunks hash to md5 scan-side, one
+    // hash-keyed aggregate then a tiny histogram aggregate — the md5 is
+    // 32 bytes per chunk on the shuffle, never the chunk text. ----
+    QueryDef(
+      "ext_text_chunk_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val width = 256
+        val stride = 200
+        val groups = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text",
+            posexplode(sequence(lit(0),
+              greatest(length($"text") - 1, lit(0)), lit(stride))))
+          .select(md5($"text".substr($"col" + 1, lit(width)).cast("binary"))
+            .as("chunk_md5"))
+          .groupBy($"chunk_md5").agg(count(lit(1)).as("copies"))
+        groups.groupBy($"copies")
+          .agg(count(lit(1)).as("n_chunk_texts"))
+          .orderBy($"copies")
+      },
+      Some("""WITH c AS (
+          SELECT md5(substr(text, CAST(u.i AS INT) + 1, 256)) AS chunk_md5
+          FROM documents,
+               unnest(range(0, greatest(len(text) - 1, 0) + 1, 200)) u(i)),
+        g AS (SELECT chunk_md5, count(*) AS copies FROM c GROUP BY 1)
+        SELECT copies, count(*) AS n_chunk_texts
+        FROM g GROUP BY copies ORDER BY copies""")),
+
+    // ---- n-gram novelty profile (curriculum/ordering signal): per doc,
+    // the fraction of its distinct trigram shingles whose FIRST corpus
+    // occurrence (min doc_id) is this doc — high-novelty docs introduce
+    // new content, low-novelty docs restate earlier material. One
+    // shingle-keyed aggregate for first-occurrence + one shingle-keyed
+    // join back (same equi-shuffle, exchange-reusable), then a doc-keyed
+    // aggregate; only (shingle, id) pairs ride the shuffles. ----
+    QueryDef(
+      "ext_text_ngram_novelty",
+      (s, dir) => {
+        import s.implicits._
+        val sh = DedupOps.shingleIndex(
+          Tables.load(s, dir, "documents"), $"doc_id", $"text", n = 3, maxDf = 0)
+        val first = sh.groupBy($"shingle").agg(min($"id").as("first_doc"))
+        sh.join(first, Seq("shingle"))
+          .groupBy($"id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when($"first_doc" === $"id", 1L).otherwise(0L)).as("n_novel"))
+          .select($"id".as("doc_id"), $"n_shingles", $"n_novel",
+            round($"n_novel".cast("double") / $"n_shingles", 6).as("novelty"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+        first AS (SELECT shingle, min(doc_id) AS first_doc FROM idx GROUP BY 1),
+        per_doc AS (
+          SELECT doc_id, count(*) AS n_shingles,
+            sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel
+          FROM idx JOIN first USING (shingle) GROUP BY doc_id)
+        SELECT doc_id, n_shingles,
+          CAST(n_novel AS BIGINT) AS n_novel,
+          round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+        FROM per_doc ORDER BY doc_id"""))
   )
 }
 
@@ -1962,7 +2031,48 @@ object ExtEvents extends QueryModule {
           .withColumn("overcount", $"n_est" - $"n_exact")
           .orderBy($"source", $"tok")
       },
-      None)
+      None),
+
+    // ---- late-arrival audit (the batch replica of what a streaming
+    // watermark would drop): within each user's arrival order (event_id
+    // as the arrival proxy), an event is "late" when its event time falls
+    // more than 10 minutes behind the running max of previously-arrived
+    // events. The per-user watermark window is PARTITIONED (no global
+    // sort) — this is the report that sizes a production watermark before
+    // the streaming job ships. ----
+    QueryDef(
+      "ext_events_late_audit",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables.load(s, dir, "events")
+          .withColumn("hwm", max($"ts").over(w))
+          .withColumn("late",
+            $"hwm".isNotNull && $"ts" < $"hwm" - expr("INTERVAL 10 MINUTES"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when($"late", 1L).otherwise(0L)).as("n_late"))
+          .select($"event_type", $"n_events", $"n_late",
+            round($"n_late".cast("double") / $"n_events", 6).as("late_frac"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH a AS (
+          SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+            max(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+              ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+          FROM events),
+        l AS (
+          SELECT event_type,
+            (hwm IS NOT NULL AND ts < hwm - INTERVAL 10 MINUTE) AS late
+          FROM a)
+        SELECT event_type, count(*) AS n_events,
+          CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+          round(sum(CASE WHEN late THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+            AS late_frac
+        FROM l GROUP BY event_type ORDER BY event_type"""))
   )
 }
 
