@@ -69,4 +69,46 @@ object AsofOps {
       .filter(col("__side") === 1)
       .select(leftCols ++ carriedCols: _*)
   }
+
+  /** Forward as-of join: for each left row, attach the EARLIEST right row
+    * whose timestamp is ≥ the left row's timestamp within the same key —
+    * the "next scheduled event" lookup (next maintenance window, next
+    * price tick). Same union-scan shape as [[asofJoin]], mirrored: left
+    * rows sort BEFORE right rows at equal timestamps (≥ semantics) and
+    * `first(payload, ignoreNulls)` over the current-row→unbounded-following
+    * frame carries the nearest following right payload backward. One
+    * shuffle, no pair materialization — identical 100 TB cost model.
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val payloadStruct = struct(rightCols.map(col).toIndexedSeq: _*)
+
+    val lU = left.select(
+      col(key).as("__k"), col(leftTs).as("__ts"), lit(0).as("__side"),
+      leftStruct.as("__l"),
+      lit(null).cast(right.select(payloadStruct).schema.head.dataType).as("__r"))
+    val rU = right.select(
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(1).as("__side"),
+      lit(null).cast(left.select(leftStruct).schema.head.dataType).as("__l"),
+      payloadStruct.as("__r"))
+
+    // left-before-right at equal ts ⇒ a right row AT the left timestamp
+    // matches (ASOF <=); struct tiebreak keeps equal-ts right rows ordered
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"), col("__r"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val leftCols = left.columns.map(c => col(s"__l.$c").as(c)).toIndexedSeq
+    val carriedCols = rightCols.map(c => col(s"__c.$c").as(c))
+    lU.unionByName(rU)
+      .withColumn("__c", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(leftCols ++ carriedCols: _*)
+  }
 }

@@ -807,6 +807,115 @@ object Analytics extends QueryModule {
           CAST(first_value(v IGNORE NULLS) OVER w AS DOUBLE) AS first_nn,
           CAST(nth_value(v, 2 IGNORE NULLS) OVER w AS DOUBLE) AS second_nn
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ORDER BY user_id, event_id"""))
+        ORDER BY user_id, event_id""")),
+
+    // ---- market-basket association mining (brand co-occurrence lift over
+    // orders): distinct brands per order, pairwise self-join WITHIN each
+    // order (basket fanout is bounded by order size, never corpus²),
+    // support/confidence/lift from the pair counts with singleton counts
+    // broadcast back. Lift rounds BEFORE ranking so the top-15 reproduces
+    // across engines; top-15 plans as TakeOrdered, not a global sort. ----
+    QueryDef(
+      "an_market_basket",
+      (s, dir) => {
+        import s.implicits._
+        val items = Tables.load(s, dir, "lineitem")
+          .join(broadcast(Tables.load(s, dir, "part")),
+            $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey".as("okey"), $"p_brand".as("brand"))
+          .distinct()
+        val nOrders = Tables.load(s, dir, "orders")
+          .agg(countDistinct($"o_orderkey").as("n_orders"))
+        val singles = items.groupBy($"brand").agg(count(lit(1)).as("c1"))
+        val a = items.select($"okey", $"brand".as("brand_a"))
+        val b = items.select($"okey", $"brand".as("brand_b"))
+        val pairs = a.join(b, Seq("okey")).filter($"brand_a" < $"brand_b")
+          .groupBy($"brand_a", $"brand_b").agg(count(lit(1)).as("c_ab"))
+        pairs
+          .join(broadcast(singles.select($"brand".as("brand_a"), $"c1".as("c_a"))),
+            Seq("brand_a"))
+          .join(broadcast(singles.select($"brand".as("brand_b"), $"c1".as("c_b"))),
+            Seq("brand_b"))
+          .crossJoin(broadcast(nOrders))
+          .select($"brand_a", $"brand_b", $"c_ab",
+            round($"c_ab" / $"n_orders".cast("double"), 6).as("support"),
+            round($"c_ab" / $"c_a".cast("double"), 6).as("confidence"),
+            round($"c_ab" * $"n_orders" / ($"c_a" * $"c_b").cast("double"), 6)
+              .as("lift"))
+          .orderBy($"lift".desc, $"brand_a", $"brand_b")
+          .limit(15)
+      },
+      Some("""WITH items AS (
+          SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        n AS (SELECT count(DISTINCT o_orderkey) AS n_orders FROM orders),
+        singles AS (SELECT brand, count(*) AS c1 FROM items GROUP BY 1),
+        pairs AS (
+          SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS c_ab
+          FROM items a JOIN items b
+            ON a.okey = b.okey AND a.brand < b.brand
+          GROUP BY 1, 2)
+        SELECT brand_a, brand_b, c_ab,
+          round(c_ab / CAST(n_orders AS DOUBLE), 6) AS support,
+          round(c_ab / CAST(sa.c1 AS DOUBLE), 6) AS confidence,
+          round(c_ab * n_orders / CAST(sa.c1 * sb.c1 AS DOUBLE), 6) AS lift
+        FROM pairs
+        JOIN singles sa ON sa.brand = pairs.brand_a
+        JOIN singles sb ON sb.brand = pairs.brand_b
+        CROSS JOIN n
+        ORDER BY lift DESC, brand_a, brand_b LIMIT 15""")),
+
+    // ---- abandoned-cart detection: clicks with NO purchase by the same
+    // user within the following hour — an anti-join whose equi key is the
+    // user and whose time window is a residual predicate (never a
+    // cartesian); daily counts of clicks vs abandoned with the rate. The
+    // per-day report is what a conversion dashboard polls. ----
+    QueryDef(
+      "an_abandoned_carts",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id", $"ts")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+        val abandoned = clicks.join(purchases,
+          $"user_id" === $"p_user" &&
+            $"p_ts" > $"ts" && $"p_ts" <= $"ts" + expr("INTERVAL 1 HOUR"),
+          "left_anti")
+        val byDayAll = clicks.groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("n_clicks"))
+        val byDayAb = abandoned.groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("n_abandoned"))
+        byDayAll.join(byDayAb, Seq("day"), "left_outer")
+          .select($"day", $"n_clicks",
+            coalesce($"n_abandoned", lit(0L)).as("n_abandoned"),
+            round(coalesce($"n_abandoned", lit(0L)) / $"n_clicks".cast("double"), 6)
+              .as("abandon_rate"))
+          .orderBy($"day")
+      },
+      Some("""WITH clicks AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+          WHERE event_type = 'click'),
+        purchases AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+          WHERE event_type = 'purchase'),
+        ab AS (
+          SELECT c.* FROM clicks c
+          WHERE NOT EXISTS (SELECT 1 FROM purchases p
+            WHERE p.user_id = c.user_id
+              AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)),
+        d_all AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS n_clicks
+          FROM clicks GROUP BY 1),
+        d_ab AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS n_abandoned
+          FROM ab GROUP BY 1)
+        SELECT d_all.day, n_clicks,
+          coalesce(n_abandoned, 0) AS n_abandoned,
+          round(coalesce(n_abandoned, 0) / CAST(n_clicks AS DOUBLE), 6)
+            AS abandon_rate
+        FROM d_all LEFT JOIN d_ab ON d_all.day = d_ab.day
+        ORDER BY d_all.day"""))
   )
 }

@@ -780,7 +780,72 @@ object ExtSimilarity extends QueryModule {
           FROM cos)
         SELECT CAST(label AS BIGINT) AS label, CAST(rk AS INT) AS outlier_rank,
                vec_id, cos_r AS cos_to_centroid
-        FROM ranked WHERE rk <= 3 ORDER BY label, outlier_rank"""))
+        FROM ranked WHERE rk <= 3 ORDER BY label, outlier_rank""")),
+
+    // ---- dimension-truncation ablation (the Matryoshka question: how
+    // much retrieval quality survives keeping only the first d dims?):
+    // mean top-10 overlap between truncated-dim and full-dim brute-force
+    // cosine rankings over a fixed query set. Each ablation is the same
+    // broadcast-query scan shape as [[ext_ann_bruteforce]]; the overlap
+    // join ships (q_id, n_id) pairs only. The number that decides whether
+    // the 4× index-memory cut is free or costly. ----
+    QueryDef(
+      "ext_embed_dim_ablation",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val full = SimilarityOps.bruteForceTopK(
+            emb.filter($"vec_id" < 30), emb,
+            $"vec_id", $"embedding", $"vec_id", $"embedding", k = 10)
+          .select($"q_id", $"n_id")
+        val abl = Seq(16, 32).map { d =>
+          SimilarityOps.bruteForceTopK(
+              emb.filter($"vec_id" < 30)
+                .select($"vec_id", slice($"embedding", 1, d).as("e")),
+              emb.select($"vec_id", slice($"embedding", 1, d).as("e")),
+              $"vec_id", $"e", $"vec_id", $"e", k = 10)
+            .select(lit(d).as("dim"), $"q_id", $"n_id")
+        }.reduce(_.unionByName(_))
+        abl.join(full.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left_outer")
+          .groupBy($"dim")
+          .agg(count(lit(1)).as("n_pairs"),
+            round(avg(coalesce($"hit", lit(0)).cast("double")), 6)
+              .as("overlap_at_10"))
+          .orderBy($"dim")
+      },
+      Some("""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings),
+        full_r AS (
+          SELECT q_id, n_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                list_sum(list_transform(list_zip(q.ve, c.ve), s -> s[1] * s[2]))
+                / (sqrt(list_sum(list_transform(list_zip(q.ve, q.ve), s -> s[1] * s[2])))
+                 * sqrt(list_sum(list_transform(list_zip(c.ve, c.ve), s -> s[1] * s[2]))))
+                DESC, c.vec_id) AS rank
+            FROM v q JOIN v c ON q.vec_id < 30 AND q.vec_id <> c.vec_id)
+          WHERE rank <= 10),
+        sliced AS (
+          SELECT 16 AS dim, vec_id, ve[1:16] AS vs FROM v
+          UNION ALL SELECT 32, vec_id, ve[1:32] FROM v),
+        abl AS (
+          SELECT dim, q_id, n_id FROM (
+            SELECT q.dim, q.vec_id AS q_id, c.vec_id AS n_id,
+              row_number() OVER (PARTITION BY q.dim, q.vec_id ORDER BY
+                list_sum(list_transform(list_zip(q.vs, c.vs), s -> s[1] * s[2]))
+                / (sqrt(list_sum(list_transform(list_zip(q.vs, q.vs), s -> s[1] * s[2])))
+                 * sqrt(list_sum(list_transform(list_zip(c.vs, c.vs), s -> s[1] * s[2]))))
+                DESC, c.vec_id) AS rank
+            FROM sliced q JOIN sliced c
+              ON q.dim = c.dim AND q.vec_id < 30 AND q.vec_id <> c.vec_id)
+          WHERE rank <= 10)
+        SELECT dim, count(*) AS n_pairs,
+          round(avg(CASE WHEN f.n_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+            AS overlap_at_10
+        FROM abl LEFT JOIN full_r f
+          ON abl.q_id = f.q_id AND abl.n_id = f.n_id
+        GROUP BY dim ORDER BY dim"""))
   )
 }
 
@@ -1867,6 +1932,37 @@ object ExtEvents extends QueryModule {
         SELECT buy_id, buys.user_id AS user_id, buy_ts, view_id, view_ts
         FROM buys ASOF LEFT JOIN views
           ON buys.user_id = views.user_id AND buys.buy_ts >= views.view_ts
+        ORDER BY buy_id""")),
+
+    // ---- FORWARD as-of join ("next event ≥ t" lookup — next price tick,
+    // next maintenance window): mirror of the backward as-of, same
+    // single-shuffle union-scan (no pair materialization); oracle is
+    // DuckDB's native ASOF with the <= comparison. Views deduped per
+    // (user, ts) so the winner is unique on both engines. ----
+    QueryDef(
+      "ext_events_asof_forward",
+      (s, dir) => {
+        import s.implicits._
+        val events = Tables.load(s, dir, "events")
+        val buys = events.filter($"event_type" === "purchase")
+          .select($"event_id".as("buy_id"), $"user_id", $"ts".as("buy_ts"))
+        val views = events.filter($"event_type" === "view")
+          .groupBy($"user_id", $"ts".as("view_ts"))
+          .agg(max($"event_id").as("view_id"))
+        AsofOps.asofJoinForward(buys, views, "user_id", "buy_ts", "view_ts",
+            Seq("view_id", "view_ts"))
+          .select($"buy_id", $"user_id", $"buy_ts", $"view_id", $"view_ts")
+          .orderBy($"buy_id")
+      },
+      Some("""WITH buys AS (
+          SELECT event_id AS buy_id, user_id, CAST(ts AS TIMESTAMP) AS buy_ts
+          FROM events WHERE event_type = 'purchase'),
+        views AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, max(event_id) AS view_id
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        SELECT buy_id, buys.user_id AS user_id, buy_ts, view_id, view_ts
+        FROM buys ASOF LEFT JOIN views
+          ON buys.user_id = views.user_id AND buys.buy_ts <= views.view_ts
         ORDER BY buy_id""")),
 
     // ---- bounded interval join: purchases within 10 min after a click.

@@ -41,6 +41,35 @@ class AsofRangeSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("asofJoinForward equals brute-force earliest-at-or-after per row") {
+    import spark.implicits._
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+    val buys = events.filter($"event_type" === "purchase")
+      .select($"event_id".as("buy_id"), $"user_id", $"ts".as("buy_ts"))
+    val views = events.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts".as("view_ts"))
+      .agg(max($"event_id").as("view_id"))
+
+    val got = AsofOps.asofJoinForward(buys, views, "user_id", "buy_ts", "view_ts",
+        Seq("view_id", "view_ts"))
+      .select($"buy_id", $"view_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+
+    val pairs = buys.join(views.withColumnRenamed("user_id", "v_user"),
+        $"user_id" === $"v_user" && $"view_ts" >= $"buy_ts", "left")
+    val brute = pairs
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"buy_id")
+          .orderBy($"view_ts".asc_nulls_last, $"view_id".asc_nulls_last)))
+      .filter($"rk" === 1)
+      .select($"buy_id", $"view_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+
   test("intervalJoin equals naive inequality join and plans as equi-join") {
     import spark.implicits._
     val events = Tables.load(spark, TestSpark.sfDir, "events")
