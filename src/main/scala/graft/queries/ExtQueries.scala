@@ -465,7 +465,66 @@ object ExtDedup extends QueryModule {
             SELECT id_a AS id FROM edges UNION ALL SELECT id_b FROM edges)
           GROUP BY id)
         SELECT degree, count(*) AS n_docs
-        FROM deg GROUP BY degree ORDER BY degree"""))
+        FROM deg GROUP BY degree ORDER BY degree""")),
+
+    // ---- dedup cost model (plan the pass before running it): the shingle
+    // df histogram predicts the candidate-join volume exactly — Σ over
+    // kept shingles of df·(df−1)/2 join incidences — next to the ACTUAL
+    // distinct candidate-pair count at the same maxDf cut. amplification =
+    // incidences per distinct pair (how many shingles co-occurring docs
+    // share). The histogram aggregate is the cheap pass a scheduler runs
+    // to size/provision the expensive one — and to pick maxDf before
+    // committing a corpus-wide join. ----
+    QueryDef(
+      "ext_dedup_cost_model",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val idx = DedupOps.shingleIndex(docs, $"doc_id", $"text",
+          n = 3, maxDf = 0)
+        val dfh = idx.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        val pred = dfh.agg(
+          count(lit(1)).as("n_shingles"),
+          max($"df").as("max_df"),
+          (sum(when($"df" <= 128, $"df" * ($"df" - 1)).otherwise(0L)) / 2)
+            .cast("long").as("pred_incidences"),
+          sum(when($"df" > 128, 1L).otherwise(0L)).as("n_cut_shingles"))
+        val actual = DedupOps.jaccardPairs(docs, $"doc_id", $"text", n = 3,
+            threshold = 0.0, maxDf = 128)
+          .agg(count(lit(1)).as("n_cand_pairs"))
+        pred.crossJoin(actual)
+          .select($"n_shingles", $"max_df", $"n_cut_shingles",
+            $"pred_incidences", $"n_cand_pairs",
+            round($"pred_incidences" / $"n_cand_pairs".cast("double"), 6)
+              .as("amplification"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx0 AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        dfh AS (SELECT shingle, count(*) AS df FROM idx0 GROUP BY 1),
+        pred AS (
+          SELECT count(*) AS n_shingles, max(df) AS max_df,
+            CAST(sum(CASE WHEN df <= 128 THEN df * (df - 1) ELSE 0 END) / 2
+              AS BIGINT) AS pred_incidences,
+            CAST(sum(CASE WHEN df > 128 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_cut_shingles
+          FROM dfh),
+        idx AS (
+          SELECT doc_id, sz, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM idx0)
+          WHERE df <= 128),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        actual AS (SELECT count(*) AS n_cand_pairs FROM cand)
+        SELECT n_shingles, max_df, n_cut_shingles, pred_incidences, n_cand_pairs,
+          round(pred_incidences / CAST(n_cand_pairs AS DOUBLE), 6) AS amplification
+        FROM pred CROSS JOIN actual"""))
   )
 }
 
@@ -1729,6 +1788,50 @@ object ExtText extends QueryModule {
         g AS (SELECT chunk_md5, count(*) AS copies FROM c GROUP BY 1)
         SELECT copies, count(*) AS n_chunk_texts
         FROM g GROUP BY copies ORDER BY copies""")),
+
+    // ---- language-ID confusion matrix (classifier eval against the
+    // fixture's ground-truth lang column): (true, guessed) counts + the
+    // per-true-language share — the accuracy read that decides whether
+    // the cheap n-gram heuristic suffices for routing or a real model is
+    // needed. Shuffle-free classify + one aggregate. ----
+    QueryDef(
+      "ext_text_lang_confusion",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+        docs.select($"lang", TextOps.langId($"text").as("lang_guess"))
+          .groupBy($"lang", $"lang_guess")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("share",
+            round($"n_docs" / sum($"n_docs").over(w).cast("double"), 6))
+          .orderBy($"lang", $"lang_guess")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, lang,
+                 string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        m AS (
+          SELECT doc_id, lang,
+            len(list_filter(tk, x -> x IN ('the','a','of','and'))) AS s_en,
+            len(list_filter(tk, x -> x IN ('der','die','und','ist'))) AS s_de,
+            len(list_filter(tk, x -> x IN ('le','la','et','est'))) AS s_fr,
+            len(list_filter(tk, x -> x IN ('el','la','y','es'))) AS s_es
+          FROM t),
+        g AS (
+          SELECT lang,
+            CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                 WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                 WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                 WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                 ELSE 'es' END AS lang_guess
+          FROM m),
+        c AS (
+          SELECT lang, lang_guess, count(*) AS n_docs FROM g GROUP BY 1, 2)
+        SELECT lang, lang_guess, n_docs,
+          round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6)
+            AS share
+        FROM c ORDER BY lang, lang_guess""")),
 
     // ---- n-gram novelty profile (curriculum/ordering signal): per doc,
     // the fraction of its distinct trigram shingles whose FIRST corpus

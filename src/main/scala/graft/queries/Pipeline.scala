@@ -1481,7 +1481,107 @@ object Pipeline extends QueryModule {
         UNION ALL SELECT '1_exact', count(*) FROM s1
         UNION ALL SELECT '2_line', count(*) FROM s2
         UNION ALL SELECT '3_neardup', count(*) FROM s3
-        ORDER BY stage"""))
+        ORDER BY stage""")),
+
+    // ---- per-filter ablation (which gate does the work?): for each of
+    // the four keep-filters (quality score, language, length, Gopher
+    // alpha/symbol), the docs it fails and the docs ONLY it fails — the
+    // unique-contribution read that tells you which filter to tune and
+    // which is redundant. ONE shuffle-free scan computes every flag;
+    // everything after is a single global aggregate unpivoted via stack.
+    // The `all_pass` row repeats the survivors count in both columns. ----
+    QueryDef(
+      "pl_filter_ablation",
+      (s, dir) => {
+        import s.implicits._
+        val f = Tables.load(s, dir, "documents").select(
+          (TextOps.qualityScore($"text") >= 0.5).as("f_quality"),
+          (TextOps.langId($"text") === "en").as("f_lang"),
+          TextOps.tokenCount($"text").between(5, 1000).as("f_len"),
+          (TextOps.alphaWordRatio($"text") >= 0.8 &&
+            TextOps.symbolRatio($"text") <= 0.25).as("f_gopher"))
+        def fails(c: org.apache.spark.sql.Column) =
+          sum(when(!c, 1L).otherwise(0L))
+        def onlyFails(c: org.apache.spark.sql.Column,
+            others: org.apache.spark.sql.Column*) =
+          sum(when(!c && others.reduce(_ && _), 1L).otherwise(0L))
+        f.agg(
+            fails($"f_quality").as("q_f"),
+            onlyFails($"f_quality", $"f_lang", $"f_len", $"f_gopher").as("q_o"),
+            fails($"f_lang").as("l_f"),
+            onlyFails($"f_lang", $"f_quality", $"f_len", $"f_gopher").as("l_o"),
+            fails($"f_len").as("n_f"),
+            onlyFails($"f_len", $"f_quality", $"f_lang", $"f_gopher").as("n_o"),
+            fails($"f_gopher").as("g_f"),
+            onlyFails($"f_gopher", $"f_quality", $"f_lang", $"f_len").as("g_o"),
+            sum(when($"f_quality" && $"f_lang" && $"f_len" && $"f_gopher", 1L)
+              .otherwise(0L)).as("pass_all"))
+          .select(expr("""stack(5,
+            'all_pass', pass_all, pass_all,
+            'gopher', g_f, g_o,
+            'lang', l_f, l_o,
+            'length', n_f, n_o,
+            'quality', q_f, q_o) AS (filter_name, n_fail, n_only_fail)"""))
+          .orderBy($"filter_name")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS tk,
+            regexp_replace(lower(trim(text)), '\s+', '', 'g') AS ns
+          FROM documents),
+        m AS (
+          SELECT doc_id, len(tk) AS n_tokens,
+            CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS diversity,
+            CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+              / len(tk) AS sr,
+            CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+              / len(tk) AS mtl,
+            len(list_filter(tk, x -> x IN ('the','a','of','and'))) AS s_en,
+            len(list_filter(tk, x -> x IN ('der','die','und','ist'))) AS s_de,
+            len(list_filter(tk, x -> x IN ('le','la','et','est'))) AS s_fr,
+            len(list_filter(tk, x -> x IN ('el','la','y','es'))) AS s_es,
+            CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+              / len(tk) AS alpha_ratio,
+            1.0 - CAST(length(regexp_replace(ns, '[^a-z0-9]', '', 'g')) AS DOUBLE)
+              / nullif(length(ns), 0) AS symbol_ratio
+          FROM t),
+        f AS (
+          SELECT
+            (diversity * 0.6
+              + (CASE WHEN sr BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2
+              + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2)
+              >= 0.5 AS f_quality,
+            (CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                  ELSE 'es' END) = 'en' AS f_lang,
+            n_tokens BETWEEN 5 AND 1000 AS f_len,
+            (alpha_ratio >= 0.8 AND symbol_ratio <= 0.25) AS f_gopher
+          FROM m),
+        a AS (SELECT
+            CAST(sum(CASE WHEN NOT f_quality THEN 1 ELSE 0 END) AS BIGINT) AS q_f,
+            CAST(sum(CASE WHEN NOT f_quality AND f_lang AND f_len AND f_gopher
+              THEN 1 ELSE 0 END) AS BIGINT) AS q_o,
+            CAST(sum(CASE WHEN NOT f_lang THEN 1 ELSE 0 END) AS BIGINT) AS l_f,
+            CAST(sum(CASE WHEN NOT f_lang AND f_quality AND f_len AND f_gopher
+              THEN 1 ELSE 0 END) AS BIGINT) AS l_o,
+            CAST(sum(CASE WHEN NOT f_len THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+            CAST(sum(CASE WHEN NOT f_len AND f_quality AND f_lang AND f_gopher
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+            CAST(sum(CASE WHEN NOT f_gopher THEN 1 ELSE 0 END) AS BIGINT) AS g_f,
+            CAST(sum(CASE WHEN NOT f_gopher AND f_quality AND f_lang AND f_len
+              THEN 1 ELSE 0 END) AS BIGINT) AS g_o,
+            CAST(sum(CASE WHEN f_quality AND f_lang AND f_len AND f_gopher
+              THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+          FROM f)
+        SELECT 'all_pass' AS filter_name, pass_all AS n_fail,
+               pass_all AS n_only_fail FROM a
+        UNION ALL SELECT 'gopher', g_f, g_o FROM a
+        UNION ALL SELECT 'lang', l_f, l_o FROM a
+        UNION ALL SELECT 'length', n_f, n_o FROM a
+        UNION ALL SELECT 'quality', q_f, q_o FROM a
+        ORDER BY filter_name"""))
   )
 
   /** DuckDB-side Morton interleave: same shift/and/add expansion as
