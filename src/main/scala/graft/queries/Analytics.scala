@@ -916,6 +916,50 @@ object Analytics extends QueryModule {
           round(coalesce(n_abandoned, 0) / CAST(n_clicks AS DOUBLE), 6)
             AS abandon_rate
         FROM d_all LEFT JOIN d_ab ON d_all.day = d_ab.day
-        ORDER BY d_all.day"""))
+        ORDER BY d_all.day""")),
+
+    // ---- customer-value deciles: per-user purchase totals (EXACT decimal
+    // sums — order-independent, so the hash compare holds) cut into ntile
+    // deciles. The decile window runs over the AGGREGATED per-user table
+    // (thousands of rows, not the event stream) — same bounded-window rule
+    // as the waterfilling allocator; avg is derived from the exact sum so
+    // both engines divide identical operands. ----
+    QueryDef(
+      "an_user_value_deciles",
+      (s, dir) => {
+        import s.implicits._
+        val ltv = Tables.load(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(sum($"value".cast(DecimalType(12, 2))).as("ltv"),
+            count(lit(1)).as("n_purchases"))
+        val w = Window.orderBy($"ltv".desc, $"user_id")
+        ltv.withColumn("decile", ntile(10).over(w))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n_users"),
+            sum($"n_purchases").as("n_purchases"),
+            sum($"ltv").as("total"))
+          .select($"decile", $"n_users", $"n_purchases",
+            round($"total".cast("double"), 2).as("total_value"),
+            round($"total".cast("double") / $"n_users", 4).as("avg_value"))
+          .orderBy($"decile")
+      },
+      Some("""WITH ltv AS (
+          SELECT user_id, sum(CAST(value AS DECIMAL(12,2))) AS ltv,
+                 count(*) AS n_purchases
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        d AS (
+          SELECT *, CAST(ntile(10) OVER (ORDER BY ltv DESC, user_id) AS INT)
+            AS decile
+          FROM ltv),
+        g AS (
+          SELECT decile, count(*) AS n_users,
+            CAST(sum(n_purchases) AS BIGINT) AS n_purchases,
+            sum(ltv) AS total
+          FROM d GROUP BY decile)
+        SELECT decile, n_users, n_purchases,
+          round(CAST(total AS DOUBLE), 2) AS total_value,
+          round(CAST(total AS DOUBLE) / n_users, 4) AS avg_value
+        FROM g ORDER BY decile"""))
   )
 }

@@ -524,7 +524,56 @@ object ExtDedup extends QueryModule {
         actual AS (SELECT count(*) AS n_cand_pairs FROM cand)
         SELECT n_shingles, max_df, n_cut_shingles, pred_incidences, n_cand_pairs,
           round(pred_incidences / CAST(n_cand_pairs AS DOUBLE), 6) AS amplification
-        FROM pred CROSS JOIN actual"""))
+        FROM pred CROSS JOIN actual""")),
+
+    // ---- dedup cluster-size histogram: how big do near-dup components
+    // get? (size-2 pairs are organic duplication; a giant component means
+    // template spam or a transitive-closure chain worth eyeballing before
+    // retiring half the corpus). Sizes come from the same min-label
+    // clustering as the retirement pass; two aggregates over the
+    // component labels. Oracle: recursive-CTE closure. ----
+    QueryDef(
+      "ext_graph_component_sizes",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text", n = 3,
+          threshold = 0.8, maxDf = 128)
+        // dedupClusters returns only docs in components of size > 1, with
+        // cluster_id = the component min label
+        GraphOps.dedupClusters(docs, $"doc_id", pairs, $"id_a", $"id_b")
+          .groupBy($"cluster_id").agg(count(lit(1)).as("csize"))
+          .groupBy($"csize").agg(count(lit(1)).as("n_components"))
+          .orderBy($"csize")
+      },
+      Some("""WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx0 AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx AS (
+          SELECT doc_id, sz, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM idx0)
+          WHERE df <= 128),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 count(*) AS inter
+          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.8),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        reach AS (
+          SELECT DISTINCT src AS id, src AS lab FROM sym
+          UNION
+          SELECT s.dst AS id, r.lab FROM reach r JOIN sym s ON s.src = r.id),
+        comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+        sizes AS (SELECT cluster_id, count(*) AS csize FROM comp GROUP BY 1)
+        SELECT csize, count(*) AS n_components
+        FROM sizes GROUP BY csize ORDER BY csize"""))
   )
 }
 
