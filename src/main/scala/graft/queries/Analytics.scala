@@ -960,6 +960,66 @@ object Analytics extends QueryModule {
         SELECT decile, n_users, n_purchases,
           round(CAST(total AS DOUBLE), 2) AS total_value,
           round(CAST(total AS DOUBLE) / n_users, 4) AS avg_value
-        FROM g ORDER BY decile"""))
+        FROM g ORDER BY decile""")),
+
+    // ---- RFM segmentation (recency / frequency / monetary): per-user
+    // last-purchase age, purchase count, and exact-decimal spend, each cut
+    // into terciles (1 = best) over the AGGREGATED user table; users land
+    // in 27 "r-f-m" cells. The standard CRM cut, built entirely from one
+    // event aggregate + three bounded ntile windows. Monetary sums stay
+    // DECIMAL so tercile boundaries are order-independent. ----
+    QueryDef(
+      "an_rfm_segments",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+          .filter($"event_type" === "purchase")
+        val maxTs = ev.agg(max($"ts").as("max_ts"))
+        val users = ev.groupBy($"user_id")
+          .agg(max($"ts").as("last_ts"),
+            count(lit(1)).as("freq"),
+            sum($"value".cast(DecimalType(12, 2))).as("monetary"))
+          .crossJoin(broadcast(maxTs))
+          .withColumn("recency_days",
+            datediff(to_date($"max_ts"), to_date($"last_ts")))
+        val seg = users
+          .withColumn("r", ntile(3).over(
+            Window.orderBy($"recency_days", $"user_id")))
+          .withColumn("f", ntile(3).over(
+            Window.orderBy($"freq".desc, $"user_id")))
+          .withColumn("m", ntile(3).over(
+            Window.orderBy($"monetary".desc, $"user_id")))
+        seg.groupBy(concat($"r", lit("-"), $"f", lit("-"), $"m").as("segment"))
+          .agg(count(lit(1)).as("n_users"),
+            round(avg($"recency_days"), 4).as("avg_recency_days"),
+            round(avg($"freq"), 4).as("avg_freq"),
+            round(sum($"monetary").cast("double"), 2).as("total_value"))
+          .orderBy($"segment")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+          WHERE event_type = 'purchase'),
+        mx AS (SELECT max(ts) AS max_ts FROM ev),
+        users AS (
+          SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+                 sum(CAST(value AS DECIMAL(12,2))) AS monetary
+          FROM ev GROUP BY user_id),
+        u2 AS (
+          SELECT user_id, freq, monetary,
+            date_diff('day', CAST(last_ts AS DATE), CAST(max_ts AS DATE))
+              AS recency_days
+          FROM users CROSS JOIN mx),
+        seg AS (
+          SELECT *,
+            ntile(3) OVER (ORDER BY recency_days, user_id) AS r,
+            ntile(3) OVER (ORDER BY freq DESC, user_id) AS f,
+            ntile(3) OVER (ORDER BY monetary DESC, user_id) AS m
+          FROM u2)
+        SELECT r || '-' || f || '-' || m AS segment,
+          count(*) AS n_users,
+          round(avg(recency_days), 4) AS avg_recency_days,
+          round(avg(freq), 4) AS avg_freq,
+          round(CAST(sum(monetary) AS DOUBLE), 2) AS total_value
+        FROM seg GROUP BY 1 ORDER BY segment"""))
   )
 }

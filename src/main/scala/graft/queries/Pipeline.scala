@@ -1400,16 +1400,21 @@ object Pipeline extends QueryModule {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        // the funnel unions four stage counts; checkpoint each stage's
+        // survivor set so the chain's expensive prefixes (fingerprint
+        // window, line-dedup) run ONCE, not once per downstream branch
         val s1 = docs
           .withColumn("fp", TextOps.fingerprint($"text"))
           .withColumn("rk",
             row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")))
           .filter($"rk" === 1).select($"doc_id", $"text")
+          .localCheckpoint()
         val ld = DedupOps.lineDedup(s1, $"doc_id", $"text",
           lineTokens = 8, minDf = 2)
         val s2 = s1.join(
           ld.filter($"n_kept" * 2 >= $"n_lines").select($"id".as("doc_id")),
           Seq("doc_id"))
+          .localCheckpoint()
         val pairs = DedupOps.jaccardPairs(s2, $"doc_id", $"text", n = 3,
           threshold = 0.8, maxDf = 128)
         val clusters = GraphOps.dedupClusters(s2, $"doc_id", pairs,
