@@ -1020,6 +1020,111 @@ object Analytics extends QueryModule {
           round(avg(recency_days), 4) AS avg_recency_days,
           round(avg(freq), 4) AS avg_freq,
           round(CAST(sum(monetary) AS DOUBLE), 2) AS total_value
-        FROM seg GROUP BY 1 ORDER BY segment"""))
+        FROM seg GROUP BY 1 ORDER BY segment""")),
+
+    // ---- two-sample Kolmogorov-Smirnov statistic (distribution-drift
+    // test with an actual test statistic, complementing the JSD monitor):
+    // D = max |F_en(x) − F_other(x)| over doc-length empirical CDFs.
+    // One aggregate to per-value counts, one cumsum window over the
+    // DISTINCT-value table (bounded by distinct lengths, not corpus
+    // rows), one max. Reports D and the location where it's attained
+    // (min x at the max, deterministic). ----
+    QueryDef(
+      "an_ks_test_lengths",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val pts = docs.select($"n_chars".as("x"),
+          ($"lang" === "en").as("is_en"))
+        val tot = pts.agg(
+          sum(when($"is_en", 1L).otherwise(0L)).as("n_en"),
+          sum(when(!$"is_en", 1L).otherwise(0L)).as("n_other"))
+        val w = Window.orderBy($"x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cdf = pts.groupBy($"x").agg(
+            sum(when($"is_en", 1L).otherwise(0L)).as("a"),
+            sum(when(!$"is_en", 1L).otherwise(0L)).as("b"))
+          .withColumn("cum_a", sum($"a").over(w))
+          .withColumn("cum_b", sum($"b").over(w))
+          .crossJoin(broadcast(tot))
+          .withColumn("diff",
+            abs($"cum_a" / $"n_en".cast("double") -
+              $"cum_b" / $"n_other".cast("double")))
+        val dMax = cdf.agg(max($"diff").as("d"))
+        cdf.crossJoin(broadcast(dMax))
+          .filter($"diff" === $"d")
+          .groupBy($"n_en", $"n_other", $"d")
+          .agg(min($"x").as("at_x"))
+          .select($"n_en", $"n_other", round($"d", 6).as("ks_d"), $"at_x")
+      },
+      Some("""WITH pts AS (
+          SELECT n_chars AS x, lang = 'en' AS is_en FROM documents),
+        tot AS (
+          SELECT sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS n_en,
+                 sum(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS n_other
+          FROM pts),
+        g AS (
+          SELECT x,
+            sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS a,
+            sum(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS b
+          FROM pts GROUP BY x),
+        cdf AS (
+          SELECT x,
+            sum(a) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_a,
+            sum(b) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_b
+          FROM g),
+        d AS (
+          SELECT x,
+            abs(cum_a / CAST(n_en AS DOUBLE) - cum_b / CAST(n_other AS DOUBLE))
+              AS diff, n_en, n_other
+          FROM cdf CROSS JOIN tot),
+        mx AS (SELECT max(diff) AS dm FROM d)
+        SELECT CAST(n_en AS BIGINT) AS n_en, CAST(n_other AS BIGINT) AS n_other,
+          round(dm, 6) AS ks_d, min(x) AS at_x
+        FROM d CROSS JOIN mx WHERE diff = dm
+        GROUP BY 1, 2, 3""")),
+
+    // ---- seasonal-naive forecast evaluation: predict each day's
+    // per-type revenue with the value 7 days earlier, report WAPE =
+    // Σ|err| / Σ actual from EXACT decimal sums (order-independent —
+    // never an avg over per-row doubles). The baseline every real
+    // forecasting model must beat, and the eval harness shape for it. ----
+    QueryDef(
+      "an_forecast_seasonal_naive",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.load(s, dir, "events")
+          .filter($"event_type" === "purchase" || $"event_type" === "click")
+          .groupBy($"event_type", to_date($"ts").as("day"))
+          .agg(sum($"value".cast(DecimalType(12, 2))).as("v"))
+        val lagged = daily.select($"event_type",
+          date_add($"day", 7).as("day"), $"v".as("v_pred"))
+        daily.join(lagged, Seq("event_type", "day"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sum(abs($"v" - $"v_pred")).as("sae"),
+            sum($"v").as("sv"))
+          .select($"event_type", $"n_days",
+            round($"sae".cast("double"), 2).as("sum_abs_err"),
+            round(($"sae" / $"sv").cast("double"), 6).as("wape"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 sum(CAST(value AS DECIMAL(12,2))) AS v
+          FROM events
+          WHERE event_type IN ('purchase', 'click')
+          GROUP BY 1, 2),
+        lagged AS (
+          SELECT event_type, day + 7 AS day, v AS v_pred
+          FROM daily),
+        j AS (
+          SELECT d.event_type, d.v, l.v_pred
+          FROM daily d JOIN lagged l
+            ON d.event_type = l.event_type AND d.day = l.day)
+        SELECT event_type, count(*) AS n_days,
+          round(CAST(sum(abs(v - v_pred)) AS DOUBLE), 2) AS sum_abs_err,
+          round(CAST(sum(abs(v - v_pred)) / sum(v) AS DOUBLE), 6) AS wape
+        FROM j GROUP BY event_type ORDER BY event_type"""))
   )
 }
