@@ -573,7 +573,52 @@ object ExtDedup extends QueryModule {
         comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
         sizes AS (SELECT cluster_id, count(*) AS csize FROM comp GROUP BY 1)
         SELECT csize, count(*) AS n_components
-        FROM sizes GROUP BY csize ORDER BY csize"""))
+        FROM sizes GROUP BY csize ORDER BY csize""")),
+
+    // ---- dedup keeper mapping (the artifact a dedup pass PUBLISHES):
+    // retired doc → canonical keeper pairs, so references to retired ids
+    // redirect instead of dangling. Just the non-keeper rows of the
+    // clustering — at 100 TB this table is duplicates-only (small) and
+    // joins back to consumers by id. ----
+    QueryDef(
+      "ext_dedup_keeper_map",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = DedupOps.jaccardPairs(docs, $"doc_id", $"text", n = 3,
+          threshold = 0.8, maxDf = 128)
+        GraphOps.dedupClusters(docs, $"doc_id", pairs, $"id_a", $"id_b")
+          .filter(!$"is_keeper")
+          .select($"doc_id".as("retired_id"), $"cluster_id".as("keeper_id"))
+          .orderBy($"retired_id")
+      },
+      Some("""WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx0 AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx AS (
+          SELECT doc_id, sz, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM idx0)
+          WHERE df <= 128),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 count(*) AS inter
+          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.8),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        reach AS (
+          SELECT DISTINCT src AS id, src AS lab FROM sym
+          UNION
+          SELECT s.dst AS id, r.lab FROM reach r JOIN sym s ON s.src = r.id),
+        comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+        SELECT id AS retired_id, cluster_id AS keeper_id
+        FROM comp WHERE id <> cluster_id ORDER BY retired_id"""))
   )
 }
 
