@@ -618,7 +618,33 @@ object ExtDedup extends QueryModule {
           SELECT s.dst AS id, r.lab FROM reach r JOIN sym s ON s.src = r.id),
         comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
         SELECT id AS retired_id, cluster_id AS keeper_id
-        FROM comp WHERE id <> cluster_id ORDER BY retired_id"""))
+        FROM comp WHERE id <> cluster_id ORDER BY retired_id""")),
+
+    // ---- most-shared shingles (WHAT is the boilerplate?): top 15 trigram
+    // shingles by document frequency — the first thing to eyeball when the
+    // cost model or degree histogram looks skewed, and the input to a
+    // site-specific stop-shingle list. One combinable aggregate + a
+    // TakeOrdered top-k; ties broken lexicographically. ----
+    QueryDef(
+      "ext_text_top_shingles",
+      (s, dir) => {
+        import s.implicits._
+        val idx = DedupOps.shingleIndex(
+          Tables.load(s, dir, "documents"), $"doc_id", $"text", n = 3, maxDf = 0)
+        idx.groupBy($"shingle").agg(count(lit(1)).as("df"))
+          .orderBy($"df".desc, $"shingle")
+          .limit(15)
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx AS (SELECT doc_id, unnest(shs) AS shingle FROM sh)
+        SELECT shingle, count(*) AS df
+        FROM idx GROUP BY shingle
+        ORDER BY df DESC, shingle LIMIT 15"""))
   )
 }
 
