@@ -1125,6 +1125,45 @@ object Analytics extends QueryModule {
         SELECT event_type, count(*) AS n_days,
           round(CAST(sum(abs(v - v_pred)) AS DOUBLE), 2) AS sum_abs_err,
           round(CAST(sum(abs(v - v_pred)) / sum(v) AS DOUBLE), 6) AS wape
-        FROM j GROUP BY event_type ORDER BY event_type"""))
+        FROM j GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- Gini coefficient of revenue concentration: G = 2·Σ(i·xᵢ)/(n·Σxᵢ)
+    // − (n+1)/n over per-user purchase totals sorted ascending — the
+    // single-number inequality read behind "top 10% of users drive X%".
+    // Both Σ terms stay EXACT decimal (i·xᵢ is decimal × int) so the rank
+    // weighting is order-independent; only the final ratio is double. The
+    // ranking window runs over the aggregated user table. ----
+    QueryDef(
+      "an_gini_revenue",
+      (s, dir) => {
+        import s.implicits._
+        val ltv = Tables.load(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(sum($"value".cast(DecimalType(12, 2))).as("x"))
+        val w = Window.orderBy($"x", $"user_id")
+        ltv.withColumn("i", row_number().over(w))
+          .agg(count(lit(1)).as("n"),
+            sum($"x").as("sx"),
+            sum($"x" * $"i").as("swx"))
+          .select($"n".as("n_users"),
+            round($"sx".cast("double"), 2).as("total_value"),
+            round(
+              lit(2.0) * $"swx".cast("double") /
+                ($"n" * $"sx".cast("double")) -
+                ($"n" + 1).cast("double") / $"n", 6).as("gini"))
+      },
+      Some("""WITH ltv AS (
+          SELECT user_id, sum(CAST(value AS DECIMAL(12,2))) AS x
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        r AS (
+          SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM ltv),
+        a AS (
+          SELECT count(*) AS n, sum(x) AS sx, sum(x * i) AS swx FROM r)
+        SELECT n AS n_users,
+          round(CAST(sx AS DOUBLE), 2) AS total_value,
+          round(2.0 * CAST(swx AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+            - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+        FROM a"""))
   )
 }
