@@ -243,7 +243,7 @@ final class GraftSession(
           sys.error(s"schema not empty: $name (${members.size} tables — use DROP SCHEMA $name CASCADE)")
         members.foreach { t =>
           if (tables.exists(t)) tables.drop(t, ifExists = true)
-          else spark.catalog.dropTempView(t)
+          else { spark.catalog.dropTempView(t); viewDefs -= t }
         }
         schemaMembers -= name
         schemas -= name
@@ -305,6 +305,10 @@ final class GraftSession(
 
   // ---------------------------------------------------------------- views
 
+  /** CREATE VIEW body text, kept for information_schema.views'
+    * view_definition column (the plan itself is bound at creation). */
+  private val viewDefs = scala.collection.mutable.Map[String, String]()
+
   private val CreateViewRe =
     ("""(?is)CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+""" + Ident + """\s+AS\s+(.*)""").r
   private val DropViewRe =
@@ -322,6 +326,7 @@ final class GraftSession(
       if (tables.exists(name))
         sys.error(s"cannot replace base table with view: $name")
       sql(body).createOrReplaceTempView(name)
+      viewDefs(name) = body.trim
       recordMember(name)
       spark.emptyDataFrame
     case _ => sys.error(s"cannot parse CREATE VIEW: $q")
@@ -332,7 +337,7 @@ final class GraftSession(
       val name = unquoteIdent(name0)
       if (tables.exists(name)) sys.error(s"cannot DROP VIEW a base table: $name")
       val dropped = spark.catalog.dropTempView(name)
-      if (dropped) removeMember(name)
+      if (dropped) { removeMember(name); viewDefs -= name }
       if (!dropped && ifEx == null) sys.error(s"view not found: $name")
       spark.emptyDataFrame
     case _ => sys.error(s"cannot parse DROP VIEW: $q")
@@ -654,6 +659,53 @@ final class GraftSession(
         rows.sortBy(r => (r.getString(1), r.getString(2), r.getLong(4))), 1), schema)
   }
 
+  /** information_schema.schemata — the reference declares all five
+    * info-table names (`information_schema.rs:20`) but builds only
+    * `tables`; this is what a BI tool probes right after `tables`. One row
+    * per registered namespace (always at least `public`). */
+  private def informationSchemaSchemata(): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("catalog_name", StringType),
+      StructField("schema_name", StringType),
+      StructField("schema_owner", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        schemas.toSeq.sorted.map(s => Row("qurious", s, "qurious")), 1), schema)
+  }
+
+  /** information_schema.views (declared, never built, in the reference):
+    * the VIEW subset of the catalog with the CREATE VIEW body as
+    * view_definition (null for views registered outside view DDL, e.g.
+    * read_* TVF bindings). */
+  private def informationSchemaViews(): DataFrame = {
+    val rows = spark.catalog.listTables().collect().toSeq
+      .filter(t => !tables.exists(t.name))
+      .map { t =>
+        val (sch, tbl) = schemaOf(t.name)
+        Row("qurious", sch, tbl, viewDefs.get(t.name).orNull)
+      }
+    val schema = StructType(Seq(
+      StructField("table_catalog", StringType),
+      StructField("table_schema", StringType),
+      StructField("table_name", StringType),
+      StructField("view_definition", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.sortBy(r => (r.getString(1), r.getString(2))), 1), schema)
+  }
+
+  /** information_schema.df_settings (the reference's DataFusion-style
+    * session-settings table, declared at `information_schema.rs:20`): one
+    * (name, value) row per session config entry. */
+  private def dfSettings(): DataFrame = {
+    val rows = spark.conf.getAll.toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
+    val schema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("value", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Spark catalog type string (`simpleString`) → SQL-standard spelling. */
   private def sqlTypeName(t: String): String = {
     val lower = t.toLowerCase(Locale.ROOT)
@@ -730,6 +782,21 @@ final class GraftSession(
       informationSchemaColumns().createOrReplaceTempView("information_schema_columns")
       out = mapUnquoted(out)(
         _.replaceAll("(?i)information_schema\\.columns", "information_schema_columns"))
+    }
+    if (out.toLowerCase(Locale.ROOT).contains("information_schema.schemata")) {
+      informationSchemaSchemata().createOrReplaceTempView("information_schema_schemata")
+      out = mapUnquoted(out)(
+        _.replaceAll("(?i)information_schema\\.schemata", "information_schema_schemata"))
+    }
+    if (out.toLowerCase(Locale.ROOT).contains("information_schema.views")) {
+      informationSchemaViews().createOrReplaceTempView("information_schema_views")
+      out = mapUnquoted(out)(
+        _.replaceAll("(?i)information_schema\\.views", "information_schema_views"))
+    }
+    if (out.toLowerCase(Locale.ROOT).contains("information_schema.df_settings")) {
+      dfSettings().createOrReplaceTempView("information_schema_df_settings")
+      out = mapUnquoted(out)(
+        _.replaceAll("(?i)information_schema\\.df_settings", "information_schema_df_settings"))
     }
     out = foldIntervalArith(out)
     out = mapUnquoted(out)(descNullsFirst)

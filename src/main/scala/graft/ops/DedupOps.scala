@@ -272,11 +272,35 @@ object DedupOps {
     cross.unionByName(within)
   }
 
+  /** Engine-neutral MinHash family: universal hashes
+    * hᵢ(s) = (Aᵢ·(base(s) mod P) + Bᵢ) mod P over a 48-bit md5-prefix base,
+    * P the largest 32-bit prime. Every term is md5 + integer arithmetic any
+    * SQL engine reproduces bit-for-bit (Aᵢ < 2²⁰ keeps Aᵢ·x < 2⁵² — no
+    * 64-bit overflow anywhere), so the DuckDB oracle computes IDENTICAL
+    * signatures — unlike a JVM-seeded or FNV-looped hash. */
+  private[graft] val MinhashP = 4294967291L
+  private[graft] def minhashA(i: Int): Long = 1L + (i.toLong * 2654435761L) % 1048573L
+  private[graft] def minhashB(i: Int): Long = (i.toLong * 4050313L + 17L) % MinhashP
+
+  /** array<long> minhash signature of a distinct-shingle array (one md5 per
+    * shingle, then `numHashes` linear probes — arithmetic only). */
+  private[graft] def neutralMinhashSig(sh: Column, numHashes: Int): Column = {
+    val bases = transform(sh, s =>
+      conv(substring(md5(s), 1, 12), 16, 10).cast("long") % MinhashP)
+    val aLit = array((0 until numHashes).map(i => lit(minhashA(i))): _*)
+    val bLit = array((0 until numHashes).map(i => lit(minhashB(i))): _*)
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(bases, x =>
+        (element_at(aLit, i + 1) * x + element_at(bLit, i + 1)) % MinhashP)))
+  }
+
   /** MinHash+LSH near-dup pairs: band-bucket candidate join, then exact
     * Jaccard verification of candidates (false positives filtered; recall
     * governed by (bands, rowsPerBand) — 16×4 here, ≥0.9998 at J≥0.9).
-    * Signatures come from the one-pass native [[graft.functions.MinHashSig]]
-    * expression (universal hashing over a single FNV-1a base hash). */
+    * Signatures are the engine-neutral [[neutralMinhashSig]] md5-arithmetic
+    * family and band keys are md5 of the band's comma-joined minhash slice,
+    * so the whole candidate generation — and therefore the final verified
+    * pair set — is reproducible in the DuckDB oracle. */
   def minhashLshPairs(
       df: DataFrame, id: Column, text: Column,
       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
@@ -286,11 +310,13 @@ object DedupOps {
       .select(id.as("id"), TextOps.shingles(text, n).as("sh"))
       .filter(size(col("sh")) > 0)
     val sig = withSh.withColumn(
-      "mh", graft.functions.NativeFunctions.minhash_sig(col("sh"), numHashes))
-    // band signature = hash of that band's minhash slice
+      "mh", neutralMinhashSig(col("sh"), numHashes))
+    // band signature = md5 of that band's comma-joined minhash slice
+    // (engine-neutral, unlike Spark's murmur `hash`)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        hash(slice(col("mh"), b * rowsPerBand + 1, rowsPerBand)).as("sig"))
+        md5(concat_ws(",", slice(col("mh"), b * rowsPerBand + 1, rowsPerBand)))
+          .as("sig"))
     }
     // The band-bucket self-join moves ONLY (id, band, sig) — three scalars
     // per bucket row. Shipping the shingle arrays through this shuffle
@@ -318,19 +344,41 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Engine-neutral 60-bit SimHash: per-token 60-bit md5-prefix hashes,
+    * each bit position j accumulates ±1 across tokens (repeats counted),
+    * bit j of the signature is 1 iff the sum is > 0. 60 bits (15 hex
+    * chars) keep the value unambiguously in a signed 64-bit integer on
+    * every engine — the native [[graft.functions.SimHash64]] FNV loop
+    * needs wrapping 64-bit multiplication, which DuckDB's overflow-checked
+    * BIGINT cannot express. The token-hash array is projected ONCE per row;
+    * the 60 bit-sums then fold over that array. */
+  private[graft] val SimhashBits = 60
+  private[graft] def neutralTokenHashes(tokens: Column): Column =
+    transform(tokens, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+  private[graft] def neutralSimhashFromHashes(ths: Column): Column =
+    (0 until SimhashBits).map { j =>
+      when(aggregate(ths, lit(0L), (a, h) =>
+        a + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1)) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** SimHash near-dup pairs within a Hamming radius, via chunk-bucket
-    * banding: the 64-bit signature splits into `chunks` equal bit-chunks;
+    * banding: the 60-bit signature splits into `chunks` equal bit-chunks;
     * by pigeonhole, any pair within Hamming distance < chunks shares at
     * least one identical chunk, so the equi-join on (chunk index, chunk
     * value) is a candidate generator with *exact* recall for
     * maxHamming ≤ chunks-1 — an equi-shuffle instead of the O(n²) cross
-    * join, the same trick Manku et al. use for web-scale simhash dedup. */
+    * join, the same trick Manku et al. use for web-scale simhash dedup.
+    * Signatures are the engine-neutral md5 family ([[neutralSimhashFromHashes]])
+    * so the DuckDB oracle reproduces the exact pair set. */
   def simhashPairs(
       df: DataFrame, id: Column, text: Column, maxHamming: Int = 3,
       chunks: Int = 4): DataFrame = {
     require(maxHamming < chunks, "pigeonhole guarantee needs maxHamming < chunks")
-    val bitsPerChunk = 64 / chunks
-    val sigs = df.select(id.as("id"), SimHash64.simhash64(TextOps.tokens(text)).as("sig"))
+    val bitsPerChunk = SimhashBits / chunks
+    val sigs = df
+      .select(id.as("id"), neutralTokenHashes(TextOps.tokens(text)).as("ths"))
+      .select(col("id"), neutralSimhashFromHashes(col("ths")).as("sig"))
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("c"),
         shiftright(col("sig"), c * bitsPerChunk)

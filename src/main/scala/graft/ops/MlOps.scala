@@ -53,9 +53,17 @@ object MlOps {
     // binary bag-of-words scaling — per-bucket gradients are O(residual),
     // not O(residual/doc_len), so full-batch GD converges in tens of
     // iterations without per-feature step tuning
+    // `nb` (the doc's distinct-bucket count) rides every feature row so the
+    // per-doc loss and bias-gradient terms can be smeared across that doc's
+    // rows (each row carries term/nb) and recovered EXACTLY by the same
+    // bucket-keyed aggregate that reduces the weight gradient — one action,
+    // one aggregate pass per iteration instead of the former two (separate
+    // loss collect + gradient collect).
+    val wNb = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
     val feats = hashedFeatures(df, id, text, buckets)
       .join(df.select(id.as("id"), labelCol.cast("double").as("y")), Seq("id"))
       .select(col("id"), col("y"), col("bucket"), lit(1.0).as("x"))
+      .withColumn("nb", count(lit(1)).over(wNb).cast("double"))
       .cache()
     val nDocs = feats.select(countDistinct(col("id"))).head.getLong(0).toDouble
 
@@ -67,29 +75,28 @@ object MlOps {
       // per-doc margin under current weights (weights are plan literals,
       // shipped with the task binary — no join against a weight table)
       val perDoc = feats
-        .groupBy(col("id"), col("y"))
+        .groupBy(col("id"), col("y"), col("nb"))
         .agg(sum(col("x") * element_at(wLit, col("bucket") + 1)).as("z"))
-        .select(col("id"), col("y"),
+        .select(col("id"), col("y"), col("nb"),
           (lit(1.0) / (lit(1.0) + exp(-(col("z") + lit(b))))).as("p"))
-      // residuals drive both the loss aggregate and the gradient join —
-      // persisted so the margin groupBy shuffle runs ONCE per iteration,
-      // not once per consumer (the table is (id, y, p, r) scalars, far
-      // smaller than the feature table)
-      val r = perDoc.select(col("id"), col("y"), col("p"),
-        (col("p") - col("y")).as("r")).persist()
       val eps = 1e-12
-      val Array(lossRow) = r.agg(
-        sum(-(col("y") * log(col("p") + eps) +
-          (lit(1.0) - col("y")) * log(lit(1.0) - col("p") + eps))).as("loss"),
-        sum(col("r")).as("rsum")).collect()
-      losses += lossRow.getDouble(0) / nDocs
-      val gradB = lossRow.getDouble(1) / nDocs
-      // bucket-keyed gradient: one aggregate, `buckets` rows to the driver
-      val grad = feats.join(r.select(col("id"), col("r")), Seq("id"))
+      val r = perDoc.select(col("id"), col("nb"),
+        (col("p") - col("y")).as("r"),
+        (-(col("y") * log(col("p") + eps) +
+          (lit(1.0) - col("y")) * log(lit(1.0) - col("p") + eps))).as("lt"))
+      // ONE bucket-keyed aggregate fetches weight gradients AND the
+      // loss/bias sums (`buckets` rows to the driver, ~3 doubles each):
+      // Σ_rows lt/nb telescopes back to Σ_docs lt because a doc
+      // contributes exactly nb rows
+      val grad = feats.select(col("id"), col("bucket"), col("x"))
+        .join(r, Seq("id"))
         .groupBy(col("bucket"))
-        .agg(sum(col("x") * col("r")).as("g"))
+        .agg(sum(col("x") * col("r")).as("g"),
+          sum(col("lt") / col("nb")).as("lp"),
+          sum(col("r") / col("nb")).as("rp"))
         .collect()
-      r.unpersist(blocking = false)
+      losses += grad.map(_.getDouble(2)).sum / nDocs
+      val gradB = grad.map(_.getDouble(3)).sum / nDocs
       val next = w.clone()
       grad.foreach(row => next(row.getInt(0)) -= step * row.getDouble(1) / nDocs)
       w = next

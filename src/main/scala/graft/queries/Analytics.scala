@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.ops.LayoutOps
 import graft.sources.Tables
 
 /** OLAP analytics surface beyond the reference's executable set: multi-level
@@ -840,8 +841,10 @@ object Analytics extends QueryModule {
           .select($"brand_a", $"brand_b", $"c_ab",
             round($"c_ab" / $"n_orders".cast("double"), 6).as("support"),
             round($"c_ab" / $"c_a".cast("double"), 6).as("confidence"),
-            round($"c_ab" * $"n_orders" / ($"c_a" * $"c_b").cast("double"), 6)
-              .as("lift"))
+            // lift multiplies in DOUBLE: long×long c_ab·n_orders (and
+            // c_a·c_b) silently wraps past 2^63 at corpus scale
+            round($"c_ab".cast("double") * $"n_orders" /
+              ($"c_a".cast("double") * $"c_b"), 6).as("lift"))
           .orderBy($"lift".desc, $"brand_a", $"brand_b")
           .limit(15)
       },
@@ -858,7 +861,7 @@ object Analytics extends QueryModule {
         SELECT brand_a, brand_b, c_ab,
           round(c_ab / CAST(n_orders AS DOUBLE), 6) AS support,
           round(c_ab / CAST(sa.c1 AS DOUBLE), 6) AS confidence,
-          round(c_ab * n_orders / CAST(sa.c1 * sb.c1 AS DOUBLE), 6) AS lift
+          round(CAST(c_ab AS DOUBLE) * n_orders / (CAST(sa.c1 AS DOUBLE) * sb.c1), 6) AS lift
         FROM pairs
         JOIN singles sa ON sa.brand = pairs.brand_a
         JOIN singles sb ON sb.brand = pairs.brand_b
@@ -919,11 +922,12 @@ object Analytics extends QueryModule {
         ORDER BY d_all.day""")),
 
     // ---- customer-value deciles: per-user purchase totals (EXACT decimal
-    // sums — order-independent, so the hash compare holds) cut into ntile
-    // deciles. The decile window runs over the AGGREGATED per-user table
-    // (thousands of rows, not the event stream) — same bounded-window rule
-    // as the waterfilling allocator; avg is derived from the exact sum so
-    // both engines divide identical operands. ----
+    // sums — order-independent, so the hash compare holds) cut into rank
+    // deciles. User grain is UNBOUNDED (hundreds of millions of rows at
+    // 100×), so the rank comes from the distributed range-bucket
+    // `LayoutOps.globalRowNumber` — never an unpartitioned ntile window —
+    // and decile = ceil(10·rank/n), a deterministic pure function of
+    // (rank, n) both engines compute identically. ----
     QueryDef(
       "an_user_value_deciles",
       (s, dir) => {
@@ -933,8 +937,12 @@ object Analytics extends QueryModule {
           .groupBy($"user_id")
           .agg(sum($"value".cast(DecimalType(12, 2))).as("ltv"),
             count(lit(1)).as("n_purchases"))
-        val w = Window.orderBy($"ltv".desc, $"user_id")
-        ltv.withColumn("decile", ntile(10).over(w))
+        val n = ltv.agg(count(lit(1)).as("n_total"))
+        LayoutOps.globalRowNumber(ltv, -$"ltv".cast("double"),
+            Seq($"ltv".desc, $"user_id"), buckets = 32, outCol = "rn")
+          .crossJoin(broadcast(n))
+          .withColumn("decile",
+            ceil(lit(10.0) * $"rn" / $"n_total").cast("int"))
           .groupBy($"decile")
           .agg(count(lit(1)).as("n_users"),
             sum($"n_purchases").as("n_purchases"),
@@ -949,8 +957,9 @@ object Analytics extends QueryModule {
                  count(*) AS n_purchases
           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
         d AS (
-          SELECT *, CAST(ntile(10) OVER (ORDER BY ltv DESC, user_id) AS INT)
-            AS decile
+          SELECT *,
+            CAST(ceil(10.0 * row_number() OVER (ORDER BY ltv DESC, user_id)
+              / count(*) OVER ()) AS INT) AS decile
           FROM ltv),
         g AS (
           SELECT decile, count(*) AS n_users,
@@ -964,10 +973,12 @@ object Analytics extends QueryModule {
 
     // ---- RFM segmentation (recency / frequency / monetary): per-user
     // last-purchase age, purchase count, and exact-decimal spend, each cut
-    // into terciles (1 = best) over the AGGREGATED user table; users land
-    // in 27 "r-f-m" cells. The standard CRM cut, built entirely from one
-    // event aggregate + three bounded ntile windows. Monetary sums stay
-    // DECIMAL so tercile boundaries are order-independent. ----
+    // into rank terciles (1 = best); users land in 27 "r-f-m" cells. User
+    // grain is unbounded, so each of the three ranks is a distributed
+    // `globalRowNumber` (range-bucketed, no single-task window) and
+    // tercile = ceil(3·rank/n) — deterministic in (rank, n) on any engine.
+    // Monetary sums stay DECIMAL so tercile boundaries are
+    // order-independent. ----
     QueryDef(
       "an_rfm_segments",
       (s, dir) => {
@@ -982,13 +993,20 @@ object Analytics extends QueryModule {
           .crossJoin(broadcast(maxTs))
           .withColumn("recency_days",
             datediff(to_date($"max_ts"), to_date($"last_ts")))
-        val seg = users
-          .withColumn("r", ntile(3).over(
-            Window.orderBy($"recency_days", $"user_id")))
-          .withColumn("f", ntile(3).over(
-            Window.orderBy($"freq".desc, $"user_id")))
-          .withColumn("m", ntile(3).over(
-            Window.orderBy($"monetary".desc, $"user_id")))
+        val n = users.agg(count(lit(1)).as("n_total"))
+        val rk1 = LayoutOps.globalRowNumber(users,
+          $"recency_days".cast("double"),
+          Seq($"recency_days", $"user_id"), buckets = 32, outCol = "rn_r")
+        val rk2 = LayoutOps.globalRowNumber(rk1, -$"freq".cast("double"),
+          Seq($"freq".desc, $"user_id"), buckets = 32, outCol = "rn_f")
+        val rk3 = LayoutOps.globalRowNumber(rk2, -$"monetary".cast("double"),
+          Seq($"monetary".desc, $"user_id"), buckets = 32, outCol = "rn_m")
+        def tercile(rn: Column): Column =
+          ceil(lit(3.0) * rn / $"n_total").cast("int")
+        val seg = rk3.crossJoin(broadcast(n))
+          .withColumn("r", tercile($"rn_r"))
+          .withColumn("f", tercile($"rn_f"))
+          .withColumn("m", tercile($"rn_m"))
         seg.groupBy(concat($"r", lit("-"), $"f", lit("-"), $"m").as("segment"))
           .agg(count(lit(1)).as("n_users"),
             round(avg($"recency_days"), 4).as("avg_recency_days"),
@@ -1011,9 +1029,12 @@ object Analytics extends QueryModule {
           FROM users CROSS JOIN mx),
         seg AS (
           SELECT *,
-            ntile(3) OVER (ORDER BY recency_days, user_id) AS r,
-            ntile(3) OVER (ORDER BY freq DESC, user_id) AS f,
-            ntile(3) OVER (ORDER BY monetary DESC, user_id) AS m
+            CAST(ceil(3.0 * row_number() OVER (ORDER BY recency_days, user_id)
+              / count(*) OVER ()) AS INT) AS r,
+            CAST(ceil(3.0 * row_number() OVER (ORDER BY freq DESC, user_id)
+              / count(*) OVER ()) AS INT) AS f,
+            CAST(ceil(3.0 * row_number() OVER (ORDER BY monetary DESC, user_id)
+              / count(*) OVER ()) AS INT) AS m
           FROM u2)
         SELECT r || '-' || f || '-' || m AS segment,
           count(*) AS n_users,
@@ -1132,7 +1153,8 @@ object Analytics extends QueryModule {
     // single-number inequality read behind "top 10% of users drive X%".
     // Both Σ terms stay EXACT decimal (i·xᵢ is decimal × int) so the rank
     // weighting is order-independent; only the final ratio is double. The
-    // ranking window runs over the aggregated user table. ----
+    // rank is the distributed `globalRowNumber` (user grain is unbounded —
+    // an unpartitioned window would funnel every user through one task). ----
     QueryDef(
       "an_gini_revenue",
       (s, dir) => {
@@ -1141,8 +1163,8 @@ object Analytics extends QueryModule {
           .filter($"event_type" === "purchase")
           .groupBy($"user_id")
           .agg(sum($"value".cast(DecimalType(12, 2))).as("x"))
-        val w = Window.orderBy($"x", $"user_id")
-        ltv.withColumn("i", row_number().over(w))
+        LayoutOps.globalRowNumber(ltv, $"x".cast("double"),
+            Seq($"x", $"user_id"), buckets = 32, outCol = "i")
           .agg(count(lit(1)).as("n"),
             sum($"x").as("sx"),
             sum($"x" * $"i").as("swx"))

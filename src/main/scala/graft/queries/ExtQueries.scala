@@ -486,8 +486,11 @@ object ExtDedup extends QueryModule {
         val pred = dfh.agg(
           count(lit(1)).as("n_shingles"),
           max($"df").as("max_df"),
-          (sum(when($"df" <= 128, $"df" * ($"df" - 1)).otherwise(0L)) / 2)
-            .cast("long").as("pred_incidences"),
+          // integer `div` per term (df·(df−1) is always even) — `/` is
+          // double division whose 2^53 precision cliff and truncating
+          // long-cast diverge from DuckDB's rounding BIGINT cast at scale
+          expr("sum(CASE WHEN df <= 128 THEN (df * (df - 1)) div 2 ELSE 0 END)")
+            .as("pred_incidences"),
           sum(when($"df" > 128, 1L).otherwise(0L)).as("n_cut_shingles"))
         val actual = DedupOps.jaccardPairs(docs, $"doc_id", $"text", n = 3,
             threshold = 0.0, maxDf = 128)
@@ -508,7 +511,7 @@ object ExtDedup extends QueryModule {
         dfh AS (SELECT shingle, count(*) AS df FROM idx0 GROUP BY 1),
         pred AS (
           SELECT count(*) AS n_shingles, max(df) AS max_df,
-            CAST(sum(CASE WHEN df <= 128 THEN df * (df - 1) ELSE 0 END) / 2
+            CAST(sum(CASE WHEN df <= 128 THEN (df * (df - 1)) // 2 ELSE 0 END)
               AS BIGINT) AS pred_incidences,
             CAST(sum(CASE WHEN df > 128 THEN 1 ELSE 0 END) AS BIGINT)
               AS n_cut_shingles

@@ -1403,18 +1403,23 @@ object Pipeline extends QueryModule {
         // the funnel unions four stage counts; checkpoint each stage's
         // survivor set so the chain's expensive prefixes (fingerprint
         // window, line-dedup) run ONCE, not once per downstream branch
+        // lazy checkpoints: materialized (and block-cached) on the query's
+        // FIRST action, so the expensive prefixes still run once across the
+        // four funnel branches — but nothing executes at construction time
+        // (an eager checkpoint here ran the fingerprint window during
+        // plan-only inspection and outside any bench-timed region)
         val s1 = docs
           .withColumn("fp", TextOps.fingerprint($"text"))
           .withColumn("rk",
             row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")))
           .filter($"rk" === 1).select($"doc_id", $"text")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val ld = DedupOps.lineDedup(s1, $"doc_id", $"text",
           lineTokens = 8, minDf = 2)
         val s2 = s1.join(
           ld.filter($"n_kept" * 2 >= $"n_lines").select($"id".as("doc_id")),
           Seq("doc_id"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val pairs = DedupOps.jaccardPairs(s2, $"doc_id", $"text", n = 3,
           threshold = 0.8, maxDf = 128)
         val clusters = GraphOps.dedupClusters(s2, $"doc_id", pairs,

@@ -127,6 +127,49 @@ object SourcesCatalog extends QueryModule {
         WHERE table_name IN ('nation', 'region')
         ORDER BY table_name, ordinal_position""")),
 
+    // information_schema.schemata + views + df_settings (the remaining
+    // info-table names the reference declares at information_schema.rs:20
+    // but never builds). One entry pins all three: schemata rows for
+    // created namespaces, the views row (with its CREATE VIEW body as
+    // view_definition), and the df_settings row every Spark session pins
+    // (session.timeZone=UTC in Verify/tests). Known-state VALUES oracle,
+    // same pattern as cat_information_schema.
+    QueryDef(
+      "cat_information_schema_schemata",
+      (s, _) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.{coalesce, concat, lit}
+        val g = new GraftSession(s)
+        g.sql("CREATE SCHEMA IF NOT EXISTS cat_probe")
+        g.sql("DROP SCHEMA cat_probe CASCADE")
+        g.sql("CREATE SCHEMA cat_probe")
+        g.sql("DROP VIEW IF EXISTS cat_probe_view")
+        g.sql("CREATE VIEW cat_probe_view AS SELECT 1 AS one")
+        val sch = g.sql("""SELECT catalog_name, schema_name
+            FROM information_schema.schemata
+            WHERE schema_name IN ('public', 'cat_probe')""")
+          .select(concat(lit("schema:"), $"catalog_name", lit("."),
+            $"schema_name").as("item"))
+        val vw = g.sql("""SELECT table_schema, table_name, view_definition
+            FROM information_schema.views
+            WHERE table_name = 'cat_probe_view'""")
+          .select(concat(lit("view:"), $"table_schema", lit("."),
+            $"table_name", lit("="),
+            coalesce($"view_definition", lit("?"))).as("item"))
+        val st = g.sql("""SELECT name, value FROM information_schema.df_settings
+            WHERE name = 'spark.sql.session.timeZone'""")
+          .select(concat(lit("setting:"), $"name", lit("="), $"value")
+            .as("item"))
+        g.sql("DROP VIEW cat_probe_view")
+        g.sql("DROP SCHEMA cat_probe")
+        sch.unionAll(vw).unionAll(st).orderBy($"item")
+      },
+      Some("""SELECT * FROM (VALUES
+          ('schema:qurious.cat_probe'), ('schema:qurious.public'),
+          ('setting:spark.sql.session.timeZone=UTC'),
+          ('view:public.cat_probe_view=SELECT 1 AS one')) t(item)
+        ORDER BY item""")),
+
     // CREATE/DROP SCHEMA routing (the last SURVEY §2 row: reference parses
     // these, planner todo!()s — qurious/src/planner/sql.rs:187). Exercises
     // create, IF NOT EXISTS idempotence, duplicate error, create-table-in,

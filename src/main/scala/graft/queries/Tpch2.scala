@@ -130,9 +130,19 @@ object Tpch2 extends QueryModule {
       (s, dir) => {
         import s.implicits._
         val li = t(s, dir, "lineitem")
-        val partAvg = li.groupBy($"l_partkey".as("avg_partkey"))
+        val brandParts = t(s, dir, "part").filter($"p_brand" === "Brand#3")
+        // Classic q17 rewrite: the per-part average only matters for parts
+        // that survive the brand filter, so a broadcast semi-join restricts
+        // the aggregate's input to those parts' lineitems (~25x less data
+        // through the groupBy at TPC-H brand selectivity). The average per
+        // surviving part is computed over exactly the same rows as before,
+        // so the result is bit-identical.
+        val partAvg = li
+          .join(broadcast(brandParts.select($"p_partkey".as("bp_key"))),
+            $"l_partkey" === $"bp_key", "left_semi")
+          .groupBy($"l_partkey".as("avg_partkey"))
           .agg((sum(m($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"))
-        t(s, dir, "part").filter($"p_brand" === "Brand#3")
+        brandParts
           .join(li, $"p_partkey" === $"l_partkey")
           .join(partAvg, $"p_partkey" === $"avg_partkey")
           .filter($"l_quantity" < $"avg_qty" * 0.2)
