@@ -22,4 +22,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Registry.oracleSql
+
+  /** For each oracle-less key, why no single SQL statement reproduces it
+    * bit-for-bit + which named ScalaTest pins correctness instead. */
+  def noOracleReasons: Map[String, String] = Registry.noOracleReasons
 }

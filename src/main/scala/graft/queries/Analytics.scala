@@ -282,7 +282,13 @@ object Analytics extends QueryModule {
             count(lit(1)).as("n"))
           .orderBy($"o_orderpriority")
       },
-      None),
+      None,
+      noOracleReason = Some(
+        "approx_count_distinct (HLL++) and approx_percentile (KLL-ish) are " +
+        "estimate-by-design with engine-internal sketch layouts; exact " +
+        "counterparts are oracle-checked elsewhere (an_percentiles, " +
+        "op_agg_distinct) and AnalyticsSpec bounds the relative error vs those " +
+        "exact answers.")),
 
     // ---- Conditional aggregation (FILTER-style, as CASE for parity) ----
     QueryDef(

@@ -140,8 +140,10 @@ object ExtDedup extends QueryModule {
         JOIN documents db ON db.doc_id = p.id_b
         ORDER BY id_a, id_b""")),
 
-    // MinHash/SimHash outputs depend on engine-internal hash functions —
-    // rows-only here; SparkDedupSpec cross-checks vs the exact baseline.
+    // MinHash/SimHash signatures are the engine-neutral md5-arithmetic
+    // family (DedupOps.neutralMinhashSig / neutralSimhashFromHashes), so the
+    // DuckDB oracle reproduces the exact signatures, band buckets, candidate
+    // pairs, and verified output — full hash-compare, not rows-only.
     QueryDef(
       "ext_dedup_minhash_lsh",
       (s, dir) => {
@@ -150,7 +152,39 @@ object ExtDedup extends QueryModule {
             n = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
           .orderBy($"id_a", $"id_b")
       },
-      None),
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        shd AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        bases AS (
+          SELECT doc_id, shs,
+            list_transform(shs, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT % 4294967291) AS bs
+          FROM shd WHERE len(shs) > 0),
+        sig AS (
+          SELECT doc_id, i,
+            list_min(list_transform(bs, x ->
+              ((1 + (i * 2654435761) % 1048573) * x + (i * 4050313 + 17) % 4294967291)
+                % 4294967291)) AS mh
+          FROM bases, range(0, 64) t(i)),
+        bands AS (
+          SELECT doc_id, i // 4 AS band,
+            md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bsig
+          FROM sig GROUP BY doc_id, i // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        ver AS (
+          SELECT c.id_a, c.id_b,
+            CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+              CAST(len(list_distinct(sa.shs || sb.shs)) AS DOUBLE) AS jaccard
+          FROM cand c
+          JOIN bases sa ON sa.doc_id = c.id_a
+          JOIN bases sb ON sb.doc_id = c.id_b)
+        SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.8
+        ORDER BY id_a, id_b""")),
 
     QueryDef(
       "ext_dedup_simhash",
@@ -159,7 +193,28 @@ object ExtDedup extends QueryModule {
         DedupOps.simhashPairs(Tables.load(s, dir, "documents"), $"doc_id", $"text")
           .orderBy($"id_a", $"id_b")
       },
-      None),
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(unnest(tk)), 1, 15))::BIGINT AS hv FROM toks),
+        bitsum AS (
+          SELECT doc_id, j, sum(((hv >> j) & 1) * 2 - 1) AS s
+          FROM h, range(0, 60) t(j) GROUP BY doc_id, j),
+        sig AS (
+          SELECT doc_id,
+            CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
+          FROM bitsum GROUP BY doc_id),
+        buckets AS (
+          SELECT doc_id, sig, c, (sig >> CAST(c * 15 AS INTEGER)) & 32767 AS v
+          FROM sig, range(0, 4) t(c)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            bit_count(xor(a.sig, b.sig)) AS hamming
+          FROM buckets a JOIN buckets b
+            ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= 3)
+        SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+        FROM pairs ORDER BY id_a, id_b""")),
 
     QueryDef(
       "ext_dedup_embedding_pairs",
@@ -180,9 +235,10 @@ object ExtDedup extends QueryModule {
         ORDER BY cosine DESC, id_a, id_b LIMIT 20""")),
 
     // Scale path for embedding near-dup: LSH-bucketed candidate equi-join
-    // instead of the cartesian above. Rows-only (bucket cohabitation is
-    // seed-specific); near-dup recall asserted on planted duplicates in
-    // OpsSpec.
+    // instead of the cartesian above. Hyperplanes are plan literals the
+    // oracle embeds verbatim (LshOracleSql), so the bucket cohabitation —
+    // and therefore the top-k — reproduces exactly; near-dup recall is
+    // additionally asserted on planted duplicates in OpsSpec.
     QueryDef(
       "ext_dedup_embedding_lsh",
       (s, dir) => {
@@ -191,7 +247,7 @@ object ExtDedup extends QueryModule {
           Tables.load(s, dir, "embeddings"), $"vec_id", $"embedding",
           k = 20, dim = 64)
       },
-      None),
+      Some(LshOracleSql.embeddingTopPairsLsh(dim = 64, k = 20))),
 
     // ---- cross-doc substring coverage: share of each doc's positional
     // 5-grams that appear in another doc (Lee et al.-style exact-substring
@@ -679,8 +735,9 @@ object ExtSimilarity extends QueryModule {
         SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, cosine FROM ranked
         WHERE rank <= 5 ORDER BY q_id, rank""")),
 
-    // LSH bucketing uses seeded random hyperplanes — rows-only; recall vs the
-    // brute-force baseline is asserted in SparkSimilaritySpec.
+    // LSH hyperplanes are deterministic plan literals, so the oracle embeds
+    // the identical doubles and reproduces buckets/probes/ranks exactly
+    // (LshOracleSql); recall vs brute force additionally asserted in tests.
     QueryDef(
       "ext_ann_lsh",
       (s, dir) => {
@@ -691,10 +748,10 @@ object ExtSimilarity extends QueryModule {
             $"vec_id", $"embedding", $"vec_id", $"embedding", k = 5, dim = 64)
           .orderBy($"q_id", $"rank")
       },
-      None),
+      Some(LshOracleSql.lshTopK(dim = 64, k = 5))),
 
     // Same LSH pipeline over a non-native dimension (fixture embeddings
-    // sliced to 32) — rows-only; guards the hyperplane dimension handling
+    // sliced to 32) — guards the hyperplane dimension handling
     // (round-1 bug: dim hard-coded to 64 silently truncated other widths).
     QueryDef(
       "ext_ann_lsh_dim32",
@@ -708,7 +765,7 @@ object ExtSimilarity extends QueryModule {
             $"vec_id", $"embedding", $"vec_id", $"embedding", k = 5, dim = 32)
           .orderBy($"q_id", $"rank")
       },
-      None),
+      Some(LshOracleSql.lshTopK(dim = 32, k = 5, vecExpr = "embedding[1:32]"))),
 
     // IVF coarse-quantizer ANN (deterministic k-means cells) — rows-only;
     // recall + determinism asserted in ScaleOpsSpec.
@@ -723,7 +780,12 @@ object ExtSimilarity extends QueryModule {
             k = 5, numCells = 16, nprobe = 6)
           .orderBy($"q_id", $"rank")
       },
-      None),
+      None,
+      noOracleReason = Some(
+        "IVF cells come from iterative k-means (deterministic hash-init, fixed " +
+        "rounds) - multi-action training is not one SQL statement; ScaleOpsSpec " +
+        "asserts rerun determinism and recall@5 vs the oracle-checked " +
+        "ext_ann_bruteforce.")),
 
     // product-quantized ANN (PqOps): m=32 sub-codebooks × 16 codes = 16 B
     // per vector (16× compression of the dim-64 float corpus) scored by
@@ -744,7 +806,11 @@ object ExtSimilarity extends QueryModule {
             dim = 64, k = 5, m = 32, codesPerSub = 16)
           .orderBy($"q_id", $"rank")
       },
-      None),
+      None,
+      noOracleReason = Some(
+        "PQ sub-codebooks are iteratively k-means-trained per subspace; PqSpec " +
+        "asserts recall@5 and top-decile distance containment vs exact L2, plus " +
+        "rerun determinism.")),
 
     // IVF-PQ (the FAISS "IVFx,PQy" production layout): coarse cells prune
     // the corpus to nprobe/numCells, PQ codes ADC-score only the surviving
@@ -762,7 +828,11 @@ object ExtSimilarity extends QueryModule {
             m = 32, codesPerSub = 16)
           .orderBy($"q_id", $"rank")
       },
-      None),
+      None,
+      noOracleReason = Some(
+        "composes two iteratively trained quantizers (IVF cells + PQ codebooks); " +
+        "PqSpec asserts recall vs exact and parity of the ADC scoring path with " +
+        "plain PQ.")),
 
     // approximate kNN graph (HNSW/cluster input): per-vector top-k among
     // LSH cohabitants — rows-only (bucket cohabitation is seed-specific);
@@ -776,7 +846,8 @@ object ExtSimilarity extends QueryModule {
             $"vec_id", $"embedding", k = 5, dim = 64, bits = 4, tables = 4)
           .orderBy($"src", $"nn_rank")
       },
-      None),
+      Some(LshOracleSql.knnGraph(dim = 64, k = 5, bits = 4, tables = 4,
+        idFilter = "vec_id < 100"))),
 
     // persisted IVF layout: cell-partitioned parquet + partition-pruned
     // probe (IvfIndexSpec proves the pruning). Deterministic centroids →
@@ -797,7 +868,12 @@ object ExtSimilarity extends QueryModule {
           .select(graft.ops.VectorOps.vecD($"embedding")).head().getSeq[Double](0)
         IvfOps.probeIndex(s, idxDir, centroids, qVec, k = 10, nprobe = 6)
       },
-      None),
+      None,
+      noOracleReason = Some(
+        "probes an on-disk k-means-cell-partitioned parquet index (stateful write " +
+        "+ partition-pruned read, not a single statement over the source tables); " +
+        "IvfIndexSpec proves PartitionFilters pruning and result parity with " +
+        "in-memory IVF.")),
 
     // ---- per-label centroids (embedding pooling): posexplode to
     // (label, dim, value) grain, one hash aggregate — the distributed mean
@@ -855,7 +931,11 @@ object ExtSimilarity extends QueryModule {
             round($"eigenvalue" / total, 6).as("var_share"))
           .orderBy($"component")
       },
-      None),
+      None,
+      noOracleReason = Some(
+        "eigenpairs come from iterative power-iteration with deflation over the " +
+        "Gram matrix; PcaSpec asserts Gram==covariance, eigenvector " +
+        "orthonormality, and variance-share reconstruction.")),
 
     // ---- retrieval quality evaluation (MRR / precision@k / hit-rate by
     // class): brute-force cosine top-10 per query with relevance = same
@@ -1160,7 +1240,11 @@ object ExtText extends QueryModule {
             round(avg(($"y" === ($"p" >= 0.5)).cast("double")), 3).as("accuracy"))
           .orderBy($"y")
       },
-      None),
+      None,
+      noOracleReason = Some(
+        "logistic regression is an iterative multi-action optimization (30 " +
+        "gradient rounds); MlSpec asserts monotone loss descent, deterministic " +
+        "weights across reruns, and AUC above a floor on a planted signal.")),
 
     QueryDef(
       "ext_text_quality_langid",
@@ -1349,7 +1433,12 @@ object ExtText extends QueryModule {
           .select(explode($"top").as("t"))
           .select($"t.term".as("term"), $"t.approx_count".as("approx_count"))
       },
-      None),
+      None,
+      noOracleReason = Some(
+        "Misra-Gries summaries depend on merge order across partitions (any " +
+        "k-heavy-hitter superset is a valid summary); ApproxTopKSpec asserts the " +
+        "guarantee that matters: every true heavy hitter survives and bounds hold " +
+        "vs the oracle-checked exact term counts.")),
 
     // zlib output size is library-specific → rows-only; OpsSpec pins the
     // discriminative behavior (repetitive ≪ natural prose)
@@ -1363,7 +1452,11 @@ object ExtText extends QueryModule {
             (TextOps.compressionRatio($"text") < 0.3).as("is_repetitive"))
           .orderBy($"doc_id")
       },
-      None),
+      None,
+      noOracleReason = Some(
+        "deflate byte counts depend on the zlib build/level internals, not on " +
+        "SQL-expressible arithmetic; CleanOpsSpec pins ratio bounds (compressible " +
+        "boilerplate vs incompressible random text) and determinism.")),
 
     QueryDef(
       "ext_text_gopher_rules",
@@ -2045,7 +2138,12 @@ object ExtMultimodal extends QueryModule {
             $"width", $"height", $"feat_mean")
           .orderBy($"doc_id")
       },
-      None),
+      None,
+      noOracleReason = Some(
+        "feature extraction runs on synthesized binary payloads behind the " +
+        "documented pixel-decode stub; the real container-header parsing IS " +
+        "oracle-checked (ext_multimodal_headers) and OpsSpec pins the " +
+        "deterministic stub features.")),
 
     // REAL audio-container parsing (the WAV sibling of the image-header
     // layer): the fixture adapter wraps each doc as a genuine PCM WAV
@@ -2272,7 +2370,11 @@ object ExtEvents extends QueryModule {
             SketchOps.estimate($"sketch").as("approx_users"))
           .orderBy($"scope")
       },
-      None),
+      None,
+      noOracleReason = Some(
+        "HLL register layout is engine-internal (DuckDB's approx_count_distinct " +
+        "uses its own); SketchSpec asserts merge(partials)==direct and error vs " +
+        "the oracle-checked exact distinct counts.")),
 
     // ---- theta-sketch cross-source overlap (SketchOps.thetaSketches):
     // per-source sketches of 3-gram shingles in ONE hash aggregate, then
@@ -2304,7 +2406,11 @@ object ExtEvents extends QueryModule {
             round($"n_shared" / ($"n_a" + $"n_b" - $"n_shared"), 6))
           .orderBy($"src_a", $"src_b")
       },
-      None),
+      None,
+      noOracleReason = Some(
+        "theta-sketch intersection estimates depend on the sketch's retained-hash " +
+        "set; SketchSpec asserts merge associativity and error bounds vs exact " +
+        "set overlap.")),
 
     // ---- KLL quantile sketches (SketchOps.kllSketches): per-source doc-
     // length sketches in one aggregate, p50/p90/p99 read off the sketches,
@@ -2328,7 +2434,10 @@ object ExtEvents extends QueryModule {
             round(SketchOps.kllQuantile($"sketch", 0.99)).cast("long").as("p99"))
           .orderBy($"scope")
       },
-      None),
+      None,
+      noOracleReason = Some(
+        "KLL compactor state is seed/merge-order dependent; SketchSpec asserts " +
+        "rank-error bounds vs the oracle-checked exact percentiles.")),
 
     // ---- count-min frequency sketches (SketchOps.cmsSketches): per-source
     // token-count sketches in one hash aggregate; estimates for keys chosen
@@ -2353,7 +2462,11 @@ object ExtEvents extends QueryModule {
           .withColumn("overcount", $"n_est" - $"n_exact")
           .orderBy($"source", $"tok")
       },
-      None),
+      None,
+      noOracleReason = Some(
+        "count-min row/width layout and hash family are engine-internal; " +
+        "SketchSpec asserts overestimate-only and epsilon bounds vs " +
+        "oracle-checked exact frequencies.")),
 
     // ---- late-arrival audit (the batch replica of what a streaming
     // watermark would drop): within each user's arrival order (event_id
@@ -2497,7 +2610,12 @@ object ExtBpe extends QueryModule {
         BpeOps.train(s, Tables.load(s, dir, "documents"), $"text", k = 10)
           .toDF().select($"rank", $"left", $"right", $"freq").orderBy($"rank")
       },
-      None),
+      None,
+      noOracleReason = Some(
+        "BPE merge induction is a greedy iterative argmax over evolving pair " +
+        "counts (one action per merge); BpeSpec pins the deterministic tie-break " +
+        "(count desc, pair lexicographic) and merge-parity with a local reference " +
+        "implementation.")),
 
     QueryDef(
       "ext_bpe_token_counts",
@@ -2508,6 +2626,10 @@ object ExtBpe extends QueryModule {
         docs.select($"doc_id", BpeOps.encodeTokenCount($"text", merges).as("bpe_tokens"))
           .orderBy($"doc_id").limit(50)
       },
-      None)
+      None,
+      noOracleReason = Some(
+        "encoding applies the iteratively induced merge table; BpeSpec asserts " +
+        "round-trip token counts against a local reference encoder over the same " +
+        "merges."))
   )
 }

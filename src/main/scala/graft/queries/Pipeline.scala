@@ -126,7 +126,12 @@ object Pipeline extends QueryModule {
           .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
           .orderBy($"lang")
       },
-      None),
+      None,
+      noOracleReason = Some(
+        "deliberately exercises Spark's native Bernoulli sampleBy (engine RNG by " +
+        "definition); the engine-neutral deterministic sibling " +
+        "pl_sample_hash_topk IS oracle-checked, and PipelineSpec bounds " +
+        "per-stratum counts around n*fraction.")),
 
     // ---- deterministic hash-rank sampling: exactly k docs per stratum,
     // ranked by md5 of a seeded doc key. Unlike Bernoulli sampleBy
@@ -474,7 +479,11 @@ object Pipeline extends QueryModule {
           .agg(count(lit(1)).as("n_kept"))
           .orderBy($"label")
       },
-      None),
+      None,
+      noOracleReason = Some(
+        "within-cell pruning depends on iteratively k-means-trained cells; " +
+        "OpsSpec asserts planted semantic duplicates are caught and kept-set " +
+        "determinism.")),
 
     // ---- Z-order (Morton) layout key: the multi-column clustering value
     // behind Delta/Iceberg OPTIMIZE ZORDER BY — writing files in zval
@@ -934,7 +943,11 @@ object Pipeline extends QueryModule {
           .select($"q_id", $"rank", $"n_id", round($"cosine", 6).as("cosine"))
           .orderBy($"q_id", $"rank")
       },
-      None),
+      None,
+      noOracleReason = Some(
+        "the IVF stage embeds iterative k-means training; PipelineSpec pins " +
+        "plumbing exactness end to end - an identical chunk planted under a fresh " +
+        "query id retrieves the original at rank 1 with cosine ~= 1.")),
 
     // ---- data-quality gate (dbt-test shape): null keys, constraint
     // violations, PK duplicates, referential orphans — ONE row-level scan

@@ -11,10 +11,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     nondeterministic in the last ulps, so raw doubles never hash-match);
   *   - every query ends in a total ORDER BY so row order is deterministic.
   */
+/** One verifiable query. `oracle = None` entries MUST carry a
+  * [[noOracleReason]]: one sentence on why no single SQL statement can
+  * reproduce the result bit-for-bit (surfaced to the driver as
+  * `no_oracle_reasons.json`), plus the named ScalaTest that pins
+  * correctness instead. */
 final case class QueryDef(
     name: String,
     build: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    noOracleReason: Option[String] = None)
 
 trait QueryModule {
   def defs: Seq[QueryDef]
@@ -47,4 +53,9 @@ object Registry {
 
   lazy val oracleSql: Map[String, String] =
     queryDefs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+
+  /** Why each oracle-less query has no DuckDB oracle (driver-surfaced). */
+  lazy val noOracleReasons: Map[String, String] =
+    queryDefs.filter(_.oracle.isEmpty)
+      .flatMap(d => d.noOracleReason.map(d.name -> _)).toMap
 }

@@ -47,8 +47,11 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("chunk-banded simhash pairs equal brute force (pigeonhole recall)") {
-    import graft.functions.SimHash64.simhash64
-    val sigs = docs.select($"doc_id", simhash64(TextOps.tokens($"text")).as("sig"))
+    // brute force over the SAME engine-neutral 60-bit signature family the
+    // op uses (the banding is what's under test, not the hash family)
+    val sigs = docs.select($"doc_id",
+        DedupOps.neutralSimhashFromHashes(
+          DedupOps.neutralTokenHashes(TextOps.tokens($"text"))).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     val brute = (for {
       (ia, sa) <- sigs; (ib, sb) <- sigs
