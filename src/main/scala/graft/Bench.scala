@@ -77,25 +77,100 @@ object Bench {
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }.mkString("{", ",", "}")
     System.err.println(
       s"""{"all_queries":${qsJson(res.seconds)},"n":${res.seconds.size}}""")
-    // headline stability: 2 extra timed repeats -> median-of-3 + min
-    val headlineRuns: Map[String, Seq[Double]] = res.seconds.collect {
-      case (name, first) if isHeadline(name) && !res.errors.contains(name) =>
-        // a transient re-run failure must not abort the bench after the
-        // full timed pass already succeeded — fall back to the first timing
-        val more = (0 until 2).flatMap { _ =>
-          try {
-            val t0 = System.nanoTime()
-            SparkEntry.queries(name)(spark, sfDir).count()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch { case _: Throwable => None }
-        }
-        name -> (first +: more)
+    // stability: 2 extra timed repeats -> median-of-3 + min, for the
+    // headline TPC-H set AND the 8 most expensive other queries (the
+    // pl_*/ext_* pipeline entries now dominate cost, and their one-shot
+    // numbers carry the same co-tenancy noise the r4 q17 scare showed)
+    def rerun3(name: String, first: Double): (String, Seq[Double]) = {
+      // a transient re-run failure must not abort the bench after the
+      // full timed pass already succeeded — fall back to the first timing
+      val more = (0 until 2).flatMap { _ =>
+        try {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }
+      name -> (first +: more)
+    }
+    val heavyNames = res.seconds.toSeq
+      .filter { case (n, _) => !isHeadline(n) && !res.errors.contains(n) }
+      .sortBy(-_._2).take(8).map(_._1).toSet
+    val stableRuns: Map[String, Seq[Double]] = res.seconds.collect {
+      case (name, first)
+          if (isHeadline(name) || heavyNames(name)) && !res.errors.contains(name) =>
+        rerun3(name, first)
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val medians = headlineRuns.map { case (n, xs) => n -> median(xs) }
-    val mins = headlineRuns.map { case (n, xs) => n -> xs.min }
-    println(s"""{"metric":"total","value":${fmt(res.total)},"unit":"sec","queries":${qsJson(medians)},"queries_min":${qsJson(mins)},"n_queries":${res.seconds.size},"errors":$errs,"sf":"$sfDir"}""")
+    val medians = stableRuns.map { case (n, xs) => n -> median(xs) }
+    val mins = stableRuns.map { case (n, xs) => n -> xs.min }
+    streamBench(spark, sfDir)
+    def line(ms: Map[String, Double], mn: Map[String, Double]): String =
+      s"""{"metric":"total","value":${fmt(res.total)},"unit":"sec","queries":${qsJson(ms)},"queries_min":${qsJson(mn)},"n_queries":${res.seconds.size},"errors":$errs,"sf":"$sfDir"}"""
+    val full = line(medians, mins)
+    // the driver parses the JSON from a bounded output tail — if the
+    // heavy-hitter entries would push the line past it, keep them only in
+    // the stderr dump and print the headline-only line
+    val out =
+      if (full.length <= 1900) full
+      else line(medians.filter(kv => isHeadline(kv._1)),
+                mins.filter(kv => isHeadline(kv._1)))
+    if (full.length > 1900) System.err.println(
+      s"""{"heavy_medians":${qsJson(medians.filter(kv => heavyNames(kv._1)))}}""")
+    println(out)
     spark.stop()
+    // The driver parses the bench from a bounded tail of the captured
+    // output, and rounds 1-4 show the stderr stream's flush landing LAST in
+    // that capture (every recorded tail ends mid-stderr-dump, metric line
+    // absent). Re-print the metric line on BOTH streams after spark.stop()
+    // so whichever stream the tail ends with, it ends with the full line.
+    System.out.flush()
+    println(out)
+    System.out.flush()
+    System.err.println(out)
+    System.err.flush()
     if (res.errors.nonEmpty) sys.exit(1)
+  }
+
+  /** Streaming throughput micro-bench (stderr only): replay the sf tables
+    * through the two stateful streaming flagships — corpus cleaning
+    * (classify → gate → watermarked fingerprint dedup) and native
+    * session-window aggregation — so state-store regressions show up
+    * round-over-round. Failures are reported, never fatal: the batch bench
+    * is the contract, this is telemetry. */
+  private def streamBench(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingOps
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_bench").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("ingest_ts", to_timestamp(lit("2026-01-01 00:00:00")))
+      val docDir = s"$tmp/docs"
+      docs.write.mode("overwrite").parquet(docDir)
+      val nDocs = docs.count()
+      val t0 = System.nanoTime()
+      StreamingOps.runToCompletion(spark,
+        StreamingOps.corpusCleanStream(spark, docs.schema, docDir),
+        "bench_stream_clean", mode = "append").count()
+      val cleanSec = (System.nanoTime() - t0) / 1e9
+      // fixture ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP (ltz)
+      val events = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      val evDir = s"$tmp/events"
+      events.write.mode("overwrite").parquet(evDir)
+      val nEv = events.count()
+      val stream = spark.readStream.schema(events.schema).parquet(evDir)
+      val t1 = System.nanoTime()
+      StreamingOps.runToCompletion(spark,
+        StreamingOps.sessionWindowCounts(stream, "30 minutes", Some("1 hour")),
+        "bench_stream_sess", mode = "append").count()
+      val sessSec = (System.nanoTime() - t1) / 1e9
+      System.err.println(
+        s"""{"stream_bench":{"corpus_clean_rows":$nDocs,"corpus_clean_sec":${fmt(cleanSec)},"corpus_clean_rows_per_sec":${fmt(nDocs / cleanSec)},"session_window_rows":$nEv,"session_window_sec":${fmt(sessSec)},"session_window_rows_per_sec":${fmt(nEv / sessSec)}}}""")
+    } catch {
+      case e: Throwable => System.err.println(
+        s"""{"stream_bench_error":${jsonStr(e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").take(200))}}""")
+    }
   }
 }

@@ -107,6 +107,88 @@ object Exprs {
     out
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Engine-neutral MinHash kernel — the compiled twin of the
+    * column-composed [[graft.ops.DedupOps.neutralMinhashSigColumns]] md5
+    * family (hᵢ(s) = (Aᵢ·(md5₄₈(s) mod P) + Bᵢ) mod P, P the largest
+    * 32-bit prime): bit-identical output (OpsSpec parity test), one md5 +
+    * a tight numHashes loop per shingle instead of 64 array-transform
+    * passes. Callers filter empty shingle arrays (parity: the column twin
+    * yields nulls there, this kernel Long.MaxValue). */
+  def neutralMinhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val P = 4294967291L
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      a(j) = 1L + (j.toLong * 2654435761L) % 1048573L
+      b(j) = (j.toLong * 4050313L + 17L) % P
+      j += 1
+    }
+    val out = Array.fill[Long](numHashes)(Long.MaxValue)
+    val md = md5Local.get()
+    var i = 0
+    val n = shingles.numElements()
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(shingles.getUTF8String(i).getBytes)
+        // first 12 hex chars = first 6 digest bytes, big-endian
+        var x = 0L
+        var k = 0
+        while (k < 6) { x = (x << 8) | (d(k) & 0xffL); k += 1 }
+        x %= P
+        var q = 0
+        while (q < numHashes) {
+          val v = (a(q) * x + b(q)) % P
+          if (v < out(q)) out(q) = v
+          q += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.map(Long.box): Array[Any])
+  }
+
+  /** Engine-neutral 60-bit SimHash kernel — compiled twin of the
+    * column-composed md5 family ([[graft.ops.DedupOps.neutralSimhashFromHashes]]):
+    * per-token 60-bit md5-prefix hash (first 15 hex chars), ±1 vote per bit
+    * across tokens (repeats counted), bit set iff votes > 0. */
+  def neutralSimhash60(tokens: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val md = md5Local.get()
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(tokens.getUTF8String(i).getBytes)
+        // first 15 hex chars = bytes 0..6 (56 bits) + high nibble of byte 7
+        var x = 0L
+        var k = 0
+        while (k < 7) { x = (x << 8) | (d(k) & 0xffL); k += 1 }
+        x = (x << 4) | ((d(7) >> 4) & 0xfL)
+        var b = 0
+        while (b < 60) {
+          if (((x >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Unicode normalization (+ optional ROOT-locale casefold) — corpus
     * canonicalization before dedup/fingerprinting so visually-identical
     * text (combining accents vs precomposed, compatibility ligatures)
@@ -266,6 +348,36 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   override def prettyName: String = "minhash_sig"
 }
 
+case class NeutralMinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"neutral_minhash_sig requires array<string>, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Exprs.neutralMinhashSig(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Exprs.neutralMinhashSig($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): NeutralMinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "neutral_minhash_sig"
+}
+
+case class NeutralSimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"neutral_simhash60 requires array<string>, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Exprs.neutralSimhash60(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Exprs.neutralSimhash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): NeutralSimHash60 =
+    copy(child = newChild)
+  override def prettyName: String = "neutral_simhash60"
+}
+
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult =
@@ -371,6 +483,9 @@ object NativeFunctions {
   def word_shingles(c: Column, n: Int): Column = columnOf(WordShingles(expressionOf(c), n))
   def hash_embed(c: Column, dim: Int): Column = columnOf(HashEmbedExpr(expressionOf(c), dim))
   def minhash_sig(c: Column, numHashes: Int): Column = columnOf(MinHashSig(expressionOf(c), numHashes))
+  def neutral_minhash_sig(c: Column, numHashes: Int): Column =
+    columnOf(NeutralMinHashSig(expressionOf(c), numHashes))
+  def neutral_simhash60(c: Column): Column = columnOf(NeutralSimHash60(expressionOf(c)))
   def dot_product(a: Column, b: Column): Column = columnOf(DotProduct(expressionOf(a), expressionOf(b)))
   def unicode_normalize(c: Column, form: String = "NFC", casefold: Boolean = false): Column =
     columnOf(UnicodeNormalize(expressionOf(c), form, casefold))

@@ -191,11 +191,14 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Incremental (batch-vs-corpus) Jaccard pairs: only postings of the NEW
-    * batch probe the corpus shingle index, so candidate generation is
-    * |batch postings| × posting-list joins — the corpus is never
-    * self-joined. At scale the corpus index is a materialized table and
-    * this probe is the only per-ingest work.
+  /** Incremental (batch-vs-corpus) Jaccard pairs, rebuilding the shingle
+    * index from text in-plan. This is the *oracle-anchor* variant — a
+    * single statement DuckDB can replicate; the production default is the
+    * persisted pair [[writeShingleIndex]] + [[probeShingleIndex]], where
+    * corpus text is shingled once at ingest and probes scan stored
+    * postings. Only postings of the NEW batch probe the corpus shingle
+    * index, so candidate generation is |batch postings| × posting-list
+    * joins — the corpus is never self-joined.
     *
     * Every qualifying pair with ≥1 batch member is emitted exactly once:
     * batch-vs-corpus pairs as (id_a = batch doc, id_b = corpus doc,
@@ -228,8 +231,11 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("b_batch"), col("jaccard"))
   }
 
-  /** Materialize the corpus shingle inverted index to parquet — the
-    * at-scale companion of [[batchJaccardPairs]]: the corpus is shingled
+  /** Materialize the corpus shingle inverted index to parquet — with
+    * [[probeShingleIndex]] this is the DEFAULT incremental-dedup path
+    * (PlanSpec asserts probes scan the stored postings, never corpus
+    * text; [[batchJaccardPairs]] remains as the single-statement oracle
+    * anchor): the corpus is shingled
     * ONCE at ingest time, and every later batch probes the stored
     * (id, sz, shingle) postings instead of re-scanning corpus text. The
     * `maxDf` cut is applied at build time over the corpus (document
@@ -282,9 +288,20 @@ object DedupOps {
   private[graft] def minhashA(i: Int): Long = 1L + (i.toLong * 2654435761L) % 1048573L
   private[graft] def minhashB(i: Int): Long = (i.toLong * 4050313L + 17L) % MinhashP
 
-  /** array<long> minhash signature of a distinct-shingle array (one md5 per
-    * shingle, then `numHashes` linear probes — arithmetic only). */
-  private[graft] def neutralMinhashSig(sh: Column, numHashes: Int): Column = {
+  /** array<long> minhash signature of a distinct-shingle array: the native
+    * codegen'd kernel ([[graft.functions.NeutralMinHashSig]] — one md5 +
+    * a tight probe loop per shingle). Semantics are pure md5 + integer
+    * arithmetic, so the DuckDB oracle reproduces it; bit-parity with the
+    * column-composed spec [[neutralMinhashSigColumns]] is asserted in
+    * OpsSpec. */
+  private[graft] def neutralMinhashSig(sh: Column, numHashes: Int): Column =
+    graft.functions.NativeFunctions.neutral_minhash_sig(sh, numHashes)
+
+  /** Column-composed executable spec of [[neutralMinhashSig]] (what the
+    * DuckDB oracle mirrors term by term) — parity anchor, not the hot
+    * path: 64 array-transform passes per row vs the kernel's single
+    * loop. */
+  private[graft] def neutralMinhashSigColumns(sh: Column, numHashes: Int): Column = {
     val bases = transform(sh, s =>
       conv(substring(md5(s), 1, 12), 16, 10).cast("long") % MinhashP)
     val aLit = array((0 until numHashes).map(i => lit(minhashA(i))): _*)
@@ -353,6 +370,13 @@ object DedupOps {
     * BIGINT cannot express. The token-hash array is projected ONCE per row;
     * the 60 bit-sums then fold over that array. */
   private[graft] val SimhashBits = 60
+  /** Native codegen'd signature ([[graft.functions.NeutralSimHash60]]):
+    * one md5 + 60-bit vote loop per token. Bit-parity with the
+    * column-composed spec below is asserted in OpsSpec. */
+  private[graft] def neutralSimhash(tokens: Column): Column =
+    graft.functions.NativeFunctions.neutral_simhash60(tokens)
+  /** Column-composed executable spec (what the DuckDB oracle mirrors) —
+    * parity anchor, not the hot path. */
   private[graft] def neutralTokenHashes(tokens: Column): Column =
     transform(tokens, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
   private[graft] def neutralSimhashFromHashes(ths: Column): Column =
@@ -377,8 +401,7 @@ object DedupOps {
     require(maxHamming < chunks, "pigeonhole guarantee needs maxHamming < chunks")
     val bitsPerChunk = SimhashBits / chunks
     val sigs = df
-      .select(id.as("id"), neutralTokenHashes(TextOps.tokens(text)).as("ths"))
-      .select(col("id"), neutralSimhashFromHashes(col("ths")).as("sig"))
+      .select(id.as("id"), neutralSimhash(TextOps.tokens(text)).as("sig"))
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("c"),
         shiftright(col("sig"), c * bitsPerChunk)

@@ -51,6 +51,51 @@ class CodegenSpec extends AnyFunSuite {
     assert((0 until 8).map(got.getLong) == (0 until 8).map(expected.getLong))
   }
 
+  test("neutral_minhash_sig generated code compiles and matches interpreted eval") {
+    val expr = NeutralMinHashSig(tokRef, 8)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val in = strArray("x y z", "y z w")
+    val got = proj(InternalRow(in)).getArray(0)
+    val expected = expr.nullSafeEval(in)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until 8).map(got.getLong) == (0 until 8).map(expected.getLong))
+    // and against the md5 definition directly: base = first 12 md5 hex
+    // chars of the shingle, h_i = (A_i*base + B_i) mod P, min over shingles
+    val P = 4294967291L
+    def base(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16) % P
+    }
+    val bases = Seq("x y z", "y z w").map(base)
+    val ref = (0 until 8).map { i =>
+      val a = 1L + (i.toLong * 2654435761L) % 1048573L
+      val b = (i.toLong * 4050313L + 17L) % P
+      bases.map(x => (a * x + b) % P).min
+    }
+    assert((0 until 8).map(got.getLong) == ref)
+  }
+
+  test("neutral_simhash60 generated code compiles and matches interpreted eval") {
+    val expr = NeutralSimHash60(tokRef)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val toks = Seq("the", "quick", "brown", "fox", "the")
+    val in = strArray(toks: _*)
+    assert(proj(InternalRow(in)).getLong(0) ==
+      expr.nullSafeEval(in).asInstanceOf[Long])
+    // against the definition: 60-bit md5-prefix votes (repeats counted)
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val sig = (0 until 60).map { j =>
+      val v = toks.map(t => if (((h60(t) >> j) & 1L) == 1L) 1 else -1).sum
+      if (v > 0) 1L << j else 0L
+    }.sum
+    assert(proj(InternalRow(in)).getLong(0) == sig)
+  }
+
   test("dot_product generated code compiles and matches interpreted eval") {
     val vecRef = BoundReference(0, ArrayType(DoubleType), nullable = true)
     val vecRef2 = BoundReference(1, ArrayType(DoubleType), nullable = true)

@@ -46,6 +46,23 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
   }
 
+  test("neutral minhash/simhash kernels bit-match their column-composed specs") {
+    // the codegen'd kernels are the hot path; the column-composed md5
+    // expressions are the executable spec the DuckDB oracles mirror —
+    // any divergence would silently break the oracle contract
+    val sh = docs.select($"doc_id", TextOps.shingles($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+    val mh = sh.select(
+      DedupOps.neutralMinhashSig($"sh", 16).as("fast"),
+      DedupOps.neutralMinhashSigColumns($"sh", 16).as("spec"))
+    assert(mh.filter(!($"fast" <=> $"spec")).count() == 0)
+    val sg = docs.select(
+      DedupOps.neutralSimhash(TextOps.tokens($"text")).as("fast"),
+      DedupOps.neutralSimhashFromHashes(
+        DedupOps.neutralTokenHashes(TextOps.tokens($"text"))).as("spec"))
+    assert(sg.filter(!($"fast" <=> $"spec")).count() == 0)
+  }
+
   test("chunk-banded simhash pairs equal brute force (pigeonhole recall)") {
     // brute force over the SAME engine-neutral 60-bit signature family the
     // op uses (the banding is what's under test, not the hash family)

@@ -173,6 +173,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("pl_incremental_dedup_persisted: probe reads stored postings, corpus text never re-read") {
+    // the at-scale default incremental path: corpus text is shingled ONCE
+    // at index-build time; every later probe scans the persisted postings
+    // parquet, and the only documents.parquet scans left in the plan are
+    // the batch slice (source IN src0/src1)
+    val p = plan("pl_incremental_dedup_persisted")
+    assert(p.contains("graft_shingle_idx"),
+      s"probe must scan the persisted shingle index\n$p")
+    val docScanLines = p.linesIterator.filter(_.contains("documents.parquet")).toSeq
+    assert(docScanLines.nonEmpty &&
+      docScanLines.forall(_.contains("In(source, [src0,src1])")),
+      docScanLines.mkString("\n"))
+  }
+
   test("pl_perplexity_buckets: broadcast thresholds, no global window/sort") {
     val df = Registry.queries("pl_perplexity_buckets")(spark, TestSpark.sfDir)
     val p = df.queryExecution.executedPlan.toString
