@@ -999,12 +999,20 @@ object Analytics extends QueryModule {
           .crossJoin(broadcast(maxTs))
           .withColumn("recency_days",
             datediff(to_date($"max_ts"), to_date($"last_ts")))
-        val n = users.agg(count(lit(1)).as("n_total"))
-        val rk1 = LayoutOps.globalRowNumber(users,
+        // Each globalRowNumber stage references its input ~3x (boundary
+        // aggregate, bucketed main pass, per-bucket counts); chaining three
+        // would recompute the purchase aggregate ~27x without the lineage
+        // cuts (lazy, per the cascade convention - nothing executes at
+        // construction time).
+        val usersCp = users.localCheckpoint(false)
+        val n = usersCp.agg(count(lit(1)).as("n_total"))
+        val rk1 = LayoutOps.globalRowNumber(usersCp,
           $"recency_days".cast("double"),
           Seq($"recency_days", $"user_id"), buckets = 32, outCol = "rn_r")
+          .localCheckpoint(false)
         val rk2 = LayoutOps.globalRowNumber(rk1, -$"freq".cast("double"),
           Seq($"freq".desc, $"user_id"), buckets = 32, outCol = "rn_f")
+          .localCheckpoint(false)
         val rk3 = LayoutOps.globalRowNumber(rk2, -$"monetary".cast("double"),
           Seq($"monetary".desc, $"user_id"), buckets = 32, outCol = "rn_m")
         def tercile(rn: Column): Column =
