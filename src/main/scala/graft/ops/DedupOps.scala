@@ -311,6 +311,54 @@ object DedupOps {
         (element_at(aLit, i + 1) * x + element_at(bLit, i + 1)) % MinhashP)))
   }
 
+  /** array<string> of `bands` LSH band keys ("band:md5-of-slice") for a
+    * distinct-shingle array — the shared candidate-bucket key of
+    * [[minhashLshPairs]] (pairwise near-dup mining) and
+    * [[nearDupGateBatch]] / streaming gate (first-wins keep/drop).
+    * Engine-neutral end to end (md5 arithmetic), so DuckDB oracles
+    * reproduce the exact buckets. */
+  private[graft] def minhashBandKeys(
+      sh: Column, bands: Int, rowsPerBand: Int): Column = {
+    val mh = neutralMinhashSig(sh, bands * rowsPerBand)
+    array((0 until bands).map { b =>
+      concat_ws(":", lit(b),
+        md5(concat_ws(",", slice(mh, b * rowsPerBand + 1, rowsPerBand))))
+    }: _*)
+  }
+
+  /** Near-dup GATE, batch form: one keep/drop bit per document without
+    * materializing the pair list — a doc survives iff it is the
+    * first-arriving claimant (min arrival order) of EVERY one of its LSH
+    * band buckets within the corpus. Any near-dup of an earlier doc shares
+    * ≥1 band with it by LSH design and therefore fails to claim that band.
+    * This is the admission-control view of dedup (the decision an ingest
+    * gate needs), vs [[minhashLshPairs]]'s forensic pair view; the
+    * streaming twin ([[graft.streaming.StreamingOps.nearDupGateStream]])
+    * runs the identical first-wins rule over watermark-bounded band state,
+    * and StreamingSpec proves batch/stream parity.
+    *
+    * Scale shape: explode to bands (×16 rows, three scalar columns), one
+    * band-keyed window for the per-band first claimant, one doc-keyed
+    * aggregate for the all-bands conjunction. No pair blowup anywhere —
+    * candidate pairs are never formed. */
+  def nearDupGateBatch(
+      df: DataFrame, id: Column, text: Column, arrival: Column,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withBands = df
+      .select(id.as("id"), arrival.as("arrival"),
+        TextOps.shingles(text, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("arrival"),
+        explode(minhashBandKeys(col("sh"), bands, rowsPerBand)).as("band"))
+    val w = Window.partitionBy(col("band")).orderBy(col("arrival"), col("id"))
+    withBands
+      .withColumn("claimed", row_number().over(w) === 1)
+      .groupBy(col("id"))
+      .agg(min(col("claimed")).as("is_new"))
+      .select(col("id"), col("is_new"))
+  }
+
   /** MinHash+LSH near-dup pairs: band-bucket candidate join, then exact
     * Jaccard verification of candidates (false positives filtered; recall
     * governed by (bands, rowsPerBand) — 16×4 here, ≥0.9998 at J≥0.9).

@@ -345,6 +345,49 @@ object Pipeline extends QueryModule {
         WHERE n_chars >= lo AND n_chars <= hi
         GROUP BY lang ORDER BY lang""")),
 
+    // ---- near-dup admission GATE (batch twin of the streaming
+    // first-wins gate): one keep/drop bit per doc — survives iff it is
+    // the first claimant of every one of its MinHash LSH band buckets
+    // (arrival order = doc_id here). No pair materialization anywhere;
+    // StreamingSpec proves the stateful streaming twin
+    // (StreamingOps.nearDupGateStream) emits the identical decision set.
+    // The engine-neutral band keys make the whole gate oracle-checkable. ----
+    QueryDef(
+      "pl_near_dedup_gate",
+      (s, dir) => {
+        import s.implicits._
+        DedupOps.nearDupGateBatch(
+            Tables.load(s, dir, "documents"), $"doc_id", $"text", $"doc_id")
+          .select($"id".as("doc_id"), $"is_new")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        shd AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        bases AS (
+          SELECT doc_id,
+            list_transform(shs, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT % 4294967291) AS bs
+          FROM shd WHERE len(shs) > 0),
+        sig AS (
+          SELECT doc_id, i,
+            list_min(list_transform(bs, x ->
+              ((1 + (i * 2654435761) % 1048573) * x + (i * 4050313 + 17) % 4294967291)
+                % 4294967291)) AS mh
+          FROM bases, range(0, 64) t(i)),
+        bands AS (
+          SELECT doc_id, i // 4 AS band,
+            md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bsig
+          FROM sig GROUP BY doc_id, i // 4),
+        claims AS (
+          SELECT doc_id,
+            doc_id = min(doc_id) OVER (PARTITION BY band, bsig) AS claimed
+          FROM bands)
+        SELECT doc_id, bool_and(claimed) AS is_new
+        FROM claims GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- the full near-dup dedup pass, end to end: shingle-Jaccard pairs
     // → connected components → drop every non-keeper → per-lang survivor
     // report. This is THE corpus-dedup shape at 100 TB (candidate join,

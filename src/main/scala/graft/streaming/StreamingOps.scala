@@ -146,6 +146,95 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("fp")
       .select(col("doc_id"), col("source"), col("quality"), col("fp"))
 
+  /** First claimant of an LSH band bucket (state of [[nearDupGateStream]];
+    * epoch micros keep the encoder primitive-only). */
+  final case class BandClaim(firstUs: Long, firstDoc: Long)
+
+  /** Streaming near-duplicate GATE: the unbounded-ingest twin of
+    * [[graft.ops.DedupOps.nearDupGateBatch]] — admit a document iff it is
+    * the first claimant of EVERY one of its MinHash LSH band buckets
+    * within the watermark horizon (a near-dup of an earlier doc shares ≥1
+    * band by LSH design and fails that band's claim). Two chained stateful
+    * stages, both watermark-bounded:
+    *
+    *  1. explode to (band, doc, ts) and `flatMapGroupsWithState` keyed by
+    *     band key: state is the first-arriving claimant (ties inside a
+    *     micro-batch broken by (ts, doc id) — the batch twin's order);
+    *     event-time timeout evicts bands idle past the horizon, so state
+    *     is |distinct bands seen within horizon|, never corpus-sized.
+    *  2. re-watermark and aggregate the per-band claim bits back to doc
+    *     grain (append-mode event-time aggregation): `is_new` =
+    *     conjunction over the doc's bands.
+    *
+    * At 100 TB/day both shuffles carry three scalar columns (band key,
+    * doc id, bit) — signatures are computed map-side by the codegen'd
+    * neutral-minhash kernel and never travel. StreamingSpec proves
+    * batch/stream parity on planted near-dups.
+    *
+    * Requires `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`:
+    * Spark's global-watermark check conservatively rejects every
+    * flatMapGroupsWithState → aggregation chain because FMGWS *could* emit
+    * rows behind the watermark. This one cannot — stage 1 emits each input
+    * row at its own unchanged event time, which the same watermark already
+    * admitted, so nothing reaches stage 2 late. */
+  def nearDupGateStream(
+      spark: SparkSession,
+      schema: StructType,
+      path: String,
+      watermark: String = "24 hours",
+      horizonMillis: Long = 24L * 3600 * 1000,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def toUs(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+    def claim(
+        band: String,
+        rows: Iterator[(String, Long, java.sql.Timestamp)],
+        state: GroupState[BandClaim]): Iterator[(Long, java.sql.Timestamp, Boolean)] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      // first-wins inside the batch by (event time, doc id) — the batch
+      // twin's Window order, so a single-batch replay is bit-identical
+      val sorted = rows.toSeq.sortBy(r => (toUs(r._3), r._2))
+      var st = state.getOption.orNull
+      val out = sorted.map { case (_, doc, ts) =>
+        if (st == null) { st = BandClaim(toUs(ts), doc); (doc, ts, true) }
+        else (doc, ts, st.firstDoc == doc)
+      }
+      if (st != null) {
+        state.update(st)
+        val maxMs = sorted.map(r => r._3.getTime).max
+        state.setTimeoutTimestamp(maxMs + horizonMillis)
+      }
+      out.iterator
+    }
+
+    val docs = spark.readStream.schema(schema).parquet(path)
+      .withWatermark("ingest_ts", watermark)
+      .select(col("doc_id"), col("ingest_ts"),
+        graft.ops.TextOps.shingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("ingest_ts"),
+        explode(graft.ops.DedupOps.minhashBandKeys(col("sh"), bands, rowsPerBand))
+          .as("band"))
+    // column reorder (not a typed map): projections preserve the event-time
+    // watermark tag; a .map would strip it and EventTimeTimeout requires it
+    val claims = docs
+      .select(col("band"), col("doc_id"), col("ingest_ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(claim)
+      .toDF("doc_id", "ingest_ts", "claimed")
+    claims
+      .withWatermark("ingest_ts", watermark)
+      .groupBy(col("doc_id"), col("ingest_ts"))
+      .agg(min(col("claimed")).as("is_new"))
+      .select(col("doc_id"), col("is_new"))
+  }
+
   /** Streaming benchmark decontamination: drop any streamed document
     * sharing a token block with the (pre-built) probe Bloom filter. The
     * filter rides the plan as a 16 KiB literal ([[graft.ops.BloomOps]]),

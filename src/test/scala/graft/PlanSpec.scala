@@ -178,6 +178,11 @@ class PlanSpec extends AnyFunSuite {
     // at index-build time; every later probe scans the persisted postings
     // parquet, and the only documents.parquet scans left in the plan are
     // the batch slice (source IN src0/src1)
+    // other suites cache the bare documents frame in the shared session;
+    // cache substitution would splice an InMemoryRelation (whose embedded
+    // plan shows the unfiltered scan) into this plan and fail the
+    // filter-shape assertion for the wrong reason
+    spark.catalog.clearCache()
     val p = plan("pl_incremental_dedup_persisted")
     assert(p.contains("graft_shingle_idx"),
       s"probe must scan the persisted shingle index\n$p")

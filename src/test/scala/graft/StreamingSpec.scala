@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.EventOps
+import graft.ops.{DedupOps, EventOps}
 import graft.sources.Tables
 import graft.streaming.StreamingOps
 
@@ -172,6 +172,48 @@ class StreamingSpec extends AnyFunSuite {
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(got == batch)
     assert(got.nonEmpty && got.size < corpus.count()) // something was dropped
+  }
+
+  test("streaming near-dup gate equals the batch first-wins LSH admission") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select($"doc_id", $"text")
+    // arrival order = doc_id (one second apart); a far-future sentinel doc
+    // pushes the watermark past every real doc so the append-mode
+    // doc-grain aggregation flushes its final groups
+    val staged = docs
+      .withColumn("ingest_ts",
+        to_timestamp(lit("2024-01-01 00:00:00")) +
+          make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(0),
+            $"doc_id".cast("double")))
+      .unionByName(Seq(
+        (99999999L, "watermark sentinel pushing far ahead zz yy xx ww vv uu",
+          java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+        .toDF("doc_id", "text", "ingest_ts"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_stream").toString
+    staged.write.mode("overwrite").parquet(dir)
+
+    // see nearDupGateStream scaladoc: the FMGWS -> agg chain is safe here
+    // (stage 1 emits at unchanged input event time) but Spark's global
+    // check can't prove it and must be told so
+    val checkConf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(checkConf, "false")
+    val got =
+      try StreamingOps.runToCompletion(
+        spark,
+        StreamingOps.nearDupGateStream(spark, staged.schema, dir,
+          watermark = "1 hour", horizonMillis = 3600L * 1000),
+        "stream_gate", mode = "append")
+        .filter($"doc_id" < 99999999L)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+      finally spark.conf.unset(checkConf)
+
+    val batch = DedupOps.nearDupGateBatch(docs, $"doc_id", $"text", $"doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(got == batch)
+    // the gate is discriminative on this corpus: some docs are retired
+    assert(batch.exists(!_._2) && batch.count(_._2) > batch.size / 2)
   }
 
   test("streaming corpus clean equals the batch classify+filter+dedup") {
