@@ -202,6 +202,18 @@ class PlanSpec extends AnyFunSuite {
     assert(wins.forall(_.partitionSpec.nonEmpty), p)
   }
 
+  test("pl_near_dedup_gate: no pair join at all — band-partitioned window only") {
+    val df = Registry.queries("pl_near_dedup_gate")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the gate's whole point: admission bits without candidate pairs — no
+    // join of any kind, and the first-claimant window partitioned by band
+    assert(!p.contains("Join"), p)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty), p)
+  }
+
   test("pl_dedup_cascade: no cartesian anywhere in the three-stage funnel") {
     val p = plan("pl_dedup_cascade")
     assert(!p.contains("CartesianProduct"), p)
