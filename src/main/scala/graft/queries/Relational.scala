@@ -837,6 +837,67 @@ object Relational extends QueryModule {
         lag(o_orderkey, 1) OVER
           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order
         FROM orders WHERE o_custkey < 20
-        ORDER BY o_custkey, o_orderkey"""))
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- PIVOT (explicit value list, one aggregate → column names are
+    // exactly the pivot values on both engines; Spark rewrites to
+    // conditional aggregation internally, which is precisely the oracle's
+    // FILTER form — one hash aggregate, no extra shuffle) ----
+    QueryDef(
+      "op_pivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderstatus")
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+        count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+        count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+        count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- UNPIVOT / melt (the inverse direction): wide numeric columns to
+    // (metric, value) rows via Dataset.unpivot — a per-row expansion, no
+    // shuffle; oracle is the portable UNION ALL form ----
+    QueryDef(
+      "op_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_orderkey" < 100)
+          .select($"l_orderkey", $"l_linenumber",
+            $"l_quantity".cast("double").as("l_quantity"),
+            $"l_extendedprice".cast("double").as("l_extendedprice"),
+            $"l_discount".cast("double").as("l_discount"),
+            $"l_tax".cast("double").as("l_tax"))
+          .unpivot(
+            Array($"l_orderkey", $"l_linenumber"),
+            Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+            "metric", "value")
+          .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+      },
+      Some("""WITH src AS (
+          SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax
+          FROM lineitem WHERE l_orderkey < 100)
+        SELECT l_orderkey, l_linenumber, metric, value FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                 CAST(l_quantity AS DOUBLE) AS value FROM src
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                 CAST(l_extendedprice AS DOUBLE) FROM src
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount',
+                 CAST(l_discount AS DOUBLE) FROM src
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_tax',
+                 CAST(l_tax AS DOUBLE) FROM src)
+        ORDER BY l_orderkey, l_linenumber, metric"""))
   )
 }

@@ -336,6 +336,21 @@ class SessionSpec extends AnyFunSuite {
     assert(star.count() == 2)
   }
 
+  test("PIVOT and UNPIVOT SQL route through the front door") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_piv")
+    g.sql("CREATE TABLE t_piv (grp STRING, kind STRING, n INT)")
+    g.sql("""INSERT INTO t_piv VALUES
+        ('a','x',1), ('a','y',2), ('b','x',3), ('b','x',4)""")
+    val piv = g.sql("""SELECT * FROM (SELECT grp, kind, n FROM t_piv)
+        PIVOT (sum(n) FOR kind IN ('x' AS x, 'y' AS y)) ORDER BY grp""")
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2))).toSeq
+    assert(piv == Seq(("a", 1L, 2L), ("b", 7L, null)))
+    val unp = g.sql("""SELECT grp, metric, v FROM t_piv
+        UNPIVOT (v FOR metric IN (n)) ORDER BY grp, v""")
+    assert(unp.count() == 4 && unp.columns.toSeq == Seq("grp", "metric", "v"))
+  }
+
   test("schema name colliding with a table alias does not mangle the alias") {
     val g = fresh()
     g.sql("DROP TABLE IF EXISTS t_alias_n")
