@@ -495,12 +495,18 @@ object DedupOps {
       col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
     val b = bucketed.select(col("t"), col("b"),
       col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    // cosine on the (map-side) join output BEFORE the dedup, so the
+    // dedup shuffle and TakeOrdered move (id_a, id_b, cosine) scalars —
+    // never the dim-wide vectors (same trade as [[SimilarityOps.knnGraph]]:
+    // a pair colliding in several tables is scored once per table, but
+    // cosine is deterministic per pair so the duplicates collapse safely
+    // and the redundant work is bounded by `tables`)
     a.join(b, Seq("t", "b"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine",
         VectorOps.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
       .select(col("id_a"), col("id_b"), col("cosine"))
+      .dropDuplicates("id_a", "id_b")
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(k)
   }
