@@ -763,7 +763,7 @@ final class GraftSession(
     * reference's nulls-first ordering for DESC sorts. */
   private def rewriteQuery(q: String): String = {
     var out = q
-    val TvfStart = """(?i)read_(csv|json|parquet)\s*\(""".r
+    val TvfStart = """(?i)read_(csv|json|parquet|orc)\s*\(""".r
     var m = TvfStart.findFirstMatchIn(out)
     while (m.isDefined) {
       val mm = m.get
@@ -848,6 +848,7 @@ final class GraftSession(
           .csv(path)
       case "json" => spark.read.json(path)
       case "parquet" => spark.read.parquet(path)
+      case "orc" => spark.read.orc(path)
     }
     tvfCounter += 1
     val view = s"tvf_${kind}_${Integer.toHexString((path + opts).hashCode).replace('-', 'n')}_$tvfCounter"

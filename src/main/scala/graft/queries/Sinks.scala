@@ -49,6 +49,25 @@ object Sinks extends QueryModule {
         o_orderdate, o_orderpriority
         FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""")),
 
+    // ---- ORC round trip (the other columnar format Spark bundles —
+    // decimal/date/string fidelity through the ORC writer+reader; the
+    // oracle sees only the re-read values, which must equal the source) ----
+    QueryDef(
+      "snk_orc_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val src = t(s, dir, "orders").filter($"o_orderkey" < 2000)
+        val path = out(dir, "orders_orc")
+        src.write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+            $"o_totalprice", $"o_orderdate", $"o_orderpriority")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""")),
+
     // ---- Hive-partitioned parquet: the partition column round-trips
     // through directory names and the reader prunes on it ----
     QueryDef(

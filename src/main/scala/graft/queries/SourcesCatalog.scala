@@ -50,6 +50,22 @@ object SourcesCatalog extends QueryModule {
         WHERE n_regionkey = 2 ORDER BY n_nationkey""")),
 
     QueryDef(
+      "src_read_orc_tvf",
+      (s, dir) => {
+        // stage an ORC copy of nation, then read it back through the TVF
+        // front door — proves the ORC reader + TVF routing end to end
+        val orcPath = s"$fixturesDir/nation_orc"
+        s.read.parquet(s"$dir/nation.parquet")
+          .write.mode("overwrite").orc(orcPath)
+        val g = new GraftSession(s)
+        g.sql(s"""SELECT n_nationkey, n_name
+          FROM read_orc('$orcPath')
+          WHERE n_regionkey = 2 ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name FROM nation
+        WHERE n_regionkey = 2 ORDER BY n_nationkey""")),
+
+    QueryDef(
       "src_read_csv_tvf",
       (s, dir) => {
         val g = new GraftSession(s)
