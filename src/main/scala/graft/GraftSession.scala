@@ -92,6 +92,8 @@ final class GraftSession(
       describeTable(q)
     else if (upper.startsWith("EXPLAIN ")) explainStatement(q)
     else if (upper.matches("(?s)SELECT\\s+DISTINCT\\s+ON\\s*\\(.*")) distinctOn(q)
+    else if (upper.startsWith("SELECT") &&
+             indexOfTopLevelKeyword(q, "ASOF") >= 0) asofJoinSql(q)
     else if ((upper.startsWith("SELECT") || upper.startsWith("WITH")) &&
              indexOfTopLevelKeyword(q, "QUALIFY") >= 0) qualifyFilter(q)
     else compatNames(spark.sql(rewriteQuery(q)))
@@ -854,6 +856,101 @@ final class GraftSession(
     val view = s"tvf_${kind}_${Integer.toHexString((path + opts).hashCode).replace('-', 'n')}_$tvfCounter"
     df.createOrReplaceTempView(view)
     view
+  }
+
+  // ----------------------------------------------------- ASOF JOIN
+
+  private var asofCounter = 0
+
+  /** Restricted `SELECT ... FROM l [la] ASOF [LEFT] JOIN r [ra] ON
+    * <lk> = <rk> AND <lts> >= <rts> [WHERE/GROUP/ORDER/LIMIT ...]` surface
+    * (DuckDB's ASOF grammar) → [[graft.ops.AsofOps.asofJoin]], the
+    * single-shuffle union-scan — never a range-join pair blowup. Plain
+    * ASOF JOIN is inner (left rows without a match at-or-before their
+    * timestamp drop, matching DuckDB); ASOF LEFT JOIN keeps them with
+    * null right payload. Right columns (other than the equi key, which
+    * the output carries from the left side) must not collide with left
+    * column names; alias qualifiers in the select list and tail resolve
+    * against the joined frame by stripping them. */
+  private def asofJoinSql(q: String): DataFrame = {
+    val fromIdx = indexOfTopLevelKeyword(q, "FROM")
+    require(fromIdx >= 0, s"ASOF JOIN requires FROM: $q")
+    val selPart = q.take(fromIdx)
+    val rest = q.substring(fromIdx + 4)
+    val asofIdx = indexOfTopLevelKeyword(rest, "ASOF")
+    val leftSpec = rest.take(asofIdx).trim
+    val afterAsof = rest.substring(asofIdx + 4).trim
+    val (leftJoin, afterJoinKw) =
+      if (afterAsof.toUpperCase(Locale.ROOT).startsWith("LEFT"))
+        (true, afterAsof.substring(4).trim)
+      else (false, afterAsof)
+    require(afterJoinKw.toUpperCase(Locale.ROOT).startsWith("JOIN"),
+      s"expected JOIN after ASOF: $q")
+    val afterJoin = afterJoinKw.substring(4).trim
+    val onIdx = indexOfTopLevelKeyword(afterJoin, "ON")
+    require(onIdx >= 0, s"ASOF JOIN requires ON: $q")
+    val rightSpec = afterJoin.take(onIdx).trim
+    val afterOn = afterJoin.substring(onIdx + 2)
+    val tailIdx = Seq("WHERE", "GROUP", "ORDER", "LIMIT")
+      .map(k => indexOfTopLevelKeyword(afterOn, k)).filter(_ >= 0)
+      .sorted.headOption.getOrElse(afterOn.length)
+    val condText = afterOn.take(tailIdx).trim
+    val tail = afterOn.substring(tailIdx)
+
+    def parseSpec(s: String): (String, String) = {
+      val toks = s.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
+      require(toks.nonEmpty && toks.length <= 2, s"cannot parse table spec: $s")
+      (unquoteIdent(toks(0)).toLowerCase(Locale.ROOT),
+        unquoteIdent(toks(if (toks.length == 2) 1 else 0)).toLowerCase(Locale.ROOT))
+    }
+    val (lName, lAlias) = parseSpec(leftSpec)
+    val (rName, rAlias) = parseSpec(rightSpec)
+    val conds = condText.split("(?i)\\s+AND\\s+").map(_.trim)
+    require(conds.length == 2,
+      s"ASOF JOIN ON must be `<equi> AND <ts >= ts>`: $condText")
+    val tsCond = conds.find(_.contains(">="))
+    val eqCond = conds.find(c => !c.contains(">=") && !c.contains("<=") && c.contains("="))
+    require(tsCond.isDefined && eqCond.isDefined,
+      s"ASOF JOIN ON must be `<equi> AND <ts >= ts>`: $condText")
+
+    // (qualifier, column); bare columns resolve by schema membership below
+    def operand(e: String): (String, String) = {
+      val p = e.split("\\.", 2)
+      if (p.length == 2) (unquoteIdent(p(0)).toLowerCase(Locale.ROOT), unquoteIdent(p(1).trim))
+      else ("", unquoteIdent(p(0).trim))
+    }
+    val lDf = spark.table(lName)
+    val rDf = spark.table(rName)
+    def isLeftSide(qual: String, colName: String): Boolean =
+      if (qual.nonEmpty) qual == lAlias || qual == lName
+      else lDf.columns.contains(colName) && !rDf.columns.contains(colName)
+
+    val Array(eqA, eqB) = eqCond.get.split("=", 2).map(_.trim)
+    val (eqAq, eqAc) = operand(eqA); val (eqBq, eqBc) = operand(eqB)
+    val (lKey, rKey) =
+      if (isLeftSide(eqAq, eqAc)) (eqAc, eqBc) else (eqBc, eqAc)
+    val Array(tsA, tsB) = tsCond.get.split(">=", 2).map(_.trim)
+    val (tsAq, tsAc) = operand(tsA); val (tsBq, tsBc) = operand(tsB)
+    // ASOF backward: the GREATER side must be the left (probe) timestamp
+    require(isLeftSide(tsAq, tsAc),
+      s"ASOF JOIN ts condition must be <left ts> >= <right ts>: $condText")
+    val (lTs, rTs) = (tsAc, tsBc)
+
+    val rAligned = if (rKey == lKey) rDf else rDf.withColumnRenamed(rKey, lKey)
+    val rightCols = rAligned.columns.filterNot(_ == lKey).toIndexedSeq
+    val collisions = rightCols.toSet.intersect(lDf.columns.toSet)
+    require(collisions.isEmpty,
+      s"ASOF JOIN right columns collide with left: ${collisions.mkString(", ")}")
+    val joined0 = graft.ops.AsofOps.asofJoin(lDf, rAligned, lKey, lTs, rTs, rightCols)
+    val joined = if (leftJoin) joined0
+      else joined0.filter(org.apache.spark.sql.functions.col(rTs).isNotNull)
+    asofCounter += 1
+    val view = s"__asof_$asofCounter"
+    joined.createOrReplaceTempView(view)
+    val stripAliases = (s: String) => Seq(lAlias, rAlias, lName, rName)
+      .distinct.foldLeft(s)((acc, a) => acc.replaceAll(s"(?i)\\b$a\\.", ""))
+    compatNames(spark.sql(
+      mapUnquoted(selPart)(stripAliases) + s" FROM $view " + mapUnquoted(tail)(stripAliases)))
   }
 
   // ----------------------------------------------------- DISTINCT ON

@@ -2258,6 +2258,41 @@ object ExtEvents extends QueryModule {
           ON buys.user_id = views.user_id AND buys.buy_ts >= views.view_ts
         ORDER BY buy_id""")),
 
+    // ---- the same as-of join through the SQL front door: DuckDB's
+    // `ASOF [LEFT] JOIN` grammar routed to the identical single-shuffle
+    // AsofOps plan (GraftSession.asofJoinSql), including a cross-side key
+    // rename (v_user_id = user_id). Oracle is DuckDB executing the
+    // equivalent text natively. ----
+    QueryDef(
+      "op_asof_join_sql",
+      (s, dir) => {
+        import s.implicits._
+        val events = Tables.load(s, dir, "events")
+        events.filter($"event_type" === "purchase")
+          .select($"event_id".as("buy_id"), $"user_id", $"ts".as("buy_ts"))
+          .createOrReplaceTempView("asof_buys")
+        events.filter($"event_type" === "view")
+          .groupBy($"user_id".as("v_user_id"), $"ts".as("view_ts"))
+          .agg(max($"event_id").as("view_id"))
+          .createOrReplaceTempView("asof_views")
+        val g = new graft.GraftSession(s)
+        g.sql("""SELECT buy_id, user_id, buy_ts, view_id, view_ts
+          FROM asof_buys b ASOF LEFT JOIN asof_views v
+            ON b.user_id = v.v_user_id AND b.buy_ts >= v.view_ts
+          ORDER BY buy_id""")
+      },
+      Some("""WITH buys AS (
+          SELECT event_id AS buy_id, user_id, CAST(ts AS TIMESTAMP) AS buy_ts
+          FROM events WHERE event_type = 'purchase'),
+        views AS (
+          SELECT user_id AS v_user_id, CAST(ts AS TIMESTAMP) AS view_ts,
+                 max(event_id) AS view_id
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        SELECT buy_id, user_id, buy_ts, view_id, view_ts
+        FROM buys ASOF LEFT JOIN views
+          ON buys.user_id = views.v_user_id AND buys.buy_ts >= views.view_ts
+        ORDER BY buy_id""")),
+
     // ---- FORWARD as-of join ("next event ≥ t" lookup — next price tick,
     // next maintenance window): mirror of the backward as-of, same
     // single-shuffle union-scan (no pair materialization); oracle is

@@ -351,6 +351,29 @@ class SessionSpec extends AnyFunSuite {
     assert(unp.count() == 4 && unp.columns.toSeq == Seq("grp", "metric", "v"))
   }
 
+  test("ASOF JOIN SQL: inner drops unmatched, LEFT keeps with null payload") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_trades")
+    g.sql("DROP TABLE IF EXISTS t_quotes")
+    g.sql("CREATE TABLE t_trades (sym STRING, t_ts INT, qty INT)")
+    g.sql("CREATE TABLE t_quotes (q_sym STRING, q_ts INT, px INT)")
+    g.sql("INSERT INTO t_trades VALUES ('a',5,1), ('a',10,2), ('b',3,3)")
+    g.sql("INSERT INTO t_quotes VALUES ('a',4,100), ('a',9,110), ('b',7,200)")
+    val inner = g.sql("""SELECT sym, t_ts, qty, q_ts, px
+        FROM t_trades tr ASOF JOIN t_quotes q
+          ON tr.sym = q.q_sym AND tr.t_ts >= q.q_ts
+        ORDER BY sym, t_ts""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSeq
+    // each trade ← latest quote at-or-before it; b@3 has no quote ≤ 3
+    assert(inner == Seq(("a", 5L, 4L, 100L), ("a", 10L, 9L, 110L)))
+    val left = g.sql("""SELECT sym, t_ts, px
+        FROM t_trades tr ASOF LEFT JOIN t_quotes q
+          ON tr.sym = q.q_sym AND tr.t_ts >= q.q_ts
+        ORDER BY sym, t_ts""")
+    assert(left.count() == 3)
+    assert(left.filter("px IS NULL").count() == 1)
+  }
+
   test("schema name colliding with a table alias does not mangle the alias") {
     val g = fresh()
     g.sql("DROP TABLE IF EXISTS t_alias_n")
