@@ -359,6 +359,35 @@ object DedupOps {
       .select(col("id"), col("is_new"))
   }
 
+  /** All pairs of distinct keys within Levenshtein distance 1, via
+    * deletion-neighborhood blocking (the FastSS/SymSpell identity: two
+    * strings within one edit — insert, delete, or substitute — always
+    * share a variant in {s} ∪ single-deletions(s), so the candidate
+    * equi-join on variants has FULL recall by construction and exact
+    * `levenshtein` verification makes the output exact, not approximate).
+    * The record-linkage / typo-cluster primitive: key normalization,
+    * vocabulary folding, entity matching.
+    *
+    * Scale shape: |key|+1 variant rows per key, one equi-shuffle keyed on
+    * the variant string, per-variant collision lists bounded by
+    * ~alphabet·|key| — never the |V|² cross product a naive fuzzy join
+    * needs. Verification runs on the (tiny) deduped candidate set. */
+  def editDistance1Pairs(df: DataFrame, key: Column): DataFrame = {
+    val k = df.select(key.as("k")).filter(col("k").isNotNull).distinct()
+    val variants = array_distinct(concat(array(col("k")),
+      transform(sequence(lit(1), length(col("k"))), i =>
+        concat(col("k").substr(lit(1), i - 1),
+          col("k").substr(i + 1, length(col("k")))))))
+    val ex = k.select(col("k"), explode(variants).as("v"))
+    val a = ex.select(col("v"), col("k").as("k_a"))
+    val b = ex.select(col("v"), col("k").as("k_b"))
+    a.join(b, Seq("v"))
+      .filter(col("k_a") < col("k_b"))
+      .select(col("k_a"), col("k_b"))
+      .dropDuplicates("k_a", "k_b")
+      .filter(levenshtein(col("k_a"), col("k_b")) <= 1)
+  }
+
   /** MinHash+LSH near-dup pairs: band-bucket candidate join, then exact
     * Jaccard verification of candidates (false positives filtered; recall
     * governed by (bands, rowsPerBand) — 16×4 here, ≥0.9998 at J≥0.9).

@@ -679,6 +679,30 @@ object ExtDedup extends QueryModule {
         SELECT id AS retired_id, cluster_id AS keeper_id
         FROM comp WHERE id <> cluster_id ORDER BY retired_id""")),
 
+    // ---- fuzzy key linkage (typo/OCR-noise entity matching): every pair
+    // of distinct supplier names within ONE edit, found by
+    // deletion-neighborhood blocking (DedupOps.editDistance1Pairs — full
+    // recall by the FastSS identity, exact after levenshtein verify,
+    // equi-shuffle never |V|²). Supplier names differing in a single
+    // digit ARE within one edit, so the fixture exercises real matches.
+    // Oracle brute-forces levenshtein with a length-diff prefilter. ----
+    QueryDef(
+      "ext_fuzzy_key_join",
+      (s, dir) => {
+        import s.implicits._
+        val sup = Tables.load(s, dir, "supplier").select($"s_name")
+        DedupOps.editDistance1Pairs(sup, $"s_name")
+          .select($"k_a", $"k_b")
+          .orderBy($"k_a", $"k_b")
+      },
+      Some("""SELECT a.s_name AS k_a, b.s_name AS k_b
+        FROM (SELECT DISTINCT s_name FROM supplier) a
+        JOIN (SELECT DISTINCT s_name FROM supplier) b
+          ON a.s_name < b.s_name
+          AND abs(length(a.s_name) - length(b.s_name)) <= 1
+          AND levenshtein(a.s_name, b.s_name) <= 1
+        ORDER BY k_a, k_b""")),
+
     // ---- most-shared shingles (WHAT is the boilerplate?): top 15 trigram
     // shingles by document frequency — the first thing to eyeball when the
     // cost model or degree histogram looks skewed, and the input to a

@@ -46,6 +46,36 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
   }
 
+  test("edit-distance-1 pairs: full recall on insert/delete/substitute, d=2 excluded") {
+    val keys = Seq("alpha",
+      "alphax",  // insert (suffix)
+      "alpa",    // delete
+      "alpho",   // substitute
+      "xalpha",  // insert (prefix)
+      "alpxo",   // d=2 from alpha
+      "beta")    // unrelated
+      .toDF("k")
+    val got = DedupOps.editDistance1Pairs(keys, $"k")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val brute = (for {
+      a <- keys.collect().map(_.getString(0)); b <- keys.collect().map(_.getString(0))
+      if a < b
+    } yield (a, b)).filter { case (a, b) => lev(a, b) <= 1 }.toSet
+    assert(got == brute)
+    assert(got.contains(("alpha", "alphax")) && got.contains(("alpa", "alpha")) &&
+      got.contains(("alpha", "alpho")) && got.contains(("alpha", "xalpha")))
+    assert(!got.exists(p => p._1 == "beta" || p._2 == "beta"))
+    assert(!got.contains(("alpha", "alpxo")))
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("neutral minhash/simhash kernels bit-match their column-composed specs") {
     // the codegen'd kernels are the hot path; the column-composed md5
     // expressions are the executable spec the DuckDB oracles mirror —
