@@ -1270,6 +1270,58 @@ object ExtText extends QueryModule {
         "gradient rounds); MlSpec asserts monotone loss descent, deterministic " +
         "weights across reruns, and AUC above a floor on a planted signal.")),
 
+    // ---- Spearman rank correlation between two quality signals (doc
+    // length vs composite quality score) — the signal-agreement check run
+    // before trusting a filter at scale. Ranks come from the scale-safe
+    // globalRowNumber range-bucket ranking (no single-partition window);
+    // Σd² is exact integer arithmetic, so ρ = 1 − 6Σd²/(n(n²−1)) is
+    // bit-deterministic on both engines. Ties broken by doc_id (both
+    // sides), i.e. the deterministic row_number variant of Spearman. ----
+    QueryDef(
+      "ext_text_spearman_quality_len",
+      (s, dir) => {
+        import s.implicits._
+        val q = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"n_chars", TextOps.qualityScore($"text").as("q"))
+        val rk1 = LayoutOps.globalRowNumber(q, $"n_chars".cast("double"),
+          Seq($"n_chars", $"doc_id"), buckets = 32, outCol = "r_len")
+          .localCheckpoint(false)
+        val rk2 = LayoutOps.globalRowNumber(rk1, $"q",
+          Seq($"q", $"doc_id"), buckets = 32, outCol = "r_q")
+        rk2
+          .agg(count(lit(1)).as("n"),
+            sum(($"r_len" - $"r_q") * ($"r_len" - $"r_q")).as("sum_d2"))
+          .select($"n", $"sum_d2",
+            round(lit(1.0) - lit(6.0) * $"sum_d2" /
+              ($"n" * ($"n" * $"n" - lit(1.0))), 6).as("spearman_rho"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, n_chars, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        m AS (
+          SELECT doc_id, n_chars,
+            CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS diversity,
+            CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+              / CAST(len(tk) AS DOUBLE) AS sr,
+            CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+              / CAST(len(tk) AS DOUBLE) AS mtl
+          FROM t),
+        sc AS (
+          SELECT doc_id, n_chars,
+            diversity * 0.6
+              + (CASE WHEN sr BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2
+              + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2 AS q
+          FROM m),
+        r AS (
+          SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS r_len,
+                 row_number() OVER (ORDER BY q, doc_id) AS r_q
+          FROM sc)
+        SELECT count(*) AS n,
+          CAST(sum((r_len - r_q) * (r_len - r_q)) AS BIGINT) AS sum_d2,
+          round(1.0 - 6.0 * sum((r_len - r_q) * (r_len - r_q))
+            / (count(*) * (count(*) * count(*) - 1.0)), 6) AS spearman_rho
+        FROM r""")),
+
     QueryDef(
       "ext_text_quality_langid",
       (s, dir) => {
