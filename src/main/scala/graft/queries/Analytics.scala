@@ -161,6 +161,110 @@ object Analytics extends QueryModule {
         round(covar_pop(l_quantity, l_discount), 4) AS covp_qd
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- equi-width histogram (profiling primitive): 20 buckets over
+    // o_totalprice, bounds broadcast from ONE min/max aggregate — integer
+    // bucket arithmetic on exact decimal inputs so edges are
+    // engine-agnostic; the max value folds into the last bucket ----
+    QueryDef(
+      "an_histogram",
+      (s, dir) => {
+        import s.implicits._
+        // integer-cent arithmetic end to end: decimal division scale rules
+        // differ across engines, integer div does not
+        val o = t(s, dir, "orders")
+          .select((m($"o_totalprice") * 100).cast("long").as("c"))
+        val bounds = o.agg(min($"c").as("lo"), max($"c").as("hi"))
+        o.crossJoin(broadcast(bounds))
+          .withColumn("bucket",
+            least(expr("((c - lo) * 20) div (hi - lo)"), lit(19L)).cast("int"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"),
+            round(min($"c").cast("double") / 100, 2).as("bucket_min"),
+            round(max($"c").cast("double") / 100, 2).as("bucket_max"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH o AS (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+          FROM orders),
+        b AS (SELECT min(c) AS lo, max(c) AS hi FROM o),
+        x AS (
+          SELECT CAST(least(((c - lo) * 20) // (hi - lo), 19) AS INT) AS bucket, c
+          FROM o CROSS JOIN b)
+        SELECT bucket, count(*) AS n,
+          round(CAST(min(c) AS DOUBLE) / 100, 2) AS bucket_min,
+          round(CAST(max(c) AS DOUBLE) / 100, 2) AS bucket_max
+        FROM x GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- column-profile report (the dbt/Deequ-style profiling pass a
+    // pipeline runs before trusting a new table): null counts, distinct
+    // cardinalities, min/max — ONE aggregate over the table (Catalyst
+    // expands the multi-distinct internally), unpivoted to a row per
+    // column via stack. min/max stringified so one report shape covers
+    // every column type. ----
+    QueryDef(
+      "an_profile_columns",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val ag = o.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("k_nulls"),
+          countDistinct($"o_custkey").as("k_d"),
+          min($"o_custkey").cast("string").as("k_min"),
+          max($"o_custkey").cast("string").as("k_max"),
+          sum(when($"o_totalprice".isNull, 1L).otherwise(0L)).as("p_nulls"),
+          countDistinct(m($"o_totalprice")).as("p_d"),
+          min(m($"o_totalprice")).cast("string").as("p_min"),
+          max(m($"o_totalprice")).cast("string").as("p_max"),
+          sum(when($"o_orderdate".isNull, 1L).otherwise(0L)).as("d_nulls"),
+          countDistinct($"o_orderdate").as("d_d"),
+          min($"o_orderdate").cast("string").as("d_min"),
+          max($"o_orderdate").cast("string").as("d_max"),
+          sum(when($"o_orderpriority".isNull, 1L).otherwise(0L)).as("y_nulls"),
+          countDistinct($"o_orderpriority").as("y_d"),
+          min($"o_orderpriority").cast("string").as("y_min"),
+          max($"o_orderpriority").cast("string").as("y_max"))
+        ag.select($"n_rows", expr("""stack(4,
+            'o_custkey', k_nulls, k_d, k_min, k_max,
+            'o_orderdate', d_nulls, d_d, d_min, d_max,
+            'o_orderpriority', y_nulls, y_d, y_min, y_max,
+            'o_totalprice', p_nulls, p_d, p_min, p_max)
+            AS (col_name, n_nulls, n_distinct, min_value, max_value)"""))
+          .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct",
+            $"min_value", $"max_value")
+          .orderBy($"col_name")
+      },
+      Some("""WITH a AS (
+          SELECT count(*) AS n_rows,
+            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+            count(DISTINCT o_custkey) AS k_d,
+            CAST(min(o_custkey) AS VARCHAR) AS k_min,
+            CAST(max(o_custkey) AS VARCHAR) AS k_max,
+            CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+            count(DISTINCT CAST(o_totalprice AS DECIMAL(12,2))) AS p_d,
+            CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS p_min,
+            CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS p_max,
+            CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+            count(DISTINCT o_orderdate) AS d_d,
+            CAST(min(o_orderdate) AS VARCHAR) AS d_min,
+            CAST(max(o_orderdate) AS VARCHAR) AS d_max,
+            CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS y_nulls,
+            count(DISTINCT o_orderpriority) AS y_d,
+            CAST(min(o_orderpriority) AS VARCHAR) AS y_min,
+            CAST(max(o_orderpriority) AS VARCHAR) AS y_max
+          FROM orders)
+        SELECT col_name, n_rows, n_nulls, n_distinct, min_value, max_value
+        FROM (
+          SELECT 'o_custkey' AS col_name, n_rows, k_nulls AS n_nulls,
+                 k_d AS n_distinct, k_min AS min_value, k_max AS max_value FROM a
+          UNION ALL
+          SELECT 'o_orderdate', n_rows, d_nulls, d_d, d_min, d_max FROM a
+          UNION ALL
+          SELECT 'o_orderpriority', n_rows, y_nulls, y_d, y_min, y_max FROM a
+          UNION ALL
+          SELECT 'o_totalprice', n_rows, p_nulls, p_d, p_min, p_max FROM a)
+        ORDER BY col_name""")),
+
     // ---- Exact percentiles / median (linear interpolation both engines) ----
     QueryDef(
       "an_percentiles",
