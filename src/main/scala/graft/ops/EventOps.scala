@@ -50,4 +50,35 @@ object EventOps {
         max(col("ts")).as("session_end"),
         sum(col("value").cast(money)).cast("double").as("session_value"))
   }
+
+  /** Per-user RUNNING-moments anomaly flags: event e is anomalous when its
+    * value is more than `z` running standard deviations from the mean of
+    * the user's ≥ `minN` PRIOR events (ordered by ts, event_id) — the
+    * online z-score every metrics pipeline runs, in its prior-only (no
+    * leakage) form.
+    *
+    * All moments are exact integer cents, so the anomaly inequality
+    * multiplies out to pure integer arithmetic —
+    * (c·n − s1)² > z²·(n·s2 − s1²) — which is bit-identical on any engine
+    * and any window implementation (DuckDB's segment-tree window sums
+    * reassociate float additions; integer sums cannot drift). The
+    * streaming twin ([[graft.streaming.StreamingOps.anomalyStream]])
+    * carries (n, s1, s2) as keyed state and emits the identical flag set.
+    *
+    * One user-keyed shuffle; running sums are linear per-partition
+    * passes. */
+  def runningAnomalies(events: DataFrame, minN: Int = 5, z: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast(money) * 100).cast("long").as("c"))
+      .withColumn("n_pre", count(lit(1)).over(w))
+      .withColumn("s1", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("s2", coalesce(sum(col("c") * col("c")).over(w), lit(0L)))
+      .filter(col("n_pre") >= minN &&
+        (col("c") * col("n_pre") - col("s1")) * (col("c") * col("n_pre") - col("s1")) >
+          lit(z.toLong * z) * (col("n_pre") * col("s2") - col("s1") * col("s1")))
+      .select(col("user_id"), col("event_id"))
+  }
 }

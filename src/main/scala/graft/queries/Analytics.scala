@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.LayoutOps
+import graft.ops.{EventOps, LayoutOps}
 import graft.sources.Tables
 
 /** OLAP analytics surface beyond the reference's executable set: multi-level
@@ -160,6 +160,35 @@ object Analytics extends QueryModule {
         round(covar_samp(l_quantity, l_discount), 4) AS cov_qd,
         round(covar_pop(l_quantity, l_discount), 4) AS covp_qd
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- per-user running z-score anomaly flags (prior-only moments, no
+    // leakage): value more than 3 running stddevs from the mean of ≥ 5
+    // PRIOR events. Integer-cent moments make the inequality pure integer
+    // arithmetic — bit-identical on any engine or window implementation.
+    // The streaming twin (StreamingOps.anomalyStream) carries (n,s1,s2)
+    // as keyed state; StreamingSpec proves the identical flag set. ----
+    QueryDef(
+      "an_anomaly_running",
+      (s, dir) => {
+        import s.implicits._
+        EventOps.runningAnomalies(t(s, dir, "events"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, ts,
+            CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+          FROM events),
+        r AS (
+          SELECT user_id, event_id, c,
+            count(*) OVER w AS n_pre,
+            coalesce(CAST(sum(c) OVER w AS BIGINT), 0) AS s1,
+            coalesce(CAST(sum(c * c) OVER w AS BIGINT), 0) AS s2
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT user_id, event_id FROM r
+        WHERE n_pre >= 5
+          AND (c * n_pre - s1) * (c * n_pre - s1) > 9 * (n_pre * s2 - s1 * s1)
+        ORDER BY user_id, event_id""")),
 
     // ---- equi-width histogram (profiling primitive): 20 buckets over
     // o_totalprice, bounds broadcast from ONE min/max aggregate — integer

@@ -235,6 +235,63 @@ object StreamingOps {
       .select(col("doc_id"), col("is_new"))
   }
 
+  /** Per-user running moments (state of [[anomalyStream]]; integer cents). */
+  final case class MomentState(n: Long, s1: Long, s2: Long)
+
+  /** Streaming twin of [[graft.ops.EventOps.runningAnomalies]]: per-user
+    * (n, s1, s2) integer-cent moments as keyed state; each arriving event
+    * is flagged against the moments of the events BEFORE it (batch-sorted
+    * by (ts, event_id) — the batch twin's window order) and then folded
+    * in. The inequality is the same pure-integer form, so stream == batch
+    * flag set exactly (StreamingSpec). Event-time timeout evicts users
+    * idle past the horizon; emission is immediate (no downstream stateful
+    * op, no output-flush dependency on the watermark). */
+  def anomalyStream(
+      spark: SparkSession,
+      schema: StructType,
+      path: String,
+      watermark: String = "2 hours",
+      horizonMillis: Long = 2L * 3600 * 1000,
+      minN: Int = 5, z: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def toUs(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+    def fn(
+        user: Long,
+        rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+        state: GroupState[MomentState]): Iterator[(Long, Long)] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val sorted = rows.toSeq.sortBy(r => (toUs(r._4), r._2))
+      var st = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+      val out = Seq.newBuilder[(Long, Long)]
+      sorted.foreach { case (_, eid, c, _) =>
+        val lhs = c * st.n - st.s1
+        if (st.n >= minN &&
+            lhs * lhs > z.toLong * z * (st.n * st.s2 - st.s1 * st.s1))
+          out += ((user, eid))
+        st = MomentState(st.n + 1, st.s1 + c, st.s2 + c * c)
+      }
+      state.update(st)
+      state.setTimeoutTimestamp(sorted.map(_._4.getTime).max + horizonMillis)
+      out.result().iterator
+    }
+
+    spark.readStream.schema(schema).parquet(path)
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long").as("c"),
+        col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF("user_id", "event_id")
+  }
+
   /** Streaming benchmark decontamination: drop any streamed document
     * sharing a token block with the (pre-built) probe Bloom filter. The
     * filter rides the plan as a 16 KiB literal ([[graft.ops.BloomOps]]),

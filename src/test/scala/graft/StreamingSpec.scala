@@ -216,6 +216,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exists(!_._2) && batch.count(_._2) > batch.size / 2)
   }
 
+  test("streaming running-anomaly flags equal the batch prior-only z-score") {
+    import spark.implicits._
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom_stream").toString
+    val staged = events.select($"user_id", $"event_id", $"value", $"ts")
+    staged.write.mode("overwrite").parquet(dir)
+
+    val got = StreamingOps.runToCompletion(spark,
+        StreamingOps.anomalyStream(spark, staged.schema, dir),
+        "stream_anom", mode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventOps.runningAnomalies(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+    assert(batch.nonEmpty) // the detector fires on this corpus
+  }
+
   test("streaming corpus clean equals the batch classify+filter+dedup") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
