@@ -214,6 +214,15 @@ class PlanSpec extends AnyFunSuite {
     assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty), p)
   }
 
+  test("an_anomaly_running: every window user-partitioned, no join") {
+    val df = Registry.queries("an_anomaly_running")(spark, TestSpark.sfDir)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
   test("pl_dedup_cascade: no cartesian anywhere in the three-stage funnel") {
     val p = plan("pl_dedup_cascade")
     assert(!p.contains("CartesianProduct"), p)
