@@ -372,13 +372,24 @@ object DedupOps {
     * the variant string, per-variant collision lists bounded by
     * ~alphabet·|key| — never the |V|² cross product a naive fuzzy join
     * needs. Verification runs on the (tiny) deduped candidate set. */
-  def editDistance1Pairs(df: DataFrame, key: Column): DataFrame = {
+  def editDistance1Pairs(df: DataFrame, key: Column, maxDf: Int = 0): DataFrame = {
     val k = df.select(key.as("k")).filter(col("k").isNotNull).distinct()
     val variants = array_distinct(concat(array(col("k")),
       transform(sequence(lit(1), length(col("k"))), i =>
         concat(col("k").substr(lit(1), i - 1),
           col("k").substr(i + 1, length(col("k")))))))
-    val ex = k.select(col("k"), explode(variants).as("v"))
+    val ex0 = k.select(col("k"), explode(variants).as("v"))
+    // hot-variant guard (same discipline as [[jaccardPairs]]' maxDf): a
+    // degenerate key cluster (all-same-char keys, boilerplate prefixes)
+    // could land O(df²) candidates on one variant bucket; capping variant
+    // document frequency bounds every posting list. 0 = off (the oracle
+    // anchor); pairs joined ONLY through capped variants are the recall
+    // cost, and only when every shared variant is hot.
+    val ex = if (maxDf <= 0) ex0 else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("v"))
+      ex0.withColumn("__df", count(lit(1)).over(w))
+        .filter(col("__df") <= maxDf).drop("__df")
+    }
     val a = ex.select(col("v"), col("k").as("k_a"))
     val b = ex.select(col("v"), col("k").as("k_b"))
     a.join(b, Seq("v"))

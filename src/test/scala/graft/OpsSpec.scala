@@ -68,6 +68,21 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(("alpha", "alpxo")))
   }
 
+  test("edit-distance-1 maxDf guard bounds hot-variant buckets; off = exact") {
+    // 15 keys differing only in the first char: pairwise distance 1, all
+    // discovered ONLY through the shared hot deletion variant "aaaaaaa"
+    // (df = 15); plus two cool-bucket true matches
+    val hot = ('b' to 'p').map(c => c + "aaaaaaa")
+    val keys = (hot ++ Seq("zebra", "zebr", "qqqq")).toDF("k")
+    val unguarded = DedupOps.editDistance1Pairs(keys, $"k").count()
+    val guarded = DedupOps.editDistance1Pairs(keys, $"k", maxDf = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // the guard keeps cool-bucket pairs (zebra/zebr survive) and can only
+    // shrink the hot cluster's pair count
+    assert(guarded.contains(("zebr", "zebra")))
+    assert(guarded.size < unguarded)
+  }
+
   private def lev(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
     for (i <- 1 to a.length; j <- 1 to b.length)
