@@ -248,6 +248,21 @@ object DedupOps {
     shingleIndex(df, id, text, n, maxDf)
       .write.mode("overwrite").parquet(path)
 
+  /** Fold an ADMITTED batch into the persisted index (the step after
+    * [[probeShingleIndex]] retires the batch's near-dups): the batch's
+    * postings append to the stored parquet — batch text is shingled once
+    * and never re-read, same as the corpus. NO df cut on the appended
+    * rows: stored document frequencies are corpus-build-time frequencies
+    * by contract (a batch cannot retroactively re-cap old postings);
+    * rebuild via [[writeShingleIndex]] or compact periodically as drift
+    * accumulates. Probe-after-append == probe-of-rebuilt-index is proven
+    * in OpsSpec (uncapped). */
+  def appendShingleIndex(
+      df: DataFrame, id: Column, text: Column, path: String,
+      n: Int = 3): Unit =
+    shingleIndex(df, id, text, n)
+      .write.mode("append").parquet(path)
+
   /** Probe a persisted corpus index with a NEW batch: emits every
     * Jaccard-qualifying pair with ≥1 batch member exactly once —
     * batch-vs-corpus pairs as (id_a = batch doc, id_b = corpus doc,

@@ -207,6 +207,32 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.forall(_._4 == 1.0)) // exact dups; >1 would mean double count
   }
 
+  test("append to persisted shingle index == rebuild (the ingest loop closes)") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different corpus content entirely")).toDF("id", "text")
+    val batch1 = Seq(
+      (10L, "one two three four five six seven")).toDF("id", "text")
+    val batch2 = Seq(
+      (20L, "one two three four five six seven"),   // dups batch1's 10
+      (21L, "alpha beta gamma delta epsilon zeta")) // dups corpus 1
+      .toDF("id", "text")
+    val dirA = java.nio.file.Files.createTempDirectory("graft_shidx_app").toString
+    DedupOps.writeShingleIndex(corpus, $"id", $"text", dirA, n = 3)
+    DedupOps.appendShingleIndex(batch1, $"id", $"text", dirA, n = 3)
+    val viaAppend = DedupOps.probeShingleIndex(spark, dirA, batch2, $"id", $"text",
+        n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val dirB = java.nio.file.Files.createTempDirectory("graft_shidx_reb").toString
+    DedupOps.writeShingleIndex(corpus.unionByName(batch1), $"id", $"text", dirB, n = 3)
+    val viaRebuild = DedupOps.probeShingleIndex(spark, dirB, batch2, $"id", $"text",
+        n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(viaAppend == viaRebuild)
+    // batch2 catches dups against BOTH the original corpus and batch1
+    assert(viaAppend == Set((20L, 10L, false), (21L, 1L, false)))
+  }
+
   test("stripHtml: blocks, tags, entities, whitespace — in spec'd order") {
     val html = "<html><head><style>p{x}</style></head><body><h1>A</h1>" +
       "<p class=\"c\">hello   world</p><script>var x=\"<b>\";</script>" +
