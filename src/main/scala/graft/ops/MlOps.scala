@@ -72,24 +72,27 @@ object MlOps {
     val losses = Seq.newBuilder[Double]
     for (_ <- 0 until iters) {
       val wLit = array(w.map(lit(_)): _*)
-      // per-doc margin under current weights (weights are plan literals,
-      // shipped with the task binary — no join against a weight table)
-      val perDoc = feats
-        .groupBy(col("id"), col("y"), col("nb"))
-        .agg(sum(col("x") * element_at(wLit, col("bucket") + 1)).as("z"))
-        .select(col("id"), col("y"), col("nb"),
-          (lit(1.0) / (lit(1.0) + exp(-(col("z") + lit(b))))).as("p"))
+      // per-doc margin via a window over the id partition the cached
+      // feature table ALREADY has (the `nb` window's exchange happened
+      // once, before the cache) — z lands on every feature row with no
+      // per-iteration id-shuffle and no join, so each round is one
+      // map-side pass over the cache + the single tiny bucket-keyed
+      // aggregate below (weights are plan literals, shipped with the
+      // task binary — no weight-table join either)
       val eps = 1e-12
-      val r = perDoc.select(col("id"), col("nb"),
-        (col("p") - col("y")).as("r"),
-        (-(col("y") * log(col("p") + eps) +
-          (lit(1.0) - col("y")) * log(lit(1.0) - col("p") + eps))).as("lt"))
+      val withZ = feats.withColumn("z",
+        sum(col("x") * element_at(wLit, col("bucket") + 1)).over(wNb))
+      val scored = withZ
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-(col("z") + lit(b)))))
+        .withColumn("r", col("p") - col("y"))
+        .withColumn("lt",
+          -(col("y") * log(col("p") + eps) +
+            (lit(1.0) - col("y")) * log(lit(1.0) - col("p") + eps)))
       // ONE bucket-keyed aggregate fetches weight gradients AND the
       // loss/bias sums (`buckets` rows to the driver, ~3 doubles each):
       // Σ_rows lt/nb telescopes back to Σ_docs lt because a doc
       // contributes exactly nb rows
-      val grad = feats.select(col("id"), col("bucket"), col("x"))
-        .join(r, Seq("id"))
+      val grad = scored
         .groupBy(col("bucket"))
         .agg(sum(col("x") * col("r")).as("g"),
           sum(col("lt") / col("nb")).as("lp"),
