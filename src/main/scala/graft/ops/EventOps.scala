@@ -66,7 +66,9 @@ object EventOps {
     * carries (n, s1, s2) as keyed state and emits the identical flag set.
     *
     * One user-keyed shuffle; running sums are linear per-partition
-    * passes. */
+    * passes. Int64 headroom: the largest term is n·s2 ≤ n²·c², so cents
+    * ≤ 10⁶ (values ≤ $10k) are safe to ~30k events per user — beyond
+    * that, promote the moment columns to DECIMAL(38,0). */
   def runningAnomalies(events: DataFrame, minN: Int = 5, z: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
