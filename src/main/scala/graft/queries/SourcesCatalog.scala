@@ -49,6 +49,52 @@ object SourcesCatalog extends QueryModule {
       Some("""SELECT n_nationkey, n_name FROM nation
         WHERE n_regionkey = 2 ORDER BY n_nationkey""")),
 
+    // ---- schema evolution: two parquet parts with different columns
+    // merge into one view (the data-lake reality — a pipeline adds a
+    // column mid-stream and old files stay). mergeSchema unions the
+    // footers; rows from the pre-evolution part surface null for the new
+    // column. Oracle states the same union over nation. ----
+    QueryDef(
+      "src_parquet_schema_evolution",
+      (s, dir) => {
+        import s.implicits._
+        val base = s"$fixturesDir/nation_evolved"
+        val nation = Tables.load(s, dir, "nation")
+        nation.filter($"n_nationkey" < 10)
+          .select($"n_nationkey", $"n_name")
+          .write.mode("overwrite").parquet(s"$base/part=old")
+        nation.filter($"n_nationkey" >= 10)
+          .select($"n_nationkey", $"n_name", $"n_regionkey")
+          .write.mode("overwrite").parquet(s"$base/part=new")
+        s.read.option("mergeSchema", "true").parquet(base)
+          .select($"n_nationkey", $"n_name", $"n_regionkey")
+          .orderBy($"n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name,
+          CASE WHEN n_nationkey >= 10 THEN n_regionkey END AS n_regionkey
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- malformed-row handling (100 TB ingest reality: some rows are
+    // broken): DROPMALFORMED silently skips rows that do not fit the
+    // declared schema; the oracle sees only the surviving clean rows. ----
+    QueryDef(
+      "src_read_csv_dropmalformed",
+      (s, dir) => {
+        import s.implicits._
+        val rows = regionRows(s, dir)
+        val csv = "r_regionkey,r_name\n" +
+          rows.map { case (k, n) => s"$k,$n" }.mkString("\n") +
+          "\nnot_an_int,broken row\n,,too,many,cols"
+        val path = writeFixture(s"$fixturesDir/region_malformed.csv", csv)
+        s.read
+          .option("header", "true")
+          .option("mode", "DROPMALFORMED")
+          .schema("r_regionkey INT, r_name STRING")
+          .csv(path)
+          .orderBy($"r_regionkey")
+      },
+      Some("""SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""")),
+
     QueryDef(
       "src_read_orc_tvf",
       (s, dir) => {
