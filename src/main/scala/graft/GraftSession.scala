@@ -800,10 +800,42 @@ final class GraftSession(
       out = mapUnquoted(out)(
         _.replaceAll("(?i)information_schema\\.df_settings", "information_schema_df_settings"))
     }
+    out = rewriteTableSample(out)
     out = foldIntervalArith(out)
     out = mapUnquoted(out)(descNullsFirst)
     out
   }
+
+  /** Deterministic TABLESAMPLE: `t TABLESAMPLE (p PERCENT) [REPEATABLE (s)]`
+    * keeps the rows whose content-keyed md5 uniform falls below p/100 — a
+    * pure function of the row bytes and the seed, so the SAME sample comes
+    * back on any engine, partitioning, cluster size, or rerun (and stays
+    * stable under appends: old rows never flip). Spark's native TABLESAMPLE
+    * draws per-split RNG samples that change with the split layout — useless
+    * as a reproducible corpus-subset operator at 100 TB. Tables the session
+    * can't resolve fall through to Spark's native sampler untouched. */
+  private val TableSampleRe =
+    ("""(?i)\b""" + Ident +
+      """\s+TABLESAMPLE\s*\(\s*([0-9]+(?:\.[0-9]+)?)\s*PERCENT\s*\)""" +
+      """(?:\s*REPEATABLE\s*\(\s*(\d+)\s*\))?""").r
+
+  private def rewriteTableSample(q: String): String =
+    TableSampleRe.replaceAllIn(q, m => {
+      val tbl = m.group(1)
+      val resolved = scala.util.Try(spark.table(unquoteIdent(tbl)).columns)
+      resolved match {
+        case scala.util.Success(cols) =>
+          val pct = m.group(2)
+          val seed = Option(m.group(3)).getOrElse("0")
+          val key = cols.map(c => s"cast(`$c` as string)")
+            .mkString(s"concat_ws('|', 'smp$seed', ", ", ", ")")
+          val u = s"(cast(conv(substring(md5($key), 1, 8), 16, 10) as double)" +
+            " + 0.5) / 4294967296.0"
+          scala.util.matching.Regex.quoteReplacement(
+            s"(SELECT * FROM ${unquoteIdent(tbl)} WHERE $u < $pct / 100.0) AS ${unquoteIdent(tbl)}")
+        case scala.util.Failure(_) => scala.util.matching.Regex.quoteReplacement(m.matched)
+      }
+    })
 
   /** The reference's interval literal accepts an arithmetic quantity:
     * `INTERVAL '1' + '2' DAY` ≡ `INTERVAL '3' DAY`

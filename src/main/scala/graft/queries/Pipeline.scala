@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.ops.{DedupOps, GraphOps, IvfOps, TextOps}
 import graft.sources.Tables
@@ -1647,7 +1648,80 @@ object Pipeline extends QueryModule {
         UNION ALL SELECT 'lang', l_f, l_o FROM a
         UNION ALL SELECT 'length', n_f, n_o FROM a
         UNION ALL SELECT 'quality', q_f, q_o FROM a
-        ORDER BY filter_name"""))
+        ORDER BY filter_name""")),
+
+    // ---- incremental aggregate maintenance (materialized-view refresh):
+    // the per-(user, event_type) rollup is maintained by aggregating ONLY
+    // the newly-ingested partition and algebraically merging it into the
+    // stored partial state — sum folds into sum, count into sum, max into
+    // max. At 100 TB the base table is never re-scanned on ingest: refresh
+    // cost is O(delta + aggregate size). Money sums stay DECIMAL end to end
+    // so the merge is exact under any partition/merge order; the DuckDB
+    // oracle recomputes the rollup DIRECTLY from all rows, so a hash match
+    // proves merge(partials) == direct aggregation. ----
+    QueryDef(
+      "pl_incremental_agg",
+      (s, dir) => {
+        import s.implicits._
+        val money = DecimalType(12, 2)
+        val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+        def partial(df: DataFrame): DataFrame =
+          df.groupBy($"user_id", $"event_type")
+            .agg(
+              count(lit(1)).as("n_events"),
+              sum($"value".cast(money)).as("sum_value"),
+              max($"ts").as("last_ts"))
+        val ev = Tables.load(s, dir, "events")
+        val stored = partial(ev.filter($"ts" < cutoff)) // the materialized state
+        val delta = partial(ev.filter($"ts" >= cutoff)) // only the new partition
+        stored.unionByName(delta)
+          .groupBy($"user_id", $"event_type")
+          .agg(
+            sum($"n_events").as("n_events"),
+            sum($"sum_value").cast("double").as("sum_value"),
+            max($"last_ts").as("last_ts"))
+          .orderBy($"user_id", $"event_type")
+      },
+      Some("""SELECT user_id, event_type,
+          CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+          max(ts) AS last_ts
+        FROM events
+        GROUP BY user_id, event_type
+        ORDER BY user_id, event_type""")),
+
+    // ---- CDC change-log compaction (Debezium-style apply): the event
+    // stream read as an ordered per-key change ledger — signup/click/view/
+    // purchase upsert the row, 'error' is a tombstone — collapsed to the
+    // final snapshot by keeping each key's LAST change and dropping keys
+    // whose last change is a delete. ONE user-keyed shuffle; the rk=1
+    // filter plans into Spark's map-side per-group top-k
+    // (WindowGroupLimitExec), so at most one row per key per mapper
+    // reaches the exchange regardless of ledger length. ----
+    QueryDef(
+      "pl_cdc_apply",
+      (s, dir) => {
+        import s.implicits._
+        val changes = Tables.load(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id",
+            when($"event_type" === "error", lit("D")).otherwise(lit("U")).as("op"),
+            $"value")
+        changes
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)))
+          .filter($"rk" === 1 && $"op" =!= "D")
+          .select($"user_id", $"value", $"ts".as("updated_at"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH c AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rk
+          FROM events)
+        SELECT user_id, value, ts AS updated_at
+        FROM c WHERE rk = 1 AND op <> 'D'
+        ORDER BY user_id"""))
   )
 
   /** DuckDB-side Morton interleave: same shift/and/add expansion as

@@ -898,6 +898,74 @@ object Relational extends QueryModule {
           UNION ALL
           SELECT l_orderkey, l_linenumber, 'l_tax',
                  CAST(l_tax AS DOUBLE) FROM src)
-        ORDER BY l_orderkey, l_linenumber, metric"""))
+        ORDER BY l_orderkey, l_linenumber, metric""")),
+
+    // ---- Beyond reference: deterministic TABLESAMPLE. The front door
+    // rewrites `t TABLESAMPLE (p PERCENT) REPEATABLE (s)` to a content-keyed
+    // md5-uniform filter — the sample is a pure function of row bytes + seed
+    // (identical on any engine / partitioning / cluster size, stable under
+    // appends), unlike Spark's native per-split RNG sampler. The oracle runs
+    // the identical md5 arithmetic in DuckDB. ----
+    QueryDef(
+      "op_tablesample",
+      (s, dir) => {
+        val g = new graft.GraftSession(s)
+        graft.sources.Tables.register(s, dir, Seq("documents"))
+        g.sql("""SELECT lang, count(*) AS n_docs,
+            sum(n_chars) AS total_chars
+          FROM documents TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+          GROUP BY lang ORDER BY lang""")
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM (
+          SELECT * FROM documents
+          WHERE (CAST('0x' || substring(md5(concat_ws('|', 'smp42',
+                   CAST(doc_id AS VARCHAR), text, lang, source,
+                   CAST(n_chars AS VARCHAR))), 1, 8) AS UBIGINT) + 0.5)
+                / 4294967296.0 < 10 / 100.0)
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- Beyond reference: UNION by column NAME (the DuckDB-popularized
+    // schema-evolution union): mismatched column orders align by name and
+    // columns missing on one side null-fill — the multi-vintage parquet
+    // concatenation every long-lived corpus needs. Dataset.unionByName
+    // (allowMissingColumns) vs DuckDB's native UNION ALL BY NAME. ----
+    QueryDef(
+      "op_union_by_name",
+      (s, dir) => {
+        import s.implicits._
+        val v1 = t(s, dir, "documents").filter($"doc_id" < 50)
+          .select($"doc_id", $"lang", $"n_chars")
+        val v2 = t(s, dir, "documents")
+          .filter($"doc_id" >= 50 && $"doc_id" < 100)
+          .select($"source", $"doc_id", $"lang") // reordered + evolved schema
+        v1.unionByName(v2, allowMissingColumns = true)
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars, source FROM (
+          SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 50
+          UNION ALL BY NAME
+          SELECT source, doc_id, lang FROM documents
+          WHERE doc_id >= 50 AND doc_id < 100)
+        ORDER BY doc_id""")),
+
+    // ---- Beyond reference: join strategy hints. The result is hint-
+    // invariant (oracle = the plain join); what the hint buys is PLAN
+    // control — the BROADCAST side ships to every executor instead of
+    // shuffling both inputs (PlanSpec asserts BroadcastHashJoin, and the
+    // MERGE-hinted twin plans SortMergeJoin). ----
+    QueryDef(
+      "op_join_hint",
+      (s, dir) => {
+        graft.sources.Tables.register(s, dir, Seq("customer", "nation"))
+        s.sql("""SELECT /*+ BROADCAST(nation) */ n_name,
+            count(*) AS n_customers
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name""")
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name"""))
   )
 }

@@ -302,4 +302,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(") && p.linesIterator.exists(l =>
       l.contains("HashAggregate") && l.contains("*(")), p)
   }
+
+  test("op_join_hint: BROADCAST hint plans a broadcast hash join") {
+    val p = plan("op_join_hint")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("pl_cdc_apply: last-change-per-key plans map-side WindowGroupLimit") {
+    val p = plan("pl_cdc_apply")
+    assert(p.contains("WindowGroupLimit"),
+      s"rk=1 filter should plan per-group top-k so one row per key per mapper reaches the exchange:\n$p")
+  }
+
+  test("pl_incremental_agg: merge never re-joins, single union of partials") {
+    val p = plan("pl_incremental_agg")
+    assert(!p.contains("Join"), s"partial merge must be union+agg, not a join:\n$p")
+    assert(p.contains("Union"), p)
+  }
 }

@@ -403,4 +403,18 @@ class SessionSpec extends AnyFunSuite {
     assert(r.map(_.getLong(0)).toSeq == Seq(1L))
     g.sql("DROP TABLE cascprefix__x")
   }
+
+  test("TABLESAMPLE is deterministic across reruns and seed-sensitive") {
+    val g = fresh()
+    graft.sources.Tables.register(spark, TestSpark.sfDir, Seq("documents"))
+    def ids(seed: Int): Seq[Long] =
+      g.sql(s"SELECT doc_id FROM documents TABLESAMPLE (20 PERCENT) REPEATABLE ($seed) ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+    val a = ids(7)
+    assert(a == ids(7), "same seed must return the identical sample")
+    assert(a != ids(8), "different seeds must draw different samples")
+    val n = spark.table("documents").count()
+    // content-keyed Bernoulli: expect ~20%, loose bounds
+    assert(a.size > n / 10 && a.size < n / 2, s"sample size ${a.size} of $n")
+  }
 }
