@@ -39,6 +39,32 @@ object CmsOps {
 
   def estimateLong(bytes: Array[Byte], key: Long): Long =
     wrap(bytes).estimateCount(key)
+
+  /** Equi-join cardinality estimate from two sketches built over the two
+    * join-key columns with the SAME depth/width/seed (Cormode &
+    * Muthukrishnan 2005 §4.2): est = min over rows d of Σ_w t1[d][w]·t2[d][w].
+    * Never underestimates the true size Σ_k f1(k)·f2(k); overcount is
+    * ≤ (e/width)·N1·N2 with high probability. This is the sketch-only
+    * answer to "how big would this join be" a cost-based planner asks at
+    * 100 TB — no key enumeration, no scan, just two persisted byte arrays.
+    * Spark's impl keeps the counter table private; read via reflection
+    * (layout stable across Spark 1.x–4.x). */
+  def innerProduct(b1: Array[Byte], b2: Array[Byte]): Long = {
+    val s1 = wrap(b1)
+    val s2 = wrap(b2)
+    val f = s1.getClass.getDeclaredField("table")
+    f.setAccessible(true)
+    val t1 = f.get(s1).asInstanceOf[Array[Array[Long]]]
+    val t2 = f.get(s2).asInstanceOf[Array[Array[Long]]]
+    require(t1.length == t2.length && t1.head.length == t2.head.length,
+      s"sketch shapes differ: ${t1.length}x${t1.head.length} vs ${t2.length}x${t2.head.length}")
+    t1.indices.map { d =>
+      var acc = 0L
+      var w = 0
+      while (w < t1(d).length) { acc += t1(d)(w) * t2(d)(w); w += 1 }
+      acc
+    }.min
+  }
 }
 
 /** Per-group count-min sketch of a string/integral column; emits the

@@ -2125,6 +2125,94 @@ object ExtText extends QueryModule {
             AS share
         FROM c ORDER BY lang, lang_guess""")),
 
+    // ---- language segmentation (code-switch detection): each doc split
+    // into fixed 25-token windows, langid'd per window — the doc-level
+    // verdict is the majority segment language plus a switch count (mixed-
+    // language docs poison monolingual training mixes even when the DOC-
+    // level guess looks clean). Segmenting is a shuffle-free per-row array
+    // transform; the two windows + the majority vote all partition BY DOC
+    // (bounded: segments per doc), never globally. ----
+    QueryDef(
+      "ext_text_lang_segments",
+      (s, dir) => {
+        import s.implicits._
+        val segSize = 25
+        val w = org.apache.spark.sql.expressions.Window
+        val segs = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"lang", TextOps.tokens($"text").as("tk"))
+          .withColumn("nseg", ceil(size($"tk") / lit(segSize.toDouble)).cast("int"))
+          .filter($"nseg" >= 1)
+          .select($"doc_id", $"lang", posexplode(expr(
+            s"transform(sequence(0, nseg - 1), i -> concat_ws(' ', slice(tk, i * $segSize + 1, $segSize)))")))
+          .select($"doc_id", $"lang", $"pos".as("seg_idx"),
+            TextOps.langId($"col").as("seg_lang"))
+        val switches = segs
+          .withColumn("prev",
+            lag($"seg_lang", 1).over(w.partitionBy($"doc_id").orderBy($"seg_idx")))
+          .withColumn("sw",
+            when($"prev".isNotNull && $"prev" =!= $"seg_lang", 1L).otherwise(0L))
+        val major = segs.groupBy($"doc_id", $"seg_lang").agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(
+            w.partitionBy($"doc_id").orderBy($"c".desc, $"seg_lang")))
+          .filter($"rk" === 1)
+          .select($"doc_id", $"seg_lang".as("major_lang"))
+        switches.groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("n_segs"), sum($"sw").as("n_switches"))
+          .join(major, "doc_id")
+          .select($"doc_id", $"lang", $"major_lang", $"n_segs", $"n_switches",
+            ($"n_switches" > 0).as("is_mixed"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        ex AS (
+          SELECT doc_id, lang, tk,
+            unnest(range(0, CAST(ceil(len(tk) / 25.0) AS INT))) AS seg_idx
+          FROM t WHERE len(tk) >= 1),
+        sc AS (
+          SELECT doc_id, lang, seg_idx,
+            len(list_filter(tk[seg_idx*25+1 : seg_idx*25+25],
+              x -> x IN ('the','a','of','and'))) AS s_en,
+            len(list_filter(tk[seg_idx*25+1 : seg_idx*25+25],
+              x -> x IN ('der','die','und','ist'))) AS s_de,
+            len(list_filter(tk[seg_idx*25+1 : seg_idx*25+25],
+              x -> x IN ('le','la','et','est'))) AS s_fr,
+            len(list_filter(tk[seg_idx*25+1 : seg_idx*25+25],
+              x -> x IN ('el','la','y','es'))) AS s_es
+          FROM ex),
+        seg AS (
+          SELECT doc_id, lang, seg_idx,
+            CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                 WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                 WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                 WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                 ELSE 'es' END AS seg_lang
+          FROM sc),
+        sw AS (
+          SELECT doc_id, lang, seg_lang,
+            CASE WHEN lag(seg_lang) OVER (PARTITION BY doc_id ORDER BY seg_idx)
+                      IS DISTINCT FROM seg_lang
+                  AND lag(seg_lang) OVER (PARTITION BY doc_id ORDER BY seg_idx)
+                      IS NOT NULL
+                 THEN 1 ELSE 0 END AS s
+          FROM seg),
+        agg AS (
+          SELECT doc_id, lang, count(*) AS n_segs,
+            CAST(sum(s) AS BIGINT) AS n_switches
+          FROM sw GROUP BY 1, 2),
+        major AS (
+          SELECT doc_id, seg_lang AS major_lang FROM (
+            SELECT doc_id, seg_lang,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY count(*) DESC, seg_lang) AS rk
+            FROM seg GROUP BY doc_id, seg_lang)
+          WHERE rk = 1)
+        SELECT a.doc_id, a.lang, m.major_lang, a.n_segs, a.n_switches,
+          a.n_switches > 0 AS is_mixed
+        FROM agg a JOIN major m USING (doc_id)
+        ORDER BY a.doc_id""")),
+
     // ---- n-gram novelty profile (curriculum/ordering signal): per doc,
     // the fraction of its distinct trigram shingles whose FIRST corpus
     // occurrence (min doc_id) is this doc — high-novelty docs introduce
@@ -2578,6 +2666,46 @@ object ExtEvents extends QueryModule {
         "count-min row/width layout and hash family are engine-internal; " +
         "SketchSpec asserts overestimate-only and epsilon bounds vs " +
         "oracle-checked exact frequencies.")),
+
+    // ---- join-cardinality estimation from sketches (the cost-based-
+    // planner question at 100 TB: "how big would this join be?" answered
+    // WITHOUT scanning either table): the CMS inner product
+    // min_d Σ_w t1[d][w]·t2[d][w] never underestimates the true equi-join
+    // size Σ_k f1(k)·f2(k) and overcounts ≤ (e/width)·N1·N2 w.h.p.
+    // (Cormode & Muthukrishnan 2005). Each side contributes one combinable
+    // sketch aggregate; only two byte arrays reach the driver, and the
+    // true join is computed alongside so the report shows the error. ----
+    QueryDef(
+      "ext_sketch_join_card",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.{CmsFunctions, CmsOps}
+        val depth = 5
+        val width = 32768
+        val li = Tables.load(s, dir, "lineitem").select($"l_orderkey".as("k"))
+        val od = Tables.load(s, dir, "orders").select($"o_orderkey".as("k"))
+        def sketch(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+          df.agg(CmsFunctions.cms_sketch_agg($"k", depth, width).as("sk"))
+            .head().getAs[Array[Byte]]("sk")
+        val sk1 = sketch(li)
+        val sk2 = sketch(od)
+        val est = CmsOps.innerProduct(sk1, sk2)
+        val n1 = CmsOps.wrap(sk1).totalCount()
+        val n2 = CmsOps.wrap(sk2).totalCount()
+        val exact = li.join(od, "k").count()
+        Seq((exact, est, est - exact,
+            math.round(math.E / width * n1 * n2),
+            BigDecimal(est.toDouble / exact).setScale(4,
+              BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("n_exact", "n_est", "overcount", "err_bound", "ratio")
+          .orderBy($"n_exact")
+      },
+      None,
+      noOracleReason = Some(
+        "the estimate depends on the engine-internal CMS hash family and " +
+        "counter layout; SketchSpec asserts the inner product never " +
+        "underestimates the oracle-checkable exact join size and stays " +
+        "within the (e/width)*N1*N2 Cormode-Muthukrishnan bound.")),
 
     // ---- late-arrival audit (the batch replica of what a streaming
     // watermark would drop): within each user's arrival order (event_id

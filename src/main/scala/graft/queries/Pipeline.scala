@@ -1721,7 +1721,71 @@ object Pipeline extends QueryModule {
           FROM events)
         SELECT user_id, value, ts AS updated_at
         FROM c WHERE rk = 1 AND op <> 'D'
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ---- span-level decontamination (GPT-3 appendix-C shape): instead of
+    // dropping whole documents that overlap the eval set, remove only the
+    // contaminated token SPANS — every token covered by a trigram that
+    // appears in any probe document — and keep the rest. The probe trigram
+    // set is distinct-deduped and rides a broadcast (eval suites are tiny
+    // next to a 100 TB corpus); the corpus contributes one positional-
+    // trigram explode + one doc-keyed aggregate of hit positions, then the
+    // rewrite is a shuffle-free per-row array filter. The cleaned text is
+    // md5-digested so the full rewrite is hash-verified without shipping
+    // text through the compare. ----
+    QueryDef(
+      "pl_decontaminate_spans",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.filter($"doc_id" >= 25)
+          .select($"doc_id", TextOps.tokens($"text").as("tk"))
+          .withColumn("n", size($"tk"))
+        val probeTris = docs.filter($"doc_id" < 25)
+          .select(explode(TextOps.shingles($"text", 3)).as("tri"))
+          .distinct()
+        // 1-based trigram start positions; pos+1 recovers the start index
+        val hits = base.filter($"n" >= 3)
+          .select($"doc_id", posexplode(expr(
+            "transform(sequence(1, n - 2), i -> concat_ws(' ', slice(tk, i, 3)))")))
+          .select($"doc_id", ($"pos" + 1).as("start"), $"col".as("tri"))
+          .join(broadcast(probeTris), "tri")
+          .select($"doc_id", explode(expr("array(start, start + 1, start + 2)")).as("p"))
+          .groupBy($"doc_id").agg(collect_set($"p").as("bad"))
+        base.join(hits, Seq("doc_id"), "left")
+          .withColumn("bad", coalesce($"bad", typedLit(Array.empty[Int])))
+          .withColumn("clean_tk",
+            expr("filter(tk, (t, i) -> NOT array_contains(bad, i + 1))"))
+          .select($"doc_id", $"n".as("n_tokens"),
+            ($"n" - size($"clean_tk")).as("n_removed"),
+            md5(concat_ws(" ", $"clean_tk")).as("clean_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        pt AS (
+          SELECT DISTINCT unnest(list_distinct(list_transform(
+                   range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))) AS tri
+          FROM toks WHERE doc_id < 25 AND len(tk) >= 3),
+        ct AS (
+          SELECT doc_id, unnest(range(1, len(tk) - 1)) AS start, tk
+          FROM toks WHERE doc_id >= 25 AND len(tk) >= 3),
+        hit AS (
+          SELECT ct.doc_id, ct.start
+          FROM ct JOIN pt ON array_to_string(ct.tk[ct.start:ct.start+2], ' ') = pt.tri),
+        bad AS (
+          SELECT doc_id, list(DISTINCT p) AS bad FROM (
+            SELECT doc_id, unnest([start, start + 1, start + 2]) AS p FROM hit)
+          GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.tk) AS INT) AS n_tokens,
+          CAST(len(t.tk) - len(list_filter(t.tk,
+            (x, i) -> NOT list_contains(coalesce(b.bad, []), i))) AS INT) AS n_removed,
+          md5(coalesce(array_to_string(list_filter(t.tk,
+            (x, i) -> NOT list_contains(coalesce(b.bad, []), i)), ' '), '')) AS clean_md5
+        FROM toks t LEFT JOIN bad b USING (doc_id)
+        WHERE t.doc_id >= 25
+        ORDER BY t.doc_id"""))
   )
 
   /** DuckDB-side Morton interleave: same shift/and/add expansion as

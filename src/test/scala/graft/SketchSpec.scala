@@ -239,4 +239,16 @@ class SketchSpec extends AnyFunSuite {
     val err = math.abs(rows("ALL") - exactAll).toDouble / exactAll
     assert(err <= 0.02, s"ALL: exact=$exactAll approx=${rows("ALL")} err=$err")
   }
+
+  test("ext_sketch_join_card: inner product >= exact join size, within CM bound") {
+    val r = Registry.queries("ext_sketch_join_card")(spark, TestSpark.sfDir).head()
+    val (exact, est, over, bound) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(est >= exact, s"inner product $est underestimates true join size $exact")
+    assert(over == est - exact)
+    assert(over <= bound, s"overcount $over exceeds (e/width)*N1*N2 bound $bound")
+    // the estimate must carry signal, not just the bound: well under 2x
+    // the true size at this width on ~zipfless uniform orderkeys
+    assert(est < 2 * exact, s"estimate $est is uselessly loose vs exact $exact")
+  }
 }
