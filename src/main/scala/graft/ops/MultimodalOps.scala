@@ -229,6 +229,141 @@ object MultimodalOps {
       }
   }
 
+  /** Typed video row: parsed ISO BMFF (MP4) container metadata. */
+  final case class VideoMeta(
+      doc_id: Long,
+      brand: String,
+      timescale: Int,
+      duration_ms: Double,
+      width: Int,
+      height: Int,
+      mdat_bytes: Long)
+
+  /** MP4 / ISO BMFF box walk — the video sibling of [[wavMeta]], real
+    * byte-level parsing of the public ISO/IEC 14496-12 layout: boxes are
+    * (BE32 size incl. header, 4CC type); `ftyp` carries the major brand,
+    * `moov` is a pure container whose children include `mvhd` (v0:
+    * timescale at body offset 12, duration at 16) and `trak`/`tkhd` (v0:
+    * width/height as 16.16 fixed point at body offsets 76/80); `mdat`
+    * holds the sample data. Frame/pixel decode stays behind the documented
+    * stub — this parses only container structure, which is what corpus
+    * triage at 100 TB actually scans (codec work happens after routing).
+    * Returns None for anything not a sane MP4 (bad magic, overrunning or
+    * undersized boxes, missing mvhd/tkhd/mdat). */
+  def mp4Meta(b: Array[Byte]): Option[VideoMeta] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def cc(i: Int) = new String(b, i, 4, "US-ASCII")
+    if (b.length < 16 || cc(4) != "ftyp") return None
+    var brand: Option[String] = None
+    var timescale = -1
+    var duration = -1L
+    var width = -1
+    var height = -1
+    var mdatLen = -1L
+    // walk a box list in [from, until); moov and trak recurse one level
+    def walk(from: Long, until: Long, depth: Int): Boolean = {
+      var i = from
+      while (i + 8 <= until) {
+        val at = i.toInt
+        val size = be32(at)
+        val id = cc(at + 4)
+        if (size < 8 || i + size > until) return false
+        id match {
+          case "ftyp" if size >= 12 => brand = Some(cc(at + 8))
+          case "moov" | "trak" if depth < 2 =>
+            if (!walk(i + 8, i + size, depth + 1)) return false
+          case "mvhd" if size >= 8 + 20 =>
+            timescale = be32(at + 8 + 12).toInt
+            duration = be32(at + 8 + 16)
+          case "tkhd" if size >= 8 + 84 =>
+            // 16.16 fixed point; integral part only
+            width = be32(at + 8 + 76).toInt >>> 16
+            height = be32(at + 8 + 80).toInt >>> 16
+          case "mdat" => mdatLen = size - 8
+          case _ => () // free, udta, skip… — opaque, step over
+        }
+        i += size
+      }
+      true
+    }
+    if (!walk(0L, b.length.toLong, 0)) return None
+    (brand, timescale, duration, width, height, mdatLen) match {
+      case (Some(br), ts, d, w, h, m) if ts > 0 && d >= 0 && w > 0 && h > 0 && m >= 0 =>
+        Some(VideoMeta(-1L, br, ts, d.toDouble / ts * 1000.0, w, h, m))
+      case _ => None
+    }
+  }
+
+  /** Fixture adapter (the video sibling of [[asWavPayload]]): wrap a text
+    * table as REAL minimal MP4 containers — ftyp('isom') + moov(mvhd +
+    * trak(tkhd)) + mdat(payload bytes). Header fields derive from the row
+    * id (320×240…800×600 ladder, duration 1–30 s at timescale 600), so an
+    * oracle recomputes every parsed field from the row WITHOUT parsing;
+    * [[mp4Meta]] never sees the formula — it reads only the byte layout. */
+  def asMp4Payload(spark: SparkSession, df: DataFrame, id: String,
+      payloadSrc: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id"),
+        encode(col(payloadSrc), "UTF-8").as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (docId, data) =>
+          val step = (docId % 4).toInt
+          val w = 320 + step * 160
+          val h = 240 + step * 120
+          val timescale = 600
+          val duration = timescale * (1 + (docId % 30).toInt)
+          def box(tp: String, body: Array[Byte]): Array[Byte] = {
+            val buf = java.nio.ByteBuffer.allocate(8 + body.length)
+              .order(java.nio.ByteOrder.BIG_ENDIAN)
+            buf.putInt(8 + body.length)
+            buf.put(tp.getBytes("US-ASCII"))
+            buf.put(body)
+            buf.array()
+          }
+          val ftypBody = java.nio.ByteBuffer.allocate(8)
+            .put("isom".getBytes("US-ASCII")).putInt(512).array()
+          val mvhd = {
+            val buf = java.nio.ByteBuffer.allocate(100) // v0 mvhd body
+            buf.putInt(0) // version/flags
+            buf.putInt(0).putInt(0) // creation/modification
+            buf.putInt(timescale)
+            buf.putInt(duration)
+            buf.array()
+          }
+          val tkhd = {
+            val buf = java.nio.ByteBuffer.allocate(84) // v0 tkhd body
+            buf.putInt(0)
+            buf.putInt(0).putInt(0)
+            buf.putInt(1) // track id
+            buf.position(76)
+            buf.putInt(w << 16) // 16.16 fixed
+            buf.putInt(h << 16)
+            buf.array()
+          }
+          val moov = box("moov",
+            box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+          val payload = box("ftyp", ftypBody) ++ moov ++ box("mdat", data)
+          (docId, payload)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Partition-parallel MP4 metadata extraction; unrecognized containers
+    * are dropped (quarantine-sink route in production). */
+  def extractVideoMeta(spark: SparkSession, media: DataFrame): Dataset[VideoMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          mp4Meta(bytes).map(_.copy(doc_id = id))
+        }
+      }
+  }
+
   /** Video frame sampling plumbing: each payload expands to `n` evenly-
     * spaced frame rows (frame index, presentation timestamp at `fps`, and a
     * per-frame fingerprint). The row expansion is a codegen'd posexplode —

@@ -55,4 +55,27 @@ object VectorOps {
   /** Inverse of [[quantizeInt8]]: codes × scale. */
   def dequantizeInt8(q: Column): Column =
     transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
+
+  // ------------------------------------------------ binary (sign) quantization
+
+  /** Sign-bit signature: bit i set iff v[i] > 0, packed into ONE BIGINT
+    * (dims ≤ 63). The most aggressive embedding compression — 32 float
+    * dims (128 B) become 8 bytes, a 16× cut — and Hamming distance between
+    * signatures tracks angular distance (Charikar 2002 hyperplane LSH with
+    * the coordinate axes as planes). Pure integer column arithmetic:
+    * engine-neutral, so unlike RNG-projected signatures this one is
+    * DuckDB-oracle-checkable bit for bit. */
+  def signBits(v: Column): Column = {
+    import org.apache.spark.sql.graftshim._
+    def shl(a: Column, b: Column): Column = columnOf(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        expressionOf(a), expressionOf(b)))
+    aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, i) => when(x > 0.0f, shl(lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two packed signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

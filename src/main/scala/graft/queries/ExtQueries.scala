@@ -759,6 +759,63 @@ object ExtSimilarity extends QueryModule {
         SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, cosine FROM ranked
         WHERE rank <= 5 ORDER BY q_id, rank""")),
 
+    // ---- binary-signature ANN (the 8-bytes-per-vector tier BELOW int8/PQ):
+    // sign-bit signatures pack 32 float dims into ONE BIGINT (16× cut);
+    // Hamming distance = popcount(xor) tracks angular distance (Charikar
+    // 2002 with coordinate-axis hyperplanes). At scale the signature table
+    // is what a billion-vector prefilter scans — 8 GB/billion, SIMD
+    // popcount, candidates re-ranked by true cosine afterwards. Queries
+    // ride a broadcast; ranking partitions per query (WindowGroupLimit).
+    // Pure integer arithmetic end to end — the one ANN variant DuckDB can
+    // replay bit for bit, so it anchors the whole quantized-ANN family to
+    // an oracle. ----
+    QueryDef(
+      "ext_ann_hamming",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        // 64 dims → two 32-bit words (bit 63 of one BIGINT would overflow
+        // the signed shift on either engine)
+        val sigs = emb.select($"vec_id",
+          graft.ops.VectorOps.signBits(slice($"embedding", 1, 32)).as("sig_lo"),
+          graft.ops.VectorOps.signBits(slice($"embedding", 33, 32)).as("sig_hi"))
+        val queries = sigs.filter($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"sig_lo".as("q_lo"), $"sig_hi".as("q_hi"))
+        sigs.crossJoin(broadcast(queries))
+          .filter($"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id".as("n_id"),
+            (graft.ops.VectorOps.hamming($"q_lo", $"sig_lo") +
+              graft.ops.VectorOps.hamming($"q_hi", $"sig_hi")).as("hamming"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"q_id")
+              .orderBy($"hamming", $"n_id")))
+          .filter($"rank" <= 5)
+          .select($"q_id", $"rank", $"n_id", $"hamming")
+          .orderBy($"q_id", $"rank")
+      },
+      Some("""WITH sigs AS (
+          SELECT vec_id,
+            CAST(list_sum(list_transform(range(1, 33),
+              i -> CASE WHEN embedding[i] > 0 THEN 1::BIGINT << (i - 1)
+                        ELSE 0::BIGINT END)) AS BIGINT) AS sig_lo,
+            CAST(list_sum(list_transform(range(33, 65),
+              i -> CASE WHEN embedding[i] > 0 THEN 1::BIGINT << (i - 33)
+                        ELSE 0::BIGINT END)) AS BIGINT) AS sig_hi
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+            bit_count(xor(q.sig_lo, c.sig_lo))
+              + bit_count(xor(q.sig_hi, c.sig_hi)) AS hamming
+          FROM sigs q JOIN sigs c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        ranked AS (
+          SELECT q_id, n_id, hamming,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY hamming, n_id) AS rank
+          FROM scored)
+        SELECT q_id, CAST(rank AS INT) AS rank, n_id,
+          CAST(hamming AS INT) AS hamming
+        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
+
     // LSH hyperplanes are deterministic plan literals, so the oracle embeds
     // the identical doubles and reproduces buckets/probes/ranks exactly
     // (LshOracleSql); recall vs brute force additionally asserted in tests.
@@ -2335,6 +2392,31 @@ object ExtMultimodal extends QueryModule {
           round(octet_length(encode(text))
             / (CAST(8000 + (doc_id % 4) * 4000 AS DOUBLE) * (1 + doc_id % 2) * 2)
             * 1000, 3) AS duration_ms
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- MP4 container metadata (the video leg of the multimodal layer,
+    // completing image/audio/video): real ISO BMFF box walking — ftyp
+    // brand, mvhd timescale/duration, tkhd 16.16 display size, mdat size —
+    // per-partition byte parsing, no codec, no shuffle. The fixture
+    // adapter emits genuine MP4 box structure whose fields derive from the
+    // row id, so the oracle recomputes every parsed field WITHOUT parsing:
+    // any size/offset/endianness bug breaks the hash. ----
+    QueryDef(
+      "ext_multimodal_video",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asMp4Payload(
+          s, Tables.load(s, dir, "documents"), "doc_id", "text")
+        MultimodalOps.extractVideoMeta(s, media).toDF()
+          .select($"doc_id", $"brand", $"timescale", $"duration_ms",
+            $"width", $"height", $"mdat_bytes")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, 'isom' AS brand, CAST(600 AS INT) AS timescale,
+          CAST((1 + doc_id % 30) * 1000 AS DOUBLE) AS duration_ms,
+          CAST(320 + (doc_id % 4) * 160 AS INT) AS width,
+          CAST(240 + (doc_id % 4) * 120 AS INT) AS height,
+          CAST(octet_length(encode(text)) AS BIGINT) AS mdat_bytes
         FROM documents ORDER BY doc_id"""))
   )
 }

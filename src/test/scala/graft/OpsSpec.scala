@@ -479,6 +479,45 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4 box walk: nested moov/trak parse, malformed boxes rejected") {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(tp: String, body: Array[Byte]) = be32(8 + body.length) ++ tp.getBytes ++ body
+    val mvhd = be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(2500) ++
+      Array.fill[Byte](80)(0) // timescale 1000, duration 2500
+    val tkhd = Array.fill[Byte](76)(0) ++ be32(640 << 16) ++ be32(480 << 16)
+    val mp4 = box("ftyp", "isom".getBytes ++ be32(512)) ++
+      box("moov", box("mvhd", mvhd) ++
+        box("free", Array.fill[Byte](3)(0)) ++ // opaque sibling stepped over
+        box("trak", box("tkhd", tkhd))) ++
+      box("mdat", Array.fill[Byte](777)(1))
+    val m = MultimodalOps.mp4Meta(mp4).get
+    assert((m.brand, m.timescale, m.width, m.height, m.mdat_bytes) ==
+      ("isom", 1000, 640, 480, 777L))
+    assert(math.abs(m.duration_ms - 2500.0) < 1e-9)
+
+    // not MP4 / box overruns payload / missing moov fields → None
+    assert(MultimodalOps.mp4Meta("plain text bytes".getBytes).isEmpty)
+    val overrun = box("ftyp", "isom".getBytes ++ be32(0)) ++
+      be32(0x7ffffff0) ++ "mdat".getBytes
+    assert(MultimodalOps.mp4Meta(overrun).isEmpty)
+    val noTrak = box("ftyp", "isom".getBytes ++ be32(0)) ++
+      box("moov", box("mvhd", mvhd)) ++ box("mdat", Array[Byte]())
+    assert(MultimodalOps.mp4Meta(noTrak).isEmpty)
+  }
+
+  test("asMp4Payload emits genuine parseable MP4 containers end to end") {
+    val media = MultimodalOps.asMp4Payload(spark, docs.limit(20), "doc_id", "text")
+    val metas = MultimodalOps.extractVideoMeta(spark, media).collect().sortBy(_.doc_id)
+    assert(metas.length == 20)
+    for (m <- metas) {
+      assert(m.brand == "isom" && m.timescale == 600)
+      assert(m.width == 320 + (m.doc_id % 4).toInt * 160)
+      assert(m.height == 240 + (m.doc_id % 4).toInt * 120)
+      assert(m.duration_ms == (1 + (m.doc_id % 30)) * 1000.0)
+      assert(m.mdat_bytes > 0)
+    }
+  }
+
   test("knn graph: k out-neighbors per vector, decent recall vs brute force") {
     import org.apache.spark.sql.expressions.Window
     val k = 5
