@@ -393,6 +393,43 @@ object StreamingOps {
     stream.join(broadcast(dim), stream(eventKey) === dim(dimKey))
   }
 
+  /** Streaming materialized-view maintenance — the streaming twin of the
+    * batch `pl_incremental_agg` refresh: an UPDATE-mode streaming
+    * aggregation keeps the per-(user, event_type) rollup in the state
+    * store, and each micro-batch emits ONLY the keys that changed, which
+    * foreachBatch upserts into the serving store. The raw stream is never
+    * re-scanned; per-trigger work is O(batch + changed keys). `store`
+    * stands in for the key-value/Delta MERGE target a deployment writes
+    * to — the changed-row set is tiny by construction (that is the point
+    * of update mode), so the upsert is cheap wherever it lands. State is
+    * bounded by the view's own key cardinality — the same bound as the
+    * materialized table itself. Money sums stay DECIMAL so replaying in
+    * any batch split yields bit-identical state. */
+  def maintainAggStream(
+      spark: SparkSession,
+      events: DataFrame,
+      store: scala.collection.concurrent.TrieMap[
+        (Long, String), (Long, java.math.BigDecimal, java.sql.Timestamp)])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val agg = events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .as("sum_value"),
+        max(col("ts")).as("last_ts"))
+    agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          store.put((r.getLong(0), r.getString(1)),
+            (r.getLong(2), r.getDecimal(3), r.getTimestamp(4)))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Run a streaming query to completion against the (finite) source and
     * return the materialized result from the memory sink. Used by tests to
     * prove batch/stream parity. */

@@ -378,4 +378,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
     assert(got.nonEmpty)
   }
+
+  test("streaming materialized-view maintenance converges to the batch rollup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, max, sum}
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+      .select($"ts", $"user_id", $"event_type", $"value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // several files + maxFilesPerTrigger=1 → several UPDATE micro-batches,
+    // so the final store state proves per-batch upserts COMPOSE, not just
+    // that one big batch equals batch
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+
+    val store = scala.collection.concurrent.TrieMap
+      .empty[(Long, String), (Long, java.math.BigDecimal, java.sql.Timestamp)]
+    val src = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = StreamingOps.maintainAggStream(spark, src, store)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val batch = events.groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(12, 2))).as("s"),
+        max($"ts").as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDecimal(3), r.getTimestamp(4)))).toMap
+
+    assert(store.size == batch.size)
+    batch.foreach { case (k, (n, s, t)) =>
+      val (gn, gs, gt) = store(k)
+      assert(gn == n && gs.compareTo(s) == 0 && gt == t, s"key $k: ($gn,$gs,$gt) != ($n,$s,$t)")
+    }
+  }
 }
