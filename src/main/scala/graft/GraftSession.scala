@@ -88,6 +88,7 @@ final class GraftSession(
     else if (upper.startsWith("SHOW SCHEMAS") || upper.startsWith("SHOW DATABASES"))
       showSchemas()
     else if (upper.startsWith("SHOW COLUMNS")) showColumns(q)
+    else if (upper.startsWith("DESCRIBE HISTORY ")) describeHistory(q)
     else if (upper.startsWith("DESCRIBE ") || upper.startsWith("DESC "))
       describeTable(q)
     else if (upper.startsWith("EXPLAIN ")) explainStatement(q)
@@ -757,6 +758,15 @@ final class GraftSession(
     case _ => sys.error(s"cannot parse DESCRIBE: $q")
   }
 
+  /** DESCRIBE HISTORY t → the mutable table's (version, operation) log. */
+  private def describeHistory(q: String): DataFrame = {
+    val name = unquoteIdent(q.trim.split("\\s+").last)
+    val rows = tables.history(name)
+    val s = spark
+    import s.implicits._
+    rows.toDF("version", "operation")
+  }
+
   // ------------------------------------------------------- query rewrite
 
   /** Pre-pass on plain queries: substitute `read_*` TVFs with registered
@@ -800,11 +810,30 @@ final class GraftSession(
       out = mapUnquoted(out)(
         _.replaceAll("(?i)information_schema\\.df_settings", "information_schema_df_settings"))
     }
+    out = rewriteVersionAsOf(out)
     out = rewriteTableSample(out)
     out = foldIntervalArith(out)
     out = mapUnquoted(out)(descNullsFirst)
     out
   }
+
+  /** Time travel over the mutable tables: `t VERSION AS OF n` (the
+    * Delta/Iceberg spelling) resolves to the snapshot after the table's
+    * n-th operation (0 = CREATE). Plans are immutable, so superseded table
+    * states are held as zero-copy snapshot references — the in-memory
+    * analog of a transaction log ([[tables.MutableTableManager.versionOf]]).
+    * `DESCRIBE HISTORY t` lists the (version, operation) log. */
+  private val VersionAsOfRe =
+    ("""(?i)\b""" + Ident + """\s+VERSION\s+AS\s+OF\s+(\d+)""").r
+
+  private def rewriteVersionAsOf(q: String): String =
+    VersionAsOfRe.replaceAllIn(q, m => {
+      val tbl = unquoteIdent(m.group(1))
+      val v = m.group(2).toInt
+      val view = s"${tbl}__v$v"
+      tables.versionOf(tbl, v).createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(s"$view AS $tbl")
+    })
 
   /** Deterministic TABLESAMPLE: `t TABLESAMPLE (p PERCENT) [REPEATABLE (s)]`
     * keeps the rows whose content-keyed md5 uniform falls below p/100 — a

@@ -163,6 +163,32 @@ object DdlDml extends QueryModule {
         SELECT 'insert', CAST((SELECT count(*) FROM supplier WHERE s_suppkey < 5) AS BIGINT)
         UNION ALL
         SELECT 'update', CAST((SELECT count(*) FROM supplier WHERE s_acctbal >= 500 AND s_acctbal > 9000) AS BIGINT)
-        ORDER BY op"""))
+        ORDER BY op""")),
+
+    // Time travel over the mutable tables (Delta/Iceberg VERSION AS OF,
+    // beyond the reference): snapshots are zero-copy plan references kept
+    // per mutation; one statement joins the table's CREATE-time state to
+    // its state two mutations later. The oracle reconstructs both versions
+    // from the source table with plain CASE logic — a hash match proves
+    // the whole history chain (CTAS → DELETE → UPDATE) snapshotted
+    // correctly.
+    QueryDef(
+      "ddl_time_travel",
+      (s, dir) => {
+        val g = new GraftSession(s)
+        Tables.register(s, dir, Seq("nation"))
+        g.sql("DROP TABLE IF EXISTS tt_nat")
+        g.sql("CREATE TABLE tt_nat AS SELECT n_nationkey, n_name, n_regionkey FROM nation") // v0
+        g.sql("DELETE FROM tt_nat WHERE n_regionkey <> 1") // v1
+        g.sql("UPDATE tt_nat SET n_name = 'GONE'") // v2
+        g.sql("""SELECT a.n_nationkey, a.n_name AS name_v0, b.n_name AS name_v2
+          FROM (SELECT * FROM tt_nat VERSION AS OF 0) a
+          LEFT JOIN (SELECT * FROM tt_nat VERSION AS OF 2) b
+            ON a.n_nationkey = b.n_nationkey
+          ORDER BY a.n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name AS name_v0,
+          CASE WHEN n_regionkey = 1 THEN 'GONE' END AS name_v2
+        FROM nation ORDER BY n_nationkey"""))
   )
 }

@@ -59,12 +59,13 @@ final class MutableTableManager(spark: SparkSession) {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    put(key, TableState(schema, defaults.map { case (k, v) => norm(k) -> v }, df, 0))
+    put(key, TableState(schema, defaults.map { case (k, v) => norm(k) -> v }, df, 0), "CREATE")
   }
 
   def drop(name: String, ifExists: Boolean = false): Unit = {
     val key = norm(name)
     if (tables.remove(key).isEmpty && !ifExists) sys.error(s"table not found: $name")
+    histories.remove(key)
     spark.catalog.dropTempView(key)
   }
 
@@ -88,7 +89,7 @@ final class MutableTableManager(spark: SparkSession) {
       s"INSERT arity mismatch: ${input.schema.size} values for ${targetCols.size} columns")
     val aligned = align(input, st.schema, targetCols, st.defaults)
     val n = aligned.count()
-    put(key, st.copy(df = checkpointed(st.df.unionByName(aligned), st.mutations), mutations = st.mutations + 1))
+    put(key, st.copy(df = checkpointed(st.df.unionByName(aligned), st.mutations), mutations = st.mutations + 1), "INSERT")
     n
   }
 
@@ -105,7 +106,7 @@ final class MutableTableManager(spark: SparkSession) {
       case None => st.df.limit(0)
     }
     val after = kept.count()
-    put(key, st.copy(df = checkpointed(kept, st.mutations), mutations = st.mutations + 1))
+    put(key, st.copy(df = checkpointed(kept, st.mutations), mutations = st.mutations + 1), "DELETE")
     before - after
   }
 
@@ -128,7 +129,7 @@ final class MutableTableManager(spark: SparkSession) {
       }
     }
     put(key, st.copy(df = checkpointed(st.df.select(projected.toIndexedSeq: _*), st.mutations),
-      mutations = st.mutations + 1))
+      mutations = st.mutations + 1), "UPDATE")
     affected
   }
 
@@ -212,7 +213,7 @@ final class MutableTableManager(spark: SparkSession) {
         (if (insert.isDefined) counts.getLong(1) else 0L)
     val merged = full.filter(col("__keep"))
       .select(st.schema.fieldNames.map(col).toIndexedSeq: _*)
-    put(key, st.copy(df = merged, mutations = st.mutations + 1))
+    put(key, st.copy(df = merged, mutations = st.mutations + 1), "MERGE")
     affected
   }
 
@@ -233,7 +234,7 @@ final class MutableTableManager(spark: SparkSession) {
       schema = StructType(st.schema.fields :+ field),
       defaults = st.defaults ++ default.map(norm(field.name) -> _),
       df = checkpointed(st.df.withColumn(field.name, value), st.mutations),
-      mutations = st.mutations + 1))
+      mutations = st.mutations + 1), "ALTER ADD COLUMN")
   }
 
   /** DROP COLUMN (the last column cannot be dropped). */
@@ -247,7 +248,7 @@ final class MutableTableManager(spark: SparkSession) {
       schema = StructType(st.schema.fields.filterNot(_.name == target)),
       defaults = st.defaults - norm(colName),
       df = checkpointed(st.df.drop(target), st.mutations),
-      mutations = st.mutations + 1))
+      mutations = st.mutations + 1), "ALTER DROP COLUMN")
   }
 
   /** RENAME COLUMN — defaults follow the rename. */
@@ -265,7 +266,7 @@ final class MutableTableManager(spark: SparkSession) {
         .map(d => st.defaults - norm(from) + (norm(to) -> d))
         .getOrElse(st.defaults),
       df = checkpointed(st.df.withColumnRenamed(src, to), st.mutations),
-      mutations = st.mutations + 1))
+      mutations = st.mutations + 1), "ALTER RENAME COLUMN")
   }
 
   /** Conform `input` (positional, possibly a column subset) to the target
@@ -292,9 +293,34 @@ final class MutableTableManager(spark: SparkSession) {
   private def checkpointed(df: DataFrame, mutations: Int): DataFrame =
     if ((mutations + 1) % 8 == 0) df.localCheckpoint(eager = false) else df
 
-  private def put(key: String, st: TableState): Unit = {
+  /** Per-table snapshot history: entry i is the table AFTER its i-th
+    * operation (version 0 = CREATE). Spark plans are immutable, so every
+    * superseded `df` IS a stable snapshot — holding the reference is the
+    * in-memory analog of a Delta/Iceberg transaction log, and `VERSION AS
+    * OF` resolves against it with zero copying. History length equals the
+    * mutation count (each entry is a plan, periodically checkpointed, not
+    * materialized rows); a deployment retiring old versions would truncate
+    * this vector exactly like VACUUM retires old table files. */
+  private val histories = TrieMap.empty[String, Vector[(String, DataFrame)]]
+
+  private def put(key: String, st: TableState, op: String): Unit = {
     tables.update(key, st)
+    histories.update(key, histories.getOrElse(key, Vector.empty) :+ (op -> st.df))
     st.df.createOrReplaceTempView(key)
+  }
+
+  /** Snapshot of `name` as of `version` (0-based operation count). */
+  def versionOf(name: String, version: Int): DataFrame = {
+    val h = histories.getOrElse(norm(name), sys.error(s"table not found: $name"))
+    require(version >= 0 && version < h.size,
+      s"version $version out of range [0, ${h.size - 1}] for $name")
+    h(version)._2
+  }
+
+  /** (version, operation) log for DESCRIBE HISTORY. */
+  def history(name: String): Seq[(Int, String)] = {
+    val h = histories.getOrElse(norm(name), sys.error(s"table not found: $name"))
+    h.zipWithIndex.map { case ((op, _), i) => (i, op) }
   }
 
   def listTables(): Seq[String] = tables.keys.toSeq.sorted

@@ -404,6 +404,29 @@ class SessionSpec extends AnyFunSuite {
     g.sql("DROP TABLE cascprefix__x")
   }
 
+  test("VERSION AS OF time travel and DESCRIBE HISTORY across the mutation chain") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS tt_x")
+    g.sql("CREATE TABLE tt_x (k INT, v INT)") // v0: empty
+    g.sql("INSERT INTO tt_x VALUES (1, 10), (2, 20)") // v1
+    g.sql("UPDATE tt_x SET v = 99 WHERE k = 1") // v2
+    g.sql("DELETE FROM tt_x WHERE k = 2") // v3
+    def vals(sql: String): Seq[(Long, Long)] =
+      g.sql(sql).collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+        .toSeq.sorted
+    assert(g.sql("SELECT * FROM tt_x VERSION AS OF 0").count() == 0)
+    assert(vals("SELECT k, v FROM tt_x VERSION AS OF 1") == Seq((1L, 10L), (2L, 20L)))
+    assert(vals("SELECT k, v FROM tt_x VERSION AS OF 2") == Seq((1L, 99L), (2L, 20L)))
+    assert(vals("SELECT k, v FROM tt_x VERSION AS OF 3") == Seq((1L, 99L)))
+    assert(vals("SELECT k, v FROM tt_x") == Seq((1L, 99L))) // current == latest
+    val hist = g.sql("DESCRIBE HISTORY tt_x").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(hist == Seq(0 -> "CREATE", 1 -> "INSERT", 2 -> "UPDATE", 3 -> "DELETE"))
+    intercept[Exception](g.sql("SELECT * FROM tt_x VERSION AS OF 9").collect())
+    g.sql("DROP TABLE tt_x")
+  }
+
   test("TABLESAMPLE is deterministic across reruns and seed-sensitive") {
     val g = fresh()
     graft.sources.Tables.register(spark, TestSpark.sfDir, Seq("documents"))
