@@ -55,6 +55,9 @@ final class GraftSession(
 
   private var tvfCounter = 0
 
+  // prepared-statement store: name -> statement text with $1..$n params
+  private val prepared = scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- sql()
 
   def sql(query: String): DataFrame = withAnsi {
@@ -84,6 +87,9 @@ final class GraftSession(
         copyTo(q)
       else copyFrom(q)
     }
+    else if (upper.startsWith("PREPARE ")) prepareStatement(q)
+    else if (upper.startsWith("EXECUTE ")) executePrepared(q)
+    else if (upper.startsWith("DEALLOCATE ")) deallocate(q)
     else if (upper.startsWith("SHOW TABLES")) showTables()
     else if (upper.startsWith("SHOW SCHEMAS") || upper.startsWith("SHOW DATABASES"))
       showSchemas()
@@ -815,6 +821,59 @@ final class GraftSession(
     out = foldIntervalArith(out)
     out = mapUnquoted(out)(descNullsFirst)
     out
+  }
+
+  // --------------------------------------------- prepared statements
+
+  /** `PREPARE name AS stmt` / `EXECUTE name(args…)` / `DEALLOCATE name` —
+    * the Postgres/DuckDB parameterized-statement surface. Parameters are
+    * `$1`…`$n`; EXECUTE substitutes the argument SQL literals positionally
+    * (outside quoted strings only) and routes the result through the full
+    * front door, so prepared DML, DDL and rewritten SELECT forms all work.
+    * Re-preparing a name replaces it (DuckDB semantics). */
+  private def prepareStatement(q: String): DataFrame = {
+    val m = """(?is)PREPARE\s+([A-Za-z_]\w*)\s+AS\s+(.+)""".r
+    q match {
+      case m(name, stmt) =>
+        prepared.update(name.toLowerCase(Locale.ROOT), stmt.trim)
+        spark.emptyDataFrame
+      case _ => sys.error(s"cannot parse PREPARE: $q")
+    }
+  }
+
+  private def executePrepared(q: String): DataFrame = {
+    val m = """(?is)EXECUTE\s+([A-Za-z_]\w*)\s*(?:\((.*)\))?\s*""".r
+    q match {
+      case m(name, argStr) =>
+        val stmt = prepared.getOrElse(name.toLowerCase(Locale.ROOT),
+          sys.error(s"prepared statement not found: $name"))
+        val args =
+          if (argStr == null || argStr.trim.isEmpty) Seq.empty[String]
+          else splitTopLevel(argStr, ',').map(_.trim)
+        val maxRef = """\$(\d+)""".r.findAllMatchIn(stmt)
+          .map(_.group(1).toInt).foldLeft(0)(math.max)
+        require(args.size == maxRef,
+          s"EXECUTE $name: expected $maxRef argument(s), got ${args.size}")
+        val bound = mapUnquoted(stmt)(s =>
+          """\$(\d+)""".r.replaceAllIn(s, mm => {
+            val i = mm.group(1).toInt
+            require(i >= 1 && i <= args.size, s"parameter $$${i} out of range")
+            scala.util.matching.Regex.quoteReplacement(args(i - 1))
+          }))
+        sql(bound)
+      case _ => sys.error(s"cannot parse EXECUTE: $q")
+    }
+  }
+
+  private def deallocate(q: String): DataFrame = {
+    val m = """(?is)DEALLOCATE\s+(?:PREPARE\s+)?([A-Za-z_]\w*)\s*""".r
+    q match {
+      case m(name) =>
+        if (prepared.remove(name.toLowerCase(Locale.ROOT)).isEmpty)
+          sys.error(s"prepared statement not found: $name")
+        spark.emptyDataFrame
+      case _ => sys.error(s"cannot parse DEALLOCATE: $q")
+    }
   }
 
   /** Time travel over the mutable tables: `t VERSION AS OF n` (the

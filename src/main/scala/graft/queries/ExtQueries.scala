@@ -1297,6 +1297,59 @@ object ExtText extends QueryModule {
           round(1.0 / (1.0 + exp(-logit)), 6) + 0 AS quality_prob
         FROM z ORDER BY doc_id""")),
 
+    // ---- classifier calibration report (the eval that decides whether a
+    // quality score's probabilities are TRUSTWORTHY, not just ranked):
+    // per score-decile observed positive rate vs mean predicted
+    // probability — a calibrated model tracks the diagonal. One combinable
+    // aggregate over per-row codegen'd scores; mean-of-probabilities stays
+    // DECIMAL so the report is exact under any partitioning. ----
+    QueryDef(
+      "ext_ml_calibration",
+      (s, dir) => {
+        import s.implicits._
+        // ×8 temperature spreads the tightly-clustered hash scores across
+        // the decile grid so the report exercises more than two cells
+        val p = round(lit(1.0) /
+          (lit(1.0) + exp(TextOps.hashedLinearLogit($"text") * -8)), 6) + lit(0)
+        Tables.load(s, dir, "documents")
+          .select(
+            least(floor(p * 10).cast("int"), lit(9)).as("bucket"),
+            p.cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("p"),
+            array_contains(TextOps.tokens($"text"), "spark")
+              .cast("long").as("y"))
+          .groupBy($"bucket")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"y").as("n_pos"),
+            (round(sum($"p").cast("double") / count(lit(1)), 6) + lit(0)).as("mean_p"),
+            (round(sum($"y") / count(lit(1)).cast("double"), 6) + lit(0)).as("frac_pos"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        z AS (
+          SELECT doc_id, tk,
+            CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+              list_sum(list_transform(tk, w ->
+                ((strpos('0123456789abcdef', substring(md5(w), 1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef', substring(md5(w), 2, 1)) - 1)
+                / 255.0 - 0.5))
+              / len(tk) END AS logit
+          FROM t),
+        sc AS (
+          SELECT round(1.0 / (1.0 + exp(logit * -8)), 6) + 0 AS p,
+            CASE WHEN len(list_filter(tk, x -> x = 'spark')) > 0
+                 THEN 1 ELSE 0 END AS y
+          FROM z)
+        SELECT least(CAST(floor(p * 10) AS INT), 9) AS bucket,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(y) AS BIGINT) AS n_pos,
+          round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) + 0
+            AS mean_p,
+          round(CAST(sum(y) AS DOUBLE) / count(*), 6) + 0 AS frac_pos
+        FROM sc GROUP BY 1 ORDER BY bucket""")),
+
     // ---- distributed hashed-LR TRAINING: full-batch gradient descent
     // where each iteration is two aggregates over a cached feature table
     // and only the 256-double gradient reaches the driver. Trained here to

@@ -157,4 +157,26 @@ class PipelineSpec extends AnyFunSuite {
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("observe() collects in-flight quality-gate metrics in ONE pass") {
+    // the data-quality counters a production clean job publishes (rows
+    // scanned, rows a gate would drop, extremes) ride the SAME action as
+    // the pipeline itself — no second scan of a 100 TB input just to count
+    import spark.implicits._
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val obs = Observation("quality_gate")
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val kept = docs
+      .observe(obs,
+        count(lit(1)).as("rows_scanned"),
+        sum(when(length($"text") < 50, 1L).otherwise(0L)).as("short_docs"),
+        max($"n_chars").as("max_chars"))
+      .filter(length($"text") >= 50)
+      .count()
+    val m = obs.get
+    assert(m("rows_scanned").asInstanceOf[Long] == docs.count())
+    assert(m("rows_scanned").asInstanceOf[Long] - m("short_docs").asInstanceOf[Long] == kept)
+    assert(m("max_chars").asInstanceOf[Long] > 0)
+  }
 }

@@ -404,6 +404,25 @@ class SessionSpec extends AnyFunSuite {
     g.sql("DROP TABLE cascprefix__x")
   }
 
+  test("PREPARE/EXECUTE/DEALLOCATE parameterized statements") {
+    val g = fresh()
+    graft.sources.Tables.register(spark, TestSpark.sfDir, Seq("nation"))
+    g.sql("PREPARE nat_by_region AS SELECT n_name FROM nation WHERE n_regionkey = $1 AND n_name <> '$1 literal stays' ORDER BY n_name")
+    val r1 = g.sql("EXECUTE nat_by_region(1)").collect().map(_.getString(0))
+    val r2 = g.sql("EXECUTE nat_by_region(2)").collect().map(_.getString(0))
+    assert(r1.nonEmpty && r2.nonEmpty && r1.toSet != r2.toSet)
+    // arity is checked
+    intercept[Exception](g.sql("EXECUTE nat_by_region()"))
+    intercept[Exception](g.sql("EXECUTE nat_by_region(1, 2)"))
+    // re-prepare replaces; string args substitute as literals
+    g.sql("PREPARE nat_by_region AS SELECT count(*) AS n FROM nation WHERE n_name < $1")
+    val n = g.sql("EXECUTE nat_by_region('zzz')").head().getLong(0)
+    assert(n > 0)
+    g.sql("DEALLOCATE nat_by_region")
+    intercept[Exception](g.sql("EXECUTE nat_by_region(1)"))
+    intercept[Exception](g.sql("DEALLOCATE nat_by_region"))
+  }
+
   test("VERSION AS OF time travel and DESCRIBE HISTORY across the mutation chain") {
     val g = fresh()
     g.sql("DROP TABLE IF EXISTS tt_x")
