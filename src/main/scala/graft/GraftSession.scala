@@ -87,6 +87,10 @@ final class GraftSession(
         copyTo(q)
       else copyFrom(q)
     }
+    else if (upper == "BEGIN" || upper == "BEGIN TRANSACTION" ||
+             upper == "START TRANSACTION") beginTx()
+    else if (upper == "COMMIT") commitTx()
+    else if (upper == "ROLLBACK") rollbackTx()
     else if (upper.startsWith("PREPARE ")) prepareStatement(q)
     else if (upper.startsWith("EXECUTE ")) executePrepared(q)
     else if (upper.startsWith("DEALLOCATE ")) deallocate(q)
@@ -182,6 +186,7 @@ final class GraftSession(
 
   private def dropTable(q: String): DataFrame = q match {
     case DropRe(ifEx, name) =>
+      if (tables.exists(unquoteIdent(name))) requireNoTx("DROP TABLE")
       tables.drop(unquoteIdent(name), ifEx != null)
       removeMember(unquoteIdent(name))
       spark.emptyDataFrame
@@ -821,6 +826,47 @@ final class GraftSession(
     out = foldIntervalArith(out)
     out = mapUnquoted(out)(descNullsFirst)
     out
+  }
+
+  // ------------------------------------------------------ transactions
+
+  /** BEGIN / COMMIT / ROLLBACK over the mutable tables, built directly on
+    * the snapshot history: BEGIN records each table's version watermark,
+    * ROLLBACK restores every pre-existing table to its watermark (schema,
+    * defaults and data together — the snapshot holds the full state) and
+    * drops tables created inside the transaction, COMMIT forgets the
+    * watermarks. Undo is itself a new ROLLBACK version, so the history
+    * log stays append-only (Delta-style). Scope: mutable-table DML/DDL;
+    * DROP TABLE inside a transaction is rejected (its history would be
+    * gone before rollback could need it). */
+  private var txWatermarks: Option[Map[String, Int]] = None
+
+  /** Guard for statements that cannot participate in rollback. */
+  private def requireNoTx(what: String): Unit =
+    require(txWatermarks.isEmpty, s"$what inside a transaction is not supported")
+
+  private def beginTx(): DataFrame = {
+    require(txWatermarks.isEmpty, "transaction already in progress")
+    txWatermarks = Some(
+      tables.listTables().map(t => t -> tables.versionCount(t)).toMap)
+    spark.emptyDataFrame
+  }
+
+  private def commitTx(): DataFrame = {
+    require(txWatermarks.isDefined, "no transaction in progress")
+    txWatermarks = None
+    spark.emptyDataFrame
+  }
+
+  private def rollbackTx(): DataFrame = {
+    val marks = txWatermarks.getOrElse(sys.error("no transaction in progress"))
+    for (t <- tables.listTables()) marks.get(t) match {
+      case Some(v) if tables.versionCount(t) > v => tables.restore(t, v - 1)
+      case Some(_) => () // untouched during the transaction
+      case None => tables.drop(t) // created inside the transaction
+    }
+    txWatermarks = None
+    spark.emptyDataFrame
   }
 
   // --------------------------------------------- prepared statements

@@ -301,11 +301,11 @@ final class MutableTableManager(spark: SparkSession) {
     * mutation count (each entry is a plan, periodically checkpointed, not
     * materialized rows); a deployment retiring old versions would truncate
     * this vector exactly like VACUUM retires old table files. */
-  private val histories = TrieMap.empty[String, Vector[(String, DataFrame)]]
+  private val histories = TrieMap.empty[String, Vector[(String, TableState)]]
 
   private def put(key: String, st: TableState, op: String): Unit = {
     tables.update(key, st)
-    histories.update(key, histories.getOrElse(key, Vector.empty) :+ (op -> st.df))
+    histories.update(key, histories.getOrElse(key, Vector.empty) :+ (op -> st))
     st.df.createOrReplaceTempView(key)
   }
 
@@ -314,7 +314,23 @@ final class MutableTableManager(spark: SparkSession) {
     val h = histories.getOrElse(norm(name), sys.error(s"table not found: $name"))
     require(version >= 0 && version < h.size,
       s"version $version out of range [0, ${h.size - 1}] for $name")
-    h(version)._2
+    h(version)._2.df
+  }
+
+  /** Number of recorded versions (history length). */
+  def versionCount(name: String): Int =
+    histories.getOrElse(norm(name), sys.error(s"table not found: $name")).size
+
+  /** Restore `name` to the state it had at `version` — schema, defaults
+    * and data all roll back together (the snapshot holds the full
+    * TableState, not just the plan). Recorded as a ROLLBACK history entry
+    * so the log stays append-only, Delta-style: undo is a new version. */
+  def restore(name: String, version: Int): Unit = {
+    val key = norm(name)
+    val h = histories.getOrElse(key, sys.error(s"table not found: $name"))
+    require(version >= 0 && version < h.size,
+      s"version $version out of range [0, ${h.size - 1}] for $name")
+    put(key, h(version)._2, "ROLLBACK")
   }
 
   /** (version, operation) log for DESCRIBE HISTORY. */
