@@ -164,12 +164,13 @@ final class GraftSession(
       val AsRe = """(?is)^AS\s+(.*)""".r
       if (rest.startsWith("(")) {
         val (inner, tail) = matchParen(rest)
-        val (schema, defaults) = parseColumnDefs(inner)
+        val (schema, defaults, checks, uniques) = parseColumnDefs(inner)
         val data = tail.trim match {
           case AsRe(sel) => Some(sql(sel))
           case _ => None
         }
-        tables.create(name, schema, defaults, data, ifNotExists)
+        tables.create(name, schema, defaults, data, ifNotExists,
+          checks = checks, uniques = uniques)
       } else rest match {
         case AsRe(sel) =>
           val df = sql(sel)
@@ -295,7 +296,7 @@ final class GraftSession(
       val name = unquoteIdent(name0)
       action.trim match {
         case AddColRe(colDef) =>
-          val (schema, defaults) = parseColumnDefs(colDef.trim)
+          val (schema, defaults, _, _) = parseColumnDefs(colDef.trim)
           require(schema.size == 1, s"ADD COLUMN takes one column: $colDef")
           tables.addColumn(name, schema.fields.head,
             defaults.get(schema.fields.head.name))
@@ -1419,28 +1420,67 @@ final class GraftSession(
     * defaults, with the reference's SQL→engine type mapping
     * (`sql_to_arrow_data_type`, `qurious/src/planner/sql.rs:1439-1476`:
     * INTEGER→Int64 etc.). */
-  private def parseColumnDefs(inner: String): (StructType, Map[String, String]) = {
+  /** Column definitions + declared constraints. Column-level: NOT NULL,
+    * PRIMARY KEY (⇒ NOT NULL + UNIQUE), UNIQUE, CHECK (expr), DEFAULT.
+    * Table-level entries: PRIMARY KEY (a, b…), UNIQUE (a, b…),
+    * [CONSTRAINT name] CHECK (expr). Returns (schema, defaults, check
+    * expressions, unique column sets). */
+  private def parseColumnDefs(inner: String)
+      : (StructType, Map[String, String], Seq[String], Seq[Seq[String]]) = {
     val defaults = Map.newBuilder[String, String]
-    val fields = splitTopLevel(inner, ',').map { colDef =>
-      val d = colDef.trim
-      val nameEnd = d.indexWhere(_.isWhitespace)
-      require(nameEnd > 0, s"cannot parse column definition: $d")
-      val name = unquoteIdent(d.take(nameEnd))
-      var rest = d.drop(nameEnd).trim
-      val defaultIdx = rest.toUpperCase(Locale.ROOT).indexOf(" DEFAULT ")
-      var default: Option[String] = None
-      if (defaultIdx >= 0) {
-        default = Some(rest.substring(defaultIdx + 9).trim)
-        rest = rest.take(defaultIdx)
+    val checks = Seq.newBuilder[String]
+    val uniques = Seq.newBuilder[Seq[String]]
+    val TablePkRe = """(?is)PRIMARY\s+KEY\s*\((.*)\)\s*""".r
+    val TableUqRe = """(?is)UNIQUE\s*\((.*)\)\s*""".r
+    val TableCkRe = """(?is)(?:CONSTRAINT\s+\w+\s+)?CHECK\s*\((.*)\)\s*""".r
+    def colList(s: String): Seq[String] =
+      splitTopLevel(s, ',').map(c => unquoteIdent(c.trim))
+    val pkNotNull = scala.collection.mutable.Set[String]()
+    val fields = splitTopLevel(inner, ',').flatMap { colDef =>
+      colDef.trim match {
+        case TablePkRe(cols) =>
+          val cs = colList(cols); uniques += cs; pkNotNull ++= cs; None
+        case TableUqRe(cols) => uniques += colList(cols); None
+        case TableCkRe(e) => checks += e.trim; None
+        case d =>
+          val nameEnd = d.indexWhere(_.isWhitespace)
+          require(nameEnd > 0, s"cannot parse column definition: $d")
+          val name = unquoteIdent(d.take(nameEnd))
+          var rest = d.drop(nameEnd).trim
+          val defaultIdx = rest.toUpperCase(Locale.ROOT).indexOf(" DEFAULT ")
+          var default: Option[String] = None
+          if (defaultIdx >= 0) {
+            default = Some(rest.substring(defaultIdx + 9).trim)
+            rest = rest.take(defaultIdx)
+          }
+          // column-level CHECK (…)
+          val ckIdx = rest.toUpperCase(Locale.ROOT).indexOf("CHECK")
+          if (ckIdx >= 0) {
+            val after = rest.substring(ckIdx + 5).trim
+            require(after.startsWith("("), s"cannot parse CHECK in: $d")
+            val (ck, _) = matchParen(after)
+            checks += ck.trim
+            rest = rest.take(ckIdx) + after.drop(ck.length + 2)
+          }
+          val upper = rest.toUpperCase(Locale.ROOT)
+          val isPk = upper.contains("PRIMARY KEY")
+          if (isPk) uniques += Seq(name)
+          else if (upper.matches("(?s).*\\bUNIQUE\\b.*")) uniques += Seq(name)
+          val notNull = isPk || upper.contains("NOT NULL")
+          // strip constraint keywords, then an explicit NULL modifier
+          val typeStr = rest
+            .replaceAll("(?i)\\s*PRIMARY\\s+KEY\\s*", " ")
+            .replaceAll("(?i)\\s*\\bUNIQUE\\b\\s*", " ")
+            .replaceAll("(?i)\\s*NOT\\s+NULL\\s*", " ")
+            .replaceAll("(?i)\\s+NULL\\s*$", "").trim
+          default.foreach(e => defaults += name -> e)
+          Some(StructField(name, sqlType(typeStr), nullable = !notNull))
       }
-      val notNull = rest.toUpperCase(Locale.ROOT).contains("NOT NULL")
-      // strip NOT NULL, then an explicit (default) NULL modifier: `v1 int null`
-      val typeStr = rest.replaceAll("(?i)\\s*NOT\\s+NULL\\s*", "")
-        .replaceAll("(?i)\\s+NULL\\s*$", "").trim
-      default.foreach(e => defaults += name -> e)
-      StructField(name, sqlType(typeStr), nullable = !notNull)
     }
-    (StructType(fields.toIndexedSeq), defaults.result())
+    val withPk = fields.map(f =>
+      if (pkNotNull.contains(f.name)) f.copy(nullable = false) else f)
+    (StructType(withPk.toIndexedSeq), defaults.result(),
+      checks.result(), uniques.result())
   }
 
   private val DecimalRe = """(?i)DECIMAL\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r

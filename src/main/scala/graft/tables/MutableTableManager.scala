@@ -27,7 +27,9 @@ final class MutableTableManager(spark: SparkSession) {
       schema: StructType,
       defaults: Map[String, String], // column name -> default expression SQL
       df: DataFrame,
-      mutations: Int)
+      mutations: Int,
+      checks: Seq[String] = Nil, // CHECK constraint expressions
+      uniques: Seq[Seq[String]] = Nil) // UNIQUE / PRIMARY KEY column sets
 
   private val tables = TrieMap.empty[String, TableState]
 
@@ -48,7 +50,9 @@ final class MutableTableManager(spark: SparkSession) {
       schema: StructType,
       defaults: Map[String, String] = Map.empty,
       data: Option[DataFrame] = None,
-      ifNotExists: Boolean = false): Unit = {
+      ifNotExists: Boolean = false,
+      checks: Seq[String] = Nil,
+      uniques: Seq[Seq[String]] = Nil): Unit = {
     val key = norm(name)
     if (tables.contains(key)) {
       if (ifNotExists) return
@@ -59,8 +63,59 @@ final class MutableTableManager(spark: SparkSession) {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    put(key, TableState(schema, defaults.map { case (k, v) => norm(k) -> v }, df, 0), "CREATE")
+    val st = TableState(schema, defaults.map { case (k, v) => norm(k) -> v },
+      df, 0, checks, uniques.map(_.map(norm)))
+    data.foreach { _ => // CTAS rows must conform before the table exists
+      enforceRowConstraints(st, df)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      enforceUnique(st.copy(df = empty), df)
+    }
+    put(key, st, "CREATE")
   }
+
+  // ------------------------------------------------ constraint enforcement
+
+  /** NOT NULL + CHECK over `rows` — ONE combined aggregate action, and no
+    * action at all for constraint-free tables. Violations error before the
+    * table state advances, so a failed statement leaves no version. */
+  private def enforceRowConstraints(st: TableState, rows: DataFrame): Unit = {
+    val nn = st.schema.fields.filterNot(_.nullable).map(_.name).toSeq
+    val aggs = nn.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))) ++
+      st.checks.map(ck =>
+        sum(when(!coalesce(expr(ck), lit(false)), 1L).otherwise(0L)))
+    if (aggs.nonEmpty) {
+      val r = rows.agg(aggs.head, aggs.tail: _*).head()
+      nn.zipWithIndex.foreach { case (c, i) =>
+        require(r.getLong(i) == 0, s"NOT NULL constraint violated: column $c") }
+      st.checks.zipWithIndex.foreach { case (ck, i) =>
+        require(r.getLong(nn.length + i) == 0, s"CHECK constraint violated: ($ck)") }
+    }
+  }
+
+  /** UNIQUE / PRIMARY KEY for an incoming batch: duplicates within the
+    * batch (one groupBy over batch rows only) and collisions against the
+    * stored table (a key-equality LEFT SEMI probe — at scale this is the
+    * same shuffle a MERGE pays, and it is exactly the price engines that
+    * enforce PK uniqueness pay per ingest). NULL keys never collide (SQL
+    * UNIQUE semantics; PRIMARY KEY columns are already NOT NULL). */
+  private def enforceUnique(st: TableState, batch: DataFrame): Unit =
+    st.uniques.foreach { cols =>
+      val inBatch = batch.groupBy(cols.map(col).toIndexedSeq: _*)
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1 && cols.map(col(_).isNotNull).reduce(_ && _))
+        .limit(1).count()
+      require(inBatch == 0,
+        s"UNIQUE constraint violated within inserted rows: (${cols.mkString(", ")})")
+      val b = batch.alias("__b")
+      val t = st.df.alias("__t")
+      val clash = b.join(t,
+          cols.map(c => col(s"__b.$c") === col(s"__t.$c")).reduce(_ && _),
+          "left_semi")
+        .limit(1).count()
+      require(clash == 0,
+        s"UNIQUE constraint violated against existing rows: (${cols.mkString(", ")})")
+    }
 
   def drop(name: String, ifExists: Boolean = false): Unit = {
     val key = norm(name)
@@ -88,6 +143,8 @@ final class MutableTableManager(spark: SparkSession) {
       input.schema.size == targetCols.size,
       s"INSERT arity mismatch: ${input.schema.size} values for ${targetCols.size} columns")
     val aligned = align(input, st.schema, targetCols, st.defaults)
+    enforceRowConstraints(st, aligned)
+    enforceUnique(st, aligned)
     val n = aligned.count()
     put(key, st.copy(df = checkpointed(st.df.unionByName(aligned), st.mutations), mutations = st.mutations + 1), "INSERT")
     n
@@ -128,7 +185,13 @@ final class MutableTableManager(spark: SparkSession) {
         case None => col(f.name)
       }
     }
-    put(key, st.copy(df = checkpointed(st.df.select(projected.toIndexedSeq: _*), st.mutations),
+    val newDf = st.df.select(projected.toIndexedSeq: _*)
+    // re-verify NOT NULL/CHECK on the CHANGED rows only (engines never
+    // re-scan unchanged rows on update); UNIQUE re-verification on update
+    // is out of scope, as in most lakehouse engines
+    if (st.checks.nonEmpty || st.schema.fields.exists(!_.nullable))
+      enforceRowConstraints(st, newDf.filter(coalesce(pred, lit(false))))
+    put(key, st.copy(df = checkpointed(newDf, st.mutations),
       mutations = st.mutations + 1), "UPDATE")
     affected
   }
