@@ -87,6 +87,10 @@ final class GraftSession(
         copyTo(q)
       else copyFrom(q)
     }
+    else if (upper.startsWith("SET ")) setStatement(q)
+    else if (upper.startsWith("RESET ")) resetStatement(q)
+    else if (upper.startsWith("EXPORT DATABASE")) exportDatabase(q)
+    else if (upper.startsWith("IMPORT DATABASE")) importDatabase(q)
     else if (upper == "BEGIN" || upper == "BEGIN TRANSACTION" ||
              upper == "START TRANSACTION") beginTx()
     else if (upper == "COMMIT") commitTx()
@@ -827,6 +831,77 @@ final class GraftSession(
     out = foldIntervalArith(out)
     out = mapUnquoted(out)(descNullsFirst)
     out
+  }
+
+  // ----------------------------------------------- settings + export
+
+  /** `SET key = value` / `SET key TO value` and `RESET key` — session
+    * configuration through the SQL front door (the knobs themselves are
+    * queryable via `information_schema.df_settings`). */
+  private val SetRe = """(?is)SET\s+([\w.]+)\s*(?:=|TO)\s*(.+)""".r
+
+  private def setStatement(q: String): DataFrame = q match {
+    case SetRe(key, raw) =>
+      spark.conf.set(key, unquote(raw.trim))
+      spark.emptyDataFrame
+    case _ => sys.error(s"cannot parse SET: $q")
+  }
+
+  private def resetStatement(q: String): DataFrame = {
+    val m = """(?is)RESET\s+([\w.]+)\s*""".r
+    q match {
+      case m(key) => spark.conf.unset(key); spark.emptyDataFrame
+      case _ => sys.error(s"cannot parse RESET: $q")
+    }
+  }
+
+  /** `EXPORT DATABASE 'dir'` / `IMPORT DATABASE 'dir'` (the DuckDB verbs):
+    * every mutable table round-trips through parquet, and a parquet
+    * manifest carries what the data files can't — schema JSON, column
+    * DEFAULTs, CHECK expressions and UNIQUE/PK column sets — so an import
+    * restores the tables with their constraints ENFORCING again, not just
+    * their rows. Parquet on both legs means the export is itself
+    * Spark-readable (and the manifest queryable) without this library. */
+  private def exportDatabase(q: String): DataFrame = {
+    val m = """(?is)EXPORT\s+DATABASE\s+'([^']+)'\s*""".r
+    q match {
+      case m(path) =>
+        val s = spark
+        import s.implicits._
+        val rows = tables.listTables().map { t =>
+          val st = tables.stateOf(t)
+          (t, st.schema.json, st.defaults, st.checks, st.uniques)
+        }
+        rows.toDF("name", "schema_json", "defaults", "checks", "uniques")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/__manifest")
+        tables.listTables().foreach(t =>
+          tables.table(t).write.mode("overwrite").parquet(s"$path/$t"))
+        spark.emptyDataFrame
+      case _ => sys.error(s"cannot parse EXPORT DATABASE: $q")
+    }
+  }
+
+  private def importDatabase(q: String): DataFrame = {
+    val m = """(?is)IMPORT\s+DATABASE\s+'([^']+)'\s*""".r
+    q match {
+      case m(path) =>
+        spark.read.parquet(s"$path/__manifest").collect().foreach { r =>
+          val name = r.getString(0)
+          val schema = DataType.fromJson(r.getString(1)).asInstanceOf[StructType]
+          val defaults = r.getAs[Map[String, String]]("defaults")
+          // Row.getSeq hands back mutable ArraySeq — deep-convert to the
+          // immutable Seq the manager's API is typed with
+          val checks = r.getSeq[String](3).toList
+          val uniques =
+            r.getSeq[scala.collection.Seq[String]](4).map(_.toList).toList
+          val data = spark.read.schema(schema).parquet(s"$path/$name")
+          tables.create(name, schema, defaults, Some(data),
+            ifNotExists = false, checks = checks, uniques = uniques)
+          recordMember(unquoteIdent(name))
+        }
+        spark.emptyDataFrame
+      case _ => sys.error(s"cannot parse IMPORT DATABASE: $q")
+    }
   }
 
   // ------------------------------------------------------ transactions

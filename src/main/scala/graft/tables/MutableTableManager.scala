@@ -43,6 +43,11 @@ final class MutableTableManager(spark: SparkSession) {
   def schema(name: String): StructType =
     tables.getOrElse(norm(name), sys.error(s"table not found: $name")).schema
 
+  /** Full state (schema, defaults, constraints) — EXPORT DATABASE uses
+    * this to round-trip everything the catalog knows about a table. */
+  def stateOf(name: String): TableState =
+    tables.getOrElse(norm(name), sys.error(s"table not found: $name"))
+
   /** CREATE TABLE. With `data` = CTAS; otherwise an empty table with the
     * declared schema. */
   def create(

@@ -320,4 +320,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"partial merge must be union+agg, not a join:\n$p")
     assert(p.contains("Union"), p)
   }
+
+  test("pl_decontaminate_spans: probe trigrams broadcast, no cartesian") {
+    val p = plan("pl_decontaminate_spans")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe trigram set must ride a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ext_ann_hamming: per-query ranking plans map-side WindowGroupLimit") {
+    val p = plan("ext_ann_hamming")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k should plan per-group top-k so only k rows per query per mapper shuffle:\n$p")
+    // the query side is the broadcast side; the signature scan never shuffles wide
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -404,6 +404,42 @@ class SessionSpec extends AnyFunSuite {
     g.sql("DROP TABLE cascprefix__x")
   }
 
+  test("EXPORT/IMPORT DATABASE round-trips tables with defaults and constraints") {
+    val g = fresh()
+    g.sql("CREATE TABLE exp_a (id INT PRIMARY KEY, v INT NOT NULL DEFAULT 7, CHECK (v >= 0))")
+    g.sql("INSERT INTO exp_a (id) VALUES (1), (2)")
+    g.sql("CREATE TABLE exp_b (s VARCHAR)")
+    g.sql("INSERT INTO exp_b VALUES ('x')")
+    val dir = java.nio.file.Files.createTempDirectory("graft_export").toString
+    g.sql(s"EXPORT DATABASE '$dir'")
+    g.sql("DROP TABLE exp_a")
+    g.sql("DROP TABLE exp_b")
+    g.sql(s"IMPORT DATABASE '$dir'")
+    assert(g.sql("SELECT id, v FROM exp_a ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 7L), (2L, 7L)))
+    assert(g.sql("SELECT s FROM exp_b").head.getString(0) == "x")
+    // constraints enforce again after import; DEFAULT persists
+    intercept[Exception](g.sql("INSERT INTO exp_a VALUES (1, 5)")) // PK duplicate
+    intercept[Exception](g.sql("INSERT INTO exp_a VALUES (3, -1)")) // CHECK
+    g.sql("INSERT INTO exp_a (id) VALUES (3)")
+    assert(g.sql("SELECT v FROM exp_a WHERE id = 3").head().getLong(0) == 7L)
+    g.sql("DROP TABLE exp_a")
+    g.sql("DROP TABLE exp_b")
+  }
+
+  test("SET and RESET session configuration through the front door") {
+    val g = fresh()
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    g.sql(s"SET $key = 12345")
+    assert(spark.conf.get(key) == "12345")
+    g.sql(s"SET $key TO '23456'")
+    assert(spark.conf.get(key) == "23456")
+    g.sql(s"RESET $key")
+    assert(spark.conf.get(key) != "23456")
+    spark.conf.set(key, prev)
+  }
+
   test("PREPARE/EXECUTE/DEALLOCATE parameterized statements") {
     val g = fresh()
     graft.sources.Tables.register(spark, TestSpark.sfDir, Seq("nation"))
