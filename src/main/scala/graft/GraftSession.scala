@@ -98,6 +98,7 @@ final class GraftSession(
     else if (upper.startsWith("PREPARE ")) prepareStatement(q)
     else if (upper.startsWith("EXECUTE ")) executePrepared(q)
     else if (upper.startsWith("DEALLOCATE ")) deallocate(q)
+    else if (upper.startsWith("SHOW CREATE TABLE ")) showCreateTable(q)
     else if (upper.startsWith("SHOW TABLES")) showTables()
     else if (upper.startsWith("SHOW SCHEMAS") || upper.startsWith("SHOW DATABASES"))
       showSchemas()
@@ -772,6 +773,28 @@ final class GraftSession(
         .filter(col("table_schema") === sch && col("table_name") === tbl)
         .select(col("column_name"), col("data_type"), col("is_nullable"))
     case _ => sys.error(s"cannot parse DESCRIBE: $q")
+  }
+
+  /** SHOW CREATE TABLE t → one-row DDL reconstructed from the full stored
+    * state (types, NOT NULL, DEFAULTs, UNIQUE/PK sets, CHECKs). The
+    * emitted statement round-trips: running it recreates an equivalent
+    * table with the same constraints enforcing (SessionSpec proves it). */
+  private def showCreateTable(q: String): DataFrame = {
+    val name = unquoteIdent(q.trim.split("\\s+").last)
+    val st = tables.stateOf(name)
+    val cols = st.schema.fields.map { f =>
+      val notNull = if (!f.nullable) " NOT NULL" else ""
+      val dflt = st.defaults.get(f.name.toLowerCase(Locale.ROOT))
+        .map(d => s" DEFAULT $d").getOrElse("")
+      s"  ${f.name} ${f.dataType.sql}$notNull$dflt"
+    }
+    val uq = st.uniques.map(cs => s"  UNIQUE (${cs.mkString(", ")})")
+    val ck = st.checks.map(c => s"  CHECK ($c)")
+    val ddl =
+      s"CREATE TABLE $name (\n${(cols ++ uq ++ ck).mkString(",\n")}\n)"
+    val s2 = spark
+    import s2.implicits._
+    Seq(ddl).toDF("create_statement")
   }
 
   /** DESCRIBE HISTORY t → the mutable table's (version, operation) log. */

@@ -1785,7 +1785,74 @@ object Pipeline extends QueryModule {
             (x, i) -> NOT list_contains(coalesce(b.bad, []), i)), ' '), '')) AS clean_md5
         FROM toks t LEFT JOIN bad b USING (doc_id)
         WHERE t.doc_id >= 25
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+
+    // ---- retrieve → rerank (the two-stage RAG serving shape): a cheap
+    // wide recall pass (cosine top-10 per query; the IVF/LSH siblings are
+    // the at-scale recall paths — brute cosine keeps this entry
+    // oracle-exact) feeds a rich scorer over ONLY the 10 candidates:
+    // hybrid score = 0.8·cosine + 0.2·metadata boost (label agreement) —
+    // the "vector recall, business-logic rerank" split every production
+    // retrieval stack runs, with the expensive scorer touching k rows per
+    // query, never the corpus. Both ranking windows partition BY QUERY. ----
+    QueryDef(
+      "pl_rag_rerank",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", graft.ops.VectorOps.vecD($"embedding").as("ve"), $"label")
+        val queries = emb.filter($"vec_id" < 3)
+          .select($"vec_id".as("q_id"), $"ve".as("q_ve"), $"label".as("q_label"))
+        val w = Window.partitionBy($"q_id")
+        val recalled = emb.crossJoin(broadcast(queries))
+          .filter($"vec_id" =!= $"q_id")
+          .select($"q_id", $"q_label", $"vec_id".as("n_id"), $"label",
+            (graft.ops.VectorOps.dot($"q_ve", $"ve") /
+              (graft.ops.VectorOps.l2norm($"q_ve") *
+                graft.ops.VectorOps.l2norm($"ve"))).as("cosine"))
+          .withColumn("r_recall",
+            row_number().over(w.orderBy($"cosine".desc, $"n_id")))
+          .filter($"r_recall" <= 10)
+        recalled
+          .withColumn("final_score", round(
+            $"cosine" * 0.8 +
+              when($"label" === $"q_label", 0.2).otherwise(0.0), 6))
+          .withColumn("rank",
+            row_number().over(w.orderBy($"final_score".desc, $"n_id")))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"rank", $"n_id", $"final_score")
+          .orderBy($"q_id", $"rank")
+      },
+      Some("""WITH v AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS q_id, q.label AS q_label,
+            c.vec_id AS n_id, c.label,
+            list_sum(list_transform(list_zip(q.ve, c.ve), s2 -> s2[1] * s2[2]))
+              / (sqrt(list_sum(list_transform(list_zip(q.ve, q.ve), s2 -> s2[1] * s2[2])))
+               * sqrt(list_sum(list_transform(list_zip(c.ve, c.ve), s2 -> s2[1] * s2[2]))))
+              AS cosine
+          FROM v q JOIN v c ON q.vec_id < 3 AND c.vec_id <> q.vec_id),
+        recalled AS (
+          SELECT * FROM (
+            SELECT q_id, q_label, n_id, label, cosine,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY cosine DESC, n_id) AS r_recall
+            FROM scored)
+          WHERE r_recall <= 10),
+        reranked AS (
+          SELECT q_id, n_id,
+            round(cosine * 0.8 +
+              CASE WHEN label = q_label THEN 0.2 ELSE 0.0 END, 6) AS final_score
+          FROM recalled)
+        SELECT q_id, CAST(rank AS INT) AS rank, n_id, final_score FROM (
+          SELECT q_id, n_id, final_score,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY final_score DESC, n_id) AS rank
+          FROM reranked)
+        WHERE rank <= 3 ORDER BY q_id, rank"""))
   )
 
   /** DuckDB-side Morton interleave: same shift/and/add expansion as

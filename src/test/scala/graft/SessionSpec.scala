@@ -427,6 +427,21 @@ class SessionSpec extends AnyFunSuite {
     g.sql("DROP TABLE exp_b")
   }
 
+  test("SHOW CREATE TABLE emits DDL that round-trips with constraints enforcing") {
+    val g = fresh()
+    g.sql("CREATE TABLE sct_t (id INT PRIMARY KEY, v INT NOT NULL DEFAULT 3, CHECK (v >= 0))")
+    val ddl = g.sql("SHOW CREATE TABLE sct_t").head().getString(0)
+    assert(ddl.contains("NOT NULL") && ddl.contains("DEFAULT 3")
+      && ddl.contains("UNIQUE (id)") && ddl.contains("CHECK (v >= 0)"), ddl)
+    g.sql("DROP TABLE sct_t")
+    g.sql(ddl) // the emitted statement recreates the table
+    g.sql("INSERT INTO sct_t (id) VALUES (1)")
+    assert(g.sql("SELECT v FROM sct_t").head().getLong(0) == 3L) // DEFAULT kept
+    intercept[Exception](g.sql("INSERT INTO sct_t VALUES (1, 5)")) // PK kept
+    intercept[Exception](g.sql("INSERT INTO sct_t VALUES (2, -1)")) // CHECK kept
+    g.sql("DROP TABLE sct_t")
+  }
+
   test("SET and RESET session configuration through the front door") {
     val g = fresh()
     val key = "spark.sql.autoBroadcastJoinThreshold"
