@@ -983,6 +983,57 @@ object ExtSimilarity extends QueryModule {
         SELECT label, CAST(u.pos AS INT) AS pos, round(avg(u.v), 4) + 0 AS mean_v
         FROM e GROUP BY 1, 2 ORDER BY label, pos""")),
 
+    // ---- per-label centroid drift between corpus versions (the embedding
+    //-space monitor a re-embed / new-snapshot run publishes: which label
+    // regions MOVED): vec_id parity stands in for the two versions; each
+    // version's per-label centroid is an aggregate, the drift is the
+    // cosine between the two centroid vectors. Centroid components are
+    // rounded then cast DECIMAL before the dot product, so the 64-term
+    // sums are exact under any partitioning — the report hash-matches
+    // bit for bit. Only (label × dim) rows ever aggregate; nothing pairs. ----
+    QueryDef(
+      "ext_embed_centroid_drift",
+      (s, dir) => {
+        import s.implicits._
+        val dec = org.apache.spark.sql.types.DecimalType(12, 6)
+        val cent = Tables.load(s, dir, "embeddings")
+          .select($"label", ($"vec_id" % 2).as("ver"), posexplode($"embedding"))
+          .select($"label", $"ver", $"pos", $"col".cast("double").as("v"))
+          .groupBy($"label", $"ver", $"pos")
+          .agg(round(avg($"v"), 6).cast(dec).as("m"))
+        val a = cent.filter($"ver" === 0).select($"label", $"pos", $"m".as("m0"))
+        val b = cent.filter($"ver" === 1).select($"label", $"pos", $"m".as("m1"))
+        a.join(b, Seq("label", "pos"))
+          .groupBy($"label")
+          .agg(
+            (sum($"m0" * $"m1").cast("double") /
+              (sqrt(sum($"m0" * $"m0").cast("double")) *
+                sqrt(sum($"m1" * $"m1").cast("double")))).as("c"))
+          .select($"label", (round($"c", 4) + lit(0)).as("centroid_cosine"),
+            (round(lit(1.0) - $"c", 4) + lit(0)).as("drift"))
+          .orderBy($"label")
+      },
+      Some("""WITH e AS (
+          SELECT label, vec_id % 2 AS ver,
+            unnest(list_transform(embedding,
+              (x, i) -> {'pos': i - 1, 'v': CAST(x AS DOUBLE)})) AS u
+          FROM embeddings),
+        cent AS (
+          SELECT label, ver, u.pos AS pos,
+            CAST(round(avg(u.v), 6) AS DECIMAL(12,6)) AS m
+          FROM e GROUP BY 1, 2, 3),
+        j AS (
+          SELECT a.label,
+            CAST(sum(a.m * b.m) AS DOUBLE) /
+              (sqrt(CAST(sum(a.m * a.m) AS DOUBLE))
+               * sqrt(CAST(sum(b.m * b.m) AS DOUBLE))) AS c
+          FROM cent a JOIN cent b
+            ON a.label = b.label AND a.pos = b.pos AND a.ver = 0 AND b.ver = 1
+          GROUP BY a.label)
+        SELECT label, round(c, 4) + 0 AS centroid_cosine,
+          round(1.0 - c, 4) + 0 AS drift
+        FROM j ORDER BY label""")),
+
     // ---- distributed PCA: two corpus aggregates (means + centered Gram),
     // only dim×dim numbers reach the driver; eigensolve is driver-side
     // power iteration (deterministic init, Gram-Schmidt stabilized) and

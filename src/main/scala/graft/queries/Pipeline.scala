@@ -1852,7 +1852,69 @@ object Pipeline extends QueryModule {
             row_number() OVER (PARTITION BY q_id
               ORDER BY final_score DESC, n_id) AS rank
           FROM reranked)
-        WHERE rank <= 3 ORDER BY q_id, rank"""))
+        WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // ---- dataset card (the per-source datasheet a training-data release
+    // publishes): docs, token mass, English share, exact-duplicate rate,
+    // mean quality — per source, from ONE scan (all signals are per-row
+    // codegen'd) + one aggregate shuffle on source. ----
+    QueryDef(
+      "pl_dataset_card",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"source",
+            TextOps.langId($"text").as("lg"),
+            TextOps.qualityScore($"text").as("q"),
+            TextOps.tokenCount($"text").cast("bigint").as("nt"),
+            TextOps.fingerprint($"text").as("fp"))
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"nt").as("total_tokens"),
+            (round(sum(when($"lg" === "en", 1L).otherwise(0L)) /
+              count(lit(1)).cast("double"), 4) + lit(0)).as("pct_en"),
+            (round(lit(1.0) - countDistinct($"fp") /
+              count(lit(1)).cast("double"), 4) + lit(0)).as("dup_rate"),
+            (round(avg($"q"), 4) + lit(0)).as("avg_quality"))
+          .orderBy($"source")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS tk,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents),
+        m AS (
+          SELECT doc_id, source, fp,
+            CAST(len(tk) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS diversity,
+            CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+              / CAST(len(tk) AS DOUBLE) AS sr,
+            CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+              / CAST(len(tk) AS DOUBLE) AS mtl,
+            len(list_filter(tk, x -> x IN ('the','a','of','and'))) AS s_en,
+            len(list_filter(tk, x -> x IN ('der','die','und','ist'))) AS s_de,
+            len(list_filter(tk, x -> x IN ('le','la','et','est'))) AS s_fr,
+            len(list_filter(tk, x -> x IN ('el','la','y','es'))) AS s_es
+          FROM t),
+        scored AS (
+          SELECT source, fp, n_tokens,
+            diversity * 0.6
+              + (CASE WHEN sr BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2
+              + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality,
+            CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                 WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                 WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                 WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                 ELSE 'es' END AS lang_guess
+          FROM m)
+        SELECT source,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+          round(CAST(sum(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            / CAST(count(*) AS DOUBLE), 4) + 0 AS pct_en,
+          round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 4) + 0 AS dup_rate,
+          round(avg(quality), 4) + 0 AS avg_quality
+        FROM scored GROUP BY source ORDER BY source"""))
   )
 
   /** DuckDB-side Morton interleave: same shift/and/add expansion as
