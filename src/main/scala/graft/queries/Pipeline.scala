@@ -1914,7 +1914,103 @@ object Pipeline extends QueryModule {
             / CAST(count(*) AS DOUBLE), 4) + 0 AS pct_en,
           round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 4) + 0 AS dup_rate,
           round(avg(quality), 4) + 0 AS avg_quality
-        FROM scored GROUP BY source ORDER BY source"""))
+        FROM scored GROUP BY source ORDER BY source""")),
+
+    // ---- tokenizer fertility by language (subwords per word — the
+    // multilingual-tokenizer health metric: high-fertility languages burn
+    // context budget and train worse): whitespace words vs the BPE-ish
+    // subword estimate, both integer sums (exact under any partitioning),
+    // per detected language. One scan, one aggregate shuffle. ----
+    QueryDef(
+      "pl_tokenizer_fertility",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select(TextOps.langId($"text").as("lang_guess"),
+            TextOps.tokenCount($"text").cast("bigint").as("nw"),
+            TextOps.subwordCountEstimate($"text").as("nsw"))
+          .groupBy($"lang_guess")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"nw").as("total_words"),
+            sum($"nsw").as("total_subwords"),
+            (round(sum($"nsw") / sum($"nw").cast("double"), 4) + lit(0))
+              .as("fertility"))
+          .orderBy($"lang_guess")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk,
+                 string_split_regex(lower(trim(text)), '[^a-z0-9]+') AS pieces
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+            CAST(len(tk) AS BIGINT) AS nw,
+            CAST(list_sum(list_transform(pieces,
+              w -> greatest(CAST(ceil(length(w) / 4.0) AS BIGINT), 1))) AS BIGINT) AS nsw,
+            len(list_filter(tk, x -> x IN ('the','a','of','and'))) AS s_en,
+            len(list_filter(tk, x -> x IN ('der','die','und','ist'))) AS s_de,
+            len(list_filter(tk, x -> x IN ('le','la','et','est'))) AS s_fr,
+            len(list_filter(tk, x -> x IN ('el','la','y','es'))) AS s_es
+          FROM t),
+        g AS (
+          SELECT nw, nsw,
+            CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                 WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                 WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                 WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                 ELSE 'es' END AS lang_guess
+          FROM m)
+        SELECT lang_guess, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(nw) AS BIGINT) AS total_words,
+          CAST(sum(nsw) AS BIGINT) AS total_subwords,
+          round(CAST(sum(nsw) AS BIGINT) / CAST(CAST(sum(nw) AS BIGINT) AS DOUBLE), 4) + 0
+            AS fertility
+        FROM g GROUP BY lang_guess ORDER BY lang_guess""")),
+
+    // ---- right-to-erasure propagation report (the GDPR/CCPA batch every
+    // serving stack runs): a deterministic forget-list (stand-in for the
+    // erasure-request table) broadcast-probes each fact table; the report
+    // counts rows to erase vs keep per table WITHOUT materializing the
+    // erased set — semi/anti probes only, the forget list never shuffles
+    // the facts. ----
+    QueryDef(
+      "pl_forget_user",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+        val ord = Tables.load(s, dir, "orders")
+        val forget = ev.select($"user_id".as("f_uid")).distinct()
+          .filter($"f_uid" % 97 === 0)
+        def report(df: DataFrame, key: org.apache.spark.sql.Column,
+            table: String): DataFrame = {
+          val hit = df.join(broadcast(forget), key === forget("f_uid"), "left_semi")
+          val kept = df.join(broadcast(forget), key === forget("f_uid"), "left_anti")
+          hit.agg(count(lit(1)).as("n_erase")).crossJoin(
+            kept.agg(count(lit(1)).as("n_keep")))
+            .select(lit(table).as("table_name"), $"n_erase", $"n_keep")
+        }
+        report(ev, $"user_id", "events")
+          .unionByName(report(ord, $"o_custkey", "orders"))
+          .orderBy($"table_name")
+      },
+      Some("""WITH forget AS (
+          SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
+        SELECT 'events' AS table_name,
+          CAST((SELECT count(*) FROM events e
+                WHERE EXISTS (SELECT 1 FROM forget f WHERE f.user_id = e.user_id))
+            AS BIGINT) AS n_erase,
+          CAST((SELECT count(*) FROM events e
+                WHERE NOT EXISTS (SELECT 1 FROM forget f WHERE f.user_id = e.user_id))
+            AS BIGINT) AS n_keep
+        UNION ALL
+        SELECT 'orders',
+          CAST((SELECT count(*) FROM orders o
+                WHERE EXISTS (SELECT 1 FROM forget f WHERE f.user_id = o.o_custkey))
+            AS BIGINT),
+          CAST((SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM forget f WHERE f.user_id = o.o_custkey))
+            AS BIGINT)
+        ORDER BY table_name"""))
   )
 
   /** DuckDB-side Morton interleave: same shift/and/add expansion as
