@@ -354,6 +354,38 @@ object StreamingOps {
         col("view_id"), col("view_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the abandoned-view detector
+    * as an unbounded job: every view emits, decorated with a purchase from
+    * the following hour when one arrives, or with NULLs once the watermark
+    * proves none can. The outer side is what inner stream-stream joins
+    * cannot express: emission of the ABSENCE of a match, which requires
+    * exactly the watermark+interval bound so the engine knows when a
+    * view's match window is closed and its state evictable. State per side
+    * is bounded by (watermark + interval) of stream time. */
+  def viewToPurchaseLeftJoin(
+      spark: SparkSession,
+      schema: StructType,
+      path: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    val views = spark.readStream.schema(schema).parquet(path)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    val purchases = spark.readStream.schema(schema).parquet(path)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("buy_ts"), col("event_id").as("buy_id"))
+      .withWatermark("buy_ts", watermark)
+    views.join(
+      purchases,
+      col("v_user_id") === col("user_id") &&
+        col("buy_ts") >= col("view_ts") &&
+        col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("v_user_id"), col("view_id"), col("view_ts"),
+        col("buy_id"), col("buy_ts"))
+  }
+
   /** Native session-window aggregation (`session_window(ts, gap)`) — the
     * declarative sibling of [[sessionizeStateful]]: Spark merges
     * overlapping per-event windows into gap-separated sessions inside the

@@ -379,6 +379,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER join emits matches exactly and unmatched views with NULLs") {
+    import spark.implicits._
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+      .select($"ts", $"user_id", $"event_type", $"event_id", $"value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // several files → several micro-batches, so watermark advancement
+    // between batches can evict view state and emit the NULL rows
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+
+    val joined = StreamingOps.viewToPurchaseLeftJoin(spark, events.schema, dir)
+    val got = StreamingOps.runToCompletion(spark, joined, "stream_left_join",
+        mode = "append")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+
+    val views = events.filter($"event_type" === "view")
+      .select($"user_id".as("v_user_id"), $"ts".as("view_ts"), $"event_id".as("view_id"))
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("buy_ts"), $"event_id".as("buy_id"))
+    val batch = views.join(purchases,
+        $"v_user_id" === $"user_id" && $"buy_ts" >= $"view_ts" &&
+          $"buy_ts" <= $"view_ts" + org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select($"v_user_id", $"view_id", $"buy_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+
+    val (gotMatched, gotNull) = got.partition(_._3 >= 0)
+    val (batchMatched, batchNull) = batch.partition(_._3 >= 0)
+    // matched rows are exact; NULL emission requires the watermark to have
+    // closed the view's window, so the stream emits a SUBSET of batch NULLs
+    assert(gotMatched == batchMatched)
+    assert(gotNull.subsetOf(batchNull), (gotNull -- batchNull).take(3).toString)
+    assert(gotNull.nonEmpty, "no unmatched view was ever emitted with NULLs")
+  }
+
   test("streaming materialized-view maintenance converges to the batch rollup") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{count, lit, max, sum}
