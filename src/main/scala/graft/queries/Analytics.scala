@@ -1333,6 +1333,49 @@ object Analytics extends QueryModule {
           round(CAST(sx AS DOUBLE), 2) AS total_value,
           round(2.0 * CAST(swx AS DOUBLE) / (n * CAST(sx AS DOUBLE))
             - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
-        FROM a"""))
+        FROM a""")),
+
+    // ---- longest activity streak per user (gaps-and-islands): the
+    // engagement metric behind every retention dashboard. The classic
+    // anchor trick — day minus per-user row_number is CONSTANT within a
+    // consecutive run — turns streak detection into a plain groupBy; both
+    // windows partition BY USER (bounded by a user's distinct days), and
+    // the distinct-day table is the only thing that ever shuffles. ----
+    QueryDef(
+      "an_user_streaks",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+        val days = Tables.load(s, dir, "events")
+          .select($"user_id", to_date($"ts").as("day")).distinct()
+        days
+          .withColumn("anchor",
+            date_sub($"day", row_number().over(w)))
+          .groupBy($"user_id", $"anchor")
+          .agg(count(lit(1)).cast("int").as("streak_len"),
+            min($"day").as("streak_start"), max($"day").as("streak_end"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"user_id")
+              .orderBy($"streak_len".desc, $"streak_start")))
+          .filter($"rk" === 1)
+          .select($"user_id", $"streak_len", $"streak_start", $"streak_end")
+          .orderBy($"user_id")
+      },
+      Some("""WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        anchored AS (
+          SELECT user_id, day,
+            day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                  AS INTEGER) AS anchor
+          FROM days),
+        streaks AS (
+          SELECT user_id, CAST(count(*) AS INT) AS streak_len,
+            min(day) AS streak_start, max(day) AS streak_end
+          FROM anchored GROUP BY user_id, anchor)
+        SELECT user_id, streak_len, streak_start, streak_end FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY streak_len DESC, streak_start) AS rk
+          FROM streaks)
+        WHERE rk = 1 ORDER BY user_id"""))
   )
 }
