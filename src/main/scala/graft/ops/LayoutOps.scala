@@ -76,7 +76,12 @@ object LayoutOps {
       .drop("__bounds")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__bkt")).orderBy(order: _*)
+    // __bkt ∈ [0, buckets-1] so this limit never truncates — it exists to
+    // stamp the ≤buckets cardinality cap into the plan (`maxRows`), which
+    // keeps the triangular prefix-sum join below provably bounded for the
+    // registry-wide plan lint (and for Catalyst's own join-size reasoning).
     val cnts = withBucket.groupBy(col("__bkt")).agg(count(lit(1)).as("__cnt"))
+      .limit(buckets)
     val offs = cnts.alias("x")
       .join(cnts.alias("y"), col("y.__bkt") < col("x.__bkt"), "left")
       .groupBy(col("x.__bkt").as("__bkt"))

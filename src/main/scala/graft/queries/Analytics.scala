@@ -1376,6 +1376,39 @@ object Analytics extends QueryModule {
           SELECT *, row_number() OVER (PARTITION BY user_id
             ORDER BY streak_len DESC, streak_start) AS rk
           FROM streaks)
-        WHERE rk = 1 ORDER BY user_id"""))
+        WHERE rk = 1 ORDER BY user_id""")),
+
+    // ---- Rolling 7-day distinct users (daily active reach). COUNT(DISTINCT)
+    // over a sliding window has no distributed windowed form — collecting
+    // per-day user SETS into a window frame would move every user id through
+    // one task per day. The scalable exact formulation inverts it: each
+    // (user, active-day) pair contributes to the 7 window-ending days it
+    // covers, so an explode(sequence(day, day+6)) + one countDistinct groupBy
+    // IS the rolling distinct — shuffle is 7× the daily-distinct pairs,
+    // partitioned by day, no single-task funnel. The semi-join restricts
+    // output to days that actually occur (day grain is bounded → broadcast).
+    QueryDef(
+      "an_rolling_distinct_users",
+      (s, dir) => {
+        import s.implicits._
+        val daily = t(s, dir, "events")
+          .select(to_date($"ts").as("day"), $"user_id").distinct()
+        val actual = daily.select($"day").distinct()
+        daily
+          .select(explode(expr("sequence(day, date_add(day, 6))")).as("wday"),
+            $"user_id")
+          .join(broadcast(actual), $"wday" === actual("day"), "left_semi")
+          .groupBy($"wday")
+          .agg(countDistinct($"user_id").as("u7"))
+          .select($"wday".as("day"), $"u7")
+          .orderBy($"day")
+      },
+      Some("""WITH daily AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        days AS (SELECT DISTINCT day FROM daily)
+        SELECT d.day,
+          (SELECT count(DISTINCT da.user_id) FROM daily da
+            WHERE da.day BETWEEN d.day - INTERVAL 6 DAY AND d.day) AS u7
+        FROM days d ORDER BY d.day"""))
   )
 }

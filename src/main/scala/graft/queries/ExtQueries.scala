@@ -759,6 +759,57 @@ object ExtSimilarity extends QueryModule {
         SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, cosine FROM ranked
         WHERE rank <= 5 ORDER BY q_id, rank""")),
 
+    // ---- MaxSim late-interaction retrieval (ColBERT, Khattab & Zaharia
+    // 2020): score(q, d) = Σ_i max_j <q_tok_i, d_tok_j>, keeping per-token
+    // granularity instead of one pooled vector. The 64-dim fixture vector is
+    // reinterpreted as 8 token sub-vectors × 8 dims — real token embeddings
+    // arrive exactly this shape (doc_len × dim). Scale shape: the 3 query
+    // token-matrices ride a broadcast; each doc is scored in ONE codegen'd
+    // array-HOF pass over its own row (no token-level explode → no 64×
+    // row blowup, no shuffle of token pairs); per-query ranking is a
+    // WindowGroupLimit top-k. All arithmetic in double, fixed fold order,
+    // so DuckDB replays it bit for bit. ----
+    QueryDef(
+      "ext_ann_maxsim",
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables.load(s, dir, "embeddings").select($"vec_id",
+          expr("""transform(sequence(0, 7),
+              i -> transform(slice(embedding, 8*i + 1, 8),
+                             x -> cast(x AS double)))""").as("toks"))
+        val queries = tok.filter($"vec_id".isin(1, 11, 29))
+          .select($"vec_id".as("qid"), $"toks".as("qtoks"))
+        tok.crossJoin(broadcast(queries))
+          .filter($"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id",
+            round(expr("""aggregate(qtoks, 0D, (acc, qt) ->
+                acc + array_max(transform(toks, dt ->
+                  aggregate(zip_with(qt, dt, (x, y) -> x * y),
+                            0D, (a, v) -> a + v))))"""), 4).as("maxsim"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+              .orderBy($"maxsim".desc, $"vec_id")))
+          .filter($"rank" <= 5)
+          .select($"qid", $"vec_id", $"maxsim")
+          .orderBy($"qid", $"maxsim".desc, $"vec_id")
+      },
+      Some("""WITH tok AS (
+          SELECT vec_id, i,
+            [CAST(embedding[8*i + k] AS DOUBLE) FOR k IN range(1, 9)] AS t
+          FROM embeddings, range(0, 8) r(i)),
+        qtok AS (SELECT vec_id AS qid, i, t FROM tok WHERE vec_id IN (1, 11, 29)),
+        dots AS (
+          SELECT q.qid, d.vec_id, q.i, max(list_dot_product(q.t, d.t)) AS mx
+          FROM qtok q JOIN tok d ON d.vec_id <> q.qid
+          GROUP BY 1, 2, 3),
+        scores AS (
+          SELECT qid, vec_id, round(sum(mx), 4) AS maxsim
+          FROM dots GROUP BY 1, 2)
+        SELECT qid, vec_id, maxsim FROM scores
+        QUALIFY row_number() OVER (PARTITION BY qid
+          ORDER BY maxsim DESC, vec_id) <= 5
+        ORDER BY qid, maxsim DESC, vec_id""")),
+
     // ---- binary-signature ANN (the 8-bytes-per-vector tier BELOW int8/PQ):
     // sign-bit signatures pack 32 float dims into ONE BIGINT (16× cut);
     // Hamming distance = popcount(xor) tracks angular distance (Charikar

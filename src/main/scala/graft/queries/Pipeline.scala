@@ -2010,7 +2010,60 @@ object Pipeline extends QueryModule {
           CAST((SELECT count(*) FROM orders o
                 WHERE NOT EXISTS (SELECT 1 FROM forget f WHERE f.user_id = o.o_custkey))
             AS BIGINT)
-        ORDER BY table_name"""))
+        ORDER BY table_name""")),
+
+    // ---- Preference-pair construction (DPO/RLHF reward-model data prep):
+    // within each (source, lang) prompt group, pair the highest-quality
+    // document ("chosen") with the lowest ("rejected") and record the score
+    // margin. Quality here is the alpha-character fraction — deterministic
+    // and replayable in SQL; the production score plugs in the same way
+    // (see pl_quality_ensemble). Shape: one per-row codegen'd score map,
+    // then both ranking windows and the group count share the SAME
+    // (source, lang) exchange, and the final groupBy re-uses that
+    // partitioning — one shuffle end to end, no driver materialization.
+    // Tie-breaks are total (score, then doc_id) so the pair is unique. ----
+    QueryDef(
+      "pl_preference_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val grp = Window.partitionBy($"source", $"lang")
+        val scored = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source", $"lang",
+            (length(regexp_replace($"text", "[^a-zA-Z]", "")).cast("double") /
+              expr("nullif(length(text), 0)")).as("score"))
+        scored
+          .withColumn("rb", row_number().over(grp.orderBy($"score".desc, $"doc_id")))
+          .withColumn("rw", row_number().over(grp.orderBy($"score".asc, $"doc_id")))
+          .withColumn("n", count(lit(1)).over(grp))
+          .filter($"n" >= 2)
+          .groupBy($"source", $"lang")
+          .agg(
+            max(when($"rb" === 1, $"doc_id")).as("chosen_id"),
+            max(when($"rw" === 1, $"doc_id")).as("rejected_id"),
+            round(max(when($"rb" === 1, $"score")) -
+              max(when($"rw" === 1, $"score")), 6).as("margin"))
+          .orderBy($"source", $"lang")
+      },
+      Some("""WITH scored AS (
+          SELECT doc_id, source, lang,
+            CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+              / nullif(length(text), 0) AS score
+          FROM documents),
+        ranked AS (
+          SELECT *,
+            row_number() OVER (PARTITION BY source, lang
+              ORDER BY score DESC, doc_id) AS rb,
+            row_number() OVER (PARTITION BY source, lang
+              ORDER BY score ASC, doc_id) AS rw,
+            count(*) OVER (PARTITION BY source, lang) AS n
+          FROM scored)
+        SELECT source, lang,
+          max(CASE WHEN rb = 1 THEN doc_id END) AS chosen_id,
+          max(CASE WHEN rw = 1 THEN doc_id END) AS rejected_id,
+          round(max(CASE WHEN rb = 1 THEN score END)
+            - max(CASE WHEN rw = 1 THEN score END), 6) AS margin
+        FROM ranked WHERE n >= 2 GROUP BY source, lang
+        ORDER BY source, lang"""))
   )
 
   /** DuckDB-side Morton interleave: same shift/and/add expansion as
