@@ -1409,6 +1409,70 @@ object Analytics extends QueryModule {
         SELECT d.day,
           (SELECT count(DISTINCT da.user_id) FROM daily da
             WHERE da.day BETWEEN d.day - INTERVAL 6 DAY AND d.day) AS u7
-        FROM days d ORDER BY d.day"""))
+        FROM days d ORDER BY d.day""")),
+
+    // ---- Session-path pattern matching (MATCH_RECOGNIZE-lite): sessionize
+    // with a 30-min gap, render each session's time-ordered event-type
+    // sequence as ONE string per session, and regex-match funnel patterns
+    // against it. Scale shape: both session windows share a single
+    // user-keyed exchange; the path string is bounded by session length
+    // (watermark-bounded in the streaming twin), patterns ride a 3-row
+    // literal broadcast, and the final aggregate is per-pattern. The
+    // struct array_sort makes the concat order total (ts, event_id), so
+    // DuckDB's ordered string_agg replays it exactly. ----
+    QueryDef(
+      "an_session_paths_pattern",
+      (s, dir) => {
+        import s.implicits._
+        val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val prevTs = lag($"ts", 1).over(byUser)
+        val newS = when(prevTs.isNull ||
+          (unix_timestamp($"ts") - unix_timestamp(prevTs)) > 1800, 1L)
+          .otherwise(0L)
+        val paths = t(s, dir, "events")
+          .withColumn("session_seq", sum(newS).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"session_seq")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+            x => x.getField("event_type")), ">").as("path"))
+        val pats = Seq(
+          ("view_to_purchase", "view.*purchase"),
+          ("signup_then_error", "signup.*error"),
+          ("double_click", "click>click")).toDF("pattern_name", "re")
+        paths.crossJoin(broadcast(pats))
+          .groupBy($"pattern_name")
+          .agg(
+            sum(when(expr("path RLIKE re"), 1L).otherwise(0L)).as("n_matched"),
+            count(lit(1)).as("n_sessions"))
+          .select($"pattern_name", $"n_matched", $"n_sessions",
+            round($"n_matched" / $"n_sessions".cast("double"), 6).as("share"))
+          .orderBy($"pattern_name")
+      },
+      Some("""WITH s AS (
+          SELECT user_id, ts, event_id, event_type,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts, event_id, event_type,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM s),
+        paths AS (
+          SELECT user_id, session_seq,
+            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+          FROM sess GROUP BY 1, 2),
+        pats AS (SELECT * FROM (VALUES
+          ('view_to_purchase', 'view.*purchase'),
+          ('signup_then_error', 'signup.*error'),
+          ('double_click', 'click>click')) p(pattern_name, re))
+        SELECT pattern_name,
+          CAST(count(*) FILTER (WHERE regexp_matches(path, re)) AS BIGINT) AS n_matched,
+          CAST(count(*) AS BIGINT) AS n_sessions,
+          round(count(*) FILTER (WHERE regexp_matches(path, re)) * 1.0
+            / count(*), 6) AS share
+        FROM paths CROSS JOIN pats
+        GROUP BY pattern_name ORDER BY pattern_name"""))
   )
 }

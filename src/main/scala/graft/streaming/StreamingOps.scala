@@ -462,6 +462,36 @@ object StreamingOps {
       .start()
   }
 
+  /** Rolling 7-day distinct users, streaming form of the batch
+    * `an_rolling_distinct_users` query. COUNT(DISTINCT) over a sliding
+    * window has no streaming (or distributed) form, so the same
+    * day-expansion inversion is used: each event explodes into the 7 daily
+    * windows its (user, day) pair covers, `dropDuplicatesWithinWatermark`
+    * collapses repeats of (user_id, window-day) — state is one row per
+    * user per covered day, evicted as the watermark passes — and a plain
+    * watermarked windowed COUNT then IS the rolling distinct. Chained
+    * stateful operators (dedup → time-window agg) share the single `wts`
+    * watermark. The 8-day delay = 6-day expansion span + 2 days of
+    * event lateness; later events than that could double-count a user
+    * whose dedup state was already evicted (the exactness bound). */
+  def rollingDistinctUsers(
+      spark: SparkSession,
+      schema: StructType,
+      path: String): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(path)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .select(col("user_id"),
+        explode(expr(
+          """sequence(cast(day AS timestamp),
+             cast(date_add(day, 6) AS timestamp), interval 1 day)""")).as("wts"))
+      .withWatermark("wts", "8 days")
+      .dropDuplicatesWithinWatermark("user_id", "wts")
+      .groupBy(window(col("wts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("u7"))
+      .select(col("w.start").cast("date").as("day"), col("u7"))
+
   /** Run a streaming query to completion against the (finite) source and
     * return the materialized result from the memory sink. Used by tests to
     * prove batch/stream parity. */

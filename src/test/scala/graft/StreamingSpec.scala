@@ -450,4 +450,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(gn == n && gs.compareTo(s) == 0 && gt == t, s"key $k: ($gn,$gs,$gt) != ($n,$s,$t)")
     }
   }
+
+  test("streaming rolling 7-day distinct users equals batch on event days") {
+    import spark.implicits._
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+      .select($"user_id", $"ts")
+    // sentinel 10 days past the last real event: watermark passes every
+    // real window's close so the append output contains them all; its own
+    // windows start ≥ maxDay+10, beyond any real expansion (maxDay+6)
+    val maxTs = events.agg(org.apache.spark.sql.functions.max($"ts")).head.getTimestamp(0)
+    val staged = events.unionByName(Seq(
+      (-1L, new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000)))
+      .toDF("user_id", "ts"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rolling_distinct").toString
+    staged.write.mode("overwrite").parquet(dir)
+
+    val got = StreamingOps.runToCompletion(
+      spark,
+      StreamingOps.rollingDistinctUsers(spark, staged.schema, dir),
+      "stream_rolling_distinct", mode = "append")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+
+    val batch = graft.queries.Registry
+      .queries("an_rolling_distinct_users")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+
+    // batch restricts to actual event days; the stream also emits covered
+    // gap/tail days — parity on the batch day set
+    assert(batch.nonEmpty)
+    batch.foreach { case (d, n) =>
+      assert(got.get(d).contains(n), s"day $d: stream=${got.get(d)} batch=$n")
+    }
+  }
 }
