@@ -727,7 +727,92 @@ object ExtDedup extends QueryModule {
         idx AS (SELECT doc_id, unnest(shs) AS shingle FROM sh)
         SELECT shingle, count(*) AS df
         FROM idx GROUP BY shingle
-        ORDER BY df DESC, shingle LIMIT 15"""))
+        ORDER BY df DESC, shingle LIMIT 15""")),
+
+    // ---- ROUGE-1/-2 overlap scoring of near-dup candidate pairs: the
+    // summarization-eval metric family as a dedup second-stage — multiset
+    // n-gram precision/recall/F1 says HOW the members of a candidate pair
+    // differ (truncation → high P low R; paraphrase → both mid), which the
+    // set-based Jaccard score can't. Scale shape: candidates come from the
+    // df-capped inverted index (equi-join, never the cross product); the
+    // two doc_id joins attach token arrays to the BOUNDED pair set; the
+    // multiset overlap itself is a per-row codegen'd HOF fold — zero
+    // additional shuffle. F1 = 2·ov/(|a|+|b|) keeps the arithmetic exact
+    // until one final rounded division per metric. ----
+    QueryDef(
+      "ext_text_rouge_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val cand = DedupOps.jaccardPairs(docs, $"doc_id", $"text",
+            n = 3, threshold = 0.8, maxDf = 128)
+          .select($"id_a", $"id_b")
+        val grams = docs.select($"doc_id", TextOps.tokens($"text").as("u"))
+          .withColumn("b", expr(
+            """CASE WHEN size(u) >= 2
+               THEN transform(sequence(1, size(u) - 1),
+                 i -> concat(element_at(u, i), ' ', element_at(u, i + 1)))
+               ELSE array() END"""))
+        cand
+          .join(grams.select($"doc_id".as("id_a"), $"u".as("ua"), $"b".as("ba")),
+            Seq("id_a"))
+          .join(grams.select($"doc_id".as("id_b"), $"u".as("ub"), $"b".as("bb")),
+            Seq("id_b"))
+          .withColumn("ov1", expr(
+            """aggregate(array_distinct(ua), 0, (acc, t) -> acc +
+               least(size(filter(ua, x -> x = t)), size(filter(ub, x -> x = t))))"""))
+          .withColumn("ov2", expr(
+            """aggregate(array_distinct(ba), 0, (acc, t) -> acc +
+               least(size(filter(ba, x -> x = t)), size(filter(bb, x -> x = t))))"""))
+          .select($"id_a", $"id_b",
+            round($"ov1" / size($"ub").cast("double"), 6).as("rouge1_p"),
+            round($"ov1" / size($"ua").cast("double"), 6).as("rouge1_r"),
+            round(lit(2.0) * $"ov1" / (size($"ua") + size($"ub")).cast("double"), 6)
+              .as("rouge1_f"),
+            round(lit(2.0) * $"ov2" / (size($"ba") + size($"bb")).cast("double"), 6)
+              .as("rouge2_f"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        idx0 AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        idx AS (SELECT * FROM idx0
+          QUALIFY count(*) OVER (PARTITION BY shingle) <= 128),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 count(*) AS inter
+          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        cand AS (SELECT id_a, id_b FROM pairs
+          WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.8),
+        grams AS (
+          SELECT doc_id, tk AS u,
+            list_transform(range(1, len(tk)),
+              i -> array_to_string(tk[i:i+1], ' ')) AS b
+          FROM toks),
+        r AS (
+          SELECT c.id_a, c.id_b,
+            list_sum(list_transform(list_distinct(ga.u),
+              t -> least(len(list_filter(ga.u, x -> x = t)),
+                         len(list_filter(gb.u, x -> x = t))))) AS ov1,
+            len(ga.u) AS la1, len(gb.u) AS lb1,
+            list_sum(list_transform(list_distinct(ga.b),
+              t -> least(len(list_filter(ga.b, x -> x = t)),
+                         len(list_filter(gb.b, x -> x = t))))) AS ov2,
+            len(ga.b) AS la2, len(gb.b) AS lb2
+          FROM cand c
+          JOIN grams ga ON ga.doc_id = c.id_a
+          JOIN grams gb ON gb.doc_id = c.id_b)
+        SELECT id_a, id_b,
+          round(ov1 * 1.0 / lb1, 6) AS rouge1_p,
+          round(ov1 * 1.0 / la1, 6) AS rouge1_r,
+          round(2.0 * ov1 / (la1 + lb1), 6) AS rouge1_f,
+          round(2.0 * ov2 / (la2 + lb2), 6) AS rouge2_f
+        FROM r ORDER BY id_a, id_b"""))
   )
 }
 
