@@ -1,0 +1,291 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 `TableCatalog` + `SupportsNamespaces`: the Spark-native form
+  * of the reference's three-level provider chain (CatalogProviderList →
+  * MemoryCatalogProvider → MemorySchemaProvider,
+  * `qurious/src/execution/providers.rs:11-57`) over its `MemoryTable`
+  * (`qurious/src/datasource/memory.rs:21`). Where [[graft.tables.MutableTableManager]]
+  * implements that surface behind the SQL front door with view-swap, this
+  * catalog plugs the SAME semantics into Spark's own resolver, so every
+  * native code path works unmodified — multi-part names
+  * (`gmem.ns.t`), `CREATE/DROP NAMESPACE`, `SHOW TABLES IN`, CTAS, INSERT
+  * INTO/OVERWRITE, `df.writeTo(...)`, column pruning through the scan:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.gmem", classOf[GraftMemCatalog].getName)
+  *   spark.sql("CREATE NAMESPACE gmem.lake")
+  *   spark.sql("CREATE TABLE gmem.lake.t (id BIGINT, name STRING)")
+  *   spark.sql("INSERT INTO gmem.lake.t VALUES (1, 'a')")
+  * }}}
+  *
+  * Storage is driver-held UnsafeRow batches — deliberate parity with the
+  * reference's in-memory `Vec<RecordBatch>` tables, which are session-local
+  * catalog/dimension tables, not corpus data (corpus tables stay
+  * parquet-backed through [[Tables]]; that is the 100 TB path). Reads ship
+  * row chunks to executors as `InputPartition`s (~[[GraftMemCatalog.RowsPerPartition]]
+  * rows each) so downstream operators still parallelize; writes gather
+  * per-task rows through the standard `BatchWrite` commit protocol.
+  */
+class GraftMemCatalog extends TableCatalog with SupportsNamespaces {
+  import GraftMemCatalog._
+
+  private var catalogName: String = _
+  private val namespaces = TrieMap[List[String], Map[String, String]](
+    List("default") -> Map.empty)
+  private val tables = TrieMap[(List[String], String), GraftMemTable]()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def key(ident: Identifier): (List[String], String) =
+    (ident.namespace.toList, ident.name)
+
+  // ------------------------------------------------------------- tables
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    tables.keys.filter(_._1 == namespace.toList)
+      .map(k => Identifier.of(k._1.toArray, k._2)).toArray.sortBy(_.name)
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    tables.getOrElse(key(ident), throw new NoSuchTableException(ident))
+
+  override def tableExists(ident: Identifier): Boolean = tables.contains(key(ident))
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty, "gmem tables do not support partition transforms")
+    val t = new GraftMemTable(
+      (ident.namespace :+ ident.name).mkString("."), schema,
+      properties.asScala.toMap)
+    tables.put(key(ident), t)
+    t
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    tables.remove(key(ident)).isDefined
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    val t = tables.remove(key(from)).getOrElse(throw new NoSuchTableException(from))
+    tables.put(key(to), t)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = tables.getOrElse(key(ident), throw new NoSuchTableException(ident))
+    changes.foreach(t.applyChange)
+    t
+  }
+
+  // --------------------------------------------------------- namespaces
+  override def listNamespaces(): Array[Array[String]] =
+    namespaces.keys.map(_.toArray).toArray.sortBy(_.mkString("."))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespaces.contains(namespace.toList)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    namespaces.getOrElse(namespace.toList,
+      throw new NoSuchNamespaceException(namespace)).asJava
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    namespaces.put(namespace.toList, metadata.asScala.toMap)
+  }
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit = {
+    val ns = namespace.toList
+    val meta = namespaces.getOrElse(ns, throw new NoSuchNamespaceException(namespace))
+    val updated = changes.foldLeft(meta) {
+      case (m, set: NamespaceChange.SetProperty) => m + (set.property -> set.value)
+      case (m, rm: NamespaceChange.RemoveProperty) => m - rm.property
+      case (m, _) => m
+    }
+    namespaces.put(ns, updated)
+  }
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = {
+    val ns = namespace.toList
+    if (!namespaces.contains(ns)) throw new NoSuchNamespaceException(namespace)
+    val members = tables.keys.filter(_._1 == ns)
+    if (members.nonEmpty && !cascade)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+        namespace)
+    members.foreach(tables.remove)
+    namespaces.remove(ns).isDefined
+  }
+}
+
+object GraftMemCatalog {
+  /** Rows per shipped InputPartition: small enough to parallelize a
+    * dimension table across tasks, large enough to amortize task setup. */
+  val RowsPerPartition = 4096
+}
+
+/** One in-memory table: driver-held UnsafeRow store behind the full V2
+  * read/write protocol (BATCH_READ/WRITE, TRUNCATE for INSERT OVERWRITE,
+  * column pruning via SupportsPushDownRequiredColumns). */
+class GraftMemTable(
+    tableName: String,
+    private var tableSchema: StructType,
+    props: Map[String, String])
+  extends Table with SupportsRead with SupportsWrite {
+
+  private var rows: Vector[InternalRow] = Vector.empty
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def properties(): util.Map[String, String] = props.asJava
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  private[sources] def currentRows: Vector[InternalRow] = synchronized(rows)
+
+  private[sources] def commitRows(
+      appended: Seq[InternalRow], truncate: Boolean): Unit = synchronized {
+    rows = (if (truncate) Vector.empty else rows) ++ appended
+  }
+
+  /** ALTER TABLE: add (null-filled), drop, and rename top-level columns —
+    * existing rows migrate eagerly, mirroring
+    * [[graft.tables.MutableTableManager]] semantics. */
+  private[sources] def applyChange(change: TableChange): Unit = synchronized {
+    change match {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1, "nested columns not supported")
+        val old = tableSchema
+        tableSchema = tableSchema.add(add.fieldNames.head, add.dataType, add.isNullable)
+        rows = rows.map(r => InternalRow.fromSeq(r.toSeq(old) :+ null))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1, "nested columns not supported")
+        val i = tableSchema.fieldIndex(del.fieldNames.head)
+        val old = tableSchema
+        tableSchema = StructType(tableSchema.fields.patch(i, Nil, 1))
+        rows = rows.map(r => InternalRow.fromSeq(r.toSeq(old).patch(i, Nil, 1)))
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1, "nested columns not supported")
+        val i = tableSchema.fieldIndex(rn.fieldNames.head)
+        tableSchema = StructType(tableSchema.fields.updated(i,
+          tableSchema.fields(i).copy(name = rn.newName)))
+      case _: TableChange.SetProperty => () // properties are advisory here
+      case other =>
+        throw new UnsupportedOperationException(s"gmem: unsupported $other")
+    }
+  }
+
+  // ---------------------------------------------------------------- read
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = {
+        // bind the pruning projection by ordinal NOW (driver), ship the
+        // projected UnsafeRows — executors never see dropped columns
+        val full = tableSchema
+        val proj = UnsafeProjection.create(required.fields.map { f =>
+          val i = full.fieldIndex(f.name)
+          BoundReference(i, full(i).dataType, full(i).nullable)
+        }.toSeq)
+        val data = currentRows.map(r => proj(r).copy(): InternalRow)
+        new GraftMemScan(required, data)
+      }
+    }
+
+  // --------------------------------------------------------------- write
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              info: PhysicalWriteInfo): DataWriterFactory =
+            new GraftMemWriterFactory
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val appended = messages.iterator.flatMap {
+              case RowsCommit(rs) => rs
+              case _ => Iterator.empty
+            }.toVector
+            commitRows(appended, doTruncate)
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+}
+
+/** Scan over pre-projected driver rows, chunked for task parallelism. */
+class GraftMemScan(readSchema0: StructType, data: Vector[InternalRow])
+  extends Scan with Batch {
+  override def readSchema(): StructType = readSchema0
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftMemScan(${data.size} rows)"
+  override def planInputPartitions(): Array[InputPartition] =
+    if (data.isEmpty) Array(RowsPartition(Array.empty))
+    else data.grouped(GraftMemCatalog.RowsPerPartition)
+      .map(chunk => RowsPartition(chunk.toArray): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val rs = p.asInstanceOf[RowsPartition].rows
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rs.length }
+          override def get(): InternalRow = rs(i)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+/** Row chunk shipped to an executor (UnsafeRows serialize). */
+case class RowsPartition(rows: Array[InternalRow]) extends InputPartition
+
+/** Per-task writer: copies incoming rows (Spark reuses the instance) and
+  * returns them in the commit message for the driver-side append. */
+class GraftMemWriterFactory extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = Vector.newBuilder[InternalRow]
+      override def write(record: InternalRow): Unit = buf += record.copy()
+      override def commit(): WriterCommitMessage = RowsCommit(buf.result().toArray)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
+
+case class RowsCommit(rows: Array[InternalRow]) extends WriterCommitMessage
