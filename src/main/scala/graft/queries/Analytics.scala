@@ -1411,6 +1411,40 @@ object Analytics extends QueryModule {
             WHERE da.day BETWEEN d.day - INTERVAL 6 DAY AND d.day) AS u7
         FROM days d ORDER BY d.day""")),
 
+    // ---- Stickiness (DAU/MAU₍₂₈₎): the second consumer of the rolling-
+    // distinct day-expansion — DAU is a plain per-day countDistinct, the
+    // 28-day MAU explodes each (user, day) pair into its covered window
+    // days (28× day-grain pairs, shuffled on day), and the day-grain join
+    // that combines them is bounded by the calendar. No per-day user sets
+    // ever collect anywhere. ----
+    QueryDef(
+      "an_stickiness_dau_mau",
+      (s, dir) => {
+        import s.implicits._
+        val daily = t(s, dir, "events")
+          .select(to_date($"ts").as("day"), $"user_id").distinct()
+        val dau = daily.groupBy($"day").agg(count(lit(1)).as("dau"))
+        val mau = daily
+          .select(explode(expr("sequence(day, date_add(day, 27))")).as("wday"),
+            $"user_id")
+          .groupBy($"wday")
+          .agg(countDistinct($"user_id").as("mau28"))
+        dau.join(mau, $"day" === $"wday")
+          .select($"day", $"dau", $"mau28",
+            round($"dau" / $"mau28".cast("double"), 6).as("stickiness"))
+          .orderBy($"day")
+      },
+      Some("""WITH daily AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM daily GROUP BY day)
+        SELECT d.day, d.dau,
+          (SELECT count(DISTINCT da.user_id) FROM daily da
+            WHERE da.day BETWEEN d.day - INTERVAL 27 DAY AND d.day) AS mau28,
+          round(d.dau * 1.0 / (SELECT count(DISTINCT da.user_id) FROM daily da
+            WHERE da.day BETWEEN d.day - INTERVAL 27 DAY AND d.day), 6)
+            AS stickiness
+        FROM d ORDER BY d.day""")),
+
     // ---- Session-path pattern matching (MATCH_RECOGNIZE-lite): sessionize
     // with a 30-min gap, render each session's time-ordered event-type
     // sequence as ONE string per session, and regex-match funnel patterns

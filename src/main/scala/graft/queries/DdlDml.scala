@@ -189,6 +189,31 @@ object DdlDml extends QueryModule {
       },
       Some("""SELECT n_nationkey, n_name AS name_v0,
           CASE WHEN n_regionkey = 1 THEN 'GONE' END AS name_v2
-        FROM nation ORDER BY n_nationkey"""))
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- the DataSourceV2 catalog under the oracle gate: namespace DDL,
+    // CTAS from parquet, INSERT VALUES, and an ALTER migration all flow
+    // through Spark's own resolver into [[graft.sources.GraftMemCatalog]]
+    // (no front-door rewrite involved), and the read-back is hash-compared
+    // against DuckDB like any other query. ----
+    QueryDef(
+      "ddl_v2_catalog",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.gmem",
+          classOf[graft.sources.GraftMemCatalog].getName)
+        Tables.register(s, dir, Seq("nation"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gmem.verify")
+        s.sql("DROP TABLE IF EXISTS gmem.verify.nations_eu")
+        s.sql("""CREATE TABLE gmem.verify.nations_eu AS
+          SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 3""")
+        s.sql("INSERT INTO gmem.verify.nations_eu VALUES (999, 'SYNTHETIC')")
+        s.sql("ALTER TABLE gmem.verify.nations_eu ADD COLUMN flag STRING")
+        s.sql("""SELECT n_nationkey, n_name, flag
+          FROM gmem.verify.nations_eu ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS flag
+        FROM (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 3
+              UNION ALL SELECT CAST(999 AS INTEGER), 'SYNTHETIC')
+        ORDER BY n_nationkey"""))
   )
 }

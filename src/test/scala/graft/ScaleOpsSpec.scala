@@ -62,4 +62,38 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(run() == run())
   }
+
+  test("AQE splits a skewed sort-merge join with no manual salting") {
+    // The runtime complement to SkewOps.saltedJoin: at 100 TB the FIRST
+    // line of defense against a hot key is AQE's skew-join split — salting
+    // is for the keys AQE can't see (e.g. inside an aggregation). Thresholds
+    // are forced tiny so the fixture-scale hot partition qualifies.
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB")
+      val hot = spark.range(300000).select(lit(0L).as("k"), $"id".as("v"))
+        .unionAll(spark.range(1000)
+          .select(($"id" % 50 + 1).as("k"), $"id".as("v")))
+      val dim = spark.range(51).select($"id".as("k"), ($"id" * 2).as("w"))
+      val joined = hot.join(dim, "k")
+      // execute THIS queryExecution (count() would plan a separate one and
+      // leave this AdaptiveSparkPlan unfinalized)
+      assert(joined.queryExecution.toRdd.count() == 301000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
