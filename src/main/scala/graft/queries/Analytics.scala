@@ -1445,6 +1445,129 @@ object Analytics extends QueryModule {
             AS stickiness
         FROM d ORDER BY d.day""")),
 
+    // ---- Two-proportion z-test (experiment readout): unit = user-day,
+    // conversion = the day contains a purchase, variant = deterministic
+    // user split. The whole test is two combinable aggregates — per-unit
+    // conversion flags, then per-variant totals — and the z statistic is
+    // scalar arithmetic on four integers, so the 100 TB cost is one
+    // groupBy over (user, day) and the result is exact (no sampling, no
+    // t-approximation needed at these n). |z| > 1.96 ⇒ significant at
+    // α = 0.05 two-sided. ----
+    QueryDef(
+      "an_ab_test_proportions",
+      (s, dir) => {
+        import s.implicits._
+        val ud = t(s, dir, "events")
+          .groupBy($"user_id", to_date($"ts").as("day"),
+            ($"user_id" % 2).as("variant"))
+          .agg(max(when($"event_type" === "purchase", 1).otherwise(0))
+            .as("converted"))
+        val v = ud.groupBy($"variant")
+          .agg(count(lit(1)).as("n_units"),
+            sum($"converted").cast("long").as("n_conv"))
+        val w = v.agg(
+          max(when($"variant" === 0, $"n_units")).as("n_a"),
+          max(when($"variant" === 0, $"n_conv")).as("conv_a"),
+          max(when($"variant" === 1, $"n_units")).as("n_b"),
+          max(when($"variant" === 1, $"n_conv")).as("conv_b"))
+        val p = ($"conv_a" + $"conv_b").cast("double") / ($"n_a" + $"n_b")
+        val z = ($"conv_a" / $"n_a".cast("double") -
+          $"conv_b" / $"n_b".cast("double")) /
+          sqrt(p * (lit(1.0) - p) * (lit(1.0) / $"n_a" + lit(1.0) / $"n_b"))
+        w.select($"n_a", $"conv_a", $"n_b", $"conv_b",
+          round($"conv_a" / $"n_a".cast("double"), 6).as("rate_a"),
+          round($"conv_b" / $"n_b".cast("double"), 6).as("rate_b"),
+          round(z, 6).as("z_stat"),
+          when(abs(z) > 1.959964, 1).otherwise(0).as("significant"))
+      },
+      Some("""WITH ud AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, user_id % 2 AS variant,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+          FROM events GROUP BY 1, 2, 3),
+        v AS (
+          SELECT variant, CAST(count(*) AS BIGINT) AS n_units,
+            CAST(sum(converted) AS BIGINT) AS n_conv
+          FROM ud GROUP BY variant),
+        w AS (
+          SELECT
+            max(CASE WHEN variant = 0 THEN n_units END) AS n_a,
+            max(CASE WHEN variant = 0 THEN n_conv END) AS conv_a,
+            max(CASE WHEN variant = 1 THEN n_units END) AS n_b,
+            max(CASE WHEN variant = 1 THEN n_conv END) AS conv_b
+          FROM v)
+        SELECT n_a, conv_a, n_b, conv_b,
+          round(conv_a * 1.0 / n_a, 6) AS rate_a,
+          round(conv_b * 1.0 / n_b, 6) AS rate_b,
+          round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+            / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                 * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat,
+          CASE WHEN abs((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+            / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                 * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b))) > 1.959964 THEN 1 ELSE 0 END
+            AS significant
+        FROM w""")),
+
+    // ---- CUPED variance reduction (Deng et al. 2013): adjust each user's
+    // post-period purchase value by their pre-period value, θ = cov/var of
+    // the two. One groupBy builds the per-user (pre, post) pair with
+    // EXACT decimal sums (the repo's money convention), θ and the pre-mean
+    // are a single 1-row aggregate broadcast back, and the readout is one
+    // more per-variant aggregate — three combinable passes, nothing
+    // driver-side. var_reduction is the fraction of metric variance the
+    // covariate removes (what the experiment's required sample size
+    // shrinks by). ----
+    QueryDef(
+      "an_ab_cuped",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val bounds = ev.agg(min(to_date($"ts")).as("d0"))
+        val cut = date_add($"d0", 14)
+        val zero = lit(0).cast(money)
+        val u = ev.crossJoin(broadcast(bounds))
+          .groupBy($"user_id", ($"user_id" % 2).as("variant"))
+          .agg(
+            sum(when(to_date($"ts") < cut && $"event_type" === "purchase",
+              m($"value")).otherwise(zero)).cast("double").as("pre"),
+            sum(when(to_date($"ts") >= cut && $"event_type" === "purchase",
+              m($"value")).otherwise(zero)).cast("double").as("post"))
+        val th = u.agg(
+          (covar_pop($"pre", $"post") / var_pop($"pre")).as("theta"),
+          avg($"pre").as("mean_pre"))
+        u.crossJoin(broadcast(th))
+          .withColumn("cuped", $"post" - $"theta" * ($"pre" - $"mean_pre"))
+          .groupBy($"variant")
+          .agg(count(lit(1)).as("n_users"),
+            round(avg($"post"), 4).as("mean_post"),
+            round(avg($"cuped"), 4).as("mean_cuped"),
+            round(lit(1.0) - var_pop($"cuped") / var_pop($"post"), 6)
+              .as("var_reduction"))
+          .orderBy($"variant")
+      },
+      Some("""WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        u AS (
+          SELECT user_id, user_id % 2 AS variant,
+            CAST(sum(CASE WHEN CAST(ts AS DATE) < d0 + INTERVAL 14 DAY
+                     AND event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(12,2))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS pre,
+            CAST(sum(CASE WHEN CAST(ts AS DATE) >= d0 + INTERVAL 14 DAY
+                     AND event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(12,2))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS post
+          FROM events, bounds GROUP BY 1, 2),
+        th AS (SELECT covar_pop(pre, post) / var_pop(pre) AS theta,
+                      avg(pre) AS mean_pre FROM u),
+        adj AS (SELECT variant, post, post - theta * (pre - mean_pre) AS cuped
+                FROM u, th)
+        SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+          round(avg(post), 4) AS mean_post,
+          round(avg(cuped), 4) AS mean_cuped,
+          round(1 - var_pop(cuped) / var_pop(post), 6) AS var_reduction
+        FROM adj GROUP BY variant ORDER BY variant""")),
+
     // ---- Session-path pattern matching (MATCH_RECOGNIZE-lite): sessionize
     // with a 30-min gap, render each session's time-ordered event-type
     // sequence as ONE string per session, and regex-match funnel patterns
