@@ -39,7 +39,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * parquet-backed through [[Tables]]; that is the 100 TB path). Reads ship
   * row chunks to executors as `InputPartition`s (~[[GraftMemCatalog.RowsPerPartition]]
   * rows each) so downstream operators still parallelize; writes gather
-  * per-task rows through the standard `BatchWrite` commit protocol.
+  * per-task rows through the standard `BatchWrite` commit protocol; and
+  * `spark.readStream.table("gmem.ns.t")` tails the table's append log as
+  * a `MicroBatchStream` (offset = log position — inserts landing while
+  * the stream runs arrive as later micro-batches).
   */
 class GraftMemCatalog extends TableCatalog with SupportsNamespaces {
   import GraftMemCatalog._
@@ -163,6 +166,10 @@ class GraftMemTable(
   extends Table with SupportsRead with SupportsWrite {
 
   private var rows: Vector[InternalRow] = Vector.empty
+  // append-only insert log: what a STREAMING read tails (offsets = log
+  // positions, so they stay monotone even across TRUNCATE of the table
+  // state — the mem-table equivalent of a CDC insert feed)
+  private var log: Vector[InternalRow] = Vector.empty
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -170,14 +177,19 @@ class GraftMemTable(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
   private[sources] def currentRows: Vector[InternalRow] = synchronized(rows)
+  private[sources] def logSize: Long = synchronized(log.length.toLong)
+  private[sources] def logSlice(from: Long, until: Long): Vector[InternalRow] =
+    synchronized(log.slice(from.toInt, until.toInt))
 
   private[sources] def commitRows(
       appended: Seq[InternalRow], truncate: Boolean): Unit = synchronized {
     rows = (if (truncate) Vector.empty else rows) ++ appended
+    log = log ++ appended
   }
 
   /** ALTER TABLE: add (null-filled), drop, and rename top-level columns —
@@ -213,17 +225,7 @@ class GraftMemTable(
       private var required: StructType = tableSchema
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      override def build(): Scan = {
-        // bind the pruning projection by ordinal NOW (driver), ship the
-        // projected UnsafeRows — executors never see dropped columns
-        val full = tableSchema
-        val proj = UnsafeProjection.create(required.fields.map { f =>
-          val i = full.fieldIndex(f.name)
-          BoundReference(i, full(i).dataType, full(i).nullable)
-        }.toSeq)
-        val data = currentRows.map(r => proj(r).copy(): InternalRow)
-        new GraftMemScan(required, data)
-      }
+      override def build(): Scan = new GraftMemScan(GraftMemTable.this, required)
     }
 
   // --------------------------------------------------------------- write
@@ -249,26 +251,74 @@ class GraftMemTable(
     }
 }
 
-/** Scan over pre-projected driver rows, chunked for task parallelism. */
-class GraftMemScan(readSchema0: StructType, data: Vector[InternalRow])
-  extends Scan with Batch {
-  override def readSchema(): StructType = readSchema0
-  override def toBatch: Batch = this
-  override def description(): String = s"GraftMemScan(${data.size} rows)"
-  override def planInputPartitions(): Array[InputPartition] =
+/** Pruned scan: batch reads snapshot the table state at `toBatch`;
+  * streaming reads tail the append log as micro-batches (offset = log
+  * position). The column-pruning projection binds by ordinal on the driver
+  * at plan time, so executors only ever see the required columns. */
+class GraftMemScan(table: GraftMemTable, requiredSchema: StructType)
+  extends Scan {
+  import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => SOffset}
+
+  override def readSchema(): StructType = requiredSchema
+  override def description(): String = s"GraftMemScan(${table.name()})"
+
+  private def projection(): UnsafeProjection = {
+    val full = table.schema()
+    UnsafeProjection.create(requiredSchema.fields.map { f =>
+      val i = full.fieldIndex(f.name)
+      BoundReference(i, full(i).dataType, full(i).nullable)
+    }.toSeq)
+  }
+
+  private def chunk(data: Vector[InternalRow]): Array[InputPartition] =
     if (data.isEmpty) Array(RowsPartition(Array.empty))
     else data.grouped(GraftMemCatalog.RowsPerPartition)
-      .map(chunk => RowsPartition(chunk.toArray): InputPartition).toArray
-  override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new PartitionReader[InternalRow] {
-          private val rs = p.asInstanceOf[RowsPartition].rows
-          private var i = -1
-          override def next(): Boolean = { i += 1; i < rs.length }
-          override def get(): InternalRow = rs(i)
-          override def close(): Unit = ()
-        }
+      .map(c => RowsPartition(c.toArray): InputPartition).toArray
+
+  override def toBatch: Batch = {
+    val proj = projection()
+    val data = table.currentRows.map(r => proj(r).copy(): InternalRow)
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] = chunk(data)
+      override def createReaderFactory(): PartitionReaderFactory =
+        RowsReaderFactory
+    }
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream {
+      override def initialOffset(): SOffset = CountOffset(0L)
+      override def latestOffset(): SOffset = CountOffset(table.logSize)
+      override def deserializeOffset(json: String): SOffset =
+        CountOffset(json.trim.toLong)
+      override def planInputPartitions(
+          start: SOffset, end: SOffset): Array[InputPartition] = {
+        val proj = projection()
+        chunk(table.logSlice(
+            start.asInstanceOf[CountOffset].n, end.asInstanceOf[CountOffset].n)
+          .map(r => proj(r).copy(): InternalRow))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        RowsReaderFactory
+      override def commit(end: SOffset): Unit = ()
+      override def stop(): Unit = ()
+    }
+}
+
+/** Log position as a streaming offset. */
+case class CountOffset(n: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+object RowsReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val rs = p.asInstanceOf[RowsPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rs.length }
+      override def get(): InternalRow = rs(i)
+      override def close(): Unit = ()
     }
 }
 

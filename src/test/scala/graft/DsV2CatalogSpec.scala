@@ -98,6 +98,25 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assert(df.head().getString(0) == "s")
   }
 
+  test("streaming read tails the mem table's append log across inserts") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmem.lake")
+    spark.sql("DROP TABLE IF EXISTS gmem.lake.feed")
+    spark.sql("CREATE TABLE gmem.lake.feed (id BIGINT, tag STRING)")
+    spark.sql("INSERT INTO gmem.lake.feed VALUES (1, 'a'), (2, 'b')")
+    val q = spark.readStream.table("gmem.lake.feed")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gmem_feed").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gmem_feed").count() == 2)
+      spark.sql("INSERT INTO gmem.lake.feed VALUES (3, 'c')") // arrives mid-stream
+      q.processAllAvailable()
+      val got = spark.table("gmem_feed").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("a joined dimension from the catalog broadcasts against parquet facts") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gmem.lake")
     spark.sql("CREATE TABLE gmem.lake.regions2 AS " +
