@@ -61,7 +61,32 @@ final class GraftSession(
   // ---------------------------------------------------------------- sql()
 
   def sql(query: String): DataFrame = withAnsi {
-    val q = stripQualifiers(query.trim.stripSuffix(";").trim)
+    val raw = query.trim.stripSuffix(";").trim
+    if (addressesV2Catalog(raw)) spark.sql(raw)
+    else sqlFrontDoor(raw)
+  }
+
+  /** True when the statement addresses a registered DataSourceV2 catalog by
+    * name (`gmem.lake.t` — [[graft.sources.GraftMemCatalog]] or any other
+    * `spark.sql.catalog.*` plugin): those names belong to Spark's OWN
+    * resolver, so the whole statement passes through untouched. The
+    * front-door manager owns only session-local bare names (plus the
+    * reference's `qurious.public` aliases, which are stripped, not
+    * catalogs). */
+  private def addressesV2Catalog(q: String): Boolean = {
+    val cats = spark.conf.getAll.keysIterator
+      .filter(_.startsWith("spark.sql.catalog."))
+      .map(_.stripPrefix("spark.sql.catalog."))
+      .filter(n => n.nonEmpty && !n.contains('.'))
+    cats.exists { c =>
+      java.util.regex.Pattern
+        .compile("(?is)\\b" + java.util.regex.Pattern.quote(c) + "\\s*\\.")
+        .matcher(q).find()
+    }
+  }
+
+  private def sqlFrontDoor(raw: String): DataFrame = {
+    val q = stripQualifiers(raw)
     val upper = q.toUpperCase(Locale.ROOT)
     if (upper.startsWith("CREATE TABLE")) createTable(q)
     else if (upper.startsWith("DROP TABLE")) dropTable(q)
