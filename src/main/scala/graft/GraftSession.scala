@@ -72,18 +72,31 @@ final class GraftSession(
     * resolver, so the whole statement passes through untouched. The
     * front-door manager owns only session-local bare names (plus the
     * reference's `qurious.public` aliases, which are stripped, not
-    * catalogs). */
+    * catalogs). Detection is quote-aware — `'...gmem. ...'` literals and
+    * `"gmem"` quoted identifiers never trigger the passthrough — and the
+    * per-catalog patterns are compiled once per catalog-name set, not per
+    * statement. (A table ALIAS spelled exactly like a registered catalog
+    * would still match; don't alias tables with catalog names.) */
   private def addressesV2Catalog(q: String): Boolean = {
     val cats = spark.conf.getAll.keysIterator
       .filter(_.startsWith("spark.sql.catalog."))
       .map(_.stripPrefix("spark.sql.catalog."))
       .filter(n => n.nonEmpty && !n.contains('.'))
-    cats.exists { c =>
-      java.util.regex.Pattern
-        .compile("(?is)\\b" + java.util.regex.Pattern.quote(c) + "\\s*\\.")
-        .matcher(q).find()
+      .toSet
+    if (cats.isEmpty) false
+    else {
+      if (v2CatalogPatterns._1 != cats)
+        v2CatalogPatterns = (cats, cats.toSeq.sorted.map(c =>
+          java.util.regex.Pattern.compile(
+            "(?is)\\b" + java.util.regex.Pattern.quote(c) + "\\s*\\.")))
+      val unquoted = new StringBuilder
+      mapUnquoted(q) { seg => unquoted.append(seg).append(' '); seg }
+      v2CatalogPatterns._2.exists(_.matcher(unquoted).find())
     }
   }
+
+  @volatile private var v2CatalogPatterns
+      : (Set[String], Seq[java.util.regex.Pattern]) = (Set.empty, Nil)
 
   private def sqlFrontDoor(raw: String): DataFrame = {
     val q = stripQualifiers(raw)

@@ -2032,8 +2032,13 @@ object Pipeline extends QueryModule {
             (length(regexp_replace($"text", "[^a-zA-Z]", "")).cast("double") /
               expr("nullif(length(text), 0)")).as("score"))
         scored
+          // NULL scores (empty text): Spark ASC defaults NULLS FIRST but
+          // DuckDB defaults NULLS LAST — pin asc_nulls_last so a null-score
+          // doc can never become the "rejected" pick on one engine only
+          // (DESC agrees already: both engines put nulls last)
           .withColumn("rb", row_number().over(grp.orderBy($"score".desc, $"doc_id")))
-          .withColumn("rw", row_number().over(grp.orderBy($"score".asc, $"doc_id")))
+          .withColumn("rw", row_number().over(
+            grp.orderBy($"score".asc_nulls_last, $"doc_id")))
           .withColumn("n", count(lit(1)).over(grp))
           .filter($"n" >= 2)
           .groupBy($"source", $"lang")

@@ -77,12 +77,14 @@ class GraftMemCatalog extends TableCatalog with SupportsNamespaces {
       properties: util.Map[String, String]): Table = {
     if (!namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(ident.namespace)
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     require(partitions.isEmpty, "gmem tables do not support partition transforms")
     val t = new GraftMemTable(
       (ident.namespace :+ ident.name).mkString("."), schema,
       properties.asScala.toMap)
-    tables.put(key(ident), t)
+    // atomic: a concurrent CREATE of the same name must not replace (and
+    // silently drop the rows of) an instance another thread just created
+    if (tables.putIfAbsent(key(ident), t).isDefined)
+      throw new TableAlreadyExistsException(ident)
     t
   }
 
@@ -90,9 +92,13 @@ class GraftMemCatalog extends TableCatalog with SupportsNamespaces {
     tables.remove(key(ident)).isDefined
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
-    if (tableExists(to)) throw new TableAlreadyExistsException(to)
-    val t = tables.remove(key(from)).getOrElse(throw new NoSuchTableException(from))
-    tables.put(key(to), t)
+    if (!namespaceExists(to.namespace))
+      throw new NoSuchNamespaceException(to.namespace)
+    val t = tables.getOrElse(key(from), throw new NoSuchTableException(from))
+    t.rename((to.namespace :+ to.name).mkString("."))
+    if (tables.putIfAbsent(key(to), t).isDefined)
+      throw new TableAlreadyExistsException(to)
+    tables.remove(key(from))
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -140,6 +146,10 @@ class GraftMemCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(
       namespace: Array[String], cascade: Boolean): Boolean = {
     val ns = namespace.toList
+    if (ns == List("default"))
+      throw new UnsupportedOperationException(
+        "gmem: the built-in 'default' namespace cannot be dropped " +
+          "(defaultNamespace() resolves two-part names against it)")
     if (!namespaces.contains(ns)) throw new NoSuchNamespaceException(namespace)
     val members = tables.keys.filter(_._1 == ns)
     if (members.nonEmpty && !cascade)
@@ -160,9 +170,9 @@ object GraftMemCatalog {
   * read/write protocol (BATCH_READ/WRITE, TRUNCATE for INSERT OVERWRITE,
   * column pruning via SupportsPushDownRequiredColumns). */
 class GraftMemTable(
-    tableName: String,
+    private var tableName: String,
     private var tableSchema: StructType,
-    props: Map[String, String])
+    initialProps: Map[String, String])
   extends Table with SupportsRead with SupportsWrite {
 
   private var rows: Vector[InternalRow] = Vector.empty
@@ -170,10 +180,14 @@ class GraftMemTable(
   // positions, so they stay monotone even across TRUNCATE of the table
   // state — the mem-table equivalent of a CDC insert feed)
   private var log: Vector[InternalRow] = Vector.empty
+  private var props: Map[String, String] = initialProps
 
-  override def name(): String = tableName
-  override def schema(): StructType = tableSchema
-  override def properties(): util.Map[String, String] = props.asJava
+  override def name(): String = synchronized(tableName)
+  override def schema(): StructType = synchronized(tableSchema)
+  override def properties(): util.Map[String, String] = synchronized(props.asJava)
+
+  private[sources] def rename(newName: String): Unit =
+    synchronized { tableName = newName }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
@@ -193,27 +207,35 @@ class GraftMemTable(
   }
 
   /** ALTER TABLE: add (null-filled), drop, and rename top-level columns —
-    * existing rows migrate eagerly, mirroring
-    * [[graft.tables.MutableTableManager]] semantics. */
+    * existing rows AND the streaming append log migrate eagerly (a stream
+    * started after the ALTER must project old rows with the new ordinals),
+    * mirroring [[graft.tables.MutableTableManager]] semantics. */
   private[sources] def applyChange(change: TableChange): Unit = synchronized {
     change match {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1, "nested columns not supported")
         val old = tableSchema
         tableSchema = tableSchema.add(add.fieldNames.head, add.dataType, add.isNullable)
-        rows = rows.map(r => InternalRow.fromSeq(r.toSeq(old) :+ null))
+        def widen(r: InternalRow) = InternalRow.fromSeq(r.toSeq(old) :+ null)
+        rows = rows.map(widen)
+        log = log.map(widen)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1, "nested columns not supported")
         val i = tableSchema.fieldIndex(del.fieldNames.head)
         val old = tableSchema
         tableSchema = StructType(tableSchema.fields.patch(i, Nil, 1))
-        rows = rows.map(r => InternalRow.fromSeq(r.toSeq(old).patch(i, Nil, 1)))
+        def narrow(r: InternalRow) = InternalRow.fromSeq(r.toSeq(old).patch(i, Nil, 1))
+        rows = rows.map(narrow)
+        log = log.map(narrow)
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames.length == 1, "nested columns not supported")
         val i = tableSchema.fieldIndex(rn.fieldNames.head)
         tableSchema = StructType(tableSchema.fields.updated(i,
           tableSchema.fields(i).copy(name = rn.newName)))
-      case _: TableChange.SetProperty => () // properties are advisory here
+      case set: TableChange.SetProperty =>
+        props = props + (set.property -> set.value)
+      case rm: TableChange.RemoveProperty =>
+        props = props - rm.property
       case other =>
         throw new UnsupportedOperationException(s"gmem: unsupported $other")
     }
