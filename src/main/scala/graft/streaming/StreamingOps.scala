@@ -492,6 +492,63 @@ object StreamingOps {
       .agg(count(lit(1)).as("u7"))
       .select(col("w.start").cast("date").as("day"), col("u7"))
 
+  /** Admitted/over-budget decision for one event under the per-user quota. */
+  final case class QuotaDecision(event_id: Long, user_id: Long, admitted: Boolean)
+
+  /** Per-user ingest budget gate on the CURRENT-generation stateful API
+    * (`transformWithState`, Spark 4) — the arbitrary-state companion to the
+    * `flatMapGroupsWithState` sessionizer, on the API that adds composable
+    * typed state handles, TTL, and timers. Semantics: spend accumulates in
+    * (ts, event_id) order over ALL of a user's events; an event is admitted
+    * while the cumulative spend stays ≤ `quotaCents` (the same
+    * budget-cutoff rule as the batch length-clip/token-budget ops, so the
+    * batch twin is a plain user-partitioned running sum — spec proves
+    * equality). State per user is ONE long (cumulative cents); micro-batch
+    * input rows are sorted in-handler because arrival order within a batch
+    * is not guaranteed. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` →
+    * `...state.RocksDBStateStoreProvider`; rocksdbjni ships with Spark) —
+    * transformWithState state is column-family-based, which the default
+    * HDFS-backed store does not support. */
+  def quotaGateStream(
+      spark: SparkSession,
+      schema: StructType,
+      path: String,
+      quotaCents: Long): Dataset[QuotaDecision] = {
+    import spark.implicits._
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    val processor =
+      new StatefulProcessor[Long, (Long, Long, java.sql.Timestamp, Long), QuotaDecision] {
+        @transient private var spent: ValueState[Long] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          spent = getHandle.getValueState[Long](
+            "spent_cents", E.scalaLong, TTLConfig.NONE)
+        override def handleInputRows(
+            key: Long,
+            rows: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+            timers: TimerValues): Iterator[QuotaDecision] = {
+          var s = if (spent.exists()) spent.get() else 0L
+          val out = rows.toArray.sortBy(r => (r._3.getTime, r._2)).map {
+            case (uid, eid, _, cents) =>
+              s += cents
+              QuotaDecision(eid, uid, s <= quotaCents)
+          }
+          spent.update(s)
+          out.iterator
+        }
+      }
+    spark.readStream
+      .schema(schema)
+      .parquet(path)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(processor, TimeMode.None, OutputMode.Append,
+        E.product[QuotaDecision])
+  }
+
   /** Run a streaming query to completion against the (finite) source and
     * return the materialized result from the memory sink. Used by tests to
     * prove batch/stream parity. */

@@ -451,6 +451,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState quota gate equals the batch running-sum cutoff") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{round, sum}
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_quota").toString
+    events.write.mode("overwrite").parquet(dir)
+    val quota = 500 * 100L // 500 currency units per user, in cents
+
+    // transformWithState state is column-family-based → RocksDB provider
+    // (bundled rocksdbjni), not the default HDFS-backed store
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val got =
+      try StreamingOps.runToCompletion(
+        spark,
+        StreamingOps.quotaGateStream(spark, events.schema, dir, quota).toDF(),
+        "stream_quota", mode = "append")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      finally prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+
+    val w = W.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val batch = events
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .withColumn("run", sum($"cents").over(w))
+      .select($"event_id", $"user_id", ($"run" <= quota).as("admitted"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    assert(got == batch)
+    // the gate actually bites: both admitted and rejected events exist
+    assert(got.exists(_._3) && got.exists(!_._3))
+  }
+
   test("streaming rolling 7-day distinct users equals batch on event days") {
     import spark.implicits._
     val events = Tables.load(spark, TestSpark.sfDir, "events")
