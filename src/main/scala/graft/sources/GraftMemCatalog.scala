@@ -70,6 +70,24 @@ class GraftMemCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table =
     tables.getOrElse(key(ident), throw new NoSuchTableException(ident))
 
+  /** `SELECT ... FROM gmem.ns.t VERSION AS OF n` — Spark's own time-travel
+    * resolution calls this overload; versions are the table's commit
+    * snapshots (0 = empty just-created state), same numbering as the
+    * front-door manager's `VERSION AS OF`. Snapshots are zero-copy
+    * (persistent Vector + immutable schema). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = tables.getOrElse(key(ident), throw new NoSuchTableException(ident))
+    val v = try version.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"gmem: VERSION AS OF expects a numeric snapshot id, got '$version'")
+    }
+    t.snapshotAt(v)
+  }
+
+  override def loadTable(ident: Identifier, version: Long): Table =
+    tables.getOrElse(key(ident), throw new NoSuchTableException(ident))
+      .snapshotAt(version)
+
   override def tableExists(ident: Identifier): Boolean = tables.contains(key(ident))
 
   override def createTable(
@@ -181,8 +199,26 @@ class GraftMemTable(
   // state — the mem-table equivalent of a CDC insert feed)
   private var log: Vector[InternalRow] = Vector.empty
   private var props: Map[String, String] = initialProps
+  // commit snapshots for VERSION AS OF: entry 0 = the empty just-created
+  // state; every write commit and ALTER appends one. Zero-copy — Vector is
+  // persistent and StructType immutable.
+  private var history: Vector[(StructType, Vector[InternalRow])] =
+    Vector((tableSchema, Vector.empty))
 
   override def name(): String = synchronized(tableName)
+  override def version(): String = synchronized((history.length - 1).toString)
+
+  /** Read-only view of commit snapshot `v` (served to Spark's time-travel
+    * `loadTable(ident, version)` path). Writes addressed to the snapshot
+    * table mutate only the detached copy, never the live table. */
+  private[sources] def snapshotAt(v: Long): Table = synchronized {
+    require(v >= 0 && v < history.length,
+      s"gmem: no version $v of $tableName (${history.length} snapshots)")
+    val (sch, data) = history(v.toInt)
+    val snap = new GraftMemTable(s"$tableName@v$v", sch, Map.empty)
+    snap.rows = data
+    snap
+  }
   override def schema(): StructType = synchronized(tableSchema)
   override def properties(): util.Map[String, String] = synchronized(props.asJava)
 
@@ -204,6 +240,7 @@ class GraftMemTable(
       appended: Seq[InternalRow], truncate: Boolean): Unit = synchronized {
     rows = (if (truncate) Vector.empty else rows) ++ appended
     log = log ++ appended
+    history = history :+ ((tableSchema, rows))
   }
 
   /** ALTER TABLE: add (null-filled), drop, and rename top-level columns —
@@ -239,6 +276,7 @@ class GraftMemTable(
       case other =>
         throw new UnsupportedOperationException(s"gmem: unsupported $other")
     }
+    history = history :+ ((tableSchema, rows))
   }
 
   // ---------------------------------------------------------------- read

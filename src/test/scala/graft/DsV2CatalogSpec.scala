@@ -98,6 +98,26 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assert(df.head().getString(0) == "s")
   }
 
+  test("VERSION AS OF serves commit snapshots through Spark's time travel") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmem.lake")
+    spark.sql("DROP TABLE IF EXISTS gmem.lake.tt")
+    spark.sql("CREATE TABLE gmem.lake.tt (id INT)") // v0: empty
+    spark.sql("INSERT INTO gmem.lake.tt VALUES (1), (2)") // v1
+    spark.sql("INSERT OVERWRITE gmem.lake.tt VALUES (9)") // v2
+    assert(spark.sql("SELECT count(*) FROM gmem.lake.tt VERSION AS OF 0")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT id FROM gmem.lake.tt VERSION AS OF 1 ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(spark.sql("SELECT id FROM gmem.lake.tt VERSION AS OF 2")
+      .head().getInt(0) == 9)
+    // live table = latest
+    assert(spark.table("gmem.lake.tt").head().getInt(0) == 9)
+    // snapshots survive a post-hoc ALTER (schema is versioned with data)
+    spark.sql("ALTER TABLE gmem.lake.tt ADD COLUMN note STRING") // v3
+    assert(spark.sql("SELECT * FROM gmem.lake.tt VERSION AS OF 1")
+      .columns.toSeq == Seq("id"))
+  }
+
   test("streaming read tails the mem table's append log across inserts") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gmem.lake")
     spark.sql("DROP TABLE IF EXISTS gmem.lake.feed")
