@@ -895,6 +895,89 @@ object ExtSimilarity extends QueryModule {
           ORDER BY maxsim DESC, vec_id) <= 5
         ORDER BY qid, maxsim DESC, vec_id""")),
 
+    // ---- MaxSim at scale: the two-stage serving shape. Stage 1 prunes
+    // with the 8-byte sign-bit Hamming signature (what a billion-vector
+    // tier actually scans — 16 GB/billion, SIMD popcount) to 20
+    // candidates/query; stage 2 runs exact late-interaction MaxSim ONLY on
+    // the candidates (20 instead of n token-matrix scorings per query).
+    // Both stages are integer/fixed-fold-order arithmetic, so unlike
+    // IVF/PQ this pruned ANN variant is DuckDB-replayable bit for bit —
+    // including its recall loss vs [[ext_ann_maxsim]] (the fixture shows
+    // pruned top-5 ≠ exact top-5: that tradeoff is part of the result). ----
+    QueryDef(
+      "ext_ann_maxsim_pruned",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val sigs = emb.select($"vec_id",
+          graft.ops.VectorOps.signBits(slice($"embedding", 1, 32)).as("sig_lo"),
+          graft.ops.VectorOps.signBits(slice($"embedding", 33, 32)).as("sig_hi"))
+        val qsigs = sigs.filter($"vec_id".isin(1, 11, 29))
+          .select($"vec_id".as("qid"), $"sig_lo".as("q_lo"), $"sig_hi".as("q_hi"))
+        val w = org.apache.spark.sql.expressions.Window
+        val cand = sigs.crossJoin(broadcast(qsigs))
+          .filter($"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id",
+            (graft.ops.VectorOps.hamming($"q_lo", $"sig_lo") +
+              graft.ops.VectorOps.hamming($"q_hi", $"sig_hi")).as("hamming"))
+          .withColumn("rk", row_number().over(
+            w.partitionBy($"qid").orderBy($"hamming", $"vec_id")))
+          .filter($"rk" <= 20).drop("rk")
+        val tok = emb.select($"vec_id",
+          expr("""transform(sequence(0, 7),
+              i -> transform(slice(embedding, 8*i + 1, 8),
+                             x -> cast(x AS double)))""").as("toks"))
+        cand
+          .join(tok.select($"vec_id".as("qid"), $"toks".as("qtoks")), Seq("qid"))
+          .join(tok, Seq("vec_id"))
+          .select($"qid", $"vec_id", $"hamming".cast("long").as("hamming"),
+            round(expr("""aggregate(qtoks, 0D, (acc, qt) ->
+                acc + array_max(transform(toks, dt ->
+                  aggregate(zip_with(qt, dt, (x, y) -> x * y),
+                            0D, (a, v) -> a + v))))"""), 4).as("maxsim"))
+          .withColumn("rank", row_number().over(
+            w.partitionBy($"qid").orderBy($"maxsim".desc, $"vec_id")))
+          .filter($"rank" <= 5)
+          .select($"qid", $"vec_id", $"hamming", $"maxsim")
+          .orderBy($"qid", $"maxsim".desc, $"vec_id")
+      },
+      Some("""WITH sigs AS (
+          SELECT vec_id,
+            CAST(list_sum(list_transform(range(1, 33),
+              i -> CASE WHEN embedding[i] > 0 THEN 1::BIGINT << (i - 1)
+                        ELSE 0::BIGINT END)) AS BIGINT) AS sig_lo,
+            CAST(list_sum(list_transform(range(33, 65),
+              i -> CASE WHEN embedding[i] > 0 THEN 1::BIGINT << (i - 33)
+                        ELSE 0::BIGINT END)) AS BIGINT) AS sig_hi
+          FROM embeddings),
+        cand AS (
+          SELECT q.vec_id AS qid, c.vec_id,
+            bit_count(xor(q.sig_lo, c.sig_lo))
+              + bit_count(xor(q.sig_hi, c.sig_hi)) AS hamming
+          FROM sigs q JOIN sigs c
+            ON q.vec_id IN (1, 11, 29) AND c.vec_id <> q.vec_id
+          QUALIFY row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY hamming, c.vec_id) <= 20),
+        tok AS (
+          SELECT vec_id, i,
+            [CAST(embedding[8*i + k] AS DOUBLE) FOR k IN range(1, 9)] AS t
+          FROM embeddings, range(0, 8) r(i)),
+        dots AS (
+          SELECT c.qid, c.vec_id, c.hamming, q.i,
+            max(list_dot_product(q.t, d.t)) AS mx
+          FROM cand c
+          JOIN tok q ON q.vec_id = c.qid
+          JOIN tok d ON d.vec_id = c.vec_id
+          GROUP BY 1, 2, 3, 4),
+        scores AS (
+          SELECT qid, vec_id, hamming, round(sum(mx), 4) AS maxsim
+          FROM dots GROUP BY 1, 2, 3)
+        SELECT qid, vec_id, CAST(hamming AS BIGINT) AS hamming, maxsim
+        FROM scores
+        QUALIFY row_number() OVER (PARTITION BY qid
+          ORDER BY maxsim DESC, vec_id) <= 5
+        ORDER BY qid, maxsim DESC, vec_id""")),
+
     // ---- binary-signature ANN (the 8-bytes-per-vector tier BELOW int8/PQ):
     // sign-bit signatures pack 32 float dims into ONE BIGINT (16× cut);
     // Hamming distance = popcount(xor) tracks angular distance (Charikar

@@ -849,6 +849,12 @@ object Pipeline extends QueryModule {
         val pool = docs
           .filter(substring(md5($"doc_id".cast("string").cast("binary")), 1, 2) < "10")
           .select($"doc_id".as("neg_id"))
+          // a hash FRACTION alone grows with the corpus; the md5-ordered
+          // LIMIT makes the pool a true fixed-size candidate set (and
+          // stamps the bound into the plan — TakeOrdered → maxRows — so
+          // the registry lint can prove the pairs×pool join bounded)
+          .orderBy(md5($"neg_id".cast("string").cast("binary")), $"neg_id")
+          .limit(256)
         val w = Window.partitionBy($"anchor", $"positive")
           .orderBy(md5(concat($"anchor".cast("string"), lit(":"),
             $"neg_id".cast("string")).cast("binary")))
@@ -886,7 +892,9 @@ object Pipeline extends QueryModule {
           WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.8),
         pool AS (
           SELECT doc_id AS neg_id FROM documents
-          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10'),
+          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10'
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          LIMIT 256),
         cands AS (
           SELECT p.anchor, p.positive, n.neg_id
           FROM pairs p CROSS JOIN pool n

@@ -49,7 +49,10 @@ class RegistryPlanLintSpec extends AnyFunSuite {
     "an_ks_test_lengths" -> "band join on distinct-length grain (bounded value domain)",
     "ext_fuzzy_key_join" -> "deletion-neighborhood keys are equi; residual edit-verify only",
     "ext_events_range_join" -> "binned equi-join; residual range predicate only",
-    "ext_sketch_theta_overlap" -> "pairwise crossJoin of per-SOURCE sketches: source grain, O(sketch) rows")
+    "ext_sketch_theta_overlap" -> "pairwise crossJoin of per-SOURCE sketches: source grain, O(sketch) rows",
+    "ext_ann_maxsim_pruned" -> "k fixed query signatures broadcast for the Hamming prefilter; corpus scans once",
+    "ext_embed_dim_ablation" -> "fixed query panel broadcast, scored per kept-dimension variant; corpus scans once per variant",
+    "ext_retrieval_eval" -> "fixed evaluation query panel broadcast; brute-force IS the metric's ground truth")
 
   /** Windows with empty partitionSpec whose input grain is bounded by a
     * data-independent domain rather than a `maxRows`-provable construct. */
@@ -74,14 +77,28 @@ class RegistryPlanLintSpec extends AnyFunSuite {
     * aggregate → 1 row, LIMIT k, VALUES, range(n)). */
   private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= 1000000L)
 
-  /** At least one conjunct equates an expression from each side. */
+  /** At least one TOP-LEVEL conjunct equates an expression from each side.
+    * Only conjuncts count: an equality nested under Not/Or (e.g. the
+    * `vec_id <> qid` of a broadcast-scoring cross join) is NOT an equi key
+    * and must not exempt the join. */
+  private def conjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
   private def hasEquiKey(j: Join): Boolean = j.condition.exists { c =>
-    val eqs = c.collect { case e: EqualTo => e; case e: EqualNullSafe => e }
-    eqs.exists { e =>
-      val (l, r) = (e.left.references, e.right.references)
-      (l.nonEmpty && r.nonEmpty &&
-        ((l.subsetOf(j.left.outputSet) && r.subsetOf(j.right.outputSet)) ||
-          (r.subsetOf(j.left.outputSet) && l.subsetOf(j.right.outputSet))))
+    conjuncts(c).exists {
+      case e @ (_: EqualTo | _: EqualNullSafe) =>
+        val b = e.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.BinaryExpression]
+        val (l, r) = (b.left.references, b.right.references)
+        l.nonEmpty && r.nonEmpty &&
+          ((l.subsetOf(j.left.outputSet) && r.subsetOf(j.right.outputSet)) ||
+            (r.subsetOf(j.left.outputSet) && l.subsetOf(j.right.outputSet)))
+      case _ => false
     }
   }
 
