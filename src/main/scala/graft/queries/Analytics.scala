@@ -1568,6 +1568,38 @@ object Analytics extends QueryModule {
           round(1 - var_pop(cuped) / var_pop(post), 6) AS var_reduction
         FROM adj GROUP BY variant ORDER BY variant""")),
 
+    // ---- Sample-ratio-mismatch guard: the FIRST check any experiment
+    // readout must pass — a 50/50 assignment whose realized user counts
+    // fail the χ² test (df=1, α=0.05 ⇒ 3.84) means the assignment or
+    // logging is broken and the z-test/CUPED numbers are garbage. One
+    // distinct + one aggregate; the statistic is integer arithmetic until
+    // a single division. ----
+    QueryDef(
+      "an_ab_srm_check",
+      (s, dir) => {
+        import s.implicits._
+        val u = t(s, dir, "events")
+          .select($"user_id", ($"user_id" % 2).as("variant")).distinct()
+        val v = u.agg(
+          sum(when($"variant" === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when($"variant" === 1, 1L).otherwise(0L)).as("n_b"))
+        val chi = ($"n_a" - $"n_b") * ($"n_a" - $"n_b") /
+          ($"n_a" + $"n_b").cast("double")
+        v.select($"n_a", $"n_b", round(chi, 6).as("chi2"),
+          when(chi > 3.841459, 1).otherwise(0).as("srm_flag"))
+      },
+      Some("""WITH u AS (
+          SELECT DISTINCT user_id, user_id % 2 AS variant FROM events),
+        v AS (SELECT
+          CAST(count(*) FILTER (WHERE variant = 0) AS BIGINT) AS n_a,
+          CAST(count(*) FILTER (WHERE variant = 1) AS BIGINT) AS n_b
+          FROM u)
+        SELECT n_a, n_b,
+          round((n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b), 6) AS chi2,
+          CASE WHEN (n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b) > 3.841459
+               THEN 1 ELSE 0 END AS srm_flag
+        FROM v""")),
+
     // ---- Session-path pattern matching (MATCH_RECOGNIZE-lite): sessionize
     // with a 30-min gap, render each session's time-ordered event-type
     // sequence as ONE string per session, and regex-match funnel patterns

@@ -812,7 +812,52 @@ object ExtDedup extends QueryModule {
           round(ov1 * 1.0 / la1, 6) AS rouge1_r,
           round(2.0 * ov1 / (la1 + lb1), 6) AS rouge1_f,
           round(2.0 * ov2 / (la2 + lb2), 6) AS rouge2_f
-        FROM r ORDER BY id_a, id_b"""))
+        FROM r ORDER BY id_a, id_b""")),
+
+    // ---- Readability battery (Flesch-Kincaid grade, per language):
+    // words = whitespace tokens, sentences = terminal-punctuation runs
+    // (min 1), syllables ≈ vowel-group count — the standard cheap
+    // approximation, and a classic quality-filter feature (too-high FK on
+    // web text usually means run-on boilerplate, not prose). Per-row
+    // regexp counts (codegen'd), one aggregate shuffle at language grain.
+    QueryDef(
+      "ext_text_readability",
+      (s, dir) => {
+        import s.implicits._
+        val m = Tables.load(s, dir, "documents")
+          .select($"lang",
+            size(TextOps.tokens($"text")).as("words"),
+            greatest(lit(1), expr("regexp_count(text, '[.!?]+')")).as("sents"),
+            expr("regexp_count(lower(text), '[aeiouy]+')").as("syls"))
+          .filter($"words" > 0)
+          .withColumn("grade",
+            lit(0.39) * ($"words" / $"sents".cast("double")) +
+              lit(11.8) * ($"syls" / $"words".cast("double")) - lit(15.59))
+        m.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg($"words" / $"sents".cast("double")), 4)
+              .as("avg_words_per_sent"),
+            round(avg($"syls" / $"words".cast("double")), 4)
+              .as("avg_syll_per_word"),
+            round(avg($"grade"), 4).as("avg_fk_grade"))
+          .orderBy($"lang")
+      },
+      Some("""WITH m AS (
+          SELECT lang,
+            len(string_split_regex(lower(trim(text)), '\s+')) AS words,
+            greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS sents,
+            len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syls
+          FROM documents),
+        fk AS (
+          SELECT lang, words, sents, syls,
+            0.39 * (words * 1.0 / sents) + 11.8 * (syls * 1.0 / words)
+              - 15.59 AS grade
+          FROM m WHERE words > 0)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          round(avg(words * 1.0 / sents), 4) AS avg_words_per_sent,
+          round(avg(syls * 1.0 / words), 4) AS avg_syll_per_word,
+          round(avg(grade), 4) AS avg_fk_grade
+        FROM fk GROUP BY lang ORDER BY lang"""))
   )
 }
 
