@@ -857,7 +857,113 @@ object ExtDedup extends QueryModule {
           round(avg(words * 1.0 / sents), 4) AS avg_words_per_sent,
           round(avg(syls * 1.0 / words), 4) AS avg_syll_per_word,
           round(avg(grade), 4) AS avg_fk_grade
-        FROM fk GROUP BY lang ORDER BY lang"""))
+        FROM fk GROUP BY lang ORDER BY lang""")),
+
+    // ---- Cohen's kappa between two quality raters (labeling QA): how much
+    // two binary quality signals agree BEYOND chance — the standard
+    // inter-annotator statistic, here over the alpha-fraction and
+    // stopword-ratio signals thresholded at their corpus medians. The whole
+    // computation is one combinable aggregate (a 2×2 integer confusion
+    // matrix); kappa is scalar arithmetic on its four cells. Near-zero on
+    // this corpus — the two signals are genuinely independent here, which
+    // is exactly what the statistic is for. ----
+    QueryDef(
+      "ext_text_rater_kappa",
+      (s, dir) => {
+        import s.implicits._
+        val tk = TextOps.tokens($"text")
+        val nTok = size(tk)
+        val nSw = size(filter(tk, w => w.isin("the", "a", "an", "and", "or",
+          "of", "to", "in", "is", "it")))
+        val m = Tables.load(s, dir, "documents").select(
+          when(length(regexp_replace($"text", "[^a-zA-Z]", "")).cast("double") /
+            expr("nullif(length(text), 0)") >= 0.822, 1).otherwise(0).as("r1"),
+          when(nSw.cast("double") /
+            when(nTok === 0, lit(null)).otherwise(nTok) >= 0.061, 1)
+            .otherwise(0).as("r2"))
+        val c = m.agg(
+          count(lit(1)).as("n"),
+          sum(when($"r1" === 1 && $"r2" === 1, 1L).otherwise(0L)).as("n11"),
+          sum(when($"r1" === 1 && $"r2" === 0, 1L).otherwise(0L)).as("n10"),
+          sum(when($"r1" === 0 && $"r2" === 1, 1L).otherwise(0L)).as("n01"),
+          sum(when($"r1" === 0 && $"r2" === 0, 1L).otherwise(0L)).as("n00"))
+        val nD = $"n".cast("double")
+        val po = ($"n11" + $"n00") / nD
+        val pe = (($"n11" + $"n10") / nD) * (($"n11" + $"n01") / nD) +
+          (($"n01" + $"n00") / nD) * (($"n10" + $"n00") / nD)
+        c.select($"n", $"n11", $"n10", $"n01", $"n00",
+          round(po, 6).as("po"), round(pe, 6).as("pe"),
+          round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+      },
+      Some("""WITH m AS (
+          SELECT doc_id,
+            CASE WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                      / nullif(length(text), 0) >= 0.822 THEN 1 ELSE 0 END AS r1,
+            CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                      w -> w IN ('the','a','an','and','or','of','to','in','is','it')))
+                      * 1.0
+                      / nullif(len(string_split_regex(lower(trim(text)), '\s+')), 0)
+                      >= 0.061 THEN 1 ELSE 0 END AS r2
+          FROM documents),
+        c AS (SELECT
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) FILTER (WHERE r1 = 1 AND r2 = 1) AS BIGINT) AS n11,
+          CAST(count(*) FILTER (WHERE r1 = 1 AND r2 = 0) AS BIGINT) AS n10,
+          CAST(count(*) FILTER (WHERE r1 = 0 AND r2 = 1) AS BIGINT) AS n01,
+          CAST(count(*) FILTER (WHERE r1 = 0 AND r2 = 0) AS BIGINT) AS n00
+          FROM m)
+        SELECT n, n11, n10, n01, n00,
+          round((n11 + n00) * 1.0 / n, 6) AS po,
+          round(((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+              + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n), 6) AS pe,
+          round(((n11 + n00) * 1.0 / n
+               - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)))
+            / (1 - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                  + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n))), 6)
+            AS kappa
+        FROM c""")),
+
+    // ---- Zipf-fit corpus health check: log-log OLS slope of the top-100
+    // term frequencies vs rank. Natural text sits near slope −1 with high
+    // R²; this synthetic corpus reports a flat, badly-fitting slope —
+    // which is the point: the metric DETECTS unnatural token
+    // distributions. Term counting is one aggregate; the top-100 is a
+    // TakeOrdered (bounded ⇒ the post-limit ranking window is lint-clean);
+    // the fit is a builtin regr_slope/regr_r2 aggregate over ≤100 rows. ----
+    QueryDef(
+      "ext_text_zipf_fit",
+      (s, dir) => {
+        import s.implicits._
+        val top = Tables.load(s, dir, "documents")
+          .select(explode(TextOps.tokens($"text")).as("term"))
+          .filter($"term" =!= "")
+          .groupBy($"term").agg(count(lit(1)).as("freq"))
+          .orderBy($"freq".desc, $"term")
+          .limit(100)
+        top
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy($"freq".desc, $"term")))
+          .agg(count(lit(1)).as("n_terms"),
+            round(expr("regr_slope(ln(freq), ln(rnk))"), 4).as("zipf_slope"),
+            round(expr("regr_r2(ln(freq), ln(rnk))"), 4).as("r2"))
+      },
+      Some("""WITH tf AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        top AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tf
+          WHERE term <> '' GROUP BY term
+          ORDER BY freq DESC, term LIMIT 100),
+        ranked AS (
+          SELECT freq, term,
+            row_number() OVER (ORDER BY freq DESC, term) AS rnk
+          FROM top)
+        SELECT CAST(count(*) AS BIGINT) AS n_terms,
+          round(regr_slope(ln(freq), ln(rnk)), 4) AS zipf_slope,
+          round(regr_r2(ln(freq), ln(rnk)), 4) AS r2
+        FROM ranked"""))
   )
 }
 
