@@ -69,10 +69,20 @@ final class GraftSession(
   /** True when the statement addresses a registered DataSourceV2 catalog by
     * name (`gmem.lake.t` — [[graft.sources.GraftMemCatalog]] or any other
     * `spark.sql.catalog.*` plugin): those names belong to Spark's OWN
-    * resolver, so the whole statement passes through untouched. The
-    * front-door manager owns only session-local bare names (plus the
-    * reference's `qurious.public` aliases, which are stripped, not
-    * catalogs). Detection is quote-aware — `'...gmem. ...'` literals and
+    * resolver, so the statement passes through untouched. The front-door
+    * manager owns only session-local bare names (plus the reference's
+    * `qurious.public` aliases, which are stripped, not catalogs).
+    *
+    * Routing is by the statement's TARGET, not any mention: a DDL/DML verb
+    * whose sink is a bare front-door name stays with the front door even
+    * when its source side reads a catalog table — `INSERT INTO session_t
+    * SELECT * FROM gmem.ns.t` and `CREATE TABLE local_t AS SELECT ... FROM
+    * gmem.ns.t` are front-door statements (the embedded SELECT re-enters
+    * [[sql]] and passes through on its own), while `INSERT INTO gmem.ns.t
+    * SELECT * FROM session_t` belongs to Spark (temp views resolve fine as
+    * V2 write sources). Pure queries mentioning a catalog name anywhere
+    * still pass through whole — the front door's rewrites don't need to see
+    * them. Detection is quote-aware — `'...gmem. ...'` literals and
     * `"gmem"` quoted identifiers never trigger the passthrough — and the
     * per-catalog patterns are compiled once per catalog-name set, not per
     * statement. (A table ALIAS spelled exactly like a registered catalog
@@ -91,9 +101,24 @@ final class GraftSession(
             "(?is)\\b" + java.util.regex.Pattern.quote(c) + "\\s*\\.")))
       val unquoted = new StringBuilder
       mapUnquoted(q) { seg => unquoted.append(seg).append(' '); seg }
-      v2CatalogPatterns._2.exists(_.matcher(unquoted).find())
+      val mentionsCatalog = v2CatalogPatterns._2.exists(_.matcher(unquoted).find())
+      if (!mentionsCatalog) false
+      else MutatingTargetRe.findFirstMatchIn(q) match {
+        case Some(m) => // mutating/DDL verb: route by the sink's qualifier
+          val target = m.group(1).toLowerCase(Locale.ROOT)
+          cats.exists(c => target.startsWith(c.toLowerCase(Locale.ROOT) + "."))
+        case None => true // pure query / other verb: pass through whole
+      }
     }
   }
+
+  /** Leading mutating/DDL verb + its target identifier — used to decide
+    * whether a catalog-mentioning statement's SINK is the catalog's. */
+  private val MutatingTargetRe =
+    ("""(?is)^\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?(?:TABLE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+      """|DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?|INSERT\s+INTO\s+|UPDATE\s+""" +
+      """|DELETE\s+FROM\s+|MERGE\s+INTO\s+|ALTER\s+TABLE\s+|TRUNCATE\s+(?:TABLE\s+)?)""" +
+      """([A-Za-z_][\w.]*|`[^`]+`(?:\.(?:[\w]+|`[^`]+`))*)""").r
 
   @volatile private var v2CatalogPatterns
       : (Set[String], Seq[java.util.regex.Pattern]) = (Set.empty, Nil)
@@ -1033,7 +1058,12 @@ final class GraftSession(
         val args =
           if (argStr == null || argStr.trim.isEmpty) Seq.empty[String]
           else splitTopLevel(argStr, ',').map(_.trim)
-        val maxRef = """\$(\d+)""".r.findAllMatchIn(stmt)
+        // arity counts $n references over the UNQUOTED segments only, the
+        // same segments substitution sees — a '$2' inside a string literal
+        // is data, not a parameter
+        val unquotedStmt = new StringBuilder
+        mapUnquoted(stmt) { s => unquotedStmt.append(s).append(' '); s }
+        val maxRef = """\$(\d+)""".r.findAllMatchIn(unquotedStmt)
           .map(_.group(1).toInt).foldLeft(0)(math.max)
         require(args.size == maxRef,
           s"EXECUTE $name: expected $maxRef argument(s), got ${args.size}")
@@ -1586,8 +1616,13 @@ final class GraftSession(
           val defaultIdx = rest.toUpperCase(Locale.ROOT).indexOf(" DEFAULT ")
           var default: Option[String] = None
           if (defaultIdx >= 0) {
-            default = Some(rest.substring(defaultIdx + 9).trim)
-            rest = rest.take(defaultIdx)
+            // The DEFAULT expression may be followed by more column-level
+            // constraints (`v INT DEFAULT 5 CHECK (v > 0)` / `... NOT NULL`)
+            // — stop the expression at the first top-level constraint
+            // keyword instead of swallowing the tail into the default.
+            val (dexpr, remainder) = splitDefaultExpr(rest.substring(defaultIdx + 9))
+            default = Some(dexpr)
+            rest = (rest.take(defaultIdx) + " " + remainder).trim
           }
           // column-level CHECK (…)
           val ckIdx = rest.toUpperCase(Locale.ROOT).indexOf("CHECK")
@@ -1617,6 +1652,37 @@ final class GraftSession(
       if (pkNotNull.contains(f.name)) f.copy(nullable = false) else f)
     (StructType(withPk.toIndexedSeq), defaults.result(),
       checks.result(), uniques.result())
+  }
+
+  /** Split the text after DEFAULT into (expression, trailing constraints):
+    * consume tokens until a top-level (outside quotes/parens) constraint
+    * keyword — NOT NULL / NULL / CHECK / PRIMARY KEY / UNIQUE — taking at
+    * least one token first so `DEFAULT NULL` keeps NULL as the expression. */
+  private def splitDefaultExpr(tail: String): (String, String) = {
+    val upper = tail.toUpperCase(Locale.ROOT)
+    def wordAt(k: Int, w: String): Boolean =
+      upper.startsWith(w, k) &&
+        (k == 0 || { val p = upper(k - 1); !p.isLetterOrDigit && p != '_' }) &&
+        (k + w.length >= upper.length ||
+          { val n = upper(k + w.length); !n.isLetterOrDigit && n != '_' })
+    var depth = 0
+    var quote: Char = 0
+    var sawToken = false
+    var i = 0
+    var exprEnd = -1
+    while (i < tail.length && exprEnd < 0) {
+      val c = tail(i)
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"') { quote = c; sawToken = true; i += 1 }
+      else if (c == '(') { depth += 1; sawToken = true; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && sawToken &&
+          (wordAt(i, "NOT") || wordAt(i, "NULL") || wordAt(i, "CHECK") ||
+            wordAt(i, "PRIMARY") || wordAt(i, "UNIQUE"))) exprEnd = i
+      else { if (!c.isWhitespace) sawToken = true; i += 1 }
+    }
+    if (exprEnd < 0) (tail.trim, "")
+    else (tail.take(exprEnd).trim, tail.drop(exprEnd))
   }
 
   private val DecimalRe = """(?i)DECIMAL\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r

@@ -113,9 +113,12 @@ class GraftMemCatalog extends TableCatalog with SupportsNamespaces {
     if (!namespaceExists(to.namespace))
       throw new NoSuchNamespaceException(to.namespace)
     val t = tables.getOrElse(key(from), throw new NoSuchTableException(from))
-    t.rename((to.namespace :+ to.name).mkString("."))
+    // claim the destination FIRST: a failed rename must leave the source
+    // untouched (renaming the instance before the conflict check would
+    // leave it registered under the old identifier with the new name())
     if (tables.putIfAbsent(key(to), t).isDefined)
       throw new TableAlreadyExistsException(to)
+    t.rename((to.namespace :+ to.name).mkString("."))
     tables.remove(key(from))
   }
 

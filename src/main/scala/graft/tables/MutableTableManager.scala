@@ -180,22 +180,29 @@ final class MutableTableManager(spark: SparkSession) {
     val key = norm(name)
     val st = tables.getOrElse(key, sys.error(s"table not found: $name"))
     val pred = where.map(expr).getOrElse(lit(true))
-    val affected = st.df.filter(coalesce(pred, lit(false))).count()
+    // Stamp the predicate against PRE-update values: SET may change a column
+    // the WHERE references (UPDATE t SET bal = -5 WHERE bal = 100), so
+    // re-filtering post-update rows with the same predicate would miss
+    // exactly the rows that changed and skip constraint enforcement on them.
+    val marked = st.df.withColumn("__upd", coalesce(pred, lit(false)))
+    val affected = marked.filter(col("__upd")).count()
     val assignments = set.map { case (c, e) => norm(c) -> e }.toMap
     val projected = st.schema.fields.map { f =>
       assignments.get(norm(f.name)) match {
         case Some(e) =>
-          when(coalesce(pred, lit(false)), expr(e).cast(f.dataType))
+          when(col("__upd"), expr(e).cast(f.dataType))
             .otherwise(col(f.name)).as(f.name)
         case None => col(f.name)
       }
     }
-    val newDf = st.df.select(projected.toIndexedSeq: _*)
     // re-verify NOT NULL/CHECK on the CHANGED rows only (engines never
-    // re-scan unchanged rows on update); UNIQUE re-verification on update
-    // is out of scope, as in most lakehouse engines
+    // re-scan unchanged rows on update), selected by the pre-update marker;
+    // UNIQUE re-verification on update is out of scope, as in most
+    // lakehouse engines
     if (st.checks.nonEmpty || st.schema.fields.exists(!_.nullable))
-      enforceRowConstraints(st, newDf.filter(coalesce(pred, lit(false))))
+      enforceRowConstraints(st,
+        marked.filter(col("__upd")).select(projected.toIndexedSeq: _*))
+    val newDf = marked.select(projected.toIndexedSeq: _*)
     put(key, st.copy(df = checkpointed(newDf, st.mutations),
       mutations = st.mutations + 1), "UPDATE")
     affected

@@ -85,6 +85,22 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assert(spark.table("gmem.lake.rn_dst").head().getInt(0) == 7)
   }
 
+  test("a failed RENAME TABLE leaves the source fully intact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmem.lake")
+    spark.sql("DROP TABLE IF EXISTS gmem.lake.rn_a")
+    spark.sql("DROP TABLE IF EXISTS gmem.lake.rn_b")
+    spark.sql("CREATE TABLE gmem.lake.rn_a (id INT)")
+    spark.sql("INSERT INTO gmem.lake.rn_a VALUES (5)")
+    spark.sql("CREATE TABLE gmem.lake.rn_b (id INT)")
+    intercept[Exception](
+      spark.sql("ALTER TABLE gmem.lake.rn_a RENAME TO lake.rn_b"))
+    // still registered AND self-reporting under the old identifier
+    assert(spark.table("gmem.lake.rn_a").head().getInt(0) == 5)
+    assert(spark.sql("SELECT * FROM gmem.lake.rn_a").queryExecution
+      .optimizedPlan.collectFirst { case r: DataSourceV2ScanRelation => r }
+      .get.scan.description().contains("lake.rn_a"))
+  }
+
   test("column pruning reaches the V2 scan") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gmem.lake")
     spark.sql("CREATE TABLE gmem.lake.pr (a INT, b STRING, c DOUBLE)")

@@ -510,4 +510,52 @@ class SessionSpec extends AnyFunSuite {
     // content-keyed Bernoulli: expect ~20%, loose bounds
     assert(a.size > n / 10 && a.size < n / 2, s"sample size ${a.size} of $n")
   }
+
+  test("EXECUTE arity ignores $n references inside string literals") {
+    val g = fresh()
+    g.sql("PREPARE p_lit AS SELECT '$2' AS tag WHERE 1 = $1")
+    // highest unquoted ref is $1 → exactly one argument expected
+    assert(g.sql("EXECUTE p_lit(1)").collect().map(_.getString(0)).toSeq == Seq("$2"))
+    intercept[Exception](g.sql("EXECUTE p_lit(1, 2)"))
+    g.sql("DEALLOCATE p_lit")
+  }
+
+  test("DEFAULT followed by column constraints parses both") {
+    val g = fresh()
+    g.sql("DROP TABLE IF EXISTS t_defck")
+    g.sql("CREATE TABLE t_defck (id INT, v INT DEFAULT 5 CHECK (v > 0), w INT DEFAULT 2 NOT NULL, s STRING DEFAULT NULL)")
+    g.sql("INSERT INTO t_defck (id) VALUES (1)") // defaults fill
+    val r = g.sql("SELECT v, w, s FROM t_defck").head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L && r.isNullAt(2))
+    // the CHECK after DEFAULT is enforced
+    intercept[Exception](g.sql("INSERT INTO t_defck VALUES (2, -1, 1, 'x')"))
+    // the NOT NULL after DEFAULT is enforced
+    intercept[Exception](g.sql("INSERT INTO t_defck VALUES (3, 1, NULL, 'x')"))
+    g.sql("DROP TABLE t_defck")
+  }
+
+  test("front door keeps statements whose sink is a managed table even when the source reads a V2 catalog") {
+    val g = fresh()
+    spark.conf.set("spark.sql.catalog.gmem",
+      classOf[graft.sources.GraftMemCatalog].getName)
+    g.sql("CREATE NAMESPACE IF NOT EXISTS gmem.mix")
+    g.sql("DROP TABLE IF EXISTS gmem.mix.src")
+    g.sql("CREATE TABLE gmem.mix.src (id BIGINT, v BIGINT)")
+    g.sql("INSERT INTO gmem.mix.src VALUES (1, 10), (2, 20)")
+    // CTAS with a bare-name sink stays front-door-managed...
+    g.sql("DROP TABLE IF EXISTS mix_local")
+    g.sql("CREATE TABLE mix_local AS SELECT id, v FROM gmem.mix.src")
+    assert(g.tables.exists("mix_local"), "CTAS sink must be a managed mutable table")
+    // ...and front-door DML can read the catalog as a source
+    assert(g.sql("INSERT INTO mix_local SELECT id + 10, v FROM gmem.mix.src")
+      .head().getLong(0) == 2L)
+    assert(g.sql("SELECT count(*) AS n FROM mix_local").head().getLong(0) == 4L)
+    g.sql("UPDATE mix_local SET v = 0 WHERE id IN (SELECT id FROM gmem.mix.src)")
+    assert(g.sql("SELECT sum(v) AS s FROM mix_local").head().getLong(0) == 30L)
+    // catalog-sink statements still pass through to Spark's resolver
+    g.sql("INSERT INTO gmem.mix.src SELECT id, v FROM mix_local WHERE id = 11")
+    assert(spark.table("gmem.mix.src").count() == 3)
+    g.sql("DROP TABLE mix_local")
+    g.sql("DROP TABLE gmem.mix.src")
+  }
 }
