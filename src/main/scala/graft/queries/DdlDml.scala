@@ -214,6 +214,51 @@ object DdlDml extends QueryModule {
       Some("""SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS flag
         FROM (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 3
               UNION ALL SELECT CAST(999 AS INTEGER), 'SYNTHETIC')
+        ORDER BY n_nationkey""")),
+
+    // ---- V2 catalog semantic parity under the oracle gate: column
+    // DEFAULTs fill omitted INSERT columns (Spark's ResolveDefaultColumns
+    // over the table's Column metadata), CHECK + PRIMARY KEY violations
+    // fail cleanly WITHOUT advancing table state (CheckInvariant in the
+    // write plan / key checks at BatchWrite.commit), and MERGE INTO
+    // executes natively through SupportsRowLevelOperations. The hash match
+    // proves the rejected writes left zero residue and the merge produced
+    // exactly the expected upsert. ----
+    QueryDef(
+      "ddl_v2_constraints",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.gmem",
+          classOf[graft.sources.GraftMemCatalog].getName)
+        Tables.register(s, dir, Seq("nation"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gmem.verify")
+        s.sql("DROP TABLE IF EXISTS gmem.verify.nat_gate")
+        s.sql("""CREATE TABLE gmem.verify.nat_gate (
+          n_nationkey INT, n_name STRING, grade STRING DEFAULT 'std',
+          CONSTRAINT pk PRIMARY KEY (n_nationkey),
+          CONSTRAINT keyrange CHECK (n_nationkey < 100))""")
+        // DEFAULT fills the omitted grade column
+        s.sql("""INSERT INTO gmem.verify.nat_gate (n_nationkey, n_name)
+          SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2""")
+        // both rejected writes must leave no residue in the final hash
+        scala.util.Try(s.sql(
+          "INSERT INTO gmem.verify.nat_gate VALUES (999, 'TOO_BIG', 'std')")) // CHECK
+        scala.util.Try(s.sql("""INSERT INTO gmem.verify.nat_gate (n_nationkey, n_name)
+          SELECT n_nationkey, 'DUP' FROM gmem.verify.nat_gate LIMIT 1""")) // PK dup
+        // native MERGE: matched rows regrade to 'eu', unmatched insert 'new'
+        s.sql("""MERGE INTO gmem.verify.nat_gate t
+          USING (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey % 2 = 0) s
+          ON t.n_nationkey = s.n_nationkey
+          WHEN MATCHED THEN UPDATE SET grade = 'eu'
+          WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, grade)
+            VALUES (s.n_nationkey, s.n_name, 'new')""")
+        s.sql("""SELECT n_nationkey, n_name, grade
+          FROM gmem.verify.nat_gate ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name,
+          CASE WHEN n_regionkey = 2 AND n_nationkey % 2 = 0 THEN 'eu'
+               WHEN n_regionkey = 2 THEN 'std'
+               ELSE 'new' END AS grade
+        FROM nation WHERE n_regionkey = 2 OR n_nationkey % 2 = 0
         ORDER BY n_nationkey"""))
   )
 }

@@ -7,12 +7,13 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
-import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.catalog.{Column => V2Column, _}
+import org.apache.spark.sql.connector.catalog.constraints.{Constraint, PrimaryKey, Unique}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSourceV2 `TableCatalog` + `SupportsNamespaces`: the Spark-native form
@@ -29,17 +30,43 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * {{{
   *   spark.conf.set("spark.sql.catalog.gmem", classOf[GraftMemCatalog].getName)
   *   spark.sql("CREATE NAMESPACE gmem.lake")
-  *   spark.sql("CREATE TABLE gmem.lake.t (id BIGINT, name STRING)")
-  *   spark.sql("INSERT INTO gmem.lake.t VALUES (1, 'a')")
+  *   spark.sql("CREATE TABLE gmem.lake.t (id BIGINT, name STRING DEFAULT 'n/a')")
+  *   spark.sql("INSERT INTO gmem.lake.t (id) VALUES (1)")
   * }}}
+  *
+  * Semantic parity with the front-door stack rides Spark's own Table
+  * metadata, not a parallel engine:
+  *
+  *   - '''Column DEFAULTs''' — `SUPPORT_COLUMN_DEFAULT_VALUE`: the table
+  *     stores the analyzer's `Column[]` (default SQL + folded literal) and
+  *     Spark's `ResolveDefaultColumns` fills omitted INSERT columns.
+  *   - '''CHECK constraints''' — `SUPPORT_TABLE_CONSTRAINT`: declared
+  *     constraints surface through `Table.constraints()` and Spark's
+  *     `ResolveTableConstraints` injects `CheckInvariant` into every write
+  *     plan, so CHECK enforcement runs DISTRIBUTED on the executors (the
+  *     right shape at scale — rows are validated where they are produced,
+  *     not gathered first).
+  *   - '''PRIMARY KEY / UNIQUE''' — enforced at `BatchWrite.commit`, where
+  *     the incoming batch and the stored rows meet on the driver (Spark
+  *     itself treats them as informational; gmem enforces them on ingest
+  *     for parity with the front-door stack). NOT NULL is re-checked there
+  *     too as defense-in-depth behind Spark's write-side null checks.
+  *   - '''MERGE / UPDATE / DELETE''' — `SupportsRowLevelOperations` with
+  *     group-based copy-on-write: Spark rewrites the statement into a join
+  *     over the scan and hands the full replacement rowset to a truncating
+  *     commit. One shuffle, no per-row driver round trips — the same plan
+  *     shape [[graft.tables.MutableTableManager.merge]] builds manually.
   *
   * Storage is driver-held UnsafeRow batches — deliberate parity with the
   * reference's in-memory `Vec<RecordBatch>` tables, which are session-local
   * catalog/dimension tables, not corpus data (corpus tables stay
-  * parquet-backed through [[Tables]]; that is the 100 TB path). Reads ship
+  * parquet-backed through [[Tables]]; that is the 100 TB path). That scope
+  * is ENFORCED: every commit checks the per-table row/byte caps
+  * (`spark.sql.catalog.<name>.maxRowsPerTable` / `.maxBytesPerTable`) and
+  * an over-cap write fails cleanly with the previous version intact, so a
+  * corpus-sized `INSERT INTO gmem...` cannot OOM the driver. Reads ship
   * row chunks to executors as `InputPartition`s (~[[GraftMemCatalog.RowsPerPartition]]
-  * rows each) so downstream operators still parallelize; writes gather
-  * per-task rows through the standard `BatchWrite` commit protocol; and
+  * rows each) so downstream operators still parallelize; and
   * `spark.readStream.table("gmem.ns.t")` tails the table's append log as
   * a `MicroBatchStream` (offset = log position — inserts landing while
   * the stream runs arrive as later micro-batches).
@@ -48,17 +75,32 @@ class GraftMemCatalog extends TableCatalog with SupportsNamespaces {
   import GraftMemCatalog._
 
   private var catalogName: String = _
+  private var maxRows: Long = DefaultMaxRowsPerTable
+  private var maxBytes: Long = DefaultMaxBytesPerTable
   private val namespaces = TrieMap[List[String], Map[String, String]](
     List("default") -> Map.empty)
   private val tables = TrieMap[(List[String], String), GraftMemTable]()
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    maxRows = Option(options.get("maxRowsPerTable")).map(_.toLong)
+      .getOrElse(DefaultMaxRowsPerTable)
+    maxBytes = Option(options.get("maxBytesPerTable")).map(_.toLong)
+      .getOrElse(DefaultMaxBytesPerTable)
+  }
   override def name(): String = catalogName
   override def defaultNamespace(): Array[String] = Array("default")
 
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def key(ident: Identifier): (List[String], String) =
     (ident.namespace.toList, ident.name)
+
+  private def caps: TableCaps =
+    TableCaps(maxRows, maxBytes, s"spark.sql.catalog.$catalogName")
 
   // ------------------------------------------------------------- tables
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -92,13 +134,31 @@ class GraftMemCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
+      properties: util.Map[String, String]): Table =
+    createV2(ident,
+      schema.fields.map(f => V2Column.create(f.name, f.dataType, f.nullable)),
+      partitions, properties.asScala.toMap, Array.empty)
+
+  override def createTable(
+      ident: Identifier, columns: Array[V2Column], partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    createV2(ident, columns, partitions, properties.asScala.toMap, Array.empty)
+
+  /** The Spark 4 creation path: `TableInfo` carries columns (with DEFAULT
+    * metadata) AND declared constraints. */
+  override def createTable(ident: Identifier, info: TableInfo): Table =
+    createV2(ident, info.columns(), info.partitions(),
+      info.properties().asScala.toMap, info.constraints())
+
+  private def createV2(
+      ident: Identifier, columns: Array[V2Column], partitions: Array[Transform],
+      properties: Map[String, String], constraints: Array[Constraint]): Table = {
     if (!namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(ident.namespace)
     require(partitions.isEmpty, "gmem tables do not support partition transforms")
     val t = new GraftMemTable(
-      (ident.namespace :+ ident.name).mkString("."), schema,
-      properties.asScala.toMap)
+      (ident.namespace :+ ident.name).mkString("."), columns,
+      properties, constraints, caps)
     // atomic: a concurrent CREATE of the same name must not replace (and
     // silently drop the rows of) an instance another thread just created
     if (tables.putIfAbsent(key(ident), t).isDefined)
@@ -185,18 +245,65 @@ object GraftMemCatalog {
   /** Rows per shipped InputPartition: small enough to parallelize a
     * dimension table across tasks, large enough to amortize task setup. */
   val RowsPerPartition = 4096
+
+  /** Driver-heap guards: gmem tables are session/dimension-table scoped; a
+    * corpus-sized write must fail cleanly instead of OOMing the driver.
+    * Override per catalog with `spark.sql.catalog.<name>.maxRowsPerTable` /
+    * `.maxBytesPerTable`. */
+  val DefaultMaxRowsPerTable: Long = 10L * 1000 * 1000
+  val DefaultMaxBytesPerTable: Long = 1L << 30 // 1 GiB
+
+  /** Per-table write limits + the conf prefix to name in cap errors. */
+  final case class TableCaps(maxRows: Long, maxBytes: Long, confPrefix: String)
+
+  /** Caps for detached snapshot copies — never written to. */
+  private[sources] val SnapshotCaps = TableCaps(Long.MaxValue, Long.MaxValue, "")
+
+  /** Name of the single copy-on-write group-id metadata column. */
+  val GroupIdColumnName = "_grp"
+
+  /** See [[GraftMemTable.metadataColumns]]. */
+  object GroupIdColumn extends MetadataColumn {
+    override def name(): String = GroupIdColumnName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.IntegerType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "copy-on-write group id (gmem tables are one group)"
+  }
 }
 
 /** One in-memory table: driver-held UnsafeRow store behind the full V2
   * read/write protocol (BATCH_READ/WRITE, TRUNCATE for INSERT OVERWRITE,
-  * column pruning via SupportsPushDownRequiredColumns). */
+  * column pruning via SupportsPushDownRequiredColumns, row-level MERGE/
+  * UPDATE/DELETE via SupportsRowLevelOperations). The canonical column
+  * state is Spark's own `Column[]` (DEFAULT metadata included), so the
+  * analyzer — not this class — resolves defaults and constraint checks. */
 class GraftMemTable(
     private var tableName: String,
-    private var tableSchema: StructType,
-    initialProps: Map[String, String])
-  extends Table with SupportsRead with SupportsWrite {
+    initialCols: Array[V2Column],
+    initialProps: Map[String, String],
+    initialConstraints: Array[Constraint],
+    caps: GraftMemCatalog.TableCaps)
+  extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
+  with SupportsMetadataColumns {
 
+  /** The copy-on-write "group id" metadata column. Spark's group-based
+    * row-level path only routes rows through its data/metadata projections
+    * (`DataAndMetadataWritingSparkTask` — the task that strips the internal
+    * `__row_operation` column before the connector's writer sees rows) when
+    * the operation requires a metadata attribute, so the table exposes one:
+    * a constant 0, because the whole driver-held table is a single rewrite
+    * group (a parquet-backed engine would surface file/partition ids here
+    * and replace only affected groups). */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftMemCatalog.GroupIdColumn)
+
+  private var cols: Array[V2Column] = initialCols
+  private var tableSchema: StructType = toStruct(initialCols)
+  private var cons: Array[Constraint] = initialConstraints
   private var rows: Vector[InternalRow] = Vector.empty
+  private var storedBytes: Long = 0L
   // append-only insert log: what a STREAMING read tails (offsets = log
   // positions, so they stay monotone even across TRUNCATE of the table
   // state — the mem-table equivalent of a CDC insert feed)
@@ -204,9 +311,12 @@ class GraftMemTable(
   private var props: Map[String, String] = initialProps
   // commit snapshots for VERSION AS OF: entry 0 = the empty just-created
   // state; every write commit and ALTER appends one. Zero-copy — Vector is
-  // persistent and StructType immutable.
-  private var history: Vector[(StructType, Vector[InternalRow])] =
-    Vector((tableSchema, Vector.empty))
+  // persistent and the column array immutable.
+  private var history: Vector[(Array[V2Column], Vector[InternalRow])] =
+    Vector((initialCols, Vector.empty))
+
+  private def toStruct(cs: Array[V2Column]): StructType =
+    StructType(cs.map(c => StructField(c.name, c.dataType, c.nullable)))
 
   override def name(): String = synchronized(tableName)
   override def version(): String = synchronized((history.length - 1).toString)
@@ -217,12 +327,15 @@ class GraftMemTable(
   private[sources] def snapshotAt(v: Long): Table = synchronized {
     require(v >= 0 && v < history.length,
       s"gmem: no version $v of $tableName (${history.length} snapshots)")
-    val (sch, data) = history(v.toInt)
-    val snap = new GraftMemTable(s"$tableName@v$v", sch, Map.empty)
+    val (cs, data) = history(v.toInt)
+    val snap = new GraftMemTable(s"$tableName@v$v", cs, Map.empty,
+      Array.empty, GraftMemCatalog.SnapshotCaps)
     snap.rows = data
     snap
   }
   override def schema(): StructType = synchronized(tableSchema)
+  override def columns(): Array[V2Column] = synchronized(cols)
+  override def constraints(): Array[Constraint] = synchronized(cons)
   override def properties(): util.Map[String, String] = synchronized(props.asJava)
 
   private[sources] def rename(newName: String): Unit =
@@ -239,39 +352,125 @@ class GraftMemTable(
   private[sources] def logSlice(from: Long, until: Long): Vector[InternalRow] =
     synchronized(log.slice(from.toInt, until.toInt))
 
-  private[sources] def commitRows(
-      appended: Seq[InternalRow], truncate: Boolean): Unit = synchronized {
-    rows = (if (truncate) Vector.empty else rows) ++ appended
-    log = log ++ appended
-    history = history :+ ((tableSchema, rows))
+  private def rowBytes(r: InternalRow): Long = r match {
+    case u: UnsafeRow => u.getSizeInBytes.toLong
+    case other => 16L * other.numFields // rough estimate for non-unsafe rows
   }
 
-  /** ALTER TABLE: add (null-filled), drop, and rename top-level columns —
-    * existing rows AND the streaming append log migrate eagerly (a stream
-    * started after the ALTER must project old rows with the new ordinals),
-    * mirroring [[graft.tables.MutableTableManager]] semantics. */
+  /** The one mutation point for data: cap guard + UNIQUE/PK + NOT NULL run
+    * BEFORE any state advances, so a failed write leaves the previous
+    * version fully intact (no history entry, no log rows, no row change). */
+  private[sources] def commitRows(
+      appended: Seq[InternalRow], truncate: Boolean): Unit = synchronized {
+    val baseRows = if (truncate) 0L else rows.length.toLong
+    val baseBytes = if (truncate) 0L else storedBytes
+    val addBytes = appended.iterator.map(rowBytes).sum
+    if (baseRows + appended.length > caps.maxRows)
+      throw new IllegalStateException(
+        s"gmem: write to $tableName rejected — table would hold " +
+          s"${baseRows + appended.length} rows, over ${caps.confPrefix}.maxRowsPerTable=" +
+          s"${caps.maxRows}. gmem tables are driver-held and scoped to session/" +
+          "dimension data; store corpus-scale data in parquet-backed tables.")
+    if (baseBytes + addBytes > caps.maxBytes)
+      throw new IllegalStateException(
+        s"gmem: write to $tableName rejected — table would hold " +
+          s"${baseBytes + addBytes} bytes, over ${caps.confPrefix}.maxBytesPerTable=" +
+          s"${caps.maxBytes}. gmem tables are driver-held and scoped to session/" +
+          "dimension data; store corpus-scale data in parquet-backed tables.")
+    enforceOnCommit(appended, truncate)
+    rows = (if (truncate) Vector.empty else rows) ++ appended
+    storedBytes = baseBytes + addBytes
+    log = log ++ appended
+    history = history :+ ((cols, rows))
+  }
+
+  /** Commit-side enforcement, where the incoming batch and the stored rows
+    * meet: PRIMARY KEY / UNIQUE key-collision checks (within the batch and
+    * against existing rows; NULL-containing keys never collide, SQL UNIQUE
+    * semantics) and a NOT NULL re-check as defense-in-depth behind Spark's
+    * write-side null handling. CHECK constraints are NOT evaluated here —
+    * Spark's `ResolveTableConstraints` already ran them distributed inside
+    * the write plan (`CheckInvariant`). Cost is O(existing + batch) per
+    * declared key over driver-held rows already bounded by the caps. */
+  private def enforceOnCommit(appended: Seq[InternalRow], truncate: Boolean): Unit = {
+    val schema = tableSchema
+    val notNullOrds = schema.fields.zipWithIndex
+      .collect { case (f, i) if !f.nullable => i }
+    for (r <- appended; i <- notNullOrds if r.isNullAt(i))
+      throw new IllegalStateException(
+        s"gmem: NOT NULL constraint violated on $tableName: " +
+          s"column ${schema.fields(i).name}")
+    val keySets: Seq[(String, Array[String])] = cons.toSeq.collect {
+      case u: Unique => u.name() -> u.columns().map(_.fieldNames().mkString("."))
+      case p: PrimaryKey => p.name() -> p.columns().map(_.fieldNames().mkString("."))
+    }
+    for ((cname, keyCols) <- keySets) {
+      val ords = keyCols.map { c =>
+        val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+        require(i >= 0, s"gmem: constraint $cname references unknown column $c")
+        i
+      }
+      def keyOf(r: InternalRow): Option[Seq[Any]] = {
+        if (ords.exists(r.isNullAt)) None
+        else Some(ords.toIndexedSeq.map(i => r.get(i, schema.fields(i).dataType)))
+      }
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Any]]
+      if (!truncate) rows.foreach(r => keyOf(r).foreach(seen += _))
+      for (r <- appended; k <- keyOf(r))
+        if (!seen.add(k))
+          throw new IllegalStateException(
+            s"gmem: ${if (cname.nonEmpty) cname else "UNIQUE"} constraint " +
+              s"violated on $tableName: duplicate key (${keyCols.mkString(", ")})")
+    }
+  }
+
+  /** ALTER TABLE: add (default- or null-backfilled), drop, and rename
+    * top-level columns — existing rows AND the streaming append log migrate
+    * eagerly (a stream started after the ALTER must project old rows with
+    * the new ordinals), mirroring [[graft.tables.MutableTableManager]]
+    * semantics — plus ADD/DROP CONSTRAINT. */
   private[sources] def applyChange(change: TableChange): Unit = synchronized {
     change match {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1, "nested columns not supported")
         val old = tableSchema
-        tableSchema = tableSchema.add(add.fieldNames.head, add.dataType, add.isNullable)
-        def widen(r: InternalRow) = InternalRow.fromSeq(r.toSeq(old) :+ null)
+        cols = cols :+ V2Column.create(add.fieldNames.head, add.dataType,
+          add.isNullable, add.comment(), add.defaultValue(), null)
+        tableSchema = toStruct(cols)
+        // existing rows backfill with the default's folded literal (Spark
+        // ships it pre-evaluated in catalyst-internal form), like the
+        // front-door stack's ADD COLUMN ... DEFAULT backfill
+        val fill: Any = Option(add.defaultValue())
+          .flatMap(d => Option(d.getValue)).map(_.value()).orNull
+        def widen(r: InternalRow) = InternalRow.fromSeq(r.toSeq(old) :+ fill)
         rows = rows.map(widen)
         log = log.map(widen)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1, "nested columns not supported")
         val i = tableSchema.fieldIndex(del.fieldNames.head)
         val old = tableSchema
-        tableSchema = StructType(tableSchema.fields.patch(i, Nil, 1))
+        cols = cols.patch(i, Nil, 1)
+        tableSchema = toStruct(cols)
         def narrow(r: InternalRow) = InternalRow.fromSeq(r.toSeq(old).patch(i, Nil, 1))
         rows = rows.map(narrow)
         log = log.map(narrow)
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames.length == 1, "nested columns not supported")
         val i = tableSchema.fieldIndex(rn.fieldNames.head)
-        tableSchema = StructType(tableSchema.fields.updated(i,
-          tableSchema.fields(i).copy(name = rn.newName)))
+        val c = cols(i)
+        cols = cols.updated(i, V2Column.create(rn.newName, c.dataType,
+          c.nullable, c.comment(), c.defaultValue(), c.metadataInJSON()))
+        tableSchema = toStruct(cols)
+      case ac: TableChange.AddConstraint =>
+        require(!cons.exists(_.name() == ac.constraint().name()),
+          s"gmem: constraint ${ac.constraint().name()} already exists on $tableName")
+        cons = cons :+ ac.constraint()
+      case dc: TableChange.DropConstraint =>
+        val before = cons.length
+        cons = cons.filterNot(_.name() == dc.name())
+        if (cons.length == before && !dc.ifExists())
+          throw new IllegalArgumentException(
+            s"gmem: no constraint ${dc.name()} on $tableName")
       case set: TableChange.SetProperty =>
         props = props + (set.property -> set.value)
       case rm: TableChange.RemoveProperty =>
@@ -279,7 +478,7 @@ class GraftMemTable(
       case other =>
         throw new UnsupportedOperationException(s"gmem: unsupported $other")
     }
-    history = history :+ ((tableSchema, rows))
+    history = history :+ ((cols, rows))
   }
 
   // ---------------------------------------------------------------- read
@@ -299,8 +498,8 @@ class GraftMemTable(
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(
-              info: PhysicalWriteInfo): DataWriterFactory =
-            new GraftMemWriterFactory
+              pwi: PhysicalWriteInfo): DataWriterFactory =
+            new GraftMemWriterFactory(info.schema(), schema())
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val appended = messages.iterator.flatMap {
               case RowsCommit(rs) => rs
@@ -310,6 +509,51 @@ class GraftMemTable(
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
+      }
+    }
+
+  /** Row-level MERGE / UPDATE / DELETE, group-based copy-on-write with ONE
+    * group (the whole table): Spark rewrites the statement into a join over
+    * this operation's scan and writes the full replacement rowset; commit
+    * swaps the table contents atomically (truncate + append — the same
+    * "derive the new state, swap" shape as the front-door view-swap). The
+    * replacement rows land in the streaming append log like an INSERT
+    * OVERWRITE would. Fine for driver-held dimension tables (the caps
+    * bound the rewrite); a parquet-backed engine would replace only the
+    * affected files via runtime group filtering instead. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command()
+        override def description(): String =
+          s"GraftMemRowLevel(${info.command()}, $tableName)"
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          GraftMemTable.this.newScanBuilder(options)
+        // requiring the group-id metadata column routes the rewrite through
+        // Spark's data/metadata projections (see metadataColumns())
+        override def requiredMetadataAttributes()
+            : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .column(GraftMemCatalog.GroupIdColumnName))
+        override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
+          new WriteBuilder {
+            override def build(): Write = new Write {
+              override def toBatch: BatchWrite = new BatchWrite {
+                override def createBatchWriterFactory(
+                    pwi: PhysicalWriteInfo): DataWriterFactory =
+                  new GraftMemWriterFactory(lwi.schema(), schema())
+                override def commit(messages: Array[WriterCommitMessage]): Unit = {
+                  val replacement = messages.iterator.flatMap {
+                    case RowsCommit(rs) => rs
+                    case _ => Iterator.empty
+                  }.toVector
+                  commitRows(replacement, truncate = true)
+                }
+                override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+              }
+            }
+          }
       }
     }
 }
@@ -328,8 +572,14 @@ class GraftMemScan(table: GraftMemTable, requiredSchema: StructType)
   private def projection(): UnsafeProjection = {
     val full = table.schema()
     UnsafeProjection.create(requiredSchema.fields.map { f =>
-      val i = full.fieldIndex(f.name)
-      BoundReference(i, full(i).dataType, full(i).nullable)
+      if (f.name == GraftMemCatalog.GroupIdColumnName)
+        // synthetic metadata column: the whole table is one rewrite group
+        org.apache.spark.sql.catalyst.expressions.Literal(0)
+          : org.apache.spark.sql.catalyst.expressions.Expression
+      else {
+        val i = full.fieldIndex(f.name)
+        BoundReference(i, full(i).dataType, full(i).nullable)
+      }
     }.toSeq)
   }
 
@@ -388,13 +638,25 @@ object RowsReaderFactory extends PartitionReaderFactory {
 /** Row chunk shipped to an executor (UnsafeRows serialize). */
 case class RowsPartition(rows: Array[InternalRow]) extends InputPartition
 
-/** Per-task writer: copies incoming rows (Spark reuses the instance) and
-  * returns them in the commit message for the driver-side append. */
-class GraftMemWriterFactory extends DataWriterFactory {
+/** Per-task writer: normalizes each incoming row into the TABLE schema's
+  * UnsafeRow layout (by-name bind from the write's data schema — row-level
+  * rewrites can hand rows whose physical layout differs from the stored
+  * one) and returns the copies in the commit message for the driver-side
+  * append. The projection is generated executor-side in `createWriter`. */
+class GraftMemWriterFactory(writeSchema: StructType, tableSchema: StructType)
+  extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
+      private val proj = UnsafeProjection.create(tableSchema.fields.map { f =>
+        val i = writeSchema.fieldIndex(f.name)
+        BoundReference(i, writeSchema(i).dataType, writeSchema(i).nullable)
+      }.toSeq)
       private val buf = Vector.newBuilder[InternalRow]
-      override def write(record: InternalRow): Unit = buf += record.copy()
+      override def write(record: InternalRow): Unit = buf += proj(record).copy()
+      // carried-over rows in a copy-on-write rewrite arrive with their
+      // metadata row; the group id doesn't change what gets stored
+      override def write(metadata: InternalRow, record: InternalRow): Unit =
+        write(record)
       override def commit(): WriterCommitMessage = RowsCommit(buf.result().toArray)
       override def abort(): Unit = ()
       override def close(): Unit = ()

@@ -1,0 +1,146 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftMemCatalog
+
+/** Semantic parity between the DSv2 `gmem` catalog and the front-door
+  * view-swap stack: column DEFAULTs, NOT NULL/CHECK/UNIQUE/PK enforcement,
+  * row-level MERGE/UPDATE/DELETE, and the driver-heap caps. DEFAULT filling
+  * and CHECK enforcement are Spark's own (ResolveDefaultColumns /
+  * CheckInvariant in the write plan); key uniqueness and the caps live in
+  * the BatchWrite commit path. */
+class DsV2ParitySpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.gmem", classOf[GraftMemCatalog].getName)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gmem.par")
+    s
+  }
+
+  test("column DEFAULTs fill omitted INSERT columns") {
+    spark.sql("DROP TABLE IF EXISTS gmem.par.d")
+    spark.sql("CREATE TABLE gmem.par.d (id BIGINT, v BIGINT DEFAULT 7, s STRING DEFAULT 'x')")
+    spark.sql("INSERT INTO gmem.par.d (id) VALUES (1)")
+    spark.sql("INSERT INTO gmem.par.d VALUES (2, 8, 'y')")
+    spark.sql("INSERT INTO gmem.par.d (id, v) VALUES (3, DEFAULT)")
+    val rows = spark.sql("SELECT id, v, s FROM gmem.par.d ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 7L, "x"), (2L, 8L, "y"), (3L, 7L, "x")))
+  }
+
+  test("CHECK constraints are enforced in the write plan") {
+    spark.sql("DROP TABLE IF EXISTS gmem.par.ck")
+    spark.sql("CREATE TABLE gmem.par.ck (id BIGINT, bal BIGINT, CONSTRAINT pos CHECK (bal >= 0))")
+    spark.sql("INSERT INTO gmem.par.ck VALUES (1, 100)")
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO gmem.par.ck VALUES (2, -5)"))
+    assert(e.getMessage.toLowerCase.contains("pos") ||
+      e.getMessage.toLowerCase.contains("check"), e.getMessage)
+    // failed write left the previous state intact
+    assert(spark.table("gmem.par.ck").count() == 1)
+  }
+
+  test("NOT NULL columns reject null writes") {
+    spark.sql("DROP TABLE IF EXISTS gmem.par.nn")
+    spark.sql("CREATE TABLE gmem.par.nn (id BIGINT NOT NULL, v STRING)")
+    spark.sql("INSERT INTO gmem.par.nn VALUES (1, 'a')")
+    intercept[Exception](
+      spark.sql("INSERT INTO gmem.par.nn VALUES (CAST(NULL AS BIGINT), 'b')"))
+    assert(spark.table("gmem.par.nn").count() == 1)
+  }
+
+  test("PRIMARY KEY / UNIQUE keys are enforced at commit") {
+    spark.sql("DROP TABLE IF EXISTS gmem.par.pk")
+    spark.sql("CREATE TABLE gmem.par.pk (id BIGINT, email STRING, " +
+      "CONSTRAINT pk PRIMARY KEY (id), CONSTRAINT uq UNIQUE (email))")
+    spark.sql("INSERT INTO gmem.par.pk VALUES (1, 'a@x.io'), (2, 'b@x.io')")
+    // duplicate key against existing rows
+    intercept[Exception](spark.sql("INSERT INTO gmem.par.pk VALUES (1, 'c@x.io')"))
+    // duplicate within one batch
+    intercept[Exception](
+      spark.sql("INSERT INTO gmem.par.pk VALUES (3, 'd@x.io'), (3, 'e@x.io')"))
+    // UNIQUE collision
+    intercept[Exception](spark.sql("INSERT INTO gmem.par.pk VALUES (4, 'a@x.io')"))
+    // NULL keys never collide (SQL UNIQUE semantics)
+    spark.sql("INSERT INTO gmem.par.pk VALUES (5, NULL), (6, NULL)")
+    assert(spark.table("gmem.par.pk").count() == 4)
+  }
+
+  test("MERGE INTO upserts through the row-level operation") {
+    spark.sql("DROP TABLE IF EXISTS gmem.par.mt")
+    spark.sql("CREATE TABLE gmem.par.mt (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gmem.par.mt VALUES (1, 'a'), (2, 'b')")
+    spark.sql("""MERGE INTO gmem.par.mt t
+      USING (SELECT * FROM VALUES (2, 'B'), (3, 'C') AS s(k, v)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val rows = spark.sql("SELECT k, v FROM gmem.par.mt ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "C")))
+  }
+
+  test("UPDATE and DELETE execute through the row-level operation") {
+    spark.sql("DROP TABLE IF EXISTS gmem.par.ud")
+    spark.sql("CREATE TABLE gmem.par.ud (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gmem.par.ud VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql("UPDATE gmem.par.ud SET v = v + 1 WHERE k >= 2")
+    assert(spark.sql("SELECT sum(v) FROM gmem.par.ud").head().getLong(0) == 62L)
+    spark.sql("DELETE FROM gmem.par.ud WHERE k = 1")
+    assert(spark.sql("SELECT count(*) FROM gmem.par.ud").head().getLong(0) == 2L)
+  }
+
+  test("MERGE respects CHECK constraints on the rewritten rows") {
+    spark.sql("DROP TABLE IF EXISTS gmem.par.mc")
+    spark.sql("CREATE TABLE gmem.par.mc (k BIGINT, bal BIGINT, CONSTRAINT p CHECK (bal >= 0))")
+    spark.sql("INSERT INTO gmem.par.mc VALUES (1, 5)")
+    intercept[Exception](spark.sql("""MERGE INTO gmem.par.mc t
+      USING (SELECT * FROM VALUES (1, -9) AS s(k, bal)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET bal = s.bal"""))
+    assert(spark.sql("SELECT bal FROM gmem.par.mc").head().getLong(0) == 5L)
+  }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT") {
+    spark.sql("DROP TABLE IF EXISTS gmem.par.ac")
+    spark.sql("CREATE TABLE gmem.par.ac (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gmem.par.ac VALUES (1, 1)")
+    spark.sql("ALTER TABLE gmem.par.ac ADD CONSTRAINT vpos CHECK (v > 0)")
+    intercept[Exception](spark.sql("INSERT INTO gmem.par.ac VALUES (2, -1)"))
+    spark.sql("ALTER TABLE gmem.par.ac DROP CONSTRAINT vpos")
+    spark.sql("INSERT INTO gmem.par.ac VALUES (2, -1)") // now allowed
+    assert(spark.table("gmem.par.ac").count() == 2)
+  }
+
+  test("row cap: over-cap write fails cleanly, previous version intact") {
+    spark.conf.set("spark.sql.catalog.gcap", classOf[GraftMemCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcap.maxRowsPerTable", "10")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcap.ns")
+    spark.sql("DROP TABLE IF EXISTS gcap.ns.t")
+    spark.sql("CREATE TABLE gcap.ns.t (id BIGINT)")
+    spark.sql("INSERT INTO gcap.ns.t SELECT id FROM range(8)") // under cap
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO gcap.ns.t SELECT id FROM range(5)")) // 13 > 10
+    assert(e.getMessage.contains("maxRowsPerTable") &&
+      e.getMessage.contains("gcap"), e.getMessage)
+    // previous state intact, table still writable under the cap
+    assert(spark.table("gcap.ns.t").count() == 8)
+    spark.sql("INSERT INTO gcap.ns.t VALUES (99)")
+    assert(spark.table("gcap.ns.t").count() == 9)
+    // CTAS over the cap fails cleanly too
+    intercept[Exception](
+      spark.sql("CREATE TABLE gcap.ns.big AS SELECT id FROM range(100)"))
+  }
+
+  test("byte cap triggers on oversized rows") {
+    spark.conf.set("spark.sql.catalog.gbyte", classOf[GraftMemCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbyte.maxBytesPerTable", "4096")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gbyte.ns")
+    spark.sql("CREATE TABLE gbyte.ns.t (s STRING)")
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO gbyte.ns.t SELECT repeat('x', 1000) FROM range(10)"))
+    assert(e.getMessage.contains("maxBytesPerTable"), e.getMessage)
+    assert(spark.table("gbyte.ns.t").count() == 0)
+  }
+}
