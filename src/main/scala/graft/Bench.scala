@@ -104,9 +104,12 @@ object Bench {
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val medians = stableRuns.map { case (n, xs) => n -> median(xs) }
     val mins = stableRuns.map { case (n, xs) => n -> xs.min }
-    streamBench(spark, sfDir)
+    // stream throughput rides INSIDE the final metric object: the stderr
+    // print alone can fall outside the driver's bounded output tail, and
+    // round-over-round throughput comparison needs it machine-readable
+    val streamJson = streamBench(spark, sfDir).getOrElse("null")
     def line(ms: Map[String, Double], mn: Map[String, Double]): String =
-      s"""{"metric":"total","value":${fmt(res.total)},"unit":"sec","queries":${qsJson(ms)},"queries_min":${qsJson(mn)},"n_queries":${res.seconds.size},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(res.total)},"unit":"sec","queries":${qsJson(ms)},"queries_min":${qsJson(mn)},"n_queries":${res.seconds.size},"errors":$errs,"stream":$streamJson,"sf":"$sfDir"}"""
     val full = line(medians, mins)
     // Full machine-readable report on disk: the driver's captured output
     // tail is bounded, so the complete per-query breakdown + stability
@@ -142,13 +145,14 @@ object Bench {
     if (res.errors.nonEmpty) sys.exit(1)
   }
 
-  /** Streaming throughput micro-bench (stderr only): replay the sf tables
-    * through the two stateful streaming flagships — corpus cleaning
-    * (classify → gate → watermarked fingerprint dedup) and native
-    * session-window aggregation — so state-store regressions show up
-    * round-over-round. Failures are reported, never fatal: the batch bench
-    * is the contract, this is telemetry. */
-  private def streamBench(spark: SparkSession, sfDir: String): Unit = {
+  /** Streaming throughput micro-bench: replay the sf tables through the
+    * two stateful streaming flagships — corpus cleaning (classify → gate →
+    * watermarked fingerprint dedup) and native session-window aggregation
+    * — so state-store regressions show up round-over-round. Returns the
+    * JSON object embedded under the final metric line's `"stream"` key
+    * (also printed to stderr for the human log). Failures are reported,
+    * never fatal: the batch bench is the contract, this is telemetry. */
+  private def streamBench(spark: SparkSession, sfDir: String): Option[String] = {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingOps
     try {
@@ -175,12 +179,16 @@ object Bench {
         StreamingOps.sessionWindowCounts(stream, "30 minutes", Some("1 hour")),
         "bench_stream_sess", mode = "append").count()
       val sessSec = (System.nanoTime() - t1) / 1e9
-      System.err.println(
-        s"""{"stream_bench":{"corpus_clean_rows":$nDocs,"corpus_clean_sec":${fmt(cleanSec)},"corpus_clean_rows_per_sec":${fmt(nDocs / cleanSec)},"session_window_rows":$nEv,"session_window_sec":${fmt(sessSec)},"session_window_rows_per_sec":${fmt(nEv / sessSec)}}}""")
+      val obj =
+        s"""{"corpus_clean_rows":$nDocs,"corpus_clean_sec":${fmt(cleanSec)},"corpus_clean_rows_per_sec":${fmt(nDocs / cleanSec)},"session_window_rows":$nEv,"session_window_sec":${fmt(sessSec)},"session_window_rows_per_sec":${fmt(nEv / sessSec)}}"""
+      System.err.println(s"""{"stream_bench":$obj}""")
+      Some(obj)
     } catch {
-      case e: Throwable => System.err.println(
-        s"""{"stream_bench_error":${jsonStr(e.getClass.getSimpleName + ": " +
-          Option(e.getMessage).getOrElse("").take(200))}}""")
+      case e: Throwable =>
+        System.err.println(
+          s"""{"stream_bench_error":${jsonStr(e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(200))}}""")
+        None
     }
   }
 }

@@ -77,8 +77,13 @@ object Tpch2 extends QueryModule {
       "q15_top_supplier",
       (s, dir) => {
         import s.implicits._
+        // the explicit isNotNull keeps BOTH consumers' scan subtrees
+        // canonically identical: the supplier join infers it on its branch
+        // only, which would split the revenue aggregate into two lineitem
+        // scans instead of one ReusedExchange (PlanSpec guards this)
         val revenue = t(s, dir, "lineitem")
-          .filter($"l_shipdate" >= ts("1997-01-01") && $"l_shipdate" < ts("1997-04-01"))
+          .filter($"l_shipdate" >= ts("1997-01-01") && $"l_shipdate" < ts("1997-04-01") &&
+            $"l_suppkey".isNotNull)
           .groupBy($"l_suppkey".as("supplier_no"))
           .agg(sum(m($"l_extendedprice") * oneMinus($"l_discount")).as("total_rev"))
         val mx = revenue.agg(max($"total_rev").as("mx"))

@@ -441,7 +441,8 @@ object StreamingOps {
       spark: SparkSession,
       events: DataFrame,
       store: scala.collection.concurrent.TrieMap[
-        (Long, String), (Long, java.math.BigDecimal, java.sql.Timestamp)])
+        (Long, String), (Long, java.math.BigDecimal, java.sql.Timestamp)],
+      checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val agg = events
       .groupBy(col("user_id"), col("event_type"))
@@ -450,7 +451,7 @@ object StreamingOps {
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
           .as("sum_value"),
         max(col("ts")).as("last_ts"))
-    agg.writeStream
+    val writer = agg.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.collect().foreach { r =>
@@ -459,7 +460,10 @@ object StreamingOps {
         }
         ()
       }
-      .start()
+    // with a checkpoint dir the rollup state (counts/sums per key) and the
+    // source offsets survive a stop: a restarted query resumes exactly
+    // where it left off instead of recounting from scratch
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }
 
   /** Rolling 7-day distinct users, streaming form of the batch

@@ -41,6 +41,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q15: the revenue aggregate exchange is reused across the max and join branches") {
+    // q15 reads lineitem once: the quarterly revenue aggregate feeds BOTH
+    // the supplier join and the broadcast max, and Spark must stitch them
+    // with a ReusedExchange. Losing the reuse silently doubles the
+    // lineitem scan — at 100 TB that is the whole query cost. AQE
+    // finalizes reuse only after execution, so run the SAME queryExecution.
+    val df = Registry.queries("q15_top_supplier")(spark, TestSpark.sfDir)
+    df.queryExecution.toRdd.count()
+    // AdaptiveSparkPlan prints "== Final Plan ==" then "== Initial Plan ==";
+    // only the final section is what actually ran
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange") || p.contains("ReusedSubquery"),
+      s"q15 lost its revenue-exchange reuse:\n$p")
+    val lineitemScans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"expected 1 lineitem scan, got $lineitemScans:\n$p")
+  }
+
   test("q11: scalar-subquery threshold is broadcast, not shuffled") {
     val p = plan("q11_important_balances")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)

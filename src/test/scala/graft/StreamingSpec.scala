@@ -521,4 +521,134 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.get(d).contains(n), s"day $d: stream=${got.get(d)} batch=$n")
     }
   }
+
+  test("MV maintenance recovers from its checkpoint across a stop/restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, max, sum}
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+      .select($"ts", $"user_id", $"event_type", $"value")
+    // time-split halves: the same users appear in both, so the final
+    // counts are only right if the rollup state SURVIVES the restart —
+    // a from-scratch run 2 would report run-2-only counts for those keys
+    val cut = events.selectExpr("percentile_approx(ts, 0.5)").head().getTimestamp(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mv_ckpt").toString
+    events.filter($"ts" <= cut).repartition(2).write.mode("append").parquet(dir)
+
+    val store = scala.collection.concurrent.TrieMap
+      .empty[(Long, String), (Long, java.math.BigDecimal, java.sql.Timestamp)]
+    def start() = StreamingOps.maintainAggStream(
+      spark,
+      spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir),
+      store, checkpoint = Some(ckpt))
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(store.nonEmpty, "run 1 must process at least one micro-batch")
+    val afterRun1 = store.readOnlySnapshot().toMap
+
+    events.filter($"ts" > cut).repartition(2).write.mode("append").parquet(dir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val batch = events.groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(12, 2))).as("s"),
+        max($"ts").as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDecimal(3), r.getTimestamp(4)))).toMap
+    assert(store.size == batch.size)
+    batch.foreach { case (k, (n, s, t)) =>
+      val (gn, gs, gt) = store(k)
+      assert(gn == n && gs.compareTo(s) == 0 && gt == t,
+        s"key $k: ($gn,$gs,$gt) != ($n,$s,$t)")
+    }
+    // the restart genuinely continued: some key's count grew across runs
+    assert(batch.exists { case (k, (n, _, _)) =>
+      afterRun1.get(k).exists(_._1 < n) },
+      "expected at least one key updated in BOTH runs")
+  }
+
+  test("near-dup gate recovers band-claim state across a stop/restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select($"doc_id", $"text")
+    val split = docs.selectExpr("percentile_approx(doc_id, 0.5)").head().getLong(0)
+    val base = to_timestamp(lit("2024-01-01 00:00:00"))
+
+    // part 1 at 00:00:00 + id sec; a sentinel at 01:30 advances the
+    // watermark (delay 1h → 00:30) so run 1 FLUSHES doc decisions
+    val part1 = docs.filter($"doc_id" < split)
+      .withColumn("ingest_ts", base + make_interval(
+        lit(0), lit(0), lit(0), lit(0), lit(0), lit(0), $"doc_id".cast("double")))
+      .unionByName(Seq((50000000L,
+        "first watermark sentinel aa bb cc dd ee ff gg",
+        java.sql.Timestamp.valueOf("2024-01-01 01:30:00")))
+        .toDF("doc_id", "text", "ingest_ts"))
+
+    // part 2 at 02:00 + offset sec (AFTER the recovered watermark), with
+    // PLANTED COPIES of three part-1 texts: their bands were claimed in
+    // run 1, so they can only be retired if that state survived the
+    // restart. Second sentinel at 06:00 flushes run 2.
+    val planted = docs.filter($"doc_id" < 3)
+      .select(($"doc_id" + 150000000L).as("doc_id"), $"text")
+    val part2 = docs.filter($"doc_id" >= split)
+      .select(($"doc_id" + 100000000L).as("doc_id"), $"text")
+      .unionByName(planted)
+      .withColumn("ingest_ts",
+        to_timestamp(lit("2024-01-01 02:00:00")) + make_interval(
+          lit(0), lit(0), lit(0), lit(0), lit(0), lit(0),
+          ($"doc_id" % 1000L).cast("double")))
+      .unionByName(Seq((200000000L,
+        "second watermark sentinel zz yy xx ww vv uu tt",
+        java.sql.Timestamp.valueOf("2024-01-01 06:00:00")))
+        .toDF("doc_id", "text", "ingest_ts"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gate_rckpt").toString
+    part1.write.mode("append").parquet(dir)
+
+    val decisions = scala.collection.concurrent.TrieMap.empty[Long, Boolean]
+    val checkConf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(checkConf, "false")
+    // 12h claim horizon: part-1 band claims must still be live at 02:00
+    def start() = StreamingOps.nearDupGateStream(spark, part1.schema, dir,
+        watermark = "1 hour", horizonMillis = 12L * 3600 * 1000)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => decisions.put(r.getLong(0), r.getBoolean(1)))
+        ()
+      }
+      .start()
+
+    try {
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      assert(decisions.nonEmpty, "run 1 must flush at least one decision")
+      val run1Count = decisions.size
+
+      part2.write.mode("append").parquet(dir)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(decisions.size > run1Count, "run 2 must add decisions")
+
+      // truth: the batch first-wins gate over the full staged corpus
+      val staged = part1.unionByName(part2)
+      val batch = DedupOps.nearDupGateBatch(staged, $"doc_id", $"text", $"doc_id")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      val sentinels = Set(50000000L, 200000000L)
+      val got = decisions.readOnlySnapshot().toMap.filterNot(k => sentinels(k._1))
+      val want = batch.filterNot(k => sentinels(k._1))
+      assert(got == want)
+      // the planted run-2 copies were retired by RECOVERED run-1 claims
+      Seq(150000000L, 150000001L, 150000002L).foreach { id =>
+        assert(got.get(id).contains(false),
+          s"planted dup $id must be retired by recovered band-claim state")
+      }
+    } finally spark.conf.unset(checkConf)
+  }
 }
