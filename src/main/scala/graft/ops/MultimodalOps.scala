@@ -364,6 +364,116 @@ object MultimodalOps {
       }
   }
 
+  /** Decoded pixel statistics of one uncompressed 24-bit BMP: channel sums
+    * plus the TOP-LEFT pixel (the flip-sensitive probe — in a bottom-up
+    * BMP it is the first pixel of the LAST stored row, so a row-order or
+    * stride bug shows up here even when the order-invariant sums match). */
+  final case class BmpPixels(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      first_r: Int,
+      first_g: Int,
+      first_b: Int)
+
+  /** REAL pixel decode of an uncompressed 24-bit BMP — pure byte
+    * arithmetic, no codec: BITMAPFILEHEADER pixel-array offset (LE32 at
+    * 10), BITMAPINFOHEADER width/height (LE32 at 18/22; negative height =
+    * top-down row order), 24 bpp, BI_RGB only; rows are BGR triplets
+    * padded to a 4-byte stride, stored bottom-up unless top-down. This is
+    * the honest notch past header-only parsing: JPEG/PNG/GIF pixel decode
+    * (entropy coding) stays behind the documented stub. */
+  def bmpPixels(b: Array[Byte]): Option[BmpPixels] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val off = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0 || le16(26) != 1 || le16(28) != 24 || le32(30) != 0)
+      return None
+    val stride = (w * 3 + 3) / 4 * 4
+    if (off < 54 || off.toLong + stride.toLong * h > b.length) return None
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var fr = 0; var fg = 0; var fb = 0
+    var y = 0
+    while (y < h) { // y = image row, top-based
+      val stored = if (topDown) y else h - 1 - y
+      val base = off + stored * stride
+      var x = 0
+      while (x < w) {
+        val i = base + x * 3
+        val bb = u8(i); val g = u8(i + 1); val r = u8(i + 2) // BGR on disk
+        if (x == 0 && y == 0) { fr = r; fg = g; fb = bb }
+        sr += r; sg += g; sb += bb
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpPixels(-1L, w, h, sr, sg, sb, fr, fg, fb))
+  }
+
+  /** Fixture adapter (the image-pixel sibling of [[asWavPayload]]): emit
+    * REAL uncompressed 24-bit BMPs whose every pixel derives from the row
+    * id — R=(id+7x+13y)%256, G=(3id+5x+11y)%256, B=(5id+3x+17y)%256 over a
+    * 4–8 × 3–6 ladder — so an oracle recomputes channel statistics from
+    * the formula WITHOUT parsing bytes. Every third row is stored TOP-DOWN
+    * (negative height) and widths 4–8 exercise all four stride paddings,
+    * so the decoder's flip and stride handling are both under the hash.
+    * [[bmpPixels]] never sees the formula — it reads only the byte layout. */
+  def asBmpPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val w = 4 + (docId % 5).toInt
+          val h = 3 + (docId % 4).toInt
+          val topDown = docId % 3 == 0
+          val stride = (w * 3 + 3) / 4 * 4
+          val buf = java.nio.ByteBuffer.allocate(54 + stride * h)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put('B'.toByte).put('M'.toByte)
+          buf.putInt(54 + stride * h)
+          buf.putShort(0).putShort(0)
+          buf.putInt(54) // pixel-array offset
+          buf.putInt(40) // BITMAPINFOHEADER
+          buf.putInt(w)
+          buf.putInt(if (topDown) -h else h)
+          buf.putShort(1) // planes
+          buf.putShort(24) // bpp
+          buf.putInt(0) // BI_RGB
+          buf.putInt(stride * h)
+          buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+          val rows = if (topDown) 0 until h else (h - 1) to 0 by -1
+          for (y <- rows; x <- 0 until w) {
+            buf.put((((docId * 5 + 3L * x + 17L * y) % 256).toInt).toByte) // B
+            buf.put((((docId * 3 + 5L * x + 11L * y) % 256).toInt).toByte) // G
+            buf.put((((docId + 7L * x + 13L * y) % 256).toInt).toByte) // R
+            if (x == w - 1) (w * 3 until stride).foreach(_ => buf.put(0.toByte))
+          }
+          (docId, buf.array())
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Partition-parallel BMP pixel decode ([[extractMeta]] shape):
+    * unrecognized/compressed containers are dropped (quarantine route). */
+  def extractBmpPixels(spark: SparkSession, media: DataFrame): Dataset[BmpPixels] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          bmpPixels(bytes).map(_.copy(doc_id = id))
+        }
+      }
+  }
+
   /** Video frame sampling plumbing: each payload expands to `n` evenly-
     * spaced frame rows (frame index, presentation timestamp at `fps`, and a
     * per-frame fingerprint). The row expansion is a codegen'd posexplode —

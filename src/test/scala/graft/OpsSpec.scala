@@ -384,6 +384,49 @@ class OpsSpec extends AnyFunSuite {
     assert(a.forall(m => m.format == "raw" && m.width >= 64 && m.height >= 64))
   }
 
+  test("bmp pixel decode handles stride, bottom-up/top-down, and BGR order") {
+    // hand-built 2x2 24-bit BMP, bottom-up: stored row 0 = IMAGE row 1.
+    // Image pixels (r,g,b): (0,0)=(10,20,30) (1,0)=(40,50,60)
+    //                       (0,1)=(70,80,90) (1,1)=(100,110,120)
+    def bmp(topDown: Boolean): Array[Byte] = {
+      val stride = 8 // 2*3 = 6, padded to 8
+      val buf = java.nio.ByteBuffer.allocate(54 + stride * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(54 + stride * 2)
+        .putShort(0).putShort(0).putInt(54)
+        .putInt(40).putInt(2).putInt(if (topDown) -2 else 2)
+        .putShort(1).putShort(24).putInt(0).putInt(stride * 2)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      val imgRows = Seq( // BGR triplets per image row (top first)
+        Seq(30, 20, 10, 60, 50, 40), Seq(90, 80, 70, 120, 110, 100))
+      val stored = if (topDown) imgRows else imgRows.reverse
+      stored.foreach { row =>
+        row.foreach(v => buf.put(v.toByte)); buf.put(0.toByte).put(0.toByte) }
+      buf.array()
+    }
+    for (td <- Seq(false, true)) {
+      val p = MultimodalOps.bmpPixels(bmp(td)).get
+      assert(p.width == 2 && p.height == 2, s"topDown=$td")
+      assert((p.sum_r, p.sum_g, p.sum_b) == ((220L, 260L, 300L)), s"topDown=$td")
+      // the top-left IMAGE pixel, independent of storage order
+      assert((p.first_r, p.first_g, p.first_b) == ((10, 20, 30)), s"topDown=$td")
+    }
+    // compressed / non-24bpp / truncated payloads are rejected
+    assert(MultimodalOps.bmpPixels("BM but not a real bmp".getBytes).isEmpty)
+    assert(MultimodalOps.bmpPixels(bmp(false).take(40)).isEmpty)
+    // the fixture adapter round-trips through the decoder
+    val media = MultimodalOps.asBmpPayload(spark, docs.limit(8), "doc_id")
+    val decoded = MultimodalOps.extractBmpPixels(spark, media)
+      .collect().sortBy(_.doc_id)
+    assert(decoded.length == 8)
+    decoded.foreach { d =>
+      val id = d.doc_id
+      assert(d.width == 4 + (id % 5).toInt && d.height == 3 + (id % 4).toInt)
+      assert(d.first_r == (id % 256).toInt && d.first_g == (id * 3 % 256).toInt
+        && d.first_b == (id * 5 % 256).toInt, s"doc $id first pixel")
+    }
+  }
+
   test("image container headers parse real dimensions (no codec needed)") {
     def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
     // PNG: signature + IHDR chunk (len, "IHDR", width=640, height=480)
