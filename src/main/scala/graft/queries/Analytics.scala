@@ -1662,6 +1662,42 @@ object Analytics extends QueryModule {
           round(count(*) FILTER (WHERE regexp_matches(path, re)) * 1.0
             / count(*), 6) AS share
         FROM paths CROSS JOIN pats
-        GROUP BY pattern_name ORDER BY pattern_name"""))
+        GROUP BY pattern_name ORDER BY pattern_name""")),
+
+    // ---- differentially-private histogram release (governance: the
+    // counts a dataset card can publish). Laplace(1/ε) noise via the
+    // inverse CDF over an ENGINE-NEUTRAL md5-derived uniform (the same
+    // seeded-hash family as the dedup signatures), so DuckDB recomputes
+    // the identical release — deterministic-by-construction DP noise is
+    // exactly how auditable pipelines do it (seed + key → noise). Groups
+    // under the k=5 anonymity floor are suppressed before release. One
+    // combinable aggregate; noise is per-GROUP, O(groups) work. ----
+    QueryDef(
+      "an_dp_histogram",
+      (s, dir) => {
+        import s.implicits._
+        val g = t(s, dir, "documents")
+          .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+          .filter($"n" >= 5) // k-anonymity floor: tiny groups never release
+        // u ∈ (-0.5, 0.5) strictly (the +0.5 half-step keeps both ln(0)
+        // endpoints out of range); ε = 1 → scale b = 1
+        val u = (expr(
+          "conv(substring(md5(concat('dp:', lang, '/', source)), 1, 8), 16, 10)")
+          .cast("double") + 0.5) / 4294967296.0 - 0.5
+        g.select($"lang", $"source",
+            round($"n" + (-signum(u) * log(lit(1.0) - lit(2.0) * abs(u))), 4)
+              .as("dp_count"))
+          .orderBy($"lang", $"source")
+      },
+      Some("""WITH g AS (
+          SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source),
+        noised AS (
+          SELECT lang, source, n,
+            (CAST('0x' || substring(md5('dp:' || lang || '/' || source), 1, 8) AS BIGINT)
+              + 0.5) / 4294967296.0 - 0.5 AS u
+          FROM g WHERE n >= 5)
+        SELECT lang, source,
+          round(n + (-sign(u) * ln(1 - 2*abs(u))), 4) AS dp_count
+        FROM noised ORDER BY lang, source"""))
   )
 }

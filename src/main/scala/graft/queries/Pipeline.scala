@@ -1001,6 +1001,48 @@ object Pipeline extends QueryModule {
         "plumbing exactness end to end - an identical chunk planted under a fresh " +
         "query id retrieves the original at rank 1 with cosine ~= 1.")),
 
+    // ---- RAG chunking with overlap (the oracle-checked sibling of
+    // pl_rag_index's character chunker): token-grain sliding windows of
+    // 64 tokens at stride 48 (16-token overlap, the context-preserving
+    // shape retrieval pipelines actually ship). Pure per-row HOF work —
+    // split → posexplode(sequence) → slice — codegen'd, zero shuffle; at
+    // 100 TB the expansion is linear in tokens with no driver involvement.
+    // The md5 chunk signature makes every boundary byte-exact under the
+    // oracle: an off-by-one in stride, slice base, or tail clamping
+    // breaks the hash. ----
+    QueryDef(
+      "pl_rag_chunk_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val chunkSize = 64
+        val stride = 48
+        val toks = Tables.load(s, dir, "documents")
+          .select($"doc_id", split(lower(trim($"text")), "\\s+").as("tk"))
+          .withColumn("n", size($"tk"))
+          .filter($"n" >= 1)
+        toks
+          .select($"doc_id", $"n", $"tk",
+            posexplode(sequence(lit(0), $"n" - 1, lit(stride)))
+              .as(Seq("chunk_idx", "start")))
+          .select($"doc_id",
+            $"chunk_idx".cast("int").as("chunk_idx"),
+            $"start".cast("int").as("start"),
+            least(lit(chunkSize), $"n" - $"start").cast("int").as("n_tokens"),
+            md5(array_join(slice($"tk", $"start" + 1, lit(chunkSize)), " "))
+              .as("sig"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        starts AS (
+          SELECT doc_id, tk, len(tk) AS n, unnest(range(0, len(tk), 48)) AS st
+          FROM toks WHERE len(tk) >= 1)
+        SELECT doc_id, CAST(st/48 AS INT) AS chunk_idx, CAST(st AS INT) AS start,
+          CAST(least(64, n - st) AS INT) AS n_tokens,
+          md5(coalesce(array_to_string(tk[st+1 : st+64], ' '), '')) AS sig
+        FROM starts ORDER BY doc_id, chunk_idx""")),
+
     // ---- data-quality gate (dbt-test shape): null keys, constraint
     // violations, PK duplicates, referential orphans — ONE row-level scan
     // (conditional aggregates unpivoted via stack) plus one anti-join and

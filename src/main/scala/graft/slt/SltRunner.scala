@@ -32,7 +32,9 @@ object SltRunner {
     extends Exception(s"$file:$line $message")
 
   def runFile(g: GraftSession, path: String): Int = {
-    val src = Source.fromFile(path)
+    // explicit UTF-8: the platform default charset may be ASCII in a bare
+    // container, and slt comments are allowed non-ASCII punctuation
+    val src = Source.fromFile(path)(scala.io.Codec.UTF8)
     val lines = try src.getLines().toVector finally src.close()
     var i = 0
     var checks = 0

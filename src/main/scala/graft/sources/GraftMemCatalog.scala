@@ -345,6 +345,7 @@ class GraftMemTable(
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
 
   private[sources] def currentRows: Vector[InternalRow] = synchronized(rows)
@@ -509,6 +510,30 @@ class GraftMemTable(
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
+
+        /** `df.writeStream.toTable("gmem.ns.t")`: each micro-batch epoch
+          * appends through the same cap/constraint-guarded commit as a
+          * batch INSERT. Epoch replays after a restart re-commit the same
+          * rows (this in-memory sink is not idempotent by epoch id —
+          * at-least-once, like the console/memory sinks; the parquet-
+          * backed path is where exactly-once lands at scale). */
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+            override def createStreamingWriterFactory(
+                pwi: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+              new GraftMemStreamingWriterFactory(info.schema(), schema())
+            override def commit(
+                epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+              val appended = messages.iterator.flatMap {
+                case RowsCommit(rs) => rs
+                case _ => Iterator.empty
+              }.toVector
+              commitRows(appended, truncate = false)
+            }
+            override def abort(
+                epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+          }
       }
     }
 
@@ -664,3 +689,13 @@ class GraftMemWriterFactory(writeSchema: StructType, tableSchema: StructType)
 }
 
 case class RowsCommit(rows: Array[InternalRow]) extends WriterCommitMessage
+
+/** Streaming form of [[GraftMemWriterFactory]]: same normalize-and-copy
+  * writer per (partition, task, epoch). */
+class GraftMemStreamingWriterFactory(writeSchema: StructType, tableSchema: StructType)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  private val batchFactory = new GraftMemWriterFactory(writeSchema, tableSchema)
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    batchFactory.createWriter(partitionId, taskId)
+}

@@ -113,6 +113,29 @@ class DsV2ParitySpec extends AnyFunSuite {
     assert(spark.table("gmem.par.ac").count() == 2)
   }
 
+  test("writeStream.toTable appends micro-batches into a gmem table") {
+    spark.sql("DROP TABLE IF EXISTS gmem.par.sfeed")
+    spark.sql("DROP TABLE IF EXISTS gmem.par.ssink")
+    spark.sql("CREATE TABLE gmem.par.sfeed (id BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE gmem.par.ssink (id BIGINT, dbl BIGINT)")
+    spark.sql("INSERT INTO gmem.par.sfeed VALUES (1, 10), (2, 20)")
+    val ckpt = java.nio.file.Files.createTempDirectory("gmem_ssink").toString
+    // gmem reads AND writes streaming: tail one table's append log,
+    // transform, land in another through the same guarded commit
+    val q = spark.readStream.table("gmem.par.sfeed")
+      .selectExpr("id", "v * 2 AS dbl")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("gmem.par.ssink")
+    try {
+      q.processAllAvailable()
+      spark.sql("INSERT INTO gmem.par.sfeed VALUES (3, 30)") // mid-stream
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("gmem.par.ssink").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 20L), (2L, 40L), (3L, 60L)))
+  }
+
   test("row cap: over-cap write fails cleanly, previous version intact") {
     spark.conf.set("spark.sql.catalog.gcap", classOf[GraftMemCatalog].getName)
     spark.conf.set("spark.sql.catalog.gcap.maxRowsPerTable", "10")
