@@ -1218,6 +1218,41 @@ object ExtSimilarity extends QueryModule {
       },
       Some(LshOracleSql.lshTopK(dim = 32, k = 5, vecExpr = "embedding[1:32]"))),
 
+    // ---- ANN quality report: recall@5 of the LSH candidate path vs the
+    // exact brute-force ranking, per query plus a q_id = -1 corpus mean —
+    // the evaluation harness an ANN deployment runs before trusting an
+    // index. Both sides are deterministic (plan-literal hyperplanes, fixed
+    // fold order), so the approximation ERROR itself is oracle-replayable:
+    // DuckDB recomputes LSH and exact rankings and must land the same
+    // recall numbers. Scale shape: queries broadcast in both stages;
+    // overlap is a small (queries×k) join. ----
+    QueryDef(
+      "ext_ann_recall_report",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter($"vec_id" < 10)
+        val k = 5
+        val lsh = SimilarityOps.lshTopK(q, emb,
+            $"vec_id", $"embedding", $"vec_id", $"embedding", k = k, dim = 64)
+          .select($"q_id".as("l_q"), $"n_id".as("l_n"))
+        val exact = SimilarityOps.bruteForceTopK(q, emb,
+            $"vec_id", $"embedding", $"vec_id", $"embedding", k = k)
+          .select($"q_id", $"n_id")
+        val perQ = exact.join(broadcast(lsh),
+            $"q_id" === $"l_q" && $"n_id" === $"l_n", "left")
+          .groupBy($"q_id")
+          .agg(sum(when($"l_n".isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        val mean = perQ.agg(sum($"n_hit").as("h"), count(lit(1)).as("nq"))
+          .select(lit(-1L).as("q_id"), $"h".as("n_hit"),
+            round($"h" / ($"nq" * k.toDouble), 4).as("recall"))
+        perQ.select($"q_id", $"n_hit",
+            round($"n_hit" / k.toDouble, 4).as("recall"))
+          .unionAll(mean)
+          .orderBy($"q_id")
+      },
+      Some(LshOracleSql.recallReport(dim = 64, k = 5))),
+
     // IVF coarse-quantizer ANN (deterministic k-means cells) — rows-only;
     // recall + determinism asserted in ScaleOpsSpec.
     QueryDef(

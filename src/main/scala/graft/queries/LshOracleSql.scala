@@ -102,6 +102,61 @@ object LshOracleSql {
     FROM ranked WHERE nn_rank <= $k ORDER BY src, nn_rank"""
   }
 
+  /** Oracle for the ANN quality report: recall@k of the LSH candidate
+    * method against exact brute-force cosine, per query plus a q_id = -1
+    * mean row. Both sides are deterministic (plan-literal hyperplanes,
+    * fixed-fold dots), so even the approximation ERROR replays exactly. */
+  def recallReport(dim: Int, k: Int, bits: Int = 6, tables: Int = 4): String = {
+    val planesFor = (t: Int) => SimilarityOps.hyperplanes(dim, bits, seed = 42L + t)
+    s"""WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings),
+    b AS (
+      SELECT vec_id, ve,
+        sqrt(list_sum(list_transform(list_zip(ve, ve), s -> s[1] * s[2]))) AS nrm,
+        ${bucketSelect(tables, planesFor)}
+      FROM v),
+    cbk AS (
+      SELECT vec_id AS n_id, ve AS n_v, nrm AS n_n, t,
+        ${caseBucket(tables)} AS bucket
+      FROM b, range(0, $tables) tt(t)),
+    qpr AS (
+      SELECT vec_id AS q_id, ve AS q_v, nrm AS q_n, t,
+        xor(${caseBucket(tables)},
+            CASE WHEN p = 0 THEN CAST(0 AS BIGINT)
+                 ELSE (CAST(1 AS BIGINT) << CAST(p - 1 AS INTEGER)) END) AS probe
+      FROM b, range(0, $tables) tt(t), range(0, ${bits + 1}) pp(p)
+      WHERE vec_id < 10),
+    lsh AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+        FROM (
+          SELECT DISTINCT q.q_id, c.n_id,
+            list_sum(list_transform(list_zip(q.q_v, c.n_v), s -> s[1] * s[2]))
+              / (q.q_n * c.n_n) AS cosine
+          FROM qpr q JOIN cbk c
+            ON q.t = c.t AND q.probe = c.bucket AND q.q_id <> c.n_id))
+      WHERE rank <= $k),
+    exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            list_sum(list_transform(list_zip(q.ve, c.ve), s -> s[1] * s[2]))
+              / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+        FROM b q JOIN b c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      WHERE rank <= $k),
+    per_q AS (
+      SELECT e.q_id, CAST(count(l.n_id) AS BIGINT) AS n_hit
+      FROM exact e LEFT JOIN lsh l ON e.q_id = l.q_id AND e.n_id = l.n_id
+      GROUP BY e.q_id)
+    SELECT q_id, n_hit, round(n_hit / $k.0, 4) AS recall FROM per_q
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(sum(n_hit) AS BIGINT),
+      round(sum(n_hit) / (count(*) * $k.0), 4) FROM per_q
+    ORDER BY q_id"""
+  }
+
   /** Oracle for [[graft.ops.DedupOps.embeddingTopPairsLsh]] (seeds 42+t,
     * pairs sharing any table's bucket, global top-k by cosine). */
   def embeddingTopPairsLsh(dim: Int, k: Int, bits: Int = 6, tables: Int = 4): String = {

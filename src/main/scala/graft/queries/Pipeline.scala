@@ -1043,6 +1043,48 @@ object Pipeline extends QueryModule {
           md5(coalesce(array_to_string(tk[st+1 : st+64], ' '), '')) AS sig
         FROM starts ORDER BY doc_id, chunk_idx""")),
 
+    // ---- training-mix solver (the datamix step every pretraining run
+    // plans with): target domain shares (here ∝ 1/(1+source index),
+    // normalized over the sources actually present) against the measured
+    // per-source character mass → per-source sampling rate capped at 1.0
+    // and the expected sampled mass, flagging under-supplied domains. Two
+    // aggregates + one broadcast scalar; the normalizer is an aggregate
+    // joined back (NOT an unpartitioned window), so the plan scales. ----
+    QueryDef(
+      "pl_mix_domain_weights",
+      (s, dir) => {
+        import s.implicits._
+        val budget = 50000.0
+        val m = Tables.load(s, dir, "documents")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("docs"), sum($"n_chars").as("chars"))
+          .withColumn("raw_w",
+            lit(1.0) / (lit(1.0) + substring($"source", 4, 10).cast("double")))
+        val z = m.agg(sum($"raw_w").as("z"))
+        m.crossJoin(broadcast(z))
+          .withColumn("share", $"raw_w" / $"z")
+          .withColumn("rate", least(lit(1.0), $"share" * budget / $"chars"))
+          .select($"source", $"docs", $"chars",
+            round($"share", 6).as("target_share"),
+            round($"rate", 6).as("sample_rate"),
+            round($"rate" * $"chars", 0).cast("long").as("expected_chars"),
+            ($"share" * budget > $"chars").as("undersupplied"))
+          .orderBy($"source")
+      },
+      Some("""WITH m AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS docs,
+            CAST(sum(n_chars) AS BIGINT) AS chars,
+            1.0 / (1.0 + CAST(substr(source, 4, 10) AS DOUBLE)) AS raw_w
+          FROM documents GROUP BY source),
+        z AS (SELECT sum(raw_w) AS z FROM m)
+        SELECT source, docs, chars,
+          round(raw_w / z, 6) AS target_share,
+          round(least(1.0, (raw_w / z) * 50000 / chars), 6) AS sample_rate,
+          CAST(round(least(1.0, (raw_w / z) * 50000 / chars) * chars, 0) AS BIGINT)
+            AS expected_chars,
+          (raw_w / z) * 50000 > chars AS undersupplied
+        FROM m CROSS JOIN z ORDER BY source""")),
+
     // ---- data-quality gate (dbt-test shape): null keys, constraint
     // violations, PK duplicates, referential orphans — ONE row-level scan
     // (conditional aggregates unpivoted via stack) plus one anti-join and

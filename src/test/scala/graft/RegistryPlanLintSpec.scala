@@ -52,7 +52,8 @@ class RegistryPlanLintSpec extends AnyFunSuite {
     "ext_sketch_theta_overlap" -> "pairwise crossJoin of per-SOURCE sketches: source grain, O(sketch) rows",
     "ext_ann_maxsim_pruned" -> "k fixed query signatures broadcast for the Hamming prefilter; corpus scans once",
     "ext_embed_dim_ablation" -> "fixed query panel broadcast, scored per kept-dimension variant; corpus scans once per variant",
-    "ext_retrieval_eval" -> "fixed evaluation query panel broadcast; brute-force IS the metric's ground truth")
+    "ext_retrieval_eval" -> "fixed evaluation query panel broadcast; brute-force IS the metric's ground truth",
+    "ext_ann_recall_report" -> "recall evaluation needs the exact ranking as ground truth: fixed query panel broadcast, corpus scans once; LSH side is equi-bucketed")
 
   /** Windows with empty partitionSpec whose input grain is bounded by a
     * data-independent domain rather than a `maxRows`-provable construct. */
