@@ -1007,16 +1007,36 @@ final class GraftSession(
   private def requireNoTx(what: String): Unit =
     require(txWatermarks.isEmpty, s"$what inside a transaction is not supported")
 
+  // per registered gmem catalog: table -> history watermark at BEGIN. One
+  // transaction surface spans BOTH mutable-table engines — the view-swap
+  // manager and every GraftMemCatalog — so `BEGIN; INSERT INTO gmem.ns.t
+  // ...; ROLLBACK` undoes V2 writes exactly like front-door ones.
+  private var txV2Marks
+      : Map[String, Map[(List[String], String), Long]] = Map.empty
+
+  /** Registered [[graft.sources.GraftMemCatalog]] instances, by name. */
+  private def gmemCatalogs(): Map[String, graft.sources.GraftMemCatalog] = {
+    val cls = classOf[graft.sources.GraftMemCatalog].getName
+    spark.conf.getAll.iterator.flatMap { case (k, v) =>
+      val n = k.stripPrefix("spark.sql.catalog.")
+      if (k.startsWith("spark.sql.catalog.") && !n.contains('.') && v == cls)
+        graft.sources.GraftMemCatalog.instance(n).map(n -> _)
+      else None
+    }.toMap
+  }
+
   private def beginTx(): DataFrame = {
     require(txWatermarks.isEmpty, "transaction already in progress")
     txWatermarks = Some(
       tables.listTables().map(t => t -> tables.versionCount(t)).toMap)
+    txV2Marks = gmemCatalogs().map { case (n, c) => n -> c.snapshotVersions() }
     spark.emptyDataFrame
   }
 
   private def commitTx(): DataFrame = {
     require(txWatermarks.isDefined, "no transaction in progress")
     txWatermarks = None
+    txV2Marks = Map.empty
     spark.emptyDataFrame
   }
 
@@ -1027,7 +1047,13 @@ final class GraftSession(
       case Some(_) => () // untouched during the transaction
       case None => tables.drop(t) // created inside the transaction
     }
+    // gmem catalogs roll back to their BEGIN watermarks too; a catalog
+    // first touched DURING the transaction has no marks → all its tables
+    // were created inside it and are dropped
+    for ((n, c) <- gmemCatalogs())
+      c.rollbackTo(txV2Marks.getOrElse(n, Map.empty))
     txWatermarks = None
+    txV2Marks = Map.empty
     spark.emptyDataFrame
   }
 

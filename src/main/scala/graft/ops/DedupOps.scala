@@ -464,6 +464,59 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Approximation audit for the MinHash family: every LSH candidate pair
+    * with its EXACT Jaccard, its signature-estimated Jaccard (fraction of
+    * agreeing minhash components — the estimator LSH thresholds actually
+    * act on), and the absolute error. The estimate is unbiased with
+    * stderr ≈ √(J(1-J)/64); this query is the measurement a pipeline runs
+    * before trusting a (bands, rowsPerBand) configuration at scale.
+    * Everything is the engine-neutral md5 family, so the DuckDB oracle
+    * reproduces estimates AND errors bit for bit. Same shuffle shape as
+    * [[minhashLshPairs]]: sig-only bucket join, arrays re-attached to the
+    * deduped candidate list. */
+  def minhashJaccardEst(
+      df: DataFrame, id: Column, text: Column,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSh = df
+      .select(id.as("id"), TextOps.shingles(text, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = withSh.withColumn("mh", neutralMinhashSig(col("sh"), numHashes))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", slice(col("mh"), b * rowsPerBand + 1, rowsPerBand)))
+          .as("sig"))
+    }
+    val buckets = sig
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val l = buckets.select(col("band"), col("sig"), col("id").as("id_a"))
+    val r = buckets.select(col("band"), col("sig"), col("id").as("id_b"))
+    val candPairs = l.join(r, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val candidates = candPairs
+      .join(sig.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("mh").as("mh_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("mh").as("mh_b")), Seq("id_b"))
+    val exact =
+      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    val agree = aggregate(
+      zip_with(col("mh_a"), col("mh_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    candidates
+      .withColumn("exact_j", exact)
+      .withColumn("est_j", agree.cast("double") / numHashes)
+      .select(col("id_a"), col("id_b"),
+        round(col("exact_j"), 6).as("exact_j"),
+        round(col("est_j"), 6).as("est_j"),
+        round(abs(col("exact_j") - col("est_j")), 6).as("abs_err"))
+  }
+
   /** Engine-neutral 60-bit SimHash: per-token 60-bit md5-prefix hashes,
     * each bit position j accumulates ±1 across tokens (repeats counted),
     * bit j of the signature is 1 iff the sum is > 0. 60 bits (15 hex

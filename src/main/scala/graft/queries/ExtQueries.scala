@@ -186,6 +186,63 @@ object ExtDedup extends QueryModule {
         SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.8
         ORDER BY id_a, id_b""")),
 
+    // ---- approximation audit for the MinHash family: exact vs
+    // signature-estimated Jaccard + absolute error for every LSH candidate
+    // pair — the measurement that justifies a (bands, rows) config before
+    // running it at corpus scale. Both the estimate and its error are
+    // md5-family deterministic, so the oracle replays them exactly. ----
+    QueryDef(
+      "ext_dedup_jaccard_est",
+      (s, dir) => {
+        import s.implicits._
+        DedupOps.minhashJaccardEst(Tables.load(s, dir, "documents"),
+            $"doc_id", $"text", n = 3, bands = 16, rowsPerBand = 4)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        shd AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM toks WHERE len(tk) >= 3),
+        bases AS (
+          SELECT doc_id, shs,
+            list_transform(shs, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT % 4294967291) AS bs
+          FROM shd WHERE len(shs) > 0),
+        sig AS (
+          SELECT doc_id, i,
+            list_min(list_transform(bs, x ->
+              ((1 + (i * 2654435761) % 1048573) * x + (i * 4050313 + 17) % 4294967291)
+                % 4294967291)) AS mh
+          FROM bases, range(0, 64) t(i)),
+        bands AS (
+          SELECT doc_id, i // 4 AS band,
+            md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bsig
+          FROM sig GROUP BY doc_id, i // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        est AS (
+          SELECT c.id_a, c.id_b,
+            sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 64.0 AS est_j
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+          GROUP BY c.id_a, c.id_b),
+        ver AS (
+          SELECT c.id_a, c.id_b,
+            CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+              CAST(len(list_distinct(sa.shs || sb.shs)) AS DOUBLE) AS exact_j
+          FROM cand c
+          JOIN bases sa ON sa.doc_id = c.id_a
+          JOIN bases sb ON sb.doc_id = c.id_b)
+        SELECT v.id_a, v.id_b, round(v.exact_j, 6) AS exact_j,
+          round(e.est_j, 6) AS est_j,
+          round(abs(v.exact_j - e.est_j), 6) AS abs_err
+        FROM ver v JOIN est e ON v.id_a = e.id_a AND v.id_b = e.id_b
+        ORDER BY v.id_a, v.id_b""")),
+
     QueryDef(
       "ext_dedup_simhash",
       (s, dir) => {

@@ -87,7 +87,26 @@ class GraftMemCatalog extends TableCatalog with SupportsNamespaces {
       .getOrElse(DefaultMaxRowsPerTable)
     maxBytes = Option(options.get("maxBytesPerTable")).map(_.toLong)
       .getOrElse(DefaultMaxBytesPerTable)
+    // the front door's BEGIN/ROLLBACK needs the live instance (Spark's
+    // CatalogManager holds it privately); last-initialized per name wins
+    GraftMemCatalog.register(name, this)
   }
+
+  /** Per-table history watermarks for the front door's BEGIN. */
+  private[graft] def snapshotVersions(): Map[(List[String], String), Long] =
+    tables.readOnlySnapshot().toMap.map { case (k, t) => k -> t.historyLength }
+
+  /** ROLLBACK to a BEGIN watermark: pre-existing tables mutated since are
+    * restored to their watermark snapshot (append-only undo versions);
+    * tables created inside the transaction are dropped. Mirrors
+    * [[graft.GraftSession]]'s view-swap rollback semantics (dropped tables
+    * stay dropped — both engines share that documented limitation). */
+  private[graft] def rollbackTo(marks: Map[(List[String], String), Long]): Unit =
+    for ((k, t) <- tables.readOnlySnapshot()) marks.get(k) match {
+      case Some(h) if t.historyLength > h => t.restoreTo(h - 1)
+      case Some(_) => () // untouched during the transaction
+      case None => tables.remove(k) // created inside the transaction
+    }
   override def name(): String = catalogName
   override def defaultNamespace(): Array[String] = Array("default")
 
@@ -259,6 +278,15 @@ object GraftMemCatalog {
   /** Caps for detached snapshot copies — never written to. */
   private[sources] val SnapshotCaps = TableCaps(Long.MaxValue, Long.MaxValue, "")
 
+  /** Live catalog instances by name (Spark's CatalogManager holds the
+    * plugin privately; the front door's transaction surface reaches it
+    * here). One instance per name per JVM in practice — last wins. */
+  private val instances = TrieMap.empty[String, GraftMemCatalog]
+  private def register(name: String, c: GraftMemCatalog): Unit =
+    instances.update(name, c)
+  private[graft] def instance(name: String): Option[GraftMemCatalog] =
+    instances.get(name)
+
   /** Name of the single copy-on-write group-id metadata column. */
   val GroupIdColumnName = "_grp"
 
@@ -312,8 +340,8 @@ class GraftMemTable(
   // commit snapshots for VERSION AS OF: entry 0 = the empty just-created
   // state; every write commit and ALTER appends one. Zero-copy — Vector is
   // persistent and the column array immutable.
-  private var history: Vector[(Array[V2Column], Vector[InternalRow])] =
-    Vector((initialCols, Vector.empty))
+  private var history: Vector[(Array[V2Column], Array[Constraint], Vector[InternalRow])] =
+    Vector((initialCols, initialConstraints, Vector.empty))
 
   private def toStruct(cs: Array[V2Column]): StructType =
     StructType(cs.map(c => StructField(c.name, c.dataType, c.nullable)))
@@ -327,9 +355,9 @@ class GraftMemTable(
   private[sources] def snapshotAt(v: Long): Table = synchronized {
     require(v >= 0 && v < history.length,
       s"gmem: no version $v of $tableName (${history.length} snapshots)")
-    val (cs, data) = history(v.toInt)
+    val (cs, cns, data) = history(v.toInt)
     val snap = new GraftMemTable(s"$tableName@v$v", cs, Map.empty,
-      Array.empty, GraftMemCatalog.SnapshotCaps)
+      cns, GraftMemCatalog.SnapshotCaps)
     snap.rows = data
     snap
   }
@@ -340,6 +368,24 @@ class GraftMemTable(
 
   private[sources] def rename(newName: String): Unit =
     synchronized { tableName = newName }
+
+  private[graft] def historyLength: Long = synchronized(history.length.toLong)
+
+  /** Restore to commit snapshot `v` — columns, constraints and rows roll
+    * back together, recorded as a NEW history entry so the log stays
+    * append-only (undo is a version, Delta-style — the same discipline as
+    * [[graft.tables.MutableTableManager.restore]]). */
+  private[graft] def restoreTo(v: Long): Unit = synchronized {
+    require(v >= 0 && v < history.length,
+      s"gmem: no version $v of $tableName (${history.length} snapshots)")
+    val (cs, cns, data) = history(v.toInt)
+    cols = cs
+    tableSchema = toStruct(cs)
+    cons = cns
+    rows = data
+    storedBytes = data.iterator.map(rowBytes).sum
+    history = history :+ ((cols, cons, rows))
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
@@ -382,7 +428,7 @@ class GraftMemTable(
     rows = (if (truncate) Vector.empty else rows) ++ appended
     storedBytes = baseBytes + addBytes
     log = log ++ appended
-    history = history :+ ((cols, rows))
+    history = history :+ ((cols, cons, rows))
   }
 
   /** Commit-side enforcement, where the incoming batch and the stored rows
@@ -479,7 +525,7 @@ class GraftMemTable(
       case other =>
         throw new UnsupportedOperationException(s"gmem: unsupported $other")
     }
-    history = history :+ ((cols, rows))
+    history = history :+ ((cols, cons, rows))
   }
 
   // ---------------------------------------------------------------- read

@@ -136,6 +136,31 @@ class DsV2ParitySpec extends AnyFunSuite {
     assert(got == Set((1L, 20L), (2L, 40L), (3L, 60L)))
   }
 
+  test("front-door transactions span gmem tables") {
+    val g = new GraftSession(spark)
+    spark.sql("DROP TABLE IF EXISTS gmem.par.txb")
+    g.sql("CREATE TABLE gmem.par.txb (id BIGINT, v BIGINT)")
+    g.sql("INSERT INTO gmem.par.txb VALUES (1, 10)")
+    g.sql("BEGIN")
+    g.sql("INSERT INTO gmem.par.txb VALUES (2, 20)")
+    g.sql("UPDATE gmem.par.txb SET v = 99 WHERE id = 1")
+    g.sql("CREATE TABLE gmem.par.txnew (x BIGINT)") // created inside tx
+    assert(spark.table("gmem.par.txb").count() == 2)
+    g.sql("ROLLBACK")
+    // pre-existing table restored to its BEGIN state...
+    val rows = spark.sql("SELECT id, v FROM gmem.par.txb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 10L)), rows.toString)
+    // ...and the inside-tx table is gone
+    intercept[Exception](spark.table("gmem.par.txnew").count())
+    // COMMIT keeps V2 writes
+    g.sql("BEGIN")
+    g.sql("INSERT INTO gmem.par.txb VALUES (3, 30)")
+    g.sql("COMMIT")
+    assert(spark.table("gmem.par.txb").count() == 2)
+    g.sql("DROP TABLE gmem.par.txb")
+  }
+
   test("row cap: over-cap write fails cleanly, previous version intact") {
     spark.conf.set("spark.sql.catalog.gcap", classOf[GraftMemCatalog].getName)
     spark.conf.set("spark.sql.catalog.gcap.maxRowsPerTable", "10")
