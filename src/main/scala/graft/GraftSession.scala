@@ -962,6 +962,31 @@ final class GraftSession(
           .coalesce(1).write.mode("overwrite").parquet(s"$path/__manifest")
         tables.listTables().foreach(t =>
           tables.table(t).write.mode("overwrite").parquet(s"$path/$t"))
+        // gmem (DSv2) tables round-trip too — one EXPORT covers BOTH
+        // mutable-table engines. Per table: a re-runnable CREATE column
+        // list (types + NOT NULL + DEFAULT) + declared-constraint DDL in
+        // the manifest, data as parquet re-applied through the guarded
+        // write path on import.
+        val v2rows = gmemCatalogs().toSeq.flatMap { case (cn, c) =>
+          c.listAll().map { case (ns, name, t) =>
+            val colsDdl = t.columns().map { col =>
+              val dflt = Option(col.defaultValue())
+                .flatMap(d => Option(d.getSql)).map(s => s" DEFAULT $s")
+                .getOrElse("")
+              s"`${col.name}` ${col.dataType.sql}" +
+                (if (!col.nullable) " NOT NULL" else "") + dflt
+            }.mkString(", ")
+            val consDdl = t.constraints().map(_.toDDL).toSeq
+            (cn, ns.mkString("."), name, colsDdl, consDdl)
+          }
+        }
+        if (v2rows.nonEmpty)
+          v2rows.toDF("catalog", "namespace", "name", "cols_ddl", "constraints")
+            .coalesce(1).write.mode("overwrite").parquet(s"$path/__v2_manifest")
+        v2rows.foreach { case (cn, ns, name, _, _) =>
+          spark.table(s"$cn.$ns.$name").write.mode("overwrite")
+            .parquet(s"$path/__v2/$cn/$ns.$name")
+        }
         spark.emptyDataFrame
       case _ => sys.error(s"cannot parse EXPORT DATABASE: $q")
     }
@@ -984,6 +1009,35 @@ final class GraftSession(
           tables.create(name, schema, defaults, Some(data),
             ifNotExists = false, checks = checks, uniques = uniques)
           recordMember(unquoteIdent(name))
+        }
+        // gmem tables (present when the export saw registered catalogs):
+        // recreate through Spark SQL so defaults/constraints re-parse into
+        // the native Column/Constraint metadata, then append the data
+        // through the guarded write path
+        // Restore is ADDITIVE for gmem tables: the export spans every
+        // registered catalog's live tables, so an import into a session
+        // where some still exist recreates only the missing ones and
+        // leaves live tables untouched (front-door tables keep strict
+        // create-errors-if-exists semantics — their manager is
+        // session-scoped, gmem catalogs are not).
+        val v2Manifest = new java.io.File(s"$path/__v2_manifest")
+        if (v2Manifest.exists()) {
+          spark.read.parquet(s"$path/__v2_manifest").collect().foreach { r =>
+            val (cn, ns, name) = (r.getString(0), r.getString(1), r.getString(2))
+            val exists = graft.sources.GraftMemCatalog.instance(cn).exists(
+              _.tableExists(org.apache.spark.sql.connector.catalog.Identifier
+                .of(ns.split('.'), name)))
+            if (!exists) {
+              val consSql = r.getSeq[String](4) match {
+                case cs if cs.nonEmpty => cs.mkString(", ", ", ", "")
+                case _ => ""
+              }
+              spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cn.$ns")
+              spark.sql(s"CREATE TABLE $cn.$ns.$name (${r.getString(3)}$consSql)")
+              spark.read.parquet(s"$path/__v2/$cn/$ns.$name")
+                .writeTo(s"$cn.$ns.$name").append()
+            }
+          }
         }
         spark.emptyDataFrame
       case _ => sys.error(s"cannot parse IMPORT DATABASE: $q")

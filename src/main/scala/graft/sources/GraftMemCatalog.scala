@@ -92,6 +92,12 @@ class GraftMemCatalog extends TableCatalog with SupportsNamespaces {
     GraftMemCatalog.register(name, this)
   }
 
+  /** All live tables, for the front door's EXPORT DATABASE. */
+  private[graft] def listAll(): Seq[(List[String], String, GraftMemTable)] =
+    tables.readOnlySnapshot().toSeq
+      .map { case ((ns, n), t) => (ns, n, t) }
+      .sortBy { case (ns, n, _) => (ns.mkString("."), n) }
+
   /** Per-table history watermarks for the front door's BEGIN. */
   private[graft] def snapshotVersions(): Map[(List[String], String), Long] =
     tables.readOnlySnapshot().toMap.map { case (k, t) => k -> t.historyLength }

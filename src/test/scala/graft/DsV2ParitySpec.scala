@@ -136,6 +136,30 @@ class DsV2ParitySpec extends AnyFunSuite {
     assert(got == Set((1L, 20L), (2L, 40L), (3L, 60L)))
   }
 
+  test("EXPORT/IMPORT DATABASE round-trips gmem tables with their metadata") {
+    val g = new GraftSession(spark)
+    spark.sql("DROP TABLE IF EXISTS gmem.par.expo")
+    g.sql("CREATE TABLE gmem.par.expo (id BIGINT NOT NULL, grade STRING DEFAULT 'std', " +
+      "bal BIGINT, CONSTRAINT pk PRIMARY KEY (id), CONSTRAINT pos CHECK (bal >= 0))")
+    g.sql("INSERT INTO gmem.par.expo VALUES (1, 'a', 5), (2, 'b', 7)")
+    val dir = java.nio.file.Files.createTempDirectory("gmem_export").toString
+    g.sql(s"EXPORT DATABASE '$dir'")
+    g.sql("DROP TABLE gmem.par.expo")
+    g.sql(s"IMPORT DATABASE '$dir'")
+    // data back
+    val rows = spark.sql("SELECT id, grade, bal FROM gmem.par.expo ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "a", 5L), (2L, "b", 7L)))
+    // defaults and constraints survived the round trip
+    g.sql("INSERT INTO gmem.par.expo (id, bal) VALUES (3, 1)")
+    assert(spark.sql("SELECT grade FROM gmem.par.expo WHERE id = 3")
+      .head().getString(0) == "std")
+    intercept[Exception](g.sql("INSERT INTO gmem.par.expo VALUES (4, 'x', -1)")) // CHECK
+    intercept[Exception](g.sql("INSERT INTO gmem.par.expo VALUES (1, 'dup', 1)")) // PK
+    assert(spark.table("gmem.par.expo").count() == 3)
+    g.sql("DROP TABLE gmem.par.expo")
+  }
+
   test("front-door transactions span gmem tables") {
     val g = new GraftSession(spark)
     spark.sql("DROP TABLE IF EXISTS gmem.par.txb")
