@@ -571,6 +571,71 @@ class StreamingSpec extends AnyFunSuite {
       "expected at least one key updated in BOTH runs")
   }
 
+  test("transformWithState quota gate recovers spend state across a stop/restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{round, sum}
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    val cut = events.selectExpr("percentile_approx(ts, 0.5)").head().getTimestamp(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_quota_restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_quota_rckpt").toString
+    events.filter($"ts" <= cut).write.mode("append").parquet(dir)
+    val quota = 500 * 100L
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val decisions = scala.collection.concurrent.TrieMap.empty[Long, (Long, Boolean)]
+    def start() = StreamingOps.quotaGateStream(spark, events.schema, dir, quota)
+      .toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => // QuotaDecision = (event_id, user_id, admitted)
+          decisions.put(r.getLong(0), (r.getLong(1), r.getBoolean(2))))
+        ()
+      }
+      .start()
+    try {
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      assert(decisions.nonEmpty, "run 1 must emit decisions")
+      // per-user cumulative spend must RESUME from the recovered RocksDB
+      // state: users part-way through their quota at the stop get their
+      // part-2 cutoffs at the right global position, not a fresh budget
+      events.filter($"ts" > cut).write.mode("append").parquet(dir)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+
+    val w = W.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val batch = events
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .withColumn("run", sum($"cents").over(w))
+      .select($"event_id", $"user_id", ($"run" <= quota).as("admitted"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(decisions.readOnlySnapshot().toMap == batch)
+    // a user must exist whose admission flips ACROSS the restart boundary —
+    // the only way that is right is recovered cumulative state
+    val flipped = events
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .withColumn("run", sum($"cents").over(w))
+      .groupBy($"user_id")
+      .agg(
+        sum(org.apache.spark.sql.functions.when($"ts" <= cut && $"run" <= quota, 1)
+          .otherwise(0)).as("admitted_before"),
+        sum(org.apache.spark.sql.functions.when($"ts" > cut && $"run" > quota, 1)
+          .otherwise(0)).as("rejected_after"))
+      .filter($"admitted_before" > 0 && $"rejected_after" > 0)
+      .count()
+    assert(flipped > 0, "fixture must contain a user crossing the quota post-restart")
+  }
+
   test("near-dup gate recovers band-claim state across a stop/restart") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
