@@ -777,6 +777,55 @@ final class GraftSession(
         rows.sortBy(r => (r.getString(1), r.getString(2))), 1), schema)
   }
 
+  /** information_schema.table_constraints — the declared-constraint
+    * inventory across BOTH mutable-table engines: the view-swap manager's
+    * CHECK/UNIQUE sets and every registered gmem catalog's native
+    * Constraint metadata (CHECK predicate SQL, PRIMARY KEY / UNIQUE /
+    * FOREIGN KEY key columns), one row per constraint with its definition
+    * text. What a migration tool or data catalog reads to know which
+    * guarantees a table actually enforces. */
+  private def informationSchemaTableConstraints(): DataFrame = {
+    import org.apache.spark.sql.connector.catalog.constraints.{Check => V2Check, ForeignKey => V2Fk, PrimaryKey => V2Pk, Unique => V2Uq}
+    val local = tables.listTables().flatMap { t =>
+      val st = tables.stateOf(t)
+      val (sch, tbl) = schemaOf(t)
+      st.checks.zipWithIndex.map { case (ck, i) =>
+        Row("qurious", sch, tbl, s"${tbl}_check_${i + 1}", "CHECK", s"($ck)")
+      } ++ st.uniques.zipWithIndex.map { case (cols, i) =>
+        Row("qurious", sch, tbl, s"${tbl}_unique_${i + 1}", "UNIQUE",
+          cols.mkString("(", ", ", ")"))
+      }
+    }
+    val v2 = gmemCatalogs().toSeq.flatMap { case (cn, c) =>
+      c.listAll().flatMap { case (ns, name, t) =>
+        t.constraints().toSeq.map { con =>
+          val (tpe, defn) = con match {
+            case ck: V2Check => ("CHECK", s"(${ck.predicateSql()})")
+            case pk: V2Pk => ("PRIMARY KEY",
+              pk.columns().map(_.fieldNames().mkString(".")).mkString("(", ", ", ")"))
+            case uq: V2Uq => ("UNIQUE",
+              uq.columns().map(_.fieldNames().mkString(".")).mkString("(", ", ", ")"))
+            case _: V2Fk => ("FOREIGN KEY", con.toDDL)
+            case other => ("CONSTRAINT", other.toDDL)
+          }
+          Row(cn, ns.mkString("."), name, con.name(), tpe, defn)
+        }
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("constraint_catalog", StringType),
+      StructField("table_schema", StringType),
+      StructField("table_name", StringType),
+      StructField("constraint_name", StringType),
+      StructField("constraint_type", StringType),
+      StructField("definition", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (local ++ v2).sortBy(r =>
+          (r.getString(0), r.getString(1), r.getString(2), r.getString(3))), 1),
+      schema)
+  }
+
   /** information_schema.df_settings (the reference's DataFusion-style
     * session-settings table, declared at `information_schema.rs:20`): one
     * (name, value) row per session config entry. */
@@ -906,6 +955,13 @@ final class GraftSession(
       informationSchemaViews().createOrReplaceTempView("information_schema_views")
       out = mapUnquoted(out)(
         _.replaceAll("(?i)information_schema\\.views", "information_schema_views"))
+    }
+    if (out.toLowerCase(Locale.ROOT).contains("information_schema.table_constraints")) {
+      informationSchemaTableConstraints()
+        .createOrReplaceTempView("information_schema_table_constraints")
+      out = mapUnquoted(out)(_.replaceAll(
+        "(?i)information_schema\\.table_constraints",
+        "information_schema_table_constraints"))
     }
     if (out.toLowerCase(Locale.ROOT).contains("information_schema.df_settings")) {
       dfSettings().createOrReplaceTempView("information_schema_df_settings")

@@ -232,6 +232,37 @@ object SourcesCatalog extends QueryModule {
           ('view:public.cat_probe_view=SELECT 1 AS one')) t(item)
         ORDER BY item""")),
 
+    // ---- information_schema.table_constraints: the declared-constraint
+    // inventory across BOTH mutable-table engines — a front-door table's
+    // CHECK/UNIQUE sets and a gmem table's native Constraint metadata in
+    // one catalog view (what a migration tool reads to learn which
+    // guarantees are enforced). The info-schema DataFrame materializes the
+    // catalog state at query time, so the probe tables can be dropped
+    // before returning. ----
+    QueryDef(
+      "cat_information_schema_constraints",
+      (s, _) => {
+        import s.implicits._
+        val g = new GraftSession(s)
+        s.conf.set("spark.sql.catalog.gmem",
+          classOf[graft.sources.GraftMemCatalog].getName)
+        g.sql("DROP TABLE IF EXISTS cons_probe")
+        g.sql("CREATE TABLE cons_probe (id INT PRIMARY KEY, bal INT CHECK (bal >= 0))")
+        g.sql("CREATE NAMESPACE IF NOT EXISTS gmem.consprobe")
+        g.sql("DROP TABLE IF EXISTS gmem.consprobe.t2")
+        g.sql("""CREATE TABLE gmem.consprobe.t2 (id BIGINT,
+          CONSTRAINT pk2 PRIMARY KEY (id), CONSTRAINT pos2 CHECK (id >= 0))""")
+        val out = g.sql("""SELECT constraint_catalog, table_schema, table_name,
+            constraint_name, constraint_type, definition
+          FROM information_schema.table_constraints
+          WHERE table_name IN ('cons_probe', 't2')
+          ORDER BY constraint_catalog, constraint_name""")
+        g.sql("DROP TABLE cons_probe")
+        g.sql("DROP TABLE gmem.consprobe.t2")
+        out
+      },
+      Some(CatConstraintsOracle)),
+
     // CREATE/DROP SCHEMA routing (the last SURVEY §2 row: reference parses
     // these, planner todo!()s — qurious/src/planner/sql.rs:187). Exercises
     // create, IF NOT EXISTS idempotence, duplicate error, create-table-in,
@@ -275,4 +306,15 @@ object SourcesCatalog extends QueryModule {
           ('table:staging.docs')) t(item)
         ORDER BY item"""))
   )
+
+  /** Literal expected rows of `cat_information_schema_constraints` — the
+    * probe tables are fixed, so the inventory is a constant. */
+  private val CatConstraintsOracle = """SELECT * FROM (VALUES
+      ('gmem', 'consprobe', 't2', 'pk2', 'PRIMARY KEY', '(id)'),
+      ('gmem', 'consprobe', 't2', 'pos2', 'CHECK', '(id >= 0)'),
+      ('qurious', 'public', 'cons_probe', 'cons_probe_check_1', 'CHECK', '(bal >= 0)'),
+      ('qurious', 'public', 'cons_probe', 'cons_probe_unique_1', 'UNIQUE', '(id)'))
+    t(constraint_catalog, table_schema, table_name, constraint_name,
+      constraint_type, definition)
+    ORDER BY constraint_catalog, constraint_name"""
 }
