@@ -1698,6 +1698,54 @@ object Analytics extends QueryModule {
           FROM g WHERE n >= 5)
         SELECT lang, source,
           round(n + (-sign(u) * ln(1 - 2*abs(u))), 4) AS dp_count
-        FROM noised ORDER BY lang, source"""))
+        FROM noised ORDER BY lang, source""")),
+
+    // ---- experiment power analysis (the planning sibling of the
+    // z-test/CUPED/SRM readouts): measured baseline conversion (high-value
+    // customers, exact DECIMAL purchase totals so the threshold comparison
+    // is engine-exact) → required sample size per arm for a grid of
+    // absolute lifts at α=0.05 / 80% power (z = 1.96 / 0.8416, normal
+    // approximation). One combinable aggregate + scalar arithmetic. ----
+    QueryDef(
+      "an_power_analysis",
+      (s, dir) => {
+        import s.implicits._
+        val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+        val per = t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(coalesce(sum(when($"event_type" === "purchase",
+            $"value".cast(dec))), lit(0).cast(dec)).as("pv"))
+        val base = per.agg(count(lit(1)).as("users"),
+          sum(when($"pv" > 600, 1L).otherwise(0L)).as("conv"))
+        val grid = Seq(0.01, 0.02, 0.05).toDF("delta")
+        val z2 = lit((1.96 + 0.8416) * (1.96 + 0.8416))
+        base.crossJoin(grid)
+          .withColumn("p1", $"conv" / $"users".cast("double"))
+          .withColumn("p2", $"p1" + $"delta")
+          .select($"delta",
+            round($"p1", 6).as("p1"),
+            round($"p2", 6).as("p2"),
+            ceil(z2 * ($"p1" * (lit(1.0) - $"p1") + $"p2" * (lit(1.0) - $"p2"))
+              / ($"delta" * $"delta")).cast("long").as("n_per_arm"))
+          .orderBy($"delta")
+      },
+      Some("""WITH per AS (
+          SELECT user_id,
+            coalesce(sum(CAST(value AS DECIMAL(12,2)))
+              FILTER (WHERE event_type = 'purchase'), 0) AS pv
+          FROM events GROUP BY user_id),
+        base AS (
+          SELECT CAST(count(*) AS BIGINT) AS users,
+            CAST(count(*) FILTER (WHERE pv > 600) AS BIGINT) AS conv FROM per),
+        grid AS (SELECT unnest([0.01, 0.02, 0.05]) AS delta)
+        SELECT delta,
+          round(conv / CAST(users AS DOUBLE), 6) AS p1,
+          round(conv / CAST(users AS DOUBLE) + delta, 6) AS p2,
+          CAST(ceil((1.96 + 0.8416) * (1.96 + 0.8416)
+            * ((conv/CAST(users AS DOUBLE)) * (1 - conv/CAST(users AS DOUBLE))
+              + (conv/CAST(users AS DOUBLE) + delta)
+                * (1 - conv/CAST(users AS DOUBLE) - delta))
+            / (delta * delta)) AS BIGINT) AS n_per_arm
+        FROM base CROSS JOIN grid ORDER BY delta"""))
   )
 }

@@ -2873,7 +2873,41 @@ object ExtText extends QueryModule {
         SELECT doc_id, n_shingles,
           CAST(n_novel AS BIGINT) AS n_novel,
           round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
-        FROM per_doc ORDER BY doc_id"""))
+        FROM per_doc ORDER BY doc_id""")),
+
+    // ---- boilerplate detection: the most recurring leading 24-char
+    // prefix per source and its document share — headers/templates/scraper
+    // artifacts show up as dominant shared prefixes, the cheap screen a
+    // corpus-cleaning pass runs before investing in near-dup mining. Both
+    // windows (rank + per-source total) share ONE source-keyed exchange. ----
+    QueryDef(
+      "ext_text_boilerplate_prefixes",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val c = Tables.load(s, dir, "documents")
+          .select($"source", substring(trim($"text"), 1, 24).as("prefix"))
+          .groupBy($"source", $"prefix").agg(count(lit(1)).as("cnt"))
+        val rk = Window.partitionBy($"source").orderBy($"cnt".desc, $"prefix")
+        val tot = Window.partitionBy($"source")
+        c.withColumn("rk", row_number().over(rk))
+          .withColumn("docs", sum($"cnt").over(tot))
+          .filter($"rk" === 1)
+          .select($"source", $"prefix", $"cnt",
+            round($"cnt" / $"docs".cast("double"), 6).as("share"))
+          .orderBy($"source")
+      },
+      Some("""WITH c AS (
+          SELECT source, substring(trim(text), 1, 24) AS prefix,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY source, prefix),
+        r AS (
+          SELECT source, prefix, cnt,
+            row_number() OVER (PARTITION BY source ORDER BY cnt DESC, prefix) AS rk,
+            CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS docs
+          FROM c)
+        SELECT source, prefix, cnt, round(cnt / CAST(docs AS DOUBLE), 6) AS share
+        FROM r WHERE rk = 1 ORDER BY source"""))
   )
 }
 
