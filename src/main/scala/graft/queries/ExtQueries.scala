@@ -2907,7 +2907,46 @@ object ExtText extends QueryModule {
             CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS docs
           FROM c)
         SELECT source, prefix, cnt, round(cnt / CAST(docs AS DOUBLE), 6) AS share
-        FROM r WHERE rk = 1 ORDER BY source"""))
+        FROM r WHERE rk = 1 ORDER BY source""")),
+
+    // ---- tokenizer vocabulary coverage: out-of-vocabulary token share
+    // per language against a frequency-built vocab (top-20 here so the
+    // fixture discriminates; production = top-|V|) — the multilingual
+    // health check run before committing a tokenizer. The vocab is a
+    // TakeOrdered top-k (bounded) riding a broadcast into the probe join,
+    // so the corpus scans once and nothing big shuffles. ----
+    QueryDef(
+      "ext_text_vocab_coverage",
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables.load(s, dir, "documents")
+          .select($"lang",
+            explode(split(lower(trim($"text")), "\\s+")).as("term"))
+        val vocab = tok.groupBy($"term").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"term").limit(20)
+          .select($"term".as("v_term"))
+        tok.join(broadcast(vocab), $"term" === $"v_term", "left")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("tokens"),
+            sum(when($"v_term".isNull, 1L).otherwise(0L)).as("oov"))
+          .select($"lang", $"tokens", $"oov",
+            round($"oov" / $"tokens".cast("double"), 6).as("oov_rate"))
+          .orderBy($"lang")
+      },
+      Some("""WITH tok AS (
+          SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        vocab AS (
+          SELECT term FROM (
+            SELECT term, count(*) AS cnt FROM tok GROUP BY term
+            ORDER BY cnt DESC, term LIMIT 20)),
+        cover AS (
+          SELECT t.lang, CAST(count(*) AS BIGINT) AS tokens,
+            CAST(count(*) FILTER (WHERE v.term IS NULL) AS BIGINT) AS oov
+          FROM tok t LEFT JOIN vocab v ON t.term = v.term
+          GROUP BY t.lang)
+        SELECT lang, tokens, oov, round(oov / CAST(tokens AS DOUBLE), 6) AS oov_rate
+        FROM cover ORDER BY lang"""))
   )
 }
 
