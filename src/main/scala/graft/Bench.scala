@@ -179,8 +179,33 @@ object Bench {
         StreamingOps.sessionWindowCounts(stream, "30 minutes", Some("1 hour")),
         "bench_stream_sess", mode = "append").count()
       val sessSec = (System.nanoTime() - t1) / 1e9
+      // near-dup GATE: the state-heaviest path (FMGWS band claims + append
+      // agg) — staged with per-doc event times + a far sentinel so the
+      // doc-grain decisions flush; its own throughput baseline per round
+      val gateDir = s"$tmp/gate"
+      val staged = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"),
+          (to_timestamp(lit("2026-01-01 00:00:00")) + make_interval(
+            lit(0), lit(0), lit(0), lit(0), lit(0), lit(0),
+            (col("doc_id") % 3600L).cast("double"))).as("ingest_ts"))
+        .unionByName(spark.range(1).select(
+          lit(999999999L).as("doc_id"),
+          lit("watermark sentinel zz yy xx").as("text"),
+          to_timestamp(lit("2026-02-01 00:00:00")).as("ingest_ts")))
+      staged.write.mode("overwrite").parquet(gateDir)
+      val checkConf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+      spark.conf.set(checkConf, "false")
+      val t2 = System.nanoTime()
+      val gateSec =
+        try {
+          StreamingOps.runToCompletion(spark,
+            StreamingOps.nearDupGateStream(spark, staged.schema, gateDir,
+              watermark = "1 hour", horizonMillis = 3600L * 1000),
+            "bench_stream_gate", mode = "append").count()
+          (System.nanoTime() - t2) / 1e9
+        } finally spark.conf.unset(checkConf)
       val obj =
-        s"""{"corpus_clean_rows":$nDocs,"corpus_clean_sec":${fmt(cleanSec)},"corpus_clean_rows_per_sec":${fmt(nDocs / cleanSec)},"session_window_rows":$nEv,"session_window_sec":${fmt(sessSec)},"session_window_rows_per_sec":${fmt(nEv / sessSec)}}"""
+        s"""{"corpus_clean_rows":$nDocs,"corpus_clean_sec":${fmt(cleanSec)},"corpus_clean_rows_per_sec":${fmt(nDocs / cleanSec)},"session_window_rows":$nEv,"session_window_sec":${fmt(sessSec)},"session_window_rows_per_sec":${fmt(nEv / sessSec)},"near_dup_gate_rows":$nDocs,"near_dup_gate_sec":${fmt(gateSec)},"near_dup_gate_rows_per_sec":${fmt(nDocs / gateSec)}}"""
       System.err.println(s"""{"stream_bench":$obj}""")
       Some(obj)
     } catch {
