@@ -62,8 +62,36 @@ final class GraftSession(
 
   def sql(query: String): DataFrame = withAnsi {
     val raw = query.trim.stripSuffix(";").trim
-    if (addressesV2Catalog(raw)) spark.sql(raw)
+    // VACUUM is ours, not Spark SQL — intercept before catalog passthrough
+    if (raw.toUpperCase(Locale.ROOT).startsWith("VACUUM ")) vacuumTable(raw)
+    else if (addressesV2Catalog(raw)) spark.sql(raw)
     else sqlFrontDoor(raw)
+  }
+
+  /** `VACUUM <catalog>.<ns>.<table> [RETAIN n VERSIONS]` — explicit
+    * retention compaction for a gmem table: keeps the newest `n` commit
+    * snapshots (default 1) and drops the streaming append log (fresh
+    * streams start at the new base; see
+    * [[graft.sources.GraftMemCatalog.DefaultRetainVersions]] for the
+    * automatic retention that runs on every commit). */
+  private def vacuumTable(q: String): DataFrame = {
+    val m = """(?is)VACUUM\s+([A-Za-z_][\w.]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*""".r
+      .findFirstMatchIn(q).getOrElse(sys.error(s"cannot parse VACUUM: $q"))
+    val parts = m.group(1).split('.')
+    val retain = Option(m.group(2)).map(_.toInt).getOrElse(1)
+    require(parts.length >= 3,
+      "VACUUM targets a catalog table: VACUUM <catalog>.<namespace>.<table>")
+    val cat = graft.sources.GraftMemCatalog.instance(parts.head).getOrElse(
+      sys.error(s"VACUUM: '${parts.head}' is not a registered gmem catalog " +
+        "(front-door tables version through DESCRIBE HISTORY / RESTORE and " +
+        "need no vacuum — their snapshots are lazy plans, not stored rows)"))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(parts.tail.init, parts.last)
+    val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftMemTable]
+    t.vacuum(retain)
+    import spark.implicits._
+    Seq((m.group(1), t.retainedHistoryCount.toLong))
+      .toDF("table_name", "retained_versions")
   }
 
   /** True when the statement addresses a registered DataSourceV2 catalog by

@@ -398,8 +398,13 @@ object MultimodalOps {
     val h = math.abs(hRaw)
     if (w <= 0 || h == 0 || le16(26) != 1 || le16(28) != 24 || le32(30) != 0)
       return None
-    val stride = (w * 3 + 3) / 4 * 4
-    if (off < 54 || off.toLong + stride.toLong * h > b.length) return None
+    // stride math in Long: adversarial widths near 2^31/3 overflow Int,
+    // producing a negative stride that defeats the bound check below and
+    // crashes the task instead of quarantining the payload
+    if (w > (1 << 20) || h > (1 << 20)) return None
+    val strideL = (w.toLong * 3 + 3) / 4 * 4
+    if (off < 54 || off.toLong + strideL * h > b.length) return None
+    val stride = strideL.toInt
     var sr = 0L; var sg = 0L; var sb = 0L
     var fr = 0; var fg = 0; var fb = 0
     var y = 0

@@ -77,6 +77,8 @@ class GraftMemCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var maxRows: Long = DefaultMaxRowsPerTable
   private var maxBytes: Long = DefaultMaxBytesPerTable
+  private var retainVersions: Int = DefaultRetainVersions
+  private var retainLogRows: Long = DefaultRetainLogRows
   private val namespaces = TrieMap[List[String], Map[String, String]](
     List("default") -> Map.empty)
   private val tables = TrieMap[(List[String], String), GraftMemTable]()
@@ -87,6 +89,14 @@ class GraftMemCatalog extends TableCatalog with SupportsNamespaces {
       .getOrElse(DefaultMaxRowsPerTable)
     maxBytes = Option(options.get("maxBytesPerTable")).map(_.toLong)
       .getOrElse(DefaultMaxBytesPerTable)
+    retainVersions = Option(options.get("retainVersions")).map(_.toInt)
+      .getOrElse(DefaultRetainVersions)
+    retainLogRows = Option(options.get("retainLogRows")).map(_.toLong)
+      .getOrElse(DefaultRetainLogRows)
+    require(retainVersions >= 1,
+      s"spark.sql.catalog.$name.retainVersions must be >= 1")
+    require(retainLogRows >= 0,
+      s"spark.sql.catalog.$name.retainLogRows must be >= 0")
     // the front door's BEGIN/ROLLBACK needs the live instance (Spark's
     // CatalogManager holds it privately); last-initialized per name wins
     GraftMemCatalog.register(name, this)
@@ -125,7 +135,8 @@ class GraftMemCatalog extends TableCatalog with SupportsNamespaces {
     (ident.namespace.toList, ident.name)
 
   private def caps: TableCaps =
-    TableCaps(maxRows, maxBytes, s"spark.sql.catalog.$catalogName")
+    TableCaps(maxRows, maxBytes, retainVersions, retainLogRows,
+      s"spark.sql.catalog.$catalogName")
 
   // ------------------------------------------------------------- tables
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -278,11 +289,25 @@ object GraftMemCatalog {
   val DefaultMaxRowsPerTable: Long = 10L * 1000 * 1000
   val DefaultMaxBytesPerTable: Long = 1L << 30 // 1 GiB
 
-  /** Per-table write limits + the conf prefix to name in cap errors. */
-  final case class TableCaps(maxRows: Long, maxBytes: Long, confPrefix: String)
+  /** Lifetime-accumulation bounds (the caps above bound LIVE rows only): a
+    * session that repeatedly truncates and reloads a dimension table at
+    * cap, or a long-running streaming sink, would otherwise accumulate
+    * every commit snapshot and every log row ever written on the driver.
+    * Retention compacts both, Kafka-style: `VERSION AS OF` below the
+    * oldest retained snapshot and stream restarts from a compacted offset
+    * fail with a clean error naming the conf. Override per catalog with
+    * `spark.sql.catalog.<name>.retainVersions` / `.retainLogRows`. */
+  val DefaultRetainVersions: Int = 64
+  val DefaultRetainLogRows: Long = 1L * 1000 * 1000
+
+  /** Per-table write limits + retention + the conf prefix for cap errors. */
+  final case class TableCaps(
+      maxRows: Long, maxBytes: Long, retainVersions: Int, retainLogRows: Long,
+      confPrefix: String)
 
   /** Caps for detached snapshot copies — never written to. */
-  private[sources] val SnapshotCaps = TableCaps(Long.MaxValue, Long.MaxValue, "")
+  private[sources] val SnapshotCaps =
+    TableCaps(Long.MaxValue, Long.MaxValue, Int.MaxValue, Long.MaxValue, "")
 
   /** Live catalog instances by name (Spark's CatalogManager holds the
     * plugin privately; the front door's transaction surface reaches it
@@ -340,28 +365,48 @@ class GraftMemTable(
   private var storedBytes: Long = 0L
   // append-only insert log: what a STREAMING read tails (offsets = log
   // positions, so they stay monotone even across TRUNCATE of the table
-  // state — the mem-table equivalent of a CDC insert feed)
+  // state — the mem-table equivalent of a CDC insert feed). `logBase` is
+  // the absolute offset of log(0): retention drops the oldest entries and
+  // advances the base, so offsets stay monotone and a compacted-away slice
+  // fails cleanly instead of silently serving the wrong rows (it also
+  // removes the old `.toInt` wrap past 2^31 absolute offsets — slicing is
+  // relative to the base and the retained vector is capped).
   private var log: Vector[InternalRow] = Vector.empty
+  private var logBase: Long = 0L
   private var props: Map[String, String] = initialProps
   // commit snapshots for VERSION AS OF: entry 0 = the empty just-created
   // state; every write commit and ALTER appends one. Zero-copy — Vector is
-  // persistent and the column array immutable.
+  // persistent and the column array immutable. `historyBase` is the
+  // absolute version of history(0); retention keeps the newest
+  // `retainVersions` snapshots so lifetime accumulation is bounded.
   private var history: Vector[(Array[V2Column], Array[Constraint], Vector[InternalRow])] =
     Vector((initialCols, initialConstraints, Vector.empty))
+  private var historyBase: Long = 0L
+  // last committed epoch per streaming query id: epoch replays after a
+  // checkpoint restart re-deliver the same rows; skipping already-committed
+  // epochs makes the sink exactly-once AND keeps replays from tripping
+  // PRIMARY KEY/UNIQUE duplicate checks on rows the table already holds
+  private val epochCommits = scala.collection.mutable.Map.empty[String, Long]
 
   private def toStruct(cs: Array[V2Column]): StructType =
     StructType(cs.map(c => StructField(c.name, c.dataType, c.nullable)))
 
   override def name(): String = synchronized(tableName)
-  override def version(): String = synchronized((history.length - 1).toString)
+  override def version(): String =
+    synchronized((historyBase + history.length - 1).toString)
 
   /** Read-only view of commit snapshot `v` (served to Spark's time-travel
     * `loadTable(ident, version)` path). Writes addressed to the snapshot
-    * table mutate only the detached copy, never the live table. */
+    * table mutate only the detached copy, never the live table. Versions
+    * below the retention horizon were compacted — clean error. */
   private[sources] def snapshotAt(v: Long): Table = synchronized {
-    require(v >= 0 && v < history.length,
-      s"gmem: no version $v of $tableName (${history.length} snapshots)")
-    val (cs, cns, data) = history(v.toInt)
+    require(v >= 0 && v < historyBase + history.length,
+      s"gmem: no version $v of $tableName (${historyBase + history.length} commits)")
+    require(v >= historyBase,
+      s"gmem: version $v of $tableName was compacted by retention " +
+        s"(oldest retained: $historyBase; raise ${caps.confPrefix}.retainVersions " +
+        "to keep more snapshots)")
+    val (cs, cns, data) = history((v - historyBase).toInt)
     val snap = new GraftMemTable(s"$tableName@v$v", cs, Map.empty,
       cns, GraftMemCatalog.SnapshotCaps)
     snap.rows = data
@@ -375,22 +420,65 @@ class GraftMemTable(
   private[sources] def rename(newName: String): Unit =
     synchronized { tableName = newName }
 
-  private[graft] def historyLength: Long = synchronized(history.length.toLong)
+  private[graft] def historyLength: Long =
+    synchronized(historyBase + history.length)
+  /** Retained (post-compaction) counts — what actually sits on the driver. */
+  private[graft] def retainedHistoryCount: Int = synchronized(history.length)
+  private[graft] def retainedLogCount: Int = synchronized(log.length)
 
   /** Restore to commit snapshot `v` — columns, constraints and rows roll
     * back together, recorded as a NEW history entry so the log stays
     * append-only (undo is a version, Delta-style — the same discipline as
-    * [[graft.tables.MutableTableManager.restore]]). */
+    * [[graft.tables.MutableTableManager.restore]]). A `v` below the
+    * retention horizon fails cleanly (transactions are short-lived; the
+    * default horizon far outlasts any BEGIN..ROLLBACK window). */
   private[graft] def restoreTo(v: Long): Unit = synchronized {
-    require(v >= 0 && v < history.length,
-      s"gmem: no version $v of $tableName (${history.length} snapshots)")
-    val (cs, cns, data) = history(v.toInt)
+    require(v >= 0 && v < historyBase + history.length,
+      s"gmem: no version $v of $tableName (${historyBase + history.length} commits)")
+    require(v >= historyBase,
+      s"gmem: version $v of $tableName was compacted by retention " +
+        s"(oldest retained: $historyBase; raise ${caps.confPrefix}.retainVersions)")
+    val (cs, cns, data) = history((v - historyBase).toInt)
     cols = cs
     tableSchema = toStruct(cs)
     cons = cns
     rows = data
     storedBytes = data.iterator.map(rowBytes).sum
     history = history :+ ((cols, cons, rows))
+    compactRetention()
+  }
+
+  /** Drop history/log beyond the retention horizons. Runs inside every
+    * state-advancing commit, so lifetime driver-heap use is structurally
+    * bounded: live rows (row/byte caps) + `retainLogRows` log entries +
+    * `retainVersions` snapshots (zero-copy persistent vectors — dropped
+    * snapshots free whatever structure the retained ones don't share). */
+  private def compactRetention(): Unit = {
+    if (history.length > caps.retainVersions) {
+      val drop = history.length - caps.retainVersions
+      history = history.drop(drop)
+      historyBase += drop
+    }
+    if (log.length > caps.retainLogRows) {
+      val drop = (log.length - caps.retainLogRows).toInt
+      log = log.drop(drop)
+      logBase += drop
+    }
+  }
+
+  /** Explicit compaction (the front door's VACUUM): keep the newest
+    * `retain` snapshots and drop the whole streaming log (a stream started
+    * after the vacuum begins at the new base; one holding an older
+    * checkpointed offset fails cleanly on its next slice). */
+  private[graft] def vacuum(retain: Int = 1): Unit = synchronized {
+    require(retain >= 1, "gmem: VACUUM must retain at least 1 version")
+    if (history.length > retain) {
+      val drop = history.length - retain
+      history = history.drop(drop)
+      historyBase += drop
+    }
+    logBase += log.length
+    log = Vector.empty
   }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
@@ -401,9 +489,16 @@ class GraftMemTable(
       TableCapability.TRUNCATE)
 
   private[sources] def currentRows: Vector[InternalRow] = synchronized(rows)
-  private[sources] def logSize: Long = synchronized(log.length.toLong)
+  private[sources] def logSize: Long = synchronized(logBase + log.length)
+  private[sources] def logStart: Long = synchronized(logBase)
   private[sources] def logSlice(from: Long, until: Long): Vector[InternalRow] =
-    synchronized(log.slice(from.toInt, until.toInt))
+    synchronized {
+      require(from >= logBase,
+        s"gmem: streaming offset $from of $tableName was compacted by " +
+          s"retention (oldest retained: $logBase). Restart the stream from a " +
+          s"fresh checkpoint, or raise ${caps.confPrefix}.retainLogRows.")
+      log.slice((from - logBase).toInt, (until - logBase).toInt)
+    }
 
   private def rowBytes(r: InternalRow): Long = r match {
     case u: UnsafeRow => u.getSizeInBytes.toLong
@@ -435,7 +530,20 @@ class GraftMemTable(
     storedBytes = baseBytes + addBytes
     log = log ++ appended
     history = history :+ ((cols, cons, rows))
+    compactRetention()
   }
+
+  /** Streaming-epoch commit: skip epochs at or below the last committed one
+    * for this query id (stable across checkpoint restarts), so post-restart
+    * replays neither duplicate rows nor trip PK/UNIQUE duplicate checks. */
+  private[sources] def commitEpoch(
+      queryId: String, epochId: Long, appended: Seq[InternalRow]): Unit =
+    synchronized {
+      if (!epochCommits.get(queryId).exists(_ >= epochId)) {
+        commitRows(appended, truncate = false)
+        epochCommits(queryId) = epochId
+      }
+    }
 
   /** Commit-side enforcement, where the incoming batch and the stored rows
     * meet: PRIMARY KEY / UNIQUE key-collision checks (within the batch and
@@ -453,16 +561,26 @@ class GraftMemTable(
       throw new IllegalStateException(
         s"gmem: NOT NULL constraint violated on $tableName: " +
           s"column ${schema.fields(i).name}")
-    val keySets: Seq[(String, Array[String])] = cons.toSeq.collect {
-      case u: Unique => u.name() -> u.columns().map(_.fieldNames().mkString("."))
-      case p: PrimaryKey => p.name() -> p.columns().map(_.fieldNames().mkString("."))
+    val keySets: Seq[(String, Array[String], Boolean)] = cons.toSeq.collect {
+      case u: Unique =>
+        (u.name(), u.columns().map(_.fieldNames().mkString(".")), false)
+      case p: PrimaryKey =>
+        (p.name(), p.columns().map(_.fieldNames().mkString(".")), true)
     }
-    for ((cname, keyCols) <- keySets) {
+    for ((cname, keyCols, isPk) <- keySets) {
       val ords = keyCols.map { c =>
         val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
         require(i >= 0, s"gmem: constraint $cname references unknown column $c")
         i
       }
+      // PRIMARY KEY implies NOT NULL (the front-door engine maps PK =>
+      // NOT NULL + UNIQUE); a NULL key value must be rejected, not given
+      // the UNIQUE null-skip pass that would admit duplicate NULL-keyed rows
+      if (isPk)
+        for (r <- appended; i <- ords if r.isNullAt(i))
+          throw new IllegalStateException(
+            s"gmem: PRIMARY KEY${if (cname.nonEmpty) s" $cname" else ""} on " +
+              s"$tableName rejects NULL in key column ${schema.fields(i).name}")
       def keyOf(r: InternalRow): Option[Seq[Any]] = {
         if (ords.exists(r.isNullAt)) None
         else Some(ords.toIndexedSeq.map(i => r.get(i, schema.fields(i).dataType)))
@@ -531,7 +649,12 @@ class GraftMemTable(
       case other =>
         throw new UnsupportedOperationException(s"gmem: unsupported $other")
     }
+    // column-shape changes rewrote rows into a different representation
+    // (GenericInternalRow) with a different rowBytes estimator — recompute
+    // so the byte-cap accounting doesn't drift until the next truncate
+    storedBytes = rows.iterator.map(rowBytes).sum
     history = history :+ ((cols, cons, rows))
+    compactRetention()
   }
 
   // ---------------------------------------------------------------- read
@@ -565,10 +688,9 @@ class GraftMemTable(
 
         /** `df.writeStream.toTable("gmem.ns.t")`: each micro-batch epoch
           * appends through the same cap/constraint-guarded commit as a
-          * batch INSERT. Epoch replays after a restart re-commit the same
-          * rows (this in-memory sink is not idempotent by epoch id —
-          * at-least-once, like the console/memory sinks; the parquet-
-          * backed path is where exactly-once lands at scale). */
+          * batch INSERT. Commits are idempotent by (query id, epoch id):
+          * replays after a checkpoint restart are skipped, so the sink is
+          * exactly-once and safe for key-constrained tables. */
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
@@ -581,7 +703,7 @@ class GraftMemTable(
                 case RowsCommit(rs) => rs
                 case _ => Iterator.empty
               }.toVector
-              commitRows(appended, truncate = false)
+              commitEpoch(info.queryId(), epochId, appended)
             }
             override def abort(
                 epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -677,7 +799,9 @@ class GraftMemScan(table: GraftMemTable, requiredSchema: StructType)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MicroBatchStream {
-      override def initialOffset(): SOffset = CountOffset(0L)
+      // a fresh stream begins at the oldest RETAINED log entry (Kafka
+      // "earliest available" semantics — entries before it were compacted)
+      override def initialOffset(): SOffset = CountOffset(table.logStart)
       override def latestOffset(): SOffset = CountOffset(table.logSize)
       override def deserializeOffset(json: String): SOffset =
         CountOffset(json.trim.toLong)

@@ -184,13 +184,19 @@ final class MutableTableManager(spark: SparkSession) {
     // the WHERE references (UPDATE t SET bal = -5 WHERE bal = 100), so
     // re-filtering post-update rows with the same predicate would miss
     // exactly the rows that changed and skip constraint enforcement on them.
-    val marked = st.df.withColumn("__upd", coalesce(pred, lit(false)))
-    val affected = marked.filter(col("__upd")).count()
+    // marker name must not collide with a user column (withColumn REPLACES
+    // same-named columns, which would pass the predicate boolean through as
+    // that column's new value) — probe for a free name
+    val marker = Iterator.from(0)
+      .map(i => if (i == 0) "__upd" else s"__upd$i")
+      .find(n => !st.schema.fieldNames.exists(_.equalsIgnoreCase(n))).get
+    val marked = st.df.withColumn(marker, coalesce(pred, lit(false)))
+    val affected = marked.filter(col(marker)).count()
     val assignments = set.map { case (c, e) => norm(c) -> e }.toMap
     val projected = st.schema.fields.map { f =>
       assignments.get(norm(f.name)) match {
         case Some(e) =>
-          when(col("__upd"), expr(e).cast(f.dataType))
+          when(col(marker), expr(e).cast(f.dataType))
             .otherwise(col(f.name)).as(f.name)
         case None => col(f.name)
       }
@@ -201,7 +207,7 @@ final class MutableTableManager(spark: SparkSession) {
     // lakehouse engines
     if (st.checks.nonEmpty || st.schema.fields.exists(!_.nullable))
       enforceRowConstraints(st,
-        marked.filter(col("__upd")).select(projected.toIndexedSeq: _*))
+        marked.filter(col(marker)).select(projected.toIndexedSeq: _*))
     val newDf = marked.select(projected.toIndexedSeq: _*)
     put(key, st.copy(df = checkpointed(newDf, st.mutations),
       mutations = st.mutations + 1), "UPDATE")
