@@ -81,17 +81,26 @@ final class GraftSession(
     val retain = Option(m.group(2)).map(_.toInt).getOrElse(1)
     require(parts.length >= 3,
       "VACUUM targets a catalog table: VACUUM <catalog>.<namespace>.<table>")
-    val cat = graft.sources.GraftMemCatalog.instance(parts.head).getOrElse(
-      sys.error(s"VACUUM: '${parts.head}' is not a registered gmem catalog " +
-        "(front-door tables version through DESCRIBE HISTORY / RESTORE and " +
-        "need no vacuum — their snapshots are lazy plans, not stored rows)"))
     val ident = org.apache.spark.sql.connector.catalog.Identifier
       .of(parts.tail.init, parts.last)
-    val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftMemTable]
-    t.vacuum(retain)
+    val retained: Long = graft.sources.GraftMemCatalog.instance(parts.head) match {
+      case Some(cat) =>
+        val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftMemTable]
+        t.vacuum(retain)
+        t.retainedHistoryCount.toLong
+      case None => graft.sources.GraftDiskCatalog.instance(parts.head) match {
+        case Some(cat) =>
+          val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftDiskTable]
+          t.log.vacuum(retain)
+          t.log.versions().length.toLong
+        case None => sys.error(
+          s"VACUUM: '${parts.head}' is not a registered gmem/gdisk catalog " +
+            "(front-door tables version through DESCRIBE HISTORY / RESTORE " +
+            "and need no vacuum — their snapshots are lazy plans, not stored rows)")
+      }
+    }
     import spark.implicits._
-    Seq((m.group(1), t.retainedHistoryCount.toLong))
-      .toDF("table_name", "retained_versions")
+    Seq((m.group(1), retained)).toDF("table_name", "retained_versions")
   }
 
   /** True when the statement addresses a registered DataSourceV2 catalog by

@@ -1,0 +1,1017 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal => CatalystLiteral, UnsafeProjection}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.connector.catalog.{Column => V2Column, _}
+import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint, ForeignKey, PrimaryKey, Unique}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat, ParquetWriteSupport}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The parquet-backed sibling of [[GraftMemCatalog]] — the corpus-scale
+  * (100 TB) tier of the DSv2 stack, with the SAME semantic surface:
+  *
+  *   - '''Column DEFAULTs''' (`SUPPORT_COLUMN_DEFAULT_VALUE`) and
+  *     '''CHECK constraints''' (`SUPPORT_TABLE_CONSTRAINT` — Spark's
+  *     `ResolveTableConstraints` injects `CheckInvariant` into every write
+  *     plan, so CHECK runs DISTRIBUTED on the executors);
+  *   - '''PRIMARY KEY / UNIQUE''' enforced on ingest as DISTRIBUTED Spark
+  *     jobs at commit (a groupBy-count over key columns across existing ∪
+  *     appended files — never a driver-side hash of table rows);
+  *   - '''MERGE / UPDATE / DELETE''' via `SupportsRowLevelOperations`
+  *     group-based copy-on-write — Spark rewrites the statement into one
+  *     join over the scan; executors write the replacement parquet files;
+  *     commit swaps the manifest;
+  *   - '''`VERSION AS OF`''' over a commit log of JSON manifests (one
+  *     complete file-list snapshot per version, Delta-style);
+  *   - '''streaming''' source (tails files added per commit) and sink
+  *     (parquet files per epoch, idempotent by (query id, epoch id)).
+  *
+  * Where gmem holds rows on the driver (capped, dimension-scale — the
+  * Spark-native form of the reference's in-memory `MemoryTable`,
+  * `qurious/src/datasource/memory.rs:21`), gdisk NEVER materializes table
+  * rows on the driver:
+  *
+  *   - reads delegate to Spark's own vectorized parquet `FileTable` scan
+  *     over the manifest's file list, so column pruning, filter pushdown
+  *     and whole-stage codegen are the native ones;
+  *   - writes stream through executor-side `ParquetWriter`s; the driver
+  *     commit sees only file names and row counts;
+  *   - constraint checks at commit are Spark jobs whose driver-side result
+  *     is a single violation count.
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.gdisk", classOf[GraftDiskCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.gdisk.warehouse", "/data/warehouse")
+  *   spark.sql("CREATE TABLE gdisk.lake.docs (id BIGINT, text STRING DEFAULT '')")
+  *   spark.sql("INSERT INTO gdisk.lake.docs SELECT id, text FROM staged")
+  * }}}
+  *
+  * Commit concurrency is optimistic: a manifest version is claimed with a
+  * create-if-absent on `_graft_log/v<N>.json`; append commits retry on a
+  * lost race (re-reading the new base), full-replacement commits fail
+  * cleanly. Durability of a half-written manifest on a crashed driver is
+  * out of scope (single-writer discipline, as in the reference's
+  * single-process engine).
+  */
+class GraftDiskCatalog extends TableCatalog with SupportsNamespaces {
+  import GraftDiskCatalog._
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      sys.error(s"spark.sql.catalog.$name.warehouse must point at a directory"))
+    val fs = fileSystem(warehouse)
+    fs.mkdirs(new HPath(warehouse, "default"))
+    GraftDiskCatalog.register(name, this)
+  }
+
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  private def fileSystem(path: String): FileSystem =
+    new HPath(path).getFileSystem(hadoopConf())
+  private def hadoopConf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  private def nsDir(namespace: Seq[String]): HPath = {
+    require(namespace.forall(n => !n.contains('/') && !n.contains('.')),
+      s"gdisk: namespace segments must be plain names: ${namespace.mkString(".")}")
+    new HPath(warehouse, namespace.mkString("."))
+  }
+  private def tableDir(ident: Identifier): HPath = {
+    require(!ident.name.contains('/'),
+      s"gdisk: table names must be plain names: ${ident.name}")
+    new HPath(nsDir(ident.namespace.toIndexedSeq), ident.name)
+  }
+
+  // ------------------------------------------------------------- tables
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val fs = fileSystem(warehouse)
+    val dir = nsDir(namespace.toIndexedSeq)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => fs.exists(new HPath(p, LogDirName)))
+      .map(p => Identifier.of(namespace, p.getName))
+      .sortBy(_.name)
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val fs = fileSystem(warehouse)
+    fs.exists(new HPath(tableDir(ident), LogDirName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val log = new DiskCommitLog(dir, hadoopConf())
+    new GraftDiskTable(fullName(ident), log, log.latest(), pinned = None)
+  }
+
+  /** `VERSION AS OF v` — a read-only view over manifest `v`'s file list. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"gdisk: VERSION AS OF expects a numeric commit id, got '$version'")
+    }
+    loadTable(ident, v)
+  }
+
+  override def loadTable(ident: Identifier, version: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val log = new DiskCommitLog(dir, hadoopConf())
+    new GraftDiskTable(s"${fullName(ident)}@v$version", log, log.read(version),
+      pinned = Some(version))
+  }
+
+  private def fullName(ident: Identifier): String =
+    (ident.namespace :+ ident.name).mkString(".")
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    createV2(ident,
+      schema.fields.map(f => V2Column.create(f.name, f.dataType, f.nullable)),
+      partitions, properties.asScala.toMap, Array.empty)
+
+  override def createTable(
+      ident: Identifier, columns: Array[V2Column], partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    createV2(ident, columns, partitions, properties.asScala.toMap, Array.empty)
+
+  override def createTable(ident: Identifier, info: TableInfo): Table =
+    createV2(ident, info.columns(), info.partitions(),
+      info.properties().asScala.toMap, info.constraints())
+
+  private def createV2(
+      ident: Identifier, columns: Array[V2Column], partitions: Array[Transform],
+      properties: Map[String, String], constraints: Array[Constraint]): Table = {
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    require(partitions.isEmpty,
+      "gdisk tables do not support partition transforms yet")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val dir = tableDir(ident)
+    val log = new DiskCommitLog(dir, hadoopConf())
+    val m = DiskManifest(
+      version = 0L,
+      schemaJson = toStruct(columns).json,
+      defaults = columns.iterator.flatMap { c =>
+        Option(c.defaultValue()).map { d =>
+          c.name -> DiskDefault(d.getSql,
+            CatalystLiteral(d.getValue.value(), d.getValue.dataType()).sql)
+        }
+      }.toMap,
+      comments = columns.iterator
+        .flatMap(c => Option(c.comment()).map(c.name -> _)).toMap,
+      constraints = constraints.toIndexedSeq.map(DiskConstraint.from),
+      files = Nil, added = Nil, properties = properties, epochs = Map.empty)
+    log.commitInitial(m)
+    new GraftDiskTable(fullName(ident), log, m, pinned = None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val fs = fileSystem(warehouse)
+    val dir = tableDir(ident)
+    if (!fs.exists(new HPath(dir, LogDirName))) false
+    else fs.delete(dir, true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (!namespaceExists(to.namespace))
+      throw new NoSuchNamespaceException(to.namespace)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    val fs = fileSystem(warehouse)
+    if (!fs.rename(tableDir(from), tableDir(to)))
+      sys.error(s"gdisk: rename ${fullName(from)} -> ${fullName(to)} failed")
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftDiskTable]
+    changes.foreach(t.applyChange)
+    loadTable(ident)
+  }
+
+  // --------------------------------------------------------- namespaces
+  override def listNamespaces(): Array[Array[String]] = {
+    val fs = fileSystem(warehouse)
+    fs.listStatus(new HPath(warehouse)).filter(_.isDirectory)
+      .map(_.getPath.getName.split('.').toArray[String])
+      .sortBy(_.mkString("."))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    fileSystem(warehouse).exists(nsDir(namespace.toIndexedSeq))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    fileSystem(warehouse).mkdirs(nsDir(namespace.toIndexedSeq))
+  }
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = {
+    val ns = namespace.toList
+    if (ns == List("default"))
+      throw new UnsupportedOperationException(
+        "gdisk: the built-in 'default' namespace cannot be dropped")
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (listTables(namespace).nonEmpty && !cascade)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+        namespace)
+    fileSystem(warehouse).delete(nsDir(ns), true)
+  }
+}
+
+object GraftDiskCatalog {
+  val LogDirName = "_graft_log"
+  val DataDirName = "data"
+
+  /** Live catalog instances by name (the front door's VACUUM reaches the
+    * plugin here; Spark's CatalogManager holds it privately). */
+  private val instances = TrieMap.empty[String, GraftDiskCatalog]
+  private def register(name: String, c: GraftDiskCatalog): Unit =
+    instances.update(name, c)
+  private[graft] def instance(name: String): Option[GraftDiskCatalog] =
+    instances.get(name)
+
+  private[sources] def toStruct(cs: Array[V2Column]): StructType =
+    StructType(cs.map(c => StructField(c.name, c.dataType, c.nullable)))
+}
+
+/** A column DEFAULT in manifest form: the user's SQL plus the folded
+  * literal rendered back to SQL (`Literal.sql` — parse + eval rebuilds the
+  * catalyst-internal value on load without a live analyzer). */
+case class DiskDefault(sql: String, valueSql: String)
+
+/** Connector-side literal for rebuilt defaults (Spark's own `LiteralValue`
+  * is `private[sql]`). `toString` renders parseable SQL because
+  * `CatalogV2Util` encodes `getValue.toString` into the struct field's
+  * EXISTS_DEFAULT metadata, which the analyzer re-parses. */
+case class GraftV2Literal[T](value: T, dataType: DataType)
+  extends org.apache.spark.sql.connector.expressions.Literal[T] {
+  override def toString: String = CatalystLiteral(value, dataType).sql
+  override def describe(): String = toString
+}
+
+/** A declared constraint in manifest form. */
+case class DiskConstraint(
+    kind: String, name: String, sql: Option[String], columns: Seq[String],
+    refTable: Seq[String], refColumns: Seq[String]) {
+  def toV2: Constraint = kind match {
+    case "check" =>
+      Constraint.check(name).predicateSql(sql.get).build()
+    case "primaryKey" =>
+      Constraint.primaryKey(name,
+        columns.map(Expressions.column).toArray).build()
+    case "unique" =>
+      Constraint.unique(name, columns.map(Expressions.column).toArray).build()
+    case "foreignKey" =>
+      Constraint.foreignKey(name, columns.map(Expressions.column).toArray,
+        Identifier.of(refTable.init.toArray, refTable.last),
+        refColumns.map(Expressions.column).toArray).build()
+  }
+}
+
+object DiskConstraint {
+  def from(c: Constraint): DiskConstraint = c match {
+    case ck: Check =>
+      DiskConstraint("check", ck.name(), Some(ck.predicateSql()), Nil, Nil, Nil)
+    case pk: PrimaryKey =>
+      DiskConstraint("primaryKey", pk.name(), None,
+        pk.columns().map(_.fieldNames().mkString(".")).toIndexedSeq, Nil, Nil)
+    case u: Unique =>
+      DiskConstraint("unique", u.name(), None,
+        u.columns().map(_.fieldNames().mkString(".")).toIndexedSeq, Nil, Nil)
+    case fk: ForeignKey =>
+      DiskConstraint("foreignKey", fk.name(), None,
+        fk.columns().map(_.fieldNames().mkString(".")).toIndexedSeq,
+        (fk.referencedTable().namespace() :+ fk.referencedTable().name())
+          .toIndexedSeq,
+        fk.referencedColumns().map(_.fieldNames().mkString(".")).toIndexedSeq)
+    case other =>
+      sys.error(s"gdisk: unsupported constraint type ${other.getClass.getName}")
+  }
+}
+
+/** One commit: a COMPLETE snapshot of the table at `version` (schema,
+  * defaults, constraints, the data files composing the version) plus the
+  * delta (`added`) the streaming source tails and the per-query epoch
+  * watermarks that make the streaming sink exactly-once. */
+case class DiskManifest(
+    version: Long,
+    schemaJson: String,
+    defaults: Map[String, DiskDefault],
+    comments: Map[String, String],
+    constraints: Seq[DiskConstraint],
+    files: Seq[String],
+    added: Seq[String],
+    properties: Map[String, String],
+    epochs: Map[String, Long]) {
+  lazy val schema: StructType =
+    DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  def columns: Array[V2Column] = schema.fields.map { f =>
+    val default = defaults.get(f.name).map { d =>
+      val value = CatalystSqlParser.parseExpression(d.valueSql) match {
+        case l: CatalystLiteral if l.dataType == f.dataType => l.value
+        case e => org.apache.spark.sql.catalyst.expressions.Cast(
+          e, f.dataType, None,
+          org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY).eval()
+      }
+      new ColumnDefaultValue(d.sql, GraftV2Literal(value, f.dataType))
+    }.orNull
+    V2Column.create(f.name, f.dataType, f.nullable,
+      comments.get(f.name).orNull, default, null)
+  }
+}
+
+/** The `_graft_log/` directory: `v<N>.json` manifests, claimed with
+  * create-if-absent for optimistic concurrency. */
+class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
+  import org.json4s._
+  import org.json4s.jackson.Serialization
+
+  private implicit val fmts: Formats = DefaultFormats
+  private val fs = tableDir.getFileSystem(conf)
+  private def logDir = new HPath(tableDir, GraftDiskCatalog.LogDirName)
+  def dataDir: HPath = new HPath(tableDir, GraftDiskCatalog.DataDirName)
+  private def manifestPath(v: Long) = new HPath(logDir, f"v$v%020d.json")
+
+  def latestVersion(): Long =
+    fs.listStatus(logDir).iterator
+      .map(_.getPath.getName).filter(_.matches("v\\d+\\.json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .foldLeft(-1L)(math.max)
+
+  def latest(): DiskManifest = {
+    val v = latestVersion()
+    require(v >= 0, s"gdisk: no commits under $logDir")
+    read(v)
+  }
+
+  def read(v: Long): DiskManifest = {
+    val p = manifestPath(v)
+    if (!fs.exists(p)) {
+      val latest = latestVersion()
+      throw new IllegalArgumentException(
+        if (v >= 0 && v <= latest)
+          s"gdisk: version $v of $tableDir was removed by VACUUM"
+        else s"gdisk: no version $v of $tableDir (latest: $latest)")
+    }
+    val in = fs.open(p)
+    try Serialization.read[DiskManifest](
+      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  def commitInitial(m: DiskManifest): Unit = {
+    fs.mkdirs(logDir)
+    fs.mkdirs(dataDir)
+    write(m)
+  }
+
+  /** Claim version `m.version`; throws FileAlreadyExistsException-style
+    * errors on a lost race (caller may re-read and retry). */
+  def write(m: DiskManifest): Unit = {
+    val out = fs.create(manifestPath(m.version), false)
+    try out.write(Serialization.write(m)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Manifests retained on disk, ascending. */
+  def versions(): Seq[Long] =
+    fs.listStatus(logDir).iterator
+      .map(_.getPath.getName).filter(_.matches("v\\d+\\.json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .toSeq.sorted
+
+  /** Drop manifests below the newest `retain` and delete data files no
+    * retained manifest references. */
+  def vacuum(retain: Int): Unit = {
+    require(retain >= 1, "gdisk: VACUUM must retain at least 1 version")
+    val vs = versions()
+    val (drop, keep) = vs.splitAt(math.max(0, vs.length - retain))
+    val referenced = keep.flatMap(v => read(v).files).toSet
+    drop.foreach(v => fs.delete(manifestPath(v), false))
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).iterator.map(_.getPath)
+        .filterNot(p => referenced.contains(p.getName))
+        .foreach(p => fs.delete(p, false))
+  }
+
+  def absolute(fileName: String): String =
+    new HPath(dataDir, fileName).toString
+}
+
+/** One parquet-backed table (possibly pinned to a `VERSION AS OF`
+  * snapshot). See [[GraftDiskCatalog]] for the architecture. */
+class GraftDiskTable(
+    tableName: String,
+    val log: DiskCommitLog,
+    loaded: DiskManifest,
+    pinned: Option[Long])
+  extends Table with SupportsRead with SupportsWrite
+  with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  import GraftDiskCatalog._
+
+  override def name(): String = tableName
+  override def version(): String = loaded.version.toString
+  override def schema(): StructType = loaded.schema
+  override def columns(): Array[V2Column] = loaded.columns
+  override def constraints(): Array[Constraint] =
+    loaded.constraints.map(_.toV2).toArray
+  override def properties(): util.Map[String, String] =
+    loaded.properties.asJava
+
+  /** Group id for copy-on-write. The current rewrite granularity is the
+    * whole table (one group, like gmem) — the honest next notch is
+    * per-file groups with runtime group filtering. Constant 0 keeps the
+    * write path identical to gmem's proven shape. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftMemCatalog.GroupIdColumn)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def absFiles(m: DiskManifest): Seq[String] =
+    m.files.map(log.absolute)
+
+  /** Inner Spark parquet FileTable over an explicit file list — vectorized
+    * scan, native pushdown/pruning. Planned driver-side per query. */
+  private[sources] def innerTable(files: Seq[String]): ParquetTable =
+    ParquetTable(tableName, spark, CaseInsensitiveStringMap.empty(), files,
+      Some(loaded.schema), classOf[ParquetFileFormat])
+
+  // ---------------------------------------------------------------- read
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftDiskScanBuilder(this, absFiles(loaded), options)
+
+  override def toString: String = s"GraftDiskTable($tableName)"
+
+  // --------------------------------------------------------------- write
+  private def writeConfMap(): Map[String, String] = {
+    val hc = spark.sessionState.newHadoopConf()
+    val sqlc = spark.sessionState.conf
+    // the keys ParquetWriteSupport.init asserts on (the normal write path
+    // sets them in ParquetUtils.prepareWrite; we are our own write path)
+    hc.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sqlc.getConf(SQLConf.PARQUET_WRITE_LEGACY_FORMAT).toString)
+    hc.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sqlc.getConf(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE).toString)
+    hc.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sqlc.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString)
+    hc.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sqlc.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    hc.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    hc.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    hc.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              pwi: PhysicalWriteInfo): DataWriterFactory =
+            new GraftDiskWriterFactory(info.schema(), schema(),
+              log.dataDir.toString, writeConfMap())
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            commitFiles(collectFiles(messages), doTruncate)
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            deleteFiles(collectFiles(messages))
+        }
+
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+            override def createStreamingWriterFactory(
+                pwi: PhysicalWriteInfo)
+                : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+              new GraftDiskWriterFactory(info.schema(), schema(),
+                log.dataDir.toString, writeConfMap())
+            override def commit(
+                epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+              commitEpochFiles(info.queryId(), epochId, collectFiles(messages))
+            override def abort(
+                epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+              deleteFiles(collectFiles(messages))
+          }
+      }
+    }
+
+  private def collectFiles(messages: Array[WriterCommitMessage]): Seq[String] =
+    messages.iterator.flatMap {
+      case DiskFilesCommit(fs) => fs
+      case _ => Iterator.empty
+    }.toVector
+
+  private def deleteFiles(files: Seq[String]): Unit = {
+    val fs = log.dataDir.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    files.foreach(f => fs.delete(new HPath(log.dataDir, f), false))
+  }
+
+  /** Append (or replace, for truncate/COW) `newFiles` as the next version.
+    * PK/UNIQUE run as distributed jobs BEFORE the manifest is claimed; a
+    * lost append race re-reads the new base and retries (constraints are
+    * re-validated against it). */
+  private def commitFiles(
+      newFiles: Seq[String], truncate: Boolean,
+      epochUpdate: Option[(String, Long)] = None): Unit = synchronized {
+    require(pinned.isEmpty,
+      s"gdisk: $tableName is a VERSION AS OF snapshot — snapshots are read-only")
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      val base = log.latest()
+      enforceKeysDistributed(base, newFiles, truncate)
+      val next = base.copy(
+        version = base.version + 1,
+        files = (if (truncate) Nil else base.files) ++ newFiles,
+        added = newFiles,
+        epochs = epochUpdate.fold(base.epochs) { case (q, e) =>
+          base.epochs + (q -> e) })
+      try {
+        log.write(next)
+        committed = true
+      } catch {
+        case e: java.io.IOException =>
+          attempts += 1
+          if (truncate || attempts > 5) throw new IllegalStateException(
+            s"gdisk: concurrent commit conflict on $tableName", e)
+      }
+    }
+  }
+
+  private def commitEpochFiles(
+      queryId: String, epochId: Long, newFiles: Seq[String]): Unit =
+    synchronized {
+      // idempotent by (query id, epoch): a post-restart replay re-delivers
+      // the same epoch — drop its files instead of double-appending
+      if (log.latest().epochs.get(queryId).exists(_ >= epochId))
+        deleteFiles(newFiles)
+      else commitFiles(newFiles, truncate = false,
+        epochUpdate = Some(queryId -> epochId))
+    }
+
+  /** PRIMARY KEY / UNIQUE on ingest, the 100 TB shape: one Spark job per
+    * declared key — nulls-in-PK count over the appended files, then a
+    * groupBy-count(>1) over (existing ∪ appended) key columns. The driver
+    * sees one number per check, never rows. */
+  private def enforceKeysDistributed(
+      base: DiskManifest, newFiles: Seq[String], truncate: Boolean): Unit = {
+    val keys = base.constraints.filter(c =>
+      c.kind == "primaryKey" || c.kind == "unique")
+    if (keys.isEmpty || newFiles.isEmpty) return
+    val schema = base.schema
+    def readFiles(fs: Seq[String]) =
+      if (fs.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(fs.map(log.absolute): _*)
+    val appended = readFiles(newFiles)
+    val existing = if (truncate) None else Some(readFiles(base.files))
+    for (k <- keys) {
+      val keyCols = k.columns.map(col)
+      if (k.kind == "primaryKey") {
+        val nulls = appended
+          .filter(keyCols.map(_.isNull).reduce(_ || _)).limit(1).count()
+        if (nulls > 0) throw new IllegalStateException(
+          s"gdisk: PRIMARY KEY ${k.name} on $tableName rejects NULL in key " +
+            s"(${k.columns.mkString(", ")})")
+      }
+      val all = existing.fold(appended.select(keyCols: _*))(
+        _.select(keyCols: _*).unionAll(appended.select(keyCols: _*)))
+      val dup = all.na.drop("any")
+        .groupBy(keyCols: _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      if (dup > 0) throw new IllegalStateException(
+        s"gdisk: ${if (k.kind == "primaryKey") "PRIMARY KEY" else "UNIQUE"} " +
+          s"constraint ${k.name} violated on $tableName: duplicate key " +
+          s"(${k.columns.mkString(", ")})")
+    }
+  }
+
+  // ---------------------------------------------------------- row-level
+  /** MERGE / UPDATE / DELETE — group-based copy-on-write, one group:
+    * Spark joins over this operation's scan, executors write the full
+    * replacement rowset as parquet, and commit swaps the manifest's file
+    * list. No rows touch the driver at any point. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command()
+        override def description(): String =
+          s"GraftDiskRowLevel(${info.command()}, $tableName)"
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          GraftDiskTable.this.newScanBuilder(options)
+        override def requiredMetadataAttributes()
+            : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          Array(Expressions.column(GraftMemCatalog.GroupIdColumnName))
+        override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
+          new WriteBuilder {
+            override def build(): Write = new Write {
+              override def toBatch: BatchWrite = new BatchWrite {
+                override def createBatchWriterFactory(
+                    pwi: PhysicalWriteInfo): DataWriterFactory =
+                  new GraftDiskWriterFactory(lwi.schema(), schema(),
+                    log.dataDir.toString, writeConfMap())
+                override def commit(messages: Array[WriterCommitMessage]): Unit =
+                  commitFiles(collectFiles(messages), truncate = true)
+                override def abort(messages: Array[WriterCommitMessage]): Unit =
+                  deleteFiles(collectFiles(messages))
+              }
+            }
+          }
+      }
+    }
+
+  // --------------------------------------------------------------- alter
+  private[sources] def applyChange(change: TableChange): Unit = synchronized {
+    val base = log.latest()
+    val schema = base.schema
+    val next: DiskManifest = change match {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1, "nested columns not supported")
+        val name = add.fieldNames.head
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"gdisk: column $name already exists on $tableName")
+        // metadata-only: old files lack the column and read as NULL; the
+        // DEFAULT (if any) applies to future INSERTs (lakehouse semantics)
+        val withCol = schema.add(StructField(name, add.dataType, add.isNullable))
+        val defaults = Option(add.defaultValue()).map { d =>
+          base.defaults + (name -> DiskDefault(d.getSql,
+            CatalystLiteral(d.getValue.value(), d.getValue.dataType()).sql))
+        }.getOrElse(base.defaults)
+        base.copy(schemaJson = withCol.json, defaults = defaults)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1, "nested columns not supported")
+        val name = del.fieldNames.head
+        val i = schema.fieldIndex(name)
+        base.copy(
+          schemaJson = StructType(schema.fields.patch(i, Nil, 1)).json,
+          defaults = base.defaults - name, comments = base.comments - name)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1, "nested columns not supported")
+        // by-name parquet reads would lose the renamed column in old files:
+        // rewrite data files DISTRIBUTED (one projection pass, no driver rows)
+        val old = rn.fieldNames.head
+        val i = schema.fieldIndex(old)
+        val renamed = StructType(schema.fields.updated(i,
+          schema.fields(i).copy(name = rn.newName)))
+        val rewritten =
+          if (base.files.isEmpty) Nil
+          else {
+            val out = new HPath(log.dataDir,
+              s"rename-${java.util.UUID.randomUUID}").toString
+            spark.read.schema(schema).parquet(base.files.map(log.absolute): _*)
+              .withColumnRenamed(old, rn.newName)
+              .write.parquet(out)
+            val fs = log.dataDir.getFileSystem(spark.sessionState.newHadoopConf())
+            val moved = fs.listStatus(new HPath(out)).iterator.map(_.getPath)
+              .filter(_.getName.endsWith(".parquet"))
+              .map { p =>
+                val dst = s"${p.getParent.getName}-${p.getName}"
+                fs.rename(p, new HPath(log.dataDir, dst)); dst
+              }.toVector
+            fs.delete(new HPath(out), true)
+            moved
+          }
+        base.copy(schemaJson = renamed.json,
+          files = rewritten, added = Nil,
+          defaults = (base.defaults - old) ++
+            base.defaults.get(old).map(rn.newName -> _),
+          comments = (base.comments - old) ++
+            base.comments.get(old).map(rn.newName -> _))
+      case ac: TableChange.AddConstraint =>
+        val c = DiskConstraint.from(ac.constraint())
+        require(!base.constraints.exists(_.name == c.name),
+          s"gdisk: constraint ${c.name} already exists on $tableName")
+        // validate CHECK against existing data, distributed
+        if (c.kind == "check" && base.files.nonEmpty) {
+          val bad = spark.read.schema(schema)
+            .parquet(base.files.map(log.absolute): _*)
+            .filter(!org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.expr(c.sql.get), lit(false)))
+            .limit(1).count()
+          require(bad == 0,
+            s"gdisk: existing rows of $tableName violate CHECK ${c.name}")
+        }
+        base.copy(constraints = base.constraints :+ c)
+      case dc: TableChange.DropConstraint =>
+        val remaining = base.constraints.filterNot(_.name == dc.name())
+        if (remaining.length == base.constraints.length && !dc.ifExists())
+          throw new IllegalArgumentException(
+            s"gdisk: no constraint ${dc.name()} on $tableName")
+        base.copy(constraints = remaining)
+      case set: TableChange.SetProperty =>
+        base.copy(properties = base.properties + (set.property -> set.value))
+      case rm: TableChange.RemoveProperty =>
+        base.copy(properties = base.properties - rm.property)
+      case other =>
+        throw new UnsupportedOperationException(s"gdisk: unsupported $other")
+    }
+    log.write(next.copy(version = base.version + 1,
+      added = if (change.isInstanceOf[TableChange.RenameColumn]) Nil
+        else next.added))
+  }
+}
+
+/** ScanBuilder that DELEGATES to Spark's parquet FileScanBuilder for
+  * pruning/pushdown and only interposes when the copy-on-write group-id
+  * metadata column is requested (then the scan wraps the inner row reader
+  * and appends the constant group id). Normal reads return the inner
+  * vectorized ParquetScan untouched. */
+class GraftDiskScanBuilder(
+    table: GraftDiskTable, files: Seq[String], options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  private val inner = table.innerTable(files).newScanBuilder(options)
+  private var required: StructType = table.schema()
+  private var wantsGrp = false
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    wantsGrp = requiredSchema.fieldNames.contains(GraftMemCatalog.GroupIdColumnName)
+    required = requiredSchema
+    inner.pruneColumns(StructType(requiredSchema.fields
+      .filterNot(_.name == GraftMemCatalog.GroupIdColumnName)))
+  }
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val (grpFilters, dataFilters) = filters.partition(
+      _.references.exists(_.name == GraftMemCatalog.GroupIdColumnName))
+    grpFilters ++ inner.pushFilters(dataFilters)
+  }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+
+  override def build(): Scan = {
+    val innerScan = inner.build()
+    if (wantsGrp) new GrpAppendingScan(innerScan, required)
+    else new GraftDiskScan(table, innerScan,
+      StructType(required.fields
+        .filterNot(_.name == GraftMemCatalog.GroupIdColumnName)))
+  }
+}
+
+/** Batch reads delegate wholesale to the inner vectorized ParquetScan
+  * (partitions, reader factory, columnar batches, size statistics all
+  * Spark's own); `toMicroBatchStream` tails the commit log — offset =
+  * manifest version, each micro-batch reads exactly the files ADDED by
+  * the versions in (start, end], planned as fresh per-batch inner file
+  * scans so executors read parquet vectorized there too. */
+class GraftDiskScan(table: GraftDiskTable, inner: Scan, pruned: StructType)
+  extends Scan with SupportsReportStatistics {
+  import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => SOffset}
+
+  override def readSchema(): StructType = inner.readSchema()
+  // surface the inner scan's description — it carries the PushedFilters /
+  // ReadSchema evidence plan audits (and humans) look for
+  override def description(): String =
+    s"GraftDiskScan(${table.name()}) ${inner.description()}"
+  override def toBatch: Batch = inner.toBatch
+  override def estimateStatistics(): Statistics = inner match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream {
+      override def initialOffset(): SOffset =
+        CountOffset(table.log.versions().headOption.getOrElse(0L))
+      override def latestOffset(): SOffset =
+        CountOffset(table.log.latestVersion())
+      override def deserializeOffset(json: String): SOffset =
+        CountOffset(json.trim.toLong)
+      override def planInputPartitions(
+          start: SOffset, end: SOffset): Array[InputPartition] = {
+        val from = start.asInstanceOf[CountOffset].n
+        val until = end.asInstanceOf[CountOffset].n
+        val added = table.log.versions()
+          .filter(v => v > from && v <= until)
+          .flatMap(v => table.log.read(v).added)
+        if (added.isEmpty) Array.empty
+        else {
+          val sb = table.innerTable(added.map(table.log.absolute))
+            .newScanBuilder(CaseInsensitiveStringMap.empty())
+          sb.pruneColumns(pruned)
+          val b = sb.build().toBatch
+          val factory = b.createReaderFactory()
+          b.planInputPartitions()
+            .map(p => FactoryPartition(p, factory): InputPartition)
+        }
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        DelegatingReaderFactory
+      override def commit(end: SOffset): Unit = ()
+      override def stop(): Unit = ()
+    }
+}
+
+/** An input partition bundled with the reader factory of the per-batch
+  * inner scan that planned it (micro-batches each plan their own). */
+case class FactoryPartition(inner: InputPartition, factory: PartitionReaderFactory)
+  extends InputPartition
+
+object DelegatingReaderFactory extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val fp = p.asInstanceOf[FactoryPartition]
+    fp.factory.supportColumnarReads(fp.inner)
+  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[FactoryPartition]
+    fp.factory.createReader(fp.inner)
+  }
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val fp = p.asInstanceOf[FactoryPartition]
+    fp.factory.createColumnarReader(fp.inner)
+  }
+}
+
+/** Wraps an inner file scan, appending the constant copy-on-write group id
+  * to every row (row-based read path — this scan only serves the MERGE/
+  * UPDATE/DELETE rewrite, where whole-stage rewrite cost dominates). */
+class GrpAppendingScan(inner: Scan, required: StructType) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String = s"GrpAppending(${inner.description()})"
+  override def toBatch: Batch = new Batch {
+    private val ib = inner.toBatch
+    override def planInputPartitions(): Array[InputPartition] =
+      ib.planInputPartitions().map(p => GrpPartition(p): InputPartition)
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GrpReaderFactory(ib.createReaderFactory(),
+        inner.readSchema(), required)
+  }
+}
+
+case class GrpPartition(inner: InputPartition) extends InputPartition
+
+class GrpReaderFactory(
+    inner: PartitionReaderFactory, innerSchema: StructType, required: StructType)
+  extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = inner.createReader(p.asInstanceOf[GrpPartition].inner)
+    val proj = UnsafeProjection.create(required.fields.map { f =>
+      if (f.name == GraftMemCatalog.GroupIdColumnName)
+        CatalystLiteral(0): org.apache.spark.sql.catalyst.expressions.Expression
+      else {
+        val i = innerSchema.fieldIndex(f.name)
+        BoundReference(i, innerSchema(i).dataType, innerSchema(i).nullable)
+      }
+    }.toSeq)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = proj(r.get())
+      override def close(): Unit = r.close()
+    }
+  }
+}
+
+case class DiskFilesCommit(files: Seq[String]) extends WriterCommitMessage
+
+/** Executor-side parquet writer: every task streams its rows straight into
+  * a parquet file under the table's data dir (by-name normalized into the
+  * table schema layout); the commit message carries only the file name.
+  * Serves both batch and streaming epochs. */
+class GraftDiskWriterFactory(
+    writeSchema: StructType, tableSchema: StructType,
+    dataDirUri: String, confMap: Map[String, String])
+  extends DataWriterFactory
+  with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    newWriter(partitionId, taskId, epochId = -1L)
+
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    newWriter(partitionId, taskId, epochId)
+
+  private def newWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val conf = {
+        val c = new Configuration(false)
+        confMap.foreach { case (k, v) => c.set(k, v) }
+        ParquetWriteSupport.setSchema(tableSchema, c)
+        c
+      }
+      private val fileName = {
+        val ep = if (epochId >= 0) s"-e$epochId" else ""
+        s"part-$partitionId-$taskId$ep-${java.util.UUID.randomUUID}.parquet"
+      }
+      private val path = new HPath(dataDirUri, fileName)
+      private val writer =
+        new GraftParquetWriterBuilder(path)
+          .withConf(conf)
+          .withCompressionCodec(
+            org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+          .build()
+      private val proj = UnsafeProjection.create(tableSchema.fields.map { f =>
+        val i = writeSchema.fieldIndex(f.name)
+        BoundReference(i, writeSchema(i).dataType, writeSchema(i).nullable)
+      }.toSeq)
+      private var wroteAny = false
+
+      override def write(record: InternalRow): Unit = {
+        writer.write(proj(record))
+        wroteAny = true
+      }
+      // copy-on-write rewrites hand (metadata, row) pairs
+      override def write(metadata: InternalRow, record: InternalRow): Unit =
+        write(record)
+      override def commit(): WriterCommitMessage = {
+        writer.close()
+        if (wroteAny) DiskFilesCommit(Seq(fileName))
+        else { // empty task: drop the empty file, commit nothing
+          path.getFileSystem(conf).delete(path, false)
+          DiskFilesCommit(Nil)
+        }
+      }
+      override def abort(): Unit = {
+        try writer.close() catch { case _: Throwable => () }
+        path.getFileSystem(conf).delete(path, false)
+      }
+      override def close(): Unit = ()
+    }
+}
+
+/** parquet-hadoop builder over Spark's own `ParquetWriteSupport` (the
+  * WriteSupport Spark's file sink uses) — InternalRow straight to parquet
+  * with Spark's physical layout, no intermediate representation. */
+class GraftParquetWriterBuilder(path: HPath)
+  extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+    InternalRow, GraftParquetWriterBuilder](path) {
+  override def self(): GraftParquetWriterBuilder = this
+  override def getWriteSupport(conf: Configuration)
+      : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+    new ParquetWriteSupport
+}
