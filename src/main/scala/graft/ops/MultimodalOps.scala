@@ -479,6 +479,213 @@ object MultimodalOps {
       }
   }
 
+  /** Decoded pixel statistics of one non-interlaced 8-bit truecolor PNG —
+    * the PNG sibling of [[BmpPixels]]. `first_*` probes the TOP-LEFT pixel:
+    * row 0's filter reconstruction feeds it directly, so a filter-reversal
+    * bug shows up even when order-invariant sums happen to match. */
+  final case class PngPixels(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      first_r: Int,
+      first_g: Int,
+      first_b: Int)
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** REAL pixel decode of a non-interlaced 8-bit truecolor (color type 2)
+    * PNG: chunk walk → IHDR validation → zlib-inflate the concatenated
+    * IDAT stream (`java.util.zip.Inflater` — the JDK ships the codec) →
+    * reverse the per-row filter (None/Sub/Up/Average/Paeth, bpp=3). This
+    * closes the PNG notch of the former decode stub: only JPEG (DCT) and
+    * GIF (LZW) still need an external codec. Unrecognized/odd containers
+    * are dropped (quarantine route), never thrown. */
+  def pngPixels(b: Array[Byte]): Option[PngPixels] = {
+    val sig = Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
+    if (b.length < 8 + 25 || !sig.indices.forall(i => b(i) == sig(i))) return None
+    def be32(i: Int) =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    var off = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && off + 8 <= b.length) {
+      val len = be32(off)
+      if (len < 0 || off.toLong + 12 + len > b.length) return None
+      val tpe = new String(b, off + 4, 4, "US-ASCII")
+      tpe match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(off + 8); h = be32(off + 12)
+          val bitDepth = b(off + 16) & 0xff
+          val colorType = b(off + 17) & 0xff
+          val compression = b(off + 18) & 0xff
+          val filterMethod = b(off + 19) & 0xff
+          val interlace = b(off + 20) & 0xff
+          if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+            bitDepth != 8 || colorType != 2 || compression != 0 ||
+            filterMethod != 0 || interlace != 0) return None
+        case "IDAT" => idat.write(b, off + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped
+      }
+      off += 12 + len // len + type + data + crc
+    }
+    if (w <= 0 || idat.size() == 0) return None
+    val rowBytes = w * 3
+    val expect = h.toLong * (1 + rowBytes)
+    if (expect > Int.MaxValue) return None
+    val raw = new Array[Byte](expect.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var total = 0
+      while (total < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, total, raw.length - total)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        total += n
+      }
+      if (total != raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // reverse per-row filters into `cur`/`prev` reconstructed scanlines
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var fr = 0; var fg = 0; var fb = 0
+    var prev = new Array[Int](rowBytes)
+    var cur = new Array[Int](rowBytes)
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + rowBytes)
+      val filter = raw(base) & 0xff
+      if (filter > 4) return None
+      var i = 0
+      while (i < rowBytes) {
+        val x = raw(base + 1 + i) & 0xff
+        val left = if (i >= 3) cur(i - 3) else 0
+        val up = prev(i)
+        val upLeft = if (i >= 3) prev(i - 3) else 0
+        cur(i) = filter match {
+          case 0 => x
+          case 1 => (x + left) & 0xff
+          case 2 => (x + up) & 0xff
+          case 3 => (x + ((left + up) >> 1)) & 0xff
+          case 4 => (x + paeth(left, up, upLeft)) & 0xff
+        }
+        i += 1
+      }
+      if (y == 0) { fr = cur(0); fg = cur(1); fb = cur(2) }
+      var px = 0
+      while (px < rowBytes) {
+        sr += cur(px); sg += cur(px + 1); sb += cur(px + 2)
+        px += 3
+      }
+      val t = prev; prev = cur; cur = t
+      y += 1
+    }
+    Some(PngPixels(-1L, w, h, sr, sg, sb, fr, fg, fb))
+  }
+
+  /** Fixture adapter (the PNG sibling of [[asBmpPayload]]): emit REAL
+    * zlib-compressed truecolor PNGs whose every pixel derives from the row
+    * id — same R/G/B formulas as the BMP fixture over the same 4–8 × 3–6
+    * ladder — with the row filter CYCLING through all five types
+    * (`(docId + y) % 5`), so None/Sub/Up/Average/Paeth reconstruction are
+    * all under the oracle hash. [[pngPixels]] never sees the formula — it
+    * reads only bytes. */
+  def asPngPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val w = 4 + (docId % 5).toInt
+          val h = 3 + (docId % 4).toInt
+          val rowBytes = w * 3
+          // raw scanlines from the pixel formula (RGB order, top-down)
+          val rows = Array.tabulate(h, rowBytes) { (y, i) =>
+            val x = i / 3
+            (i % 3 match {
+              case 0 => (docId + 7L * x + 13L * y) % 256
+              case 1 => (docId * 3 + 5L * x + 11L * y) % 256
+              case 2 => (docId * 5 + 3L * x + 17L * y) % 256
+            }).toInt
+          }
+          // apply the cycling filter per row
+          val filtered = new Array[Byte](h * (1 + rowBytes))
+          for (y <- 0 until h) {
+            val f = ((docId + y) % 5).toInt
+            val base = y * (1 + rowBytes)
+            filtered(base) = f.toByte
+            for (i <- 0 until rowBytes) {
+              val rawV = rows(y)(i)
+              val left = if (i >= 3) rows(y)(i - 3) else 0
+              val up = if (y > 0) rows(y - 1)(i) else 0
+              val upLeft = if (y > 0 && i >= 3) rows(y - 1)(i - 3) else 0
+              val pred = f match {
+                case 0 => 0
+                case 1 => left
+                case 2 => up
+                case 3 => (left + up) >> 1
+                case 4 => paeth(left, up, upLeft)
+              }
+              filtered(base + 1 + i) = ((rawV - pred) & 0xff).toByte
+            }
+          }
+          val deflater = new java.util.zip.Deflater()
+          deflater.setInput(filtered)
+          deflater.finish()
+          val zip = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          while (!deflater.finished())
+            zip.write(buf, 0, deflater.deflate(buf))
+          deflater.end()
+          def chunk(tpe: String, body: Array[Byte]): Array[Byte] = {
+            val out = java.nio.ByteBuffer.allocate(12 + body.length)
+              .order(java.nio.ByteOrder.BIG_ENDIAN)
+            out.putInt(body.length)
+            out.put(tpe.getBytes("US-ASCII"))
+            out.put(body)
+            val crc = new java.util.zip.CRC32()
+            crc.update(tpe.getBytes("US-ASCII"))
+            crc.update(body)
+            out.putInt(crc.getValue.toInt)
+            out.array()
+          }
+          val ihdr = java.nio.ByteBuffer.allocate(13)
+            .order(java.nio.ByteOrder.BIG_ENDIAN)
+            .putInt(w).putInt(h)
+            .put(8.toByte) // bit depth
+            .put(2.toByte) // truecolor
+            .put(0.toByte).put(0.toByte).put(0.toByte)
+            .array()
+          val payload =
+            Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte) ++
+              chunk("IHDR", ihdr) ++ chunk("IDAT", zip.toByteArray) ++
+              chunk("IEND", Array.empty[Byte])
+          (docId, payload)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Partition-parallel PNG pixel decode ([[extractBmpPixels]] shape). */
+  def extractPngPixels(spark: SparkSession, media: DataFrame): Dataset[PngPixels] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          pngPixels(bytes).map(_.copy(doc_id = id))
+        }
+      }
+  }
+
   /** Video frame sampling plumbing: each payload expands to `n` evenly-
     * spaced frame rows (frame index, presentation timestamp at `fps`, and a
     * per-frame fingerprint). The row expansion is a codegen'd posexplode —

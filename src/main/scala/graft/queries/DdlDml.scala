@@ -259,6 +259,66 @@ object DdlDml extends QueryModule {
                WHEN n_regionkey = 2 THEN 'std'
                ELSE 'new' END AS grade
         FROM nation WHERE n_regionkey = 2 OR n_nationkey % 2 = 0
-        ORDER BY n_nationkey"""))
+        ORDER BY n_nationkey""")),
+
+    // ---- the PARQUET-BACKED DSv2 tier (gdisk) under the oracle gate: the
+    // same DEFAULT/CHECK/PK/MERGE surface as ddl_v2_constraints, but rows
+    // live in executor-written parquet files behind a manifest commit log —
+    // never on the driver — and the rejected writes, the copy-on-write
+    // MERGE, and a VERSION AS OF read are all inside the hash. ----
+    QueryDef(
+      "ddl_v2_disk",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("nation"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.nat_disk")
+        s.sql("""CREATE TABLE gdisk.verify.nat_disk (
+          n_nationkey INT, n_name STRING, grade STRING DEFAULT 'std',
+          CONSTRAINT pk PRIMARY KEY (n_nationkey),
+          CONSTRAINT keyrange CHECK (n_nationkey < 100))""")
+        // v1: DEFAULT fills the omitted grade column
+        s.sql("""INSERT INTO gdisk.verify.nat_disk (n_nationkey, n_name)
+          SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1""")
+        // rejected writes must leave no residue: CHECK runs distributed in
+        // the write plan, the PK duplicate check is a distributed job at
+        // commit — neither claims a manifest version
+        scala.util.Try(s.sql(
+          "INSERT INTO gdisk.verify.nat_disk VALUES (999, 'TOO_BIG', 'std')"))
+        scala.util.Try(s.sql(
+          """INSERT INTO gdisk.verify.nat_disk (n_nationkey, n_name)
+          SELECT n_nationkey, 'DUP' FROM gdisk.verify.nat_disk LIMIT 1"""))
+        // v2: copy-on-write MERGE (executors rewrite the parquet files)
+        s.sql("""MERGE INTO gdisk.verify.nat_disk t
+          USING (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey % 3 = 0) s
+          ON t.n_nationkey = s.n_nationkey
+          WHEN MATCHED THEN UPDATE SET grade = 'eu'
+          WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, grade)
+            VALUES (s.n_nationkey, s.n_name, 'new')""")
+        s.sql("""SELECT n_nationkey, n_name, grade FROM gdisk.verify.nat_disk
+          UNION ALL
+          SELECT CAST(-1 AS INT), 'ROWS_AT_V1', CAST(
+            (SELECT count(*) FROM gdisk.verify.nat_disk VERSION AS OF 1) AS STRING)
+          ORDER BY n_nationkey, n_name""")
+      },
+      Some("""WITH base AS (
+          SELECT n_nationkey, n_name, 'std' AS grade FROM nation WHERE n_regionkey = 1),
+        merged AS (
+          SELECT b.n_nationkey, b.n_name,
+                 CASE WHEN b.n_nationkey % 3 = 0 THEN 'eu' ELSE b.grade END AS grade
+          FROM base b
+          UNION ALL
+          SELECT n.n_nationkey, n.n_name, 'new' AS grade FROM nation n
+          WHERE n.n_nationkey % 3 = 0
+            AND n.n_nationkey NOT IN (SELECT n_nationkey FROM base))
+        SELECT n_nationkey, n_name, grade FROM merged
+        UNION ALL
+        SELECT -1, 'ROWS_AT_V1', CAST((SELECT count(*) FROM base) AS VARCHAR)
+        ORDER BY n_nationkey, n_name"""))
   )
 }

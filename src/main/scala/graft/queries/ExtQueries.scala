@@ -3001,12 +3001,14 @@ object ExtMultimodal extends QueryModule {
       None,
       noOracleReason = Some(
         "feature extraction runs on synthesized binary payloads behind the " +
-        "pixel-decode stub, which now covers only entropy-coded containers " +
-        "(JPEG/PNG/GIF — no codec in-container); uncompressed 24-bit BMP " +
-        "pixels are decoded for real and oracle-checked " +
-        "(ext_multimodal_bmp_pixels), container-header parsing is " +
-        "oracle-checked (ext_multimodal_headers), and OpsSpec pins the " +
-        "deterministic stub features.")),
+        "pixel-decode stub, which now covers only JPEG (DCT) and GIF (LZW) " +
+        "— the two formats needing a codec the container lacks; " +
+        "uncompressed 24-bit BMP pixels (ext_multimodal_bmp_pixels) and " +
+        "zlib-inflated truecolor PNG pixels with all five row filters " +
+        "(ext_multimodal_png_pixels) are decoded for real and " +
+        "oracle-checked, container-header parsing is oracle-checked " +
+        "(ext_multimodal_headers), and OpsSpec pins the deterministic " +
+        "stub features.")),
 
     // REAL pixel decode (uncompressed 24-bit BMP — row stride, bottom-up
     // vs top-down layout, BGR order, all in pure byte arithmetic): per-
@@ -3024,6 +3026,48 @@ object ExtMultimodal extends QueryModule {
           s, Tables.load(s, dir, "documents"), "doc_id")
         val npx = ($"width" * $"height").cast("double")
         MultimodalOps.extractBmpPixels(s, media).toDF()
+          .select($"doc_id", $"width", $"height",
+            round($"sum_r" / npx, 6).as("mean_r"),
+            round($"sum_g" / npx, 6).as("mean_g"),
+            round($"sum_b" / npx, 6).as("mean_b"),
+            round(($"sum_r" * 299 + $"sum_g" * 587 + $"sum_b" * 114) /
+              (npx * 1000.0), 6).as("mean_luma"),
+            round(($"first_r" * 299 + $"first_g" * 587 + $"first_b" * 114) /
+              1000.0, 6).as("first_luma"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id,
+            CAST(4 + doc_id % 5 AS INT) AS w, CAST(3 + doc_id % 4 AS INT) AS h, x, y,
+            (doc_id + 7*x + 13*y) % 256 AS r,
+            (doc_id*3 + 5*x + 11*y) % 256 AS g,
+            (doc_id*5 + 3*x + 17*y) % 256 AS b
+          FROM documents, unnest(range(0, 8)) AS tx(x), unnest(range(0, 6)) AS ty(y)
+          WHERE x < 4 + doc_id % 5 AND y < 3 + doc_id % 4)
+        SELECT doc_id, w AS width, h AS height,
+          round(sum(r) / CAST(w*h AS DOUBLE), 6) AS mean_r,
+          round(sum(g) / CAST(w*h AS DOUBLE), 6) AS mean_g,
+          round(sum(b) / CAST(w*h AS DOUBLE), 6) AS mean_b,
+          round(sum(299*r + 587*g + 114*b) / (1000.0 * w * h), 6) AS mean_luma,
+          round((299*(doc_id % 256) + 587*(doc_id*3 % 256) + 114*(doc_id*5 % 256))
+            / 1000.0, 6) AS first_luma
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
+    // REAL PNG pixel decode: zlib-inflate (java.util.zip.Inflater — the
+    // codec ships in the JDK) + reversal of all five per-row filters
+    // (None/Sub/Up/Average/Paeth; the fixture cycles the filter by
+    // (doc_id + y) % 5, so every filter type sits under the hash). Same
+    // pixel formula and ladder as the BMP fixture — the oracle recomputes
+    // channel statistics without parsing; first_luma probes the top-left
+    // pixel, where a filter-reconstruction bug shows even if sums match.
+    QueryDef(
+      "ext_multimodal_png_pixels",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asPngPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        val npx = ($"width" * $"height").cast("double")
+        MultimodalOps.extractPngPixels(s, media).toDF()
           .select($"doc_id", $"width", $"height",
             round($"sum_r" / npx, 6).as("mean_r"),
             round($"sum_g" / npx, 6).as("mean_g"),

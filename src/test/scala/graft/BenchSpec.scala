@@ -17,4 +17,31 @@ class BenchSpec extends AnyFunSuite {
     assert(r.errors("broken").nonEmpty)
     assert(r.seconds.keySet == Set("ok", "broken"))
   }
+
+  test("regression gate flags real growth, ignores jitter and unknowns") {
+    val base = Map("q1" -> 2.0, "q2" -> 0.2, "q3" -> 1.0, "q4" -> 3.0)
+    val cur = Map(
+      "q1" -> 5.0, // 2.5× and +3 s: a real regression
+      "q2" -> 0.45, // 2.25× but only +0.25 s: sub-floor jitter, NOT flagged
+      "q3" -> 1.8, // +0.8 s but under 2×: NOT flagged
+      "q4" -> 2.9, // improved
+      "q_new" -> 9.9) // no baseline: NOT flagged
+    val r = Bench.regressions(base, cur)
+    assert(r == Map("q1" -> ((2.0, 5.0))), r.toString)
+    // boundary: exactly 2× and exactly +floor are NOT regressions
+    assert(Bench.regressions(Map("a" -> 1.0), Map("a" -> 2.0)).isEmpty)
+    assert(Bench.regressions(Map("a" -> 0.4), Map("a" -> 0.9)).isEmpty)
+  }
+
+  test("baseline medians parse from the bench report JSON shape") {
+    val json = """{"single_shot":{"x":1.0},"medians":{"q1_a":1.234,"pl_b":0.5},"sf":"/d"}"""
+    assert(Bench.parseMedians(json) == Map("q1_a" -> 1.234, "pl_b" -> 0.5))
+    assert(Bench.parseMedians("""{"no_medians":true}""").isEmpty)
+    // the committed bench_baseline.json (if present) must parse non-empty
+    val p = java.nio.file.Paths.get("bench_baseline.json")
+    if (java.nio.file.Files.exists(p)) {
+      val m = Bench.parseMedians(java.nio.file.Files.readString(p))
+      assert(m.nonEmpty && m.values.forall(_ > 0))
+    }
+  }
 }

@@ -16,17 +16,17 @@ class DiskCatalogSpec extends AnyFunSuite {
 
   private lazy val spark = {
     val s = TestSpark.spark
-    s.conf.set("spark.sql.catalog.gdisk", classOf[GraftDiskCatalog].getName)
-    s.conf.set("spark.sql.catalog.gdisk.warehouse", warehouse)
-    s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.lake")
+    s.conf.set("spark.sql.catalog.gdspec", classOf[GraftDiskCatalog].getName)
+    s.conf.set("spark.sql.catalog.gdspec.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gdspec.lake")
     s
   }
 
   test("create / insert / select round-trips through parquet files") {
-    spark.sql("CREATE TABLE gdisk.lake.t0 (id BIGINT, name STRING)")
-    spark.sql("INSERT INTO gdisk.lake.t0 VALUES (1, 'a'), (2, 'b')")
-    spark.sql("INSERT INTO gdisk.lake.t0 VALUES (3, 'c')")
-    val rows = spark.sql("SELECT id, name FROM gdisk.lake.t0 ORDER BY id")
+    spark.sql("CREATE TABLE gdspec.lake.t0 (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO gdspec.lake.t0 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gdspec.lake.t0 VALUES (3, 'c')")
+    val rows = spark.sql("SELECT id, name FROM gdspec.lake.t0 ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
     // rows live in parquet files under the table dir, not on the driver
@@ -35,96 +35,96 @@ class DiskCatalogSpec extends AnyFunSuite {
   }
 
   test("column DEFAULTs fill omitted INSERT columns") {
-    spark.sql("CREATE TABLE gdisk.lake.d (id BIGINT, v BIGINT DEFAULT 7, " +
+    spark.sql("CREATE TABLE gdspec.lake.d (id BIGINT, v BIGINT DEFAULT 7, " +
       "s STRING DEFAULT 'x')")
-    spark.sql("INSERT INTO gdisk.lake.d (id) VALUES (1)")
-    spark.sql("INSERT INTO gdisk.lake.d VALUES (2, 8, 'y')")
-    spark.sql("INSERT INTO gdisk.lake.d (id, v) VALUES (3, DEFAULT)")
-    val rows = spark.sql("SELECT id, v, s FROM gdisk.lake.d ORDER BY id").collect()
+    spark.sql("INSERT INTO gdspec.lake.d (id) VALUES (1)")
+    spark.sql("INSERT INTO gdspec.lake.d VALUES (2, 8, 'y')")
+    spark.sql("INSERT INTO gdspec.lake.d (id, v) VALUES (3, DEFAULT)")
+    val rows = spark.sql("SELECT id, v, s FROM gdspec.lake.d ORDER BY id").collect()
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
       Seq((1L, 7L, "x"), (2L, 8L, "y"), (3L, 7L, "x")))
   }
 
   test("defaults survive a catalog reload (manifest round trip)") {
-    spark.sql("CREATE TABLE gdisk.lake.dr (id BIGINT, grade STRING DEFAULT 'std')")
-    spark.sql("INSERT INTO gdisk.lake.dr (id) VALUES (1)")
+    spark.sql("CREATE TABLE gdspec.lake.dr (id BIGINT, grade STRING DEFAULT 'std')")
+    spark.sql("INSERT INTO gdspec.lake.dr (id) VALUES (1)")
     // force a FRESH load path (new table instance from the manifest)
     spark.catalog.clearCache()
-    spark.sql("INSERT INTO gdisk.lake.dr (id) VALUES (2)")
-    val rows = spark.sql("SELECT id, grade FROM gdisk.lake.dr ORDER BY id")
+    spark.sql("INSERT INTO gdspec.lake.dr (id) VALUES (2)")
+    val rows = spark.sql("SELECT id, grade FROM gdspec.lake.dr ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(rows == Seq((1L, "std"), (2L, "std")))
   }
 
   test("CHECK constraints are enforced distributed in the write plan") {
-    spark.sql("CREATE TABLE gdisk.lake.ck (id BIGINT, bal BIGINT, " +
+    spark.sql("CREATE TABLE gdspec.lake.ck (id BIGINT, bal BIGINT, " +
       "CONSTRAINT pos CHECK (bal >= 0))")
-    spark.sql("INSERT INTO gdisk.lake.ck VALUES (1, 100)")
+    spark.sql("INSERT INTO gdspec.lake.ck VALUES (1, 100)")
     val e = intercept[Exception](
-      spark.sql("INSERT INTO gdisk.lake.ck VALUES (2, -5)"))
+      spark.sql("INSERT INTO gdspec.lake.ck VALUES (2, -5)"))
     assert(e.getMessage.toLowerCase.contains("pos") ||
       e.getMessage.toLowerCase.contains("check"), e.getMessage)
-    assert(spark.table("gdisk.lake.ck").count() == 1)
+    assert(spark.table("gdspec.lake.ck").count() == 1)
   }
 
   test("PRIMARY KEY / UNIQUE run as distributed jobs at commit") {
-    spark.sql("CREATE TABLE gdisk.lake.pk (id BIGINT, email STRING, " +
+    spark.sql("CREATE TABLE gdspec.lake.pk (id BIGINT, email STRING, " +
       "CONSTRAINT pk PRIMARY KEY (id), CONSTRAINT uq UNIQUE (email))")
-    spark.sql("INSERT INTO gdisk.lake.pk VALUES (1, 'a@x.io'), (2, 'b@x.io')")
+    spark.sql("INSERT INTO gdspec.lake.pk VALUES (1, 'a@x.io'), (2, 'b@x.io')")
     // duplicate vs existing files
-    intercept[Exception](spark.sql("INSERT INTO gdisk.lake.pk VALUES (1, 'c@x.io')"))
+    intercept[Exception](spark.sql("INSERT INTO gdspec.lake.pk VALUES (1, 'c@x.io')"))
     // duplicate within the batch
     intercept[Exception](
-      spark.sql("INSERT INTO gdisk.lake.pk VALUES (3, 'd@x.io'), (3, 'e@x.io')"))
+      spark.sql("INSERT INTO gdspec.lake.pk VALUES (3, 'd@x.io'), (3, 'e@x.io')"))
     // UNIQUE collision
-    intercept[Exception](spark.sql("INSERT INTO gdisk.lake.pk VALUES (4, 'a@x.io')"))
+    intercept[Exception](spark.sql("INSERT INTO gdspec.lake.pk VALUES (4, 'a@x.io')"))
     // NULL UNIQUE keys never collide
-    spark.sql("INSERT INTO gdisk.lake.pk VALUES (5, NULL), (6, NULL)")
-    assert(spark.table("gdisk.lake.pk").count() == 4)
+    spark.sql("INSERT INTO gdspec.lake.pk VALUES (5, NULL), (6, NULL)")
+    assert(spark.table("gdspec.lake.pk").count() == 4)
     // failed commits left no orphan rows
-    val ids = spark.sql("SELECT id FROM gdisk.lake.pk ORDER BY id")
+    val ids = spark.sql("SELECT id FROM gdspec.lake.pk ORDER BY id")
       .collect().map(_.getLong(0)).toSeq
     assert(ids == Seq(1L, 2L, 5L, 6L))
   }
 
   test("MERGE / UPDATE / DELETE rewrite through copy-on-write") {
-    spark.sql("CREATE TABLE gdisk.lake.mt (k BIGINT, v STRING)")
-    spark.sql("INSERT INTO gdisk.lake.mt VALUES (1, 'a'), (2, 'b')")
-    spark.sql("""MERGE INTO gdisk.lake.mt t
+    spark.sql("CREATE TABLE gdspec.lake.mt (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdspec.lake.mt VALUES (1, 'a'), (2, 'b')")
+    spark.sql("""MERGE INTO gdspec.lake.mt t
       USING (SELECT * FROM VALUES (2, 'B'), (3, 'C') AS s(k, v)) s
       ON t.k = s.k
       WHEN MATCHED THEN UPDATE SET v = s.v
       WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
-    assert(spark.sql("SELECT k, v FROM gdisk.lake.mt ORDER BY k").collect()
+    assert(spark.sql("SELECT k, v FROM gdspec.lake.mt ORDER BY k").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "a"), (2L, "B"), (3L, "C")))
-    spark.sql("UPDATE gdisk.lake.mt SET v = upper(v) WHERE k = 1")
-    assert(spark.sql("SELECT v FROM gdisk.lake.mt WHERE k = 1")
+    spark.sql("UPDATE gdspec.lake.mt SET v = upper(v) WHERE k = 1")
+    assert(spark.sql("SELECT v FROM gdspec.lake.mt WHERE k = 1")
       .head().getString(0) == "A")
-    spark.sql("DELETE FROM gdisk.lake.mt WHERE k = 2")
-    assert(spark.table("gdisk.lake.mt").count() == 2)
+    spark.sql("DELETE FROM gdspec.lake.mt WHERE k = 2")
+    assert(spark.table("gdspec.lake.mt").count() == 2)
   }
 
   test("VERSION AS OF time-travels over the manifest log") {
-    spark.sql("CREATE TABLE gdisk.lake.tt (id BIGINT)")
-    spark.sql("INSERT INTO gdisk.lake.tt VALUES (1)") // v1
-    spark.sql("INSERT INTO gdisk.lake.tt VALUES (2)") // v2
-    spark.sql("INSERT OVERWRITE gdisk.lake.tt VALUES (9)") // v3
-    assert(spark.sql("SELECT count(*) FROM gdisk.lake.tt VERSION AS OF 2")
+    spark.sql("CREATE TABLE gdspec.lake.tt (id BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.tt VALUES (1)") // v1
+    spark.sql("INSERT INTO gdspec.lake.tt VALUES (2)") // v2
+    spark.sql("INSERT OVERWRITE gdspec.lake.tt VALUES (9)") // v3
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.tt VERSION AS OF 2")
       .head().getLong(0) == 2L)
-    assert(spark.sql("SELECT count(*) FROM gdisk.lake.tt VERSION AS OF 0")
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.tt VERSION AS OF 0")
       .head().getLong(0) == 0L)
-    assert(spark.sql("SELECT id FROM gdisk.lake.tt").head().getLong(0) == 9L)
+    assert(spark.sql("SELECT id FROM gdspec.lake.tt").head().getLong(0) == 9L)
     // snapshots are read-only
     intercept[Exception](
-      spark.sql("INSERT INTO gdisk.lake.tt VERSION AS OF 1 VALUES (5)"))
+      spark.sql("INSERT INTO gdspec.lake.tt VERSION AS OF 1 VALUES (5)"))
   }
 
   test("filter pushdown and column pruning reach the parquet scan") {
-    spark.sql("CREATE TABLE gdisk.lake.push (id BIGINT, a STRING, b STRING)")
-    spark.sql("INSERT INTO gdisk.lake.push " +
+    spark.sql("CREATE TABLE gdspec.lake.push (id BIGINT, a STRING, b STRING)")
+    spark.sql("INSERT INTO gdspec.lake.push " +
       "SELECT id, concat('a', id), concat('b', id) FROM range(1000)")
-    val df = spark.sql("SELECT a FROM gdisk.lake.push WHERE id = 7")
+    val df = spark.sql("SELECT a FROM gdspec.lake.push WHERE id = 7")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("id"), plan)
     // pruned read schema: only the two referenced columns, not b
@@ -134,67 +134,67 @@ class DiskCatalogSpec extends AnyFunSuite {
   }
 
   test("scan parallelism: a multi-file table reads as multiple partitions") {
-    spark.sql("CREATE TABLE gdisk.lake.par (id BIGINT)")
+    spark.sql("CREATE TABLE gdspec.lake.par (id BIGINT)")
     // several INSERTs from a parallelized source → several parquet files
-    spark.sql("INSERT INTO gdisk.lake.par SELECT id FROM range(0, 4000, 1, 8)")
-    val parts = spark.table("gdisk.lake.par").rdd.getNumPartitions
+    spark.sql("INSERT INTO gdspec.lake.par SELECT id FROM range(0, 4000, 1, 8)")
+    val parts = spark.table("gdspec.lake.par").rdd.getNumPartitions
     assert(parts >= 2, s"expected parallel scan, got $parts partition(s)")
-    assert(spark.table("gdisk.lake.par").count() == 4000)
+    assert(spark.table("gdspec.lake.par").count() == 4000)
   }
 
   test("ALTER TABLE: add (null-backfilled), drop, rename (rewrites files), constraints") {
-    spark.sql("CREATE TABLE gdisk.lake.al (id BIGINT, v BIGINT)")
-    spark.sql("INSERT INTO gdisk.lake.al VALUES (1, 10)")
-    spark.sql("ALTER TABLE gdisk.lake.al ADD COLUMN note STRING")
-    spark.sql("INSERT INTO gdisk.lake.al VALUES (2, 20, 'n2')")
-    val rows = spark.sql("SELECT id, note FROM gdisk.lake.al ORDER BY id")
+    spark.sql("CREATE TABLE gdspec.lake.al (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.al VALUES (1, 10)")
+    spark.sql("ALTER TABLE gdspec.lake.al ADD COLUMN note STRING")
+    spark.sql("INSERT INTO gdspec.lake.al VALUES (2, 20, 'n2')")
+    val rows = spark.sql("SELECT id, note FROM gdspec.lake.al ORDER BY id")
       .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
     assert(rows == Seq((1L, None), (2L, Some("n2"))))
-    spark.sql("ALTER TABLE gdisk.lake.al RENAME COLUMN v TO val")
-    assert(spark.sql("SELECT sum(val) FROM gdisk.lake.al").head().getLong(0) == 30L)
-    spark.sql("ALTER TABLE gdisk.lake.al DROP COLUMN note")
-    assert(!spark.table("gdisk.lake.al").columns.contains("note"))
-    spark.sql("ALTER TABLE gdisk.lake.al ADD CONSTRAINT vpos CHECK (val > 0)")
-    intercept[Exception](spark.sql("INSERT INTO gdisk.lake.al VALUES (3, -1)"))
-    spark.sql("ALTER TABLE gdisk.lake.al DROP CONSTRAINT vpos")
-    spark.sql("INSERT INTO gdisk.lake.al VALUES (3, -1)")
-    assert(spark.table("gdisk.lake.al").count() == 3)
+    spark.sql("ALTER TABLE gdspec.lake.al RENAME COLUMN v TO val")
+    assert(spark.sql("SELECT sum(val) FROM gdspec.lake.al").head().getLong(0) == 30L)
+    spark.sql("ALTER TABLE gdspec.lake.al DROP COLUMN note")
+    assert(!spark.table("gdspec.lake.al").columns.contains("note"))
+    spark.sql("ALTER TABLE gdspec.lake.al ADD CONSTRAINT vpos CHECK (val > 0)")
+    intercept[Exception](spark.sql("INSERT INTO gdspec.lake.al VALUES (3, -1)"))
+    spark.sql("ALTER TABLE gdspec.lake.al DROP CONSTRAINT vpos")
+    spark.sql("INSERT INTO gdspec.lake.al VALUES (3, -1)")
+    assert(spark.table("gdspec.lake.al").count() == 3)
   }
 
   test("ADD CONSTRAINT validates existing rows distributed") {
-    spark.sql("CREATE TABLE gdisk.lake.acv (id BIGINT, v BIGINT)")
-    spark.sql("INSERT INTO gdisk.lake.acv VALUES (1, -5)")
+    spark.sql("CREATE TABLE gdspec.lake.acv (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.acv VALUES (1, -5)")
     val e = intercept[Exception](
-      spark.sql("ALTER TABLE gdisk.lake.acv ADD CONSTRAINT p CHECK (v >= 0)"))
+      spark.sql("ALTER TABLE gdspec.lake.acv ADD CONSTRAINT p CHECK (v >= 0)"))
     assert(e.getMessage.contains("violate"), e.getMessage)
   }
 
   test("streaming sink: writeStream.toTable lands parquet epochs exactly-once") {
-    spark.sql("CREATE TABLE gdisk.lake.sfeed (id BIGINT, v BIGINT)")
-    spark.sql("CREATE TABLE gdisk.lake.ssink (id BIGINT, dbl BIGINT)")
-    spark.sql("INSERT INTO gdisk.lake.sfeed VALUES (1, 10), (2, 20)")
+    spark.sql("CREATE TABLE gdspec.lake.sfeed (id BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE gdspec.lake.ssink (id BIGINT, dbl BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.sfeed VALUES (1, 10), (2, 20)")
     val ckpt = java.nio.file.Files.createTempDirectory("gdisk_ssink").toString
-    val q = spark.readStream.table("gdisk.lake.sfeed")
+    val q = spark.readStream.table("gdspec.lake.sfeed")
       .selectExpr("id", "v * 2 AS dbl")
       .writeStream.option("checkpointLocation", ckpt)
-      .toTable("gdisk.lake.ssink")
+      .toTable("gdspec.lake.ssink")
     try {
       q.processAllAvailable()
-      spark.sql("INSERT INTO gdisk.lake.sfeed VALUES (3, 30)") // mid-stream
+      spark.sql("INSERT INTO gdspec.lake.sfeed VALUES (3, 30)") // mid-stream
       q.processAllAvailable()
     } finally q.stop()
-    val got = spark.table("gdisk.lake.ssink").collect()
+    val got = spark.table("gdspec.lake.ssink").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 20L), (2L, 40L), (3L, 60L)))
   }
 
   test("streaming source resumes from its checkpoint across restarts") {
-    spark.sql("CREATE TABLE gdisk.lake.rfeed (id BIGINT)")
-    spark.sql("INSERT INTO gdisk.lake.rfeed VALUES (1), (2)")
+    spark.sql("CREATE TABLE gdspec.lake.rfeed (id BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.rfeed VALUES (1), (2)")
     val ckpt = java.nio.file.Files.createTempDirectory("gdisk_restart").toString
     val seen = scala.collection.concurrent.TrieMap.empty[Long, Boolean]
     def run(): Unit = {
-      val q = spark.readStream.table("gdisk.lake.rfeed")
+      val q = spark.readStream.table("gdspec.lake.rfeed")
         .writeStream.option("checkpointLocation", ckpt)
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
           b.collect().foreach(r => seen.put(r.getLong(0), true)); ()
@@ -204,31 +204,31 @@ class DiskCatalogSpec extends AnyFunSuite {
     run()
     assert(seen.keySet == Set(1L, 2L))
     seen.clear() // part 2 must deliver ONLY post-checkpoint files
-    spark.sql("INSERT INTO gdisk.lake.rfeed VALUES (3)")
+    spark.sql("INSERT INTO gdspec.lake.rfeed VALUES (3)")
     run()
     assert(seen.keySet == Set(3L), seen.keySet.toString)
   }
 
   test("VACUUM drops old manifests and unreferenced files; live reads survive") {
-    spark.sql("CREATE TABLE gdisk.lake.vac (id BIGINT)")
-    for (i <- 1 to 4) spark.sql(s"INSERT INTO gdisk.lake.vac VALUES ($i)")
-    spark.sql("INSERT OVERWRITE gdisk.lake.vac VALUES (99)")
+    spark.sql("CREATE TABLE gdspec.lake.vac (id BIGINT)")
+    for (i <- 1 to 4) spark.sql(s"INSERT INTO gdspec.lake.vac VALUES ($i)")
+    spark.sql("INSERT OVERWRITE gdspec.lake.vac VALUES (99)")
     val g = new GraftSession(spark)
-    g.sql("VACUUM gdisk.lake.vac")
-    assert(spark.sql("SELECT id FROM gdisk.lake.vac").head().getLong(0) == 99L)
+    g.sql("VACUUM gdspec.lake.vac")
+    assert(spark.sql("SELECT id FROM gdspec.lake.vac").head().getLong(0) == 99L)
     // pre-overwrite files are gone from disk
     val dataDir = new java.io.File(s"$warehouse/lake/vac/data")
     assert(dataDir.listFiles().count(_.getName.endsWith(".parquet")) == 1)
     // vacuumed version errors cleanly
     val e = intercept[Exception](
-      spark.sql("SELECT * FROM gdisk.lake.vac VERSION AS OF 2").collect())
+      spark.sql("SELECT * FROM gdspec.lake.vac VERSION AS OF 2").collect())
     assert(e.getMessage.contains("VACUUM"), e.getMessage)
   }
 
   test("no rows on the driver: commits carry file names, reads stream from executors") {
-    spark.sql("CREATE TABLE gdisk.lake.nd (id BIGINT, s STRING)")
-    spark.sql("INSERT INTO gdisk.lake.nd SELECT id, repeat('x', 100) FROM range(10000)")
-    val t = graft.sources.GraftDiskCatalog.instance("gdisk").get
+    spark.sql("CREATE TABLE gdspec.lake.nd (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO gdspec.lake.nd SELECT id, repeat('x', 100) FROM range(10000)")
+    val t = graft.sources.GraftDiskCatalog.instance("gdspec").get
       .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
         Array("lake"), "nd")).asInstanceOf[GraftDiskTable]
     // the manifest records file names only — the driver-held state of a
@@ -236,20 +236,20 @@ class DiskCatalogSpec extends AnyFunSuite {
     val m = t.log.latest()
     assert(m.files.nonEmpty && m.files.forall(_.endsWith(".parquet")))
     // and the batch scan is Spark's own parquet scan (vectorized, columnar)
-    val plan = spark.table("gdisk.lake.nd").queryExecution.executedPlan.toString
+    val plan = spark.table("gdspec.lake.nd").queryExecution.executedPlan.toString
     assert(plan.contains("Parquet") || plan.contains("BatchScan"), plan)
-    assert(spark.table("gdisk.lake.nd").count() == 10000)
+    assert(spark.table("gdspec.lake.nd").count() == 10000)
   }
 
   test("DROP TABLE / RENAME TABLE / SHOW TABLES") {
-    spark.sql("CREATE TABLE gdisk.lake.sh1 (id BIGINT)")
-    spark.sql("INSERT INTO gdisk.lake.sh1 VALUES (1)")
-    spark.sql("ALTER TABLE gdisk.lake.sh1 RENAME TO lake.sh2")
-    assert(spark.sql("SELECT id FROM gdisk.lake.sh2").head().getLong(0) == 1L)
-    val shown = spark.sql("SHOW TABLES IN gdisk.lake").collect()
+    spark.sql("CREATE TABLE gdspec.lake.sh1 (id BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.sh1 VALUES (1)")
+    spark.sql("ALTER TABLE gdspec.lake.sh1 RENAME TO lake.sh2")
+    assert(spark.sql("SELECT id FROM gdspec.lake.sh2").head().getLong(0) == 1L)
+    val shown = spark.sql("SHOW TABLES IN gdspec.lake").collect()
       .map(_.getString(1)).toSet
     assert(shown.contains("sh2") && !shown.contains("sh1"))
-    spark.sql("DROP TABLE gdisk.lake.sh2")
-    intercept[Exception](spark.table("gdisk.lake.sh2").count())
+    spark.sql("DROP TABLE gdspec.lake.sh2")
+    intercept[Exception](spark.table("gdspec.lake.sh2").count())
   }
 }

@@ -427,6 +427,57 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("png pixel decode: zlib inflate + all five filters, vs an independent encoder") {
+    // cross-check against the JDK's OWN png encoder (ImageIO — a codebase
+    // with no shared code or filter choices with ours): decode must
+    // recover exact channel sums and the top-left pixel
+    val w = 7; val h = 5
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (11 * x + 3 * y) % 256
+      val g = (5 * x + 17 * y) % 256
+      val b = (7 * x + 13 * y + 101) % 256
+      sr += r; sg += g; sb += b
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val p = MultimodalOps.pngPixels(bos.toByteArray).get
+    assert(p.width == w && p.height == h)
+    assert((p.sum_r, p.sum_g, p.sum_b) == ((sr, sg, sb)))
+    assert((p.first_r, p.first_g, p.first_b) == ((0, 0, 101)))
+    // adversarial payloads are quarantined, not thrown
+    assert(MultimodalOps.pngPixels("not a png at all".getBytes).isEmpty)
+    assert(MultimodalOps.pngPixels(bos.toByteArray.take(30)).isEmpty) // truncated
+    val corrupt = bos.toByteArray.clone()
+    corrupt(60) = (corrupt(60) ^ 0x5a).toByte // garble inside IDAT
+    assert(MultimodalOps.pngPixels(corrupt).isEmpty ||
+      MultimodalOps.pngPixels(corrupt).isDefined) // never throws either way
+    // the fixture adapter (filters cycling 0..4 across rows) round-trips
+    val media = MultimodalOps.asPngPayload(spark, docs.limit(10), "doc_id")
+    val decoded = MultimodalOps.extractPngPixels(spark, media)
+      .collect().sortBy(_.doc_id)
+    assert(decoded.length == 10)
+    decoded.foreach { d =>
+      val id = d.doc_id
+      assert(d.width == 4 + (id % 5).toInt && d.height == 3 + (id % 4).toInt)
+      assert(d.first_r == (id % 256).toInt && d.first_g == (id * 3 % 256).toInt
+        && d.first_b == (id * 5 % 256).toInt, s"doc $id first pixel")
+      val (esr, esg, esb) = {
+        var (a, b2, c) = (0L, 0L, 0L)
+        for (y <- 0 until d.height; x <- 0 until d.width) {
+          a += ((id + 7L * x + 13L * y) % 256)
+          b2 += ((id * 3 + 5L * x + 11L * y) % 256)
+          c += ((id * 5 + 3L * x + 17L * y) % 256)
+        }
+        (a, b2, c)
+      }
+      assert((d.sum_r, d.sum_g, d.sum_b) == ((esr, esg, esb)), s"doc $id sums")
+    }
+  }
+
   test("image container headers parse real dimensions (no codec needed)") {
     def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
     // PNG: signature + IHDR chunk (len, "IHDR", width=640, height=480)

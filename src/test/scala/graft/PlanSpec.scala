@@ -60,6 +60,38 @@ class PlanSpec extends AnyFunSuite {
     assert(lineitemScans == 1, s"expected 1 lineitem scan, got $lineitemScans:\n$p")
   }
 
+  test("an_scd2_history: both windows share ONE user_id exchange") {
+    // the documented shape: lag-filter-row_number/lead all ride a single
+    // hashpartitioning(user_id) shuffle — the filter preserves the
+    // partitioning, so the second Window adds NO exchange. A second hash
+    // exchange here doubles the shuffle of the whole dimension at 100 TB.
+    val df = Registry.queries("an_scd2_history")(spark, TestSpark.sfDir)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$p")
+    val eventScans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("events"))
+    assert(eventScans == 1, s"expected 1 events scan, got $eventScans:\n$p")
+  }
+
+  test("pl_preference_pairs: ranking windows + count + groupBy share ONE exchange") {
+    // both row_number windows, the group count, and the final groupBy all
+    // key on (source, lang): one hashpartitioning exchange end to end
+    val df = Registry.queries("pl_preference_pairs")(spark, TestSpark.sfDir)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$p")
+    val docScans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(docScans == 1, s"expected 1 documents scan, got $docScans:\n$p")
+  }
+
   test("q11: scalar-subquery threshold is broadcast, not shuffled") {
     val p = plan("q11_important_balances")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)

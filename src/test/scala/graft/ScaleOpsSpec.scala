@@ -96,4 +96,34 @@ class ScaleOpsSpec extends AnyFunSuite {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("memory pressure: heavy pipeline entries complete by SPILLING in a 1g-heap JVM") {
+    // the at-scale behavior the 128 GiB bench never exercises: fork a REAL
+    // small-heap JVM (not a conf tweak on this one) whose session forces
+    // the element-count spill triggers, and run the heaviest pipeline
+    // entries end-to-end — completion + spilledBytes>0 proves the
+    // aggregates/sorts/joins/windows take their spill paths instead of
+    // OOMing. Classpath and --add-opens are inherited from this forked
+    // test JVM (same launcher configuration).
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    val cmd = Seq(javaBin, "-Xmx1g", "-cp", System.getProperty("java.class.path")) ++
+      addOpens ++ Seq("graft.SpillProbe", TestSpark.sfDir)
+    val out = new StringBuilder
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    var line = reader.readLine()
+    while (line != null) { out.append(line).append('\n'); line = reader.readLine() }
+    val exit = proc.waitFor()
+    val text = out.toString
+    assert(exit == 0, s"spill probe exited $exit:\n${text.takeRight(3000)}")
+    val ok = text.linesIterator.find(_.startsWith("SPILL_PROBE_OK"))
+    assert(ok.isDefined, text.takeRight(3000))
+    val spilledBytes = "spilledBytes=(\\d+)".r.findFirstMatchIn(ok.get)
+      .map(_.group(1).toLong).getOrElse(0L)
+    assert(spilledBytes > 0, s"expected actual spills, got: ${ok.get}")
+  }
 }

@@ -716,4 +716,68 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally spark.conf.unset(checkConf)
   }
+
+  test("stream-stream interval join recovers buffered state across a stop/restart") {
+    import spark.implicits._
+    // staged corpus: part-2 purchases can ONLY pair with part-1 views via
+    // the join buffers recovered from the checkpoint — a from-scratch run 2
+    // would re-read only new files and emit nothing for them
+    val base = java.sql.Timestamp.valueOf("2026-01-05 10:00:00")
+    def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    def ev(id: Long, min: Int, user: Long, tpe: String) =
+      (id, t(min), user, tpe, 1.0)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val part1 = Seq(
+      ev(1, 0, 1, "view"), ev(2, 5, 1, "view"),
+      ev(3, 2, 2, "view"), ev(4, 8, 2, "view"),
+      ev(101, 15, 1, "purchase") // in-run match for user 1
+    ).toDF(cols: _*)
+    val part2 = Seq(
+      // pairs ONLY against user-2 views buffered before the restart
+      ev(201, 40, 2, "purchase"),
+      // and fresh traffic to prove the restarted stream keeps flowing
+      ev(5, 45, 3, "view"), ev(202, 50, 3, "purchase")
+    ).toDF(cols: _*)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj_restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssj_ckpt").toString
+    part1.repartition(2).write.mode("append").parquet(dir)
+
+    val pairs = scala.collection.concurrent.TrieMap.empty[(Long, Long), Boolean]
+    def start() = StreamingOps.viewToPurchaseJoin(spark, part1.schema, dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select($"buy_id", $"view_id").collect()
+          .foreach(r => pairs.put((r.getLong(0), r.getLong(1)), true))
+        ()
+      }
+      .start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val run1 = pairs.keySet.toSet
+    assert(run1 == Set((101L, 1L), (101L, 2L)), run1.toString)
+
+    part2.repartition(2).write.mode("append").parquet(dir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // truth: the batch interval join over the full staged corpus
+    val staged = part1.unionByName(part2)
+    val views = staged.filter($"event_type" === "view")
+      .select($"user_id".as("v_user_id"), $"ts".as("view_ts"), $"event_id".as("view_id"))
+    val buys = staged.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("buy_ts"), $"event_id".as("buy_id"))
+    val batch = buys.join(views,
+        $"user_id" === $"v_user_id" && $"view_ts" <= $"buy_ts" &&
+          $"view_ts" >= $"buy_ts" - org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"))
+      .select($"buy_id", $"view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.keySet.toSet == batch, s"stream=${pairs.keySet} batch=$batch")
+    // the restart-only attribution: purchase 201 paired with the user-2
+    // views that were sitting in the RECOVERED join buffers
+    assert(pairs.contains((201L, 3L)) && pairs.contains((201L, 4L)),
+      "post-restart purchase must match pre-restart buffered views")
+  }
 }

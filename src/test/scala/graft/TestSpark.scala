@@ -12,6 +12,9 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.catalog.gmem", "graft.sources.GraftMemCatalog")
+      .config("spark.sql.catalog.gslt", "graft.sources.GraftDiskCatalog")
+      .config("spark.sql.catalog.gslt.warehouse",
+        java.nio.file.Files.createTempDirectory("gslt_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
