@@ -269,13 +269,13 @@ final class GraftSession(
       val AsRe = """(?is)^AS\s+(.*)""".r
       if (rest.startsWith("(")) {
         val (inner, tail) = matchParen(rest)
-        val (schema, defaults, checks, uniques) = parseColumnDefs(inner)
+        val (schema, defaults, checks, uniques, fks) = parseColumnDefs(inner)
         val data = tail.trim match {
           case AsRe(sel) => Some(sql(sel))
           case _ => None
         }
         tables.create(name, schema, defaults, data, ifNotExists,
-          checks = checks, uniques = uniques)
+          checks = checks, uniques = uniques, foreignKeys = fks)
       } else rest match {
         case AsRe(sel) =>
           val df = sql(sel)
@@ -401,7 +401,7 @@ final class GraftSession(
       val name = unquoteIdent(name0)
       action.trim match {
         case AddColRe(colDef) =>
-          val (schema, defaults, _, _) = parseColumnDefs(colDef.trim)
+          val (schema, defaults, _, _, _) = parseColumnDefs(colDef.trim)
           require(schema.size == 1, s"ADD COLUMN takes one column: $colDef")
           tables.addColumn(name, schema.fields.head,
             defaults.get(schema.fields.head.name))
@@ -831,6 +831,12 @@ final class GraftSession(
       } ++ st.uniques.zipWithIndex.map { case (cols, i) =>
         Row("qurious", sch, tbl, s"${tbl}_unique_${i + 1}", "UNIQUE",
           cols.mkString("(", ", ", ")"))
+      } ++ st.foreignKeys.zipWithIndex.map { case (fk, i) =>
+        Row("qurious", sch, tbl,
+          if (fk.name.nonEmpty) fk.name else s"${tbl}_fk_${i + 1}",
+          "FOREIGN KEY",
+          s"(${fk.cols.mkString(", ")}) REFERENCES ${fk.parentTable} " +
+            s"(${fk.parentCols.mkString(", ")})")
       }
     }
     val v2 = gmemCatalogs().toSeq.flatMap { case (cn, c) =>
@@ -939,8 +945,11 @@ final class GraftSession(
     }
     val uq = st.uniques.map(cs => s"  UNIQUE (${cs.mkString(", ")})")
     val ck = st.checks.map(c => s"  CHECK ($c)")
+    val fk = st.foreignKeys.map(f =>
+      s"  FOREIGN KEY (${f.cols.mkString(", ")}) REFERENCES " +
+        s"${f.parentTable} (${f.parentCols.mkString(", ")})")
     val ddl =
-      s"CREATE TABLE $name (\n${(cols ++ uq ++ ck).mkString(",\n")}\n)"
+      s"CREATE TABLE $name (\n${(cols ++ uq ++ ck ++ fk).mkString(",\n")}\n)"
     val s2 = spark
     import s2.implicits._
     Seq(ddl).toDF("create_statement")
@@ -1049,9 +1058,14 @@ final class GraftSession(
         import s.implicits._
         val rows = tables.listTables().map { t =>
           val st = tables.stateOf(t)
-          (t, st.schema.json, st.defaults, st.checks, st.uniques)
+          // FKs ride as tab-separated strings (name, cols, parent, pcols)
+          // so the manifest schema stays flat parquet
+          val fks = st.foreignKeys.map(fk => Seq(fk.name,
+            fk.cols.mkString(","), fk.parentTable,
+            fk.parentCols.mkString(",")).mkString("\t"))
+          (t, st.schema.json, st.defaults, st.checks, st.uniques, fks)
         }
-        rows.toDF("name", "schema_json", "defaults", "checks", "uniques")
+        rows.toDF("name", "schema_json", "defaults", "checks", "uniques", "fks")
           .coalesce(1).write.mode("overwrite").parquet(s"$path/__manifest")
         tables.listTables().foreach(t =>
           tables.table(t).write.mode("overwrite").parquet(s"$path/$t"))
@@ -1089,19 +1103,46 @@ final class GraftSession(
     val m = """(?is)IMPORT\s+DATABASE\s+'([^']+)'\s*""".r
     q match {
       case m(path) =>
-        spark.read.parquet(s"$path/__manifest").collect().foreach { r =>
-          val name = r.getString(0)
-          val schema = DataType.fromJson(r.getString(1)).asInstanceOf[StructType]
-          val defaults = r.getAs[Map[String, String]]("defaults")
-          // Row.getSeq hands back mutable ArraySeq — deep-convert to the
-          // immutable Seq the manager's API is typed with
-          val checks = r.getSeq[String](3).toList
-          val uniques =
-            r.getSeq[scala.collection.Seq[String]](4).map(_.toList).toList
-          val data = spark.read.schema(schema).parquet(s"$path/$name")
-          tables.create(name, schema, defaults, Some(data),
-            ifNotExists = false, checks = checks, uniques = uniques)
-          recordMember(unquoteIdent(name))
+        val manifest = spark.read.parquet(s"$path/__manifest").collect().toSeq
+        def fksOf(r: org.apache.spark.sql.Row) =
+          (if (r.schema.fieldNames.contains("fks")) // pre-FK exports lack it
+            r.getSeq[String](r.fieldIndex("fks")) else Nil).map { s =>
+            val p = s.split("\t", -1)
+            graft.tables.MutableTableManager.FkDef(p(0),
+              p(1).split(',').toSeq, p(2), p(3).split(',').toSeq)
+          }.toList
+        // FK parents must exist (with data) before their children import:
+        // repeatedly admit tables whose parents are already restored
+        // (self-references count as satisfied); a cycle falls back to
+        // name order and surfaces as the create-time validation error
+        var pending = manifest.sortBy(_.getString(0))
+        var restored = Set.empty[String]
+        var progress = true
+        while (pending.nonEmpty) {
+          val (ready, blocked) =
+            if (progress) pending.partition { r =>
+              fksOf(r).forall(fk =>
+                fk.parentTable.equalsIgnoreCase(r.getString(0)) ||
+                  restored.contains(fk.parentTable.toLowerCase(Locale.ROOT)))
+            } else (pending, Seq.empty) // cycle: import in name order
+          progress = ready.nonEmpty
+          (if (progress) ready else pending).foreach { r =>
+            val name = r.getString(0)
+            val schema = DataType.fromJson(r.getString(1)).asInstanceOf[StructType]
+            val defaults = r.getAs[Map[String, String]]("defaults")
+            // Row.getSeq hands back mutable ArraySeq — deep-convert to the
+            // immutable Seq the manager's API is typed with
+            val checks = r.getSeq[String](3).toList
+            val uniques =
+              r.getSeq[scala.collection.Seq[String]](4).map(_.toList).toList
+            val data = spark.read.schema(schema).parquet(s"$path/$name")
+            tables.create(name, schema, defaults, Some(data),
+              ifNotExists = false, checks = checks, uniques = uniques,
+              foreignKeys = fksOf(r))
+            recordMember(unquoteIdent(name))
+            restored += name.toLowerCase(Locale.ROOT)
+          }
+          pending = if (progress) blocked else Seq.empty
         }
         // gmem tables (present when the export saw registered catalogs):
         // recreate through Spark SQL so defaults/constraints re-parse into
@@ -1760,18 +1801,27 @@ final class GraftSession(
     * (`sql_to_arrow_data_type`, `qurious/src/planner/sql.rs:1439-1476`:
     * INTEGER→Int64 etc.). */
   /** Column definitions + declared constraints. Column-level: NOT NULL,
-    * PRIMARY KEY (⇒ NOT NULL + UNIQUE), UNIQUE, CHECK (expr), DEFAULT.
-    * Table-level entries: PRIMARY KEY (a, b…), UNIQUE (a, b…),
-    * [CONSTRAINT name] CHECK (expr). Returns (schema, defaults, check
-    * expressions, unique column sets). */
+    * PRIMARY KEY (⇒ NOT NULL + UNIQUE), UNIQUE, CHECK (expr), DEFAULT,
+    * REFERENCES parent(col). Table-level entries: PRIMARY KEY (a, b…),
+    * UNIQUE (a, b…), [CONSTRAINT name] CHECK (expr), [CONSTRAINT name]
+    * FOREIGN KEY (a, b…) REFERENCES parent (x, y…). Returns (schema,
+    * defaults, check expressions, unique column sets, foreign keys). */
   private def parseColumnDefs(inner: String)
-      : (StructType, Map[String, String], Seq[String], Seq[Seq[String]]) = {
+      : (StructType, Map[String, String], Seq[String], Seq[Seq[String]],
+         Seq[graft.tables.MutableTableManager.FkDef]) = {
+    import graft.tables.MutableTableManager.FkDef
     val defaults = Map.newBuilder[String, String]
     val checks = Seq.newBuilder[String]
     val uniques = Seq.newBuilder[Seq[String]]
+    val fks = Seq.newBuilder[FkDef]
     val TablePkRe = """(?is)PRIMARY\s+KEY\s*\((.*)\)\s*""".r
+    val TableFkRe =
+      ("""(?is)(?:CONSTRAINT\s+(\w+)\s+)?FOREIGN\s+KEY\s*\((.*?)\)\s*""" +
+        """REFERENCES\s+([A-Za-z_][\w.]*|`[^`]+`)\s*\((.*?)\)\s*""").r
     val TableUqRe = """(?is)UNIQUE\s*\((.*)\)\s*""".r
     val TableCkRe = """(?is)(?:CONSTRAINT\s+\w+\s+)?CHECK\s*\((.*)\)\s*""".r
+    val ColRefRe =
+      """(?is)\bREFERENCES\s+([A-Za-z_][\w.]*|`[^`]+`)\s*\(\s*([^)]+?)\s*\)""".r
     def colList(s: String): Seq[String] =
       splitTopLevel(s, ',').map(c => unquoteIdent(c.trim))
     val pkNotNull = scala.collection.mutable.Set[String]()
@@ -1779,6 +1829,10 @@ final class GraftSession(
       colDef.trim match {
         case TablePkRe(cols) =>
           val cs = colList(cols); uniques += cs; pkNotNull ++= cs; None
+        case TableFkRe(cname, cols, parent, pcols) =>
+          fks += FkDef(Option(cname).getOrElse(""), colList(cols),
+            unquoteIdent(parent), colList(pcols))
+          None
         case TableUqRe(cols) => uniques += colList(cols); None
         case TableCkRe(e) => checks += e.trim; None
         case d =>
@@ -1806,6 +1860,12 @@ final class GraftSession(
             checks += ck.trim
             rest = rest.take(ckIdx) + after.drop(ck.length + 2)
           }
+          // column-level REFERENCES parent(col) — a single-column FK
+          ColRefRe.findFirstMatchIn(rest).foreach { m =>
+            fks += FkDef("", Seq(name), unquoteIdent(m.group(1)),
+              Seq(unquoteIdent(m.group(2).trim)))
+            rest = rest.take(m.start) + rest.drop(m.end)
+          }
           val upper = rest.toUpperCase(Locale.ROOT)
           val isPk = upper.contains("PRIMARY KEY")
           if (isPk) uniques += Seq(name)
@@ -1824,7 +1884,7 @@ final class GraftSession(
     val withPk = fields.map(f =>
       if (pkNotNull.contains(f.name)) f.copy(nullable = false) else f)
     (StructType(withPk.toIndexedSeq), defaults.result(),
-      checks.result(), uniques.result())
+      checks.result(), uniques.result(), fks.result())
   }
 
   /** Split the text after DEFAULT into (expression, trailing constraints):

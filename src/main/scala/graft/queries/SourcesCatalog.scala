@@ -246,18 +246,25 @@ object SourcesCatalog extends QueryModule {
         val g = new GraftSession(s)
         s.conf.set("spark.sql.catalog.gmem",
           classOf[graft.sources.GraftMemCatalog].getName)
+        g.sql("DROP TABLE IF EXISTS cons_child")
         g.sql("DROP TABLE IF EXISTS cons_probe")
         g.sql("CREATE TABLE cons_probe (id INT PRIMARY KEY, bal INT CHECK (bal >= 0))")
+        g.sql("CREATE TABLE cons_child (cid INT, pid INT REFERENCES cons_probe(id))")
         g.sql("CREATE NAMESPACE IF NOT EXISTS gmem.consprobe")
+        g.sql("DROP TABLE IF EXISTS gmem.consprobe.t3")
         g.sql("DROP TABLE IF EXISTS gmem.consprobe.t2")
         g.sql("""CREATE TABLE gmem.consprobe.t2 (id BIGINT,
           CONSTRAINT pk2 PRIMARY KEY (id), CONSTRAINT pos2 CHECK (id >= 0))""")
+        g.sql("""CREATE TABLE gmem.consprobe.t3 (cid BIGINT, pid BIGINT,
+          CONSTRAINT fk3 FOREIGN KEY (pid) REFERENCES gmem.consprobe.t2 (id))""")
         val out = g.sql("""SELECT constraint_catalog, table_schema, table_name,
             constraint_name, constraint_type, definition
           FROM information_schema.table_constraints
-          WHERE table_name IN ('cons_probe', 't2')
+          WHERE table_name IN ('cons_probe', 'cons_child', 't2', 't3')
           ORDER BY constraint_catalog, constraint_name""")
+        g.sql("DROP TABLE cons_child")
         g.sql("DROP TABLE cons_probe")
+        g.sql("DROP TABLE gmem.consprobe.t3")
         g.sql("DROP TABLE gmem.consprobe.t2")
         out
       },
@@ -310,10 +317,14 @@ object SourcesCatalog extends QueryModule {
   /** Literal expected rows of `cat_information_schema_constraints` — the
     * probe tables are fixed, so the inventory is a constant. */
   private val CatConstraintsOracle = """SELECT * FROM (VALUES
+      ('gmem', 'consprobe', 't3', 'fk3', 'FOREIGN KEY',
+       'CONSTRAINT fk3 FOREIGN KEY (pid) REFERENCES gmem.consprobe.t2 (id) NOT ENFORCED NORELY'),
       ('gmem', 'consprobe', 't2', 'pk2', 'PRIMARY KEY', '(id)'),
       ('gmem', 'consprobe', 't2', 'pos2', 'CHECK', '(id >= 0)'),
       ('qurious', 'public', 'cons_probe', 'cons_probe_check_1', 'CHECK', '(bal >= 0)'),
-      ('qurious', 'public', 'cons_probe', 'cons_probe_unique_1', 'UNIQUE', '(id)'))
+      ('qurious', 'public', 'cons_probe', 'cons_probe_unique_1', 'UNIQUE', '(id)'),
+      ('qurious', 'public', 'cons_child', 'cons_child_fk_1', 'FOREIGN KEY',
+       '(pid) REFERENCES cons_probe (id)'))
     t(constraint_catalog, table_schema, table_name, constraint_name,
       constraint_type, definition)
     ORDER BY constraint_catalog, constraint_name"""

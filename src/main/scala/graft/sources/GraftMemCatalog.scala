@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.connector.catalog.{Column => V2Column, _}
-import org.apache.spark.sql.connector.catalog.constraints.{Constraint, PrimaryKey, Unique}
+import org.apache.spark.sql.connector.catalog.constraints.{Constraint, ForeignKey, PrimaryKey, Unique}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -195,12 +195,32 @@ class GraftMemCatalog extends TableCatalog with SupportsNamespaces {
     val t = new GraftMemTable(
       (ident.namespace :+ ident.name).mkString("."), columns,
       properties, constraints, caps)
+    t.ownerCatalog = this // FOREIGN KEY resolution needs the sibling tables
     // atomic: a concurrent CREATE of the same name must not replace (and
     // silently drop the rows of) an instance another thread just created
     if (tables.putIfAbsent(key(ident), t).isDefined)
       throw new TableAlreadyExistsException(ident)
     t
   }
+
+  /** FK parent resolution: identifiers in `REFERENCES` may carry the
+    * catalog name as their first namespace segment — strip it, default the
+    * namespace, and look the table up in this catalog. */
+  private[sources] def resolveFkTable(
+      ident: Identifier): Option[GraftMemTable] = {
+    val ns0 = ident.namespace.toList
+    val ns = ns0 match {
+      case head :: rest if head.equalsIgnoreCase(catalogName) && rest.nonEmpty => rest
+      case Nil => List("default")
+      case other => other
+    }
+    tables.get((ns, ident.name))
+  }
+
+  /** All (namespace, name, table) triples — parent-side RESTRICT scans
+    * these for FKs referencing the mutating table. */
+  private[sources] def tableSnapshot(): Seq[(List[String], String, GraftMemTable)] =
+    tables.readOnlySnapshot().toSeq.map { case ((ns, n), t) => (ns, n, t) }
 
   override def dropTable(ident: Identifier): Boolean =
     tables.remove(key(ident)).isDefined
@@ -387,6 +407,9 @@ class GraftMemTable(
   // epochs makes the sink exactly-once AND keeps replays from tripping
   // PRIMARY KEY/UNIQUE duplicate checks on rows the table already holds
   private val epochCommits = scala.collection.mutable.Map.empty[String, Long]
+  // the owning catalog (set at createTable) — FOREIGN KEY checks resolve
+  // parent/child tables through it; detached snapshots leave it null
+  @volatile private[sources] var ownerCatalog: GraftMemCatalog = null
 
   private def toStruct(cs: Array[V2Column]): StructType =
     StructType(cs.map(c => StructField(c.name, c.dataType, c.nullable)))
@@ -526,11 +549,94 @@ class GraftMemTable(
           s"${caps.maxBytes}. gmem tables are driver-held and scoped to session/" +
           "dimension data; store corpus-scale data in parquet-backed tables.")
     enforceOnCommit(appended, truncate)
+    // a truncating commit (INSERT OVERWRITE / row-level DELETE/UPDATE/
+    // MERGE) may REMOVE referenced keys — RESTRICT if any child still
+    // points at them (pure appends cannot orphan anyone)
+    if (truncate) enforceFkRestrict(appended.toVector)
     rows = (if (truncate) Vector.empty else rows) ++ appended
     storedBytes = baseBytes + addBytes
     log = log ++ appended
     history = history :+ ((cols, cons, rows))
     compactRetention()
+  }
+
+  /** Key tuples of `data` under `keyCols` (schema-ordinal extraction);
+    * rows with any NULL key column are skipped (SQL MATCH SIMPLE). */
+  private def keyTuples(
+      data: Iterable[InternalRow], schema: StructType,
+      keyCols: Seq[String]): (Iterator[Option[Seq[Any]]]) = {
+    val ords = keyCols.map { c =>
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      require(i >= 0, s"gmem: FOREIGN KEY references unknown column $c")
+      i
+    }
+    data.iterator.map { r =>
+      if (ords.exists(r.isNullAt)) None
+      else Some(ords.map(i => r.get(i, schema.fields(i).dataType)))
+    }
+  }
+
+  /** Child-side FOREIGN KEY check: every non-null FK tuple in `appended`
+    * must exist in the parent's current rows (for a self-referencing FK,
+    * the candidate post-commit state of THIS table). */
+  private def enforceFkChild(
+      appended: Seq[InternalRow], truncate: Boolean): Unit = {
+    val fks = cons.toSeq.collect { case fk: ForeignKey => fk }
+    if (fks.isEmpty || appended.isEmpty) return
+    val cat = ownerCatalog
+    for (fk <- fks) {
+      val childCols = fk.columns().map(_.fieldNames().mkString(".")).toSeq
+      val parentCols =
+        fk.referencedColumns().map(_.fieldNames().mkString(".")).toSeq
+      val selfRef = cat == null ||
+        cat.resolveFkTable(fk.referencedTable()).exists(_ eq this)
+      val (pRows, pSchema): (Iterable[InternalRow], StructType) =
+        if (selfRef)
+          ((if (truncate) Vector.empty else rows) ++ appended, tableSchema)
+        else {
+          val p = cat.resolveFkTable(fk.referencedTable()).getOrElse(
+            throw new IllegalStateException(
+              s"gmem: FOREIGN KEY ${fk.name()} on $tableName references " +
+                s"missing table ${fk.referencedTable()}"))
+          (p.currentRows, p.schema())
+        }
+      val parentKeys =
+        keyTuples(pRows, pSchema, parentCols).flatten.toSet
+      for (k <- keyTuples(appended, tableSchema, childCols); kk <- k)
+        if (!parentKeys.contains(kk))
+          throw new IllegalStateException(
+            s"gmem: FOREIGN KEY ${fk.name()} violated on $tableName: " +
+              s"(${childCols.mkString(", ")}) value not present in " +
+              s"${fk.referencedTable()}(${parentCols.mkString(", ")})")
+    }
+  }
+
+  /** Parent-side RESTRICT: with this table's rows about to become
+    * `newState`, every OTHER table's FK rows pointing here must still
+    * resolve — a DELETE/TRUNCATE/UPDATE that would orphan a child fails. */
+  private def enforceFkRestrict(newState: Vector[InternalRow]): Unit = {
+    val cat = ownerCatalog
+    if (cat == null) return
+    lazy val newKeysBy =
+      scala.collection.mutable.Map.empty[Seq[String], Set[Seq[Any]]]
+    for {
+      (_, _, child) <- cat.tableSnapshot() if !(child eq this)
+      fk <- child.constraints().toSeq.collect { case f: ForeignKey => f }
+      if cat.resolveFkTable(fk.referencedTable()).exists(_ eq this)
+    } {
+      val parentCols =
+        fk.referencedColumns().map(_.fieldNames().mkString(".")).toSeq
+      val childCols = fk.columns().map(_.fieldNames().mkString(".")).toSeq
+      val keys = newKeysBy.getOrElseUpdate(parentCols,
+        keyTuples(newState, tableSchema, parentCols).flatten.toSet)
+      for (k <- keyTuples(child.currentRows, child.schema(), childCols);
+           kk <- k)
+        if (!keys.contains(kk))
+          throw new IllegalStateException(
+            s"gmem: FOREIGN KEY ${fk.name()} on ${child.name()} RESTRICTs " +
+              s"this write to $tableName: child rows still reference " +
+              s"removed keys (${parentCols.mkString(", ")})")
+    }
   }
 
   /** Streaming-epoch commit: skip epochs at or below the last committed one
@@ -593,6 +699,7 @@ class GraftMemTable(
             s"gmem: ${if (cname.nonEmpty) cname else "UNIQUE"} constraint " +
               s"violated on $tableName: duplicate key (${keyCols.mkString(", ")})")
     }
+    enforceFkChild(appended, truncate)
   }
 
   /** ALTER TABLE: add (default- or null-backfilled), drop, and rename
@@ -636,6 +743,13 @@ class GraftMemTable(
         require(!cons.exists(_.name() == ac.constraint().name()),
           s"gmem: constraint ${ac.constraint().name()} already exists on $tableName")
         cons = cons :+ ac.constraint()
+        // an FK added after the fact must hold for the EXISTING rows
+        ac.constraint() match {
+          case _: ForeignKey =>
+            try enforceFkChild(rows, truncate = true)
+            catch { case e: Throwable => cons = cons.dropRight(1); throw e }
+          case _ => ()
+        }
       case dc: TableChange.DropConstraint =>
         val before = cons.length
         cons = cons.filterNot(_.name() == dc.name())

@@ -29,7 +29,8 @@ final class MutableTableManager(spark: SparkSession) {
       df: DataFrame,
       mutations: Int,
       checks: Seq[String] = Nil, // CHECK constraint expressions
-      uniques: Seq[Seq[String]] = Nil) // UNIQUE / PRIMARY KEY column sets
+      uniques: Seq[Seq[String]] = Nil, // UNIQUE / PRIMARY KEY column sets
+      foreignKeys: Seq[MutableTableManager.FkDef] = Nil)
 
   private val tables = TrieMap.empty[String, TableState]
 
@@ -57,11 +58,28 @@ final class MutableTableManager(spark: SparkSession) {
       data: Option[DataFrame] = None,
       ifNotExists: Boolean = false,
       checks: Seq[String] = Nil,
-      uniques: Seq[Seq[String]] = Nil): Unit = {
+      uniques: Seq[Seq[String]] = Nil,
+      foreignKeys: Seq[MutableTableManager.FkDef] = Nil): Unit = {
     val key = norm(name)
     if (tables.contains(key)) {
       if (ifNotExists) return
       sys.error(s"table already exists: $name")
+    }
+    val normFks = foreignKeys.map(fk => fk.copy(cols = fk.cols.map(norm),
+      parentTable = norm(fk.parentTable), parentCols = fk.parentCols.map(norm)))
+    normFks.foreach { fk =>
+      require(fk.cols.length == fk.parentCols.length,
+        s"FOREIGN KEY column count mismatch: (${fk.cols.mkString(", ")}) vs " +
+          s"(${fk.parentCols.mkString(", ")})")
+      require(fk.cols.forall(c => schema.fieldNames.map(norm).contains(c)),
+        s"FOREIGN KEY references unknown column in $name")
+      if (fk.parentTable != key) { // self-references resolve to this table
+        val p = tables.getOrElse(fk.parentTable,
+          sys.error(s"FOREIGN KEY references missing table: ${fk.parentTable}"))
+        require(fk.parentCols.forall(c =>
+            p.schema.fieldNames.map(norm).contains(c)),
+          s"FOREIGN KEY references unknown column in ${fk.parentTable}")
+      }
     }
     val df = data match {
       case Some(d) => align(d, schema, schema.fieldNames.toSeq, defaults)
@@ -69,12 +87,13 @@ final class MutableTableManager(spark: SparkSession) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     val st = TableState(schema, defaults.map { case (k, v) => norm(k) -> v },
-      df, 0, checks, uniques.map(_.map(norm)))
+      df, 0, checks, uniques.map(_.map(norm)), normFks)
     data.foreach { _ => // CTAS rows must conform before the table exists
       enforceRowConstraints(st, df)
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       enforceUnique(st.copy(df = empty), df)
+      enforceForeignKeys(key, st, df)
     }
     put(key, st, "CREATE")
   }
@@ -122,6 +141,62 @@ final class MutableTableManager(spark: SparkSession) {
         s"UNIQUE constraint violated against existing rows: (${cols.mkString(", ")})")
     }
 
+  /** FOREIGN KEY for an incoming batch: every non-null FK tuple must exist
+    * in the parent — ONE LEFT ANTI probe per declared FK (the same shuffle
+    * shape as [[enforceUnique]]'s collision check; at scale this is the
+    * standard referential-ingest price). Self-referencing FKs resolve
+    * against the candidate post-write state (existing ∪ batch). */
+  private def enforceForeignKeys(
+      selfKey: String, st: TableState, batch: DataFrame): Unit =
+    st.foreignKeys.foreach { fk =>
+      val parentKeys = (
+        if (fk.parentTable == selfKey)
+          st.df.select(fk.parentCols.map(col).toIndexedSeq: _*)
+            .unionByName(batch.select(fk.parentCols.map(col).toIndexedSeq: _*))
+        else tables.getOrElse(fk.parentTable,
+            sys.error(s"FOREIGN KEY references missing table: ${fk.parentTable}"))
+          .df.select(fk.parentCols.map(col).toIndexedSeq: _*)
+      ).toDF(fk.cols: _*)
+      val children = batch
+        .filter(fk.cols.map(col(_).isNotNull).reduce(_ && _))
+        .select(fk.cols.map(col).toIndexedSeq: _*)
+      val orphans = children.alias("__c")
+        .join(parentKeys.alias("__p"),
+          fk.cols.map(c => col(s"__c.$c") === col(s"__p.$c")).reduce(_ && _),
+          "left_anti")
+        .limit(1).count()
+      require(orphans == 0,
+        s"FOREIGN KEY constraint${if (fk.name.nonEmpty) s" ${fk.name}" else ""} " +
+          s"violated: (${fk.cols.mkString(", ")}) value not present in " +
+          s"${fk.parentTable}(${fk.parentCols.mkString(", ")})")
+    }
+
+  /** Parent-side RESTRICT: with `parentKey`'s rows about to become `kept`,
+    * every other table's FK rows pointing at it must still resolve — a
+    * DELETE/TRUNCATE/UPDATE that would orphan a child row fails before any
+    * state advances. One LEFT ANTI probe per referencing child. */
+  private def enforceFkRestrict(parentKey: String, kept: DataFrame): Unit =
+    for {
+      (childKey, childSt) <- tables.readOnlySnapshot()
+      fk <- childSt.foreignKeys
+      if fk.parentTable == parentKey && childKey != parentKey
+    } {
+      val parentKeys = kept.select(fk.parentCols.map(col).toIndexedSeq: _*)
+        .toDF(fk.cols: _*)
+      val refs = childSt.df
+        .filter(fk.cols.map(col(_).isNotNull).reduce(_ && _))
+        .select(fk.cols.map(col).toIndexedSeq: _*)
+      val orphans = refs.alias("__c")
+        .join(parentKeys.alias("__p"),
+          fk.cols.map(c => col(s"__c.$c") === col(s"__p.$c")).reduce(_ && _),
+          "left_anti")
+        .limit(1).count()
+      require(orphans == 0,
+        s"FOREIGN KEY constraint${if (fk.name.nonEmpty) s" ${fk.name}" else ""} " +
+          s"on $childKey RESTRICTs this write to $parentKey: child rows " +
+          s"still reference removed keys (${fk.parentCols.mkString(", ")})")
+    }
+
   def drop(name: String, ifExists: Boolean = false): Unit = {
     val key = norm(name)
     if (tables.remove(key).isEmpty && !ifExists) sys.error(s"table not found: $name")
@@ -150,6 +225,7 @@ final class MutableTableManager(spark: SparkSession) {
     val aligned = align(input, st.schema, targetCols, st.defaults)
     enforceRowConstraints(st, aligned)
     enforceUnique(st, aligned)
+    enforceForeignKeys(key, st, aligned)
     val n = aligned.count()
     put(key, st.copy(df = checkpointed(st.df.unionByName(aligned), st.mutations), mutations = st.mutations + 1), "INSERT")
     n
@@ -167,6 +243,7 @@ final class MutableTableManager(spark: SparkSession) {
       case Some(pred) => st.df.filter(!coalesce(expr(pred), lit(false)))
       case None => st.df.limit(0)
     }
+    enforceFkRestrict(key, kept)
     val after = kept.count()
     put(key, st.copy(df = checkpointed(kept, st.mutations), mutations = st.mutations + 1), "DELETE")
     before - after
@@ -209,6 +286,16 @@ final class MutableTableManager(spark: SparkSession) {
       enforceRowConstraints(st,
         marked.filter(col(marker)).select(projected.toIndexedSeq: _*))
     val newDf = marked.select(projected.toIndexedSeq: _*)
+    val assigned = assignments.keySet
+    // child-side: updated FK columns must still resolve in the parent
+    if (st.foreignKeys.exists(_.cols.exists(assigned)))
+      enforceForeignKeys(key, st.copy(df = newDf),
+        marked.filter(col(marker)).select(projected.toIndexedSeq: _*))
+    // parent-side: updating a REFERENCED key column must not orphan a child
+    if (tables.readOnlySnapshot().exists { case (ck, cst) =>
+        ck != key && cst.foreignKeys.exists(fk =>
+          fk.parentTable == key && fk.parentCols.exists(assigned)) })
+      enforceFkRestrict(key, newDf)
     put(key, st.copy(df = checkpointed(newDf, st.mutations),
       mutations = st.mutations + 1), "UPDATE")
     affected
@@ -421,4 +508,12 @@ final class MutableTableManager(spark: SparkSession) {
   }
 
   def listTables(): Seq[String] = tables.keys.toSeq.sorted
+}
+
+object MutableTableManager {
+  /** One declared FOREIGN KEY: `[CONSTRAINT name] FOREIGN KEY (cols)
+    * REFERENCES parentTable (parentCols)`. */
+  final case class FkDef(
+      name: String, cols: Seq[String],
+      parentTable: String, parentCols: Seq[String])
 }
