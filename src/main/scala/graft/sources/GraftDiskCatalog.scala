@@ -271,6 +271,20 @@ object GraftDiskCatalog {
   val LogDirName = "_graft_log"
   val DataDirName = "data"
 
+  /** Copy-on-write group id = the data FILE a row lives in. Rewrites
+    * replace only the affected files (runtime group filtering narrows the
+    * scan to them), the Iceberg-shaped granularity a parquet table needs
+    * at scale. */
+  val FileColumnName = "_file"
+  object FileColumn extends MetadataColumn {
+    override def name(): String = FileColumnName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "copy-on-write group id (the parquet data file holding the row)"
+  }
+
   /** Live catalog instances by name (the front door's VACUUM reaches the
     * plugin here; Spark's CatalogManager holds it privately). */
   private val instances = TrieMap.empty[String, GraftDiskCatalog]
@@ -470,12 +484,11 @@ class GraftDiskTable(
   override def properties(): util.Map[String, String] =
     loaded.properties.asJava
 
-  /** Group id for copy-on-write. The current rewrite granularity is the
-    * whole table (one group, like gmem) — the honest next notch is
-    * per-file groups with runtime group filtering. Constant 0 keeps the
-    * write path identical to gmem's proven shape. */
+  /** Copy-on-write groups are data FILES: the `_file` metadata column
+    * carries each row's file, runtime group filtering narrows the rewrite
+    * scan to the affected files, and commit replaces exactly those. */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftMemCatalog.GroupIdColumn)
+    Array(GraftDiskCatalog.FileColumn)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
@@ -498,7 +511,7 @@ class GraftDiskTable(
 
   // ---------------------------------------------------------------- read
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftDiskScanBuilder(this, absFiles(loaded), options)
+    new GraftDiskScanBuilder(this, loaded.files, options)
 
   override def toString: String = s"GraftDiskTable($tableName)"
 
@@ -580,7 +593,8 @@ class GraftDiskTable(
     var committed = false
     while (!committed) {
       val base = log.latest()
-      enforceKeysDistributed(base, newFiles, truncate)
+      enforceKeysDistributed(base, newFiles,
+        existingFiles = if (truncate) Nil else base.files)
       val next = base.copy(
         version = base.version + 1,
         files = (if (truncate) Nil else base.files) ++ newFiles,
@@ -615,7 +629,8 @@ class GraftDiskTable(
     * groupBy-count(>1) over (existing ∪ appended) key columns. The driver
     * sees one number per check, never rows. */
   private def enforceKeysDistributed(
-      base: DiskManifest, newFiles: Seq[String], truncate: Boolean): Unit = {
+      base: DiskManifest, newFiles: Seq[String],
+      existingFiles: Seq[String]): Unit = {
     val keys = base.constraints.filter(c =>
       c.kind == "primaryKey" || c.kind == "unique")
     if (keys.isEmpty || newFiles.isEmpty) return
@@ -625,7 +640,8 @@ class GraftDiskTable(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(fs.map(log.absolute): _*)
     val appended = readFiles(newFiles)
-    val existing = if (truncate) None else Some(readFiles(base.files))
+    val existing =
+      if (existingFiles.isEmpty) None else Some(readFiles(existingFiles))
     for (k <- keys) {
       val keyCols = k.columns.map(col)
       if (k.kind == "primaryKey") {
@@ -648,22 +664,33 @@ class GraftDiskTable(
   }
 
   // ---------------------------------------------------------- row-level
-  /** MERGE / UPDATE / DELETE — group-based copy-on-write, one group:
-    * Spark joins over this operation's scan, executors write the full
-    * replacement rowset as parquet, and commit swaps the manifest's file
-    * list. No rows touch the driver at any point. */
+  /** MERGE / UPDATE / DELETE — group-based copy-on-write at FILE
+    * granularity: Spark joins over this operation's `_file`-tagged scan,
+    * runtime group filtering narrows the scan to the files holding
+    * matched rows, executors write those groups' full replacement rowset
+    * as new parquet files, and commit swaps exactly the served files in
+    * the manifest. Rewrite cost scales with touched files, not the table;
+    * no rows touch the driver at any point. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
+        // the scan instance this operation's rewrite reads — its
+        // (runtime-filtered) file set is what commit replaces
+        @volatile private var cowScan: GdiskFileScan = null
         override def command(): RowLevelOperation.Command = info.command()
         override def description(): String =
           s"GraftDiskRowLevel(${info.command()}, $tableName)"
         override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-          GraftDiskTable.this.newScanBuilder(options)
+          new GraftDiskScanBuilder(GraftDiskTable.this, loaded.files, options) {
+            override def build(): Scan = super.build() match {
+              case s: GdiskFileScan => cowScan = s; s
+              case other => other
+            }
+          }
         override def requiredMetadataAttributes()
             : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-          Array(Expressions.column(GraftMemCatalog.GroupIdColumnName))
+          Array(Expressions.column(GraftDiskCatalog.FileColumnName))
         override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
           new WriteBuilder {
             override def build(): Write = new Write {
@@ -672,13 +699,36 @@ class GraftDiskTable(
                     pwi: PhysicalWriteInfo): DataWriterFactory =
                   new GraftDiskWriterFactory(lwi.schema(), schema(),
                     log.dataDir.toString, writeConfMap())
-                override def commit(messages: Array[WriterCommitMessage]): Unit =
-                  commitFiles(collectFiles(messages), truncate = true)
+                override def commit(messages: Array[WriterCommitMessage]): Unit = {
+                  val removed = Option(cowScan).map(_.servedFiles)
+                    .getOrElse(loaded.files)
+                  commitReplace(removed, collectFiles(messages))
+                }
                 override def abort(messages: Array[WriterCommitMessage]): Unit =
                   deleteFiles(collectFiles(messages))
               }
             }
           }
+      }
+    }
+
+  /** Swap `removed` (the rewrite's served groups) for `added` as the next
+    * version; key constraints re-check distributed over (kept ∪ added). */
+  private def commitReplace(removed: Seq[String], added: Seq[String]): Unit =
+    synchronized {
+      require(pinned.isEmpty,
+        s"gdisk: $tableName is a VERSION AS OF snapshot — snapshots are read-only")
+      val base = log.latest()
+      val kept = base.files.filterNot(removed.toSet)
+      enforceKeysDistributed(base, added, existingFiles = kept)
+      val next = base.copy(
+        version = base.version + 1,
+        files = kept ++ added,
+        added = added)
+      try log.write(next)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"gdisk: concurrent commit conflict on $tableName", e)
       }
     }
 
@@ -774,32 +824,35 @@ class GraftDiskTable(
 }
 
 /** ScanBuilder that DELEGATES to Spark's parquet FileScanBuilder for
-  * pruning/pushdown and only interposes when the copy-on-write group-id
-  * metadata column is requested (then the scan wraps the inner row reader
-  * and appends the constant group id). Normal reads return the inner
-  * vectorized ParquetScan untouched. */
+  * pruning/pushdown and only interposes when the copy-on-write `_file`
+  * metadata column is requested (then the scan plans per-file inner scans
+  * and tags each row with its file). Normal reads return the inner
+  * vectorized ParquetScan through a thin wrapper that adds streaming. */
 class GraftDiskScanBuilder(
     table: GraftDiskTable, files: Seq[String], options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
-  private val inner = table.innerTable(files).newScanBuilder(options)
+  import GraftDiskCatalog.FileColumnName
+
+  private val inner =
+    table.innerTable(files.map(table.log.absolute)).newScanBuilder(options)
   private var required: StructType = table.schema()
-  private var wantsGrp = false
+  private var wantsFile = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    wantsGrp = requiredSchema.fieldNames.contains(GraftMemCatalog.GroupIdColumnName)
+    wantsFile = requiredSchema.fieldNames.contains(FileColumnName)
     required = requiredSchema
     inner.pruneColumns(StructType(requiredSchema.fields
-      .filterNot(_.name == GraftMemCatalog.GroupIdColumnName)))
+      .filterNot(_.name == FileColumnName)))
   }
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    val (grpFilters, dataFilters) = filters.partition(
-      _.references.exists(_.name == GraftMemCatalog.GroupIdColumnName))
-    grpFilters ++ inner.pushFilters(dataFilters)
+    val (fileFilters, dataFilters) = filters.partition(
+      _.references.exists(_.name == FileColumnName))
+    fileFilters ++ inner.pushFilters(dataFilters)
   }
 
   override def pushedFilters
@@ -807,11 +860,103 @@ class GraftDiskScanBuilder(
     inner.pushedFilters
 
   override def build(): Scan = {
-    val innerScan = inner.build()
-    if (wantsGrp) new GrpAppendingScan(innerScan, required)
-    else new GraftDiskScan(table, innerScan,
-      StructType(required.fields
-        .filterNot(_.name == GraftMemCatalog.GroupIdColumnName)))
+    if (wantsFile)
+      new GdiskFileScan(table, files,
+        StructType(required.fields.filterNot(_.name == FileColumnName)),
+        required)
+    else new GraftDiskScan(table, inner.build(),
+      StructType(required.fields.filterNot(_.name == FileColumnName)))
+  }
+}
+
+/** The copy-on-write scan: one inner vectorized file scan per data file,
+  * every row tagged with its (relative) file name in the `_file` metadata
+  * column. Implements `SupportsRuntimeV2Filtering` on `_file`, so Spark's
+  * `RowLevelOperationRuntimeGroupFiltering` narrows a MERGE/UPDATE/DELETE
+  * rewrite to exactly the files holding matched rows — the rewrite cost
+  * scales with the TOUCHED data, not the table. `servedFiles` is what the
+  * operation's commit replaces. */
+class GdiskFileScan(
+    table: GraftDiskTable, allFiles: Seq[String],
+    pruned: StructType, required: StructType)
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import GraftDiskCatalog.FileColumnName
+
+  @volatile private var files: Seq[String] = allFiles
+  /** Files this scan will read (post runtime group filtering) — the
+    * operation's commit replaces exactly these. */
+  def servedFiles: Seq[String] = files
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GdiskFileScan(${table.name()}, ${files.length}/${allFiles.length} files)"
+  override def toBatch: Batch = this
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(FileColumnName))
+
+  /** Runtime group filter: keep only files named by IN/= predicates over
+    * `_file`. Unparseable predicates leave the scan unfiltered — a
+    * correctness-preserving (whole-table rewrite) fallback. */
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
+    val wanted = predicates.iterator.flatMap { p =>
+      if (p.name() == "IN" || p.name() == "=") {
+        val vals = p.children().collect {
+          case l: V2Literal[_] => String.valueOf(l.value())
+        }
+        if (vals.nonEmpty) Some(vals.toSet) else None
+      } else None
+    }.reduceOption(_ ++ _)
+    wanted.foreach(w => files = files.filter(w.contains))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.toArray.flatMap { f =>
+      val sb = table.innerTable(Seq(table.log.absolute(f)))
+        .newScanBuilder(CaseInsensitiveStringMap.empty())
+      sb.pruneColumns(pruned)
+      val b = sb.build().toBatch
+      val factory = b.createReaderFactory()
+      b.planInputPartitions()
+        .map(p => FileTagPartition(p, factory, f): InputPartition)
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FileAppendingReaderFactory(pruned, required)
+}
+
+/** A per-file inner partition bundled with its reader factory and the
+  * (relative) file name its rows carry in `_file`. */
+case class FileTagPartition(
+    inner: InputPartition, factory: PartitionReaderFactory, file: String)
+  extends InputPartition
+
+class FileAppendingReaderFactory(innerSchema: StructType, required: StructType)
+  extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[FileTagPartition]
+    val r = fp.factory.createReader(fp.inner)
+    val proj = UnsafeProjection.create(required.fields.map { f =>
+      if (f.name == GraftDiskCatalog.FileColumnName)
+        CatalystLiteral(org.apache.spark.unsafe.types.UTF8String.fromString(fp.file),
+          org.apache.spark.sql.types.StringType)
+          : org.apache.spark.sql.catalyst.expressions.Expression
+      else {
+        val i = innerSchema.fieldIndex(f.name)
+        BoundReference(i, innerSchema(i).dataType, innerSchema(i).nullable)
+      }
+    }.toSeq)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = proj(r.get())
+      override def close(): Unit = r.close()
+    }
   }
 }
 
@@ -892,46 +1037,6 @@ object DelegatingReaderFactory extends PartitionReaderFactory {
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val fp = p.asInstanceOf[FactoryPartition]
     fp.factory.createColumnarReader(fp.inner)
-  }
-}
-
-/** Wraps an inner file scan, appending the constant copy-on-write group id
-  * to every row (row-based read path — this scan only serves the MERGE/
-  * UPDATE/DELETE rewrite, where whole-stage rewrite cost dominates). */
-class GrpAppendingScan(inner: Scan, required: StructType) extends Scan {
-  override def readSchema(): StructType = required
-  override def description(): String = s"GrpAppending(${inner.description()})"
-  override def toBatch: Batch = new Batch {
-    private val ib = inner.toBatch
-    override def planInputPartitions(): Array[InputPartition] =
-      ib.planInputPartitions().map(p => GrpPartition(p): InputPartition)
-    override def createReaderFactory(): PartitionReaderFactory =
-      new GrpReaderFactory(ib.createReaderFactory(),
-        inner.readSchema(), required)
-  }
-}
-
-case class GrpPartition(inner: InputPartition) extends InputPartition
-
-class GrpReaderFactory(
-    inner: PartitionReaderFactory, innerSchema: StructType, required: StructType)
-  extends PartitionReaderFactory {
-  override def supportColumnarReads(partition: InputPartition): Boolean = false
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val r = inner.createReader(p.asInstanceOf[GrpPartition].inner)
-    val proj = UnsafeProjection.create(required.fields.map { f =>
-      if (f.name == GraftMemCatalog.GroupIdColumnName)
-        CatalystLiteral(0): org.apache.spark.sql.catalyst.expressions.Expression
-      else {
-        val i = innerSchema.fieldIndex(f.name)
-        BoundReference(i, innerSchema(i).dataType, innerSchema(i).nullable)
-      }
-    }.toSeq)
-    new PartitionReader[InternalRow] {
-      override def next(): Boolean = r.next()
-      override def get(): InternalRow = proj(r.get())
-      override def close(): Unit = r.close()
-    }
   }
 }
 

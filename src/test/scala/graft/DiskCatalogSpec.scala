@@ -105,6 +105,33 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(spark.table("gdspec.lake.mt").count() == 2)
   }
 
+  test("copy-on-write rewrites only the files holding matched rows") {
+    spark.sql("CREATE TABLE gdspec.lake.cow (id BIGINT, v STRING)")
+    // three separate commits → three parquet files, disjoint key ranges
+    spark.sql("INSERT INTO gdspec.lake.cow SELECT id, 'a' FROM range(0, 100)")
+    spark.sql("INSERT INTO gdspec.lake.cow SELECT id, 'b' FROM range(100, 200)")
+    spark.sql("INSERT INTO gdspec.lake.cow SELECT id, 'c' FROM range(200, 300)")
+    val t = graft.sources.GraftDiskCatalog.instance("gdspec").get
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("lake"), "cow")).asInstanceOf[GraftDiskTable]
+    val before = t.log.latest().files.toSet
+    assert(before.size >= 3)
+    // touches keys in ONE file: runtime group filtering must keep the
+    // other files' manifest entries (a whole-table rewrite would replace
+    // every file and this intersection would be empty)
+    spark.sql("UPDATE gdspec.lake.cow SET v = 'A' WHERE id = 42")
+    val after = t.log.latest().files.toSet
+    assert((before & after).nonEmpty,
+      s"whole-table rewrite: no file survived ($before -> $after)")
+    assert((before -- after).nonEmpty, "no file was rewritten at all")
+    // and the data is right: one row changed, everything else intact
+    assert(spark.sql("SELECT v FROM gdspec.lake.cow WHERE id = 42")
+      .head().getString(0) == "A")
+    assert(spark.table("gdspec.lake.cow").count() == 300)
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.cow WHERE v = 'a'")
+      .head().getLong(0) == 99L)
+  }
+
   test("VERSION AS OF time-travels over the manifest log") {
     spark.sql("CREATE TABLE gdspec.lake.tt (id BIGINT)")
     spark.sql("INSERT INTO gdspec.lake.tt VALUES (1)") // v1
