@@ -62,10 +62,36 @@ final class GraftSession(
 
   def sql(query: String): DataFrame = withAnsi {
     val raw = query.trim.stripSuffix(";").trim
-    // VACUUM is ours, not Spark SQL — intercept before catalog passthrough
+    // VACUUM / OPTIMIZE are ours, not Spark SQL — intercept before
+    // catalog passthrough
     if (raw.toUpperCase(Locale.ROOT).startsWith("VACUUM ")) vacuumTable(raw)
+    else if (raw.toUpperCase(Locale.ROOT).startsWith("OPTIMIZE "))
+      optimizeTable(raw)
     else if (addressesV2Catalog(raw)) spark.sql(raw)
     else sqlFrontDoor(raw)
+  }
+
+  /** `OPTIMIZE <catalog>.<ns>.<table> [TARGET n BYTES]` — bin-pack a gdisk
+    * table's data files (the maintenance companion of its streaming sink,
+    * which lands one small file per epoch per partition). One distributed
+    * rewrite pass; returns (table, files_before, files_after). */
+  private def optimizeTable(q: String): DataFrame = {
+    val m = """(?is)OPTIMIZE\s+([A-Za-z_][\w.]*)(?:\s+TARGET\s+(\d+)\s+BYTES)?\s*""".r
+      .findFirstMatchIn(q).getOrElse(sys.error(s"cannot parse OPTIMIZE: $q"))
+    val parts = m.group(1).split('.')
+    val target = Option(m.group(2)).map(_.toLong).getOrElse(128L * 1024 * 1024)
+    require(parts.length >= 3,
+      "OPTIMIZE targets a catalog table: OPTIMIZE <catalog>.<namespace>.<table>")
+    val cat = graft.sources.GraftDiskCatalog.instance(parts.head).getOrElse(
+      sys.error(s"OPTIMIZE: '${parts.head}' is not a registered gdisk catalog " +
+        "(driver-held gmem tables have no files to compact)"))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(parts.tail.init, parts.last)
+    val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftDiskTable]
+    val (before, after) = t.optimize(target)
+    import spark.implicits._
+    Seq((m.group(1), before.toLong, after.toLong))
+      .toDF("table_name", "files_before", "files_after")
   }
 
   /** `VACUUM <catalog>.<ns>.<table> [RETAIN n VERSIONS]` — explicit

@@ -319,6 +319,32 @@ object DdlDml extends QueryModule {
         SELECT n_nationkey, n_name, grade FROM merged
         UNION ALL
         SELECT -1, 'ROWS_AT_V1', CAST((SELECT count(*) FROM base) AS VARCHAR)
-        ORDER BY n_nationkey, n_name"""))
+        ORDER BY n_nationkey, n_name""")),
+
+    // ---- OPTIMIZE under the oracle gate: five per-region ingests land
+    // five separate parquet files; bin-packing compacts them to one and
+    // the hash proves the rewrite is byte-preserving. The maintenance
+    // companion of gdisk's streaming sink (one small file per epoch). ----
+    QueryDef(
+      "ddl_v2_disk_optimize",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("nation"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.nat_opt")
+        s.sql("CREATE TABLE gdisk.verify.nat_opt (n_nationkey INT, n_name STRING)")
+        for (r <- 0 until 5)
+          s.sql("INSERT INTO gdisk.verify.nat_opt " +
+            s"SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = $r")
+        new GraftSession(s).sql("OPTIMIZE gdisk.verify.nat_opt")
+        s.sql("""SELECT n_nationkey, n_name FROM gdisk.verify.nat_opt
+          ORDER BY n_nationkey""")
+      },
+      Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"))
   )
 }

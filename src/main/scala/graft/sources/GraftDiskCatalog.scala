@@ -712,6 +712,43 @@ class GraftDiskTable(
       }
     }
 
+  /** OPTIMIZE: bin-pack the table's data files into ~`targetFileBytes`
+    * outputs — the standing maintenance job for a streaming-ingested
+    * table, whose sink lands one small file per epoch per partition. The
+    * rewrite is one distributed pass (read all files, repartition to the
+    * packed count, write); the driver moves file NAMES only. Returns
+    * (filesBefore, filesAfter). Old versions still time-travel until
+    * VACUUM drops them. */
+  private[graft] def optimize(
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = synchronized {
+    require(pinned.isEmpty,
+      s"gdisk: $tableName is a VERSION AS OF snapshot — snapshots are read-only")
+    val base = log.latest()
+    if (base.files.length <= 1) return (base.files.length, base.files.length)
+    val fs = log.dataDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val totalBytes = base.files.iterator
+      .map(f => fs.getFileStatus(new HPath(log.dataDir, f)).getLen).sum
+    val nOut = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (nOut >= base.files.length) return (base.files.length, base.files.length)
+    val out = new HPath(log.dataDir,
+      s"optimize-${java.util.UUID.randomUUID}").toString
+    spark.read.schema(base.schema)
+      .parquet(base.files.map(log.absolute): _*)
+      .repartition(nOut)
+      .write.parquet(out)
+    val moved = fs.listStatus(new HPath(out)).iterator.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map { p =>
+        val dst = s"${p.getParent.getName}-${p.getName}"
+        fs.rename(p, new HPath(log.dataDir, dst)); dst
+      }.toVector
+    fs.delete(new HPath(out), true)
+    val next = base.copy(version = base.version + 1, files = moved, added = Nil)
+    log.write(next)
+    (base.files.length, moved.length)
+  }
+
   /** Swap `removed` (the rewrite's served groups) for `added` as the next
     * version; key constraints re-check distributed over (kept ∪ added). */
   private def commitReplace(removed: Seq[String], added: Seq[String]): Unit =

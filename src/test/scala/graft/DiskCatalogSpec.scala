@@ -236,6 +236,26 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(seen.keySet == Set(3L), seen.keySet.toString)
   }
 
+  test("OPTIMIZE bin-packs small files; data and old versions intact") {
+    spark.sql("CREATE TABLE gdspec.lake.opt (id BIGINT)")
+    for (i <- 0 until 6)
+      spark.sql(s"INSERT INTO gdspec.lake.opt SELECT id FROM range(${i * 10}, ${i * 10 + 10})")
+    val g = new GraftSession(spark)
+    val r = g.sql("OPTIMIZE gdspec.lake.opt TARGET 1048576 BYTES").head()
+    assert(r.getLong(1) >= 6 && r.getLong(2) == 1L, r.toString)
+    // data byte-identical through the rewrite
+    assert(spark.table("gdspec.lake.opt").count() == 60)
+    assert(spark.sql("SELECT sum(id) FROM gdspec.lake.opt").head().getLong(0) ==
+      (0 until 60).sum.toLong)
+    // pre-optimize versions still time-travel (VACUUM is the forgetter)
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.opt VERSION AS OF 3")
+      .head().getLong(0) == 30L)
+    // already-packed tables are a no-op, not a rewrite loop
+    val r2 = g.sql("OPTIMIZE gdspec.lake.opt").head()
+    assert(r2.getLong(1) == 1L && r2.getLong(2) == 1L)
+    intercept[Exception](g.sql("OPTIMIZE no_such.ns.t"))
+  }
+
   test("VACUUM drops old manifests and unreferenced files; live reads survive") {
     spark.sql("CREATE TABLE gdspec.lake.vac (id BIGINT)")
     for (i <- 1 to 4) spark.sql(s"INSERT INTO gdspec.lake.vac VALUES ($i)")
@@ -266,6 +286,47 @@ class DiskCatalogSpec extends AnyFunSuite {
     val plan = spark.table("gdspec.lake.nd").queryExecution.executedPlan.toString
     assert(plan.contains("Parquet") || plan.contains("BatchScan"), plan)
     assert(spark.table("gdspec.lake.nd").count() == 10000)
+  }
+
+  test("end to end: streaming ingest -> restart -> OPTIMIZE -> vacuum, data exact throughout") {
+    import spark.implicits._
+    // the 100 TB ingest loop in miniature: a corpus lands incrementally in
+    // a parquet dir, a checkpointed stream ingests it into a gdisk table
+    // (one small file per epoch), survives a stop/restart without
+    // duplicating or dropping rows, OPTIMIZE bin-packs the accumulated
+    // small files, VACUUM forgets pre-compaction versions
+    val srcDir = java.nio.file.Files.createTempDirectory("gdisk_e2e_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gdisk_e2e_ckpt").toString
+    spark.sql("CREATE TABLE gdspec.lake.e2e (id BIGINT, txt STRING)")
+    def land(from: Int, until: Int): Unit =
+      (from until until).map(i => (i.toLong, s"doc_$i")).toDF("id", "txt")
+        .repartition(2).write.mode("append").parquet(srcDir)
+    def runIngest(): Unit = {
+      val q = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 2).parquet(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .toTable("gdspec.lake.e2e")
+      try q.processAllAvailable() finally q.stop()
+    }
+    land(0, 50); runIngest()
+    land(50, 100); runIngest() // restart from checkpoint, new arrivals only
+    assert(spark.table("gdspec.lake.e2e").count() == 100)
+    val t = graft.sources.GraftDiskCatalog.instance("gdspec").get
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("lake"), "e2e")).asInstanceOf[GraftDiskTable]
+    val smallFiles = t.log.latest().files.length
+    assert(smallFiles >= 2, s"expected per-epoch small files, got $smallFiles")
+    val g = new GraftSession(spark)
+    val r = g.sql("OPTIMIZE gdspec.lake.e2e").head()
+    assert(r.getLong(2) < r.getLong(1), r.toString)
+    g.sql("VACUUM gdspec.lake.e2e")
+    // exactness after the whole loop: every id exactly once, text intact
+    val rows = spark.sql("SELECT id, txt FROM gdspec.lake.e2e ORDER BY id")
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(rows.length == 100 &&
+      rows.zipWithIndex.forall { case ((id, tx), i) =>
+        id == i.toLong && tx == s"doc_$i" })
   }
 
   test("DROP TABLE / RENAME TABLE / SHOW TABLES") {
