@@ -345,6 +345,38 @@ object DdlDml extends QueryModule {
         s.sql("""SELECT n_nationkey, n_name FROM gdisk.verify.nat_opt
           ORDER BY n_nationkey""")
       },
-      Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"))
+      Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
+
+    // ---- PARTITIONED gdisk tables under the oracle gate: hive-layout
+    // identity partitioning (values encoded in dirs, pruned reads), a
+    // copy-on-write UPDATE scoped to one partition, and a
+    // partition-filtered readback — the 100 TB table layout, hash-checked.
+    QueryDef(
+      "ddl_v2_disk_partitioned",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("nation"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.nat_part")
+        s.sql("""CREATE TABLE gdisk.verify.nat_part (
+          n_nationkey INT, n_name STRING, n_regionkey INT)
+          PARTITIONED BY (n_regionkey)""")
+        s.sql("""INSERT INTO gdisk.verify.nat_part
+          SELECT n_nationkey, n_name, n_regionkey FROM nation""")
+        s.sql("""UPDATE gdisk.verify.nat_part
+          SET n_name = concat(n_name, '_X') WHERE n_regionkey = 2""")
+        s.sql("""SELECT n_nationkey, n_name, n_regionkey
+          FROM gdisk.verify.nat_part WHERE n_regionkey IN (1, 2)
+          ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey,
+          CASE WHEN n_regionkey = 2 THEN n_name || '_X' ELSE n_name END AS n_name,
+          n_regionkey
+        FROM nation WHERE n_regionkey IN (1, 2) ORDER BY n_nationkey"""))
   )
 }

@@ -175,13 +175,34 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces {
       properties: Map[String, String], constraints: Array[Constraint]): Table = {
     if (!namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(ident.namespace)
-    require(partitions.isEmpty,
-      "gdisk tables do not support partition transforms yet")
+    // identity transforms = hive-layout partition dirs; bucket/temporal
+    // transforms are not supported (yet)
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name() == "identity" && t.references().length == 1,
+        s"gdisk: only identity partition transforms are supported, got $t")
+      val c = t.references().head.fieldNames().mkString(".")
+      val colDef = columns.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        sys.error(s"gdisk: partition column $c is not a table column"))
+      colDef.dataType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.BooleanType |
+             org.apache.spark.sql.types.DateType => ()
+        case other => sys.error(
+          s"gdisk: partition column $c has unsupported type $other " +
+            "(string / integral / boolean / date)")
+      }
+      colDef.name
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = tableDir(ident)
     val log = new DiskCommitLog(dir, hadoopConf())
     val m = DiskManifest(
       version = 0L,
+      partitionCols = if (partCols.isEmpty) None else Some(partCols),
       schemaJson = toStruct(columns).json,
       defaults = columns.iterator.flatMap { c =>
         Option(c.defaultValue()).map { d =>
@@ -365,9 +386,13 @@ case class DiskManifest(
     files: Seq[String],
     added: Seq[String],
     properties: Map[String, String],
-    epochs: Map[String, Long]) {
+    epochs: Map[String, Long],
+    partitionCols: Option[Seq[String]] = None) {
   lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  /** Identity partition columns (hive-layout dirs under data/). */
+  def partCols: Seq[String] = partitionCols.getOrElse(Nil)
 
   def columns: Array[V2Column] = schema.fields.map { f =>
     val default = defaults.get(f.name).map { d =>
@@ -445,6 +470,21 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
       .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
       .toSeq.sorted
 
+  /** All data files on disk, as data-dir-relative paths (recursive —
+    * partitioned tables nest `col=value/` dirs). */
+  def listDataFiles(): Seq[String] = {
+    if (!fs.exists(dataDir)) return Nil
+    val base = dataDir.toUri.getPath.stripSuffix("/")
+    val it = fs.listFiles(dataDir, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet"))
+        out += p.toUri.getPath.stripPrefix(base).stripPrefix("/")
+    }
+    out.result()
+  }
+
   /** Drop manifests below the newest `retain` and delete data files no
     * retained manifest references. */
   def vacuum(retain: Int): Unit = {
@@ -453,10 +493,8 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - retain))
     val referenced = keep.flatMap(v => read(v).files).toSet
     drop.foreach(v => fs.delete(manifestPath(v), false))
-    if (fs.exists(dataDir))
-      fs.listStatus(dataDir).iterator.map(_.getPath)
-        .filterNot(p => referenced.contains(p.getName))
-        .foreach(p => fs.delete(p, false))
+    listDataFiles().filterNot(referenced)
+      .foreach(rel => fs.delete(new HPath(dataDir, rel), false))
   }
 
   def absolute(fileName: String): String =
@@ -483,6 +521,8 @@ class GraftDiskTable(
     loaded.constraints.map(_.toV2).toArray
   override def properties(): util.Map[String, String] =
     loaded.properties.asJava
+  override def partitioning(): Array[Transform] =
+    loaded.partCols.map(c => Expressions.identity(c): Transform).toArray
 
   /** Copy-on-write groups are data FILES: the `_file` metadata column
     * carries each row's file, runtime group filtering narrows the rewrite
@@ -504,10 +544,19 @@ class GraftDiskTable(
     m.files.map(log.absolute)
 
   /** Inner Spark parquet FileTable over an explicit file list — vectorized
-    * scan, native pushdown/pruning. Planned driver-side per query. */
-  private[sources] def innerTable(files: Seq[String]): ParquetTable =
-    ParquetTable(tableName, spark, CaseInsensitiveStringMap.empty(), files,
+    * scan, native pushdown/pruning. For partitioned tables, `basePath`
+    * makes Spark infer the hive-layout partition columns from the file
+    * paths, which turns partition-column predicates into PartitionFilters
+    * (files outside matching dirs are never opened). Planned driver-side
+    * per query. */
+  private[sources] def innerTable(files: Seq[String]): ParquetTable = {
+    val opts =
+      if (loaded.partCols.isEmpty) CaseInsensitiveStringMap.empty()
+      else new CaseInsensitiveStringMap(
+        util.Map.of("basePath", log.dataDir.toString))
+    ParquetTable(tableName, spark, opts, files,
       Some(loaded.schema), classOf[ParquetFileFormat])
+  }
 
   // ---------------------------------------------------------------- read
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -534,16 +583,32 @@ class GraftDiskTable(
     hc.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
   }
 
+  /** Cluster rows by the partition columns on the way in, so each task
+    * writes few partition dirs (the fanout writer stays narrow). */
+  private trait PartitionClustered extends RequiresDistributionAndOrdering {
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      if (loaded.partCols.isEmpty)
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        loaded.partCols.map(c =>
+          Expressions.column(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray)
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array.empty
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
-      override def build(): Write = new Write {
+      override def build(): Write = new Write with PartitionClustered {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(
               pwi: PhysicalWriteInfo): DataWriterFactory =
             new GraftDiskWriterFactory(info.schema(), schema(),
-              log.dataDir.toString, writeConfMap())
+              log.dataDir.toString, writeConfMap(), loaded.partCols)
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             commitFiles(collectFiles(messages), doTruncate)
           override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -557,7 +622,7 @@ class GraftDiskTable(
                 pwi: PhysicalWriteInfo)
                 : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
               new GraftDiskWriterFactory(info.schema(), schema(),
-                log.dataDir.toString, writeConfMap())
+                log.dataDir.toString, writeConfMap(), loaded.partCols)
             override def commit(
                 epochId: Long, messages: Array[WriterCommitMessage]): Unit =
               commitEpochFiles(info.queryId(), epochId, collectFiles(messages))
@@ -638,7 +703,9 @@ class GraftDiskTable(
     def readFiles(fs: Seq[String]) =
       if (fs.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(fs.map(log.absolute): _*)
+      else spark.read.schema(schema)
+        .option("basePath", log.dataDir.toString)
+        .parquet(fs.map(log.absolute): _*)
     val appended = readFiles(newFiles)
     val existing =
       if (existingFiles.isEmpty) None else Some(readFiles(existingFiles))
@@ -693,12 +760,12 @@ class GraftDiskTable(
           Array(Expressions.column(GraftDiskCatalog.FileColumnName))
         override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
           new WriteBuilder {
-            override def build(): Write = new Write {
+            override def build(): Write = new Write with PartitionClustered {
               override def toBatch: BatchWrite = new BatchWrite {
                 override def createBatchWriterFactory(
                     pwi: PhysicalWriteInfo): DataWriterFactory =
                   new GraftDiskWriterFactory(lwi.schema(), schema(),
-                    log.dataDir.toString, writeConfMap())
+                    log.dataDir.toString, writeConfMap(), loaded.partCols)
                 override def commit(messages: Array[WriterCommitMessage]): Unit = {
                   val removed = Option(cowScan).map(_.servedFiles)
                     .getOrElse(loaded.files)
@@ -733,16 +800,33 @@ class GraftDiskTable(
     if (nOut >= base.files.length) return (base.files.length, base.files.length)
     val out = new HPath(log.dataDir,
       s"optimize-${java.util.UUID.randomUUID}").toString
-    spark.read.schema(base.schema)
+    val df = spark.read.schema(base.schema)
+      .option("basePath", log.dataDir.toString)
       .parquet(base.files.map(log.absolute): _*)
-      .repartition(nOut)
-      .write.parquet(out)
-    val moved = fs.listStatus(new HPath(out)).iterator.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-      .map { p =>
-        val dst = s"${p.getParent.getName}-${p.getName}"
-        fs.rename(p, new HPath(log.dataDir, dst)); dst
-      }.toVector
+    // partitioned tables keep their hive layout: repartition by the
+    // partition columns (plus bin index) and write partitionBy
+    val parts = base.partCols
+    if (parts.isEmpty) df.repartition(nOut).write.parquet(out)
+    else df.repartition(nOut, parts.map(col): _*)
+      .write.partitionBy(parts: _*).parquet(out)
+    val outPrefix = new HPath(out).toUri.getPath.stripSuffix("/")
+    val it = fs.listFiles(new HPath(out), true)
+    val movedB = Vector.newBuilder[String]
+    val stamp = s"opt${java.util.UUID.randomUUID.toString.take(8)}"
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) {
+        val rel = p.toUri.getPath.stripPrefix(outPrefix).stripPrefix("/")
+        val dst = // keep `col=value/` dirs, uniquify the leaf name
+          if (rel.contains('/'))
+            s"${rel.reverse.dropWhile(_ != '/').reverse}$stamp-${p.getName}"
+          else s"$stamp-${p.getName}"
+        fs.mkdirs(new HPath(log.dataDir, dst).getParent)
+        fs.rename(p, new HPath(log.dataDir, dst))
+        movedB += dst
+      }
+    }
+    val moved = movedB.result()
     fs.delete(new HPath(out), true)
     val next = base.copy(version = base.version + 1, files = moved, added = Nil)
     log.write(next)
@@ -790,6 +874,8 @@ class GraftDiskTable(
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1, "nested columns not supported")
         val name = del.fieldNames.head
+        require(!base.partCols.exists(_.equalsIgnoreCase(name)),
+          s"gdisk: cannot drop partition column $name")
         val i = schema.fieldIndex(name)
         base.copy(
           schemaJson = StructType(schema.fields.patch(i, Nil, 1)).json,
@@ -799,6 +885,8 @@ class GraftDiskTable(
         // by-name parquet reads would lose the renamed column in old files:
         // rewrite data files DISTRIBUTED (one projection pass, no driver rows)
         val old = rn.fieldNames.head
+        require(!base.partCols.exists(_.equalsIgnoreCase(old)),
+          s"gdisk: cannot rename partition column $old")
         val i = schema.fieldIndex(old)
         val renamed = StructType(schema.fields.updated(i,
           schema.fields(i).copy(name = rn.newName)))
@@ -957,27 +1045,35 @@ class GdiskFileScan(
       val sb = table.innerTable(Seq(table.log.absolute(f)))
         .newScanBuilder(CaseInsensitiveStringMap.empty())
       sb.pruneColumns(pruned)
-      val b = sb.build().toBatch
+      val scan = sb.build()
+      val b = scan.toBatch
       val factory = b.createReaderFactory()
+      // the inner FileScan emits partition columns APPENDED after the data
+      // columns, whatever order we requested — ship its ACTUAL schema so
+      // the row projection binds ordinals against reality
       b.planInputPartitions()
-        .map(p => FileTagPartition(p, factory, f): InputPartition)
+        .map(p => FileTagPartition(p, factory, f, scan.readSchema())
+          : InputPartition)
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FileAppendingReaderFactory(pruned, required)
+    new FileAppendingReaderFactory(required)
 }
 
-/** A per-file inner partition bundled with its reader factory and the
-  * (relative) file name its rows carry in `_file`. */
+/** A per-file inner partition bundled with its reader factory, the
+  * (relative) file name its rows carry in `_file`, and the inner scan's
+  * actual output schema (data columns then partition columns). */
 case class FileTagPartition(
-    inner: InputPartition, factory: PartitionReaderFactory, file: String)
+    inner: InputPartition, factory: PartitionReaderFactory, file: String,
+    innerSchema: StructType)
   extends InputPartition
 
-class FileAppendingReaderFactory(innerSchema: StructType, required: StructType)
+class FileAppendingReaderFactory(required: StructType)
   extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = false
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[FileTagPartition]
+    val innerSchema = fp.innerSchema
     val r = fp.factory.createReader(fp.inner)
     val proj = UnsafeProjection.create(required.fields.map { f =>
       if (f.name == GraftDiskCatalog.FileColumnName)
@@ -1080,12 +1176,17 @@ object DelegatingReaderFactory extends PartitionReaderFactory {
 case class DiskFilesCommit(files: Seq[String]) extends WriterCommitMessage
 
 /** Executor-side parquet writer: every task streams its rows straight into
-  * a parquet file under the table's data dir (by-name normalized into the
-  * table schema layout); the commit message carries only the file name.
-  * Serves both batch and streaming epochs. */
+  * parquet files under the table's data dir (by-name normalized into the
+  * table schema layout); the commit message carries only the file names.
+  * For partitioned tables this is a hive-layout FANOUT writer — rows route
+  * to `col=value/` subdir files by their partition values (the clustered
+  * write distribution keeps the per-task fanout narrow), and partition
+  * columns are encoded in the path, not the file. Serves both batch and
+  * streaming epochs. */
 class GraftDiskWriterFactory(
     writeSchema: StructType, tableSchema: StructType,
-    dataDirUri: String, confMap: Map[String, String])
+    dataDirUri: String, confMap: Map[String, String],
+    partitionCols: Seq[String] = Nil)
   extends DataWriterFactory
   with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
@@ -1100,47 +1201,74 @@ class GraftDiskWriterFactory(
   private def newWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
+      // partition columns live in the dir path; data files hold the rest
+      private val dataSchema = StructType(tableSchema.fields
+        .filterNot(f => partitionCols.exists(_.equalsIgnoreCase(f.name))))
       private val conf = {
         val c = new Configuration(false)
         confMap.foreach { case (k, v) => c.set(k, v) }
-        ParquetWriteSupport.setSchema(tableSchema, c)
+        ParquetWriteSupport.setSchema(dataSchema, c)
         c
       }
-      private val fileName = {
+      private def newFileName = {
         val ep = if (epochId >= 0) s"-e$epochId" else ""
         s"part-$partitionId-$taskId$ep-${java.util.UUID.randomUUID}.parquet"
       }
-      private val path = new HPath(dataDirUri, fileName)
-      private val writer =
-        new GraftParquetWriterBuilder(path)
-          .withConf(conf)
-          .withCompressionCodec(
-            org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
-          .build()
-      private val proj = UnsafeProjection.create(tableSchema.fields.map { f =>
+      private val proj = UnsafeProjection.create(dataSchema.fields.map { f =>
         val i = writeSchema.fieldIndex(f.name)
         BoundReference(i, writeSchema(i).dataType, writeSchema(i).nullable)
       }.toSeq)
-      private var wroteAny = false
+      private val partAccess = partitionCols.map { c =>
+        val i = writeSchema.fieldIndex(
+          writeSchema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(c))
+        (c, i, writeSchema(i).dataType)
+      }
+      // open file per partition dir ("" for unpartitioned tables)
+      private val open = scala.collection.mutable.LinkedHashMap
+        .empty[String, (org.apache.parquet.hadoop.ParquetWriter[InternalRow], String)]
+
+      private def renderPartValue(r: InternalRow, i: Int,
+          dt: org.apache.spark.sql.types.DataType): String = {
+        if (r.isNullAt(i)) return "__HIVE_DEFAULT_PARTITION__"
+        val raw = dt match {
+          case org.apache.spark.sql.types.DateType =>
+            java.time.LocalDate.ofEpochDay(r.getInt(i).toLong).toString
+          case _ => String.valueOf(r.get(i, dt))
+        }
+        // %xx escaping, the scheme Spark's partition parsing unescapes
+        java.net.URLEncoder.encode(raw, "UTF-8").replace("+", "%20")
+      }
+
+      private def writerFor(dir: String)
+          : org.apache.parquet.hadoop.ParquetWriter[InternalRow] =
+        open.getOrElseUpdate(dir, {
+          val rel = if (dir.isEmpty) newFileName else s"$dir/$newFileName"
+          val w = new GraftParquetWriterBuilder(new HPath(dataDirUri, rel))
+            .withConf(conf)
+            .withCompressionCodec(
+              org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+            .build()
+          (w, rel)
+        })._1
 
       override def write(record: InternalRow): Unit = {
-        writer.write(proj(record))
-        wroteAny = true
+        val dir = partAccess.map { case (c, i, dt) =>
+          s"$c=${renderPartValue(record, i, dt)}" }.mkString("/")
+        writerFor(dir).write(proj(record))
       }
       // copy-on-write rewrites hand (metadata, row) pairs
       override def write(metadata: InternalRow, record: InternalRow): Unit =
         write(record)
       override def commit(): WriterCommitMessage = {
-        writer.close()
-        if (wroteAny) DiskFilesCommit(Seq(fileName))
-        else { // empty task: drop the empty file, commit nothing
-          path.getFileSystem(conf).delete(path, false)
-          DiskFilesCommit(Nil)
-        }
+        open.values.foreach(_._1.close())
+        DiskFilesCommit(open.values.map(_._2).toVector)
       }
       override def abort(): Unit = {
-        try writer.close() catch { case _: Throwable => () }
-        path.getFileSystem(conf).delete(path, false)
+        open.values.foreach { case (w, rel) =>
+          try w.close() catch { case _: Throwable => () }
+          new HPath(dataDirUri, rel).getFileSystem(conf)
+            .delete(new HPath(dataDirUri, rel), false)
+        }
       }
       override def close(): Unit = ()
     }

@@ -236,6 +236,49 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(seen.keySet == Set(3L), seen.keySet.toString)
   }
 
+  test("PARTITIONED BY: hive-layout writes, partition-pruned reads, COW + OPTIMIZE keep layout") {
+    spark.sql("CREATE TABLE gdspec.lake.pt (id BIGINT, lang STRING, txt STRING) " +
+      "PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO gdspec.lake.pt SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' ELSE 'fr' END, " +
+      "concat('t', id) FROM range(300)")
+    // hive layout on disk: lang=<v> dirs, partition col NOT in the files
+    val dataDir = new java.io.File(s"$warehouse/lake/pt/data")
+    val dirs = dataDir.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("lang=en", "lang=de", "lang=fr"), dirs.toString)
+    // partition-column predicate becomes a PartitionFilter (pruned scan)
+    val df = spark.sql("SELECT id, txt FROM gdspec.lake.pt WHERE lang = 'de'")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"), plan)
+    assert(df.count() == 100)
+    // only the lang=de files are read
+    assert(df.queryExecution.executedPlan.collectLeaves().toString.contains("lang=de") ||
+      df.inputFiles.forall(_.contains("lang=de")), df.inputFiles.mkString(","))
+    // partition values round-trip exactly
+    assert(spark.sql("SELECT lang, count(*) c FROM gdspec.lake.pt GROUP BY lang ORDER BY lang")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("de", 100L), ("en", 100L), ("fr", 100L)))
+    // copy-on-write UPDATE touches only the matched partition's files
+    val t = graft.sources.GraftDiskCatalog.instance("gdspec").get
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("lake"), "pt")).asInstanceOf[GraftDiskTable]
+    val before = t.log.latest().files.toSet
+    spark.sql("UPDATE gdspec.lake.pt SET txt = upper(txt) WHERE lang = 'de' AND id = 1")
+    val after = t.log.latest().files.toSet
+    assert((before & after).exists(!_.startsWith("lang=de/")),
+      "non-de files must survive a de-partition UPDATE")
+    assert(spark.sql("SELECT txt FROM gdspec.lake.pt WHERE id = 1").head().getString(0) == "T1")
+    assert(spark.table("gdspec.lake.pt").count() == 300)
+    // OPTIMIZE preserves the hive layout
+    val g = new GraftSession(spark)
+    g.sql("OPTIMIZE gdspec.lake.pt")
+    assert(spark.table("gdspec.lake.pt").count() == 300)
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.pt WHERE lang = 'fr'")
+      .head().getLong(0) == 100L)
+    assert(t.log.latest().files.forall(_.matches("lang=(en|de|fr)/.*\\.parquet")),
+      t.log.latest().files.mkString(","))
+  }
+
   test("OPTIMIZE bin-packs small files; data and old versions intact") {
     spark.sql("CREATE TABLE gdspec.lake.opt (id BIGINT)")
     for (i <- 0 until 6)
