@@ -62,11 +62,13 @@ final class GraftSession(
 
   def sql(query: String): DataFrame = withAnsi {
     val raw = query.trim.stripSuffix(";").trim
-    // VACUUM / OPTIMIZE are ours, not Spark SQL — intercept before
-    // catalog passthrough
+    // VACUUM / OPTIMIZE / DESCRIBE HISTORY are ours, not Spark SQL —
+    // intercept before catalog passthrough
     if (raw.toUpperCase(Locale.ROOT).startsWith("VACUUM ")) vacuumTable(raw)
     else if (raw.toUpperCase(Locale.ROOT).startsWith("OPTIMIZE "))
       optimizeTable(raw)
+    else if (raw.toUpperCase(Locale.ROOT).startsWith("DESCRIBE HISTORY "))
+      describeHistory(raw)
     else if (addressesV2Catalog(raw)) spark.sql(raw)
     else sqlFrontDoor(raw)
   }
@@ -981,13 +983,42 @@ final class GraftSession(
     Seq(ddl).toDF("create_statement")
   }
 
-  /** DESCRIBE HISTORY t → the mutable table's (version, operation) log. */
+  /** DESCRIBE HISTORY t → the table's (version, operation) log, across
+    * all three table tiers: front-door view-swap tables (operation names
+    * recorded per mutation), gmem (retained commit snapshots; entries
+    * below the retention horizon are compacted away), and gdisk (manifest
+    * versions with file counts). */
   private def describeHistory(q: String): DataFrame = {
     val name = unquoteIdent(q.trim.split("\\s+").last)
-    val rows = tables.history(name)
     val s = spark
     import s.implicits._
-    rows.toDF("version", "operation")
+    if (name.contains('.')) {
+      val parts = name.split('.')
+      val ident = org.apache.spark.sql.connector.catalog.Identifier
+        .of(parts.tail.init, parts.last)
+      graft.sources.GraftDiskCatalog.instance(parts.head) match {
+        case Some(cat) =>
+          val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftDiskTable]
+          return t.log.versions().map { v =>
+            val m = t.log.read(v)
+            (v.toInt, s"COMMIT(files=${m.files.length}, added=${m.added.length})")
+          }.toDF("version", "operation")
+        case None => graft.sources.GraftMemCatalog.instance(parts.head) match {
+          case Some(cat) =>
+            val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftMemTable]
+            val latest = t.historyLength - 1
+            val oldest = latest - t.retainedHistoryCount + 1
+            return (oldest to latest).map(v =>
+              (v.toInt, if (v == 0) "CREATE" else "COMMIT"))
+              .toDF("version", "operation")
+          case None => () // front-door schema-qualified name: fall through
+        }
+      }
+    }
+    // front-door names may carry a schema qualifier — normalize the same
+    // way the front door does before hitting the manager
+    val local = unquoteIdent(stripQualifiers(q).trim.split("\\s+").last)
+    tables.history(local).toDF("version", "operation")
   }
 
   // ------------------------------------------------------- query rewrite

@@ -372,6 +372,18 @@ class DiskCatalogSpec extends AnyFunSuite {
         id == i.toLong && tx == s"doc_$i" })
   }
 
+  test("DESCRIBE HISTORY lists gdisk manifest versions") {
+    spark.sql("CREATE TABLE gdspec.lake.dh (id BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.dh VALUES (1)")
+    spark.sql("INSERT INTO gdspec.lake.dh VALUES (2)")
+    val g = new GraftSession(spark)
+    val hist = g.sql("DESCRIBE HISTORY gdspec.lake.dh").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(hist.map(_._1) == Seq(0, 1, 2), hist.toString)
+    assert(hist.last._2.contains("files=2") && hist.last._2.contains("added=1"),
+      hist.toString)
+  }
+
   test("DROP TABLE / RENAME TABLE / SHOW TABLES") {
     spark.sql("CREATE TABLE gdspec.lake.sh1 (id BIGINT)")
     spark.sql("INSERT INTO gdspec.lake.sh1 VALUES (1)")

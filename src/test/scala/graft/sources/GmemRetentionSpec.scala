@@ -108,6 +108,17 @@ class GmemRetentionSpec extends AnyFunSuite {
     intercept[Exception](g.sql("VACUUM no_such_cat.ns.t"))
   }
 
+  test("DESCRIBE HISTORY lists only the RETAINED gmem versions") {
+    spark.sql("DROP TABLE IF EXISTS gret.ns.dh")
+    spark.sql("CREATE TABLE gret.ns.dh (id BIGINT)")
+    for (i <- 1 to 6) spark.sql(s"INSERT INTO gret.ns.dh VALUES ($i)")
+    val g = new graft.GraftSession(spark)
+    val hist = g.sql("DESCRIBE HISTORY gret.ns.dh").collect()
+      .map(_.getInt(0)).toSeq
+    // 7 absolute commits, retainVersions=4 → versions 3..6 remain listed
+    assert(hist == Seq(3, 4, 5, 6), hist.toString)
+  }
+
   test("streaming epoch replay is idempotent per query id") {
     spark.sql("DROP TABLE IF EXISTS gret.ns.ep")
     spark.sql("CREATE TABLE gret.ns.ep (id BIGINT, CONSTRAINT pk PRIMARY KEY (id))")
