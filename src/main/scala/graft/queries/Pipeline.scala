@@ -2160,7 +2160,49 @@ object Pipeline extends QueryModule {
           round(max(CASE WHEN rb = 1 THEN score END)
             - max(CASE WHEN rw = 1 THEN score END), 6) AS margin
         FROM ranked WHERE n >= 2 GROUP BY source, lang
-        ORDER BY source, lang"""))
+        ORDER BY source, lang""")),
+
+    // ---- the pipeline → lakehouse handoff under the oracle gate: a
+    // quality-gated corpus lands in a PARTITIONED gdisk table (hive
+    // `lang=` dirs, executor fanout writers) and the readback aggregates
+    // per partition — at 100 TB this is exactly how a training corpus is
+    // laid down (partitioned by the mixing key, so downstream per-lang
+    // sampling reads only its dirs). The hash proves the clean gate, the
+    // fanout routing, and the partition round-trip all at once. ----
+    QueryDef(
+      "pl_corpus_to_lake",
+      (s, dir) => {
+        import s.implicits._
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("documents"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.lake_docs")
+        s.sql("""CREATE TABLE gdisk.verify.lake_docs (
+          doc_id BIGINT, lang STRING, nchars BIGINT)
+          PARTITIONED BY (lang)""")
+        s.sql("""INSERT INTO gdisk.verify.lake_docs
+          SELECT doc_id, lang, length(text) AS nchars FROM documents
+          WHERE length(text) >= 100
+            AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS DOUBLE)
+                / length(text) >= 0.5""")
+        s.sql("""SELECT lang, count(*) AS n_docs,
+            sum(nchars) AS total_chars, min(doc_id) AS first_doc
+          FROM gdisk.verify.lake_docs GROUP BY lang ORDER BY lang""")
+      },
+      Some("""WITH kept AS (
+          SELECT doc_id, lang, length(text) AS nchars FROM documents
+          WHERE length(text) >= 100
+            AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                / length(text) >= 0.5)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nchars) AS BIGINT) AS total_chars,
+               CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM kept GROUP BY lang ORDER BY lang"""))
   )
 
   /** DuckDB-side Morton interleave: same shift/and/add expansion as
