@@ -660,6 +660,9 @@ class GraftDiskTable(
       val base = log.latest()
       enforceKeysDistributed(base, newFiles,
         existingFiles = if (truncate) Nil else base.files)
+      enforceFkChildDistributed(base, newFiles,
+        existingFiles = if (truncate) Nil else base.files)
+      if (truncate) enforceFkRestrictDistributed(newFiles)
       val next = base.copy(
         version = base.version + 1,
         files = (if (truncate) Nil else base.files) ++ newFiles,
@@ -727,6 +730,112 @@ class GraftDiskTable(
         s"gdisk: ${if (k.kind == "primaryKey") "PRIMARY KEY" else "UNIQUE"} " +
           s"constraint ${k.name} violated on $tableName: duplicate key " +
           s"(${k.columns.mkString(", ")})")
+    }
+  }
+
+  // ------------------------------------------------------- foreign keys
+  private def emptyDf(schema: StructType) = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def readTable(
+      l: DiskCommitLog, schema: StructType, files: Seq[String]) =
+    if (files.isEmpty) emptyDf(schema)
+    else spark.read.schema(schema)
+      .option("basePath", l.dataDir.toString)
+      .parquet(files.map(l.absolute): _*)
+
+  /** Resolve an FK's parent table within the same warehouse (`REFERENCES`
+    * identifiers may carry the catalog name as their first segment). */
+  private def fkParentLog(fk: DiskConstraint)
+      : Option[(DiskCommitLog, DiskManifest)] = {
+    val hc = spark.sessionState.newHadoopConf()
+    val root = log.tableDir.getParent.getParent
+    val cands = (Seq(fk.refTable) ++
+      (if (fk.refTable.length > 2) Seq(fk.refTable.tail) else Nil)).distinct
+    cands.iterator.flatMap { rt =>
+      if (rt.length < 2) None
+      else {
+        val dir = new HPath(new HPath(root, rt.init.mkString(".")), rt.last)
+        if (dir.getFileSystem(hc).exists(
+            new HPath(dir, GraftDiskCatalog.LogDirName))) {
+          val l = new DiskCommitLog(dir, hc)
+          Some((l, l.latest()))
+        } else None
+      }
+    }.nextOption()
+  }
+
+  private def sameTable(l: DiskCommitLog): Boolean =
+    l.tableDir.toUri.getPath == log.tableDir.toUri.getPath
+
+  /** Child-side FOREIGN KEY on ingest: one distributed LEFT ANTI probe of
+    * the appended files' non-null FK tuples against the parent table's
+    * files per declared FK (the referential-ingest price every enforcing
+    * engine pays); self-references resolve against the candidate
+    * post-commit state. NULL FK values pass (MATCH SIMPLE). */
+  private def enforceFkChildDistributed(
+      base: DiskManifest, newFiles: Seq[String],
+      existingFiles: Seq[String]): Unit = {
+    val fks = base.constraints.filter(_.kind == "foreignKey")
+    if (fks.isEmpty || newFiles.isEmpty) return
+    val appended = readTable(log, base.schema, newFiles)
+    for (fk <- fks) {
+      val (pl, pm) = fkParentLog(fk).getOrElse(throw new IllegalStateException(
+        s"gdisk: FOREIGN KEY ${fk.name} on $tableName references missing " +
+          s"table ${fk.refTable.mkString(".")}"))
+      val parentKeys =
+        (if (sameTable(pl))
+          readTable(log, base.schema, existingFiles ++ newFiles)
+        else readTable(pl, pm.schema, pm.files))
+          .select(fk.refColumns.map(col).toIndexedSeq: _*)
+          .toDF(fk.columns: _*)
+      val orphans = appended
+        .filter(fk.columns.map(col(_).isNotNull).reduce(_ && _))
+        .select(fk.columns.map(col).toIndexedSeq: _*).alias("__c")
+        .join(parentKeys.alias("__p"),
+          fk.columns.map(c => col(s"__c.$c") === col(s"__p.$c")).reduce(_ && _),
+          "left_anti")
+        .limit(1).count()
+      if (orphans > 0) throw new IllegalStateException(
+        s"gdisk: FOREIGN KEY ${fk.name} violated on $tableName: " +
+          s"(${fk.columns.mkString(", ")}) value not present in " +
+          s"${fk.refTable.mkString(".")}(${fk.refColumns.mkString(", ")})")
+    }
+  }
+
+  /** Parent-side RESTRICT: with this table's rows about to become the
+    * content of `newStateFiles`, every other warehouse table's FK rows
+    * pointing here must still resolve (one manifest read per table, one
+    * anti-join per referencing FK — only on truncating commits). */
+  private def enforceFkRestrictDistributed(newStateFiles: Seq[String]): Unit = {
+    val hc = spark.sessionState.newHadoopConf()
+    val root = log.tableDir.getParent.getParent
+    val fs = root.getFileSystem(hc)
+    if (!fs.exists(root)) return
+    for {
+      nsDir <- fs.listStatus(root).toSeq if nsDir.isDirectory
+      tDir <- fs.listStatus(nsDir.getPath).toSeq if tDir.isDirectory
+      if fs.exists(new HPath(tDir.getPath, GraftDiskCatalog.LogDirName))
+      childLog = new DiskCommitLog(tDir.getPath, hc)
+      if !sameTable(childLog)
+      childM = childLog.latest()
+      fk <- childM.constraints if fk.kind == "foreignKey"
+      if fkParentLog(fk).exists { case (pl, _) => sameTable(pl) }
+    } {
+      val parentKeys = readTable(log, log.latest().schema, newStateFiles)
+        .select(fk.refColumns.map(col).toIndexedSeq: _*)
+        .toDF(fk.columns: _*)
+      val orphans = readTable(childLog, childM.schema, childM.files)
+        .filter(fk.columns.map(col(_).isNotNull).reduce(_ && _))
+        .select(fk.columns.map(col).toIndexedSeq: _*).alias("__c")
+        .join(parentKeys.alias("__p"),
+          fk.columns.map(c => col(s"__c.$c") === col(s"__p.$c")).reduce(_ && _),
+          "left_anti")
+        .limit(1).count()
+      if (orphans > 0) throw new IllegalStateException(
+        s"gdisk: FOREIGN KEY ${fk.name} on ${tDir.getPath.getName} RESTRICTs " +
+          s"this write to $tableName: child rows still reference removed keys " +
+          s"(${fk.refColumns.mkString(", ")})")
     }
   }
 
@@ -842,6 +951,8 @@ class GraftDiskTable(
       val base = log.latest()
       val kept = base.files.filterNot(removed.toSet)
       enforceKeysDistributed(base, added, existingFiles = kept)
+      enforceFkChildDistributed(base, added, existingFiles = kept)
+      enforceFkRestrictDistributed(kept ++ added)
       val next = base.copy(
         version = base.version + 1,
         files = kept ++ added,

@@ -372,6 +372,30 @@ class DiskCatalogSpec extends AnyFunSuite {
         id == i.toLong && tx == s"doc_$i" })
   }
 
+  test("FOREIGN KEY: distributed ingest probes + parent-side RESTRICT") {
+    spark.sql("CREATE TABLE gdspec.lake.fkp (id BIGINT, " +
+      "CONSTRAINT pk PRIMARY KEY (id))")
+    spark.sql("INSERT INTO gdspec.lake.fkp VALUES (1), (2)")
+    spark.sql("CREATE TABLE gdspec.lake.fkc (cid BIGINT, pid BIGINT, " +
+      "CONSTRAINT fkc FOREIGN KEY (pid) REFERENCES gdspec.lake.fkp (id))")
+    spark.sql("INSERT INTO gdspec.lake.fkc VALUES (10, 1), (11, NULL)")
+    // orphan insert rejected by the distributed anti-probe
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO gdspec.lake.fkc VALUES (12, 99)"))
+    assert(e.getMessage.contains("FOREIGN KEY"), e.getMessage)
+    assert(spark.table("gdspec.lake.fkc").count() == 2)
+    // deleting a still-referenced parent key RESTRICTs...
+    val e2 = intercept[Exception](
+      spark.sql("DELETE FROM gdspec.lake.fkp WHERE id = 1"))
+    assert(e2.getMessage.contains("RESTRICT"), e2.getMessage)
+    // ...an unreferenced one deletes fine
+    spark.sql("DELETE FROM gdspec.lake.fkp WHERE id = 2")
+    assert(spark.table("gdspec.lake.fkp").count() == 1)
+    assert(spark.sql("SELECT cid, pid FROM gdspec.lake.fkc ORDER BY cid")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq == Seq((10L, 1L), (11L, -1L)))
+  }
+
   test("DESCRIBE HISTORY lists gdisk manifest versions") {
     spark.sql("CREATE TABLE gdspec.lake.dh (id BIGINT)")
     spark.sql("INSERT INTO gdspec.lake.dh VALUES (1)")
