@@ -409,8 +409,13 @@ case class DiskManifest(
   }
 }
 
-/** The `_graft_log/` directory: `v<N>.json` manifests, claimed with
-  * create-if-absent for optimistic concurrency. */
+/** The `_graft_log/` directory: `v<N>.json` manifests, claimed atomically
+  * for optimistic concurrency. A claim writes the FULL content to a temp
+  * file first and renames it into place under a JVM-wide per-table lock,
+  * so in-process racers serialize on the claim (lost races surface as
+  * clean conflicts, never lost updates) and readers never observe a
+  * half-written manifest; cross-process readers additionally tolerate a
+  * mid-rename window by falling back to the newest PARSEABLE version. */
 class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
   import org.json4s._
   import org.json4s.jackson.Serialization
@@ -427,10 +432,24 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
       .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
       .foldLeft(-1L)(math.max)
 
+  private def tryRead(v: Long): Option[DiskManifest] =
+    try {
+      val in = fs.open(manifestPath(v))
+      try Some(Serialization.read[DiskManifest](new java.io.InputStreamReader(
+        in, java.nio.charset.StandardCharsets.UTF_8)))
+      finally in.close()
+    } catch { case _: Exception => None }
+
   def latest(): DiskManifest = {
-    val v = latestVersion()
-    require(v >= 0, s"gdisk: no commits under $logDir")
-    read(v)
+    // newest version that PARSES: a concurrent committer's claim may be
+    // mid-rename for an instant — its predecessor is the consistent view
+    val vs = versions().reverse
+    require(vs.nonEmpty, s"gdisk: no commits under $logDir")
+    vs.iterator.flatMap(v => tryRead(v)).nextOption().getOrElse {
+      Thread.sleep(100) // every retained manifest mid-write: settle once
+      versions().reverse.iterator.flatMap(v => tryRead(v)).nextOption()
+        .getOrElse(sys.error(s"gdisk: no readable manifest under $logDir"))
+    }
   }
 
   def read(v: Long): DiskManifest = {
@@ -442,10 +461,12 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
           s"gdisk: version $v of $tableDir was removed by VACUUM"
         else s"gdisk: no version $v of $tableDir (latest: $latest)")
     }
-    val in = fs.open(p)
-    try Serialization.read[DiskManifest](
-      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
-    finally in.close()
+    var attempts = 0
+    var out: Option[DiskManifest] = tryRead(v)
+    while (out.isEmpty && attempts < 20) { // mid-rename window
+      Thread.sleep(50); attempts += 1; out = tryRead(v)
+    }
+    out.getOrElse(sys.error(s"gdisk: manifest v$v of $tableDir unreadable"))
   }
 
   def commitInitial(m: DiskManifest): Unit = {
@@ -454,13 +475,28 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
     write(m)
   }
 
-  /** Claim version `m.version`; throws FileAlreadyExistsException-style
-    * errors on a lost race (caller may re-read and retry). */
+  /** Claim version `m.version`; throws an IOException on a lost race
+    * (caller may re-read and retry). Content lands complete-then-visible:
+    * full temp write, then rename under the JVM claim lock. */
   def write(m: DiskManifest): Unit = {
-    val out = fs.create(manifestPath(m.version), false)
-    try out.write(Serialization.write(m)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val lock = DiskCommitLog.claimLock(tableDir.toUri.getPath)
+    lock.synchronized {
+      val target = manifestPath(m.version)
+      if (fs.exists(target))
+        throw new java.io.IOException(
+          s"gdisk: version ${m.version} already claimed under $logDir")
+      val tmp = new HPath(logDir,
+        s".v${m.version}.tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, false)
+      try out.write(Serialization.write(m)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"gdisk: lost the claim race for version ${m.version} under $logDir")
+      }
+    }
   }
 
   /** Manifests retained on disk, ascending. */
@@ -499,6 +535,15 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
 
   def absolute(fileName: String): String =
     new HPath(dataDir, fileName).toString
+}
+
+object DiskCommitLog {
+  /** JVM-wide per-table claim monitors: in-process committers serialize
+    * on the manifest claim, making the optimistic protocol lossless for
+    * the single-driver case (cross-process stays best-effort-documented). */
+  private val locks = TrieMap.empty[String, Object]
+  private[sources] def claimLock(tablePath: String): Object =
+    locks.getOrElseUpdate(tablePath, new Object)
 }
 
 /** One parquet-backed table (possibly pinned to a `VERSION AS OF`
@@ -1006,18 +1051,35 @@ class GraftDiskTable(
           else {
             val out = new HPath(log.dataDir,
               s"rename-${java.util.UUID.randomUUID}").toString
-            spark.read.schema(schema).parquet(base.files.map(log.absolute): _*)
+            val df = spark.read.schema(schema)
+              .option("basePath", log.dataDir.toString)
+              .parquet(base.files.map(log.absolute): _*)
               .withColumnRenamed(old, rn.newName)
-              .write.parquet(out)
+            // partitioned tables must keep their hive layout through the
+            // rewrite (a flat write would break basePath partition
+            // inference on every subsequent read)
+            if (base.partCols.isEmpty) df.write.parquet(out)
+            else df.write.partitionBy(base.partCols: _*).parquet(out)
             val fs = log.dataDir.getFileSystem(spark.sessionState.newHadoopConf())
-            val moved = fs.listStatus(new HPath(out)).iterator.map(_.getPath)
-              .filter(_.getName.endsWith(".parquet"))
-              .map { p =>
-                val dst = s"${p.getParent.getName}-${p.getName}"
-                fs.rename(p, new HPath(log.dataDir, dst)); dst
-              }.toVector
+            val outPrefix = new HPath(out).toUri.getPath.stripSuffix("/")
+            val stamp = s"rn${java.util.UUID.randomUUID.toString.take(8)}"
+            val it = fs.listFiles(new HPath(out), true)
+            val movedB = Vector.newBuilder[String]
+            while (it.hasNext) {
+              val p = it.next().getPath
+              if (p.getName.endsWith(".parquet")) {
+                val rel = p.toUri.getPath.stripPrefix(outPrefix).stripPrefix("/")
+                val dst =
+                  if (rel.contains('/'))
+                    s"${rel.reverse.dropWhile(_ != '/').reverse}$stamp-${p.getName}"
+                  else s"$stamp-${p.getName}"
+                fs.mkdirs(new HPath(log.dataDir, dst).getParent)
+                fs.rename(p, new HPath(log.dataDir, dst))
+                movedB += dst
+              }
+            }
             fs.delete(new HPath(out), true)
-            moved
+            movedB.result()
           }
         base.copy(schemaJson = renamed.json,
           files = rewritten, added = Nil,

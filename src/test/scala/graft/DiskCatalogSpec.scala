@@ -277,6 +277,14 @@ class DiskCatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 100L)
     assert(t.log.latest().files.forall(_.matches("lang=(en|de|fr)/.*\\.parquet")),
       t.log.latest().files.mkString(","))
+    // RENAME COLUMN rewrites the files but keeps the hive layout too
+    spark.sql("ALTER TABLE gdspec.lake.pt RENAME COLUMN txt TO body")
+    assert(t.log.latest().files.forall(_.matches("lang=(en|de|fr)/.*\\.parquet")),
+      t.log.latest().files.mkString(","))
+    assert(spark.sql("SELECT body FROM gdspec.lake.pt WHERE id = 1")
+      .head().getString(0) == "T1")
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.pt WHERE lang = 'de'")
+      .head().getLong(0) == 100L)
   }
 
   test("OPTIMIZE bin-packs small files; data and old versions intact") {
@@ -394,6 +402,27 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT cid, pid FROM gdspec.lake.fkc ORDER BY cid")
       .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
       .toSeq == Seq((10L, 1L), (11L, -1L)))
+  }
+
+  test("concurrent appends all land through optimistic commit retries") {
+    spark.sql("CREATE TABLE gdspec.lake.cc (id BIGINT)")
+    // four INSERTs race from separate threads: each loads its OWN table
+    // instance, so the only coordination is the create-if-absent manifest
+    // claim — losers must re-read the new base and retry, never drop rows
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4))
+    val futures = (1 to 4).map { i =>
+      Future(spark.sql(s"INSERT INTO gdspec.lake.cc VALUES ($i)"))(pool)
+    }
+    futures.foreach(f => Await.result(f, Duration("180s")))
+    assert(spark.sql("SELECT id FROM gdspec.lake.cc ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val t = graft.sources.GraftDiskCatalog.instance("gdspec").get
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("lake"), "cc")).asInstanceOf[GraftDiskTable]
+    assert(t.log.latestVersion() == 4L) // one commit per insert, no gaps
   }
 
   test("DESCRIBE HISTORY lists gdisk manifest versions") {
