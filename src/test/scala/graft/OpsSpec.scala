@@ -478,6 +478,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("png decode matches ImageIO across 40 random images (seeded sweep)") {
+    // randomized cross-check against the JDK's independent encoder:
+    // dimensions 1..40 exercise single-pixel rows/columns and whatever
+    // filter choices ImageIO makes per image; fixed seed keeps it
+    // deterministic for CI
+    val rnd = new scala.util.Random(20260814L)
+    for (n <- 0 until 40) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var first = (0, 0, 0)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = rnd.nextInt(256); val g = rnd.nextInt(256); val b = rnd.nextInt(256)
+        if (x == 0 && y == 0) first = (r, g, b)
+        sr += r; sg += g; sb += b
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      val p = MultimodalOps.pngPixels(bos.toByteArray)
+        .getOrElse(fail(s"image $n (${w}x$h) not decoded"))
+      assert(p.width == w && p.height == h, s"image $n")
+      assert((p.sum_r, p.sum_g, p.sum_b) == ((sr, sg, sb)), s"image $n sums")
+      assert((p.first_r, p.first_g, p.first_b) == first, s"image $n first px")
+    }
+  }
+
   test("image container headers parse real dimensions (no codec needed)") {
     def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
     // PNG: signature + IHDR chunk (len, "IHDR", width=640, height=480)
