@@ -1129,6 +1129,7 @@ class GraftDiskTable(
 class GraftDiskScanBuilder(
     table: GraftDiskTable, files: Seq[String], options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
   import GraftDiskCatalog.FileColumnName
@@ -1156,6 +1157,23 @@ class GraftDiskScanBuilder(
   override def pushedFilters
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     inner.pushedFilters
+
+  // COUNT/MIN/MAX over plain scans answer from parquet FOOTER statistics —
+  // forward the aggregation into Spark's own parquet builder (never for
+  // the _file-tagged COW path, whose readers must see rows)
+  private var aggPushed = false
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (wantsFile) false
+    else {
+      aggPushed = inner.pushAggregation(agg)
+      aggPushed
+    }
+  }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = !wantsFile && inner.supportCompletePushDown(agg)
 
   override def build(): Scan = {
     if (wantsFile)

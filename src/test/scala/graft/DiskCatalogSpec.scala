@@ -160,6 +160,25 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(df.head().getString(0) == "a7")
   }
 
+  test("COUNT(*) answers from parquet footer statistics (aggregate pushdown)") {
+    // gated behind Spark's own conf (float-NaN footer caveats keep it off
+    // by default); the gdisk builder forwards when the user opts in
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      spark.sql("CREATE TABLE gdspec.lake.agg (id BIGINT, v STRING)")
+      spark.sql("INSERT INTO gdspec.lake.agg SELECT id, concat('v', id) FROM range(5000)")
+      val df = spark.sql("SELECT count(*) FROM gdspec.lake.agg")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)]"), plan)
+      assert(df.head().getLong(0) == 5000L)
+      // MIN/MAX ride the footers too
+      val mm = spark.sql("SELECT min(id), max(id) FROM gdspec.lake.agg")
+      assert(mm.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+        mm.queryExecution.executedPlan.toString)
+      assert(mm.head().getLong(0) == 0L && mm.head().getLong(1) == 4999L)
+    } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+  }
+
   test("scan parallelism: a multi-file table reads as multiple partitions") {
     spark.sql("CREATE TABLE gdspec.lake.par (id BIGINT)")
     // several INSERTs from a parallelized source → several parquet files
@@ -213,6 +232,29 @@ class DiskCatalogSpec extends AnyFunSuite {
     val got = spark.table("gdspec.lake.ssink").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 20L), (2L, 40L), (3L, 60L)))
+  }
+
+  test("streaming sink fans out into a PARTITIONED table's hive layout") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("gdisk_psrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gdisk_pckpt").toString
+    spark.sql("CREATE TABLE gdspec.lake.psink (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    (0 until 90).map(i => (i.toLong, Seq("en", "de", "fr")(i % 3)))
+      .toDF("id", "lang").repartition(3).write.mode("append").parquet(srcDir)
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("gdspec.lake.psink")
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("gdspec.lake.psink").count() == 90)
+    val t = graft.sources.GraftDiskCatalog.instance("gdspec").get
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("lake"), "psink")).asInstanceOf[GraftDiskTable]
+    assert(t.log.latest().files.forall(_.matches("lang=(en|de|fr)/.*\\.parquet")),
+      t.log.latest().files.mkString(","))
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.psink WHERE lang = 'de'")
+      .head().getLong(0) == 30L)
   }
 
   test("streaming source resumes from its checkpoint across restarts") {
