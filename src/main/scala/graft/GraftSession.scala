@@ -867,20 +867,27 @@ final class GraftSession(
             s"(${fk.parentCols.mkString(", ")})")
       }
     }
+    def v2Rows(cn: String, ns: String, name: String,
+        cons: Seq[org.apache.spark.sql.connector.catalog.constraints.Constraint]) =
+      cons.map { con =>
+        val (tpe, defn) = con match {
+          case ck: V2Check => ("CHECK", s"(${ck.predicateSql()})")
+          case pk: V2Pk => ("PRIMARY KEY",
+            pk.columns().map(_.fieldNames().mkString(".")).mkString("(", ", ", ")"))
+          case uq: V2Uq => ("UNIQUE",
+            uq.columns().map(_.fieldNames().mkString(".")).mkString("(", ", ", ")"))
+          case _: V2Fk => ("FOREIGN KEY", con.toDDL)
+          case other => ("CONSTRAINT", other.toDDL)
+        }
+        Row(cn, ns, name, con.name(), tpe, defn)
+      }
     val v2 = gmemCatalogs().toSeq.flatMap { case (cn, c) =>
       c.listAll().flatMap { case (ns, name, t) =>
-        t.constraints().toSeq.map { con =>
-          val (tpe, defn) = con match {
-            case ck: V2Check => ("CHECK", s"(${ck.predicateSql()})")
-            case pk: V2Pk => ("PRIMARY KEY",
-              pk.columns().map(_.fieldNames().mkString(".")).mkString("(", ", ", ")"))
-            case uq: V2Uq => ("UNIQUE",
-              uq.columns().map(_.fieldNames().mkString(".")).mkString("(", ", ", ")"))
-            case _: V2Fk => ("FOREIGN KEY", con.toDDL)
-            case other => ("CONSTRAINT", other.toDDL)
-          }
-          Row(cn, ns.mkString("."), name, con.name(), tpe, defn)
-        }
+        v2Rows(cn, ns.mkString("."), name, t.constraints().toSeq)
+      }
+    } ++ gdiskCatalogs().toSeq.flatMap { case (cn, c) =>
+      c.listAllTables().flatMap { case (ns, name, t) =>
+        v2Rows(cn, ns, name, t.constraints().toSeq)
       }
     }
     val schema = StructType(Seq(
@@ -1266,6 +1273,17 @@ final class GraftSession(
       val n = k.stripPrefix("spark.sql.catalog.")
       if (k.startsWith("spark.sql.catalog.") && !n.contains('.') && v == cls)
         graft.sources.GraftMemCatalog.instance(n).map(n -> _)
+      else None
+    }.toMap
+  }
+
+  /** Registered [[graft.sources.GraftDiskCatalog]] instances, by name. */
+  private def gdiskCatalogs(): Map[String, graft.sources.GraftDiskCatalog] = {
+    val cls = classOf[graft.sources.GraftDiskCatalog].getName
+    spark.conf.getAll.iterator.flatMap { case (k, v) =>
+      val n = k.stripPrefix("spark.sql.catalog.")
+      if (k.startsWith("spark.sql.catalog.") && !n.contains('.') && v == cls)
+        graft.sources.GraftDiskCatalog.instance(n).map(n -> _)
       else None
     }.toMap
   }

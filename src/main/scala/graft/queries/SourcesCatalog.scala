@@ -257,15 +257,27 @@ object SourcesCatalog extends QueryModule {
           CONSTRAINT pk2 PRIMARY KEY (id), CONSTRAINT pos2 CHECK (id >= 0))""")
         g.sql("""CREATE TABLE gmem.consprobe.t3 (cid BIGINT, pid BIGINT,
           CONSTRAINT fk3 FOREIGN KEY (pid) REFERENCES gmem.consprobe.t2 (id))""")
+        // the parquet tier's declared constraints surface in the same view
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.consprobe")
+        s.sql("DROP TABLE IF EXISTS gdisk.consprobe.t4")
+        s.sql("""CREATE TABLE gdisk.consprobe.t4 (id BIGINT, bal BIGINT,
+          CONSTRAINT pk4 PRIMARY KEY (id), CONSTRAINT pos4 CHECK (bal >= 0))""")
         val out = g.sql("""SELECT constraint_catalog, table_schema, table_name,
             constraint_name, constraint_type, definition
           FROM information_schema.table_constraints
-          WHERE table_name IN ('cons_probe', 'cons_child', 't2', 't3')
+          WHERE table_name IN ('cons_probe', 'cons_child', 't2', 't3', 't4')
           ORDER BY constraint_catalog, constraint_name""")
         g.sql("DROP TABLE cons_child")
         g.sql("DROP TABLE cons_probe")
         g.sql("DROP TABLE gmem.consprobe.t3")
         g.sql("DROP TABLE gmem.consprobe.t2")
+        g.sql("DROP TABLE gdisk.consprobe.t4")
         out
       },
       Some(CatConstraintsOracle)),
@@ -317,6 +329,8 @@ object SourcesCatalog extends QueryModule {
   /** Literal expected rows of `cat_information_schema_constraints` — the
     * probe tables are fixed, so the inventory is a constant. */
   private val CatConstraintsOracle = """SELECT * FROM (VALUES
+      ('gdisk', 'consprobe', 't4', 'pk4', 'PRIMARY KEY', '(id)'),
+      ('gdisk', 'consprobe', 't4', 'pos4', 'CHECK', '(bal >= 0)'),
       ('gmem', 'consprobe', 't3', 'fk3', 'FOREIGN KEY',
        'CONSTRAINT fk3 FOREIGN KEY (pid) REFERENCES gmem.consprobe.t2 (id) NOT ENFORCED NORELY'),
       ('gmem', 'consprobe', 't2', 'pk2', 'PRIMARY KEY', '(id)'),

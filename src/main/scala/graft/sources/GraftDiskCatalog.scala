@@ -154,6 +154,24 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces {
   private def fullName(ident: Identifier): String =
     (ident.namespace :+ ident.name).mkString(".")
 
+  /** All live tables (namespace-dotted, name, table) — the front door's
+    * information_schema inventory walks these. */
+  private[graft] def listAllTables(): Seq[(String, String, GraftDiskTable)] = {
+    val fs = fileSystem(warehouse)
+    val root = new HPath(warehouse)
+    if (!fs.exists(root)) return Nil
+    (for {
+      nsDir <- fs.listStatus(root).toSeq if nsDir.isDirectory
+      tDir <- fs.listStatus(nsDir.getPath).toSeq if tDir.isDirectory
+      if fs.exists(new HPath(tDir.getPath, LogDirName))
+    } yield {
+      val ident = Identifier.of(
+        nsDir.getPath.getName.split('.'), tDir.getPath.getName)
+      (nsDir.getPath.getName, tDir.getPath.getName,
+        loadTable(ident).asInstanceOf[GraftDiskTable])
+    }).sortBy { case (ns, n, _) => (ns, n) }
+  }
+
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table =
