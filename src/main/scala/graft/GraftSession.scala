@@ -767,6 +767,12 @@ final class GraftSession(
       val tpe = if (tables.exists(t.name)) "BASE TABLE" else "VIEW"
       val (sch, tbl) = schemaOf(t.name)
       Row("qurious", sch, tbl, tpe)
+    } ++ gmemCatalogs().toSeq.flatMap { case (cn, c) =>
+      c.listAll().map { case (ns, name, _) =>
+        Row(cn, ns.mkString("."), name, "BASE TABLE") }
+    } ++ gdiskCatalogs().toSeq.flatMap { case (cn, c) =>
+      c.listAllTables().map { case (ns, name, _) =>
+        Row(cn, ns, name, "BASE TABLE") }
     }
     val schema = StructType(Seq(
       StructField("catalog_name", StringType),
@@ -784,6 +790,11 @@ final class GraftSession(
     * DESCRIBE-shaped query asks for, so we complete it. Type names render
     * in SQL-standard (DuckDB-compatible) spelling. */
   private def informationSchemaColumns(): DataFrame = {
+    def fieldRows(cn: String, sch: String, tbl: String, st: StructType) =
+      st.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        Row(cn, sch, tbl, f.name, (i + 1).toLong,
+          sqlTypeName(f.dataType.catalogString), if (f.nullable) "YES" else "NO")
+      }
     val rows = spark.catalog.listTables().collect().toSeq.flatMap { t =>
       val (sch, tbl) = schemaOf(t.name)
       // a view whose plan no longer resolves simply has no column rows
@@ -793,6 +804,12 @@ final class GraftSession(
             Row("qurious", sch, tbl, c.name, (i + 1).toLong,
               sqlTypeName(c.dataType), if (c.nullable) "YES" else "NO")
         }
+    } ++ gmemCatalogs().toSeq.flatMap { case (cn, c) =>
+      c.listAll().flatMap { case (ns, name, t) =>
+        fieldRows(cn, ns.mkString("."), name, t.schema()) }
+    } ++ gdiskCatalogs().toSeq.flatMap { case (cn, c) =>
+      c.listAllTables().flatMap { case (ns, name, t) =>
+        fieldRows(cn, ns, name, t.schema()) }
     }
     val schema = StructType(Seq(
       StructField("table_catalog", StringType),
