@@ -945,7 +945,10 @@ final class GraftSession(
     }
   }
 
-  private def showTables(): DataFrame = informationSchemaTables()
+  // SHOW TABLES stays session-scoped (catalog-qualified listings go
+  // through Spark's own SHOW TABLES IN <catalog>.<ns>)
+  private def showTables(): DataFrame =
+    informationSchemaTables().where("catalog_name = 'qurious'")
 
   /** `SHOW SCHEMAS` / `SHOW DATABASES` — the registered namespaces
     * (always includes `public`), one VARCHAR column like DuckDB/Postgres. */
