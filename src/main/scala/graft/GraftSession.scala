@@ -73,15 +73,23 @@ final class GraftSession(
     else sqlFrontDoor(raw)
   }
 
-  /** `OPTIMIZE <catalog>.<ns>.<table> [TARGET n BYTES]` — bin-pack a gdisk
-    * table's data files (the maintenance companion of its streaming sink,
-    * which lands one small file per epoch per partition). One distributed
-    * rewrite pass; returns (table, files_before, files_after). */
+  /** `OPTIMIZE <catalog>.<ns>.<table> [ZORDER BY (c1, c2, ...)]
+    * [TARGET n BYTES]` — bin-pack a gdisk table's data files (the
+    * maintenance companion of its streaming sink, which lands one small
+    * file per epoch per partition); with ZORDER BY, cluster the rewrite
+    * on the Morton interleave of the named columns so per-file manifest
+    * stats get tight on all of them (Delta's `OPTIMIZE ... ZORDER BY`
+    * surface). One distributed rewrite pass; returns
+    * (table, files_before, files_after). */
   private def optimizeTable(q: String): DataFrame = {
-    val m = """(?is)OPTIMIZE\s+([A-Za-z_][\w.]*)(?:\s+TARGET\s+(\d+)\s+BYTES)?\s*""".r
+    val m = ("""(?is)OPTIMIZE\s+([A-Za-z_][\w.]*)""" +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?""" +
+      """(?:\s+TARGET\s+(\d+)\s+BYTES)?\s*""").r
       .findFirstMatchIn(q).getOrElse(sys.error(s"cannot parse OPTIMIZE: $q"))
     val parts = m.group(1).split('.')
-    val target = Option(m.group(2)).map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val zorder = Option(m.group(2)).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val target = Option(m.group(3)).map(_.toLong).getOrElse(128L * 1024 * 1024)
     require(parts.length >= 3,
       "OPTIMIZE targets a catalog table: OPTIMIZE <catalog>.<namespace>.<table>")
     val cat = graft.sources.GraftDiskCatalog.instance(parts.head).getOrElse(
@@ -90,7 +98,7 @@ final class GraftSession(
     val ident = org.apache.spark.sql.connector.catalog.Identifier
       .of(parts.tail.init, parts.last)
     val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftDiskTable]
-    val (before, after) = t.optimize(target)
+    val (before, after) = t.optimize(target, zorder)
     import spark.implicits._
     Seq((m.group(1), before.toLong, after.toLong))
       .toDF("table_name", "files_before", "files_after")
@@ -1066,6 +1074,16 @@ final class GraftSession(
       out = out.substring(0, mm.start) + view + out.substring(argsEnd)
       m = TvfStart.findFirstMatchIn(out)
     }
+    val CdcStart = """(?i)table_changes\s*\(""".r
+    var c = CdcStart.findFirstMatchIn(out)
+    while (c.isDefined) {
+      val mm = c.get
+      val (inner, _) = matchParen(out.substring(mm.end - 1))
+      val argsEnd = mm.end - 1 + inner.length + 2
+      val view = registerTableChanges(inner)
+      out = out.substring(0, mm.start) + view + out.substring(argsEnd)
+      c = CdcStart.findFirstMatchIn(out)
+    }
     if (out.toLowerCase(Locale.ROOT).contains("information_schema.tables")) {
       informationSchemaTables().createOrReplaceTempView("information_schema_tables")
       out = mapUnquoted(out)(
@@ -1496,6 +1514,31 @@ final class GraftSession(
     }
     tvfCounter += 1
     val view = s"tvf_${kind}_${Integer.toHexString((path + opts).hashCode).replace('-', 'n')}_$tvfCounter"
+    df.createOrReplaceTempView(view)
+    view
+  }
+
+  /** `table_changes('<catalog>.<ns>.<table>', from_version, to_version)`
+    * — Delta's CDC TVF surface over the gdisk commit log (file-granular
+    * insert/delete feed; see [[graft.sources.GraftDiskTable.changes]]).
+    * Registered as a temp view keyed like the `read_*` TVFs. */
+  private def registerTableChanges(argStr: String): String = {
+    val args = splitTopLevel(argStr, ',').map(_.trim)
+    require(args.length == 3,
+      "table_changes('<catalog>.<ns>.<table>', from_version, to_version)")
+    val name = unquote(args.head)
+    val parts = name.split('.')
+    require(parts.length >= 3,
+      "table_changes targets a catalog table: '<catalog>.<namespace>.<table>'")
+    val cat = graft.sources.GraftDiskCatalog.instance(parts.head).getOrElse(
+      sys.error(s"table_changes: '${parts.head}' is not a registered gdisk " +
+        "catalog (gmem tables keep their history driver-side — use VERSION AS OF)"))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(parts.tail.init, parts.last)
+    val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftDiskTable]
+    val df = t.changes(args(1).toLong, args(2).toLong)
+    tvfCounter += 1
+    val view = s"tvf_cdc_${Integer.toHexString(name.hashCode).replace('-', 'n')}_$tvfCounter"
     df.createOrReplaceTempView(view)
     view
   }

@@ -377,6 +377,142 @@ object DdlDml extends QueryModule {
       Some("""SELECT n_nationkey,
           CASE WHEN n_regionkey = 2 THEN n_name || '_X' ELSE n_name END AS n_name,
           n_regionkey
-        FROM nation WHERE n_regionkey IN (1, 2) ORDER BY n_nationkey"""))
+        FROM nation WHERE n_regionkey IN (1, 2) ORDER BY n_nationkey""")),
+
+    // ---- MANIFEST-LEVEL DATA SKIPPING under the oracle gate: every gdisk
+    // commit records per-file min/max/nullCount (harvested executor-side
+    // from the parquet footers the writer just closed), and scans prune
+    // files against those bounds BEFORE planning — the Delta/Iceberg move
+    // that keeps a 100 TB point query from listing 100 TB of files. Three
+    // ingests land priority-disjoint files; the filtered readback must
+    // both hash-match DuckDB AND prove in-plan that it skipped files. ----
+    QueryDef(
+      "ddl_v2_disk_skipping",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.ord_skip")
+        s.sql("""CREATE TABLE gdisk.verify.ord_skip (
+          o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)""")
+        // three commits with disjoint STRING ranges (priority domain is
+        // fixed '1-URGENT'..'5-LOW' at every SF) → disjoint file stats
+        for ((lo, hi) <- Seq(("1", "3"), ("3", "4"), ("4", "9")))
+          s.sql("INSERT INTO gdisk.verify.ord_skip " +
+            "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders " +
+            s"WHERE o_orderpriority >= '$lo' AND o_orderpriority < '$hi'")
+        val df = s.sql("""SELECT o_orderkey, o_orderpriority, o_totalprice
+          FROM gdisk.verify.ord_skip WHERE o_orderpriority = '1-URGENT'
+          ORDER BY o_orderkey""")
+        // the correctness row carries the PLAN proof too: files from the
+        // other two ingests must be pruned by manifest stats, not read
+        val m = """statsFiles=(\d+)/(\d+)""".r
+          .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        require(m.exists(g => g.group(1).toLong < g.group(2).toLong),
+          s"no manifest-stats skipping in plan: ${m.map(_.matched)}")
+        df
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey""")),
+
+    // ---- OPTIMIZE ZORDER BY under the oracle gate: cluster the rewrite
+    // on the Morton interleave of two fixed-domain columns (equi-depth
+    // percentile ranks → range partition → sort), so per-file stats get
+    // tight on BOTH and a two-sided box predicate prunes files. The data
+    // must stay byte-identical through the clustering rewrite. ----
+    QueryDef(
+      "ddl_v2_disk_zorder",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("lineitem"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.li_z")
+        s.sql("""CREATE TABLE gdisk.verify.li_z (
+          l_orderkey BIGINT, l_linenumber INT,
+          l_quantity DOUBLE, l_discount DOUBLE)""")
+        s.sql("""INSERT INTO gdisk.verify.li_z
+          SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+          FROM lineitem""")
+        val opt = new GraftSession(s).sql(
+          "OPTIMIZE gdisk.verify.li_z ZORDER BY (l_quantity, l_discount) " +
+            "TARGET 65536 BYTES").head()
+        val df = s.sql("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+          FROM gdisk.verify.li_z
+          WHERE l_quantity <= 12 AND l_discount <= 0.02
+          ORDER BY l_orderkey, l_linenumber""")
+        // plan proof scales with file count (tiny SFs may pack to 1 file)
+        val m = """statsFiles=(\d+)/(\d+)""".r
+          .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        require(m.nonEmpty, "no statsFiles marker in gdisk plan")
+        if (opt.getLong(2) >= 4)
+          require(m.exists(g => g.group(1).toLong < g.group(2).toLong),
+            s"z-ordered box predicate skipped nothing: ${m.map(_.matched)}")
+        df
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        FROM lineitem WHERE l_quantity <= 12 AND l_discount <= 0.02
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- CDC `table_changes` TVF under the oracle gate: a file-granular
+    // change feed read straight off the manifest log — three appends
+    // surface as versioned inserts, OPTIMIZE is silent (pure
+    // reorganization, added=[]), and a copy-on-write UPDATE surfaces as
+    // the touched groups' full pre-image deletes + post-image inserts.
+    // The oracle reconstructs the entire feed from the base table. ----
+    QueryDef(
+      "ddl_v2_disk_changes",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.ord_cdc")
+        s.sql("""CREATE TABLE gdisk.verify.ord_cdc (
+          o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)""")
+        for ((lo, hi) <- Seq(("1", "3"), ("3", "4"), ("4", "9"))) // v1..v3
+          s.sql("INSERT INTO gdisk.verify.ord_cdc " +
+            "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders " +
+            s"WHERE o_orderpriority >= '$lo' AND o_orderpriority < '$hi'")
+        val g = new GraftSession(s)
+        g.sql("OPTIMIZE gdisk.verify.ord_cdc") // v4: CDC-silent
+        s.sql("""UPDATE gdisk.verify.ord_cdc
+          SET o_totalprice = o_totalprice * 2
+          WHERE o_orderpriority LIKE '3%'""") // v5: COW delete+insert
+        g.sql("""SELECT _commit_version, _change_type,
+            o_orderkey, o_orderpriority, o_totalprice
+          FROM table_changes('gdisk.verify.ord_cdc', 0, 5)
+          ORDER BY _commit_version, _change_type, o_orderkey""")
+      },
+      Some("""WITH s AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+        feed AS (
+          SELECT 1 AS _commit_version, 'insert' AS _change_type, *
+          FROM s WHERE o_orderpriority >= '1' AND o_orderpriority < '3'
+          UNION ALL SELECT 2, 'insert', *
+          FROM s WHERE o_orderpriority >= '3' AND o_orderpriority < '4'
+          UNION ALL SELECT 3, 'insert', *
+          FROM s WHERE o_orderpriority >= '4'
+          UNION ALL SELECT 5, 'delete', * FROM s
+          UNION ALL SELECT 5, 'insert', o_orderkey, o_orderpriority,
+            CASE WHEN o_orderpriority LIKE '3%'
+                 THEN o_totalprice * 2 ELSE o_totalprice END
+          FROM s)
+        SELECT _commit_version, _change_type,
+          o_orderkey, o_orderpriority, o_totalprice
+        FROM feed ORDER BY _commit_version, _change_type, o_orderkey"""))
   )
 }

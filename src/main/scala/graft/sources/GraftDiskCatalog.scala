@@ -405,12 +405,17 @@ case class DiskManifest(
     added: Seq[String],
     properties: Map[String, String],
     epochs: Map[String, Long],
-    partitionCols: Option[Seq[String]] = None) {
+    partitionCols: Option[Seq[String]] = None,
+    fileStats: Option[Map[String, Map[String, ColStats]]] = None) {
   lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
   /** Identity partition columns (hive-layout dirs under data/). */
   def partCols: Seq[String] = partitionCols.getOrElse(Nil)
+
+  /** Per-file column stats for manifest-level skipping (absent for files
+    * written before stats existed — those are simply never skipped). */
+  def stats: Map[String, Map[String, ColStats]] = fileStats.getOrElse(Map.empty)
 
   def columns: Array[V2Column] = schema.fields.map { f =>
     val default = defaults.get(f.name).map { d =>
@@ -625,6 +630,11 @@ class GraftDiskTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftDiskScanBuilder(this, loaded.files, options)
 
+  /** This table version's per-file skipping stats (time travel reads the
+    * pinned manifest's, so skipping is version-consistent). */
+  private[sources] def manifestStats: Map[String, Map[String, ColStats]] =
+    loaded.stats
+
   override def toString: String = s"GraftDiskTable($tableName)"
 
   // --------------------------------------------------------------- write
@@ -673,7 +683,8 @@ class GraftDiskTable(
             new GraftDiskWriterFactory(info.schema(), schema(),
               log.dataDir.toString, writeConfMap(), loaded.partCols)
           override def commit(messages: Array[WriterCommitMessage]): Unit =
-            commitFiles(collectFiles(messages), doTruncate)
+            commitFiles(collectFiles(messages), doTruncate,
+              newStats = collectStats(messages))
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             deleteFiles(collectFiles(messages))
         }
@@ -688,7 +699,8 @@ class GraftDiskTable(
                 log.dataDir.toString, writeConfMap(), loaded.partCols)
             override def commit(
                 epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-              commitEpochFiles(info.queryId(), epochId, collectFiles(messages))
+              commitEpochFiles(info.queryId(), epochId, collectFiles(messages),
+                collectStats(messages))
             override def abort(
                 epochId: Long, messages: Array[WriterCommitMessage]): Unit =
               deleteFiles(collectFiles(messages))
@@ -698,9 +710,33 @@ class GraftDiskTable(
 
   private def collectFiles(messages: Array[WriterCommitMessage]): Seq[String] =
     messages.iterator.flatMap {
-      case DiskFilesCommit(fs) => fs
+      case DiskFilesCommit(fs, _) => fs
       case _ => Iterator.empty
     }.toVector
+
+  private def collectStats(messages: Array[WriterCommitMessage])
+      : Map[String, Map[String, ColStats]] =
+    messages.iterator.flatMap {
+      case DiskFilesCommit(_, st) => st
+      case _ => Iterator.empty
+    }.toMap
+
+  /** Driver-side stats harvest for maintenance rewrites (OPTIMIZE /
+    * RENAME COLUMN move a bounded, bin-packed file set). */
+  private def statsFor(
+      files: Seq[String], fileSchema: StructType)
+      : Map[String, Map[String, ColStats]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.iterator.map { rel =>
+      rel -> DiskStats.footerStats(
+        new HPath(log.dataDir, rel), conf, fileSchema)
+    }.toMap
+  }
+
+  /** File schema = table schema minus hive-encoded partition columns. */
+  private def dataFileSchema(m: DiskManifest): StructType =
+    StructType(m.schema.fields
+      .filterNot(f => m.partCols.exists(_.equalsIgnoreCase(f.name))))
 
   private def deleteFiles(files: Seq[String]): Unit = {
     val fs = log.dataDir.getFileSystem(
@@ -714,7 +750,8 @@ class GraftDiskTable(
     * re-validated against it). */
   private def commitFiles(
       newFiles: Seq[String], truncate: Boolean,
-      epochUpdate: Option[(String, Long)] = None): Unit = synchronized {
+      epochUpdate: Option[(String, Long)] = None,
+      newStats: Map[String, Map[String, ColStats]] = Map.empty): Unit = synchronized {
     require(pinned.isEmpty,
       s"gdisk: $tableName is a VERSION AS OF snapshot — snapshots are read-only")
     var attempts = 0
@@ -731,7 +768,10 @@ class GraftDiskTable(
         files = (if (truncate) Nil else base.files) ++ newFiles,
         added = newFiles,
         epochs = epochUpdate.fold(base.epochs) { case (q, e) =>
-          base.epochs + (q -> e) })
+          base.epochs + (q -> e) },
+        fileStats = Some(
+          (if (truncate) Map.empty[String, Map[String, ColStats]]
+           else base.stats) ++ newStats))
       try {
         log.write(next)
         committed = true
@@ -745,14 +785,15 @@ class GraftDiskTable(
   }
 
   private def commitEpochFiles(
-      queryId: String, epochId: Long, newFiles: Seq[String]): Unit =
+      queryId: String, epochId: Long, newFiles: Seq[String],
+      newStats: Map[String, Map[String, ColStats]] = Map.empty): Unit =
     synchronized {
       // idempotent by (query id, epoch): a post-restart replay re-delivers
       // the same epoch — drop its files instead of double-appending
       if (log.latest().epochs.get(queryId).exists(_ >= epochId))
         deleteFiles(newFiles)
       else commitFiles(newFiles, truncate = false,
-        epochUpdate = Some(queryId -> epochId))
+        epochUpdate = Some(queryId -> epochId), newStats = newStats)
     }
 
   /** PRIMARY KEY / UNIQUE on ingest, the 100 TB shape: one Spark job per
@@ -941,7 +982,8 @@ class GraftDiskTable(
                 override def commit(messages: Array[WriterCommitMessage]): Unit = {
                   val removed = Option(cowScan).map(_.servedFiles)
                     .getOrElse(loaded.files)
-                  commitReplace(removed, collectFiles(messages))
+                  commitReplace(removed, collectFiles(messages),
+                    collectStats(messages))
                 }
                 override def abort(messages: Array[WriterCommitMessage]): Unit =
                   deleteFiles(collectFiles(messages))
@@ -957,19 +999,39 @@ class GraftDiskTable(
     * rewrite is one distributed pass (read all files, repartition to the
     * packed count, write); the driver moves file NAMES only. Returns
     * (filesBefore, filesAfter). Old versions still time-travel until
-    * VACUUM drops them. */
+    * VACUUM drops them.
+    *
+    * With `zorderBy`, the rewrite CLUSTERS instead of round-robins: each
+    * z column is bucketed into equi-depth ranks (approximate percentile
+    * boundaries — skew-proof where min/max normalization is not), the
+    * ranks Morton-interleave into one z-value, and rows range-partition +
+    * sort on it. Every output file (and every row group inside it) then
+    * covers a tight box in z-space, so the manifest min/max stats this
+    * commit records are narrow on ALL z columns at once — the layout that
+    * makes manifest-level skipping bite on multi-column predicates. */
   private[graft] def optimize(
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = synchronized {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderByArg: Seq[String] = Nil): (Int, Int) = synchronized {
     require(pinned.isEmpty,
       s"gdisk: $tableName is a VERSION AS OF snapshot — snapshots are read-only")
     val base = log.latest()
-    if (base.files.length <= 1) return (base.files.length, base.files.length)
+    // no explicit ZORDER BY → fall back to the table's declared clustering
+    // (TBLPROPERTIES ('zorder'='c1,c2')), so the standing maintenance job
+    // is just `OPTIMIZE t` and keeps the layout the table asked for
+    val zorderBy =
+      if (zorderByArg.nonEmpty) zorderByArg
+      else base.properties.get("zorder").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    if (base.files.isEmpty) return (0, 0)
+    if (zorderBy.isEmpty && base.files.length <= 1)
+      return (base.files.length, base.files.length)
     val fs = log.dataDir.getFileSystem(spark.sessionState.newHadoopConf())
     val totalBytes = base.files.iterator
       .map(f => fs.getFileStatus(new HPath(log.dataDir, f)).getLen).sum
     val nOut = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    if (nOut >= base.files.length) return (base.files.length, base.files.length)
+    if (zorderBy.isEmpty && nOut >= base.files.length)
+      return (base.files.length, base.files.length)
     val out = new HPath(log.dataDir,
       s"optimize-${java.util.UUID.randomUUID}").toString
     val df = spark.read.schema(base.schema)
@@ -978,7 +1040,12 @@ class GraftDiskTable(
     // partitioned tables keep their hive layout: repartition by the
     // partition columns (plus bin index) and write partitionBy
     val parts = base.partCols
-    if (parts.isEmpty) df.repartition(nOut).write.parquet(out)
+    if (zorderBy.nonEmpty) {
+      val zdf = zorderedFrame(df, base, zorderBy, nOut)
+      if (parts.isEmpty) zdf.drop("__z").write.parquet(out)
+      else zdf.drop("__z").write.partitionBy(parts: _*).parquet(out)
+    }
+    else if (parts.isEmpty) df.repartition(nOut).write.parquet(out)
     else df.repartition(nOut, parts.map(col): _*)
       .write.partitionBy(parts: _*).parquet(out)
     val outPrefix = new HPath(out).toUri.getPath.stripSuffix("/")
@@ -1000,14 +1067,122 @@ class GraftDiskTable(
     }
     val moved = movedB.result()
     fs.delete(new HPath(out), true)
-    val next = base.copy(version = base.version + 1, files = moved, added = Nil)
+    val next = base.copy(version = base.version + 1, files = moved, added = Nil,
+      fileStats = Some(statsFor(moved, dataFileSchema(base))))
     log.write(next)
     (base.files.length, moved.length)
   }
 
+  /** File-granular change feed over the commit log — the `table_changes`
+    * TVF. For every version in [from, to] that ADDED files, emits the
+    * added files' rows as `_change_type='insert'` and the files the same
+    * commit removed (INSERT OVERWRITE's old snapshot, a copy-on-write
+    * rewrite's served groups) as `'delete'` — so a COW UPDATE surfaces as
+    * the touched groups' full pre-image deletes + post-image inserts,
+    * exactly what the manifest diff proves. Pure-reorganization versions
+    * (OPTIMIZE/rename rewrites, `added=[]`) and metadata versions are
+    * silent, matching the streaming source's compaction semantics. Each
+    * version's rows are read distributed with THAT version's schema;
+    * vacuumed versions error cleanly. */
+  private[graft] def changes(from: Long, to: Long): org.apache.spark.sql.DataFrame = {
+    // named import: functions._ would shadow this table's `log` member
+    import org.apache.spark.sql.functions.lit
+    val log = this.log
+    require(from >= 0 && to >= from,
+      s"gdisk: table_changes range must satisfy 0 <= from <= to, got [$from, $to]")
+    val latest = log.latestVersion()
+    require(to <= latest,
+      s"gdisk: table_changes upper bound $to exceeds latest version $latest")
+    def readFiles(m: DiskManifest, files: Seq[String]) =
+      spark.read.schema(m.schema)
+        .option("basePath", log.dataDir.toString)
+        .parquet(files.map(log.absolute): _*)
+    val perVersion = log.versions()
+      .filter(v => v >= math.max(from, 1) && v <= to)
+      .flatMap { v =>
+        val m = log.read(v)
+        if (m.added.isEmpty) Nil
+        else {
+          val prev = log.read(v - 1)
+          val removed = prev.files.filterNot(m.files.toSet)
+          val ins = readFiles(m, m.added)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v))
+          if (removed.isEmpty) Seq(ins)
+          else Seq(ins, readFiles(prev, removed)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v)))
+        }
+      }
+    if (perVersion.isEmpty) {
+      val schema = loaded.schema
+        .add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", org.apache.spark.sql.types.LongType)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else perVersion.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Range-partition + sort `df` on the Morton interleave of the z
+    * columns' equi-depth bucket ranks. Boundaries come from ONE
+    * percentile aggregate over the table; each row's rank is the count
+    * of boundaries below its value (monotone → order-preserving). NULLs
+    * rank below everything (bucket -1 via coalesce), clustering together.
+    * Supported: numeric, date, timestamp — the skipping-indexed types
+    * minus strings (no percentile surrogate preserves their order). */
+  private def zorderedFrame(
+      df: org.apache.spark.sql.DataFrame, base: DiskManifest,
+      zorderBy: Seq[String], nOut: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = base.schema
+    zorderBy.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"gdisk: ZORDER BY column $c not in ${schema.fieldNames.mkString(", ")}")
+      require(!base.partCols.exists(_.equalsIgnoreCase(c)),
+        s"gdisk: $c is a partition column — already clustered by layout")
+    }
+    // numeric surrogate preserving order (percentile_approx needs numeric)
+    def surrogate(c: String): org.apache.spark.sql.Column = schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col(c).cast("double")
+      case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("double")
+      case org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast("timestamp")).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"gdisk: ZORDER BY $c: $other is not orderable-numeric " +
+          "(numeric, date, timestamp supported)")
+    }
+    val bits = math.min(8, 63 / math.max(2, zorderBy.length))
+    val buckets = 1 << bits
+    val probs = array(
+      (1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    val boundRow = df.select(zorderBy.map(c =>
+      percentile_approx(surrogate(c), probs, lit(10000)).as(c)): _*).head()
+    val rankCols = zorderBy.zipWithIndex.map { case (c, j) =>
+      val bs = if (boundRow.isNullAt(j)) Seq.empty[Double]
+        else boundRow.getSeq[Double](j)
+      // strictly-below count = equi-depth rank in [0, buckets)
+      if (bs.isEmpty) lit(0L)
+      else coalesce(
+        size(filter(
+          array(bs.map(lit): _*), b => b < surrogate(c))).cast("long"),
+        lit(0L))
+    }
+    val zcol =
+      if (zorderBy.length == 1) rankCols.head
+      else graft.ops.LayoutOps.zValueN(rankCols, bits)
+    df.withColumn("__z", zcol)
+      .repartitionByRange(nOut,
+        (base.partCols.map(col) :+ col("__z")): _*)
+      .sortWithinPartitions(
+        (base.partCols.map(col) :+ col("__z")): _*)
+  }
+
   /** Swap `removed` (the rewrite's served groups) for `added` as the next
     * version; key constraints re-check distributed over (kept ∪ added). */
-  private def commitReplace(removed: Seq[String], added: Seq[String]): Unit =
+  private def commitReplace(
+      removed: Seq[String], added: Seq[String],
+      addedStats: Map[String, Map[String, ColStats]] = Map.empty): Unit =
     synchronized {
       require(pinned.isEmpty,
         s"gdisk: $tableName is a VERSION AS OF snapshot — snapshots are read-only")
@@ -1019,7 +1194,8 @@ class GraftDiskTable(
       val next = base.copy(
         version = base.version + 1,
         files = kept ++ added,
-        added = added)
+        added = added,
+        fileStats = Some((base.stats -- removed) ++ addedStats))
       try log.write(next)
       catch {
         case e: java.io.IOException => throw new IllegalStateException(
@@ -1053,7 +1229,11 @@ class GraftDiskTable(
         val i = schema.fieldIndex(name)
         base.copy(
           schemaJson = StructType(schema.fields.patch(i, Nil, 1)).json,
-          defaults = base.defaults - name, comments = base.comments - name)
+          defaults = base.defaults - name, comments = base.comments - name,
+          // strip the column's stats: a later ADD COLUMN reusing the name
+          // reads NULL from old files, which stale bounds would contradict
+          fileStats = base.fileStats.map(_.map {
+            case (f, st) => f -> (st - name) }))
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames.length == 1, "nested columns not supported")
         // by-name parquet reads would lose the renamed column in old files:
@@ -1104,7 +1284,10 @@ class GraftDiskTable(
           defaults = (base.defaults - old) ++
             base.defaults.get(old).map(rn.newName -> _),
           comments = (base.comments - old) ++
-            base.comments.get(old).map(rn.newName -> _))
+            base.comments.get(old).map(rn.newName -> _),
+          fileStats = Some(statsFor(rewritten,
+            StructType(renamed.fields.filterNot(f =>
+              base.partCols.exists(_.equalsIgnoreCase(f.name)))))))
       case ac: TableChange.AddConstraint =>
         val c = DiskConstraint.from(ac.constraint())
         require(!base.constraints.exists(_.name == c.name),
@@ -1152,16 +1335,22 @@ class GraftDiskScanBuilder(
 
   import GraftDiskCatalog.FileColumnName
 
-  private val inner =
-    table.innerTable(files.map(table.log.absolute)).newScanBuilder(options)
+  private var currentFiles: Seq[String] = files
+  private def mkInner() =
+    table.innerTable(currentFiles.map(table.log.absolute)).newScanBuilder(options)
+  private var inner = mkInner()
   private var required: StructType = table.schema()
+  private var prunedForInner: Option[StructType] = None
   private var wantsFile = false
+  private var statsSkipped = 0
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     wantsFile = requiredSchema.fieldNames.contains(FileColumnName)
     required = requiredSchema
-    inner.pruneColumns(StructType(requiredSchema.fields
-      .filterNot(_.name == FileColumnName)))
+    val forInner = StructType(requiredSchema.fields
+      .filterNot(_.name == FileColumnName))
+    prunedForInner = Some(forInner)
+    inner.pruneColumns(forInner)
   }
 
   override def pushFilters(
@@ -1169,6 +1358,25 @@ class GraftDiskScanBuilder(
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     val (fileFilters, dataFilters) = filters.partition(
       _.references.exists(_.name == FileColumnName))
+    // manifest-level data skipping: drop files whose recorded min/max/
+    // nullCount prove no row can satisfy the conjunction, BEFORE the
+    // inner parquet scan lists/plans them. Files without stats always
+    // survive; any filter shape the evaluator doesn't know survives.
+    val stats = table.manifestStats
+    if (dataFilters.nonEmpty && stats.nonEmpty) {
+      val dtOf = (n: String) =>
+        table.schema().fields.find(_.name == n).map(_.dataType)
+      val kept = currentFiles.filter { f =>
+        stats.get(f).forall(fileSt =>
+          dataFilters.forall(e => DiskStats.mayMatch(fileSt, dtOf, e)))
+      }
+      if (kept.length < currentFiles.length) {
+        statsSkipped += currentFiles.length - kept.length
+        currentFiles = kept
+        inner = mkInner()
+        prunedForInner.foreach(inner.pruneColumns)
+      }
+    }
     fileFilters ++ inner.pushFilters(dataFilters)
   }
 
@@ -1195,11 +1403,12 @@ class GraftDiskScanBuilder(
 
   override def build(): Scan = {
     if (wantsFile)
-      new GdiskFileScan(table, files,
+      new GdiskFileScan(table, currentFiles,
         StructType(required.fields.filterNot(_.name == FileColumnName)),
         required)
     else new GraftDiskScan(table, inner.build(),
-      StructType(required.fields.filterNot(_.name == FileColumnName)))
+      StructType(required.fields.filterNot(_.name == FileColumnName)),
+      currentFiles.length, files.length)
   }
 }
 
@@ -1308,15 +1517,22 @@ class FileAppendingReaderFactory(required: StructType)
   * manifest version, each micro-batch reads exactly the files ADDED by
   * the versions in (start, end], planned as fresh per-batch inner file
   * scans so executors read parquet vectorized there too. */
-class GraftDiskScan(table: GraftDiskTable, inner: Scan, pruned: StructType)
+class GraftDiskScan(
+    table: GraftDiskTable, inner: Scan, pruned: StructType,
+    keptFiles: Int = -1, totalFiles: Int = -1)
   extends Scan with SupportsReportStatistics {
   import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => SOffset}
 
   override def readSchema(): StructType = inner.readSchema()
   // surface the inner scan's description — it carries the PushedFilters /
-  // ReadSchema evidence plan audits (and humans) look for
-  override def description(): String =
-    s"GraftDiskScan(${table.name()}) ${inner.description()}"
+  // ReadSchema evidence plan audits (and humans) look for — plus the
+  // manifest-stats skipping evidence (files planned / files in manifest)
+  override def description(): String = {
+    val skip =
+      if (keptFiles >= 0 && totalFiles >= 0)
+        s" statsFiles=$keptFiles/$totalFiles" else ""
+    s"GraftDiskScan(${table.name()})$skip ${inner.description()}"
+  }
   override def toBatch: Batch = inner.toBatch
   override def estimateStatistics(): Statistics = inner match {
     case s: SupportsReportStatistics => s.estimateStatistics()
@@ -1382,7 +1598,10 @@ object DelegatingReaderFactory extends PartitionReaderFactory {
   }
 }
 
-case class DiskFilesCommit(files: Seq[String]) extends WriterCommitMessage
+case class DiskFilesCommit(
+    files: Seq[String],
+    stats: Map[String, Map[String, ColStats]] = Map.empty)
+  extends WriterCommitMessage
 
 /** Executor-side parquet writer: every task streams its rows straight into
   * parquet files under the table's data dir (by-name normalized into the
@@ -1470,7 +1689,15 @@ class GraftDiskWriterFactory(
         write(record)
       override def commit(): WriterCommitMessage = {
         open.values.foreach(_._1.close())
-        DiskFilesCommit(open.values.map(_._2).toVector)
+        val rels = open.values.map(_._2).toVector
+        // harvest data-skipping stats from the just-written footers HERE,
+        // in the executor task that owns the files — the driver's commit
+        // merges ready-made manifest entries and never opens storage
+        val stats = rels.iterator.map { rel =>
+          rel -> DiskStats.footerStats(
+            new HPath(dataDirUri, rel), conf, dataSchema)
+        }.toMap
+        DiskFilesCommit(rels, stats)
       }
       override def abort(): Unit = {
         open.values.foreach { case (w, rel) =>

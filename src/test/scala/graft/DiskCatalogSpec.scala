@@ -514,4 +514,159 @@ class DiskCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gdspec.lake.sh2")
     intercept[Exception](spark.table("gdspec.lake.sh2").count())
   }
+
+  test("table_changes: versioned insert/delete feed off the manifest log") {
+    spark.sql("CREATE TABLE gdspec.lake.cdc (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdspec.lake.cdc SELECT id, 'a' FROM range(0, 50, 1, 1)")
+    spark.sql("INSERT INTO gdspec.lake.cdc SELECT id, 'b' FROM range(50, 100, 1, 1)")
+    val g = new GraftSession(spark)
+    g.sql("OPTIMIZE gdspec.lake.cdc") // v3: pure reorganization, CDC-silent
+    spark.sql("UPDATE gdspec.lake.cdc SET v = 'B' WHERE id >= 50") // v4: COW
+    spark.sql("INSERT OVERWRITE gdspec.lake.cdc VALUES (999, 'z')") // v5
+    val feed = g.sql("""SELECT _commit_version, _change_type, count(*) AS n
+        FROM table_changes('gdspec.lake.cdc', 0, 5)
+        GROUP BY _commit_version, _change_type
+        ORDER BY _commit_version, _change_type""").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(feed == Seq(
+      (1L, "insert", 50L), (2L, "insert", 50L),
+      (4L, "delete", 100L), (4L, "insert", 100L),
+      (5L, "delete", 100L), (5L, "insert", 1L)), feed.toString)
+    // post-image values ride the feed: the COW insert carries the update
+    val v4 = g.sql("""SELECT count(*) FROM
+        table_changes('gdspec.lake.cdc', 4, 4)
+        WHERE _change_type = 'insert' AND v = 'B'""").head().getLong(0)
+    assert(v4 == 50L)
+    // a metadata/reorganization-only span is empty, with the CDC schema
+    val silent = g.sql("SELECT * FROM table_changes('gdspec.lake.cdc', 3, 3)")
+    assert(silent.count() == 0)
+    assert(silent.columns.contains("_change_type") &&
+      silent.columns.contains("_commit_version"))
+    // bounds and target validation
+    intercept[Exception](
+      g.sql("SELECT * FROM table_changes('gdspec.lake.cdc', 3, 99)"))
+    intercept[Exception](
+      g.sql("SELECT * FROM table_changes('nope.ns.t', 0, 1)"))
+  }
+
+  test("manifest stats skipping: files whose min/max exclude the filter are never planned") {
+    spark.sql("CREATE TABLE gdspec.lake.sk (id BIGINT, name STRING)")
+    for (i <- 0 until 4)
+      spark.sql("INSERT INTO gdspec.lake.sk SELECT id, concat('n', id) " +
+        s"FROM range(${i * 100}, ${i * 100 + 100}, 1, 1)")
+    def planOf(sql: String) = {
+      val df = spark.sql(sql)
+      (df, df.queryExecution.executedPlan.toString)
+    }
+    // point lookup: the manifest's per-file min/max narrow the plan to
+    // the ONE file that can hold the row — the others are never listed
+    val (df1, p1) = planOf("SELECT name FROM gdspec.lake.sk WHERE id = 250")
+    assert(p1.contains("statsFiles=1/4"), p1)
+    assert(df1.head().getString(0) == "n250")
+    // provably-empty predicate: zero files planned, no storage touched
+    val (df0, p0) = planOf("SELECT * FROM gdspec.lake.sk WHERE id > 5000")
+    assert(p0.contains("statsFiles=0/4"), p0)
+    assert(df0.count() == 0)
+    // range straddling two files
+    val (df2, p2) = planOf(
+      "SELECT count(*) FROM gdspec.lake.sk WHERE id BETWEEN 150 AND 250")
+    assert(p2.contains("statsFiles=2/4"), p2)
+    assert(df2.head().getLong(0) == 101L)
+    // string bounds participate (UTF8 byte order, same as Spark's)
+    val (dfs, ps) = planOf("SELECT * FROM gdspec.lake.sk WHERE name = 'zzz'")
+    assert(ps.contains("statsFiles=0/4"), ps)
+    assert(dfs.count() == 0)
+    // null-count stats: a column with zero recorded nulls skips IS NULL
+    val (dfn, pn) = planOf("SELECT * FROM gdspec.lake.sk WHERE name IS NULL")
+    assert(pn.contains("statsFiles=0/4"), pn)
+    assert(dfn.count() == 0)
+    // IN lists skip by membership against the range
+    val (dfi, pi) = planOf(
+      "SELECT count(*) FROM gdspec.lake.sk WHERE id IN (10, 20)")
+    assert(pi.contains("statsFiles=1/4"), pi)
+    assert(dfi.head().getLong(0) == 2L)
+    // LIKE 'prefix%' compiles to StartsWith and skips by prefix range
+    val (dfl, pl) = planOf(
+      "SELECT count(*) FROM gdspec.lake.sk WHERE name LIKE 'zz%'")
+    assert(pl.contains("statsFiles=0/4"), pl)
+    assert(dfl.head().getLong(0) == 0L)
+    // stats live in the manifest: a FRESH table load still skips
+    spark.catalog.clearCache()
+    val (_, pf) = planOf("SELECT name FROM gdspec.lake.sk WHERE id = 50")
+    assert(pf.contains("statsFiles=1/4"), pf)
+  }
+
+  test("stats skipping is version-consistent under time travel and COW") {
+    spark.sql("CREATE TABLE gdspec.lake.skv (id BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO gdspec.lake.skv SELECT id, 'a' FROM range(0, 100, 1, 1)")
+    spark.sql(
+      "INSERT INTO gdspec.lake.skv SELECT id, 'b' FROM range(100, 200, 1, 1)")
+    // COW rewrite: UPDATE moves a row's value; new file's stats replace
+    // the old file's in the manifest
+    spark.sql("UPDATE gdspec.lake.skv SET v = 'hit' WHERE id = 150")
+    val df = spark.sql("SELECT v FROM gdspec.lake.skv WHERE id = 150")
+    assert(df.queryExecution.executedPlan.toString.contains("statsFiles=1/2"),
+      df.queryExecution.executedPlan.toString)
+    assert(df.head().getString(0) == "hit")
+    assert(spark.table("gdspec.lake.skv").count() == 200)
+    // the pre-update version still reads (and skips) from ITS manifest
+    val tt = spark.sql(
+      "SELECT v FROM gdspec.lake.skv VERSION AS OF 2 WHERE id = 150")
+    assert(tt.head().getString(0) == "b")
+  }
+
+  test("OPTIMIZE ZORDER BY clusters files so single-column predicates skip") {
+    spark.sql("CREATE TABLE gdspec.lake.zo (x BIGINT, y BIGINT, v BIGINT)")
+    // each ingest file spans nearly the FULL x and y ranges (hash-shuffled
+    // y): before clustering, a y-filter can skip nothing
+    for (i <- 0 until 4)
+      spark.sql("INSERT INTO gdspec.lake.zo " +
+        "SELECT id % 64, pmod(hash(id), 64), id " +
+        s"FROM range(${i * 1024}, ${(i + 1) * 1024}, 1, 1)")
+    val pre = spark.sql("SELECT count(*) FROM gdspec.lake.zo WHERE y < 16")
+    assert(pre.queryExecution.executedPlan.toString.contains("statsFiles=4/4"),
+      pre.queryExecution.executedPlan.toString)
+    val expected = pre.head().getLong(0)
+    val g = new GraftSession(spark)
+    val r = g.sql(
+      "OPTIMIZE gdspec.lake.zo ZORDER BY (x, y) TARGET 2048 BYTES").head()
+    val filesAfter = r.getLong(2)
+    assert(filesAfter >= 8, r.toString)
+    // clustered layout: a y-only box predicate (quarter of y space) now
+    // plans a strict subset — z-contiguous files cover tight y ranges
+    val post = spark.sql("SELECT count(*) FROM gdspec.lake.zo WHERE y < 16")
+    val plan = post.queryExecution.executedPlan.toString
+    val m = """statsFiles=(\d+)/(\d+)""".r.findFirstMatchIn(plan)
+      .getOrElse(fail(s"no statsFiles in $plan"))
+    assert(m.group(2).toLong == filesAfter, plan)
+    assert(m.group(1).toLong <= filesAfter / 2,
+      s"zorder should let y<16 skip at least half the files: $plan")
+    assert(post.head().getLong(0) == expected)
+    // x predicates benefit from the same layout (that's the point of z)
+    val px = spark.sql("SELECT count(*) FROM gdspec.lake.zo WHERE x < 16")
+    val mx = """statsFiles=(\d+)/(\d+)""".r
+      .findFirstMatchIn(px.queryExecution.executedPlan.toString).get
+    assert(mx.group(1).toLong <= filesAfter / 2,
+      px.queryExecution.executedPlan.toString)
+    assert(px.head().getLong(0) ==
+      spark.table("gdspec.lake.zo").where("x < 16").collect().length.toLong)
+    // full-table integrity through the clustering rewrite
+    assert(spark.sql("SELECT sum(v) FROM gdspec.lake.zo").head().getLong(0) ==
+      (0L until 4096L).sum)
+    intercept[Exception](
+      g.sql("OPTIMIZE gdspec.lake.zo ZORDER BY (nope)"))
+    // declared clustering: plain OPTIMIZE picks up the zorder property,
+    // so the standing maintenance job keeps the layout without repeating
+    // the keys
+    spark.sql(
+      "ALTER TABLE gdspec.lake.zo SET TBLPROPERTIES ('zorder'='x,y')")
+    g.sql("OPTIMIZE gdspec.lake.zo TARGET 2048 BYTES")
+    val pprop = spark.sql("SELECT count(*) FROM gdspec.lake.zo WHERE y < 16")
+    val mp = """statsFiles=(\d+)/(\d+)""".r
+      .findFirstMatchIn(pprop.queryExecution.executedPlan.toString).get
+    assert(mp.group(1).toLong <= mp.group(2).toLong / 2,
+      pprop.queryExecution.executedPlan.toString)
+    assert(pprop.head().getLong(0) == expected)
+  }
 }

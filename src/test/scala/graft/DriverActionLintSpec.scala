@@ -54,7 +54,9 @@ class DriverActionLintSpec extends AnyFunSuite {
       "a single scalar: information_schema.schemata count"),
     Allowed("StreamingOps.scala", "batch.collect().foreach { r =>", 1,
       "per-micro-batch changed-key upsert set in update mode — bounded by " +
-        "the materialized view's key cardinality, the point of update mode"))
+        "the materialized view's key cardinality, the point of update mode"),
+    Allowed("DdlDml.scala", "\"TARGET 65536 BYTES\").head()", 1,
+      "exactly one row: OPTIMIZE returns (table, files_before, files_after)"))
 
   /** DF driver actions with materialized-row results. `.count()` /
     * `.isEmpty` return scalars and are exempt; bare `.head`/`.take(n)`
