@@ -384,8 +384,8 @@ object MultimodalOps {
     * 10), BITMAPINFOHEADER width/height (LE32 at 18/22; negative height =
     * top-down row order), 24 bpp, BI_RGB only; rows are BGR triplets
     * padded to a 4-byte stride, stored bottom-up unless top-down. This is
-    * the honest notch past header-only parsing: JPEG/PNG/GIF pixel decode
-    * (entropy coding) stays behind the documented stub. */
+    * the honest notch past header-only parsing; with [[pngPixels]] and
+    * [[gifPixels]] beside it, only JPEG (DCT) stays behind the stub. */
   def bmpPixels(b: Array[Byte]): Option[BmpPixels] = {
     def u8(i: Int) = b(i) & 0xff
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
@@ -504,9 +504,10 @@ object MultimodalOps {
     * PNG: chunk walk → IHDR validation → zlib-inflate the concatenated
     * IDAT stream (`java.util.zip.Inflater` — the JDK ships the codec) →
     * reverse the per-row filter (None/Sub/Up/Average/Paeth, bpp=3). This
-    * closes the PNG notch of the former decode stub: only JPEG (DCT) and
-    * GIF (LZW) still need an external codec. Unrecognized/odd containers
-    * are dropped (quarantine route), never thrown. */
+    * closes the PNG notch of the former decode stub; with [[gifPixels]]
+    * (from-scratch LZW), only JPEG (DCT) still needs an external codec.
+    * Unrecognized/odd containers are dropped (quarantine route), never
+    * thrown. */
   def pngPixels(b: Array[Byte]): Option[PngPixels] = {
     val sig = Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
     if (b.length < 8 + 25 || !sig.indices.forall(i => b(i) == sig(i))) return None
@@ -704,4 +705,283 @@ object MultimodalOps {
         md5(concat(col("payload"),
           encode(concat(lit(":"), col("frame_idx").cast("string")), "UTF-8")))
           .as("frame_sig"))
+
+  // ------------------------------------------------------------------ GIF
+
+  /** Decoded pixel statistics of one non-interlaced palettized GIF — the
+    * GIF sibling of [[BmpPixels]]/[[PngPixels]]. LZW is the codec, and it
+    * ships nowhere: this is a from-scratch decoder. */
+  final case class GifPixels(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      first_r: Int,
+      first_g: Int,
+      first_b: Int)
+
+  /** GIF-variant LZW decode: LSB-first variable-width codes (starting at
+    * `minCodeSize`+1, growing to 12 as the dictionary fills), CLEAR resets
+    * the dictionary, END terminates; the KwKwK case (`code == next`) is
+    * the classic self-referential entry. Returns exactly `expected`
+    * indices or None — never throws (quarantine contract). */
+  private[graft] def lzwDecode(
+      minCodeSize: Int, data: Array[Byte], expected: Int): Option[Array[Byte]] = {
+    if (minCodeSize < 2 || minCodeSize > 8) return None
+    val clear = 1 << minCodeSize
+    val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](expected)
+    val stack = new Array[Byte](4097)
+    var outN = 0
+    var next = end + 1
+    var width = minCodeSize + 1
+    var prev = -1
+    var acc = 0L
+    var accBits = 0
+    var pos = 0
+    def firstByteOf(code: Int): Byte = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c.toByte
+    }
+    while (outN < expected) {
+      while (accBits < width) {
+        if (pos >= data.length) return None // truncated stream
+        acc |= (data(pos) & 0xffL) << accBits
+        accBits += 8
+        pos += 1
+      }
+      val code = (acc & ((1 << width) - 1)).toInt
+      acc >>>= width
+      accBits -= width
+      if (code == clear) {
+        next = end + 1
+        width = minCodeSize + 1
+        prev = -1
+      } else if (code == end) {
+        return if (outN == expected) Some(out) else None
+      } else if (prev == -1) {
+        if (code >= clear) return None // first code must be a literal
+        out(outN) = code.toByte; outN += 1
+        prev = code
+      } else {
+        if (code > next || (code == next && next >= 4096)) return None
+        // expand `code` (or, for KwKwK, prev + firstChar(prev)) via stack
+        var sp = 0
+        var c = code
+        if (code == next) { stack(sp) = firstByteOf(prev); sp += 1; c = prev }
+        while (c >= clear) {
+          stack(sp) = suffix(c); sp += 1
+          c = prefix(c)
+        }
+        stack(sp) = c.toByte; sp += 1
+        if (outN + sp > expected) return None // overlong stream
+        while (sp > 0) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = firstByteOf(code)
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
+  /** GIF-variant LZW encode (the fixture side): real dictionary build
+    * (prefix, byte) → code, CLEAR emitted up front and whenever the
+    * dictionary fills. Width bumps one dictionary-add AFTER the decoder's
+    * bump point (`next == (1<<width) + 1`): the decoder's table lags the
+    * encoder's by exactly one entry at read time. */
+  private[graft] def lzwEncode(minCodeSize: Int, indices: Array[Byte]): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val end = clear + 1
+    val bytes = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var accBits = 0
+    var width = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << accBits
+      accBits += width
+      while (accBits >= 8) {
+        bytes.write((acc & 0xff).toInt)
+        acc >>>= 8
+        accBits -= 8
+      }
+    }
+    var dict = scala.collection.mutable.LongMap.empty[Int]
+    var next = end + 1
+    emit(clear)
+    if (indices.nonEmpty) {
+      var prefix: Int = indices(0) & 0xff
+      var i = 1
+      while (i < indices.length) {
+        val k = indices(i) & 0xff
+        val key = (prefix.toLong << 8) | k
+        dict.get(key) match {
+          case Some(code) => prefix = code
+          case None =>
+            emit(prefix)
+            if (next < 4096) {
+              dict(key) = next
+              next += 1
+              if (next == (1 << width) + 1 && width < 12) width += 1
+            } else { // table full: reset (decoder mirrors on CLEAR)
+              emit(clear)
+              dict = scala.collection.mutable.LongMap.empty[Int]
+              next = end + 1
+              width = minCodeSize + 1
+            }
+            prefix = k
+        }
+        i += 1
+      }
+      emit(prefix)
+    }
+    emit(end)
+    if (accBits > 0) bytes.write((acc & 0xff).toInt)
+    bytes.toByteArray
+  }
+
+  /** REAL pixel decode of a non-interlaced GIF87a/89a with a global color
+    * table: logical-screen walk, extension skip, image descriptor, LZW
+    * decompression of the palette indices, palette lookup. Closes the GIF
+    * notch of the decode stub — only JPEG (DCT) still needs a codec the
+    * JVM doesn't ship. Unrecognized/odd containers are dropped. */
+  def gifPixels(b: Array[Byte]): Option[GifPixels] = {
+    if (b.length < 14) return None
+    val hdr = new String(b, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    def le16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    val packed = b(10) & 0xff
+    val gctSize = if ((packed & 0x80) != 0) 2 << (packed & 7) else 0
+    var off = 13
+    if (off + 3 * gctSize > b.length) return None
+    val gct = off
+    off += 3 * gctSize
+    // walk blocks to the first image descriptor
+    while (off < b.length && (b(off) & 0xff) == 0x21) { // extension
+      off += 2 // introducer + label
+      while (off < b.length && (b(off) & 0xff) != 0) off += 1 + (b(off) & 0xff)
+      off += 1 // block terminator
+    }
+    if (off >= b.length || (b(off) & 0xff) != 0x2c) return None
+    if (off + 10 > b.length) return None
+    val w = le16(off + 5)
+    val h = le16(off + 7)
+    val ipacked = b(off + 9) & 0xff
+    // interlace (bit 0x40, ImageIO's default) only permutes ROW order in
+    // the LZW stream: channel sums are order-invariant and pass 1 starts
+    // at row 0, so the first decoded pixel is the top-left either way —
+    // every statistic this decoder reports is interlace-exact. A local
+    // color table, if present, takes precedence over the global one.
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+    off += 10
+    val (pal, palSize) =
+      if ((ipacked & 0x80) != 0) {
+        val n = 2 << (ipacked & 7)
+        val p = off
+        off += 3 * n
+        if (off > b.length) return None
+        (p, n)
+      } else if (gctSize > 0) (gct, gctSize)
+      else return None // no palette anywhere
+    if (off >= b.length) return None
+    val minCodeSize = b(off) & 0xff
+    off += 1
+    // concatenate the LZW sub-blocks
+    val lzw = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      if (off >= b.length) return None
+      val len = b(off) & 0xff
+      off += 1
+      if (len == 0) done = true
+      else {
+        if (off + len > b.length) return None
+        lzw.write(b, off, len)
+        off += len
+      }
+    }
+    val idx = lzwDecode(minCodeSize, lzw.toByteArray, w * h).getOrElse(return None)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < idx.length) {
+      val p = idx(i) & 0xff
+      if (p >= palSize) return None
+      val base = pal + 3 * p
+      sr += b(base) & 0xff
+      sg += b(base + 1) & 0xff
+      sb += b(base + 2) & 0xff
+      i += 1
+    }
+    val f = pal + 3 * (idx(0) & 0xff)
+    Some(GifPixels(-1L, w, h, sr, sg, sb,
+      b(f) & 0xff, b(f + 1) & 0xff, b(f + 2) & 0xff))
+  }
+
+  /** Fixture adapter (the GIF sibling of [[asPngPayload]]): emit REAL
+    * LZW-compressed GIF89a images. The 256-entry global palette is a
+    * fixed affine ramp (r=5i+1, g=3i+7, b=11i+13 mod 256) and the pixel
+    * INDEX derives from the row id ((docId + 7x + 13y) % 256), so an
+    * oracle recomputes channel statistics from the two formulas without
+    * parsing. Dimensions (16–32 × 12–24) force the decoder through
+    * dictionary growth and a code-width bump. [[gifPixels]] never sees
+    * the formulas — it reads only bytes. */
+  def asGifPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val w = 16 + (docId % 17).toInt
+          val h = 12 + (docId % 13).toInt
+          val indices = Array.tabulate(w * h) { i =>
+            val x = i % w; val y = i / w
+            ((docId + 7L * x + 13L * y) % 256).toByte
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          out.write("GIF89a".getBytes("US-ASCII"))
+          def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+          le16(w); le16(h)
+          out.write(0xf7) // GCT present, 256 entries
+          out.write(0); out.write(0)
+          for (i <- 0 until 256) {
+            out.write((5 * i + 1) % 256)
+            out.write((3 * i + 7) % 256)
+            out.write((11 * i + 13) % 256)
+          }
+          out.write(0x2c) // image descriptor
+          le16(0); le16(0); le16(w); le16(h)
+          out.write(0) // no LCT, no interlace
+          out.write(8) // LZW minimum code size
+          val lzw = lzwEncode(8, indices)
+          var p = 0
+          while (p < lzw.length) {
+            val n = math.min(255, lzw.length - p)
+            out.write(n)
+            out.write(lzw, p, n)
+            p += n
+          }
+          out.write(0) // sub-block terminator
+          out.write(0x3b) // trailer
+          (docId, out.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Partition-parallel GIF pixel decode ([[extractPngPixels]] shape). */
+  def extractGifPixels(spark: SparkSession, media: DataFrame): Dataset[GifPixels] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          gifPixels(bytes).map(_.copy(doc_id = id))
+        }
+      }
+  }
 }

@@ -3001,11 +3001,12 @@ object ExtMultimodal extends QueryModule {
       None,
       noOracleReason = Some(
         "feature extraction runs on synthesized binary payloads behind the " +
-        "pixel-decode stub, which now covers only JPEG (DCT) and GIF (LZW) " +
-        "— the two formats needing a codec the container lacks; " +
-        "uncompressed 24-bit BMP pixels (ext_multimodal_bmp_pixels) and " +
+        "pixel-decode stub, which now covers only JPEG — the one format " +
+        "whose codec (DCT entropy decode) the container lacks; " +
+        "uncompressed 24-bit BMP pixels (ext_multimodal_bmp_pixels), " +
         "zlib-inflated truecolor PNG pixels with all five row filters " +
-        "(ext_multimodal_png_pixels) are decoded for real and " +
+        "(ext_multimodal_png_pixels), and LZW-decompressed palettized GIF " +
+        "pixels (ext_multimodal_gif_pixels) are decoded for real and " +
         "oracle-checked, container-header parsing is oracle-checked " +
         "(ext_multimodal_headers), and OpsSpec pins the deterministic " +
         "stub features.")),
@@ -3093,6 +3094,49 @@ object ExtMultimodal extends QueryModule {
           round(sum(299*r + 587*g + 114*b) / (1000.0 * w * h), 6) AS mean_luma,
           round((299*(doc_id % 256) + 587*(doc_id*3 % 256) + 114*(doc_id*5 % 256))
             / 1000.0, 6) AS first_luma
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
+    // REAL GIF pixel decode — LZW is the codec and the JVM ships none, so
+    // this is a from-scratch variable-width LZW decoder (CLEAR/END codes,
+    // KwKwK self-reference, code-width growth; the 16–32 × 12–24 fixture
+    // ladder forces dictionary growth and a width bump under the hash).
+    // The fixture's palette is a fixed affine ramp and the pixel INDEX
+    // derives from the row id, so DuckDB recomputes channel statistics
+    // from the two formulas without parsing: a bitstream, dictionary, or
+    // palette bug breaks the hash. Decode is per-partition, zero shuffle.
+    QueryDef(
+      "ext_multimodal_gif_pixels",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asGifPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        val npx = ($"width" * $"height").cast("double")
+        MultimodalOps.extractGifPixels(s, media).toDF()
+          .select($"doc_id", $"width", $"height",
+            round($"sum_r" / npx, 6).as("mean_r"),
+            round($"sum_g" / npx, 6).as("mean_g"),
+            round($"sum_b" / npx, 6).as("mean_b"),
+            round(($"sum_r" * 299 + $"sum_g" * 587 + $"sum_b" * 114) /
+              (npx * 1000.0), 6).as("mean_luma"),
+            round(($"first_r" * 299 + $"first_g" * 587 + $"first_b" * 114) /
+              1000.0, 6).as("first_luma"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id,
+            CAST(16 + doc_id % 17 AS INT) AS w, CAST(12 + doc_id % 13 AS INT) AS h,
+            (5 * ((doc_id + 7*x + 13*y) % 256) + 1) % 256 AS r,
+            (3 * ((doc_id + 7*x + 13*y) % 256) + 7) % 256 AS g,
+            (11 * ((doc_id + 7*x + 13*y) % 256) + 13) % 256 AS b
+          FROM documents, unnest(range(0, 33)) AS tx(x), unnest(range(0, 25)) AS ty(y)
+          WHERE x < 16 + doc_id % 17 AND y < 12 + doc_id % 13)
+        SELECT doc_id, w AS width, h AS height,
+          round(sum(r) / CAST(w*h AS DOUBLE), 6) AS mean_r,
+          round(sum(g) / CAST(w*h AS DOUBLE), 6) AS mean_g,
+          round(sum(b) / CAST(w*h AS DOUBLE), 6) AS mean_b,
+          round(sum(299*r + 587*g + 114*b) / (1000.0 * w * h), 6) AS mean_luma,
+          round((299*((5*doc_id + 1) % 256) + 587*((3*doc_id + 7) % 256)
+            + 114*((11*doc_id + 13) % 256)) / 1000.0, 6) AS first_luma
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
     // REAL audio-container parsing (the WAV sibling of the image-header

@@ -507,6 +507,75 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gif pixel decode: from-scratch LZW vs the JDK's independent encoder") {
+    // ImageIO's GIF writer is an unrelated LZW implementation: feed it an
+    // INDEXED image with an explicit palette (no quantization/dither) and
+    // our decoder must recover exact channel sums and the top-left pixel
+    val pal = Array.tabulate(256)(i =>
+      (((5 * i + 1) % 256) << 16) | (((3 * i + 7) % 256) << 8) | ((11 * i + 13) % 256))
+    val icm = new java.awt.image.IndexColorModel(
+      8, 256, pal, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+    val rnd = new scala.util.Random(424242L)
+    for (n <- 0 until 20) {
+      val w = 1 + rnd.nextInt(48)
+      val h = 1 + rnd.nextInt(32)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var first = (0, 0, 0)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = rnd.nextInt(256)
+        val (r, g, b) = ((5 * i + 1) % 256, (3 * i + 7) % 256, (11 * i + 13) % 256)
+        if (x == 0 && y == 0) first = (r, g, b)
+        sr += r; sg += g; sb += b
+        img.getRaster.setSample(x, y, 0, i)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "gif", bos))
+      val p = MultimodalOps.gifPixels(bos.toByteArray)
+        .getOrElse(fail(s"gif $n (${w}x$h) not decoded"))
+      assert(p.width == w && p.height == h, s"gif $n")
+      assert((p.sum_r, p.sum_g, p.sum_b) == ((sr, sg, sb)), s"gif $n sums")
+      assert((p.first_r, p.first_g, p.first_b) == first, s"gif $n first px")
+    }
+    // and the reverse direction: OUR encoder read by the JDK's decoder
+    val media = MultimodalOps.asGifPayload(spark, docs.limit(10), "doc_id")
+    media.collect().foreach { row =>
+      val id = row.getLong(0)
+      val bytes = row.getAs[Array[Byte]](1)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"doc $id: ImageIO cannot read our GIF")
+      val w = 16 + (id % 17).toInt; val h = 12 + (id % 13).toInt
+      assert(img.getWidth == w && img.getHeight == h, s"doc $id dims")
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = ((id + 7L * x + 13L * y) % 256).toInt
+        val expected = (0xff << 24) | (((5 * idx + 1) % 256) << 16) |
+          (((3 * idx + 7) % 256) << 8) | ((11 * idx + 13) % 256)
+        assert(img.getRGB(x, y) == expected, s"doc $id px ($x,$y)")
+      }
+    }
+    // fixture round-trip through our own decoder
+    val decoded = MultimodalOps.extractGifPixels(spark, media)
+      .collect().sortBy(_.doc_id)
+    assert(decoded.length == 10)
+    decoded.foreach { d =>
+      val id = d.doc_id
+      assert(d.width == 16 + (id % 17).toInt && d.height == 12 + (id % 13).toInt)
+      val i0 = (id % 256).toInt
+      assert((d.first_r, d.first_g, d.first_b) ==
+        (((5 * i0 + 1) % 256, (3 * i0 + 7) % 256, (11 * i0 + 13) % 256)),
+        s"doc $id first pixel")
+    }
+    // adversarial payloads are quarantined, never thrown
+    assert(MultimodalOps.gifPixels("GIF89a but not really".getBytes).isEmpty)
+    val ok = media.limit(1).collect()(0).getAs[Array[Byte]](1)
+    assert(MultimodalOps.gifPixels(ok.take(40)).isEmpty) // truncated
+    val corrupt = ok.clone()
+    corrupt(800) = (corrupt(800) ^ 0x5a).toByte // garble inside LZW data
+    MultimodalOps.gifPixels(corrupt) // must not throw (either outcome ok)
+  }
+
   test("image container headers parse real dimensions (no codec needed)") {
     def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
     // PNG: signature + IHDR chunk (len, "IHDR", width=640, height=480)
