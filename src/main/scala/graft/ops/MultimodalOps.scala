@@ -83,10 +83,12 @@ object MultimodalOps {
       col(id).cast("long").as("doc_id"),
       encode(col(payloadSrc), "UTF-8").as("payload"))
 
-  /** STUB decoder — deterministic fake of an image decode (dimensions
-    * only; the caller computes the byte-mean "feature" in the same pass as
-    * its checksum). Replace the body with a real codec to productionize;
-    * signature and batch shape stay. */
+  /** Deterministic fallback for payloads NO recognized container claims
+    * (format "raw"): synthesizes stable dimensions from a content hash so
+    * downstream schemas stay total. Every recognized format now has a
+    * real decoder beside it ([[bmpPixels]], [[pngPixels]], [[gifPixels]],
+    * [[jpegDecode]]); this fallback survives only as the quarantine-lane
+    * feature for truly opaque bytes. */
   def decodeStub(payload: Array[Byte]): (Int, Int) = {
     val h = graft.functions.SimHash64.fnv1a64(payload)
     val width = 64 + (math.abs(h) % 1024).toInt
@@ -384,8 +386,9 @@ object MultimodalOps {
     * 10), BITMAPINFOHEADER width/height (LE32 at 18/22; negative height =
     * top-down row order), 24 bpp, BI_RGB only; rows are BGR triplets
     * padded to a 4-byte stride, stored bottom-up unless top-down. This is
-    * the honest notch past header-only parsing; with [[pngPixels]] and
-    * [[gifPixels]] beside it, only JPEG (DCT) stays behind the stub. */
+    * the honest notch past header-only parsing; with [[pngPixels]],
+    * [[gifPixels]] and [[jpegDecode]] beside it, every container format
+    * this layer recognizes is decoded for real. */
   def bmpPixels(b: Array[Byte]): Option[BmpPixels] = {
     def u8(i: Int) = b(i) & 0xff
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
@@ -504,8 +507,9 @@ object MultimodalOps {
     * PNG: chunk walk → IHDR validation → zlib-inflate the concatenated
     * IDAT stream (`java.util.zip.Inflater` — the JDK ships the codec) →
     * reverse the per-row filter (None/Sub/Up/Average/Paeth, bpp=3). This
-    * closes the PNG notch of the former decode stub; with [[gifPixels]]
-    * (from-scratch LZW), only JPEG (DCT) still needs an external codec.
+    * closes the PNG notch of the former decode stub; [[gifPixels]]
+    * (from-scratch LZW) and [[jpegDecode]] (from-scratch Huffman+IDCT)
+    * close the other two.
     * Unrecognized/odd containers are dropped (quarantine route), never
     * thrown. */
   def pngPixels(b: Array[Byte]): Option[PngPixels] = {
@@ -851,8 +855,8 @@ object MultimodalOps {
   /** REAL pixel decode of a non-interlaced GIF87a/89a with a global color
     * table: logical-screen walk, extension skip, image descriptor, LZW
     * decompression of the palette indices, palette lookup. Closes the GIF
-    * notch of the decode stub — only JPEG (DCT) still needs a codec the
-    * JVM doesn't ship. Unrecognized/odd containers are dropped. */
+    * notch of the decode stub ([[jpegDecode]] closes the last one).
+    * Unrecognized/odd containers are dropped. */
   def gifPixels(b: Array[Byte]): Option[GifPixels] = {
     if (b.length < 14) return None
     val hdr = new String(b, 0, 6, "US-ASCII")
@@ -981,6 +985,526 @@ object MultimodalOps {
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           gifPixels(bytes).map(_.copy(doc_id = id))
+        }
+      }
+  }
+
+  // --------------------------------------------------------------------
+  // JPEG — from-scratch baseline sequential decoder (the last notch of
+  // the former decode stub: Huffman entropy decode + dequantization +
+  // IDCT, no external codec).
+  // --------------------------------------------------------------------
+
+  /** JPEG zig-zag scan order: `zigzag(k)` = natural (row-major) position
+    * of the k-th coefficient in the entropy stream. */
+  private val jpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cos((2x+1)·u·π/16) table for the separable IDCT (and its FDCT dual
+    * in the fixture encoder — which the fixture never actually needs:
+    * constant blocks have a closed-form DC-only transform). */
+  private val jpegCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((u, x) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val jpegCu: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** Decoded JPEG: per-component planes in the coded color space (Y or
+    * Y/Cb/Cr — color conversion is the caller's choice), row-major,
+    * values 0–255. */
+  final case class JpegImage(
+      width: Int,
+      height: Int,
+      comps: Int,
+      planes: Array[Array[Int]])
+
+  /** Canonical Huffman table in the JPEG decode form: per code length
+    * 1–16 the smallest/largest code and the huffval offset. */
+  private final class JpegHuff(counts: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1); k += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) == 0) -1 else code - 1
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(len: Int, code: Int): Int =
+      vals(valPtr(len) + code - minCode(len)) & 0xff
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment with 0xFF00
+    * byte-unstuffing and RSTn resynchronization. Throws
+    * [[JpegBitReader.Bail]] (caught by [[jpegDecode]]) on truncation —
+    * the quarantine route, not a task failure. */
+  private final class JpegBitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var bits = 0
+    def nextBit(): Int = {
+      if (bits == 0) {
+        if (pos >= b.length) throw JpegBitReader.Bail
+        var v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) throw JpegBitReader.Bail
+          val m = b(pos) & 0xff
+          if (m == 0) pos += 1 // stuffed data byte
+          else throw JpegBitReader.Bail // marker inside entropy data
+        }
+        acc = v; bits = 8
+      }
+      bits -= 1
+      (acc >> bits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    /** DIFF/AC magnitude extension (JPEG F.2.2.1 EXTEND). */
+    def receiveExtend(s: Int): Int = {
+      if (s == 0) return 0
+      val v = receive(s)
+      if (v < (1 << (s - 1))) v + ((-1 << s) + 1) else v
+    }
+    def decodeHuff(t: JpegHuff): Int = {
+      var code = nextBit()
+      var l = 1
+      while (l <= 16) {
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l)) return t.value(l, code)
+        code = (code << 1) | nextBit()
+        l += 1
+      }
+      throw JpegBitReader.Bail
+    }
+    /** Byte-align and consume an expected RSTn marker. */
+    def restartSync(): Unit = {
+      bits = 0
+      if (pos + 1 >= b.length) throw JpegBitReader.Bail
+      if ((b(pos) & 0xff) != 0xff) throw JpegBitReader.Bail
+      val m = b(pos + 1) & 0xff
+      if (m < 0xd0 || m > 0xd7) throw JpegBitReader.Bail
+      pos += 2
+    }
+  }
+  private object JpegBitReader {
+    /** Control-flow bail for malformed streams; stackless. */
+    object Bail extends RuntimeException with scala.util.control.NoStackTrace
+  }
+
+  /** REAL pixel decode of a baseline sequential JPEG (SOF0/SOF1), built
+    * from scratch on the JPEG standard (ITU T.81): marker walk (DQT in
+    * 8/16-bit precision, DHT canonical Huffman, DRI restart intervals),
+    * MCU entropy decode (DC prediction + EXTEND, AC run/size with ZRL
+    * and EOB), dequantization, double-precision separable IDCT, level
+    * shift. Scope (documented; everything else quarantines to None):
+    * 8-bit precision, 1 or 3 components with 1×1 sampling (4:4:4 —
+    * chroma-subsampled and progressive files are dropped, never
+    * mis-decoded). Returns planes in the CODED color space (Y or
+    * Y/Cb/Cr): the lossy YCbCr→RGB rounding choice is left to callers,
+    * so per-component statistics stay bit-exact against an oracle. */
+  def jpegDecode(b: Array[Byte]): Option[JpegImage] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    val qtabs = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuff](4)
+    val acTabs = new Array[JpegHuff](4)
+    var width = 0; var height = 0; var ncomp = 0
+    var restartInterval = 0
+    // per component: quant-table id, then (at SOS) DC/AC table ids
+    val compQ = new Array[Int](3)
+    val compId = new Array[Int](3)
+    val compDc = new Array[Int](3)
+    val compAc = new Array[Int](3)
+    var i = 2
+    var sosAt = -1
+    while (sosAt < 0) {
+      if (i + 1 >= b.length) return None
+      if (u8(i) != 0xff) return None
+      var m = u8(i + 1)
+      i += 2
+      while (m == 0xff) { if (i >= b.length) return None; m = u8(i); i += 1 }
+      m match {
+        case 0xd8 => // stray SOI: ignore
+        case 0xd9 => return None // EOI before SOS
+        case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+          if (i + 2 > b.length) return None
+          val len = be16(i)
+          if (i + len > b.length || len < 8) return None
+          if (u8(i + 2) != 8) return None // bit precision
+          height = be16(i + 3); width = be16(i + 5)
+          ncomp = u8(i + 7)
+          if ((ncomp != 1 && ncomp != 3) || len < 8 + 3 * ncomp) return None
+          if (width <= 0 || height <= 0 ||
+            width > (1 << 14) || height > (1 << 14)) return None
+          var c = 0
+          while (c < ncomp) {
+            compId(c) = u8(i + 8 + 3 * c)
+            val hv = u8(i + 9 + 3 * c)
+            if (hv != 0x11) return None // only 1x1 sampling (4:4:4)
+            compQ(c) = u8(i + 10 + 3 * c)
+            if (compQ(c) > 3) return None
+            c += 1
+          }
+          i += len
+        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            0xcd | 0xce | 0xcf =>
+          return None // progressive/lossless/arithmetic: out of scope
+        case 0xc4 => // DHT (possibly several tables in one segment)
+          if (i + 2 > b.length) return None
+          val len = be16(i)
+          if (i + len > b.length) return None
+          var p = i + 2
+          val end = i + len
+          while (p < end) {
+            val tcth = u8(p)
+            val tc = tcth >> 4; val th = tcth & 15
+            if (tc > 1 || th > 3 || p + 17 > end) return None
+            val counts = Array.tabulate(16)(j => u8(p + 1 + j))
+            val n = counts.sum
+            if (p + 17 + n > end || n > 256) return None
+            val vals = java.util.Arrays.copyOfRange(b, p + 17, p + 17 + n)
+            val t = new JpegHuff(counts, vals)
+            if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+            p += 17 + n
+          }
+          i += len
+        case 0xdb => // DQT (possibly several tables in one segment)
+          if (i + 2 > b.length) return None
+          val len = be16(i)
+          if (i + len > b.length) return None
+          var p = i + 2
+          val end = i + len
+          while (p < end) {
+            val pqtq = u8(p)
+            val pq = pqtq >> 4; val tq = pqtq & 15
+            if (pq > 1 || tq > 3) return None
+            val sz = if (pq == 0) 64 else 128
+            if (p + 1 + sz > end) return None
+            val q = new Array[Int](64)
+            var k = 0
+            while (k < 64) {
+              q(jpegZigzag(k)) =
+                if (pq == 0) u8(p + 1 + k) else be16(p + 1 + 2 * k)
+              k += 1
+            }
+            qtabs(tq) = q
+            p += 1 + sz
+          }
+          i += len
+        case 0xdd => // DRI
+          if (i + 4 > b.length || be16(i) != 4) return None
+          restartInterval = be16(i + 2)
+          i += 4
+        case 0xda => // SOS
+          if (i + 2 > b.length) return None
+          val len = be16(i)
+          if (i + len > b.length) return None
+          val ns = u8(i + 2)
+          if (ns != ncomp || len != 6 + 2 * ns) return None
+          var c = 0
+          while (c < ns) {
+            val cid = u8(i + 3 + 2 * c)
+            val j = compId.indexOf(cid)
+            if (j < 0 || j >= ncomp) return None
+            val tt = u8(i + 4 + 2 * c)
+            compDc(j) = tt >> 4; compAc(j) = tt & 15
+            c += 1
+          }
+          sosAt = i + len
+          i += len
+        case mm if mm >= 0xd0 && mm <= 0xd7 => // stray RST: ignore
+        case 0x01 => // TEM, parameterless
+        case _ => // APPn / COM / anything else with a length
+          if (i + 2 > b.length) return None
+          val len = be16(i)
+          if (len < 2 || i + len > b.length) return None
+          i += len
+      }
+    }
+    if (width == 0 || ncomp == 0) return None
+    var c = 0
+    while (c < ncomp) {
+      if (qtabs(compQ(c)) == null || dcTabs(compDc(c)) == null ||
+        acTabs(compAc(c)) == null) return None
+      c += 1
+    }
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    val planes = Array.fill(ncomp)(new Array[Int](width * height))
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val preds = new Array[Int](3)
+    val reader = new JpegBitReader(b, sosAt)
+    try {
+      var mcu = 0
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            reader.restartSync()
+            java.util.Arrays.fill(preds, 0)
+          }
+          var c = 0
+          while (c < ncomp) {
+            java.util.Arrays.fill(coef, 0)
+            val q = qtabs(compQ(c))
+            // DC
+            val t = reader.decodeHuff(dcTabs(compDc(c)))
+            if (t > 11) throw JpegBitReader.Bail
+            preds(c) += reader.receiveExtend(t)
+            coef(0) = preds(c) * q(0)
+            // AC
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = reader.decodeHuff(acTabs(compAc(c)))
+              val r = rs >> 4; val s = rs & 15
+              if (s == 0) {
+                if (r == 15) k += 16 else eob = true // ZRL vs EOB
+              } else {
+                k += r
+                if (k > 63) throw JpegBitReader.Bail
+                val nat = jpegZigzag(k)
+                coef(nat) = reader.receiveExtend(s) * q(nat)
+                k += 1
+              }
+            }
+            // separable IDCT: rows (freq u -> x), then columns (v -> y)
+            var v = 0
+            while (v < 8) {
+              var x = 0
+              while (x < 8) {
+                var acc = 0.0
+                var u = 0
+                while (u < 8) {
+                  acc += jpegCu(u) * coef(v * 8 + u) * jpegCos(u)(x)
+                  u += 1
+                }
+                tmp(v * 8 + x) = acc
+                x += 1
+              }
+              v += 1
+            }
+            val plane = planes(c)
+            var y = 0
+            while (y < 8) {
+              val py = by * 8 + y
+              if (py < height) {
+                var x = 0
+                while (x < 8) {
+                  val px = bx * 8 + x
+                  if (px < width) {
+                    var acc = 0.0
+                    var vv = 0
+                    while (vv < 8) {
+                      acc += jpegCu(vv) * tmp(vv * 8 + x) * jpegCos(vv)(y)
+                      vv += 1
+                    }
+                    val s = Math.round(acc / 4.0 + 128.0).toInt
+                    plane(py * width + px) =
+                      if (s < 0) 0 else if (s > 255) 255 else s
+                  }
+                  x += 1
+                }
+              }
+              y += 1
+            }
+            c += 1
+          }
+          mcu += 1
+          bx += 1
+        }
+        by += 1
+      }
+    } catch {
+      case JpegBitReader.Bail => return None
+      case _: ArrayIndexOutOfBoundsException => return None
+    }
+    Some(JpegImage(width, height, ncomp, planes))
+  }
+
+  /** Decoded pixel statistics of one baseline JPEG, reported in the
+    * CODED color space (Y/Cb/Cr — or Y with Cb=Cr=128 for grayscale):
+    * per-component sums are bit-exact under the fixture contract, where
+    * an RGB report would fold in a rounding-mode choice the oracle
+    * can't replay. `first_*` probes the top-left pixel — DC-prediction
+    * bugs land there even when order-invariant sums survive. */
+  final case class JpegPixels(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      sum_y: Long,
+      sum_cb: Long,
+      sum_cr: Long,
+      first_y: Int,
+      first_cb: Int,
+      first_cr: Int)
+
+  def jpegPixels(b: Array[Byte]): Option[JpegPixels] =
+    jpegDecode(b).map { img =>
+      val n = img.width * img.height
+      def sum(p: Array[Int]): Long = {
+        var s = 0L; var i = 0
+        while (i < p.length) { s += p(i); i += 1 }
+        s
+      }
+      if (img.comps == 3)
+        JpegPixels(-1L, img.width, img.height,
+          sum(img.planes(0)), sum(img.planes(1)), sum(img.planes(2)),
+          img.planes(0)(0), img.planes(1)(0), img.planes(2)(0))
+      else
+        JpegPixels(-1L, img.width, img.height,
+          sum(img.planes(0)), 128L * n, 128L * n,
+          img.planes(0)(0), 128, 128)
+    }
+
+  /** MSB-first bit writer with JPEG 0xFF00 byte stuffing. */
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var bits = 0
+    def put(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        bits += 1
+        if (bits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0)
+          acc = 0; bits = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the final partial byte with 1-bits (T.81 F.1.2.3). */
+    def flush(): Unit = if (bits > 0) {
+      put(0xff, 8 - bits)
+    }
+  }
+
+  /** Bit category of a DC difference (T.81 table F.1): 0 for 0, else
+    * position of the highest set bit of |v|. */
+  private def jpegCategory(v: Int): Int =
+    32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** From-scratch minimal baseline JPEG ENCODER for the fixture path:
+    * all-ones quantization table + 8×8-CONSTANT blocks make the lossy
+    * format exact here (a constant block's DCT is DC-only — DC = 8·(v−128)
+    * survives quant=1 unchanged, and any correct IDCT reproduces v
+    * bit-for-bit), so a DuckDB oracle can recompute the decoded statistics
+    * from the block formula without a codec. Emits SOI, JFIF APP0, DQT,
+    * SOF0 (1×1 sampling), compact custom DHTs (12 DC categories at 4
+    * bits; a lone 2-bit EOB in the AC table), optional DRI with RSTn
+    * resync, and the DC-predicted entropy stream. Standards-valid: the
+    * JDK's ImageIO decodes these fixtures (cross-checked in JpegSpec). */
+  private[graft] def jpegEncodeConstantBlocks(
+      bw: Int, bh: Int, yb: Array[Int], cb: Array[Int], cr: Array[Int],
+      restartInterval: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); be16(16) // JFIF APP0
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); be16(1); be16(1)
+    out.write(0); out.write(0)
+    marker(0xdb); be16(2 + 1 + 64) // DQT: 8-bit table 0, all ones
+    out.write(0)
+    for (_ <- 0 until 64) out.write(1)
+    val w = bw * 8; val h = bh * 8
+    marker(0xc0); be16(8 + 3 * 3) // SOF0, 3 components, 1x1 sampling
+    out.write(8); be16(h); be16(w); out.write(3)
+    for (c <- 1 to 3) { out.write(c); out.write(0x11); out.write(0) }
+    // DC table 0: categories 0..11, all 4-bit codes (canonical 0000..1011)
+    marker(0xc4); be16(2 + 17 + 12)
+    out.write(0x00)
+    for (l <- 1 to 16) out.write(if (l == 4) 12 else 0)
+    for (s <- 0 to 11) out.write(s)
+    // AC table 0: just EOB (run/size 0x00) as the 2-bit code 00
+    marker(0xc4); be16(2 + 17 + 1)
+    out.write(0x10)
+    for (l <- 1 to 16) out.write(if (l == 2) 1 else 0)
+    out.write(0x00)
+    if (restartInterval > 0) { marker(0xdd); be16(4); be16(restartInterval) }
+    marker(0xda); be16(6 + 2 * 3) // SOS
+    out.write(3)
+    for (c <- 1 to 3) { out.write(c); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+    val bits = new JpegBitWriter(out)
+    val preds = new Array[Int](3)
+    var mcu = 0
+    var rst = 0
+    val planes = Array(yb, cb, cr)
+    while (mcu < bw * bh) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bits.flush()
+        marker(0xd0 + rst); rst = (rst + 1) % 8
+        java.util.Arrays.fill(preds, 0)
+      }
+      var c = 0
+      while (c < 3) {
+        val dc = 8 * (planes(c)(mcu) - 128)
+        val diff = dc - preds(c)
+        preds(c) = dc
+        val t = jpegCategory(diff)
+        bits.put(t, 4) // DC category: canonical 4-bit code == value
+        if (t > 0) bits.put(if (diff < 0) diff - 1 else diff, t)
+        bits.put(0, 2) // EOB
+        c += 1
+      }
+      mcu += 1
+    }
+    bits.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Fixture adapter (the JPEG sibling of [[asGifPayload]]): emit REAL
+    * baseline JPEGs of 8×8-constant blocks whose Y/Cb/Cr values derive
+    * from the row id — Y=(7·id+11·bx+17·by)%256, Cb=(3·id+5·bx+7·by)%256,
+    * Cr=(5·id+13·bx+3·by)%256 over a (1–3)×(1–2) block grid — so an
+    * oracle recomputes the decoded statistics from the formula WITHOUT
+    * parsing. The block walk exercises DC prediction across every
+    * category boundary; every fourth row adds a DRI/RSTn restart lattice.
+    * [[jpegDecode]] never sees the formula — it reads only bytes. */
+  def asJpegPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val bw = 1 + (docId % 3).toInt
+          val bh = 1 + (docId % 2).toInt
+          def plane(a: Long, b: Long, c: Long): Array[Int] =
+            Array.tabulate(bw * bh) { i =>
+              val bx = i % bw; val by = i / bw
+              ((a * docId + b * bx + c * by) % 256).toInt
+            }
+          val dri = if (docId % 4 == 0) bw else 0
+          (docId, jpegEncodeConstantBlocks(
+            bw, bh, plane(7, 11, 17), plane(3, 5, 7), plane(5, 13, 3), dri))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Partition-parallel JPEG pixel decode ([[extractGifPixels]] shape):
+    * unrecognized/subsampled/progressive payloads are dropped. */
+  def extractJpegPixels(spark: SparkSession, media: DataFrame): Dataset[JpegPixels] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          jpegPixels(bytes).map(_.copy(doc_id = id))
         }
       }
   }

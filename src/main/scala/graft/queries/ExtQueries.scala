@@ -3000,16 +3000,16 @@ object ExtMultimodal extends QueryModule {
       },
       None,
       noOracleReason = Some(
-        "feature extraction runs on synthesized binary payloads behind the " +
-        "pixel-decode stub, which now covers only JPEG — the one format " +
-        "whose codec (DCT entropy decode) the container lacks; " +
-        "uncompressed 24-bit BMP pixels (ext_multimodal_bmp_pixels), " +
-        "zlib-inflated truecolor PNG pixels with all five row filters " +
-        "(ext_multimodal_png_pixels), and LZW-decompressed palettized GIF " +
-        "pixels (ext_multimodal_gif_pixels) are decoded for real and " +
-        "oracle-checked, container-header parsing is oracle-checked " +
-        "(ext_multimodal_headers), and OpsSpec pins the deterministic " +
-        "stub features.")),
+        "feature extraction here runs on synthesized non-image payloads " +
+        "through the deterministic 'raw' fallback (pinned by OpsSpec) — " +
+        "every real container format is now decoded for real and " +
+        "oracle-checked elsewhere: uncompressed 24-bit BMP pixels " +
+        "(ext_multimodal_bmp_pixels), zlib-inflated truecolor PNG pixels " +
+        "with all five row filters (ext_multimodal_png_pixels), " +
+        "LZW-decompressed palettized GIF pixels " +
+        "(ext_multimodal_gif_pixels), from-scratch baseline JPEG " +
+        "Huffman+IDCT pixels (ext_multimodal_jpeg_pixels), and " +
+        "container-header parsing (ext_multimodal_headers).")),
 
     // REAL pixel decode (uncompressed 24-bit BMP — row stride, bottom-up
     // vs top-down layout, BGR order, all in pure byte arithmetic): per-
@@ -3137,6 +3137,54 @@ object ExtMultimodal extends QueryModule {
           round(sum(299*r + 587*g + 114*b) / (1000.0 * w * h), 6) AS mean_luma,
           round((299*((5*doc_id + 1) % 256) + 587*((3*doc_id + 7) % 256)
             + 114*((11*doc_id + 13) % 256)) / 1000.0, 6) AS first_luma
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
+    // REAL JPEG pixel decode — a from-scratch baseline-sequential decoder
+    // (T.81): DHT canonical Huffman entropy decode with DC prediction and
+    // EXTEND, run/size AC with ZRL/EOB, DQT dequantization, double-
+    // precision separable IDCT, DRI/RSTn restart resync. The fixture is
+    // the one corner where the lossy format is EXACT: 8x8-constant blocks
+    // under an all-ones quant table are DC-only (DC = 8*(v-128) survives
+    // quant=1 unchanged, and the IDCT reproduces v bit-for-bit), so
+    // DuckDB recomputes per-component statistics from the block formula
+    // without any codec. Stats are reported in the CODED color space
+    // (Y/Cb/Cr) — an RGB report would fold in a rounding-mode choice the
+    // oracle can't replay; the YCbCr->RGB leg plus arbitrary-encoder
+    // coverage (ImageIO-written random grayscale at several qualities,
+    // full AC spectrum) is pinned in JpegSpec. first_* probes the
+    // top-left pixel, where a DC-prediction bug lands even if
+    // order-invariant sums survive. Decode is per-partition, zero shuffle.
+    QueryDef(
+      "ext_multimodal_jpeg_pixels",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asJpegPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        val npx = ($"width" * $"height").cast("double")
+        MultimodalOps.extractJpegPixels(s, media).toDF()
+          .select($"doc_id", $"width", $"height",
+            round($"sum_y" / npx, 6).as("mean_y"),
+            round($"sum_cb" / npx, 6).as("mean_cb"),
+            round($"sum_cr" / npx, 6).as("mean_cr"),
+            $"first_y", $"first_cb", $"first_cr")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id,
+            CAST(8 * (1 + doc_id % 3) AS INT) AS w,
+            CAST(8 * (1 + doc_id % 2) AS INT) AS h,
+            (doc_id*7 + 11*bx + 17*by) % 256 AS y,
+            (doc_id*3 + 5*bx + 7*by) % 256 AS cb,
+            (doc_id*5 + 13*bx + 3*by) % 256 AS cr
+          FROM documents, unnest(range(0, 3)) AS tx(bx), unnest(range(0, 2)) AS ty(by)
+          WHERE bx < 1 + doc_id % 3 AND by < 1 + doc_id % 2)
+        SELECT doc_id, w AS width, h AS height,
+          round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS mean_y,
+          round(sum(cb) / CAST(count(*) AS DOUBLE), 6) AS mean_cb,
+          round(sum(cr) / CAST(count(*) AS DOUBLE), 6) AS mean_cr,
+          CAST(doc_id * 7 % 256 AS INT) AS first_y,
+          CAST(doc_id * 3 % 256 AS INT) AS first_cb,
+          CAST(doc_id * 5 % 256 AS INT) AS first_cr
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
     // REAL audio-container parsing (the WAV sibling of the image-header

@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.MultimodalOps
+
+/** The from-scratch baseline JPEG codec pair.
+  *
+  * Three independent anchors pin the decoder:
+  *   1. the exact fixture contract (constant blocks + quant=1 decode
+  *      bit-for-bit to the generation formula — the DuckDB oracle's leg);
+  *   2. the JDK's own ImageIO decoder agrees with ours on our fixtures
+  *      (so the fixture bytes are standards-valid JPEG, not a private
+  *      dialect our decoder happens to round-trip);
+  *   3. ours agrees with ImageIO on IMAGEIO-ENCODED random grayscale at
+  *      several qualities — arbitrary quant tables, optimized-by-default
+  *      Huffman tables, full AC spectrum, non-multiple-of-8 crops —
+  *      within the T.81 IDCT accuracy allowance (±2 per sample).
+  */
+class JpegSpec extends AnyFunSuite {
+
+  private def fixtureFormula(docId: Long): (Int, Int, Array[Int], Array[Int], Array[Int]) = {
+    val bw = 1 + (docId % 3).toInt
+    val bh = 1 + (docId % 2).toInt
+    def plane(a: Long, b: Long, c: Long): Array[Int] =
+      Array.tabulate(bw * bh) { i =>
+        val bx = i % bw; val by = i / bw
+        ((a * docId + b * bx + c * by) % 256).toInt
+      }
+    (bw, bh, plane(7, 11, 17), plane(3, 5, 7), plane(5, 13, 3))
+  }
+
+  private def encodeFixture(docId: Long): Array[Byte] = {
+    val (bw, bh, y, cb, cr) = fixtureFormula(docId)
+    MultimodalOps.jpegEncodeConstantBlocks(
+      bw, bh, y, cb, cr, if (docId % 4 == 0) bw else 0)
+  }
+
+  test("fixture decodes bit-for-bat to the generation formula (incl. DRI/RSTn docs)") {
+    // ids cover every (bw, bh) shape, DC categories in both directions,
+    // and the restart-marker lattice (multiples of 4)
+    for (docId <- 0L to 40L) {
+      val bytes = encodeFixture(docId)
+      val (bw, bh, y, cb, cr) = fixtureFormula(docId)
+      val img = MultimodalOps.jpegDecode(bytes)
+        .getOrElse(fail(s"doc $docId failed to decode"))
+      assert(img.width == bw * 8 && img.height == bh * 8 && img.comps == 3)
+      for (by <- 0 until bh * 8; bx <- 0 until bw * 8) {
+        val blk = (by / 8) * bw + bx / 8
+        val p = by * img.width + bx
+        assert(img.planes(0)(p) == y(blk), s"Y mismatch doc=$docId ($bx,$by)")
+        assert(img.planes(1)(p) == cb(blk), s"Cb mismatch doc=$docId ($bx,$by)")
+        assert(img.planes(2)(p) == cr(blk), s"Cr mismatch doc=$docId ($bx,$by)")
+      }
+      val px = MultimodalOps.jpegPixels(bytes).get
+      assert(px.first_y == y(0) && px.first_cb == cb(0) && px.first_cr == cr(0))
+      assert(px.sum_y == 64L * y.map(_.toLong).sum)
+    }
+  }
+
+  test("the JDK's ImageIO decoder agrees with ours on the fixture bytes") {
+    for (docId <- Seq(0L, 1L, 5L, 11L, 12L, 23L)) {
+      val bytes = encodeFixture(docId)
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null, s"ImageIO rejected fixture $docId — not standards-valid")
+      val img = MultimodalOps.jpegDecode(bytes).get
+      assert(bi.getWidth == img.width && bi.getHeight == img.height)
+      // ImageIO hands back RGB; convert our YCbCr planes with the JFIF
+      // float matrix and allow ±2 for its integer-approximation rounding.
+      var maxDiff = 0
+      for (yy <- 0 until img.height; xx <- 0 until img.width) {
+        val p = yy * img.width + xx
+        val y = img.planes(0)(p).toDouble
+        val cb = img.planes(1)(p) - 128.0
+        val cr = img.planes(2)(p) - 128.0
+        def clamp(v: Double) = math.min(255, math.max(0, Math.round(v).toInt))
+        val r = clamp(y + 1.402 * cr)
+        val g = clamp(y - 0.344136 * cb - 0.714136 * cr)
+        val b = clamp(y + 1.772 * cb)
+        val rgb = bi.getRGB(xx, yy)
+        maxDiff = math.max(maxDiff, math.abs(((rgb >> 16) & 0xff) - r))
+        maxDiff = math.max(maxDiff, math.abs(((rgb >> 8) & 0xff) - g))
+        maxDiff = math.max(maxDiff, math.abs((rgb & 0xff) - b))
+      }
+      assert(maxDiff <= 2, s"doc $docId: ImageIO RGB diverges by $maxDiff")
+    }
+  }
+
+  test("decodes ImageIO-encoded random grayscale within the T.81 IDCT allowance") {
+    val rnd = new scala.util.Random(42)
+    // non-multiple-of-8 sizes exercise the partial-MCU crop
+    for (((w, h), q) <- Seq((21, 13), (64, 48), (37, 40)).zip(Seq(0.5f, 0.75f, 1.0f))) {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (yy <- 0 until h; xx <- 0 until w)
+        bi.getRaster.setSample(xx, yy, 0, rnd.nextInt(256))
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(q)
+      val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(mos)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      mos.flush(); writer.dispose()
+      val bytes = bos.toByteArray
+      val img = MultimodalOps.jpegDecode(bytes)
+        .getOrElse(fail(s"failed to decode ImageIO output ($w x $h, q=$q)"))
+      assert(img.width == w && img.height == h && img.comps == 1)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var maxDiff = 0
+      for (yy <- 0 until h; xx <- 0 until w) {
+        val mine = img.planes(0)(yy * w + xx)
+        val theirs = ref.getRaster.getSample(xx, yy, 0)
+        maxDiff = math.max(maxDiff, math.abs(mine - theirs))
+      }
+      assert(maxDiff <= 2, s"($w x $h, q=$q): max per-sample diff $maxDiff")
+    }
+  }
+
+  test("quarantine: garbage, progressive, and truncated payloads drop to None") {
+    assert(MultimodalOps.jpegDecode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MultimodalOps.jpegDecode(Array.fill[Byte](64)(0x55)).isEmpty)
+    val good = encodeFixture(7L)
+    // flip SOF0 (FFC0) to SOF2 (FFC2 progressive) — must drop, not mis-decode
+    val prog = good.clone()
+    val sof = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    assert(MultimodalOps.jpegDecode(prog).isEmpty)
+    // truncate inside the entropy stream — must drop, not throw
+    assert(MultimodalOps.jpegDecode(good.take(good.length - 3)).isEmpty)
+  }
+
+  test("extractJpegPixels is partition-parallel and drops undecodable rows") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = spark.range(0, 24).toDF("doc_id")
+    val media = MultimodalOps.asJpegPayload(spark, docs, "doc_id")
+    val decoded = MultimodalOps.extractJpegPixels(spark, media).collect()
+    assert(decoded.length == 24)
+    // splice in an undecodable row: it must be quarantined, not fail the job
+    val withJunk = media.union(
+      Seq((999L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload"))
+    assert(MultimodalOps.extractJpegPixels(spark, withJunk).count() == 24)
+  }
+}
