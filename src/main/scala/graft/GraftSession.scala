@@ -69,6 +69,10 @@ final class GraftSession(
       optimizeTable(raw)
     else if (raw.toUpperCase(Locale.ROOT).startsWith("DESCRIBE HISTORY "))
       describeHistory(raw)
+    else if (raw.toUpperCase(Locale.ROOT).startsWith("CREATE MATERIALIZED VIEW "))
+      createMaterializedView(raw)
+    else if (raw.toUpperCase(Locale.ROOT).startsWith("REFRESH MATERIALIZED VIEW "))
+      refreshMaterializedView(raw)
     else if (addressesV2Catalog(raw)) spark.sql(raw)
     else sqlFrontDoor(raw)
   }
@@ -137,6 +141,73 @@ final class GraftSession(
     }
     import spark.implicits._
     Seq((m.group(1), retained)).toDF("table_name", "retained_versions")
+  }
+
+  /** `CREATE MATERIALIZED VIEW <cat>.<ns>.<mv> AS SELECT <keys...>,
+    * count(*) AS cnt, sum(<expr>) AS total FROM <cat>.<ns>.<src> GROUP BY
+    * <keys...>` — the front-door surface over
+    * [[graft.ops.CdcMvOps]]: creates the rollup table (key types copied
+    * from the source schema) and persists the definition in the MV's own
+    * manifest properties, so `REFRESH MATERIALIZED VIEW` works from any
+    * session with no driver-side registry. The additive count+sum shape
+    * is the one incremental maintenance can fold exactly from the CDC
+    * feed; anything else errors with the supported grammar. */
+  private def createMaterializedView(q: String): DataFrame = {
+    val shape = "CREATE MATERIALIZED VIEW <catalog>.<ns>.<mv> AS SELECT " +
+      "<keys...>, count(*) AS cnt, sum(<expr>) AS total " +
+      "FROM <catalog>.<ns>.<src> GROUP BY <keys...>"
+    val m = ("""(?is)CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][\w.]*)\s+AS\s+""" +
+      """SELECT\s+(.*)\s+FROM\s+([A-Za-z_][\w.]*)\s+GROUP\s+BY\s+(.*)""").r
+      .findFirstMatchIn(q)
+      .getOrElse(sys.error(s"cannot parse CREATE MATERIALIZED VIEW — $shape"))
+    val mv = m.group(1)
+    val src = m.group(3)
+    val keys = m.group(4).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val sel = splitTopLevel(m.group(2), ',').map(_.trim)
+    require(sel.length == keys.length + 2 &&
+      sel.take(keys.length).map(_.toLowerCase(Locale.ROOT)) ==
+        keys.map(_.toLowerCase(Locale.ROOT)) &&
+      """(?is)count\s*\(\s*\*\s*\)\s+AS\s+cnt""".r
+        .findFirstIn(sel(keys.length)).contains(sel(keys.length)),
+      s"unsupported MV select list — $shape")
+    val sumM = """(?is)sum\s*\((.*)\)\s+AS\s+total""".r
+      .findFirstMatchIn(sel.last)
+      .getOrElse(sys.error(s"unsupported MV aggregate — $shape"))
+    val valueExpr = sumM.group(1).trim
+    val srcSchema = graft.ops.CdcMvOps.diskTable(spark, src).schema()
+    val keyDdl = keys.map { k =>
+      val f = srcSchema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+        sys.error(s"MV key column '$k' is not a column of $src"))
+      s"${f.name} ${f.dataType.sql}"
+    }.mkString(", ")
+    def esc(s: String) = s.replace("'", "''")
+    spark.sql(graft.ops.CdcMvOps.createRollupDdl(mv, keyDdl) +
+      s""" TBLPROPERTIES(
+        'graft.mv.src' = '${esc(src)}',
+        'graft.mv.keys' = '${esc(keys.mkString(","))}',
+        'graft.mv.value' = '${esc(valueExpr)}')""")
+    import spark.implicits._
+    Seq((mv, src)).toDF("mv_name", "source_table")
+  }
+
+  /** `REFRESH MATERIALIZED VIEW <cat>.<ns>.<mv>` — one incremental fold
+    * of the source commits since the MV's watermark (see
+    * [[graft.ops.CdcMvOps.refreshRollup]] for the exactly-once
+    * construction). Returns the applied source version. */
+  private def refreshMaterializedView(q: String): DataFrame = {
+    val m = """(?is)REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][\w.]*)\s*""".r
+      .findFirstMatchIn(q)
+      .getOrElse(sys.error(s"cannot parse REFRESH MATERIALIZED VIEW: $q"))
+    val mv = m.group(1)
+    val props = graft.ops.CdcMvOps.diskTable(spark, mv).properties()
+    val src = Option(props.get("graft.mv.src")).getOrElse(sys.error(
+      s"$mv is not a materialized view (no graft.mv.* definition in its " +
+        "manifest properties — create it with CREATE MATERIALIZED VIEW)"))
+    val keys = props.get("graft.mv.keys").split(',').toSeq
+    val applied = graft.ops.CdcMvOps.refreshRollup(
+      spark, src, mv, keys, props.get("graft.mv.value"))
+    import spark.implicits._
+    Seq((mv, applied)).toDF("mv_name", "applied_version")
   }
 
   /** True when the statement addresses a registered DataSourceV2 catalog by

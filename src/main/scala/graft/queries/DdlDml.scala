@@ -513,6 +513,67 @@ object DdlDml extends QueryModule {
           FROM s)
         SELECT _commit_version, _change_type,
           o_orderkey, o_orderpriority, o_totalprice
-        FROM feed ORDER BY _commit_version, _change_type, o_orderkey"""))
+        FROM feed ORDER BY _commit_version, _change_type, o_orderkey""")),
+
+    // ---- Incremental MV maintenance over the CDC feed, under the oracle
+    // gate: each refresh folds ONLY the source commits since the last
+    // applied version into the rollup (one delta groupBy + one
+    // file-granular COW MERGE — never a corpus re-aggregate). The
+    // exactly-once watermark rides INSIDE the MV commit (`__as_of` on
+    // touched rows, recovered as max(__as_of)), so there is no moment
+    // where the delta is applied but progress unrecorded. DECIMAL
+    // arithmetic keeps incremental add/subtract exact: the oracle's
+    // DIRECT aggregate over the final source state must hash-match an MV
+    // that was built through inserts, a COW UPDATE's pre-image
+    // delete/post-image insert pairs, row deletes, a CDC-silent
+    // OPTIMIZE, and two deliberately replayed no-op refreshes. ----
+    QueryDef(
+      "ddl_v2_disk_mv_incremental",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        import graft.ops.CdcMvOps
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.ord_mv_src")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.ord_mv")
+        s.sql("""CREATE TABLE gdisk.verify.ord_mv_src (
+          o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)""")
+        s.sql(CdcMvOps.createRollupDdl(
+          "gdisk.verify.ord_mv", "o_orderpriority STRING"))
+        def refresh(): Long = CdcMvOps.refreshRollup(s,
+          "gdisk.verify.ord_mv_src", "gdisk.verify.ord_mv",
+          Seq("o_orderpriority"), "o_totalprice")
+        def ins(pred: String): Unit =
+          s.sql("INSERT INTO gdisk.verify.ord_mv_src " +
+            "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders " +
+            s"WHERE $pred")
+        ins("o_orderpriority < '3'") // v1
+        ins("o_orderpriority >= '3' AND o_orderpriority < '4'") // v2
+        refresh() // applies v1..v2
+        ins("o_orderpriority >= '4'") // v3
+        s.sql("""UPDATE gdisk.verify.ord_mv_src
+          SET o_totalprice = o_totalprice * 2
+          WHERE o_orderkey % 5 = 0""") // v4: COW delete+insert pairs
+        s.sql("DELETE FROM gdisk.verify.ord_mv_src WHERE o_orderkey % 7 = 0") // v5
+        new GraftSession(s).sql("OPTIMIZE gdisk.verify.ord_mv_src") // v6: CDC-silent
+        refresh() // applies v3..v6
+        val w1 = refresh() // no-op: watermark already at the head
+        val w2 = refresh()
+        require(w1 == w2, s"MV watermark moved on a no-op refresh: $w1 -> $w2")
+        CdcMvOps.serve(s, "gdisk.verify.ord_mv", Seq("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM (
+          SELECT o_orderkey, o_orderpriority,
+            CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                 ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 7 <> 0)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

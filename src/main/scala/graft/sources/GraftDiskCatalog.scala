@@ -1079,11 +1079,14 @@ class GraftDiskTable(
     * commit removed (INSERT OVERWRITE's old snapshot, a copy-on-write
     * rewrite's served groups) as `'delete'` — so a COW UPDATE surfaces as
     * the touched groups' full pre-image deletes + post-image inserts,
-    * exactly what the manifest diff proves. Pure-reorganization versions
-    * (OPTIMIZE/rename rewrites, `added=[]`) and metadata versions are
-    * silent, matching the streaming source's compaction semantics. Each
-    * version's rows are read distributed with THAT version's schema;
-    * vacuumed versions error cleanly. */
+    * exactly what the manifest diff proves. A version that only REMOVES
+    * files (a COW delete whose touched files had no survivors, TRUNCATE)
+    * feeds the removed rows as `'delete'` — distinguishable from
+    * reorganizations because OPTIMIZE/rename rewrites always introduce
+    * replacement files into the snapshot. Pure-reorganization and
+    * metadata versions are silent, matching the streaming source's
+    * compaction semantics. Each version's rows are read distributed with
+    * THAT version's schema; vacuumed versions error cleanly. */
   private[graft] def changes(from: Long, to: Long): org.apache.spark.sql.DataFrame = {
     // named import: functions._ would shadow this table's `log` member
     import org.apache.spark.sql.functions.lit
@@ -1101,18 +1104,27 @@ class GraftDiskTable(
       .filter(v => v >= math.max(from, 1) && v <= to)
       .flatMap { v =>
         val m = log.read(v)
-        if (m.added.isEmpty) Nil
-        else {
-          val prev = log.read(v - 1)
-          val removed = prev.files.filterNot(m.files.toSet)
+        val prev = log.read(v - 1)
+        val removed = prev.files.filterNot(m.files.toSet)
+        val newFiles = m.files.filterNot(prev.files.toSet)
+        def deletes = readFiles(prev, removed)
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(v))
+        if (m.added.nonEmpty) {
           val ins = readFiles(m, m.added)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v))
-          if (removed.isEmpty) Seq(ins)
-          else Seq(ins, readFiles(prev, removed)
-            .withColumn("_change_type", lit("delete"))
-            .withColumn("_commit_version", lit(v)))
-        }
+          if (removed.isEmpty) Seq(ins) else Seq(ins, deletes)
+        } else if (newFiles.isEmpty && removed.nonEmpty) {
+          // PURE delete: files left the snapshot and nothing replaced
+          // them (a COW rewrite whose touched files had no survivors, or
+          // TRUNCATE). Reorganizations can't look like this — OPTIMIZE /
+          // rename rewrites always introduce replacement files — so this
+          // shape is unambiguously a data deletion and must feed
+          // `'delete'` rows (found by the CdcMvSpec tombstone case: a
+          // delete-everything commit was silently invisible to CDC).
+          Seq(deletes)
+        } else Nil // reorganization or metadata-only: CDC-silent
       }
     if (perVersion.isEmpty) {
       val schema = loaded.schema

@@ -56,7 +56,10 @@ class DriverActionLintSpec extends AnyFunSuite {
       "per-micro-batch changed-key upsert set in update mode — bounded by " +
         "the materialized view's key cardinality, the point of update mode"),
     Allowed("DdlDml.scala", "\"TARGET 65536 BYTES\").head()", 1,
-      "exactly one row: OPTIMIZE returns (table, files_before, files_after)"))
+      "exactly one row: OPTIMIZE returns (table, files_before, files_after)"),
+    Allowed("CdcMvOps.scala", ".head().getLong(0)", 1,
+      "a single scalar: the MV's applied-version watermark " +
+        "(coalesce(max(__as_of), 0))"))
 
   /** DF driver actions with materialized-row results. `.count()` /
     * `.isEmpty` return scalars and are exempt; bare `.head`/`.take(n)`
