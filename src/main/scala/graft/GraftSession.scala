@@ -1107,16 +1107,19 @@ final class GraftSession(
           val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftDiskTable]
           return t.log.versions().map { v =>
             val m = t.log.read(v)
-            (v.toInt, s"COMMIT(files=${m.files.length}, added=${m.added.length})")
-          }.toDF("version", "operation")
+            (v.toInt, s"COMMIT(files=${m.files.length}, added=${m.added.length})",
+              m.committedAtMs.getOrElse(0L))
+          }.toDF("version", "operation", "committed_at_ms")
         case None => graft.sources.GraftMemCatalog.instance(parts.head) match {
           case Some(cat) =>
             val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftMemTable]
             val latest = t.historyLength - 1
             val oldest = latest - t.retainedHistoryCount + 1
+            val times = t.retainedHistoryTimes
             return (oldest to latest).map(v =>
-              (v.toInt, if (v == 0) "CREATE" else "COMMIT"))
-              .toDF("version", "operation")
+              (v.toInt, if (v == 0) "CREATE" else "COMMIT",
+                times((v - oldest).toInt)))
+              .toDF("version", "operation", "committed_at_ms")
           case None => () // front-door schema-qualified name: fall through
         }
       }

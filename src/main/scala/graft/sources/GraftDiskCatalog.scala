@@ -140,10 +140,32 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"gdisk: VERSION AS OF expects a numeric commit id, got '$version'")
     }
-    loadTable(ident, v)
+    loadVersion(ident, v)
   }
 
-  override def loadTable(ident: Identifier, version: Long): Table = {
+  /** `TIMESTAMP AS OF t` — Spark's time-travel resolution routes
+    * timestamps (MICROseconds) through this overload (numeric `VERSION AS
+    * OF` always arrives as the String overload above): serve the newest
+    * manifest committed at or before `t`. Manifests from before commit
+    * times were recorded count as the unknown past (always eligible). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val log = new DiskCommitLog(dir, hadoopConf())
+    val ms = Math.floorDiv(timestamp, 1000L)
+    val eligible = log.versions().reverseIterator
+      .map(v => v -> log.read(v))
+      .find { case (_, m) => m.committedAtMs.forall(_ <= ms) }
+    val (v, m) = eligible.getOrElse(throw new IllegalArgumentException(
+      s"gdisk: no version of ${fullName(ident)} committed at or before " +
+        s"timestamp $ms ms (earliest retained commit: " +
+        s"${log.read(log.versions().head).committedAtMs.getOrElse(0L)} ms)"))
+    new GraftDiskTable(s"${fullName(ident)}@v$v", log, m, pinned = Some(v))
+  }
+
+  /** Version-pinned load (the `VERSION AS OF` target and internal
+    * time-travel entry). */
+  private[graft] def loadVersion(ident: Identifier, version: Long): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
     val log = new DiskCommitLog(dir, hadoopConf())
@@ -406,7 +428,11 @@ case class DiskManifest(
     properties: Map[String, String],
     epochs: Map[String, Long],
     partitionCols: Option[Seq[String]] = None,
-    fileStats: Option[Map[String, Map[String, ColStats]]] = None) {
+    fileStats: Option[Map[String, Map[String, ColStats]]] = None,
+    // wall-clock commit time (stamped by DiskCommitLog.write) — the
+    // resolution target of TIMESTAMP AS OF; None only on manifests
+    // written before the field existed (treated as "the unknown past")
+    committedAtMs: Option[Long] = None) {
   lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
@@ -511,7 +537,8 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
       val tmp = new HPath(logDir,
         s".v${m.version}.tmp-${java.util.UUID.randomUUID}")
       val out = fs.create(tmp, false)
-      try out.write(Serialization.write(m)
+      try out.write(Serialization
+        .write(m.copy(committedAtMs = Some(System.currentTimeMillis())))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       if (!fs.rename(tmp, target)) {

@@ -162,9 +162,12 @@ class GraftMemCatalog extends TableCatalog with SupportsNamespaces {
     t.snapshotAt(v)
   }
 
-  override def loadTable(ident: Identifier, version: Long): Table =
+  /** `TIMESTAMP AS OF t` — Spark routes timestamps (MICROseconds) through
+    * this overload; numeric `VERSION AS OF` always arrives as the String
+    * overload above. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
     tables.getOrElse(key(ident), throw new NoSuchTableException(ident))
-      .snapshotAt(version)
+      .snapshotAtTime(Math.floorDiv(timestamp, 1000L))
 
   override def tableExists(ident: Identifier): Boolean = tables.contains(key(ident))
 
@@ -402,6 +405,17 @@ class GraftMemTable(
   private var history: Vector[(Array[V2Column], Array[Constraint], Vector[InternalRow])] =
     Vector((initialCols, initialConstraints, Vector.empty))
   private var historyBase: Long = 0L
+  // wall-clock commit time of each retained snapshot (parallel to
+  // `history`) — the resolution target of TIMESTAMP AS OF
+  private var historyTimes: Vector[Long] =
+    Vector(System.currentTimeMillis())
+
+  /** Append the current state as a new commit snapshot (always paired
+    * with its wall-clock stamp so `historyTimes` can never skew). */
+  private def recordSnapshot(): Unit = {
+    history = history :+ ((cols, cons, rows))
+    historyTimes = historyTimes :+ System.currentTimeMillis()
+  }
   // last committed epoch per streaming query id: epoch replays after a
   // checkpoint restart re-deliver the same rows; skipping already-committed
   // epochs makes the sink exactly-once AND keeps replays from tripping
@@ -435,6 +449,17 @@ class GraftMemTable(
     snap.rows = data
     snap
   }
+
+  /** `TIMESTAMP AS OF` resolution: the newest RETAINED snapshot committed
+    * at or before `ms` wall-clock milliseconds. */
+  private[sources] def snapshotAtTime(ms: Long): Table = synchronized {
+    val idx = historyTimes.lastIndexWhere(_ <= ms)
+    require(idx >= 0,
+      s"gmem: no retained version of $tableName committed at or before " +
+        s"timestamp $ms ms (oldest retained: ${historyTimes.head} ms; " +
+        s"raise ${caps.confPrefix}.retainVersions to keep more snapshots)")
+    snapshotAt(historyBase + idx)
+  }
   override def schema(): StructType = synchronized(tableSchema)
   override def columns(): Array[V2Column] = synchronized(cols)
   override def constraints(): Array[Constraint] = synchronized(cons)
@@ -447,6 +472,9 @@ class GraftMemTable(
     synchronized(historyBase + history.length)
   /** Retained (post-compaction) counts — what actually sits on the driver. */
   private[graft] def retainedHistoryCount: Int = synchronized(history.length)
+  /** Wall-clock commit times of the retained snapshots (oldest first). */
+  private[graft] def retainedHistoryTimes: Vector[Long] =
+    synchronized(historyTimes)
   private[graft] def retainedLogCount: Int = synchronized(log.length)
 
   /** Restore to commit snapshot `v` — columns, constraints and rows roll
@@ -467,7 +495,7 @@ class GraftMemTable(
     cons = cns
     rows = data
     storedBytes = data.iterator.map(rowBytes).sum
-    history = history :+ ((cols, cons, rows))
+    recordSnapshot()
     compactRetention()
   }
 
@@ -480,6 +508,7 @@ class GraftMemTable(
     if (history.length > caps.retainVersions) {
       val drop = history.length - caps.retainVersions
       history = history.drop(drop)
+      historyTimes = historyTimes.drop(drop)
       historyBase += drop
     }
     if (log.length > caps.retainLogRows) {
@@ -498,6 +527,7 @@ class GraftMemTable(
     if (history.length > retain) {
       val drop = history.length - retain
       history = history.drop(drop)
+      historyTimes = historyTimes.drop(drop)
       historyBase += drop
     }
     logBase += log.length
@@ -556,7 +586,7 @@ class GraftMemTable(
     rows = (if (truncate) Vector.empty else rows) ++ appended
     storedBytes = baseBytes + addBytes
     log = log ++ appended
-    history = history :+ ((cols, cons, rows))
+    recordSnapshot()
     compactRetention()
   }
 
@@ -767,7 +797,7 @@ class GraftMemTable(
     // (GenericInternalRow) with a different rowBytes estimator — recompute
     // so the byte-cap accounting doesn't drift until the next truncate
     storedBytes = rows.iterator.map(rowBytes).sum
-    history = history :+ ((cols, cons, rows))
+    recordSnapshot()
     compactRetention()
   }
 

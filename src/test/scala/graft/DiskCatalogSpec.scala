@@ -503,6 +503,48 @@ class DiskCatalogSpec extends AnyFunSuite {
       hist.toString)
   }
 
+  test("TIMESTAMP AS OF serves the newest commit at or before the timestamp") {
+    spark.sql("CREATE TABLE gdspec.lake.tt_ts (id BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.tt_ts VALUES (1)")
+    Thread.sleep(20) // commit stamps are wall-clock milliseconds
+    val mid = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+    Thread.sleep(20)
+    spark.sql("INSERT INTO gdspec.lake.tt_ts VALUES (2)")
+    assert(spark.sql(
+      s"SELECT count(*) FROM gdspec.lake.tt_ts TIMESTAMP AS OF '$mid'")
+      .head().getLong(0) == 1L, "mid-point timestamp must serve only v1")
+    val late = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now().plusSeconds(2))
+    assert(spark.sql(
+      s"SELECT count(*) FROM gdspec.lake.tt_ts TIMESTAMP AS OF '$late'")
+      .head().getLong(0) == 2L)
+    val early = intercept[Exception](spark.sql(
+      "SELECT * FROM gdspec.lake.tt_ts TIMESTAMP AS OF '2000-01-01'").collect())
+    assert(early.getMessage.contains("at or before"), early.getMessage)
+    // DESCRIBE HISTORY exposes the stamps TIMESTAMP AS OF resolves against
+    val hist = new GraftSession(spark)
+      .sql("DESCRIBE HISTORY gdspec.lake.tt_ts").collect()
+      .map(r => (r.getInt(0), r.getLong(2)))
+    assert(hist.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(hist.forall(_._2 > 0) &&
+      hist.sliding(2).forall(p => p(0)._2 <= p(1)._2), hist.mkString(","))
+  }
+
+  test("CTAS creates and populates a gdisk table in one statement") {
+    spark.sql("CREATE TABLE gdspec.lake.ctas AS " +
+      "SELECT id, id * 2 AS dbl FROM range(5)")
+    val rows = spark.sql("SELECT id, dbl FROM gdspec.lake.ctas ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == (0L until 5L).map(i => (i, i * 2)))
+    // CTAS output is a normal gdisk table: versioned and time-travelable
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.ctas VERSION AS OF 1")
+      .head().getLong(0) == 5L)
+  }
+
   test("DROP TABLE / RENAME TABLE / SHOW TABLES") {
     spark.sql("CREATE TABLE gdspec.lake.sh1 (id BIGINT)")
     spark.sql("INSERT INTO gdspec.lake.sh1 VALUES (1)")

@@ -153,6 +153,30 @@ class DsV2CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TIMESTAMP AS OF serves the newest gmem snapshot at or before the timestamp") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmem.lake")
+    spark.sql("DROP TABLE IF EXISTS gmem.lake.tt_ts")
+    spark.sql("CREATE TABLE gmem.lake.tt_ts (id BIGINT)")
+    spark.sql("INSERT INTO gmem.lake.tt_ts VALUES (1)")
+    Thread.sleep(20)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    val mid = fmt.format(java.time.Instant.now())
+    Thread.sleep(20)
+    spark.sql("INSERT INTO gmem.lake.tt_ts VALUES (2)")
+    assert(spark.sql(
+      s"SELECT count(*) FROM gmem.lake.tt_ts TIMESTAMP AS OF '$mid'")
+      .head().getLong(0) == 1L)
+    val late = fmt.format(java.time.Instant.now().plusSeconds(2))
+    assert(spark.sql(
+      s"SELECT count(*) FROM gmem.lake.tt_ts TIMESTAMP AS OF '$late'")
+      .head().getLong(0) == 2L)
+    val early = intercept[Exception](spark.sql(
+      "SELECT * FROM gmem.lake.tt_ts TIMESTAMP AS OF '2000-01-01'").collect())
+    assert(early.getMessage.contains("at or before"), early.getMessage)
+  }
+
   test("a joined dimension from the catalog broadcasts against parquet facts") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gmem.lake")
     spark.sql("CREATE TABLE gmem.lake.regions2 AS " +
