@@ -515,6 +515,70 @@ object DdlDml extends QueryModule {
           o_orderkey, o_orderpriority, o_totalprice
         FROM feed ORDER BY _commit_version, _change_type, o_orderkey""")),
 
+    // ---- Storage-partitioned join under the oracle gate: two gdisk
+    // tables identity-partitioned on the same column report
+    // KeyGroupedPartitioning from their hive file groups, so the
+    // aggregate-then-join plan runs with ZERO hash exchanges when
+    // Spark's v2 bucketing is on (SPARK-37375) — the co-located-join
+    // layout at 100 TB. The plan proof runs inside the builder under the
+    // SPJ confs (restored after); the returned result is value-gated
+    // against a direct DuckDB reconstruction. ----
+    QueryDef(
+      "ddl_v2_disk_spj",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.spj_a")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.spj_b")
+        for (t <- Seq("spj_a", "spj_b"))
+          s.sql(s"CREATE TABLE gdisk.verify.$t " +
+            "(o_orderkey BIGINT, o_orderpriority STRING) " +
+            "PARTITIONED BY (o_orderpriority)")
+        s.sql("INSERT INTO gdisk.verify.spj_a SELECT o_orderkey, " +
+          "o_orderpriority FROM orders WHERE o_orderkey % 2 = 0")
+        s.sql("INSERT INTO gdisk.verify.spj_b SELECT o_orderkey, " +
+          "o_orderpriority FROM orders WHERE o_orderkey % 2 = 1")
+        val q = """SELECT a.o_orderpriority, ca, cb FROM
+            (SELECT o_orderpriority, count(*) AS ca
+             FROM gdisk.verify.spj_a GROUP BY o_orderpriority) a
+          JOIN
+            (SELECT o_orderpriority, count(*) AS cb
+             FROM gdisk.verify.spj_b GROUP BY o_orderpriority) b
+          ON a.o_orderpriority = b.o_orderpriority
+          ORDER BY a.o_orderpriority"""
+        val confs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.adaptive.enabled" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        try {
+          confs.foreach { case (k, v) => s.conf.set(k, v) }
+          val plan = s.sql(q).queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange hashpartitioning"),
+            s"storage-partitioned join did not elide its shuffles:\n$plan")
+          require(plan.contains("spjGroups="),
+            s"expected the SPJ scan in the plan:\n$plan")
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+        s.sql(q)
+      },
+      Some("""SELECT a.o_orderpriority, ca, cb FROM
+          (SELECT o_orderpriority, count(*) AS ca FROM orders
+           WHERE o_orderkey % 2 = 0 GROUP BY o_orderpriority) a
+        JOIN
+          (SELECT o_orderpriority, count(*) AS cb FROM orders
+           WHERE o_orderkey % 2 = 1 GROUP BY o_orderpriority) b
+        ON a.o_orderpriority = b.o_orderpriority
+        ORDER BY a.o_orderpriority""")),
+
     // ---- Incremental MV maintenance over the CDC feed, under the oracle
     // gate: each refresh folds ONLY the source commits since the last
     // applied version into the rollup (one delta groupBy + one

@@ -662,6 +662,12 @@ class GraftDiskTable(
   private[sources] def manifestStats: Map[String, Map[String, ColStats]] =
     loaded.stats
 
+  /** This table version's identity partition columns (scan-side SPJ
+    * grouping reads the pinned manifest's). */
+  private[sources] def livePartCols: Seq[String] = loaded.partCols
+
+  private[sources] def liveSchema: StructType = loaded.schema
+
   override def toString: String = s"GraftDiskTable($tableName)"
 
   // --------------------------------------------------------------- write
@@ -1382,6 +1388,8 @@ class GraftDiskScanBuilder(
   private var prunedForInner: Option[StructType] = None
   private var wantsFile = false
   private var statsSkipped = 0
+  private var pushedDataFilters
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     wantsFile = requiredSchema.fieldNames.contains(FileColumnName)
@@ -1416,6 +1424,7 @@ class GraftDiskScanBuilder(
         prunedForInner.foreach(inner.pruneColumns)
       }
     }
+    pushedDataFilters = dataFilters
     fileFilters ++ inner.pushFilters(dataFilters)
   }
 
@@ -1441,13 +1450,22 @@ class GraftDiskScanBuilder(
       : Boolean = !wantsFile && inner.supportCompletePushDown(agg)
 
   override def build(): Scan = {
+    val pruned = StructType(required.fields.filterNot(_.name == FileColumnName))
     if (wantsFile)
-      new GdiskFileScan(table, currentFiles,
-        StructType(required.fields.filterNot(_.name == FileColumnName)),
-        required)
-    else new GraftDiskScan(table, inner.build(),
-      StructType(required.fields.filterNot(_.name == FileColumnName)),
-      currentFiles.length, files.length)
+      new GdiskFileScan(table, currentFiles, pruned, required)
+    else {
+      val base = new GraftDiskScan(table, inner.build(), pruned,
+        currentFiles.length, files.length)
+      // storage-partitioned-join eligibility: identity-partitioned table,
+      // plain row scan (no pushed-down aggregate), and the user opted into
+      // Spark's v2 bucketing — then report KeyGroupedPartitioning so
+      // co-partitioned joins/aggregations skip their exchanges
+      if (table.livePartCols.nonEmpty && !aggPushed &&
+          org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled)
+        new GraftDiskSpjScan(table, currentFiles, prunedForInner,
+          pushedDataFilters, base)
+      else base
+    }
   }
 }
 
@@ -1616,23 +1634,124 @@ class GraftDiskScan(
     }
 }
 
-/** An input partition bundled with the reader factory of the per-batch
-  * inner scan that planned it (micro-batches each plan their own). */
+/** Storage-partitioned-join scan over an identity-partitioned gdisk
+  * table (SPARK-37375): batch planning groups the manifest's files by
+  * their hive partition directory, plans one inner vectorized parquet
+  * scan PER partition value, and tags every input partition with its
+  * key (`HasPartitionKey`) while reporting `KeyGroupedPartitioning` —
+  * so a join or aggregation keyed on the partition columns elides its
+  * exchange entirely when `spark.sql.sources.v2.bucketing.enabled` is
+  * on. At 100 TB this is the co-located-join layout: two corpus tables
+  * partitioned on the same key join with ZERO shuffle, the file groups
+  * meeting executor-side. Schema/statistics/streaming delegate to the
+  * ordinary scan. */
+class GraftDiskSpjScan(
+    table: GraftDiskTable, files: Seq[String],
+    prunedForInner: Option[StructType],
+    dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    base: GraftDiskScan)
+  extends Scan with Batch with SupportsReportPartitioning
+  with SupportsReportStatistics {
+
+  private val partCols = table.livePartCols
+
+  override def readSchema(): StructType = base.readSchema()
+  override def description(): String = s"${base.description()} spjGroups=${groups.size}"
+  override def estimateStatistics(): Statistics = base.estimateStatistics()
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    base.toMicroBatchStream(checkpointLocation)
+  override def toBatch: Batch = this
+
+  /** Files grouped by their partition directory, each with the parsed
+    * key row (partition-column order, Catalyst values). */
+  private lazy val groups: Seq[(InternalRow, Seq[String])] =
+    files.groupBy(f => f.split('/').init.mkString("/")).toSeq.sortBy(_._1)
+      .map { case (dir, fs) => (keyOf(dir), fs) }
+
+  private def keyOf(dir: String): InternalRow = {
+    val segs = dir.split('/').filter(_.nonEmpty)
+    require(segs.length == partCols.length,
+      s"gdisk: file dir '$dir' does not match partition columns $partCols")
+    val schema = table.liveSchema
+    val values: Array[Any] = partCols.zip(segs).map { case (c, seg) =>
+      val eq = seg.indexOf('=')
+      require(eq > 0 && seg.substring(0, eq).equalsIgnoreCase(c),
+        s"gdisk: dir segment '$seg' does not match partition column $c")
+      val raw = java.net.URLDecoder.decode(seg.substring(eq + 1), "UTF-8")
+      if (raw == "__HIVE_DEFAULT_PARTITION__") null
+      else schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+        case org.apache.spark.sql.types.LongType => raw.toLong
+        case org.apache.spark.sql.types.IntegerType => raw.toInt
+        case org.apache.spark.sql.types.ShortType => raw.toShort
+        case org.apache.spark.sql.types.ByteType => raw.toByte
+        case org.apache.spark.sql.types.BooleanType => raw.toBoolean
+        case org.apache.spark.sql.types.DateType =>
+          java.time.LocalDate.parse(raw).toEpochDay.toInt
+        case other => sys.error(
+          s"gdisk: unsupported partition key type $other for column $c")
+      }
+    }.toArray
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      partCols.map(c => Expressions.identity(c)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray,
+      groups.size)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    groups.flatMap { case (key, fs) =>
+      val sb = table.innerTable(fs.map(table.log.absolute))
+        .newScanBuilder(CaseInsensitiveStringMap.empty())
+      prunedForInner.foreach(sb.pruneColumns)
+      if (dataFilters.nonEmpty) sb.pushFilters(dataFilters)
+      val b = sb.build().toBatch
+      val factory = b.createReaderFactory()
+      b.planInputPartitions()
+        .map(p => KeyedFactoryPartition(p, factory, key): InputPartition)
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    DelegatingReaderFactory
+}
+
+/** A factory-bundled partition additionally tagged with its
+  * partition-key row (the `HasPartitionKey` contract SPJ requires). */
+case class KeyedFactoryPartition(
+    inner: InputPartition, factory: PartitionReaderFactory, key: InternalRow)
+  extends WithFactory with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** An input partition bundled with the reader factory of the inner scan
+  * that planned it ([[DelegatingReaderFactory]] unwraps the pair). */
+sealed trait WithFactory extends InputPartition {
+  def inner: InputPartition
+  def factory: PartitionReaderFactory
+}
+
+/** Micro-batches each plan their own inner scan. */
 case class FactoryPartition(inner: InputPartition, factory: PartitionReaderFactory)
-  extends InputPartition
+  extends WithFactory
 
 object DelegatingReaderFactory extends PartitionReaderFactory {
   override def supportColumnarReads(p: InputPartition): Boolean = {
-    val fp = p.asInstanceOf[FactoryPartition]
+    val fp = p.asInstanceOf[WithFactory]
     fp.factory.supportColumnarReads(fp.inner)
   }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val fp = p.asInstanceOf[FactoryPartition]
+    val fp = p.asInstanceOf[WithFactory]
     fp.factory.createReader(fp.inner)
   }
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val fp = p.asInstanceOf[FactoryPartition]
+    val fp = p.asInstanceOf[WithFactory]
     fp.factory.createColumnarReader(fp.inner)
   }
 }

@@ -545,6 +545,50 @@ class DiskCatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 5L)
   }
 
+  test("storage-partitioned join: co-partitioned gdisk tables join and aggregate with zero shuffle") {
+    val c = spark.conf
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      c.set("spark.sql.adaptive.enabled", "false")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // no broadcast escape
+      spark.sql("CREATE TABLE gdspec.lake.spj_a (src STRING, v BIGINT) " +
+        "PARTITIONED BY (src)")
+      spark.sql("CREATE TABLE gdspec.lake.spj_b (src STRING, w BIGINT) " +
+        "PARTITIONED BY (src)")
+      spark.sql("INSERT INTO gdspec.lake.spj_a VALUES " +
+        "('web', 1), ('web', 2), ('book', 3), ('code', 4)")
+      spark.sql("INSERT INTO gdspec.lake.spj_b VALUES " +
+        "('web', 10), ('book', 20), ('code', 30), ('code', 31)")
+      val joined = spark.sql("""SELECT a.src, a.v, b.w
+        FROM gdspec.lake.spj_a a JOIN gdspec.lake.spj_b b ON a.src = b.src
+        ORDER BY a.src, a.v, b.w""")
+      val got = joined.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq(("book", 3L, 20L), ("code", 4L, 30L),
+        ("code", 4L, 31L), ("web", 1L, 10L), ("web", 2L, 10L)))
+      // the join itself must carry no exchange: both sides report
+      // KeyGroupedPartitioning over src, so the file groups meet in place
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinPart = plan.substring(plan.indexOf("Join"))
+      assert(!joinPart.contains("Exchange hashpartitioning"),
+        s"SPJ did not elide the join shuffle:\n$plan")
+      // aggregation keyed on the partition column: same elision
+      val agg = spark.sql(
+        "SELECT src, count(*) AS c FROM gdspec.lake.spj_a GROUP BY src")
+      assert(agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("web" -> 2L, "book" -> 1L, "code" -> 1L))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange hashpartitioning"),
+        s"SPJ did not elide the aggregation shuffle:\n$aggPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
   test("DROP TABLE / RENAME TABLE / SHOW TABLES") {
     spark.sql("CREATE TABLE gdspec.lake.sh1 (id BIGINT)")
     spark.sql("INSERT INTO gdspec.lake.sh1 VALUES (1)")
