@@ -579,6 +579,68 @@ object DdlDml extends QueryModule {
         ON a.o_orderpriority = b.o_orderpriority
         ORDER BY a.o_orderpriority""")),
 
+    // ---- HASH-BUCKETED storage-partitioned join under the oracle gate:
+    // identity partitioning explodes dirs on high-cardinality keys, so
+    // bucket(n, col) is the co-located layout for corpus-scale join
+    // keys — files land in `__bucket=pmod(hash(col), n)/` dirs, the scan
+    // reports bucket(n, col) KeyGroupedPartitioning, and the catalog's
+    // FunctionCatalog binds the transform so Spark can PROVE both sides
+    // co-partitioned. The equi-join on the bucketed key then runs with
+    // zero hash exchanges (the ORDER BY's range exchange is the only
+    // shuffle in the plan). ----
+    QueryDef(
+      "ddl_v2_disk_spj_bucket",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.bk_a")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.bk_b")
+        s.sql("""CREATE TABLE gdisk.verify.bk_a
+          (o_orderkey BIGINT, o_totalprice DOUBLE)
+          PARTITIONED BY (bucket(8, o_orderkey))""")
+        s.sql("""CREATE TABLE gdisk.verify.bk_b
+          (o_orderkey BIGINT, o_orderpriority STRING)
+          PARTITIONED BY (bucket(8, o_orderkey))""")
+        s.sql("INSERT INTO gdisk.verify.bk_a " +
+          "SELECT o_orderkey, o_totalprice FROM orders")
+        s.sql("INSERT INTO gdisk.verify.bk_b " +
+          "SELECT o_orderkey, o_orderpriority FROM orders")
+        val q = """SELECT a.o_orderkey, a.o_totalprice, b.o_orderpriority
+          FROM gdisk.verify.bk_a a JOIN gdisk.verify.bk_b b
+            ON a.o_orderkey = b.o_orderkey
+          WHERE b.o_orderpriority = '1-URGENT' AND a.o_orderkey % 10 = 0
+          ORDER BY a.o_orderkey"""
+        val confs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.adaptive.enabled" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        try {
+          confs.foreach { case (k, v) => s.conf.set(k, v) }
+          val plan = s.sql(q).queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange hashpartitioning"),
+            s"bucketed SPJ did not elide its join shuffles:\n$plan")
+          require(plan.contains("spjGroups="),
+            s"expected the SPJ scan in the plan:\n$plan")
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+        s.sql(q)
+      },
+      Some("""SELECT a.o_orderkey, a.o_totalprice, b.o_orderpriority
+        FROM (SELECT o_orderkey, o_totalprice FROM orders) a
+        JOIN (SELECT o_orderkey, o_orderpriority FROM orders) b
+          ON a.o_orderkey = b.o_orderkey
+        WHERE b.o_orderpriority = '1-URGENT' AND a.o_orderkey % 10 = 0
+        ORDER BY a.o_orderkey""")),
+
     // ---- Incremental MV maintenance over the CDC feed, under the oracle
     // gate: each refresh folds ONLY the source commits since the last
     // applied version into the rollup (one delta groupBy + one

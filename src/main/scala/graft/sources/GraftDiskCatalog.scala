@@ -70,7 +70,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * out of scope (single-writer discipline, as in the reference's
   * single-process engine).
   */
-class GraftDiskCatalog extends TableCatalog with SupportsNamespaces {
+class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
+  with FunctionCatalog {
   import GraftDiskCatalog._
 
   private var catalogName: String = _
@@ -215,12 +216,10 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces {
       properties: Map[String, String], constraints: Array[Constraint]): Table = {
     if (!namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(ident.namespace)
-    // identity transforms = hive-layout partition dirs; bucket/temporal
-    // transforms are not supported (yet)
-    val partCols = partitions.toSeq.map { t =>
-      require(t.name() == "identity" && t.references().length == 1,
-        s"gdisk: only identity partition transforms are supported, got $t")
-      val c = t.references().head.fieldNames().mkString(".")
+    // identity transforms = hive-layout partition dirs; one bucket(n,
+    // cols...) transform = hash-bucket layout (temporal transforms are
+    // not supported yet)
+    def resolveCol(c: String): String = {
       val colDef = columns.find(_.name.equalsIgnoreCase(c)).getOrElse(
         sys.error(s"gdisk: partition column $c is not a table column"))
       colDef.dataType match {
@@ -237,11 +236,31 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces {
       }
       colDef.name
     }
+    val (partCols, numBuckets) = partitions.toSeq match {
+      case Seq(b) if b.name() == "bucket" =>
+        val n = b.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(sys.error(s"gdisk: bucket transform without a count: $b"))
+        require(n >= 1, s"gdisk: bucket count must be >= 1, got $n")
+        val cols = b.references().toSeq
+          .map(r => resolveCol(r.fieldNames().mkString(".")))
+        require(cols.nonEmpty, s"gdisk: bucket transform without columns: $b")
+        (cols, Some(n))
+      case ts =>
+        (ts.map { t =>
+          require(t.name() == "identity" && t.references().length == 1,
+            "gdisk: only identity transforms or a single bucket(n, cols...)" +
+              s" transform are supported, got $t")
+          resolveCol(t.references().head.fieldNames().mkString("."))
+        }, None)
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = tableDir(ident)
     val log = new DiskCommitLog(dir, hadoopConf())
     val m = DiskManifest(
       version = 0L,
+      numBuckets = numBuckets,
       partitionCols = if (partCols.isEmpty) None else Some(partCols),
       schemaJson = toStruct(columns).json,
       defaults = columns.iterator.flatMap { c =>
@@ -282,6 +301,22 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   // --------------------------------------------------------- namespaces
+  // ---------------------------------------------------------- functions
+  // FunctionCatalog with the one system function storage-partitioned
+  // joins need: Spark resolves a scan's reported `bucket(n, cols...)`
+  // transform through the table's catalog, and without a bound function
+  // the KeyGroupedPartitioning silently degrades to unknown (the join
+  // keeps its shuffles). Same pattern as Iceberg's system-function
+  // catalog. The bound function computes the EXACT id the ingest
+  // writers use: pmod(chained murmur3 seed 42, n).
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GraftDiskCatalog.BucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
   override def listNamespaces(): Array[Array[String]] = {
     val fs = fileSystem(warehouse)
     fs.listStatus(new HPath(warehouse)).filter(_.isDirectory)
@@ -331,6 +366,47 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces {
 object GraftDiskCatalog {
   val LogDirName = "_graft_log"
   val DataDirName = "data"
+
+  /** The v2 `bucket` system function SPJ resolution binds a reported
+    * `bucket(n, cols...)` transform to. Computes pmod(chained murmur3,
+    * seed 42) — identical to the ingest writers' dir assignment, so SQL
+    * `pmod(hash(cols), n)`, OPTIMIZE's rewrite and the scan's partition
+    * keys all agree. `canonicalName` is what Spark compares across the
+    * two join sides to prove co-partitioning. */
+  object BucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+    import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(numBuckets, cols...): gdisk hash-bucket id"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length >= 2 &&
+        inputType.fields.head.dataType ==
+          org.apache.spark.sql.types.IntegerType,
+        "bucket(numBuckets int, cols...)")
+      val types = inputType.fields.map(_.dataType)
+      new ScalarFunction[Integer] {
+        override def inputTypes(): Array[DataType] = types
+        override def resultType(): DataType =
+          org.apache.spark.sql.types.IntegerType
+        override def name(): String = "bucket"
+        override def canonicalName(): String = "gdisk.bucket"
+        override def isResultNullable: Boolean = false
+        override def produceResult(input: InternalRow): Integer = {
+          val n = input.getInt(0)
+          var h = 42
+          var i = 1
+          while (i < types.length) {
+            if (!input.isNullAt(i))
+              h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+                .hash(input.get(i, types(i)), types(i), h).toInt
+            i += 1
+          }
+          ((h % n) + n) % n
+        }
+      }
+    }
+  }
 
   /** Copy-on-write group id = the data FILE a row lives in. Rewrites
     * replace only the affected files (runtime group filtering narrows the
@@ -432,12 +508,24 @@ case class DiskManifest(
     // wall-clock commit time (stamped by DiskCommitLog.write) — the
     // resolution target of TIMESTAMP AS OF; None only on manifests
     // written before the field existed (treated as "the unknown past")
-    committedAtMs: Option[Long] = None) {
+    committedAtMs: Option[Long] = None,
+    // Some(n) = `partitionCols` are HASH-BUCKET columns (PARTITIONED BY
+    // (bucket(n, cols...))): files group under `__bucket=<id>/` dirs with
+    // id = pmod(hash(cols...), n) (Spark's chained murmur3, seed 42) and
+    // the columns stay IN the data files — unlike identity hive layout,
+    // where values live in `col=value/` paths only
+    numBuckets: Option[Int] = None) {
   lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
-  /** Identity partition columns (hive-layout dirs under data/). */
+  /** Partition columns (identity hive-layout OR bucket columns). */
   def partCols: Seq[String] = partitionCols.getOrElse(Nil)
+
+  /** Partition columns encoded in hive `col=value/` paths and STRIPPED
+    * from data files — empty for bucket layout, whose columns stay in
+    * the files (`__bucket=<id>/` dirs are grouping only, never inferred;
+    * no reader may set `basePath` on a bucketed table). */
+  def hiveParts: Seq[String] = if (numBuckets.isEmpty) partCols else Nil
 
   /** Per-file column stats for manifest-level skipping (absent for files
     * written before stats existed — those are simply never skipped). */
@@ -617,7 +705,12 @@ class GraftDiskTable(
   override def properties(): util.Map[String, String] =
     loaded.properties.asJava
   override def partitioning(): Array[Transform] =
-    loaded.partCols.map(c => Expressions.identity(c): Transform).toArray
+    loaded.numBuckets match {
+      case Some(n) =>
+        Array(Expressions.bucket(n, loaded.partCols: _*): Transform)
+      case None =>
+        loaded.partCols.map(c => Expressions.identity(c): Transform).toArray
+    }
 
   /** Copy-on-write groups are data FILES: the `_file` metadata column
     * carries each row's file, runtime group filtering narrows the rewrite
@@ -646,7 +739,7 @@ class GraftDiskTable(
     * per query. */
   private[sources] def innerTable(files: Seq[String]): ParquetTable = {
     val opts =
-      if (loaded.partCols.isEmpty) CaseInsensitiveStringMap.empty()
+      if (loaded.hiveParts.isEmpty) CaseInsensitiveStringMap.empty()
       else new CaseInsensitiveStringMap(
         util.Map.of("basePath", log.dataDir.toString))
     ParquetTable(tableName, spark, opts, files,
@@ -662,9 +755,11 @@ class GraftDiskTable(
   private[sources] def manifestStats: Map[String, Map[String, ColStats]] =
     loaded.stats
 
-  /** This table version's identity partition columns (scan-side SPJ
-    * grouping reads the pinned manifest's). */
+  /** This table version's partition columns (scan-side SPJ grouping
+    * reads the pinned manifest's). */
   private[sources] def livePartCols: Seq[String] = loaded.partCols
+
+  private[sources] def liveNumBuckets: Option[Int] = loaded.numBuckets
 
   private[sources] def liveSchema: StructType = loaded.schema
 
@@ -714,7 +809,8 @@ class GraftDiskTable(
           override def createBatchWriterFactory(
               pwi: PhysicalWriteInfo): DataWriterFactory =
             new GraftDiskWriterFactory(info.schema(), schema(),
-              log.dataDir.toString, writeConfMap(), loaded.partCols)
+              log.dataDir.toString, writeConfMap(), loaded.partCols,
+                loaded.numBuckets)
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             commitFiles(collectFiles(messages), doTruncate,
               newStats = collectStats(messages))
@@ -729,7 +825,8 @@ class GraftDiskTable(
                 pwi: PhysicalWriteInfo)
                 : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
               new GraftDiskWriterFactory(info.schema(), schema(),
-                log.dataDir.toString, writeConfMap(), loaded.partCols)
+                log.dataDir.toString, writeConfMap(), loaded.partCols,
+                loaded.numBuckets)
             override def commit(
                 epochId: Long, messages: Array[WriterCommitMessage]): Unit =
               commitEpochFiles(info.queryId(), epochId, collectFiles(messages),
@@ -766,10 +863,11 @@ class GraftDiskTable(
     }.toMap
   }
 
-  /** File schema = table schema minus hive-encoded partition columns. */
+  /** File schema = table schema minus hive-encoded partition columns
+    * (bucket columns stay in the files, so nothing is stripped there). */
   private def dataFileSchema(m: DiskManifest): StructType =
     StructType(m.schema.fields
-      .filterNot(f => m.partCols.exists(_.equalsIgnoreCase(f.name))))
+      .filterNot(f => m.hiveParts.exists(_.equalsIgnoreCase(f.name))))
 
   private def deleteFiles(files: Seq[String]): Unit = {
     val fs = log.dataDir.getFileSystem(
@@ -843,9 +941,7 @@ class GraftDiskTable(
     def readFiles(fs: Seq[String]) =
       if (fs.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .option("basePath", log.dataDir.toString)
-        .parquet(fs.map(log.absolute): _*)
+      else readTable(log, base, fs)
     val appended = readFiles(newFiles)
     val existing =
       if (existingFiles.isEmpty) None else Some(readFiles(existingFiles))
@@ -874,12 +970,17 @@ class GraftDiskTable(
   private def emptyDf(schema: StructType) = spark.createDataFrame(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** basePath only for hive layout — a bucketed table's `__bucket=` dirs
+    * must never be partition-inferred into the schema. */
   private def readTable(
-      l: DiskCommitLog, schema: StructType, files: Seq[String]) =
-    if (files.isEmpty) emptyDf(schema)
-    else spark.read.schema(schema)
-      .option("basePath", l.dataDir.toString)
-      .parquet(files.map(l.absolute): _*)
+      l: DiskCommitLog, m: DiskManifest, files: Seq[String]) =
+    if (files.isEmpty) emptyDf(m.schema)
+    else {
+      val r = spark.read.schema(m.schema)
+      (if (m.hiveParts.isEmpty) r
+       else r.option("basePath", l.dataDir.toString))
+        .parquet(files.map(l.absolute): _*)
+    }
 
   /** Resolve an FK's parent table within the same warehouse (`REFERENCES`
     * identifiers may carry the catalog name as their first segment). */
@@ -915,15 +1016,15 @@ class GraftDiskTable(
       existingFiles: Seq[String]): Unit = {
     val fks = base.constraints.filter(_.kind == "foreignKey")
     if (fks.isEmpty || newFiles.isEmpty) return
-    val appended = readTable(log, base.schema, newFiles)
+    val appended = readTable(log, base, newFiles)
     for (fk <- fks) {
       val (pl, pm) = fkParentLog(fk).getOrElse(throw new IllegalStateException(
         s"gdisk: FOREIGN KEY ${fk.name} on $tableName references missing " +
           s"table ${fk.refTable.mkString(".")}"))
       val parentKeys =
         (if (sameTable(pl))
-          readTable(log, base.schema, existingFiles ++ newFiles)
-        else readTable(pl, pm.schema, pm.files))
+          readTable(log, base, existingFiles ++ newFiles)
+        else readTable(pl, pm, pm.files))
           .select(fk.refColumns.map(col).toIndexedSeq: _*)
           .toDF(fk.columns: _*)
       val orphans = appended
@@ -959,10 +1060,10 @@ class GraftDiskTable(
       fk <- childM.constraints if fk.kind == "foreignKey"
       if fkParentLog(fk).exists { case (pl, _) => sameTable(pl) }
     } {
-      val parentKeys = readTable(log, log.latest().schema, newStateFiles)
+      val parentKeys = readTable(log, log.latest(), newStateFiles)
         .select(fk.refColumns.map(col).toIndexedSeq: _*)
         .toDF(fk.columns: _*)
-      val orphans = readTable(childLog, childM.schema, childM.files)
+      val orphans = readTable(childLog, childM, childM.files)
         .filter(fk.columns.map(col(_).isNotNull).reduce(_ && _))
         .select(fk.columns.map(col).toIndexedSeq: _*).alias("__c")
         .join(parentKeys.alias("__p"),
@@ -1011,7 +1112,8 @@ class GraftDiskTable(
                 override def createBatchWriterFactory(
                     pwi: PhysicalWriteInfo): DataWriterFactory =
                   new GraftDiskWriterFactory(lwi.schema(), schema(),
-                    log.dataDir.toString, writeConfMap(), loaded.partCols)
+                    log.dataDir.toString, writeConfMap(), loaded.partCols,
+                loaded.numBuckets)
                 override def commit(messages: Array[WriterCommitMessage]): Unit = {
                   val removed = Option(cowScan).map(_.servedFiles)
                     .getOrElse(loaded.files)
@@ -1067,20 +1169,29 @@ class GraftDiskTable(
       return (base.files.length, base.files.length)
     val out = new HPath(log.dataDir,
       s"optimize-${java.util.UUID.randomUUID}").toString
-    val df = spark.read.schema(base.schema)
-      .option("basePath", log.dataDir.toString)
-      .parquet(base.files.map(log.absolute): _*)
+    val df = readTable(log, base, base.files)
     // partitioned tables keep their hive layout: repartition by the
-    // partition columns (plus bin index) and write partitionBy
-    val parts = base.partCols
+    // partition columns (plus bin index) and write partitionBy; bucketed
+    // tables recompute each row's `__bucket` id with the SAME chained
+    // murmur3 the ingest writers use and partitionBy that
+    val parts = base.hiveParts
+    val bucketize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      base.numBuckets match {
+        case Some(n) => d => d.withColumn("__bucket",
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.hash(base.partCols.map(col): _*),
+            lit(n)))
+        case None => identity
+      }
+    val writeParts = if (base.numBuckets.isDefined) Seq("__bucket") else parts
     if (zorderBy.nonEmpty) {
-      val zdf = zorderedFrame(df, base, zorderBy, nOut)
-      if (parts.isEmpty) zdf.drop("__z").write.parquet(out)
-      else zdf.drop("__z").write.partitionBy(parts: _*).parquet(out)
+      val zdf = bucketize(zorderedFrame(df, base, zorderBy, nOut)).drop("__z")
+      if (writeParts.isEmpty) zdf.write.parquet(out)
+      else zdf.write.partitionBy(writeParts: _*).parquet(out)
     }
-    else if (parts.isEmpty) df.repartition(nOut).write.parquet(out)
-    else df.repartition(nOut, parts.map(col): _*)
-      .write.partitionBy(parts: _*).parquet(out)
+    else if (writeParts.isEmpty) df.repartition(nOut).write.parquet(out)
+    else bucketize(df).repartition(nOut, writeParts.map(col): _*)
+      .write.partitionBy(writeParts: _*).parquet(out)
     val outPrefix = new HPath(out).toUri.getPath.stripSuffix("/")
     val it = fs.listFiles(new HPath(out), true)
     val movedB = Vector.newBuilder[String]
@@ -1129,10 +1240,12 @@ class GraftDiskTable(
     val latest = log.latestVersion()
     require(to <= latest,
       s"gdisk: table_changes upper bound $to exceeds latest version $latest")
-    def readFiles(m: DiskManifest, files: Seq[String]) =
-      spark.read.schema(m.schema)
-        .option("basePath", log.dataDir.toString)
+    def readFiles(m: DiskManifest, files: Seq[String]) = {
+      val r = spark.read.schema(m.schema)
+      (if (m.hiveParts.isEmpty) r
+       else r.option("basePath", log.dataDir.toString))
         .parquet(files.map(log.absolute): _*)
+    }
     val perVersion = log.versions()
       .filter(v => v >= math.max(from, 1) && v <= to)
       .flatMap { v =>
@@ -1294,15 +1407,22 @@ class GraftDiskTable(
           else {
             val out = new HPath(log.dataDir,
               s"rename-${java.util.UUID.randomUUID}").toString
-            val df = spark.read.schema(schema)
-              .option("basePath", log.dataDir.toString)
-              .parquet(base.files.map(log.absolute): _*)
+            val df = readTable(log, base, base.files)
               .withColumnRenamed(old, rn.newName)
-            // partitioned tables must keep their hive layout through the
-            // rewrite (a flat write would break basePath partition
-            // inference on every subsequent read)
-            if (base.partCols.isEmpty) df.write.parquet(out)
-            else df.write.partitionBy(base.partCols: _*).parquet(out)
+            // partitioned tables must keep their layout through the
+            // rewrite: hive dirs for identity partitions, recomputed
+            // `__bucket` dirs (same chained-murmur3 ids) for bucketed
+            base.numBuckets match {
+              case Some(n) =>
+                df.withColumn("__bucket",
+                  org.apache.spark.sql.functions.pmod(
+                    org.apache.spark.sql.functions.hash(
+                      base.partCols.map(col): _*), lit(n)))
+                  .write.partitionBy("__bucket").parquet(out)
+              case None =>
+                if (base.partCols.isEmpty) df.write.parquet(out)
+                else df.write.partitionBy(base.partCols: _*).parquet(out)
+            }
             val fs = log.dataDir.getFileSystem(spark.sessionState.newHadoopConf())
             val outPrefix = new HPath(out).toUri.getPath.stripSuffix("/")
             val stamp = s"rn${java.util.UUID.randomUUID.toString.take(8)}"
@@ -1671,6 +1791,14 @@ class GraftDiskSpjScan(
 
   private def keyOf(dir: String): InternalRow = {
     val segs = dir.split('/').filter(_.nonEmpty)
+    table.liveNumBuckets match {
+      case Some(_) => // bucket layout: single `__bucket=<id>` segment
+        require(segs.length == 1 && segs.head.startsWith("__bucket="),
+          s"gdisk: file dir '$dir' is not a bucket dir")
+        return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](segs.head.stripPrefix("__bucket=").toInt))
+      case None => ()
+    }
     require(segs.length == partCols.length,
       s"gdisk: file dir '$dir' does not match partition columns $partCols")
     val schema = table.liveSchema
@@ -1700,8 +1828,12 @@ class GraftDiskSpjScan(
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-      partCols.map(c => Expressions.identity(c)
-        : org.apache.spark.sql.connector.expressions.Expression).toArray,
+      table.liveNumBuckets match {
+        case Some(n) => Array(Expressions.bucket(n, partCols: _*)
+          : org.apache.spark.sql.connector.expressions.Expression)
+        case None => partCols.map(c => Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray
+      },
       groups.size)
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -1772,7 +1904,8 @@ case class DiskFilesCommit(
 class GraftDiskWriterFactory(
     writeSchema: StructType, tableSchema: StructType,
     dataDirUri: String, confMap: Map[String, String],
-    partitionCols: Seq[String] = Nil)
+    partitionCols: Seq[String] = Nil,
+    numBuckets: Option[Int] = None)
   extends DataWriterFactory
   with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
@@ -1787,9 +1920,13 @@ class GraftDiskWriterFactory(
   private def newWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      // partition columns live in the dir path; data files hold the rest
-      private val dataSchema = StructType(tableSchema.fields
-        .filterNot(f => partitionCols.exists(_.equalsIgnoreCase(f.name))))
+      // identity partition columns live in the dir path; data files hold
+      // the rest (bucket columns stay IN the files — `__bucket=<id>/`
+      // dirs are grouping only)
+      private val dataSchema = StructType(
+        if (numBuckets.isDefined) tableSchema.fields
+        else tableSchema.fields
+          .filterNot(f => partitionCols.exists(_.equalsIgnoreCase(f.name))))
       private val conf = {
         val c = new Configuration(false)
         confMap.foreach { case (k, v) => c.set(k, v) }
@@ -1837,9 +1974,25 @@ class GraftDiskWriterFactory(
           (w, rel)
         })._1
 
+      /** pmod(hash(cols...), n) — Spark's chained murmur3 (seed 42,
+        * nulls skipped), so SQL `pmod(hash(c1, c2), n)` computes the
+        * same id (OPTIMIZE and any external tooling rely on that). */
+      private def bucketId(r: InternalRow): Int = {
+        var h = 42
+        partAccess.foreach { case (_, i, dt) =>
+          if (!r.isNullAt(i))
+            h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+              .hash(r.get(i, dt), dt, h).toInt
+        }
+        val n = numBuckets.get
+        ((h % n) + n) % n
+      }
+
       override def write(record: InternalRow): Unit = {
-        val dir = partAccess.map { case (c, i, dt) =>
-          s"$c=${renderPartValue(record, i, dt)}" }.mkString("/")
+        val dir =
+          if (numBuckets.isDefined) s"__bucket=${bucketId(record)}"
+          else partAccess.map { case (c, i, dt) =>
+            s"$c=${renderPartValue(record, i, dt)}" }.mkString("/")
         writerFor(dir).write(proj(record))
       }
       // copy-on-write rewrites hand (metadata, row) pairs

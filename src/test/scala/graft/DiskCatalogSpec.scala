@@ -589,6 +589,64 @@ class DiskCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("hash-bucketed tables: bucket(n, k) layout, SPJ on a high-cardinality key, OPTIMIZE keeps buckets") {
+    val c = spark.conf
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      c.set("spark.sql.adaptive.enabled", "false")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql("CREATE TABLE gdspec.lake.bk_a (k BIGINT, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+      spark.sql("CREATE TABLE gdspec.lake.bk_b (k BIGINT, w BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+      spark.sql("INSERT INTO gdspec.lake.bk_a SELECT id, id * 2 FROM range(100)")
+      spark.sql("INSERT INTO gdspec.lake.bk_b SELECT id, id + 1 FROM range(100)")
+      // files land under __bucket=<id>/ dirs; the key column stays IN them
+      val dataDir = new java.io.File(s"$warehouse/lake/bk_a/data")
+      val bucketDirs = dataDir.listFiles().filter(_.isDirectory).map(_.getName)
+      assert(bucketDirs.nonEmpty &&
+        bucketDirs.forall(_.matches("__bucket=[0-3]")), bucketDirs.mkString(","))
+      assert(spark.sql("SELECT sum(k) FROM gdspec.lake.bk_a").head().getLong(0)
+        == (0L until 100L).sum)
+      // the dir id is pmod(hash(k), 4) — verify one file agrees with SQL
+      val perBucket = spark.sql("SELECT pmod(hash(k), 4) AS b, count(*) AS n " +
+        "FROM gdspec.lake.bk_a GROUP BY 1").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val dirCounts = bucketDirs.map { d =>
+        d.stripPrefix("__bucket=").toInt ->
+          spark.read.parquet(s"$dataDir/$d").count()
+      }.toMap
+      assert(dirCounts == perBucket, s"$dirCounts vs $perBucket")
+      // SPJ: join on the bucketed high-cardinality key — zero hash exchange
+      val joined = spark.sql("""SELECT a.k, a.v, b.w FROM
+        gdspec.lake.bk_a a JOIN gdspec.lake.bk_b b ON a.k = b.k""")
+      assert(joined.count() == 100)
+      assert(joined.filter("k = 37").collect().map(r =>
+        (r.getLong(1), r.getLong(2))).toSeq == Seq((74L, 38L)))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed SPJ did not elide the join shuffle:\n$plan")
+      // OPTIMIZE recomputes the same bucket ids and keeps the layout
+      new GraftSession(spark).sql("OPTIMIZE gdspec.lake.bk_a TARGET 1048576 BYTES")
+      val after = dataDir.listFiles().filter(_.isDirectory).map(_.getName)
+      assert(after.forall(_.matches("__bucket=[0-3]")), after.mkString(","))
+      assert(spark.sql("SELECT sum(k), sum(v) FROM gdspec.lake.bk_a").head()
+        .getLong(1) == (0L until 100L).map(_ * 2).sum)
+      val joined2 = spark.sql("""SELECT a.k, a.v, b.w FROM
+        gdspec.lake.bk_a a JOIN gdspec.lake.bk_b b ON a.k = b.k""")
+      assert(joined2.count() == 100)
+      assert(!joined2.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "post-OPTIMIZE bucketed SPJ lost its shuffle elision")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
   test("DROP TABLE / RENAME TABLE / SHOW TABLES") {
     spark.sql("CREATE TABLE gdspec.lake.sh1 (id BIGINT)")
     spark.sql("INSERT INTO gdspec.lake.sh1 VALUES (1)")
