@@ -1544,6 +1544,47 @@ class GraftDiskScanBuilder(
         prunedForInner.foreach(inner.pruneColumns)
       }
     }
+    // BUCKET PRUNING: a point predicate on the single bucket column pins
+    // the row's `__bucket=<id>` dir — files in every other dir cannot
+    // match (same chained-murmur3 id the writers assigned). IN-lists
+    // allow the union of their ids; conjunctions intersect.
+    (table.liveNumBuckets, table.livePartCols) match {
+      case (Some(n), Seq(bc)) if dataFilters.nonEmpty =>
+        import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal => CLit}
+        def idOf(l: CLit): Option[Int] =
+          if (l.value == null) None
+          else Some({
+            val h = org.apache.spark.sql.catalyst.expressions
+              .Murmur3HashFunction.hash(l.value, l.dataType, 42).toInt
+            ((h % n) + n) % n
+          })
+        val perFilter: Seq[Set[Int]] = dataFilters.flatMap {
+          case EqualTo(a: AttributeReference, l: CLit)
+              if a.name.equalsIgnoreCase(bc) => idOf(l).map(Set(_))
+          case EqualTo(l: CLit, a: AttributeReference)
+              if a.name.equalsIgnoreCase(bc) => idOf(l).map(Set(_))
+          case In(a: AttributeReference, elems)
+              if a.name.equalsIgnoreCase(bc) &&
+                elems.forall(_.isInstanceOf[CLit]) =>
+            Some(elems.flatMap(e => idOf(e.asInstanceOf[CLit])).toSet)
+          case _ => None
+        }
+        if (perFilter.nonEmpty) {
+          val allowed = perFilter.reduce(_ intersect _)
+          val kept = currentFiles.filter { f =>
+            val dir = f.split('/').init.mkString("/")
+            !dir.startsWith("__bucket=") ||
+              allowed.contains(dir.stripPrefix("__bucket=").toInt)
+          }
+          if (kept.length < currentFiles.length) {
+            statsSkipped += currentFiles.length - kept.length
+            currentFiles = kept
+            inner = mkInner()
+            prunedForInner.foreach(inner.pruneColumns)
+          }
+        }
+      case _ => ()
+    }
     pushedDataFilters = dataFilters
     fileFilters ++ inner.pushFilters(dataFilters)
   }

@@ -647,6 +647,33 @@ class DiskCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket pruning: a point predicate on the bucket column plans only its dir's files") {
+    spark.sql("CREATE TABLE gdspec.lake.bkp (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gdspec.lake.bkp SELECT id, id * 3 FROM range(200)")
+    def statsFiles(sql: String): (Int, Int, Seq[(Long, Long)]) = {
+      val df = spark.sql(sql)
+      val m = """statsFiles=(\d+)/(\d+)""".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString).get
+      (m.group(1).toInt, m.group(2).toInt,
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    }
+    val (kept, total, rows) =
+      statsFiles("SELECT k, v FROM gdspec.lake.bkp WHERE k = 37")
+    assert(rows == Seq((37L, 111L)))
+    assert(total >= 4 && kept < total, s"no bucket pruning: $kept/$total")
+    // IN-list: union of the listed keys' buckets, still pruned
+    val (keptIn, totalIn, rowsIn) = statsFiles(
+      "SELECT k, v FROM gdspec.lake.bkp WHERE k IN (37, 38) ORDER BY k")
+    assert(rowsIn == Seq((37L, 111L), (38L, 114L)))
+    assert(keptIn < totalIn, s"no IN-list bucket pruning: $keptIn/$totalIn")
+    // a range predicate cannot pin a bucket (manifest min/max stats may
+    // still skip files — that's the OTHER pruning tier); rows stay exact
+    val (_, _, rowsR) = statsFiles(
+      "SELECT k, v FROM gdspec.lake.bkp WHERE k < 3 ORDER BY k")
+    assert(rowsR == Seq((0L, 0L), (1L, 3L), (2L, 6L)))
+  }
+
   test("DROP TABLE / RENAME TABLE / SHOW TABLES") {
     spark.sql("CREATE TABLE gdspec.lake.sh1 (id BIGINT)")
     spark.sql("INSERT INTO gdspec.lake.sh1 VALUES (1)")
