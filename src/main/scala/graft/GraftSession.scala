@@ -73,8 +73,26 @@ final class GraftSession(
       createMaterializedView(raw)
     else if (raw.toUpperCase(Locale.ROOT).startsWith("REFRESH MATERIALIZED VIEW "))
       refreshMaterializedView(raw)
-    else if (addressesV2Catalog(raw)) spark.sql(raw)
+    else if (addressesV2Catalog(raw)) spark.sql(normalizeV2Ddl(raw))
     else sqlFrontDoor(raw)
+  }
+
+  /** Spark SQL rejects bare `VARCHAR` (DATATYPE_MISSING_SIZE); the
+    * front-door engines and the reference both accept it as a STRING
+    * synonym (`parseType`). DDL routed to a V2 catalog gets the same
+    * courtesy: rewrite bare `varchar` type tokens (no length suffix) to
+    * `string`, outside single-quoted literals. Only CREATE/ALTER/REPLACE
+    * statements are touched — DML never carries type tokens. `text` is
+    * NOT rewritten here: it is a live column NAME in the documents
+    * corpus, and only positional parsing could tell the two apart. */
+  private def normalizeV2Ddl(q: String): String = {
+    val up = q.toUpperCase(Locale.ROOT)
+    if (!up.startsWith("CREATE ") && !up.startsWith("ALTER ") &&
+        !up.startsWith("REPLACE ")) q
+    else q.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 1) seg
+      else seg.replaceAll("(?i)\\bvarchar\\b(?!\\s*\\()", "string")
+    }.mkString("'")
   }
 
   /** `OPTIMIZE <catalog>.<ns>.<table> [ZORDER BY (c1, c2, ...)]

@@ -367,6 +367,108 @@ object GraftDiskCatalog {
   val LogDirName = "_graft_log"
   val DataDirName = "data"
 
+  /** Files dropped by RUNTIME (dynamic-partition / dynamic-bucket)
+    * pruning since JVM start — the observable evidence plan proofs and
+    * specs assert on, since the pruning happens at execution time where
+    * a pre-execution `.explain` cannot show it. */
+  val runtimePrunedFiles = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The shared core of DYNAMIC partition/bucket pruning (SPARK-35779 v2
+    * runtime filtering): extract the allowed partition-key values from
+    * the runtime IN/= predicates (the DPP subquery result), then keep
+    * only the manifest files whose hive dir value — or, for bucketed
+    * layouts, whose `__bucket=` id under the writers' chained murmur3 —
+    * can match. Returns Some(kept) only when files were actually
+    * dropped (and then advances [[runtimePrunedFiles]]); None means the
+    * caller's scan state should stay untouched. */
+  private[sources] def runtimeKeepFiles(
+      table: GraftDiskTable, relFiles: Seq[String],
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[Seq[String]] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    if (relFiles.isEmpty || table.livePartCols.isEmpty) return None
+    // per partition column: allowed (internal value, dataType) pairs from
+    // IN/= predicates; conjunction across predicates intersects on values
+    val byCol = scala.collection.mutable.Map.empty[String, Set[(Any, DataType)]]
+    predicates.foreach { p =>
+      if (p.name() == "IN" || p.name() == "=") {
+        val kids = p.children()
+        val colOpt = kids.collectFirst {
+          case r: NamedReference if r.fieldNames().length == 1 =>
+            r.fieldNames().head
+        }
+        val vals = kids.collect {
+          case l: V2Literal[_] if l.value() != null =>
+            (l.value(): Any, l.dataType())
+        }.toSet
+        for {
+          c0 <- colOpt
+          c <- table.livePartCols.find(_.equalsIgnoreCase(c0))
+          if vals.nonEmpty
+        } byCol(c) = byCol.get(c) match {
+          case Some(prev) => prev.filter(v => vals.exists(_._1 == v._1))
+          case None => vals
+        }
+      }
+    }
+    if (byCol.isEmpty) return None
+    val kept = table.liveNumBuckets match {
+      case Some(n) => // bucket layout: hash values to allowed dir ids
+        byCol.get(table.livePartCols.head) match {
+          case None => relFiles
+          case Some(vals) =>
+            val allowed = vals.map { case (v, dt) =>
+              val h = org.apache.spark.sql.catalyst.expressions
+                .Murmur3HashFunction.hash(v, dt, 42).toInt
+              ((h % n) + n) % n
+            }
+            relFiles.filter { f =>
+              val dir = f.split('/').init.mkString("/")
+              !dir.startsWith("__bucket=") ||
+                allowed.contains(dir.stripPrefix("__bucket=").toInt)
+            }
+        }
+      case None => // identity hive layout: compare parsed dir values
+        relFiles.filter { f =>
+          byCol.forall { case (c, vals) =>
+            dirValue(table, f, c).forall(dv => vals.exists(_._1 == dv))
+          }
+        }
+    }
+    if (kept.length < relFiles.length) {
+      runtimePrunedFiles.addAndGet(relFiles.length - kept.length)
+      Some(kept)
+    } else None
+  }
+
+  /** The hive-dir value of partition column `c` in file path `f`, parsed
+    * to the column type's Catalyst internal form (the same representation
+    * runtime-filter literals arrive in). None when the path carries no
+    * such segment — then the file conservatively survives. */
+  private def dirValue(table: GraftDiskTable, f: String, c: String): Option[Any] = {
+    val pre = c.toLowerCase(java.util.Locale.ROOT) + "="
+    f.split('/').init.find(_.toLowerCase(java.util.Locale.ROOT).startsWith(pre))
+      .map { seg =>
+        val raw = java.net.URLDecoder.decode(
+          seg.substring(seg.indexOf('=') + 1), "UTF-8")
+        if (raw == "__HIVE_DEFAULT_PARTITION__") null
+        else table.liveSchema.fields
+          .find(_.name.equalsIgnoreCase(c)).get.dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+          case org.apache.spark.sql.types.LongType => raw.toLong
+          case org.apache.spark.sql.types.IntegerType => raw.toInt
+          case org.apache.spark.sql.types.ShortType => raw.toShort
+          case org.apache.spark.sql.types.ByteType => raw.toByte
+          case org.apache.spark.sql.types.BooleanType => raw.toBoolean
+          case org.apache.spark.sql.types.DateType =>
+            java.time.LocalDate.parse(raw).toEpochDay.toInt
+          case other => sys.error(
+            s"gdisk: unsupported partition key type $other for column $c")
+        }
+      }
+  }
+
   /** The v2 `bucket` system function SPJ resolution binds a reported
     * `bucket(n, cols...)` transform to. Computes pmod(chained murmur3,
     * seed 42) — identical to the ingest writers' dir assignment, so SQL
@@ -1616,7 +1718,7 @@ class GraftDiskScanBuilder(
       new GdiskFileScan(table, currentFiles, pruned, required)
     else {
       val base = new GraftDiskScan(table, inner.build(), pruned,
-        currentFiles.length, files.length)
+        currentFiles.length, files.length, currentFiles, pushedDataFilters)
       // storage-partitioned-join eligibility: identity-partitioned table,
       // plain row scan (no pushed-down aggregate), and the user opted into
       // Spark's v2 bucketing — then report KeyGroupedPartitioning so
@@ -1736,10 +1838,16 @@ class FileAppendingReaderFactory(required: StructType)
   * the versions in (start, end], planned as fresh per-batch inner file
   * scans so executors read parquet vectorized there too. */
 class GraftDiskScan(
-    table: GraftDiskTable, inner: Scan, pruned: StructType,
-    keptFiles: Int = -1, totalFiles: Int = -1)
-  extends Scan with SupportsReportStatistics {
+    table: GraftDiskTable, inner0: Scan, pruned: StructType,
+    keptFiles: Int = -1, totalFiles: Int = -1,
+    relFiles: Seq[String] = Nil,
+    dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
+  extends Scan with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => SOffset}
+
+  @volatile private var inner: Scan = inner0
+  @volatile private var dppInfo: String = ""
 
   override def readSchema(): StructType = inner.readSchema()
   // surface the inner scan's description — it carries the PushedFilters /
@@ -1749,9 +1857,39 @@ class GraftDiskScan(
     val skip =
       if (keptFiles >= 0 && totalFiles >= 0)
         s" statsFiles=$keptFiles/$totalFiles" else ""
-    s"GraftDiskScan(${table.name()})$skip ${inner.description()}"
+    s"GraftDiskScan(${table.name()})$skip$dppInfo ${inner.description()}"
   }
   override def toBatch: Batch = inner.toBatch
+
+  // ---- DYNAMIC partition/bucket pruning (SPARK-35779 v2 runtime
+  // filtering): a join whose OTHER side filters down to few partition- or
+  // bucket-key values delivers those values here at execution time as
+  // IN/= predicates (the DPP subquery result, typically reusing the
+  // join's broadcast). Identity-partitioned tables drop every file whose
+  // hive dir value is outside the allowed set; hash-bucketed tables hash
+  // each value with the writers' chained murmur3 (seed 42) and keep only
+  // the matching `__bucket=` dirs. The inner vectorized parquet scan is
+  // then re-planned over the survivors — at 100 TB this is the
+  // difference between scanning a fact table and scanning the handful of
+  // partitions a dimension filter actually selects. Spark's own DSv2
+  // file sources do not implement this hook; gdisk's manifest makes it a
+  // driver-side list filter. ----
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (relFiles.isEmpty) Array.empty
+    else table.livePartCols.map(c => Expressions.column(c)).toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit =
+    GraftDiskCatalog.runtimeKeepFiles(table, relFiles, predicates).foreach { kept =>
+      dppInfo = s" dppFiles=${kept.length}/${relFiles.length}"
+      val sb = table.innerTable(kept.map(table.log.absolute))
+        .newScanBuilder(CaseInsensitiveStringMap.empty())
+      sb.pruneColumns(pruned)
+      if (dataFilters.nonEmpty) sb.pushFilters(dataFilters)
+      inner = sb.build()
+    }
   override def estimateStatistics(): Statistics = inner match {
     case s: SupportsReportStatistics => s.estimateStatistics()
     case _ => new Statistics {
@@ -1812,12 +1950,33 @@ class GraftDiskSpjScan(
     dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     base: GraftDiskScan)
   extends Scan with Batch with SupportsReportPartitioning
-  with SupportsReportStatistics {
+  with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   private val partCols = table.livePartCols
 
+  /** Current file set — narrowed by runtime (dynamic-partition) pruning.
+    * BatchScanExec re-plans partitions after `filter`, pads the dropped
+    * key values with empty partitions, and keeps the key-grouped join
+    * layout valid over the subset. */
+  @volatile private var curFiles: Seq[String] = files
+  @volatile private var dppInfo: String = ""
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partCols.map(c => Expressions.column(c)).toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit =
+    GraftDiskCatalog.runtimeKeepFiles(table, curFiles, predicates).foreach { kept =>
+      dppInfo = s" dppFiles=${kept.length}/${curFiles.length}"
+      curFiles = kept
+    }
+
   override def readSchema(): StructType = base.readSchema()
-  override def description(): String = s"${base.description()} spjGroups=${groups.size}"
+  override def description(): String =
+    s"${base.description()}$dppInfo spjGroups=${groups.size}"
   override def estimateStatistics(): Statistics = base.estimateStatistics()
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -1825,9 +1984,11 @@ class GraftDiskSpjScan(
   override def toBatch: Batch = this
 
   /** Files grouped by their partition directory, each with the parsed
-    * key row (partition-column order, Catalyst values). */
-  private lazy val groups: Seq[(InternalRow, Seq[String])] =
-    files.groupBy(f => f.split('/').init.mkString("/")).toSeq.sortBy(_._1)
+    * key row (partition-column order, Catalyst values). A def, not a
+    * lazy val: runtime filtering narrows `curFiles` between the
+    * planner's partitioning probe and execution's partition planning. */
+  private def groups: Seq[(InternalRow, Seq[String])] =
+    curFiles.groupBy(f => f.split('/').init.mkString("/")).toSeq.sortBy(_._1)
       .map { case (dir, fs) => (keyOf(dir), fs) }
 
   private def keyOf(dir: String): InternalRow = {

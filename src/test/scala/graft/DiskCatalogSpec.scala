@@ -674,6 +674,50 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(rowsR == Seq((0L, 0L), (1L, 3L), (2L, 6L)))
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    spark.sql("CREATE TABLE gdspec.lake.dppf (id BIGINT, grp STRING) " +
+      "PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO gdspec.lake.dppf " +
+      "SELECT id, concat('g', CAST(id % 8 AS STRING)) FROM range(400)")
+    spark.sql("CREATE TABLE gdspec.lake.dppd (grp STRING, keep INT)")
+    spark.sql("INSERT INTO gdspec.lake.dppd " +
+      "SELECT concat('g', CAST(id AS STRING)), " +
+      "CASE WHEN id < 2 THEN 1 ELSE 0 END FROM range(8)")
+    val q = """SELECT f.grp, count(*) AS c
+      FROM gdspec.lake.dppf f JOIN gdspec.lake.dppd d ON f.grp = d.grp
+      WHERE d.keep = 1 GROUP BY f.grp ORDER BY f.grp"""
+    val df = spark.sql(q)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DPP runtime filter in plan:\n$plan")
+    val before = GraftDiskCatalog.runtimePrunedFiles.get()
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("g0", 50L), ("g1", 50L)))
+    assert(GraftDiskCatalog.runtimePrunedFiles.get() > before,
+      "runtime filter pruned no fact files")
+  }
+
+  test("dynamic bucket pruning: runtime join-key values pin the fact's bucket dirs") {
+    spark.sql("CREATE TABLE gdspec.lake.dbpf (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(16, k))")
+    spark.sql("INSERT INTO gdspec.lake.dbpf SELECT id, id * 2 FROM range(2000)")
+    spark.sql("CREATE TABLE gdspec.lake.dbpd (k BIGINT, tag STRING)")
+    spark.sql("INSERT INTO gdspec.lake.dbpd " +
+      "SELECT id, IF(id IN (3, 7), 'hot', 'cold') FROM range(100)")
+    val q = """SELECT f.k, f.v FROM gdspec.lake.dbpf f
+      JOIN gdspec.lake.dbpd d ON f.k = d.k
+      WHERE d.tag = 'hot' ORDER BY f.k"""
+    val df = spark.sql(q)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DPP runtime filter in plan:\n$plan")
+    val before = GraftDiskCatalog.runtimePrunedFiles.get()
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((3L, 6L), (7L, 14L)))
+    assert(GraftDiskCatalog.runtimePrunedFiles.get() > before,
+      "runtime join-key values pruned no bucket dirs")
+  }
+
   test("DROP TABLE / RENAME TABLE / SHOW TABLES") {
     spark.sql("CREATE TABLE gdspec.lake.sh1 (id BIGINT)")
     spark.sql("INSERT INTO gdspec.lake.sh1 VALUES (1)")

@@ -57,6 +57,10 @@ class DriverActionLintSpec extends AnyFunSuite {
         "the materialized view's key cardinality, the point of update mode"),
     Allowed("DdlDml.scala", "\"TARGET 65536 BYTES\").head()", 1,
       "exactly one row: OPTIMIZE returns (table, files_before, files_after)"),
+    Allowed("DdlDml.scala", "df.collect()", 1,
+      "the DPP proof's one in-builder execution — O(distinct " +
+        "o_orderpriority) = 5 grouped rows; the collect exists to advance " +
+        "the runtime-pruned-file counter the proof asserts on"),
     Allowed("CdcMvOps.scala", ".head().getLong(0)", 1,
       "a single scalar: the MV's applied-version watermark " +
         "(coalesce(max(__as_of), 0))"))
