@@ -69,6 +69,10 @@ final class GraftSession(
       optimizeTable(raw)
     else if (raw.toUpperCase(Locale.ROOT).startsWith("DESCRIBE HISTORY "))
       describeHistory(raw)
+    else if (raw.toUpperCase(Locale.ROOT).startsWith("SHOW PARTITIONS "))
+      showPartitionsVerb(raw)
+    else if (raw.toUpperCase(Locale.ROOT).startsWith("ANALYZE TABLE "))
+      analyzeTableVerb(raw)
     else if (raw.toUpperCase(Locale.ROOT).startsWith("CREATE MATERIALIZED VIEW "))
       createMaterializedView(raw)
     else if (raw.toUpperCase(Locale.ROOT).startsWith("REFRESH MATERIALIZED VIEW "))
@@ -124,6 +128,94 @@ final class GraftSession(
     import spark.implicits._
     Seq((m.group(1), before.toLong, after.toLong))
       .toDF("table_name", "files_before", "files_after")
+  }
+
+  /** `SHOW PARTITIONS <catalog>.<ns>.<table>` — the gdisk partition
+    * inventory, answered ENTIRELY from the manifest (no storage listing,
+    * no Spark job): one row per partition dir with its file count and
+    * exact row count. Works on identity-partitioned (hive `col=value`
+    * dirs) and hash-bucketed (`__bucket=<id>` dirs) layouts. */
+  private def showPartitionsVerb(q: String): DataFrame = {
+    val m = """(?is)SHOW\s+PARTITIONS\s+([A-Za-z_][\w.]*)\s*""".r
+      .findFirstMatchIn(q).getOrElse(sys.error(s"cannot parse SHOW PARTITIONS: $q"))
+    val parts = m.group(1).split('.')
+    require(parts.length >= 3, "SHOW PARTITIONS targets a catalog table: " +
+      "SHOW PARTITIONS <catalog>.<namespace>.<table>")
+    val cat = graft.sources.GraftDiskCatalog.instance(parts.head).getOrElse(
+      sys.error(s"SHOW PARTITIONS: '${parts.head}' is not a registered " +
+        "gdisk catalog (gmem tables are driver-held and unpartitioned)"))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(parts.tail.init, parts.last)
+    val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftDiskTable]
+    require(t.isPartitioned,
+      s"SHOW PARTITIONS: ${m.group(1)} is not a partitioned table")
+    import spark.implicits._
+    t.partitionSummary.toDF("partition", "file_count", "row_count")
+  }
+
+  /** `ANALYZE TABLE <catalog>.<ns>.<table> COMPUTE [APPROXIMATE]
+    * STATISTICS` — ONE distributed aggregation over the table computing
+    * per-column NDV (exact `count(distinct)` by default; HLL
+    * `approx_count_distinct` under APPROXIMATE — the 100 TB choice, where
+    * exact multi-distinct's Expand multiplies scan rows by column count)
+    * plus avg/max byte length for strings, committed to the gdisk
+    * manifest as a metadata-only version. Every scan then serves the NDVs
+    * through `Statistics.columnStats()` alongside manifest-merged
+    * min/max/nullCount, feeding Spark CBO join-reorder and selectivity
+    * estimation. Returns one row per analyzed column. */
+  private def analyzeTableVerb(q: String): DataFrame = {
+    val m = ("""(?is)ANALYZE\s+TABLE\s+([A-Za-z_][\w.]*)\s+COMPUTE\s+""" +
+      """(APPROXIMATE\s+)?STATISTICS\s*""").r
+      .findFirstMatchIn(q).getOrElse(sys.error(s"cannot parse ANALYZE: $q"))
+    val approx = m.group(2) != null
+    val parts = m.group(1).split('.')
+    require(parts.length >= 3, "ANALYZE TABLE targets a catalog table: " +
+      "ANALYZE TABLE <catalog>.<namespace>.<table> COMPUTE STATISTICS")
+    val cat = graft.sources.GraftDiskCatalog.instance(parts.head).getOrElse(
+      sys.error(s"ANALYZE TABLE: '${parts.head}' is not a registered gdisk " +
+        "catalog (gmem tables are dimension-scale; CBO stats target the " +
+        "disk tier)"))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(parts.tail.init, parts.last)
+    val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftDiskTable]
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = spark.table(m.group(1))
+    val fields = t.schema().fields.toSeq.filter(_.dataType match {
+      case _: NumericType | StringType | DateType | BooleanType |
+          TimestampType | TimestampNTZType => true
+      case _ => false
+    })
+    require(fields.nonEmpty, s"ANALYZE TABLE: no analyzable columns in " +
+      s"${m.group(1)}")
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val nd = if (approx) approx_count_distinct(c) else countDistinct(c)
+      Seq(nd.cast("long").as(s"ndv__${f.name}")) ++ (f.dataType match {
+        case StringType => Seq(
+          avg(octet_length(c)).cast("long").as(s"avg__${f.name}"),
+          max(octet_length(c)).cast("long").as(s"max__${f.name}"))
+        case _ => Nil
+      })
+    }
+    // one row, O(columns) cells — the distributed job's only driver traffic
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def cell(n: String): Option[Long] = {
+      val i = row.fieldIndex(n)
+      if (row.isNullAt(i)) None else Some(row.getLong(i))
+    }
+    val stats = fields.map { f =>
+      f.name -> graft.sources.DiskNdv(
+        cell(s"ndv__${f.name}").getOrElse(0L),
+        if (f.dataType == StringType) cell(s"avg__${f.name}") else None,
+        if (f.dataType == StringType) cell(s"max__${f.name}") else None)
+    }.toMap
+    t.commitAnalyzeStats(stats)
+    import spark.implicits._
+    fields.map(f => (f.name, stats(f.name).ndv,
+        stats(f.name).avgLen, stats(f.name).maxLen))
+      .sortBy(_._1)
+      .toDF("column_name", "ndv", "avg_len", "max_len")
   }
 
   /** `VACUUM <catalog>.<ns>.<table> [RETAIN n VERSIONS]` — explicit

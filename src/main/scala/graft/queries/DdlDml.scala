@@ -698,6 +698,67 @@ object DdlDml extends QueryModule {
         FROM orders WHERE o_orderpriority LIKE '1%'
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- Partition-scoped INSERT OVERWRITE on gdisk, both flavors under
+    // one oracle gate. STATIC (`PARTITION (c=v)`): Spark delivers the
+    // partition pin as a delete predicate (`SupportsOverwriteV2`) — the
+    // manifest drops exactly the matching hive dirs' files and appends
+    // the replacement in ONE commit. DYNAMIC
+    // (`partitionOverwriteMode=dynamic`): only the partitions the new
+    // rows land in are replaced (`SupportsDynamicOverwrite`) — the
+    // idempotent daily-reload primitive at 100 TB (re-running a day's
+    // job replaces that day, never touches the others). The final state
+    // after overwriting two of five partitions must hash-match DuckDB's
+    // direct reconstruction; untouched partitions prove isolation. ----
+    QueryDef(
+      "ddl_v2_disk_overwrite",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.ow")
+        s.sql("""CREATE TABLE gdisk.verify.ow
+          (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+          PARTITIONED BY (o_orderpriority)""")
+        s.sql("INSERT INTO gdisk.verify.ow SELECT o_orderkey, " +
+          "o_totalprice, o_orderpriority FROM orders")
+        // STATIC: replace 1-URGENT with its negated-key rows (one commit)
+        s.sql("INSERT OVERWRITE gdisk.verify.ow " +
+          "PARTITION (o_orderpriority = '1-URGENT') " +
+          "SELECT -o_orderkey, o_totalprice FROM orders " +
+          "WHERE o_orderpriority = '1-URGENT'")
+        // DYNAMIC: re-land only 2-HIGH with doubled prices
+        val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          s.sql("INSERT OVERWRITE gdisk.verify.ow " +
+            "SELECT o_orderkey, o_totalprice * 2, o_orderpriority " +
+            "FROM orders WHERE o_orderpriority = '2-HIGH'")
+        } finally saved match {
+          case Some(v) =>
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        s.sql("""SELECT o_orderpriority, count(*) AS cnt,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM gdisk.verify.ow
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+              THEN -o_orderkey ELSE o_orderkey END) AS BIGINT) AS key_sum,
+          CAST(sum(CAST(CASE WHEN o_orderpriority = '2-HIGH'
+              THEN o_totalprice * 2 ELSE o_totalprice END
+            AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- Incremental MV maintenance over the CDC feed, under the oracle
     // gate: each refresh folds ONLY the source commits since the last
     // applied version into the rollup (one delta groupBy + one

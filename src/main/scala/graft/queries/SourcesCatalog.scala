@@ -232,6 +232,71 @@ object SourcesCatalog extends QueryModule {
           ('view:public.cat_probe_view=SELECT 1 AS one')) t(item)
         ORDER BY item""")),
 
+    // ---- SHOW PARTITIONS: the gdisk partition inventory answered
+    // ENTIRELY from the manifest — one row per hive partition dir with
+    // its exact row count, no storage listing, no Spark job. The oracle
+    // recomputes each dir's row count from the raw source; file_count is
+    // layout-dependent (how many parquet files each ingest task cut) and
+    // is projected away from the gated result. ----
+    QueryDef(
+      "cat_show_partitions",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.shp")
+        s.sql("""CREATE TABLE gdisk.verify.shp
+          (o_orderkey BIGINT, o_orderpriority STRING)
+          PARTITIONED BY (o_orderpriority)""")
+        s.sql("INSERT INTO gdisk.verify.shp SELECT o_orderkey, " +
+          "o_orderpriority FROM orders")
+        new GraftSession(s).sql("SHOW PARTITIONS gdisk.verify.shp")
+          .select("partition", "row_count").orderBy("partition")
+      },
+      Some("""SELECT 'o_orderpriority=' || o_orderpriority AS "partition",
+          count(*) AS row_count
+        FROM orders GROUP BY o_orderpriority ORDER BY 1""")),
+
+    // ---- ANALYZE TABLE: ONE distributed aggregation computes per-column
+    // NDV (exact count(distinct) here, so DuckDB replays it; APPROXIMATE
+    // = HLL is the 100 TB flavor) and commits it to the gdisk manifest as
+    // a metadata-only version; every scan then serves NDV + manifest-
+    // merged min/max/nullCount through Statistics.columnStats(), feeding
+    // Spark CBO without an ANALYZE scan at plan time. ----
+    QueryDef(
+      "cat_analyze_stats",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.anl")
+        s.sql("""CREATE TABLE gdisk.verify.anl
+          (o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)""")
+        s.sql("INSERT INTO gdisk.verify.anl SELECT o_orderkey, " +
+          "o_orderpriority, o_totalprice FROM orders")
+        new GraftSession(s)
+          .sql("ANALYZE TABLE gdisk.verify.anl COMPUTE STATISTICS")
+          .select("column_name", "ndv").orderBy("column_name")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'o_orderkey' AS column_name,
+                 count(DISTINCT o_orderkey) AS ndv FROM orders
+          UNION ALL
+          SELECT 'o_orderpriority', count(DISTINCT o_orderpriority) FROM orders
+          UNION ALL
+          SELECT 'o_totalprice', count(DISTINCT o_totalprice) FROM orders)
+        ORDER BY column_name""")),
+
     // ---- information_schema.table_constraints: the declared-constraint
     // inventory across BOTH mutable-table engines — a front-door table's
     // CHECK/UNIQUE sets and a gmem table's native Constraint metadata in

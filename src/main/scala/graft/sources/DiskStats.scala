@@ -153,6 +153,62 @@ object DiskStats {
     case other => throw new IllegalArgumentException(s"not indexed: $other")
   }
 
+  /** Manifest stat string → the column's CATALYST-INTERNAL value (what
+    * `ColumnStat.min/max` and CBO's `EstimationUtils.toDouble` expect —
+    * Int for int/date, Long for long/timestamp, Float for float, …),
+    * as opposed to [[decodeStat]]'s widened comparison domain. None for
+    * types the manifest doesn't index. */
+  private[sources] def decodeCatalyst(s: String, dt: DataType): Option[Any] =
+    dt match {
+      case ByteType => Some(s.toLong.toByte)
+      case ShortType => Some(s.toLong.toShort)
+      case IntegerType | DateType => Some(s.toLong.toInt)
+      case LongType | TimestampType | TimestampNTZType => Some(s.toLong)
+      case FloatType => Some(s.toDouble.toFloat)
+      case DoubleType => Some(s.toDouble)
+      case StringType => Some(UTF8String.fromString(s))
+      case _ => None
+    }
+
+  /** Merge per-file manifest bounds for `name` into table-level
+    * (min, max, nullCount) in catalyst-internal form — the CBO
+    * `ColumnStat` feed. Bounds merge only when every planned file either
+    * carries decodable bounds or is PROVABLY all-null for the column
+    * (contributes no non-null values); any file with undecodable bounds
+    * poisons min/max (its rows may lie outside). nullCount sums only
+    * when every file recorded one. */
+  def mergedBounds(
+      perFile: Seq[Map[String, ColStats]], name: String, dt: DataType)
+      : (Option[Any], Option[Any], Option[Long]) = {
+    var minS: String = null
+    var maxS: String = null
+    var boundsOk = true
+    var nulls = 0L
+    var nullsOk = true
+    perFile.foreach { st =>
+      st.get(name) match {
+        case Some(cs) =>
+          if (cs.nulls.isDefined) nulls += cs.nulls.get else nullsOk = false
+          (cs.min, cs.max) match {
+            case (Some(lo), Some(hi)) =>
+              if (minS == null ||
+                  cmp(decodeStat(lo, dt), decodeStat(minS, dt)) < 0) minS = lo
+              if (maxS == null ||
+                  cmp(decodeStat(hi, dt), decodeStat(maxS, dt)) > 0) maxS = hi
+            case _ =>
+              // no bounds: safe only if the file is provably all-null
+              if (!cs.nulls.contains(cs.rows)) boundsOk = false
+          }
+        case None => boundsOk = false; nullsOk = false
+      }
+    }
+    val mm =
+      if (boundsOk && minS != null)
+        decodeCatalyst(minS, dt).zip(decodeCatalyst(maxS, dt))
+      else None
+    (mm.map(_._1), mm.map(_._2), if (nullsOk) Some(nulls) else None)
+  }
+
   /** parquet footer value → normalized domain (None = can't use). */
   private def decode(v: Any, dt: DataType): Option[Any] = (v, dt) match {
     case (i: java.lang.Integer, ByteType | ShortType | IntegerType | DateType) =>

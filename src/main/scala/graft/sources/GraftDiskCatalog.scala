@@ -441,11 +441,52 @@ object GraftDiskCatalog {
     } else None
   }
 
+  /** STATIC identity-partition-dir pruning: EqualTo/In literal predicates
+    * on the partition columns pin hive dirs driver-side, so excluded
+    * files are never listed, opened, or planned — the manifest-level
+    * sibling of the inner scan's basePath partition filtering, and what
+    * keeps the builder's planned-file list (and its exact numRows
+    * statistic) honest under partition predicates. Returns Some(kept)
+    * only when files were dropped. */
+  private[sources] def identityKeepFiles(
+      table: GraftDiskTable, relFiles: Seq[String],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[Seq[String]] = {
+    if (table.liveNumBuckets.nonEmpty || table.livePartCols.isEmpty ||
+        relFiles.isEmpty) return None
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal => CLit}
+    val byCol = scala.collection.mutable.Map.empty[String, Set[Any]]
+    def add(name: String, vs: Set[Any]): Unit =
+      for (c <- table.livePartCols.find(_.equalsIgnoreCase(name)))
+        byCol(c) = byCol.get(c).map(_ intersect vs).getOrElse(vs)
+    dataFilters.foreach {
+      case EqualTo(a: AttributeReference, l: CLit) if l.value != null =>
+        add(a.name, Set(l.value))
+      case EqualTo(l: CLit, a: AttributeReference) if l.value != null =>
+        add(a.name, Set(l.value))
+      case In(a: AttributeReference, elems)
+          if elems.nonEmpty && elems.forall(_.isInstanceOf[CLit]) =>
+        add(a.name, elems.collect {
+          case l: CLit if l.value != null => l.value: Any
+        }.toSet)
+      case _ => ()
+    }
+    if (byCol.isEmpty) None
+    else {
+      val kept = relFiles.filter { f =>
+        byCol.forall { case (c, vals) =>
+          dirValue(table, f, c).forall(vals.contains)
+        }
+      }
+      if (kept.length < relFiles.length) Some(kept) else None
+    }
+  }
+
   /** The hive-dir value of partition column `c` in file path `f`, parsed
     * to the column type's Catalyst internal form (the same representation
     * runtime-filter literals arrive in). None when the path carries no
     * such segment — then the file conservatively survives. */
-  private def dirValue(table: GraftDiskTable, f: String, c: String): Option[Any] = {
+  private[sources] def dirValue(table: GraftDiskTable, f: String, c: String): Option[Any] = {
     val pre = c.toLowerCase(java.util.Locale.ROOT) + "="
     f.split('/').init.find(_.toLowerCase(java.util.Locale.ROOT).startsWith(pre))
       .map { seg =>
@@ -591,6 +632,14 @@ object DiskConstraint {
   }
 }
 
+/** One column's ANALYZE TABLE statistics: `ndv` (exact, or HLL-estimated
+  * under COMPUTE APPROXIMATE STATISTICS); `avgLen`/`maxLen` in bytes for
+  * string columns (CBO sizes string projections with them). Min/max/null
+  * counts are NOT here — those merge per scan from the per-file manifest
+  * stats, so they stay exact under partition/stats pruning. */
+case class DiskNdv(
+    ndv: Long, avgLen: Option[Long] = None, maxLen: Option[Long] = None)
+
 /** One commit: a COMPLETE snapshot of the table at `version` (schema,
   * defaults, constraints, the data files composing the version) plus the
   * delta (`added`) the streaming source tails and the per-query epoch
@@ -611,6 +660,13 @@ case class DiskManifest(
     // resolution target of TIMESTAMP AS OF; None only on manifests
     // written before the field existed (treated as "the unknown past")
     committedAtMs: Option[Long] = None,
+    // ANALYZE TABLE's table-level per-column statistics (exact or
+    // approximate NDV; avg/max byte length for strings), carried forward
+    // by every subsequent commit until the next ANALYZE — stale-but-
+    // useful, the same contract as Delta/Iceberg table stats. Keys are
+    // column names; dropped/renamed columns simply stop matching until
+    // re-analyzed.
+    analyzeStats: Option[Map[String, DiskNdv]] = None,
     // Some(n) = `partitionCols` are HASH-BUCKET columns (PARTITIONED BY
     // (bucket(n, cols...))): files group under `__bucket=<id>/` dirs with
     // id = pmod(hash(cols...), n) (Spark's chained murmur3, seed 42) and
@@ -826,7 +882,9 @@ class GraftDiskTable(
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -860,6 +918,60 @@ class GraftDiskTable(
   /** This table version's partition columns (scan-side SPJ grouping
     * reads the pinned manifest's). */
   private[sources] def livePartCols: Seq[String] = loaded.partCols
+
+  /** Identity hive-layout partition columns (empty for bucket layout). */
+  private[sources] def liveHiveParts: Seq[String] = loaded.hiveParts
+
+  /** Table-level ANALYZE statistics (empty until ANALYZE TABLE runs). */
+  private[sources] def liveAnalyzeStats: Map[String, DiskNdv] =
+    loaded.analyzeStats.getOrElse(Map.empty)
+
+  /** Commit `stats` as a metadata-only version (files unchanged): the
+    * ANALYZE TABLE landing. Retries the optimistic claim on lost races —
+    * a concurrent data commit just re-bases the stats onto its snapshot
+    * (stats describe the analyzed scan; going slightly stale against a
+    * racer's rows is the normal ANALYZE contract). */
+  private[graft] def commitAnalyzeStats(stats: Map[String, DiskNdv]): Long = {
+    var attempts = 0
+    while (true) {
+      val base = log.latest()
+      val next = base.copy(version = base.version + 1, added = Nil,
+        analyzeStats = Some(stats))
+      try { log.write(next); return next.version }
+      catch {
+        case e: java.io.IOException if attempts < 5 =>
+          attempts += 1; Thread.sleep(50L * attempts)
+      }
+    }
+    -1L // unreachable
+  }
+
+  private[graft] def isPartitioned: Boolean = loaded.partCols.nonEmpty
+
+  /** Manifest-served partition inventory for `SHOW PARTITIONS`: one row
+    * per partition dir (hive `col=value` segments, or `__bucket=<id>` for
+    * bucketed layouts) with its file count and exact row count (None when
+    * any file in the dir predates stats harvesting). Pure driver-side
+    * manifest arithmetic — no file listing, no Spark job. */
+  private[graft] def partitionSummary: Seq[(String, Long, Option[Long])] = {
+    val stats = manifestStats
+    // display form: undo the writer's %xx path escaping on each
+    // `col=value` segment so values read as the user wrote them
+    def display(dir: String): String = dir.split('/').map { seg =>
+      val eq = seg.indexOf('=')
+      if (eq < 0) seg
+      else seg.substring(0, eq + 1) +
+        java.net.URLDecoder.decode(seg.substring(eq + 1), "UTF-8")
+    }.mkString("/")
+    loaded.files.groupBy(f => display(f.split('/').init.mkString("/"))).toSeq
+      .sortBy(_._1)
+      .map { case (dir, fs) =>
+        val rows = fs.map(f =>
+          stats.get(f).flatMap(_.values.headOption).map(_.rows))
+        (dir, fs.length.toLong,
+          if (rows.forall(_.isDefined)) Some(rows.flatten.sum) else None)
+      }
+  }
 
   private[sources] def liveNumBuckets: Option[Int] = loaded.numBuckets
 
@@ -903,9 +1015,34 @@ class GraftDiskTable(
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+      with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
+      with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
       private var doTruncate = false
+      private var dynamicParts = false
+      private var overwriteWhere
+          : Option[Array[org.apache.spark.sql.connector.expressions.filter.Predicate]] = None
       override def truncate(): WriteBuilder = { doTruncate = true; this }
+      /** Hive dynamic-partition-overwrite: replace exactly the partition
+        * dirs the incoming rows land in, keep every other dir — the
+        * idempotent daily-reload primitive at 100 TB (re-running a day's
+        * job replaces that day, touches nothing else). */
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamicParts = true; this
+      }
+      /** Static overwrite (INSERT OVERWRITE ... PARTITION (c=v), or
+        * DataFrame overwrite(condition)): delete-by-predicate + append in
+        * ONE commit. Predicates must pin identity partition dirs (=/IN on
+        * partition columns) so whole files drop from the manifest — row-
+        * level static overwrite would silently rewrite the table and is
+        * rejected instead (use MERGE/UPDATE for row surgery). */
+      override def overwrite(
+          predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+          : WriteBuilder = {
+        if (predicates.forall(_.name() == "ALWAYS_TRUE")) doTruncate = true
+        else overwriteWhere = Some(predicates)
+        this
+      }
       override def build(): Write = new Write with PartitionClustered {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(
@@ -913,9 +1050,14 @@ class GraftDiskTable(
             new GraftDiskWriterFactory(info.schema(), schema(),
               log.dataDir.toString, writeConfMap(), loaded.partCols,
                 loaded.numBuckets)
-          override def commit(messages: Array[WriterCommitMessage]): Unit =
-            commitFiles(collectFiles(messages), doTruncate,
-              newStats = collectStats(messages))
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val files = collectFiles(messages)
+            val dropOf: Option[DiskManifest => Set[String]] =
+              if (dynamicParts) Some(m => dynamicOverwriteDrop(m, files))
+              else overwriteWhere.map(ps => m => staticOverwriteDrop(m, ps))
+            commitFiles(files, doTruncate,
+              newStats = collectStats(messages), dropOf = dropOf)
+          }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             deleteFiles(collectFiles(messages))
         }
@@ -977,34 +1119,109 @@ class GraftDiskTable(
     files.foreach(f => fs.delete(new HPath(log.dataDir, f), false))
   }
 
-  /** Append (or replace, for truncate/COW) `newFiles` as the next version.
-    * PK/UNIQUE run as distributed jobs BEFORE the manifest is claimed; a
-    * lost append race re-reads the new base and retries (constraints are
-    * re-validated against it). */
+  /** Dynamic-partition-overwrite drop set: every existing file in a
+    * partition dir the incoming files write into. Bucket layout is
+    * rejected — `__bucket=` dirs group by hash, not by partition value,
+    * so "replace the dirs new rows land in" would delete unrelated keys
+    * that happen to share a bucket. */
+  private def dynamicOverwriteDrop(
+      m: DiskManifest, newFiles: Seq[String]): Set[String] = {
+    require(m.numBuckets.isEmpty,
+      s"gdisk: dynamic partition overwrite is not defined for hash-bucketed " +
+        s"$tableName — buckets group by hash, not partition value " +
+        "(use MERGE, or DELETE + INSERT)")
+    def dirOf(f: String) = f.split('/').init.mkString("/")
+    val newDirs = newFiles.map(dirOf).toSet
+    m.files.filter(f => newDirs.contains(dirOf(f))).toSet
+  }
+
+  /** Static-overwrite drop set: the delete predicate must resolve ENTIRELY
+    * over identity partition columns (what Spark emits for INSERT
+    * OVERWRITE ... PARTITION (c=v) — including the null-safe-equality
+    * expansion), because then each file's hive dir values decide the whole
+    * file exactly. A file drops when the conjunction evaluates true on its
+    * dir values. Any reference to a data column, or an expression shape
+    * the evaluator doesn't know, is rejected — row-level static overwrite
+    * would lose rows (use MERGE/UPDATE/DELETE instead). */
+  private def staticOverwriteDrop(
+      m: DiskManifest,
+      preds: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Set[String] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Lit, NamedReference}
+    import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Pred}
+    require(m.hiveParts.nonEmpty,
+      s"gdisk: static INSERT OVERWRITE with predicates needs an identity-" +
+        s"partitioned table ($tableName has no partition dirs to pin)")
+    def reject(p: V2Expr): Nothing = throw new IllegalArgumentException(
+      s"gdisk: static INSERT OVERWRITE on $tableName supports only " +
+        s"predicates over partition columns (${m.hiveParts.mkString(", ")}); " +
+        s"got ${p.describe()} — use MERGE/UPDATE/DELETE for row-level surgery")
+    // value of a leaf on file f: Some(dir value / literal), None = unknown
+    def leaf(e: V2Expr, f: String): Any = e match {
+      case l: V2Lit[_] => l.value
+      case r: NamedReference =>
+        val c = r.fieldNames().mkString(".")
+        if (!m.hiveParts.exists(_.equalsIgnoreCase(c))) reject(e)
+        GraftDiskCatalog.dirValue(this, f, c).getOrElse(reject(e))
+      case other => reject(other)
+    }
+    def eval(p: V2Pred, f: String): Boolean = p.name() match {
+      case "ALWAYS_TRUE" => true
+      case "ALWAYS_FALSE" => false
+      case "AND" => p.children().forall {
+        case c: V2Pred => eval(c, f); case other => reject(other) }
+      case "OR" => p.children().exists {
+        case c: V2Pred => eval(c, f); case other => reject(other) }
+      case "NOT" => p.children().head match {
+        case c: V2Pred => !eval(c, f); case other => reject(other) }
+      case "IS_NULL" => leaf(p.children().head, f) == null
+      case "IS_NOT_NULL" => leaf(p.children().head, f) != null
+      case "=" =>
+        val Array(a, b) = p.children().map(leaf(_, f))
+        a != null && b != null && a == b
+      case "<=>" =>
+        val Array(a, b) = p.children().map(leaf(_, f))
+        (a == null && b == null) || (a != null && a == b)
+      case "IN" =>
+        val vs = p.children().map(leaf(_, f))
+        vs.head != null && vs.tail.exists(v => v != null && v == vs.head)
+      case _ => reject(p)
+    }
+    m.files.filter(f => preds.forall(eval(_, f))).toSet
+  }
+
+  /** Append (or replace, for truncate/overwrite/COW) `newFiles` as the
+    * next version. PK/UNIQUE run as distributed jobs BEFORE the manifest
+    * is claimed; a lost append race re-reads the new base and retries
+    * (constraints — and `dropOf`'s drop set — are re-derived against it). */
   private def commitFiles(
       newFiles: Seq[String], truncate: Boolean,
       epochUpdate: Option[(String, Long)] = None,
-      newStats: Map[String, Map[String, ColStats]] = Map.empty): Unit = synchronized {
+      newStats: Map[String, Map[String, ColStats]] = Map.empty,
+      dropOf: Option[DiskManifest => Set[String]] = None): Unit = synchronized {
     require(pinned.isEmpty,
       s"gdisk: $tableName is a VERSION AS OF snapshot — snapshots are read-only")
     var attempts = 0
     var committed = false
     while (!committed) {
       val base = log.latest()
-      enforceKeysDistributed(base, newFiles,
-        existingFiles = if (truncate) Nil else base.files)
-      enforceFkChildDistributed(base, newFiles,
-        existingFiles = if (truncate) Nil else base.files)
-      if (truncate) enforceFkRestrictDistributed(newFiles)
+      val dropped: Set[String] =
+        if (truncate) base.files.toSet
+        else dropOf.fold(Set.empty[String])(f => f(base))
+      val kept =
+        if (dropped.isEmpty) base.files else base.files.filterNot(dropped)
+      enforceKeysDistributed(base, newFiles, existingFiles = kept)
+      enforceFkChildDistributed(base, newFiles, existingFiles = kept)
+      if (dropped.nonEmpty) enforceFkRestrictDistributed(kept ++ newFiles)
       val next = base.copy(
         version = base.version + 1,
-        files = (if (truncate) Nil else base.files) ++ newFiles,
+        files = kept ++ newFiles,
         added = newFiles,
         epochs = epochUpdate.fold(base.epochs) { case (q, e) =>
           base.epochs + (q -> e) },
         fileStats = Some(
           (if (truncate) Map.empty[String, Map[String, ColStats]]
-           else base.stats) ++ newStats))
+           else base.stats -- dropped) ++ newStats))
       try {
         log.write(next)
         committed = true
@@ -1687,6 +1904,15 @@ class GraftDiskScanBuilder(
         }
       case _ => ()
     }
+    // IDENTITY partition-dir pruning: literal EqualTo/IN predicates on the
+    // partition columns pin hive dirs before the inner scan lists anything
+    GraftDiskCatalog.identityKeepFiles(table, currentFiles, dataFilters)
+      .foreach { kept =>
+        statsSkipped += currentFiles.length - kept.length
+        currentFiles = kept
+        inner = mkInner()
+        prunedForInner.foreach(inner.pruneColumns)
+      }
     pushedDataFilters = dataFilters
     fileFilters ++ inner.pushFilters(dataFilters)
   }
@@ -1717,8 +1943,69 @@ class GraftDiskScanBuilder(
     if (wantsFile)
       new GdiskFileScan(table, currentFiles, pruned, required)
     else {
+      // exact planned-row count from the manifest's per-file stats (every
+      // file records its row count at commit) — numRows feeds Spark's
+      // join-side size estimation, so small gdisk tables auto-broadcast
+      // on facts, not guesses. Conservative: any planned file without a
+      // stats entry, or a pushed-down aggregate (whose output is not the
+      // file rows), withholds the number.
+      val exactRows: Option[Long] =
+        if (aggPushed) None
+        else {
+          val stats = table.manifestStats
+          val perFile = currentFiles.map(f =>
+            stats.get(f).flatMap(_.values.headOption).map(_.rows))
+          if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
+        }
+      // Per-column CBO statistics, assembled driver-side from metadata
+      // already in hand — no ANALYZE scan, no file I/O: min/max/nullCount
+      // merge from the PLANNED files' manifest stats (so they tighten
+      // under partition/stats pruning), identity-partition columns derive
+      // ndv/min/max from their hive dir values, and NDV/string lengths
+      // ride from the last ANALYZE TABLE commit (capped at the planned
+      // row count). Feeds Spark CBO filter-selectivity and join-reorder
+      // estimation through Statistics.columnStats().
+      val colStats: Map[String, GdiskColStat] =
+        if (aggPushed || currentFiles.isEmpty) Map.empty
+        else {
+          val stats = table.manifestStats
+          val perFile = currentFiles.map(f => stats.get(f))
+          val allHave = perFile.forall(_.isDefined)
+          val fileMaps = perFile.flatten
+          val analyze = table.liveAnalyzeStats
+          val hive = table.liveHiveParts
+          def cap(n: Long): Long = exactRows.fold(n)(math.min(n, _))
+          pruned.fields.iterator.flatMap { fld =>
+            val a = analyze.get(fld.name)
+            if (hive.exists(_.equalsIgnoreCase(fld.name))) {
+              val vs = currentFiles.map(f =>
+                GraftDiskCatalog.dirValue(table, f, fld.name))
+              if (vs.forall(_.isDefined)) {
+                val vals = vs.flatten
+                val nonNull = vals.filterNot(_ == null).distinct
+                val ord: Ordering[Any] =
+                  (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+                val mm =
+                  if (nonNull.isEmpty) (None, None)
+                  else (Some(nonNull.min(ord)), Some(nonNull.max(ord)))
+                Some(fld.name -> GdiskColStat(mm._1, mm._2,
+                  if (vals.contains(null)) None else Some(0L),
+                  Some(cap(nonNull.length.toLong)), None, None))
+              } else None
+            } else if (allHave) {
+              val (mn, mx, nulls) =
+                DiskStats.mergedBounds(fileMaps, fld.name, fld.dataType)
+              val ndv = a.map(s => cap(s.ndv))
+              if (mn.isEmpty && nulls.isEmpty && ndv.isEmpty) None
+              else Some(fld.name -> GdiskColStat(mn, mx, nulls, ndv,
+                a.flatMap(_.avgLen), a.flatMap(_.maxLen)))
+            } else a.map(s => fld.name -> GdiskColStat(None, None, None,
+              Some(cap(s.ndv)), s.avgLen, s.maxLen))
+          }.toMap
+        }
       val base = new GraftDiskScan(table, inner.build(), pruned,
-        currentFiles.length, files.length, currentFiles, pushedDataFilters)
+        currentFiles.length, files.length, currentFiles, pushedDataFilters,
+        exactRows, colStats)
       // storage-partitioned-join eligibility: identity-partitioned table,
       // plain row scan (no pushed-down aggregate), and the user opted into
       // Spark's v2 bucketing — then report KeyGroupedPartitioning so
@@ -1837,11 +2124,18 @@ class FileAppendingReaderFactory(required: StructType)
   * manifest version, each micro-batch reads exactly the files ADDED by
   * the versions in (start, end], planned as fresh per-batch inner file
   * scans so executors read parquet vectorized there too. */
+/** One column's scan-time CBO statistics, catalyst-internal min/max. */
+case class GdiskColStat(
+    min: Option[Any], max: Option[Any], nullCount: Option[Long],
+    ndv: Option[Long], avgLen: Option[Long], maxLen: Option[Long])
+
 class GraftDiskScan(
     table: GraftDiskTable, inner0: Scan, pruned: StructType,
     keptFiles: Int = -1, totalFiles: Int = -1,
     relFiles: Seq[String] = Nil,
-    dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
+    dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
+    exactRows: Option[Long] = None,
+    colStats: Map[String, GdiskColStat] = Map.empty)
   extends Scan with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => SOffset}
@@ -1890,13 +2184,54 @@ class GraftDiskScan(
       if (dataFilters.nonEmpty) sb.pushFilters(dataFilters)
       inner = sb.build()
     }
-  override def estimateStatistics(): Statistics = inner match {
-    case s: SupportsReportStatistics => s.estimateStatistics()
-    case _ => new Statistics {
+  /** sizeInBytes rides on the inner parquet scan's file sizes; numRows is
+    * the manifest's EXACT planned-file row count when available (commit
+    * time records it per file) — what join-side size estimation and
+    * broadcast decisions actually want. columnStats serves per-column
+    * min/max/nullCount merged from the planned files' manifest stats plus
+    * ANALYZE TABLE's NDV/length stats — Spark's `transformV2Stats` turns
+    * them into catalyst `attributeStats`, so CBO filter-selectivity and
+    * join-reorder estimation run on facts without an ANALYZE scan. */
+  override def estimateStatistics(): Statistics = {
+    val base = inner match {
+      case s: SupportsReportStatistics => Some(s.estimateStatistics())
+      case _ => None
+    }
+    def jl(o: Option[Long]): java.util.OptionalLong =
+      o.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+    val colMap: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      colStats.foreach { case (name, cs) =>
+        m.put(Expressions.column(name),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong = jl(cs.ndv)
+            override def min(): java.util.Optional[Object] =
+              cs.min.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty())
+            override def max(): java.util.Optional[Object] =
+              cs.max.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty())
+            override def nullCount(): java.util.OptionalLong = jl(cs.nullCount)
+            override def avgLen(): java.util.OptionalLong = jl(cs.avgLen)
+            override def maxLen(): java.util.OptionalLong = jl(cs.maxLen)
+          })
+      }
+      m
+    }
+    new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        base.map(_.sizeInBytes()).getOrElse(java.util.OptionalLong.empty())
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        exactRows.map(java.util.OptionalLong.of).getOrElse(
+          base.map(_.numRows()).getOrElse(java.util.OptionalLong.empty()))
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colMap
     }
   }
 

@@ -718,6 +718,154 @@ class DiskCatalogSpec extends AnyFunSuite {
       "runtime join-key values pruned no bucket dirs")
   }
 
+  test("manifest-exact numRows feeds plan statistics; partition predicates shrink it") {
+    spark.sql("CREATE TABLE gdspec.lake.nr (id BIGINT, grp STRING) " +
+      "PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO gdspec.lake.nr " +
+      "SELECT id, IF(id % 2 = 0, 'even', 'odd') FROM range(1000)")
+    val full = spark.table("gdspec.lake.nr").queryExecution.optimizedPlan.stats
+    assert(full.rowCount.contains(BigInt(1000)),
+      s"expected exact rowCount=1000, got ${full.rowCount}")
+    // a literal partition predicate pins dirs driver-side: the scan's
+    // planned files (and its reported numRows) cover only matching dirs
+    val filtered = spark.table("gdspec.lake.nr").where("grp = 'even'")
+    val scanStats = filtered.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.stats
+    }.head
+    assert(scanStats.rowCount.contains(BigInt(500)),
+      s"expected partition-pruned rowCount=500, got ${scanStats.rowCount}")
+    assert(filtered.count() == 500L)
+  }
+
+  test("SHOW PARTITIONS serves the manifest's partition inventory") {
+    spark.sql("CREATE TABLE gdspec.lake.shp (id BIGINT, grp STRING) " +
+      "PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO gdspec.lake.shp " +
+      "SELECT id, IF(id % 4 = 0, 'a', 'b') FROM range(100)")
+    val g = new GraftSession(spark)
+    val rows = g.sql("SHOW PARTITIONS gdspec.lake.shp").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rows == Map("grp=a" -> 25L, "grp=b" -> 75L))
+    // bucketed layout: one row per __bucket dir, counts sum to the table
+    spark.sql("CREATE TABLE gdspec.lake.shb (k BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gdspec.lake.shb SELECT id FROM range(64)")
+    val b = g.sql("SHOW PARTITIONS gdspec.lake.shb").collect()
+    assert(b.forall(_.getString(0).startsWith("__bucket=")))
+    assert(b.map(_.getLong(2)).sum == 64L)
+    // unpartitioned tables error, like Spark's own SHOW PARTITIONS
+    spark.sql("CREATE TABLE gdspec.lake.shu (id BIGINT)")
+    val e = intercept[Exception](g.sql("SHOW PARTITIONS gdspec.lake.shu"))
+    assert(e.getMessage.contains("not a partitioned table"))
+  }
+
+  test("ANALYZE TABLE commits manifest NDV stats; scans serve CBO column statistics") {
+    spark.sql("CREATE TABLE gdspec.lake.cbo (id BIGINT, cat STRING, grp STRING) " +
+      "PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO gdspec.lake.cbo SELECT id, " +
+      "concat('c', id % 10), IF(id < 800, 'hot', 'cold') FROM range(1000)")
+    val g = new GraftSession(spark)
+    val out = g.sql("ANALYZE TABLE gdspec.lake.cbo COMPUTE STATISTICS")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("id" -> 1000L, "cat" -> 10L, "grp" -> 2L))
+    // the scan relation's catalyst stats carry per-column facts: NDV from
+    // the ANALYZE commit, min/max/nullCount merged from per-file manifest
+    // stats, partition-column bounds/NDV from the hive dir values
+    val rel = spark.table("gdspec.lake.cbo").queryExecution.optimizedPlan
+      .collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head
+    val byName = rel.stats.attributeStats.map { case (a, s) => a.name -> s }
+    val id = byName("id")
+    assert(id.distinctCount.contains(BigInt(1000)))
+    assert(id.min.contains(0L) && id.max.contains(999L))
+    assert(id.nullCount.contains(BigInt(0)))
+    val grp = byName("grp")
+    assert(grp.distinctCount.contains(BigInt(2)))
+    assert(grp.min.map(_.toString).contains("cold") &&
+      grp.max.map(_.toString).contains("hot"))
+    val cat = byName("cat")
+    assert(cat.distinctCount.contains(BigInt(10)))
+    assert(cat.avgLen.contains(2L) && cat.maxLen.contains(2L))
+    // with CBO on, a range predicate's estimated output uses those stats:
+    // id < 100 over uniform [0, 999] estimates ~10% of 1000 rows
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val est = spark.table("gdspec.lake.cbo").where("id < 100")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(est.exists(rc => rc >= BigInt(80) && rc <= BigInt(130)),
+        s"expected ~100 estimated rows from CBO selectivity, got $est")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    // APPROXIMATE flavor: one HLL pass, estimates within 10%
+    val approx = g.sql(
+      "ANALYZE TABLE gdspec.lake.cbo COMPUTE APPROXIMATE STATISTICS")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(approx("id") - 1000L) <= 100L &&
+      approx("cat") == 10L && approx("grp") == 2L)
+  }
+
+  test("dynamic partition overwrite replaces only the partitions new rows land in") {
+    spark.sql("CREATE TABLE gdspec.lake.dyn (id BIGINT, grp STRING) " +
+      "PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO gdspec.lake.dyn VALUES " +
+      "(1, 'a'), (2, 'a'), (3, 'b'), (4, 'c')")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE gdspec.lake.dyn VALUES (10, 'a'), (30, 'b')")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // a and b replaced wholesale, c untouched
+    val rows = spark.table("gdspec.lake.dyn").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(rows == Set(10L -> "a", 30L -> "b", 4L -> "c"))
+    // time travel still serves the pre-overwrite snapshot
+    assert(spark.sql(
+      "SELECT count(*) FROM gdspec.lake.dyn VERSION AS OF 1").head().getLong(0) == 4L)
+    // bucketed layout rejects dynamic overwrite (buckets group by hash,
+    // not partition value — replacing a bucket dir would delete
+    // unrelated keys)
+    spark.sql("CREATE TABLE gdspec.lake.dynb (k BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gdspec.lake.dynb VALUES (1), (2)")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val e = intercept[Exception](
+      spark.sql("INSERT OVERWRITE gdspec.lake.dynb VALUES (9)"))
+    spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(e.getMessage.contains("dynamic partition overwrite") ||
+      Option(e.getCause).exists(_.getMessage.contains("dynamic partition overwrite")))
+  }
+
+  test("static INSERT OVERWRITE PARTITION pins dirs; non-partition predicates reject") {
+    spark.sql("CREATE TABLE gdspec.lake.sov (id BIGINT, grp STRING) " +
+      "PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO gdspec.lake.sov VALUES " +
+      "(1, 'a'), (2, 'a'), (3, 'b'), (4, 'c')")
+    // static mode (the default): only the named partition is replaced
+    spark.sql("INSERT OVERWRITE gdspec.lake.sov PARTITION (grp = 'a') " +
+      "VALUES (100)")
+    val rows = spark.table("gdspec.lake.sov").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(rows == Set(100L -> "a", 3L -> "b", 4L -> "c"))
+    // the overwrite is ONE commit: delete-dir + append together
+    val hist = new GraftSession(spark)
+      .sql("DESCRIBE HISTORY gdspec.lake.sov").collect()
+    assert(hist.length == 3, s"expected 3 versions, got ${hist.length}")
+    // DataFrame overwrite(condition) on a non-partition column rejects —
+    // whole files can't be provably covered
+    val e = intercept[Exception] {
+      spark.table("gdspec.lake.sov").where("id > 0").limit(1)
+        .writeTo("gdspec.lake.sov").overwrite(
+          org.apache.spark.sql.functions.col("id") > 0)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(5).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("partition columns"), msgs)
+  }
+
   test("DROP TABLE / RENAME TABLE / SHOW TABLES") {
     spark.sql("CREATE TABLE gdspec.lake.sh1 (id BIGINT)")
     spark.sql("INSERT INTO gdspec.lake.sh1 VALUES (1)")
