@@ -698,6 +698,49 @@ object DdlDml extends QueryModule {
         FROM orders WHERE o_orderpriority LIKE '1%'
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- Manifest-answered aggregates: COUNT(*)/COUNT(col)/MIN/MAX over
+    // a gdisk table complete entirely from the manifest's per-file stats —
+    // ONE driver-side row, ZERO file I/O, ZERO tasks (the plan is a bare
+    // LocalTableScan; at 100 TB, count(*) is a sum over manifest entries,
+    // not a scan). NULL accounting rides the footer null counts; proof
+    // runs in-builder (no BatchScan/Exchange/HashAggregate in the plan),
+    // values gate against DuckDB's direct recomputation. ----
+    QueryDef(
+      "ddl_v2_disk_agg_manifest",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.mag")
+        s.sql("""CREATE TABLE gdisk.verify.mag
+          (o_orderkey BIGINT, custkey BIGINT, o_orderpriority STRING)
+          PARTITIONED BY (o_orderpriority)""")
+        s.sql("INSERT INTO gdisk.verify.mag SELECT o_orderkey, " +
+          "IF(o_orderkey % 7 = 0, NULL, o_custkey), o_orderpriority " +
+          "FROM orders")
+        val q = """SELECT count(*) AS c, count(custkey) AS cc,
+            count(o_orderpriority) AS cp,
+            min(o_orderkey) AS mn, max(o_orderkey) AS mx
+          FROM gdisk.verify.mag"""
+        val plan = s.sql(q).queryExecution.executedPlan.toString
+        require(plan.contains("LocalTableScan") &&
+          !plan.contains("BatchScan") && !plan.contains("Exchange") &&
+          !plan.contains("HashAggregate"),
+          s"expected a zero-task manifest-answered aggregate plan:\n$plan")
+        s.sql(q)
+      },
+      Some("""SELECT count(*) AS c,
+          count(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                     ELSE o_custkey END) AS cc,
+          count(o_orderpriority) AS cp,
+          min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        FROM orders""")),
+
     // ---- Partition-scoped INSERT OVERWRITE on gdisk, both flavors under
     // one oracle gate. STATIC (`PARTITION (c=v)`): Spark delivers the
     // partition pin as a delete predicate (`SupportsOverwriteV2`) — the

@@ -1921,25 +1921,141 @@ class GraftDiskScanBuilder(
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     inner.pushedFilters
 
-  // COUNT/MIN/MAX over plain scans answer from parquet FOOTER statistics —
-  // forward the aggregation into Spark's own parquet builder (never for
-  // the _file-tagged COW path, whose readers must see rows)
+  // COUNT/MIN/MAX over plain scans answer from the MANIFEST when its
+  // per-file stats fully decide the result — the whole aggregate becomes
+  // ONE driver-side row with ZERO file I/O and zero tasks (at 100 TB,
+  // count(*) is a sum over manifest entries, not a scan). Anything the
+  // manifest can't prove falls through to Spark's parquet FOOTER
+  // statistics pushdown (never for the _file-tagged COW path, whose
+  // readers must see rows).
   private var aggPushed = false
+  private var manifestAgg: Option[(StructType, InternalRow)] = None
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     if (wantsFile) false
     else {
-      aggPushed = inner.pushAggregation(agg)
-      aggPushed
+      manifestAgg = manifestAggAnswer(agg)
+      if (manifestAgg.isDefined) { aggPushed = true; true }
+      else {
+        aggPushed = inner.pushAggregation(agg)
+        aggPushed
+      }
     }
   }
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = !wantsFile && inner.supportCompletePushDown(agg)
+      : Boolean = !wantsFile &&
+    (manifestAggAnswer(agg).isDefined || inner.supportCompletePushDown(agg))
+
+  /** The manifest's complete answer to `agg`, when provable: COUNT(*) =
+    * Σ per-file rows; COUNT(col) = rows − Σ nulls (dir-derived for
+    * identity-partition columns); MIN/MAX(col) = merged exact bounds for
+    * integral/date/timestamp columns (floats excluded — NaN and ±0.0
+    * widening make footer bounds inexact; strings excluded — writers may
+    * truncate binary stats). Refuses (None) under pushed data filters,
+    * GROUP BY, DISTINCT, any planned file without the needed stat, or any
+    * unsupported type/function — the parquet-footer path takes over. */
+  private def manifestAggAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (agg.groupByExpressions().nonEmpty || pushedDataFilters.nonEmpty)
+      return None
+    val tableSchema = table.schema()
+    val schema = org.apache.spark.sql.execution.datasources
+      .AggregatePushDownUtils.getSchemaForPushedAggregation(
+        agg, tableSchema, table.liveHiveParts.toSet, Nil)
+      .getOrElse(return None)
+    val stats = table.manifestStats
+    val perFile = currentFiles.map(f => stats.get(f))
+    if (!perFile.forall(_.isDefined)) return None
+    val fileMaps: Seq[Map[String, ColStats]] = perFile.flatten
+    // every file's row count (any column's entry carries it; a file with
+    // an empty stats map has an unknown count → refuse)
+    val rowsPerFile = fileMaps.map(m => m.values.headOption.map(_.rows))
+    if (currentFiles.nonEmpty && !rowsPerFile.forall(_.isDefined)) return None
+    val totalRows = rowsPerFile.flatten.sum
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(r.fieldNames()(0)))
+      case _ => None
+    }
+    def isHivePart(c: String) =
+      table.liveHiveParts.exists(_.equalsIgnoreCase(c))
+    // nulls for a column across planned files (None = not provable)
+    def nullsOf(f: StructField): Option[Long] =
+      if (isHivePart(f.name)) {
+        // dir value decides nullness for every row of the file
+        val per = currentFiles.zip(rowsPerFile).map { case (file, r) =>
+          GraftDiskCatalog.dirValue(table, file, f.name)
+            .zip(r).map { case (v, rows) => if (v == null) rows else 0L }
+        }
+        if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+      } else {
+        val per = fileMaps.map(_.get(f.name).flatMap(_.nulls))
+        if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+      }
+    import org.apache.spark.sql.types.{ByteType => BT, ShortType => ST, IntegerType => IT, LongType => LT, DateType => DT, TimestampType => TT, TimestampNTZType => TNT}
+    val minMaxOk: DataType => Boolean = {
+      case BT | ST | IT | LT | DT | TT | TNT => true
+      case _ => false
+    }
+    // exact merged bound (Some(null) = provably all-null, None = refuse)
+    def boundOf(f: StructField, wantMin: Boolean): Option[Any] =
+      if (!minMaxOk(f.dataType)) None
+      else if (isHivePart(f.name)) {
+        val vs = currentFiles.map(file =>
+          GraftDiskCatalog.dirValue(table, file, f.name))
+        if (!vs.forall(_.isDefined)) None
+        else {
+          val nonNull = vs.flatten.filterNot(_ == null)
+          if (nonNull.isEmpty) Some(null)
+          else {
+            val ord: Ordering[Any] =
+              (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+            Some(if (wantMin) nonNull.min(ord) else nonNull.max(ord))
+          }
+        }
+      } else {
+        val (mn, mx, _) = DiskStats.mergedBounds(fileMaps, f.name, f.dataType)
+        val bound = if (wantMin) mn else mx
+        bound.orElse {
+          // no merged bound is exact only when every file is provably
+          // all-null for the column
+          val allNull = fileMaps.forall(m =>
+            m.get(f.name).exists(cs => cs.nulls.contains(cs.rows)))
+          if (currentFiles.isEmpty || allNull) Some(null) else None
+        }
+      }
+    val values = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => java.lang.Long.valueOf(totalRows): Any
+      case c: Count if !c.isDistinct =>
+        val f = colOf(c.column).getOrElse(return None)
+        val nulls = nullsOf(f).getOrElse(return None)
+        java.lang.Long.valueOf(totalRows - nulls): Any
+      case m: Min =>
+        val f = colOf(m.column).getOrElse(return None)
+        boundOf(f, wantMin = true).getOrElse(return None)
+      case m: Max =>
+        val f = colOf(m.column).getOrElse(return None)
+        boundOf(f, wantMin = false).getOrElse(return None)
+      case _ => return None
+    }
+    Some((schema, new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(values.toArray)))
+  }
 
   override def build(): Scan = {
     val pruned = StructType(required.fields.filterNot(_.name == FileColumnName))
+    manifestAgg match {
+      case Some((aggSchema, row)) =>
+        return new GdiskManifestAggScan(table.name(), aggSchema, row,
+          currentFiles.length)
+      case None => ()
+    }
     if (wantsFile)
       new GdiskFileScan(table, currentFiles, pruned, required)
     else {
@@ -2124,6 +2240,22 @@ class FileAppendingReaderFactory(required: StructType)
   * manifest version, each micro-batch reads exactly the files ADDED by
   * the versions in (start, end], planned as fresh per-batch inner file
   * scans so executors read parquet vectorized there too. */
+/** A manifest-answered aggregate: the COUNT/MIN/MAX result computed
+  * entirely driver-side from per-file manifest stats — Spark plans a
+  * [[org.apache.spark.sql.connector.read.LocalScan]] as a local table
+  * scan, so the query runs with zero file I/O and zero tasks. */
+class GdiskManifestAggScan(
+    tableName: String, aggSchema: StructType,
+    row: org.apache.spark.sql.catalyst.InternalRow, nFiles: Int)
+  extends org.apache.spark.sql.connector.read.LocalScan {
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    Array(row)
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"GdiskManifestAggScan($tableName, manifestAgg=complete, " +
+      s"filesSummed=$nFiles)"
+}
+
 /** One column's scan-time CBO statistics, catalyst-internal min/max. */
 case class GdiskColStat(
     min: Option[Any], max: Option[Any], nullCount: Option[Long],

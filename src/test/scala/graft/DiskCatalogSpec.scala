@@ -161,21 +161,25 @@ class DiskCatalogSpec extends AnyFunSuite {
   }
 
   test("COUNT(*) answers from parquet footer statistics (aggregate pushdown)") {
-    // gated behind Spark's own conf (float-NaN footer caveats keep it off
-    // by default); the gdisk builder forwards when the user opts in
+    spark.sql("CREATE TABLE gdspec.lake.agg (id BIGINT, v STRING, d DOUBLE)")
+    spark.sql("INSERT INTO gdspec.lake.agg SELECT id, concat('v', id), " +
+      "CAST(id AS DOUBLE) FROM range(5000)")
+    // tier 1: the MANIFEST answers COUNT/MIN/MAX(integral) outright — no
+    // conf, no file I/O, no tasks (LocalTableScan, no BatchScan)
+    val df = spark.sql("SELECT count(*), min(id), max(id) FROM gdspec.lake.agg")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"), plan)
+    val r = df.head()
+    assert(r.getLong(0) == 5000L && r.getLong(1) == 0L && r.getLong(2) == 4999L)
+    // tier 2: shapes the manifest refuses (float bounds — NaN/±0.0 footer
+    // caveats) fall through to Spark's parquet FOOTER statistics under
+    // its own opt-in conf
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     try {
-      spark.sql("CREATE TABLE gdspec.lake.agg (id BIGINT, v STRING)")
-      spark.sql("INSERT INTO gdspec.lake.agg SELECT id, concat('v', id) FROM range(5000)")
-      val df = spark.sql("SELECT count(*) FROM gdspec.lake.agg")
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("PushedAggregation: [COUNT(*)]"), plan)
-      assert(df.head().getLong(0) == 5000L)
-      // MIN/MAX ride the footers too
-      val mm = spark.sql("SELECT min(id), max(id) FROM gdspec.lake.agg")
+      val mm = spark.sql("SELECT min(d), max(d) FROM gdspec.lake.agg")
       assert(mm.queryExecution.executedPlan.toString.contains("PushedAggregation"),
         mm.queryExecution.executedPlan.toString)
-      assert(mm.head().getLong(0) == 0L && mm.head().getLong(1) == 4999L)
+      assert(mm.head().getDouble(0) == 0.0 && mm.head().getDouble(1) == 4999.0)
     } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
   }
 
@@ -864,6 +868,50 @@ class DiskCatalogSpec extends AnyFunSuite {
     val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .take(5).map(_.getMessage).mkString(" | ")
     assert(msgs.contains("partition columns"), msgs)
+  }
+
+  test("COUNT/MIN/MAX answer from the manifest with zero file I/O") {
+    spark.sql("CREATE TABLE gdspec.lake.magg (id BIGINT, v DOUBLE, grp STRING) " +
+      "PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO gdspec.lake.magg SELECT " +
+      "IF(id % 10 = 0, NULL, id), CAST(id AS DOUBLE), " +
+      "IF(id < 800, 'hot', 'cold') FROM range(1000)")
+    val q = "SELECT count(*) AS c, count(id) AS ci, count(grp) AS cg, " +
+      "min(id) AS mn, max(id) AS mx FROM gdspec.lake.magg"
+    val df = spark.sql(q)
+    val plan = df.queryExecution.executedPlan.toString
+    // complete manifest answer: the whole query is one LocalTableScan over
+    // the pushed aggregate columns — no parquet scan, no exchange, no
+    // aggregate exec anywhere
+    assert(plan.contains("LocalTableScan [count(*)"),
+      s"expected a local (zero-task) manifest-aggregate scan in:\n$plan")
+    assert(!plan.contains("BatchScan") && !plan.contains("Exchange") &&
+      !plan.contains("HashAggregate"),
+      s"manifest aggregate still planned distributed work:\n$plan")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }
+    assert(scans.exists(_.isInstanceOf[graft.sources.GdiskManifestAggScan]),
+      s"expected GdiskManifestAggScan, got ${scans.map(_.getClass.getName)}")
+    val r = df.head()
+    assert(r.getLong(0) == 1000L && r.getLong(1) == 900L &&
+      r.getLong(2) == 1000L && r.getLong(3) == 1L && r.getLong(4) == 999L,
+      s"wrong manifest aggregate values: $r")
+    // a data filter defeats the manifest answer — falls back to a real scan
+    val filtered = spark.sql(
+      "SELECT count(*) FROM gdspec.lake.magg WHERE id > 10")
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("GdiskManifestAggScan"))
+    assert(filtered.head().getLong(0) == 891L)
+    // results stay right across a COW delete (stats follow the rewrite):
+    // BETWEEN matches the 90 non-null ids in [1,99] (multiples of 10 are
+    // NULL), so 910 rows remain and the smallest surviving id is 101
+    spark.sql("DELETE FROM gdspec.lake.magg WHERE id BETWEEN 1 AND 99")
+    val r2 = spark.sql(q).head()
+    assert(r2.getLong(0) == 910L && r2.getLong(1) == 810L &&
+      r2.getLong(3) == 101L && r2.getLong(4) == 999L,
+      s"wrong post-delete manifest aggregates: $r2")
   }
 
   test("DROP TABLE / RENAME TABLE / SHOW TABLES") {
