@@ -723,23 +723,36 @@ object DdlDml extends QueryModule {
         s.sql("INSERT INTO gdisk.verify.mag SELECT o_orderkey, " +
           "IF(o_orderkey % 7 = 0, NULL, o_custkey), o_orderpriority " +
           "FROM orders")
-        val q = """SELECT count(*) AS c, count(custkey) AS cc,
+        val global = """SELECT count(*) AS c, count(custkey) AS cc,
             count(o_orderpriority) AS cp,
             min(o_orderkey) AS mn, max(o_orderkey) AS mx
           FROM gdisk.verify.mag"""
+        val gPlan = s.sql(global).queryExecution.executedPlan.toString
+        require(gPlan.contains("LocalTableScan") &&
+          !gPlan.contains("BatchScan") && !gPlan.contains("Exchange") &&
+          !gPlan.contains("HashAggregate"),
+          s"expected a zero-task manifest-answered aggregate plan:\n$gPlan")
+        // GROUP BY the partition column: one row per hive dir, still no
+        // scan, no aggregate exec — SHOW PARTITIONS as SQL (the final
+        // ORDER BY's range exchange over 5 local rows is the plan's only
+        // non-local operator)
+        val q = """SELECT o_orderpriority, count(*) AS c,
+            count(custkey) AS cc,
+            min(o_orderkey) AS mn, max(o_orderkey) AS mx
+          FROM gdisk.verify.mag
+          GROUP BY o_orderpriority ORDER BY o_orderpriority"""
         val plan = s.sql(q).queryExecution.executedPlan.toString
         require(plan.contains("LocalTableScan") &&
-          !plan.contains("BatchScan") && !plan.contains("Exchange") &&
-          !plan.contains("HashAggregate"),
-          s"expected a zero-task manifest-answered aggregate plan:\n$plan")
+          !plan.contains("BatchScan") && !plan.contains("HashAggregate"),
+          s"expected a zero-task grouped manifest aggregate plan:\n$plan")
         s.sql(q)
       },
-      Some("""SELECT count(*) AS c,
+      Some("""SELECT o_orderpriority, count(*) AS c,
           count(CASE WHEN o_orderkey % 7 = 0 THEN NULL
                      ELSE o_custkey END) AS cc,
-          count(o_orderpriority) AS cp,
           min(o_orderkey) AS mn, max(o_orderkey) AS mx
-        FROM orders""")),
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // ---- Partition-scoped INSERT OVERWRITE on gdisk, both flavors under
     // one oracle gate. STATIC (`PARTITION (c=v)`): Spark delivers the

@@ -1929,7 +1929,7 @@ class GraftDiskScanBuilder(
   // statistics pushdown (never for the _file-tagged COW path, whose
   // readers must see rows).
   private var aggPushed = false
-  private var manifestAgg: Option[(StructType, InternalRow)] = None
+  private var manifestAgg: Option[(StructType, Array[InternalRow])] = None
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
@@ -1953,30 +1953,20 @@ class GraftDiskScanBuilder(
     * identity-partition columns); MIN/MAX(col) = merged exact bounds for
     * integral/date/timestamp columns (floats excluded — NaN and ±0.0
     * widening make footer bounds inexact; strings excluded — writers may
-    * truncate binary stats). Refuses (None) under pushed data filters,
-    * GROUP BY, DISTINCT, any planned file without the needed stat, or any
-    * unsupported type/function — the parquet-footer path takes over. */
+    * truncate binary stats). GROUP BY over ALL the identity partition
+    * columns groups the planned files by their hive dir values — one
+    * output row per live partition, still zero file I/O (the SQL face of
+    * SHOW PARTITIONS). Refuses (None) under pushed data filters,
+    * DISTINCT, partial-partition GROUP BY, any planned file without the
+    * needed stat, or any unsupported type/function — the parquet-footer
+    * path takes over. */
   private def manifestAggAnswer(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, InternalRow)] = {
+      : Option[(StructType, Array[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (agg.groupByExpressions().nonEmpty || pushedDataFilters.nonEmpty)
-      return None
+    if (pushedDataFilters.nonEmpty) return None
     val tableSchema = table.schema()
-    val schema = org.apache.spark.sql.execution.datasources
-      .AggregatePushDownUtils.getSchemaForPushedAggregation(
-        agg, tableSchema, table.liveHiveParts.toSet, Nil)
-      .getOrElse(return None)
-    val stats = table.manifestStats
-    val perFile = currentFiles.map(f => stats.get(f))
-    if (!perFile.forall(_.isDefined)) return None
-    val fileMaps: Seq[Map[String, ColStats]] = perFile.flatten
-    // every file's row count (any column's entry carries it; a file with
-    // an empty stats map has an unknown count → refuse)
-    val rowsPerFile = fileMaps.map(m => m.values.headOption.map(_.rows))
-    if (currentFiles.nonEmpty && !rowsPerFile.forall(_.isDefined)) return None
-    val totalRows = rowsPerFile.flatten.sum
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {
       case r: NamedReference if r.fieldNames().length == 1 =>
@@ -1985,74 +1975,113 @@ class GraftDiskScanBuilder(
     }
     def isHivePart(c: String) =
       table.liveHiveParts.exists(_.equalsIgnoreCase(c))
-    // nulls for a column across planned files (None = not provable)
-    def nullsOf(f: StructField): Option[Long] =
-      if (isHivePart(f.name)) {
-        // dir value decides nullness for every row of the file
-        val per = currentFiles.zip(rowsPerFile).map { case (file, r) =>
-          GraftDiskCatalog.dirValue(table, file, f.name)
-            .zip(r).map { case (v, rows) => if (v == null) rows else 0L }
-        }
-        if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
-      } else {
-        val per = fileMaps.map(_.get(f.name).flatMap(_.nulls))
-        if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
-      }
+    // the util enforces: group-by columns (if any) = exactly the partition
+    // columns; schema lays out group columns first, aggregates after
+    val groupFields: Seq[StructField] =
+      agg.groupByExpressions().toSeq.map(e => colOf(e).getOrElse(return None))
+    if (groupFields.exists(f => !isHivePart(f.name))) return None
+    val schema = org.apache.spark.sql.execution.datasources
+      .AggregatePushDownUtils.getSchemaForPushedAggregation(
+        agg, tableSchema, table.liveHiveParts.toSet, Nil)
+      .getOrElse(return None)
+    val stats = table.manifestStats
+    val perFile = currentFiles.map(f => stats.get(f))
+    if (!perFile.forall(_.isDefined)) return None
     import org.apache.spark.sql.types.{ByteType => BT, ShortType => ST, IntegerType => IT, LongType => LT, DateType => DT, TimestampType => TT, TimestampNTZType => TNT}
     val minMaxOk: DataType => Boolean = {
       case BT | ST | IT | LT | DT | TT | TNT => true
       case _ => false
     }
-    // exact merged bound (Some(null) = provably all-null, None = refuse)
-    def boundOf(f: StructField, wantMin: Boolean): Option[Any] =
-      if (!minMaxOk(f.dataType)) None
-      else if (isHivePart(f.name)) {
-        val vs = currentFiles.map(file =>
-          GraftDiskCatalog.dirValue(table, file, f.name))
-        if (!vs.forall(_.isDefined)) None
-        else {
-          val nonNull = vs.flatten.filterNot(_ == null)
-          if (nonNull.isEmpty) Some(null)
+    // one aggregate row over a file group (the whole table, or one
+    // partition's files under GROUP BY)
+    def groupRow(files: Seq[String]): Option[Seq[Any]] = {
+      val fileMaps: Seq[Map[String, ColStats]] = files.map(stats(_))
+      // every file's row count (any column's entry carries it; a file
+      // with an empty stats map has an unknown count → refuse)
+      val rowsPerFile = fileMaps.map(m => m.values.headOption.map(_.rows))
+      if (files.nonEmpty && !rowsPerFile.forall(_.isDefined)) return None
+      val totalRows = rowsPerFile.flatten.sum
+      def nullsOf(f: StructField): Option[Long] =
+        if (isHivePart(f.name)) {
+          val per = files.zip(rowsPerFile).map { case (file, r) =>
+            GraftDiskCatalog.dirValue(table, file, f.name)
+              .zip(r).map { case (v, rows) => if (v == null) rows else 0L }
+          }
+          if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+        } else {
+          val per = fileMaps.map(_.get(f.name).flatMap(_.nulls))
+          if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+        }
+      // exact merged bound (Some(null) = provably all-null, None = refuse)
+      def boundOf(f: StructField, wantMin: Boolean): Option[Any] =
+        if (!minMaxOk(f.dataType)) None
+        else if (isHivePart(f.name)) {
+          val vs = files.map(file =>
+            GraftDiskCatalog.dirValue(table, file, f.name))
+          if (!vs.forall(_.isDefined)) None
           else {
-            val ord: Ordering[Any] =
-              (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
-            Some(if (wantMin) nonNull.min(ord) else nonNull.max(ord))
+            val nonNull = vs.flatten.filterNot(_ == null)
+            if (nonNull.isEmpty) Some(null)
+            else {
+              val ord: Ordering[Any] =
+                (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+              Some(if (wantMin) nonNull.min(ord) else nonNull.max(ord))
+            }
+          }
+        } else {
+          val (mn, mx, _) = DiskStats.mergedBounds(fileMaps, f.name, f.dataType)
+          val bound = if (wantMin) mn else mx
+          bound.orElse {
+            // no merged bound is exact only when every file is provably
+            // all-null for the column
+            val allNull = fileMaps.forall(m =>
+              m.get(f.name).exists(cs => cs.nulls.contains(cs.rows)))
+            if (files.isEmpty || allNull) Some(null) else None
           }
         }
-      } else {
-        val (mn, mx, _) = DiskStats.mergedBounds(fileMaps, f.name, f.dataType)
-        val bound = if (wantMin) mn else mx
-        bound.orElse {
-          // no merged bound is exact only when every file is provably
-          // all-null for the column
-          val allNull = fileMaps.forall(m =>
-            m.get(f.name).exists(cs => cs.nulls.contains(cs.rows)))
-          if (currentFiles.isEmpty || allNull) Some(null) else None
-        }
-      }
-    val values = agg.aggregateExpressions().toSeq.map {
-      case _: CountStar => java.lang.Long.valueOf(totalRows): Any
-      case c: Count if !c.isDistinct =>
-        val f = colOf(c.column).getOrElse(return None)
-        val nulls = nullsOf(f).getOrElse(return None)
-        java.lang.Long.valueOf(totalRows - nulls): Any
-      case m: Min =>
-        val f = colOf(m.column).getOrElse(return None)
-        boundOf(f, wantMin = true).getOrElse(return None)
-      case m: Max =>
-        val f = colOf(m.column).getOrElse(return None)
-        boundOf(f, wantMin = false).getOrElse(return None)
-      case _ => return None
+      Some(agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => java.lang.Long.valueOf(totalRows): Any
+        case c: Count if !c.isDistinct =>
+          val f = colOf(c.column).getOrElse(return None)
+          val nulls = nullsOf(f).getOrElse(return None)
+          java.lang.Long.valueOf(totalRows - nulls): Any
+        case m: Min =>
+          val f = colOf(m.column).getOrElse(return None)
+          boundOf(f, wantMin = true).getOrElse(return None)
+        case m: Max =>
+          val f = colOf(m.column).getOrElse(return None)
+          boundOf(f, wantMin = false).getOrElse(return None)
+        case _ => return None
+      })
     }
-    Some((schema, new org.apache.spark.sql.catalyst.expressions
-      .GenericInternalRow(values.toArray)))
+    val rows: Array[InternalRow] =
+      if (groupFields.isEmpty)
+        Array(new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(groupRow(currentFiles)
+            .getOrElse(return None).toArray))
+      else {
+        // group the planned files by their hive dir values; every file
+        // must carry every group column's dir segment
+        val keyed = currentFiles.map { f =>
+          val key = groupFields.map(g =>
+            GraftDiskCatalog.dirValue(table, f, g.name)
+              .getOrElse(return None))
+          key -> f
+        }
+        keyed.groupBy(_._1).toSeq.map { case (key, fs) =>
+          val aggVals = groupRow(fs.map(_._2)).getOrElse(return None)
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow((key ++ aggVals).toArray): InternalRow
+        }.toArray
+      }
+    Some((schema, rows))
   }
 
   override def build(): Scan = {
     val pruned = StructType(required.fields.filterNot(_.name == FileColumnName))
     manifestAgg match {
-      case Some((aggSchema, row)) =>
-        return new GdiskManifestAggScan(table.name(), aggSchema, row,
+      case Some((aggSchema, aggRows)) =>
+        return new GdiskManifestAggScan(table.name(), aggSchema, aggRows,
           currentFiles.length)
       case None => ()
     }
@@ -2246,10 +2275,10 @@ class FileAppendingReaderFactory(required: StructType)
   * scan, so the query runs with zero file I/O and zero tasks. */
 class GdiskManifestAggScan(
     tableName: String, aggSchema: StructType,
-    row: org.apache.spark.sql.catalyst.InternalRow, nFiles: Int)
+    aggRows: Array[org.apache.spark.sql.catalyst.InternalRow], nFiles: Int)
   extends org.apache.spark.sql.connector.read.LocalScan {
   override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-    Array(row)
+    aggRows
   override def readSchema(): StructType = aggSchema
   override def description(): String =
     s"GdiskManifestAggScan($tableName, manifestAgg=complete, " +

@@ -904,6 +904,18 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(!filtered.queryExecution.executedPlan.toString
       .contains("GdiskManifestAggScan"))
     assert(filtered.head().getLong(0) == 891L)
+    // GROUP BY over the partition column: one row per hive dir, still
+    // zero tasks — the SQL face of SHOW PARTITIONS
+    val grouped = spark.sql("SELECT grp, count(*) AS c, min(id) AS mn, " +
+      "max(id) AS mx FROM gdspec.lake.magg GROUP BY grp")
+    val gPlan = grouped.queryExecution.executedPlan.toString
+    assert(gPlan.contains("LocalTableScan") && !gPlan.contains("BatchScan"),
+      s"expected a zero-task grouped manifest aggregate:\n$gPlan")
+    val g = grouped.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(g == Map("hot" -> ((800L, 1L, 799L)), "cold" -> ((200L, 801L, 999L))),
+      s"wrong grouped manifest aggregates: $g")
     // results stay right across a COW delete (stats follow the rewrite):
     // BETWEEN matches the 90 non-null ids in [1,99] (multiples of 10 are
     // NULL), so 910 rows remain and the smallest surviving id is 101
