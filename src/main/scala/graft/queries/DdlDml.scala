@@ -698,6 +698,44 @@ object DdlDml extends QueryModule {
         FROM orders WHERE o_orderpriority LIKE '1%'
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- Atomic staged CTAS / RTAS (StagingTableCatalog): CREATE TABLE
+    // AS SELECT stages its executor-side parquet writes and only claims a
+    // manifest at commit (a failed CTAS leaves NO table); REPLACE TABLE
+    // AS SELECT keeps serving the OLD snapshot until the atomic claim
+    // swaps in the replacement as version latest+1 — schema change and
+    // all — with prior snapshots still time-travelable. In-builder proof
+    // pins the version arithmetic; the replaced content value-gates
+    // against DuckDB. ----
+    QueryDef(
+      "ddl_v2_disk_rtas",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.rt")
+        s.sql("CREATE TABLE gdisk.verify.rt AS " +
+          "SELECT o_orderkey, o_totalprice FROM orders")
+        s.sql("REPLACE TABLE gdisk.verify.rt AS " +
+          "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt " +
+          "FROM orders GROUP BY o_orderpriority")
+        // the pre-replace snapshot (version 0, the CTAS) still serves
+        val pre = s.sql(
+          "SELECT count(*) FROM gdisk.verify.rt VERSION AS OF 0")
+          .head().getLong(0)
+        val base = s.table("orders").count()
+        require(pre == base,
+          s"pre-replace snapshot lost: $pre != $base")
+        s.sql("SELECT o_orderpriority, cnt FROM gdisk.verify.rt " +
+          "ORDER BY o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- Manifest-answered aggregates: COUNT(*)/COUNT(col)/MIN/MAX over
     // a gdisk table complete entirely from the manifest's per-file stats —
     // ONE driver-side row, ZERO file I/O, ZERO tasks (the plan is a bare

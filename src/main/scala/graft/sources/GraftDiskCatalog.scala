@@ -71,7 +71,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * single-process engine).
   */
 class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
-  with FunctionCatalog {
+  with FunctionCatalog with StagingTableCatalog {
   import GraftDiskCatalog._
 
   private var catalogName: String = _
@@ -214,6 +214,20 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
   private def createV2(
       ident: Identifier, columns: Array[V2Column], partitions: Array[Transform],
       properties: Map[String, String], constraints: Array[Constraint]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val (dir, m) = buildManifest(ident, columns, partitions, properties,
+      constraints)
+    val log = new DiskCommitLog(dir, hadoopConf())
+    log.commitInitial(m)
+    new GraftDiskTable(fullName(ident), log, m, pinned = None)
+  }
+
+  /** The version-0 manifest for a new (or staged) table — everything
+    * createTable validates and records, WITHOUT writing anything. */
+  private def buildManifest(
+      ident: Identifier, columns: Array[V2Column], partitions: Array[Transform],
+      properties: Map[String, String], constraints: Array[Constraint])
+      : (HPath, DiskManifest) = {
     if (!namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(ident.namespace)
     // identity transforms = hive-layout partition dirs; one bucket(n,
@@ -255,9 +269,7 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
           resolveCol(t.references().head.fieldNames().mkString("."))
         }, None)
     }
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = tableDir(ident)
-    val log = new DiskCommitLog(dir, hadoopConf())
     val m = DiskManifest(
       version = 0L,
       numBuckets = numBuckets,
@@ -273,8 +285,45 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
         .flatMap(c => Option(c.comment()).map(c.name -> _)).toMap,
       constraints = constraints.toIndexedSeq.map(DiskConstraint.from),
       files = Nil, added = Nil, properties = properties, epochs = Map.empty)
-    log.commitInitial(m)
-    new GraftDiskTable(fullName(ident), log, m, pinned = None)
+    (dir, m)
+  }
+
+  // ------------------------------------------------ atomic CTAS / RTAS
+  // StagingTableCatalog: CREATE/REPLACE TABLE AS SELECT stage their
+  // writes into the table's data dir (uniquely-named files) and only
+  // claim a manifest at commitStagedChanges — so a failed CTAS leaves no
+  // table behind, and RTAS keeps serving the OLD snapshot until the
+  // atomic manifest claim swaps in the new one (readers never see a
+  // dropped-then-empty table). REPLACE lands as version latest+1 atop
+  // the existing commit log: the pre-replace snapshots stay
+  // time-travelable.
+  override def stageCreate(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stagedTable(ident, info, replaceExisting = false)
+  }
+
+  override def stageReplace(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stagedTable(ident, info, replaceExisting = true)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    stagedTable(ident, info, replaceExisting = tableExists(ident))
+
+  private def stagedTable(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo,
+      replaceExisting: Boolean): StagedTable = {
+    val (dir, m) = buildManifest(ident, info.columns(), info.partitions(),
+      info.properties().asScala.toMap, info.constraints())
+    new GraftDiskStagedTable(fullName(ident),
+      new DiskCommitLog(dir, hadoopConf()), m, replaceExisting)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -979,8 +1028,46 @@ class GraftDiskTable(
 
   override def toString: String = s"GraftDiskTable($tableName)"
 
+  /** Land a staged CTAS/RTAS snapshot: constraints enforce distributed
+    * against the STAGED schema/content, then the manifest claim makes the
+    * whole table (create) or the full replacement (replace, as version
+    * latest+1 atop the existing log — prior snapshots stay
+    * time-travelable) visible atomically. `loaded` must be the staged
+    * version-0 manifest. */
+  private[sources] def commitStagedSnapshot(
+      newFiles: Seq[String],
+      newStats: Map[String, Map[String, ColStats]],
+      replaceExisting: Boolean): Unit = {
+    enforceKeysDistributed(loaded, newFiles, existingFiles = Nil)
+    enforceFkChildDistributed(loaded, newFiles, existingFiles = Nil)
+    if (replaceExisting) {
+      // other tables' FKs into this one must still resolve against the
+      // REPLACEMENT content (read with the staged schema)
+      enforceFkRestrictDistributed(newFiles, asManifest = Some(loaded))
+      var attempts = 0
+      var committed = false
+      while (!committed) {
+        val base = log.latest()
+        try {
+          log.write(loaded.copy(version = base.version + 1,
+            files = newFiles, added = newFiles,
+            fileStats = Some(newStats)))
+          committed = true
+        } catch {
+          case e: java.io.IOException =>
+            attempts += 1
+            if (attempts > 5) throw new IllegalStateException(
+              s"gdisk: concurrent commit conflict replacing $tableName", e)
+        }
+      }
+    } else {
+      log.commitInitial(loaded.copy(
+        files = newFiles, added = newFiles, fileStats = Some(newStats)))
+    }
+  }
+
   // --------------------------------------------------------------- write
-  private def writeConfMap(): Map[String, String] = {
+  private[sources] def writeConfMap(): Map[String, String] = {
     val hc = spark.sessionState.newHadoopConf()
     val sqlc = spark.sessionState.conf
     // the keys ParquetWriteSupport.init asserts on (the normal write path
@@ -1364,7 +1451,9 @@ class GraftDiskTable(
     * content of `newStateFiles`, every other warehouse table's FK rows
     * pointing here must still resolve (one manifest read per table, one
     * anti-join per referencing FK — only on truncating commits). */
-  private def enforceFkRestrictDistributed(newStateFiles: Seq[String]): Unit = {
+  private def enforceFkRestrictDistributed(
+      newStateFiles: Seq[String],
+      asManifest: Option[DiskManifest] = None): Unit = {
     val hc = spark.sessionState.newHadoopConf()
     val root = log.tableDir.getParent.getParent
     val fs = root.getFileSystem(hc)
@@ -1379,7 +1468,8 @@ class GraftDiskTable(
       fk <- childM.constraints if fk.kind == "foreignKey"
       if fkParentLog(fk).exists { case (pl, _) => sameTable(pl) }
     } {
-      val parentKeys = readTable(log, log.latest(), newStateFiles)
+      val parentKeys = readTable(log, asManifest.getOrElse(log.latest()),
+        newStateFiles)
         .select(fk.refColumns.map(col).toIndexedSeq: _*)
         .toDF(fk.columns: _*)
       val orphans = readTable(childLog, childM, childM.files)
@@ -2269,6 +2359,85 @@ class FileAppendingReaderFactory(required: StructType)
   * manifest version, each micro-batch reads exactly the files ADDED by
   * the versions in (start, end], planned as fresh per-batch inner file
   * scans so executors read parquet vectorized there too. */
+/** A staged CTAS/RTAS target: writes stream into the table's data dir
+  * exactly like a normal gdisk write (executor-side ParquetWriters,
+  * footer-stat harvest, partition fanout), but NO manifest exists until
+  * [[commitStagedChanges]] claims one — so a failed CTAS leaves no
+  * table, and a REPLACE keeps serving the old snapshot until the atomic
+  * claim. [[abortStagedChanges]] deletes the staged files (and, for a
+  * create, the table dir shell). */
+class GraftDiskStagedTable(
+    tableName: String, log: DiskCommitLog, staged: DiskManifest,
+    replaceExisting: Boolean)
+  extends StagedTable with SupportsWrite {
+
+  private val inner = new GraftDiskTable(tableName, log, staged, pinned = None)
+  private val gathered = new java.util.concurrent.ConcurrentLinkedQueue[DiskFilesCommit]()
+
+  override def name(): String = tableName
+  override def schema(): StructType = staged.schema
+  override def columns(): Array[V2Column] = staged.columns
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] =
+    staged.properties.asJava
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // a staged table is born empty — CTAS/RTAS "truncate then append"
+      // is just append
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write
+        with RequiresDistributionAndOrdering {
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          if (staged.partCols.isEmpty)
+            org.apache.spark.sql.connector.distributions
+              .Distributions.unspecified()
+          else org.apache.spark.sql.connector.distributions
+            .Distributions.clustered(staged.partCols.map(c =>
+              Expressions.column(c)
+                : org.apache.spark.sql.connector.expressions.Expression)
+              .toArray)
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              pwi: PhysicalWriteInfo): DataWriterFactory =
+            new GraftDiskWriterFactory(info.schema(), staged.schema,
+              log.dataDir.toString, inner.writeConfMap(), staged.partCols,
+              staged.numBuckets)
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            messages.foreach {
+              case c: DiskFilesCommit => gathered.add(c)
+              case _ => ()
+            }
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            abortStagedChanges()
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val cs = gathered.asScala.toVector
+    inner.commitStagedSnapshot(
+      cs.flatMap(_.files),
+      cs.iterator.flatMap(_.stats).toMap,
+      replaceExisting)
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val fs = log.dataDir.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    gathered.asScala.toVector.flatMap(_.files)
+      .foreach(f => fs.delete(new HPath(log.dataDir, f), false))
+    // a staged CREATE owns the whole (manifest-less) dir shell
+    if (!replaceExisting) fs.delete(log.tableDir, true)
+  }
+}
+
 /** A manifest-answered aggregate: the COUNT/MIN/MAX result computed
   * entirely driver-side from per-file manifest stats — Spark plans a
   * [[org.apache.spark.sql.connector.read.LocalScan]] as a local table

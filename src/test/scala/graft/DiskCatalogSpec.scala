@@ -544,9 +544,14 @@ class DiskCatalogSpec extends AnyFunSuite {
     val rows = spark.sql("SELECT id, dbl FROM gdspec.lake.ctas ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(rows == (0L until 5L).map(i => (i, i * 2)))
-    // CTAS output is a normal gdisk table: versioned and time-travelable
-    assert(spark.sql("SELECT count(*) FROM gdspec.lake.ctas VERSION AS OF 1")
+    // staged CTAS lands as ONE commit: version 0 already carries the data
+    // (no empty-shell version exists), and it time-travels normally
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.ctas VERSION AS OF 0")
       .head().getLong(0) == 5L)
+    spark.sql("INSERT INTO gdspec.lake.ctas VALUES (99, 198)")
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.ctas VERSION AS OF 0")
+      .head().getLong(0) == 5L)
+    assert(spark.table("gdspec.lake.ctas").count() == 6L)
   }
 
   test("storage-partitioned join: co-partitioned gdisk tables join and aggregate with zero shuffle") {
@@ -924,6 +929,42 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(r2.getLong(0) == 910L && r2.getLong(1) == 810L &&
       r2.getLong(3) == 101L && r2.getLong(4) == 999L,
       s"wrong post-delete manifest aggregates: $r2")
+  }
+
+  test("staged CTAS/RTAS: atomic create, atomic replace, failure leaves no trace") {
+    // CTAS routes through stageCreate: no manifest exists until commit
+    spark.sql("CREATE TABLE gdspec.lake.sct AS " +
+      "SELECT id, id % 3 AS g FROM range(100)")
+    assert(spark.table("gdspec.lake.sct").count() == 100L)
+    // a FAILED CTAS leaves no table and no dir shell behind
+    intercept[Exception](spark.sql("CREATE TABLE gdspec.lake.sctf AS " +
+      "SELECT assert_true(id < 10) AS a, id FROM range(100)"))
+    intercept[Exception](spark.table("gdspec.lake.sctf").count())
+    assert(!new java.io.File(s"$warehouse/lake/sctf").exists(),
+      "failed staged CTAS left a table dir behind")
+    // RTAS: new schema lands atomically as the next version; the old
+    // snapshot stays time-travelable
+    spark.sql("REPLACE TABLE gdspec.lake.sct AS " +
+      "SELECT concat('x', id) AS s FROM range(5)")
+    val rows = spark.table("gdspec.lake.sct").collect().map(_.getString(0))
+    assert(rows.toSet == (0 until 5).map(i => s"x$i").toSet)
+    assert(spark.sql(
+      "SELECT count(*) FROM gdspec.lake.sct VERSION AS OF 0").head()
+      .getLong(0) == 100L, "pre-replace snapshot lost")
+    // a FAILED RTAS leaves the current table fully intact
+    intercept[Exception](spark.sql("REPLACE TABLE gdspec.lake.sct AS " +
+      "SELECT assert_true(false) AS b FROM range(1)"))
+    assert(spark.table("gdspec.lake.sct").count() == 5L,
+      "failed staged replace damaged the serving table")
+    assert(spark.table("gdspec.lake.sct").columns.toSeq == Seq("s"),
+      "failed staged replace changed the schema")
+    // partitioned staged CTAS keeps the hive layout
+    spark.sql("CREATE TABLE gdspec.lake.sctp PARTITIONED BY (g) AS " +
+      "SELECT id, IF(id % 2 = 0, 'e', 'o') AS g FROM range(20)")
+    val dirs = new java.io.File(s"$warehouse/lake/sctp/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("g=e", "g=o"), s"unexpected layout: ${dirs.toSeq}")
+    assert(spark.table("gdspec.lake.sctp").where("g = 'e'").count() == 10L)
   }
 
   test("DROP TABLE / RENAME TABLE / SHOW TABLES") {

@@ -61,6 +61,9 @@ class DriverActionLintSpec extends AnyFunSuite {
       "the DPP proof's one in-builder execution — O(distinct " +
         "o_orderpriority) = 5 grouped rows; the collect exists to advance " +
         "the runtime-pruned-file counter the proof asserts on"),
+    Allowed("DdlDml.scala", ".head().getLong(0)", 1,
+      "a single scalar: the pre-replace snapshot's row count the staged-" +
+        "RTAS proof compares against the base table"),
     Allowed("CdcMvOps.scala", ".head().getLong(0)", 1,
       "a single scalar: the MV's applied-version watermark " +
         "(coalesce(max(__as_of), 0))"))
