@@ -73,6 +73,10 @@ final class GraftSession(
       showPartitionsVerb(raw)
     else if (raw.toUpperCase(Locale.ROOT).startsWith("ANALYZE TABLE "))
       analyzeTableVerb(raw)
+    else if (raw.toUpperCase(Locale.ROOT).startsWith("CONVERT TO GDISK "))
+      convertToGdiskVerb(raw)
+    else if (raw.toUpperCase(Locale.ROOT).startsWith("DESCRIBE DETAIL "))
+      describeDetailVerb(raw)
     else if (raw.toUpperCase(Locale.ROOT).startsWith("CREATE MATERIALIZED VIEW "))
       createMaterializedView(raw)
     else if (raw.toUpperCase(Locale.ROOT).startsWith("REFRESH MATERIALIZED VIEW "))
@@ -151,6 +155,57 @@ final class GraftSession(
       s"SHOW PARTITIONS: ${m.group(1)} is not a partitioned table")
     import spark.implicits._
     t.partitionSummary.toDF("partition", "file_count", "row_count")
+  }
+
+  /** `DESCRIBE DETAIL <catalog>.<ns>.<table>` — one row of table-level
+    * inventory for a gdisk table: format, location, current version and
+    * its commit time, file count, total data bytes, exact row count (when
+    * every file carries stats), partition/bucket layout, and properties.
+    * Manifest arithmetic plus one driver-side file-status sweep — no
+    * Spark job. */
+  private def describeDetailVerb(q: String): DataFrame = {
+    val m = """(?is)DESCRIBE\s+DETAIL\s+([A-Za-z_][\w.]*)\s*""".r
+      .findFirstMatchIn(q).getOrElse(sys.error(s"cannot parse DESCRIBE DETAIL: $q"))
+    val parts = m.group(1).split('.')
+    require(parts.length >= 3, "DESCRIBE DETAIL targets a catalog table: " +
+      "DESCRIBE DETAIL <catalog>.<namespace>.<table>")
+    val cat = graft.sources.GraftDiskCatalog.instance(parts.head).getOrElse(
+      sys.error(s"DESCRIBE DETAIL: '${parts.head}' is not a registered " +
+        "gdisk catalog (use DESCRIBE / SHOW CREATE TABLE for other tiers)"))
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(parts.tail.init, parts.last))
+      .asInstanceOf[graft.sources.GraftDiskTable]
+    val d = t.detail
+    import spark.implicits._
+    Seq(d).toDF("format", "location", "version", "committed_at_ms",
+      "num_files", "size_bytes", "num_rows", "partition_columns",
+      "num_buckets", "properties")
+  }
+
+  /** `CONVERT TO GDISK '<path>' AS <catalog>.<ns>.<table>` — adopt an
+    * existing parquet file/directory as a gdisk table WITHOUT rewriting
+    * data: files rename into the table dir (O(1) metadata per file,
+    * same-filesystem; the source location is consumed), hive dirs become
+    * identity partition columns, skipping stats harvest from footers in
+    * one distributed job. Returns (table_name, files, row_count). */
+  private def convertToGdiskVerb(q: String): DataFrame = {
+    val m = ("""(?is)CONVERT\s+TO\s+GDISK\s+'([^']+)'\s+AS\s+""" +
+      """([A-Za-z_][\w.]*)\s*""").r
+      .findFirstMatchIn(q).getOrElse(sys.error(s"cannot parse CONVERT: $q"))
+    val parts = m.group(2).split('.')
+    require(parts.length >= 3, "CONVERT TO GDISK targets a catalog table: " +
+      "CONVERT TO GDISK '<path>' AS <catalog>.<namespace>.<table>")
+    val cat = graft.sources.GraftDiskCatalog.instance(parts.head).getOrElse(
+      sys.error(s"CONVERT TO GDISK: '${parts.head}' is not a registered " +
+        "gdisk catalog"))
+    val t = cat.convertFromParquet(
+      org.apache.spark.sql.connector.catalog.Identifier
+        .of(parts.tail.init, parts.last),
+      m.group(1))
+    import spark.implicits._
+    val (files, rows) = t.convertSummary
+    Seq((m.group(2), files, rows.getOrElse(-1L)))
+      .toDF("table_name", "files", "row_count")
   }
 
   /** `ANALYZE TABLE <catalog>.<ns>.<table> COMPUTE [APPROXIMATE]

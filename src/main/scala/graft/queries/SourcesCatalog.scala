@@ -262,6 +262,68 @@ object SourcesCatalog extends QueryModule {
           count(*) AS row_count
         FROM orders GROUP BY o_orderpriority ORDER BY 1""")),
 
+    // ---- CONVERT TO GDISK: adopt existing parquet as a gdisk table with
+    // NO data rewrite (files rename in, footer stats harvest distributed
+    // — the Delta CONVERT move). The adopted table answers with full
+    // gdisk semantics; the oracle recomputes from the original source. ----
+    QueryDef(
+      "src_convert_to_gdisk",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        // stage a copy OUTSIDE the warehouse (CONVERT consumes its source)
+        val src = java.nio.file.Files.createTempDirectory("cnv_verify")
+          .resolve("orders")
+        java.nio.file.Files.createDirectories(src)
+        java.nio.file.Files.copy(
+          java.nio.file.Path.of(dir, "orders.parquet"),
+          src.resolve("part-00000.parquet"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.cnv")
+        new GraftSession(s)
+          .sql(s"CONVERT TO GDISK '$src' AS gdisk.verify.cnv")
+        s.sql("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM gdisk.verify.cnv
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- DESCRIBE DETAIL: one row of manifest-served table inventory;
+    // the oracle replays the layout-independent columns (row count from
+    // the raw source, version/partition layout from the DDL issued). ----
+    QueryDef(
+      "cat_describe_detail",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.dd")
+        s.sql("""CREATE TABLE gdisk.verify.dd
+          (o_orderkey BIGINT, o_orderpriority STRING)
+          PARTITIONED BY (o_orderpriority)""")
+        s.sql("INSERT INTO gdisk.verify.dd SELECT o_orderkey, " +
+          "o_orderpriority FROM orders")
+        new GraftSession(s).sql("DESCRIBE DETAIL gdisk.verify.dd")
+          .selectExpr("format", "version", "num_rows",
+            "array_join(partition_columns, ',') AS part_cols")
+      },
+      Some("""SELECT 'parquet' AS format, CAST(1 AS BIGINT) AS version,
+          CAST(count(*) AS BIGINT) AS num_rows,
+          'o_orderpriority' AS part_cols
+        FROM orders""")),
+
     // ---- ANALYZE TABLE: ONE distributed aggregation computes per-column
     // NDV (exact count(distinct) here, so DuckDB replays it; APPROXIMATE
     // = HLL is the 100 TB flavor) and commits it to the gdisk manifest as

@@ -288,6 +288,102 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
     (dir, m)
   }
 
+  /** CONVERT TO GDISK: adopt an existing parquet file or directory as a
+    * gdisk table WITHOUT rewriting any data — the Delta `CONVERT TO
+    * DELTA` move. Files RENAME into the table's data dir (an O(1)
+    * metadata operation per file on the same filesystem; the source
+    * location is consumed), hive `col=value/` dirs become identity
+    * partition columns (discovered exactly as Spark's partition inference
+    * sees them), and per-file skipping stats harvest from the parquet
+    * FOOTERS in one distributed job — so a 100 TB corpus adopts in
+    * minutes of metadata work, not a rewrite. The source must be
+    * schema-uniform (the scan serves every file with one schema, like
+    * any gdisk table). */
+  def convertFromParquet(ident: Identifier, src: String): GraftDiskTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    val spark = SparkSession.active
+    val conf = hadoopConf()
+    val srcPath = new HPath(src)
+    val fs = srcPath.getFileSystem(conf)
+    require(fs.exists(srcPath), s"gdisk: CONVERT source not found: $src")
+    // full schema as Spark sees it (partition discovery includes hive dirs)
+    val inferred = spark.read.parquet(src).schema
+    val srcIsFile = fs.getFileStatus(srcPath).isFile
+    val rel: Seq[String] =
+      if (srcIsFile) Seq(srcPath.getName)
+      else {
+        val base = srcPath.toUri.getPath.stripSuffix("/")
+        val it = fs.listFiles(srcPath, true)
+        val out = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val p = it.next().getPath
+          if (p.getName.endsWith(".parquet"))
+            out += p.toUri.getPath.stripPrefix(base).stripPrefix("/")
+        }
+        out.result()
+      }
+    require(rel.nonEmpty, s"gdisk: no parquet files under $src")
+    // partition columns = inferred schema minus one file's physical schema
+    val sampleFile =
+      if (srcIsFile) srcPath else new HPath(srcPath, rel.head)
+    val physical = spark.read.parquet(sampleFile.toString).schema.fieldNames.toSet
+    val partCols = inferred.fields.map(_.name).filterNot(physical).toSeq
+    partCols.foreach { c =>
+      inferred.fields.find(_.name == c).get.dataType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.BooleanType |
+             org.apache.spark.sql.types.DateType => ()
+        case other => sys.error(
+          s"gdisk: CONVERT found partition column $c of unsupported type " +
+            s"$other (string / integral / boolean / date)")
+      }
+    }
+    // rename every file into the table's data dir, keeping the hive layout
+    val dir = tableDir(ident)
+    val log = new DiskCommitLog(dir, conf)
+    fs.mkdirs(log.dataDir)
+    rel.foreach { r =>
+      val from = if (srcIsFile) srcPath else new HPath(srcPath, r)
+      val to = new HPath(log.dataDir, r)
+      fs.mkdirs(to.getParent)
+      require(fs.rename(from, to),
+        s"gdisk: CONVERT could not move $from into the table dir " +
+          "(cross-filesystem sources must be copied first)")
+    }
+    // distributed footer-stat harvest over the adopted files — one task
+    // batch per slice of the file list, O(files × cols) metadata back
+    val dataSchema = StructType(
+      inferred.fields.filterNot(f => partCols.contains(f.name)))
+    val dataDirStr = log.dataDir.toString
+    val schemaJsonStr = dataSchema.json
+    val stats: Map[String, Map[String, ColStats]] =
+      spark.sparkContext
+        .parallelize(rel, math.max(1, math.min(rel.size, 64)))
+        .map { r =>
+          val sch = DataType.fromJson(schemaJsonStr).asInstanceOf[StructType]
+          r -> DiskStats.footerStats(new HPath(dataDirStr, r),
+            new Configuration(), sch)
+        }
+        .collect().toMap
+    val m = DiskManifest(
+      version = 0L,
+      schemaJson = inferred.json,
+      defaults = Map.empty, comments = Map.empty, constraints = Nil,
+      files = rel, added = rel,
+      properties = Map("gdisk.converted.from" -> src),
+      epochs = Map.empty,
+      partitionCols = if (partCols.isEmpty) None else Some(partCols),
+      fileStats = Some(stats))
+    log.commitInitial(m)
+    new GraftDiskTable(fullName(ident), log, m, pinned = None)
+  }
+
   // ------------------------------------------------ atomic CTAS / RTAS
   // StagingTableCatalog: CREATE/REPLACE TABLE AS SELECT stage their
   // writes into the table's data dir (uniquely-named files) and only
@@ -996,6 +1092,32 @@ class GraftDiskTable(
   }
 
   private[graft] def isPartitioned: Boolean = loaded.partCols.nonEmpty
+
+  /** DESCRIBE DETAIL's one-row inventory: manifest arithmetic plus a
+    * driver-side file-status sweep for byte sizes (no Spark job). */
+  private[graft] def detail: (String, String, Long, Option[Long], Long,
+      Long, Option[Long], Seq[String], Option[Int], Map[String, String]) = {
+    val fs = log.dataDir.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    val bytes = loaded.files.iterator.map { f =>
+      try fs.getFileStatus(new HPath(log.dataDir, f)).getLen
+      catch { case _: Exception => 0L }
+    }.sum
+    val (nFiles, rows) = convertSummary
+    ("parquet", log.tableDir.toString, loaded.version, loaded.committedAtMs,
+      nFiles, bytes, rows, loaded.partCols, loaded.numBuckets,
+      loaded.properties)
+  }
+
+  /** (file count, exact row count if every file has stats) — the CONVERT
+    * verb's summary, pure manifest arithmetic. */
+  private[graft] def convertSummary: (Long, Option[Long]) = {
+    val per = loaded.files.map(f =>
+      loaded.stats.get(f).flatMap(_.values.headOption).map(_.rows))
+    (loaded.files.length.toLong,
+      if (per.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.sum)
+      else None)
+  }
 
   /** Manifest-served partition inventory for `SHOW PARTITIONS`: one row
     * per partition dir (hive `col=value` segments, or `__bucket=<id>` for

@@ -967,6 +967,62 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(spark.table("gdspec.lake.sctp").where("g = 'e'").count() == 10L)
   }
 
+  test("CONVERT TO GDISK adopts existing parquet without rewriting data") {
+    // stage a hive-partitioned parquet dir OUTSIDE the warehouse
+    val src = java.nio.file.Files.createTempDirectory("cnv_src").toString
+    spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS v",
+        "IF(id % 2 = 0, 'e', 'o') AS g")
+      .write.partitionBy("g").parquet(s"$src/t")
+    val g = new GraftSession(spark)
+    val out = g.sql(s"CONVERT TO GDISK '$src/t' AS gdspec.lake.cnv").head()
+    assert(out.getString(0) == "gdspec.lake.cnv")
+    assert(out.getLong(2) == 100L, s"expected exact converted rows: $out")
+    // the adopted table is a full citizen: partition-pruned reads, exact
+    // manifest row counts, time travel from version 0
+    assert(spark.table("gdspec.lake.cnv").count() == 100L)
+    assert(spark.table("gdspec.lake.cnv").where("g = 'e'").count() == 50L)
+    val stats = spark.table("gdspec.lake.cnv")
+      .queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(100)),
+      s"converted table should carry exact numRows, got ${stats.rowCount}")
+    // manifest-answered aggregate works on adopted footers
+    val agg = spark.sql(
+      "SELECT count(*), min(id), max(id) FROM gdspec.lake.cnv")
+    assert(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    val r = agg.head()
+    assert(r.getLong(0) == 100L && r.getLong(1) == 0L && r.getLong(2) == 99L)
+    // mutations land as new versions on the adopted manifest
+    spark.sql("DELETE FROM gdspec.lake.cnv WHERE id < 10")
+    assert(spark.table("gdspec.lake.cnv").count() == 90L)
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.cnv VERSION AS OF 0")
+      .head().getLong(0) == 100L)
+    // the source dir was consumed (files renamed, not copied)
+    val left = new java.io.File(s"$src/t")
+    def parquets(f: java.io.File): Int =
+      if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
+      else Option(f.listFiles()).toSeq.flatten.map(parquets).sum
+    assert(parquets(left) == 0, "CONVERT should rename files, not copy")
+  }
+
+  test("DESCRIBE DETAIL serves the manifest inventory") {
+    spark.sql("CREATE TABLE gdspec.lake.dd (id BIGINT, grp STRING) " +
+      "PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO gdspec.lake.dd SELECT id, " +
+      "IF(id % 2 = 0, 'a', 'b') FROM range(50)")
+    val g = new GraftSession(spark)
+    val d = g.sql("DESCRIBE DETAIL gdspec.lake.dd").head()
+    assert(d.getString(0) == "parquet")
+    assert(d.getLong(2) == 1L, s"expected version 1: $d") // create + insert
+    assert(d.getLong(4) >= 1L, "file count")
+    assert(d.getLong(5) > 0L, "byte size")
+    assert(d.getLong(6) == 50L, s"exact row count: $d")
+    assert(d.getSeq[String](7) == Seq("grp"))
+    assert(d.isNullAt(8), "identity layout has no bucket count")
+    // gmem tables route users to the right verb
+    val e = intercept[Exception](g.sql("DESCRIBE DETAIL gmem.x.y"))
+    assert(e.getMessage.contains("gdisk"))
+  }
+
   test("DROP TABLE / RENAME TABLE / SHOW TABLES") {
     spark.sql("CREATE TABLE gdspec.lake.sh1 (id BIGINT)")
     spark.sql("INSERT INTO gdspec.lake.sh1 VALUES (1)")
