@@ -26,7 +26,76 @@ import graft.sources.Tables
   */
 object Pipeline extends QueryModule {
 
+  /** The declarative quality gate shared by the two `pl_expectations_*`
+    * rows: drop non-core-language and too-short docs, warn on very long
+    * ones, hard-fail the batch if a doc_id ever arrives NULL. */
+  private def corpusExpectations = Seq(
+    graft.ops.ExpectationsOps.Expectation("lang_supported",
+      "lang IN ('en','de','fr','es')", "drop"),
+    graft.ops.ExpectationsOps.Expectation("min_length",
+      "n_chars >= 60", "drop"),
+    graft.ops.ExpectationsOps.Expectation("not_huge",
+      "n_chars <= 400", "warn"),
+    graft.ops.ExpectationsOps.Expectation("id_present",
+      "doc_id IS NOT NULL", "fail"))
+
   def defs: Seq[QueryDef] = Seq(
+    // ---- Declarative data-quality expectations (the lakehouse EXPECT /
+    // ON VIOLATION shape): one codegen'd projection tags each row with
+    // its violated rule names; drop-violators route to the quarantine
+    // lane WITH the tags (dead-letter, nothing silently lost), warn
+    // rules count but keep, a fail rule aborts the batch. Zero shuffle
+    // at any scale — each output is a filter over the scan. ----
+    QueryDef(
+      "pl_expectations_quarantine",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.ops.ExpectationsOps.enforce(docs, corpusExpectations)
+        graft.ops.ExpectationsOps
+          .quarantine(docs, corpusExpectations)
+          .select("violated", "doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT array_to_string(list_sort(
+            [x FOR x IN [
+              CASE WHEN NOT coalesce(lang IN ('en','de','fr','es'), false)
+                   THEN 'lang_supported' END,
+              CASE WHEN NOT coalesce(n_chars >= 60, false)
+                   THEN 'min_length' END,
+              CASE WHEN NOT coalesce(n_chars <= 400, false)
+                   THEN 'not_huge' END] IF x IS NOT NULL]), ',') AS violated,
+          doc_id, lang, n_chars
+        FROM documents
+        WHERE NOT coalesce(lang IN ('en','de','fr','es'), false)
+           OR NOT coalesce(n_chars >= 60, false)
+        ORDER BY doc_id""")),
+
+    QueryDef(
+      "pl_expectations_metrics",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.ops.ExpectationsOps.metrics(docs, corpusExpectations)
+          .orderBy("expectation")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'lang_supported' AS expectation, 'drop' AS action,
+            count(*) FILTER (WHERE NOT coalesce(
+              lang IN ('en','de','fr','es'), false)) AS rows FROM documents
+          UNION ALL SELECT 'min_length', 'drop',
+            count(*) FILTER (WHERE NOT coalesce(n_chars >= 60, false))
+            FROM documents
+          UNION ALL SELECT 'not_huge', 'warn',
+            count(*) FILTER (WHERE NOT coalesce(n_chars <= 400, false))
+            FROM documents
+          UNION ALL SELECT 'id_present', 'fail',
+            count(*) FILTER (WHERE doc_id IS NULL) FROM documents
+          UNION ALL SELECT '__kept', 'info',
+            count(*) FILTER (WHERE coalesce(
+                lang IN ('en','de','fr','es'), false)
+              AND coalesce(n_chars >= 60, false)
+              AND doc_id IS NOT NULL) FROM documents)
+        ORDER BY expectation""")),
+
     QueryDef(
       "pl_corpus_clean",
       (s, dir) => {
