@@ -1508,4 +1508,141 @@ object MultimodalOps {
         }
       }
   }
+
+  // --------------------------------------------------------------------
+  // PCM sample decode + audio quality statistics (the audio sibling of
+  // the pixel decoders: [[wavMeta]] reads only the container header —
+  // this layer decodes the actual 16-bit samples and computes the
+  // quality measures an audio-corpus filter runs at 100 TB: loudness
+  // energy, peak, clipping, silence, DC offset, zero-crossing rate).
+  // All statistics are INTEGER-exact so the DuckDB oracle hash-matches
+  // without any floating-point strategy.
+  // --------------------------------------------------------------------
+
+  /** Decoded PCM quality statistics of one 16-bit WAV payload. All
+    * counts/sums are exact integers over the interleaved sample stream:
+    *  - `peak` = max |s|; `sum_sq`/`dc_sum` = Σ s², Σ s (energy + offset),
+    *  - `clip_count` = #{|s| ≥ 32700} (hard-limited samples),
+    *  - `silence_count` = #{|s| < 64} (≈ −54 dBFS floor),
+    *  - `zero_crossings` = #{i>0 : sign(sᵢ) ≠ sign(sᵢ₋₁)} with
+    *    sign(s) = [s ≥ 0] — the exact-integer pitch/activity proxy. */
+  final case class AudioPcm(
+      doc_id: Long,
+      channels: Int,
+      n_samples: Int,
+      peak: Int,
+      sum_sq: Long,
+      dc_sum: Long,
+      clip_count: Int,
+      silence_count: Int,
+      zero_crossings: Int)
+
+  /** Decode the interleaved 16-bit LE PCM samples of a WAV payload.
+    * Reuses the RIFF chunk walk contract of [[wavMeta]] (arbitrary chunk
+    * order, 2-byte alignment, Long-safe bounds) and additionally requires
+    * bits == 16 (the only width this decoder speaks) and an even data
+    * chunk. Returns (channels, samples); None = quarantine. */
+  def wavPcm(b: Array[Byte]): Option[(Int, Array[Short])] = {
+    wavMeta(b).filter(m => m.bits == 16 && m.data_bytes % 2 == 0).flatMap { m =>
+      def u8(i: Int) = b(i) & 0xff
+      def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      def cc(i: Int) = new String(b, i, 4, "US-ASCII")
+      var i = 12L
+      var out: Option[Array[Short]] = None
+      while (i + 8 <= b.length && out.isEmpty) {
+        val at = i.toInt
+        val size = le32(at + 4)
+        if (cc(at) == "data") {
+          val n = size / 2
+          val s = new Array[Short](n)
+          var j = 0
+          while (j < n) {
+            s(j) = (u8(at + 8 + 2 * j) | (b(at + 9 + 2 * j) << 8)).toShort
+            j += 1
+          }
+          out = Some(s)
+        }
+        i += 8L + size + (size & 1)
+      }
+      out.map((m.channels, _))
+    }
+  }
+
+  /** One-pass integer quality statistics over a decoded sample stream. */
+  def pcmStats(docId: Long, channels: Int, s: Array[Short]): AudioPcm = {
+    var peak = 0; var sumSq = 0L; var dc = 0L
+    var clip = 0; var silent = 0; var zc = 0
+    var i = 0
+    while (i < s.length) {
+      val v = s(i).toInt
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumSq += v.toLong * v
+      dc += v
+      if (a >= 32700) clip += 1
+      if (a < 64) silent += 1
+      if (i > 0 && (v >= 0) != (s(i - 1) >= 0)) zc += 1
+      i += 1
+    }
+    AudioPcm(docId, channels, s.length, peak, sumSq, dc, clip, silent, zc)
+  }
+
+  /** Fixture adapter (the audio sibling of [[asBmpPayload]]): REAL 16-bit
+    * PCM WAV containers whose SAMPLES derive from the row id —
+    * n = 128 + (id%8)·32 interleaved samples over 1 + id%2 channels, and
+    *   s(i) = (id·7919 + i·2641) mod D − D/2,  D = 65536 / 16^(id mod 4)
+    * (full-scale, −24 dBFS, −48 dBFS, −72 dBFS amplitude tiers — so the
+    * corpus genuinely mixes loud/clipping docs with silent ones and a
+    * quality gate has real work to do). Every operation is non-negative
+    * integer arithmetic, so DuckDB recomputes any statistic exactly
+    * WITHOUT parsing bytes; the decode side ([[wavPcm]]) never sees the
+    * formula — a byte-layout bug (endianness, chunk offset, interleave)
+    * breaks the hash. */
+  def asPcmWavPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val channels = 1 + (docId % 2).toInt
+          val n = 128 + (docId % 8).toInt * 32
+          val div = 65536 >> (4 * (docId % 4).toInt)
+          val rate = 16000
+          val blockAlign = channels * 2
+          val buf = java.nio.ByteBuffer.allocate(44 + 2 * n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII"))
+          buf.putInt(36 + 2 * n)
+          buf.put("WAVE".getBytes("US-ASCII"))
+          buf.put("fmt ".getBytes("US-ASCII"))
+          buf.putInt(16)
+          buf.putShort(1)
+          buf.putShort(channels.toShort)
+          buf.putInt(rate)
+          buf.putInt(rate * blockAlign)
+          buf.putShort(blockAlign.toShort)
+          buf.putShort(16)
+          buf.put("data".getBytes("US-ASCII"))
+          buf.putInt(2 * n)
+          var i = 0
+          while (i < n) {
+            buf.putShort((((docId * 7919 + i.toLong * 2641) % div) - div / 2).toShort)
+            i += 1
+          }
+          (docId, buf.array())
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Partition-parallel PCM decode + quality stats ([[extractBmpPixels]]
+    * shape): per-payload byte work, zero shuffle; non-16-bit or malformed
+    * containers are dropped (quarantine lane). */
+  def extractAudioPcm(spark: SparkSession, media: DataFrame): Dataset[AudioPcm] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          wavPcm(bytes).map { case (ch, s) => pcmStats(id, ch, s) }
+        }
+      }
+  }
 }

@@ -3215,6 +3215,55 @@ object ExtMultimodal extends QueryModule {
             * 1000, 3) AS duration_ms
         FROM documents ORDER BY doc_id""")),
 
+    // REAL PCM sample decode + quality statistics (the audio sibling of
+    // the pixel decoders — wavMeta stops at the container header, this
+    // decodes the 16-bit samples and computes the measures an audio
+    // corpus filter runs at 100 TB: peak, energy, DC offset, clipping,
+    // silence, zero-crossing rate). The fixture synthesizes REAL WAVs
+    // whose samples derive from the row id across four amplitude tiers
+    // (full-scale → near-silent), every statistic is INTEGER-exact, and
+    // the oracle recomputes them from the formula WITHOUT parsing bytes —
+    // an endianness/offset/interleave bug in the decoder breaks the hash.
+    // Decode is per-partition, zero shuffle.
+    QueryDef(
+      "ext_multimodal_audio_pcm",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asPcmWavPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        MultimodalOps.extractAudioPcm(s, media).toDF()
+          .select($"doc_id", $"channels", $"n_samples", $"peak",
+            $"sum_sq", $"dc_sum", $"clip_count", $"silence_count",
+            $"zero_crossings")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id,
+            CASE doc_id % 4 WHEN 0 THEN 65536 WHEN 1 THEN 4096
+                 WHEN 2 THEN 256 ELSE 16 END AS d,
+            CAST(128 + (doc_id % 8) * 32 AS INT) AS n,
+            CAST(1 + doc_id % 2 AS INT) AS channels
+          FROM documents),
+        samp AS (
+          SELECT doc_id, channels, n, i,
+            (doc_id*7919 + i*2641) % d - d//2 AS v
+          FROM base, unnest(range(0, 352)) AS t(i)
+          WHERE i < n),
+        flagged AS (
+          SELECT doc_id, channels, n, v,
+            CASE WHEN i > 0 AND (v >= 0) !=
+                 (lag(v) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+                 THEN 1 ELSE 0 END AS zc
+          FROM samp)
+        SELECT doc_id, channels, n AS n_samples,
+          CAST(max(abs(v)) AS INT) AS peak,
+          CAST(sum(v*v) AS BIGINT) AS sum_sq,
+          CAST(sum(v) AS BIGINT) AS dc_sum,
+          CAST(count(*) FILTER (WHERE abs(v) >= 32700) AS INT) AS clip_count,
+          CAST(count(*) FILTER (WHERE abs(v) < 64) AS INT) AS silence_count,
+          CAST(sum(zc) AS INT) AS zero_crossings
+        FROM flagged GROUP BY doc_id, channels, n ORDER BY doc_id""")),
+
     // ---- MP4 container metadata (the video leg of the multimodal layer,
     // completing image/audio/video): real ISO BMFF box walking — ftyp
     // brand, mvhd timescale/duration, tkhd 16.16 display size, mdat size —

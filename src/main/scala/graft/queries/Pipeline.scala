@@ -96,6 +96,45 @@ object Pipeline extends QueryModule {
               AND doc_id IS NOT NULL) FROM documents)
         ORDER BY expectation""")),
 
+    // ---- Audio corpus quality gate: decode real 16-bit PCM WAVs
+    // (per-partition, zero shuffle), keep docs that are ≤50% silent and
+    // ≤1% clipped — both thresholds in exact integer arithmetic — then
+    // one doc_id-keyed join back to metadata and a lang rollup. The
+    // fixture's four amplitude tiers guarantee the gate genuinely drops
+    // the silent tier and keeps the loud ones. ----
+    QueryDef(
+      "pl_audio_quality_gate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val media = graft.ops.MultimodalOps.asPcmWavPayload(s, docs, "doc_id")
+        val kept = graft.ops.MultimodalOps.extractAudioPcm(s, media).toDF()
+          .filter($"silence_count" * 2 <= $"n_samples" &&
+            $"clip_count" * 100 <= $"n_samples")
+          .select($"doc_id")
+        docs.join(kept, "doc_id")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("kept_docs"))
+          .orderBy($"lang")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, lang,
+            CASE doc_id % 4 WHEN 0 THEN 65536 WHEN 1 THEN 4096
+                 WHEN 2 THEN 256 ELSE 16 END AS d,
+            CAST(128 + (doc_id % 8) * 32 AS INT) AS n
+          FROM documents),
+        stats AS (
+          SELECT doc_id, lang, n,
+            count(*) FILTER (WHERE abs(v) < 64) AS silent,
+            count(*) FILTER (WHERE abs(v) >= 32700) AS clip
+          FROM (SELECT doc_id, lang, n,
+                  (doc_id*7919 + i*2641) % d - d//2 AS v
+                FROM base, unnest(range(0, 352)) AS t(i) WHERE i < n)
+          GROUP BY doc_id, lang, n)
+        SELECT lang, count(*) AS kept_docs FROM stats
+        WHERE silent * 2 <= n AND clip * 100 <= n
+        GROUP BY lang ORDER BY lang""")),
+
     QueryDef(
       "pl_corpus_clean",
       (s, dir) => {
