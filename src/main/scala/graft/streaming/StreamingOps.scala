@@ -556,6 +556,52 @@ object StreamingOps {
   /** Run a streaming query to completion against the (finite) source and
     * return the materialized result from the memory sink. Used by tests to
     * prove batch/stream parity. */
+  /** Streaming data-quality gate — the unbounded-ingest twin of
+    * [[graft.ops.ExpectationsOps]] (the lakehouse `EXPECT ... ON
+    * VIOLATION` shape applied at the stream edge, where corpus ingest
+    * actually happens). Each micro-batch:
+    *
+    *  1. `fail` rules run first — a violation throws, failing the QUERY
+    *    (the scheduler-gate contract: a poisoned batch stops ingest
+    *    rather than landing);
+    *  2. drop/fail violators land in the quarantine lane WITH their
+    *    violated-rule tags (dead-letter — nothing silently lost);
+    *  3. clean rows land in the clean lane; `warn` violations pass
+    *    through but count in the metrics lane (per-epoch rule counts —
+    *    additive, so summing the lane reproduces the batch metrics).
+    *
+    * All three lanes write `epoch=<id>/` partition dirs with OVERWRITE:
+    * a replayed epoch after a crash/restart rewrites the same directory,
+    * making every lane EXACTLY-ONCE without a transactional sink — the
+    * same idempotent-epoch discipline Spark's own foreachBatch guide
+    * prescribes. Per-batch work is one codegen'd projection + filters
+    * (zero shuffle) plus one limit(1) probe per fail rule; state is the
+    * file-source offset log only, so a 100 TB/day ingest holds nothing
+    * on the driver. */
+  def expectationsGateStream(
+      spark: SparkSession,
+      schema: StructType,
+      path: String,
+      exps: Seq[graft.ops.ExpectationsOps.Expectation],
+      cleanPath: String,
+      quarantinePath: String,
+      metricsPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(path)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.ops.ExpectationsOps.enforce(batch, exps)
+        graft.ops.ExpectationsOps.quarantine(batch, exps)
+          .write.mode("overwrite").parquet(s"$quarantinePath/epoch=$epochId")
+        graft.ops.ExpectationsOps.clean(batch, exps)
+          .write.mode("overwrite").parquet(s"$cleanPath/epoch=$epochId")
+        graft.ops.ExpectationsOps.metrics(batch, exps)
+          .write.mode("overwrite").parquet(s"$metricsPath/epoch=$epochId")
+        ()
+      }
+      .start()
+
   def runToCompletion(
       spark: SparkSession, df: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {

@@ -780,4 +780,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs.contains((201L, 3L)) && pairs.contains((201L, 4L)),
       "post-restart purchase must match pre-restart buffered views")
   }
+
+  test("expectations gate: lanes match the batch split across a stop/restart") {
+    import spark.implicits._
+    import graft.ops.ExpectationsOps
+    import graft.ops.ExpectationsOps.Expectation
+    val exps = Seq(
+      Expectation("lang_supported", "lang IN ('en','de','fr','es')", "drop"),
+      Expectation("min_length", "n_chars >= 60", "drop"),
+      Expectation("not_huge", "n_chars <= 400", "warn"),
+      Expectation("id_present", "doc_id IS NOT NULL", "fail"))
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+    val split = docs.selectExpr("percentile_approx(doc_id, 0.5)").head().getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_expect").toString
+    val (src, clean, quar, met, ckpt) = (s"$tmp/src", s"$tmp/clean",
+      s"$tmp/quarantine", s"$tmp/metrics", s"$tmp/ckpt")
+    def start() = StreamingOps.expectationsGateStream(spark, docs.schema,
+      src, exps, clean, quar, met, ckpt)
+
+    docs.filter($"doc_id" < split).write.mode("append").parquet(src)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    docs.filter($"doc_id" >= split).write.mode("append").parquet(src)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // clean lane == batch clean over the full corpus, exactly once
+    val gotClean = spark.read.parquet(clean).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val wantClean = ExpectationsOps.clean(docs, exps).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(gotClean == wantClean)
+    assert(gotClean.distinct == gotClean, "no duplicate epochs in the lane")
+
+    // quarantine lane == batch quarantine, tags included
+    val gotQ = spark.read.parquet(quar).select("doc_id", "violated")
+      .as[(Long, String)].collect().toMap
+    val wantQ = ExpectationsOps.quarantine(docs, exps)
+      .select("doc_id", "violated").as[(Long, String)].collect().toMap
+    assert(gotQ == wantQ)
+
+    // metrics lane sums to the batch metrics (counts are additive)
+    val gotM = spark.read.parquet(met).groupBy("expectation")
+      .agg(org.apache.spark.sql.functions.sum("rows").as("rows"))
+      .as[(String, Long)].collect().toMap
+    val wantM = ExpectationsOps.metrics(docs, exps)
+      .select("expectation", "rows").as[(String, Long)].collect().toMap
+    assert(gotM == wantM)
+  }
+
+  test("expectations gate: a violated fail rule stops the stream") {
+    import spark.implicits._
+    import graft.ops.ExpectationsOps.Expectation
+    val exps = Seq(Expectation("id_present", "doc_id IS NOT NULL", "fail"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_expect_fail").toString
+    val bad = Seq((Option.empty[java.lang.Long], "en", 100L))
+      .toDF("doc_id", "lang", "n_chars")
+    bad.write.mode("append").parquet(s"$tmp/src")
+    val q = StreamingOps.expectationsGateStream(spark, bad.schema,
+      s"$tmp/src", exps, s"$tmp/clean", s"$tmp/quarantine", s"$tmp/metrics",
+      s"$tmp/ckpt")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(_.getMessage.contains("id_present")),
+      s"expected the fail-rule name in the failure chain: ${e.getMessage}")
+  }
 }
