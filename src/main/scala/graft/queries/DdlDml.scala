@@ -321,6 +321,49 @@ object DdlDml extends QueryModule {
         SELECT -1, 'ROWS_AT_V1', CAST((SELECT count(*) FROM base) AS VARCHAR)
         ORDER BY n_nationkey, n_name""")),
 
+    // ---- BLOOM-INDEXED gdisk table under the oracle gate: four
+    // interleaved ingests (mod-4 key classes) give every parquet file a
+    // min/max range spanning the whole key domain — the worst case for
+    // range skipping — and point/IN/absent lookups run against the
+    // per-file bloom sidecars the ingest writers built row-by-row. The
+    // hash proves correctness UNDER skipping (a bloom bug that drops a
+    // live file loses rows; the plan-level skip proof is DiskCatalogSpec's
+    // statsFiles assertions). ----
+    QueryDef(
+      "ddl_v2_disk_bloom",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("customer"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.cust_bloom")
+        s.sql("""CREATE TABLE gdisk.verify.cust_bloom (
+          c_custkey BIGINT, c_name STRING)
+          TBLPROPERTIES ('bloom.columns'='c_custkey,c_name',
+                         'bloom.expectedItems'='10000')""")
+        for (i <- 0 until 4)
+          s.sql(s"""INSERT INTO gdisk.verify.cust_bloom
+            SELECT c_custkey, c_name FROM customer WHERE c_custkey % 4 = $i""")
+        s.sql("""SELECT c_custkey, c_name FROM gdisk.verify.cust_bloom
+          WHERE c_custkey IN (1, 7, 500, 999999)
+          UNION ALL
+          SELECT CAST(-1 AS BIGINT), CAST((SELECT count(*)
+            FROM gdisk.verify.cust_bloom WHERE c_name = 'NO_SUCH_NAME') AS STRING)
+          UNION ALL
+          SELECT CAST(-2 AS BIGINT), CAST((SELECT count(*)
+            FROM gdisk.verify.cust_bloom) AS STRING)
+          ORDER BY c_custkey, c_name""")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+          WHERE c_custkey IN (1, 7, 500, 999999)
+        UNION ALL SELECT -1, '0'
+        UNION ALL SELECT -2, CAST((SELECT count(*) FROM customer) AS VARCHAR)
+        ORDER BY c_custkey, c_name""")),
+
     // ---- OPTIMIZE under the oracle gate: five per-region ingests land
     // five separate parquet files; bin-packing compacts them to one and
     // the hash proves the rewrite is byte-preserving. The maintenance

@@ -701,6 +701,17 @@ object GraftDiskCatalog {
     * scan to them), the Iceberg-shaped granularity a parquet table needs
     * at scale. */
   val FileColumnName = "_file"
+
+  /** Writer-side bloom-index arguments for a manifest: the declared
+    * columns (identity-partition columns excluded — their values live in
+    * dir names and prune exactly already) plus per-file sizing. */
+  private[sources] def bloomArgsFor(m: DiskManifest): (Seq[String], Long, Double) = {
+    val idParts = if (m.numBuckets.isEmpty) m.partCols else Nil
+    val cols = DiskBloom.spec(m.properties, m.schema)
+      .filterNot(c => idParts.exists(_.equalsIgnoreCase(c)))
+    (cols, DiskBloom.expectedItems(m.properties), DiskBloom.fpp(m.properties))
+  }
+
   object FileColumn extends MetadataColumn {
     override def name(): String = FileColumnName
     override def dataType(): org.apache.spark.sql.types.DataType =
@@ -861,7 +872,7 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
   import org.json4s.jackson.Serialization
 
   private implicit val fmts: Formats = DefaultFormats
-  private val fs = tableDir.getFileSystem(conf)
+  private[sources] val fs = tableDir.getFileSystem(conf)
   private def logDir = new HPath(tableDir, GraftDiskCatalog.LogDirName)
   def dataDir: HPath = new HPath(tableDir, GraftDiskCatalog.DataDirName)
   private def manifestPath(v: Long) = new HPath(logDir, f"v$v%020d.json")
@@ -972,6 +983,17 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
     drop.foreach(v => fs.delete(manifestPath(v), false))
     listDataFiles().filterNot(referenced)
       .foreach(rel => fs.delete(new HPath(dataDir, rel), false))
+    // bloom sidecars of unreferenced data files go with them (sidecars
+    // are keyed by data-file rel; immutable otherwise)
+    val bloomDir = new HPath(dataDir, DiskBloom.DirName)
+    if (fs.exists(bloomDir)) {
+      fs.listStatus(bloomDir).foreach { st =>
+        DiskBloom.relOfSidecar(st.getPath.getName).foreach { rel =>
+          if (!referenced.contains(rel)) fs.delete(st.getPath, false)
+        }
+      }
+      DiskBloom.invalidateUnder(bloomDir)
+    }
   }
 
   def absolute(fileName: String): String =
@@ -1002,6 +1024,7 @@ class GraftDiskTable(
   override def name(): String = tableName
   override def version(): String = loaded.version.toString
   override def schema(): StructType = loaded.schema
+  private[sources] lazy val bloomArgs = GraftDiskCatalog.bloomArgsFor(loaded)
   override def columns(): Array[V2Column] = loaded.columns
   override def constraints(): Array[Constraint] =
     loaded.constraints.map(_.toV2).toArray
@@ -1258,7 +1281,7 @@ class GraftDiskTable(
               pwi: PhysicalWriteInfo): DataWriterFactory =
             new GraftDiskWriterFactory(info.schema(), schema(),
               log.dataDir.toString, writeConfMap(), loaded.partCols,
-                loaded.numBuckets)
+                loaded.numBuckets, bloomArgs._1, bloomArgs._2, bloomArgs._3)
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val files = collectFiles(messages)
             val dropOf: Option[DiskManifest => Set[String]] =
@@ -1279,7 +1302,7 @@ class GraftDiskTable(
                 : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
               new GraftDiskWriterFactory(info.schema(), schema(),
                 log.dataDir.toString, writeConfMap(), loaded.partCols,
-                loaded.numBuckets)
+                loaded.numBuckets, bloomArgs._1, bloomArgs._2, bloomArgs._3)
             override def commit(
                 epochId: Long, messages: Array[WriterCommitMessage]): Unit =
               commitEpochFiles(info.queryId(), epochId, collectFiles(messages),
@@ -1644,7 +1667,7 @@ class GraftDiskTable(
                     pwi: PhysicalWriteInfo): DataWriterFactory =
                   new GraftDiskWriterFactory(lwi.schema(), schema(),
                     log.dataDir.toString, writeConfMap(), loaded.partCols,
-                loaded.numBuckets)
+                loaded.numBuckets, bloomArgs._1, bloomArgs._2, bloomArgs._3)
                 override def commit(messages: Array[WriterCommitMessage]): Unit = {
                   val removed = Option(cowScan).map(_.servedFiles)
                     .getOrElse(loaded.files)
@@ -1742,6 +1765,13 @@ class GraftDiskTable(
     }
     val moved = movedB.result()
     fs.delete(new HPath(out), true)
+    // rebuild bloom sidecars for the rewritten files (one distributed
+    // pass; partial filters shuffle as O(sketch) payloads, never rows) —
+    // compaction must not cost the table its point-lookup skipping tier
+    if (base.properties.contains(DiskBloom.ColumnsProp))
+      DiskBloom.rebuild(spark, log.dataDir, moved, base.properties,
+        base.schema,
+        if (base.numBuckets.isEmpty) base.partCols else Nil)
     val next = base.copy(version = base.version + 1, files = moved, added = Nil,
       fileStats = Some(statsFor(moved, dataFileSchema(base))))
     log.write(next)
@@ -2125,6 +2155,48 @@ class GraftDiskScanBuilder(
         inner = mkInner()
         prunedForInner.foreach(inner.pruneColumns)
       }
+    // BLOOM skipping: point predicates (EqualTo / IN of literals) on a
+    // bloom-indexed column test each surviving file's sidecar filter —
+    // the skipping tier min/max can't give an UNSORTED high-cardinality
+    // column (every file's range overlaps; the bloom proves absence).
+    // A file without a sidecar (pre-index, CONVERT-adopted) is kept; a
+    // false positive merely keeps a file — skipping is never load-bearing.
+    if (dataFilters.nonEmpty && table.bloomArgs._1.nonEmpty) {
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal => CLit}
+      val idx = table.bloomArgs._1
+      def colOf(a: AttributeReference): Option[String] =
+        idx.find(_.equalsIgnoreCase(a.name))
+      val probes: Seq[(String, DataType, Seq[Any])] = dataFilters.flatMap {
+        case EqualTo(a: AttributeReference, l: CLit) =>
+          colOf(a).map((_, l.dataType, Seq(l.value)))
+        case EqualTo(l: CLit, a: AttributeReference) =>
+          colOf(a).map((_, l.dataType, Seq(l.value)))
+        case In(a: AttributeReference, elems)
+            if elems.forall(_.isInstanceOf[CLit]) =>
+          colOf(a).map((_, a.dataType,
+            elems.map(_.asInstanceOf[CLit].value)))
+        case _ => None
+      }.filter(_._3.exists(_ != null))
+      if (probes.nonEmpty) {
+        val fs = table.log.fs
+        val dataDir = table.log.dataDir
+        val kept = currentFiles.filter { f =>
+          probes.forall { case (c, dt, vals) =>
+            DiskBloom.load(fs, DiskBloom.sidecar(dataDir, f, c)) match {
+              case Some(bf) => vals.exists(v =>
+                v != null && DiskBloom.mightContain(bf, dt, v))
+              case None => true
+            }
+          }
+        }
+        if (kept.length < currentFiles.length) {
+          statsSkipped += currentFiles.length - kept.length
+          currentFiles = kept
+          inner = mkInner()
+          prunedForInner.foreach(inner.pruneColumns)
+        }
+      }
+    }
     pushedDataFilters = dataFilters
     fileFilters ++ inner.pushFilters(dataFilters)
   }
@@ -2495,6 +2567,7 @@ class GraftDiskStagedTable(
 
   private val inner = new GraftDiskTable(tableName, log, staged, pinned = None)
   private val gathered = new java.util.concurrent.ConcurrentLinkedQueue[DiskFilesCommit]()
+  private lazy val stagedBloomArgs = GraftDiskCatalog.bloomArgsFor(staged)
 
   override def name(): String = tableName
   override def schema(): StructType = staged.schema
@@ -2530,7 +2603,8 @@ class GraftDiskStagedTable(
               pwi: PhysicalWriteInfo): DataWriterFactory =
             new GraftDiskWriterFactory(info.schema(), staged.schema,
               log.dataDir.toString, inner.writeConfMap(), staged.partCols,
-              staged.numBuckets)
+              staged.numBuckets, stagedBloomArgs._1, stagedBloomArgs._2,
+              stagedBloomArgs._3)
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             messages.foreach {
               case c: DiskFilesCommit => gathered.add(c)
@@ -2894,7 +2968,10 @@ class GraftDiskWriterFactory(
     writeSchema: StructType, tableSchema: StructType,
     dataDirUri: String, confMap: Map[String, String],
     partitionCols: Seq[String] = Nil,
-    numBuckets: Option[Int] = None)
+    numBuckets: Option[Int] = None,
+    bloomCols: Seq[String] = Nil,
+    bloomItems: Long = 100000L,
+    bloomFpp: Double = 0.01)
   extends DataWriterFactory
   with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
@@ -2935,9 +3012,19 @@ class GraftDiskWriterFactory(
           writeSchema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(c))
         (c, i, writeSchema(i).dataType)
       }
+      // bloom-indexed columns: fed per ROW as it is written (zero extra
+      // I/O); one filter per (open file, column), sidecars persisted at
+      // task commit by the task that owns the files
+      private val bloomAccess = bloomCols.map { c =>
+        val i = writeSchema.fieldIndex(
+          writeSchema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(c))
+        (c, i, writeSchema(i).dataType)
+      }
       // open file per partition dir ("" for unpartitioned tables)
       private val open = scala.collection.mutable.LinkedHashMap
         .empty[String, (org.apache.parquet.hadoop.ParquetWriter[InternalRow], String)]
+      private val blooms = scala.collection.mutable.LinkedHashMap
+        .empty[String, Array[org.apache.spark.util.sketch.BloomFilter]]
 
       private def renderPartValue(r: InternalRow, i: Int,
           dt: org.apache.spark.sql.types.DataType): String = {
@@ -2983,6 +3070,18 @@ class GraftDiskWriterFactory(
           else partAccess.map { case (c, i, dt) =>
             s"$c=${renderPartValue(record, i, dt)}" }.mkString("/")
         writerFor(dir).write(proj(record))
+        if (bloomAccess.nonEmpty) {
+          val bfs = blooms.getOrElseUpdate(dir,
+            Array.fill(bloomAccess.length)(
+              org.apache.spark.util.sketch.BloomFilter
+                .create(bloomItems, bloomFpp)))
+          var bi = 0
+          while (bi < bloomAccess.length) {
+            val (_, i, dt) = bloomAccess(bi)
+            if (!record.isNullAt(i)) DiskBloom.feed(bfs(bi), dt, record.get(i, dt))
+            bi += 1
+          }
+        }
       }
       // copy-on-write rewrites hand (metadata, row) pairs
       override def write(metadata: InternalRow, record: InternalRow): Unit =
@@ -2997,6 +3096,18 @@ class GraftDiskWriterFactory(
           rel -> DiskStats.footerStats(
             new HPath(dataDirUri, rel), conf, dataSchema)
         }.toMap
+        // persist bloom sidecars alongside (same ownership rule)
+        if (bloomAccess.nonEmpty) {
+          val fs = new HPath(dataDirUri).getFileSystem(conf)
+          open.foreach { case (dir, (_, rel)) =>
+            blooms.get(dir).foreach { bfs =>
+              bloomAccess.zip(bfs).foreach { case ((c, _, _), bf) =>
+                DiskBloom.write(fs,
+                  DiskBloom.sidecar(new HPath(dataDirUri), rel, c), bf)
+              }
+            }
+          }
+        }
         DiskFilesCommit(rels, stats)
       }
       override def abort(): Unit = {

@@ -1189,4 +1189,87 @@ class DiskCatalogSpec extends AnyFunSuite {
       pprop.queryExecution.executedPlan.toString)
     assert(pprop.head().getLong(0) == expected)
   }
+
+  test("bloom skipping: point lookups on an unsorted column skip files min/max cannot") {
+    spark.sql("CREATE TABLE gdspec.lake.bl (id BIGINT, name STRING) " +
+      "TBLPROPERTIES ('bloom.columns'='id,name', 'bloom.expectedItems'='1000')")
+    // 4 files of INTERLEAVED ids (file i holds {8k+i}): every file's
+    // [min,max] spans nearly the whole domain, so min/max skipping is
+    // structurally blind here — only the blooms can prune
+    for (i <- 0 until 4)
+      spark.sql(s"INSERT INTO gdspec.lake.bl SELECT id * 8 + $i, " +
+        s"concat('n', id * 8 + $i) FROM range(0, 100, 1, 1)")
+    def planOf(sql: String) = {
+      val df = spark.sql(sql)
+      (df, df.queryExecution.executedPlan.toString)
+    }
+    // present value: in every file's min/max range, in exactly one bloom
+    val (df1, p1) = planOf("SELECT name FROM gdspec.lake.bl WHERE id = 402")
+    assert(p1.contains("statsFiles=1/4"), p1)
+    assert(df1.head().getString(0) == "n402")
+    // absent-but-in-range value (404 % 8 = 4; no file writes that class):
+    // min/max keeps all four files, the blooms drop all four
+    val (df0, p0) = planOf("SELECT * FROM gdspec.lake.bl WHERE id = 404")
+    assert(p0.contains("statsFiles=0/4"), p0)
+    assert(df0.count() == 0)
+    // IN lists union their membership
+    val (dfi, pi) = planOf(
+      "SELECT count(*) FROM gdspec.lake.bl WHERE id IN (401, 402)")
+    assert(pi.contains("statsFiles=2/4"), pi)
+    assert(dfi.head().getLong(0) == 2L)
+    // string blooms: every file's name range covers 'n402' lexically
+    val (dfs, ps) = planOf(
+      "SELECT id FROM gdspec.lake.bl WHERE name = 'n402'")
+    assert(ps.contains("statsFiles=1/4"), ps)
+    assert(dfs.head().getLong(0) == 402L)
+    // correctness under skipping: full scan agrees
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.bl").head().getLong(0) == 400L)
+  }
+
+  test("bloom index: late ALTER keeps unindexed files; OPTIMIZE rebuilds; VACUUM sweeps") {
+    val g = new GraftSession(spark)
+    spark.sql("CREATE TABLE gdspec.lake.bl2 (id BIGINT)")
+    // file A written BEFORE the index exists — no sidecar, never skipped
+    spark.sql("INSERT INTO gdspec.lake.bl2 SELECT id * 8 FROM range(0, 100, 1, 1)")
+    spark.sql("ALTER TABLE gdspec.lake.bl2 SET TBLPROPERTIES " +
+      "('bloom.columns'='id', 'bloom.expectedItems'='1000')")
+    spark.sql("INSERT INTO gdspec.lake.bl2 SELECT id * 8 + 1 FROM range(0, 100, 1, 1)")
+    def planOf(sql: String) = {
+      val df = spark.sql(sql)
+      (df, df.queryExecution.executedPlan.toString)
+    }
+    // value only in A: A survives (missing sidecar = keep), B's bloom
+    // proves absence — exactly one file planned
+    val (dfa, pa) = planOf("SELECT count(*) FROM gdspec.lake.bl2 WHERE id = 400")
+    assert(pa.contains("statsFiles=1/2"), pa)
+    assert(dfa.head().getLong(0) == 1L)
+    // OPTIMIZE (bin-pack rewrite — the compacted file spans the whole
+    // domain) rebuilds sidecars in one distributed job: an
+    // absent-in-range value now skips EVERY file even though the
+    // unindexed pre-ALTER file was folded in and min/max proves nothing
+    g.sql("OPTIMIZE gdspec.lake.bl2 TARGET 1048576 BYTES")
+    val (dfo, po) = planOf("SELECT count(*) FROM gdspec.lake.bl2 WHERE id = 4")
+    val mo = """statsFiles=(\d+)/(\d+)""".r.findFirstMatchIn(po).get
+    assert(mo.group(1).toInt == 0 && mo.group(2).toInt >= 1, po)
+    assert(dfo.head().getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.bl2").head().getLong(0) == 200L)
+    // VACUUM deletes the sidecars of the files it removes, keeps the live ones
+    g.sql("VACUUM gdspec.lake.bl2 RETAIN 1 VERSIONS")
+    val live = spark.sql("SELECT count(*) FROM gdspec.lake.bl2").head().getLong(0)
+    assert(live == 200L)
+    val bloomDir = new java.io.File(s"$warehouse/lake/bl2/data/_bloom")
+    val dataDir = new java.io.File(s"$warehouse/lake/bl2/data")
+    val liveRels = dataDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+    val sidecarRels = bloomDir.listFiles()
+      .filter(_.getName.endsWith(".bloom")) // (skip local-FS .crc siblings)
+      .map(f => graft.sources.DiskBloom.relOfSidecar(f.getName).get).toSet
+    assert(sidecarRels == liveRels,
+      s"sidecars $sidecarRels vs live files $liveRels")
+    // and the survivors still skip
+    val (dfv, pv) = planOf("SELECT count(*) FROM gdspec.lake.bl2 WHERE id = 4")
+    val mv2 = """statsFiles=(\d+)/(\d+)""".r.findFirstMatchIn(pv).get
+    assert(mv2.group(1).toInt == 0, pv)
+    assert(dfv.head().getLong(0) == 0L)
+  }
 }
