@@ -321,6 +321,46 @@ object DdlDml extends QueryModule {
         SELECT -1, 'ROWS_AT_V1', CAST((SELECT count(*) FROM base) AS VARCHAR)
         ORDER BY n_nationkey, n_name""")),
 
+    // ---- METADATA-ONLY DELETE under the oracle gate: the partition
+    // delete drops whole files from the manifest with ZERO file I/O
+    // (SupportsDeleteV2 + the stats/dir-value all-match proof — the
+    // 100 TB retention path), the straddling modulo delete falls back to
+    // copy-on-write, and the hash proves the two compose correctly. The
+    // plan-level zero-I/O proof is DiskCatalogSpec's executed-plan
+    // assertions. ----
+    QueryDef(
+      "ddl_v2_disk_meta_delete",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.ord_md")
+        s.sql("""CREATE TABLE gdisk.verify.ord_md (
+          o_orderkey BIGINT, o_totalprice DOUBLE, bucket STRING)
+          PARTITIONED BY (bucket)""")
+        s.sql("""INSERT INTO gdisk.verify.ord_md
+          SELECT o_orderkey, o_totalprice, concat('b', o_orderkey % 3)
+          FROM orders""")
+        // metadata delete: whole hive dir drops from the manifest
+        s.sql("DELETE FROM gdisk.verify.ord_md WHERE bucket = 'b1'")
+        // straddling predicate: copy-on-write rewrite of the touched files
+        s.sql("DELETE FROM gdisk.verify.ord_md WHERE o_orderkey % 2 = 0")
+        s.sql("""SELECT bucket, count(*) AS n,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+          FROM gdisk.verify.ord_md GROUP BY bucket ORDER BY bucket""")
+      },
+      Some("""SELECT concat('b', o_orderkey % 3) AS bucket,
+          count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderkey % 3 <> 1 AND o_orderkey % 2 <> 0
+        GROUP BY 1 ORDER BY bucket""")),
+
     // ---- BLOOM-INDEXED gdisk table under the oracle gate: four
     // interleaved ingests (mod-4 key classes) give every parquet file a
     // min/max range spanning the whole key domain — the worst case for

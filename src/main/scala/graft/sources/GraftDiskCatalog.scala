@@ -702,6 +702,99 @@ object GraftDiskCatalog {
     * at scale. */
   val FileColumnName = "_file"
 
+  /** Connector-expression → catalyst conversion for the metadata-DELETE
+    * proof, over the closed shape set [[negateForStats]] can complement
+    * and [[DiskStats.mayMatch]] understands: comparisons, IN of literals,
+    * IS [NOT] NULL, AND/OR. NULL literals refuse (they make the condition
+    * NULL-capable regardless of column null counts). None = fall back. */
+  private[sources] def v2PredToCatalyst(
+      e: org.apache.spark.sql.connector.expressions.Expression,
+      schema: StructType)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    def attr(r: NamedReference): Option[AttributeReference] =
+      if (r.fieldNames().length != 1) None
+      else schema.fields.find(_.name.equalsIgnoreCase(r.fieldNames()(0)))
+        .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+    e match {
+      case r: NamedReference => attr(r)
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        if (l.value == null) None else Some(Literal(l.value, l.dataType))
+      case p: Predicate =>
+        val kids = p.children()
+        def k(i: Int) = v2PredToCatalyst(kids(i), schema)
+        def bin(f: (Expression, Expression) => Expression) =
+          for (a <- k(0); b <- k(1)) yield f(a, b)
+        p.name() match {
+          case "AND" => bin(And)
+          case "OR" => bin(Or)
+          case "=" => bin(EqualTo)
+          case "<" => bin(LessThan)
+          case "<=" => bin(LessThanOrEqual)
+          case ">" => bin(GreaterThan)
+          case ">=" => bin(GreaterThanOrEqual)
+          case "IN" =>
+            for {
+              a <- k(0)
+              vs <- kids.toSeq.drop(1)
+                .foldLeft(Option(Seq.empty[Expression]))((acc, c) =>
+                  acc.flatMap(s => v2PredToCatalyst(c, schema).map(s :+ _)))
+            } yield In(a, vs)
+          case "IS_NULL" => k(0).map(IsNull)
+          case "IS_NOT_NULL" => k(0).map(IsNotNull)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** The complement of a condition over NON-NULL inputs, expressed in
+    * shapes [[DiskStats.mayMatch]] evaluates (it has no Not case — the
+    * negation is pushed to the leaves). Only valid paired with a per-file
+    * null-free check on the referenced columns: for two-valued rows,
+    * `!mayMatch(negated)` proves every row satisfies the original. */
+  private[sources] def negateForStats(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def ne(a: Expression, l: Expression) = Or(LessThan(a, l), GreaterThan(a, l))
+    e match {
+      case And(l, r) =>
+        for (a <- negateForStats(l); b <- negateForStats(r)) yield Or(a, b)
+      case Or(l, r) =>
+        for (a <- negateForStats(l); b <- negateForStats(r)) yield And(a, b)
+      case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
+        Some(ne(a, l))
+      case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
+        Some(ne(a, l))
+      case LessThan(a: AttributeReference, l: Literal) if l.value != null =>
+        Some(GreaterThanOrEqual(a, l))
+      case LessThan(l: Literal, a: AttributeReference) if l.value != null =>
+        Some(LessThanOrEqual(a, l))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
+        Some(GreaterThan(a, l))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) if l.value != null =>
+        Some(LessThan(a, l))
+      case GreaterThan(a: AttributeReference, l: Literal) if l.value != null =>
+        Some(LessThanOrEqual(a, l))
+      case GreaterThan(l: Literal, a: AttributeReference) if l.value != null =>
+        Some(GreaterThanOrEqual(a, l))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
+        Some(LessThan(a, l))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) if l.value != null =>
+        Some(GreaterThan(a, l))
+      case In(a: AttributeReference, vs)
+          if vs.forall { case l: Literal => l.value != null; case _ => false } =>
+        Some(vs.map(v => ne(a, v): Expression).reduceOption(And)
+          .getOrElse(Literal(true)))
+      case IsNull(a: AttributeReference) => Some(IsNotNull(a))
+      case IsNotNull(a: AttributeReference) => Some(IsNull(a))
+      case _ => None
+    }
+  }
+
   /** Writer-side bloom-index arguments for a manifest: the declared
     * columns (identity-partition columns excluded — their values live in
     * dir names and prune exactly already) plus per-file sizing. */
@@ -1017,7 +1110,8 @@ class GraftDiskTable(
     loaded: DiskManifest,
     pinned: Option[Long])
   extends Table with SupportsRead with SupportsWrite
-  with SupportsRowLevelOperations with SupportsMetadataColumns {
+  with SupportsRowLevelOperations with SupportsMetadataColumns
+  with SupportsDeleteV2 {
 
   import GraftDiskCatalog._
 
@@ -1921,6 +2015,87 @@ class GraftDiskTable(
           s"gdisk: concurrent commit conflict on $tableName", e)
       }
     }
+
+  // ------------------------------------------------- metadata-only DELETE
+  // SupportsDeleteV2: when every live file is PROVABLY all-match or
+  // no-match against the delete condition (manifest min/max + null counts
+  // for data columns, exact dir values for identity partition columns),
+  // the optimizer's OptimizeMetadataOnlyDeleteFromTable replaces the whole
+  // copy-on-write rewrite with one manifest commit that drops the
+  // all-match files — ZERO file I/O, the 100 TB retention-delete path
+  // (`DELETE WHERE day < x` on a partitioned table never reads a row).
+  // Any straddling file makes canDeleteWhere refuse, and Spark falls back
+  // to the group-based COW rewrite. FK RESTRICT still enforces: the drop
+  // commits through commitReplace like every other removal.
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean = metadataDeleteDrop(predicates).isDefined
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val drop = metadataDeleteDrop(predicates).getOrElse(throw
+      new IllegalStateException(s"gdisk: metadata DELETE on $tableName is " +
+        "no longer provable (concurrent commit changed the file set)"))
+    if (drop.nonEmpty) commitReplace(drop, Nil)
+  }
+
+  /** Some(filesToDrop) iff the condition PARTITIONS the live files: each
+    * is provably all-match (droppable) or provably no-match (untouched).
+    * All-match needs both directions — no row satisfies the NEGATED
+    * condition (so nothing survives) and the file is NULL-free on every
+    * referenced column (a NULL-valued condition KEEPS its row, and the
+    * negation argument only covers two-valued rows). None = fall back to
+    * copy-on-write. */
+  private def metadataDeleteDrop(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    if (pinned.isDefined) return None
+    if (predicates.isEmpty) return None
+    val base = log.latest()
+    // TRUNCATE arrives as the single ALWAYS_TRUE predicate
+    if (predicates.length == 1 && predicates(0).name() == "ALWAYS_TRUE")
+      return Some(base.files)
+    val sch = base.schema
+    val conds = predicates.toSeq.map(p =>
+      GraftDiskCatalog.v2PredToCatalyst(p, sch).getOrElse(return None))
+    val cond = conds.reduce(And)
+    val negated = GraftDiskCatalog.negateForStats(cond).getOrElse(return None)
+    val refs = cond.references.toSeq.map(_.name)
+    val dtOf = (n: String) =>
+      sch.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
+    val hive = if (base.numBuckets.isEmpty) base.partCols else Nil
+    val stats = base.stats
+    val drop = Seq.newBuilder[String]
+    base.files.foreach { f =>
+      val fileSt0 = stats.getOrElse(f, return None)
+      val rows = fileSt0.values.headOption.map(_.rows).getOrElse(return None)
+      // identity partition columns: the dir value is EVERY row's value —
+      // synthesize exact single-value stats so the same evaluator serves
+      val fileSt = fileSt0 ++ hive.flatMap { c =>
+        GraftDiskCatalog.dirValue(this, f, c).map {
+          case null => c -> ColStats(None, None, Some(rows), rows)
+          case v =>
+            val enc = v match {
+              case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+              case other => other.toString
+            }
+            c -> ColStats(Some(enc), Some(enc), Some(0L), rows)
+        }
+      }
+      if (rows == 0L) drop += f
+      else if (!DiskStats.mayMatch(fileSt, dtOf, cond)) () // provably kept
+      else {
+        val nullFree = refs.forall(n =>
+          fileSt.get(n).exists(_.nulls.contains(0L)))
+        if (nullFree && !DiskStats.mayMatch(fileSt, dtOf, negated)) drop += f
+        else return None // straddler — copy-on-write takes over
+      }
+    }
+    Some(drop.result())
+  }
 
   // --------------------------------------------------------------- alter
   private[sources] def applyChange(change: TableChange): Unit = synchronized {

@@ -1272,4 +1272,68 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(mv2.group(1).toInt == 0, pv)
     assert(dfv.head().getLong(0) == 0L)
   }
+
+  test("metadata-only DELETE: provable predicates drop files with zero file I/O") {
+    def files(t: String): Set[String] = {
+      val d = new java.io.File(s"$warehouse/lake/$t/data")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(d).filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSet
+    }
+    def delete(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    // identity-partitioned: DELETE on the partition column is pure
+    // manifest work — the executed plan is the bare metadata
+    // DeleteFromTable, no ReplaceData rewrite, and NO new file is written
+    spark.sql("CREATE TABLE gdspec.lake.md (id BIGINT, day STRING) " +
+      "PARTITIONED BY (day)")
+    for (d <- Seq("d1", "d2", "d3"))
+      spark.sql(s"INSERT INTO gdspec.lake.md SELECT id, '$d' FROM range(0, 50, 1, 1)")
+    val before = files("md")
+    val p1 = delete("DELETE FROM gdspec.lake.md WHERE day = 'd2'")
+    assert(p1.contains("DeleteFromTable") && !p1.contains("ReplaceData"), p1)
+    assert(files("md") == before, "metadata delete writes nothing")
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.md").head().getLong(0) == 100L)
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.md WHERE day = 'd2'")
+      .head().getLong(0) == 0L)
+
+    // data-column range provable from manifest min/max (clustered ingests)
+    spark.sql("CREATE TABLE gdspec.lake.md2 (id BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.md2 SELECT id FROM range(0, 100, 1, 1)")
+    spark.sql("INSERT INTO gdspec.lake.md2 SELECT id FROM range(100, 200, 1, 1)")
+    val b2 = files("md2")
+    val p2 = delete("DELETE FROM gdspec.lake.md2 WHERE id < 100")
+    assert(p2.contains("DeleteFromTable") && !p2.contains("ReplaceData"), p2)
+    assert(files("md2") == b2)
+    assert(spark.sql("SELECT min(id), count(*) FROM gdspec.lake.md2").head()
+      .toSeq == Seq(100L, 100L))
+
+    // a straddling predicate falls back to copy-on-write: ReplaceData
+    // executes and the touched file is rewritten (a new file appears)
+    val p3 = delete("DELETE FROM gdspec.lake.md2 WHERE id % 2 = 0")
+    assert(p3.contains("ReplaceData"), p3)
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.md2").head().getLong(0) == 50L)
+    assert((files("md2") -- b2).nonEmpty,
+      "COW fallback rewrites the touched file")
+
+    // NULLs block the all-match proof: a NULL-valued condition KEEPS its
+    // row, so the file must go through COW, never a metadata drop
+    spark.sql("CREATE TABLE gdspec.lake.md3 (id BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.md3 VALUES (150), (NULL)")
+    spark.sql("DELETE FROM gdspec.lake.md3 WHERE id >= 120")
+    val left = spark.sql("SELECT id FROM gdspec.lake.md3").collect()
+    assert(left.length == 1 && left(0).isNullAt(0),
+      "the NULL row survives a range delete")
+
+    // time travel still serves the pre-delete snapshot of md
+    val v = spark.sql("SELECT count(*) FROM gdspec.lake.md VERSION AS OF 3")
+      .head().getLong(0)
+    assert(v == 150L)
+    // and the CDC feed records the dropped partition as deletes
+    val ch = new GraftSession(spark).sql(
+      "SELECT count(*) FROM table_changes('gdspec.lake.md', 4, 4) " +
+        "WHERE _change_type = 'delete'").head().getLong(0)
+    assert(ch == 50L)
+  }
 }
