@@ -245,8 +245,30 @@ object Bench {
             "bench_stream_gate", mode = "append").count()
           (System.nanoTime() - t2) / 1e9
         } finally spark.conf.unset(checkConf)
+      // expectations GATE: the quality-rule ingest edge (fail probe +
+      // quarantine/clean/metrics lanes per epoch) — stateless per batch,
+      // so this baseline is the per-epoch fixed overhead story
+      val exps = Seq(
+        graft.ops.ExpectationsOps.Expectation("lang_supported",
+          "lang IN ('en','de','fr','es')", "drop"),
+        graft.ops.ExpectationsOps.Expectation("min_length",
+          "n_chars >= 60", "drop"),
+        graft.ops.ExpectationsOps.Expectation("not_huge",
+          "n_chars <= 400", "warn"),
+        graft.ops.ExpectationsOps.Expectation("id_present",
+          "doc_id IS NOT NULL", "fail"))
+      val expSrc = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val expDir = s"$tmp/exp_src"
+      expSrc.write.mode("overwrite").parquet(expDir)
+      val t3 = System.nanoTime()
+      val expQ = StreamingOps.expectationsGateStream(spark, expSrc.schema,
+        expDir, exps, s"$tmp/exp_clean", s"$tmp/exp_quarantine",
+        s"$tmp/exp_metrics", s"$tmp/exp_ckpt")
+      try expQ.processAllAvailable() finally expQ.stop()
+      val expSec = (System.nanoTime() - t3) / 1e9
       val obj =
-        s"""{"corpus_clean_rows":$nDocs,"corpus_clean_sec":${fmt(cleanSec)},"corpus_clean_rows_per_sec":${fmt(nDocs / cleanSec)},"session_window_rows":$nEv,"session_window_sec":${fmt(sessSec)},"session_window_rows_per_sec":${fmt(nEv / sessSec)},"near_dup_gate_rows":$nDocs,"near_dup_gate_sec":${fmt(gateSec)},"near_dup_gate_rows_per_sec":${fmt(nDocs / gateSec)}}"""
+        s"""{"corpus_clean_rows":$nDocs,"corpus_clean_sec":${fmt(cleanSec)},"corpus_clean_rows_per_sec":${fmt(nDocs / cleanSec)},"session_window_rows":$nEv,"session_window_sec":${fmt(sessSec)},"session_window_rows_per_sec":${fmt(nEv / sessSec)},"near_dup_gate_rows":$nDocs,"near_dup_gate_sec":${fmt(gateSec)},"near_dup_gate_rows_per_sec":${fmt(nDocs / gateSec)},"expectations_gate_rows":$nDocs,"expectations_gate_sec":${fmt(expSec)},"expectations_gate_rows_per_sec":${fmt(nDocs / expSec)}}"""
       System.err.println(s"""{"stream_bench":$obj}""")
       Some(obj)
     } catch {

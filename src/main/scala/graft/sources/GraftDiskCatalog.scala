@@ -1325,19 +1325,52 @@ class GraftDiskTable(
   }
 
   /** Cluster rows by the partition columns on the way in, so each task
-    * writes few partition dirs (the fanout writer stays narrow). */
+    * writes few partition dirs (the fanout writer stays narrow) — and
+    * CLUSTERED INGEST: a table with declared clustering (TBLPROPERTIES
+    * ('zorder'='c1,c2')) orders every write by those columns, so the
+    * manifest's per-file min/max skip from the FIRST ingest instead of
+    * waiting for an OPTIMIZE rewrite. Unpartitioned tables get an
+    * ORDERED distribution (Spark range-partitions the write → DISJOINT
+    * per-file ranges); identity-partitioned tables keep the partition
+    * clustering and sort within tasks (tight ranges per file, plus
+    * sorted parquet row groups). Bucketed tables are untouched (their
+    * layout is the hash). Cluster columns missing from the write schema
+    * disable the ordering rather than failing the INSERT. */
   private trait PartitionClustered extends RequiresDistributionAndOrdering {
+    private def clusterCols: Seq[String] =
+      if (loaded.numBuckets.isDefined) Nil
+      else {
+        val declared = loaded.properties.get("zorder").toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        val resolved = declared.flatMap(c =>
+          loaded.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.name))
+        if (resolved.length == declared.length) resolved else Nil
+      }
+    private def orders(cols: Seq[String])
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      cols.map(c => Expressions.sort(Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+        org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST)
+          : org.apache.spark.sql.connector.expressions.SortOrder).toArray
     override def requiredDistribution()
         : org.apache.spark.sql.connector.distributions.Distribution =
-      if (loaded.partCols.isEmpty)
+      if (loaded.partCols.nonEmpty)
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          loaded.partCols.map(c =>
+            Expressions.column(c)
+              : org.apache.spark.sql.connector.expressions.Expression).toArray)
+      else if (clusterCols.nonEmpty)
+        org.apache.spark.sql.connector.distributions.Distributions.ordered(
+          orders(clusterCols))
+      else
         org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-      else org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        loaded.partCols.map(c =>
-          Expressions.column(c)
-            : org.apache.spark.sql.connector.expressions.Expression).toArray)
     override def requiredOrdering()
-        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-      Array.empty
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+      val cc = clusterCols
+      if (cc.isEmpty) Array.empty
+      else orders(
+        (if (loaded.numBuckets.isEmpty) loaded.partCols else Nil) ++ cc)
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -2073,9 +2106,21 @@ class GraftDiskTable(
       val fileSt0 = stats.getOrElse(f, return None)
       val rows = fileSt0.values.headOption.map(_.rows).getOrElse(return None)
       // identity partition columns: the dir value is EVERY row's value —
-      // synthesize exact single-value stats so the same evaluator serves
+      // synthesize exact single-value stats so the same evaluator serves.
+      // Only for types the stat decoder speaks (integral/date/string);
+      // others (e.g. boolean partitions) stay stat-less → conservative
+      // fallback, never a decode error inside canDeleteWhere.
+      val statSafe: DataType => Boolean = {
+        import org.apache.spark.sql.types._
+        {
+          case ByteType | ShortType | IntegerType | LongType | DateType |
+              StringType => true
+          case _ => false
+        }
+      }
       val fileSt = fileSt0 ++ hive.flatMap { c =>
-        GraftDiskCatalog.dirValue(this, f, c).map {
+        if (!dtOf(c).exists(statSafe)) None
+        else GraftDiskCatalog.dirValue(this, f, c).map {
           case null => c -> ColStats(None, None, Some(rows), rows)
           case v =>
             val enc = v match {
@@ -2760,19 +2805,44 @@ class GraftDiskStagedTable(
       override def truncate(): WriteBuilder = this
       override def build(): Write = new Write
         with RequiresDistributionAndOrdering {
+        // same clustered-ingest contract as the main write path: declared
+        // `zorder` clustering orders the CTAS/RTAS content so the staged
+        // table's per-file min/max skip from birth
+        private def clusterCols: Seq[String] =
+          if (staged.numBuckets.isDefined) Nil
+          else {
+            val declared = staged.properties.get("zorder").toSeq
+              .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+            val resolved = declared.flatMap(c =>
+              staged.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.name))
+            if (resolved.length == declared.length) resolved else Nil
+          }
+        private def orders(cols: Seq[String])
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          cols.map(c => Expressions.sort(Expressions.column(c),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+            org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST)
+              : org.apache.spark.sql.connector.expressions.SortOrder).toArray
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution =
-          if (staged.partCols.isEmpty)
+          if (staged.partCols.nonEmpty)
             org.apache.spark.sql.connector.distributions
-              .Distributions.unspecified()
+              .Distributions.clustered(staged.partCols.map(c =>
+                Expressions.column(c)
+                  : org.apache.spark.sql.connector.expressions.Expression)
+                .toArray)
+          else if (clusterCols.nonEmpty)
+            org.apache.spark.sql.connector.distributions
+              .Distributions.ordered(orders(clusterCols))
           else org.apache.spark.sql.connector.distributions
-            .Distributions.clustered(staged.partCols.map(c =>
-              Expressions.column(c)
-                : org.apache.spark.sql.connector.expressions.Expression)
-              .toArray)
+            .Distributions.unspecified()
         override def requiredOrdering()
-            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          Array.empty
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+          val cc = clusterCols
+          if (cc.isEmpty) Array.empty
+          else orders(
+            (if (staged.numBuckets.isEmpty) staged.partCols else Nil) ++ cc)
+        }
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(
               pwi: PhysicalWriteInfo): DataWriterFactory =

@@ -1336,4 +1336,40 @@ class DiskCatalogSpec extends AnyFunSuite {
         "WHERE _change_type = 'delete'").head().getLong(0)
     assert(ch == 50L)
   }
+
+  test("clustered ingest: declared zorder orders every write, min/max skip from birth") {
+    // one multi-partition INSERT of SHUFFLED ids: without the ordered
+    // write distribution every output file would span the whole domain;
+    // with it, Spark range-partitions the write and the very first
+    // ingest's files carry disjoint min/max ranges
+    spark.sql("CREATE TABLE gdspec.lake.ci (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('zorder'='id')")
+    // AQE would (correctly) coalesce this tiny range shuffle to one
+    // partition — disable it so the multi-file layout is observable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.sql("INSERT INTO gdspec.lake.ci " +
+        "SELECT (id * 2654435761) % 4096 AS id, id AS v FROM range(0, 4096, 1, 8)")
+    val df = spark.sql(
+      "SELECT count(*) FROM gdspec.lake.ci WHERE id BETWEEN 100 AND 200")
+    val m = """statsFiles=(\d+)/(\d+)""".r
+      .findFirstMatchIn(df.queryExecution.executedPlan.toString).get
+    assert(m.group(2).toInt > 1, "the write must produce multiple files")
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"first-ingest files must already skip: ${m.group(1)}/${m.group(2)}")
+    val expected = spark.sql(
+      "SELECT count(*) FROM (SELECT (id * 2654435761) % 4096 AS id " +
+        "FROM range(0, 4096)) WHERE id BETWEEN 100 AND 200").head().getLong(0)
+    assert(df.head().getLong(0) == expected)
+      // the CTAS path gets the same contract
+      spark.sql("CREATE TABLE gdspec.lake.ci2 TBLPROPERTIES ('zorder'='id') " +
+        "AS SELECT (id * 40503) % 4096 AS id FROM range(0, 4096, 1, 8)")
+      val df2 = spark.sql(
+        "SELECT count(*) FROM gdspec.lake.ci2 WHERE id BETWEEN 100 AND 200")
+      val m2 = """statsFiles=(\d+)/(\d+)""".r
+        .findFirstMatchIn(df2.queryExecution.executedPlan.toString).get
+      assert(m2.group(2).toInt > 1 && m2.group(1).toInt < m2.group(2).toInt,
+        df2.queryExecution.executedPlan.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
