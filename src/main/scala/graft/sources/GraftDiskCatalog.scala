@@ -1842,15 +1842,26 @@ class GraftDiskTable(
     if (zorderBy.isEmpty && base.files.length <= 1)
       return (base.files.length, base.files.length)
     val fs = log.dataDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val totalBytes = base.files.iterator
-      .map(f => fs.getFileStatus(new HPath(log.dataDir, f)).getLen).sum
+    // INCREMENTAL bin-packing: plain OPTIMIZE touches only UNDER-SIZED
+    // files — a file already at (or near) target size is left byte-for-
+    // byte alone, so the standing maintenance job on a 100 TB table costs
+    // O(new small files), not O(table). ZORDER clustering is global by
+    // nature and still rewrites everything it's asked to cluster.
+    val sizes = base.files.map(f =>
+      f -> fs.getFileStatus(new HPath(log.dataDir, f)).getLen).toMap
+    val (rewrite, keep) =
+      if (zorderBy.nonEmpty) (base.files, Seq.empty[String])
+      else base.files.partition(f => sizes(f) < targetFileBytes)
+    if (zorderBy.isEmpty && rewrite.length <= 1)
+      return (base.files.length, base.files.length)
+    val totalBytes = rewrite.iterator.map(sizes).sum
     val nOut = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    if (zorderBy.isEmpty && nOut >= base.files.length)
+    if (zorderBy.isEmpty && nOut >= rewrite.length)
       return (base.files.length, base.files.length)
     val out = new HPath(log.dataDir,
       s"optimize-${java.util.UUID.randomUUID}").toString
-    val df = readTable(log, base, base.files)
+    val df = readTable(log, base, rewrite)
     // partitioned tables keep their hive layout: repartition by the
     // partition columns (plus bin index) and write partitionBy; bucketed
     // tables recompute each row's `__bucket` id with the SAME chained
@@ -1899,10 +1910,14 @@ class GraftDiskTable(
       DiskBloom.rebuild(spark, log.dataDir, moved, base.properties,
         base.schema,
         if (base.numBuckets.isEmpty) base.partCols else Nil)
-    val next = base.copy(version = base.version + 1, files = moved, added = Nil,
-      fileStats = Some(statsFor(moved, dataFileSchema(base))))
+    // untouched files keep their manifest stats (and bloom sidecars)
+    val next = base.copy(version = base.version + 1,
+      files = keep ++ moved, added = Nil,
+      fileStats = Some(
+        base.stats.view.filterKeys(keep.toSet).toMap ++
+          statsFor(moved, dataFileSchema(base))))
     log.write(next)
-    (base.files.length, moved.length)
+    (base.files.length, keep.length + moved.length)
   }
 
   /** File-granular change feed over the commit log — the `table_changes`

@@ -353,6 +353,31 @@ class DiskCatalogSpec extends AnyFunSuite {
     intercept[Exception](g.sql("OPTIMIZE no_such.ns.t"))
   }
 
+  test("OPTIMIZE is incremental: at-target files are left byte-for-byte alone") {
+    val g = new GraftSession(spark)
+    spark.sql("CREATE TABLE gdspec.lake.inc (id BIGINT)")
+    // one file well over the compaction target + three tiny ones
+    spark.sql("INSERT INTO gdspec.lake.inc SELECT id FROM range(0, 60000, 1, 1)")
+    for (i <- 0 until 3)
+      spark.sql("INSERT INTO gdspec.lake.inc " +
+        s"SELECT id FROM range(${100000 + i * 10}, ${100000 + i * 10 + 10}, 1, 1)")
+    val bigFile = spark.sql(
+      "SELECT DISTINCT _file FROM gdspec.lake.inc WHERE id = 0")
+      .head().getString(0)
+    val r = g.sql("OPTIMIZE gdspec.lake.inc TARGET 65536 BYTES").head()
+    // 4 files in, 2 out: the big one KEPT, the three smalls packed to one
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L, r.toString)
+    val after = spark.sql("SELECT DISTINCT _file FROM gdspec.lake.inc")
+      .collect().map(_.getString(0)).toSet
+    assert(after.size == 2)
+    assert(after.contains(bigFile),
+      "the at-target file must survive the rewrite untouched")
+    assert(spark.table("gdspec.lake.inc").count() == 60030L)
+    assert(spark.sql(
+      "SELECT count(*) FROM gdspec.lake.inc WHERE id >= 100000")
+      .head().getLong(0) == 30L)
+  }
+
   test("a live stream crossing an OPTIMIZE commit never replays compacted rows") {
     spark.sql("CREATE TABLE gdspec.lake.os (id BIGINT)")
     spark.sql("INSERT INTO gdspec.lake.os VALUES (1)")
