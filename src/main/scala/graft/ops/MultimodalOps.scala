@@ -1645,4 +1645,197 @@ object MultimodalOps {
         }
       }
   }
+
+  // --------------------------------------------------------------------
+  // REAL video frame extraction: MP4 sample tables (ISO/IEC 14496-12
+  // stsd/stsz/stsc/stco) locate each frame's byte range, and the
+  // from-scratch T.81 codec decodes MJPEG frames — the video leg joins
+  // BMP/PNG/GIF/JPEG/WAV as fully decoded, not just container-parsed.
+  // --------------------------------------------------------------------
+
+  /** One decoded MJPEG frame's pixel statistics (the video sibling of
+    * [[JpegPixels]]; coded-color-space stats for the same oracle
+    * reason). */
+  final case class VideoFrame(
+      doc_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      sum_y: Long,
+      sum_cb: Long,
+      sum_cr: Long,
+      first_y: Int,
+      first_cb: Int,
+      first_cr: Int)
+
+  /** Slice an MP4's samples via its REAL sample tables: walk
+    * moov/trak/mdia/minf/stbl, require a 'jpeg' sample description
+    * (non-MJPEG codecs quarantine — routing happens before decode),
+    * read sizes from stsz, chunk offsets from stco (one sample per
+    * chunk, confirmed against stsc), and return each frame's bytes.
+    * Long-safe bounds throughout; any malformation → None. */
+  def mp4JpegFrames(b: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def cc(i: Int) = new String(b, i, 4, "US-ASCII")
+    // first direct child box `tp` of [from, until)
+    def child(from: Long, until: Long, tp: String): Option[(Long, Long)] = {
+      var i = from
+      while (i + 8 <= until) {
+        val size = be32(i.toInt)
+        if (size < 8 || i + size > until) return None
+        if (cc(i.toInt + 4) == tp) return Some((i + 8, i + size))
+        i += size
+      }
+      None
+    }
+    if (b.length < 12 || cc(4) != "ftyp") return None
+    for {
+      (moovB, moovE) <- child(0, b.length, "moov")
+      (trakB, trakE) <- child(moovB, moovE, "trak")
+      (mdiaB, mdiaE) <- child(trakB, trakE, "mdia")
+      (minfB, minfE) <- child(mdiaB, mdiaE, "minf")
+      (stblB, stblE) <- child(minfB, minfE, "stbl")
+      (stsdB, stsdE) <- child(stblB, stblE, "stsd")
+      // stsd: ver/flags, entry_count, then the first sample entry box —
+      // its fourcc is the codec; only 'jpeg' proceeds to decode
+      if stsdB + 16 <= stsdE && cc(stsdB.toInt + 12) == "jpeg"
+      (stszB, stszE) <- child(stblB, stblE, "stsz")
+      (stscB, stscE) <- child(stblB, stblE, "stsc")
+      (stcoB, stcoE) <- child(stblB, stblE, "stco")
+      frames <- {
+        val fixed = be32(stszB.toInt + 4)
+        val n = be32(stszB.toInt + 8)
+        val stscN = be32(stscB.toInt + 4)
+        val stcoN = be32(stcoB.toInt + 4)
+        val ok = n > 0 && n <= 100000 && stcoN == n &&
+          stszB + 12 + (if (fixed == 0) 4 * n else 0) <= stszE &&
+          stcoB + 8 + 4 * n <= stcoE &&
+          // every stsc run must map one sample per chunk
+          stscB + 8 + 12 * stscN <= stscE &&
+          (0L until stscN).forall(e => be32(stscB.toInt + 12 + 12 * e.toInt) == 1L)
+        if (!ok) None
+        else {
+          val out = Vector.newBuilder[Array[Byte]]
+          var i = 0
+          var good = true
+          while (good && i < n) {
+            val size =
+              if (fixed != 0) fixed else be32(stszB.toInt + 12 + 4 * i)
+            val off = be32(stcoB.toInt + 8 + 4 * i)
+            if (size <= 0 || off < 0 || off + size > b.length) good = false
+            else out += java.util.Arrays.copyOfRange(
+              b, off.toInt, (off + size).toInt)
+            i += 1
+          }
+          if (good) Some(out.result()) else None
+        }
+      }
+    } yield frames
+  }
+
+  /** Fixture adapter: REAL MJPEG-in-MP4 containers — ftyp, a moov whose
+    * stbl carries genuine stsd('jpeg')/stsz/stsc/stco tables, and an mdat
+    * of concatenated [[jpegEncodeConstantBlocks]] frames whose planes
+    * derive from (row id, frame idx):
+    *   y = (7·id + 11·bx + 17·by + 23·f) mod 256  (cb/cr analogous),
+    * n = 2 + id%3 frames of (1+id%3)×(1+id%2) blocks. The oracle
+    * recomputes every frame statistic from the formula without a codec;
+    * the decoder sees only bytes — a sample-table or entropy bug breaks
+    * the hash. */
+  def asMjpegMp4Payload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val bw = 1 + (docId % 3).toInt
+          val bh = 1 + (docId % 2).toInt
+          val n = 2 + (docId % 3).toInt
+          def plane(a: Long, bq: Long, c: Long, f: Int): Array[Int] =
+            Array.tabulate(bw * bh) { i =>
+              val bx = i % bw; val by = i / bw
+              ((a * docId + bq * bx + c * by + 23L * f) % 256).toInt
+            }
+          val frames = (0 until n).map { f =>
+            jpegEncodeConstantBlocks(bw, bh,
+              plane(7, 11, 17, f),
+              Array.tabulate(bw * bh) { i =>
+                val bx = i % bw; val by = i / bw
+                ((3 * docId + 5 * bx + 7 * by + 29L * f) % 256).toInt
+              },
+              Array.tabulate(bw * bh) { i =>
+                val bx = i % bw; val by = i / bw
+                ((5 * docId + 13 * bx + 3 * by + 31L * f) % 256).toInt
+              }, 0)
+          }
+          def box(tp: String, body: Array[Byte]): Array[Byte] = {
+            val buf = java.nio.ByteBuffer.allocate(8 + body.length)
+              .order(java.nio.ByteOrder.BIG_ENDIAN)
+            buf.putInt(8 + body.length)
+            buf.put(tp.getBytes("US-ASCII"))
+            buf.put(body)
+            buf.array()
+          }
+          def be(vs: Seq[Int]): Array[Byte] = {
+            val buf = java.nio.ByteBuffer.allocate(4 * vs.length)
+            vs.foreach(buf.putInt)
+            buf.array()
+          }
+          val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(8)
+            .put("isom".getBytes("US-ASCII")).putInt(512).array())
+          val timescale = 600
+          val mvhd = {
+            val buf = java.nio.ByteBuffer.allocate(100)
+            buf.putInt(0).putInt(0).putInt(0)
+            buf.putInt(timescale).putInt(timescale * n / 3)
+            buf.array()
+          }
+          val tkhd = {
+            val buf = java.nio.ByteBuffer.allocate(84)
+            buf.putInt(0).putInt(0).putInt(0).putInt(1)
+            buf.position(76)
+            buf.putInt((bw * 8) << 16).putInt((bh * 8) << 16)
+            buf.array()
+          }
+          val stsd = box("stsd",
+            be(Seq(0, 1)) ++ box("jpeg", new Array[Byte](78)))
+          val stsz = box("stsz",
+            be(Seq(0, 0, n) ++ frames.map(_.length)))
+          val stsc = box("stsc", be(Seq(0, 1, 1, 1, 1)))
+          def stcoWith(offs: Seq[Int]) = box("stco", be(Seq(0, n) ++ offs))
+          def moovWith(offs: Seq[Int]) = box("moov",
+            box("mvhd", mvhd) ++ box("trak",
+              box("tkhd", tkhd) ++ box("mdia", box("minf",
+                box("stbl", stsd ++ stsz ++ stsc ++ stcoWith(offs))))))
+          // stco holds ABSOLUTE offsets: measure with zeros, then rebuild
+          val moovLen = moovWith(Seq.fill(n)(0)).length
+          val mdatBodyAt = ftyp.length + moovLen + 8
+          val offs = frames.scanLeft(mdatBodyAt)(_ + _.length).init
+          val mdat = box("mdat", frames.toArray.flatten)
+          (docId, ftyp ++ moovWith(offs) ++ mdat)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Partition-parallel frame decode: sample-table walk + per-frame T.81
+    * decode; any malformed table or undecodable frame quarantines the
+    * whole payload. Zero shuffle. */
+  def extractVideoFrames(spark: SparkSession, media: DataFrame): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          mp4JpegFrames(bytes).toSeq.flatMap { frames =>
+            val decoded = frames.map(jpegPixels)
+            if (decoded.exists(_.isEmpty)) Nil
+            else decoded.flatten.zipWithIndex.map { case (p, f) =>
+              VideoFrame(id, f, p.width, p.height,
+                p.sum_y, p.sum_cb, p.sum_cr,
+                p.first_y, p.first_cb, p.first_cr)
+            }
+          }
+        }
+      }
+  }
 }

@@ -3264,6 +3264,53 @@ object ExtMultimodal extends QueryModule {
           CAST(sum(zc) AS INT) AS zero_crossings
         FROM flagged GROUP BY doc_id, channels, n ORDER BY doc_id""")),
 
+    // REAL video frame extraction: the fixture emits genuine MJPEG-in-MP4
+    // containers (ftyp + a moov whose stbl carries real stsd('jpeg')/
+    // stsz/stsc/stco sample tables + an mdat of concatenated T.81
+    // constant-block frames), the decoder walks the SAMPLE TABLES to
+    // slice each frame's byte range and runs the from-scratch JPEG
+    // decoder on every frame. The oracle recomputes per-frame Y/Cb/Cr
+    // statistics from the (id, frame, block) formula with no codec — a
+    // table-offset, size, or entropy bug breaks the hash. Per-partition
+    // byte work, zero shuffle. ----
+    QueryDef(
+      "ext_multimodal_video_frames",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asMjpegMp4Payload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        val npx = ($"width" * $"height").cast("double")
+        MultimodalOps.extractVideoFrames(s, media).toDF()
+          .select($"doc_id", $"frame_idx", $"width", $"height",
+            round($"sum_y" / npx, 6).as("mean_y"),
+            round($"sum_cb" / npx, 6).as("mean_cb"),
+            round($"sum_cr" / npx, 6).as("mean_cr"),
+            $"first_y", $"first_cb", $"first_cr")
+          .orderBy($"doc_id", $"frame_idx")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id, f,
+            CAST(8 * (1 + doc_id % 3) AS INT) AS w,
+            CAST(8 * (1 + doc_id % 2) AS INT) AS h,
+            (doc_id*7 + 11*bx + 17*by + 23*f) % 256 AS y,
+            (doc_id*3 + 5*bx + 7*by + 29*f) % 256 AS cb,
+            (doc_id*5 + 13*bx + 3*by + 31*f) % 256 AS cr
+          FROM documents,
+            unnest(range(0, 4)) AS tf(f),
+            unnest(range(0, 3)) AS tx(bx),
+            unnest(range(0, 2)) AS ty(by)
+          WHERE f < 2 + doc_id % 3
+            AND bx < 1 + doc_id % 3 AND by < 1 + doc_id % 2)
+        SELECT doc_id, CAST(f AS INT) AS frame_idx, w AS width, h AS height,
+          round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS mean_y,
+          round(sum(cb) / CAST(count(*) AS DOUBLE), 6) AS mean_cb,
+          round(sum(cr) / CAST(count(*) AS DOUBLE), 6) AS mean_cr,
+          CAST((doc_id * 7 + 23*f) % 256 AS INT) AS first_y,
+          CAST((doc_id * 3 + 29*f) % 256 AS INT) AS first_cb,
+          CAST((doc_id * 5 + 31*f) % 256 AS INT) AS first_cr
+        FROM px GROUP BY doc_id, f, w, h
+        ORDER BY doc_id, frame_idx""")),
+
     // ---- MP4 container metadata (the video leg of the multimodal layer,
     // completing image/audio/video): real ISO BMFF box walking — ftyp
     // brand, mvhd timescale/duration, tkhd 16.16 display size, mdat size —

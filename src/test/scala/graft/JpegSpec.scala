@@ -144,4 +144,39 @@ class JpegSpec extends AnyFunSuite {
       Seq((999L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload"))
     assert(MultimodalOps.extractJpegPixels(spark, withJunk).count() == 24)
   }
+
+  test("MJPEG-in-MP4: sample tables slice frames that decode to the formula") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = spark.range(0, 12).toDF("doc_id")
+    val media = MultimodalOps.asMjpegMp4Payload(spark, docs, "doc_id")
+    val rows = MultimodalOps.extractVideoFrames(spark, media).collect()
+    // every doc yields exactly 2 + id%3 frames
+    assert(rows.length == (0 until 12).map(d => 2 + d % 3).sum)
+    // spot frame values against the generation formula (first = block 0,0)
+    rows.foreach { r =>
+      assert(r.first_y == ((7 * r.doc_id + 23 * r.frame_idx) % 256).toInt, r)
+      assert(r.first_cb == ((3 * r.doc_id + 29 * r.frame_idx) % 256).toInt, r)
+      assert(r.width == 8 * (1 + r.doc_id % 3).toInt)
+    }
+    val bytes = media.filter($"doc_id" === 5L)
+      .head().getAs[Array[Byte]]("payload") // bounded: 1 fixture row
+    assert(MultimodalOps.mp4JpegFrames(bytes).nonEmpty)
+    // corrupting the stco entry count quarantines the payload (tables
+    // that disagree are never trusted to slice frames)
+    val badCount = bytes.clone()
+    val stcoAt = badCount.indices.find(i => i + 4 <= badCount.length &&
+      new String(badCount, i, 4, "US-ASCII") == "stco").get
+    badCount(stcoAt + 4 + 7) = (badCount(stcoAt + 4 + 7) + 1).toByte
+    assert(MultimodalOps.mp4JpegFrames(badCount).isEmpty)
+    // a non-jpeg codec fourcc routes to quarantine before any decode
+    val nonJpeg = bytes.clone()
+    val stsdAt = nonJpeg.indices.find(i => i + 4 <= nonJpeg.length &&
+      new String(nonJpeg, i, 4, "US-ASCII") == "stsd").get
+    // the sample-entry fourcc sits 12 bytes into the stsd body
+    System.arraycopy("avc1".getBytes("US-ASCII"), 0, nonJpeg, stsdAt + 16, 4)
+    assert(MultimodalOps.mp4JpegFrames(nonJpeg).isEmpty)
+    // truncated container → None, not a crash
+    assert(MultimodalOps.mp4JpegFrames(bytes.take(60)).isEmpty)
+  }
 }
