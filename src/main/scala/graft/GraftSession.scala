@@ -65,6 +65,8 @@ final class GraftSession(
     // VACUUM / OPTIMIZE / DESCRIBE HISTORY are ours, not Spark SQL —
     // intercept before catalog passthrough
     if (raw.toUpperCase(Locale.ROOT).startsWith("VACUUM ")) vacuumTable(raw)
+    else if (raw.toUpperCase(Locale.ROOT).startsWith("RESTORE "))
+      restoreTableVerb(raw)
     else if (raw.toUpperCase(Locale.ROOT).startsWith("OPTIMIZE "))
       optimizeTable(raw)
     else if (raw.toUpperCase(Locale.ROOT).startsWith("DESCRIBE HISTORY "))
@@ -306,6 +308,47 @@ final class GraftSession(
     }
     import spark.implicits._
     Seq((m.group(1), retained)).toDF("table_name", "retained_versions")
+  }
+
+  /** `RESTORE [TABLE] <name> [TO] VERSION AS OF <v>` — roll a table back
+    * (or forward) to a prior version AS A NEW COMMIT, across all three
+    * tiers: front-door view-swap tables (ROLLBACK history entry), gmem
+    * (snapshot re-serve within the retention horizon), gdisk (metadata-
+    * only manifest commit re-serving version v's files/schema/stats —
+    * zero file I/O; the CDC feed sees the diff). History stays
+    * append-only everywhere: a restore is itself restorable. */
+  private def restoreTableVerb(q: String): DataFrame = {
+    val m = ("""(?is)RESTORE\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s+""" +
+      """(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*""").r
+      .findFirstMatchIn(q).getOrElse(sys.error(
+        s"cannot parse RESTORE — RESTORE [TABLE] <name> [TO] VERSION AS OF <v>: $q"))
+    val name = m.group(1)
+    val v = m.group(2).toLong
+    val parts = name.split('.')
+    val newVersion: Long =
+      if (parts.length >= 3) {
+        val ident = org.apache.spark.sql.connector.catalog.Identifier
+          .of(parts.tail.init, parts.last)
+        graft.sources.GraftMemCatalog.instance(parts.head) match {
+          case Some(cat) =>
+            val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftMemTable]
+            t.restoreTo(v)
+            t.historyLength - 1
+          case None => graft.sources.GraftDiskCatalog.instance(parts.head) match {
+            case Some(cat) =>
+              cat.loadTable(ident).asInstanceOf[graft.sources.GraftDiskTable]
+                .restoreToVersion(v)
+            case None => sys.error(
+              s"RESTORE: '${parts.head}' is not a registered gmem/gdisk catalog")
+          }
+        }
+      } else {
+        tables.restore(name, v.toInt)
+        tables.versionCount(name).toLong - 1
+      }
+    import spark.implicits._
+    Seq((name, v, newVersion))
+      .toDF("table_name", "restored_version", "new_version")
   }
 
   /** `CREATE MATERIALIZED VIEW <cat>.<ns>.<mv> AS SELECT <keys...>,

@@ -321,6 +321,41 @@ object DdlDml extends QueryModule {
         SELECT -1, 'ROWS_AT_V1', CAST((SELECT count(*) FROM base) AS VARCHAR)
         ORDER BY n_nationkey, n_name""")),
 
+    // ---- RESTORE under the oracle gate: delete half the table, RESTORE
+    // to the pre-delete version (a metadata-only commit — no file read or
+    // written), and hash the restored content plus a row-count probe of
+    // the still-time-travelable post-delete version. Append-only history:
+    // the restore itself is a version. ----
+    QueryDef(
+      "ddl_v2_disk_restore",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("nation"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.nat_rs")
+        s.sql("CREATE TABLE gdisk.verify.nat_rs (n_nationkey INT, n_name STRING)")
+        s.sql("""INSERT INTO gdisk.verify.nat_rs
+          SELECT n_nationkey, n_name FROM nation""")
+        s.sql("DELETE FROM gdisk.verify.nat_rs WHERE n_nationkey % 2 = 0")
+        val g = new graft.GraftSession(s)
+        g.sql("RESTORE TABLE gdisk.verify.nat_rs TO VERSION AS OF 1")
+        s.sql("""SELECT n_nationkey, n_name FROM gdisk.verify.nat_rs
+          UNION ALL
+          SELECT CAST(-1 AS INT), CAST((SELECT count(*)
+            FROM gdisk.verify.nat_rs VERSION AS OF 2) AS STRING)
+          ORDER BY n_nationkey, n_name""")
+      },
+      Some("""SELECT n_nationkey, n_name FROM nation
+        UNION ALL
+        SELECT -1, CAST((SELECT count(*) FROM nation
+          WHERE n_nationkey % 2 <> 0) AS VARCHAR)
+        ORDER BY n_nationkey, n_name""")),
+
     // ---- METADATA-ONLY DELETE under the oracle gate: the partition
     // delete drops whole files from the manifest with ZERO file I/O
     // (SupportsDeleteV2 + the stats/dir-value all-match proof — the

@@ -2064,6 +2064,32 @@ class GraftDiskTable(
       }
     }
 
+  /** `RESTORE TABLE ... TO VERSION AS OF v` — Delta's restore shape: the
+    * restore is ITSELF a new commit that re-serves version v's full state
+    * (files, schema, constraints, properties, stats), so history stays
+    * append-only and the restore is time-travelable/undoable like any
+    * commit. Metadata-only: no file is read or written; files re-added
+    * relative to the current snapshot ride `added` so the CDC feed shows
+    * them as inserts (and the dropped ones as deletes). Errors cleanly if
+    * VACUUM removed the version's manifest or any of its data files. */
+  private[graft] def restoreToVersion(v: Long): Long = synchronized {
+    require(pinned.isEmpty,
+      s"gdisk: $tableName is a VERSION AS OF snapshot — snapshots are read-only")
+    val base = log.latest()
+    require(v >= 0 && v <= base.version,
+      s"gdisk: no version $v of $tableName (latest: ${base.version})")
+    val old = log.read(v)
+    val missing = old.files.filterNot(f =>
+      log.fs.exists(new HPath(log.dataDir, f)))
+    require(missing.isEmpty,
+      s"gdisk: cannot RESTORE $tableName to version $v — ${missing.size} " +
+        "data file(s) were removed by VACUUM")
+    val reAdded = old.files.filterNot(base.files.toSet)
+    log.write(old.copy(version = base.version + 1, added = reAdded,
+      committedAtMs = None))
+    base.version + 1
+  }
+
   // ------------------------------------------------- metadata-only DELETE
   // SupportsDeleteV2: when every live file is PROVABLY all-match or
   // no-match against the delete condition (manifest min/max + null counts

@@ -1362,6 +1362,47 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(ch == 50L)
   }
 
+  test("RESTORE TABLE: a prior version re-serves as a new metadata-only commit") {
+    val g = new GraftSession(spark)
+    spark.sql("CREATE TABLE gdspec.lake.rs (id BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.rs SELECT id FROM range(0, 10, 1, 1)")
+    spark.sql("INSERT INTO gdspec.lake.rs SELECT id FROM range(10, 20, 1, 1)")
+    spark.sql("DELETE FROM gdspec.lake.rs WHERE id < 10") // v3
+    assert(spark.table("gdspec.lake.rs").count() == 10L)
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$warehouse/lake/rs/data"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = parquetFiles()
+    val r = g.sql("RESTORE TABLE gdspec.lake.rs TO VERSION AS OF 2").head()
+    assert(r.getLong(2) == 4L, r.toString)
+    // the restore re-serves v2's 20 rows, wrote NO data file, and the
+    // deleted-at-v3 state is still time-travelable (append-only history)
+    assert(spark.table("gdspec.lake.rs").count() == 20L)
+    assert(parquetFiles() == filesBefore)
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.rs VERSION AS OF 3")
+      .head().getLong(0) == 10L)
+    // the CDC feed shows the restore re-inserting the dropped rows
+    val ch = g.sql("SELECT count(*) FROM table_changes('gdspec.lake.rs', 4, 4) " +
+      "WHERE _change_type = 'insert'").head().getLong(0)
+    assert(ch == 10L)
+    // restore to the empty birth version, then back again — restorable
+    g.sql("RESTORE gdspec.lake.rs VERSION AS OF 0")
+    assert(spark.table("gdspec.lake.rs").count() == 0L)
+    g.sql("RESTORE gdspec.lake.rs VERSION AS OF 4")
+    assert(spark.table("gdspec.lake.rs").count() == 20L)
+    intercept[Exception](g.sql("RESTORE gdspec.lake.rs VERSION AS OF 99"))
+    // front-door tier: same verb, ROLLBACK commit semantics
+    g.sql("DROP TABLE IF EXISTS fd_rs")
+    g.sql("CREATE TABLE fd_rs (id INT)")
+    g.sql("INSERT INTO fd_rs VALUES (1), (2)")
+    g.sql("INSERT INTO fd_rs VALUES (3)")
+    g.sql("RESTORE TABLE fd_rs TO VERSION AS OF 1")
+    assert(g.sql("SELECT count(*) FROM fd_rs").head().getLong(0) == 2L)
+  }
+
   test("clustered ingest: declared zorder orders every write, min/max skip from birth") {
     // one multi-partition INSERT of SHUFFLED ids: without the ordered
     // write distribution every output file would span the whole domain;
