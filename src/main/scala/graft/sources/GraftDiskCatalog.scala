@@ -2695,7 +2695,7 @@ class GraftDiskScanBuilder(
         }
       val base = new GraftDiskScan(table, inner.build(), pruned,
         currentFiles.length, files.length, currentFiles, pushedDataFilters,
-        exactRows, colStats)
+        exactRows, colStats, options)
       // storage-partitioned-join eligibility: identity-partitioned table,
       // plain row scan (no pushed-down aggregate), and the user opted into
       // Spark's v2 bucketing — then report KeyGroupedPartitioning so
@@ -2947,7 +2947,8 @@ class GraftDiskScan(
     relFiles: Seq[String] = Nil,
     dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
     exactRows: Option[Long] = None,
-    colStats: Map[String, GdiskColStat] = Map.empty)
+    colStats: Map[String, GdiskColStat] = Map.empty,
+    readOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends Scan with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => SOffset}
@@ -3047,8 +3048,39 @@ class GraftDiskScan(
     }
   }
 
+  /** The micro-batch source implements ADMISSION CONTROL: with
+    * `.option("maxFilesPerTrigger", n)` each micro-batch advances the
+    * version offset only as far as n cumulative added files (always at
+    * least one version, so an over-sized commit cannot stall the
+    * stream). Without it a restart against a long-ingested 100 TB table
+    * would swallow every pending version in ONE batch — this is the
+    * same back-pressure contract as Spark's own file source. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MicroBatchStream {
+    new MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+      import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+      private val maxFiles: Option[Int] =
+        Option(readOptions.get("maxFilesPerTrigger")).map(_.toInt)
+      override def getDefaultReadLimit: ReadLimit =
+        maxFiles.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+      override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+        val from = start.asInstanceOf[CountOffset].n
+        limit match {
+          case mf: ReadMaxFiles =>
+            var v = from
+            var admitted = 0
+            var stop = false
+            table.log.versions().filter(_ > from).foreach { next =>
+              if (!stop) {
+                val add = table.log.read(next).added.length
+                if (admitted > 0 && admitted + add > mf.maxFiles()) stop = true
+                else { admitted += add; v = next }
+              }
+            }
+            CountOffset(v)
+          case _ => CountOffset(table.log.latestVersion())
+        }
+      }
       override def initialOffset(): SOffset =
         CountOffset(table.log.versions().headOption.getOrElse(0L))
       override def latestOffset(): SOffset =

@@ -1362,6 +1362,29 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(ch == 50L)
   }
 
+  test("streaming source admission control: maxFilesPerTrigger bounds each micro-batch") {
+    spark.sql("CREATE TABLE gdspec.lake.rl (id BIGINT)")
+    for (i <- 0 until 4)
+      spark.sql(s"INSERT INTO gdspec.lake.rl SELECT id FROM range(${i * 10}, ${i * 10 + 10}, 1, 1)")
+    def run(opts: Map[String, String]): Seq[Long] = {
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var r = spark.readStream
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.table("gdspec.lake.rl").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count(); if (n > 0) sizes.synchronized { sizes += n }; ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      sizes.toSeq
+    }
+    // capped: one 10-row version per micro-batch, four batches
+    val capped = run(Map("maxFilesPerTrigger" -> "1"))
+    assert(capped.length == 4 && capped.forall(_ == 10L), capped.toString)
+    // uncapped: the backlog lands in one batch
+    val all = run(Map.empty)
+    assert(all == Seq(40L), all.toString)
+  }
+
   test("RESTORE TABLE: a prior version re-serves as a new metadata-only commit") {
     val g = new GraftSession(spark)
     spark.sql("CREATE TABLE gdspec.lake.rs (id BIGINT)")
