@@ -192,6 +192,10 @@ object DiskBloom {
       }
     }
     val colNames = cols
+    // leaf names are UUID-unique per table, so they key the rel mapping
+    // without any URI decoding (partition dirs carry %-escapes that a
+    // URI round-trip would corrupt)
+    val relByLeaf = rels.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
     partials.reduceByKey { (a, b) =>
       val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
       fa.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
@@ -201,14 +205,13 @@ object DiskBloom {
     }.foreachPartition { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
       it.foreach { case ((filePath, i), bytes) =>
-        val abs = new HPath(new java.net.URI(filePath).getPath)
-        val base = new HPath(new java.net.URI(dataDirStr).getPath)
-          .toString.stripSuffix("/")
-        val rel = abs.toString.stripPrefix(base).stripPrefix("/")
-        val side = sidecar(new HPath(dataDirStr), rel, colNames(i))
-        val fs = side.getFileSystem(conf)
-        val out = fs.create(side, true)
-        try out.write(bytes) finally out.close()
+        val leaf = filePath.substring(filePath.lastIndexOf('/') + 1)
+        relByLeaf.get(leaf).foreach { rel =>
+          val side = sidecar(new HPath(dataDirStr), rel, colNames(i))
+          val fs = side.getFileSystem(conf)
+          val out = fs.create(side, true)
+          try out.write(bytes) finally out.close()
+        }
       }
     }
   }

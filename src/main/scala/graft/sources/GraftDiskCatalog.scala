@@ -2207,9 +2207,20 @@ class GraftDiskTable(
         require(!base.partCols.exists(_.equalsIgnoreCase(name)),
           s"gdisk: cannot drop partition column $name")
         val i = schema.fieldIndex(name)
+        // a dropped column also leaves the bloom index declaration (its
+        // sidecars become dead weight VACUUM eventually sweeps)
+        val prunedBloom = base.properties.get(DiskBloom.ColumnsProp).map(_
+          .split(',').map(_.trim)
+          .filter(c => c.nonEmpty && !c.equalsIgnoreCase(name)).mkString(","))
+        val props = prunedBloom match {
+          case Some("") => base.properties - DiskBloom.ColumnsProp
+          case Some(v) => base.properties + (DiskBloom.ColumnsProp -> v)
+          case None => base.properties
+        }
         base.copy(
           schemaJson = StructType(schema.fields.patch(i, Nil, 1)).json,
           defaults = base.defaults - name, comments = base.comments - name,
+          properties = props,
           // strip the column's stats: a later ADD COLUMN reusing the name
           // reads NULL from old files, which stale bounds would contradict
           fileStats = base.fileStats.map(_.map {
@@ -2422,9 +2433,15 @@ class GraftDiskScanBuilder(
     // column (every file's range overlaps; the bloom proves absence).
     // A file without a sidecar (pre-index, CONVERT-adopted) is kept; a
     // false positive merely keeps a file — skipping is never load-bearing.
-    if (dataFilters.nonEmpty && table.bloomArgs._1.nonEmpty) {
+    // tolerant on the READ side: a bloom property naming a since-dropped
+    // column must not make the table unreadable (the WRITE path still
+    // surfaces the config error)
+    val bloomIdx =
+      try table.bloomArgs._1
+      catch { case _: IllegalArgumentException => Nil }
+    if (dataFilters.nonEmpty && bloomIdx.nonEmpty) {
       import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal => CLit}
-      val idx = table.bloomArgs._1
+      val idx = bloomIdx
       def colOf(a: AttributeReference): Option[String] =
         idx.find(_.equalsIgnoreCase(a.name))
       val probes: Seq[(String, DataType, Seq[Any])] = dataFilters.flatMap {
