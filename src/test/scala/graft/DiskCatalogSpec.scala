@@ -1424,6 +1424,18 @@ class DiskCatalogSpec extends AnyFunSuite {
     g.sql("INSERT INTO fd_rs VALUES (3)")
     g.sql("RESTORE TABLE fd_rs TO VERSION AS OF 1")
     assert(g.sql("SELECT count(*) FROM fd_rs").head().getLong(0) == 2L)
+    // gmem tier: snapshot re-serve within the retention horizon
+    spark.conf.set("spark.sql.catalog.gmrs",
+      classOf[graft.sources.GraftMemCatalog].getName)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmrs.ns")
+    spark.sql("CREATE TABLE gmrs.ns.t (id BIGINT)")
+    spark.sql("INSERT INTO gmrs.ns.t VALUES (1), (2)")
+    spark.sql("INSERT INTO gmrs.ns.t VALUES (3)")
+    g.sql("RESTORE TABLE gmrs.ns.t TO VERSION AS OF 1")
+    assert(spark.table("gmrs.ns.t").count() == 2L)
+    // the pre-restore state stays reachable: history is append-only
+    assert(spark.sql("SELECT count(*) FROM gmrs.ns.t VERSION AS OF 2")
+      .head().getLong(0) == 3L)
   }
 
   test("clustered ingest: declared zorder orders every write, min/max skip from birth") {
