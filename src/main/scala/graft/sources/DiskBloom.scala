@@ -214,5 +214,9 @@ object DiskBloom {
         }
       }
     }
+    // rebuild/backfill writes sidecars at paths earlier probes may have
+    // cached as ABSENT — drop those entries (the one way "immutable"
+    // sidecar state can change under the cache)
+    invalidateUnder(new HPath(dataDir, DirName))
   }
 }

@@ -1839,9 +1839,27 @@ class GraftDiskTable(
       else base.properties.get("zorder").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     if (base.files.isEmpty) return (0, 0)
-    if (zorderBy.isEmpty && base.files.length <= 1)
-      return (base.files.length, base.files.length)
     val fs = log.dataDir.getFileSystem(spark.sessionState.newHadoopConf())
+    // sidecar BACKFILL for files missing their bloom filters (CONVERT-
+    // adopted, written pre-declaration): runs even when compaction is a
+    // no-op — `OPTIMIZE t` is the one standing job that makes the whole
+    // table bloom-skippable. Sidecars are manifest-external and
+    // idempotent, so no commit is needed.
+    def backfillBlooms(over: Seq[String]): Unit =
+      if (base.properties.contains(DiskBloom.ColumnsProp)) {
+        val idParts = if (base.numBuckets.isEmpty) base.partCols else Nil
+        val cols = DiskBloom.spec(base.properties, base.schema)
+          .filterNot(c => idParts.exists(_.equalsIgnoreCase(c)))
+        val missing = over.filter(f => cols.exists(c =>
+          !fs.exists(DiskBloom.sidecar(log.dataDir, f, c))))
+        if (missing.nonEmpty)
+          DiskBloom.rebuild(spark, log.dataDir, missing,
+            base.properties, base.schema, idParts)
+      }
+    if (zorderBy.isEmpty && base.files.length <= 1) {
+      backfillBlooms(base.files)
+      return (base.files.length, base.files.length)
+    }
     // INCREMENTAL bin-packing: plain OPTIMIZE touches only UNDER-SIZED
     // files — a file already at (or near) target size is left byte-for-
     // byte alone, so the standing maintenance job on a 100 TB table costs
@@ -1852,13 +1870,17 @@ class GraftDiskTable(
     val (rewrite, keep) =
       if (zorderBy.nonEmpty) (base.files, Seq.empty[String])
       else base.files.partition(f => sizes(f) < targetFileBytes)
-    if (zorderBy.isEmpty && rewrite.length <= 1)
+    if (zorderBy.isEmpty && rewrite.length <= 1) {
+      backfillBlooms(base.files)
       return (base.files.length, base.files.length)
+    }
     val totalBytes = rewrite.iterator.map(sizes).sum
     val nOut = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    if (zorderBy.isEmpty && nOut >= rewrite.length)
+    if (zorderBy.isEmpty && nOut >= rewrite.length) {
+      backfillBlooms(base.files)
       return (base.files.length, base.files.length)
+    }
     val out = new HPath(log.dataDir,
       s"optimize-${java.util.UUID.randomUUID}").toString
     val df = readTable(log, base, rewrite)
@@ -1903,13 +1925,19 @@ class GraftDiskTable(
     }
     val moved = movedB.result()
     fs.delete(new HPath(out), true)
-    // rebuild bloom sidecars for the rewritten files (one distributed
-    // pass; partial filters shuffle as O(sketch) payloads, never rows) —
-    // compaction must not cost the table its point-lookup skipping tier
-    if (base.properties.contains(DiskBloom.ColumnsProp))
-      DiskBloom.rebuild(spark, log.dataDir, moved, base.properties,
-        base.schema,
-        if (base.numBuckets.isEmpty) base.partCols else Nil)
+    // rebuild bloom sidecars for the rewritten files and backfill any
+    // kept file missing its own (one distributed pass; partial filters
+    // shuffle as O(sketch) payloads, never rows) — compaction must not
+    // cost the table its point-lookup skipping tier
+    if (base.properties.contains(DiskBloom.ColumnsProp)) {
+      val idParts = if (base.numBuckets.isEmpty) base.partCols else Nil
+      val cols = DiskBloom.spec(base.properties, base.schema)
+        .filterNot(c => idParts.exists(_.equalsIgnoreCase(c)))
+      val backfill = keep.filter(f => cols.exists(c =>
+        !fs.exists(DiskBloom.sidecar(log.dataDir, f, c))))
+      DiskBloom.rebuild(spark, log.dataDir, moved ++ backfill,
+        base.properties, base.schema, idParts)
+    }
     // untouched files keep their manifest stats (and bloom sidecars)
     val next = base.copy(version = base.version + 1,
       files = keep ++ moved, added = Nil,

@@ -1298,6 +1298,31 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(dfv.head().getLong(0) == 0L)
   }
 
+  test("OPTIMIZE backfills bloom sidecars for pre-index files without rewriting") {
+    val g = new GraftSession(spark)
+    spark.sql("CREATE TABLE gdspec.lake.bf (id BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.bf SELECT id * 8 FROM range(0, 100, 1, 1)")
+    spark.sql("ALTER TABLE gdspec.lake.bf SET TBLPROPERTIES " +
+      "('bloom.columns'='id', 'bloom.expectedItems'='1000')")
+    def kept(): (Int, Int) = {
+      val p = spark.sql("SELECT count(*) FROM gdspec.lake.bf WHERE id = 4")
+        .queryExecution.executedPlan.toString
+      val m = """statsFiles=(\d+)/(\d+)""".r.findFirstMatchIn(p).get
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    // pre-backfill: no sidecar → the (absent-value) probe keeps the file
+    assert(kept() == ((1, 1)))
+    // single-file table: OPTIMIZE is a compaction NO-OP (same version,
+    // same bytes) but backfills the missing sidecars
+    val vBefore = spark.sql("SELECT count(*) FROM gdspec.lake.bf").count()
+    val r = g.sql("OPTIMIZE gdspec.lake.bf").head()
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(kept() == ((0, 1)), "backfilled bloom must now skip the file")
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.bf WHERE id = 80")
+      .head().getLong(0) == 1L)
+    val _ = vBefore
+  }
+
   test("metadata-only DELETE: provable predicates drop files with zero file I/O") {
     def files(t: String): Set[String] = {
       val d = new java.io.File(s"$warehouse/lake/$t/data")
