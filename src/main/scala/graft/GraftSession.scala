@@ -394,6 +394,7 @@ final class GraftSession(
         'graft.mv.src' = '${esc(src)}',
         'graft.mv.keys' = '${esc(keys.mkString(","))}',
         'graft.mv.value' = '${esc(valueExpr)}')""")
+    graft.plans.MvRewrite.invalidate() // discoverable by auto-rewrite now
     import spark.implicits._
     Seq((mv, src)).toDF("mv_name", "source_table")
   }

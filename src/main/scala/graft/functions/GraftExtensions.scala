@@ -193,8 +193,13 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the custom-expression registry plus
+  * the materialized-view auto-rewrite rule (operator-optimization batch —
+  * it runs BEFORE V2 scan pushdown, so a substituted MV relation still
+  * gets its own pushdown/pruning/statistics treatment). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(session => graft.plans.MvRewriteRule(session))
+  }
 }

@@ -62,12 +62,20 @@ object CdcMvOps {
     val last = s.sql(s"SELECT coalesce(max(__as_of), 0L) FROM $mv")
       .head().getLong(0)
     val latest = diskTable(s, src).log.latestVersion()
-    if (latest <= last) return last
+    if (latest <= last) {
+      diskTable(s, mv).commitProperty("graft.mv.applied", last.toString)
+      return last
+    }
     val feed = diskTable(s, src).changes(last + 1, latest)
     // a zero-row window (reorganization/metadata commits only) stamps no
     // rows, so the watermark cannot advance — return the old one and let
-    // the harmless replay re-cover the window next time
-    if (feed.isEmpty) return last
+    // the harmless replay re-cover the window next time. The MV content
+    // is still exact through `latest` (the window folded nothing), so
+    // the rewrite hint may advance to it
+    if (feed.isEmpty) {
+      diskTable(s, mv).commitProperty("graft.mv.applied", latest.toString)
+      return last
+    }
     val keyList = keys.mkString(", ")
     val view = s"__mv_feed_${Integer.toHexString(mv.hashCode).replace('-', 'n')}"
     feed.createOrReplaceTempView(view)
@@ -89,6 +97,12 @@ object CdcMvOps {
           CAST(d.d_sum AS DECIMAL(18,2)), ${latest}L)""")
     s.catalog.dropTempView(view)
     s.catalog.dropTempView(view + "_d")
+    // freshness HINT for the auto-rewrite rule ([[graft.plans.MvRewrite]]),
+    // landed as a separate metadata-only commit AFTER the fold: the hint
+    // can only under-state freshness (crash between the two commits →
+    // stale hint → the rule declines a rewrite it could have done), so
+    // exactly-once maintenance still never depends on a side channel
+    diskTable(s, mv).commitProperty("graft.mv.applied", latest.toString)
     latest
   }
 

@@ -1030,6 +1030,56 @@ object DdlDml extends QueryModule {
             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
                  ELSE o_totalprice END AS o_totalprice
           FROM orders WHERE o_orderkey % 7 <> 0)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- Transparent MV auto-rewrite ([[graft.plans.MvRewriteRule]]):
+    // a plain user aggregate in the MV's shape is served from the rollup
+    // — the optimized plan is REQUIRED to scan the MV and not the source
+    // (the 100 TB read path: a rollup orders of magnitude smaller than
+    // the corpus), while the DuckDB oracle re-aggregates the source
+    // directly, proving the rewrite is invisible in the results. The run
+    // exercises the freshness gate (refresh after a tombstoning DELETE)
+    // and the tombstone filter (the deleted group must not resurface
+    // through the MV serving path). ----
+    QueryDef(
+      "ddl_v2_disk_mv_rewrite",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.mvr_src")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.mvr_mv")
+        s.sql("""CREATE TABLE gdisk.verify.mvr_src (
+          o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)""")
+        s.sql("INSERT INTO gdisk.verify.mvr_src " +
+          "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders")
+        val g = new GraftSession(s)
+        g.sql("CREATE MATERIALIZED VIEW gdisk.verify.mvr_mv AS " +
+          "SELECT o_orderpriority, count(*) AS cnt, " +
+          "sum(o_totalprice) AS total FROM gdisk.verify.mvr_src " +
+          "GROUP BY o_orderpriority")
+        g.sql("REFRESH MATERIALIZED VIEW gdisk.verify.mvr_mv")
+        // tombstone one whole group, then re-freshen
+        s.sql("DELETE FROM gdisk.verify.mvr_src " +
+          "WHERE o_orderpriority = '5-LOW'")
+        g.sql("REFRESH MATERIALIZED VIEW gdisk.verify.mvr_mv")
+        val df = s.sql("""SELECT o_orderpriority, count(*) AS cnt,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM gdisk.verify.mvr_src
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+        val plan = df.queryExecution.optimizedPlan.toString
+        require(plan.contains("mvr_mv") && !plan.contains("mvr_src"),
+          s"MV auto-rewrite must serve this aggregate from the rollup:\n$plan")
+        df
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderpriority <> '5-LOW'
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

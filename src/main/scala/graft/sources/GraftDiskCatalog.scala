@@ -821,6 +821,10 @@ object GraftDiskCatalog {
     instances.update(name, c)
   private[graft] def instance(name: String): Option[GraftDiskCatalog] =
     instances.get(name)
+  /** Every registered gdisk catalog in this JVM — the MV auto-rewrite
+    * rule's discovery surface. */
+  private[graft] def allInstances: Seq[(String, GraftDiskCatalog)] =
+    instances.toSeq
 
   private[sources] def toStruct(cs: Array[V2Column]): StructType =
     StructType(cs.map(c => StructField(c.name, c.dataType, c.nullable)))
@@ -1209,6 +1213,35 @@ class GraftDiskTable(
   }
 
   private[graft] def isPartitioned: Boolean = loaded.partCols.nonEmpty
+
+  /** The snapshot this table instance serves (conflict-detection specs
+    * model a second driver whose scan read an older version). */
+  private[graft] def liveFiles: Seq[String] = loaded.files
+  private[graft] def liveSchemaJson: String = loaded.schemaJson
+
+  /** Commit a table property as a metadata-only version (files
+    * unchanged) with optimistic retries — the MV freshness hint lands
+    * through here AFTER its MERGE commit, so the hint can only ever
+    * UNDER-state how fresh the MV is (a crash between the two commits
+    * leaves a stale hint, and the auto-rewrite rule conservatively
+    * declines; correctness never depends on the hint being current). */
+  private[graft] def commitProperty(key: String, value: String): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val base = log.latest()
+      val next = base.copy(version = base.version + 1, added = Nil,
+        properties = base.properties + (key -> value))
+      try { log.write(next); done = true }
+      catch {
+        case e: java.io.IOException =>
+          attempts += 1
+          if (attempts > 5) throw new IllegalStateException(
+            s"gdisk: concurrent commit conflict on $tableName", e)
+          Thread.sleep(20L * attempts)
+      }
+    }
+  }
 
   /** DESCRIBE DETAIL's one-row inventory: manifest arithmetic plus a
     * driver-side file-status sweep for byte sizes (no Spark job). */
@@ -1798,8 +1831,11 @@ class GraftDiskTable(
                 override def commit(messages: Array[WriterCommitMessage]): Unit = {
                   val removed = Option(cowScan).map(_.servedFiles)
                     .getOrElse(loaded.files)
+                  // expectSchemaJson: the rewrite's output was written with
+                  // the snapshot's schema — a concurrent column change must
+                  // surface as a clean conflict, not a mixed-layout table
                   commitReplace(removed, collectFiles(messages),
-                    collectStats(messages))
+                    collectStats(messages), Some(loaded.schemaJson))
                 }
                 override def abort(messages: Array[WriterCommitMessage]): Unit =
                   deleteFiles(collectFiles(messages))
@@ -2068,14 +2104,40 @@ class GraftDiskTable(
   }
 
   /** Swap `removed` (the rewrite's served groups) for `added` as the next
-    * version; key constraints re-check distributed over (kept ∪ added). */
-  private def commitReplace(
+    * version; key constraints re-check distributed over (kept ∪ added).
+    *
+    * Conflict detection (the Delta write-serializable shape): `removed` was
+    * derived from the snapshot this operation SCANNED — if a concurrent
+    * commit already replaced or dropped any of those files (another COW
+    * rewrite, OPTIMIZE, an overwrite), blindly swapping would resurrect the
+    * pre-image rows our rewrite copied from them while the concurrent
+    * writer's replacement files stay live: duplicated rows and a silently
+    * lost update. Likewise a concurrent schema change (ADD/DROP/RENAME
+    * COLUMN) invalidates the rewrite's already-written output layout. Both
+    * fail CLEANLY here with the table intact — the caller re-runs against
+    * the new snapshot. Concurrent blind APPENDS do not conflict: the new
+    * files ride through `kept` untouched (snapshot isolation for the
+    * statement, Delta's WriteSerializable default). */
+  private[graft] def commitReplace(
       removed: Seq[String], added: Seq[String],
-      addedStats: Map[String, Map[String, ColStats]] = Map.empty): Unit =
+      addedStats: Map[String, Map[String, ColStats]] = Map.empty,
+      expectSchemaJson: Option[String] = None): Unit =
     synchronized {
       require(pinned.isEmpty,
         s"gdisk: $tableName is a VERSION AS OF snapshot — snapshots are read-only")
       val base = log.latest()
+      val gone = removed.filterNot(base.files.toSet)
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"gdisk: concurrent commit conflict on $tableName — ${gone.size} " +
+          s"file(s) this rewrite read were already replaced or removed by a " +
+          s"concurrent commit (e.g. ${gone.head}); re-run the statement " +
+          "against the current snapshot")
+      expectSchemaJson.foreach { exp =>
+        if (exp != base.schemaJson) throw new IllegalStateException(
+          s"gdisk: concurrent commit conflict on $tableName — the table " +
+            "schema changed while this rewrite ran; re-run the statement " +
+            "against the current snapshot")
+      }
       val kept = base.files.filterNot(removed.toSet)
       enforceKeysDistributed(base, added, existingFiles = kept)
       enforceFkChildDistributed(base, added, existingFiles = kept)

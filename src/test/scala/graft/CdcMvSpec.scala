@@ -96,6 +96,58 @@ class CdcMvSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a materialized view"))
   }
 
+  test("fresh MV auto-rewrites a matching aggregate; stale, mismatched, or disabled declines") {
+    val src2 = "gslt.default.mvr_src"
+    val mv2 = "gslt.default.mvr_mv"
+    spark.sql(s"DROP TABLE IF EXISTS $src2")
+    spark.sql(s"DROP TABLE IF EXISTS $mv2")
+    spark.sql(s"CREATE TABLE $src2 (k STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO $src2 VALUES ('a', 1.5), ('a', 2.25), ('b', 10.0)")
+    val g = new GraftSession(spark)
+    g.sql(s"CREATE MATERIALIZED VIEW $mv2 AS SELECT k, count(*) AS cnt, " +
+      s"sum(v) AS total FROM $src2 GROUP BY k")
+    val q = "SELECT k, count(*) AS c, " +
+      s"CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS t FROM $src2 " +
+      "GROUP BY k ORDER BY k"
+    def plan(): String = spark.sql(q).queryExecution.optimizedPlan.toString
+    def rows(): Seq[(String, Long, Double)] = spark.sql(q).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // created but never refreshed: no freshness hint → no rewrite
+    assert(!plan().contains("mvr_mv"), plan())
+    g.sql(s"REFRESH MATERIALIZED VIEW $mv2")
+    val p = plan()
+    assert(p.contains("mvr_mv") && !p.contains("mvr_src"),
+      s"fresh MV must serve the aggregate:\n$p")
+    val viaMv = rows()
+    // the rewrite is invisible in the result: disabled run matches exactly
+    spark.conf.set("spark.graft.mv.autoRewrite", "false")
+    val direct = try {
+      assert(!plan().contains("mvr_mv"))
+      rows()
+    } finally spark.conf.set("spark.graft.mv.autoRewrite", "true")
+    assert(viaMv == direct && viaMv.map(_._1) == Seq("a", "b"), viaMv.toString)
+
+    // a non-matching shape (different aggregate) never rewrites
+    val qMax = s"SELECT k, max(v) AS m FROM $src2 GROUP BY k"
+    assert(!spark.sql(qMax).queryExecution.optimizedPlan.toString
+      .contains("mvr_mv"))
+
+    // stale: a post-refresh source commit declines until the next refresh
+    spark.sql(s"INSERT INTO $src2 VALUES ('c', 4.0)")
+    val stale = plan()
+    assert(!stale.contains("mvr_mv") && stale.contains("mvr_src"), stale)
+    assert(rows().map(_._1) == Seq("a", "b", "c"))
+    g.sql(s"REFRESH MATERIALIZED VIEW $mv2")
+    assert(plan().contains("mvr_mv"))
+
+    // tombstones stay invisible through the rewrite path
+    spark.sql(s"DELETE FROM $src2 WHERE k = 'b'")
+    g.sql(s"REFRESH MATERIALIZED VIEW $mv2")
+    assert(plan().contains("mvr_mv"))
+    assert(rows().map(_._1) == Seq("a", "c"))
+  }
+
   test("a resurrected group reuses its tombstone row") {
     setup()
     spark.sql(s"INSERT INTO $src VALUES ('a', 5.0)")

@@ -520,6 +520,52 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(t.log.latestVersion() == 4L) // one commit per insert, no gaps
   }
 
+  test("concurrent COW rewrites conflict cleanly, never lose updates") {
+    // Models two DRIVERS: a rewrite whose scan read version v commits
+    // after a concurrent commit already replaced the files it read. A
+    // blind swap would resurrect the pre-image rows the stale rewrite
+    // copied (duplicate + lost update); the commit must instead fail
+    // cleanly with the table intact.
+    spark.sql("CREATE TABLE gdspec.lake.ccow (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.ccow VALUES (1, 10), (2, 20)")
+    def load() = graft.sources.GraftDiskCatalog.instance("gdspec").get
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("lake"), "ccow")).asInstanceOf[GraftDiskTable]
+    val stale = load() // this instance's snapshot: version 1's file set
+    val staleFiles = stale.liveFiles
+    val staleSchema = stale.liveSchemaJson
+    // a concurrent UPDATE replaces that file before the stale commit lands
+    spark.sql("UPDATE gdspec.lake.ccow SET v = 99 WHERE id = 1")
+    val e = intercept[IllegalStateException](
+      stale.commitReplace(staleFiles, Nil, Map.empty, Some(staleSchema)))
+    assert(e.getMessage.contains("concurrent commit conflict"), e.getMessage)
+    assert(e.getMessage.contains("already replaced or removed"), e.getMessage)
+    // the concurrent writer's update survives, nothing duplicated or lost
+    assert(spark.sql("SELECT id, v FROM gdspec.lake.ccow ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 99L), (2L, 20L)))
+
+    // schema conflict: files intact, but a concurrent column change means
+    // the rewrite's written output no longer matches the table layout
+    val stale2 = load()
+    spark.sql("ALTER TABLE gdspec.lake.ccow ADD COLUMN note STRING")
+    val e2 = intercept[IllegalStateException](
+      stale2.commitReplace(stale2.liveFiles, Nil, Map.empty,
+        Some(stale2.liveSchemaJson)))
+    assert(e2.getMessage.contains("schema changed"), e2.getMessage)
+
+    // benign race: a concurrent blind APPEND does not conflict — the new
+    // file rides through untouched while the rewrite swaps its own files
+    // (snapshot isolation for the statement, Delta's WriteSerializable)
+    val stale3 = load()
+    spark.sql("INSERT INTO gdspec.lake.ccow VALUES (3, 30, 'n')")
+    stale3.commitReplace(stale3.liveFiles, Nil, Map.empty,
+      Some(stale3.liveSchemaJson)) // drops every pre-append file
+    assert(spark.sql("SELECT id, v FROM gdspec.lake.ccow ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((3L, 30L)))
+  }
+
   test("DESCRIBE HISTORY lists gdisk manifest versions") {
     spark.sql("CREATE TABLE gdspec.lake.dh (id BIGINT)")
     spark.sql("INSERT INTO gdspec.lake.dh VALUES (1)")
