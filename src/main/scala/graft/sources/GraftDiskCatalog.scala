@@ -512,6 +512,11 @@ object GraftDiskCatalog {
   val LogDirName = "_graft_log"
   val DataDirName = "data"
 
+  /** Every Nth version is a FULL manifest checkpoint; the rest are delta
+    * records (`TBLPROPERTIES ('commitlog.checkpointInterval'='n')`). */
+  val CheckpointIntervalProp = "commitlog.checkpointInterval"
+  val DefaultCheckpointInterval = 20
+
   /** Files dropped by RUNTIME (dynamic-partition / dynamic-bucket)
     * pruning since JVM start — the observable evidence plan proofs and
     * specs assert on, since the pruning happens at execution time where
@@ -957,13 +962,39 @@ case class DiskManifest(
   }
 }
 
-/** The `_graft_log/` directory: `v<N>.json` manifests, claimed atomically
-  * for optimistic concurrency. A claim writes the FULL content to a temp
-  * file first and renames it into place under a JVM-wide per-table lock,
-  * so in-process racers serialize on the claim (lost races surface as
-  * clean conflicts, never lost updates) and readers never observe a
-  * half-written manifest; cross-process readers additionally tolerate a
-  * mid-rename window by falling back to the newest PARSEABLE version. */
+/** One commit's record in DELTA form (`d<N>.json`): everything a manifest
+  * carries EXCEPT the O(files) bulk — the file list and per-file stats
+  * reconstruct from the previous version plus `removed`/`addedFiles`.
+  * `full` is the exactness fallback: a commit whose state is not an
+  * add/remove of its base (RESTORE's arbitrary re-serve, DROP COLUMN's
+  * stats strip) embeds the complete manifest instead, detected by a
+  * self-verifying reconstruct-and-compare at write time. */
+case class DiskDeltaRecord(
+    meta: DiskManifest, // files = Nil, fileStats = None
+    removed: Seq[String],
+    addedFiles: Seq[String],
+    addedStats: Map[String, Map[String, ColStats]],
+    full: Option[DiskManifest] = None)
+
+/** The `_graft_log/` directory: periodic FULL manifests (`v<N>.json` —
+  * checkpoints, every `commitlog.checkpointInterval`-th version, default
+  * 20) with DELTA records (`d<N>.json`) between them, claimed atomically
+  * for optimistic concurrency. Without deltas every commit rewrites the
+  * whole file inventory — O(files) JSON per commit, O(files²) cumulative
+  * for a streaming sink landing one commit per epoch; with them a commit
+  * costs O(changed files) and reads reconstruct through at most one
+  * checkpoint interval of deltas (memoized in a driver-side cache —
+  * manifests are immutable, so the cache can never go stale). The
+  * record KIND is a pure function of the version number, so two racing
+  * committers always contend on the SAME file name and rename-exclusivity
+  * keeps the claim safe cross-process.
+  *
+  * A claim writes the FULL content to a temp file first and renames it
+  * into place under a JVM-wide per-table lock, so in-process racers
+  * serialize on the claim (lost races surface as clean conflicts, never
+  * lost updates) and readers never observe a half-written manifest;
+  * cross-process readers additionally tolerate a mid-rename window by
+  * falling back to the newest PARSEABLE version. */
 class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
   import org.json4s._
   import org.json4s.jackson.Serialization
@@ -973,12 +1004,25 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
   private def logDir = new HPath(tableDir, GraftDiskCatalog.LogDirName)
   def dataDir: HPath = new HPath(tableDir, GraftDiskCatalog.DataDirName)
   private def manifestPath(v: Long) = new HPath(logDir, f"v$v%020d.json")
+  private def deltaPath(v: Long) = new HPath(logDir, f"d$v%020d.json")
+  private def horizonPath = new HPath(logDir, "_horizon")
+  private def cacheKey = tableDir.toUri.getPath
 
   def latestVersion(): Long =
     fs.listStatus(logDir).iterator
-      .map(_.getPath.getName).filter(_.matches("v\\d+\\.json"))
-      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .map(_.getPath.getName).filter(_.matches("[vd]\\d+\\.json"))
+      .map(n => n.drop(1).stripSuffix(".json").toLong)
       .foldLeft(-1L)(math.max)
+
+  /** VACUUM's floor: versions below it are gone for USERS even when their
+    * records are physically retained as reconstruction-chain links. */
+  private[sources] def horizon(): Long =
+    try {
+      val in = fs.open(horizonPath)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    } catch { case _: Exception => 0L }
 
   private def tryRead(v: Long): Option[DiskManifest] =
     try {
@@ -988,21 +1032,49 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
       finally in.close()
     } catch { case _: Exception => None }
 
+  private def tryReadDelta(v: Long): Option[DiskDeltaRecord] =
+    try {
+      val in = fs.open(deltaPath(v))
+      try Some(Serialization.read[DiskDeltaRecord](new java.io.InputStreamReader(
+        in, java.nio.charset.StandardCharsets.UTF_8)))
+      finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Resolve version `v` to its full manifest: checkpoint directly, delta
+    * by reconstructing over the previous version (≤ one checkpoint
+    * interval of recursion, memoized). None = missing or mid-rename. */
+  private def tryResolve(v: Long): Option[DiskManifest] =
+    DiskCommitLog.cachedManifest(cacheKey, v).orElse {
+      val m: Option[DiskManifest] =
+        if (fs.exists(manifestPath(v))) tryRead(v)
+        else if (fs.exists(deltaPath(v))) tryReadDelta(v).flatMap { d =>
+          d.full.orElse(tryResolve(v - 1).map { prev =>
+            val rm = d.removed.toSet
+            d.meta.copy(
+              files = prev.files.filterNot(rm) ++ d.addedFiles,
+              fileStats = Some((prev.stats -- d.removed) ++ d.addedStats))
+          })
+        }
+        else None
+      m.foreach(DiskCommitLog.cacheManifest(cacheKey, v, _))
+      m
+    }
+
   def latest(): DiskManifest = {
-    // newest version that PARSES: a concurrent committer's claim may be
+    // newest version that RESOLVES: a concurrent committer's claim may be
     // mid-rename for an instant — its predecessor is the consistent view
     val vs = versions().reverse
     require(vs.nonEmpty, s"gdisk: no commits under $logDir")
-    vs.iterator.flatMap(v => tryRead(v)).nextOption().getOrElse {
+    vs.iterator.flatMap(v => tryResolve(v)).nextOption().getOrElse {
       Thread.sleep(100) // every retained manifest mid-write: settle once
-      versions().reverse.iterator.flatMap(v => tryRead(v)).nextOption()
+      versions().reverse.iterator.flatMap(v => tryResolve(v)).nextOption()
         .getOrElse(sys.error(s"gdisk: no readable manifest under $logDir"))
     }
   }
 
   def read(v: Long): DiskManifest = {
-    val p = manifestPath(v)
-    if (!fs.exists(p)) {
+    val present = fs.exists(manifestPath(v)) || fs.exists(deltaPath(v))
+    if (v < horizon() || !present) {
       val latest = latestVersion()
       throw new IllegalArgumentException(
         if (v >= 0 && v <= latest)
@@ -1010,9 +1082,9 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
         else s"gdisk: no version $v of $tableDir (latest: $latest)")
     }
     var attempts = 0
-    var out: Option[DiskManifest] = tryRead(v)
+    var out: Option[DiskManifest] = tryResolve(v)
     while (out.isEmpty && attempts < 20) { // mid-rename window
-      Thread.sleep(50); attempts += 1; out = tryRead(v)
+      Thread.sleep(50); attempts += 1; out = tryResolve(v)
     }
     out.getOrElse(sys.error(s"gdisk: manifest v$v of $tableDir unreadable"))
   }
@@ -1025,35 +1097,70 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
 
   /** Claim version `m.version`; throws an IOException on a lost race
     * (caller may re-read and retry). Content lands complete-then-visible:
-    * full temp write, then rename under the JVM claim lock. */
+    * full temp write, then rename under the JVM claim lock. Checkpoint
+    * versions write the full manifest; the rest write delta records
+    * (self-verified — an inexpressible state embeds the full manifest
+    * inside the delta file, keeping the name deterministic per version). */
   def write(m: DiskManifest): Unit = {
     val lock = DiskCommitLog.claimLock(tableDir.toUri.getPath)
     lock.synchronized {
-      val target = manifestPath(m.version)
-      if (fs.exists(target))
+      if (fs.exists(manifestPath(m.version)) || fs.exists(deltaPath(m.version)))
         throw new java.io.IOException(
           s"gdisk: version ${m.version} already claimed under $logDir")
+      val stamped = m.copy(committedAtMs = Some(System.currentTimeMillis()))
+      val prev = if (m.version == 0) None else tryResolve(m.version - 1)
+      // interval from the PREVIOUS manifest, so two racers for the same
+      // version number (same immutable base) always pick the same name
+      val interval = prev
+        .flatMap(_.properties.get(GraftDiskCatalog.CheckpointIntervalProp))
+        .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1)
+        .getOrElse(GraftDiskCatalog.DefaultCheckpointInterval)
+      val checkpoint =
+        m.version == 0 || prev.isEmpty || m.version % interval == 0
+      val (target, payload) =
+        if (checkpoint) (manifestPath(m.version), Serialization.write(stamped))
+        else {
+          val p = prev.get
+          val newSet = stamped.files.toSet
+          val rm = p.files.filterNot(newSet)
+          val prevSet = p.files.toSet
+          val add = stamped.files.filterNot(prevSet)
+          val addSet = add.toSet
+          val addStats = stamped.stats.view.filterKeys(addSet).toMap
+          val meta = stamped.copy(files = Nil, fileStats = None)
+          val recon = meta.copy(
+            files = p.files.filterNot(rm.toSet) ++ add,
+            fileStats = Some((p.stats -- rm) ++ addStats))
+          val rec =
+            if (recon == stamped) DiskDeltaRecord(meta, rm, add, addStats)
+            else DiskDeltaRecord(meta, Nil, Nil, Map.empty, Some(stamped))
+          (deltaPath(m.version), Serialization.write(rec))
+        }
       val tmp = new HPath(logDir,
         s".v${m.version}.tmp-${java.util.UUID.randomUUID}")
       val out = fs.create(tmp, false)
-      try out.write(Serialization
-        .write(m.copy(committedAtMs = Some(System.currentTimeMillis())))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       if (!fs.rename(tmp, target)) {
         fs.delete(tmp, false)
         throw new java.io.IOException(
           s"gdisk: lost the claim race for version ${m.version} under $logDir")
       }
+      DiskCommitLog.cacheManifest(cacheKey, stamped.version, stamped)
     }
   }
 
-  /** Manifests retained on disk, ascending. */
-  def versions(): Seq[Long] =
+  /** USER-visible versions retained on disk, ascending — excludes
+    * sub-horizon records kept only as reconstruction-chain links (their
+    * data files may already be swept; serving them would be wrong). */
+  def versions(): Seq[Long] = {
+    val hz = horizon()
     fs.listStatus(logDir).iterator
-      .map(_.getPath.getName).filter(_.matches("v\\d+\\.json"))
-      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .map(_.getPath.getName).filter(_.matches("[vd]\\d+\\.json"))
+      .map(n => n.drop(1).stripSuffix(".json").toLong)
+      .filter(_ >= hz)
       .toSeq.sorted
+  }
 
   /** All data files on disk, as data-dir-relative paths (recursive —
     * partitioned tables nest `col=value/` dirs). */
@@ -1075,9 +1182,27 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
   def vacuum(retain: Int): Unit = {
     require(retain >= 1, "gdisk: VACUUM must retain at least 1 version")
     val vs = versions()
-    val (drop, keep) = vs.splitAt(math.max(0, vs.length - retain))
+    val (_, keep) = vs.splitAt(math.max(0, vs.length - retain))
+    val hz = keep.headOption.getOrElse(return)
+    // materialize the kept manifests BEFORE the horizon moves (read
+    // refuses sub-horizon versions)
     val referenced = keep.flatMap(v => read(v).files).toSet
-    drop.foreach(v => fs.delete(manifestPath(v), false))
+    // the oldest kept version may be a delta: its reconstruction chain
+    // back to the nearest checkpoint must survive as chain-only records
+    // (invisible to versions(), unreadable through read() — the horizon
+    // marker enforces the user contract)
+    var anchor = hz
+    while (anchor > 0 && !fs.exists(manifestPath(anchor))) anchor -= 1
+    val out = fs.create(horizonPath, true)
+    try out.write(hz.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // drop every record below the chain anchor (older chain links from
+    // previous vacuums included — the unfiltered listing sees them)
+    fs.listStatus(logDir).iterator
+      .map(_.getPath.getName).filter(_.matches("[vd]\\d+\\.json"))
+      .filter(n => n.drop(1).stripSuffix(".json").toLong < anchor)
+      .foreach(n => fs.delete(new HPath(logDir, n), false))
     listDataFiles().filterNot(referenced)
       .foreach(rel => fs.delete(new HPath(dataDir, rel), false))
     // bloom sidecars of unreferenced data files go with them (sidecars
@@ -1104,6 +1229,19 @@ object DiskCommitLog {
   private val locks = TrieMap.empty[String, Object]
   private[sources] def claimLock(tablePath: String): Object =
     locks.getOrElseUpdate(tablePath, new Object)
+
+  /** Resolved-manifest memo keyed by (table path, version). Committed
+    * records are IMMUTABLE (VACUUM deletes, never rewrites), so entries
+    * can never go stale; the bound just caps driver heap. */
+  private val ManifestCacheMax = 256
+  private val manifests = TrieMap.empty[(String, Long), DiskManifest]
+  private[sources] def cachedManifest(
+      key: String, v: Long): Option[DiskManifest] = manifests.get((key, v))
+  private[sources] def cacheManifest(
+      key: String, v: Long, m: DiskManifest): Unit = {
+    if (manifests.size >= ManifestCacheMax) manifests.clear()
+    manifests.update((key, v), m)
+  }
 }
 
 /** One parquet-backed table (possibly pinned to a `VERSION AS OF`

@@ -566,6 +566,52 @@ class DiskCatalogSpec extends AnyFunSuite {
       Seq((3L, 30L)))
   }
 
+  test("commit log: deltas between checkpoints, exact reconstruction, chain-aware VACUUM") {
+    spark.sql("CREATE TABLE gdspec.lake.dl (id BIGINT) " +
+      "TBLPROPERTIES ('commitlog.checkpointInterval'='5')")
+    (1 to 12).foreach(i => spark.sql(s"INSERT INTO gdspec.lake.dl VALUES ($i)"))
+    val logDir = new java.io.File(s"$warehouse/lake/dl/_graft_log")
+    def records() = logDir.listFiles().map(_.getName)
+      .filter(_.matches("[vd]\\d+\\.json")).sorted.toSeq
+    // v0 (create) + checkpoints v5, v10; every other version is a delta
+    assert(records().count(_.startsWith("v")) == 3, records().mkString(","))
+    assert(records().count(_.startsWith("d")) == 10)
+    // an append's delta record is O(changed files), NOT O(table files):
+    // the newest delta must be well under the checkpoint that carries the
+    // full 11-file inventory
+    def size(n: String) = new java.io.File(logDir, n).length()
+    assert(size("d00000000000000000012.json") * 2 <
+      size("v00000000000000000010.json"),
+      records().map(n => s"$n=${size(n)}").mkString(","))
+    // reads reconstruct exactly through the delta chain
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.dl VERSION AS OF 7")
+      .head().getLong(0) == 7)
+    assert(spark.sql("SELECT sum(id) FROM gdspec.lake.dl").head().getLong(0) == 78)
+    // a COW rewrite rides a delta (removed + added both round-trip)
+    spark.sql("UPDATE gdspec.lake.dl SET id = 100 WHERE id = 3") // v13
+    assert(spark.sql("SELECT sum(id) FROM gdspec.lake.dl").head().getLong(0) == 175)
+    // RESTORE re-serves an arbitrary file set — not delta-expressible, so
+    // the record self-detects and embeds the full manifest (same name)
+    val g = new GraftSession(spark)
+    g.sql("RESTORE TABLE gdspec.lake.dl TO VERSION AS OF 12") // v14
+    assert(spark.sql("SELECT sum(id) FROM gdspec.lake.dl").head().getLong(0) == 78)
+    assert(records().contains("d00000000000000000014.json"))
+    // VACUUM: horizon moves to v12; the v10 checkpoint + d11 survive ONLY
+    // as chain links — invisible to history, unreadable as versions
+    g.sql("VACUUM gdspec.lake.dl RETAIN 3 VERSIONS")
+    assert(spark.sql("SELECT sum(id) FROM gdspec.lake.dl").head().getLong(0) == 78)
+    val hist = g.sql("DESCRIBE HISTORY gdspec.lake.dl").collect()
+      .map(_.getInt(0)).toSeq
+    assert(hist == Seq(12, 13, 14), hist.toString)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM gdspec.lake.dl VERSION AS OF 11").collect())
+    assert(e.getMessage.contains("removed by VACUUM"), e.getMessage)
+    // post-vacuum commits continue the chain unbroken
+    spark.sql("INSERT INTO gdspec.lake.dl VALUES (200)") // v15 = checkpoint
+    assert(spark.sql("SELECT sum(id) FROM gdspec.lake.dl").head().getLong(0) == 278)
+    assert(records().contains("v00000000000000000015.json"), records().mkString(","))
+  }
+
   test("DESCRIBE HISTORY lists gdisk manifest versions") {
     spark.sql("CREATE TABLE gdspec.lake.dh (id BIGINT)")
     spark.sql("INSERT INTO gdspec.lake.dh VALUES (1)")
