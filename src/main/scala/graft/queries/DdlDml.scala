@@ -1080,6 +1080,63 @@ object DdlDml extends QueryModule {
       Some("""SELECT o_orderpriority, count(*) AS cnt,
           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders WHERE o_orderpriority <> '5-LOW'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- Metadata-only RENAME COLUMN via column mapping: the rename is
+    // REQUIRED to leave every data file untouched (at 100 TB a rename is
+    // one manifest commit, not a table rewrite), old files keep the
+    // column's immutable physical name, new writes and a COW UPDATE land
+    // under the new logical name, and the DuckDB oracle recomputes the
+    // final state directly. ----
+    QueryDef(
+      "ddl_v2_disk_rename_mapping",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.rnm")
+        s.sql("""CREATE TABLE gdisk.verify.rnm (
+          o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)""")
+        s.sql("INSERT INTO gdisk.verify.rnm SELECT o_orderkey, " +
+          "o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 2 = 0")
+        s.sql("INSERT INTO gdisk.verify.rnm SELECT o_orderkey, " +
+          "o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 2 = 1")
+        def tbl = graft.sources.GraftDiskCatalog.instance("gdisk").get
+          .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array("verify"), "rnm"))
+          .asInstanceOf[graft.sources.GraftDiskTable]
+        val before = tbl.liveFiles
+        s.sql("ALTER TABLE gdisk.verify.rnm RENAME COLUMN o_totalprice TO price")
+        require(tbl.liveFiles == before,
+          "RENAME COLUMN must be metadata-only: no data file may change")
+        // post-rename ingest and a COW UPDATE, both under the new name
+        s.sql("INSERT INTO gdisk.verify.rnm SELECT -o_orderkey, " +
+          "o_orderpriority, o_totalprice * 2 FROM orders " +
+          "WHERE o_orderpriority = '1-URGENT'")
+        s.sql("UPDATE gdisk.verify.rnm SET price = price + 1 " +
+          "WHERE o_orderkey % 10 = 0")
+        s.sql("""SELECT o_orderpriority, count(*) AS cnt,
+            CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM gdisk.verify.rnm
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+          CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM (
+          SELECT o_orderpriority,
+            o_totalprice + CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END
+              AS price
+          FROM orders
+          UNION ALL
+          SELECT o_orderpriority,
+            (o_totalprice * 2) +
+              CASE WHEN (-o_orderkey) % 10 = 0 THEN 1 ELSE 0 END AS price
+          FROM orders WHERE o_orderpriority = '1-URGENT')
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

@@ -157,11 +157,12 @@ object DiskBloom {
     * shuffle carries O(sketch-size) payloads, never rows — and sidecars
     * written from the reducer tasks. Identity-partition columns are
     * skipped (their values live in dir names, already pruned exactly). */
+  /** Rebuild sidecars for `rels`. `schema` and `cols` carry PHYSICAL
+    * column names (what the files hold and what sidecars are keyed by) —
+    * the caller resolves the logical bloom declaration first. */
   def rebuild(spark: SparkSession, dataDir: HPath, rels: Seq[String],
       properties: Map[String, String], schema: StructType,
-      identityPartCols: Seq[String]): Unit = {
-    val cols = spec(properties, schema)
-      .filterNot(c => identityPartCols.exists(_.equalsIgnoreCase(c)))
+      cols: Seq[String]): Unit = {
     if (cols.isEmpty || rels.isEmpty) return
     val items = expectedItems(properties)
     val p = fpp(properties)

@@ -517,6 +517,10 @@ object GraftDiskCatalog {
   val CheckpointIntervalProp = "commitlog.checkpointInterval"
   val DefaultCheckpointInterval = 20
 
+  /** Physical column names still present in old data files whose logical
+    * column was DROPPED — ADD COLUMN must not hand them out again. */
+  val ReservedPhysicalProp = "graft.columnmapping.reserved"
+
   /** Files dropped by RUNTIME (dynamic-partition / dynamic-bucket)
     * pruning since JVM start — the observable evidence plan proofs and
     * specs assert on, since the pruning happens at execution time where
@@ -805,8 +809,12 @@ object GraftDiskCatalog {
     * dir names and prune exactly already) plus per-file sizing. */
   private[sources] def bloomArgsFor(m: DiskManifest): (Seq[String], Long, Double) = {
     val idParts = if (m.numBuckets.isEmpty) m.partCols else Nil
+    // declaration validates against LOGICAL names; sidecars are file-level
+    // artifacts, so the resolved list carries PHYSICAL names (immutable
+    // across RENAME — existing sidecars stay valid)
     val cols = DiskBloom.spec(m.properties, m.schema)
       .filterNot(c => idParts.exists(_.equalsIgnoreCase(c)))
+      .map(m.physicalOf)
     (cols, DiskBloom.expectedItems(m.properties), DiskBloom.fpp(m.properties))
   }
 
@@ -930,7 +938,16 @@ case class DiskManifest(
     // id = pmod(hash(cols...), n) (Spark's chained murmur3, seed 42) and
     // the columns stay IN the data files — unlike identity hive layout,
     // where values live in `col=value/` paths only
-    numBuckets: Option[Int] = None) {
+    numBuckets: Option[Int] = None,
+    // COLUMN MAPPING (Delta's rename-without-rewrite): logical name →
+    // the PHYSICAL column name data files actually carry. Absent entry =
+    // identity. RENAME COLUMN only updates this map (plus the logical
+    // schema); data files, per-file stats keys, and bloom sidecar names
+    // all stay keyed by the physical name, so a rename is one metadata
+    // commit at any table size. Physical names are immutable for a
+    // column's lifetime; ADD COLUMN assigns a fresh unique physical name
+    // when the logical name would collide with a historical physical one
+    physicalNames: Option[Map[String, String]] = None) {
   lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
@@ -944,8 +961,35 @@ case class DiskManifest(
   def hiveParts: Seq[String] = if (numBuckets.isEmpty) partCols else Nil
 
   /** Per-file column stats for manifest-level skipping (absent for files
-    * written before stats existed — those are simply never skipped). */
+    * written before stats existed — those are simply never skipped).
+    * KEYED BY PHYSICAL column name — what the files actually carry. */
   def stats: Map[String, Map[String, ColStats]] = fileStats.getOrElse(Map.empty)
+
+  /** The physical (in-file) name of a logical column. Identity unless a
+    * RENAME created a mapping entry. */
+  def physicalOf(logical: String): String =
+    physicalNames.flatMap(_.get(logical)).getOrElse(logical)
+
+  /** Logical name of a physical column (reverse mapping; identity when
+    * unmapped). */
+  def logicalOf(physical: String): String =
+    physicalNames.flatMap(_.collectFirst {
+      case (l, p) if p == physical => l
+    }).getOrElse(physical)
+
+  /** `schema` with every field renamed to its physical name — the schema
+    * data files are read and written with. Positionally identical to the
+    * logical schema. */
+  lazy val physicalSchema: StructType =
+    if (physicalNames.forall(_.isEmpty)) schema
+    else StructType(schema.fields.map(f => f.copy(name = physicalOf(f.name))))
+
+  /** Rename a pruned/logical struct's fields to physical (positions and
+    * types untouched; names not in the table schema — `_file`,
+    * `__bucket` — pass through). */
+  def toPhysical(s: StructType): StructType =
+    if (physicalNames.forall(_.isEmpty)) s
+    else StructType(s.fields.map(f => f.copy(name = physicalOf(f.name))))
 
   def columns: Array[V2Column] = schema.fields.map { f =>
     val default = defaults.get(f.name).map { d =>
@@ -1306,9 +1350,38 @@ class GraftDiskTable(
       if (loaded.hiveParts.isEmpty) CaseInsensitiveStringMap.empty()
       else new CaseInsensitiveStringMap(
         util.Map.of("basePath", log.dataDir.toString))
+    // the delegated scan runs in PHYSICAL names end to end; the wrapping
+    // GraftDiskScan re-labels readSchema back to logical (rows are
+    // positional, so no data movement is involved)
     ParquetTable(tableName, spark, opts, files,
-      Some(loaded.schema), classOf[ParquetFileFormat])
+      Some(loaded.physicalSchema), classOf[ParquetFileFormat])
   }
+
+  /** Translate a logical-named struct/expression into the physical names
+    * the inner parquet scan and the manifest stats are keyed by. */
+  private[sources] def toPhysical(s: StructType): StructType =
+    loaded.toPhysical(s)
+  private[sources] def physicalOf(c: String): String = loaded.physicalOf(c)
+  private[sources] def logicalOf(c: String): String = loaded.logicalOf(c)
+  private[sources] def toPhysicalExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    if (loaded.physicalNames.forall(_.isEmpty)) e
+    else e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.withName(loaded.physicalOf(a.name))
+    }
+  private[sources] def toLogicalSchema(s: StructType): StructType =
+    if (loaded.physicalNames.forall(_.isEmpty)) s
+    else StructType(s.fields.map(f => f.copy(name = loaded.logicalOf(f.name))))
+  private[sources] def toLogicalExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    if (loaded.physicalNames.forall(_.isEmpty)) e
+    else e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.withName(loaded.logicalOf(a.name))
+    }
 
   // ---------------------------------------------------------------- read
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -1579,7 +1652,8 @@ class GraftDiskTable(
               pwi: PhysicalWriteInfo): DataWriterFactory =
             new GraftDiskWriterFactory(info.schema(), schema(),
               log.dataDir.toString, writeConfMap(), loaded.partCols,
-                loaded.numBuckets, bloomArgs._1, bloomArgs._2, bloomArgs._3)
+                loaded.numBuckets, bloomArgs._1, bloomArgs._2, bloomArgs._3,
+                loaded.physicalNames.getOrElse(Map.empty))
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val files = collectFiles(messages)
             val dropOf: Option[DiskManifest => Set[String]] =
@@ -1600,7 +1674,8 @@ class GraftDiskTable(
                 : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
               new GraftDiskWriterFactory(info.schema(), schema(),
                 log.dataDir.toString, writeConfMap(), loaded.partCols,
-                loaded.numBuckets, bloomArgs._1, bloomArgs._2, bloomArgs._3)
+                loaded.numBuckets, bloomArgs._1, bloomArgs._2, bloomArgs._3,
+                loaded.physicalNames.getOrElse(Map.empty))
             override def commit(
                 epochId: Long, messages: Array[WriterCommitMessage]): Unit =
               commitEpochFiles(info.queryId(), epochId, collectFiles(messages),
@@ -1638,9 +1713,10 @@ class GraftDiskTable(
   }
 
   /** File schema = table schema minus hive-encoded partition columns
-    * (bucket columns stay in the files, so nothing is stripped there). */
+    * (bucket columns stay in the files, so nothing is stripped there).
+    * PHYSICAL names — this schema reads/keys what files actually carry. */
   private def dataFileSchema(m: DiskManifest): StructType =
-    StructType(m.schema.fields
+    StructType(m.physicalSchema.fields
       .filterNot(f => m.hiveParts.exists(_.equalsIgnoreCase(f.name))))
 
   private def deleteFiles(files: Seq[String]): Unit = {
@@ -1825,10 +1901,16 @@ class GraftDiskTable(
       l: DiskCommitLog, m: DiskManifest, files: Seq[String]) =
     if (files.isEmpty) emptyDf(m.schema)
     else {
-      val r = spark.read.schema(m.schema)
-      (if (m.hiveParts.isEmpty) r
-       else r.option("basePath", l.dataDir.toString))
+      // files carry PHYSICAL column names; rename back to logical BY NAME
+      // (never positionally — the reader appends partition columns at the
+      // end regardless of the declared schema order)
+      val r = spark.read.schema(m.physicalSchema)
+      val raw = (if (m.hiveParts.isEmpty) r
+                 else r.option("basePath", l.dataDir.toString))
         .parquet(files.map(l.absolute): _*)
+      if (m.physicalNames.forall(_.isEmpty)) raw
+      else raw.select(m.schema.fields.map(f =>
+        col(m.physicalOf(f.name)).as(f.name)).toIndexedSeq: _*)
     }
 
   /** Resolve an FK's parent table within the same warehouse (`REFERENCES`
@@ -1965,7 +2047,8 @@ class GraftDiskTable(
                     pwi: PhysicalWriteInfo): DataWriterFactory =
                   new GraftDiskWriterFactory(lwi.schema(), schema(),
                     log.dataDir.toString, writeConfMap(), loaded.partCols,
-                loaded.numBuckets, bloomArgs._1, bloomArgs._2, bloomArgs._3)
+                loaded.numBuckets, bloomArgs._1, bloomArgs._2, bloomArgs._3,
+                loaded.physicalNames.getOrElse(Map.empty))
                 override def commit(messages: Array[WriterCommitMessage]): Unit = {
                   val removed = Option(cowScan).map(_.servedFiles)
                     .getOrElse(loaded.files)
@@ -2024,11 +2107,12 @@ class GraftDiskTable(
         val idParts = if (base.numBuckets.isEmpty) base.partCols else Nil
         val cols = DiskBloom.spec(base.properties, base.schema)
           .filterNot(c => idParts.exists(_.equalsIgnoreCase(c)))
+          .map(base.physicalOf) // sidecars key PHYSICAL names
         val missing = over.filter(f => cols.exists(c =>
           !fs.exists(DiskBloom.sidecar(log.dataDir, f, c))))
         if (missing.nonEmpty)
           DiskBloom.rebuild(spark, log.dataDir, missing,
-            base.properties, base.schema, idParts)
+            base.properties, base.physicalSchema, cols)
       }
     if (zorderBy.isEmpty && base.files.length <= 1) {
       backfillBlooms(base.files)
@@ -2072,13 +2156,17 @@ class GraftDiskTable(
         case None => identity
       }
     val writeParts = if (base.numBuckets.isDefined) Seq("__bucket") else parts
+    // files carry PHYSICAL column names (partition/bucket helpers are
+    // never mapped, so this is identity for them)
+    def phys(d: org.apache.spark.sql.DataFrame) =
+      d.toDF(d.columns.map(c => base.physicalOf(c)).toIndexedSeq: _*)
     if (zorderBy.nonEmpty) {
-      val zdf = bucketize(zorderedFrame(df, base, zorderBy, nOut)).drop("__z")
+      val zdf = phys(bucketize(zorderedFrame(df, base, zorderBy, nOut)).drop("__z"))
       if (writeParts.isEmpty) zdf.write.parquet(out)
       else zdf.write.partitionBy(writeParts: _*).parquet(out)
     }
-    else if (writeParts.isEmpty) df.repartition(nOut).write.parquet(out)
-    else bucketize(df).repartition(nOut, writeParts.map(col): _*)
+    else if (writeParts.isEmpty) phys(df.repartition(nOut)).write.parquet(out)
+    else phys(bucketize(df).repartition(nOut, writeParts.map(col): _*))
       .write.partitionBy(writeParts: _*).parquet(out)
     val outPrefix = new HPath(out).toUri.getPath.stripSuffix("/")
     val it = fs.listFiles(new HPath(out), true)
@@ -2107,10 +2195,11 @@ class GraftDiskTable(
       val idParts = if (base.numBuckets.isEmpty) base.partCols else Nil
       val cols = DiskBloom.spec(base.properties, base.schema)
         .filterNot(c => idParts.exists(_.equalsIgnoreCase(c)))
+        .map(base.physicalOf) // sidecars key PHYSICAL names
       val backfill = keep.filter(f => cols.exists(c =>
         !fs.exists(DiskBloom.sidecar(log.dataDir, f, c))))
       DiskBloom.rebuild(spark, log.dataDir, moved ++ backfill,
-        base.properties, base.schema, idParts)
+        base.properties, base.physicalSchema, cols)
     }
     // untouched files keep their manifest stats (and bloom sidecars)
     val next = base.copy(version = base.version + 1,
@@ -2146,10 +2235,16 @@ class GraftDiskTable(
     require(to <= latest,
       s"gdisk: table_changes upper bound $to exceeds latest version $latest")
     def readFiles(m: DiskManifest, files: Seq[String]) = {
-      val r = spark.read.schema(m.schema)
-      (if (m.hiveParts.isEmpty) r
-       else r.option("basePath", log.dataDir.toString))
+      // THAT version's physical names, re-labeled BY NAME to its logical
+      // schema (the reader appends partition columns at the end)
+      val r = spark.read.schema(m.physicalSchema)
+      val raw = (if (m.hiveParts.isEmpty) r
+                 else r.option("basePath", log.dataDir.toString))
         .parquet(files.map(log.absolute): _*)
+      if (m.physicalNames.forall(_.isEmpty)) raw
+      else raw.select(m.schema.fields.map(f =>
+        org.apache.spark.sql.functions.col(m.physicalOf(f.name)).as(f.name))
+          .toIndexedSeq: _*)
     }
     val perVersion = log.versions()
       .filter(v => v >= math.max(from, 1) && v <= to)
@@ -2363,11 +2458,17 @@ class GraftDiskTable(
     val sch = base.schema
     val conds = predicates.toSeq.map(p =>
       GraftDiskCatalog.v2PredToCatalyst(p, sch).getOrElse(return None))
-    val cond = conds.reduce(And)
+    // stats are keyed by PHYSICAL names — translate the condition once
+    val cond =
+      if (base.physicalNames.forall(_.isEmpty)) conds.reduce(And)
+      else conds.reduce(And).transform {
+        case a: AttributeReference => a.withName(base.physicalOf(a.name))
+      }
     val negated = GraftDiskCatalog.negateForStats(cond).getOrElse(return None)
     val refs = cond.references.toSeq.map(_.name)
+    val physSch = base.physicalSchema
     val dtOf = (n: String) =>
-      sch.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
+      physSch.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
     val hive = if (base.numBuckets.isEmpty) base.partCols else Nil
     val stats = base.stats
     val drop = Seq.newBuilder[String]
@@ -2422,106 +2523,120 @@ class GraftDiskTable(
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"gdisk: column $name already exists on $tableName")
         // metadata-only: old files lack the column and read as NULL; the
-        // DEFAULT (if any) applies to future INSERTs (lakehouse semantics)
+        // DEFAULT (if any) applies to future INSERTs (lakehouse semantics).
+        // If the LOGICAL name collides with a physical name still present
+        // in old files (a renamed-away or dropped column), the new column
+        // gets a FRESH physical name — otherwise old files' stale bytes
+        // would resurrect under the new column.
+        val taken = base.physicalSchema.fieldNames.map(_.toLowerCase).toSet ++
+          base.properties.get(GraftDiskCatalog.ReservedPhysicalProp)
+            .toSeq.flatMap(_.split(',')).map(_.trim.toLowerCase)
+        val mapping =
+          if (!taken.contains(name.toLowerCase)) base.physicalNames
+          else {
+            var candidate = s"${name}_c${base.version + 1}"
+            var n = 0
+            while (taken.contains(candidate.toLowerCase)) {
+              n += 1; candidate = s"${name}_c${base.version + 1}_$n"
+            }
+            Some(base.physicalNames.getOrElse(Map.empty) + (name -> candidate))
+          }
         val withCol = schema.add(StructField(name, add.dataType, add.isNullable))
         val defaults = Option(add.defaultValue()).map { d =>
           base.defaults + (name -> DiskDefault(d.getSql,
             CatalystLiteral(d.getValue.value(), d.getValue.dataType()).sql))
         }.getOrElse(base.defaults)
-        base.copy(schemaJson = withCol.json, defaults = defaults)
+        base.copy(schemaJson = withCol.json, defaults = defaults,
+          physicalNames = mapping)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1, "nested columns not supported")
         val name = del.fieldNames.head
         require(!base.partCols.exists(_.equalsIgnoreCase(name)),
           s"gdisk: cannot drop partition column $name")
         val i = schema.fieldIndex(name)
+        val phys = base.physicalOf(name)
         // a dropped column also leaves the bloom index declaration (its
         // sidecars become dead weight VACUUM eventually sweeps)
         val prunedBloom = base.properties.get(DiskBloom.ColumnsProp).map(_
           .split(',').map(_.trim)
           .filter(c => c.nonEmpty && !c.equalsIgnoreCase(name)).mkString(","))
-        val props = prunedBloom match {
+        val props0 = prunedBloom match {
           case Some("") => base.properties - DiskBloom.ColumnsProp
           case Some(v) => base.properties + (DiskBloom.ColumnsProp -> v)
           case None => base.properties
         }
+        // RESERVE the physical name: old files still carry its bytes, so
+        // a later ADD COLUMN spelling the same name must pick a fresh
+        // physical name or the dropped data would resurrect under it
+        val reserved = (props0.get(GraftDiskCatalog.ReservedPhysicalProp)
+          .toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+          :+ phys).distinct.mkString(",")
+        val props = props0 + (GraftDiskCatalog.ReservedPhysicalProp -> reserved)
         base.copy(
           schemaJson = StructType(schema.fields.patch(i, Nil, 1)).json,
           defaults = base.defaults - name, comments = base.comments - name,
           properties = props,
-          // strip the column's stats: a later ADD COLUMN reusing the name
-          // reads NULL from old files, which stale bounds would contradict
+          physicalNames = base.physicalNames.map(_ - name),
+          // strip the column's PHYSICAL stats entries
           fileStats = base.fileStats.map(_.map {
-            case (f, st) => f -> (st - name) }))
+            case (f, st) => f -> (st - phys) }))
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames.length == 1, "nested columns not supported")
-        // by-name parquet reads would lose the renamed column in old files:
-        // rewrite data files DISTRIBUTED (one projection pass, no driver rows)
+        // COLUMN MAPPING: a rename is ONE metadata commit at any table
+        // size. Data files keep the column's immutable PHYSICAL name;
+        // the manifest maps the new logical name onto it. Per-file stats
+        // and bloom sidecars are keyed by the physical name, so nothing
+        // on storage is touched — the 100 TB rename costs the same as
+        // the 100-row one. (Previously this rewrote every data file.)
         val old = rn.fieldNames.head
         require(!base.partCols.exists(_.equalsIgnoreCase(old)),
           s"gdisk: cannot rename partition column $old")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(rn.newName)),
+          s"gdisk: column ${rn.newName} already exists on $tableName")
+        val oldWord =
+          ("(?i)\\b" + java.util.regex.Pattern.quote(old) + "\\b").r
+        base.constraints
+          .filter(c => c.sql.exists(s => oldWord.findFirstIn(s).isDefined))
+          .foreach(c => throw new IllegalArgumentException(
+            s"gdisk: cannot rename $old — CHECK constraint ${c.name} " +
+              "references it by name; drop and recreate the constraint"))
         val i = schema.fieldIndex(old)
         val renamed = StructType(schema.fields.updated(i,
           schema.fields(i).copy(name = rn.newName)))
-        val rewritten =
-          if (base.files.isEmpty) Nil
-          else {
-            val out = new HPath(log.dataDir,
-              s"rename-${java.util.UUID.randomUUID}").toString
-            val df = readTable(log, base, base.files)
-              .withColumnRenamed(old, rn.newName)
-            // partitioned tables must keep their layout through the
-            // rewrite: hive dirs for identity partitions, recomputed
-            // `__bucket` dirs (same chained-murmur3 ids) for bucketed
-            base.numBuckets match {
-              case Some(n) =>
-                df.withColumn("__bucket",
-                  org.apache.spark.sql.functions.pmod(
-                    org.apache.spark.sql.functions.hash(
-                      base.partCols.map(col): _*), lit(n)))
-                  .write.partitionBy("__bucket").parquet(out)
-              case None =>
-                if (base.partCols.isEmpty) df.write.parquet(out)
-                else df.write.partitionBy(base.partCols: _*).parquet(out)
-            }
-            val fs = log.dataDir.getFileSystem(spark.sessionState.newHadoopConf())
-            val outPrefix = new HPath(out).toUri.getPath.stripSuffix("/")
-            val stamp = s"rn${java.util.UUID.randomUUID.toString.take(8)}"
-            val it = fs.listFiles(new HPath(out), true)
-            val movedB = Vector.newBuilder[String]
-            while (it.hasNext) {
-              val p = it.next().getPath
-              if (p.getName.endsWith(".parquet")) {
-                val rel = p.toUri.getPath.stripPrefix(outPrefix).stripPrefix("/")
-                val dst =
-                  if (rel.contains('/'))
-                    s"${rel.reverse.dropWhile(_ != '/').reverse}$stamp-${p.getName}"
-                  else s"$stamp-${p.getName}"
-                fs.mkdirs(new HPath(log.dataDir, dst).getParent)
-                fs.rename(p, new HPath(log.dataDir, dst))
-                movedB += dst
-              }
-            }
-            fs.delete(new HPath(out), true)
-            movedB.result()
-          }
+        val phys = base.physicalOf(old)
+        val newMap =
+          (base.physicalNames.getOrElse(Map.empty) - old) + (rn.newName -> phys)
+        def renameIn(cols: Seq[String]): Seq[String] =
+          cols.map(c => if (c.equalsIgnoreCase(old)) rn.newName else c)
+        def renameCsvProp(p: Map[String, String], key: String) =
+          p.get(key).fold(p)(v => p + (key -> v.split(',').map(_.trim)
+            .map(c => if (c.equalsIgnoreCase(old)) rn.newName else c)
+            .mkString(",")))
         base.copy(schemaJson = renamed.json,
-          files = rewritten, added = Nil,
+          added = Nil,
+          physicalNames = Some(newMap),
           defaults = (base.defaults - old) ++
             base.defaults.get(old).map(rn.newName -> _),
           comments = (base.comments - old) ++
             base.comments.get(old).map(rn.newName -> _),
-          fileStats = Some(statsFor(rewritten,
-            StructType(renamed.fields.filterNot(f =>
-              base.partCols.exists(_.equalsIgnoreCase(f.name)))))))
+          // key-constraint column lists follow the logical name (CHECK
+          // sql is guarded above; FKs FROM OTHER tables referencing this
+          // column keep their old spelling and fail loudly at their next
+          // enforcement — same contract as before)
+          constraints = base.constraints.map(c =>
+            c.copy(columns = renameIn(c.columns))),
+          analyzeStats = base.analyzeStats.map(m =>
+            (m - old) ++ m.get(old).map(rn.newName -> _)),
+          properties = renameCsvProp(
+            renameCsvProp(base.properties, DiskBloom.ColumnsProp), "zorder"))
       case ac: TableChange.AddConstraint =>
         val c = DiskConstraint.from(ac.constraint())
         require(!base.constraints.exists(_.name == c.name),
           s"gdisk: constraint ${c.name} already exists on $tableName")
-        // validate CHECK against existing data, distributed
+        // validate CHECK against existing data, distributed (readTable
+        // serves LOGICAL names, which the CHECK sql speaks)
         if (c.kind == "check" && base.files.nonEmpty) {
-          val bad = spark.read.schema(schema)
-            .parquet(base.files.map(log.absolute): _*)
+          val bad = readTable(log, base, base.files)
             .filter(!org.apache.spark.sql.functions.coalesce(
               org.apache.spark.sql.functions.expr(c.sql.get), lit(false)))
             .limit(1).count()
@@ -2575,8 +2690,9 @@ class GraftDiskScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit = {
     wantsFile = requiredSchema.fieldNames.contains(FileColumnName)
     required = requiredSchema
-    val forInner = StructType(requiredSchema.fields
-      .filterNot(_.name == FileColumnName))
+    // the inner parquet scan speaks PHYSICAL names end to end
+    val forInner = table.toPhysical(StructType(requiredSchema.fields
+      .filterNot(_.name == FileColumnName)))
     prunedForInner = Some(forInner)
     inner.pruneColumns(forInner)
   }
@@ -2584,16 +2700,20 @@ class GraftDiskScanBuilder(
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    val (fileFilters, dataFilters) = filters.partition(
+    val (fileFilters, logicalDataFilters) = filters.partition(
       _.references.exists(_.name == FileColumnName))
+    // everything below the manifest boundary — per-file stats keys, bloom
+    // sidecar names, the inner parquet scan — speaks PHYSICAL names
+    val dataFilters = logicalDataFilters.map(table.toPhysicalExpr)
     // manifest-level data skipping: drop files whose recorded min/max/
     // nullCount prove no row can satisfy the conjunction, BEFORE the
     // inner parquet scan lists/plans them. Files without stats always
     // survive; any filter shape the evaluator doesn't know survives.
     val stats = table.manifestStats
     if (dataFilters.nonEmpty && stats.nonEmpty) {
+      val physSchema = table.toPhysical(table.schema())
       val dtOf = (n: String) =>
-        table.schema().fields.find(_.name == n).map(_.dataType)
+        physSchema.fields.find(_.name == n).map(_.dataType)
       val kept = currentFiles.filter { f =>
         stats.get(f).forall(fileSt =>
           dataFilters.forall(e => DiskStats.mayMatch(fileSt, dtOf, e)))
@@ -2704,7 +2824,15 @@ class GraftDiskScanBuilder(
       }
     }
     pushedDataFilters = dataFilters
-    fileFilters ++ inner.pushFilters(dataFilters)
+    // residuals hand back to Spark, which resolves them against the
+    // LOGICAL relation output — translate physical forms back
+    val back = new java.util.IdentityHashMap[
+      org.apache.spark.sql.catalyst.expressions.Expression,
+      org.apache.spark.sql.catalyst.expressions.Expression]()
+    dataFilters.zip(logicalDataFilters).foreach { case (p, l) => back.put(p, l) }
+    val residual = inner.pushFilters(dataFilters).map(e =>
+      Option(back.get(e)).getOrElse(table.toLogicalExpr(e)))
+    fileFilters ++ residual
   }
 
   override def pushedFilters
@@ -2799,7 +2927,7 @@ class GraftDiskScanBuilder(
           }
           if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
         } else {
-          val per = fileMaps.map(_.get(f.name).flatMap(_.nulls))
+          val per = fileMaps.map(_.get(table.physicalOf(f.name)).flatMap(_.nulls))
           if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
         }
       // exact merged bound (Some(null) = provably all-null, None = refuse)
@@ -2819,13 +2947,14 @@ class GraftDiskScanBuilder(
             }
           }
         } else {
-          val (mn, mx, _) = DiskStats.mergedBounds(fileMaps, f.name, f.dataType)
+          val ph = table.physicalOf(f.name)
+          val (mn, mx, _) = DiskStats.mergedBounds(fileMaps, ph, f.dataType)
           val bound = if (wantMin) mn else mx
           bound.orElse {
             // no merged bound is exact only when every file is provably
             // all-null for the column
             val allNull = fileMaps.forall(m =>
-              m.get(f.name).exists(cs => cs.nulls.contains(cs.rows)))
+              m.get(ph).exists(cs => cs.nulls.contains(cs.rows)))
             if (files.isEmpty || allNull) Some(null) else None
           }
         }
@@ -2928,8 +3057,8 @@ class GraftDiskScanBuilder(
                   Some(cap(nonNull.length.toLong)), None, None))
               } else None
             } else if (allHave) {
-              val (mn, mx, nulls) =
-                DiskStats.mergedBounds(fileMaps, fld.name, fld.dataType)
+              val (mn, mx, nulls) = DiskStats.mergedBounds(
+                fileMaps, table.physicalOf(fld.name), fld.dataType)
               val ndv = a.map(s => cap(s.ndv))
               if (mn.isEmpty && nulls.isEmpty && ndv.isEmpty) None
               else Some(fld.name -> GdiskColStat(mn, mx, nulls, ndv,
@@ -2938,7 +3067,7 @@ class GraftDiskScanBuilder(
               Some(cap(s.ndv)), s.avgLen, s.maxLen))
           }.toMap
         }
-      val base = new GraftDiskScan(table, inner.build(), pruned,
+      val base = new GraftDiskScan(table, inner.build(), table.toPhysical(pruned),
         currentFiles.length, files.length, currentFiles, pushedDataFilters,
         exactRows, colStats, options)
       // storage-partitioned-join eligibility: identity-partitioned table,
@@ -3004,16 +3133,17 @@ class GdiskFileScan(
     files.toArray.flatMap { f =>
       val sb = table.innerTable(Seq(table.log.absolute(f)))
         .newScanBuilder(CaseInsensitiveStringMap.empty())
-      sb.pruneColumns(pruned)
+      sb.pruneColumns(table.toPhysical(pruned))
       val scan = sb.build()
       val b = scan.toBatch
       val factory = b.createReaderFactory()
       // the inner FileScan emits partition columns APPENDED after the data
       // columns, whatever order we requested — ship its ACTUAL schema so
-      // the row projection binds ordinals against reality
+      // the row projection binds ordinals against reality (re-labeled to
+      // LOGICAL names, which is what `required` binds by; positions hold)
       b.planInputPartitions()
-        .map(p => FileTagPartition(p, factory, f, scan.readSchema())
-          : InputPartition)
+        .map(p => FileTagPartition(p, factory, f,
+          table.toLogicalSchema(scan.readSchema())): InputPartition)
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -3135,7 +3265,7 @@ class GraftDiskStagedTable(
             new GraftDiskWriterFactory(info.schema(), staged.schema,
               log.dataDir.toString, inner.writeConfMap(), staged.partCols,
               staged.numBuckets, stagedBloomArgs._1, stagedBloomArgs._2,
-              stagedBloomArgs._3)
+              stagedBloomArgs._3, staged.physicalNames.getOrElse(Map.empty))
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             messages.foreach {
               case c: DiskFilesCommit => gathered.add(c)
@@ -3201,7 +3331,10 @@ class GraftDiskScan(
   @volatile private var inner: Scan = inner0
   @volatile private var dppInfo: String = ""
 
-  override def readSchema(): StructType = inner.readSchema()
+  // the inner scan speaks PHYSICAL names; Spark binds the relation's
+  // LOGICAL attributes against this schema (rows are positional)
+  override def readSchema(): StructType =
+    table.toLogicalSchema(inner.readSchema())
   // surface the inner scan's description — it carries the PushedFilters /
   // ReadSchema evidence plan audits (and humans) look for — plus the
   // manifest-stats skipping evidence (files planned / files in manifest)
@@ -3532,11 +3665,19 @@ class GraftDiskWriterFactory(
     dataDirUri: String, confMap: Map[String, String],
     partitionCols: Seq[String] = Nil,
     numBuckets: Option[Int] = None,
-    bloomCols: Seq[String] = Nil,
+    bloomCols: Seq[String] = Nil, // PHYSICAL names (sidecars are file-level)
     bloomItems: Long = 100000L,
-    bloomFpp: Double = 0.01)
+    bloomFpp: Double = 0.01,
+    // COLUMN MAPPING: logical -> physical; data files, footer-stat keys,
+    // and bloom sidecars are written under PHYSICAL names so a later
+    // RENAME COLUMN never has to touch them
+    physicalNames: Map[String, String] = Map.empty)
   extends DataWriterFactory
   with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  private def logicalOf(physical: String): String =
+    physicalNames.collectFirst { case (l, p) if p == physical => l }
+      .getOrElse(physical)
 
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -3551,11 +3692,15 @@ class GraftDiskWriterFactory(
     new DataWriter[InternalRow] {
       // identity partition columns live in the dir path; data files hold
       // the rest (bucket columns stay IN the files — `__bucket=<id>/`
-      // dirs are grouping only)
-      private val dataSchema = StructType(
-        if (numBuckets.isDefined) tableSchema.fields
-        else tableSchema.fields
-          .filterNot(f => partitionCols.exists(_.equalsIgnoreCase(f.name))))
+      // dirs are grouping only). File columns are written under their
+      // PHYSICAL names; the incoming writeSchema speaks logical.
+      private val dataFieldsLogical =
+        (if (numBuckets.isDefined) tableSchema.fields
+         else tableSchema.fields
+           .filterNot(f => partitionCols.exists(_.equalsIgnoreCase(f.name))))
+          .toSeq
+      private val dataSchema = StructType(dataFieldsLogical.map(f =>
+        f.copy(name = physicalNames.getOrElse(f.name, f.name))))
       private val conf = {
         val c = new Configuration(false)
         confMap.foreach { case (k, v) => c.set(k, v) }
@@ -3566,10 +3711,11 @@ class GraftDiskWriterFactory(
         val ep = if (epochId >= 0) s"-e$epochId" else ""
         s"part-$partitionId-$taskId$ep-${java.util.UUID.randomUUID}.parquet"
       }
-      private val proj = UnsafeProjection.create(dataSchema.fields.map { f =>
+      private val proj = UnsafeProjection.create(dataFieldsLogical.map { f =>
         val i = writeSchema.fieldIndex(f.name)
         BoundReference(i, writeSchema(i).dataType, writeSchema(i).nullable)
-      }.toSeq)
+          : org.apache.spark.sql.catalyst.expressions.Expression
+      })
       private val partAccess = partitionCols.map { c =>
         val i = writeSchema.fieldIndex(
           writeSchema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(c))
@@ -3577,10 +3723,13 @@ class GraftDiskWriterFactory(
       }
       // bloom-indexed columns: fed per ROW as it is written (zero extra
       // I/O); one filter per (open file, column), sidecars persisted at
-      // task commit by the task that owns the files
+      // task commit by the task that owns the files. `bloomCols` carries
+      // PHYSICAL names (sidecar naming); row access binds via the LOGICAL
+      // name the incoming writeSchema speaks.
       private val bloomAccess = bloomCols.map { c =>
+        val lg = logicalOf(c)
         val i = writeSchema.fieldIndex(
-          writeSchema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(c))
+          writeSchema.fieldNames.find(_.equalsIgnoreCase(lg)).getOrElse(lg))
         (c, i, writeSchema(i).dataType)
       }
       // open file per partition dir ("" for unpartitioned tables)

@@ -211,6 +211,54 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(spark.table("gdspec.lake.al").count() == 3)
   }
 
+  test("RENAME COLUMN is metadata-only: column mapping, zero data files touched") {
+    spark.sql("CREATE TABLE gdspec.lake.cm (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('bloom.columns'='v', 'bloom.expectedItems'='100')")
+    spark.sql("INSERT INTO gdspec.lake.cm VALUES (1, 10), (2, 20)")
+    spark.sql("INSERT INTO gdspec.lake.cm VALUES (3, 30)")
+    def t = graft.sources.GraftDiskCatalog.instance("gdspec").get
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("lake"), "cm")).asInstanceOf[GraftDiskTable]
+    val before = t.log.latest()
+    spark.sql("ALTER TABLE gdspec.lake.cm RENAME COLUMN v TO val")
+    val after = t.log.latest()
+    // THE claim: a rename at 100 TB costs one manifest commit
+    assert(after.files == before.files, "no data file may be touched")
+    assert(after.physicalOf("val") == "v")
+    assert(after.properties("bloom.columns") == "val")
+    // stats keys stay physical — skipping still proves with the mapping
+    assert(after.stats.values.forall(_.contains("v")))
+    // reads, filters, manifest aggregates, and writes under the new name
+    assert(spark.sql("SELECT sum(val) FROM gdspec.lake.cm").head().getLong(0) == 60)
+    assert(spark.sql("SELECT id FROM gdspec.lake.cm WHERE val = 20")
+      .head().getLong(0) == 2)
+    assert(spark.sql("SELECT max(val) FROM gdspec.lake.cm").head().getLong(0) == 30)
+    spark.sql("INSERT INTO gdspec.lake.cm VALUES (4, 40)")
+    spark.sql("UPDATE gdspec.lake.cm SET val = 99 WHERE id = 1")
+    assert(spark.sql("SELECT sum(val) FROM gdspec.lake.cm").head().getLong(0) == 189)
+    // post-rename files still write the PHYSICAL name, so the whole
+    // table stays uniformly keyed
+    assert(t.log.latest().stats.values.forall(_.contains("v")))
+    // time travel BEFORE the rename serves the old logical name
+    assert(spark.sql("SELECT sum(v) FROM gdspec.lake.cm VERSION AS OF 2")
+      .head().getLong(0) == 60)
+    // OPTIMIZE keeps physical names (and rebuilds blooms) — reads hold
+    new GraftSession(spark).sql("OPTIMIZE gdspec.lake.cm TARGET 134217728 BYTES")
+    assert(spark.sql("SELECT sum(val) FROM gdspec.lake.cm").head().getLong(0) == 189)
+    // drop-then-re-add under the freed name: the dropped column's bytes
+    // (physical 'v') must NOT resurrect under the new logical 'v'
+    spark.sql("ALTER TABLE gdspec.lake.cm DROP COLUMN val")
+    spark.sql("ALTER TABLE gdspec.lake.cm ADD COLUMN v BIGINT")
+    val vRows = spark.sql("SELECT v FROM gdspec.lake.cm").collect()
+    assert(vRows.length == 4 && vRows.forall(_.isNullAt(0)),
+      "dropped column bytes resurrected under a re-added name")
+    // a CHECK referencing the old name blocks the rename with guidance
+    spark.sql("ALTER TABLE gdspec.lake.cm ADD CONSTRAINT idpos CHECK (id > 0)")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gdspec.lake.cm RENAME COLUMN id TO ident"))
+    assert(e.getMessage.contains("idpos"), e.getMessage)
+  }
+
   test("ADD CONSTRAINT validates existing rows distributed") {
     spark.sql("CREATE TABLE gdspec.lake.acv (id BIGINT, v BIGINT)")
     spark.sql("INSERT INTO gdspec.lake.acv VALUES (1, -5)")
