@@ -105,23 +105,28 @@ final class GraftSession(
     }.mkString("'")
   }
 
-  /** `OPTIMIZE <catalog>.<ns>.<table> [ZORDER BY (c1, c2, ...)]
-    * [TARGET n BYTES]` — bin-pack a gdisk table's data files (the
-    * maintenance companion of its streaming sink, which lands one small
-    * file per epoch per partition); with ZORDER BY, cluster the rewrite
-    * on the Morton interleave of the named columns so per-file manifest
-    * stats get tight on all of them (Delta's `OPTIMIZE ... ZORDER BY`
-    * surface). One distributed rewrite pass; returns
-    * (table, files_before, files_after). */
+  /** `OPTIMIZE <catalog>.<ns>.<table> [WHERE <partition predicate>]
+    * [ZORDER BY (c1, c2, ...)] [TARGET n BYTES]` — bin-pack a gdisk
+    * table's data files (the maintenance companion of its streaming
+    * sink, which lands one small file per epoch per partition); with
+    * ZORDER BY, cluster the rewrite on the Morton interleave of the
+    * named columns so per-file manifest stats get tight on all of them
+    * (Delta's `OPTIMIZE ... ZORDER BY` surface). WHERE scopes the run to
+    * the matching identity-partition dirs — evaluated driver-side over
+    * parsed dir values, zero file I/O — so the 100 TB standing job
+    * compacts yesterday's partition, never the table. One distributed
+    * rewrite pass; returns (table, files_before, files_after). */
   private def optimizeTable(q: String): DataFrame = {
     val m = ("""(?is)OPTIMIZE\s+([A-Za-z_][\w.]*)""" +
+      """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?""" +
-      """(?:\s+TARGET\s+(\d+)\s+BYTES)?\s*""").r
+      """(?:\s+TARGET\s+(\d+)\s+BYTES)?\s*$""").r
       .findFirstMatchIn(q).getOrElse(sys.error(s"cannot parse OPTIMIZE: $q"))
     val parts = m.group(1).split('.')
-    val zorder = Option(m.group(2)).toSeq
+    val whereSql = Option(m.group(2)).map(_.trim).filter(_.nonEmpty)
+    val zorder = Option(m.group(3)).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    val target = Option(m.group(3)).map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val target = Option(m.group(4)).map(_.toLong).getOrElse(128L * 1024 * 1024)
     require(parts.length >= 3,
       "OPTIMIZE targets a catalog table: OPTIMIZE <catalog>.<namespace>.<table>")
     val cat = graft.sources.GraftDiskCatalog.instance(parts.head).getOrElse(
@@ -130,7 +135,7 @@ final class GraftSession(
     val ident = org.apache.spark.sql.connector.catalog.Identifier
       .of(parts.tail.init, parts.last)
     val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftDiskTable]
-    val (before, after) = t.optimize(target, zorder)
+    val (before, after) = t.optimize(target, zorder, whereSql)
     import spark.implicits._
     Seq((m.group(1), before.toLong, after.toLong))
       .toDF("table_name", "files_before", "files_after")
@@ -275,30 +280,42 @@ final class GraftSession(
       .toDF("column_name", "ndv", "avg_len", "max_len")
   }
 
-  /** `VACUUM <catalog>.<ns>.<table> [RETAIN n VERSIONS]` — explicit
-    * retention compaction for a gmem table: keeps the newest `n` commit
+  /** `VACUUM <catalog>.<ns>.<table> [RETAIN n VERSIONS | RETAIN n HOURS]`
+    * — explicit retention compaction. gmem: keeps the newest `n` commit
     * snapshots (default 1) and drops the streaming append log (fresh
     * streams start at the new base; see
     * [[graft.sources.GraftMemCatalog.DefaultRetainVersions]] for the
-    * automatic retention that runs on every commit). */
+    * automatic retention that runs on every commit). gdisk: also accepts
+    * the time-based form — every version committed within the last `n`
+    * hours survives (commit stamps are monotonic, so it reduces to a
+    * count-based vacuum of the newest k). */
   private def vacuumTable(q: String): DataFrame = {
-    val m = """(?is)VACUUM\s+([A-Za-z_][\w.]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*""".r
+    val m = ("""(?is)VACUUM\s+([A-Za-z_][\w.]*)""" +
+      """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS?|HOURS?))?\s*""").r
       .findFirstMatchIn(q).getOrElse(sys.error(s"cannot parse VACUUM: $q"))
     val parts = m.group(1).split('.')
-    val retain = Option(m.group(2)).map(_.toInt).getOrElse(1)
+    val n = Option(m.group(2)).map(_.toInt).getOrElse(1)
+    val hours = Option(m.group(3))
+      .exists(_.toUpperCase(Locale.ROOT).startsWith("HOUR"))
+    val retain = if (hours) 1 else n
     require(parts.length >= 3,
       "VACUUM targets a catalog table: VACUUM <catalog>.<namespace>.<table>")
     val ident = org.apache.spark.sql.connector.catalog.Identifier
       .of(parts.tail.init, parts.last)
     val retained: Long = graft.sources.GraftMemCatalog.instance(parts.head) match {
       case Some(cat) =>
+        require(!hours,
+          "VACUUM ... RETAIN n HOURS applies to gdisk tables (gmem " +
+            "snapshots retain by count: RETAIN n VERSIONS)")
         val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftMemTable]
         t.vacuum(retain)
         t.retainedHistoryCount.toLong
       case None => graft.sources.GraftDiskCatalog.instance(parts.head) match {
         case Some(cat) =>
           val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftDiskTable]
-          t.log.vacuum(retain)
+          if (hours)
+            t.log.vacuumOlderThan(System.currentTimeMillis() - n * 3600000L)
+          else t.log.vacuum(retain)
           t.log.versions().length.toLong
         case None => sys.error(
           s"VACUUM: '${parts.head}' is not a registered gmem/gdisk catalog " +

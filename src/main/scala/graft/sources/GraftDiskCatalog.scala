@@ -1262,6 +1262,16 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
     }
   }
 
+  /** Time-based retention (`VACUUM ... RETAIN n HOURS`): keep every
+    * version committed at or after `cutoffMs` (always at least the
+    * newest). Commit stamps are monotonic per table, so this reduces to
+    * a count-based vacuum of the newest k. */
+  def vacuumOlderThan(cutoffMs: Long): Unit = {
+    val vs = versions()
+    val k = vs.count(v => read(v).committedAtMs.exists(_ >= cutoffMs))
+    vacuum(math.max(1, k))
+  }
+
   def absolute(fileName: String): String =
     new HPath(dataDir, fileName).toString
 }
@@ -2084,7 +2094,8 @@ class GraftDiskTable(
     * makes manifest-level skipping bite on multi-column predicates. */
   private[graft] def optimize(
       targetFileBytes: Long = 128L * 1024 * 1024,
-      zorderByArg: Seq[String] = Nil): (Int, Int) = synchronized {
+      zorderByArg: Seq[String] = Nil,
+      whereSql: Option[String] = None): (Int, Int) = synchronized {
     require(pinned.isEmpty,
       s"gdisk: $tableName is a VERSION AS OF snapshot — snapshots are read-only")
     val base = log.latest()
@@ -2096,6 +2107,61 @@ class GraftDiskTable(
       else base.properties.get("zorder").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     if (base.files.isEmpty) return (0, 0)
+    // PARTITION-SCOPED maintenance: `OPTIMIZE t WHERE <partition pred>`
+    // compacts (or re-clusters) ONLY the matching partition dirs — at
+    // 100 TB the standing job targets yesterday's partition, never the
+    // table. The predicate is evaluated driver-side against each dir's
+    // parsed partition values (metadata only, zero file I/O); it may
+    // reference identity partition columns only.
+    val scopeDirs: Option[Set[String]] = whereSql.map { w =>
+      require(base.hiveParts.nonEmpty,
+        "gdisk: OPTIMIZE ... WHERE needs an identity-partitioned table " +
+          "(the predicate scopes partition dirs)")
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference => AR, BindReferences, BinaryComparison, Cast => CCast, EvalMode, In => CIn, Literal => CLit}
+      val partFields = base.partCols.map(c =>
+        base.schema.fields.find(_.name.equalsIgnoreCase(c)).get)
+      val attrs = partFields.map(f =>
+        AR(f.name, f.dataType, nullable = true)())
+      val resolved = spark.sessionState.sqlParser.parseExpression(w)
+        .transformUp {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            attrs.find(_.name.equalsIgnoreCase(u.name)).getOrElse(sys.error(
+              s"gdisk: OPTIMIZE WHERE may reference only partition columns " +
+                s"(${base.partCols.mkString(", ")}), not '${u.name}'"))
+        }
+      // minimal literal coercion — a '2026-01-01' string against a DATE
+      // partition column, an int against BIGINT
+      val coerced = resolved.transformUp {
+        case cmp: BinaryComparison =>
+          (cmp.left, cmp.right) match {
+            case (a: AR, l: CLit) if l.dataType != a.dataType =>
+              cmp.withNewChildren(Seq(a,
+                CCast(l, a.dataType, None, EvalMode.LEGACY)))
+            case (l: CLit, a: AR) if l.dataType != a.dataType =>
+              cmp.withNewChildren(Seq(
+                CCast(l, a.dataType, None, EvalMode.LEGACY), a))
+            case _ => cmp
+          }
+        case in @ CIn(a: AR, elems) if elems.forall(_.isInstanceOf[CLit]) =>
+          CIn(a, elems.map {
+            case l: CLit if l.dataType != a.dataType =>
+              CCast(l, a.dataType, None, EvalMode.LEGACY)
+            case l => l
+          })
+      }
+      val bound = BindReferences.bindReference(coerced,
+        org.apache.spark.sql.catalyst.expressions.AttributeSeq(attrs))
+      def dirOf(f: String) = f.split('/').init.mkString("/")
+      base.files.map(dirOf).distinct.filter { d =>
+        val probe = d + "/x.parquet"
+        val vals = base.partCols.map(c =>
+          GraftDiskCatalog.dirValue(this, probe, c).orNull)
+        bound.eval(new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(vals.toArray)) == true
+      }.toSet
+    }
+    def inScope(f: String): Boolean =
+      scopeDirs.forall(_.contains(f.split('/').init.mkString("/")))
     val fs = log.dataDir.getFileSystem(spark.sessionState.newHadoopConf())
     // sidecar BACKFILL for files missing their bloom filters (CONVERT-
     // adopted, written pre-declaration): runs even when compaction is a
@@ -2125,10 +2191,17 @@ class GraftDiskTable(
     // nature and still rewrites everything it's asked to cluster.
     val sizes = base.files.map(f =>
       f -> fs.getFileStatus(new HPath(log.dataDir, f)).getLen).toMap
+    // WHERE-scoped runs leave out-of-scope files byte-for-byte alone;
+    // ZORDER BY under a scope clusters WITHIN the matching partitions
+    val scoped = base.files.filter(inScope)
+    val outOfScope = base.files.filterNot(inScope)
     val (rewrite, keep) =
-      if (zorderBy.nonEmpty) (base.files, Seq.empty[String])
-      else base.files.partition(f => sizes(f) < targetFileBytes)
-    if (zorderBy.isEmpty && rewrite.length <= 1) {
+      if (zorderBy.nonEmpty) (scoped, outOfScope)
+      else {
+        val (rw, kp) = scoped.partition(f => sizes(f) < targetFileBytes)
+        (rw, kp ++ outOfScope)
+      }
+    if (rewrite.isEmpty || (zorderBy.isEmpty && rewrite.length <= 1)) {
       backfillBlooms(base.files)
       return (base.files.length, base.files.length)
     }

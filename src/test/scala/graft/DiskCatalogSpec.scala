@@ -381,6 +381,40 @@ class DiskCatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 100L)
   }
 
+  test("OPTIMIZE WHERE compacts only the matching partitions; VACUUM RETAIN HOURS") {
+    spark.sql("CREATE TABLE gdspec.lake.ow (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    for (i <- 0 until 4)
+      spark.sql("INSERT INTO gdspec.lake.ow SELECT id, " +
+        s"CASE WHEN id % 2 = 0 THEN 'de' ELSE 'fr' END FROM range(${i * 10}, ${i * 10 + 10})")
+    def t = graft.sources.GraftDiskCatalog.instance("gdspec").get
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("lake"), "ow")).asInstanceOf[GraftDiskTable]
+    val before = t.log.latest().files
+    val frBefore = before.filter(_.startsWith("lang=fr/")).toSet
+    assert(before.count(_.startsWith("lang=de/")) == 4)
+    val g = new GraftSession(spark)
+    g.sql("OPTIMIZE gdspec.lake.ow WHERE lang = 'de' TARGET 134217728 BYTES")
+    val after = t.log.latest().files
+    // de compacted to one file; fr files byte-for-byte untouched
+    assert(after.count(_.startsWith("lang=de/")) == 1, after.mkString(","))
+    assert(after.filter(_.startsWith("lang=fr/")).toSet == frBefore)
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.ow WHERE lang = 'de'")
+      .head().getLong(0) == 20L)
+    assert(spark.table("gdspec.lake.ow").count() == 40L)
+    // predicate on a non-partition column refuses with guidance
+    val e = intercept[Exception](
+      g.sql("OPTIMIZE gdspec.lake.ow WHERE id > 5"))
+    assert(e.getMessage.contains("partition columns"), e.getMessage)
+    // time-based retention: everything is seconds old, so RETAIN 1 HOURS
+    // keeps all versions; RETAIN 0 HOURS collapses to the newest
+    g.sql("VACUUM gdspec.lake.ow RETAIN 1 HOURS")
+    assert(t.log.versions().length >= 5)
+    g.sql("VACUUM gdspec.lake.ow RETAIN 0 HOURS")
+    assert(t.log.versions().length == 1)
+    assert(spark.table("gdspec.lake.ow").count() == 40L)
+  }
+
   test("OPTIMIZE bin-packs small files; data and old versions intact") {
     spark.sql("CREATE TABLE gdspec.lake.opt (id BIGINT)")
     for (i <- 0 until 6)
