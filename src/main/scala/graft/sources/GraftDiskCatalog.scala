@@ -1342,7 +1342,10 @@ class GraftDiskTable(
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      // MERGE ... WITH SCHEMA EVOLUTION: source-only columns become
+      // metadata-only ADD COLUMNs (Spark drives it through alterTable)
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   private def spark: SparkSession = SparkSession.active
 

@@ -539,7 +539,10 @@ class GraftMemTable(
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      // MERGE ... WITH SCHEMA EVOLUTION: source-only columns become
+      // ADD COLUMNs (Spark drives it through alterTable)
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   private[sources] def currentRows: Vector[InternalRow] = synchronized(rows)
   private[sources] def logSize: Long = synchronized(logBase + log.length)

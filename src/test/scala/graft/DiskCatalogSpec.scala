@@ -415,6 +415,28 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(spark.table("gdspec.lake.ow").count() == 40L)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns as a metadata change") {
+    spark.sql("CREATE TABLE gdspec.lake.mse (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.mse VALUES (1, 10), (2, 20)")
+    import spark.implicits._
+    Seq((2L, 25L, "note2"), (3L, 30L, "note3"))
+      .toDF("id", "v", "note").createOrReplaceTempView("mse_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gdspec.lake.mse t
+      USING mse_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val rows = spark.sql(
+      "SELECT id, v, note FROM gdspec.lake.mse ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSeq
+    assert(rows == Seq((1L, 10L, None), (2L, 25L, Some("note2")),
+      (3L, 30L, Some("note3"))))
+    // the evolved column is a metadata ADD COLUMN: file rows written
+    // before it read as NULL, and the new column accepts later DML
+    spark.sql("UPDATE gdspec.lake.mse SET note = 'n1' WHERE id = 1")
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.mse WHERE note IS NOT NULL")
+      .head().getLong(0) == 3L)
+  }
+
   test("OPTIMIZE bin-packs small files; data and old versions intact") {
     spark.sql("CREATE TABLE gdspec.lake.opt (id BIGINT)")
     for (i <- 0 until 6)

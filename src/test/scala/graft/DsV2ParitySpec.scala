@@ -81,6 +81,24 @@ class DsV2ParitySpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "B"), (3L, "C")))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns on gmem too") {
+    spark.sql("DROP TABLE IF EXISTS gmem.par.mse")
+    spark.sql("CREATE TABLE gmem.par.mse (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gmem.par.mse VALUES (1, 'a'), (2, 'b')")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gmem.par.mse t
+      USING (SELECT CAST(k AS BIGINT) AS k, v, score FROM VALUES
+        (2, 'B', 20L), (3, 'C', 30L) AS s(k, v, score)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val rows = spark.sql("SELECT k, v, score FROM gmem.par.mse ORDER BY k")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "B", Some(20L)),
+      (3L, "C", Some(30L))))
+  }
+
   test("UPDATE and DELETE execute through the row-level operation") {
     spark.sql("DROP TABLE IF EXISTS gmem.par.ud")
     spark.sql("CREATE TABLE gmem.par.ud (k BIGINT, v BIGINT)")
