@@ -1137,6 +1137,49 @@ object DdlDml extends QueryModule {
             (o_totalprice * 2) +
               CASE WHEN (-o_orderkey) % 10 = 0 THEN 1 ELSE 0 END AS price
           FROM orders WHERE o_orderpriority = '1-URGENT')
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- MERGE WITH SCHEMA EVOLUTION under the oracle gate: the source
+    // carries a column the target lacks; Spark lands it through the
+    // catalog's metadata-only ADD COLUMN (old rows read NULL), the MERGE
+    // itself is the usual file-granular COW, and DuckDB recomputes the
+    // evolved final state directly. ----
+    QueryDef(
+      "ddl_v2_disk_merge_evolution",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.mevo")
+        s.sql("""CREATE TABLE gdisk.verify.mevo (
+          o_orderkey BIGINT, o_totalprice DOUBLE)""")
+        s.sql("INSERT INTO gdisk.verify.mevo SELECT o_orderkey, " +
+          "o_totalprice FROM orders WHERE o_orderkey % 3 <> 0")
+        s.sql("""MERGE WITH SCHEMA EVOLUTION INTO gdisk.verify.mevo t
+          USING (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+                   o_orderpriority
+                 FROM orders WHERE o_orderkey % 2 = 0) s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        s.sql("""SELECT o_orderpriority, count(*) AS cnt,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM gdisk.verify.mevo
+          GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM (
+          SELECT CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END
+              AS o_orderpriority,
+            CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+                 ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST"""))
   )
 }
