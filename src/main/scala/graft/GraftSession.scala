@@ -411,6 +411,12 @@ final class GraftSession(
         'graft.mv.src' = '${esc(src)}',
         'graft.mv.keys' = '${esc(keys.mkString(","))}',
         'graft.mv.value' = '${esc(valueExpr)}')""")
+    // marker file: the auto-rewrite rule discovers MVs from the
+    // O(#MVs) marker dir, never by sweeping the catalog's tables
+    val mvParts = mv.split('.')
+    graft.sources.GraftDiskCatalog.instance(mvParts.head).foreach(
+      _.writeMvMarker(org.apache.spark.sql.connector.catalog.Identifier
+        .of(mvParts.tail.init, mvParts.last)))
     graft.plans.MvRewrite.invalidate() // discoverable by auto-rewrite now
     import spark.implicits._
     Seq((mv, src)).toDF("mv_name", "source_table")

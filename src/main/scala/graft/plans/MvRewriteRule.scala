@@ -226,20 +226,23 @@ object MvRewrite {
     }
   }
 
+  /** Discovery reads the `_graft_mv/` marker dir — one listing + one
+    * loadTable per REGISTERED MV (O(#MVs)), never a manifest sweep of
+    * every table in the catalog. A stale marker (MV dropped) is swept
+    * best-effort and skipped. */
   private def scanCatalogs(): Seq[MvDef] =
     GraftDiskCatalog.allInstances.flatMap { case (catName, cat) =>
       Try {
-        cat.listNamespaces().toSeq.flatMap { ns =>
-          cat.listTables(ns).toSeq.flatMap { id =>
-            Try(cat.loadTable(id)).toOption.toSeq.collect {
-              case t: GraftDiskTable
-                  if t.properties().containsKey("graft.mv.src") =>
-                val p = t.properties()
-                MvDef(catName, id.namespace.toSeq, id.name,
-                  p.get("graft.mv.src"),
-                  p.get("graft.mv.keys").split(',').map(_.trim).toSeq,
-                  p.get("graft.mv.value"))
-            }
+        cat.listMvIdents().flatMap { id =>
+          Try(cat.loadTable(id)).toOption match {
+            case Some(t: GraftDiskTable)
+                if t.properties().containsKey("graft.mv.src") =>
+              val p = t.properties()
+              Some(MvDef(catName, id.namespace.toSeq, id.name,
+                p.get("graft.mv.src"),
+                p.get("graft.mv.keys").split(',').map(_.trim).toSeq,
+                p.get("graft.mv.value")))
+            case _ => cat.dropMvMarker(id); None
           }
         }
       }.getOrElse(Nil)

@@ -99,6 +99,46 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
   private def hadoopConf(): Configuration =
     SparkSession.active.sessionState.newHadoopConf()
 
+  // ---- MV marker registry: CREATE MATERIALIZED VIEW drops one file per
+  // MV under `<warehouse>/_graft_mv/`, so the auto-rewrite rule's
+  // discovery is one directory listing of O(#MVs) — NEVER a loadTable
+  // sweep of every table in the catalog (a bench session accumulates
+  // dozens; manifest-reading them all per discovery tick dominated the
+  // optimizer). The marker holds the MV identifier; the definition stays
+  // in the MV's own manifest (cross-session, no driver registry).
+  private def mvMarkerDir = new HPath(warehouse, "_graft_mv")
+  private[graft] def writeMvMarker(ident: Identifier): Unit = {
+    val fs = fileSystem(warehouse)
+    fs.mkdirs(mvMarkerDir)
+    val name = java.net.URLEncoder.encode(
+      (ident.namespace :+ ident.name).mkString("."), "UTF-8")
+    val out = fs.create(new HPath(mvMarkerDir, name), true)
+    try out.write((ident.namespace :+ ident.name).mkString("\u0001")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+  private[graft] def listMvIdents(): Seq[Identifier] = {
+    val fs = fileSystem(warehouse)
+    if (!fs.exists(mvMarkerDir)) return Nil
+    fs.listStatus(mvMarkerDir).toSeq.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val parts =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).split('\u0001')
+        finally in.close()
+      if (parts.length >= 2)
+        Some(Identifier.of(parts.init, parts.last))
+      else None
+    }
+  }
+  /** Best-effort sweep of a stale marker (its MV table was dropped). */
+  private[graft] def dropMvMarker(ident: Identifier): Unit = {
+    val name = java.net.URLEncoder.encode(
+      (ident.namespace :+ ident.name).mkString("."), "UTF-8")
+    try fileSystem(warehouse).delete(new HPath(mvMarkerDir, name), false)
+    catch { case _: Exception => () }
+  }
+
   private def nsDir(namespace: Seq[String]): HPath = {
     require(namespace.forall(n => !n.contains('/') && !n.contains('.')),
       s"gdisk: namespace segments must be plain names: ${namespace.mkString(".")}")
@@ -1286,16 +1326,22 @@ object DiskCommitLog {
 
   /** Resolved-manifest memo keyed by (table path, version). Committed
     * records are IMMUTABLE (VACUUM deletes, never rewrites), so entries
-    * can never go stale; the bound just caps driver heap. */
-  private val ManifestCacheMax = 256
-  private val manifests = TrieMap.empty[(String, Long), DiskManifest]
+    * can never go stale; true LRU eviction keeps hot delta chains
+    * resident (a clear-all here forced whole-chain re-reads on every
+    * overflow, which showed up as optimizer-time metadata stalls). */
+  private val ManifestCacheMax = 1024
+  private val manifests = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long), DiskManifest](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), DiskManifest]): Boolean =
+        size() > ManifestCacheMax
+    })
   private[sources] def cachedManifest(
-      key: String, v: Long): Option[DiskManifest] = manifests.get((key, v))
+      key: String, v: Long): Option[DiskManifest] =
+    Option(manifests.get((key, v)))
   private[sources] def cacheManifest(
-      key: String, v: Long, m: DiskManifest): Unit = {
-    if (manifests.size >= ManifestCacheMax) manifests.clear()
-    manifests.update((key, v), m)
-  }
+      key: String, v: Long, m: DiskManifest): Unit =
+    manifests.put((key, v), m)
 }
 
 /** One parquet-backed table (possibly pinned to a `VERSION AS OF`
