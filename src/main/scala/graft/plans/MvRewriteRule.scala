@@ -54,7 +54,11 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (spark.conf.get("spark.graft.mv.autoRewrite", "true") != "true") return plan
-    plan.transformUp {
+    // tree-pattern pruning: subtrees without an Aggregate are never
+    // traversed, so the rule costs ~nothing on the vast majority of
+    // plans (it sits in the operator-optimization FIXPOINT batch)
+    plan.transformUpWithPruning(
+      _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.AGGREGATE)) {
       case agg @ Aggregate(groupings, aggExprs, child, _) =>
         tryRewrite(groupings, aggExprs, child).getOrElse(agg)
     }

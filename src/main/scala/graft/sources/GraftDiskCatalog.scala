@@ -2279,9 +2279,10 @@ class GraftDiskTable(
       }
     val writeParts = if (base.numBuckets.isDefined) Seq("__bucket") else parts
     // files carry PHYSICAL column names (partition/bucket helpers are
-    // never mapped, so this is identity for them)
+    // never mapped, so this is identity — and a no-op — for them)
     def phys(d: org.apache.spark.sql.DataFrame) =
-      d.toDF(d.columns.map(c => base.physicalOf(c)).toIndexedSeq: _*)
+      if (base.physicalNames.forall(_.isEmpty)) d
+      else d.toDF(d.columns.map(c => base.physicalOf(c)).toIndexedSeq: _*)
     if (zorderBy.nonEmpty) {
       val zdf = phys(bucketize(zorderedFrame(df, base, zorderBy, nOut)).drop("__z"))
       if (writeParts.isEmpty) zdf.write.parquet(out)
