@@ -1180,6 +1180,55 @@ object DdlDml extends QueryModule {
             CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
                  ELSE o_totalprice END AS o_totalprice
           FROM orders WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0)
-        GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""")),
+
+    // ---- Partition-scoped OPTIMIZE under the oracle gate: the WHERE
+    // form is REQUIRED to leave out-of-scope partitions' files
+    // byte-for-byte alone (in-query file-set proof) while the scoped
+    // partition compacts; DuckDB recomputes the data directly, proving
+    // the maintenance pass is invisible in results. ----
+    QueryDef(
+      "ddl_v2_disk_optimize_where",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.ows")
+        s.sql("""CREATE TABLE gdisk.verify.ows (
+          o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+          PARTITIONED BY (o_orderpriority)""")
+        // several small files per partition (one insert per key-slice)
+        (0 until 3).foreach(i =>
+          s.sql("INSERT INTO gdisk.verify.ows SELECT o_orderkey, " +
+            "o_totalprice, o_orderpriority FROM orders " +
+            s"WHERE o_orderkey % 3 = $i"))
+        def tbl = graft.sources.GraftDiskCatalog.instance("gdisk").get
+          .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array("verify"), "ows"))
+          .asInstanceOf[graft.sources.GraftDiskTable]
+        val outBefore = tbl.liveFiles
+          .filterNot(_.startsWith("o_orderpriority=1-URGENT/")).toSet
+        new GraftSession(s).sql("OPTIMIZE gdisk.verify.ows " +
+          "WHERE o_orderpriority = '1-URGENT' TARGET 134217728 BYTES")
+        val after = tbl.liveFiles
+        require(after.filterNot(
+          _.startsWith("o_orderpriority=1-URGENT/")).toSet == outBefore,
+          "OPTIMIZE WHERE must leave out-of-scope partitions untouched")
+        require(after.count(_.startsWith("o_orderpriority=1-URGENT/")) == 1,
+          "the scoped partition must compact to one file")
+        s.sql("""SELECT o_orderpriority, count(*) AS cnt,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM gdisk.verify.ows
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
