@@ -1229,6 +1229,57 @@ object DdlDml extends QueryModule {
       Some("""SELECT o_orderpriority, count(*) AS cnt,
           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- TEMPORAL PARTITION TRANSFORMS under the oracle gate: Iceberg's
+    // days(ts) layout — writers derive `ts_day=YYYY-MM-DD/` dirs from the
+    // timestamp (every column stays IN the files; the transform is
+    // lossy), RANGE predicates on the raw timestamp prune whole day dirs
+    // driver-side (monotonic transform, in-plan statsFiles proof), and a
+    // retention DELETE of the oldest week is REQUIRED to execute as one
+    // metadata-only manifest commit (day dirs bound every row's ts, so
+    // all-match is provable with zero file I/O). DuckDB recomputes the
+    // surviving window from the raw events directly. ----
+    QueryDef(
+      "ddl_v2_disk_time_partitions",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("events"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.ev_days")
+        s.sql("""CREATE TABLE gdisk.verify.ev_days (
+          event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)
+          PARTITIONED BY (days(ts))""")
+        s.sql("""INSERT INTO gdisk.verify.ev_days
+          SELECT event_id, ts, event_type, value FROM events""")
+        // retention: drop everything before Jan 8 — whole day dirs are
+        // provably all-match from their transform values alone, so the
+        // plan must be the bare metadata DeleteFromTable (no COW rewrite)
+        val del = s.sql("""DELETE FROM gdisk.verify.ev_days
+          WHERE ts < timestamp'2024-01-08 00:00:00'""")
+        val dplan = del.queryExecution.executedPlan.toString
+        require(dplan.contains("DeleteFromTable") &&
+          !dplan.contains("ReplaceData"),
+          s"retention delete must be metadata-only, got:\n$dplan")
+        val df = s.sql("""SELECT event_id, ts, event_type, value
+          FROM gdisk.verify.ev_days
+          WHERE ts < timestamp'2024-01-22 00:00:00'
+          ORDER BY event_id""")
+        // plan proof: day dirs outside [Jan 8, Jan 22) never plan
+        val m = """statsFiles=(\d+)/(\d+)""".r
+          .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        require(m.exists(g => g.group(1).toLong < g.group(2).toLong),
+          s"no day-dir pruning in plan: ${m.map(_.matched)}")
+        df
+      },
+      Some("""SELECT event_id, ts, event_type, value FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        ORDER BY event_id"""))
   )
 }

@@ -271,8 +271,9 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
     if (!namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(ident.namespace)
     // identity transforms = hive-layout partition dirs; one bucket(n,
-    // cols...) transform = hash-bucket layout (temporal transforms are
-    // not supported yet)
+    // cols...) transform = hash-bucket layout; temporal / truncate
+    // transforms (days/months/years/hours/truncate) = transform layout
+    // (all columns stay in files, dirs are pruning metadata only)
     def resolveCol(c: String): String = {
       val colDef = columns.find(_.name.equalsIgnoreCase(c)).getOrElse(
         sys.error(s"gdisk: partition column $c is not a table column"))
@@ -290,7 +291,7 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
       }
       colDef.name
     }
-    val (partCols, numBuckets) = partitions.toSeq match {
+    val (partCols, numBuckets, partFuncs) = partitions.toSeq match {
       case Seq(b) if b.name() == "bucket" =>
         val n = b.arguments().collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
@@ -300,14 +301,40 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
         val cols = b.references().toSeq
           .map(r => resolveCol(r.fieldNames().mkString(".")))
         require(cols.nonEmpty, s"gdisk: bucket transform without columns: $b")
-        (cols, Some(n))
+        (cols, Some(n), None)
       case ts =>
-        (ts.map { t =>
-          require(t.name() == "identity" && t.references().length == 1,
-            "gdisk: only identity transforms or a single bucket(n, cols...)" +
-              s" transform are supported, got $t")
-          resolveCol(t.references().head.fieldNames().mkString("."))
-        }, None)
+        val colsKinds = ts.map { t =>
+          DiskTransforms.fromV2(t).getOrElse(sys.error(
+            "gdisk: only identity / years / months / days / hours / " +
+              "truncate(w, col) transforms or a single bucket(n, cols...) " +
+              s"transform are supported, got $t"))
+        }
+        val withTypes = colsKinds.map { case (c0, kind) =>
+          val colDef = columns.find(_.name.equalsIgnoreCase(c0)).getOrElse(
+            sys.error(s"gdisk: partition column $c0 is not a table column"))
+          if (DiskTransforms.isIdentity(kind)) resolveCol(c0)
+          else DiskTransforms.validate(kind, colDef.name, colDef.dataType)
+            .foreach(sys.error(_))
+          (colDef.name, kind, colDef.dataType)
+        }
+        // transform dir-segment keys must be unambiguous: no duplicates,
+        // and no collision with a real column name (a column literally
+        // named `ts_day` next to days(ts) would make OPTIMIZE's helper
+        // columns and the dir layout ambiguous)
+        val segs = withTypes.map { case (c, k, _) => DiskTransforms.segName(c, k) }
+        require(segs.distinct.length == segs.length,
+          s"gdisk: duplicate partition dir segments: ${segs.mkString(", ")}")
+        withTypes.collect {
+          case (c, k, _) if !DiskTransforms.isIdentity(k) =>
+            DiskTransforms.segName(c, k)
+        }.foreach { s =>
+          require(!columns.exists(_.name.equalsIgnoreCase(s)),
+            s"gdisk: partition transform dir segment '$s' collides with a " +
+              "table column of the same name — rename the column")
+        }
+        val kinds = withTypes.map(_._2)
+        (withTypes.map(_._1), None,
+          if (kinds.exists(!DiskTransforms.isIdentity(_))) Some(kinds) else None)
     }
     val dir = tableDir(ident)
     val m = DiskManifest(
@@ -324,7 +351,8 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
       comments = columns.iterator
         .flatMap(c => Option(c.comment()).map(c.name -> _)).toMap,
       constraints = constraints.toIndexedSeq.map(DiskConstraint.from),
-      files = Nil, added = Nil, properties = properties, epochs = Map.empty)
+      files = Nil, added = Nil, properties = properties, epochs = Map.empty,
+      partFuncs = partFuncs)
     (dir, m)
   }
 
@@ -622,10 +650,23 @@ object GraftDiskCatalog {
                 allowed.contains(dir.stripPrefix("__bucket=").toInt)
             }
         }
-      case None => // identity hive layout: compare parsed dir values
+      case None => // identity hive / transform layout: compare dir values
+        val funcs = table.liveFuncs
+        val parts = table.livePartCols
         relFiles.filter { f =>
           byCol.forall { case (c, vals) =>
-            dirValue(table, f, c).forall(dv => vals.exists(_._1 == dv))
+            val kind = funcs(parts.indexOf(c))
+            if (DiskTransforms.isIdentity(kind))
+              dirValue(table, f, c).forall(dv => vals.exists(_._1 == dv))
+            else transformDirValue(table, f, c, kind) match {
+              case None => true // no such segment: conservatively keep
+              case Some(tvOpt) =>
+                // runtime values map through the transform; a null dir
+                // only matches if it could equal a value — it cannot
+                val allowed = vals.map { case (v, dt) =>
+                  DiskTransforms.apply(kind, dt, v) }
+                tvOpt.exists(allowed.contains)
+            }
           }
         }
     }
@@ -674,6 +715,149 @@ object GraftDiskCatalog {
       }
       if (kept.length < relFiles.length) Some(kept) else None
     }
+  }
+
+  /** The TRANSFORM value carried by file `f`'s `<c>_<kind>=<value>`
+    * dir segment: None = no such segment (the file conservatively
+    * survives pruning); Some(None) = the null dir; Some(Some(tv)) = the
+    * parsed transform value ([[DiskTransforms.parse]] domain). */
+  private[sources] def transformDirValue(
+      table: GraftDiskTable, f: String, c: String, kind: String)
+      : Option[Option[Any]] = {
+    val pre = DiskTransforms.segName(c, kind)
+      .toLowerCase(java.util.Locale.ROOT) + "="
+    f.split('/').init
+      .find(_.toLowerCase(java.util.Locale.ROOT).startsWith(pre))
+      .map { seg =>
+        val raw = java.net.URLDecoder.decode(
+          seg.substring(seg.indexOf('=') + 1), "UTF-8")
+        if (raw == "__HIVE_DEFAULT_PARTITION__") None
+        else {
+          val dt = table.liveSchema.fields
+            .find(_.name.equalsIgnoreCase(c)).get.dataType
+          Some(DiskTransforms.parse(kind, dt, raw))
+        }
+      }
+  }
+
+  /** STATIC transform-dir pruning: predicates on the SOURCE column of a
+    * days/months/years/hours/truncate partition transform prune the
+    * `<col>_<kind>=<value>/` dirs driver-side, before the inner parquet
+    * scan lists anything. Every transform kind is MONOTONIC
+    * non-decreasing in its source value, so range predicates map to
+    * INCLUSIVE bounds on the transform value (`ts >= X` keeps dirs with
+    * `day(dir) >= day(X)` — the boundary dir may hold rows on both
+    * sides, and the pushed filter finishes the job inside it); EqualTo /
+    * IN map to point sets; IsNull keeps only the null dir; any
+    * comparison drops the null dir (SQL comparisons never match NULL).
+    * Identity segments of the same spec are handled by
+    * [[identityKeepFiles]]. Files without the segment conservatively
+    * survive. Returns Some(kept) only when files were dropped. */
+  private[sources] def transformKeepFiles(
+      table: GraftDiskTable, relFiles: Seq[String],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[Seq[String]] = {
+    val funcs = table.liveFuncs
+    if (!funcs.exists(!DiskTransforms.isIdentity(_)) || relFiles.isEmpty ||
+        dataFilters.isEmpty) return None
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal => CLit}
+    // the pushed filters speak PHYSICAL names; partition columns are
+    // logical — key the constraint map by the physical spelling
+    case class Cons(
+        points: Option[Set[Any]] = None, lo: Option[Any] = None,
+        hi: Option[Any] = None, notNull: Boolean = false,
+        nullOnly: Boolean = false)
+    val transformed: Map[String, (String, String)] = // phys -> (logical, kind)
+      table.livePartCols.zip(funcs).collect {
+        case (c, k) if !DiskTransforms.isIdentity(k) =>
+          table.physicalOf(c).toLowerCase(java.util.Locale.ROOT) -> (c, k)
+      }.toMap
+    val cons = scala.collection.mutable.Map.empty[String, Cons]
+    def kindOf(a: AttributeReference): Option[(String, String)] =
+      transformed.get(a.name.toLowerCase(java.util.Locale.ROOT))
+    def upd(a: AttributeReference)(f: (Cons, String) => Cons): Unit =
+      kindOf(a).foreach { case (c, k) =>
+        cons(c) = f(cons.getOrElse(c, Cons()), k) }
+    def tv(kind: String, l: CLit): Option[Any] =
+      if (l.value == null) None
+      else Some(DiskTransforms.apply(kind, l.dataType, l.value))
+    def addPoint(a: AttributeReference, vs: Seq[CLit]): Unit =
+      upd(a) { (c0, k) =>
+        val pts = vs.flatMap(tv(k, _)).toSet
+        c0.copy(points = Some(c0.points.fold(pts)(_ intersect pts)))
+      }
+    // strict comparisons whose literal sits EXACTLY on a bucket boundary
+    // tighten by one bucket — `ts < DATE'today'` (midnight) excludes
+    // today's whole day dir, the standing retention-scan shape
+    def addLo(a: AttributeReference, l: CLit, strict: Boolean): Unit =
+      upd(a) { (c0, k) => tv(k, l).fold(c0) { v0 =>
+        val v = v0 match {
+          case lv: java.lang.Long if strict &&
+              DiskTransforms.isBucketEnd(k, l.dataType, l.value, v0) =>
+            Long.box(lv + 1)
+          case other => other
+        }
+        c0.copy(lo = Some(
+          c0.lo.filter(DiskTransforms.cmp(_, v) >= 0).getOrElse(v)))
+      } }
+    def addHi(a: AttributeReference, l: CLit, strict: Boolean): Unit =
+      upd(a) { (c0, k) => tv(k, l).fold(c0) { v0 =>
+        val v = v0 match {
+          case lv: java.lang.Long if strict &&
+              DiskTransforms.isBucketStart(k, l.dataType, l.value, v0) =>
+            Long.box(lv - 1)
+          case other => other
+        }
+        c0.copy(hi = Some(
+          c0.hi.filter(DiskTransforms.cmp(_, v) <= 0).getOrElse(v)))
+      } }
+    dataFilters.foreach {
+      case EqualTo(a: AttributeReference, l: CLit) => addPoint(a, Seq(l))
+      case EqualTo(l: CLit, a: AttributeReference) => addPoint(a, Seq(l))
+      case In(a: AttributeReference, elems)
+          if elems.nonEmpty && elems.forall(_.isInstanceOf[CLit]) =>
+        addPoint(a, elems.map(_.asInstanceOf[CLit]))
+      case GreaterThan(a: AttributeReference, l: CLit) =>
+        addLo(a, l, strict = true)
+      case GreaterThanOrEqual(a: AttributeReference, l: CLit) =>
+        addLo(a, l, strict = false)
+      case LessThan(l: CLit, a: AttributeReference) =>
+        addLo(a, l, strict = true)
+      case LessThanOrEqual(l: CLit, a: AttributeReference) =>
+        addLo(a, l, strict = false)
+      case LessThan(a: AttributeReference, l: CLit) =>
+        addHi(a, l, strict = true)
+      case LessThanOrEqual(a: AttributeReference, l: CLit) =>
+        addHi(a, l, strict = false)
+      case GreaterThan(l: CLit, a: AttributeReference) =>
+        addHi(a, l, strict = true)
+      case GreaterThanOrEqual(l: CLit, a: AttributeReference) =>
+        addHi(a, l, strict = false)
+      case IsNull(a: AttributeReference) =>
+        upd(a)((c0, _) => c0.copy(nullOnly = true))
+      case IsNotNull(a: AttributeReference) =>
+        upd(a)((c0, _) => c0.copy(notNull = true))
+      case _ => ()
+    }
+    if (cons.isEmpty) return None
+    val kept = relFiles.filter { f =>
+      cons.forall { case (c, cc) =>
+        val kind = funcs(table.livePartCols.indexOf(c))
+        transformDirValue(table, f, c, kind) match {
+          case None => true // no segment: keep
+          case Some(None) => // the null dir
+            cc.nullOnly ||
+              (cc.points.isEmpty && cc.lo.isEmpty && cc.hi.isEmpty &&
+                !cc.notNull)
+          case Some(Some(v)) =>
+            !cc.nullOnly &&
+              cc.points.forall(_.contains(v)) &&
+              cc.lo.forall(DiskTransforms.cmp(v, _) >= 0) &&
+              cc.hi.forall(DiskTransforms.cmp(v, _) <= 0)
+        }
+      }
+    }
+    if (kept.length < relFiles.length) Some(kept) else None
   }
 
   /** The hive-dir value of partition column `c` in file path `f`, parsed
@@ -848,7 +1032,7 @@ object GraftDiskCatalog {
     * columns (identity-partition columns excluded — their values live in
     * dir names and prune exactly already) plus per-file sizing. */
   private[sources] def bloomArgsFor(m: DiskManifest): (Seq[String], Long, Double) = {
-    val idParts = if (m.numBuckets.isEmpty) m.partCols else Nil
+    val idParts = m.hiveParts
     // declaration validates against LOGICAL names; sidecars are file-level
     // artifacts, so the resolved list carries PHYSICAL names (immutable
     // across RENAME — existing sidecars stay valid)
@@ -987,18 +1171,39 @@ case class DiskManifest(
     // commit at any table size. Physical names are immutable for a
     // column's lifetime; ADD COLUMN assigns a fresh unique physical name
     // when the logical name would collide with a historical physical one
-    physicalNames: Option[Map[String, String]] = None) {
+    physicalNames: Option[Map[String, String]] = None,
+    // Per-partition-column TRANSFORM kinds, aligned with `partitionCols`
+    // ("identity", "years", "months", "days", "hours", "truncate:<w>" —
+    // see [[DiskTransforms]]). Absent = all identity. A spec with ANY
+    // non-identity transform follows the bucket-layout discipline: every
+    // column stays IN the data files, `<col>_<kind>=<value>/` dirs are
+    // grouping/pruning metadata only, never inferred.
+    partFuncs: Option[Seq[String]] = None) {
   lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
-  /** Partition columns (identity hive-layout OR bucket columns). */
+  /** Partition columns (identity hive-layout, bucket, or transform
+    * source columns). */
   def partCols: Seq[String] = partitionCols.getOrElse(Nil)
 
+  /** Per-column transform kinds, aligned with [[partCols]] (identity
+    * when unspecified). */
+  def funcs: Seq[String] =
+    partFuncs.getOrElse(partCols.map(_ => DiskTransforms.Identity))
+
+  /** True when any partition column carries a non-identity transform
+    * (days/months/years/hours/truncate) — then the table follows the
+    * bucket-layout discipline (all columns in files, dirs never
+    * inferred). */
+  def hasTransforms: Boolean = funcs.exists(!DiskTransforms.isIdentity(_))
+
   /** Partition columns encoded in hive `col=value/` paths and STRIPPED
-    * from data files — empty for bucket layout, whose columns stay in
-    * the files (`__bucket=<id>/` dirs are grouping only, never inferred;
-    * no reader may set `basePath` on a bucketed table). */
-  def hiveParts: Seq[String] = if (numBuckets.isEmpty) partCols else Nil
+    * from data files — empty for bucket and transform layouts, whose
+    * columns stay in the files (`__bucket=<id>/` / `<col>_<kind>=<v>/`
+    * dirs are grouping only, never inferred; no reader may set
+    * `basePath` on such tables). */
+  def hiveParts: Seq[String] =
+    if (numBuckets.isEmpty && !hasTransforms) partCols else Nil
 
   /** Per-file column stats for manifest-level skipping (absent for files
     * written before stats existed — those are simply never skipped).
@@ -1371,7 +1576,8 @@ class GraftDiskTable(
       case Some(n) =>
         Array(Expressions.bucket(n, loaded.partCols: _*): Transform)
       case None =>
-        loaded.partCols.map(c => Expressions.identity(c): Transform).toArray
+        loaded.partCols.zip(loaded.funcs)
+          .map { case (c, k) => DiskTransforms.toV2(c, k) }.toArray
     }
 
   /** Copy-on-write groups are data FILES: the `_file` metadata column
@@ -1566,6 +1772,9 @@ class GraftDiskTable(
 
   private[sources] def liveNumBuckets: Option[Int] = loaded.numBuckets
 
+  /** Per-partition-column transform kinds (aligned with livePartCols). */
+  private[sources] def liveFuncs: Seq[String] = loaded.funcs
+
   private[sources] def liveSchema: StructType = loaded.schema
 
   override def toString: String = s"GraftDiskTable($tableName)"
@@ -1711,7 +1920,7 @@ class GraftDiskTable(
               pwi: PhysicalWriteInfo): DataWriterFactory =
             new GraftDiskWriterFactory(info.schema(), schema(),
               log.dataDir.toString, writeConfMap(), loaded.partCols,
-                loaded.numBuckets, bloomArgs._1, bloomArgs._2, bloomArgs._3,
+                loaded.numBuckets, loaded.funcs, bloomArgs._1, bloomArgs._2, bloomArgs._3,
                 loaded.physicalNames.getOrElse(Map.empty))
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val files = collectFiles(messages)
@@ -1733,7 +1942,7 @@ class GraftDiskTable(
                 : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
               new GraftDiskWriterFactory(info.schema(), schema(),
                 log.dataDir.toString, writeConfMap(), loaded.partCols,
-                loaded.numBuckets, bloomArgs._1, bloomArgs._2, bloomArgs._3,
+                loaded.numBuckets, loaded.funcs, bloomArgs._1, bloomArgs._2, bloomArgs._3,
                 loaded.physicalNames.getOrElse(Map.empty))
             override def commit(
                 epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -2106,7 +2315,7 @@ class GraftDiskTable(
                     pwi: PhysicalWriteInfo): DataWriterFactory =
                   new GraftDiskWriterFactory(lwi.schema(), schema(),
                     log.dataDir.toString, writeConfMap(), loaded.partCols,
-                loaded.numBuckets, bloomArgs._1, bloomArgs._2, bloomArgs._3,
+                loaded.numBuckets, loaded.funcs, bloomArgs._1, bloomArgs._2, bloomArgs._3,
                 loaded.physicalNames.getOrElse(Map.empty))
                 override def commit(messages: Array[WriterCommitMessage]): Unit = {
                   val removed = Option(cowScan).map(_.servedFiles)
@@ -2219,7 +2428,7 @@ class GraftDiskTable(
     // idempotent, so no commit is needed.
     def backfillBlooms(over: Seq[String]): Unit =
       if (base.properties.contains(DiskBloom.ColumnsProp)) {
-        val idParts = if (base.numBuckets.isEmpty) base.partCols else Nil
+        val idParts = base.hiveParts
         val cols = DiskBloom.spec(base.properties, base.schema)
           .filterNot(c => idParts.exists(_.equalsIgnoreCase(c)))
           .map(base.physicalOf) // sidecars key PHYSICAL names
@@ -2267,7 +2476,12 @@ class GraftDiskTable(
     // partitioned tables keep their hive layout: repartition by the
     // partition columns (plus bin index) and write partitionBy; bucketed
     // tables recompute each row's `__bucket` id with the SAME chained
-    // murmur3 the ingest writers use and partitionBy that
+    // murmur3 the ingest writers use and partitionBy that; transform
+    // tables compute one `__seg_<segName>` HELPER column per partition
+    // segment (rendered exactly like the ingest writers render dirs) —
+    // partitionBy consumes the helpers into the path while every real
+    // column stays in the files, and the rename loop below strips the
+    // `__seg_` prefix so the final dirs match the ingest layout
     val parts = base.hiveParts
     val bucketize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       base.numBuckets match {
@@ -2275,9 +2489,57 @@ class GraftDiskTable(
           org.apache.spark.sql.functions.pmod(
             org.apache.spark.sql.functions.hash(base.partCols.map(col): _*),
             lit(n)))
+        case None if base.hasTransforms => d =>
+          base.partCols.zip(base.funcs).foldLeft(d) { case (acc, (c, kind)) =>
+            val seg = "__seg_" + DiskTransforms.segName(c, kind)
+            val dt = base.schema.fields
+              .find(_.name.equalsIgnoreCase(c)).get.dataType
+            if (DiskTransforms.isIdentity(kind))
+              // cast-to-string matches the ingest writers' raw rendering
+              // (ISO dates, plain numerals/booleans)
+              acc.withColumn(seg, col(c).cast("string"))
+            else dt match {
+              case org.apache.spark.sql.types.DateType =>
+                val u = org.apache.spark.sql.functions.udf(
+                  (days: java.lang.Integer) =>
+                    if (days == null) null
+                    else DiskTransforms.render(kind, DiskTransforms.apply(
+                      kind, org.apache.spark.sql.types.DateType, days)))
+                acc.withColumn(seg, u(org.apache.spark.sql.functions.datediff(
+                  col(c), org.apache.spark.sql.functions.lit("1970-01-01"))))
+              case org.apache.spark.sql.types.TimestampType |
+                   org.apache.spark.sql.types.TimestampNTZType =>
+                val u = org.apache.spark.sql.functions.udf(
+                  (micros: java.lang.Long) =>
+                    if (micros == null) null
+                    else DiskTransforms.render(kind, DiskTransforms.apply(
+                      kind, org.apache.spark.sql.types.TimestampType, micros)))
+                acc.withColumn(seg, u(org.apache.spark.sql.functions
+                  .unix_micros(col(c).cast("timestamp"))))
+              case org.apache.spark.sql.types.StringType =>
+                val u = org.apache.spark.sql.functions.udf(
+                  (s: String) =>
+                    if (s == null) null
+                    else DiskTransforms.render(kind, DiskTransforms.apply(
+                      kind, org.apache.spark.sql.types.StringType, s)))
+                acc.withColumn(seg, u(col(c)))
+              case _ => // integral truncate
+                val u = org.apache.spark.sql.functions.udf(
+                  (v: java.lang.Long) =>
+                    if (v == null) null
+                    else DiskTransforms.render(kind, DiskTransforms.apply(
+                      kind, org.apache.spark.sql.types.LongType, v)))
+                acc.withColumn(seg, u(col(c).cast("long")))
+            }
+          }
         case None => identity
       }
-    val writeParts = if (base.numBuckets.isDefined) Seq("__bucket") else parts
+    val writeParts =
+      if (base.numBuckets.isDefined) Seq("__bucket")
+      else if (base.hasTransforms)
+        base.partCols.zip(base.funcs).map { case (c, k) =>
+          "__seg_" + DiskTransforms.segName(c, k) }
+      else parts
     // files carry PHYSICAL column names (partition/bucket helpers are
     // never mapped, so this is identity — and a no-op — for them)
     def phys(d: org.apache.spark.sql.DataFrame) =
@@ -2298,7 +2560,13 @@ class GraftDiskTable(
     while (it.hasNext) {
       val p = it.next().getPath
       if (p.getName.endsWith(".parquet")) {
-        val rel = p.toUri.getPath.stripPrefix(outPrefix).stripPrefix("/")
+        val rel0 = p.toUri.getPath.stripPrefix(outPrefix).stripPrefix("/")
+        // transform layouts wrote `__seg_<segName>=v/` helper dirs —
+        // strip the prefix so the final dirs match the ingest layout
+        val rel =
+          if (base.hasTransforms)
+            rel0.split('/').map(_.stripPrefix("__seg_")).mkString("/")
+          else rel0
         val dst = // keep `col=value/` dirs, uniquify the leaf name
           if (rel.contains('/'))
             s"${rel.reverse.dropWhile(_ != '/').reverse}$stamp-${p.getName}"
@@ -2315,7 +2583,7 @@ class GraftDiskTable(
     // shuffle as O(sketch) payloads, never rows) — compaction must not
     // cost the table its point-lookup skipping tier
     if (base.properties.contains(DiskBloom.ColumnsProp)) {
-      val idParts = if (base.numBuckets.isEmpty) base.partCols else Nil
+      val idParts = base.hiveParts
       val cols = DiskBloom.spec(base.properties, base.schema)
         .filterNot(c => idParts.exists(_.equalsIgnoreCase(c)))
         .map(base.physicalOf) // sidecars key PHYSICAL names
@@ -2592,7 +2860,7 @@ class GraftDiskTable(
     val physSch = base.physicalSchema
     val dtOf = (n: String) =>
       physSch.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
-    val hive = if (base.numBuckets.isEmpty) base.partCols else Nil
+    val hive = base.hiveParts
     val stats = base.stats
     val drop = Seq.newBuilder[String]
     base.files.foreach { f =>
@@ -2611,7 +2879,15 @@ class GraftDiskTable(
           case _ => false
         }
       }
-      val fileSt = fileSt0 ++ hive.flatMap { c =>
+      // identity dir segments — pure hive layout OR the identity columns
+      // of a transform spec (whose `c=value` segments carry exact values)
+      val idDirCols =
+        if (base.hasTransforms)
+          base.partCols.zip(base.funcs).collect {
+            case (c, k) if DiskTransforms.isIdentity(k) => c
+          }
+        else hive
+      val fileSt = fileSt0 ++ idDirCols.flatMap { c =>
         if (!dtOf(c).exists(statSafe)) None
         else GraftDiskCatalog.dirValue(this, f, c).map {
           case null => c -> ColStats(None, None, Some(rows), rows)
@@ -2622,7 +2898,23 @@ class GraftDiskTable(
             }
             c -> ColStats(Some(enc), Some(enc), Some(0L), rows)
         }
-      }
+      } ++ (if (!base.hasTransforms) Nil
+      else base.partCols.zip(base.funcs).flatMap { case (c, kind) =>
+        // transform dir segments: day(dir)=d bounds EVERY row's source
+        // value inside [day start, day end] — synthesized stats let a
+        // retention DELETE drop whole day/month/hour dirs with zero
+        // file I/O even when footer stats are absent (e.g. INT96)
+        if (DiskTransforms.isIdentity(kind)) None
+        else sch.fields.find(_.name.equalsIgnoreCase(c)).flatMap { fld =>
+          GraftDiskCatalog.transformDirValue(this, f, c, kind).flatMap {
+            case None => Some(c -> ColStats(None, None, Some(rows), rows))
+            case Some(tv) =>
+              DiskTransforms.sourceBounds(kind, fld.dataType, tv).map {
+                case (mn, mx) => c -> ColStats(Some(mn), Some(mx), Some(0L), rows)
+              }
+          }
+        }
+      })
       if (rows == 0L) drop += f
       else if (!DiskStats.mayMatch(fileSt, dtOf, cond)) () // provably kept
       else {
@@ -2892,6 +3184,18 @@ class GraftDiskScanBuilder(
     // IDENTITY partition-dir pruning: literal EqualTo/IN predicates on the
     // partition columns pin hive dirs before the inner scan lists anything
     GraftDiskCatalog.identityKeepFiles(table, currentFiles, dataFilters)
+      .foreach { kept =>
+        statsSkipped += currentFiles.length - kept.length
+        currentFiles = kept
+        inner = mkInner()
+        prunedForInner.foreach(inner.pruneColumns)
+      }
+    // TRANSFORM partition-dir pruning: point AND RANGE predicates on the
+    // source column of a days/months/years/hours/truncate transform pin
+    // `<col>_<kind>=<value>/` dirs (the transforms are monotonic, so
+    // `ts >= X` keeps dirs with day >= day(X); the pushed filter finishes
+    // inside boundary dirs)
+    GraftDiskCatalog.transformKeepFiles(table, currentFiles, dataFilters)
       .foreach { kept =>
         statsSkipped += currentFiles.length - kept.length
         currentFiles = kept
@@ -3193,11 +3497,14 @@ class GraftDiskScanBuilder(
       val base = new GraftDiskScan(table, inner.build(), table.toPhysical(pruned),
         currentFiles.length, files.length, currentFiles, pushedDataFilters,
         exactRows, colStats, options)
-      // storage-partitioned-join eligibility: identity-partitioned table,
-      // plain row scan (no pushed-down aggregate), and the user opted into
-      // Spark's v2 bucketing — then report KeyGroupedPartitioning so
-      // co-partitioned joins/aggregations skip their exchanges
-      if (table.livePartCols.nonEmpty && !aggPushed &&
+      // storage-partitioned-join eligibility: identity- or bucket-
+      // partitioned table (transform layouts don't SPJ — join keys are
+      // the raw source values, not the lossy transform), plain row scan
+      // (no pushed-down aggregate), and the user opted into Spark's v2
+      // bucketing — then report KeyGroupedPartitioning so co-partitioned
+      // joins/aggregations skip their exchanges
+      if ((table.liveHiveParts.nonEmpty || table.liveNumBuckets.isDefined) &&
+          !aggPushed &&
           org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled)
         new GraftDiskSpjScan(table, currentFiles, prunedForInner,
           pushedDataFilters, base)
@@ -3387,7 +3694,7 @@ class GraftDiskStagedTable(
               pwi: PhysicalWriteInfo): DataWriterFactory =
             new GraftDiskWriterFactory(info.schema(), staged.schema,
               log.dataDir.toString, inner.writeConfMap(), staged.partCols,
-              staged.numBuckets, stagedBloomArgs._1, stagedBloomArgs._2,
+              staged.numBuckets, staged.funcs, stagedBloomArgs._1, stagedBloomArgs._2,
               stagedBloomArgs._3, staged.physicalNames.getOrElse(Map.empty))
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             messages.foreach {
@@ -3788,6 +4095,10 @@ class GraftDiskWriterFactory(
     dataDirUri: String, confMap: Map[String, String],
     partitionCols: Seq[String] = Nil,
     numBuckets: Option[Int] = None,
+    // per-partition-column transform kinds (aligned with partitionCols);
+    // any non-identity kind switches to the transform layout: all
+    // columns stay in the files, dirs are `<col>_<kind>=<value>/`
+    partFuncs: Seq[String] = Nil,
     bloomCols: Seq[String] = Nil, // PHYSICAL names (sidecars are file-level)
     bloomItems: Long = 100000L,
     bloomFpp: Double = 0.01,
@@ -3814,11 +4125,14 @@ class GraftDiskWriterFactory(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       // identity partition columns live in the dir path; data files hold
-      // the rest (bucket columns stay IN the files — `__bucket=<id>/`
-      // dirs are grouping only). File columns are written under their
-      // PHYSICAL names; the incoming writeSchema speaks logical.
+      // the rest (bucket and transform-layout columns stay IN the files —
+      // `__bucket=<id>/` / `<col>_<kind>=<v>/` dirs are grouping only).
+      // File columns are written under their PHYSICAL names; the
+      // incoming writeSchema speaks logical.
+      private val hasTransforms =
+        partFuncs.exists(!DiskTransforms.isIdentity(_))
       private val dataFieldsLogical =
-        (if (numBuckets.isDefined) tableSchema.fields
+        (if (numBuckets.isDefined || hasTransforms) tableSchema.fields
          else tableSchema.fields
            .filterNot(f => partitionCols.exists(_.equalsIgnoreCase(f.name))))
           .toSeq
@@ -3899,9 +4213,27 @@ class GraftDiskWriterFactory(
         ((h % n) + n) % n
       }
 
+      /** Transform-layout dir segment for one partition column. */
+      private def transformSeg(
+          r: InternalRow, c: String, i: Int,
+          dt: org.apache.spark.sql.types.DataType, kind: String): String = {
+        val key = DiskTransforms.segName(c, kind)
+        if (DiskTransforms.isIdentity(kind))
+          s"$key=${renderPartValue(r, i, dt)}"
+        else if (r.isNullAt(i)) s"$key=__HIVE_DEFAULT_PARTITION__"
+        else {
+          val raw = DiskTransforms.render(kind,
+            DiskTransforms.apply(kind, dt, r.get(i, dt)))
+          s"$key=${java.net.URLEncoder.encode(raw, "UTF-8").replace("+", "%20")}"
+        }
+      }
+
       override def write(record: InternalRow): Unit = {
         val dir =
           if (numBuckets.isDefined) s"__bucket=${bucketId(record)}"
+          else if (hasTransforms)
+            partAccess.zip(partFuncs).map { case ((c, i, dt), kind) =>
+              transformSeg(record, c, i, dt, kind) }.mkString("/")
           else partAccess.map { case (c, i, dt) =>
             s"$c=${renderPartValue(record, i, dt)}" }.mkString("/")
         writerFor(dir).write(proj(record))

@@ -1694,4 +1694,194 @@ class DiskCatalogSpec extends AnyFunSuite {
         df2.queryExecution.executedPlan.toString)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  // ---- partition TRANSFORMS (days/months/years/hours/truncate) --------
+
+  private def statsFilesOf(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    val m = """statsFiles=(\d+)/(\d+)""".r
+      .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no statsFiles in plan:\n" +
+        df.queryExecution.executedPlan.toString))
+    (m.group(1).toInt, m.group(2).toInt)
+  }
+
+  private def dataDirs(t: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val root = new java.io.File(s"$warehouse/lake/$t/data")
+    walk(root).filter(_.getName.endsWith(".parquet"))
+      .map(_.getParentFile.getName).toSet
+  }
+
+  test("days(ts) layout: transform dirs, columns stay in files, range pruning") {
+    spark.sql("CREATE TABLE gdspec.lake.tp (id BIGINT, ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    // three days plus one NULL-ts row, several inserts so days span files
+    spark.sql("INSERT INTO gdspec.lake.tp SELECT id, " +
+      "timestamp'2024-03-01 06:00:00' + make_interval(0,0,0,CAST(id/4 AS INT),CAST(id AS INT),0,0), id * 10 " +
+      "FROM range(12)")
+    spark.sql("INSERT INTO gdspec.lake.tp VALUES (99, NULL, 990)")
+    // dirs are `ts_day=YYYY-MM-DD` (plus the null dir); never inferred
+    val dirs = dataDirs("tp")
+    assert(dirs.contains("ts_day=2024-03-01") && dirs.contains("ts_day=2024-03-02"),
+      s"unexpected dirs: $dirs")
+    assert(dirs.contains("ts_day=__HIVE_DEFAULT_PARTITION__"), s"dirs: $dirs")
+    // the ts column stays IN the data files (the transform is lossy)
+    val oneFile = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$warehouse/lake/tp/data"))
+        .find(f => f.getName.endsWith(".parquet") &&
+          f.getParentFile.getName == "ts_day=2024-03-01").get
+    }
+    assert(spark.read.parquet(oneFile.getAbsolutePath)
+      .columns.toSet == Set("id", "ts", "v"))
+    // full scan is exact
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.tp").head().getLong(0) == 13L)
+    // RANGE predicate on ts prunes whole day dirs (monotonic transform)
+    val dfR = spark.sql("SELECT id, v FROM gdspec.lake.tp " +
+      "WHERE ts >= timestamp'2024-03-03 00:00:00' ORDER BY id")
+    val (keptR, totalR) = statsFilesOf(dfR)
+    assert(keptR < totalR, s"no day-range pruning: $keptR/$totalR")
+    assert(dfR.collect().map(_.getLong(0)).toSeq == Seq(8L, 9L, 10L, 11L))
+    // point predicate prunes to one day dir
+    val dfE = spark.sql("SELECT id FROM gdspec.lake.tp " +
+      "WHERE ts = timestamp'2024-03-01 06:00:00'")
+    val (keptE, totalE) = statsFilesOf(dfE)
+    assert(keptE < totalE && dfE.collect().map(_.getLong(0)).toSeq == Seq(0L))
+    // IS NULL keeps only the null dir; comparisons drop it
+    val dfN = spark.sql("SELECT id FROM gdspec.lake.tp WHERE ts IS NULL")
+    val (keptN, totalN) = statsFilesOf(dfN)
+    assert(keptN < totalN && dfN.collect().map(_.getLong(0)).toSeq == Seq(99L))
+    // BETWEEN combines both bounds
+    val dfB = spark.sql("SELECT count(*) FROM gdspec.lake.tp WHERE ts BETWEEN " +
+      "timestamp'2024-03-02 00:00:00' AND timestamp'2024-03-02 23:59:59'")
+    assert(dfB.head().getLong(0) == 4L)
+  }
+
+  test("identity + months(ts) mixed spec prunes on both segments") {
+    spark.sql("CREATE TABLE gdspec.lake.tpm (region STRING, ts TIMESTAMP, " +
+      "amt BIGINT) PARTITIONED BY (region, months(ts))")
+    spark.sql("INSERT INTO gdspec.lake.tpm SELECT " +
+      "IF(id % 2 = 0, 'EU', 'US'), " +
+      "timestamp'2024-01-15 00:00:00' + make_interval(0, CAST(id % 4 AS INT)), id " +
+      "FROM range(40)")
+    val dirs = dataDirs("tpm")
+    assert(dirs.contains("ts_month=2024-01"), s"dirs: $dirs")
+    // identity segment appears as plain hive `region=`; month range prunes
+    val df = spark.sql("SELECT count(*), sum(amt) FROM gdspec.lake.tpm " +
+      "WHERE region = 'EU' AND ts >= timestamp'2024-03-01 00:00:00'")
+    val (kept, total) = statsFilesOf(df)
+    assert(kept < total, s"no mixed pruning: $kept/$total")
+    // oracle: even ids (EU) with id % 4 in (2, 3) -> months Mar/Apr
+    val exp = (0 until 40).filter(i => i % 2 == 0 && i % 4 >= 2)
+    assert(df.head().toSeq == Seq(exp.size.toLong, exp.map(_.toLong).sum))
+  }
+
+  test("truncate(w, col) prunes string prefixes and integral ranges") {
+    spark.sql("CREATE TABLE gdspec.lake.tpt (url STRING, n BIGINT) " +
+      "PARTITIONED BY (truncate(4, url))")
+    spark.sql("INSERT INTO gdspec.lake.tpt VALUES " +
+      "('http://a.com', 1), ('http://b.com', 2), ('ftp://c.org', 3), ('s3://d', 4)")
+    val dirs = dataDirs("tpt")
+    assert(dirs.contains("url_trunc=http") && dirs.contains("url_trunc=ftp%3A"),
+      s"dirs: $dirs")
+    val df = spark.sql("SELECT n FROM gdspec.lake.tpt WHERE url = 'ftp://c.org'")
+    val (kept, total) = statsFilesOf(df)
+    assert(kept < total && df.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // integral truncate: floor-to-width buckets prune range predicates
+    spark.sql("CREATE TABLE gdspec.lake.tpi (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (truncate(100, k))")
+    spark.sql("INSERT INTO gdspec.lake.tpi SELECT id * 7, id FROM range(100)")
+    val dfI = spark.sql("SELECT count(*) FROM gdspec.lake.tpi WHERE k >= 600")
+    val (keptI, totalI) = statsFilesOf(dfI)
+    assert(keptI < totalI, s"no integral truncate pruning: $keptI/$totalI")
+    assert(dfI.head().getLong(0) == (0 until 100).count(_ * 7 >= 600).toLong)
+  }
+
+  test("transform tables: COW row-level ops, OPTIMIZE keeps the layout, dynamic overwrite replaces days") {
+    spark.sql("CREATE TABLE gdspec.lake.tpo (id BIGINT, ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    for (b <- 0 until 3)
+      spark.sql(s"INSERT INTO gdspec.lake.tpo SELECT id + ${b * 10}, " +
+        "timestamp'2024-05-01 12:00:00' + make_interval(0,0,0,CAST(id % 2 AS INT)), " +
+        s"id FROM range(10)")
+    // COW UPDATE only rewrites touched day files; values stay exact
+    spark.sql("UPDATE gdspec.lake.tpo SET v = v + 1000 " +
+      "WHERE ts = timestamp'2024-05-02 12:00:00' AND id < 2")
+    val upd = spark.sql("SELECT count(*) FROM gdspec.lake.tpo WHERE v >= 1000")
+      .head().getLong(0)
+    assert(upd == 1L) // id=1 is the only id<2 row on day 2
+    // more small appends (4 input partitions each → several files per day)
+    for (b <- 3 until 5)
+      spark.sql(s"INSERT INTO gdspec.lake.tpo SELECT id + ${b * 10}, " +
+        "timestamp'2024-05-01 12:00:00' + make_interval(0,0,0,CAST(id % 2 AS INT)), " +
+        s"id FROM range(0, 10, 1, 4)")
+    val sumsBefore =
+      spark.sql("SELECT count(*), sum(v) FROM gdspec.lake.tpo").head().toSeq
+    // OPTIMIZE compacts into the SAME ts_day= layout
+    val cat = spark.sessionState.catalogManager.catalog("gdspec")
+      .asInstanceOf[GraftDiskCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("lake"), "tpo")).asInstanceOf[GraftDiskTable]
+    val (beforeN, afterN) = t.optimize(targetFileBytes = 512L * 1024 * 1024)
+    assert(afterN < beforeN, s"no compaction: $beforeN -> $afterN")
+    val dirs = dataDirs("tpo")
+    assert(dirs.forall(d => d.startsWith("ts_day=")), s"layout lost: $dirs")
+    assert(spark.sql("SELECT count(*), sum(v) FROM gdspec.lake.tpo")
+      .head().toSeq == sumsBefore)
+    // pruning still works over the compacted files
+    val dfP = spark.sql("SELECT count(*) FROM gdspec.lake.tpo " +
+      "WHERE ts < timestamp'2024-05-02 00:00:00'")
+    val (keptP, totalP) = statsFilesOf(dfP)
+    assert(keptP < totalP && dfP.head().getLong(0) == 25L)
+    // DYNAMIC overwrite replaces exactly the day the new rows land in
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      spark.sql("INSERT OVERWRITE gdspec.lake.tpo SELECT 777, " +
+        "timestamp'2024-05-02 01:00:00', 7")
+    finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    val after = spark.sql("SELECT count(*) FROM gdspec.lake.tpo").head().getLong(0)
+    assert(after == 26L, s"day 2 replaced by 1 row, day 1 untouched: $after")
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.tpo " +
+      "WHERE ts < timestamp'2024-05-02 00:00:00'").head().getLong(0) == 25L)
+  }
+
+  test("transform tables: retention DELETE of old days is metadata-only via file stats") {
+    spark.sql("CREATE TABLE gdspec.lake.tpd (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    for (d <- 1 to 3)
+      spark.sql(s"INSERT INTO gdspec.lake.tpd SELECT id, " +
+        s"timestamp'2024-06-0$d 08:00:00' FROM range(20)")
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$warehouse/lake/tpd/data"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    }
+    val before = files()
+    // every file is day-pure, so footer min/max prove all-match: the
+    // whole retention delete is ONE manifest commit, zero file I/O
+    val plan = spark.sql("DELETE FROM gdspec.lake.tpd " +
+      "WHERE ts < timestamp'2024-06-02 00:00:00'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("DeleteFromTable") && !plan.contains("ReplaceData"), plan)
+    assert(files() == before, "metadata delete writes nothing")
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.tpd").head().getLong(0) == 40L)
+  }
+
+  test("transform specs reject invalid types and segment collisions") {
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE gdspec.lake.bad1 (id BIGINT, s STRING) " +
+        "PARTITIONED BY (days(s))"))
+    assert(e1.getMessage.contains("timestamp or date"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE gdspec.lake.bad2 (ts TIMESTAMP, ts_day STRING) " +
+        "PARTITIONED BY (days(ts))"))
+    assert(e2.getMessage.contains("collides"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      "CREATE TABLE gdspec.lake.bad3 (ts DATE) PARTITIONED BY (hours(ts))"))
+    assert(e3.getMessage.contains("timestamp"), e3.getMessage)
+  }
 }
