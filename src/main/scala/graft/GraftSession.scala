@@ -79,6 +79,9 @@ final class GraftSession(
       convertToGdiskVerb(raw)
     else if (raw.toUpperCase(Locale.ROOT).startsWith("DESCRIBE DETAIL "))
       describeDetailVerb(raw)
+    else if (raw.toUpperCase(Locale.ROOT).startsWith("ALTER TABLE ") &&
+        raw.toUpperCase(Locale.ROOT).contains(" SET PARTITION SPEC"))
+      setPartitionSpecVerb(raw)
     else if (raw.toUpperCase(Locale.ROOT).startsWith("CREATE MATERIALIZED VIEW "))
       createMaterializedView(raw)
     else if (raw.toUpperCase(Locale.ROOT).startsWith("REFRESH MATERIALIZED VIEW "))
@@ -139,6 +142,75 @@ final class GraftSession(
     import spark.implicits._
     Seq((m.group(1), before.toLong, after.toLong))
       .toDF("table_name", "files_before", "files_after")
+  }
+
+  /** `ALTER TABLE <catalog>.<ns>.<table> SET PARTITION SPEC
+    * (days(ts), region, truncate(8, url), ...)` — Iceberg-style
+    * PARTITION SPEC EVOLUTION on a gdisk table: one metadata commit, no
+    * data rewrite. Old files keep their old dirs (new-spec pruning keeps
+    * them conservatively); new writes land in the new layout; `OPTIMIZE`
+    * migrates old files lazily. `()` removes partitioning. Constrained
+    * to the all-columns-in-files family — identity hive layouts cannot
+    * evolve in place (their files lack the partition column bytes). */
+  private def setPartitionSpecVerb(q: String): DataFrame = {
+    val m = """(?is)ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+SET\s+PARTITION\s+SPEC\s*\((.*)\)\s*$""".r
+      .findFirstMatchIn(q).getOrElse(sys.error(s"cannot parse SET PARTITION SPEC: $q"))
+    val parts = m.group(1).split('.')
+    require(parts.length >= 3, "SET PARTITION SPEC targets a catalog table: " +
+      "ALTER TABLE <catalog>.<namespace>.<table> SET PARTITION SPEC (...)")
+    val cat = graft.sources.GraftDiskCatalog.instance(parts.head).getOrElse(
+      sys.error(s"SET PARTITION SPEC: '${parts.head}' is not a registered " +
+        "gdisk catalog (gmem tables are driver-held and unpartitioned)"))
+    // split spec items on TOP-LEVEL commas (truncate(8, url) nests one)
+    val body = m.group(2).trim
+    val items = scala.collection.mutable.Buffer.empty[String]
+    var depth = 0; val cur = new StringBuilder
+    body.foreach {
+      case ',' if depth == 0 => items += cur.toString; cur.clear()
+      case ch =>
+        if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
+        cur += ch
+    }
+    if (cur.toString.trim.nonEmpty || items.nonEmpty) items += cur.toString
+    val specs: Seq[(String, String)] = items.toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { item =>
+        val fm = """(?is)([A-Za-z_]\w*)\s*\((.*)\)""".r.findFirstMatchIn(item)
+        fm match {
+          case None => (item, graft.sources.DiskTransforms.Identity)
+          case Some(f) =>
+            val fn = f.group(1).toLowerCase(Locale.ROOT)
+            val args = f.group(2).split(',').map(_.trim).filter(_.nonEmpty)
+            fn match {
+              case "identity" => (args.head, graft.sources.DiskTransforms.Identity)
+              case "years" | "year" => (args.head, "years")
+              case "months" | "month" => (args.head, "months")
+              case "days" | "day" => (args.head, "days")
+              case "hours" | "hour" => (args.head, "hours")
+              case "truncate" =>
+                require(args.length == 2,
+                  s"truncate takes (width, column): $item")
+                val (w, c) =
+                  if (args(0).forall(_.isDigit)) (args(0), args(1))
+                  else (args(1), args(0))
+                (c, s"truncate:${w.toInt}")
+              case other => sys.error(
+                s"SET PARTITION SPEC: unknown transform '$other' in $item")
+            }
+        }
+      }
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(parts.tail.init, parts.last)
+    val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftDiskTable]
+    val v = t.commitPartitionSpec(specs)
+    import spark.implicits._
+    Seq((m.group(1),
+      specs.map { case (c, k) =>
+        if (k == graft.sources.DiskTransforms.Identity) c
+        else if (k.startsWith("truncate:"))
+          s"truncate(${k.stripPrefix("truncate:")}, $c)"
+        else s"$k($c)"
+      }.mkString(", "), v))
+      .toDF("table_name", "partition_spec", "version")
   }
 
   /** `SHOW PARTITIONS <catalog>.<ns>.<table>` — the gdisk partition

@@ -1280,6 +1280,122 @@ object DdlDml extends QueryModule {
       Some("""SELECT event_id, ts, event_type, value FROM events
         WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
           AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        ORDER BY event_id""")),
+
+    // ---- STREAMING CDC under the oracle gate: `readStream` over the
+    // `.changes` metadata table (Iceberg-style resolution of the CDC
+    // feed) tails the commit log — two ingests stream through as insert
+    // rows with their commit versions, and a metadata-only retention
+    // DELETE of the oldest days streams through as pure delete rows —
+    // the continuous-subscription surface downstream incremental
+    // consumers (MV maintenance, replication) build on. The stream runs
+    // to completion (AvailableNow) into a memory sink; DuckDB recomputes
+    // every expected change row from the raw events windows. ----
+    QueryDef(
+      "ddl_v2_disk_cdf_stream",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("events"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.cdf")
+        s.sql("""CREATE TABLE gdisk.verify.cdf (
+          event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+          PARTITIONED BY (days(ts))""")
+        s.sql("""INSERT INTO gdisk.verify.cdf SELECT event_id, ts, value
+          FROM events WHERE ts < TIMESTAMP '2024-01-10 00:00:00'""")
+        s.sql("""INSERT INTO gdisk.verify.cdf SELECT event_id, ts, value
+          FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+            AND ts < TIMESTAMP '2024-01-20 00:00:00'""")
+        s.sql("""DELETE FROM gdisk.verify.cdf
+          WHERE ts < TIMESTAMP '2024-01-05 00:00:00'""")
+        s.catalog.dropTempView("gdisk_cdf_sink")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("gdisk_cdf_stream").toString
+        val q = s.readStream.table("gdisk.verify.cdf.changes")
+          .writeStream.queryName("gdisk_cdf_sink")
+          .option("checkpointLocation", ckpt)
+          .format("memory")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination() // AvailableNow: bounded — drains the log, stops
+        s.sql("""SELECT _change_type, _commit_version, event_id, ts, value
+          FROM gdisk_cdf_sink
+          ORDER BY _commit_version, _change_type, event_id""")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
+            event_id, ts, value FROM events
+            WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+          UNION ALL
+          SELECT 'insert', CAST(2 AS BIGINT), event_id, ts, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts < TIMESTAMP '2024-01-20 00:00:00'
+          UNION ALL
+          SELECT 'delete', CAST(3 AS BIGINT), event_id, ts, value FROM events
+            WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
+        ) ORDER BY _commit_version, _change_type, event_id""")),
+
+    // ---- PARTITION SPEC EVOLUTION under the oracle gate: an
+    // unpartitioned ingest evolves to days(ts) in ONE metadata commit
+    // (in-query proof: zero files touched), the second ingest lands in
+    // the new day-dir layout, a range query prunes the new generation
+    // while conservatively keeping the old (statsFiles proof), and
+    // OPTIMIZE migrates the old files into day dirs (in-query proof:
+    // every live file under ts_day=). DuckDB recomputes the final state
+    // from the raw events — three layout generations, same answers. ----
+    QueryDef(
+      "ddl_v2_disk_spec_evolution",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("events"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.sev")
+        s.sql("""CREATE TABLE gdisk.verify.sev (
+          event_id BIGINT, ts TIMESTAMP, value DOUBLE)""")
+        s.sql("""INSERT INTO gdisk.verify.sev SELECT event_id, ts, value
+          FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'""")
+        def tbl = graft.sources.GraftDiskCatalog.instance("gdisk").get
+          .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array("verify"), "sev"))
+          .asInstanceOf[graft.sources.GraftDiskTable]
+        val beforeEvo = tbl.liveFiles.toSet
+        val g = new GraftSession(s)
+        g.sql("ALTER TABLE gdisk.verify.sev SET PARTITION SPEC (days(ts))")
+        require(tbl.liveFiles.toSet == beforeEvo,
+          "spec evolution must be metadata-only (zero files touched)")
+        s.sql("""INSERT INTO gdisk.verify.sev SELECT event_id, ts, value
+          FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'""")
+        require(tbl.liveFiles.exists(_.startsWith("ts_day=")),
+          "post-evolution writes must land in the transform layout")
+        // mixed generations prune: the filter excludes some NEW day dirs
+        val probe = s.sql("""SELECT count(*) FROM gdisk.verify.sev
+          WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'""")
+        val m = """statsFiles=(\d+)/(\d+)""".r
+          .findFirstMatchIn(probe.queryExecution.executedPlan.toString)
+        require(m.exists(x => x.group(1).toLong < x.group(2).toLong),
+          s"no pruning over mixed generations: ${m.map(_.matched)}")
+        // OPTIMIZE migrates the pre-evolution generation into day dirs
+        g.sql("OPTIMIZE gdisk.verify.sev")
+        require(tbl.liveFiles.forall(_.startsWith("ts_day=")),
+          s"OPTIMIZE must migrate all files: ${tbl.liveFiles.take(3)}")
+        s.sql("""SELECT event_id, ts, value FROM gdisk.verify.sev
+          WHERE ts >= TIMESTAMP '2024-01-12 00:00:00'
+            AND ts < TIMESTAMP '2024-01-18 00:00:00'
+          ORDER BY event_id""")
+      },
+      Some("""SELECT event_id, ts, value FROM events
+        WHERE ts >= TIMESTAMP '2024-01-12 00:00:00'
+          AND ts < TIMESTAMP '2024-01-18 00:00:00'
         ORDER BY event_id"""))
   )
 }

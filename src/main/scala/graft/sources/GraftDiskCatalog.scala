@@ -169,7 +169,18 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) {
+      // `.changes` METADATA TABLE (Iceberg-style resolution): ns.t.changes
+      // resolves to the CDC feed over ns.t — batch SQL and readStream
+      if (ident.name() == "changes" && ident.namespace().nonEmpty) {
+        val base = Identifier.of(
+          ident.namespace().init, ident.namespace().last)
+        if (tableExists(base))
+          return new GraftDiskChangesTable(
+            loadTable(base).asInstanceOf[GraftDiskTable])
+      }
+      throw new NoSuchTableException(ident)
+    }
     val dir = tableDir(ident)
     val log = new DiskCommitLog(dir, hadoopConf())
     new GraftDiskTable(fullName(ident), log, log.latest(), pinned = None)
@@ -2670,6 +2681,101 @@ class GraftDiskTable(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else perVersion.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** PARTITION SPEC EVOLUTION (Iceberg's move): replace the table's
+    * partition spec in ONE metadata commit — no data rewrite. Old files
+    * keep their old dirs and simply always survive new-spec pruning
+    * (per-file segment lookup is conservative: no segment → keep); new
+    * writes land in the new layout; `OPTIMIZE` migrates lazily by
+    * compacting old files into new-spec dirs. Constrained to the
+    * all-columns-in-files layout family, where mixing generations is
+    * safe by construction: the OLD spec must not be identity hive layout
+    * (its files lack the partition column bytes — stripped into dirs),
+    * and the NEW spec must contain at least one non-identity transform
+    * (or be empty), so `hiveParts` stays empty and no reader ever
+    * basePath-infers over mixed dirs. Bucket specs cannot be the target
+    * (SPJ key grouping requires every file in a `__bucket=` dir). */
+  private[graft] def commitPartitionSpec(
+      specs: Seq[(String, String)]): Long = synchronized {
+    require(pinned.isEmpty,
+      s"gdisk: $tableName is a VERSION AS OF snapshot — snapshots are read-only")
+    val base = log.latest()
+    require(base.hiveParts.isEmpty,
+      s"gdisk: $tableName uses identity hive layout (partition values " +
+        "live in paths, not files) — its spec cannot evolve in place; " +
+        "CREATE TABLE ... AS SELECT into the new layout instead")
+    val kinds = specs.map(_._2)
+    require(specs.isEmpty || kinds.exists(!DiskTransforms.isIdentity(_)),
+      "gdisk: an evolved spec needs at least one transform " +
+        "(days/months/years/hours/truncate) or must be empty — pure " +
+        "identity specs would strip columns new files' readers expect")
+    val resolved = specs.map { case (c0, kind) =>
+      val fld = base.schema.fields.find(_.name.equalsIgnoreCase(c0))
+        .getOrElse(sys.error(s"gdisk: partition column $c0 is not a column " +
+          s"of $tableName"))
+      DiskTransforms.validate(kind, fld.name, fld.dataType).foreach(sys.error(_))
+      (fld.name, kind)
+    }
+    val segs = resolved.map { case (c, k) => DiskTransforms.segName(c, k) }
+    require(segs.distinct.length == segs.length,
+      s"gdisk: duplicate partition dir segments: ${segs.mkString(", ")}")
+    resolved.collect {
+      case (c, k) if !DiskTransforms.isIdentity(k) => DiskTransforms.segName(c, k)
+    }.foreach { sname =>
+      require(!base.schema.fieldNames.exists(_.equalsIgnoreCase(sname)),
+        s"gdisk: partition transform dir segment '$sname' collides with a " +
+          "table column of the same name")
+    }
+    val next = base.copy(
+      version = base.version + 1,
+      added = Nil,
+      numBuckets = None,
+      partitionCols =
+        if (resolved.isEmpty) None else Some(resolved.map(_._1)),
+      partFuncs = if (resolved.isEmpty) None else Some(resolved.map(_._2)))
+    log.write(next)
+    next.version
+  }
+
+  /** The per-version change-file groups the CDC feed is made of —
+    * (manifest to read the files WITH, relative files, change type,
+    * commit version) for every version in `(fromExcl, toIncl]`. Shared
+    * diff logic with [[changes]]: a version that ADDED files feeds its
+    * `added` as inserts plus anything it removed as deletes (COW
+    * pre-images, overwritten partitions); a PURE removal (metadata
+    * DELETE, TRUNCATE) feeds deletes; reorganizations (OPTIMIZE, RENAME
+    * rewrites — removals fully replaced by equivalent adds) are
+    * CDC-silent. Deleted files read with the PREVIOUS version's manifest
+    * (its schema/column mapping is what those bytes carry). */
+  private[sources] def changeGroups(fromExcl: Long, toIncl: Long)
+      : Seq[(DiskManifest, Seq[String], String, Long)] =
+    log.versions()
+      .filter(v => v > fromExcl && v <= toIncl && v >= 1)
+      .flatMap { v =>
+        val m = log.read(v)
+        val prev = log.read(v - 1)
+        val removed = prev.files.filterNot(m.files.toSet)
+        val newFiles = m.files.filterNot(prev.files.toSet)
+        if (m.added.nonEmpty)
+          Seq((m, m.added, "insert", v)) ++
+            (if (removed.nonEmpty) Seq((prev, removed, "delete", v)) else Nil)
+        else if (newFiles.isEmpty && removed.nonEmpty)
+          Seq((prev, removed, "delete", v))
+        else Nil
+      }
+
+  /** Inner parquet FileTable over `files` as MANIFEST `m` describes them
+    * (physical schema + hive inference rules of THAT version) — the CDC
+    * reader must interpret each version's bytes with its own mapping. */
+  private[sources] def innerTableFor(
+      m: DiskManifest, files: Seq[String]): ParquetTable = {
+    val opts =
+      if (m.hiveParts.isEmpty) CaseInsensitiveStringMap.empty()
+      else new CaseInsensitiveStringMap(
+        util.Map.of("basePath", log.dataDir.toString))
+    ParquetTable(tableName, spark, opts, files.map(log.absolute),
+      Some(m.physicalSchema), classOf[ParquetFileFormat])
   }
 
   /** Range-partition + sort `df` on the Morton interleave of the z

@@ -1,0 +1,191 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal => CatalystLiteral, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => SOffset}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The `.changes` METADATA TABLE over a gdisk table — the Iceberg-style
+  * resolution (`SELECT * FROM gdisk.ns.t.changes`) of the CDC feed, and
+  * the STREAMING half of the CDC stack: `spark.readStream.table(
+  * "gdisk.ns.t.changes")` tails the commit log and serves every change
+  * row exactly once per micro-batch window, so downstream incremental
+  * consumers (MV maintenance, replication, audit) subscribe continuously
+  * instead of polling `table_changes(...)` windows themselves.
+  *
+  * Schema: the base table's CURRENT columns plus `_change_type`
+  * (`insert` / `delete`) and `_commit_version`. A COW UPDATE surfaces as
+  * the touched groups' full pre-image deletes + post-image inserts;
+  * reorganizations (OPTIMIZE, RENAME rewrites) are CDC-silent — the same
+  * contract as the batch `table_changes` TVF, proven by the shared
+  * [[GraftDiskTable.changeGroups]] diff. Each version's files are read
+  * with THAT version's manifest (physical column mapping, hive layout);
+  * columns a version did not yet have read as NULL.
+  *
+  * Offsets are manifest versions ([[CountOffset]]), so restart recovery
+  * is exact: a checkpointed stream resumes at the next unserved version
+  * — no change row is lost or repeated across a stop/restart. Options:
+  * `startingVersion` (serve from that commit; default = the full
+  * retained history), `endingVersion` (batch reads only).
+  *
+  * At 100 TB: each micro-batch plans inner vectorized parquet scans over
+  * ONLY the files the window's commits touched — the driver handles file
+  * names, executors read columnar, and per-epoch cost scales with the
+  * delta, never the table.
+  *
+  * Reference scope note: qurious has no change-data-capture surface; this
+  * is part of the Spark-native lakehouse tier (Delta CDF / Iceberg
+  * changelog parity). */
+class GraftDiskChangesTable(private[sources] val inner: GraftDiskTable)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"${inner.name()}.changes"
+
+  override def schema(): StructType =
+    GraftDiskChangesTable.changeSchema(inner.liveSchema)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema()
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan =
+        new GraftDiskChangesScan(inner, required, options)
+    }
+}
+
+object GraftDiskChangesTable {
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  def changeSchema(base: StructType): StructType =
+    base.add(ChangeTypeCol, StringType, nullable = false)
+      .add(CommitVersionCol, LongType, nullable = false)
+}
+
+/** Batch + micro-batch scan over the change feed. Batch serves
+  * `[startingVersion, endingVersion]` (defaults: full retained history →
+  * latest); the micro-batch stream uses manifest versions as offsets and
+  * serves each version's change groups exactly once. */
+class GraftDiskChangesScan(
+    table: GraftDiskTable, required: StructType,
+    options: CaseInsensitiveStringMap)
+  extends Scan with Batch {
+
+  private def firstOffset: Long = {
+    val fromOpt = Option(options.get("startingVersion")).map(_.trim.toLong)
+    // offset semantics: "served THROUGH version n" — start one before
+    fromOpt.map(_ - 1).getOrElse(
+      math.max(0L, table.log.versions().headOption.getOrElse(0L) - 1))
+  }
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftDiskChangesScan(${table.name()})"
+  override def toBatch: Batch = this
+
+  private def partitionsFor(fromExcl: Long, toIncl: Long)
+      : Array[InputPartition] =
+    table.changeGroups(fromExcl, toIncl).toArray.flatMap {
+      case (m, files, ctype, v) =>
+        // prune the inner scan to the requested DATA columns this
+        // version has, translated to its physical names; the reader
+        // binds by the scan's ACTUAL output schema (hive partition
+        // columns append after data columns), re-labeled to logical
+        val want = StructType(required.fields.filter(f =>
+          f.name != GraftDiskChangesTable.ChangeTypeCol &&
+            f.name != GraftDiskChangesTable.CommitVersionCol &&
+            m.schema.fieldNames.contains(f.name)))
+        val sb = table.innerTableFor(m, files)
+          .newScanBuilder(CaseInsensitiveStringMap.empty())
+        sb.pruneColumns(m.toPhysical(want))
+        val scan = sb.build()
+        val b = scan.toBatch
+        val factory = b.createReaderFactory()
+        val innerLogical = StructType(scan.readSchema().fields.map(f =>
+          f.copy(name = m.logicalOf(f.name))))
+        b.planInputPartitions().map(p =>
+          ChangeTagPartition(p, factory, ctype, v, innerLogical)
+            : InputPartition)
+    }
+
+  // ------------------------------------------------------------- batch
+  override def planInputPartitions(): Array[InputPartition] = {
+    val to = Option(options.get("endingVersion")).map(_.trim.toLong)
+      .getOrElse(table.log.latestVersion())
+    partitionsFor(firstOffset, to)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangeAppendingReaderFactory(required)
+
+  // --------------------------------------------------------- streaming
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream = new MicroBatchStream {
+    override def initialOffset(): SOffset = CountOffset(firstOffset)
+    override def latestOffset(): SOffset =
+      CountOffset(table.log.latestVersion())
+    override def deserializeOffset(json: String): SOffset =
+      CountOffset(json.trim.toLong)
+    override def planInputPartitions(
+        start: SOffset, end: SOffset): Array[InputPartition] =
+      partitionsFor(start.asInstanceOf[CountOffset].n,
+        end.asInstanceOf[CountOffset].n)
+    override def createReaderFactory(): PartitionReaderFactory =
+      new ChangeAppendingReaderFactory(required)
+    override def commit(end: SOffset): Unit = ()
+    override def stop(): Unit = ()
+  }
+}
+
+/** An inner file-scan partition tagged with its change type, commit
+  * version, and the inner scan's actual (logical-named) output schema. */
+case class ChangeTagPartition(
+    inner: InputPartition, factory: PartitionReaderFactory,
+    changeType: String, version: Long, innerSchema: StructType)
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Projects each inner row into the required change-feed shape:
+  * `_change_type` / `_commit_version` come from the partition tag; data
+  * columns bind by name against the inner scan's output; columns the
+  * version's schema did not have read as NULL (schema evolution). */
+class ChangeAppendingReaderFactory(required: StructType)
+  extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[ChangeTagPartition]
+    val innerSchema = cp.innerSchema
+    val r = cp.factory.createReader(cp.inner)
+    val proj = UnsafeProjection.create(required.fields.map { f =>
+      f.name match {
+        case GraftDiskChangesTable.ChangeTypeCol =>
+          CatalystLiteral(
+            org.apache.spark.unsafe.types.UTF8String.fromString(cp.changeType),
+            StringType): org.apache.spark.sql.catalyst.expressions.Expression
+        case GraftDiskChangesTable.CommitVersionCol =>
+          CatalystLiteral(cp.version, LongType)
+        case n =>
+          val i = innerSchema.fieldNames.indexOf(n)
+          if (i >= 0)
+            BoundReference(i, innerSchema(i).dataType, innerSchema(i).nullable)
+          else CatalystLiteral(null, f.dataType)
+      }
+    }.toSeq)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = proj(r.get())
+      override def close(): Unit = r.close()
+    }
+  }
+}

@@ -1871,6 +1871,133 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gdspec.lake.tpd").head().getLong(0) == 40L)
   }
 
+  // ---- `.changes` metadata table: batch + streaming CDC ---------------
+
+  test(".changes metadata table serves the CDC feed as batch SQL") {
+    spark.sql("CREATE TABLE gdspec.lake.cdb (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.cdb VALUES (1, 10), (2, 20)") // v1
+    spark.sql("INSERT INTO gdspec.lake.cdb VALUES (3, 30)")          // v2
+    spark.sql("UPDATE gdspec.lake.cdb SET v = 99 WHERE id = 3")      // v3 COW
+    val rows = spark.sql(
+      "SELECT _change_type, _commit_version, id, v " +
+        "FROM gdspec.lake.cdb.changes ORDER BY _commit_version, _change_type, id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(rows == Seq(
+      ("insert", 1L, 1L, 10L), ("insert", 1L, 2L, 20L),
+      ("insert", 2L, 3L, 30L),
+      // the COW UPDATE: pre-image delete + post-image insert
+      ("delete", 3L, 3L, 30L), ("insert", 3L, 3L, 99L)), rows.toString)
+    // startingVersion narrows the window (DataFrameReader options)
+    val fromV3 = spark.read.option("startingVersion", "3")
+      .table("gdspec.lake.cdb.changes")
+      .select("_commit_version").collect().map(_.getLong(0)).toSet
+    assert(fromV3 == Set(3L), fromV3.toString)
+    // column pruning binds by name; pruned reads stay exact
+    val pruned = spark.sql(
+      "SELECT id FROM gdspec.lake.cdb.changes WHERE _change_type = 'delete'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(pruned == Seq(3L))
+  }
+
+  test(".changes streaming source delivers each change once across a stop/restart") {
+    spark.sql("CREATE TABLE gdspec.lake.cds (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO gdspec.lake.cds SELECT id, " +
+      "timestamp'2024-07-01 08:00:00' + make_interval(0,0,0,CAST(id % 3 AS INT)) " +
+      "FROM range(9)") // v1: 9 rows over 3 days
+    val ckpt = java.nio.file.Files.createTempDirectory("gdisk_cdf").toString
+    val seen = scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Boolean]
+    def run(): Unit = {
+      val q = spark.readStream.table("gdspec.lake.cds.changes")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("_change_type", "_commit_version", "id").collect()
+            .foreach(r => seen.put((r.getString(0), r.getLong(1), r.getLong(2)), true))
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(seen.keySet == (0L until 9L).map(i => ("insert", 1L, i)).toSet,
+      seen.keySet.toString)
+    seen.clear() // the restart must deliver ONLY post-checkpoint changes
+    spark.sql("INSERT INTO gdspec.lake.cds VALUES " +
+      "(100, timestamp'2024-07-05 09:00:00')") // v2
+    // v3: metadata-only retention delete of day 1 → pure delete rows
+    spark.sql("DELETE FROM gdspec.lake.cds " +
+      "WHERE ts < timestamp'2024-07-02 00:00:00'")
+    run()
+    val expectDeletes = (0L until 9L).filter(_ % 3 == 0)
+      .map(i => ("delete", 3L, i)).toSet
+    assert(seen.keySet == expectDeletes + (("insert", 2L, 100L)),
+      seen.keySet.toString)
+  }
+
+  // ---- partition spec EVOLUTION ---------------------------------------
+
+  test("partition spec evolution: metadata-only, mixed generations prune safely, OPTIMIZE migrates") {
+    val g = new GraftSession(spark)
+    spark.sql("CREATE TABLE gdspec.lake.pse (id BIGINT, ts TIMESTAMP, v BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.pse SELECT id, " +
+      "timestamp'2024-08-01 10:00:00' + make_interval(0,0,0,CAST(id % 4 AS INT)), " +
+      "id FROM range(40)") // v1: unpartitioned files
+    def files(): Seq[String] = {
+      val t = graft.sources.GraftDiskCatalog.instance("gdspec").get
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("lake"), "pse")).asInstanceOf[GraftDiskTable]
+      t.liveFiles
+    }
+    val beforeEvo = files().toSet
+    // v2: evolve to days(ts) — ONE metadata commit, zero files touched
+    val out = g.sql("ALTER TABLE gdspec.lake.pse SET PARTITION SPEC (days(ts))")
+      .collect().head
+    assert(out.getString(1) == "days(ts)" && files().toSet == beforeEvo)
+    // v3: new writes land in the new layout
+    spark.sql("INSERT INTO gdspec.lake.pse SELECT id + 100, " +
+      "timestamp'2024-08-01 10:00:00' + make_interval(0,0,0,CAST(id % 4 AS INT)), " +
+      "id FROM range(40)")
+    assert(files().exists(_.startsWith("ts_day=")), files().mkString(","))
+    // mixed generations: range pruning drops out-of-range NEW files and
+    // conservatively keeps every pre-evolution file; rows stay exact
+    val dfM = spark.sql("SELECT count(*), sum(v) FROM gdspec.lake.pse " +
+      "WHERE ts >= timestamp'2024-08-03 00:00:00'")
+    val (keptM, totalM) = statsFilesOf(dfM)
+    assert(keptM < totalM, s"no pruning over mixed generations: $keptM/$totalM")
+    val expN = 2 * (0 until 40).count(_ % 4 >= 2)
+    val expS = 2L * (0 until 40).filter(_ % 4 >= 2).map(_.toLong).sum
+    assert(dfM.head().toSeq == Seq(expN.toLong, expS))
+    // OPTIMIZE migrates the old generation into the new layout
+    g.sql("OPTIMIZE gdspec.lake.pse")
+    assert(files().forall(_.startsWith("ts_day=")), files().mkString(","))
+    val dfA = spark.sql("SELECT count(*), sum(v) FROM gdspec.lake.pse " +
+      "WHERE ts >= timestamp'2024-08-03 00:00:00'")
+    val (keptA, totalA) = statsFilesOf(dfA)
+    assert(keptA < totalA && dfA.head().toSeq == Seq(expN.toLong, expS))
+    // time travel serves the PRE-evolution spec's snapshot
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.pse VERSION AS OF 1")
+      .head().getLong(0) == 40L)
+    // removing partitioning is also one metadata commit
+    g.sql("ALTER TABLE gdspec.lake.pse SET PARTITION SPEC ()")
+    spark.sql("INSERT INTO gdspec.lake.pse VALUES " +
+      "(999, timestamp'2024-08-09 00:00:00', 9)")
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.pse").head().getLong(0) == 81L)
+  }
+
+  test("partition spec evolution rejects identity hive layouts and pure-identity targets") {
+    val g = new GraftSession(spark)
+    spark.sql("CREATE TABLE gdspec.lake.psid (id BIGINT, grp STRING) " +
+      "PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO gdspec.lake.psid VALUES (1, 'a')")
+    val e1 = intercept[Exception](
+      g.sql("ALTER TABLE gdspec.lake.psid SET PARTITION SPEC (truncate(1, grp))"))
+    assert(e1.getMessage.contains("identity hive layout"), e1.getMessage)
+    spark.sql("CREATE TABLE gdspec.lake.psu (id BIGINT, grp STRING)")
+    val e2 = intercept[Exception](
+      g.sql("ALTER TABLE gdspec.lake.psu SET PARTITION SPEC (grp)"))
+    assert(e2.getMessage.contains("at least one transform"), e2.getMessage)
+  }
+
   test("transform specs reject invalid types and segment collisions") {
     val e1 = intercept[Exception](spark.sql(
       "CREATE TABLE gdspec.lake.bad1 (id BIGINT, s STRING) " +
