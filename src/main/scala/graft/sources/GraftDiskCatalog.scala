@@ -2383,8 +2383,8 @@ class GraftDiskTable(
     // parsed partition values (metadata only, zero file I/O); it may
     // reference identity partition columns only.
     val scopeDirs: Option[Set[String]] = whereSql.map { w =>
-      require(base.hiveParts.nonEmpty,
-        "gdisk: OPTIMIZE ... WHERE needs an identity-partitioned table " +
+      require(base.hiveParts.nonEmpty || base.hasTransforms,
+        "gdisk: OPTIMIZE ... WHERE needs a partitioned table " +
           "(the predicate scopes partition dirs)")
       import org.apache.spark.sql.catalyst.expressions.{AttributeReference => AR, BindReferences, BinaryComparison, Cast => CCast, EvalMode, In => CIn, Literal => CLit}
       val partFields = base.partCols.map(c =>
@@ -2399,35 +2399,76 @@ class GraftDiskTable(
                 s"(${base.partCols.mkString(", ")}), not '${u.name}'"))
         }
       // minimal literal coercion — a '2026-01-01' string against a DATE
-      // partition column, an int against BIGINT
+      // or TIMESTAMP partition column, an int against BIGINT (timestamp
+      // casts need the session zone to evaluate)
+      val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
       val coerced = resolved.transformUp {
         case cmp: BinaryComparison =>
           (cmp.left, cmp.right) match {
             case (a: AR, l: CLit) if l.dataType != a.dataType =>
               cmp.withNewChildren(Seq(a,
-                CCast(l, a.dataType, None, EvalMode.LEGACY)))
+                CCast(l, a.dataType, tz, EvalMode.LEGACY)))
             case (l: CLit, a: AR) if l.dataType != a.dataType =>
               cmp.withNewChildren(Seq(
-                CCast(l, a.dataType, None, EvalMode.LEGACY), a))
+                CCast(l, a.dataType, tz, EvalMode.LEGACY), a))
             case _ => cmp
           }
         case in @ CIn(a: AR, elems) if elems.forall(_.isInstanceOf[CLit]) =>
           CIn(a, elems.map {
             case l: CLit if l.dataType != a.dataType =>
-              CCast(l, a.dataType, None, EvalMode.LEGACY)
+              CCast(l, a.dataType, tz, EvalMode.LEGACY)
             case l => l
           })
       }
-      val bound = BindReferences.bindReference(coerced,
-        org.apache.spark.sql.catalyst.expressions.AttributeSeq(attrs))
       def dirOf(f: String) = f.split('/').init.mkString("/")
-      base.files.map(dirOf).distinct.filter { d =>
-        val probe = d + "/x.parquet"
-        val vals = base.partCols.map(c =>
-          GraftDiskCatalog.dirValue(this, probe, c).orNull)
-        bound.eval(new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(vals.toArray)) == true
-      }.toSet
+      if (base.hasTransforms) {
+        // TRANSFORM layout: scope = the dirs whose transform-value range
+        // INTERSECTS the predicate (the same monotonic-bound logic the
+        // scan pruner uses — `OPTIMIZE t WHERE ts < current_date` scopes
+        // to the closed days). Compaction preserves rows, so an
+        // intersecting boundary dir compacting is semantics-free.
+        import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq, GreaterThan => CGt, GreaterThanOrEqual => CGte, IsNotNull => CNotNull, IsNull => CIsNull, LessThan => CLt, LessThanOrEqual => CLte}
+        def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+          e match {
+            case CAnd(l, r) => split(l) ++ split(r)
+            case other => Seq(other)
+          }
+        // fold the coercion casts so the pruner sees plain literals
+        val folded = coerced.transformUp {
+          case c: CCast if c.child.isInstanceOf[CLit] =>
+            CLit.create(c.eval(null), c.dataType)
+        }
+        val conj = split(folded)
+        conj.foreach {
+          case CEq(_: AR, _: CLit) | CEq(_: CLit, _: AR) => ()
+          case CIn(_: AR, elems) if elems.forall(_.isInstanceOf[CLit]) => ()
+          case CGt(_: AR, _: CLit) | CGt(_: CLit, _: AR) => ()
+          case CGte(_: AR, _: CLit) | CGte(_: CLit, _: AR) => ()
+          case CLt(_: AR, _: CLit) | CLt(_: CLit, _: AR) => ()
+          case CLte(_: AR, _: CLit) | CLte(_: CLit, _: AR) => ()
+          case CIsNull(_: AR) | CNotNull(_: AR) => ()
+          case other => sys.error(
+            "gdisk: OPTIMIZE WHERE on a transform layout supports " +
+              "=, IN, <, <=, >, >=, IS [NOT] NULL over partition " +
+              s"columns; got ${other.sql}")
+        }
+        val k1 = GraftDiskCatalog.identityKeepFiles(this, base.files, conj)
+          .getOrElse(base.files)
+        val kept = GraftDiskCatalog.transformKeepFiles(this, k1, conj)
+          .getOrElse(k1)
+        kept.map(dirOf).toSet
+      } else {
+        val bound = BindReferences.bindReference(coerced,
+          org.apache.spark.sql.catalyst.expressions.AttributeSeq(attrs))
+        base.files.map(dirOf).distinct.filter { d =>
+          val probe = d + "/x.parquet"
+          val vals = base.partCols.map(c =>
+            GraftDiskCatalog.dirValue(this, probe, c).orNull)
+          bound.eval(new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(vals.toArray)) == true
+        }.toSet
+      }
     }
     def inScope(f: String): Boolean =
       scopeDirs.forall(_.contains(f.split('/').init.mkString("/")))

@@ -1934,6 +1934,33 @@ class DiskCatalogSpec extends AnyFunSuite {
       seen.keySet.toString)
   }
 
+  test("OPTIMIZE WHERE scopes to the matching transform dirs only") {
+    spark.sql("CREATE TABLE gdspec.lake.tow (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    for (b <- 0 until 3)
+      spark.sql(s"INSERT INTO gdspec.lake.tow SELECT id, " +
+        "timestamp'2024-09-01 06:00:00' + make_interval(0,0,0,CAST(id % 2 AS INT)) " +
+        "FROM range(0, 8, 1, 2)")
+    def t = graft.sources.GraftDiskCatalog.instance("gdspec").get
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("lake"), "tow")).asInstanceOf[GraftDiskTable]
+    val day2Before = t.liveFiles.filter(_.startsWith("ts_day=2024-09-02/")).toSet
+    assert(day2Before.size > 1, s"need multiple day-2 files: $day2Before")
+    val g = new GraftSession(spark)
+    // strict `<` at midnight excludes day 2 entirely (boundary tighten)
+    g.sql("OPTIMIZE gdspec.lake.tow WHERE ts < '2024-09-02 00:00:00'")
+    val after = t.liveFiles
+    assert(after.filter(_.startsWith("ts_day=2024-09-02/")).toSet == day2Before,
+      "out-of-scope day 2 must stay byte-for-byte untouched")
+    assert(after.count(_.startsWith("ts_day=2024-09-01/")) == 1,
+      s"day 1 must compact to one file: ${after.filter(_.startsWith("ts_day=2024-09-01/"))}")
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.tow").head().getLong(0) == 24L)
+    // non-prunable predicate shapes refuse with guidance
+    val e = intercept[Exception](
+      g.sql("OPTIMIZE gdspec.lake.tow WHERE id % 2 = 0"))
+    assert(e.getMessage.contains("partition columns"), e.getMessage)
+  }
+
   // ---- partition spec EVOLUTION ---------------------------------------
 
   test("partition spec evolution: metadata-only, mixed generations prune safely, OPTIMIZE migrates") {
