@@ -189,8 +189,15 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
   /** `VERSION AS OF v` — a read-only view over manifest `v`'s file list. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = try version.trim.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"gdisk: VERSION AS OF expects a numeric commit id, got '$version'")
+      case _: NumberFormatException =>
+        // non-numeric: a TAG name — resolve through the latest manifest
+        if (!tableExists(ident)) throw new NoSuchTableException(ident)
+        val log = new DiskCommitLog(tableDir(ident), hadoopConf())
+        val tags = GraftDiskCatalog.parseTags(log.latest().properties)
+        tags.getOrElse(version.trim, throw new IllegalArgumentException(
+          s"gdisk: VERSION AS OF expects a numeric commit id or a tag " +
+            s"name, got '$version' (tags: " +
+            s"${if (tags.isEmpty) "none" else tags.keys.mkString(", ")})"))
     }
     loadVersion(ident, v)
   }
@@ -599,6 +606,20 @@ object GraftDiskCatalog {
   /** Physical column names still present in old data files whose logical
     * column was DROPPED — ADD COLUMN must not hand them out again. */
   val ReservedPhysicalProp = "graft.columnmapping.reserved"
+
+  /** Named tag refs (`name=version` pairs, comma-joined — names are
+    * restricted to a safe charset so the encoding is unambiguous). */
+  val TagsProp = "graft.tags"
+
+  private[sources] def parseTags(props: Map[String, String]): Map[String, Long] =
+    props.get(TagsProp).toSeq.flatMap(_.split(','))
+      .filter(_.contains('=')).map { kv =>
+        val i = kv.lastIndexOf('=')
+        kv.substring(0, i) -> kv.substring(i + 1).toLong
+      }.toMap
+
+  private[sources] def renderTags(tags: Map[String, Long]): String =
+    tags.toSeq.sortBy(_._1).map { case (n, v) => s"$n=$v" }.mkString(",")
 
   /** Files dropped by RUNTIME (dynamic-partition / dynamic-bucket)
     * pruning since JVM start — the observable evidence plan proofs and
@@ -1482,8 +1503,14 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
   def vacuum(retain: Int): Unit = {
     require(retain >= 1, "gdisk: VACUUM must retain at least 1 version")
     val vs = versions()
-    val (_, keep) = vs.splitAt(math.max(0, vs.length - retain))
-    val hz = keep.headOption.getOrElse(return)
+    val (_, keepSuffix) = vs.splitAt(math.max(0, vs.length - retain))
+    // TAGS pin history: the horizon never crosses the oldest tagged
+    // version, so a `VERSION AS OF 'tag'` read stays serviceable for as
+    // long as the tag lives (DROP TAG + VACUUM reclaims it)
+    val tagged = GraftDiskCatalog.parseTags(latest().properties).values
+    val hz0 = keepSuffix.headOption.getOrElse(return)
+    val hz = (tagged ++ Seq(hz0)).min
+    val keep = vs.filter(_ >= hz)
     // materialize the kept manifests BEFORE the horizon moves (read
     // refuses sub-horizon versions)
     val referenced = keep.flatMap(v => read(v).files).toSet
@@ -2723,6 +2750,56 @@ class GraftDiskTable(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else perVersion.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** TAGS — named immutable refs to versions (Iceberg's tag / Delta's
+    * pinned snapshot): `VERSION AS OF 'name'` resolves through the
+    * latest manifest's tag map, and VACUUM retains history back to the
+    * OLDEST tagged version (the horizon never crosses a tag), so a
+    * release-pinned dataset snapshot stays reproducible for as long as
+    * its tag lives. Stored as a table property, so tags ride the normal
+    * commit protocol (one metadata commit each, visible in history). */
+  private[graft] def commitCreateTag(name: String, asOf: Option[Long]): Long =
+    synchronized {
+      require(pinned.isEmpty,
+        s"gdisk: $tableName is a VERSION AS OF snapshot — snapshots are read-only")
+      require(name.matches("[A-Za-z][A-Za-z0-9._-]*"),
+        s"gdisk: tag name '$name' must match [A-Za-z][A-Za-z0-9._-]*")
+      val base = log.latest()
+      val tags = GraftDiskCatalog.parseTags(base.properties)
+      require(!tags.contains(name),
+        s"gdisk: tag '$name' already exists on $tableName " +
+          s"(at version ${tags(name)}) — DROP TAG first")
+      val v = asOf.getOrElse(base.version)
+      require(log.versions().contains(v),
+        s"gdisk: cannot tag version $v — not a retained version of $tableName")
+      val next = base.copy(version = base.version + 1, added = Nil,
+        properties = base.properties +
+          (GraftDiskCatalog.TagsProp ->
+            GraftDiskCatalog.renderTags(tags + (name -> v))))
+      log.write(next)
+      next.version
+    }
+
+  private[graft] def commitDropTag(name: String): Long = synchronized {
+    require(pinned.isEmpty,
+      s"gdisk: $tableName is a VERSION AS OF snapshot — snapshots are read-only")
+    val base = log.latest()
+    val tags = GraftDiskCatalog.parseTags(base.properties)
+    require(tags.contains(name),
+      s"gdisk: no tag '$name' on $tableName " +
+        s"(tags: ${if (tags.isEmpty) "none" else tags.keys.mkString(", ")})")
+    val rest = tags - name
+    val next = base.copy(version = base.version + 1, added = Nil,
+      properties =
+        if (rest.isEmpty) base.properties - GraftDiskCatalog.TagsProp
+        else base.properties +
+          (GraftDiskCatalog.TagsProp -> GraftDiskCatalog.renderTags(rest)))
+    log.write(next)
+    next.version
+  }
+
+  private[graft] def liveTags: Map[String, Long] =
+    GraftDiskCatalog.parseTags(log.latest().properties)
 
   /** PARTITION SPEC EVOLUTION (Iceberg's move): replace the table's
     * partition spec in ONE metadata commit — no data rewrite. Old files
