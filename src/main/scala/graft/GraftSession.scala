@@ -86,8 +86,45 @@ final class GraftSession(
       createMaterializedView(raw)
     else if (raw.toUpperCase(Locale.ROOT).startsWith("REFRESH MATERIALIZED VIEW "))
       refreshMaterializedView(raw)
-    else if (addressesV2Catalog(raw)) spark.sql(normalizeV2Ddl(raw))
+    else if (addressesV2Catalog(raw)) {
+      guardTxDestructiveV2(raw)
+      spark.sql(normalizeV2Ddl(raw))
+    }
     else sqlFrontDoor(raw)
+  }
+
+  /** Statements that could not participate in ROLLBACK are rejected
+    * inside a transaction when they target a gdisk table: DROP TABLE /
+    * DROP NAMESPACE CASCADE delete real data files (unrecoverable — the
+    * view-swap tier rejects DROP inside a tx for the same reason), and
+    * ALTER TABLE ... RENAME would orphan the BEGIN watermark (rollback
+    * would wrongly treat the renamed table as created inside the tx and
+    * drop its data). Everything else — INSERT/UPDATE/DELETE/MERGE/
+    * TRUNCATE/OPTIMIZE/CREATE/ALTER column changes — rolls back via
+    * restoreToVersion, whose pre-images stay on disk until VACUUM (also
+    * guarded). */
+  private def guardTxDestructiveV2(q: String): Unit = {
+    if (txWatermarks.isEmpty) return
+    val up = q.toUpperCase(Locale.ROOT).replaceAll("\\s+", " ")
+    val verb =
+      if (up.startsWith("DROP TABLE")) Some("DROP TABLE")
+      else if (up.startsWith("DROP NAMESPACE") || up.startsWith("DROP SCHEMA")
+        || up.startsWith("DROP DATABASE")) Some("DROP NAMESPACE")
+      else if (up.startsWith("ALTER TABLE") && up.contains(" RENAME TO"))
+        Some("ALTER TABLE RENAME")
+      else None
+    verb.foreach { v =>
+      val gdiskNames = gdiskCatalogs().keys.map(_.toLowerCase(Locale.ROOT))
+      val targetsGdisk = MutatingTargetRe.findFirstMatchIn(q) match {
+        case Some(m) =>
+          val target = m.group(1).toLowerCase(Locale.ROOT)
+          gdiskNames.exists(c => target.startsWith(c + "."))
+        case None => // DROP NAMESPACE has no MutatingTargetRe shape
+          gdiskNames.exists(c =>
+            up.toLowerCase(Locale.ROOT).matches(s".*\\b$c\\s*\\..*"))
+      }
+      if (targetsGdisk) requireNoTx(s"$v on a gdisk table")
+    }
   }
 
   /** Spark SQL rejects bare `VARCHAR` (DATATYPE_MISSING_SIZE); the
@@ -268,6 +305,9 @@ final class GraftSession(
     * identity partition columns, skipping stats harvest from footers in
     * one distributed job. Returns (table_name, files, row_count). */
   private def convertToGdiskVerb(q: String): DataFrame = {
+    // CONVERT consumes its source files (rename into the table dir); a
+    // rollback would drop the table and DELETE the adopted data
+    requireNoTx("CONVERT TO GDISK")
     val m = ("""(?is)CONVERT\s+TO\s+GDISK\s+'([^']+)'\s+AS\s+""" +
       """([A-Za-z_][\w.]*)\s*""").r
       .findFirstMatchIn(q).getOrElse(sys.error(s"cannot parse CONVERT: $q"))
@@ -362,6 +402,9 @@ final class GraftSession(
     * hours survives (commit stamps are monotonic, so it reduces to a
     * count-based vacuum of the newest k). */
   private def vacuumTable(q: String): DataFrame = {
+    // inside a tx, VACUUM could sweep the very snapshots ROLLBACK needs
+    // (gmem history versions, gdisk pre-image data files)
+    requireNoTx("VACUUM")
     val m = ("""(?is)VACUUM\s+([A-Za-z_][\w.]*)""" +
       """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS?|HOURS?))?\s*""").r
       .findFirstMatchIn(q).getOrElse(sys.error(s"cannot parse VACUUM: $q"))
@@ -1676,11 +1719,18 @@ final class GraftSession(
     require(txWatermarks.isEmpty, s"$what inside a transaction is not supported")
 
   // per registered gmem catalog: table -> history watermark at BEGIN. One
-  // transaction surface spans BOTH mutable-table engines — the view-swap
-  // manager and every GraftMemCatalog — so `BEGIN; INSERT INTO gmem.ns.t
-  // ...; ROLLBACK` undoes V2 writes exactly like front-door ones.
+  // transaction surface spans ALL THREE mutable-table engines — the
+  // view-swap manager, every GraftMemCatalog, and every GraftDiskCatalog
+  // — so `BEGIN; INSERT INTO gmem.ns.t ...; ROLLBACK` undoes V2 writes
+  // exactly like front-door ones.
   private var txV2Marks
       : Map[String, Map[(List[String], String), Long]] = Map.empty
+
+  // per registered gdisk catalog: (namespace, table) -> manifest version
+  // at BEGIN. ROLLBACK restores each mutated table via restoreToVersion
+  // (itself a new commit — append-only undo, the same discipline as the
+  // gmem history) and drops tables created inside the transaction.
+  private var txDiskMarks: Map[String, Map[(String, String), Long]] = Map.empty
 
   /** Registered [[graft.sources.GraftMemCatalog]] instances, by name. */
   private def gmemCatalogs(): Map[String, graft.sources.GraftMemCatalog] = {
@@ -1709,6 +1759,11 @@ final class GraftSession(
     txWatermarks = Some(
       tables.listTables().map(t => t -> tables.versionCount(t)).toMap)
     txV2Marks = gmemCatalogs().map { case (n, c) => n -> c.snapshotVersions() }
+    txDiskMarks = gdiskCatalogs().map { case (n, c) =>
+      n -> c.listAllTables().map { case (ns, t, tbl) =>
+        (ns, t) -> tbl.log.latestVersion()
+      }.toMap
+    }
     spark.emptyDataFrame
   }
 
@@ -1716,6 +1771,7 @@ final class GraftSession(
     require(txWatermarks.isDefined, "no transaction in progress")
     txWatermarks = None
     txV2Marks = Map.empty
+    txDiskMarks = Map.empty
     spark.emptyDataFrame
   }
 
@@ -1731,8 +1787,30 @@ final class GraftSession(
     // were created inside it and are dropped
     for ((n, c) <- gmemCatalogs())
       c.rollbackTo(txV2Marks.getOrElse(n, Map.empty))
+    // gdisk catalogs: every table mutated since BEGIN restores to its
+    // watermark manifest (restoreToVersion — a NEW commit re-serving the
+    // old snapshot, so history stays append-only and inside-tx data
+    // files stay on disk until VACUUM, which is guarded inside a tx);
+    // tables created inside the transaction are dropped, same contract
+    // as gmem. Metadata-only inside-tx commits (ANALYZE, tags) roll back
+    // with the manifest like everything else.
+    for ((n, c) <- gdiskCatalogs()) {
+      val diskMarks = txDiskMarks.getOrElse(n, Map.empty)
+      for ((ns, t, tbl) <- c.listAllTables()) {
+        val ident = org.apache.spark.sql.connector.catalog.Identifier
+          .of(ns.split('.'), t)
+        diskMarks.get((ns, t)) match {
+          case Some(v) if tbl.log.latestVersion() > v => tbl.restoreToVersion(v)
+          case Some(_) => () // untouched during the transaction
+          case None => // created inside the transaction
+            c.dropMvMarker(ident) // harmless no-op for plain tables
+            c.dropTable(ident)
+        }
+      }
+    }
     txWatermarks = None
     txV2Marks = Map.empty
+    txDiskMarks = Map.empty
     spark.emptyDataFrame
   }
 

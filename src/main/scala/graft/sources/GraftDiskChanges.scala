@@ -83,9 +83,15 @@ class GraftDiskChangesScan(
 
   private def firstOffset: Long = {
     val fromOpt = Option(options.get("startingVersion")).map(_.trim.toLong)
-    // offset semantics: "served THROUGH version n" — start one before
-    fromOpt.map(_ - 1).getOrElse(
-      math.max(0L, table.log.versions().headOption.getOrElse(0L) - 1))
+    // offset semantics: "served THROUGH version n" — start one before.
+    // Serving version v diffs against v-1's manifest, so the start must
+    // never sit below the VACUUM horizon: the DEFAULT is the oldest
+    // retained version (serve (head, latest], matching the streaming
+    // source's initialOffset = head — head's own predecessor is gone),
+    // and an explicit pre-horizon startingVersion clamps to it instead
+    // of throwing 'version removed by VACUUM' on every read.
+    val head = table.log.versions().headOption.getOrElse(0L)
+    fromOpt.map(v => math.max(v - 1, head)).getOrElse(head)
   }
 
   override def readSchema(): StructType = required
@@ -100,11 +106,14 @@ class GraftDiskChangesScan(
         // prune the inner scan to the requested DATA columns this
         // version has, translated to its physical names; the reader
         // binds by the scan's ACTUAL output schema (hive partition
-        // columns append after data columns), re-labeled to logical
-        val want = StructType(required.fields.filter(f =>
-          f.name != GraftDiskChangesTable.ChangeTypeCol &&
-            f.name != GraftDiskChangesTable.CommitVersionCol &&
-            m.schema.fieldNames.contains(f.name)))
+        // columns append after data columns), re-labeled to logical.
+        // Resolution is case-INSENSITIVE like the rest of the engine —
+        // and uses the version's own field (name spelling + type), so
+        // the physical-name mapping and the inner scan stay consistent
+        val want = StructType(required.fields.flatMap(f =>
+          if (f.name == GraftDiskChangesTable.ChangeTypeCol ||
+              f.name == GraftDiskChangesTable.CommitVersionCol) None
+          else m.schema.fields.find(_.name.equalsIgnoreCase(f.name))))
         val sb = table.innerTableFor(m, files)
           .newScanBuilder(CaseInsensitiveStringMap.empty())
         sb.pruneColumns(m.toPhysical(want))
@@ -176,7 +185,8 @@ class ChangeAppendingReaderFactory(required: StructType)
         case GraftDiskChangesTable.CommitVersionCol =>
           CatalystLiteral(cp.version, LongType)
         case n =>
-          val i = innerSchema.fieldNames.indexOf(n)
+          // case-insensitive, like every other column resolution here
+          val i = innerSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
           if (i >= 0)
             BoundReference(i, innerSchema(i).dataType, innerSchema(i).nullable)
           else CatalystLiteral(null, f.dataType)
