@@ -33,6 +33,35 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.regressions(Map("a" -> 0.4), Map("a" -> 0.9)).isEmpty)
   }
 
+  test("regression gate skips a baseline measured at a different sf") {
+    val base = """{"medians":{"q1":1.0,"zorder":2.0},"sf":"/data/sf0.01"}"""
+    // same entries 10x slower — across scale factors that is DATA, not a
+    // plan regression, and the gate must say "skipped", never flag
+    val cur = Map("q1" -> 10.0, "zorder" -> 20.0)
+    Bench.gateAgainstBaseline(base, "/data/sf0.1", cur) match {
+      case Left(reason) =>
+        assert(reason.contains("sf changed"), reason)
+        assert(reason.contains("/data/sf0.01") && reason.contains("/data/sf0.1"))
+      case Right(r) => fail(s"expected a skip, got regressions $r")
+    }
+    // same sf: the diff runs and the real regression IS flagged
+    assert(Bench.gateAgainstBaseline(base, "/data/sf0.01", cur) ==
+      Right(Map("q1" -> ((1.0, 10.0)), "zorder" -> ((2.0, 20.0)))))
+    // a baseline that never recorded sf is also incomparable
+    assert(Bench.gateAgainstBaseline(
+      """{"medians":{"q1":1.0}}""", "/data/sf0.1", cur).isLeft)
+  }
+
+  test("baseline sf parses from the report JSON") {
+    assert(Bench.parseSf("""{"medians":{},"sf":"/root/testdata/sf0.1"}""")
+      .contains("/root/testdata/sf0.1"))
+    assert(Bench.parseSf("""{"medians":{}}""").isEmpty)
+    // the committed baseline must carry its sf
+    val p = java.nio.file.Paths.get("bench_baseline.json")
+    if (java.nio.file.Files.exists(p))
+      assert(Bench.parseSf(java.nio.file.Files.readString(p)).isDefined)
+  }
+
   test("baseline medians parse from the bench report JSON shape") {
     val json = """{"single_shot":{"x":1.0},"medians":{"q1_a":1.234,"pl_b":0.5},"sf":"/d"}"""
     assert(Bench.parseMedians(json) == Map("q1_a" -> 1.234, "pl_b" -> 0.5))

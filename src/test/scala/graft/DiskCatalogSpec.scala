@@ -2038,4 +2038,136 @@ class DiskCatalogSpec extends AnyFunSuite {
       "CREATE TABLE gdspec.lake.bad3 (ts DATE) PARTITIONED BY (hours(ts))"))
     assert(e3.getMessage.contains("timestamp"), e3.getMessage)
   }
+
+  test("SET PARTITION SPEC applies createTable's identity-column type allowlist") {
+    val g = new GraftSession(spark)
+    spark.sql("CREATE TABLE gdspec.lake.psal (id BIGINT, ts TIMESTAMP_NTZ)")
+    // a timestamp identity column would render divergent dir values
+    // between the ingest writers (raw micros) and OPTIMIZE's helper
+    val e = intercept[Exception](
+      g.sql("ALTER TABLE gdspec.lake.psal SET PARTITION SPEC (days(ts), ts)"))
+    assert(e.getMessage.contains("unsupported type"), e.getMessage)
+    // the allowlisted identity type (integral) still passes
+    g.sql("ALTER TABLE gdspec.lake.psal SET PARTITION SPEC (days(ts), id)")
+  }
+
+  private def parquetDirsOf(table: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(s"$warehouse/lake/$table/data"))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getParentFile.getName).toSet
+  }
+
+  test("OPTIMIZE keeps TIMESTAMP_NTZ rows in their ingest day dirs under a non-UTC session") {
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/Los_Angeles")
+      spark.sql("CREATE TABLE gdspec.lake.ntzo (id BIGINT, ts TIMESTAMP_NTZ) " +
+        "PARTITIONED BY (days(ts))")
+      // 20:00 wall time: a session-zone shift (+8h to UTC) would relocate
+      // it into the NEXT day's dir during the OPTIMIZE re-layout
+      spark.sql("INSERT INTO gdspec.lake.ntzo VALUES " +
+        "(1, TIMESTAMP_NTZ'2026-03-01 20:00:00'), " +
+        "(2, TIMESTAMP_NTZ'2026-03-01 01:00:00'), " +
+        "(3, TIMESTAMP_NTZ'2026-03-02 05:00:00')")
+      val before = parquetDirsOf("ntzo")
+      assert(before == Set("ts_day=2026-03-01", "ts_day=2026-03-02"), before)
+      new GraftSession(spark).sql("OPTIMIZE gdspec.lake.ntzo").collect()
+      val after = parquetDirsOf("ntzo")
+      assert(after == before, s"OPTIMIZE relocated NTZ rows: $after")
+      // the day-bounded prune still returns exactly the ingest-day rows
+      val got = spark.sql("SELECT id FROM gdspec.lake.ntzo WHERE " +
+        "ts >= TIMESTAMP_NTZ'2026-03-01 00:00:00' AND " +
+        "ts < TIMESTAMP_NTZ'2026-03-02 00:00:00' ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L, 2L))
+    } finally spark.conf.set(tzKey, saved)
+  }
+
+  test(".changes reads start past the VACUUM horizon instead of throwing") {
+    val g = new GraftSession(spark)
+    spark.sql("CREATE TABLE gdspec.lake.chv (id BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.chv VALUES (1)") // v1
+    spark.sql("INSERT INTO gdspec.lake.chv VALUES (2)") // v2
+    spark.sql("INSERT INTO gdspec.lake.chv VALUES (3)") // v3
+    g.sql("VACUUM gdspec.lake.chv RETAIN 2 VERSIONS").collect() // keep v2,v3
+    // default window: (oldest retained, latest] — v2's predecessor is
+    // gone, so only v3's changes are servable (and nothing throws)
+    val got = spark.read.table("gdspec.lake.chv.changes")
+      .select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((3L, "insert", 3L)), got.toString)
+    // an explicit pre-horizon startingVersion clamps instead of throwing
+    val clamped = spark.read.option("startingVersion", "1")
+      .table("gdspec.lake.chv.changes").count()
+    assert(clamped == 1L)
+  }
+
+  test("OPTIMIZE and DESCRIBE DETAIL serve byte sizes from the manifest — zero driver file-status probes") {
+    val g = new GraftSession(spark)
+    spark.sql("CREATE TABLE gdspec.lake.szm (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdspec.lake.szm SELECT id, uuid() FROM range(200)")
+    spark.sql("INSERT INTO gdspec.lake.szm SELECT id, uuid() FROM range(200)")
+    spark.sql("INSERT INTO gdspec.lake.szm SELECT id, uuid() FROM range(200)")
+    // the manifest carries every file's size, matching the filesystem
+    val cat = GraftDiskCatalog.instance("gdspec").get
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("lake"), "szm")
+    val t = cat.loadTable(ident).asInstanceOf[GraftDiskTable]
+    val m = t.log.latest()
+    assert(m.sizes.keySet == m.files.toSet)
+    m.files.foreach { f =>
+      assert(m.sizes(f) ==
+        new java.io.File(s"$warehouse/lake/szm/data/$f").length())
+    }
+    val before = GraftDiskCatalog.driverFileStatCalls.get()
+    g.sql("OPTIMIZE gdspec.lake.szm").collect()
+    val detail = g.sql("DESCRIBE DETAIL gdspec.lake.szm").collect()
+    assert(detail.length == 1)
+    assert(GraftDiskCatalog.driverFileStatCalls.get() == before,
+      "maintenance verbs issued per-file driver status probes")
+    // post-OPTIMIZE the manifest still carries every (rewritten) file
+    val m2 = cat.loadTable(ident).asInstanceOf[GraftDiskTable].log.latest()
+    assert(m2.sizes.keySet == m2.files.toSet)
+  }
+
+  test("front-door transactions span gdisk: ROLLBACK restores BEGIN manifests, drops inside-tx creations") {
+    val g = new GraftSession(spark)
+    spark.sql("CREATE TABLE gdspec.lake.txg (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.txg VALUES (1, 10)")
+    val cat = GraftDiskCatalog.instance("gdspec").get
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("lake"), "txg")
+    def latestV = cat.loadTable(ident)
+      .asInstanceOf[GraftDiskTable].log.latestVersion()
+    val atBegin = latestV
+    g.sql("BEGIN")
+    spark.sql("INSERT INTO gdspec.lake.txg VALUES (2, 20)")
+    spark.sql("UPDATE gdspec.lake.txg SET v = 99 WHERE id = 1")
+    spark.sql("CREATE TABLE gdspec.lake.txg_new (k INT)")
+    spark.sql("INSERT INTO gdspec.lake.txg_new VALUES (7)")
+    // destructive verbs refuse inside the tx
+    val e1 = intercept[Exception](g.sql("DROP TABLE gdspec.lake.txg"))
+    assert(e1.getMessage.contains("transaction"), e1.getMessage)
+    val e2 = intercept[Exception](g.sql("VACUUM gdspec.lake.txg"))
+    assert(e2.getMessage.contains("transaction"), e2.getMessage)
+    g.sql("ROLLBACK")
+    // restored — as a NEW commit (append-only undo, gmem discipline)
+    assert(latestV > atBegin)
+    val rows = spark.sql("SELECT id, v FROM gdspec.lake.txg ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 10L)))
+    assert(!cat.tableExists(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("lake"), "txg_new")))
+    // COMMIT makes gdisk changes permanent
+    g.sql("BEGIN")
+    spark.sql("INSERT INTO gdspec.lake.txg VALUES (3, 30)")
+    g.sql("COMMIT")
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.txg")
+      .head().getLong(0) == 2L)
+  }
 }
