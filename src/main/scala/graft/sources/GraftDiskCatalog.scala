@@ -1495,7 +1495,7 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
       val out = fs.create(tmp, false)
       try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (!fs.rename(tmp, target)) {
+      if (!claimInto(tmp, target)) {
         fs.delete(tmp, false)
         throw new java.io.IOException(
           s"gdisk: lost the claim race for version ${m.version} under $logDir")
@@ -1503,6 +1503,38 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
       DiskCommitLog.cacheManifest(cacheKey, stamped.version, stamped)
     }
   }
+
+  /** Atomically claim `target` with the fully-written `tmp` content;
+    * false = a racer already holds the version. On LOCAL filesystems
+    * POSIX `rename(2)` silently REPLACES an existing target — two
+    * processes racing the same version file would both "win" and one
+    * commit would silently vanish — so the local claim is a hard-LINK
+    * creation instead (atomic create-if-absent; the loser gets a clean
+    * FileAlreadyExistsException). HDFS-style filesystems keep the plain
+    * rename, whose contract already fails on an existing destination.
+    * Either way the target appears complete-then-visible. */
+  private def claimInto(tmp: HPath, target: HPath): Boolean =
+    if ("file".equalsIgnoreCase(fs.getUri.getScheme)) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        // carry the ChecksumFileSystem sidecar over (same bytes → same
+        // crc); best-effort — a missing crc just skips verification
+        try {
+          val dir = java.nio.file.Paths.get(target.toUri.getPath).getParent
+          val tmpCrc = dir.resolve(s".${tmp.getName}.crc")
+          if (java.nio.file.Files.exists(tmpCrc))
+            java.nio.file.Files.createLink(
+              dir.resolve(s".${target.getName}.crc"), tmpCrc)
+        } catch { case _: Exception => () }
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException => fs.rename(tmp, target)
+      }
+    } else fs.rename(tmp, target)
 
   /** USER-visible versions retained on disk, ascending — excludes
     * sub-horizon records kept only as reconstruction-chain links (their

@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CROSS-PROCESS commit serialization proof. The in-JVM racing-INSERTs
+  * spec is satisfied by the JVM-wide claim lock; this one forks a REAL
+  * second JVM (`graft.CommitRaceProbe`) and races 20 optimistic commits
+  * from each process onto one table, so the only thing standing between
+  * the writers is the log's atomic create-if-absent claim (hard-link
+  * creation on local filesystems — plain rename(2) would silently
+  * REPLACE the loser's manifest and drop its commit; that is exactly the
+  * regression this spec exists to catch). Afterward: versions are
+  * contiguous, every record resolves, and all 40 markers are present
+  * exactly once — no lost update, no corruption; losers saw only the
+  * clean conflict IOException (the probe retries on it and exits 0). */
+class CommitRaceSpec extends AnyFunSuite {
+
+  test("two processes racing 20 commits each serialize without losing a commit") {
+    val conf = new Configuration()
+    val tableDir = new HPath(
+      java.nio.file.Files.createTempDirectory("gdisk_race").toString, "t")
+    val log = new DiskCommitLog(tableDir, conf)
+    val schema = StructType(Seq(StructField("id", LongType)))
+    log.commitInitial(DiskManifest(
+      version = 0L, schemaJson = schema.json,
+      defaults = Map.empty, comments = Map.empty, constraints = Nil,
+      files = Nil, added = Nil, properties = Map.empty, epochs = Map.empty,
+      fileStats = Some(Map.empty), fileSizes = Some(Map.empty)))
+
+    val n = 20
+    val barrier = java.nio.file.Files.createTempDirectory("gdisk_race_barrier")
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cmd = Seq(javaBin, "-Xmx512m",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.CommitRaceProbe", tableDir.toString, n.toString, "probe",
+      barrier.toString)
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    // start barrier: wait for the probe JVM to boot, then release both
+    // loops together so the claim races genuinely overlap
+    val deadline = System.currentTimeMillis() + 60000
+    while (!java.nio.file.Files.exists(barrier.resolve("ready"))) {
+      assert(System.currentTimeMillis() < deadline, "probe never came up")
+      Thread.sleep(5)
+    }
+    java.nio.file.Files.write(barrier.resolve("go"), Array.empty[Byte])
+
+    // race from THIS process at the same time, same protocol
+    var committed = 0
+    var conflicts = 0
+    var attempts = 0
+    while (committed < n) {
+      attempts += 1
+      require(attempts < 100000, "local commit loop livelocked")
+      val base = log.latest()
+      val marker = s"local-$committed.parquet"
+      val next = base.copy(version = base.version + 1,
+        files = base.files :+ marker, added = Seq(marker))
+      try { log.write(next); committed += 1 }
+      catch { case _: java.io.IOException => conflicts += 1 }
+    }
+
+    val out = new StringBuilder
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    var line = reader.readLine()
+    while (line != null) { out.append(line).append('\n'); line = reader.readLine() }
+    val exit = proc.waitFor()
+    assert(exit == 0, s"race probe exited $exit:\n${out.toString.takeRight(2000)}")
+    assert(out.toString.contains("RACE_PROBE_OK committed=20"), out.toString)
+
+    // both writers' commits all landed: versions contiguous 0..40, every
+    // record resolves, all 40 markers present exactly once
+    val vs = log.versions()
+    assert(vs == (0L to 40L), s"non-contiguous versions: $vs")
+    val finalFiles = log.read(40L).files
+    val expected = (0 until n).flatMap(i =>
+      Seq(s"local-$i.parquet", s"probe-$i.parquet")).toSet
+    assert(finalFiles.toSet == expected,
+      s"lost commits: missing ${expected -- finalFiles.toSet}")
+    assert(finalFiles.distinct.length == finalFiles.length, "duplicated files")
+    // every intermediate version stays readable (chain intact)
+    vs.foreach(v => log.read(v))
+    // real contention must have happened in at least one direction, or
+    // the race proved nothing: with the start barrier and 20+20
+    // interleaved optimistic commits, at least one claim collision is
+    // effectively certain (each loser's retry re-reads and re-claims)
+    val probeConflicts =
+      "conflicts=(\\d+)".r.findFirstMatchIn(out.toString).map(_.group(1).toInt)
+    info(s"local conflicts=$conflicts probe conflicts=$probeConflicts")
+    assert(conflicts + probeConflicts.getOrElse(0) >= 1,
+      "the two processes never contended — the race proved nothing " +
+        s"(local=$conflicts probe=$probeConflicts)")
+  }
+}
