@@ -122,6 +122,39 @@ object MultimodalOps {
       }
   }
 
+  /** One row of the decode/quarantine LEDGER: the detected container
+    * format (magic bytes; "raw" = no recognized container) and whether
+    * the REAL decoder produced pixels for it. At corpus scale the
+    * aggregated (format, decoded) counts are a first-class data-quality
+    * metric — the documented JPEG scope (baseline, grayscale/4:4:4)
+    * quarantines progressive/subsampled images, and users must SEE that
+    * rate, not discover it downstream. */
+  final case class DecodeStatus(doc_id: Long, format: String, decoded: Boolean)
+
+  /** Partition-parallel classify-and-attempt over a mixed media corpus:
+    * magic-byte format detection, then the format's real decoder; any
+    * failure (truncation, malformed stream, out-of-scope variant) lands
+    * as `decoded = false` — the quarantine lane — never a task failure.
+    * Zero shuffle; the caller aggregates the per-format counters. */
+  def decodeReport(spark: SparkSession, media: DataFrame): Dataset[DecodeStatus] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          def ok(attempt: => Option[_]): Boolean =
+            scala.util.Try(attempt).toOption.flatten.isDefined
+          imageDims(bytes) match {
+            case Some(("bmp", _, _)) => DecodeStatus(id, "bmp", ok(bmpPixels(bytes)))
+            case Some(("png", _, _)) => DecodeStatus(id, "png", ok(pngPixels(bytes)))
+            case Some(("gif", _, _)) => DecodeStatus(id, "gif", ok(gifPixels(bytes)))
+            case Some(("jpeg", _, _)) => DecodeStatus(id, "jpeg", ok(jpegPixels(bytes)))
+            case Some((other, _, _)) => DecodeStatus(id, other, false)
+            case None => DecodeStatus(id, "raw", false) // opaque bytes
+          }
+        }
+      }
+  }
+
   /** Typed audio row: parsed container metadata. */
   final case class AudioMeta(
       doc_id: Long,

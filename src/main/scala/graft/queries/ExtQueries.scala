@@ -3187,6 +3187,55 @@ object ExtMultimodal extends QueryModule {
           CAST(doc_id * 5 % 256 AS INT) AS first_cr
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // QUARANTINE-RATE OBSERVABILITY: classify-and-attempt over a MIXED
+    // corpus (four real container fixtures + an opaque-bytes lane, with
+    // two format classes partially TRUNCATED so real decode failures sit
+    // under the hash) → per-(format, decoded) counters. At 100 TB this
+    // ledger is the data-quality metric the documented decoder scope
+    // (e.g. baseline-only JPEG) makes mandatory: users must SEE the
+    // quarantine rate, not discover missing rows downstream. Every lane
+    // is deterministic by construction, so DuckDB recomputes the counts
+    // from the doc_id classes without decoding anything — a
+    // classification or quarantine-path bug breaks the hash.
+    QueryDef(
+      "ext_multimodal_decode_report",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .select($"doc_id".cast("long").as("doc_id"), $"text")
+        def lane(k: Int) = docs.filter($"doc_id" % 5 === k)
+        val bmp = MultimodalOps.asBmpPayload(s, lane(0), "doc_id")
+        val png = MultimodalOps.asPngPayload(s, lane(1), "doc_id")
+        val gif = MultimodalOps.asGifPayload(s, lane(2), "doc_id")
+        val jpg = MultimodalOps.asJpegPayload(s, lane(3), "doc_id")
+        // opaque lane: '~' prefix so no text can spoof a container magic
+        val raw = MultimodalOps.asBinaryPayload(
+          lane(4).select($"doc_id", concat(lit("~"), $"text").as("text")),
+          "doc_id", "text")
+        val mixed = Seq(bmp, png, gif, jpg, raw)
+          .map(_.select($"doc_id", $"payload"))
+          .reduce(_.unionAll(_))
+          // truncation lane: headers survive (format still classifies),
+          // pixel data does not (the real decoder quarantines) — hits
+          // half the bmp class (%10=0) and half the png class (%10=6)
+          .select($"doc_id",
+            when($"doc_id" % 10 === 0 || $"doc_id" % 10 === 6,
+              substring($"payload", 1, 30)).otherwise($"payload")
+              .as("payload"))
+        MultimodalOps.decodeReport(s, mixed).toDF()
+          .groupBy($"format", $"decoded")
+          .agg(count(lit(1)).cast("long").as("n"))
+          .orderBy($"format", $"decoded")
+      },
+      Some("""SELECT
+          CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+            WHEN 3 THEN 'jpeg' ELSE 'raw' END AS format,
+          (doc_id % 5 < 4 AND doc_id % 10 NOT IN (0, 6)) AS decoded,
+          CAST(count(*) AS BIGINT) AS n
+        FROM documents
+        GROUP BY 1, 2 ORDER BY format, decoded""")),
+
     // REAL audio-container parsing (the WAV sibling of the image-header
     // layer): the fixture adapter wraps each doc as a genuine PCM WAV
     // whose header fields derive from the row id, and wavMeta chunk-walks

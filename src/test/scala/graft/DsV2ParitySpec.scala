@@ -41,6 +41,43 @@ class DsV2ParitySpec extends AnyFunSuite {
     assert(spark.table("gmem.par.ck").count() == 1)
   }
 
+  test("PRIMARY KEY rejects NULL keys identically across all three tiers") {
+    // front door (view-swap): PK maps to NOT NULL + UNIQUE at create
+    val g = new GraftSession(spark)
+    g.sql("DROP TABLE IF EXISTS fd_pkn")
+    g.sql("CREATE TABLE fd_pkn (id BIGINT PRIMARY KEY, v STRING)")
+    g.sql("INSERT INTO fd_pkn VALUES (1, 'a')")
+    intercept[Exception](
+      g.sql("INSERT INTO fd_pkn VALUES (CAST(NULL AS BIGINT), 'n')"))
+    assert(g.sql("SELECT count(*) AS c FROM fd_pkn").head().getLong(0) == 1L)
+    // gmem: rejected at BatchWrite.commit
+    spark.sql("DROP TABLE IF EXISTS gmem.par.pkn")
+    spark.sql("CREATE TABLE gmem.par.pkn (id BIGINT, v STRING, " +
+      "CONSTRAINT pkn PRIMARY KEY (id))")
+    spark.sql("INSERT INTO gmem.par.pkn VALUES (1, 'a')")
+    intercept[Exception](
+      spark.sql("INSERT INTO gmem.par.pkn VALUES (CAST(NULL AS BIGINT), 'n')"))
+    assert(spark.table("gmem.par.pkn").count() == 1L)
+    // gdisk: rejected by the distributed key probe before the manifest claim
+    spark.conf.set("spark.sql.catalog.gdpar",
+      classOf[graft.sources.GraftDiskCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdpar.warehouse",
+      java.nio.file.Files.createTempDirectory("gdpar_wh").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdpar.par")
+    spark.sql("CREATE TABLE gdpar.par.pkn (id BIGINT, v STRING, " +
+      "CONSTRAINT pkn PRIMARY KEY (id))")
+    spark.sql("INSERT INTO gdpar.par.pkn VALUES (1, 'a')")
+    intercept[Exception](
+      spark.sql("INSERT INTO gdpar.par.pkn VALUES (CAST(NULL AS BIGINT), 'n')"))
+    assert(spark.table("gdpar.par.pkn").count() == 1L)
+    // NULL-free duplicates still reject on every tier (PK = NOT NULL + UNIQUE)
+    intercept[Exception](g.sql("INSERT INTO fd_pkn VALUES (1, 'dup')"))
+    intercept[Exception](
+      spark.sql("INSERT INTO gmem.par.pkn VALUES (1, 'dup')"))
+    intercept[Exception](
+      spark.sql("INSERT INTO gdpar.par.pkn VALUES (1, 'dup')"))
+  }
+
   test("NOT NULL columns reject null writes") {
     spark.sql("DROP TABLE IF EXISTS gmem.par.nn")
     spark.sql("CREATE TABLE gmem.par.nn (id BIGINT NOT NULL, v STRING)")

@@ -384,6 +384,31 @@ class OpsSpec extends AnyFunSuite {
     assert(a.forall(m => m.format == "raw" && m.width >= 64 && m.height >= 64))
   }
 
+  test("decodeReport: per-format quarantine ledger — truncation keeps the format, fails the decode, never throws") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, substring}
+    def statusOf(media: org.apache.spark.sql.DataFrame, trunc: Option[Int]) = {
+      val m = trunc.fold(media)(n =>
+        media.select(col("doc_id"), substring(col("payload"), 1, n).as("payload")))
+      MultimodalOps.decodeReport(spark, m).collect().toSeq
+    }
+    val few = docs.limit(6)
+    for ((mk, fmt) <- Seq[(org.apache.spark.sql.DataFrame, String)](
+        (MultimodalOps.asBmpPayload(spark, few, "doc_id"), "bmp"),
+        (MultimodalOps.asPngPayload(spark, few, "doc_id"), "png"))) {
+      // intact: classified + decoded
+      assert(statusOf(mk, None).forall(s => s.format == fmt && s.decoded),
+        s"intact $fmt should decode")
+      // truncated past the header: format survives, decode quarantines
+      val t = statusOf(mk, Some(30))
+      assert(t.forall(s => s.format == fmt && !s.decoded),
+        s"truncated $fmt should quarantine, got $t")
+    }
+    // opaque bytes: the raw lane, always quarantined
+    val raw = MultimodalOps.asBinaryPayload(few, "doc_id", "text")
+    assert(statusOf(raw, None).forall(s => s.format == "raw" && !s.decoded))
+  }
+
   test("bmp pixel decode handles stride, bottom-up/top-down, and BGR order") {
     // hand-built 2x2 24-bit BMP, bottom-up: stored row 0 = IMAGE row 1.
     // Image pixels (r,g,b): (0,0)=(10,20,30) (1,0)=(40,50,60)
