@@ -1140,11 +1140,15 @@ object MultimodalOps {
     * MCU entropy decode (DC prediction + EXTEND, AC run/size with ZRL
     * and EOB), dequantization, double-precision separable IDCT, level
     * shift. Scope (documented; everything else quarantines to None):
-    * 8-bit precision, 1 or 3 components with 1×1 sampling (4:4:4 —
-    * chroma-subsampled and progressive files are dropped, never
-    * mis-decoded). Returns planes in the CODED color space (Y or
-    * Y/Cb/Cr): the lossy YCbCr→RGB rounding choice is left to callers,
-    * so per-component statistics stay bit-exact against an oracle. */
+    * 8-bit precision, 1 or 3 components, sampling factors 1–2 per axis —
+    * 4:4:4 AND the chroma-subsampled layouts real encoders emit by
+    * default (4:2:0, 4:2:2, 4:4:0), decoded as interleaved MCUs at
+    * component resolution and box-replicated up to full resolution
+    * (T.81 leaves the upsampling filter to the decoder). Progressive /
+    * lossless / arithmetic files are dropped, never mis-decoded.
+    * Returns planes in the CODED color space (Y or Y/Cb/Cr): the lossy
+    * YCbCr→RGB rounding choice is left to callers, so per-component
+    * statistics stay bit-exact against an oracle. */
   def jpegDecode(b: Array[Byte]): Option[JpegImage] = {
     def u8(i: Int) = b(i) & 0xff
     def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
@@ -1154,11 +1158,14 @@ object MultimodalOps {
     val acTabs = new Array[JpegHuff](4)
     var width = 0; var height = 0; var ncomp = 0
     var restartInterval = 0
-    // per component: quant-table id, then (at SOS) DC/AC table ids
+    // per component: quant-table id, sampling factors, then (at SOS)
+    // DC/AC table ids
     val compQ = new Array[Int](3)
     val compId = new Array[Int](3)
     val compDc = new Array[Int](3)
     val compAc = new Array[Int](3)
+    val compHs = new Array[Int](3)
+    val compVs = new Array[Int](3)
     var i = 2
     var sosAt = -1
     while (sosAt < 0) {
@@ -1184,7 +1191,11 @@ object MultimodalOps {
           while (c < ncomp) {
             compId(c) = u8(i + 8 + 3 * c)
             val hv = u8(i + 9 + 3 * c)
-            if (hv != 0x11) return None // only 1x1 sampling (4:4:4)
+            compHs(c) = hv >> 4; compVs(c) = hv & 15
+            // 1–2 per axis covers 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 — what
+            // real encoders emit; exotic factors quarantine
+            if (compHs(c) < 1 || compHs(c) > 2 ||
+              compVs(c) < 1 || compVs(c) > 2) return None
             compQ(c) = u8(i + 10 + 3 * c)
             if (compQ(c) > 3) return None
             c += 1
@@ -1272,98 +1283,144 @@ object MultimodalOps {
         acTabs(compAc(c)) == null) return None
       c += 1
     }
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
-    val planes = Array.fill(ncomp)(new Array[Int](width * height))
+    // a single-component scan is NON-interleaved (T.81 A.2.2): the MCU is
+    // one data unit and the declared sampling factors do not shape the scan
+    if (ncomp == 1) { compHs(0) = 1; compVs(0) = 1 }
+    var hmax = 1; var vmax = 1
+    c = 0
+    while (c < ncomp) {
+      if (compHs(c) > hmax) hmax = compHs(c)
+      if (compVs(c) > vmax) vmax = compVs(c)
+      c += 1
+    }
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    // per-component planes at COMPONENT resolution; box-replicated to the
+    // full image after the scan (exact for 4:4:4, where they coincide)
+    val cw = Array.tabulate(ncomp)(c => (width * compHs(c) + hmax - 1) / hmax)
+    val ch = Array.tabulate(ncomp)(c => (height * compVs(c) + vmax - 1) / vmax)
+    val cplanes = Array.tabulate(ncomp)(c => new Array[Int](cw(c) * ch(c)))
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
     val preds = new Array[Int](3)
     val reader = new JpegBitReader(b, sosAt)
     try {
       var mcu = 0
-      var by = 0
-      while (by < bh) {
-        var bx = 0
-        while (bx < bw) {
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
           if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
             reader.restartSync()
             java.util.Arrays.fill(preds, 0)
           }
           var c = 0
           while (c < ncomp) {
-            java.util.Arrays.fill(coef, 0)
             val q = qtabs(compQ(c))
-            // DC
-            val t = reader.decodeHuff(dcTabs(compDc(c)))
-            if (t > 11) throw JpegBitReader.Bail
-            preds(c) += reader.receiveExtend(t)
-            coef(0) = preds(c) * q(0)
-            // AC
-            var k = 1
-            var eob = false
-            while (k < 64 && !eob) {
-              val rs = reader.decodeHuff(acTabs(compAc(c)))
-              val r = rs >> 4; val s = rs & 15
-              if (s == 0) {
-                if (r == 15) k += 16 else eob = true // ZRL vs EOB
-              } else {
-                k += r
-                if (k > 63) throw JpegBitReader.Bail
-                val nat = jpegZigzag(k)
-                coef(nat) = reader.receiveExtend(s) * q(nat)
-                k += 1
-              }
-            }
-            // separable IDCT: rows (freq u -> x), then columns (v -> y)
-            var v = 0
-            while (v < 8) {
-              var x = 0
-              while (x < 8) {
-                var acc = 0.0
-                var u = 0
-                while (u < 8) {
-                  acc += jpegCu(u) * coef(v * 8 + u) * jpegCos(u)(x)
-                  u += 1
-                }
-                tmp(v * 8 + x) = acc
-                x += 1
-              }
-              v += 1
-            }
-            val plane = planes(c)
-            var y = 0
-            while (y < 8) {
-              val py = by * 8 + y
-              if (py < height) {
-                var x = 0
-                while (x < 8) {
-                  val px = bx * 8 + x
-                  if (px < width) {
-                    var acc = 0.0
-                    var vv = 0
-                    while (vv < 8) {
-                      acc += jpegCu(vv) * tmp(vv * 8 + x) * jpegCos(vv)(y)
-                      vv += 1
-                    }
-                    val s = Math.round(acc / 4.0 + 128.0).toInt
-                    plane(py * width + px) =
-                      if (s < 0) 0 else if (s > 255) 255 else s
+            val compW = cw(c); val compH = ch(c)
+            val plane = cplanes(c)
+            var vb = 0
+            while (vb < compVs(c)) {
+              var hb = 0
+              while (hb < compHs(c)) {
+                java.util.Arrays.fill(coef, 0)
+                // DC
+                val t = reader.decodeHuff(dcTabs(compDc(c)))
+                if (t > 11) throw JpegBitReader.Bail
+                preds(c) += reader.receiveExtend(t)
+                coef(0) = preds(c) * q(0)
+                // AC
+                var k = 1
+                var eob = false
+                while (k < 64 && !eob) {
+                  val rs = reader.decodeHuff(acTabs(compAc(c)))
+                  val r = rs >> 4; val s = rs & 15
+                  if (s == 0) {
+                    if (r == 15) k += 16 else eob = true // ZRL vs EOB
+                  } else {
+                    k += r
+                    if (k > 63) throw JpegBitReader.Bail
+                    val nat = jpegZigzag(k)
+                    coef(nat) = reader.receiveExtend(s) * q(nat)
+                    k += 1
                   }
-                  x += 1
                 }
+                // separable IDCT: rows (freq u -> x), then columns (v -> y)
+                var v = 0
+                while (v < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    var acc = 0.0
+                    var u = 0
+                    while (u < 8) {
+                      acc += jpegCu(u) * coef(v * 8 + u) * jpegCos(u)(x)
+                      u += 1
+                    }
+                    tmp(v * 8 + x) = acc
+                    x += 1
+                  }
+                  v += 1
+                }
+                val bx0 = (mx * compHs(c) + hb) * 8
+                val by0 = (my * compVs(c) + vb) * 8
+                var y = 0
+                while (y < 8) {
+                  val py = by0 + y
+                  if (py < compH) {
+                    var x = 0
+                    while (x < 8) {
+                      val px = bx0 + x
+                      if (px < compW) {
+                        var acc = 0.0
+                        var vv = 0
+                        while (vv < 8) {
+                          acc += jpegCu(vv) * tmp(vv * 8 + x) * jpegCos(vv)(y)
+                          vv += 1
+                        }
+                        val s = Math.round(acc / 4.0 + 128.0).toInt
+                        plane(py * compW + px) =
+                          if (s < 0) 0 else if (s > 255) 255 else s
+                      }
+                      x += 1
+                    }
+                  }
+                  y += 1
+                }
+                hb += 1
               }
-              y += 1
+              vb += 1
             }
             c += 1
           }
           mcu += 1
-          bx += 1
+          mx += 1
         }
-        by += 1
+        my += 1
       }
     } catch {
       case JpegBitReader.Bail => return None
       case _: ArrayIndexOutOfBoundsException => return None
+    }
+    // full-resolution planes: 4:4:4 components pass through; subsampled
+    // ones box-replicate (any filter reproduces a constant chroma plane
+    // exactly — the fixture contract; T.81 leaves the filter open)
+    val planes = Array.tabulate(ncomp) { c =>
+      if (cw(c) == width && ch(c) == height) cplanes(c)
+      else {
+        val p = new Array[Int](width * height)
+        val src = cplanes(c)
+        var y = 0
+        while (y < height) {
+          val sy = y * compVs(c) / vmax
+          var x = 0
+          while (x < width) {
+            p(y * width + x) = src(sy * cw(c) + x * compHs(c) / hmax)
+            x += 1
+          }
+          y += 1
+        }
+        p
+      }
     }
     Some(JpegImage(width, height, ncomp, planes))
   }
@@ -1503,6 +1560,119 @@ object MultimodalOps {
     out.toByteArray
   }
 
+  /** Minimal baseline 4:2:0 JPEG ENCODER for the subsampled fixture
+    * path: luma sampling 2×2 against 1×1 chroma — the layout real
+    * encoders emit by default. Same exactness contract as
+    * [[jpegEncodeConstantBlocks]] (all-ones quant + constant blocks →
+    * DC-only, bit-exact decode); the entropy stream interleaves each
+    * MCU's four Y blocks (raster order) then one Cb and one Cr block.
+    * Chroma is constant per IMAGE, so ANY spec-legal upsampling filter
+    * reproduces it exactly — the oracle needs no filter model and an
+    * independent decoder (ImageIO, JpegSpec) agrees bit-for-bit.
+    * `yBlocks` indexes the (2·mcusX)×(2·mcusY) luma block grid. */
+  private[graft] def jpegEncodeSubsampled420(
+      mcusX: Int, mcusY: Int, yBlocks: Array[Int], cbConst: Int,
+      crConst: Int, restartInterval: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); be16(16) // JFIF APP0
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); be16(1); be16(1)
+    out.write(0); out.write(0)
+    marker(0xdb); be16(2 + 1 + 64) // DQT: 8-bit table 0, all ones
+    out.write(0)
+    for (_ <- 0 until 64) out.write(1)
+    val w = mcusX * 16; val h = mcusY * 16
+    marker(0xc0); be16(8 + 3 * 3) // SOF0: Y 2x2, Cb/Cr 1x1 (4:2:0)
+    out.write(8); be16(h); be16(w); out.write(3)
+    out.write(1); out.write(0x22); out.write(0)
+    out.write(2); out.write(0x11); out.write(0)
+    out.write(3); out.write(0x11); out.write(0)
+    marker(0xc4); be16(2 + 17 + 12) // DC table 0 (see 4:4:4 encoder)
+    out.write(0x00)
+    for (l <- 1 to 16) out.write(if (l == 4) 12 else 0)
+    for (s <- 0 to 11) out.write(s)
+    marker(0xc4); be16(2 + 17 + 1) // AC table 0: lone EOB
+    out.write(0x10)
+    for (l <- 1 to 16) out.write(if (l == 2) 1 else 0)
+    out.write(0x00)
+    if (restartInterval > 0) { marker(0xdd); be16(4); be16(restartInterval) }
+    marker(0xda); be16(6 + 2 * 3) // SOS
+    out.write(3)
+    for (c <- 1 to 3) { out.write(c); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+    val bits = new JpegBitWriter(out)
+    val preds = new Array[Int](3)
+    def putDc(c: Int, value: Int): Unit = {
+      val dc = 8 * (value - 128)
+      val diff = dc - preds(c)
+      preds(c) = dc
+      val t = jpegCategory(diff)
+      bits.put(t, 4)
+      if (t > 0) bits.put(if (diff < 0) diff - 1 else diff, t)
+      bits.put(0, 2) // EOB
+    }
+    val ybw = 2 * mcusX
+    var mcu = 0
+    var rst = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bits.flush()
+          marker(0xd0 + rst); rst = (rst + 1) % 8
+          java.util.Arrays.fill(preds, 0)
+        }
+        var vb = 0
+        while (vb < 2) {
+          var hb = 0
+          while (hb < 2) {
+            putDc(0, yBlocks((2 * my + vb) * ybw + (2 * mx + hb)))
+            hb += 1
+          }
+          vb += 1
+        }
+        putDc(1, cbConst)
+        putDc(2, crConst)
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    bits.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Fixture adapter for the 4:2:0 path: REAL chroma-subsampled baseline
+    * JPEGs whose luma blocks derive from the row id
+    * (Y=(7·id+11·bx+17·by)%256 over a (2–4)×(2–6) luma block grid) and
+    * whose chroma planes are per-image constants (Cb=3·id%256,
+    * Cr=5·id%256 — exact under any upsampling filter). Every fourth doc
+    * adds a restart lattice. The oracle recomputes the decoded
+    * statistics from the formulas without a codec. */
+  def asJpeg420Payload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val mcusX = 1 + (docId % 2).toInt
+          val mcusY = 1 + (docId % 3).toInt
+          val ybw = 2 * mcusX
+          val yb = Array.tabulate(ybw * 2 * mcusY) { i =>
+            val bx = i % ybw; val by = i / ybw
+            ((7 * docId + 11 * bx + 17 * by) % 256).toInt
+          }
+          val dri = if (docId % 4 == 0) 1 else 0
+          (docId, jpegEncodeSubsampled420(mcusX, mcusY, yb,
+            ((3 * docId) % 256).toInt, ((5 * docId) % 256).toInt, dri))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** Fixture adapter (the JPEG sibling of [[asGifPayload]]): emit REAL
     * baseline JPEGs of 8×8-constant blocks whose Y/Cb/Cr values derive
     * from the row id — Y=(7·id+11·bx+17·by)%256, Cb=(3·id+5·bx+7·by)%256,
@@ -1531,7 +1701,8 @@ object MultimodalOps {
   }
 
   /** Partition-parallel JPEG pixel decode ([[extractGifPixels]] shape):
-    * unrecognized/subsampled/progressive payloads are dropped. */
+    * unrecognized/progressive/arithmetic payloads are dropped
+    * (chroma-subsampled baselines decode since round 8). */
   def extractJpegPixels(spark: SparkSession, media: DataFrame): Dataset[JpegPixels] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]

@@ -3008,7 +3008,8 @@ object ExtMultimodal extends QueryModule {
         "with all five row filters (ext_multimodal_png_pixels), " +
         "LZW-decompressed palettized GIF pixels " +
         "(ext_multimodal_gif_pixels), from-scratch baseline JPEG " +
-        "Huffman+IDCT pixels (ext_multimodal_jpeg_pixels), and " +
+        "Huffman+IDCT pixels — 4:4:4 (ext_multimodal_jpeg_pixels) AND " +
+        "4:2:0 chroma-subsampled (ext_multimodal_jpeg420_pixels) — and " +
         "container-header parsing (ext_multimodal_headers).")),
 
     // REAL pixel decode (uncompressed 24-bit BMP — row stride, bottom-up
@@ -3182,6 +3183,45 @@ object ExtMultimodal extends QueryModule {
           round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS mean_y,
           round(sum(cb) / CAST(count(*) AS DOUBLE), 6) AS mean_cb,
           round(sum(cr) / CAST(count(*) AS DOUBLE), 6) AS mean_cr,
+          CAST(doc_id * 7 % 256 AS INT) AS first_y,
+          CAST(doc_id * 3 % 256 AS INT) AS first_cb,
+          CAST(doc_id * 5 % 256 AS INT) AS first_cr
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
+    // REAL 4:2:0 CHROMA-SUBSAMPLED JPEG decode — the layout real encoders
+    // emit by default, previously quarantined: interleaved MCUs (four Y
+    // blocks then Cb, Cr), per-component planes at component resolution,
+    // box-replication upsample. Luma blocks derive from the row id;
+    // chroma planes are per-image CONSTANTS, which every spec-legal
+    // upsampling filter reproduces exactly — so the oracle recomputes
+    // the statistics from the formulas with no codec and no filter
+    // model, and an MCU-interleave or upsample bug breaks the hash.
+    QueryDef(
+      "ext_multimodal_jpeg420_pixels",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asJpeg420Payload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        val npx = ($"width" * $"height").cast("double")
+        MultimodalOps.extractJpegPixels(s, media).toDF()
+          .select($"doc_id", $"width", $"height",
+            round($"sum_y" / npx, 6).as("mean_y"),
+            round($"sum_cb" / npx, 6).as("mean_cb"),
+            round($"sum_cr" / npx, 6).as("mean_cr"),
+            $"first_y", $"first_cb", $"first_cr")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id,
+            CAST(16 * (1 + doc_id % 2) AS INT) AS w,
+            CAST(16 * (1 + doc_id % 3) AS INT) AS h,
+            (doc_id*7 + 11*bx + 17*by) % 256 AS y
+          FROM documents, unnest(range(0, 4)) AS tx(bx), unnest(range(0, 6)) AS ty(by)
+          WHERE bx < 2 * (1 + doc_id % 2) AND by < 2 * (1 + doc_id % 3))
+        SELECT doc_id, w AS width, h AS height,
+          round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS mean_y,
+          round(CAST(doc_id * 3 % 256 AS DOUBLE), 6) AS mean_cb,
+          round(CAST(doc_id * 5 % 256 AS DOUBLE), 6) AS mean_cr,
           CAST(doc_id * 7 % 256 AS INT) AS first_y,
           CAST(doc_id * 3 % 256 AS INT) AS first_cb,
           CAST(doc_id * 5 % 256 AS INT) AS first_cr

@@ -1595,19 +1595,38 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
       .map(_.getPath.getName).filter(_.matches("[vd]\\d+\\.json"))
       .filter(n => n.drop(1).stripSuffix(".json").toLong < anchor)
       .foreach(n => fs.delete(new HPath(logDir, n), false))
-    listDataFiles().filterNot(referenced)
-      .foreach(rel => fs.delete(new HPath(dataDir, rel), false))
     // bloom sidecars of unreferenced data files go with them (sidecars
     // are keyed by data-file rel; immutable otherwise)
     val bloomDir = new HPath(dataDir, DiskBloom.DirName)
-    if (fs.exists(bloomDir)) {
-      fs.listStatus(bloomDir).foreach { st =>
-        DiskBloom.relOfSidecar(st.getPath.getName).foreach { rel =>
-          if (!referenced.contains(rel)) fs.delete(st.getPath, false)
+    val deadSidecars: Seq[String] =
+      if (!fs.exists(bloomDir)) Nil
+      else fs.listStatus(bloomDir).toSeq.flatMap { st =>
+        DiskBloom.relOfSidecar(st.getPath.getName).collect {
+          case rel if !referenced.contains(rel) =>
+            s"${DiskBloom.DirName}/${st.getPath.getName}"
         }
       }
-      DiskBloom.invalidateUnder(bloomDir)
-    }
+    deleteBatch(listDataFiles().filterNot(referenced) ++ deadSidecars)
+    if (fs.exists(bloomDir)) DiskBloom.invalidateUnder(bloomDir)
+  }
+
+  /** Delete data-dir-relative files. At corpus scale the per-file delete
+    * RPCs dominate VACUUM, so a large set fans out as ONE Spark job
+    * (the same executor-side pattern as the stats harvest); the driver
+    * loop remains for small sets and for Spark-free metadata tooling. */
+  private def deleteBatch(rels: Seq[String]): Unit = {
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    if (rels.length >= 256 && active.isDefined) {
+      val dd = dataDir.toString
+      active.get.sparkContext
+        .parallelize(rels, math.max(1, math.min(rels.length / 64 + 1, 64)))
+        .foreachPartition { it =>
+          val c = new Configuration()
+          val base = new HPath(dd)
+          val f = base.getFileSystem(c)
+          it.foreach(rel => f.delete(new HPath(base, rel), false))
+        }
+    } else rels.foreach(rel => fs.delete(new HPath(dataDir, rel), false))
   }
 
   /** Time-based retention (`VACUUM ... RETAIN n HOURS`): keep every

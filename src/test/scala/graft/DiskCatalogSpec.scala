@@ -2135,6 +2135,26 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(m2.sizes.keySet == m2.files.toSet)
   }
 
+  test("VACUUM fans a large unreferenced-file sweep out as one distributed job") {
+    val g = new GraftSession(spark)
+    spark.sql("CREATE TABLE gdspec.lake.vacd (id BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.vacd VALUES (1), (2)")
+    // 300 orphans (a crashed write's leftovers): enough to take the
+    // distributed delete path instead of a 300-RPC driver loop
+    val dataDir = java.nio.file.Paths.get(s"$warehouse/lake/vacd/data")
+    (0 until 300).foreach(i => java.nio.file.Files.write(
+      dataDir.resolve(f"orphan-$i%03d.parquet"), Array.empty[Byte]))
+    g.sql("VACUUM gdspec.lake.vacd RETAIN 1 VERSIONS").collect()
+    val left = java.nio.file.Files.list(dataDir).iterator()
+    var names = List.empty[String]
+    while (left.hasNext) names ::= left.next().getFileName.toString
+    assert(!names.exists(_.startsWith("orphan-")),
+      s"orphans survived: ${names.count(_.startsWith("orphan-"))}")
+    // the referenced data is intact
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.vacd")
+      .head().getLong(0) == 2L)
+  }
+
   test("front-door transactions span gdisk: ROLLBACK restores BEGIN manifests, drops inside-tx creations") {
     val g = new GraftSession(spark)
     spark.sql("CREATE TABLE gdspec.lake.txg (id BIGINT, v BIGINT)")

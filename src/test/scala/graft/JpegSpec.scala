@@ -118,6 +118,120 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("4:2:0 fixture decodes bit-for-bit: interleaved MCUs, restart lattice, constant-chroma upsample") {
+    for (docId <- 0L to 40L) {
+      val mcusX = 1 + (docId % 2).toInt
+      val mcusY = 1 + (docId % 3).toInt
+      val ybw = 2 * mcusX
+      val yb = Array.tabulate(ybw * 2 * mcusY) { i =>
+        val bx = i % ybw; val by = i / ybw
+        ((7 * docId + 11 * bx + 17 * by) % 256).toInt
+      }
+      val cb = ((3 * docId) % 256).toInt
+      val cr = ((5 * docId) % 256).toInt
+      val bytes = MultimodalOps.jpegEncodeSubsampled420(
+        mcusX, mcusY, yb, cb, cr, if (docId % 4 == 0) 1 else 0)
+      val img = MultimodalOps.jpegDecode(bytes)
+        .getOrElse(fail(s"doc $docId (4:2:0) failed to decode"))
+      assert(img.width == 16 * mcusX && img.height == 16 * mcusY &&
+        img.comps == 3)
+      for (py <- 0 until img.height; px <- 0 until img.width) {
+        val blk = (py / 8) * ybw + px / 8
+        val p = py * img.width + px
+        assert(img.planes(0)(p) == yb(blk), s"Y mismatch doc=$docId ($px,$py)")
+        assert(img.planes(1)(p) == cb, s"Cb mismatch doc=$docId ($px,$py)")
+        assert(img.planes(2)(p) == cr, s"Cr mismatch doc=$docId ($px,$py)")
+      }
+      val stats = MultimodalOps.jpegPixels(bytes).get
+      assert(stats.sum_y == 64L * yb.map(_.toLong).sum)
+      assert(stats.first_cb == cb && stats.first_cr == cr)
+    }
+  }
+
+  test("the JDK's ImageIO decoder agrees with ours on 4:2:0 fixture bytes") {
+    for (docId <- Seq(0L, 3L, 4L, 7L, 17L)) {
+      val mcusX = 1 + (docId % 2).toInt
+      val mcusY = 1 + (docId % 3).toInt
+      val ybw = 2 * mcusX
+      val yb = Array.tabulate(ybw * 2 * mcusY) { i =>
+        val bx = i % ybw; val by = i / ybw
+        ((7 * docId + 11 * bx + 17 * by) % 256).toInt
+      }
+      val cbv = ((3 * docId) % 256).toInt
+      val crv = ((5 * docId) % 256).toInt
+      val bytes = MultimodalOps.jpegEncodeSubsampled420(
+        mcusX, mcusY, yb, cbv, crv, if (docId % 4 == 0) 1 else 0)
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null, s"ImageIO rejected 4:2:0 fixture $docId")
+      val img = MultimodalOps.jpegDecode(bytes).get
+      assert(bi.getWidth == img.width && bi.getHeight == img.height)
+      // constant chroma: ImageIO's fancy upsampling and our box
+      // replication agree exactly, so RGB must match within its integer
+      // rounding like the 4:4:4 cross-check
+      var maxDiff = 0
+      for (yy <- 0 until img.height; xx <- 0 until img.width) {
+        val p = yy * img.width + xx
+        val y = img.planes(0)(p).toDouble
+        val cb = img.planes(1)(p) - 128.0
+        val cr = img.planes(2)(p) - 128.0
+        def clamp(v: Double) = math.min(255, math.max(0, Math.round(v).toInt))
+        val r = clamp(y + 1.402 * cr)
+        val g = clamp(y - 0.344136 * cb - 0.714136 * cr)
+        val b = clamp(y + 1.772 * cb)
+        val rgb = bi.getRGB(xx, yy)
+        maxDiff = math.max(maxDiff, math.abs(((rgb >> 16) & 0xff) - r))
+        maxDiff = math.max(maxDiff, math.abs(((rgb >> 8) & 0xff) - g))
+        maxDiff = math.max(maxDiff, math.abs((rgb & 0xff) - b))
+      }
+      assert(maxDiff <= 2, s"doc $docId: ImageIO RGB diverges by $maxDiff")
+    }
+  }
+
+  test("decodes an ImageIO-encoded color JPEG (its default chroma layout) within tolerance") {
+    // constant color → constant planes: box vs fancy upsampling agree
+    // exactly, so this cross-checks whatever sampling the JDK's writer
+    // actually emits (4:2:0 at default settings) against our decoder
+    val w = 40; val h = 24
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = bi.createGraphics()
+    g2.setColor(new java.awt.Color(180, 90, 40)); g2.fillRect(0, 0, w, h)
+    g2.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(mos)
+    writer.write(bi)
+    mos.flush(); writer.dispose()
+    val bytes = bos.toByteArray
+    // report what the writer emitted (sampling byte of component 1)
+    val sof = bytes.indices.find(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0).get
+    val sampling = bytes(sof + 11) & 0xff
+    info(f"ImageIO emitted component-1 sampling 0x$sampling%02x")
+    val img = MultimodalOps.jpegDecode(bytes)
+      .getOrElse(fail(s"failed to decode ImageIO color output (sampling 0x$sampling%02x)"))
+    assert(img.width == w && img.height == h && img.comps == 3)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (yy <- 0 until h; xx <- 0 until w) {
+      val p = yy * w + xx
+      val y = img.planes(0)(p).toDouble
+      val cb = img.planes(1)(p) - 128.0
+      val cr = img.planes(2)(p) - 128.0
+      def clamp(v: Double) = math.min(255, math.max(0, Math.round(v).toInt))
+      val rgbMine = Seq(
+        clamp(y + 1.402 * cr),
+        clamp(y - 0.344136 * cb - 0.714136 * cr),
+        clamp(y + 1.772 * cb))
+      val rgb = ref.getRGB(xx, yy)
+      val rgbRef = Seq((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      maxDiff = math.max(maxDiff,
+        rgbMine.zip(rgbRef).map { case (a, b) => math.abs(a - b) }.max)
+    }
+    assert(maxDiff <= 2, s"color cross-check diverges by $maxDiff")
+  }
+
   test("quarantine: garbage, progressive, and truncated payloads drop to None") {
     assert(MultimodalOps.jpegDecode(Array[Byte](1, 2, 3)).isEmpty)
     assert(MultimodalOps.jpegDecode(Array.fill[Byte](64)(0x55)).isEmpty)
