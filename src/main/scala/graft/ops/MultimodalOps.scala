@@ -136,21 +136,29 @@ object MultimodalOps {
     * failure (truncation, malformed stream, out-of-scope variant) lands
     * as `decoded = false` — the quarantine lane — never a task failure.
     * Zero shuffle; the caller aggregates the per-format counters. */
+  /** One payload's (detected format, decoded?) — the per-row core shared
+    * by the batch report and the streaming gate's codegen-adjacent UDF.
+    * Never throws. */
+  def decodeStatusOf(bytes: Array[Byte]): (String, Boolean) = {
+    def ok(attempt: => Option[_]): Boolean =
+      scala.util.Try(attempt).toOption.flatten.isDefined
+    imageDims(bytes) match {
+      case Some(("bmp", _, _)) => ("bmp", ok(bmpPixels(bytes)))
+      case Some(("png", _, _)) => ("png", ok(pngPixels(bytes)))
+      case Some(("gif", _, _)) => ("gif", ok(gifPixels(bytes)))
+      case Some(("jpeg", _, _)) => ("jpeg", ok(jpegPixels(bytes)))
+      case Some((other, _, _)) => (other, false)
+      case None => ("raw", false) // opaque bytes
+    }
+  }
+
   def decodeReport(spark: SparkSession, media: DataFrame): Dataset[DecodeStatus] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          def ok(attempt: => Option[_]): Boolean =
-            scala.util.Try(attempt).toOption.flatten.isDefined
-          imageDims(bytes) match {
-            case Some(("bmp", _, _)) => DecodeStatus(id, "bmp", ok(bmpPixels(bytes)))
-            case Some(("png", _, _)) => DecodeStatus(id, "png", ok(pngPixels(bytes)))
-            case Some(("gif", _, _)) => DecodeStatus(id, "gif", ok(gifPixels(bytes)))
-            case Some(("jpeg", _, _)) => DecodeStatus(id, "jpeg", ok(jpegPixels(bytes)))
-            case Some((other, _, _)) => DecodeStatus(id, other, false)
-            case None => DecodeStatus(id, "raw", false) // opaque bytes
-          }
+          val (fmt, decoded) = decodeStatusOf(bytes)
+          DecodeStatus(id, fmt, decoded)
         }
       }
   }

@@ -602,6 +602,53 @@ object StreamingOps {
       }
       .start()
 
+  /** STREAMING twin of the multimodal decode/quarantine ledger
+    * ([[graft.ops.MultimodalOps.decodeReport]]): each micro-batch of
+    * binary payloads is classified + decode-attempted partition-parallel,
+    * decodable rows land in the clean sink, failures in the quarantine
+    * sink, and the per-(format, decoded) counters in a metrics sink —
+    * the same three-lane shape as the expectations gate, applied at the
+    * multimodal ingest edge. Epoch-keyed overwrites make a replayed
+    * batch idempotent. At 100 TB this is where the quarantine RATE
+    * becomes a live operational signal instead of a post-hoc audit. */
+  def decodeGateStream(
+      spark: SparkSession,
+      schema: StructType,
+      path: String,
+      cleanPath: String,
+      quarantinePath: String,
+      metricsPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(path)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        import org.apache.spark.sql.functions.{col, count, lit, udf}
+        // per-row status: no join, no shuffle on the row lanes — the
+        // only exchange is the O(formats) metrics aggregate
+        val statusUdf = udf((bytes: Array[Byte]) => {
+          val (fmt, decoded) = graft.ops.MultimodalOps.decodeStatusOf(bytes)
+          (fmt, decoded)
+        })
+        val tagged = batch
+          .withColumn("__st", statusUdf(col("payload")))
+          .withColumn("format", col("__st._1"))
+          .withColumn("decoded", col("__st._2"))
+          .drop("__st")
+          .persist() // three sinks; decode each payload once
+        try {
+          tagged.filter(col("decoded")).drop("format", "decoded")
+            .write.mode("overwrite").parquet(s"$cleanPath/epoch=$epochId")
+          tagged.filter(!col("decoded")).drop("decoded")
+            .write.mode("overwrite").parquet(s"$quarantinePath/epoch=$epochId")
+          tagged.groupBy(col("format"), col("decoded"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(s"$metricsPath/epoch=$epochId")
+        } finally tagged.unpersist()
+        ()
+      }
+      .start()
+
   def runToCompletion(
       spark: SparkSession, df: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {

@@ -830,6 +830,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotM == wantM)
   }
 
+  test("decode gate: media lanes match the batch ledger across a stop/restart") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft_decode_gate").toString
+    val (src, clean, quar, met, ckpt) =
+      (s"$tmp/src", s"$tmp/clean", s"$tmp/quarantine", s"$tmp/metrics", s"$tmp/ckpt")
+    // mixed corpus: decodable BMP fixtures interleaved with opaque bytes
+    // and truncated (quarantining) BMPs — same lanes as the batch report
+    val ids = spark.range(24).select($"id".as("doc_id"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("~doc "),
+        $"id".cast("string")).as("text"))
+    val bmp = MultimodalOps.asBmpPayload(
+      spark, ids.filter($"doc_id" % 3 === 0), "doc_id")
+    val bmpTrunc = MultimodalOps.asBmpPayload(
+        spark, ids.filter($"doc_id" % 3 === 1), "doc_id")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.substring($"payload", 1, 30).as("payload"))
+    val raw = MultimodalOps.asBinaryPayload(
+      ids.filter($"doc_id" % 3 === 2), "doc_id", "text")
+    val media = bmp.unionAll(bmpTrunc).unionAll(raw)
+    def start() = StreamingOps.decodeGateStream(spark, media.schema,
+      src, clean, quar, met, ckpt)
+    media.filter($"doc_id" < 12).write.mode("append").parquet(src)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    media.filter($"doc_id" >= 12).write.mode("append").parquet(src)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // clean lane = exactly the decodable ids, once each, payloads intact
+    val gotClean = spark.read.parquet(clean).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(gotClean == (0L until 24L by 3).toSeq, gotClean.toString)
+    // quarantine lane keeps the detected format tag
+    val gotQ = spark.read.parquet(quar).select("doc_id", "format")
+      .as[(Long, String)].collect().toMap
+    assert(gotQ.keySet == ((1L until 24L by 3) ++ (2L until 24L by 3)).toSet)
+    assert(gotQ.filter(_._1 % 3 == 1).values.forall(_ == "bmp"))
+    assert(gotQ.filter(_._1 % 3 == 2).values.forall(_ == "raw"))
+    // metrics lane sums to the batch ledger's counters
+    val gotM = spark.read.parquet(met).groupBy("format", "decoded")
+      .agg(org.apache.spark.sql.functions.sum("n").as("n"))
+      .as[(String, Boolean, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val wantM = MultimodalOps.decodeReport(spark, media).toDF()
+      .groupBy("format", "decoded")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .as[(String, Boolean, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(gotM == wantM, s"got $gotM want $wantM")
+  }
+
   test("expectations gate: a violated fail rule stops the stream") {
     import spark.implicits._
     import graft.ops.ExpectationsOps.Expectation
