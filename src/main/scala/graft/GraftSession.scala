@@ -94,15 +94,16 @@ final class GraftSession(
   }
 
   /** Statements that could not participate in ROLLBACK are rejected
-    * inside a transaction when they target a gdisk table: DROP TABLE /
-    * DROP NAMESPACE CASCADE delete real data files (unrecoverable — the
-    * view-swap tier rejects DROP inside a tx for the same reason), and
-    * ALTER TABLE ... RENAME would orphan the BEGIN watermark (rollback
-    * would wrongly treat the renamed table as created inside the tx and
-    * drop its data). Everything else — INSERT/UPDATE/DELETE/MERGE/
-    * TRUNCATE/OPTIMIZE/CREATE/ALTER column changes — rolls back via
-    * restoreToVersion, whose pre-images stay on disk until VACUUM (also
-    * guarded). */
+    * inside a transaction when they target a gdisk OR gmem table: DROP
+    * TABLE / DROP NAMESPACE CASCADE delete real data (files / driver
+    * rows) unrecoverably — the view-swap tier rejects DROP inside a tx
+    * for the same reason — and ALTER TABLE ... RENAME would orphan the
+    * BEGIN watermark (rollback would wrongly treat the renamed table as
+    * created inside the tx and drop its data). Everything else —
+    * INSERT/UPDATE/DELETE/MERGE/TRUNCATE/OPTIMIZE/CREATE/ALTER column
+    * changes — rolls back via the snapshot history (gdisk:
+    * restoreToVersion, whose pre-images stay on disk until VACUUM —
+    * also guarded). */
   private def guardTxDestructiveV2(q: String): Unit = {
     if (txWatermarks.isEmpty) return
     val up = q.toUpperCase(Locale.ROOT).replaceAll("\\s+", " ")
@@ -114,16 +115,17 @@ final class GraftSession(
         Some("ALTER TABLE RENAME")
       else None
     verb.foreach { v =>
-      val gdiskNames = gdiskCatalogs().keys.map(_.toLowerCase(Locale.ROOT))
-      val targetsGdisk = MutatingTargetRe.findFirstMatchIn(q) match {
+      val guarded = (gdiskCatalogs().keys ++ gmemCatalogs().keys)
+        .map(_.toLowerCase(Locale.ROOT)).toSet
+      val targetsGuarded = MutatingTargetRe.findFirstMatchIn(q) match {
         case Some(m) =>
           val target = m.group(1).toLowerCase(Locale.ROOT)
-          gdiskNames.exists(c => target.startsWith(c + "."))
+          guarded.exists(c => target.startsWith(c + "."))
         case None => // DROP NAMESPACE has no MutatingTargetRe shape
-          gdiskNames.exists(c =>
+          guarded.exists(c =>
             up.toLowerCase(Locale.ROOT).matches(s".*\\b$c\\s*\\..*"))
       }
-      if (targetsGdisk) requireNoTx(s"$v on a gdisk table")
+      if (targetsGuarded) requireNoTx(s"$v on a V2 catalog table")
     }
   }
 

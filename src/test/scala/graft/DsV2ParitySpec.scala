@@ -237,6 +237,12 @@ class DsV2ParitySpec extends AnyFunSuite {
     g.sql("INSERT INTO gmem.par.txb VALUES (3, 30)")
     g.sql("COMMIT")
     assert(spark.table("gmem.par.txb").count() == 2)
+    // destructive verbs on gmem refuse inside a tx (driver rows would be
+    // unrecoverable on rollback), same guard as gdisk
+    g.sql("BEGIN")
+    val e = intercept[Exception](g.sql("DROP TABLE gmem.par.txb"))
+    assert(e.getMessage.contains("transaction"), e.getMessage)
+    g.sql("ROLLBACK")
     g.sql("DROP TABLE gmem.par.txb")
   }
 
