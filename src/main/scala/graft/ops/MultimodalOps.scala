@@ -1580,7 +1580,17 @@ object MultimodalOps {
     * `yBlocks` indexes the (2·mcusX)×(2·mcusY) luma block grid. */
   private[graft] def jpegEncodeSubsampled420(
       mcusX: Int, mcusY: Int, yBlocks: Array[Int], cbConst: Int,
-      crConst: Int, restartInterval: Int): Array[Byte] = {
+      crConst: Int, restartInterval: Int): Array[Byte] =
+    jpegEncodeSubsampled(mcusX, mcusY, 2, 2, yBlocks, cbConst, crConst,
+      restartInterval)
+
+  /** Generalized subsampled fixture encoder: luma sampling `hY`×`vY`
+    * (1–2 each; (2,2)=4:2:0, (2,1)=4:2:2, (1,2)=4:4:0) against 1×1
+    * chroma. `yBlocks` indexes the (hY·mcusX)×(vY·mcusY) luma grid. */
+  private[graft] def jpegEncodeSubsampled(
+      mcusX: Int, mcusY: Int, hY: Int, vY: Int, yBlocks: Array[Int],
+      cbConst: Int, crConst: Int, restartInterval: Int): Array[Byte] = {
+    require(hY >= 1 && hY <= 2 && vY >= 1 && vY <= 2 && hY * vY > 1)
     val out = new java.io.ByteArrayOutputStream()
     def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
@@ -1592,10 +1602,10 @@ object MultimodalOps {
     marker(0xdb); be16(2 + 1 + 64) // DQT: 8-bit table 0, all ones
     out.write(0)
     for (_ <- 0 until 64) out.write(1)
-    val w = mcusX * 16; val h = mcusY * 16
-    marker(0xc0); be16(8 + 3 * 3) // SOF0: Y 2x2, Cb/Cr 1x1 (4:2:0)
+    val w = mcusX * 8 * hY; val h = mcusY * 8 * vY
+    marker(0xc0); be16(8 + 3 * 3) // SOF0: Y hYxvY, Cb/Cr 1x1
     out.write(8); be16(h); be16(w); out.write(3)
-    out.write(1); out.write(0x22); out.write(0)
+    out.write(1); out.write((hY << 4) | vY); out.write(0)
     out.write(2); out.write(0x11); out.write(0)
     out.write(3); out.write(0x11); out.write(0)
     marker(0xc4); be16(2 + 17 + 12) // DC table 0 (see 4:4:4 encoder)
@@ -1622,7 +1632,7 @@ object MultimodalOps {
       if (t > 0) bits.put(if (diff < 0) diff - 1 else diff, t)
       bits.put(0, 2) // EOB
     }
-    val ybw = 2 * mcusX
+    val ybw = hY * mcusX
     var mcu = 0
     var rst = 0
     var my = 0
@@ -1635,10 +1645,10 @@ object MultimodalOps {
           java.util.Arrays.fill(preds, 0)
         }
         var vb = 0
-        while (vb < 2) {
+        while (vb < vY) {
           var hb = 0
-          while (hb < 2) {
-            putDc(0, yBlocks((2 * my + vb) * ybw + (2 * mx + hb)))
+          while (hb < hY) {
+            putDc(0, yBlocks((vY * my + vb) * ybw + (hY * mx + hb)))
             hb += 1
           }
           vb += 1

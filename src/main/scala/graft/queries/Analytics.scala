@@ -1522,27 +1522,57 @@ object Analytics extends QueryModule {
       "an_ab_cuped",
       (s, dir) => {
         import s.implicits._
+        // DETERMINISM: every reported number derives from EXACT decimal
+        // sufficient statistics (Σx, Σy, Σxy, Σx², Σy² per variant and
+        // globally) with ONE double cast each — θ, means, variances and
+        // the CUPED identities Var(y−θ(x−m̄)) = Vy − 2θC + θ²Vx and
+        // mean(cuped) = ȳ − θ(x̄ − m̄) then compute the IDENTICAL doubles
+        // in both engines. avg()/var_pop() over doubles is summation-
+        // order-dependent and flipped a round(,4) half-boundary at tiny
+        // SF (the sf0.001 probe caught it).
         val ev = t(s, dir, "events")
         val bounds = ev.agg(min(to_date($"ts")).as("d0"))
         val cut = date_add($"d0", 14)
         val zero = lit(0).cast(money)
+        val pd = org.apache.spark.sql.types.DecimalType(15, 2)
         val u = ev.crossJoin(broadcast(bounds))
           .groupBy($"user_id", ($"user_id" % 2).as("variant"))
           .agg(
             sum(when(to_date($"ts") < cut && $"event_type" === "purchase",
-              m($"value")).otherwise(zero)).cast("double").as("pre"),
+              m($"value")).otherwise(zero)).cast(pd).as("pre_d"),
             sum(when(to_date($"ts") >= cut && $"event_type" === "purchase",
-              m($"value")).otherwise(zero)).cast("double").as("post"))
+              m($"value")).otherwise(zero)).cast(pd).as("post_d"))
         val th = u.agg(
-          (covar_pop($"pre", $"post") / var_pop($"pre")).as("theta"),
-          avg($"pre").as("mean_pre"))
-        u.crossJoin(broadcast(th))
-          .withColumn("cuped", $"post" - $"theta" * ($"pre" - $"mean_pre"))
-          .groupBy($"variant")
-          .agg(count(lit(1)).as("n_users"),
-            round(avg($"post"), 4).as("mean_post"),
-            round(avg($"cuped"), 4).as("mean_cuped"),
-            round(lit(1.0) - var_pop($"cuped") / var_pop($"post"), 6)
+            count(lit(1)).cast("double").as("n"),
+            sum($"pre_d").cast("double").as("sx"),
+            sum($"post_d").cast("double").as("sy"),
+            sum($"pre_d" * $"post_d").cast("double").as("sxy"),
+            sum($"pre_d" * $"pre_d").cast("double").as("sxx"))
+          .select(
+            (($"n" * $"sxy" - $"sx" * $"sy") /
+              ($"n" * $"sxx" - $"sx" * $"sx")).as("theta"),
+            ($"sx" / $"n").as("mean_pre"))
+        u.groupBy($"variant")
+          .agg(
+            count(lit(1)).as("n_users"),
+            count(lit(1)).cast("double").as("nv"),
+            sum($"pre_d").cast("double").as("sxv"),
+            sum($"post_d").cast("double").as("syv"),
+            sum($"pre_d" * $"post_d").cast("double").as("sxyv"),
+            sum($"pre_d" * $"pre_d").cast("double").as("sxxv"),
+            sum($"post_d" * $"post_d").cast("double").as("syyv"))
+          .crossJoin(broadcast(th))
+          .select($"variant", $"n_users",
+            round($"syv" / $"nv", 4).as("mean_post"),
+            round($"syv" / $"nv" -
+              $"theta" * ($"sxv" / $"nv" - $"mean_pre"), 4).as("mean_cuped"),
+            round(lit(1.0) -
+              (($"syyv" / $"nv" - ($"syv" / $"nv") * ($"syv" / $"nv")) -
+                lit(2.0) * $"theta" *
+                  ($"sxyv" / $"nv" - ($"sxv" / $"nv") * ($"syv" / $"nv")) +
+                $"theta" * $"theta" *
+                  ($"sxxv" / $"nv" - ($"sxv" / $"nv") * ($"sxv" / $"nv"))) /
+              ($"syyv" / $"nv" - ($"syv" / $"nv") * ($"syv" / $"nv")), 6)
               .as("var_reduction"))
           .orderBy($"variant")
       },
@@ -1552,21 +1582,37 @@ object Analytics extends QueryModule {
             CAST(sum(CASE WHEN CAST(ts AS DATE) < d0 + INTERVAL 14 DAY
                      AND event_type = 'purchase'
                      THEN CAST(value AS DECIMAL(12,2))
-                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS pre,
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(15,2)) AS pre_d,
             CAST(sum(CASE WHEN CAST(ts AS DATE) >= d0 + INTERVAL 14 DAY
                      AND event_type = 'purchase'
                      THEN CAST(value AS DECIMAL(12,2))
-                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS post
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(15,2)) AS post_d
           FROM events, bounds GROUP BY 1, 2),
-        th AS (SELECT covar_pop(pre, post) / var_pop(pre) AS theta,
-                      avg(pre) AS mean_pre FROM u),
-        adj AS (SELECT variant, post, post - theta * (pre - mean_pre) AS cuped
-                FROM u, th)
-        SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
-          round(avg(post), 4) AS mean_post,
-          round(avg(cuped), 4) AS mean_cuped,
-          round(1 - var_pop(cuped) / var_pop(post), 6) AS var_reduction
-        FROM adj GROUP BY variant ORDER BY variant""")),
+        th AS (
+          SELECT (n*sxy - sx*sy) / (n*sxx - sx*sx) AS theta, sx / n AS mean_pre
+          FROM (SELECT CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(pre_d) AS DOUBLE) AS sx,
+              CAST(sum(post_d) AS DOUBLE) AS sy,
+              CAST(sum(pre_d * post_d) AS DOUBLE) AS sxy,
+              CAST(sum(pre_d * pre_d) AS DOUBLE) AS sxx FROM u)),
+        v AS (
+          SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+            CAST(count(*) AS DOUBLE) AS nv,
+            CAST(sum(pre_d) AS DOUBLE) AS sxv,
+            CAST(sum(post_d) AS DOUBLE) AS syv,
+            CAST(sum(pre_d * post_d) AS DOUBLE) AS sxyv,
+            CAST(sum(pre_d * pre_d) AS DOUBLE) AS sxxv,
+            CAST(sum(post_d * post_d) AS DOUBLE) AS syyv
+          FROM u GROUP BY 1)
+        SELECT variant, n_users,
+          round(syv / nv, 4) AS mean_post,
+          round(syv / nv - theta * (sxv / nv - mean_pre), 4) AS mean_cuped,
+          round(1 -
+            ((syyv / nv - (syv / nv) * (syv / nv)) -
+              2 * theta * (sxyv / nv - (sxv / nv) * (syv / nv)) +
+              theta * theta * (sxxv / nv - (sxv / nv) * (sxv / nv))) /
+            (syyv / nv - (syv / nv) * (syv / nv)), 6) AS var_reduction
+        FROM v, th ORDER BY variant""")),
 
     // ---- Sample-ratio-mismatch guard: the FIRST check any experiment
     // readout must pass — a 50/50 assignment whose realized user counts

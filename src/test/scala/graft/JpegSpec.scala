@@ -187,6 +187,37 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("4:2:2 and 4:4:0 layouts decode bit-for-bit too (one-axis subsampling)") {
+    for ((hY, vY) <- Seq((2, 1), (1, 2)); docId <- Seq(0L, 5L, 9L, 14L)) {
+      val mcusX = 1 + (docId % 2).toInt
+      val mcusY = 1 + (docId % 3).toInt
+      val ybw = hY * mcusX
+      val yb = Array.tabulate(ybw * vY * mcusY) { i =>
+        val bx = i % ybw; val by = i / ybw
+        ((7 * docId + 11 * bx + 17 * by) % 256).toInt
+      }
+      val cb = ((3 * docId) % 256).toInt
+      val cr = ((5 * docId) % 256).toInt
+      val bytes = MultimodalOps.jpegEncodeSubsampled(
+        mcusX, mcusY, hY, vY, yb, cb, cr, if (docId % 4 == 0) 1 else 0)
+      val img = MultimodalOps.jpegDecode(bytes)
+        .getOrElse(fail(s"doc $docId (${hY}x$vY) failed to decode"))
+      assert(img.width == 8 * hY * mcusX && img.height == 8 * vY * mcusY)
+      for (py <- 0 until img.height; px <- 0 until img.width) {
+        val blk = (py / 8) * ybw + px / 8
+        val p = py * img.width + px
+        assert(img.planes(0)(p) == yb(blk),
+          s"Y mismatch ${hY}x$vY doc=$docId ($px,$py)")
+        assert(img.planes(1)(p) == cb && img.planes(2)(p) == cr,
+          s"chroma mismatch ${hY}x$vY doc=$docId ($px,$py)")
+      }
+      // the JDK's independent decoder accepts the layout too
+      assert(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)) != null,
+        s"ImageIO rejected the ${hY}x$vY fixture")
+    }
+  }
+
   test("decodes an ImageIO-encoded color JPEG (its default chroma layout) within tolerance") {
     // constant color → constant planes: box vs fancy upsampling agree
     // exactly, so this cross-checks whatever sampling the JDK's writer

@@ -110,11 +110,19 @@ class ManifestScaleSpec extends AnyFunSuite {
           false, conf)
     }
     val coldLog = new DiskCommitLog(coldDir, conf)
+    val readsBefore = DiskCommitLog.recordReads.get()
     val (m, ms) = timedMs(coldLog.read(10L))
+    val reads = DiskCommitLog.recordReads.get() - readsBefore
     assert(m.files.length == NFiles + 10)
     assert(m.sizes.size == NFiles + 10, "sizes lost in delta reconstruction")
     assert(m.stats.size == NFiles + 10, "stats lost in delta reconstruction")
     assert(ms < 15000, s"cold 50k-file snapshot reconstruction took $ms ms")
+    // STRUCTURAL bound: v10 reconstructs from the v0 checkpoint + the 10
+    // delta records — within one checkpoint interval of record reads,
+    // never a rescan of history
+    assert(reads <= GraftDiskCatalog.DefaultCheckpointInterval + 1,
+      s"reconstruction opened $reads log records (interval " +
+        s"${GraftDiskCatalog.DefaultCheckpointInterval})")
   }
 
   test("partition + stats pruning of a point query over 50k files is driver-CPU bounded") {
