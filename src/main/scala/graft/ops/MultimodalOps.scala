@@ -126,9 +126,10 @@ object MultimodalOps {
     * format (magic bytes; "raw" = no recognized container) and whether
     * the REAL decoder produced pixels for it. At corpus scale the
     * aggregated (format, decoded) counts are a first-class data-quality
-    * metric — the documented JPEG scope (baseline, grayscale/4:4:4)
-    * quarantines progressive/subsampled images, and users must SEE that
-    * rate, not discover it downstream. */
+    * metric — every decoder documents a scope (e.g. JPEG decodes
+    * baseline AND progressive at 1-2x sampling, but not lossless/
+    * arithmetic), and users must SEE the quarantine rate, not discover
+    * missing rows downstream. */
   final case class DecodeStatus(doc_id: Long, format: String, decoded: Boolean)
 
   /** Partition-parallel classify-and-attempt over a mixed media corpus:
@@ -1152,8 +1153,9 @@ object MultimodalOps {
     * 4:4:4 AND the chroma-subsampled layouts real encoders emit by
     * default (4:2:0, 4:2:2, 4:4:0), decoded as interleaved MCUs at
     * component resolution and box-replicated up to full resolution
-    * (T.81 leaves the upsampling filter to the decoder). Progressive /
-    * lossless / arithmetic files are dropped, never mis-decoded.
+    * (T.81 leaves the upsampling filter to the decoder). Progressive
+    * (SOF2) files route to [[jpegDecodeProgressive]]; lossless /
+    * differential / arithmetic files are dropped, never mis-decoded.
     * Returns planes in the CODED color space (Y or Y/Cb/Cr): the lossy
     * YCbCr→RGB rounding choice is left to callers, so per-component
     * statistics stay bit-exact against an oracle. */
@@ -1209,9 +1211,11 @@ object MultimodalOps {
             c += 1
           }
           i += len
-        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+        case 0xc2 => // progressive DCT: its own multi-scan decoder
+          return jpegDecodeProgressive(b)
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
             0xcd | 0xce | 0xcf =>
-          return None // progressive/lossless/arithmetic: out of scope
+          return None // lossless/differential/arithmetic: out of scope
         case 0xc4 => // DHT (possibly several tables in one segment)
           if (i + 2 > b.length) return None
           val len = be16(i)
@@ -1412,6 +1416,464 @@ object MultimodalOps {
     // full-resolution planes: 4:4:4 components pass through; subsampled
     // ones box-replicate (any filter reproduces a constant chroma plane
     // exactly — the fixture contract; T.81 leaves the filter open)
+    val planes = Array.tabulate(ncomp) { c =>
+      if (cw(c) == width && ch(c) == height) cplanes(c)
+      else {
+        val p = new Array[Int](width * height)
+        val src = cplanes(c)
+        var y = 0
+        while (y < height) {
+          val sy = y * compVs(c) / vmax
+          var x = 0
+          while (x < width) {
+            p(y * width + x) = src(sy * cw(c) + x * compHs(c) / hmax)
+            x += 1
+          }
+          y += 1
+        }
+        p
+      }
+    }
+    Some(JpegImage(width, height, ncomp, planes))
+  }
+
+  /** PROGRESSIVE (SOF2) JPEG decoder — the multi-scan sibling of
+    * [[jpegDecode]], built from the T.81 progressive-DCT procedures
+    * (G.1.2): coefficients for every block accumulate across scans —
+    * interleaved DC-first scans with successive-approximation point
+    * transform, one-bit-per-block DC refinement, per-component AC
+    * spectral-selection bands with EOB run lengths, and the AC
+    * successive-approximation refinement pass (correction bits on
+    * already-nonzero coefficients, ±2^Al placements on new ones) —
+    * then one dequantize + IDCT per block at the end. DHT/DQT/DRI
+    * segments BETWEEN scans update the live tables, restart markers
+    * reset DC predictors and EOB runs per interval, and any malformed
+    * structure quarantines to None (never a task failure). Sampling
+    * scope matches the baseline decoder (1–2 per axis); total
+    * coefficient storage is capped so a hostile header cannot balloon
+    * memory. Cross-checked against the JDK's independent ImageIO
+    * progressive encoder+decoder in JpegSpec. */
+  private def jpegDecodeProgressive(b: Array[Byte]): Option[JpegImage] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    val qtabs = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuff](4)
+    val acTabs = new Array[JpegHuff](4)
+    var width = 0; var height = 0; var ncomp = 0
+    var restartInterval = 0
+    val compQ = new Array[Int](3)
+    val compId = new Array[Int](3)
+    val compHs = new Array[Int](3)
+    val compVs = new Array[Int](3)
+    var hmax = 1; var vmax = 1
+    var mcusX = 0; var mcusY = 0
+    // per component: MCU-padded block-grid stride/height (interleaved
+    // addressing) and the ACTUAL block dims (non-interleaved scans and
+    // the final IDCT cover only real blocks)
+    var bwPad: Array[Int] = null; var bhPad: Array[Int] = null
+    var bwAct: Array[Int] = null; var bhAct: Array[Int] = null
+    var coefs: Array[Array[Int]] = null // comp -> blockIdx*64 + natural idx
+    val preds = new Array[Int](3)
+
+    /** First entropy position of the next marker segment at or after
+      * `from` (skips stuffed FF00 bytes, fill FFs, and RSTn). */
+    def nextMarkerPos(from: Int): Int = {
+      var p = from
+      while (p + 1 < b.length) {
+        if (u8(p) != 0xff) p += 1
+        else {
+          val m = u8(p + 1)
+          if (m == 0x00) p += 2 // stuffed data byte
+          else if (m == 0xff) p += 1 // fill byte
+          else if (m >= 0xd0 && m <= 0xd7) p += 2 // restart marker
+          else return p
+        }
+      }
+      -1
+    }
+
+    def setupAfterSof(): Boolean = {
+      hmax = 1; vmax = 1
+      var c = 0
+      while (c < ncomp) {
+        if (compHs(c) > hmax) hmax = compHs(c)
+        if (compVs(c) > vmax) vmax = compVs(c)
+        c += 1
+      }
+      mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+      mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+      bwPad = Array.tabulate(ncomp)(c => mcusX * compHs(c))
+      bhPad = Array.tabulate(ncomp)(c => mcusY * compVs(c))
+      bwAct = Array.tabulate(ncomp) { c =>
+        ((width * compHs(c) + hmax - 1) / hmax + 7) / 8
+      }
+      bhAct = Array.tabulate(ncomp) { c =>
+        ((height * compVs(c) + vmax - 1) / vmax + 7) / 8
+      }
+      // memory bound: a hostile header must not allocate unbounded
+      // coefficient storage (2^19 blocks ≈ 134 MB of ints — covers a
+      // 4096x4096 three-component 4:2:0 image)
+      val totalBlocks = (0 until ncomp).map(c => bwPad(c).toLong * bhPad(c)).sum
+      if (totalBlocks > (1L << 19)) return false
+      coefs = Array.tabulate(ncomp)(c => new Array[Int](bwPad(c) * bhPad(c) * 64))
+      true
+    }
+
+    var i = 2
+    var sawEoi = false
+    try {
+      while (!sawEoi) {
+        if (i < 0 || i + 1 >= b.length) return None
+        if (u8(i) != 0xff) return None
+        var m = u8(i + 1)
+        i += 2
+        while (m == 0xff) { if (i >= b.length) return None; m = u8(i); i += 1 }
+        m match {
+          case 0xd8 => // stray SOI: ignore
+          case 0xd9 => sawEoi = true
+          case 0xc2 => // SOF2
+            if (coefs != null) return None // double SOF: malformed
+            if (i + 2 > b.length) return None
+            val len = be16(i)
+            if (i + len > b.length || len < 8) return None
+            if (u8(i + 2) != 8) return None
+            height = be16(i + 3); width = be16(i + 5)
+            ncomp = u8(i + 7)
+            if ((ncomp != 1 && ncomp != 3) || len < 8 + 3 * ncomp) return None
+            if (width <= 0 || height <= 0 ||
+              width > (1 << 14) || height > (1 << 14)) return None
+            var c = 0
+            while (c < ncomp) {
+              compId(c) = u8(i + 8 + 3 * c)
+              val hv = u8(i + 9 + 3 * c)
+              compHs(c) = hv >> 4; compVs(c) = hv & 15
+              if (compHs(c) < 1 || compHs(c) > 2 ||
+                compVs(c) < 1 || compVs(c) > 2) return None
+              compQ(c) = u8(i + 10 + 3 * c)
+              if (compQ(c) > 3) return None
+              c += 1
+            }
+            if (ncomp == 1) { compHs(0) = 1; compVs(0) = 1 }
+            if (!setupAfterSof()) return None
+            i += len
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+              0xcb | 0xcd | 0xce | 0xcf =>
+            return None // a second/different SOF: malformed
+          case 0xc4 => // DHT (tables may arrive BETWEEN scans)
+            if (i + 2 > b.length) return None
+            val len = be16(i)
+            if (i + len > b.length) return None
+            var p = i + 2
+            val end = i + len
+            while (p < end) {
+              val tcth = u8(p)
+              val tc = tcth >> 4; val th = tcth & 15
+              if (tc > 1 || th > 3 || p + 17 > end) return None
+              val counts = Array.tabulate(16)(j => u8(p + 1 + j))
+              val n = counts.sum
+              if (p + 17 + n > end || n > 256) return None
+              val vals = java.util.Arrays.copyOfRange(b, p + 17, p + 17 + n)
+              val t = new JpegHuff(counts, vals)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+              p += 17 + n
+            }
+            i += len
+          case 0xdb => // DQT
+            if (i + 2 > b.length) return None
+            val len = be16(i)
+            if (i + len > b.length) return None
+            var p = i + 2
+            val end = i + len
+            while (p < end) {
+              val pqtq = u8(p)
+              val pq = pqtq >> 4; val tq = pqtq & 15
+              if (pq > 1 || tq > 3) return None
+              val sz = if (pq == 0) 64 else 128
+              if (p + 1 + sz > end) return None
+              val q = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                q(jpegZigzag(k)) =
+                  if (pq == 0) u8(p + 1 + k) else be16(p + 1 + 2 * k)
+                k += 1
+              }
+              qtabs(tq) = q
+              p += 1 + sz
+            }
+            i += len
+          case 0xdd => // DRI
+            if (i + 4 > b.length || be16(i) != 4) return None
+            restartInterval = be16(i + 2)
+            i += 4
+          case 0xda => // SOS: one progressive scan
+            if (coefs == null) return None // scan before SOF
+            if (i + 2 > b.length) return None
+            val len = be16(i)
+            if (i + len > b.length) return None
+            val ns = u8(i + 2)
+            if (ns < 1 || ns > ncomp || len != 6 + 2 * ns) return None
+            val scanComp = new Array[Int](ns)
+            val scanDc = new Array[Int](ns)
+            val scanAc = new Array[Int](ns)
+            var c = 0
+            while (c < ns) {
+              val cid = u8(i + 3 + 2 * c)
+              val j = compId.indexOf(cid)
+              if (j < 0 || j >= ncomp) return None
+              scanComp(c) = j
+              val tt = u8(i + 4 + 2 * c)
+              scanDc(c) = tt >> 4; scanAc(c) = tt & 15
+              c += 1
+            }
+            val ss = u8(i + 3 + 2 * ns)
+            val se = u8(i + 4 + 2 * ns)
+            val ahal = u8(i + 5 + 2 * ns)
+            val ah = ahal >> 4; val al = ahal & 15
+            if (ss > 63 || se > 63 || se < ss || al > 13 || ah > 14) return None
+            if (ss == 0 && se != 0) return None // DC scans are 0..0 here
+            if (ss > 0 && ns != 1) return None // AC scans: one component
+            if (ah != 0 && ah != al + 1) return None // refinement steps by 1
+            val reader = new JpegBitReader(b, i + len)
+            java.util.Arrays.fill(preds, 0)
+            var eobrun = 0
+
+            def decodeDcFirst(comp: Int, base: Int, dcTab: JpegHuff): Unit = {
+              val t = reader.decodeHuff(dcTab)
+              if (t > 11) throw JpegBitReader.Bail
+              preds(comp) += reader.receiveExtend(t)
+              coefs(comp)(base) = preds(comp) << al
+            }
+            def decodeDcRefine(comp: Int, base: Int): Unit =
+              if (reader.nextBit() == 1) coefs(comp)(base) |= (1 << al)
+            def decodeAcFirst(comp: Int, base: Int, acTab: JpegHuff): Unit = {
+              if (eobrun > 0) { eobrun -= 1; return }
+              var k = ss
+              while (k <= se) {
+                val rs = reader.decodeHuff(acTab)
+                val r = rs >> 4; val s = rs & 15
+                if (s == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else {
+                    eobrun = (1 << r) - 1 +
+                      (if (r > 0) reader.receive(r) else 0)
+                    k = 64 // end of band for this block
+                  }
+                } else {
+                  k += r
+                  if (k > se) throw JpegBitReader.Bail
+                  coefs(comp)(base + jpegZigzag(k)) =
+                    reader.receiveExtend(s) << al
+                  k += 1
+                }
+              }
+            }
+            def decodeAcRefine(comp: Int, base: Int, acTab: JpegHuff): Unit = {
+              val bit = 1 << al
+              val cf = coefs(comp)
+              def refine(z: Int): Unit =
+                if (reader.nextBit() == 1 && (cf(z) & bit) == 0)
+                  cf(z) += (if (cf(z) >= 0) bit else -bit)
+              if (eobrun > 0) {
+                var k = ss
+                while (k <= se) {
+                  val z = base + jpegZigzag(k)
+                  if (cf(z) != 0) refine(z)
+                  k += 1
+                }
+                eobrun -= 1
+                return
+              }
+              var k = ss
+              while (k <= se) {
+                val rs = reader.decodeHuff(acTab)
+                var r = rs >> 4; val s = rs & 15
+                var newVal = 0
+                if (s == 0) {
+                  if (r < 15) {
+                    // EOB run: correction bits on the REST of this block's
+                    // band, then (eobrun-1) more whole blocks skip
+                    eobrun = (1 << r) - 1 +
+                      (if (r > 0) reader.receive(r) else 0)
+                    while (k <= se) {
+                      val z = base + jpegZigzag(k)
+                      if (cf(z) != 0) refine(z)
+                      k += 1
+                    }
+                    return
+                  }
+                  // r == 15: skip 16 zero-history positions
+                } else {
+                  if (s != 1) throw JpegBitReader.Bail
+                  newVal = if (reader.nextBit() == 1) bit else -bit
+                }
+                // advance: corrections on nonzero-history coefficients,
+                // count r zero-history slots, place the new value
+                var placed = false
+                while (k <= se && !placed) {
+                  val z = base + jpegZigzag(k)
+                  if (cf(z) != 0) refine(z)
+                  else {
+                    if (r == 0) {
+                      if (newVal != 0) cf(z) = newVal
+                      placed = true
+                    } else r -= 1
+                  }
+                  k += 1
+                }
+                if (!placed && newVal != 0) throw JpegBitReader.Bail
+              }
+            }
+
+            def decodeBlock(sc: Int, base: Int): Unit = {
+              val comp = scanComp(sc)
+              if (ss == 0) {
+                if (ah == 0) {
+                  val t = dcTabs(scanDc(sc))
+                  if (t == null) throw JpegBitReader.Bail
+                  decodeDcFirst(comp, base, t)
+                } else decodeDcRefine(comp, base)
+              } else {
+                val t = acTabs(scanAc(sc))
+                if (t == null) throw JpegBitReader.Bail
+                if (ah == 0) decodeAcFirst(comp, base, t)
+                else decodeAcRefine(comp, base, t)
+              }
+            }
+            def restartIfDue(mcu: Int): Unit =
+              if (restartInterval > 0 && mcu > 0 &&
+                mcu % restartInterval == 0) {
+                reader.restartSync()
+                java.util.Arrays.fill(preds, 0)
+                eobrun = 0
+              }
+
+            if (ns == 1) {
+              // non-interleaved (T.81 A.2.2 — any single-component scan,
+              // DC or AC): the component's OWN block raster
+              val comp = scanComp(0)
+              var mcu = 0
+              var by = 0
+              while (by < bhAct(comp)) {
+                var bx = 0
+                while (bx < bwAct(comp)) {
+                  restartIfDue(mcu)
+                  decodeBlock(0, (by * bwPad(comp) + bx) * 64)
+                  mcu += 1
+                  bx += 1
+                }
+                by += 1
+              }
+            } else {
+              // interleaved DC scan over the MCU grid
+              var mcu = 0
+              var my = 0
+              while (my < mcusY) {
+                var mx = 0
+                while (mx < mcusX) {
+                  restartIfDue(mcu)
+                  var sc = 0
+                  while (sc < ns) {
+                    val comp = scanComp(sc)
+                    var vb = 0
+                    while (vb < compVs(comp)) {
+                      var hb = 0
+                      while (hb < compHs(comp)) {
+                        val blk = (my * compVs(comp) + vb) * bwPad(comp) +
+                          (mx * compHs(comp) + hb)
+                        decodeBlock(sc, blk * 64)
+                        hb += 1
+                      }
+                      vb += 1
+                    }
+                    sc += 1
+                  }
+                  mcu += 1
+                  mx += 1
+                }
+                my += 1
+              }
+            }
+            i = nextMarkerPos(reader.pos)
+          case mm if mm >= 0xd0 && mm <= 0xd7 => // stray RST: ignore
+          case 0x01 => // TEM
+          case _ => // APPn / COM / anything else with a length
+            if (i + 2 > b.length) return None
+            val len = be16(i)
+            if (len < 2 || i + len > b.length) return None
+            i += len
+        }
+      }
+    } catch {
+      case JpegBitReader.Bail => return None
+      case _: ArrayIndexOutOfBoundsException => return None
+    }
+    if (coefs == null || width == 0) return None
+    // ---- dequantize + IDCT every ACTUAL block, then upsample ----
+    var c0 = 0
+    while (c0 < ncomp) { if (qtabs(compQ(c0)) == null) return None; c0 += 1 }
+    val cw = Array.tabulate(ncomp)(c => (width * compHs(c) + hmax - 1) / hmax)
+    val ch = Array.tabulate(ncomp)(c => (height * compVs(c) + vmax - 1) / vmax)
+    val cplanes = Array.tabulate(ncomp)(c => new Array[Int](cw(c) * ch(c)))
+    val dq = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var c = 0
+    while (c < ncomp) {
+      val q = qtabs(compQ(c))
+      val cf = coefs(c)
+      val plane = cplanes(c)
+      val compW = cw(c); val compH = ch(c)
+      var by = 0
+      while (by < bhAct(c)) {
+        var bx = 0
+        while (bx < bwAct(c)) {
+          val base = (by * bwPad(c) + bx) * 64
+          var j = 0
+          while (j < 64) { dq(j) = cf(base + j) * q(j); j += 1 }
+          var v = 0
+          while (v < 8) {
+            var x = 0
+            while (x < 8) {
+              var acc = 0.0
+              var u = 0
+              while (u < 8) {
+                acc += jpegCu(u) * dq(v * 8 + u) * jpegCos(u)(x)
+                u += 1
+              }
+              tmp(v * 8 + x) = acc
+              x += 1
+            }
+            v += 1
+          }
+          var y = 0
+          while (y < 8) {
+            val py = by * 8 + y
+            if (py < compH) {
+              var x = 0
+              while (x < 8) {
+                val px = bx * 8 + x
+                if (px < compW) {
+                  var acc = 0.0
+                  var vv = 0
+                  while (vv < 8) {
+                    acc += jpegCu(vv) * tmp(vv * 8 + x) * jpegCos(vv)(y)
+                    vv += 1
+                  }
+                  val s = Math.round(acc / 4.0 + 128.0).toInt
+                  plane(py * compW + px) =
+                    if (s < 0) 0 else if (s > 255) 255 else s
+                }
+                x += 1
+              }
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
     val planes = Array.tabulate(ncomp) { c =>
       if (cw(c) == width && ch(c) == height) cplanes(c)
       else {
@@ -1719,8 +2181,9 @@ object MultimodalOps {
   }
 
   /** Partition-parallel JPEG pixel decode ([[extractGifPixels]] shape):
-    * unrecognized/progressive/arithmetic payloads are dropped
-    * (chroma-subsampled baselines decode since round 8). */
+    * unrecognized/lossless/arithmetic payloads are dropped
+    * (chroma-subsampled baselines AND progressive files decode since
+    * round 8). */
   def extractJpegPixels(spark: SparkSession, media: DataFrame): Dataset[JpegPixels] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]

@@ -3231,9 +3231,9 @@ object ExtMultimodal extends QueryModule {
     // corpus (four real container fixtures + an opaque-bytes lane, with
     // two format classes partially TRUNCATED so real decode failures sit
     // under the hash) → per-(format, decoded) counters. At 100 TB this
-    // ledger is the data-quality metric the documented decoder scope
-    // (e.g. baseline-only JPEG) makes mandatory: users must SEE the
-    // quarantine rate, not discover missing rows downstream. Every lane
+    // ledger is the data-quality metric every decoder's documented scope
+    // makes mandatory: users must SEE the quarantine rate, not discover
+    // missing rows downstream. Every lane
     // is deterministic by construction, so DuckDB recomputes the counts
     // from the doc_id classes without decoding anything — a
     // classification or quarantine-path bug breaks the hash.

@@ -263,11 +263,97 @@ class JpegSpec extends AnyFunSuite {
     assert(maxDiff <= 2, s"color cross-check diverges by $maxDiff")
   }
 
-  test("quarantine: garbage, progressive, and truncated payloads drop to None") {
+  test("decodes ImageIO-encoded PROGRESSIVE grayscale within the T.81 allowance") {
+    // ImageIO's progressive mode emits the multi-scan libjpeg script
+    // (DC first + refinements, AC spectral-selection bands + successive
+    // approximation) — a REAL independent encoder driving every
+    // progressive code path; non-multiple-of-8 sizes cover partial blocks
+    val rnd = new scala.util.Random(7)
+    for (((w, h), q) <- Seq((21, 13), (64, 48), (37, 40)).zip(Seq(0.5f, 0.75f, 0.9f))) {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (yy <- 0 until h; xx <- 0 until w)
+        bi.getRaster.setSample(xx, yy, 0, rnd.nextInt(256))
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(q)
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(mos)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      mos.flush(); writer.dispose()
+      val bytes = bos.toByteArray
+      // confirm the writer really emitted SOF2
+      assert(bytes.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+        "ImageIO did not emit a progressive stream")
+      val img = MultimodalOps.jpegDecode(bytes)
+        .getOrElse(fail(s"failed to decode progressive ($w x $h, q=$q)"))
+      assert(img.width == w && img.height == h && img.comps == 1)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var maxDiff = 0
+      for (yy <- 0 until h; xx <- 0 until w) {
+        val mine = img.planes(0)(yy * w + xx)
+        val theirs = ref.getRaster.getSample(xx, yy, 0)
+        maxDiff = math.max(maxDiff, math.abs(mine - theirs))
+      }
+      assert(maxDiff <= 2, s"progressive ($w x $h, q=$q): max diff $maxDiff")
+    }
+  }
+
+  test("decodes ImageIO-encoded PROGRESSIVE color (subsampled) within tolerance") {
+    // constant color → constant planes, so box vs fancy chroma upsampling
+    // agree exactly and only the progressive coefficient machinery is
+    // under test (including the interleaved DC scans across 3 components)
+    val w = 40; val h = 24
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = bi.createGraphics()
+    g2.setColor(new java.awt.Color(60, 130, 200)); g2.fillRect(0, 0, w, h)
+    g2.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(mos)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    mos.flush(); writer.dispose()
+    val bytes = bos.toByteArray
+    assert(bytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2))
+    val img = MultimodalOps.jpegDecode(bytes)
+      .getOrElse(fail("failed to decode progressive color"))
+    assert(img.width == w && img.height == h && img.comps == 3)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (yy <- 0 until h; xx <- 0 until w) {
+      val p = yy * w + xx
+      val y = img.planes(0)(p).toDouble
+      val cb = img.planes(1)(p) - 128.0
+      val cr = img.planes(2)(p) - 128.0
+      def clamp(v: Double) = math.min(255, math.max(0, Math.round(v).toInt))
+      val rgbMine = Seq(
+        clamp(y + 1.402 * cr),
+        clamp(y - 0.344136 * cb - 0.714136 * cr),
+        clamp(y + 1.772 * cb))
+      val rgb = ref.getRGB(xx, yy)
+      val rgbRef = Seq((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      maxDiff = math.max(maxDiff,
+        rgbMine.zip(rgbRef).map { case (a, b) => math.abs(a - b) }.max)
+    }
+    assert(maxDiff <= 2, s"progressive color diverges by $maxDiff")
+  }
+
+  test("quarantine: garbage, malformed-progressive, and truncated payloads drop to None") {
     assert(MultimodalOps.jpegDecode(Array[Byte](1, 2, 3)).isEmpty)
     assert(MultimodalOps.jpegDecode(Array.fill[Byte](64)(0x55)).isEmpty)
     val good = encodeFixture(7L)
-    // flip SOF0 (FFC0) to SOF2 (FFC2 progressive) — must drop, not mis-decode
+    // flip SOF0 (FFC0) to SOF2: a BASELINE scan header (interleaved,
+    // Ss=0..Se=63) is illegal in a progressive stream — the progressive
+    // decoder must reject the mislabel, not mis-decode it
     val prog = good.clone()
     val sof = prog.indices.find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
