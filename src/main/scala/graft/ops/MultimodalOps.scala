@@ -2127,6 +2127,158 @@ object MultimodalOps {
     out.toByteArray
   }
 
+  /** Minimal PROGRESSIVE (SOF2) 4:2:0 fixture encoder: the same
+    * exactness contract as the baseline fixtures (all-ones quant +
+    * constant blocks → DC-only, bit-exact decode) laid out as a REAL
+    * multi-scan progressive file — an interleaved DC-first scan with
+    * successive-approximation point transform Al=4, a DC refinement
+    * scan supplying bit 3 (nonzero for odd sample values, so real
+    * correction bits sit under the oracle hash; DC is a multiple of 8,
+    * so the remaining bits are provably zero and the approximation is
+    * EXACT at Al=3), and one all-EOB AC band scan per component.
+    * Optional DRI lattice exercises the progressive restart path. */
+  private[graft] def jpegEncodeProgressive420(
+      mcusX: Int, mcusY: Int, yBlocks: Array[Int], cbConst: Int,
+      crConst: Int, restartInterval: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); be16(16) // JFIF APP0
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); be16(1); be16(1)
+    out.write(0); out.write(0)
+    marker(0xdb); be16(2 + 1 + 64) // DQT: 8-bit table 0, all ones
+    out.write(0)
+    for (_ <- 0 until 64) out.write(1)
+    val w = mcusX * 16; val h = mcusY * 16
+    marker(0xc2); be16(8 + 3 * 3) // SOF2: Y 2x2, Cb/Cr 1x1 (4:2:0)
+    out.write(8); be16(h); be16(w); out.write(3)
+    out.write(1); out.write(0x22); out.write(0)
+    out.write(2); out.write(0x11); out.write(0)
+    out.write(3); out.write(0x11); out.write(0)
+    marker(0xc4); be16(2 + 17 + 12) // DC table 0 (4-bit categories)
+    out.write(0x00)
+    for (l <- 1 to 16) out.write(if (l == 4) 12 else 0)
+    for (s <- 0 to 11) out.write(s)
+    marker(0xc4); be16(2 + 17 + 1) // AC table 0: lone EOB
+    out.write(0x10)
+    for (l <- 1 to 16) out.write(if (l == 2) 1 else 0)
+    out.write(0x00)
+    if (restartInterval > 0) { marker(0xdd); be16(4); be16(restartInterval) }
+    val ybw = 2 * mcusX
+    def dcOf(v: Int) = 8 * (v - 128)
+    // scan 1: interleaved DC first, Ah=0 Al=4 — encodes diffs of dc>>4
+    locally {
+      marker(0xda); be16(6 + 2 * 3)
+      out.write(3)
+      for (c <- 1 to 3) { out.write(c); out.write(0x00) }
+      out.write(0); out.write(0); out.write(0x04) // Ss=0 Se=0 Ah=0 Al=4
+      val bits = new JpegBitWriter(out)
+      val preds = new Array[Int](3)
+      var mcu = 0; var rst = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            bits.flush()
+            marker(0xd0 + rst); rst = (rst + 1) % 8
+            java.util.Arrays.fill(preds, 0)
+          }
+          def putDcApprox(c: Int, value: Int): Unit = {
+            val approx = dcOf(value) >> 4
+            val diff = approx - preds(c)
+            preds(c) = approx
+            val t = jpegCategory(diff)
+            bits.put(t, 4)
+            if (t > 0) bits.put(if (diff < 0) diff - 1 else diff, t)
+          }
+          for (vb <- 0 until 2; hb <- 0 until 2)
+            putDcApprox(0, yBlocks((2 * my + vb) * ybw + (2 * mx + hb)))
+          putDcApprox(1, cbConst)
+          putDcApprox(2, crConst)
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+      bits.flush()
+    }
+    // scan 2: interleaved DC refinement, Ah=4 Al=3 — one raw bit (bit 3)
+    locally {
+      marker(0xda); be16(6 + 2 * 3)
+      out.write(3)
+      for (c <- 1 to 3) { out.write(c); out.write(0x00) }
+      out.write(0); out.write(0); out.write(0x43) // Ah=4 Al=3
+      val bits = new JpegBitWriter(out)
+      var mcu = 0; var rst = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            bits.flush()
+            marker(0xd0 + rst); rst = (rst + 1) % 8
+          }
+          def putBit(value: Int): Unit =
+            bits.put((dcOf(value) >> 3) & 1, 1)
+          for (vb <- 0 until 2; hb <- 0 until 2)
+            putBit(yBlocks((2 * my + vb) * ybw + (2 * mx + hb)))
+          putBit(cbConst)
+          putBit(crConst)
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+      bits.flush()
+    }
+    // scans 3-5: per-component AC band 1..63, all blocks EOB (AC is zero)
+    for (c <- 1 to 3) {
+      marker(0xda); be16(6 + 2)
+      out.write(1); out.write(c); out.write(0x00)
+      out.write(1); out.write(63); out.write(0x00) // Ss=1 Se=63 Ah=0 Al=0
+      val nBlocks =
+        if (c == 1) (2 * mcusX) * (2 * mcusY) else mcusX * mcusY
+      val bits = new JpegBitWriter(out)
+      var blk = 0; var rst = 0
+      while (blk < nBlocks) {
+        if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+          bits.flush()
+          marker(0xd0 + rst); rst = (rst + 1) % 8
+        }
+        bits.put(0, 2) // EOB
+        blk += 1
+      }
+      bits.flush()
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Fixture adapter for the PROGRESSIVE 4:2:0 path (same formulas as
+    * [[asJpeg420Payload]], so the same oracle shape replays it). */
+  def asJpegProgressivePayload(
+      spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val mcusX = 1 + (docId % 2).toInt
+          val mcusY = 1 + (docId % 3).toInt
+          val ybw = 2 * mcusX
+          val yb = Array.tabulate(ybw * 2 * mcusY) { i =>
+            val bx = i % ybw; val by = i / ybw
+            ((7 * docId + 11 * bx + 17 * by) % 256).toInt
+          }
+          val dri = if (docId % 4 == 0) 1 else 0
+          (docId, jpegEncodeProgressive420(mcusX, mcusY, yb,
+            ((3 * docId) % 256).toInt, ((5 * docId) % 256).toInt, dri))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** Fixture adapter for the 4:2:0 path: REAL chroma-subsampled baseline
     * JPEGs whose luma blocks derive from the row id
     * (Y=(7·id+11·bx+17·by)%256 over a (2–4)×(2–6) luma block grid) and

@@ -3227,6 +3227,46 @@ object ExtMultimodal extends QueryModule {
           CAST(doc_id * 5 % 256 AS INT) AS first_cr
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // REAL PROGRESSIVE (SOF2) decode under the oracle gate: a genuine
+    // multi-scan file per doc — interleaved DC-first scan at point
+    // transform Al=4, a DC refinement scan whose correction bits are
+    // NONZERO for odd sample values (so the successive-approximation
+    // machinery sits under the hash; DC is a multiple of 8, making the
+    // Al=3 approximation exact), per-component all-EOB AC band scans,
+    // and a restart lattice on every fourth doc. Same value formulas as
+    // the baseline 4:2:0 entry, so the same oracle replays it — a scan
+    // sequencing, refinement, or EOB-run bug breaks the hash.
+    QueryDef(
+      "ext_multimodal_jpeg_prog_pixels",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asJpegProgressivePayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        val npx = ($"width" * $"height").cast("double")
+        MultimodalOps.extractJpegPixels(s, media).toDF()
+          .select($"doc_id", $"width", $"height",
+            round($"sum_y" / npx, 6).as("mean_y"),
+            round($"sum_cb" / npx, 6).as("mean_cb"),
+            round($"sum_cr" / npx, 6).as("mean_cr"),
+            $"first_y", $"first_cb", $"first_cr")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id,
+            CAST(16 * (1 + doc_id % 2) AS INT) AS w,
+            CAST(16 * (1 + doc_id % 3) AS INT) AS h,
+            (doc_id*7 + 11*bx + 17*by) % 256 AS y
+          FROM documents, unnest(range(0, 4)) AS tx(bx), unnest(range(0, 6)) AS ty(by)
+          WHERE bx < 2 * (1 + doc_id % 2) AND by < 2 * (1 + doc_id % 3))
+        SELECT doc_id, w AS width, h AS height,
+          round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS mean_y,
+          round(CAST(doc_id * 3 % 256 AS DOUBLE), 6) AS mean_cb,
+          round(CAST(doc_id * 5 % 256 AS DOUBLE), 6) AS mean_cr,
+          CAST(doc_id * 7 % 256 AS INT) AS first_y,
+          CAST(doc_id * 3 % 256 AS INT) AS first_cb,
+          CAST(doc_id * 5 % 256 AS INT) AS first_cr
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
     // QUARANTINE-RATE OBSERVABILITY: classify-and-attempt over a MIXED
     // corpus (four real container fixtures + an opaque-bytes lane, with
     // two format classes partially TRUNCATED so real decode failures sit

@@ -263,6 +263,39 @@ class JpegSpec extends AnyFunSuite {
     assert(maxDiff <= 2, s"color cross-check diverges by $maxDiff")
   }
 
+  test("progressive 4:2:0 fixture decodes bit-for-bit (DC refinement + EOB bands + restarts)") {
+    for (docId <- 0L to 40L) {
+      val mcusX = 1 + (docId % 2).toInt
+      val mcusY = 1 + (docId % 3).toInt
+      val ybw = 2 * mcusX
+      val yb = Array.tabulate(ybw * 2 * mcusY) { i =>
+        val bx = i % ybw; val by = i / ybw
+        ((7 * docId + 11 * bx + 17 * by) % 256).toInt
+      }
+      val cb = ((3 * docId) % 256).toInt
+      val cr = ((5 * docId) % 256).toInt
+      val bytes = MultimodalOps.jpegEncodeProgressive420(
+        mcusX, mcusY, yb, cb, cr, if (docId % 4 == 0) 1 else 0)
+      val img = MultimodalOps.jpegDecode(bytes)
+        .getOrElse(fail(s"doc $docId (progressive) failed to decode"))
+      assert(img.width == 16 * mcusX && img.height == 16 * mcusY &&
+        img.comps == 3)
+      for (py <- 0 until img.height; px <- 0 until img.width) {
+        val blk = (py / 8) * ybw + px / 8
+        val p = py * img.width + px
+        assert(img.planes(0)(p) == yb(blk),
+          s"Y mismatch progressive doc=$docId ($px,$py)")
+        assert(img.planes(1)(p) == cb && img.planes(2)(p) == cr,
+          s"chroma mismatch progressive doc=$docId ($px,$py)")
+      }
+      // the JDK's independent decoder accepts the multi-scan layout too
+      if (docId <= 8)
+        assert(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)) != null,
+          s"ImageIO rejected the progressive fixture $docId")
+    }
+  }
+
   test("decodes ImageIO-encoded PROGRESSIVE grayscale within the T.81 allowance") {
     // ImageIO's progressive mode emits the multi-scan libjpeg script
     // (DC first + refinements, AC spectral-selection bands + successive
