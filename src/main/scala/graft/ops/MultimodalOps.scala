@@ -554,7 +554,29 @@ object MultimodalOps {
     * close the other two.
     * Unrecognized/odd containers are dropped (quarantine route), never
     * thrown. */
-  def pngPixels(b: Array[Byte]): Option[PngPixels] = {
+  def pngPixels(b: Array[Byte]): Option[PngPixels] =
+    pngDecodeRgb(b).map { case (w, h, rgb) =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      while (i < rgb.length) {
+        sr += rgb(i) & 0xff; sg += rgb(i + 1) & 0xff; sb += rgb(i + 2) & 0xff
+        i += 3
+      }
+      PngPixels(-1L, w, h, sr, sg, sb,
+        rgb(0) & 0xff, rgb(1) & 0xff, rgb(2) & 0xff)
+    }
+
+  /** Full PNG pixel decode to an interleaved RGB buffer. Scope: the
+    * REAL-corpus matrix — color types 0 (grayscale), 2 (truecolor),
+    * 3 (palette), 4 (gray+alpha) and 6 (RGBA, alpha dropped); bit depth
+    * 8 everywhere plus 1/2/4 for grayscale and palette (sub-byte
+    * bit-packed rows — what small-palette web images actually use);
+    * BOTH progressive layouts: non-interlaced and Adam7 (each of the
+    * seven passes unfilters against its OWN previous scanline, then
+    * scatters to the pass lattice). 16-bit and anything malformed
+    * quarantines to None. Total pixels are capped so a hostile header
+    * cannot balloon the buffer. */
+  private[graft] def pngDecodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     val sig = Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
     if (b.length < 8 + 25 || !sig.indices.forall(i => b(i) == sig(i))) return None
     def be32(i: Int) =
@@ -562,6 +584,8 @@ object MultimodalOps {
         ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
     var off = 8
     var w = -1; var h = -1
+    var depth = 0; var colorType = -1; var interlace = 0
+    var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done && off + 8 <= b.length) {
@@ -572,24 +596,51 @@ object MultimodalOps {
         case "IHDR" =>
           if (len != 13) return None
           w = be32(off + 8); h = be32(off + 12)
-          val bitDepth = b(off + 16) & 0xff
-          val colorType = b(off + 17) & 0xff
+          depth = b(off + 16) & 0xff
+          colorType = b(off + 17) & 0xff
           val compression = b(off + 18) & 0xff
           val filterMethod = b(off + 19) & 0xff
-          val interlace = b(off + 20) & 0xff
-          if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
-            bitDepth != 8 || colorType != 2 || compression != 0 ||
-            filterMethod != 0 || interlace != 0) return None
+          interlace = b(off + 20) & 0xff
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24) ||
+            compression != 0 || filterMethod != 0 || interlace > 1) return None
+          val depthOk = colorType match {
+            case 0 | 3 => depth == 1 || depth == 2 || depth == 4 || depth == 8
+            case 2 | 4 | 6 => depth == 8
+            case _ => false
+          }
+          if (!depthOk) return None
+        case "PLTE" =>
+          if (len % 3 != 0 || len > 768) return None
+          palette = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)
         case "IDAT" => idat.write(b, off + 8, len)
         case "IEND" => done = true
-        case _ => () // ancillary chunks skipped
+        case _ => () // ancillary chunks (tRNS alpha included) skipped
       }
       off += 12 + len // len + type + data + crc
     }
     if (w <= 0 || idat.size() == 0) return None
-    val rowBytes = w * 3
-    val expect = h.toLong * (1 + rowBytes)
-    if (expect > Int.MaxValue) return None
+    if (colorType == 3 && palette == null) return None
+    val channels = colorType match {
+      case 0 | 3 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+    }
+    def rowBytesOf(pw: Int): Int = (pw * channels * depth + 7) / 8
+    // Adam7 pass lattice (x0, y0, dx, dy); one full pass if non-interlaced
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (math.max(0, (w - x0 + dx - 1) / dx), math.max(0, (h - y0 + dy - 1) / dy))
+    }
+    val expect = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (1 + rowBytesOf(pw))
+    }.sum
+    if (expect <= 0 || expect > Int.MaxValue) return None
     val raw = new Array[Byte](expect.toInt)
     val inf = new java.util.zip.Inflater()
     try {
@@ -604,41 +655,84 @@ object MultimodalOps {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // reverse per-row filters into `cur`/`prev` reconstructed scanlines
-    var sr = 0L; var sg = 0L; var sb = 0L
-    var fr = 0; var fg = 0; var fb = 0
-    var prev = new Array[Int](rowBytes)
-    var cur = new Array[Int](rowBytes)
-    var y = 0
-    while (y < h) {
-      val base = y * (1 + rowBytes)
-      val filter = raw(base) & 0xff
-      if (filter > 4) return None
-      var i = 0
-      while (i < rowBytes) {
-        val x = raw(base + 1 + i) & 0xff
-        val left = if (i >= 3) cur(i - 3) else 0
-        val up = prev(i)
-        val upLeft = if (i >= 3) prev(i - 3) else 0
-        cur(i) = filter match {
-          case 0 => x
-          case 1 => (x + left) & 0xff
-          case 2 => (x + up) & 0xff
-          case 3 => (x + ((left + up) >> 1)) & 0xff
-          case 4 => (x + paeth(left, up, upLeft)) & 0xff
+    val out = new Array[Byte](w * h * 3)
+    val grayScaleUp = if (depth < 8) 255 / ((1 << depth) - 1) else 1
+    val bpp = math.max(1, channels * depth / 8)
+    var base = 0
+    passes.foreach { case pass @ (x0, y0, dx, dy) =>
+      val (pw, ph) = passDims(pass)
+      if (pw > 0 && ph > 0) {
+        val rowBytes = rowBytesOf(pw)
+        var prev = new Array[Int](rowBytes)
+        var cur = new Array[Int](rowBytes)
+        var j = 0
+        while (j < ph) {
+          val filter = raw(base) & 0xff
+          if (filter > 4) return None
+          var i = 0
+          while (i < rowBytes) {
+            val x = raw(base + 1 + i) & 0xff
+            val left = if (i >= bpp) cur(i - bpp) else 0
+            val up = prev(i)
+            val upLeft = if (i >= bpp) prev(i - bpp) else 0
+            cur(i) = filter match {
+              case 0 => x
+              case 1 => (x + left) & 0xff
+              case 2 => (x + up) & 0xff
+              case 3 => (x + ((left + up) >> 1)) & 0xff
+              case 4 => (x + paeth(left, up, upLeft)) & 0xff
+            }
+            i += 1
+          }
+          // scatter the reconstructed scanline to the pass lattice
+          val py = y0 + j * dy
+          var k = 0
+          while (k < pw) {
+            val px = x0 + k * dx
+            val o = (py * w + px) * 3
+            colorType match {
+              case 2 => // truecolor
+                out(o) = cur(k * 3).toByte
+                out(o + 1) = cur(k * 3 + 1).toByte
+                out(o + 2) = cur(k * 3 + 2).toByte
+              case 6 => // RGBA: alpha dropped
+                out(o) = cur(k * 4).toByte
+                out(o + 1) = cur(k * 4 + 1).toByte
+                out(o + 2) = cur(k * 4 + 2).toByte
+              case 4 => // gray+alpha
+                val g = cur(k * 2).toByte
+                out(o) = g; out(o + 1) = g; out(o + 2) = g
+              case 0 => // grayscale, possibly bit-packed
+                val v =
+                  if (depth == 8) cur(k)
+                  else {
+                    val bitPos = k * depth
+                    ((cur(bitPos >> 3) >> (8 - depth - (bitPos & 7))) &
+                      ((1 << depth) - 1)) * grayScaleUp
+                  }
+                out(o) = v.toByte; out(o + 1) = v.toByte; out(o + 2) = v.toByte
+              case 3 => // palette index, possibly bit-packed
+                val idx =
+                  if (depth == 8) cur(k)
+                  else {
+                    val bitPos = k * depth
+                    (cur(bitPos >> 3) >> (8 - depth - (bitPos & 7))) &
+                      ((1 << depth) - 1)
+                  }
+                if (idx * 3 + 2 >= palette.length) return None
+                out(o) = palette(idx * 3)
+                out(o + 1) = palette(idx * 3 + 1)
+                out(o + 2) = palette(idx * 3 + 2)
+            }
+            k += 1
+          }
+          val t = prev; prev = cur; cur = t
+          base += 1 + rowBytes
+          j += 1
         }
-        i += 1
       }
-      if (y == 0) { fr = cur(0); fg = cur(1); fb = cur(2) }
-      var px = 0
-      while (px < rowBytes) {
-        sr += cur(px); sg += cur(px + 1); sb += cur(px + 2)
-        px += 3
-      }
-      val t = prev; prev = cur; cur = t
-      y += 1
     }
-    Some(PngPixels(-1L, w, h, sr, sg, sb, fr, fg, fb))
+    Some((w, h, out))
   }
 
   /** Fixture adapter (the PNG sibling of [[asBmpPayload]]): emit REAL

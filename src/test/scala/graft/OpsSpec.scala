@@ -503,6 +503,90 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("png color types 0/3/6, sub-byte palettes, and Adam7 interlace match ImageIO exactly") {
+    def pngBytes(bi: java.awt.image.BufferedImage, progressive: Boolean): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      if (progressive)
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(mos)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      mos.flush(); writer.dispose()
+      bos.toByteArray
+    }
+    def check(bi: java.awt.image.BufferedImage, progressive: Boolean,
+        label: String): Int = {
+      val bytes = pngBytes(bi, progressive)
+      val colorType = bytes(25) & 0xff // IHDR color type
+      val interlaced = (bytes(28) & 0xff) == 1
+      assert(interlaced == progressive, s"$label: interlace flag mismatch")
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val (w, h, rgb) = MultimodalOps.pngDecodeRgb(bytes)
+        .getOrElse(fail(s"$label: decode failed (type $colorType)"))
+      assert(w == ref.getWidth && h == ref.getHeight, label)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        if (colorType == 0 || colorType == 4) {
+          // getRGB would colorspace-convert gray; compare the raw sample
+          val g = ref.getRaster.getSample(x, y, 0)
+          assert((rgb(o) & 0xff) == g && (rgb(o + 1) & 0xff) == g &&
+            (rgb(o + 2) & 0xff) == g,
+            s"$label: pixel ($x,$y) mismatch (type $colorType)")
+        } else {
+          val p = ref.getRGB(x, y)
+          assert((rgb(o) & 0xff) == ((p >> 16) & 0xff) &&
+            (rgb(o + 1) & 0xff) == ((p >> 8) & 0xff) &&
+            (rgb(o + 2) & 0xff) == (p & 0xff),
+            s"$label: pixel ($x,$y) mismatch (type $colorType)")
+        }
+      }
+      colorType
+    }
+    val rnd = new scala.util.Random(11)
+    import java.awt.image.BufferedImage
+    // grayscale (type 0)
+    val gray = new BufferedImage(23, 17, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 17; x <- 0 until 23)
+      gray.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+    assert(check(gray, progressive = false, "gray") == 0)
+    // 256-color palette (type 3, depth 8)
+    val idx = new BufferedImage(19, 13, BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 13; x <- 0 until 19)
+      idx.setRGB(x, y, rnd.nextInt() | 0xff000000)
+    assert(check(idx, progressive = false, "palette8") == 3)
+    // 4-color palette (type 3, sub-byte depth)
+    val cmap = Array(0xff000000, 0xffff0000, 0xff00ff00, 0xff0000ff)
+    val icm = new java.awt.image.IndexColorModel(2, 4,
+      cmap.map(c => ((c >> 16) & 0xff).toByte),
+      cmap.map(c => ((c >> 8) & 0xff).toByte),
+      cmap.map(c => (c & 0xff).toByte))
+    val bin = new BufferedImage(21, 9, BufferedImage.TYPE_BYTE_BINARY, icm)
+    for (y <- 0 until 9; x <- 0 until 21)
+      bin.setRGB(x, y, cmap(rnd.nextInt(4)))
+    assert(check(bin, progressive = false, "palette2bit") == 3)
+    // RGBA (type 6): alpha dropped, RGB exact
+    val argb = new BufferedImage(16, 11, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 11; x <- 0 until 16)
+      argb.setRGB(x, y, (rnd.nextInt() & 0x00ffffff) | (rnd.nextInt(256) << 24))
+    assert(check(argb, progressive = false, "rgba") == 6)
+    // Adam7 interlace over truecolor AND grayscale (non-multiple-of-8
+    // dims exercise the ragged passes)
+    val rgbI = new BufferedImage(29, 22, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 22; x <- 0 until 29)
+      rgbI.setRGB(x, y, rnd.nextInt() & 0xffffff)
+    assert(check(rgbI, progressive = true, "adam7-rgb") == 2)
+    val grayI = new BufferedImage(9, 30, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 30; x <- 0 until 9)
+      grayI.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+    assert(check(grayI, progressive = true, "adam7-gray") == 0)
+    // 16-bit stays out of scope: quarantines, never mis-decodes
+    val deep = new BufferedImage(8, 8, BufferedImage.TYPE_USHORT_GRAY)
+    assert(MultimodalOps.pngDecodeRgb(pngBytes(deep, progressive = false)).isEmpty)
+  }
+
   test("png decode matches ImageIO across 40 random images (seeded sweep)") {
     // randomized cross-check against the JDK's independent encoder:
     // dimensions 1..40 exercise single-pixel rows/columns and whatever
