@@ -104,8 +104,29 @@ final class GraftSession(
     * changes — rolls back via the snapshot history (gdisk:
     * restoreToVersion, whose pre-images stay on disk until VACUUM —
     * also guarded). */
-  private def guardTxDestructiveV2(q: String): Unit = {
+  /** `q` with leading SQL comments removed — Spark's parser accepts
+    * comment-prefixed statements, so verb guards must see past them. */
+  private def stripLeadingComments(q: String): String = {
+    var s = q.trim
+    var changed = true
+    while (changed) {
+      val t =
+        if (s.startsWith("/*")) {
+          val e = s.indexOf("*/")
+          if (e < 0) "" else s.substring(e + 2).trim
+        } else if (s.startsWith("--")) {
+          val e = s.indexOf('\n')
+          if (e < 0) "" else s.substring(e + 1).trim
+        } else s
+      changed = t != s
+      s = t
+    }
+    s
+  }
+
+  private def guardTxDestructiveV2(q0: String): Unit = {
     if (txWatermarks.isEmpty) return
+    val q = stripLeadingComments(q0)
     val up = q.toUpperCase(Locale.ROOT).replaceAll("\\s+", " ")
     val verb =
       if (up.startsWith("DROP TABLE")) Some("DROP TABLE")
@@ -1734,36 +1755,53 @@ final class GraftSession(
   // gmem history) and drops tables created inside the transaction.
   private var txDiskMarks: Map[String, Map[(String, String), Long]] = Map.empty
 
-  /** Registered [[graft.sources.GraftMemCatalog]] instances, by name. */
-  private def gmemCatalogs(): Map[String, graft.sources.GraftMemCatalog] = {
-    val cls = classOf[graft.sources.GraftMemCatalog].getName
+  /** Names of every CONFIGURED catalog of class `cls`, with Spark's lazy
+    * instantiation FORCED for each (a catalog configured but never yet
+    * referenced would otherwise be invisible to the instance registry —
+    * BEGIN would not watermark it and ROLLBACK would wrongly treat all
+    * of its pre-existing tables as created inside the transaction). */
+  private def configuredV2Catalogs(cls: String): Seq[String] =
     spark.conf.getAll.iterator.flatMap { case (k, v) =>
       val n = k.stripPrefix("spark.sql.catalog.")
       if (k.startsWith("spark.sql.catalog.") && !n.contains('.') && v == cls)
-        graft.sources.GraftMemCatalog.instance(n).map(n -> _)
+        Some(n)
       else None
-    }.toMap
-  }
+    }.toSeq.sorted.map { n =>
+      if (!forcedCatalogs.contains(n)) {
+        // public resolution route: instantiates + initializes the plugin
+        // (registering it) without touching any table
+        try spark.sql(s"SHOW NAMESPACES IN `$n`").collect()
+        catch { case _: Exception => () }
+        forcedCatalogs += n
+      }
+      n
+    }
 
-  /** Registered [[graft.sources.GraftDiskCatalog]] instances, by name. */
-  private def gdiskCatalogs(): Map[String, graft.sources.GraftDiskCatalog] = {
-    val cls = classOf[graft.sources.GraftDiskCatalog].getName
-    spark.conf.getAll.iterator.flatMap { case (k, v) =>
-      val n = k.stripPrefix("spark.sql.catalog.")
-      if (k.startsWith("spark.sql.catalog.") && !n.contains('.') && v == cls)
-        graft.sources.GraftDiskCatalog.instance(n).map(n -> _)
-      else None
-    }.toMap
-  }
+  private val forcedCatalogs = scala.collection.mutable.Set.empty[String]
+
+  /** Registered [[graft.sources.GraftMemCatalog]] instances, by name
+    * (lazily-configured catalogs are instantiated first). */
+  private def gmemCatalogs(): Map[String, graft.sources.GraftMemCatalog] =
+    configuredV2Catalogs(classOf[graft.sources.GraftMemCatalog].getName)
+      .flatMap(n => graft.sources.GraftMemCatalog.instance(n).map(n -> _))
+      .toMap
+
+  /** Registered [[graft.sources.GraftDiskCatalog]] instances, by name
+    * (lazily-configured catalogs are instantiated first). */
+  private def gdiskCatalogs(): Map[String, graft.sources.GraftDiskCatalog] =
+    configuredV2Catalogs(classOf[graft.sources.GraftDiskCatalog].getName)
+      .flatMap(n => graft.sources.GraftDiskCatalog.instance(n).map(n -> _))
+      .toMap
 
   private def beginTx(): DataFrame = {
     require(txWatermarks.isEmpty, "transaction already in progress")
     txWatermarks = Some(
       tables.listTables().map(t => t -> tables.versionCount(t)).toMap)
     txV2Marks = gmemCatalogs().map { case (n, c) => n -> c.snapshotVersions() }
+    // log-dir listings only — BEGIN never reconstructs a manifest
     txDiskMarks = gdiskCatalogs().map { case (n, c) =>
-      n -> c.listAllTables().map { case (ns, t, tbl) =>
-        (ns, t) -> tbl.log.latestVersion()
+      n -> c.listTableLogs().map { case (ns, t, log) =>
+        (ns, t) -> log.latestVersion()
       }.toMap
     }
     spark.emptyDataFrame
@@ -1798,11 +1836,14 @@ final class GraftSession(
     // with the manifest like everything else.
     for ((n, c) <- gdiskCatalogs()) {
       val diskMarks = txDiskMarks.getOrElse(n, Map.empty)
-      for ((ns, t, tbl) <- c.listAllTables()) {
+      for ((ns, t, log) <- c.listTableLogs()) {
         val ident = org.apache.spark.sql.connector.catalog.Identifier
           .of(ns.split('.'), t)
         diskMarks.get((ns, t)) match {
-          case Some(v) if tbl.log.latestVersion() > v => tbl.restoreToVersion(v)
+          case Some(v) if log.latestVersion() > v =>
+            // only a table that actually MOVED loads its manifest
+            c.loadTable(ident).asInstanceOf[graft.sources.GraftDiskTable]
+              .restoreToVersion(v)
           case Some(_) => () // untouched during the transaction
           case None => // created inside the transaction
             c.dropMvMarker(ident) // harmless no-op for plain tables

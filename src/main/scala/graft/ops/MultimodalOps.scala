@@ -1178,6 +1178,81 @@ object MultimodalOps {
       vals(valPtr(len) + code - minCode(len)) & 0xff
   }
 
+  /** Separable IDCT of one DEQUANTIZED 8x8 block (natural order) +
+    * level shift, written into a component plane at block origin
+    * (bx0, by0) and clipped to the component dims — the shared tail of
+    * the baseline and progressive decoders. `tmp` is caller-provided
+    * scratch (64 doubles) so the per-block loop allocates nothing. */
+  private def jpegIdctInto(
+      dq: Array[Int], tmp: Array[Double], plane: Array[Int],
+      compW: Int, compH: Int, bx0: Int, by0: Int): Unit = {
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) {
+          acc += jpegCu(u) * dq(v * 8 + u) * jpegCos(u)(x)
+          u += 1
+        }
+        tmp(v * 8 + x) = acc
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      val py = by0 + y
+      if (py < compH) {
+        var x = 0
+        while (x < 8) {
+          val px = bx0 + x
+          if (px < compW) {
+            var acc = 0.0
+            var vv = 0
+            while (vv < 8) {
+              acc += jpegCu(vv) * tmp(vv * 8 + x) * jpegCos(vv)(y)
+              vv += 1
+            }
+            val s = Math.round(acc / 4.0 + 128.0).toInt
+            plane(py * compW + px) =
+              if (s < 0) 0 else if (s > 255) 255 else s
+          }
+          x += 1
+        }
+      }
+      y += 1
+    }
+  }
+
+  /** Component-resolution planes box-replicated to full image
+    * resolution (4:4:4 components pass through; T.81 leaves the
+    * upsampling filter to the decoder) — shared by both decoders. */
+  private def jpegUpsample(
+      ncomp: Int, width: Int, height: Int, hmax: Int, vmax: Int,
+      compHs: Array[Int], compVs: Array[Int],
+      cw: Array[Int], ch: Array[Int],
+      cplanes: Array[Array[Int]]): Array[Array[Int]] =
+    Array.tabulate(ncomp) { c =>
+      if (cw(c) == width && ch(c) == height) cplanes(c)
+      else {
+        val p = new Array[Int](width * height)
+        val src = cplanes(c)
+        var y = 0
+        while (y < height) {
+          val sy = y * compVs(c) / vmax
+          var x = 0
+          while (x < width) {
+            p(y * width + x) = src(sy * cw(c) + x * compHs(c) / hmax)
+            x += 1
+          }
+          y += 1
+        }
+        p
+      }
+    }
+
   /** MSB-first bit reader over the entropy-coded segment with 0xFF00
     * byte-unstuffing and RSTn resynchronization. Throws
     * [[JpegBitReader.Bail]] (caught by [[jpegDecode]]) on truncation —
@@ -1451,47 +1526,8 @@ object MultimodalOps {
                     k += 1
                   }
                 }
-                // separable IDCT: rows (freq u -> x), then columns (v -> y)
-                var v = 0
-                while (v < 8) {
-                  var x = 0
-                  while (x < 8) {
-                    var acc = 0.0
-                    var u = 0
-                    while (u < 8) {
-                      acc += jpegCu(u) * coef(v * 8 + u) * jpegCos(u)(x)
-                      u += 1
-                    }
-                    tmp(v * 8 + x) = acc
-                    x += 1
-                  }
-                  v += 1
-                }
-                val bx0 = (mx * compHs(c) + hb) * 8
-                val by0 = (my * compVs(c) + vb) * 8
-                var y = 0
-                while (y < 8) {
-                  val py = by0 + y
-                  if (py < compH) {
-                    var x = 0
-                    while (x < 8) {
-                      val px = bx0 + x
-                      if (px < compW) {
-                        var acc = 0.0
-                        var vv = 0
-                        while (vv < 8) {
-                          acc += jpegCu(vv) * tmp(vv * 8 + x) * jpegCos(vv)(y)
-                          vv += 1
-                        }
-                        val s = Math.round(acc / 4.0 + 128.0).toInt
-                        plane(py * compW + px) =
-                          if (s < 0) 0 else if (s > 255) 255 else s
-                      }
-                      x += 1
-                    }
-                  }
-                  y += 1
-                }
+                jpegIdctInto(coef, tmp, plane, compW, compH,
+                  (mx * compHs(c) + hb) * 8, (my * compVs(c) + vb) * 8)
                 hb += 1
               }
               vb += 1
@@ -1507,28 +1543,9 @@ object MultimodalOps {
       case JpegBitReader.Bail => return None
       case _: ArrayIndexOutOfBoundsException => return None
     }
-    // full-resolution planes: 4:4:4 components pass through; subsampled
-    // ones box-replicate (any filter reproduces a constant chroma plane
-    // exactly — the fixture contract; T.81 leaves the filter open)
-    val planes = Array.tabulate(ncomp) { c =>
-      if (cw(c) == width && ch(c) == height) cplanes(c)
-      else {
-        val p = new Array[Int](width * height)
-        val src = cplanes(c)
-        var y = 0
-        while (y < height) {
-          val sy = y * compVs(c) / vmax
-          var x = 0
-          while (x < width) {
-            p(y * width + x) = src(sy * cw(c) + x * compHs(c) / hmax)
-            x += 1
-          }
-          y += 1
-        }
-        p
-      }
-    }
-    Some(JpegImage(width, height, ncomp, planes))
+    Some(JpegImage(width, height, ncomp,
+      jpegUpsample(ncomp, width, height, hmax, vmax, compHs, compVs,
+        cw, ch, cplanes)))
   }
 
   /** PROGRESSIVE (SOF2) JPEG decoder — the multi-scan sibling of
@@ -1924,69 +1941,16 @@ object MultimodalOps {
           val base = (by * bwPad(c) + bx) * 64
           var j = 0
           while (j < 64) { dq(j) = cf(base + j) * q(j); j += 1 }
-          var v = 0
-          while (v < 8) {
-            var x = 0
-            while (x < 8) {
-              var acc = 0.0
-              var u = 0
-              while (u < 8) {
-                acc += jpegCu(u) * dq(v * 8 + u) * jpegCos(u)(x)
-                u += 1
-              }
-              tmp(v * 8 + x) = acc
-              x += 1
-            }
-            v += 1
-          }
-          var y = 0
-          while (y < 8) {
-            val py = by * 8 + y
-            if (py < compH) {
-              var x = 0
-              while (x < 8) {
-                val px = bx * 8 + x
-                if (px < compW) {
-                  var acc = 0.0
-                  var vv = 0
-                  while (vv < 8) {
-                    acc += jpegCu(vv) * tmp(vv * 8 + x) * jpegCos(vv)(y)
-                    vv += 1
-                  }
-                  val s = Math.round(acc / 4.0 + 128.0).toInt
-                  plane(py * compW + px) =
-                    if (s < 0) 0 else if (s > 255) 255 else s
-                }
-                x += 1
-              }
-            }
-            y += 1
-          }
+          jpegIdctInto(dq, tmp, plane, compW, compH, bx * 8, by * 8)
           bx += 1
         }
         by += 1
       }
       c += 1
     }
-    val planes = Array.tabulate(ncomp) { c =>
-      if (cw(c) == width && ch(c) == height) cplanes(c)
-      else {
-        val p = new Array[Int](width * height)
-        val src = cplanes(c)
-        var y = 0
-        while (y < height) {
-          val sy = y * compVs(c) / vmax
-          var x = 0
-          while (x < width) {
-            p(y * width + x) = src(sy * cw(c) + x * compHs(c) / hmax)
-            x += 1
-          }
-          y += 1
-        }
-        p
-      }
-    }
-    Some(JpegImage(width, height, ncomp, planes))
+    Some(JpegImage(width, height, ncomp,
+      jpegUpsample(ncomp, width, height, hmax, vmax, compHs, compVs,
+        cw, ch, cplanes)))
   }
 
   /** Decoded pixel statistics of one baseline JPEG, reported in the

@@ -554,24 +554,28 @@ object DdlDml extends QueryModule {
         }
         Tables.register(s, dir, Seq("lineitem"))
         s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
-        // stage the 600k-row fixture ONCE per session: the bench re-runs
-        // each heavy entry for a median of 3, and the timed body must
-        // measure the operator under test — the ZORDER rewrite and the
-        // skipping readback — not a fixture ingest (which dominated the
-        // old 20 s timing and tripped the regression gate on noise)
-        if (!s.catalog.tableExists("gdisk.verify.li_z")) {
-          s.sql("""CREATE TABLE gdisk.verify.li_z (
+        // stage the 600k-row fixture ONCE per (session, sf dir): the
+        // bench re-runs each heavy entry for a median of 3, and the
+        // timed body must measure the operator under test — the ZORDER
+        // rewrite and the skipping readback — not a fixture ingest
+        // (which dominated the old 20 s timing and tripped the
+        // regression gate on noise). The table name carries the source
+        // dir's hash so a session that switches sf dirs can never serve
+        // stale rows against the other dir's oracle.
+        val tbl = s"gdisk.verify.li_z_${(dir.hashCode & 0x7fffffff).toHexString}"
+        if (!s.catalog.tableExists(tbl)) {
+          s.sql(s"""CREATE TABLE $tbl (
             l_orderkey BIGINT, l_linenumber INT,
             l_quantity DOUBLE, l_discount DOUBLE)""")
-          s.sql("""INSERT INTO gdisk.verify.li_z
+          s.sql(s"""INSERT INTO $tbl
             SELECT l_orderkey, l_linenumber, l_quantity, l_discount
             FROM lineitem""")
         }
         val opt = new GraftSession(s).sql(
-          "OPTIMIZE gdisk.verify.li_z ZORDER BY (l_quantity, l_discount) " +
+          s"OPTIMIZE $tbl ZORDER BY (l_quantity, l_discount) " +
             "TARGET 65536 BYTES").head()
-        val df = s.sql("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
-          FROM gdisk.verify.li_z
+        val df = s.sql(s"""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+          FROM $tbl
           WHERE l_quantity <= 12 AND l_discount <= 0.02
           ORDER BY l_orderkey, l_linenumber""")
         // plan proof scales with file count (tiny SFs may pack to 1 file)

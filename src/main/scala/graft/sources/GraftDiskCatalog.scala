@@ -253,6 +253,24 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
     }).sortBy { case (ns, n, _) => (ns, n) }
   }
 
+  /** All live tables' (namespace-dotted, name, commit log) WITHOUT
+    * loading any manifest — BEGIN/ROLLBACK watermarks need only
+    * `latestVersion()`, one log-dir listing per table, never a
+    * checkpoint+delta reconstruction ([[listAllTables]] loads every
+    * table and is the information_schema path, not the tx path). */
+  private[graft] def listTableLogs(): Seq[(String, String, DiskCommitLog)] = {
+    val fs = fileSystem(warehouse)
+    val root = new HPath(warehouse)
+    if (!fs.exists(root)) return Nil
+    (for {
+      nsDir <- fs.listStatus(root).toSeq if nsDir.isDirectory
+      tDir <- fs.listStatus(nsDir.getPath).toSeq if tDir.isDirectory
+      if fs.exists(new HPath(tDir.getPath, LogDirName))
+    } yield (nsDir.getPath.getName, tDir.getPath.getName,
+      new DiskCommitLog(tDir.getPath, hadoopConf())))
+      .sortBy { case (ns, n, _) => (ns, n) }
+  }
+
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table =

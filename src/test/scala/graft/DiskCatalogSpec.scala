@@ -2135,6 +2135,42 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(m2.sizes.keySet == m2.files.toSet)
   }
 
+  test("transactions watermark catalogs that Spark has not instantiated yet") {
+    // a SECOND catalog name over a shared warehouse, never referenced
+    // before BEGIN — Spark instantiates V2 catalogs lazily, so without
+    // forced instantiation the BEGIN snapshot would miss it and ROLLBACK
+    // would wrongly treat its pre-existing tables as created inside the
+    // tx (and recursively DELETE them)
+    val wh = java.nio.file.Files.createTempDirectory("gdisk_late_wh").toString
+    spark.conf.set("spark.sql.catalog.gsetup8", classOf[GraftDiskCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsetup8.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsetup8.lake")
+    spark.sql("CREATE TABLE gsetup8.lake.pre (id BIGINT)")
+    spark.sql("INSERT INTO gsetup8.lake.pre VALUES (1), (2)")
+    // same warehouse under a FRESH catalog name: configured, uninstantiated
+    spark.conf.set("spark.sql.catalog.glate8", classOf[GraftDiskCatalog].getName)
+    spark.conf.set("spark.sql.catalog.glate8.warehouse", wh)
+    val g = new GraftSession(spark)
+    g.sql("BEGIN")
+    // first-ever reference to glate8 lands MID-transaction
+    assert(spark.sql("SELECT count(*) FROM glate8.lake.pre").head().getLong(0) == 2L)
+    g.sql("ROLLBACK")
+    // the pre-existing table SURVIVED the rollback with its data
+    assert(spark.sql("SELECT count(*) FROM glate8.lake.pre").head().getLong(0) == 2L)
+    // and destructive verbs on the late catalog are guarded inside a tx
+    g.sql("BEGIN")
+    val e = intercept[Exception](g.sql("DROP TABLE glate8.lake.pre"))
+    assert(e.getMessage.contains("transaction"), e.getMessage)
+    // ... including behind a leading SQL comment (Spark's parser accepts
+    // comment-prefixed statements; the guard must see past them)
+    val e2 = intercept[Exception](
+      g.sql("/* cleanup */ DROP TABLE glate8.lake.pre"))
+    assert(e2.getMessage.contains("transaction"), e2.getMessage)
+    g.sql("ROLLBACK")
+    assert(spark.sql("SELECT count(*) FROM glate8.lake.pre").head().getLong(0) == 2L)
+    spark.sql("DROP TABLE gsetup8.lake.pre")
+  }
+
   test("VACUUM fans a large unreferenced-file sweep out as one distributed job") {
     val g = new GraftSession(spark)
     spark.sql("CREATE TABLE gdspec.lake.vacd (id BIGINT)")
