@@ -15,13 +15,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * regression this spec exists to catch). Afterward: versions are
   * contiguous, every record resolves, and all 40 markers are present
   * exactly once — no lost update, no corruption; losers saw only the
-  * clean conflict IOException (the probe retries on it and exits 0). */
+  * clean conflict IOException (the probe retries on it and exits 0).
+  *
+  * The serialization invariants must hold on EVERY run; the contention
+  * assertion (at least one claim actually collided, or the race proved
+  * nothing) is a property of the scheduler, so a contention-free round
+  * re-runs the whole experiment on a fresh table — up to three rounds —
+  * instead of flaking on a co-tenant scheduling stall. */
 class CommitRaceSpec extends AnyFunSuite {
 
-  test("two processes racing 20 commits each serialize without losing a commit") {
+  /** One complete race on a fresh table; asserts every serialization
+    * invariant and returns total observed claim conflicts. */
+  private def raceOnce(round: Int): Int = {
     val conf = new Configuration()
     val tableDir = new HPath(
-      java.nio.file.Files.createTempDirectory("gdisk_race").toString, "t")
+      java.nio.file.Files.createTempDirectory(s"gdisk_race$round").toString, "t")
     val log = new DiskCommitLog(tableDir, conf)
     val schema = StructType(Seq(StructField("id", LongType)))
     log.commitInitial(DiskManifest(
@@ -83,15 +91,21 @@ class CommitRaceSpec extends AnyFunSuite {
     assert(finalFiles.distinct.length == finalFiles.length, "duplicated files")
     // every intermediate version stays readable (chain intact)
     vs.foreach(v => log.read(v))
-    // real contention must have happened in at least one direction, or
-    // the race proved nothing: with the start barrier and 20+20
-    // interleaved optimistic commits, at least one claim collision is
-    // effectively certain (each loser's retry re-reads and re-claims)
     val probeConflicts =
-      "conflicts=(\\d+)".r.findFirstMatchIn(out.toString).map(_.group(1).toInt)
-    info(s"local conflicts=$conflicts probe conflicts=$probeConflicts")
-    assert(conflicts + probeConflicts.getOrElse(0) >= 1,
-      "the two processes never contended — the race proved nothing " +
-        s"(local=$conflicts probe=$probeConflicts)")
+      "conflicts=(\\d+)".r.findFirstMatchIn(out.toString)
+        .map(_.group(1).toInt).getOrElse(0)
+    info(s"round $round: local conflicts=$conflicts probe conflicts=$probeConflicts")
+    conflicts + probeConflicts
+  }
+
+  test("two processes racing 20 commits each serialize without losing a commit") {
+    var round = 1
+    var contended = raceOnce(round)
+    while (contended == 0 && round < 3) {
+      round += 1
+      contended = raceOnce(round)
+    }
+    assert(contended >= 1,
+      s"no claim collision in $round rounds — the race proved nothing")
   }
 }
