@@ -143,13 +143,21 @@ object MultimodalOps {
   def decodeStatusOf(bytes: Array[Byte]): (String, Boolean) = {
     def ok(attempt: => Option[_]): Boolean =
       scala.util.Try(attempt).toOption.flatten.isDefined
+    def cc(i: Int, s: String): Boolean =
+      bytes.length >= i + 4 && (0 until 4).forall(j => bytes(i + j) == s(j))
     imageDims(bytes) match {
       case Some(("bmp", _, _)) => ("bmp", ok(bmpPixels(bytes)))
       case Some(("png", _, _)) => ("png", ok(pngPixels(bytes)))
       case Some(("gif", _, _)) => ("gif", ok(gifPixels(bytes)))
       case Some(("jpeg", _, _)) => ("jpeg", ok(jpegPixels(bytes)))
       case Some((other, _, _)) => (other, false)
-      case None => ("raw", false) // opaque bytes
+      case None =>
+        // audio/video containers: classify by magic, attempt the real
+        // parser/decoder (a recognized-but-out-of-scope variant — e.g. a
+        // non-16-bit WAV — lands as a format-tagged quarantine)
+        if (cc(0, "RIFF") && cc(8, "WAVE")) ("wav", ok(wavPcm(bytes)))
+        else if (cc(4, "ftyp")) ("mp4", ok(mp4Meta(bytes)))
+        else ("raw", false) // opaque bytes
     }
   }
 

@@ -407,6 +407,16 @@ class OpsSpec extends AnyFunSuite {
     // opaque bytes: the raw lane, always quarantined
     val raw = MultimodalOps.asBinaryPayload(few, "doc_id", "text")
     assert(statusOf(raw, None).forall(s => s.format == "raw" && !s.decoded))
+    // audio: real 16-bit PCM WAVs decode; truncation keeps the wav tag
+    // (asWavPayload's text-byte payloads can be ODD-length — out of the
+    // 16-bit decoder's scope — so the ledger test uses the PCM fixture)
+    val wav = MultimodalOps.asPcmWavPayload(spark, few, "doc_id")
+    assert(statusOf(wav, None).forall(s => s.format == "wav" && s.decoded))
+    assert(statusOf(wav, Some(30)).forall(s => s.format == "wav" && !s.decoded))
+    // video: real MP4 boxes parse; truncation keeps the mp4 tag
+    val mp4 = MultimodalOps.asMp4Payload(spark, few, "doc_id", "text")
+    assert(statusOf(mp4, None).forall(s => s.format == "mp4" && s.decoded))
+    assert(statusOf(mp4, Some(30)).forall(s => s.format == "mp4" && !s.decoded))
   }
 
   test("bmp pixel decode handles stride, bottom-up/top-down, and BGR order") {
