@@ -51,16 +51,40 @@ object Bench {
     * factor and an absolute floor vs the committed baseline — the floor
     * keeps sub-second co-tenancy jitter (0.2 s → 0.45 s) from flagging,
     * while a real plan regression (2 s → 5 s) cannot hide under it.
-    * Returns name -> (baselineSec, currentSec). */
+    *
+    * When a per-entry MIN of the stability re-runs is available, the entry
+    * is flagged only if the min also exceeds the gate: a real plan
+    * regression raises every rep (so the min rises with the median), while
+    * co-tenant contention inflates some reps but leaves the min near
+    * baseline (round 8: q1 median 2.63× with its min at exact baseline
+    * parity — pure noise). Entries without a recorded min fall back to the
+    * median-only check. Returns name -> (baselineSec, currentSec). */
   def regressions(
       baseline: Map[String, Double], current: Map[String, Double],
-      factor: Double = 2.0, floorSec: Double = 0.5): Map[String, (Double, Double)] =
+      factor: Double = 2.0, floorSec: Double = 0.5,
+      currentMins: Map[String, Double] = Map.empty): Map[String, (Double, Double)] =
     current.flatMap { case (name, cur) =>
+      val floorCheck = currentMins.getOrElse(name, cur)
       baseline.get(name).collect {
-        case base if cur > base * factor && cur - base > floorSec =>
+        case base if cur > base * factor && cur - base > floorSec &&
+            floorCheck > base * factor && floorCheck - base > floorSec =>
           name -> (base, cur)
       }
     }
+
+  /** Baseline refresh is a RATCHET, not a replace: per-entry min(old, new)
+    * when the sf is unchanged. A real plan regression raises the min of the
+    * stability reps across rounds, so it still (slowly) surfaces via the
+    * gate before the ratchet would absorb it; host contention can only
+    * FAIL to lower entries, never poison the baseline upward — round 8's
+    * contended run overwrote the committed medians with 2.8×-inflated
+    * numbers, which this refresh shape makes impossible. Entries new in
+    * this run enter at their measured value; entries that vanished from
+    * the run are dropped (renamed/removed queries must not gate forever). */
+  def ratchet(
+      old: Map[String, Double],
+      fresh: Map[String, Double]): Map[String, Double] =
+    fresh.map { case (n, v) => n -> math.min(v, old.getOrElse(n, v)) }
 
   /** Parse the flat {"name":sec,...} map under `key` in a bench baseline /
     * report JSON (hand-rolled — the format is our own writer's). */
@@ -84,13 +108,37 @@ object Bench {
     * Right(regressions) otherwise. */
   def gateAgainstBaseline(
       baselineJson: String, currentSf: String,
-      medians: Map[String, Double]): Either[String, Map[String, (Double, Double)]] = {
+      medians: Map[String, Double],
+      mins: Map[String, Double] = Map.empty,
+      loadavg: Option[Double] = None,
+      loadSkipThreshold: Double = Double.MaxValue,
+      baselineKey: String = "medians"): Either[String, Map[String, (Double, Double)]] = {
     val baseSf = parseSf(baselineJson)
     if (!baseSf.contains(currentSf))
       Left(s"sf changed (baseline ${baseSf.getOrElse("unrecorded")}, " +
         s"current $currentSf)")
-    else Right(regressions(parseMedians(baselineJson), medians))
+    else loadavg.filter(_ > loadSkipThreshold) match {
+      // a visibly contended host makes the diff meaningless in BOTH
+      // directions — record the skip reason instead of flagging noise
+      // (round 8's run carried loadavg-scale inflation across the whole
+      // stable set and still gate-flagged two entries)
+      case Some(load) =>
+        Left(f"host overloaded (loadavg $load%.1f > $loadSkipThreshold%.1f)")
+      case None =>
+        Right(regressions(parseMedians(baselineJson, baselineKey), medians,
+          currentMins = mins))
+    }
   }
+
+  /** 1-minute load average from /proc/loadavg (None off-Linux). */
+  def loadAvg(): Option[Double] =
+    try {
+      val p = java.nio.file.Paths.get("/proc/loadavg")
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readString(p).trim.split("\\s+")
+          .headOption.map(_.toDouble)
+      else None
+    } catch { case _: Throwable => None }
 
   /** The per-query breakdown printed on stdout is limited to the headline
     * TPC-H analogs so the final JSON line stays well under the driver's
@@ -114,10 +162,28 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val baselineJson: String = try {
+      val p = java.nio.file.Paths.get("bench_baseline.json")
+      if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p) else ""
+    } catch { case _: Throwable => "" }
+    // quiet-host lane: run ONLY the stable set (headline TPC-H + the
+    // entries the committed baseline tracks), no streaming, no other
+    // registry entries interleaved — a low-interference re-measure mode
+    // for adjudicating gate flags (round 8's zorder flag was undecidable
+    // because every measurement shared the run with 300+ other queries
+    // on a contended host)
+    val niceMode = sys.env.get("SPARK_GRAFT_BENCH_NICE").exists(_.nonEmpty)
+    val benchQueries =
+      if (!niceMode) SparkEntry.queries
+      else {
+        val tracked = parseMedians(baselineJson).keySet
+        SparkEntry.queries.filter { case (n, _) => isHeadline(n) || tracked(n) }
+      }
     // untimed warmup: session, parquet footers, first codegen
     try SparkEntry.queries.get("q6_forecast_revenue").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
-    val res = runAll(spark, sfDir, SparkEntry.queries)
+    val load0 = loadAvg()
+    val res = runAll(spark, sfDir, benchQueries)
     def qsJson(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => jsonStr(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val errs = res.errors.toSeq.sortBy(_._1)
@@ -134,7 +200,7 @@ object Bench {
       val more = (0 until 2).flatMap { _ =>
         try {
           val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, sfDir).count()
+          benchQueries(name)(spark, sfDir).count()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
       }
@@ -153,43 +219,75 @@ object Bench {
     val mins = stableRuns.map { case (n, xs) => n -> xs.min }
     // stream throughput rides INSIDE the final metric object: the stderr
     // print alone can fall outside the driver's bounded output tail, and
-    // round-over-round throughput comparison needs it machine-readable
-    val streamJson = streamBench(spark, sfDir).getOrElse("null")
+    // round-over-round throughput comparison needs it machine-readable.
+    // Skipped in the quiet-host lane (the lane exists to time the batch
+    // stable set without interference).
+    val streamRes: Option[(Map[String, Double], String)] =
+      if (niceMode) None else streamBench(spark, sfDir)
+    val streamJson = streamRes.map(_._2).getOrElse("null")
+    val streamMedians = streamRes.map(_._1).getOrElse(Map.empty[String, Double])
     // regression gate vs the COMMITTED previous-round medians: any stable-
     // set entry whose median grew past the gate is machine-visible in the
-    // driver's JSON without judge spelunking; the new medians then become
-    // the next round's baseline (on-disk — committed with the round's
-    // work). A baseline measured at a DIFFERENT sf is incomparable: the
-    // diff is skipped and the skip is recorded in the JSON.
-    val gate: Either[String, Map[String, (Double, Double)]] = try {
-      val basePath = java.nio.file.Paths.get("bench_baseline.json")
-      if (java.nio.file.Files.exists(basePath))
-        gateAgainstBaseline(
-          java.nio.file.Files.readString(basePath), sfDir, medians)
-      else Right(Map.empty)
-    } catch { case _: Throwable => Right(Map.empty) }
-    val regsJson = gate match {
-      case Left(reason) => s"""{"skipped":${jsonStr(reason)}}"""
-      case Right(regs) => regs.toSeq.sortBy(_._1).map { case (n, (b, c)) =>
-        jsonStr(n) + s""":{"base":${fmt(b)},"now":${fmt(c)}}""" }
-        .mkString("{", ",", "}")
-    }
+    // driver's JSON without judge spelunking. A baseline measured at a
+    // DIFFERENT sf is incomparable, and a run on a visibly overloaded host
+    // is incomparable in both directions: either skip is recorded in the
+    // JSON with its reason. The min-of-reps joins the gate so contention
+    // spikes (median up, min at parity) stop flagging.
+    val nproc = Runtime.getRuntime.availableProcessors().toDouble
+    val loadSkip = sys.env.get("SPARK_GRAFT_LOAD_SKIP").map(_.toDouble)
+      .getOrElse(math.max(8.0, 2.0 * nproc))
+    def runGate(ms: Map[String, Double], mn: Map[String, Double],
+        key: String): Either[String, Map[String, (Double, Double)]] =
+      try {
+        if (baselineJson.nonEmpty)
+          gateAgainstBaseline(baselineJson, sfDir, ms, mn, load0, loadSkip, key)
+        else Right(Map.empty)
+      } catch { case _: Throwable => Right(Map.empty) }
+    def gateJson(gate: Either[String, Map[String, (Double, Double)]]): String =
+      gate match {
+        case Left(reason) => s"""{"skipped":${jsonStr(reason)}}"""
+        case Right(regs) => regs.toSeq.sortBy(_._1).map { case (n, (b, c)) =>
+          jsonStr(n) + s""":{"base":${fmt(b)},"now":${fmt(c)}}""" }
+          .mkString("{", ",", "}")
+      }
+    val regsJson = gateJson(runGate(medians, mins, "medians"))
+    val streamRegsJson =
+      if (streamMedians.isEmpty) """{"skipped":"stream bench not run"}"""
+      else gateJson(runGate(streamMedians, Map.empty, "stream_medians"))
+    val loadJson = load0.map(l => f"$l%.2f").getOrElse("null")
     def line(ms: Map[String, Double], mn: Map[String, Double]): String =
-      s"""{"metric":"total","value":${fmt(res.total)},"unit":"sec","queries":${qsJson(ms)},"queries_min":${qsJson(mn)},"n_queries":${res.seconds.size},"errors":$errs,"regressions":$regsJson,"stream":$streamJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(res.total)},"unit":"sec","queries":${qsJson(ms)},"queries_min":${qsJson(mn)},"n_queries":${res.seconds.size},"errors":$errs,"regressions":$regsJson,"stream":$streamJson,"stream_regressions":$streamRegsJson,"loadavg":$loadJson,"nice":$niceMode,"sf":"$sfDir"}"""
     val full = line(medians, mins)
     // Full machine-readable report on disk: the driver's captured output
     // tail is bounded, so the complete per-query breakdown + stability
     // re-runs live in the repo where a reviewer can read them.
     try {
       val report =
-        s"""{"single_shot":${qsJson(res.seconds)},"medians":${qsJson(medians)},"mins":${qsJson(mins)},"total_sec":${fmt(res.total)},"n_queries":${res.seconds.size},"errors":$errs,"regressions":$regsJson,"sf":"$sfDir"}"""
+        s"""{"single_shot":${qsJson(res.seconds)},"medians":${qsJson(medians)},"mins":${qsJson(mins)},"total_sec":${fmt(res.total)},"n_queries":${res.seconds.size},"errors":$errs,"regressions":$regsJson,"stream_regressions":$streamRegsJson,"loadavg":$loadJson,"sf":"$sfDir"}"""
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench_report.json"), report)
-      // refresh the committed baseline for the NEXT round's comparison
+      // refresh the committed baseline for the NEXT round's comparison —
+      // RATCHETED per entry when the sf is unchanged (full replace only on
+      // an sf change), so a contended run can never poison the baseline
+      // upward (round 8 did exactly that with an unconditional overwrite)
+      val sameSf = parseSf(baselineJson).contains(sfDir)
+      val oldBatch = parseMedians(baselineJson)
+      val ratchetedBatch =
+        if (!sameSf) medians
+        // quiet-host lane times a SUBSET — baseline entries it didn't
+        // re-measure must survive, not vanish
+        else if (niceMode) oldBatch ++ ratchet(oldBatch, medians)
+        else ratchet(oldBatch, medians)
+      // the stream baseline survives lanes that skip the stream bench
+      val oldStream = parseMedians(baselineJson, "stream_medians")
+      val ratchetedStream =
+        if (streamMedians.isEmpty) { if (sameSf) oldStream else Map.empty[String, Double] }
+        else if (sameSf) ratchet(oldStream, streamMedians)
+        else streamMedians
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_baseline.json"),
-        s"""{"medians":${qsJson(medians)},"sf":"$sfDir"}""")
+        s"""{"medians":${qsJson(ratchetedBatch)},"stream_medians":${qsJson(ratchetedStream)},"sf":"$sfDir"}""")
     } catch { case _: Throwable => () }
     // the driver parses the JSON from a bounded output tail — if the
     // heavy-hitter entries would push the line past it, keep them only in
@@ -215,14 +313,35 @@ object Bench {
     if (res.errors.nonEmpty) sys.exit(1)
   }
 
+  /** Median-of-3 over a leg's timed body, with a runaway cap: when the
+    * first rep already exceeds `capSec` the extra reps are skipped (a
+    * 200 s-per-rep contended leg must not triple the bench; the gate +
+    * loadavg skip adjudicate that run anyway). A failing rep falls back
+    * to the completed timings. */
+  def medianOf3(firstSec: Double, rerun: () => Double,
+      capSec: Double = 60.0): Double = {
+    if (firstSec > capSec) firstSec
+    else {
+      val reps = firstSec +: (0 until 2).flatMap { _ =>
+        try Some(rerun()) catch { case _: Throwable => None }
+      }
+      reps.sorted.apply(reps.size / 2)
+    }
+  }
+
   /** Streaming throughput micro-bench: replay the sf tables through the
-    * two stateful streaming flagships — corpus cleaning (classify → gate →
-    * watermarked fingerprint dedup) and native session-window aggregation
-    * — so state-store regressions show up round-over-round. Returns the
-    * JSON object embedded under the final metric line's `"stream"` key
-    * (also printed to stderr for the human log). Failures are reported,
-    * never fatal: the batch bench is the contract, this is telemetry. */
-  private def streamBench(spark: SparkSession, sfDir: String): Option[String] = {
+    * stateful streaming flagships — corpus cleaning (classify → gate →
+    * watermarked fingerprint dedup), native session-window aggregation,
+    * the near-dup band gate, and the expectations gate — so state-store
+    * regressions show up round-over-round. Each leg is timed
+    * median-of-3 (round 8's single-shot numbers showed a 14× throughput
+    * "collapse" that was adjudicated as co-tenant noise only by hand) and
+    * the per-leg `_sec` medians feed the committed `stream_medians`
+    * baseline + gate. Returns (per-leg seconds medians, the JSON object
+    * embedded under the final metric line's `"stream"` key). Failures are
+    * reported, never fatal: the batch bench is the contract. */
+  private def streamBench(
+      spark: SparkSession, sfDir: String): Option[(Map[String, Double], String)] = {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingOps
     try {
@@ -232,23 +351,36 @@ object Bench {
       val docDir = s"$tmp/docs"
       docs.write.mode("overwrite").parquet(docDir)
       val nDocs = docs.count()
-      val t0 = System.nanoTime()
-      StreamingOps.runToCompletion(spark,
-        StreamingOps.corpusCleanStream(spark, docs.schema, docDir),
-        "bench_stream_clean", mode = "append").count()
-      val cleanSec = (System.nanoTime() - t0) / 1e9
+      var rep = 0
+      def timeOnce(body: Int => Unit): Double = {
+        rep += 1
+        val t0 = System.nanoTime()
+        body(rep)
+        (System.nanoTime() - t0) / 1e9
+      }
+      def leg(body: Int => Unit): Double = {
+        val first = timeOnce(body)
+        medianOf3(first, () => timeOnce(body))
+      }
+      // memory-sink names are rep-unique so re-runs never collide on the
+      // registered result table
+      val cleanSec = leg { r =>
+        StreamingOps.runToCompletion(spark,
+          StreamingOps.corpusCleanStream(spark, docs.schema, docDir),
+          s"bench_stream_clean_$r", mode = "append").count()
+      }
       // fixture ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP (ltz)
       val events = spark.read.parquet(s"$sfDir/events.parquet")
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
       val evDir = s"$tmp/events"
       events.write.mode("overwrite").parquet(evDir)
       val nEv = events.count()
-      val stream = spark.readStream.schema(events.schema).parquet(evDir)
-      val t1 = System.nanoTime()
-      StreamingOps.runToCompletion(spark,
-        StreamingOps.sessionWindowCounts(stream, "30 minutes", Some("1 hour")),
-        "bench_stream_sess", mode = "append").count()
-      val sessSec = (System.nanoTime() - t1) / 1e9
+      val sessSec = leg { r =>
+        val stream = spark.readStream.schema(events.schema).parquet(evDir)
+        StreamingOps.runToCompletion(spark,
+          StreamingOps.sessionWindowCounts(stream, "30 minutes", Some("1 hour")),
+          s"bench_stream_sess_$r", mode = "append").count()
+      }
       // near-dup GATE: the state-heaviest path (FMGWS band claims + append
       // agg) — staged with per-doc event times + a far sentinel so the
       // doc-grain decisions flush; its own throughput baseline per round
@@ -265,14 +397,12 @@ object Bench {
       staged.write.mode("overwrite").parquet(gateDir)
       val checkConf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
       spark.conf.set(checkConf, "false")
-      val t2 = System.nanoTime()
       val gateSec =
-        try {
+        try leg { r =>
           StreamingOps.runToCompletion(spark,
             StreamingOps.nearDupGateStream(spark, staged.schema, gateDir,
               watermark = "1 hour", horizonMillis = 3600L * 1000),
-            "bench_stream_gate", mode = "append").count()
-          (System.nanoTime() - t2) / 1e9
+            s"bench_stream_gate_$r", mode = "append").count()
         } finally spark.conf.unset(checkConf)
       // expectations GATE: the quality-rule ingest edge (fail probe +
       // quarantine/clean/metrics lanes per epoch) — stateless per batch,
@@ -290,16 +420,21 @@ object Bench {
         .select(col("doc_id"), col("lang"), col("n_chars"))
       val expDir = s"$tmp/exp_src"
       expSrc.write.mode("overwrite").parquet(expDir)
-      val t3 = System.nanoTime()
-      val expQ = StreamingOps.expectationsGateStream(spark, expSrc.schema,
-        expDir, exps, s"$tmp/exp_clean", s"$tmp/exp_quarantine",
-        s"$tmp/exp_metrics", s"$tmp/exp_ckpt")
-      try expQ.processAllAvailable() finally expQ.stop()
-      val expSec = (System.nanoTime() - t3) / 1e9
+      val expSec = leg { r =>
+        val expQ = StreamingOps.expectationsGateStream(spark, expSrc.schema,
+          expDir, exps, s"$tmp/exp_clean_$r", s"$tmp/exp_quarantine_$r",
+          s"$tmp/exp_metrics_$r", s"$tmp/exp_ckpt_$r")
+        try expQ.processAllAvailable() finally expQ.stop()
+      }
+      val secs = Map(
+        "corpus_clean_sec" -> cleanSec,
+        "session_window_sec" -> sessSec,
+        "near_dup_gate_sec" -> gateSec,
+        "expectations_gate_sec" -> expSec)
       val obj =
         s"""{"corpus_clean_rows":$nDocs,"corpus_clean_sec":${fmt(cleanSec)},"corpus_clean_rows_per_sec":${fmt(nDocs / cleanSec)},"session_window_rows":$nEv,"session_window_sec":${fmt(sessSec)},"session_window_rows_per_sec":${fmt(nEv / sessSec)},"near_dup_gate_rows":$nDocs,"near_dup_gate_sec":${fmt(gateSec)},"near_dup_gate_rows_per_sec":${fmt(nDocs / gateSec)},"expectations_gate_rows":$nDocs,"expectations_gate_sec":${fmt(expSec)},"expectations_gate_rows_per_sec":${fmt(nDocs / expSec)}}"""
       System.err.println(s"""{"stream_bench":$obj}""")
-      Some(obj)
+      Some((secs, obj))
     } catch {
       case e: Throwable =>
         System.err.println(

@@ -52,6 +52,73 @@ class BenchSpec extends AnyFunSuite {
       """{"medians":{"q1":1.0}}""", "/data/sf0.1", cur).isLeft)
   }
 
+  test("min-aware gate: a contention spike (min at parity) is not flagged") {
+    val base = Map("q1" -> 0.4, "q2" -> 2.0)
+    val cur = Map("q1" -> 1.1, "q2" -> 5.0) // both medians past 2x + floor
+    // q1's min sits at baseline parity (round-8 signature of host noise);
+    // q2's min regressed with its median — a real plan regression
+    val mins = Map("q1" -> 0.39, "q2" -> 4.8)
+    assert(Bench.regressions(base, cur, currentMins = mins) ==
+      Map("q2" -> ((2.0, 5.0))))
+    // no min recorded -> median-only behavior (both flagged)
+    assert(Bench.regressions(base, cur).keySet == Set("q1", "q2"))
+  }
+
+  test("baseline refresh is a ratchet: noise cannot raise it") {
+    val old = Map("a" -> 1.0, "b" -> 2.0, "gone" -> 3.0)
+    val fresh = Map("a" -> 5.0 /* inflated */, "b" -> 1.5 /* improved */,
+      "new" -> 0.7)
+    val r = Bench.ratchet(old, fresh)
+    assert(r == Map("a" -> 1.0, "b" -> 1.5, "new" -> 0.7), r.toString)
+    // removed queries drop out instead of gating forever
+    assert(!r.contains("gone"))
+  }
+
+  test("gate skips (with reason) on an overloaded host") {
+    val base = """{"medians":{"q1":1.0},"sf":"/d"}"""
+    val cur = Map("q1" -> 9.0)
+    Bench.gateAgainstBaseline(base, "/d", cur,
+      loadavg = Some(130.0), loadSkipThreshold = 128.0) match {
+      case Left(reason) => assert(reason.contains("overloaded"), reason)
+      case Right(r) => fail(s"expected load skip, got $r")
+    }
+    // under the threshold the diff runs
+    assert(Bench.gateAgainstBaseline(base, "/d", cur,
+      loadavg = Some(20.0), loadSkipThreshold = 128.0).isRight)
+  }
+
+  test("stream medians parse from their own baseline key and gate") {
+    val base = """{"medians":{"q1":1.0},"stream_medians":{"corpus_clean_sec":3.1,"near_dup_gate_sec":4.8},"sf":"/d"}"""
+    assert(Bench.parseMedians(base, "stream_medians") ==
+      Map("corpus_clean_sec" -> 3.1, "near_dup_gate_sec" -> 4.8))
+    // batch medians are untouched by the stream block
+    assert(Bench.parseMedians(base) == Map("q1" -> 1.0))
+    // a 14x corpus_clean drop (round 8) is now machine-flagged
+    val r = Bench.gateAgainstBaseline(base, "/d",
+      Map("corpus_clean_sec" -> 44.9, "near_dup_gate_sec" -> 4.9),
+      baselineKey = "stream_medians")
+    assert(r == Right(Map("corpus_clean_sec" -> ((3.1, 44.9)))))
+    // committed baseline carries a stream block
+    val p = java.nio.file.Paths.get("bench_baseline.json")
+    if (java.nio.file.Files.exists(p)) {
+      val m = Bench.parseMedians(
+        java.nio.file.Files.readString(p), "stream_medians")
+      assert(m.nonEmpty && m.values.forall(_ > 0))
+    }
+  }
+
+  test("medianOf3 takes the median of reps but caps runaway legs") {
+    var reps = List(5.0, 2.0)
+    def rerun(): Double = { val h = reps.head; reps = reps.tail; h }
+    assert(Bench.medianOf3(3.0, () => rerun()) == 3.0) // median(3,5,2)
+    // a leg whose first rep blows the cap is not re-run twice more
+    var called = 0
+    assert(Bench.medianOf3(200.0, () => { called += 1; 1.0 }) == 200.0)
+    assert(called == 0)
+    // failing re-runs fall back to completed timings
+    assert(Bench.medianOf3(1.0, () => sys.error("boom")) == 1.0)
+  }
+
   test("baseline sf parses from the report JSON") {
     assert(Bench.parseSf("""{"medians":{},"sf":"/root/testdata/sf0.1"}""")
       .contains("/root/testdata/sf0.1"))
