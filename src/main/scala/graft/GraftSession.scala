@@ -124,6 +124,32 @@ final class GraftSession(
     s
   }
 
+  /** Split a (possibly backquoted) multi-part identifier into unquoted
+    * parts: `` `gdisk`.ns.`a``b` `` → Seq(gdisk, ns, a`b). The tx guard
+    * and routing compare catalog qualifiers on these parts, so quoting a
+    * qualifier can never slip a destructive verb past the guard. */
+  private def identParts(ident: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < ident.length) {
+      val ch = ident.charAt(i)
+      if (inQ) {
+        if (ch == '`') {
+          if (i + 1 < ident.length && ident.charAt(i + 1) == '`') {
+            cur.append('`'); i += 1
+          } else inQ = false
+        } else cur.append(ch)
+      } else if (ch == '`') inQ = true
+      else if (ch == '.') { parts += cur.toString; cur.clear() }
+      else cur.append(ch)
+      i += 1
+    }
+    parts += cur.toString
+    parts.toSeq
+  }
+
   private def guardTxDestructiveV2(q0: String): Unit = {
     if (txWatermarks.isEmpty) return
     val q = stripLeadingComments(q0)
@@ -140,11 +166,16 @@ final class GraftSession(
         .map(_.toLowerCase(Locale.ROOT)).toSet
       val targetsGuarded = MutatingTargetRe.findFirstMatchIn(q) match {
         case Some(m) =>
-          val target = m.group(1).toLowerCase(Locale.ROOT)
-          guarded.exists(c => target.startsWith(c + "."))
+          // unquote before comparing: `gdisk`.ns.t guards like gdisk.ns.t
+          val parts = identParts(m.group(1)).map(_.toLowerCase(Locale.ROOT))
+          parts.lengthCompare(2) >= 0 && guarded(parts.head)
         case None => // DROP NAMESPACE has no MutatingTargetRe shape
-          guarded.exists(c =>
-            up.toLowerCase(Locale.ROOT).matches(s".*\\b$c\\s*\\..*"))
+          val low = up.toLowerCase(Locale.ROOT)
+          guarded.exists { c =>
+            val cq = java.util.regex.Pattern.quote(c)
+            // catalog names are data, never regex; accept the quoted form
+            low.matches(s"(?s).*(?:\\b$cq|`$cq`)\\s*\\..*")
+          }
       }
       if (targetsGuarded) requireNoTx(s"$v on a V2 catalog table")
     }
@@ -610,17 +641,22 @@ final class GraftSession(
     if (cats.isEmpty) false
     else {
       if (v2CatalogPatterns._1 != cats)
-        v2CatalogPatterns = (cats, cats.toSeq.sorted.map(c =>
-          java.util.regex.Pattern.compile(
-            "(?is)\\b" + java.util.regex.Pattern.quote(c) + "\\s*\\.")))
+        v2CatalogPatterns = (cats, cats.toSeq.sorted.map { c =>
+          val cq = java.util.regex.Pattern.quote(c)
+          // accept the backquoted spelling too: `gdisk`.ns.t is the same
+          // catalog reference as gdisk.ns.t and must route (and be
+          // tx-guarded) identically
+          java.util.regex.Pattern.compile(s"(?is)(?:\\b$cq|`$cq`)\\s*\\.")
+        })
       val unquoted = new StringBuilder
       mapUnquoted(q) { seg => unquoted.append(seg).append(' '); seg }
       val mentionsCatalog = v2CatalogPatterns._2.exists(_.matcher(unquoted).find())
       if (!mentionsCatalog) false
       else MutatingTargetRe.findFirstMatchIn(q) match {
         case Some(m) => // mutating/DDL verb: route by the sink's qualifier
-          val target = m.group(1).toLowerCase(Locale.ROOT)
-          cats.exists(c => target.startsWith(c.toLowerCase(Locale.ROOT) + "."))
+          val parts = identParts(m.group(1)).map(_.toLowerCase(Locale.ROOT))
+          parts.lengthCompare(2) >= 0 &&
+            cats.exists(c => parts.head == c.toLowerCase(Locale.ROOT))
         case None => true // pure query / other verb: pass through whole
       }
     }
@@ -1737,6 +1773,11 @@ final class GraftSession(
     * gone before rollback could need it). */
   private var txWatermarks: Option[Map[String, Int]] = None
 
+  /** Wall-clock at BEGIN — creation-attribution watermark: ROLLBACK drops
+    * an absent-from-snapshot V2 table only when its creation is
+    * attributable to THIS JVM after this instant (see rollbackTx). */
+  private var txBeginAtMs: Long = 0L
+
   /** Guard for statements that cannot participate in rollback. */
   private def requireNoTx(what: String): Unit =
     require(txWatermarks.isEmpty, s"$what inside a transaction is not supported")
@@ -1795,6 +1836,7 @@ final class GraftSession(
 
   private def beginTx(): DataFrame = {
     require(txWatermarks.isEmpty, "transaction already in progress")
+    txBeginAtMs = System.currentTimeMillis()
     txWatermarks = Some(
       tables.listTables().map(t => t -> tables.versionCount(t)).toMap)
     txV2Marks = gmemCatalogs().map { case (n, c) => n -> c.snapshotVersions() }
@@ -1822,11 +1864,12 @@ final class GraftSession(
       case Some(_) => () // untouched during the transaction
       case None => tables.drop(t) // created inside the transaction
     }
-    // gmem catalogs roll back to their BEGIN watermarks too; a catalog
-    // first touched DURING the transaction has no marks → all its tables
-    // were created inside it and are dropped
+    // gmem catalogs roll back to their BEGIN watermarks too; a table
+    // absent from the marks is dropped only when created after BEGIN
+    // (a catalog first CONFIGURED during the tx re-registers pre-existing
+    // tables the transaction never touched — those survive)
     for ((n, c) <- gmemCatalogs())
-      c.rollbackTo(txV2Marks.getOrElse(n, Map.empty))
+      c.rollbackTo(txV2Marks.getOrElse(n, Map.empty), txBeginAtMs)
     // gdisk catalogs: every table mutated since BEGIN restores to its
     // watermark manifest (restoreToVersion — a NEW commit re-serving the
     // old snapshot, so history stays append-only and inside-tx data
@@ -1834,6 +1877,16 @@ final class GraftSession(
     // tables created inside the transaction are dropped, same contract
     // as gmem. Metadata-only inside-tx commits (ANALYZE, tags) roll back
     // with the manifest like everything else.
+    //
+    // Absence from the BEGIN snapshot is NOT enough to drop: the warehouse
+    // is shared cross-process, so a table another process created during
+    // the tx window — or one re-surfaced by a catalog configured after
+    // BEGIN — is committed data this transaction never touched. A drop
+    // needs positive attribution: THIS JVM wrote the table's v0 after
+    // BEGIN (per-JVM creation records, stamped at commitInitial). A table
+    // created inside the tx by a DIFFERENT process is left standing too —
+    // its creator owns it; destroying another writer's committed table
+    // would contradict the hard-link commit-claim exclusivity contract.
     for ((n, c) <- gdiskCatalogs()) {
       val diskMarks = txDiskMarks.getOrElse(n, Map.empty)
       for ((ns, t, log) <- c.listTableLogs()) {
@@ -1845,9 +1898,12 @@ final class GraftSession(
             c.loadTable(ident).asInstanceOf[graft.sources.GraftDiskTable]
               .restoreToVersion(v)
           case Some(_) => () // untouched during the transaction
-          case None => // created inside the transaction
+          case None if graft.sources.GraftDiskCatalog.createdByThisJvmSince(
+              log.tableDir.toUri.getPath, txBeginAtMs) =>
+            // created inside the transaction BY THIS JVM
             c.dropMvMarker(ident) // harmless no-op for plain tables
             c.dropTable(ident)
+          case None => () // unattributable: not this transaction's to undo
         }
       }
     }

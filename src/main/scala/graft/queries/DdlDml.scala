@@ -559,11 +559,22 @@ object DdlDml extends QueryModule {
         // timed body must measure the operator under test — the ZORDER
         // rewrite and the skipping readback — not a fixture ingest
         // (which dominated the old 20 s timing and tripped the
-        // regression gate on noise). The table name carries the source
-        // dir's hash so a session that switches sf dirs can never serve
-        // stale rows against the other dir's oracle.
-        val tbl = s"gdisk.verify.li_z_${(dir.hashCode & 0x7fffffff).toHexString}"
-        if (!s.catalog.tableExists(tbl)) {
+        // regression gate on noise). The table name carries a SHA-256
+        // digest of the canonicalized source dir (collision-resistant,
+        // unlike String.hashCode, and spelling-insensitive) so a session
+        // that switches sf dirs can never serve stale rows against the
+        // other dir's oracle; a row-count probe against the source
+        // catches in-place data changes under a reused dir.
+        val canon = new java.io.File(dir).getCanonicalPath
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .take(8).map(b => f"$b%02x").mkString
+        val tbl = s"gdisk.verify.li_z_$digest"
+        val srcCount = s.table("lineitem").count()
+        val stale = s.catalog.tableExists(tbl) &&
+          s.table(tbl).count() != srcCount
+        if (stale) s.sql(s"DROP TABLE $tbl")
+        if (stale || !s.catalog.tableExists(tbl)) {
           s.sql(s"""CREATE TABLE $tbl (
             l_orderkey BIGINT, l_linenumber INT,
             l_quantity DOUBLE, l_discount DOUBLE)""")

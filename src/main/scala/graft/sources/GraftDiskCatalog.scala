@@ -533,6 +533,7 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     val fs = fileSystem(warehouse)
     val dir = tableDir(ident)
+    GraftDiskCatalog.forgetJvmCreation(dir.toUri.getPath)
     if (!fs.exists(new HPath(dir, LogDirName))) false
     else fs.delete(dir, true)
   }
@@ -545,6 +546,9 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
     val fs = fileSystem(warehouse)
     if (!fs.rename(tableDir(from), tableDir(to)))
       sys.error(s"gdisk: rename ${fullName(from)} -> ${fullName(to)} failed")
+    // drop the old dir's creation record (conservative: a renamed table is
+    // never rollback-dropped; RENAME is guarded inside a transaction anyway)
+    GraftDiskCatalog.forgetJvmCreation(tableDir(from).toUri.getPath)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -642,6 +646,29 @@ object GraftDiskCatalog {
 
   private[sources] def renderTags(tags: Map[String, Long]): String =
     tags.toSeq.sortBy(_._1).map { case (n, v) => s"$n=$v" }.mkString(",")
+
+  /** Table dirs whose v0 commit THIS JVM wrote, with the creation
+    * wall-clock — the transaction surface's attribution record. ROLLBACK
+    * drops a table absent from the BEGIN snapshot only when this JVM
+    * created it after BEGIN; absence alone proves nothing (a concurrent
+    * process may have created the table in the shared warehouse during
+    * the tx window, or the catalog may have been configured mid-tx over a
+    * pre-existing warehouse) and rollback must never destroy committed
+    * data the transaction never touched. Keyed by table-dir path, not
+    * catalog name, so two catalog names over one warehouse agree. */
+  private val jvmCreations = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private[sources] def recordJvmCreation(tableDirPath: String): Unit =
+    jvmCreations.put(tableDirPath, System.currentTimeMillis())
+
+  /** A dropped dir's record must not outlive it: a same-name table created
+    * later by another process would otherwise inherit the attribution. */
+  private[sources] def forgetJvmCreation(tableDirPath: String): Unit =
+    jvmCreations.remove(tableDirPath)
+
+  private[graft] def createdByThisJvmSince(
+      tableDirPath: String, sinceMs: Long): Boolean =
+    Option(jvmCreations.get(tableDirPath)).exists(_ >= sinceMs)
 
   /** Files dropped by RUNTIME (dynamic-partition / dynamic-bucket)
     * pruning since JVM start — the observable evidence plan proofs and
@@ -1459,6 +1486,9 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
     fs.mkdirs(logDir)
     fs.mkdirs(dataDir)
     write(m)
+    // every v0 lands here (CREATE, staged CTAS, CONVERT adopt): stamp the
+    // per-JVM creation record the transaction rollback attributes drops by
+    GraftDiskCatalog.recordJvmCreation(tableDir.toUri.getPath)
   }
 
   /** Claim version `m.version`; throws an IOException on a lost race

@@ -84,14 +84,34 @@ class GraftDiskChangesScan(
   private def firstOffset: Long = {
     val fromOpt = Option(options.get("startingVersion")).map(_.trim.toLong)
     // offset semantics: "served THROUGH version n" — start one before.
-    // Serving version v diffs against v-1's manifest, so the start must
-    // never sit below the VACUUM horizon: the DEFAULT is the oldest
+    // Serving version v diffs against v-1's manifest, so the start can
+    // never sit below the VACUUM horizon. The DEFAULT is the oldest
     // retained version (serve (head, latest], matching the streaming
-    // source's initialOffset = head — head's own predecessor is gone),
-    // and an explicit pre-horizon startingVersion clamps to it instead
-    // of throwing 'version removed by VACUUM' on every read.
+    // source's initialOffset = head — head's own predecessor is gone).
+    // An EXPLICIT startingVersion that asks for vacuumed-away history is
+    // an ERROR, not a silent clamp: a CDC consumer asking for [v, latest]
+    // must not receive [head+1, latest] with no signal that change rows
+    // it requested were skipped (it may need to fall back to a full
+    // re-sync). Opt back into the clamp with allowOutOfRangeStart=true.
     val head = table.log.versions().headOption.getOrElse(0L)
-    fromOpt.map(v => math.max(v - 1, head)).getOrElse(head)
+    fromOpt match {
+      case None => head
+      case Some(v) if v - 1 >= head => v - 1
+      case Some(_) if head == 0L =>
+        // nothing was ever VACUUMed: startingVersion <= 0 skips only
+        // version 0's creation "diff", which has no servable form (a
+        // creation has no predecessor manifest to diff against) — the
+        // feed starts at version 1 by construction, no history is lost
+        head
+      case Some(v) =>
+        if (options.getBoolean("allowOutOfRangeStart", false)) head
+        else throw new IllegalArgumentException(
+          s"startingVersion $v predates the earliest retained version " +
+            s"$head of ${table.name()} (earlier changes were removed by " +
+            s"VACUUM; the earliest servable change version is ${head + 1}). " +
+            "Re-sync from a snapshot, or pass allowOutOfRangeStart=true " +
+            "to clamp to the retained history.")
+    }
   }
 
   override def readSchema(): StructType = required

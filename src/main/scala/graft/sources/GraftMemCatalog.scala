@@ -116,12 +116,21 @@ class GraftMemCatalog extends TableCatalog with SupportsNamespaces {
     * restored to their watermark snapshot (append-only undo versions);
     * tables created inside the transaction are dropped. Mirrors
     * [[graft.GraftSession]]'s view-swap rollback semantics (dropped tables
-    * stay dropped — both engines share that documented limitation). */
-  private[graft] def rollbackTo(marks: Map[(List[String], String), Long]): Unit =
+    * stay dropped — both engines share that documented limitation).
+    *
+    * A table ABSENT from the marks is dropped only when its creation
+    * postdates `beginMs`: absence alone does not prove in-tx creation — a
+    * gmem catalog first CONFIGURED after BEGIN re-registers a pre-existing
+    * instance whose tables the transaction never touched, and rollback
+    * must not destroy those. */
+  private[graft] def rollbackTo(
+      marks: Map[(List[String], String), Long], beginMs: Long): Unit =
     for ((k, t) <- tables.readOnlySnapshot()) marks.get(k) match {
       case Some(h) if t.historyLength > h => t.restoreTo(h - 1)
       case Some(_) => () // untouched during the transaction
-      case None => tables.remove(k) // created inside the transaction
+      case None if t.createdAtMs >= beginMs =>
+        tables.remove(k) // created inside the transaction
+      case None => () // pre-dates BEGIN: not this transaction's to undo
     }
   override def name(): String = catalogName
   override def defaultNamespace(): Array[String] = Array("default")
@@ -380,6 +389,14 @@ class GraftMemTable(
     * and replace only affected groups). */
   override def metadataColumns(): Array[MetadataColumn] =
     Array(GraftMemCatalog.GroupIdColumn)
+
+  /** Wall-clock of this instance's construction — the transaction surface's
+    * creation-attribution record: ROLLBACK drops a table absent from the
+    * BEGIN snapshot only when it was created AFTER BEGIN (a catalog
+    * configured mid-transaction over a pre-existing instance registry must
+    * not have its older tables destroyed by a rollback that never touched
+    * them). */
+  private[sources] val createdAtMs: Long = System.currentTimeMillis()
 
   private var cols: Array[V2Column] = initialCols
   private var tableSchema: StructType = toStruct(initialCols)

@@ -2088,7 +2088,7 @@ class DiskCatalogSpec extends AnyFunSuite {
     } finally spark.conf.set(tzKey, saved)
   }
 
-  test(".changes reads start past the VACUUM horizon instead of throwing") {
+  test(".changes reads: default starts past the VACUUM horizon, explicit pre-horizon starts error") {
     val g = new GraftSession(spark)
     spark.sql("CREATE TABLE gdspec.lake.chv (id BIGINT)")
     spark.sql("INSERT INTO gdspec.lake.chv VALUES (1)") // v1
@@ -2101,10 +2101,47 @@ class DiskCatalogSpec extends AnyFunSuite {
       .select("id", "_change_type", "_commit_version")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == Seq((3L, "insert", 3L)), got.toString)
-    // an explicit pre-horizon startingVersion clamps instead of throwing
+    // the boundary start is servable: v3 diffs against retained v2
+    assert(spark.read.option("startingVersion", "3")
+      .table("gdspec.lake.chv.changes").count() == 1L)
+    // an EXPLICIT pre-horizon startingVersion is an error a CDC consumer
+    // can react to, never a silent gap: [1, latest] cannot be served
+    // once v1's record is vacuumed away
+    val e = intercept[Exception](spark.read.option("startingVersion", "1")
+      .table("gdspec.lake.chv.changes").count())
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("predates the earliest retained version"), msg)
+    // ... unless the consumer opts into the clamp explicitly
     val clamped = spark.read.option("startingVersion", "1")
+      .option("allowOutOfRangeStart", "true")
       .table("gdspec.lake.chv.changes").count()
     assert(clamped == 1L)
+  }
+
+  test(".changes startingVersion=0 boundary: never-VACUUMed tables serve from v1, post-VACUUM clamp is exact") {
+    val g = new GraftSession(spark)
+    spark.sql("CREATE TABLE gdspec.lake.chv0 (id BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.chv0 VALUES (1)") // v1
+    spark.sql("INSERT INTO gdspec.lake.chv0 VALUES (2)") // v2
+    // startingVersion=0 on a never-VACUUMed table: version 0 is the
+    // creation commit, whose "diff" has no servable form (no predecessor
+    // manifest) — the feed starts at version 1 by construction and no
+    // error fires (nothing requested was removed)
+    val fromZero = spark.read.option("startingVersion", "0")
+      .table("gdspec.lake.chv0.changes")
+      .select("_commit_version").collect().map(_.getLong(0)).toSeq.sorted
+    assert(fromZero == Seq(1L, 2L), fromZero.toString)
+    // identical to the default (full retained history) window
+    assert(spark.read.table("gdspec.lake.chv0.changes").count() == 2L)
+    // post-VACUUM the opted-in clamp serves exactly (head, latest]
+    spark.sql("INSERT INTO gdspec.lake.chv0 VALUES (3)") // v3
+    g.sql("VACUUM gdspec.lake.chv0 RETAIN 2 VERSIONS").collect() // keep v2,v3
+    val clamped = spark.read.option("startingVersion", "0")
+      .option("allowOutOfRangeStart", "true")
+      .table("gdspec.lake.chv0.changes")
+      .select("_commit_version").collect().map(_.getLong(0)).toSeq.sorted
+    assert(clamped == Seq(3L), clamped.toString)
   }
 
   test("OPTIMIZE and DESCRIBE DETAIL serve byte sizes from the manifest — zero driver file-status probes") {
@@ -2191,6 +2228,39 @@ class DiskCatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 2L)
   }
 
+  test("ROLLBACK never drops a table it cannot attribute to this JVM") {
+    // "another process" creates a table in the shared warehouse during the
+    // tx window — simulated the way it actually looks to this JVM: bytes
+    // appear on disk with no in-JVM creation record. ROLLBACK must leave
+    // that committed table standing; destroying another writer's data
+    // would contradict the cross-process commit-claim exclusivity contract.
+    val g = new GraftSession(spark)
+    spark.sql("CREATE TABLE gdspec.lake.txsrc (id BIGINT)")
+    spark.sql("INSERT INTO gdspec.lake.txsrc VALUES (1), (2)")
+    g.sql("BEGIN")
+    // byte-copy the table dir under a new name (a pure filesystem write,
+    // exactly what a concurrent process's CREATE looks like from here)
+    val src = java.nio.file.Paths.get(s"$warehouse/lake/txsrc")
+    val dst = java.nio.file.Paths.get(s"$warehouse/lake/txalien")
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+    // this JVM's own inside-tx creation IS attributable and must roll back
+    spark.sql("CREATE TABLE gdspec.lake.txmine (id BIGINT)")
+    g.sql("ROLLBACK")
+    assert(spark.sql("SELECT count(*) FROM gdspec.lake.txalien")
+      .head().getLong(0) == 2L,
+      "ROLLBACK destroyed a concurrent process's committed table")
+    assert(!GraftDiskCatalog.instance("gdspec").get.tableExists(
+      org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("lake"), "txmine")))
+    spark.sql("DROP TABLE gdspec.lake.txalien")
+    spark.sql("DROP TABLE gdspec.lake.txsrc")
+  }
+
   test("front-door transactions span gdisk: ROLLBACK restores BEGIN manifests, drops inside-tx creations") {
     val g = new GraftSession(spark)
     spark.sql("CREATE TABLE gdspec.lake.txg (id BIGINT, v BIGINT)")
@@ -2211,6 +2281,13 @@ class DiskCatalogSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("transaction"), e1.getMessage)
     val e2 = intercept[Exception](g.sql("VACUUM gdspec.lake.txg"))
     assert(e2.getMessage.contains("transaction"), e2.getMessage)
+    // ... and a BACKQUOTED qualifier is the same catalog reference — it
+    // must route and be guarded identically, not slip past the check
+    val e3 = intercept[Exception](g.sql("DROP TABLE `gdspec`.lake.txg"))
+    assert(e3.getMessage.contains("transaction"), e3.getMessage)
+    val e4 = intercept[Exception](
+      g.sql("ALTER TABLE `gdspec`.`lake`.`txg` RENAME TO gdspec.lake.txg2"))
+    assert(e4.getMessage.contains("transaction"), e4.getMessage)
     g.sql("ROLLBACK")
     // restored — as a NEW commit (append-only undo, gmem discipline)
     assert(latestV > atBegin)
