@@ -2625,7 +2625,19 @@ final class GraftSession(
     case s if s.startsWith("DECIMAL") || s.startsWith("NUMERIC") =>
       s match {
         case DecimalRe(p, sc) =>
-          DecimalType(math.min(p.toInt, 38), Option(sc).map(_.toInt).getOrElse(0))
+          val prec = p.toInt
+          val scale = Option(sc).map(_.toInt).getOrElse(0)
+          // the reference maps 38 < p <= 76 to Arrow Decimal256
+          // (qurious/src/planner/sql.rs:1439-1476); Spark's DecimalType is
+          // 128-bit and caps at p=38 (SURVEY §1.2 — TPC-H needs <=(15,2)).
+          // Silently narrowing the declared precision would corrupt
+          // values, so out-of-range DDL errors cleanly instead.
+          if (prec > 38) sys.error(
+            s"DECIMAL($prec,$scale): precision above 38 is not supported " +
+              "(Spark decimals are 128-bit; the reference's Decimal256 " +
+              "range 38<p<=76 has no representation here — store the " +
+              "value as STRING if you need more than 38 digits)")
+          DecimalType(prec, scale)
         case _ => sys.error(s"cannot parse type: $t")
       }
     case s if s.startsWith("VARCHAR") || s == "STRING" || s == "TEXT" || s.startsWith("CHAR") =>
