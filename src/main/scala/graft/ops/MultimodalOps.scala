@@ -198,7 +198,7 @@ object MultimodalOps {
     // walk offsets in Long: a malformed declared size near Int.MaxValue
     // must fail the bounds check, not wrap `i` negative and crash cc()
     var i = 12L
-    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var fmt: Option[(Int, Int, Int, Int)] = None // tag, channels, rate, bits
     var dataLen = -1L
     while (i + 8 <= b.length) {
       val at = i.toInt
@@ -208,20 +208,54 @@ object MultimodalOps {
       if (size < 0 || i + 8 + size > b.length) return None
       if (id == "fmt " && size >= 16) {
         val tag = le16(at + 8)
-        if (tag != 1) return None // PCM only
-        fmt = Some((le16(at + 10), le32(at + 12), le16(at + 22)))
+        // codec scope: 1 = integer PCM, 3 = IEEE float (32-bit),
+        // 0x11 = IMA ADPCM (4-bit). Anything else quarantines.
+        val bitsOk = tag match {
+          case 1 => true
+          case 3 => le16(at + 22) == 32
+          case 0x11 => le16(at + 22) == 4
+          case _ => false
+        }
+        if (!bitsOk) return None
+        fmt = Some((tag, le16(at + 10), le32(at + 12), le16(at + 22)))
       } else if (id == "data") {
         dataLen = size.toLong
       }
       i += 8L + size + (size & 1) // chunks are 2-byte aligned
     }
     fmt match {
-      case Some((ch, rate, bits)) if dataLen >= 0 && ch > 0 && rate > 0 && bits > 0 =>
-        val bytesPerSec = rate.toDouble * ch * (bits / 8)
+      case Some((tag, ch, rate, bits))
+          if dataLen >= 0 && ch > 0 && rate > 0 && bits > 0 =>
+        // ADPCM duration derives from its nibble payload (2 samples per
+        // byte past the per-block channel headers) — approximate with
+        // the nibble rate like players do; byte-exact fields stay exact
+        val bytesPerSec =
+          if (tag == 0x11) rate.toDouble * ch / 2.0
+          else rate.toDouble * ch * (bits / 8)
         Some(AudioMeta(-1L, "wav", ch, rate, bits, dataLen,
           dataLen / bytesPerSec * 1000.0))
       case _ => None
     }
+  }
+
+  /** The `fmt ` chunk's (formatTag, channels, blockAlign) — the decode
+    * dispatch key [[wavPcm]] needs beyond [[wavMeta]]'s display fields. */
+  private def wavFmtTag(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def cc(i: Int) = new String(b, i, 4, "US-ASCII")
+    if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "WAVE") return None
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val at = i.toInt
+      val size = le32(at + 4)
+      if (size < 0 || i + 8 + size > b.length) return None
+      if (cc(at) == "fmt " && size >= 16)
+        return Some((le16(at + 8), le16(at + 10), le16(at + 20)))
+      i += 8L + size + (size & 1)
+    }
+    None
   }
 
   /** Fixture adapter (the audio sibling of [[asBinaryPayload]]): wrap a
@@ -578,12 +612,13 @@ object MultimodalOps {
     * REAL-corpus matrix — color types 0 (grayscale), 2 (truecolor),
     * 3 (palette), 4 (gray+alpha) and 6 (RGBA, alpha dropped); bit depth
     * 8 everywhere plus 1/2/4 for grayscale and palette (sub-byte
-    * bit-packed rows — what small-palette web images actually use);
-    * BOTH progressive layouts: non-interlaced and Adam7 (each of the
-    * seven passes unfilters against its OWN previous scanline, then
-    * scatters to the pass lattice). 16-bit and anything malformed
-    * quarantines to None. Total pixels are capped so a hostile header
-    * cannot balloon the buffer. */
+    * bit-packed rows — what small-palette web images actually use) plus
+    * 16 for types 0/2/4/6 (big-endian sample pairs, downscaled to the
+    * high byte — scientific/scanner corpora); BOTH progressive layouts:
+    * non-interlaced and Adam7 (each of the seven passes unfilters
+    * against its OWN previous scanline, then scatters to the pass
+    * lattice). Anything malformed quarantines to None. Total pixels are
+    * capped so a hostile header cannot balloon the buffer. */
   private[graft] def pngDecodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     val sig = Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
     if (b.length < 8 + 25 || !sig.indices.forall(i => b(i) == sig(i))) return None
@@ -612,8 +647,9 @@ object MultimodalOps {
           if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24) ||
             compression != 0 || filterMethod != 0 || interlace > 1) return None
           val depthOk = colorType match {
-            case 0 | 3 => depth == 1 || depth == 2 || depth == 4 || depth == 8
-            case 2 | 4 | 6 => depth == 8
+            case 0 => Seq(1, 2, 4, 8, 16).contains(depth)
+            case 3 => Seq(1, 2, 4, 8).contains(depth) // no 16-bit palette
+            case 2 | 4 | 6 => depth == 8 || depth == 16
             case _ => false
           }
           if (!depthOk) return None
@@ -698,21 +734,25 @@ object MultimodalOps {
           while (k < pw) {
             val px = x0 + k * dx
             val o = (py * w + px) * 3
+            // 16-bit samples are big-endian pairs; 8-bit output takes the
+            // HIGH byte (the standard 16→8 downscale, what ImageIO's
+            // (v >> 8) agrees with — Png16Spec cross-checks)
+            def samp(ci: Int): Int = if (depth == 16) cur(ci << 1) else cur(ci)
             colorType match {
               case 2 => // truecolor
-                out(o) = cur(k * 3).toByte
-                out(o + 1) = cur(k * 3 + 1).toByte
-                out(o + 2) = cur(k * 3 + 2).toByte
+                out(o) = samp(k * 3).toByte
+                out(o + 1) = samp(k * 3 + 1).toByte
+                out(o + 2) = samp(k * 3 + 2).toByte
               case 6 => // RGBA: alpha dropped
-                out(o) = cur(k * 4).toByte
-                out(o + 1) = cur(k * 4 + 1).toByte
-                out(o + 2) = cur(k * 4 + 2).toByte
+                out(o) = samp(k * 4).toByte
+                out(o + 1) = samp(k * 4 + 1).toByte
+                out(o + 2) = samp(k * 4 + 2).toByte
               case 4 => // gray+alpha
-                val g = cur(k * 2).toByte
+                val g = samp(k * 2).toByte
                 out(o) = g; out(o + 1) = g; out(o + 2) = g
-              case 0 => // grayscale, possibly bit-packed
+              case 0 => // grayscale, possibly bit-packed or 16-bit
                 val v =
-                  if (depth == 8) cur(k)
+                  if (depth >= 8) samp(k)
                   else {
                     val bitPos = k * depth
                     ((cur(bitPos >> 3) >> (8 - depth - (bitPos & 7))) &
@@ -812,6 +852,89 @@ object MultimodalOps {
             .order(java.nio.ByteOrder.BIG_ENDIAN)
             .putInt(w).putInt(h)
             .put(8.toByte) // bit depth
+            .put(2.toByte) // truecolor
+            .put(0.toByte).put(0.toByte).put(0.toByte)
+            .array()
+          val payload =
+            Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte) ++
+              chunk("IHDR", ihdr) ++ chunk("IDAT", zip.toByteArray) ++
+              chunk("IEND", Array.empty[Byte])
+          (docId, payload)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Fixture adapter for 16-BIT truecolor PNGs (the deep-sample sibling
+    * of [[asPngPayload]] — scientific/scanner corpora): every sample is
+    * a big-endian pair whose HIGH byte follows the 8-bit fixture's pixel
+    * formula and whose LOW byte is a DIFFERENT deterministic function
+    * (`(docId + 3·si) % 256`), so a decoder that reads the wrong byte of
+    * the pair (endianness, stride) breaks the oracle hash instead of
+    * passing by luck. The row filter cycles through all five types over
+    * the 6-byte pixel stride. */
+  def asPng16Payload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val w = 4 + (docId % 5).toInt
+          val h = 3 + (docId % 4).toInt
+          val rowBytes = w * 6 // 3 channels × 2 bytes
+          val rows = Array.tabulate(h, rowBytes) { (y, i) =>
+            val si = i >> 1 // sample index within the row
+            val x = si / 3
+            val hi = (si % 3 match {
+              case 0 => (docId + 7L * x + 13L * y) % 256
+              case 1 => (docId * 3 + 5L * x + 11L * y) % 256
+              case 2 => (docId * 5 + 3L * x + 17L * y) % 256
+            }).toInt
+            if ((i & 1) == 0) hi else ((docId + 3L * si) % 256).toInt
+          }
+          val bpp = 6
+          val filtered = new Array[Byte](h * (1 + rowBytes))
+          for (y <- 0 until h) {
+            val f = ((docId + y) % 5).toInt
+            val base = y * (1 + rowBytes)
+            filtered(base) = f.toByte
+            for (i <- 0 until rowBytes) {
+              val rawV = rows(y)(i)
+              val left = if (i >= bpp) rows(y)(i - bpp) else 0
+              val up = if (y > 0) rows(y - 1)(i) else 0
+              val upLeft = if (y > 0 && i >= bpp) rows(y - 1)(i - bpp) else 0
+              val pred = f match {
+                case 0 => 0
+                case 1 => left
+                case 2 => up
+                case 3 => (left + up) >> 1
+                case 4 => paeth(left, up, upLeft)
+              }
+              filtered(base + 1 + i) = ((rawV - pred) & 0xff).toByte
+            }
+          }
+          val deflater = new java.util.zip.Deflater()
+          deflater.setInput(filtered)
+          deflater.finish()
+          val zip = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          while (!deflater.finished())
+            zip.write(buf, 0, deflater.deflate(buf))
+          deflater.end()
+          def chunk(tpe: String, body: Array[Byte]): Array[Byte] = {
+            val out = java.nio.ByteBuffer.allocate(12 + body.length)
+              .order(java.nio.ByteOrder.BIG_ENDIAN)
+            out.putInt(body.length)
+            out.put(tpe.getBytes("US-ASCII"))
+            out.put(body)
+            val crc = new java.util.zip.CRC32()
+            crc.update(tpe.getBytes("US-ASCII"))
+            crc.update(body)
+            out.putInt(crc.getValue.toInt)
+            out.array()
+          }
+          val ihdr = java.nio.ByteBuffer.allocate(13)
+            .order(java.nio.ByteOrder.BIG_ENDIAN)
+            .putInt(w).putInt(h)
+            .put(16.toByte) // bit depth
             .put(2.toByte) // truecolor
             .put(0.toByte).put(0.toByte).put(0.toByte)
             .array()
@@ -2440,34 +2563,153 @@ object MultimodalOps {
       silence_count: Int,
       zero_crossings: Int)
 
-  /** Decode the interleaved 16-bit LE PCM samples of a WAV payload.
-    * Reuses the RIFF chunk walk contract of [[wavMeta]] (arbitrary chunk
-    * order, 2-byte alignment, Long-safe bounds) and additionally requires
-    * bits == 16 (the only width this decoder speaks) and an even data
-    * chunk. Returns (channels, samples); None = quarantine. */
-  def wavPcm(b: Array[Byte]): Option[(Int, Array[Short])] = {
-    wavMeta(b).filter(m => m.bits == 16 && m.data_bytes % 2 == 0).flatMap { m =>
-      def u8(i: Int) = b(i) & 0xff
-      def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
-      def cc(i: Int) = new String(b, i, 4, "US-ASCII")
-      var i = 12L
-      var out: Option[Array[Short]] = None
-      while (i + 8 <= b.length && out.isEmpty) {
-        val at = i.toInt
-        val size = le32(at + 4)
-        if (cc(at) == "data") {
-          val n = size / 2
-          val s = new Array[Short](n)
-          var j = 0
-          while (j < n) {
-            s(j) = (u8(at + 8 + 2 * j) | (b(at + 9 + 2 * j) << 8)).toShort
-            j += 1
-          }
-          out = Some(s)
-        }
-        i += 8L + size + (size & 1)
+  /** Offset and length of the `data` chunk's body (Long-safe walk). */
+  private def wavDataChunk(b: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def cc(i: Int) = new String(b, i, 4, "US-ASCII")
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val at = i.toInt
+      val size = le32(at + 4)
+      if (size < 0 || i + 8 + size > b.length) return None
+      if (cc(at) == "data") return Some((at + 8, size))
+      i += 8L + size + (size & 1)
+    }
+    None
+  }
+
+  /** IMA ADPCM step/index tables (IMA recommended practice / RFC 3551
+    * appendix — the public fixed tables every implementation shares). */
+  private val AdpcmStep = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val AdpcmIndex = Array(-1, -1, -1, -1, 2, 4, 6, 8,
+    -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode one IMA ADPCM nibble against (predictor, stepIndex) state;
+    * returns the new state. The exact-integer reference recurrence:
+    * diff = (step>>3) + bit-gated step/2, step/4, step, sign from bit 3. */
+  private[graft] def adpcmStep(pred: Int, idx: Int, nibble: Int): (Int, Int) = {
+    val step = AdpcmStep(idx)
+    var diff = step >> 3
+    if ((nibble & 1) != 0) diff += step >> 2
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 4) != 0) diff += step
+    val p0 = if ((nibble & 8) != 0) pred - diff else pred + diff
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, idx + AdpcmIndex(nibble)))
+    (p, i)
+  }
+
+  /** Decode an IMA ADPCM `data` body to interleaved 16-bit samples.
+    * Block layout (IMA WAV mapping): per channel a 4-byte header
+    * (predictor int16 LE — itself the first output sample — then step
+    * index, then a reserved byte), followed by 4-byte words of 8 nibbles
+    * ROTATING across channels; nibbles decode low-then-high. A trailing
+    * partial block decodes as far as its full 4-byte channel words
+    * reach. */
+  private def adpcmDecode(
+      b: Array[Byte], off: Int, len: Int, channels: Int, blockAlign: Int)
+      : Option[Array[Short]] = {
+    if (channels < 1 || channels > 2) return None
+    if (blockAlign < channels * 8 || blockAlign % (4 * channels) != 0)
+      return None
+    def u8(i: Int) = b(i) & 0xff
+    val out = scala.collection.mutable.ArrayBuffer.empty[Short]
+    var blk = off
+    while (blk + channels * 4 <= off + len) {
+      val blockEnd = math.min(blk + blockAlign, off + len)
+      val pred = new Array[Int](channels)
+      val idx = new Array[Int](channels)
+      var c = 0
+      while (c < channels) {
+        val h = blk + c * 4
+        pred(c) = ((u8(h) | (b(h + 1) << 8)).toShort).toInt
+        idx(c) = u8(h + 2)
+        if (idx(c) > 88) return None
+        out += pred(c).toShort // the header predictor IS sample 0
+        c += 1
       }
-      out.map((m.channels, _))
+      // interleave buffer: per 4-byte channel word = 8 samples/channel
+      var p = blk + channels * 4
+      while (p + channels * 4 <= blockEnd) {
+        // decode this word group: 8 samples per channel, then interleave
+        val group = Array.ofDim[Short](channels, 8)
+        c = 0
+        while (c < channels) {
+          var k = 0
+          while (k < 4) {
+            val byte = u8(p + c * 4 + k)
+            val (p1, i1) = adpcmStep(pred(c), idx(c), byte & 0xf)
+            pred(c) = p1; idx(c) = i1
+            group(c)(k * 2) = p1.toShort
+            val (p2, i2) = adpcmStep(pred(c), idx(c), byte >> 4)
+            pred(c) = p2; idx(c) = i2
+            group(c)(k * 2 + 1) = p2.toShort
+            k += 1
+          }
+          c += 1
+        }
+        var s = 0
+        while (s < 8) {
+          c = 0
+          while (c < channels) { out += group(c)(s); c += 1 }
+          s += 1
+        }
+        p += channels * 4
+      }
+      blk += blockAlign
+    }
+    if (out.isEmpty) None else Some(out.toArray)
+  }
+
+  /** Decode a WAV payload's samples to interleaved 16-bit, dispatching
+    * on the `fmt ` tag: integer PCM (16-bit LE), IEEE FLOAT (32-bit LE,
+    * mapped by round(f·32768) clamped — the standard float↔int scale),
+    * or IMA ADPCM (4-bit, block-predictive). Returns (channels,
+    * samples); anything else — including out-of-scope widths — is None,
+    * the quarantine lane. */
+  def wavPcm(b: Array[Byte]): Option[(Int, Array[Short])] = {
+    wavMeta(b).flatMap { m =>
+      for {
+        (tag, ch, blockAlign) <- wavFmtTag(b)
+        (off, len) <- wavDataChunk(b)
+        samples <- tag match {
+          case 1 if m.bits == 16 && len % 2 == 0 =>
+            val n = len / 2
+            val s = new Array[Short](n)
+            var j = 0
+            while (j < n) {
+              s(j) = ((b(off + 2 * j) & 0xff) | (b(off + 2 * j + 1) << 8)).toShort
+              j += 1
+            }
+            Some(s)
+          case 3 if len % 4 == 0 =>
+            val n = len / 4
+            val s = new Array[Short](n)
+            var j = 0
+            while (j < n) {
+              val bits = (b(off + 4 * j) & 0xff) |
+                ((b(off + 4 * j + 1) & 0xff) << 8) |
+                ((b(off + 4 * j + 2) & 0xff) << 16) |
+                (b(off + 4 * j + 3) << 24)
+              val f = java.lang.Float.intBitsToFloat(bits)
+              if (f.isNaN) return None // malformed stream, not clippable
+              val v = math.round(f * 32768f)
+              s(j) = math.max(-32768, math.min(32767, v)).toShort
+              j += 1
+            }
+            Some(s)
+          case 0x11 => adpcmDecode(b, off, len, ch, blockAlign)
+          case _ => None
+        }
+      } yield (m.channels, samples)
     }
   }
 
@@ -2536,9 +2778,102 @@ object MultimodalOps {
       }.toDF("doc_id", "payload")
   }
 
+  /** Fixture adapter for IEEE-FLOAT WAVs (format tag 3, 32-bit): the
+    * samples are `k/32768f` with the SAME integer ladder the PCM fixture
+    * uses — every such float is exactly representable and the decoder's
+    * `round(f·32768)` maps it back to exactly `k`, so the float leg
+    * shares the PCM oracle formula while exercising the tag-3 parse,
+    * 4-byte stride, and IEEE-754 bit decode. */
+  def asFloatWavPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val channels = 1 + (docId % 2).toInt
+          val n = 128 + (docId % 8).toInt * 32
+          val div = 65536 >> (4 * (docId % 4).toInt)
+          val rate = 16000
+          val blockAlign = channels * 4
+          val buf = java.nio.ByteBuffer.allocate(44 + 4 * n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII"))
+          buf.putInt(36 + 4 * n)
+          buf.put("WAVE".getBytes("US-ASCII"))
+          buf.put("fmt ".getBytes("US-ASCII"))
+          buf.putInt(16)
+          buf.putShort(3) // IEEE float
+          buf.putShort(channels.toShort)
+          buf.putInt(rate)
+          buf.putInt(rate * blockAlign)
+          buf.putShort(blockAlign.toShort)
+          buf.putShort(32)
+          buf.put("data".getBytes("US-ASCII"))
+          buf.putInt(4 * n)
+          var i = 0
+          while (i < n) {
+            val k = ((docId * 7919 + i.toLong * 2641) % div) - div / 2
+            buf.putFloat(k / 32768f)
+            i += 1
+          }
+          (docId, buf.array())
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Fixture adapter for IMA ADPCM WAVs (format tag 0x11, 4-bit): each
+    * block's per-channel header predictor derives from the row id
+    * (`((id·7919 + c·997) % 65536) − 32768`) and every nibble is 0 — at
+    * step index 0 a zero nibble has diff = step>>3 = 0, so the decoded
+    * stream is EXACTLY the channel predictors repeated, which DuckDB
+    * recomputes without a codec. The layout still exercises the whole
+    * container path: block walk, per-channel 4-byte headers, 4-byte
+    * word channel rotation, nibble unpack, table clamp at index 0.
+    * (Step ADAPTATION under non-zero nibbles is pinned by
+    * MultimodalSpec's independent-reference cross-check.) */
+  def asAdpcmWavPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val channels = 1 + (docId % 2).toInt
+          val nBlocks = 1 + (docId % 3).toInt
+          val blockAlign = 12 * channels // 4-byte header + 8 data bytes/ch
+          val rate = 8000
+          val dataLen = nBlocks * blockAlign
+          val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII"))
+          buf.putInt(36 + dataLen)
+          buf.put("WAVE".getBytes("US-ASCII"))
+          buf.put("fmt ".getBytes("US-ASCII"))
+          buf.putInt(16)
+          buf.putShort(0x11) // IMA ADPCM
+          buf.putShort(channels.toShort)
+          buf.putInt(rate)
+          buf.putInt(rate * blockAlign / 2)
+          buf.putShort(blockAlign.toShort)
+          buf.putShort(4)
+          buf.put("data".getBytes("US-ASCII"))
+          buf.putInt(dataLen)
+          for (_ <- 0 until nBlocks) {
+            for (c <- 0 until channels) {
+              val p = (((docId * 7919 + c * 997) % 65536) - 32768).toShort
+              buf.putShort(p) // predictor = first output sample
+              buf.put(0.toByte) // step index 0
+              buf.put(0.toByte) // reserved
+            }
+            for (_ <- 0 until 8 * channels) buf.put(0.toByte) // zero nibbles
+          }
+          (docId, buf.array())
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** Partition-parallel PCM decode + quality stats ([[extractBmpPixels]]
-    * shape): per-payload byte work, zero shuffle; non-16-bit or malformed
-    * containers are dropped (quarantine lane). */
+    * shape): per-payload byte work, zero shuffle; integer-PCM, IEEE-
+    * float, and IMA-ADPCM containers all decode ([[wavPcm]]'s dispatch);
+    * out-of-scope widths or malformed containers drop (quarantine
+    * lane). */
   def extractAudioPcm(spark: SparkSession, media: DataFrame): Dataset[AudioPcm] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]

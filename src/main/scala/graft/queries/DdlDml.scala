@@ -396,6 +396,73 @@ object DdlDml extends QueryModule {
         WHERE o_orderkey % 3 <> 1 AND o_orderkey % 2 <> 0
         GROUP BY 1 ORDER BY bucket""")),
 
+    // ---- MERGE-ON-READ DELETION VECTORS under the oracle gate
+    // (TBLPROPERTIES 'delete.mode'='dv'): a straddling DELETE writes a
+    // row-index sidecar instead of rewriting the file, a second DELETE
+    // unions into it, reads/time-travel subtract the pinned version's
+    // vectors, and the CDC feed carries each commit's DV'd rows as
+    // deletes. The hash proves all four compose; the bytes-untouched /
+    // purge / vacuum proofs are DeletionVectorSpec's. ----
+    QueryDef(
+      "ddl_v2_disk_dv",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.ord_dv")
+        s.sql("""CREATE TABLE gdisk.verify.ord_dv (
+          o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+          TBLPROPERTIES ('delete.mode'='dv')""")
+        s.sql("""INSERT INTO gdisk.verify.ord_dv
+          SELECT o_orderkey, o_custkey, o_totalprice FROM orders""")
+        // v2: straddling merge-on-read DELETE — sidecar, zero file rewrite
+        s.sql("DELETE FROM gdisk.verify.ord_dv WHERE o_orderkey % 5 = 2")
+        // v3: second DELETE unions into the same files' vectors
+        s.sql("DELETE FROM gdisk.verify.ord_dv WHERE o_custkey % 11 = 3")
+        val g = new GraftSession(s)
+        // the TVF resolves at FROM level — materialize v3's CDC delete
+        // count as a view the sentinel row can reference
+        g.sql("""SELECT count(*) AS c
+            FROM table_changes('gdisk.verify.ord_dv', 3, 3)
+            WHERE _change_type = 'delete'""")
+          .createOrReplaceTempView("ord_dv_cdc3")
+        g.sql("""SELECT o_orderkey % 3 AS grp, count(*) AS n,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+          FROM gdisk.verify.ord_dv GROUP BY o_orderkey % 3
+          UNION ALL
+          SELECT CAST(-1 AS BIGINT),
+            (SELECT count(*) FROM gdisk.verify.ord_dv VERSION AS OF 1),
+            CAST(-1.0 AS DOUBLE)
+          UNION ALL
+          SELECT CAST(-2 AS BIGINT),
+            (SELECT count(*) FROM gdisk.verify.ord_dv VERSION AS OF 2),
+            CAST(-2.0 AS DOUBLE)
+          UNION ALL
+          SELECT CAST(-3 AS BIGINT), (SELECT c FROM ord_dv_cdc3),
+            CAST(-3.0 AS DOUBLE)
+          ORDER BY grp""")
+      },
+      Some("""WITH cur AS (
+          SELECT * FROM orders
+          WHERE NOT (o_orderkey % 5 = 2) AND NOT (o_custkey % 11 = 3))
+        SELECT o_orderkey % 3 AS grp, count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        FROM cur GROUP BY 1
+        UNION ALL
+        SELECT -1, (SELECT count(*) FROM orders), -1.0
+        UNION ALL
+        SELECT -2, (SELECT count(*) FROM orders
+          WHERE NOT (o_orderkey % 5 = 2)), -2.0
+        UNION ALL
+        SELECT -3, (SELECT count(*) FROM orders
+          WHERE NOT (o_orderkey % 5 = 2) AND o_custkey % 11 = 3), -3.0
+        ORDER BY grp""")),
+
     // ---- BLOOM-INDEXED gdisk table under the oracle gate: four
     // interleaved ingests (mod-4 key classes) give every parquet file a
     // min/max range spanning the whole key domain — the worst case for

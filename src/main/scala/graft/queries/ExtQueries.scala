@@ -3097,6 +3097,50 @@ object ExtMultimodal extends QueryModule {
             / 1000.0, 6) AS first_luma
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // 16-BIT PNG pixel decode (the deep-sample matrix row — scanner/
+    // scientific corpora; formerly a quarantine class in the decode
+    // ledger): samples are big-endian PAIRS whose high byte carries the
+    // 8-bit fixture formula and whose LOW byte is a different
+    // deterministic function, so a decoder that reads the wrong byte of
+    // the pair (endianness, 6-byte stride, filter bpp) breaks the hash
+    // rather than passing by luck. Same channel-stat oracle as the
+    // 8-bit row; ImageIO cross-checks the full 16-bit samples in
+    // MultimodalSpec.
+    QueryDef(
+      "ext_multimodal_png16_pixels",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asPng16Payload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        val npx = ($"width" * $"height").cast("double")
+        MultimodalOps.extractPngPixels(s, media).toDF()
+          .select($"doc_id", $"width", $"height",
+            round($"sum_r" / npx, 6).as("mean_r"),
+            round($"sum_g" / npx, 6).as("mean_g"),
+            round($"sum_b" / npx, 6).as("mean_b"),
+            round(($"sum_r" * 299 + $"sum_g" * 587 + $"sum_b" * 114) /
+              (npx * 1000.0), 6).as("mean_luma"),
+            round(($"first_r" * 299 + $"first_g" * 587 + $"first_b" * 114) /
+              1000.0, 6).as("first_luma"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id,
+            CAST(4 + doc_id % 5 AS INT) AS w, CAST(3 + doc_id % 4 AS INT) AS h, x, y,
+            (doc_id + 7*x + 13*y) % 256 AS r,
+            (doc_id*3 + 5*x + 11*y) % 256 AS g,
+            (doc_id*5 + 3*x + 17*y) % 256 AS b
+          FROM documents, unnest(range(0, 8)) AS tx(x), unnest(range(0, 6)) AS ty(y)
+          WHERE x < 4 + doc_id % 5 AND y < 3 + doc_id % 4)
+        SELECT doc_id, w AS width, h AS height,
+          round(sum(r) / CAST(w*h AS DOUBLE), 6) AS mean_r,
+          round(sum(g) / CAST(w*h AS DOUBLE), 6) AS mean_g,
+          round(sum(b) / CAST(w*h AS DOUBLE), 6) AS mean_b,
+          round(sum(299*r + 587*g + 114*b) / (1000.0 * w * h), 6) AS mean_luma,
+          round((299*(doc_id % 256) + 587*(doc_id*3 % 256) + 114*(doc_id*5 % 256))
+            / 1000.0, 6) AS first_luma
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
     // REAL GIF pixel decode — LZW is the codec and the JVM ships none, so
     // this is a from-scratch variable-width LZW decoder (CLEAR/END codes,
     // KwKwK self-reference, code-width growth; the 16–32 × 12–24 fixture
@@ -3283,23 +3327,28 @@ object ExtMultimodal extends QueryModule {
         import s.implicits._
         val docs = Tables.load(s, dir, "documents")
           .select($"doc_id".cast("long").as("doc_id"), $"text")
-        def lane(k: Int) = docs.filter($"doc_id" % 5 === k)
+        def lane(k: Int) = docs.filter($"doc_id" % 8 === k)
         val bmp = MultimodalOps.asBmpPayload(s, lane(0), "doc_id")
         val png = MultimodalOps.asPngPayload(s, lane(1), "doc_id")
         val gif = MultimodalOps.asGifPayload(s, lane(2), "doc_id")
         val jpg = MultimodalOps.asJpegPayload(s, lane(3), "doc_id")
+        // the round-9 burn-down classes — formerly quarantined, now
+        // decoded for real: 16-bit PNG, IEEE-float WAV, IMA-ADPCM WAV
+        val png16 = MultimodalOps.asPng16Payload(s, lane(4), "doc_id")
+        val wavF = MultimodalOps.asFloatWavPayload(s, lane(5), "doc_id")
+        val wavA = MultimodalOps.asAdpcmWavPayload(s, lane(6), "doc_id")
         // opaque lane: '~' prefix so no text can spoof a container magic
         val raw = MultimodalOps.asBinaryPayload(
-          lane(4).select($"doc_id", concat(lit("~"), $"text").as("text")),
+          lane(7).select($"doc_id", concat(lit("~"), $"text").as("text")),
           "doc_id", "text")
-        val mixed = Seq(bmp, png, gif, jpg, raw)
+        val mixed = Seq(bmp, png, gif, jpg, png16, wavF, wavA, raw)
           .map(_.select($"doc_id", $"payload"))
           .reduce(_.unionAll(_))
           // truncation lane: headers survive (format still classifies),
           // pixel data does not (the real decoder quarantines) — hits
-          // half the bmp class (%10=0) and half the png class (%10=6)
+          // half the bmp class (%16=0) and half the png class (%16=1)
           .select($"doc_id",
-            when($"doc_id" % 10 === 0 || $"doc_id" % 10 === 6,
+            when($"doc_id" % 16 === 0 || $"doc_id" % 16 === 1,
               substring($"payload", 1, 30)).otherwise($"payload")
               .as("payload"))
         MultimodalOps.decodeReport(s, mixed).toDF()
@@ -3308,10 +3357,11 @@ object ExtMultimodal extends QueryModule {
           .orderBy($"format", $"decoded")
       },
       Some("""SELECT
-          CASE CAST(doc_id % 5 AS INT)
+          CASE CAST(doc_id % 8 AS INT)
             WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
-            WHEN 3 THEN 'jpeg' ELSE 'raw' END AS format,
-          (doc_id % 5 < 4 AND doc_id % 10 NOT IN (0, 6)) AS decoded,
+            WHEN 3 THEN 'jpeg' WHEN 4 THEN 'png'
+            WHEN 5 THEN 'wav' WHEN 6 THEN 'wav' ELSE 'raw' END AS format,
+          (doc_id % 8 < 7 AND doc_id % 16 NOT IN (0, 1)) AS decoded,
           CAST(count(*) AS BIGINT) AS n
         FROM documents
         GROUP BY 1, 2 ORDER BY format, decoded""")),
@@ -3392,6 +3442,97 @@ object ExtMultimodal extends QueryModule {
           CAST(count(*) FILTER (WHERE abs(v) < 64) AS INT) AS silence_count,
           CAST(sum(zc) AS INT) AS zero_crossings
         FROM flagged GROUP BY doc_id, channels, n ORDER BY doc_id""")),
+
+    // IEEE-FLOAT WAV decode (format tag 3 — formerly a quarantine class):
+    // the fixture's samples are k/32768 floats over the SAME integer
+    // ladder as the PCM row, exactly representable, so the decoder's
+    // round(f·32768) maps back to exactly k and the float leg shares the
+    // PCM oracle — while the bytes exercise the tag-3 parse, the 4-byte
+    // stride, and the IEEE-754 little-endian bit decode.
+    QueryDef(
+      "ext_multimodal_audio_float",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asFloatWavPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        MultimodalOps.extractAudioPcm(s, media).toDF()
+          .select($"doc_id", $"channels", $"n_samples", $"peak",
+            $"sum_sq", $"dc_sum", $"clip_count", $"silence_count",
+            $"zero_crossings")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id,
+            CASE doc_id % 4 WHEN 0 THEN 65536 WHEN 1 THEN 4096
+                 WHEN 2 THEN 256 ELSE 16 END AS d,
+            CAST(128 + (doc_id % 8) * 32 AS INT) AS n,
+            CAST(1 + doc_id % 2 AS INT) AS channels
+          FROM documents),
+        samp AS (
+          SELECT doc_id, channels, n, i,
+            (doc_id*7919 + i*2641) % d - d//2 AS v
+          FROM base, unnest(range(0, 352)) AS t(i)
+          WHERE i < n),
+        flagged AS (
+          SELECT doc_id, channels, n, v,
+            CASE WHEN i > 0 AND (v >= 0) !=
+                 (lag(v) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+                 THEN 1 ELSE 0 END AS zc
+          FROM samp)
+        SELECT doc_id, channels, n AS n_samples,
+          CAST(max(abs(v)) AS INT) AS peak,
+          CAST(sum(v*v) AS BIGINT) AS sum_sq,
+          CAST(sum(v) AS BIGINT) AS dc_sum,
+          CAST(count(*) FILTER (WHERE abs(v) >= 32700) AS INT) AS clip_count,
+          CAST(count(*) FILTER (WHERE abs(v) < 64) AS INT) AS silence_count,
+          CAST(sum(zc) AS INT) AS zero_crossings
+        FROM flagged GROUP BY doc_id, channels, n ORDER BY doc_id""")),
+
+    // IMA ADPCM WAV decode (format tag 0x11, 4-bit — formerly a
+    // quarantine class): the fixture's blocks carry id-derived per-
+    // channel header predictors and ALL-ZERO nibbles — at step index 0 a
+    // zero nibble has diff = step>>3 = 0, so the decoded stream is
+    // exactly the channel predictors repeated (DuckDB needs no codec)
+    // while the bytes exercise the whole container path: block walk,
+    // per-channel 4-byte headers, 4-byte word channel rotation, nibble
+    // unpack, index clamp. Step ADAPTATION under non-zero nibbles is
+    // pinned by MultimodalSpec's independent-reference cross-check.
+    QueryDef(
+      "ext_multimodal_audio_adpcm",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asAdpcmWavPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        MultimodalOps.extractAudioPcm(s, media).toDF()
+          .select($"doc_id", $"channels", $"n_samples", $"peak",
+            $"sum_sq", $"dc_sum", $"clip_count", $"silence_count",
+            $"zero_crossings")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id,
+            CAST(1 + doc_id % 2 AS INT) AS channels,
+            CAST(1 + doc_id % 3 AS INT) AS nb,
+            (doc_id*7919) % 65536 - 32768 AS p0,
+            (doc_id*7919 + 997) % 65536 - 32768 AS p1
+          FROM documents)
+        SELECT doc_id, channels,
+          CAST(channels * 17 * nb AS INT) AS n_samples,
+          CAST(CASE WHEN channels = 1 THEN abs(p0)
+               ELSE greatest(abs(p0), abs(p1)) END AS INT) AS peak,
+          CAST(17*nb*p0*p0 + CASE WHEN channels = 2
+               THEN 17*nb*p1*p1 ELSE 0 END AS BIGINT) AS sum_sq,
+          CAST(17*nb*p0 + CASE WHEN channels = 2
+               THEN 17*nb*p1 ELSE 0 END AS BIGINT) AS dc_sum,
+          CAST((CASE WHEN abs(p0) >= 32700 THEN 17*nb ELSE 0 END) +
+               (CASE WHEN channels = 2 AND abs(p1) >= 32700
+                THEN 17*nb ELSE 0 END) AS INT) AS clip_count,
+          CAST((CASE WHEN abs(p0) < 64 THEN 17*nb ELSE 0 END) +
+               (CASE WHEN channels = 2 AND abs(p1) < 64
+                THEN 17*nb ELSE 0 END) AS INT) AS silence_count,
+          CAST(CASE WHEN channels = 2 AND ((p0 >= 0) != (p1 >= 0))
+               THEN channels*17*nb - 1 ELSE 0 END AS INT) AS zero_crossings
+        FROM base ORDER BY doc_id""")),
 
     // REAL video frame extraction: the fixture emits genuine MJPEG-in-MP4
     // containers (ftyp + a moov whose stbl carries real stsd('jpeg')/

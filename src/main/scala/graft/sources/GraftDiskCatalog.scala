@@ -477,7 +477,7 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
           (r, DiskStats.footerStats(p, c, sch),
             p.getFileSystem(c).getFileStatus(p).getLen)
         }
-        .collect()
+        .collect() // O(files) metadata triples — DriverActionLint-bounded
     val m = DiskManifest(
       version = 0L,
       schemaJson = inferred.json,
@@ -623,6 +623,69 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
 object GraftDiskCatalog {
   val LogDirName = "_graft_log"
   val DataDirName = "data"
+
+  /** Spark's parquet row-index REQUEST column: a read schema carrying
+    * this field makes both parquet readers (vectorized and parquet-mr,
+    * the DSv2 factory included) populate each row's true index within
+    * its file — the mechanism behind `_metadata.row_index`, correct
+    * under splits and row-group skipping. The deletion-vector read path
+    * keys its subtraction on it. */
+  val RowIndexColumnName: String = org.apache.spark.sql.execution
+    .datasources.parquet.ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+  // NULLABLE by design: the readers first admit the temp column as a
+  // missing column (null vector), then the row-index generator —
+  // matching it BY THIS NAME — overwrites it with each row's true index;
+  // a non-nullable request would fail the missing-column check before
+  // generation ever ran
+  val RowIndexField: org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(
+      RowIndexColumnName, org.apache.spark.sql.types.LongType,
+      nullable = true)
+
+  /** Executor-side DV membership test over `_metadata` (file path + row
+    * index). Carries the COMPRESSED sidecar bytes (small) in the task
+    * closure and decompresses once per executor-JVM deserialization. */
+  private[sources] case class DvRowFilter(
+      dataDirPath: String, bytes: Map[String, Array[Byte]])
+      extends Serializable {
+    @transient private lazy val maps: Map[String, DvBitmap] =
+      bytes.map { case (k, v) => k -> DiskDv.deserialize(v) }
+    def deleted(filePath: String, rowIdx: Long): Boolean = {
+      val p = org.apache.spark.paths.SparkPath
+        .fromUrlString(filePath).toUri.getPath
+      val rel = p.stripPrefix(dataDirPath).stripPrefix("/")
+      maps.get(rel).exists(_.contains(rowIdx))
+    }
+  }
+
+  /** Subtract DV'd rows from a V1 file-source read (maintenance paths:
+    * OPTIMIZE rewrite, key/FK enforcement, CDC pre-images). No-op when
+    * `bytes` is empty — the common case pays nothing. */
+  private[sources] def dvSubtract(
+      df: org.apache.spark.sql.DataFrame, dataDirPath: String,
+      bytes: Map[String, Array[Byte]]): org.apache.spark.sql.DataFrame =
+    if (bytes.isEmpty) df
+    else {
+      val f = DvRowFilter(dataDirPath, bytes)
+      val keep = org.apache.spark.sql.functions.udf(
+        (fp: String, idx: Long) => !f.deleted(fp, idx))
+      df.where(keep(
+        org.apache.spark.sql.functions.col("_metadata.file_path"),
+        org.apache.spark.sql.functions.col("_metadata.row_index")))
+    }
+
+  /** KEEP ONLY the rows a per-file bitmap names (CDC's "rows this commit
+    * deleted / this restore revived" reads). */
+  private[sources] def dvKeepOnly(
+      df: org.apache.spark.sql.DataFrame, dataDirPath: String,
+      bytes: Map[String, Array[Byte]]): org.apache.spark.sql.DataFrame = {
+    val f = DvRowFilter(dataDirPath, bytes)
+    val keep = org.apache.spark.sql.functions.udf(
+      (fp: String, idx: Long) => f.deleted(fp, idx))
+    df.where(keep(
+      org.apache.spark.sql.functions.col("_metadata.file_path"),
+      org.apache.spark.sql.functions.col("_metadata.row_index")))
+  }
 
   /** Every Nth version is a FULL manifest checkpoint; the rest are delta
     * records (`TBLPROPERTIES ('commitlog.checkpointInterval'='n')`). */
@@ -1065,6 +1128,29 @@ object GraftDiskCatalog {
             } yield In(a, vs)
           case "IS_NULL" => k(0).map(IsNull)
           case "IS_NOT_NULL" => k(0).map(IsNotNull)
+          case "NOT" => k(0).map(Not)
+          case "<>" | "!=" => bin((a, b) => Not(EqualTo(a, b)))
+          case "<=>" => bin(EqualNullSafe)
+          case _ => None
+        }
+      // scalar arithmetic inside a predicate (`o_orderkey % 5 = 2`): the
+      // stats prover treats these shapes conservatively (never proves
+      // no-match/all-match), but the DELETION-VECTOR path needs the
+      // catalyst form to run the matched-row harvest — without it a
+      // modulo delete silently falls back to a full copy-on-write
+      case g: org.apache.spark.sql.connector.expressions.GeneralScalarExpression =>
+        val kids = g.children()
+        def k(i: Int) = v2PredToCatalyst(kids(i), schema)
+        def bin(f: (Expression, Expression) => Expression) =
+          for (a <- k(0); b <- k(1)) yield f(a, b)
+        (g.name(), kids.length) match {
+          case ("+", 2) => bin(Add(_, _))
+          case ("-", 2) => bin(Subtract(_, _))
+          case ("-", 1) => k(0).map(UnaryMinus(_))
+          case ("*", 2) => bin(Multiply(_, _))
+          case ("/", 2) => bin(Divide(_, _))
+          case ("%", 2) => bin(Remainder(_, _))
+          case ("ABS", 1) => k(0).map(Abs(_))
           case _ => None
         }
       case _ => None
@@ -1273,7 +1359,14 @@ case class DiskManifest(
     // getFileStatus calls (the 100 TB maintenance path). Files written
     // before the field existed are simply absent (callers fall back to a
     // counted file-status probe for those).
-    fileSizes: Option[Map[String, Long]] = None) {
+    fileSizes: Option[Map[String, Long]] = None,
+    // MERGE-ON-READ deletion vectors: data file → its DV sidecar (see
+    // [[DiskDv]]). A file with an entry serves only rows whose parquet
+    // row index is NOT set in the sidecar's bitset. Keys are always a
+    // subset of `files` (commit paths prune entries when files leave the
+    // snapshot; DiskCommitLog.write asserts it). Rides delta records in
+    // full (O(DV'd files) JSON — bounded because OPTIMIZE purges).
+    deleteVectors: Option[Map[String, DvEntry]] = None) {
   lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
@@ -1307,6 +1400,20 @@ case class DiskManifest(
 
   /** Per-file byte sizes (empty for pre-field manifests). */
   def sizes: Map[String, Long] = fileSizes.getOrElse(Map.empty)
+
+  /** Per-file deletion vectors (empty = every file serves all rows). */
+  def dvs: Map[String, DvEntry] = deleteVectors.getOrElse(Map.empty)
+
+  /** `dvs` restricted to live files — what a manifest built from this one
+    * with `files = live` must carry. */
+  def dvsAmong(live: Iterable[String]): Option[Map[String, DvEntry]] = {
+    val m = dvs
+    if (m.isEmpty) None
+    else {
+      val kept = live.iterator.filter(m.contains).map(f => f -> m(f)).toMap
+      if (kept.isEmpty) None else Some(kept)
+    }
+  }
 
   /** The physical (in-file) name of a logical column. Identity unless a
     * RENAME created a mapping entry. */
@@ -1498,6 +1605,16 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
     * (self-verified — an inexpressible state embeds the full manifest
     * inside the delta file, keeping the name deterministic per version). */
   def write(m: DiskManifest): Unit = {
+    // commit-path invariant: a DV entry may only reference a live file
+    // (every construction site prunes on file removal; catching a missed
+    // one here turns a silent wrong-read into a loud commit failure)
+    if (m.dvs.nonEmpty) {
+      val live = m.files.toSet
+      val orphan = m.dvs.keysIterator.filterNot(live).toSeq
+      require(orphan.isEmpty,
+        s"gdisk: deletion-vector entries for non-live file(s) " +
+          s"${orphan.take(3).mkString(", ")} — commit path failed to prune")
+    }
     val lock = DiskCommitLog.claimLock(tableDir.toUri.getPath)
     lock.synchronized {
       if (fs.exists(manifestPath(m.version)) || fs.exists(deltaPath(m.version)))
@@ -1656,7 +1773,12 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
             s"${DiskBloom.DirName}/${st.getPath.getName}"
         }
       }
-    deleteBatch(listDataFiles().filterNot(referenced) ++ deadSidecars)
+    // DV sidecars referenced by any retained manifest must survive (a
+    // time-travel read subtracts THAT version's deletes); the rest sweep
+    val liveDvs = keep.flatMap(v => read(v).dvs.values.map(_.dv)).toSet
+    val deadDvs = DiskDv.listSidecars(fs, dataDir).filterNot(liveDvs)
+    deleteBatch(listDataFiles().filterNot(referenced) ++ deadSidecars ++
+      deadDvs)
     if (fs.exists(bloomDir)) DiskBloom.invalidateUnder(bloomDir)
   }
 
@@ -1799,6 +1921,43 @@ class GraftDiskTable(
     // positional, so no data movement is involved)
     ParquetTable(tableName, spark, opts, files,
       Some(loaded.physicalSchema), classOf[ParquetFileFormat])
+  }
+
+  /** [[innerTable]] whose data schema additionally carries Spark's
+    * row-index request column (`_tmp_metadata_row_index`): the parquet
+    * readers (vectorized and parquet-mr, DSv2 factory included) populate
+    * it with each row's TRUE index within its file — correct under file
+    * splits and row-group skipping, which a wrapper-side counter is not.
+    * The deletion-vector read path plans DV'd files through this table
+    * and subtracts rows whose index is set in the sidecar bitset. */
+  private[sources] def innerTableRI(files: Seq[String]): ParquetTable = {
+    val opts =
+      if (loaded.hiveParts.isEmpty) CaseInsensitiveStringMap.empty()
+      else new CaseInsensitiveStringMap(
+        util.Map.of("basePath", log.dataDir.toString))
+    ParquetTable(tableName, spark, opts, files,
+      Some(loaded.physicalSchema.add(GraftDiskCatalog.RowIndexField)),
+      classOf[ParquetFileFormat])
+  }
+
+  /** This table version's deletion vectors (time travel reads the pinned
+    * manifest's, so DV subtraction is version-consistent). */
+  private[sources] def liveDvs: Map[String, DvEntry] = loaded.dvs
+
+  /** The manifest this table instance serves (the pinned one under time
+    * travel). */
+  private[sources] def loadedManifest: DiskManifest = loaded
+
+  /** Sidecar bytes for the given files' DV entries, loaded once
+    * driver-side (O(DV'd files) small reads) — shipped to executors
+    * inside partition/closure payloads, so tasks never touch the
+    * filesystem for them. */
+  private[sources] def dvBytesFor(
+      l: DiskCommitLog, m: DiskManifest, files: Seq[String])
+      : Map[String, Array[Byte]] = {
+    val dvs = m.dvs
+    files.iterator.flatMap(f => dvs.get(f).map(e =>
+      f -> DiskDv.readBytes(l.fs, l.dataDir, e.dv))).toMap
   }
 
   /** Translate a logical-named struct/expression into the physical names
@@ -2186,7 +2345,7 @@ class GraftDiskTable(
           (rel, DiskStats.footerStats(p, c, sch),
             p.getFileSystem(c).getFileStatus(p).getLen)
         }
-        .collect()
+        .collect() // O(files) metadata triples — DriverActionLint-bounded
     (harvested.map(h => h._1 -> h._2).toMap,
       harvested.map(h => h._1 -> h._3).toMap)
   }
@@ -2310,7 +2469,9 @@ class GraftDiskTable(
            else base.stats -- dropped) ++ newStats),
         fileSizes = Some(
           (if (truncate) Map.empty[String, Long]
-           else base.sizes -- dropped) ++ newSizes))
+           else base.sizes -- dropped) ++ newSizes),
+        deleteVectors =
+          if (truncate) None else base.dvsAmong(kept))
       try {
         log.write(next)
         committed = true
@@ -2381,7 +2542,11 @@ class GraftDiskTable(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** basePath only for hive layout — a bucketed table's `__bucket=` dirs
-    * must never be partition-inferred into the schema. */
+    * must never be partition-inferred into the schema. Rows deleted by
+    * the manifest's deletion vectors are subtracted (by `_metadata`
+    * file path + row index against the sidecar bitsets), so every
+    * maintenance read — OPTIMIZE's rewrite, PK/UNIQUE/FK enforcement —
+    * sees the table's LIVE rows only. */
   private def readTable(
       l: DiskCommitLog, m: DiskManifest, files: Seq[String]) =
     if (files.isEmpty) emptyDf(m.schema)
@@ -2390,9 +2555,11 @@ class GraftDiskTable(
       // (never positionally — the reader appends partition columns at the
       // end regardless of the declared schema order)
       val r = spark.read.schema(m.physicalSchema)
-      val raw = (if (m.hiveParts.isEmpty) r
+      val raw0 = (if (m.hiveParts.isEmpty) r
                  else r.option("basePath", l.dataDir.toString))
         .parquet(files.map(l.absolute): _*)
+      val raw = GraftDiskCatalog.dvSubtract(
+        raw0, l.dataDir.toUri.getPath, dvBytesFor(l, m, files))
       if (m.physicalNames.forall(_.isEmpty)) raw
       else raw.select(m.schema.fields.map(f =>
         col(m.physicalOf(f.name)).as(f.name)).toIndexedSeq: _*)
@@ -2697,7 +2864,7 @@ class GraftDiskTable(
           DiskBloom.rebuild(spark, log.dataDir, missing,
             base.properties, base.physicalSchema, cols)
       }
-    if (zorderBy.isEmpty && base.files.length <= 1) {
+    if (zorderBy.isEmpty && base.files.length <= 1 && base.dvs.isEmpty) {
       backfillBlooms(base.files)
       return (base.files.length, base.files.length)
     }
@@ -2717,23 +2884,33 @@ class GraftDiskTable(
         fs.getFileStatus(new HPath(log.dataDir, f)).getLen
       })).toMap
     // WHERE-scoped runs leave out-of-scope files byte-for-byte alone;
-    // ZORDER BY under a scope clusters WITHIN the matching partitions
+    // ZORDER BY under a scope clusters WITHIN the matching partitions.
+    // A file carrying a DELETION VECTOR is always a rewrite candidate
+    // regardless of size: the rewrite reads it DV-subtracted and the new
+    // files carry no DV — OPTIMIZE is the purge that returns the table
+    // to the fully-vectorized scan path (Delta's REORG ... PURGE).
     val scoped = base.files.filter(inScope)
     val outOfScope = base.files.filterNot(inScope)
+    def dvd(f: String) = base.dvs.contains(f)
     val (rewrite, keep) =
       if (zorderBy.nonEmpty) (scoped, outOfScope)
       else {
-        val (rw, kp) = scoped.partition(f => sizes(f) < targetFileBytes)
+        val (rw, kp) = scoped.partition(f =>
+          sizes(f) < targetFileBytes || dvd(f))
         (rw, kp ++ outOfScope)
       }
-    if (rewrite.isEmpty || (zorderBy.isEmpty && rewrite.length <= 1)) {
+    // compaction of 0/1 files is a no-op — unless that file carries a DV
+    // to purge, which makes even a 1-in-1-out rewrite worth the commit
+    val purging = rewrite.exists(dvd)
+    if (rewrite.isEmpty || (zorderBy.isEmpty && rewrite.length <= 1 &&
+        !purging)) {
       backfillBlooms(base.files)
       return (base.files.length, base.files.length)
     }
     val totalBytes = rewrite.iterator.map(sizes).sum
     val nOut = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    if (zorderBy.isEmpty && nOut >= rewrite.length) {
+    if (zorderBy.isEmpty && nOut >= rewrite.length && !purging) {
       backfillBlooms(base.files)
       return (base.files.length, base.files.length)
     }
@@ -2885,7 +3062,10 @@ class GraftDiskTable(
       fileStats = Some(
         base.stats.view.filterKeys(keep.toSet).toMap ++ movedStats),
       fileSizes = Some(
-        sizes.view.filterKeys(keep.toSet).toMap ++ movedSizes))
+        sizes.view.filterKeys(keep.toSet).toMap ++ movedSizes),
+      // rewritten files materialized their deletes (the read above was
+      // DV-subtracted); kept files retain theirs
+      deleteVectors = base.dvsAmong(keep))
     log.write(next)
     (base.files.length, keep.length + moved.length)
   }
@@ -2913,13 +3093,23 @@ class GraftDiskTable(
     val latest = log.latestVersion()
     require(to <= latest,
       s"gdisk: table_changes upper bound $to exceeds latest version $latest")
-    def readFiles(m: DiskManifest, files: Seq[String]) = {
+    def readFiles(m: DiskManifest, files: Seq[String],
+        dvAware: Boolean = false,
+        keepOnly: Map[String, Array[Byte]] = Map.empty) = {
       // THAT version's physical names, re-labeled BY NAME to its logical
       // schema (the reader appends partition columns at the end)
       val r = spark.read.schema(m.physicalSchema)
-      val raw = (if (m.hiveParts.isEmpty) r
+      val raw0 = (if (m.hiveParts.isEmpty) r
                  else r.option("basePath", log.dataDir.toString))
         .parquet(files.map(log.absolute): _*)
+      val ddPath = log.dataDir.toUri.getPath
+      val raw =
+        if (keepOnly.nonEmpty) // only the rows a diff bitmap names
+          GraftDiskCatalog.dvKeepOnly(raw0, ddPath, keepOnly)
+        else if (dvAware) // subtract THAT version's deletion vectors
+          GraftDiskCatalog.dvSubtract(raw0, ddPath,
+            dvBytesFor(log, m, files))
+        else raw0
       if (m.physicalNames.forall(_.isEmpty)) raw
       else raw.select(m.schema.fields.map(f =>
         org.apache.spark.sql.functions.col(m.physicalOf(f.name)).as(f.name))
@@ -2932,24 +3122,46 @@ class GraftDiskTable(
         val prev = log.read(v - 1)
         val removed = prev.files.filterNot(m.files.toSet)
         val newFiles = m.files.filterNot(prev.files.toSet)
-        def deletes = readFiles(prev, removed)
+        // a removed file's pre-image excludes rows its PREVIOUS deletion
+        // vector already subtracted — those were reported deleted by the
+        // commit that DV'd them, and must not repeat here
+        def deletes = readFiles(prev, removed, dvAware = true)
           .withColumn("_change_type", lit("delete"))
           .withColumn("_commit_version", lit(v))
-        if (m.added.nonEmpty) {
-          val ins = readFiles(m, m.added)
-            .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(v))
-          if (removed.isEmpty) Seq(ins) else Seq(ins, deletes)
-        } else if (newFiles.isEmpty && removed.nonEmpty) {
-          // PURE delete: files left the snapshot and nothing replaced
-          // them (a COW rewrite whose touched files had no survivors, or
-          // TRUNCATE). Reorganizations can't look like this — OPTIMIZE /
-          // rename rewrites always introduce replacement files — so this
-          // shape is unambiguously a data deletion and must feed
-          // `'delete'` rows (found by the CdcMvSpec tombstone case: a
-          // delete-everything commit was silently invisible to CDC).
-          Seq(deletes)
-        } else Nil // reorganization or metadata-only: CDC-silent
+        val fileParts =
+          if (m.added.nonEmpty) {
+            val ins = readFiles(m, m.added)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(v))
+            if (removed.isEmpty) Seq(ins) else Seq(ins, deletes)
+          } else if (newFiles.isEmpty && removed.nonEmpty) {
+            // PURE delete: files left the snapshot and nothing replaced
+            // them (a COW rewrite whose touched files had no survivors, or
+            // TRUNCATE). Reorganizations can't look like this — OPTIMIZE /
+            // rename rewrites always introduce replacement files — so this
+            // shape is unambiguously a data deletion and must feed
+            // `'delete'` rows (found by the CdcMvSpec tombstone case: a
+            // delete-everything commit was silently invisible to CDC).
+            Seq(deletes)
+          } else Nil // reorganization or metadata-only: CDC-silent
+        // DELETION-VECTOR diffs on files retained by this commit: rows
+        // newly set in the DV are this commit's deletes (a merge-on-read
+        // DELETE); rows cleared (RESTORE to a pre-delete version) revive
+        // as inserts. Bitmaps diff driver-side — O(changed sidecars),
+        // compressed bytes in hand, never rows.
+        val retained = m.files.filter(prev.files.toSet)
+        val grew = dvDiffBytes(retained, m, prev)
+        val shrank = dvDiffBytes(retained, prev, m)
+        val dvParts =
+          (if (grew.isEmpty) Nil
+           else Seq(readFiles(prev, grew.keys.toSeq, keepOnly = grew)
+             .withColumn("_change_type", lit("delete"))
+             .withColumn("_commit_version", lit(v)))) ++
+          (if (shrank.isEmpty) Nil
+           else Seq(readFiles(m, shrank.keys.toSeq, keepOnly = shrank)
+             .withColumn("_change_type", lit("insert"))
+             .withColumn("_commit_version", lit(v))))
+        fileParts ++ dvParts
       }
     if (perVersion.isEmpty) {
       val schema = loaded.schema
@@ -3092,8 +3304,30 @@ class GraftDiskTable(
     * rewrites — removals fully replaced by equivalent adds) are
     * CDC-silent. Deleted files read with the PREVIOUS version's manifest
     * (its schema/column mapping is what those bytes carry). */
+  /** Per-file bitmaps of rows set in `newer`'s deletion vector but not
+    * `older`'s, over the given retained files — the CDC "this commit
+    * deleted / this restore revived" diff. Driver-side over compressed
+    * sidecar bytes, O(changed sidecars), never rows. */
+  private def dvDiffBytes(
+      retained: Seq[String], newer: DiskManifest, older: DiskManifest)
+      : Map[String, Array[Byte]] =
+    retained.iterator.flatMap { f =>
+      val nb = newer.dvs.get(f)
+      val ob = older.dvs.get(f)
+      if (nb == ob || nb.isEmpty) None
+      else {
+        val newBits = nb.map(e => DiskDv.read(log.fs, log.dataDir, e.dv))
+          .getOrElse(new DvBitmap())
+        val oldBits = ob.map(e => DiskDv.read(log.fs, log.dataDir, e.dv))
+          .getOrElse(new DvBitmap())
+        val d = newBits.diff(oldBits)
+        if (d.cardinality == 0L) None
+        else Some(f -> DiskDv.serialize(d))
+      }
+    }.toMap
+
   private[sources] def changeGroups(fromExcl: Long, toIncl: Long)
-      : Seq[(DiskManifest, Seq[String], String, Long)] =
+      : Seq[ChangeGroup] =
     log.versions()
       .filter(v => v > fromExcl && v <= toIncl && v >= 1)
       .flatMap { v =>
@@ -3101,25 +3335,50 @@ class GraftDiskTable(
         val prev = log.read(v - 1)
         val removed = prev.files.filterNot(m.files.toSet)
         val newFiles = m.files.filterNot(prev.files.toSet)
-        if (m.added.nonEmpty)
-          Seq((m, m.added, "insert", v)) ++
-            (if (removed.nonEmpty) Seq((prev, removed, "delete", v)) else Nil)
-        else if (newFiles.isEmpty && removed.nonEmpty)
-          Seq((prev, removed, "delete", v))
-        else Nil
+        // pre-images of removed files SUBTRACT their previous deletion
+        // vectors (those rows were reported deleted by the DV'ing commit)
+        def removedDv: Map[String, Array[Byte]] =
+          removed.iterator.flatMap(f => prev.dvs.get(f).map(e =>
+            f -> DiskDv.readBytes(log.fs, log.dataDir, e.dv))).toMap
+        val fileGroups =
+          if (m.added.nonEmpty)
+            Seq(ChangeGroup(m, m.added, "insert", v)) ++
+              (if (removed.nonEmpty)
+                Seq(ChangeGroup(prev, removed, "delete", v, removedDv))
+              else Nil)
+          else if (newFiles.isEmpty && removed.nonEmpty)
+            Seq(ChangeGroup(prev, removed, "delete", v, removedDv))
+          else Nil
+        val retained = m.files.filter(prev.files.toSet)
+        val grew = dvDiffBytes(retained, m, prev)
+        val shrank = dvDiffBytes(retained, prev, m)
+        fileGroups ++
+          (if (grew.isEmpty) Nil
+           else Seq(ChangeGroup(prev, grew.keys.toSeq, "delete", v,
+             grew, keepOnly = true))) ++
+          (if (shrank.isEmpty) Nil
+           else Seq(ChangeGroup(m, shrank.keys.toSeq, "insert", v,
+             shrank, keepOnly = true)))
       }
 
   /** Inner parquet FileTable over `files` as MANIFEST `m` describes them
     * (physical schema + hive inference rules of THAT version) — the CDC
-    * reader must interpret each version's bytes with its own mapping. */
+    * reader must interpret each version's bytes with its own mapping.
+    * With `rowIndex = true` the data schema additionally carries the
+    * parquet row-index request column (DV-diff change groups key their
+    * bitmap filters on it). */
   private[sources] def innerTableFor(
-      m: DiskManifest, files: Seq[String]): ParquetTable = {
+      m: DiskManifest, files: Seq[String],
+      rowIndex: Boolean = false): ParquetTable = {
     val opts =
       if (m.hiveParts.isEmpty) CaseInsensitiveStringMap.empty()
       else new CaseInsensitiveStringMap(
         util.Map.of("basePath", log.dataDir.toString))
+    val sch =
+      if (rowIndex) m.physicalSchema.add(GraftDiskCatalog.RowIndexField)
+      else m.physicalSchema
     ParquetTable(tableName, spark, opts, files.map(log.absolute),
-      Some(m.physicalSchema), classOf[ParquetFileFormat])
+      Some(sch), classOf[ParquetFileFormat])
   }
 
   /** Range-partition + sort `df` on the Morton interleave of the z
@@ -3222,7 +3481,10 @@ class GraftDiskTable(
         files = kept ++ added,
         added = added,
         fileStats = Some((base.stats -- removed) ++ addedStats),
-        fileSizes = Some((base.sizes -- removed) ++ addedSizes))
+        fileSizes = Some((base.sizes -- removed) ++ addedSizes),
+        // replaced files' DVs die with them — the rewrite read was
+        // DV-subtracted, so the replacement files materialize the deletes
+        deleteVectors = base.dvsAmong(kept))
       try log.write(next)
       catch {
         case e: java.io.IOException => throw new IllegalStateException(
@@ -3270,34 +3532,52 @@ class GraftDiskTable(
 
   override def canDeleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
-      : Boolean = metadataDeleteDrop(predicates).isDefined
+      : Boolean =
+    classifyDelete(predicates,
+      allowStraddle = DiskDv.enabled(log.latest().properties)).isDefined
 
   override def deleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
-      : Unit = {
-    val drop = metadataDeleteDrop(predicates).getOrElse(throw
-      new IllegalStateException(s"gdisk: metadata DELETE on $tableName is " +
-        "no longer provable (concurrent commit changed the file set)"))
-    if (drop.nonEmpty) commitReplace(drop, Nil)
-  }
+      : Unit =
+    if (DiskDv.enabled(log.latest().properties)) deleteWithDvs(predicates)
+    else {
+      val drop = metadataDeleteDrop(predicates).getOrElse(throw
+        new IllegalStateException(s"gdisk: metadata DELETE on $tableName is " +
+          "no longer provable (concurrent commit changed the file set)"))
+      if (drop.nonEmpty) commitReplace(drop, Nil)
+    }
 
-  /** Some(filesToDrop) iff the condition PARTITIONS the live files: each
-    * is provably all-match (droppable) or provably no-match (untouched).
-    * All-match needs both directions — no row satisfies the NEGATED
-    * condition (so nothing survives) and the file is NULL-free on every
-    * referenced column (a NULL-valued condition KEEPS its row, and the
-    * negation argument only covers two-valued rows). None = fall back to
-    * copy-on-write. */
   private def metadataDeleteDrop(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
-      : Option[Seq[String]] = {
+      : Option[Seq[String]] =
+    classifyDelete(predicates, allowStraddle = false).map(_._1)
+
+  /** Classify the live files against a delete condition. With
+    * `allowStraddle = false` (copy-on-write mode): Some iff the condition
+    * PARTITIONS the files — each provably all-match (droppable) or
+    * provably no-match (untouched); any straddler → None and Spark falls
+    * back to the group-based rewrite. All-match needs both directions —
+    * no row satisfies the NEGATED condition (so nothing survives) and
+    * the file is NULL-free on every referenced column (a NULL-valued
+    * condition KEEPS its row, and the negation argument only covers
+    * two-valued rows). With `allowStraddle = true` (deletion-vector
+    * mode): straddlers — including stats-less files and conditions whose
+    * negation the stats evaluator cannot express — collect into the
+    * second seq for the DV row-index harvest; only an unconvertible
+    * condition returns None. The returned expression is the condition in
+    * PHYSICAL column names (None exactly for TRUNCATE's ALWAYS_TRUE). */
+  private def classifyDelete(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate],
+      allowStraddle: Boolean)
+      : Option[(Seq[String], Seq[String],
+          Option[org.apache.spark.sql.catalyst.expressions.Expression])] = {
     import org.apache.spark.sql.catalyst.expressions._
     if (pinned.isDefined) return None
     if (predicates.isEmpty) return None
     val base = log.latest()
     // TRUNCATE arrives as the single ALWAYS_TRUE predicate
     if (predicates.length == 1 && predicates(0).name() == "ALWAYS_TRUE")
-      return Some(base.files)
+      return Some((base.files, Nil, None))
     val sch = base.schema
     val conds = predicates.toSeq.map(p =>
       GraftDiskCatalog.v2PredToCatalyst(p, sch).getOrElse(return None))
@@ -3307,7 +3587,11 @@ class GraftDiskTable(
       else conds.reduce(And).transform {
         case a: AttributeReference => a.withName(base.physicalOf(a.name))
       }
-    val negated = GraftDiskCatalog.negateForStats(cond).getOrElse(return None)
+    // no stats-expressible negation = no all-match proof: fatal for the
+    // partition-only mode, merely "everything that may match straddles"
+    // for the DV mode
+    val negatedOpt = GraftDiskCatalog.negateForStats(cond)
+    if (negatedOpt.isEmpty && !allowStraddle) return None
     val refs = cond.references.toSeq.map(_.name)
     val physSch = base.physicalSchema
     val dtOf = (n: String) =>
@@ -3315,9 +3599,16 @@ class GraftDiskTable(
     val hive = base.hiveParts
     val stats = base.stats
     val drop = Seq.newBuilder[String]
+    val straddle = Seq.newBuilder[String]
     base.files.foreach { f =>
-      val fileSt0 = stats.getOrElse(f, return None)
-      val rows = fileSt0.values.headOption.map(_.rows).getOrElse(return None)
+      val fileSt0 = stats.getOrElse(f,
+        if (allowStraddle) { straddle += f; Map.empty[String, ColStats] }
+        else return None)
+      val rowsOpt = fileSt0.values.headOption.map(_.rows)
+      if (rowsOpt.isEmpty && fileSt0.nonEmpty)
+        { if (allowStraddle) straddle += f else return None }
+      if (fileSt0.nonEmpty && rowsOpt.isDefined) {
+      val rows = rowsOpt.get
       // identity partition columns: the dir value is EVERY row's value —
       // synthesize exact single-value stats so the same evaluator serves.
       // Only for types the stat decoder speaks (integral/date/string);
@@ -3372,11 +3663,116 @@ class GraftDiskTable(
       else {
         val nullFree = refs.forall(n =>
           fileSt.get(n).exists(_.nulls.contains(0L)))
-        if (nullFree && !DiskStats.mayMatch(fileSt, dtOf, negated)) drop += f
-        else return None // straddler — copy-on-write takes over
+        if (nullFree && negatedOpt.exists(neg =>
+            !DiskStats.mayMatch(fileSt, dtOf, neg))) drop += f
+        // straddler — DV harvest (dv mode) or copy-on-write (cow mode)
+        else if (allowStraddle) straddle += f
+        else return None
+      }
+      } // fileSt0.nonEmpty && rowsOpt.isDefined
+    }
+    Some((drop.result(), straddle.result(), Some(cond)))
+  }
+
+  /** MERGE-ON-READ delete (`TBLPROPERTIES ('delete.mode'='dv')`):
+    * provably all-match files drop from the manifest (the metadata path,
+    * unchanged), and STRADDLERS — instead of a copy-on-write rewrite —
+    * get deletion-vector sidecars: one distributed pass reads the
+    * straddling files, filters to the matching rows, and per file unions
+    * the matched ROW INDEXES into a new immutable sidecar (merging any
+    * existing one). The driver sees (file, sidecar, cardinality) triples
+    * only — O(straddling files), never rows. A sidecar that covers every
+    * recorded row collapses into a whole-file drop. One commit lands
+    * both. Lost claim races retry against the fresh snapshot; orphaned
+    * sidecars from lost attempts are VACUUM's to sweep. */
+  private def deleteWithDvs(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = synchronized {
+    require(pinned.isEmpty,
+      s"gdisk: $tableName is a VERSION AS OF snapshot — snapshots are read-only")
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      val base = log.latest()
+      val (drop, straddle, condOpt) =
+        classifyDelete(predicates, allowStraddle = true).getOrElse(throw
+          new IllegalStateException(s"gdisk: DELETE on $tableName is no " +
+            "longer plannable (concurrent commit changed the snapshot)"))
+      if (drop.isEmpty && straddle.isEmpty) return
+      val newDvs: Map[String, DvEntry] =
+        if (straddle.isEmpty) Map.empty
+        else {
+          val cond = condOpt.getOrElse(sys.error(
+            "gdisk: straddlers under TRUNCATE are impossible"))
+          val ddStr = log.dataDir.toString
+          val ddPath = log.dataDir.toUri.getPath
+          val oldDvs: Map[String, String] =
+            straddle.flatMap(f => base.dvs.get(f).map(e => f -> e.dv)).toMap
+          val r = spark.read.schema(base.physicalSchema)
+          // the classifier's condition carries resolved AttributeReferences
+          // from the V2 predicate — re-anchor them BY NAME so the analyzer
+          // binds against this fresh read's attributes
+          val unresolved = cond.transform {
+            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+              org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute.quoted(a.name)
+          }
+          val matched = (if (base.hiveParts.isEmpty) r
+                         else r.option("basePath", ddStr))
+            .parquet(straddle.map(log.absolute): _*)
+            .where(org.apache.spark.sql.graftshim.columnOf(unresolved))
+            .select(col("_metadata.file_path").as("__fp"),
+              col("_metadata.row_index").as("__ri"))
+            .groupBy(col("__fp"))
+            .agg(org.apache.spark.sql.functions.collect_list(col("__ri"))
+              .as("__is"))
+          // one task per matched file: union with any existing sidecar
+          // and write the replacement — the write is executor-side, the
+          // driver collects O(matched files) name/count triples only
+          matched.rdd.map { row =>
+            val conf = new Configuration()
+            val ddH = new HPath(ddStr)
+            val fsx = ddH.getFileSystem(conf)
+            val p = org.apache.spark.paths.SparkPath
+              .fromUrlString(row.getString(0)).toUri.getPath
+            val rel = p.stripPrefix(ddPath).stripPrefix("/")
+            val bits = oldDvs.get(rel)
+              .map(dv => DiskDv.read(fsx, ddH, dv))
+              .getOrElse(new DvBitmap())
+            row.getSeq[Long](1).foreach(bits.set)
+            val newRel = DiskDv.write(fsx, ddH, bits)
+            (rel, newRel, bits.cardinality)
+          }.collect() // O(straddling files) triples — DriverActionLint-bounded
+            .map { case (rel, dvRel, card) => rel -> DvEntry(dvRel, card) }
+            .toMap
+        }
+      // a DV covering every recorded live row degenerates to a file drop
+      val fullCover = newDvs.keysIterator.filter { f =>
+        base.stats.get(f).flatMap(_.values.headOption)
+          .exists(_.rows == newDvs(f).card)
+      }.toSet
+      val dropAll = drop ++ fullCover
+      val kept = base.files.filterNot(dropAll.toSet)
+      val nextDvs = (base.dvs -- dropAll) ++ (newDvs -- fullCover)
+      val candidate = base.copy(
+        version = base.version + 1,
+        files = kept, added = Nil,
+        fileStats = Some(base.stats -- dropAll),
+        fileSizes = Some(base.sizes -- dropAll),
+        deleteVectors = if (nextDvs.isEmpty) None else Some(nextDvs))
+      // FK RESTRICT sees the candidate state: parent reads subtract the
+      // NEW deletion vectors, so a child referencing a DV'd key blocks
+      enforceFkRestrictDistributed(kept, Some(candidate))
+      try {
+        log.write(candidate)
+        committed = true
+      } catch {
+        case e: java.io.IOException =>
+          attempts += 1
+          if (attempts > 5) throw new IllegalStateException(
+            s"gdisk: concurrent commit conflict on $tableName", e)
       }
     }
-    Some(drop.result())
   }
 
   // --------------------------------------------------------------- alter
@@ -3791,13 +4187,20 @@ class GraftDiskScanBuilder(
     }
     // one aggregate row over a file group (the whole table, or one
     // partition's files under GROUP BY)
+    val dvs = table.liveDvs
     def groupRow(files: Seq[String]): Option[Seq[Any]] = {
       val fileMaps: Seq[Map[String, ColStats]] = files.map(stats(_))
       // every file's row count (any column's entry carries it; a file
       // with an empty stats map has an unknown count → refuse)
       val rowsPerFile = fileMaps.map(m => m.values.headOption.map(_.rows))
       if (files.nonEmpty && !rowsPerFile.forall(_.isDefined)) return None
-      val totalRows = rowsPerFile.flatten.sum
+      // deletion vectors: COUNT(*) subtracts the recorded cardinalities;
+      // per-column nulls and min/max become OVERESTIMATES once rows are
+      // DV'd (the deleted rows may have held the nulls or the extremes),
+      // so count(col)/MIN/MAX refuse on any DV'd file in the group
+      val dvCard = files.iterator.flatMap(dvs.get).map(_.card).sum
+      val anyDv = dvCard > 0 || files.exists(dvs.contains)
+      val totalRows = rowsPerFile.flatten.sum - dvCard
       def nullsOf(f: StructField): Option[Long] =
         if (isHivePart(f.name)) {
           val per = files.zip(rowsPerFile).map { case (file, r) =>
@@ -3840,13 +4243,16 @@ class GraftDiskScanBuilder(
       Some(agg.aggregateExpressions().toSeq.map {
         case _: CountStar => java.lang.Long.valueOf(totalRows): Any
         case c: Count if !c.isDistinct =>
+          if (anyDv) return None
           val f = colOf(c.column).getOrElse(return None)
           val nulls = nullsOf(f).getOrElse(return None)
           java.lang.Long.valueOf(totalRows - nulls): Any
         case m: Min =>
+          if (anyDv) return None
           val f = colOf(m.column).getOrElse(return None)
           boundOf(f, wantMin = true).getOrElse(return None)
         case m: Max =>
+          if (anyDv) return None
           val f = colOf(m.column).getOrElse(return None)
           boundOf(f, wantMin = false).getOrElse(return None)
         case _ => return None
@@ -3896,9 +4302,12 @@ class GraftDiskScanBuilder(
         if (aggPushed) None
         else {
           val stats = table.manifestStats
+          val dvCard = // deletion-vector'd rows never reach the scan output
+            currentFiles.iterator.flatMap(table.liveDvs.get).map(_.card).sum
           val perFile = currentFiles.map(f =>
             stats.get(f).flatMap(_.values.headOption).map(_.rows))
-          if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
+          if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum - dvCard)
+          else None
         }
       // Per-column CBO statistics, assembled driver-side from metadata
       // already in hand — no ANALYZE scan, no file I/O: min/max/nullCount
@@ -3954,9 +4363,12 @@ class GraftDiskScanBuilder(
       // the raw source values, not the lossy transform), plain row scan
       // (no pushed-down aggregate), and the user opted into Spark's v2
       // bucketing — then report KeyGroupedPartitioning so co-partitioned
-      // joins/aggregations skip their exchanges
+      // joins/aggregations skip their exchanges. Files carrying deletion
+      // vectors opt out (their partitions plan through the DV-filtering
+      // composite batch); SPJ resumes once OPTIMIZE purges the DVs.
       if ((table.liveHiveParts.nonEmpty || table.liveNumBuckets.isDefined) &&
           !aggPushed &&
+          !currentFiles.exists(table.liveDvs.contains) &&
           org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled)
         new GraftDiskSpjScan(table, currentFiles, prunedForInner,
           pushedDataFilters, base)
@@ -4013,9 +4425,21 @@ class GdiskFileScan(
 
   override def planInputPartitions(): Array[InputPartition] =
     files.toArray.flatMap { f =>
-      val sb = table.innerTable(Seq(table.log.absolute(f)))
+      // a file carrying a deletion vector reads through the row-index-
+      // requesting inner table and its reader drops DV'd rows — a COW
+      // UPDATE/MERGE rewrite must not resurrect deleted rows into the
+      // replacement files (and its own commit clears the file's DV)
+      val dvBytes = table.liveDvs.get(f).map(e =>
+        DiskDv.readBytes(table.log.fs, table.log.dataDir, e.dv))
+      val sb = (if (dvBytes.isDefined)
+          table.innerTableRI(Seq(table.log.absolute(f)))
+        else table.innerTable(Seq(table.log.absolute(f))))
         .newScanBuilder(CaseInsensitiveStringMap.empty())
-      sb.pruneColumns(table.toPhysical(pruned))
+      val prunedPhys = table.toPhysical(pruned)
+      sb.pruneColumns(
+        if (dvBytes.isDefined)
+          StructType(prunedPhys.fields :+ GraftDiskCatalog.RowIndexField)
+        else prunedPhys)
       val scan = sb.build()
       val b = scan.toBatch
       val factory = b.createReaderFactory()
@@ -4025,7 +4449,7 @@ class GdiskFileScan(
       // LOGICAL names, which is what `required` binds by; positions hold)
       b.planInputPartitions()
         .map(p => FileTagPartition(p, factory, f,
-          table.toLogicalSchema(scan.readSchema())): InputPartition)
+          table.toLogicalSchema(scan.readSchema()), dvBytes): InputPartition)
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -4037,7 +4461,7 @@ class GdiskFileScan(
   * actual output schema (data columns then partition columns). */
 case class FileTagPartition(
     inner: InputPartition, factory: PartitionReaderFactory, file: String,
-    innerSchema: StructType)
+    innerSchema: StructType, dvBytes: Option[Array[Byte]] = None)
   extends InputPartition
 
 class FileAppendingReaderFactory(required: StructType)
@@ -4057,12 +4481,97 @@ class FileAppendingReaderFactory(required: StructType)
         BoundReference(i, innerSchema(i).dataType, innerSchema(i).nullable)
       }
     }.toSeq)
-    new PartitionReader[InternalRow] {
-      override def next(): Boolean = r.next()
-      override def get(): InternalRow = proj(r.get())
-      override def close(): Unit = r.close()
+    fp.dvBytes match {
+      case None =>
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = r.next()
+          override def get(): InternalRow = proj(r.get())
+          override def close(): Unit = r.close()
+        }
+      case Some(bytes) =>
+        // DV'd file: the inner scan carries the row-index request column;
+        // rows whose index is set in the sidecar bitset never surface
+        val bits = DiskDv.deserialize(bytes)
+        val riOrd =
+          innerSchema.fieldIndex(GraftDiskCatalog.RowIndexColumnName)
+        new PartitionReader[InternalRow] {
+          private var current: InternalRow = _
+          override def next(): Boolean = {
+            while (r.next()) {
+              val row = r.get()
+              if (!bits.contains(row.getLong(riOrd))) {
+                current = proj(row)
+                return true
+              }
+            }
+            false
+          }
+          override def get(): InternalRow = current
+          override def close(): Unit = r.close()
+        }
     }
   }
+}
+
+/** One DV'd data file's partition for the composite batch: the inner
+  * parquet partition (all split ranges of the SAME file, so one sidecar
+  * applies), the inner scan's reader factory, the COMPRESSED sidecar
+  * bytes (executors never open sidecar files), the inner scan's actual
+  * output schema (pruned data columns + the row-index request column +
+  * partition columns), and the outer schema rows must project back to. */
+case class DvFilePartition(
+    inner: InputPartition, factory: PartitionReaderFactory,
+    dvBytes: Array[Byte], innerSchema: StructType, target: StructType)
+  extends InputPartition
+
+/** One CDC change group: `files` of manifest `m` feed `ctype` rows for
+  * `version`. `dvBytes` (per-file compressed bitmaps) modulate the read:
+  * `keepOnly = true` serves ONLY the bitmap rows (a DV diff — the rows
+  * one commit deleted or one restore revived); `false` SUBTRACTS them (a
+  * removed file's pre-image minus what its DV already reported). */
+case class ChangeGroup(
+    m: DiskManifest, files: Seq[String], ctype: String, version: Long,
+    dvBytes: Map[String, Array[Byte]] = Map.empty,
+    keepOnly: Boolean = false)
+
+/** The DV composite batch's factory — row-based for EVERY partition
+  * (Spark forbids mixing columnar and row partitions in one batch).
+  * Clean partitions read through their inner factory's row path; DV
+  * partitions additionally drop rows whose parquet row index is set in
+  * the sidecar bitset and project away the row-index column. */
+object RowDelegatingReaderFactory extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case FactoryPartition(inner, f) => f.createReader(inner)
+      case dv: DvFilePartition =>
+        val bits = DiskDv.deserialize(dv.dvBytes)
+        val r = dv.factory.createReader(dv.inner)
+        val innerSchema = dv.innerSchema
+        val riOrd = innerSchema.fieldIndex(GraftDiskCatalog.RowIndexColumnName)
+        val proj = UnsafeProjection.create(dv.target.fields.map { fl =>
+          val i = innerSchema.fieldIndex(fl.name)
+          BoundReference(i, innerSchema(i).dataType, innerSchema(i).nullable)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+        }.toSeq)
+        new PartitionReader[InternalRow] {
+          private var current: InternalRow = _
+          override def next(): Boolean = {
+            while (r.next()) {
+              val row = r.get()
+              if (!bits.contains(row.getLong(riOrd))) {
+                current = proj(row)
+                return true
+              }
+            }
+            false
+          }
+          override def get(): InternalRow = current
+          override def close(): Unit = r.close()
+        }
+      case other => sys.error(
+        s"gdisk: unexpected partition kind ${other.getClass} in DV batch")
+    }
 }
 
 /** Batch reads delegate wholesale to the inner vectorized ParquetScan
@@ -4213,6 +4722,7 @@ class GraftDiskScan(
 
   @volatile private var inner: Scan = inner0
   @volatile private var dppInfo: String = ""
+  @volatile private var currentRel: Seq[String] = relFiles
 
   // the inner scan speaks PHYSICAL names; Spark binds the relation's
   // LOGICAL attributes against this schema (rows are positional)
@@ -4225,9 +4735,87 @@ class GraftDiskScan(
     val skip =
       if (keptFiles >= 0 && totalFiles >= 0)
         s" statsFiles=$keptFiles/$totalFiles" else ""
-    s"GraftDiskScan(${table.name()})$skip$dppInfo ${inner.description()}"
+    val dvd = currentRel.count(table.liveDvs.contains)
+    val dvInfo = if (dvd > 0) s" dvFiles=$dvd" else ""
+    s"GraftDiskScan(${table.name()})$skip$dppInfo$dvInfo ${inner.description()}"
   }
-  override def toBatch: Batch = inner.toBatch
+
+  /** Files without a deletion vector serve through the inner vectorized
+    * parquet batch untouched; files WITH one plan per-file partitions
+    * whose read schema additionally requests the parquet row index, and
+    * a wrapping reader drops rows whose index is set in the sidecar
+    * bitset (shipped compressed inside the partition — executors never
+    * open sidecars). Spark forbids mixing columnar and row partitions in
+    * one batch, so the presence of ANY DV'd file makes this scan
+    * row-based end to end — the documented price of merge-on-read,
+    * reclaimed by OPTIMIZE's purge. The no-DV case (and every scan after
+    * the purge) delegates wholesale and stays columnar. */
+  override def toBatch: Batch = {
+    val dvs = table.liveDvs
+    val dvd = currentRel.filter(dvs.contains)
+    if (dvd.isEmpty) inner.toBatch
+    else {
+      val clean = currentRel.filterNot(dvs.contains)
+      val cleanParts: Array[InputPartition] =
+        if (clean.isEmpty) Array.empty
+        else {
+          val sb = table.innerTable(clean.map(table.log.absolute))
+            .newScanBuilder(CaseInsensitiveStringMap.empty())
+          sb.pruneColumns(pruned)
+          sb match {
+            case f: org.apache.spark.sql.internal.connector
+                .SupportsPushDownCatalystFilters if dataFilters.nonEmpty =>
+              f.pushFilters(dataFilters)
+            case _ => ()
+          }
+          val b = sb.build().toBatch
+          val factory = b.createReaderFactory()
+          b.planInputPartitions().map(p =>
+            FactoryPartition(p, factory): InputPartition)
+        }
+      val dvParts: Array[InputPartition] = {
+        val sb = table.innerTableRI(dvd.map(table.log.absolute))
+          .newScanBuilder(CaseInsensitiveStringMap.empty())
+        sb.pruneColumns(StructType(
+          pruned.fields :+ GraftDiskCatalog.RowIndexField))
+        sb match {
+          case f: org.apache.spark.sql.internal.connector
+              .SupportsPushDownCatalystFilters if dataFilters.nonEmpty =>
+            f.pushFilters(dataFilters)
+          case _ => ()
+        }
+        val dvScan = sb.build()
+        val b = dvScan.toBatch
+        val factory = b.createReaderFactory()
+        val actual = dvScan.readSchema()
+        val target = inner.readSchema()
+        val ddPath = table.log.dataDir.toUri.getPath
+        val bytes = table.dvBytesFor(table.log, table.loadedManifest, dvd)
+        // regroup the inner partitions ONE PER FILE so each wrapping
+        // reader knows which sidecar applies (split ranges of the same
+        // file may merge into one partition — same file, same bitset)
+        import org.apache.spark.sql.execution.datasources.FilePartition
+        val byFile = b.planInputPartitions().flatMap {
+          case fp: FilePartition => fp.files
+          case other => sys.error(
+            s"gdisk: unexpected non-file partition ${other.getClass}")
+        }.groupBy(_.filePath.toUri.getPath)
+        byFile.toArray.zipWithIndex.map { case ((path, pfs), i) =>
+          val rel = path.stripPrefix(ddPath).stripPrefix("/")
+          DvFilePartition(FilePartition(i, pfs), factory,
+            bytes.getOrElse(rel, sys.error(
+              s"gdisk: no deletion-vector bytes for $rel")),
+            actual, target): InputPartition
+        }
+      }
+      new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          cleanParts ++ dvParts
+        override def createReaderFactory(): PartitionReaderFactory =
+          RowDelegatingReaderFactory
+      }
+    }
+  }
 
   // ---- DYNAMIC partition/bucket pruning (SPARK-35779 v2 runtime
   // filtering): a join whose OTHER side filters down to few partition- or
@@ -4252,6 +4840,7 @@ class GraftDiskScan(
       : Unit =
     GraftDiskCatalog.runtimeKeepFiles(table, relFiles, predicates).foreach { kept =>
       dppInfo = s" dppFiles=${kept.length}/${relFiles.length}"
+      currentRel = kept // the DV composite batch plans over the survivors
       val sb = table.innerTable(kept.map(table.log.absolute))
         .newScanBuilder(CaseInsensitiveStringMap.empty())
       sb.pruneColumns(pruned)

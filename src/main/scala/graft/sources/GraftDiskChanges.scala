@@ -121,30 +121,53 @@ class GraftDiskChangesScan(
 
   private def partitionsFor(fromExcl: Long, toIncl: Long)
       : Array[InputPartition] =
-    table.changeGroups(fromExcl, toIncl).toArray.flatMap {
-      case (m, files, ctype, v) =>
-        // prune the inner scan to the requested DATA columns this
-        // version has, translated to its physical names; the reader
-        // binds by the scan's ACTUAL output schema (hive partition
-        // columns append after data columns), re-labeled to logical.
-        // Resolution is case-INSENSITIVE like the rest of the engine —
-        // and uses the version's own field (name spelling + type), so
-        // the physical-name mapping and the inner scan stay consistent
-        val want = StructType(required.fields.flatMap(f =>
-          if (f.name == GraftDiskChangesTable.ChangeTypeCol ||
-              f.name == GraftDiskChangesTable.CommitVersionCol) None
-          else m.schema.fields.find(_.name.equalsIgnoreCase(f.name))))
-        val sb = table.innerTableFor(m, files)
-          .newScanBuilder(CaseInsensitiveStringMap.empty())
-        sb.pruneColumns(m.toPhysical(want))
-        val scan = sb.build()
-        val b = scan.toBatch
-        val factory = b.createReaderFactory()
-        val innerLogical = StructType(scan.readSchema().fields.map(f =>
-          f.copy(name = m.logicalOf(f.name))))
+    table.changeGroups(fromExcl, toIncl).toArray.flatMap { g =>
+      val m = g.m
+      // prune the inner scan to the requested DATA columns this
+      // version has, translated to its physical names; the reader
+      // binds by the scan's ACTUAL output schema (hive partition
+      // columns append after data columns), re-labeled to logical.
+      // Resolution is case-INSENSITIVE like the rest of the engine —
+      // and uses the version's own field (name spelling + type), so
+      // the physical-name mapping and the inner scan stay consistent
+      val want = StructType(required.fields.flatMap(f =>
+        if (f.name == GraftDiskChangesTable.ChangeTypeCol ||
+            f.name == GraftDiskChangesTable.CommitVersionCol) None
+        else m.schema.fields.find(_.name.equalsIgnoreCase(f.name))))
+      val dvMode = g.dvBytes.nonEmpty
+      val sb = table.innerTableFor(m, g.files, rowIndex = dvMode)
+        .newScanBuilder(CaseInsensitiveStringMap.empty())
+      sb.pruneColumns(
+        if (dvMode) StructType(m.toPhysical(want).fields :+
+          graft.sources.GraftDiskCatalog.RowIndexField)
+        else m.toPhysical(want))
+      val scan = sb.build()
+      val b = scan.toBatch
+      val factory = b.createReaderFactory()
+      val innerLogical = StructType(scan.readSchema().fields.map(f =>
+        f.copy(name = m.logicalOf(f.name))))
+      if (!dvMode)
         b.planInputPartitions().map(p =>
-          ChangeTagPartition(p, factory, ctype, v, innerLogical)
+          ChangeTagPartition(p, factory, g.ctype, g.version, innerLogical)
             : InputPartition)
+      else {
+        // deletion-vector-modulated group: regroup ONE PARTITION PER
+        // FILE so each reader knows which bitmap applies, filter by the
+        // parquet row index the inner scan was asked to generate
+        import org.apache.spark.sql.execution.datasources.FilePartition
+        val ddPath = table.log.dataDir.toUri.getPath
+        b.planInputPartitions().flatMap {
+          case fp: FilePartition => fp.files
+          case other => sys.error(
+            s"gdisk: unexpected non-file partition ${other.getClass}")
+        }.groupBy(_.filePath.toUri.getPath).toArray.zipWithIndex.map {
+          case ((path, pfs), i) =>
+            val rel = path.stripPrefix(ddPath).stripPrefix("/")
+            ChangeTagPartition(FilePartition(i, pfs), factory, g.ctype,
+              g.version, innerLogical, g.dvBytes.get(rel), g.keepOnly)
+              : InputPartition
+        }
+      }
     }
 
   // ------------------------------------------------------------- batch
@@ -177,10 +200,14 @@ class GraftDiskChangesScan(
 }
 
 /** An inner file-scan partition tagged with its change type, commit
-  * version, and the inner scan's actual (logical-named) output schema. */
+  * version, and the inner scan's actual (logical-named) output schema.
+  * `dvBytes` (compressed bitmap over the partition's single file, set
+  * only for DV-modulated groups) filters rows by parquet row index:
+  * `dvKeepOnly = true` serves only bitmap rows, `false` subtracts them. */
 case class ChangeTagPartition(
     inner: InputPartition, factory: PartitionReaderFactory,
-    changeType: String, version: Long, innerSchema: StructType)
+    changeType: String, version: Long, innerSchema: StructType,
+    dvBytes: Option[Array[Byte]] = None, dvKeepOnly: Boolean = false)
   extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
@@ -212,10 +239,33 @@ class ChangeAppendingReaderFactory(required: StructType)
           else CatalystLiteral(null, f.dataType)
       }
     }.toSeq)
-    new PartitionReader[InternalRow] {
-      override def next(): Boolean = r.next()
-      override def get(): InternalRow = proj(r.get())
-      override def close(): Unit = r.close()
+    cp.dvBytes match {
+      case None =>
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = r.next()
+          override def get(): InternalRow = proj(r.get())
+          override def close(): Unit = r.close()
+        }
+      case Some(bytes) =>
+        val bits = graft.sources.DiskDv.deserialize(bytes)
+        val riOrd = innerSchema.fieldIndex(
+          graft.sources.GraftDiskCatalog.RowIndexColumnName)
+        val keepOnly = cp.dvKeepOnly
+        new PartitionReader[InternalRow] {
+          private var current: InternalRow = _
+          override def next(): Boolean = {
+            while (r.next()) {
+              val row = r.get()
+              if (bits.contains(row.getLong(riOrd)) == keepOnly) {
+                current = proj(row)
+                return true
+              }
+            }
+            false
+          }
+          override def get(): InternalRow = current
+          override def close(): Unit = r.close()
+        }
     }
   }
 }

@@ -66,7 +66,20 @@ class DriverActionLintSpec extends AnyFunSuite {
         "RTAS proof compares against the base table"),
     Allowed("CdcMvOps.scala", ".head().getLong(0)", 1,
       "a single scalar: the MV's applied-version watermark " +
-        "(coalesce(max(__as_of), 0))"))
+        "(coalesce(max(__as_of), 0))"),
+    Allowed("GraftDiskCatalog.scala",
+      ".collect() // O(straddling files) triples — DriverActionLint-bounded", 1,
+      "O(straddling files) (rel, sidecar, cardinality) triples from the " +
+        "deletion-vector write job — file names and counts, never rows"),
+    Allowed("GraftDiskCatalog.scala",
+      ".collect() // O(files) metadata triples — DriverActionLint-bounded", 2,
+      "the distributed stats harvests (CONVERT adopt + OPTIMIZE rewrite): " +
+        "O(files) (rel, footer-stat map, size) triples — metadata, never " +
+        "rows"),
+    Allowed("GraftDiskCatalog.scala",
+      "percentile_approx(surrogate(c), probs, lit(10000)).as(c)): _*).head()", 1,
+      "one row of O(zorder-cols × bucket-count) percentile boundaries — " +
+        "the ZORDER range-partition seed, sketch-sized"))
 
   /** DF driver actions with materialized-row results. `.count()` /
     * `.isEmpty` return scalars and are exempt; bare `.head`/`.take(n)`
@@ -75,7 +88,7 @@ class DriverActionLintSpec extends AnyFunSuite {
   private val actionRe =
     """\.collect\(\)|\.head\(\)|\.collectAsList\(\)|\.first\(\)|\.toLocalIterator""".r
 
-  private val roots = Seq("ops", "queries", "functions", "streaming")
+  private val roots = Seq("ops", "queries", "functions", "streaming", "sources")
     .map(d => Paths.get(s"src/main/scala/graft/$d"))
 
   test("every driver action in query-building code carries a documented bound") {

@@ -592,9 +592,59 @@ class OpsSpec extends AnyFunSuite {
     for (y <- 0 until 30; x <- 0 until 9)
       grayI.getRaster.setSample(x, y, 0, rnd.nextInt(256))
     assert(check(grayI, progressive = true, "adam7-gray") == 0)
-    // 16-bit stays out of scope: quarantines, never mis-decodes
+    // 16-bit grayscale (colorType 0, depth 16, ImageIO-written): decodes
+    // via the high byte of each big-endian sample pair — the standard
+    // 16→8 downscale ImageIO's (sample >> 8) agrees with
     val deep = new BufferedImage(8, 8, BufferedImage.TYPE_USHORT_GRAY)
-    assert(MultimodalOps.pngDecodeRgb(pngBytes(deep, progressive = false)).isEmpty)
+    for (y <- 0 until 8; x <- 0 until 8)
+      deep.getRaster.setSample(x, y, 0, rnd.nextInt(65536))
+    val deepOut = MultimodalOps.pngDecodeRgb(pngBytes(deep, progressive = false))
+    assert(deepOut.isDefined, "16-bit grayscale PNG quarantined")
+    val (dw, dh, dRgb) = deepOut.get
+    assert((dw, dh) == (8, 8))
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val expect = deep.getRaster.getSample(x, y, 0) >> 8
+      assert((dRgb((y * 8 + x) * 3) & 0xff) == expect, s"16-bit gray ($x,$y)")
+    }
+    // 16-bit palette is not a legal PNG combination and must quarantine:
+    // hand-corrupt a type-3 header's depth to 16
+    val pal = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_INDEXED)
+    val palBytes = pngBytes(pal, progressive = false)
+    assert(MultimodalOps.pngDecodeRgb(palBytes).isDefined)
+    val corrupt = palBytes.clone()
+    // IHDR depth byte sits at offset 8 (sig) + 8 (len+type) + 8 (w,h)
+    if ((corrupt(25) & 0xff) == 3) { // color type 3 where expected
+      corrupt(24) = 16.toByte
+      assert(MultimodalOps.pngDecodeRgb(corrupt).isEmpty,
+        "16-bit palette must quarantine")
+    }
+  }
+
+  test("16-bit truecolor png fixture decodes to the high-byte formula") {
+    import graft.ops.MultimodalOps
+    val ids = spark.range(0, 24).toDF("doc_id")
+    val media = MultimodalOps.asPng16Payload(spark, ids, "doc_id")
+    val rows = media.collect()
+    assert(rows.length == 24)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val w = 4 + (id % 5).toInt
+      val h = 3 + (id % 4).toInt
+      val out = MultimodalOps.pngDecodeRgb(bytes)
+      assert(out.isDefined, s"doc $id quarantined")
+      val (dw, dh, rgb) = out.get
+      assert((dw, dh) == (w, h), s"doc $id dims")
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        assert((rgb(o) & 0xff) == ((id + 7L * x + 13L * y) % 256).toInt,
+          s"doc $id R($x,$y)")
+        assert((rgb(o + 1) & 0xff) == ((id * 3 + 5L * x + 11L * y) % 256).toInt,
+          s"doc $id G($x,$y)")
+        assert((rgb(o + 2) & 0xff) == ((id * 5 + 3L * x + 17L * y) % 256).toInt,
+          s"doc $id B($x,$y)")
+      }
+    }
   }
 
   test("png decode matches ImageIO across 40 random images (seeded sweep)") {
@@ -768,7 +818,8 @@ class OpsSpec extends AnyFunSuite {
       "JUNK".getBytes ++ le32(0x7ffffff0)
     assert(MultimodalOps.wavMeta(huge).isEmpty)
 
-    // not RIFF / truncated / non-PCM → None
+    // not RIFF / truncated / out-of-scope codec (a float tag must carry
+    // 32-bit samples — a 16-bit "float" is malformed) → None
     assert(MultimodalOps.wavMeta("plain text".getBytes).isEmpty)
     assert(MultimodalOps.wavMeta("RIFF".getBytes ++ le32(4) ++ "WAVE".getBytes).isEmpty)
     val nonPcm = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
@@ -776,6 +827,135 @@ class OpsSpec extends AnyFunSuite {
         le32(16000) ++ le16(2) ++ le16(16)) ++
       "data".getBytes ++ le32(0)
     assert(MultimodalOps.wavMeta(nonPcm).isEmpty)
+    // an unknown codec tag (e.g. 2 = MS ADPCM, out of scope) → None
+    val msAdpcm = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      ("fmt ".getBytes ++ le32(16) ++ le16(2) ++ le16(1) ++ le32(8000) ++
+        le32(4000) ++ le16(256) ++ le16(4)) ++
+      "data".getBytes ++ le32(0)
+    assert(MultimodalOps.wavMeta(msAdpcm).isEmpty)
+  }
+
+  test("float WAV decodes to the exact integer ladder; NaN quarantines; clipping clamps") {
+    val media = MultimodalOps.asFloatWavPayload(spark, docs.limit(16), "doc_id")
+    val rows = media.collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val (ch, s) = MultimodalOps.wavPcm(bytes).get
+      assert(ch == 1 + (id % 2).toInt)
+      val div = 65536 >> (4 * (id % 4).toInt)
+      val n = 128 + (id % 8).toInt * 32
+      assert(s.length == n)
+      for (i <- 0 until n)
+        assert(s(i) == (((id * 7919 + i.toLong * 2641) % div) - div / 2).toShort,
+          s"doc $id sample $i")
+    }
+    // hand-built: out-of-range floats clamp to full scale, NaN quarantines
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def floatWav(vals: Array[Float]) = {
+      val data = vals.flatMap(f => le32(java.lang.Float.floatToIntBits(f)))
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        ("fmt ".getBytes ++ le32(16) ++ le16(3) ++ le16(1) ++ le32(8000) ++
+          le32(32000) ++ le16(4) ++ le16(32)) ++
+        "data".getBytes ++ le32(data.length) ++ data
+    }
+    val (_, clipped) = MultimodalOps.wavPcm(floatWav(Array(1.5f, -2f, 0f))).get
+    assert(clipped.toSeq == Seq[Short](32767, -32768, 0))
+    assert(MultimodalOps.wavPcm(floatWav(Array(0.5f, Float.NaN))).isEmpty)
+  }
+
+  test("IMA ADPCM decode matches an independent reference over random nibbles") {
+    // an in-test reference decoder written in the textbook form (branch
+    // on each bit with floating step halves, the IMA recommended-practice
+    // pseudocode) — structurally unlike the production bit-gated
+    // accumulator, so a transcription bug in either shows
+    val stepTab = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23,
+      25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107,
+      118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+      408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+      1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660,
+      4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+      11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+      27086, 29794, 32767)
+    val idxTab = Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+    def refDecode(pred0: Int, idx0: Int, nibbles: Seq[Int]): Seq[Short] = {
+      var pred = pred0
+      var idx = idx0
+      nibbles.map { n =>
+        val step = stepTab(idx)
+        var delta = 0
+        var s = step
+        if ((n & 4) != 0) delta += step
+        s = step >> 1
+        if ((n & 2) != 0) delta += s
+        s = s >> 1
+        if ((n & 1) != 0) delta += s
+        delta += step >> 3
+        pred = if ((n & 8) != 0) pred - delta else pred + delta
+        if (pred > 32767) pred = 32767
+        if (pred < -32768) pred = -32768
+        idx = math.max(0, math.min(88, idx + idxTab(n)))
+        pred.toShort
+      }
+    }
+    val rnd = new scala.util.Random(90125)
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    for (channels <- Seq(1, 2); trial <- 0 until 5) {
+      val nBlocks = 1 + rnd.nextInt(3)
+      val wordsPerCh = 1 + rnd.nextInt(4) // 4-byte words per channel/block
+      val blockAlign = channels * (4 + 4 * wordsPerCh)
+      val preds = Array.fill(channels)(rnd.nextInt(65536) - 32768)
+      val idxs = Array.fill(channels)(rnd.nextInt(89))
+      val nibbles = Array.fill(nBlocks, channels, wordsPerCh * 8)(rnd.nextInt(16))
+      val body = (0 until nBlocks).flatMap { b =>
+        (0 until channels).flatMap { c =>
+          le16(preds(c)) ++ Array(idxs(c).toByte, 0.toByte)
+        } ++
+          (0 until wordsPerCh).flatMap { wd =>
+            (0 until channels).flatMap { c =>
+              (0 until 4).map { k =>
+                val lo = nibbles(b)(c)(wd * 8 + k * 2)
+                val hi = nibbles(b)(c)(wd * 8 + k * 2 + 1)
+                ((hi << 4) | lo).toByte
+              }
+            }
+          }
+      }.toArray
+      val wav = "RIFF".getBytes ++ le32(36 + body.length) ++ "WAVE".getBytes ++
+        ("fmt ".getBytes ++ le32(16) ++ le16(0x11) ++ le16(channels) ++
+          le32(8000) ++ le32(8000 * blockAlign / 2) ++ le16(blockAlign) ++
+          le16(4)) ++
+        "data".getBytes ++ le32(body.length) ++ body
+      val (gotCh, got) = MultimodalOps.wavPcm(wav).getOrElse(
+        fail(s"quarantined: ch=$channels trial=$trial"))
+      assert(gotCh == channels)
+      // expected: per block, header samples then interleaved decode —
+      // EACH BLOCK restarts from its header state
+      val expect = (0 until nBlocks).flatMap { b =>
+        val perCh = (0 until channels).map(c =>
+          preds(c).toShort +: refDecode(preds(c), idxs(c), nibbles(b)(c).toSeq))
+        (0 until perCh.head.length).flatMap(s => (0 until channels).map(c => perCh(c)(s)))
+      }
+      assert(got.toSeq == expect, s"ch=$channels trial=$trial")
+    }
+  }
+
+  test("ADPCM oracle fixture: constant-predictor blocks decode exactly") {
+    val media = MultimodalOps.asAdpcmWavPayload(spark, docs.limit(12), "doc_id")
+    val stats = MultimodalOps.extractAudioPcm(spark, media).collect().sortBy(_.doc_id)
+    assert(stats.length == 12)
+    for (st <- stats) {
+      val id = st.doc_id
+      val ch = 1 + (id % 2).toInt
+      val nb = 1 + (id % 3).toInt
+      assert(st.channels == ch)
+      assert(st.n_samples == ch * 17 * nb, s"doc $id")
+      val p0 = ((id * 7919) % 65536 - 32768).toInt
+      assert(st.peak >= math.abs(p0), s"doc $id peak")
+    }
   }
 
   test("asWavPayload emits genuine parseable WAV containers end to end") {

@@ -153,7 +153,7 @@ class ManifestScaleSpec extends AnyFunSuite {
     ensureDeltas()
     val table = new GraftDiskTable("scale.t", log, log.latest(), pinned = None)
     val (groups, ms) = timedMs(table.changeGroups(8L, 10L))
-    val inserted = groups.filter(_._3 == "insert").flatMap(_._2)
+    val inserted = groups.filter(_.ctype == "insert").flatMap(_.files)
     assert(inserted ==
       Seq("day=2024-12-31/extra-9.parquet", "day=2024-12-31/extra-10.parquet"))
     assert(ms < 3000, s"a 2-version change window on a 50k-file table took $ms ms")
