@@ -207,11 +207,18 @@ object MultimodalOps {
       // a chunk whose declared body overruns the payload is malformed
       if (size < 0 || i + 8 + size > b.length) return None
       if (id == "fmt " && size >= 16) {
-        val tag = le16(at + 8)
-        // codec scope: 1 = integer PCM, 3 = IEEE float (32-bit),
-        // 0x11 = IMA ADPCM (4-bit). Anything else quarantines.
+        // WAVE_FORMAT_EXTENSIBLE (0xFFFE) wraps the REAL codec in the
+        // SubFormat GUID's first two bytes (the >2-channel / >16-bit
+        // container every DAW emits) — unwrap before the scope check
+        val rawTag = le16(at + 8)
+        val tag =
+          if (rawTag != 0xFFFE) rawTag
+          else if (size >= 40) le16(at + 32)
+          else return None
+        // codec scope: 1 = integer PCM (8/16/24/32-bit), 3 = IEEE float
+        // (32-bit), 0x11 = IMA ADPCM (4-bit). Anything else quarantines.
         val bitsOk = tag match {
-          case 1 => true
+          case 1 => Seq(8, 16, 24, 32).contains(le16(at + 22))
           case 3 => le16(at + 22) == 32
           case 0x11 => le16(at + 22) == 4
           case _ => false
@@ -251,8 +258,14 @@ object MultimodalOps {
       val at = i.toInt
       val size = le32(at + 4)
       if (size < 0 || i + 8 + size > b.length) return None
-      if (cc(at) == "fmt " && size >= 16)
-        return Some((le16(at + 8), le16(at + 10), le16(at + 20)))
+      if (cc(at) == "fmt " && size >= 16) {
+        val rawTag = le16(at + 8)
+        val tag = // unwrap WAVE_FORMAT_EXTENSIBLE like wavMeta does
+          if (rawTag != 0xFFFE) rawTag
+          else if (size >= 40) le16(at + 32)
+          else return None
+        return Some((tag, le16(at + 10), le16(at + 20)))
+      }
       i += 8L + size + (size & 1)
     }
     None
@@ -2681,12 +2694,48 @@ object MultimodalOps {
         (tag, ch, blockAlign) <- wavFmtTag(b)
         (off, len) <- wavDataChunk(b)
         samples <- tag match {
+          // integer PCM: every width normalizes to the 16-bit lattice the
+          // quality battery runs on — 8-bit unsigned shifts up ((u−128)·256),
+          // 24/32-bit take their high 16 bits (the standard downscale)
+          case 1 if m.bits == 8 =>
+            val s = new Array[Short](len)
+            var j = 0
+            while (j < len) {
+              s(j) = (((b(off + j) & 0xff) - 128) << 8).toShort
+              j += 1
+            }
+            Some(s)
           case 1 if m.bits == 16 && len % 2 == 0 =>
             val n = len / 2
             val s = new Array[Short](n)
             var j = 0
             while (j < n) {
               s(j) = ((b(off + 2 * j) & 0xff) | (b(off + 2 * j + 1) << 8)).toShort
+              j += 1
+            }
+            Some(s)
+          case 1 if m.bits == 24 && len % 3 == 0 =>
+            val n = len / 3
+            val s = new Array[Short](n)
+            var j = 0
+            while (j < n) {
+              val v = (b(off + 3 * j) & 0xff) |
+                ((b(off + 3 * j + 1) & 0xff) << 8) |
+                (b(off + 3 * j + 2) << 16) // sign-extends
+              s(j) = (v >> 8).toShort
+              j += 1
+            }
+            Some(s)
+          case 1 if m.bits == 32 && len % 4 == 0 =>
+            val n = len / 4
+            val s = new Array[Short](n)
+            var j = 0
+            while (j < n) {
+              val v = (b(off + 4 * j) & 0xff) |
+                ((b(off + 4 * j + 1) & 0xff) << 8) |
+                ((b(off + 4 * j + 2) & 0xff) << 16) |
+                (b(off + 4 * j + 3) << 24)
+              s(j) = (v >> 16).toShort
               j += 1
             }
             Some(s)
@@ -2869,11 +2918,85 @@ object MultimodalOps {
       }.toDF("doc_id", "payload")
   }
 
+  /** Fixture adapter for the INTEGER-PCM WIDTH MATRIX (8/24/32-bit plus
+    * a WAVE_FORMAT_EXTENSIBLE-wrapped 24-bit lane, rotating by row id):
+    * samples are stored so the decoder's width normalization recovers an
+    * exact 16-bit formula value — 8-bit stores the raw formula byte `u`
+    * (decodes to `(u−128)·256`), 24-bit stores `k·256` (high-16 = `k`),
+    * 32-bit stores `k·65536`, and the extensible lane wraps the 24-bit
+    * layout in a tag-0xFFFE header whose SubFormat GUID carries PCM — so
+    * DuckDB replays every statistic from the formula while the bytes
+    * exercise each width's stride, sign extension, and the GUID unwrap. */
+  def asWidthWavPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val lane = (docId % 4).toInt // 0=8-bit 1=24-bit 2=32-bit 3=ext24
+          val channels = 1 + (docId % 2).toInt
+          val n = 96 + (docId % 8).toInt * 16
+          val rate = 16000
+          val bits = lane match {
+            case 0 => 8
+            case 2 => 32
+            case _ => 24
+          }
+          val bytesPer = bits / 8
+          val blockAlign = channels * bytesPer
+          val ext = lane == 3
+          val fmtSize = if (ext) 40 else 16
+          val buf = java.nio.ByteBuffer
+            .allocate(20 + fmtSize + 8 + bytesPer * n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII"))
+          buf.putInt(12 + fmtSize + 8 + bytesPer * n)
+          buf.put("WAVE".getBytes("US-ASCII"))
+          buf.put("fmt ".getBytes("US-ASCII"))
+          buf.putInt(fmtSize)
+          buf.putShort(if (ext) 0xFFFE.toShort else 1)
+          buf.putShort(channels.toShort)
+          buf.putInt(rate)
+          buf.putInt(rate * blockAlign)
+          buf.putShort(blockAlign.toShort)
+          buf.putShort(bits.toShort)
+          if (ext) {
+            buf.putShort(22) // cbSize
+            buf.putShort(24) // valid bits
+            buf.putInt(0) // channel mask
+            // KSDATAFORMAT_SUBTYPE_PCM: 00000001-0000-0010-8000-00aa00389b71
+            buf.putShort(1) // the wrapped codec tag
+            buf.put(Array[Byte](0, 0, 0, 0, 0x10, 0,
+              0x80.toByte, 0, 0, 0xAA.toByte, 0, 0x38, 0x9B.toByte, 0x71))
+          }
+          buf.put("data".getBytes("US-ASCII"))
+          buf.putInt(bytesPer * n)
+          var i = 0
+          while (i < n) {
+            lane match {
+              case 0 => // stored unsigned byte u → decodes to (u−128)·256
+                buf.put(((docId * 7919 + i.toLong * 2641) % 256).toByte)
+              case 2 =>
+                val k = ((docId * 7919 + i.toLong * 2641) % 65536 - 32768).toInt
+                buf.putInt(k << 16)
+              case _ => // 24-bit LE of k·256
+                val k = ((docId * 7919 + i.toLong * 2641) % 65536 - 32768).toInt
+                val v = k * 256
+                buf.put((v & 0xff).toByte)
+                buf.put(((v >> 8) & 0xff).toByte)
+                buf.put(((v >> 16) & 0xff).toByte)
+            }
+            i += 1
+          }
+          (docId, buf.array())
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** Partition-parallel PCM decode + quality stats ([[extractBmpPixels]]
-    * shape): per-payload byte work, zero shuffle; integer-PCM, IEEE-
-    * float, and IMA-ADPCM containers all decode ([[wavPcm]]'s dispatch);
-    * out-of-scope widths or malformed containers drop (quarantine
-    * lane). */
+    * shape): per-payload byte work, zero shuffle; integer-PCM (8/16/24/
+    * 32-bit, extensible-wrapped included), IEEE-float, and IMA-ADPCM
+    * containers all decode ([[wavPcm]]'s dispatch); out-of-scope widths
+    * or malformed containers drop (quarantine lane). */
   def extractAudioPcm(spark: SparkSession, media: DataFrame): Dataset[AudioPcm] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]

@@ -3488,6 +3488,52 @@ object ExtMultimodal extends QueryModule {
           CAST(sum(zc) AS INT) AS zero_crossings
         FROM flagged GROUP BY doc_id, channels, n ORDER BY doc_id""")),
 
+    // INTEGER-PCM WIDTH MATRIX (8/24/32-bit + WAVE_FORMAT_EXTENSIBLE-
+    // wrapped 24-bit, rotating by row id): every width normalizes to the
+    // 16-bit lattice via its standard downscale (8-bit unsigned shift-up,
+    // 24/32-bit high-16), and the fixture stores bytes whose decode is an
+    // exact formula value — so the one oracle covers all four lanes'
+    // strides, sign extensions, and the 0xFFFE SubFormat-GUID unwrap.
+    QueryDef(
+      "ext_multimodal_audio_widths",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asWidthWavPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        MultimodalOps.extractAudioPcm(s, media).toDF()
+          .select($"doc_id", $"channels", $"n_samples", $"peak",
+            $"sum_sq", $"dc_sum", $"clip_count", $"silence_count",
+            $"zero_crossings")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id,
+            CAST(doc_id % 4 AS INT) AS lane,
+            CAST(1 + doc_id % 2 AS INT) AS channels,
+            CAST(96 + (doc_id % 8) * 16 AS INT) AS n
+          FROM documents),
+        samp AS (
+          SELECT doc_id, channels, n, i,
+            CASE WHEN lane = 0
+              THEN ((doc_id*7919 + i*2641) % 256 - 128) * 256
+              ELSE (doc_id*7919 + i*2641) % 65536 - 32768 END AS v
+          FROM base, unnest(range(0, 208)) AS t(i)
+          WHERE i < n),
+        flagged AS (
+          SELECT doc_id, channels, n, v,
+            CASE WHEN i > 0 AND (v >= 0) !=
+                 (lag(v) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+                 THEN 1 ELSE 0 END AS zc
+          FROM samp)
+        SELECT doc_id, channels, n AS n_samples,
+          CAST(max(abs(v)) AS INT) AS peak,
+          CAST(sum(v*v) AS BIGINT) AS sum_sq,
+          CAST(sum(v) AS BIGINT) AS dc_sum,
+          CAST(count(*) FILTER (WHERE abs(v) >= 32700) AS INT) AS clip_count,
+          CAST(count(*) FILTER (WHERE abs(v) < 64) AS INT) AS silence_count,
+          CAST(sum(zc) AS INT) AS zero_crossings
+        FROM flagged GROUP BY doc_id, channels, n ORDER BY doc_id""")),
+
     // IMA ADPCM WAV decode (format tag 0x11, 4-bit — formerly a
     // quarantine class): the fixture's blocks carry id-derived per-
     // channel header predictors and ALL-ZERO nibbles — at step index 0 a
