@@ -349,7 +349,8 @@ final class GraftSession(
     import spark.implicits._
     Seq(d).toDF("format", "location", "version", "committed_at_ms",
       "num_files", "size_bytes", "num_rows", "partition_columns",
-      "num_buckets", "properties")
+      "num_buckets", "properties",
+      "num_deletion_vectors", "num_deleted_rows")
   }
 
   /** `CONVERT TO GDISK '<path>' AS <catalog>.<ns>.<table>` — adopt an

@@ -463,6 +463,74 @@ object DdlDml extends QueryModule {
           WHERE NOT (o_orderkey % 5 = 2) AND o_custkey % 11 = 3), -3.0
         ORDER BY grp""")),
 
+    // ---- MERGE-ON-READ UPDATE under the oracle gate: on a
+    // 'delete.mode'='dv' table the row-level rewrite takes Spark's DELTA
+    // path — each UPDATE grows the touched files' deletion vectors and
+    // appends only the replacement rows (no data file rewrites; the
+    // bytes-untouched digest proof is DeletionVectorSpec's). Two
+    // OVERLAPPING updates prove sidecar union across commits; the CDC
+    // sentinel proves the feed carries each commit's pre-image deletes;
+    // the time-travel sentinel pins version isolation. ----
+    QueryDef(
+      "ddl_v2_disk_dv_update",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.ord_dvu")
+        s.sql("""CREATE TABLE gdisk.verify.ord_dvu (
+          o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+          TBLPROPERTIES ('delete.mode'='dv')""")
+        s.sql("""INSERT INTO gdisk.verify.ord_dvu
+          SELECT o_orderkey, o_custkey, o_totalprice FROM orders""")
+        // v2: delta UPDATE — DV the pre-images, append the post-images
+        s.sql("""UPDATE gdisk.verify.ord_dvu
+          SET o_totalprice = o_totalprice + 1000.0 WHERE o_orderkey % 10 = 3""")
+        // v3: overlapping delta UPDATE (some rows updated twice — the
+        // second commit DVs rows the first one appended)
+        s.sql("""UPDATE gdisk.verify.ord_dvu
+          SET o_totalprice = 500.0 WHERE o_custkey % 13 = 5""")
+        val g = new GraftSession(s)
+        g.sql("""SELECT count(*) AS c
+            FROM table_changes('gdisk.verify.ord_dvu', 2, 2)
+            WHERE _change_type = 'delete'""")
+          .createOrReplaceTempView("ord_dvu_cdc2")
+        g.sql("""SELECT o_orderkey % 7 AS grp, count(*) AS n,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+          FROM gdisk.verify.ord_dvu GROUP BY o_orderkey % 7
+          UNION ALL
+          SELECT CAST(-1 AS BIGINT),
+            (SELECT count(*) FROM gdisk.verify.ord_dvu VERSION AS OF 1),
+            CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(14,2)))
+              FROM gdisk.verify.ord_dvu VERSION AS OF 1) AS DOUBLE)
+          UNION ALL
+          SELECT CAST(-2 AS BIGINT), (SELECT c FROM ord_dvu_cdc2),
+            CAST(-2.0 AS DOUBLE)
+          ORDER BY grp""")
+      },
+      Some("""WITH cur AS (
+          SELECT o_orderkey,
+            CASE WHEN o_custkey % 13 = 5 THEN 500.0
+                 WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000.0
+                 ELSE o_totalprice END AS price
+          FROM orders)
+        SELECT o_orderkey % 7 AS grp, count(*) AS n,
+          CAST(sum(CAST(price AS DECIMAL(14,2))) AS DOUBLE) AS total
+        FROM cur GROUP BY 1
+        UNION ALL
+        SELECT -1, (SELECT count(*) FROM orders),
+          CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(14,2)))
+            FROM orders) AS DOUBLE)
+        UNION ALL
+        SELECT -2, (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 3),
+          -2.0
+        ORDER BY grp""")),
+
     // ---- BLOOM-INDEXED gdisk table under the oracle gate: four
     // interleaved ingests (mod-4 key classes) give every parquet file a
     // min/max range spanning the whole key domain — the worst case for

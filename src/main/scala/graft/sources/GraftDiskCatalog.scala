@@ -1225,6 +1225,21 @@ object GraftDiskCatalog {
       "copy-on-write group id (the parquet data file holding the row)"
   }
 
+  val PosColumnName = "_pos"
+
+  /** The row's position within its data file (the parquet readers' own
+    * row-index generation — split- and row-group-skip-safe). Together
+    * with `_file` it is the STABLE ROW ID the merge-on-read delta write
+    * path keys deletion-vector updates on. */
+  object PosColumn extends MetadataColumn {
+    override def name(): String = PosColumnName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "row position within its data file (merge-on-read row id)"
+  }
+
   /** Live catalog instances by name (the front door's VACUUM reaches the
     * plugin here; Spark's CatalogManager holds it privately). */
   private val instances = TrieMap.empty[String, GraftDiskCatalog]
@@ -1885,7 +1900,7 @@ class GraftDiskTable(
     * carries each row's file, runtime group filtering narrows the rewrite
     * scan to the affected files, and commit replaces exactly those. */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftDiskCatalog.FileColumn)
+    Array(GraftDiskCatalog.FileColumn, GraftDiskCatalog.PosColumn)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
@@ -2063,7 +2078,8 @@ class GraftDiskTable(
     * (the counted fallback covers only files from pre-`fileSizes`
     * manifests). */
   private[graft] def detail: (String, String, Long, Option[Long], Long,
-      Long, Option[Long], Seq[String], Option[Int], Map[String, String]) = {
+      Long, Option[Long], Seq[String], Option[Int], Map[String, String],
+      Long, Long) = {
     lazy val fs = log.dataDir.getFileSystem(
       SparkSession.active.sessionState.newHadoopConf())
     val manifestSizes = loaded.sizes
@@ -2077,16 +2093,20 @@ class GraftDiskTable(
     val (nFiles, rows) = convertSummary
     ("parquet", log.tableDir.toString, loaded.version, loaded.committedAtMs,
       nFiles, bytes, rows, loaded.partCols, loaded.numBuckets,
-      loaded.properties)
+      loaded.properties,
+      loaded.dvs.size.toLong, loaded.dvs.values.iterator.map(_.card).sum)
   }
 
-  /** (file count, exact row count if every file has stats) — the CONVERT
-    * verb's summary, pure manifest arithmetic. */
+  /** (file count, exact LIVE row count if every file has stats) — the
+    * CONVERT verb's summary, pure manifest arithmetic (deletion-vector
+    * cardinalities subtract, so the number is what a scan returns). */
   private[graft] def convertSummary: (Long, Option[Long]) = {
     val per = loaded.files.map(f =>
       loaded.stats.get(f).flatMap(_.values.headOption).map(_.rows))
+    val dvCard = loaded.dvs.values.iterator.map(_.card).sum
     (loaded.files.length.toLong,
-      if (per.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.sum)
+      if (per.nonEmpty && per.forall(_.isDefined))
+        Some(per.flatten.sum - dvCard)
       else None)
   }
 
@@ -2674,7 +2694,178 @@ class GraftDiskTable(
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation = new RowLevelOperation {
+      override def build(): RowLevelOperation =
+        // merge-on-read tables take the DELTA path: deletes/updates write
+        // deletion-vector sidecars + appended files instead of rewriting
+        // whole touched files
+        if (DiskDv.enabled(loaded.properties)) deltaOperation(info)
+        else cowOperation(info)
+    }
+
+  /** MERGE-ON-READ row-level operations (`'delete.mode'='dv'` tables) via
+    * Spark's `SupportsDelta`: the rewrite plan tags each touched row with
+    * its STABLE ROW ID — `(_file, _pos)`, the data file and the parquet
+    * row index the scan generates — and ships per-row delete/insert ops
+    * to the writers (updates split into delete + reinsert, since an
+    * updated row moves to a new file). Writers accumulate each file's
+    * deleted positions in a bitset (the clustered-by-`_file` write
+    * distribution lands one file's deletes in ONE task), union with the
+    * file's existing sidecar, and write a NEW sidecar; inserted rows
+    * stream through the normal parquet fanout writer. ONE commit lands
+    * both: a 1-row UPDATE in a 1 GB file costs one tiny sidecar + a
+    * 1-row data file, not a gigabyte rewrite — the at-scale trickle-
+    * correction path. Fresh-insert skew note: NOT MATCHED rows carry a
+    * NULL `_file`, so on an unpartitioned table all inserts cluster into
+    * one task (partitioned tables spread by their partition columns);
+    * bulk-insert-heavy MERGEs on unpartitioned tables prefer COW mode. */
+  private def deltaOperation(info: RowLevelOperationInfo): RowLevelOperation =
+    new RowLevelOperation with org.apache.spark.sql.connector.write.SupportsDelta {
+      override def command(): RowLevelOperation.Command = info.command()
+      override def description(): String =
+        s"GraftDiskDeltaRowLevel(${info.command()}, $tableName)"
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new GraftDiskScanBuilder(GraftDiskTable.this, loaded.files, options)
+      override def requiredMetadataAttributes()
+          : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(Expressions.column(GraftDiskCatalog.FileColumnName),
+          Expressions.column(GraftDiskCatalog.PosColumnName))
+      override def rowId()
+          : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(Expressions.column(GraftDiskCatalog.FileColumnName),
+          Expressions.column(GraftDiskCatalog.PosColumnName))
+      override def representUpdateAsDeleteAndInsert(): Boolean = true
+      override def newWriteBuilder(lwi: LogicalWriteInfo)
+          : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+        new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+          override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+            new org.apache.spark.sql.connector.write.DeltaWrite
+              with RequiresDistributionAndOrdering {
+              // one task owns all of a file's deletes (bitsets merge
+              // task-locally); inserts spread by the partition columns
+              override def requiredDistribution()
+                  : org.apache.spark.sql.connector.distributions.Distribution =
+                org.apache.spark.sql.connector.distributions.Distributions
+                  .clustered((GraftDiskCatalog.FileColumnName +:
+                    loaded.partCols).map(Expressions.column).toArray)
+              override def requiredOrdering()
+                  : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+                Array.empty
+              override def toBatch
+                  : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+                new org.apache.spark.sql.connector.write.DeltaBatchWrite {
+                  override def createBatchWriterFactory(
+                      pwi: PhysicalWriteInfo)
+                      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+                    // a pure DELETE's write schema is EMPTY (no insert
+                    // rows exist) — the fanout writer only materializes
+                    // when rows can actually arrive
+                    val innerF =
+                      if (lwi.schema().isEmpty) None
+                      else Some(new GraftDiskWriterFactory(
+                        lwi.schema(), schema(),
+                        log.dataDir.toString, writeConfMap(), loaded.partCols,
+                        loaded.numBuckets, loaded.funcs, bloomArgs._1,
+                        bloomArgs._2, bloomArgs._3,
+                        loaded.physicalNames.getOrElse(Map.empty)))
+                    val rowIdSch = lwi.rowIdSchema().orElseThrow(() =>
+                      new IllegalStateException(
+                        "gdisk: delta write without a row-id schema"))
+                    GdiskDeltaWriterFactory(innerF,
+                      rowIdSch.fieldIndex(GraftDiskCatalog.FileColumnName),
+                      rowIdSch.fieldIndex(GraftDiskCatalog.PosColumnName),
+                      loaded.dvs.map { case (f, e) => f -> e.dv },
+                      log.dataDir.toString)
+                  }
+                  override def commit(messages: Array[WriterCommitMessage]): Unit =
+                    commitDeltaRowOps(messages, loaded)
+                  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+                    val msgs = messages.collect {
+                      case m: GdiskDeltaCommit => m }
+                    deleteFiles(msgs.flatMap(_.files.files).toSeq)
+                    deleteFiles(msgs.flatMap(_.dvs.values.map(_.dv)).toSeq)
+                  }
+                }
+            }
+        }
+    }
+
+  /** The delta commit: appended files join the snapshot, touched files'
+    * deletion vectors swap to their merged sidecars, and a sidecar that
+    * now covers every recorded row collapses its file into a drop.
+    * Conflicts: a touched file replaced concurrently, or its DV changed
+    * since the snapshot the task-side merges read — either re-runs the
+    * statement. Constraint probes run against the CANDIDATE state, so a
+    * key-preserving UPDATE does not collide with its own DV'd pre-image
+    * and FK RESTRICT sees the post-delete parent set. */
+  private def commitDeltaRowOps(
+      messages: Array[WriterCommitMessage], snapshot: DiskManifest): Unit =
+    synchronized {
+      val msgs = messages.collect { case m: GdiskDeltaCommit => m }
+      val newFiles = msgs.flatMap(_.files.files).toSeq
+      val newStats = msgs.flatMap(_.files.stats).toMap
+      val newSizes = msgs.flatMap(_.files.sizes).toMap
+      // the clustered distribution gives one task per touched file;
+      // merge defensively anyway (two sidecars union driver-side — tiny)
+      val dvUpdates = scala.collection.mutable.Map.empty[String, DvEntry]
+      msgs.flatMap(_.dvs).foreach { case (f, e) =>
+        dvUpdates.get(f) match {
+          case None => dvUpdates(f) = e
+          case Some(prev) =>
+            val a = DiskDv.read(log.fs, log.dataDir, prev.dv)
+            a.unionWith(DiskDv.read(log.fs, log.dataDir, e.dv))
+            dvUpdates(f) = DvEntry(DiskDv.write(log.fs, log.dataDir, a),
+              a.cardinality)
+        }
+      }
+      if (newFiles.isEmpty && dvUpdates.isEmpty) return
+      var attempts = 0
+      var committed = false
+      while (!committed) {
+        val base = log.latest()
+        val live = base.files.toSet
+        val goneTouched = dvUpdates.keysIterator.filterNot(live).toSeq
+        if (goneTouched.nonEmpty) throw new IllegalStateException(
+          s"gdisk: concurrent commit conflict on $tableName — " +
+            s"${goneTouched.size} file(s) this operation's deletes touch " +
+            s"were replaced or removed (e.g. ${goneTouched.head}); re-run " +
+            "the statement against the current snapshot")
+        val dvMoved = dvUpdates.keysIterator.filter(f =>
+          base.dvs.get(f) != snapshot.dvs.get(f)).toSeq
+        if (dvMoved.nonEmpty) throw new IllegalStateException(
+          s"gdisk: concurrent commit conflict on $tableName — the deletion " +
+            s"vector of ${dvMoved.head} changed while this operation ran " +
+            "(its merge would lose the concurrent deletes); re-run the " +
+            "statement against the current snapshot")
+        val fullCover = dvUpdates.keysIterator.filter { f =>
+          base.stats.get(f).flatMap(_.values.headOption)
+            .exists(_.rows == dvUpdates(f).card)
+        }.toSet
+        val kept = base.files.filterNot(fullCover)
+        val nextDvs = (base.dvs -- fullCover) ++ (dvUpdates -- fullCover)
+        val candidate = base.copy(
+          version = base.version + 1,
+          files = kept ++ newFiles,
+          added = newFiles,
+          fileStats = Some((base.stats -- fullCover) ++ newStats),
+          fileSizes = Some((base.sizes -- fullCover) ++ newSizes),
+          deleteVectors = if (nextDvs.isEmpty) None else Some(nextDvs))
+        enforceKeysDistributed(candidate, newFiles, existingFiles = kept)
+        enforceFkChildDistributed(candidate, newFiles, existingFiles = kept)
+        enforceFkRestrictDistributed(kept ++ newFiles, Some(candidate))
+        try {
+          log.write(candidate)
+          committed = true
+        } catch {
+          case e: java.io.IOException =>
+            attempts += 1
+            if (attempts > 5) throw new IllegalStateException(
+              s"gdisk: concurrent commit conflict on $tableName", e)
+        }
+      }
+    }
+
+  private def cowOperation(info: RowLevelOperationInfo): RowLevelOperation =
+    new RowLevelOperation {
         // the scan instance this operation's rewrite reads — its
         // (runtime-filtered) file set is what commit replaces
         @volatile private var cowScan: GdiskFileScan = null
@@ -2717,7 +2908,6 @@ class GraftDiskTable(
             }
           }
       }
-    }
 
   /** OPTIMIZE: bin-pack the table's data files into ~`targetFileBytes`
     * outputs — the standing maintenance job for a streaming-ingested
@@ -3946,16 +4136,20 @@ class GraftDiskScanBuilder(
   private var required: StructType = table.schema()
   private var prunedForInner: Option[StructType] = None
   private var wantsFile = false
+  private var wantsPos = false
   private var statsSkipped = 0
   private var pushedDataFilters
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     wantsFile = requiredSchema.fieldNames.contains(FileColumnName)
+    wantsPos = requiredSchema.fieldNames
+      .contains(GraftDiskCatalog.PosColumnName)
     required = requiredSchema
     // the inner parquet scan speaks PHYSICAL names end to end
     val forInner = table.toPhysical(StructType(requiredSchema.fields
-      .filterNot(_.name == FileColumnName)))
+      .filterNot(f => f.name == FileColumnName ||
+        f.name == GraftDiskCatalog.PosColumnName)))
     prunedForInner = Some(forInner)
     inner.pruneColumns(forInner)
   }
@@ -3964,7 +4158,8 @@ class GraftDiskScanBuilder(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     val (fileFilters, logicalDataFilters) = filters.partition(
-      _.references.exists(_.name == FileColumnName))
+      _.references.exists(r => r.name == FileColumnName ||
+        r.name == GraftDiskCatalog.PosColumnName))
     // everything below the manifest boundary — per-file stats keys, bloom
     // sidecar names, the inner parquet scan — speaks PHYSICAL names
     val dataFilters = logicalDataFilters.map(table.toPhysicalExpr)
@@ -4282,15 +4477,16 @@ class GraftDiskScanBuilder(
   }
 
   override def build(): Scan = {
-    val pruned = StructType(required.fields.filterNot(_.name == FileColumnName))
+    val pruned = StructType(required.fields.filterNot(f =>
+      f.name == FileColumnName || f.name == GraftDiskCatalog.PosColumnName))
     manifestAgg match {
       case Some((aggSchema, aggRows)) =>
         return new GdiskManifestAggScan(table.name(), aggSchema, aggRows,
           currentFiles.length)
       case None => ()
     }
-    if (wantsFile)
-      new GdiskFileScan(table, currentFiles, pruned, required)
+    if (wantsFile || wantsPos)
+      new GdiskFileScan(table, currentFiles, pruned, required, wantsPos)
     else {
       // exact planned-row count from the manifest's per-file stats (every
       // file records its row count at commit) — numRows feeds Spark's
@@ -4386,7 +4582,7 @@ class GraftDiskScanBuilder(
   * operation's commit replaces. */
 class GdiskFileScan(
     table: GraftDiskTable, allFiles: Seq[String],
-    pruned: StructType, required: StructType)
+    pruned: StructType, required: StructType, wantsPos: Boolean = false)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import GraftDiskCatalog.FileColumnName
@@ -4428,16 +4624,19 @@ class GdiskFileScan(
       // a file carrying a deletion vector reads through the row-index-
       // requesting inner table and its reader drops DV'd rows — a COW
       // UPDATE/MERGE rewrite must not resurrect deleted rows into the
-      // replacement files (and its own commit clears the file's DV)
+      // replacement files (and its own commit clears the file's DV).
+      // A `_pos` request (the merge-on-read delta row id) needs the row
+      // index on EVERY file.
       val dvBytes = table.liveDvs.get(f).map(e =>
         DiskDv.readBytes(table.log.fs, table.log.dataDir, e.dv))
-      val sb = (if (dvBytes.isDefined)
+      val needRi = wantsPos || dvBytes.isDefined
+      val sb = (if (needRi)
           table.innerTableRI(Seq(table.log.absolute(f)))
         else table.innerTable(Seq(table.log.absolute(f))))
         .newScanBuilder(CaseInsensitiveStringMap.empty())
       val prunedPhys = table.toPhysical(pruned)
       sb.pruneColumns(
-        if (dvBytes.isDefined)
+        if (needRi)
           StructType(prunedPhys.fields :+ GraftDiskCatalog.RowIndexField)
         else prunedPhys)
       val scan = sb.build()
@@ -4476,7 +4675,13 @@ class FileAppendingReaderFactory(required: StructType)
         CatalystLiteral(org.apache.spark.unsafe.types.UTF8String.fromString(fp.file),
           org.apache.spark.sql.types.StringType)
           : org.apache.spark.sql.catalyst.expressions.Expression
-      else {
+      else if (f.name == GraftDiskCatalog.PosColumnName) {
+        // the delta row id's position half: the inner scan's row-index
+        // request column (present whenever `_pos` was asked for)
+        val i = innerSchema.fieldIndex(GraftDiskCatalog.RowIndexColumnName)
+        BoundReference(i, org.apache.spark.sql.types.LongType,
+          nullable = false)
+      } else {
         val i = innerSchema.fieldIndex(f.name)
         BoundReference(i, innerSchema(i).dataType, innerSchema(i).nullable)
       }
@@ -5124,6 +5329,71 @@ case class DiskFilesCommit(
     stats: Map[String, Map[String, ColStats]] = Map.empty,
     sizes: Map[String, Long] = Map.empty)
   extends WriterCommitMessage
+
+/** One delta-write task's result: the appended files (the inner fanout
+  * writer's normal message) plus the touched files' NEW deletion-vector
+  * sidecars — names, stats, and counts only, never rows. */
+case class GdiskDeltaCommit(
+    files: DiskFilesCommit, dvs: Map[String, DvEntry])
+  extends WriterCommitMessage
+
+/** Executor side of the merge-on-read delta write: inserts stream through
+  * the normal parquet fanout writer; deletes accumulate per-file position
+  * bitsets (the clustered distribution gives this task ALL of a touched
+  * file's deletes) which commit-time merges with the file's existing
+  * sidecar (from the operation's snapshot) and writes as one new
+  * immutable sidecar. Updates arrive pre-split (delete + reinsert). */
+case class GdiskDeltaWriterFactory(
+    inner: Option[GraftDiskWriterFactory], fileOrd: Int, posOrd: Int,
+    oldDvs: Map[String, String], dataDirStr: String)
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] = {
+    val dataWriter = inner.map(_.createWriter(partitionId, taskId))
+    new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+      private val dels = scala.collection.mutable.Map.empty[String, DvBitmap]
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit = {
+        val rel = id.getUTF8String(fileOrd).toString
+        dels.getOrElseUpdate(rel, new DvBitmap()).set(id.getLong(posOrd))
+      }
+
+      override def update(
+          meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+        // defensive: representUpdateAsDeleteAndInsert pre-splits updates,
+        // but the contract is trivially expressible either way
+        delete(meta, id)
+        insert(row)
+      }
+
+      override def insert(row: InternalRow): Unit =
+        dataWriter.getOrElse(sys.error(
+          "gdisk: insert row in a pure-DELETE delta write")).write(row)
+
+      override def commit(): WriterCommitMessage = {
+        val filesMsg = dataWriter.map(_.commit().asInstanceOf[DiskFilesCommit])
+          .getOrElse(DiskFilesCommit(Nil))
+        val dvEntries: Map[String, DvEntry] =
+          if (dels.isEmpty) Map.empty
+          else {
+            val conf = new Configuration()
+            val dd = new HPath(dataDirStr)
+            val fs = dd.getFileSystem(conf)
+            dels.iterator.map { case (rel, bits) =>
+              oldDvs.get(rel).foreach(dv =>
+                bits.unionWith(DiskDv.read(fs, dd, dv)))
+              rel -> DvEntry(DiskDv.write(fs, dd, bits), bits.cardinality)
+            }.toMap
+          }
+        GdiskDeltaCommit(filesMsg, dvEntries)
+      }
+
+      override def abort(): Unit = dataWriter.foreach(_.abort())
+      override def close(): Unit = dataWriter.foreach(_.close())
+    }
+  }
+}
 
 /** Executor-side parquet writer: every task streams its rows straight into
   * parquet files under the table's data dir (by-name normalized into the

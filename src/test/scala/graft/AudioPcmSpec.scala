@@ -76,15 +76,21 @@ class AudioPcmSpec extends AnyFunSuite {
     assert(st.zero_crossings == 6)
   }
 
-  test("malformed and non-16-bit payloads quarantine to None") {
+  test("malformed and out-of-scope payloads quarantine to None") {
     assert(MultimodalOps.wavPcm("not a wav at all".getBytes).isEmpty)
     val ok = fixtureBytes(0L)
     // truncate mid-data: the data chunk overruns the payload -> malformed
     assert(MultimodalOps.wavPcm(ok.take(60)).isEmpty)
-    // flip the declared bit depth to 8: decoder only speaks 16-bit
+    // 8-bit PCM is IN scope since the width-matrix round: the same data
+    // bytes reinterpret as 8-bit samples (2x the count, unsigned scale)
     val b8 = ok.clone(); b8(34) = 8
-    assert(MultimodalOps.wavPcm(b8).isEmpty)
-    // non-PCM format tag
+    val dec8 = MultimodalOps.wavPcm(b8)
+    assert(dec8.isDefined)
+    assert(dec8.get._2.length == 2 * MultimodalOps.wavPcm(ok).get._2.length)
+    // a width NO integer-PCM profile defines (12-bit) quarantines
+    val b12 = ok.clone(); b12(34) = 12
+    assert(MultimodalOps.wavPcm(b12).isEmpty)
+    // a float tag must carry 32-bit samples — 16-bit "float" is malformed
     val bf = ok.clone(); bf(20) = 3
     assert(MultimodalOps.wavPcm(bf).isEmpty)
   }

@@ -122,20 +122,124 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(n == 997L)
   }
 
-  test("COW UPDATE on a DV'd file does not resurrect deleted rows and clears its DV") {
+  test("UPDATE is merge-on-read: the touched file's bytes survive, its DV grows, the new row appends") {
     spark.sql("""CREATE TABLE gdv.lake.up (id BIGINT, v STRING)
       TBLPROPERTIES ('delete.mode'='dv')""")
     spark.sql("INSERT INTO gdv.lake.up SELECT id, 'a' FROM range(0, 100, 1, 1)")
     spark.sql("DELETE FROM gdv.lake.up WHERE id = 5")
-    assert(diskTable("up").log.latest().dvs.nonEmpty)
+    val t = diskTable("up")
+    assert(t.log.latest().dvs.nonEmpty)
+    val filesBefore = t.log.latest().files.toSet
+    def fileDigests(): Map[String, String] = filesBefore.iterator.map { rel =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$warehouse/lake/up/data/$rel"))
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      rel -> md.digest(bytes).map("%02x".format(_)).mkString
+    }.toMap
+    val digestsBefore = fileDigests()
     spark.sql("UPDATE gdv.lake.up SET v = 'B' WHERE id = 6")
-    val m = diskTable("up").log.latest()
-    assert(m.dvs.isEmpty, s"rewrite kept a stale DV: ${m.dvs}")
+    val m = t.log.latest()
+    // the original file is byte-for-byte intact and still live; the
+    // update landed as a bigger DV + one appended file
+    assert(filesBefore.subsetOf(m.files.toSet), "UPDATE rewrote a file")
+    assert(m.files.size == filesBefore.size + 1, m.files.toString)
+    assert(m.dvs.values.map(_.card).sum == 2L, m.dvs.toString)
     val rows = spark.sql(
       "SELECT count(*), sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END) FROM gdv.lake.up")
       .head()
-    assert(rows.getLong(0) == 99L, "COW rewrite resurrected a DV'd row")
+    assert(rows.getLong(0) == 99L, "delta update lost or resurrected rows")
     assert(rows.getLong(1) == 1L)
+    assert(spark.sql("SELECT v FROM gdv.lake.up WHERE id = 6")
+      .head().getString(0) == "B")
+    assert(spark.sql("SELECT count(*) FROM gdv.lake.up WHERE id = 5")
+      .head().getLong(0) == 0L, "UPDATE resurrected a previously deleted row")
+    // and every pre-update data file is byte-for-byte identical
+    assert(fileDigests() == digestsBefore, "UPDATE touched existing bytes")
+  }
+
+  test("MERGE is merge-on-read: matched updates DV + append, unmatched rows insert") {
+    spark.sql("""CREATE TABLE gdv.lake.mg (id BIGINT, v STRING)
+      TBLPROPERTIES ('delete.mode'='dv')""")
+    spark.sql("INSERT INTO gdv.lake.mg SELECT id, 'a' FROM range(0, 50, 1, 1)")
+    val filesBefore = diskTable("mg").log.latest().files.toSet
+    spark.sql("""MERGE INTO gdv.lake.mg t
+      USING (SELECT id AS mid, concat('m', id) AS mv
+             FROM range(45, 55)) s
+      ON t.id = s.mid
+      WHEN MATCHED THEN UPDATE SET v = s.mv
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.mid, s.mv)""")
+    val m = diskTable("mg").log.latest()
+    assert(filesBefore.subsetOf(m.files.toSet), "MERGE rewrote a file")
+    assert(m.dvs.values.map(_.card).sum == 5L, m.dvs.toString)
+    assert(spark.table("gdv.lake.mg").count() == 55L)
+    val merged = spark.sql(
+      "SELECT count(*) FROM gdv.lake.mg WHERE v = concat('m', id)")
+      .head().getLong(0)
+    assert(merged == 10L, s"expected 10 merged rows, got $merged")
+    // CDC: the MERGE version feeds 5 deletes (pre-images) + 10 inserts
+    val g = new GraftSession(spark)
+    val feed = g.sql(s"""SELECT _change_type, count(*) AS n
+        FROM table_changes('gdv.lake.mg', ${m.version}, ${m.version})
+        GROUP BY 1 ORDER BY 1""").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(feed == Seq(("delete", 5L), ("insert", 10L)), feed.toString)
+  }
+
+  test("a DELETE whose predicate defeats the classifier still goes merge-on-read") {
+    spark.sql("""CREATE TABLE gdv.lake.cx (id BIGINT, v STRING)
+      TBLPROPERTIES ('delete.mode'='dv')""")
+    spark.sql(
+      "INSERT INTO gdv.lake.cx SELECT id, concat('v', id) FROM range(0, 100, 1, 1)")
+    val filesBefore = diskTable("cx").log.latest().files.toSet
+    val digest = parquetBytesDigest("cx")
+    // length(v) isn't V2-predicate-convertible → canDeleteWhere false →
+    // the row-level path — which on a dv table is the DELTA write
+    spark.sql("DELETE FROM gdv.lake.cx WHERE length(v) = 2")
+    val m = diskTable("cx").log.latest()
+    assert(m.files.toSet == filesBefore, "complex DELETE rewrote files")
+    assert(parquetBytesDigest("cx") == digest)
+    assert(m.dvs.values.map(_.card).sum == 10L, m.dvs.toString) // v0..v9
+    assert(spark.table("gdv.lake.cx").count() == 90L)
+  }
+
+  test("a key-preserving UPDATE does not collide with its own DV'd pre-image") {
+    spark.sql("""CREATE TABLE gdv.lake.ku (id BIGINT, v STRING,
+      CONSTRAINT kpk PRIMARY KEY (id))
+      TBLPROPERTIES ('delete.mode'='dv')""")
+    spark.sql("INSERT INTO gdv.lake.ku SELECT id, 'a' FROM range(0, 30, 1, 1)")
+    // same PK lands in a new file while the old row is only DV'd — the
+    // key probe must read the CANDIDATE state or this throws
+    spark.sql("UPDATE gdv.lake.ku SET v = 'b' WHERE id = 7")
+    assert(spark.sql("SELECT v FROM gdv.lake.ku WHERE id = 7")
+      .head().getString(0) == "b")
+    assert(spark.table("gdv.lake.ku").count() == 30L)
+    // the PK still enforces against genuinely live duplicates
+    intercept[Exception](spark.sql("INSERT INTO gdv.lake.ku VALUES (7, 'dup')"))
+  }
+
+  test("an UPDATE covering a whole file collapses it into a drop") {
+    spark.sql("""CREATE TABLE gdv.lake.fu (id BIGINT, v STRING)
+      TBLPROPERTIES ('delete.mode'='dv')""")
+    spark.sql("INSERT INTO gdv.lake.fu SELECT id, 'a' FROM range(0, 10, 1, 1)")
+    spark.sql("INSERT INTO gdv.lake.fu SELECT id, 'b' FROM range(100, 110, 1, 1)")
+    assert(diskTable("fu").log.latest().files.size == 2)
+    spark.sql("UPDATE gdv.lake.fu SET v = 'X' WHERE id < 50")
+    val m = diskTable("fu").log.latest()
+    // the fully-updated file dropped; its replacement rows appended
+    assert(m.dvs.isEmpty, m.dvs.toString)
+    assert(spark.table("gdv.lake.fu").count() == 20L)
+    assert(spark.sql("SELECT count(*) FROM gdv.lake.fu WHERE v = 'X'")
+      .head().getLong(0) == 10L)
+  }
+
+  test("OPTIMIZE purges delta-update vectors too") {
+    val g = new GraftSession(spark)
+    g.sql("OPTIMIZE gdv.lake.mg")
+    assert(diskTable("mg").log.latest().dvs.isEmpty)
+    assert(spark.table("gdv.lake.mg").count() == 55L)
+    assert(spark.sql(
+      "SELECT count(*) FROM gdv.lake.mg WHERE v = concat('m', id)")
+      .head().getLong(0) == 10L)
   }
 
   test("OPTIMIZE purges: files rewrite DV-subtracted and the fast path returns") {
@@ -255,6 +359,29 @@ class DeletionVectorSpec extends AnyFunSuite {
         WHERE id >= 0 GROUP BY bucket ORDER BY bucket""").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rows == Seq(("b0", 49L)), rows.toString)
+  }
+
+  test("DESCRIBE DETAIL surfaces DV counts; the .changes microbatch stream serves DV deletes") {
+    spark.sql("""CREATE TABLE gdv.lake.dd (id BIGINT, v STRING)
+      TBLPROPERTIES ('delete.mode'='dv')""")
+    spark.sql("INSERT INTO gdv.lake.dd SELECT id, 'a' FROM range(0, 50, 1, 1)")
+    spark.sql("DELETE FROM gdv.lake.dd WHERE id IN (3, 4)") // v2
+    val g = new GraftSession(spark)
+    val d = g.sql("DESCRIBE DETAIL gdv.lake.dd")
+      .selectExpr("num_rows", "num_deletion_vectors", "num_deleted_rows")
+      .head()
+    assert((d.getLong(0), d.getLong(1), d.getLong(2)) == (48L, 1L, 2L),
+      d.toString)
+    // the LIVE microbatch stream (not just the shared batch planner)
+    // serves the DV-diff delete rows
+    val q = spark.readStream.option("startingVersion", "2")
+      .table("gdv.lake.dd.changes")
+      .selectExpr("id", "_change_type")
+      .writeStream.format("memory").queryName("dv_cdc_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dv_cdc_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((3L, "delete"), (4L, "delete")), got.toString)
   }
 
   test("the .changes STREAM recovers DV deletes across a restart window") {
