@@ -361,6 +361,59 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(rows == Seq(("b0", 49L)), rows.toString)
   }
 
+  test("DVs compose with column mapping: RENAME COLUMN then DV-delete and read") {
+    spark.sql("""CREATE TABLE gdv.lake.cm (id BIGINT, v STRING)
+      TBLPROPERTIES ('delete.mode'='dv')""")
+    spark.sql("INSERT INTO gdv.lake.cm SELECT id, 'a' FROM range(0, 40, 1, 1)")
+    // metadata-only rename: data files keep the physical name 'v'
+    spark.sql("ALTER TABLE gdv.lake.cm RENAME COLUMN v TO label")
+    spark.sql("DELETE FROM gdv.lake.cm WHERE id = 9")
+    assert(diskTable("cm").log.latest().dvs.values.map(_.card).sum == 1L)
+    assert(spark.table("gdv.lake.cm").count() == 39L)
+    assert(spark.sql(
+      "SELECT label FROM gdv.lake.cm WHERE id = 10").head().getString(0) == "a")
+    // delta UPDATE through the mapping too
+    spark.sql("UPDATE gdv.lake.cm SET label = 'B' WHERE id = 11")
+    assert(spark.sql(
+      "SELECT label FROM gdv.lake.cm WHERE id = 11").head().getString(0) == "B")
+    assert(spark.table("gdv.lake.cm").count() == 39L)
+  }
+
+  test("DVs compose with hash-bucketed layout and its bucket pruning") {
+    spark.sql("""CREATE TABLE gdv.lake.bk (id BIGINT, v STRING)
+      PARTITIONED BY (bucket(4, id))
+      TBLPROPERTIES ('delete.mode'='dv')""")
+    spark.sql("INSERT INTO gdv.lake.bk SELECT id, concat('v', id) FROM range(0, 200, 1, 1)")
+    val digest = parquetBytesDigest("bk")
+    spark.sql("DELETE FROM gdv.lake.bk WHERE id = 77")
+    assert(parquetBytesDigest("bk") == digest, "bucketed DV delete rewrote a file")
+    assert(spark.table("gdv.lake.bk").count() == 199L)
+    // bucket-pruned point lookup on a DV'd table stays correct
+    assert(spark.sql("SELECT count(*) FROM gdv.lake.bk WHERE id = 77")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT v FROM gdv.lake.bk WHERE id = 78")
+      .head().getString(0) == "v78")
+  }
+
+  test("manifest stats skipping still prunes files on a DV'd table") {
+    spark.sql("""CREATE TABLE gdv.lake.sk (id BIGINT, v STRING)
+      TBLPROPERTIES ('delete.mode'='dv')""")
+    for (i <- 0 until 4)
+      spark.sql(s"""INSERT INTO gdv.lake.sk
+        SELECT id, 'a' FROM range(${i * 100}, ${i * 100 + 100}, 1, 1)""")
+    spark.sql("DELETE FROM gdv.lake.sk WHERE id = 250") // DV on file #3
+    // point predicate outside every DV'd file: stats skipping keeps ONE
+    // file and the plan shows it (composite only engages for served
+    // DV'd files — this scan's survivor is clean, so no dvFiles tag)
+    val clean = spark.sql("SELECT v FROM gdv.lake.sk WHERE id = 50")
+    assert(clean.queryExecution.executedPlan.toString.contains("statsFiles=1/4"))
+    assert(!clean.queryExecution.executedPlan.toString.contains("dvFiles="))
+    assert(clean.count() == 1L)
+    // point predicate INSIDE the DV'd file: skipping + subtraction compose
+    val dvd = spark.sql("SELECT count(*) FROM gdv.lake.sk WHERE id IN (250, 251)")
+    assert(dvd.head().getLong(0) == 1L)
+  }
+
   test("DESCRIBE DETAIL surfaces DV counts; the .changes microbatch stream serves DV deletes") {
     spark.sql("""CREATE TABLE gdv.lake.dd (id BIGINT, v STRING)
       TBLPROPERTIES ('delete.mode'='dv')""")

@@ -158,4 +158,43 @@ class ManifestScaleSpec extends AnyFunSuite {
       Seq("day=2024-12-31/extra-9.parquet", "day=2024-12-31/extra-10.parquet"))
     assert(ms < 3000, s"a 2-version change window on a 50k-file table took $ms ms")
   }
+
+  // runs LAST (declaration order): it appends commits the earlier
+  // version-window assertions must not see
+  test("a 5k-sidecar deletion-vector commit stays metadata-sized end to end") {
+    ensureDeltas()
+    val base = log.latest()
+    val touched = files.take(5000)
+    // fabricate one tiny sidecar per touched file (one deleted row each)
+    val dd = log.dataDir
+    val entries = touched.zipWithIndex.map { case (f, i) =>
+      val bits = new DvBitmap()
+      bits.set(i.toLong % 1000L)
+      f -> DvEntry(DiskDv.write(log.fs, dd, bits), 1L)
+    }.toMap
+    val next = base.copy(version = base.version + 1, added = Nil,
+      deleteVectors = Some(entries))
+    val ((), wMs) = timedMs(log.write(next))
+    assert(wMs < 10000, s"a 5k-entry DV delta commit took $wMs ms")
+    // the delta record carries the DV map, NOT the 50k-file inventory
+    val rec = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      tableDir.toUri.getPath, GraftDiskCatalog.LogDirName,
+      f"d${next.version}%020d.json"))
+    assert(rec.length < 2 * 1024 * 1024,
+      s"DV delta record is ${rec.length} bytes — did the file bulk leak in?")
+    // cold reconstruction through the delta resolves and serves the map
+    val cold = new DiskCommitLog(tableDir, conf)
+    val (m2, rMs) = timedMs(cold.read(next.version))
+    assert(m2.dvs.size == 5000)
+    assert(rMs < 10000, s"cold DV-commit reconstruction took $rMs ms")
+    // the CDC diff opens exactly the changed sidecars — O(sidecars),
+    // bounded, and classified as a keepOnly delete group
+    val table = new GraftDiskTable("scale.t", log, next, pinned = None)
+    val (groups, cMs) = timedMs(
+      table.changeGroups(next.version - 1, next.version))
+    assert(cMs < 15000, s"5k-sidecar CDC diff took $cMs ms")
+    val dvGroup = groups.find(_.keepOnly).getOrElse(
+      fail("no keepOnly DV-diff change group emitted"))
+    assert(dvGroup.ctype == "delete" && dvGroup.files.length == 5000)
+  }
 }
