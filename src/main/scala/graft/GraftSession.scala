@@ -214,13 +214,18 @@ final class GraftSession(
     val m = ("""(?is)OPTIMIZE\s+([A-Za-z_][\w.]*)""" +
       """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?""" +
-      """(?:\s+TARGET\s+(\d+)\s+BYTES)?\s*$""").r
+      """(?:\s+TARGET\s+(\d+)\s+BYTES)?""" +
+      """(\s+PURGE\s+DELETES)?\s*$""").r
       .findFirstMatchIn(q).getOrElse(sys.error(s"cannot parse OPTIMIZE: $q"))
     val parts = m.group(1).split('.')
     val whereSql = Option(m.group(2)).map(_.trim).filter(_.nonEmpty)
     val zorder = Option(m.group(3)).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val target = Option(m.group(4)).map(_.toLong).getOrElse(128L * 1024 * 1024)
+    // PURGE DELETES: rewrite EVERY in-scope file carrying a deletion
+    // vector regardless of the table's dvRatioThreshold — the explicit
+    // "materialize all merge-on-read deletes now" maintenance verb
+    val purgeDv = m.group(5) != null
     require(parts.length >= 3,
       "OPTIMIZE targets a catalog table: OPTIMIZE <catalog>.<namespace>.<table>")
     val cat = graft.sources.GraftDiskCatalog.instance(parts.head).getOrElse(
@@ -229,7 +234,7 @@ final class GraftSession(
     val ident = org.apache.spark.sql.connector.catalog.Identifier
       .of(parts.tail.init, parts.last)
     val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftDiskTable]
-    val (before, after) = t.optimize(target, zorder, whereSql)
+    val (before, after) = t.optimize(target, zorder, whereSql, purgeDv)
     import spark.implicits._
     Seq((m.group(1), before.toLong, after.toLong))
       .toDF("table_name", "files_before", "files_after")

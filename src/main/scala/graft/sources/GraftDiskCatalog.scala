@@ -2928,7 +2928,8 @@ class GraftDiskTable(
   private[graft] def optimize(
       targetFileBytes: Long = 128L * 1024 * 1024,
       zorderByArg: Seq[String] = Nil,
-      whereSql: Option[String] = None): (Int, Int) = synchronized {
+      whereSql: Option[String] = None,
+      purgeDv: Boolean = false): (Int, Int) = synchronized {
     require(pinned.isEmpty,
       s"gdisk: $tableName is a VERSION AS OF snapshot — snapshots are read-only")
     val base = log.latest()
@@ -3075,13 +3076,26 @@ class GraftDiskTable(
       })).toMap
     // WHERE-scoped runs leave out-of-scope files byte-for-byte alone;
     // ZORDER BY under a scope clusters WITHIN the matching partitions.
-    // A file carrying a DELETION VECTOR is always a rewrite candidate
-    // regardless of size: the rewrite reads it DV-subtracted and the new
-    // files carry no DV — OPTIMIZE is the purge that returns the table
-    // to the fully-vectorized scan path (Delta's REORG ... PURGE).
+    // A file carrying a DELETION VECTOR is a rewrite candidate: the
+    // rewrite reads it DV-subtracted and the new files carry no DV —
+    // OPTIMIZE is the purge that returns the table to the fully-
+    // vectorized scan path (Delta's REORG ... PURGE). By default EVERY
+    // DV'd file purges; `TBLPROPERTIES ('optimize.dvRatioThreshold'='r')`
+    // makes the standing maintenance job purge only files whose deleted
+    // fraction reached r (a 1-row DV in a healthy 1 GB file should not
+    // cost a nightly gigabyte rewrite at 100 TB) — `OPTIMIZE ... PURGE
+    // DELETES` overrides the threshold and clears everything in scope.
+    val dvThreshold = base.properties.get("optimize.dvRatioThreshold")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
     val scoped = base.files.filter(inScope)
     val outOfScope = base.files.filterNot(inScope)
-    def dvd(f: String) = base.dvs.contains(f)
+    def dvd(f: String) = base.dvs.get(f).exists { e =>
+      if (purgeDv || dvThreshold <= 0.0) true
+      else base.stats.get(f).flatMap(_.values.headOption).map(_.rows) match {
+        case Some(rows) if rows > 0 => e.card.toDouble / rows >= dvThreshold
+        case _ => true // unknown row count: purge conservatively
+      }
+    }
     val (rewrite, keep) =
       if (zorderBy.nonEmpty) (scoped, outOfScope)
       else {

@@ -232,6 +232,30 @@ class DeletionVectorSpec extends AnyFunSuite {
       .head().getLong(0) == 10L)
   }
 
+  test("dvRatioThreshold keeps lightly-deleted files alone; PURGE DELETES overrides") {
+    spark.sql("""CREATE TABLE gdv.lake.th (id BIGINT, v STRING)
+      TBLPROPERTIES ('delete.mode'='dv', 'optimize.dvRatioThreshold'='0.5',
+        'commitlog.checkpointInterval'='100')""")
+    spark.sql("INSERT INTO gdv.lake.th SELECT id, 'a' FROM range(0, 1000, 1, 1)")
+    spark.sql("DELETE FROM gdv.lake.th WHERE id = 77") // ratio 0.001 << 0.5
+    val digest = parquetBytesDigest("th")
+    val g = new GraftSession(spark)
+    // the standing maintenance job leaves the healthy file byte-identical
+    // (its DV is far below the purge threshold) — at 100 TB a 1-row
+    // erasure must not cost a nightly full-file rewrite
+    g.sql("OPTIMIZE gdv.lake.th TARGET 1024 BYTES")
+    assert(parquetBytesDigest("th") == digest,
+      "threshold ignored: OPTIMIZE rewrote a lightly-deleted file")
+    assert(diskTable("th").log.latest().dvs.nonEmpty)
+    // the explicit purge verb overrides the threshold
+    g.sql("OPTIMIZE gdv.lake.th TARGET 1024 BYTES PURGE DELETES")
+    assert(diskTable("th").log.latest().dvs.isEmpty, "PURGE DELETES kept a DV")
+    assert(parquetBytesDigest("th") != digest)
+    assert(spark.table("gdv.lake.th").count() == 999L)
+    assert(spark.sql("SELECT count(*) FROM gdv.lake.th WHERE id = 77")
+      .head().getLong(0) == 0L)
+  }
+
   test("OPTIMIZE purges delta-update vectors too") {
     val g = new GraftSession(spark)
     g.sql("OPTIMIZE gdv.lake.mg")
