@@ -466,6 +466,55 @@ object StreamingOps {
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }
 
+  /** STREAMING UPSERT into a merge-on-read gdisk table: each micro-batch
+    * key-dedupes and `MERGE INTO`s the target, which on a
+    * `'delete.mode'='dv'` table takes the DELTA row-level path — matched
+    * rows' pre-images land in deletion-vector sidecars and only the
+    * post-images append as new files, so a trickle of CDC corrections
+    * against a 100 TB table never rewrites a data file (the nightly
+    * OPTIMIZE purges). Replay-safe without an epoch ledger because an
+    * ABSOLUTE upsert is idempotent: re-merging a replayed batch matches
+    * the rows its first pass inserted/updated and sets them to the same
+    * values, and each MERGE is one atomic manifest commit — the end
+    * state after any crash/restart equals exactly-once. Within-batch
+    * duplicates keep the LAST row per key in `orderCol` order (CDC
+    * sequence discipline). */
+  def upsertStream(
+      spark: SparkSession,
+      source: DataFrame,
+      targetTable: String,
+      keyCols: Seq[String],
+      orderCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keyCols.nonEmpty, "upsertStream needs at least one key column")
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.row_number
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(orderCol).desc)
+        val deduped = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val view = s"__upsert_src_${java.util.UUID.randomUUID.toString.replace('-', '_')}"
+        deduped.createOrReplaceTempView(view)
+        try {
+          val on = keyCols.map(c => s"t.`$c` = s.`$c`").mkString(" AND ")
+          val nonKey = deduped.columns.filterNot(keyCols.contains)
+          val sets = nonKey.map(c => s"t.`$c` = s.`$c`").mkString(", ")
+          val cols = deduped.columns.map(c => s"`$c`").mkString(", ")
+          val vals = deduped.columns.map(c => s"s.`$c`").mkString(", ")
+          batch.sparkSession.sql(
+            s"""MERGE INTO $targetTable t USING $view s ON $on
+               WHEN MATCHED THEN UPDATE SET $sets
+               WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)""")
+        } finally batch.sparkSession.catalog.dropTempView(view)
+        ()
+      }
+      .start()
+  }
+
   /** Rolling 7-day distinct users, streaming form of the batch
     * `an_rolling_distinct_users` query. COUNT(DISTINCT) over a sliding
     * window has no streaming (or distributed) form, so the same

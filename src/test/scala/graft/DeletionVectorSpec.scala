@@ -461,6 +461,52 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(got == Set((3L, "delete"), (4L, "delete")), got.toString)
   }
 
+  test("streaming upserts land as merge-on-read deltas and recover across a restart") {
+    import org.apache.spark.sql.types._
+    spark.sql("""CREATE TABLE gdv.lake.us (k BIGINT, v STRING, seq BIGINT)
+      TBLPROPERTIES ('delete.mode'='dv')""")
+    spark.sql(
+      "INSERT INTO gdv.lake.us SELECT id, 'base', 0 FROM range(0, 20, 1, 1)")
+    val seedFiles = diskTable("us").log.latest().files.toSet
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType), StructField("seq", LongType)))
+    val feed = java.nio.file.Files.createTempDirectory("dv_upsert_feed").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dv_upsert_ckpt").toString
+    def start() = graft.streaming.StreamingOps.upsertStream(
+      spark, spark.readStream.schema(schema).parquet(feed),
+      "gdv.lake.us", Seq("k"), "seq", ckpt)
+    // batch 1: keys 10..24 — 10 updates (DV'd pre-images) + 5 inserts
+    spark.range(10, 25).selectExpr("id AS k", "'b1' AS v", "1 AS seq")
+      .repartition(1).write.mode("append").parquet(feed)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val m1 = diskTable("us").log.latest()
+    assert(seedFiles.subsetOf(m1.files.toSet), "streaming upsert rewrote a file")
+    assert(m1.dvs.values.map(_.card).sum == 10L, m1.dvs.toString)
+    assert(spark.table("gdv.lake.us").count() == 25L)
+    assert(spark.sql("SELECT count(*) FROM gdv.lake.us WHERE v = 'b1'")
+      .head().getLong(0) == 15L)
+    // batch 2 lands while the stream is DOWN — including a within-batch
+    // duplicate for key 15 (seq 2 then 3: the later one must win)
+    spark.range(15, 30).selectExpr("id AS k", "'b2' AS v", "2 AS seq")
+      .unionAll(spark.range(15, 16).selectExpr("id AS k", "'b2-late' AS v", "3 AS seq"))
+      .repartition(1).write.mode("append").parquet(feed)
+    val q2 = start() // same checkpoint: resumes at the unserved batch
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("gdv.lake.us").count() == 30L)
+    assert(spark.sql("SELECT v FROM gdv.lake.us WHERE k = 15")
+      .head().getString(0) == "b2-late", "within-batch CDC ordering lost")
+    assert(spark.sql("SELECT count(*) FROM gdv.lake.us WHERE v = 'base'")
+      .head().getLong(0) == 10L) // keys 0..9 untouched
+    val m2 = diskTable("us").log.latest()
+    assert(seedFiles.subsetOf(m2.files.toSet), "restarted upsert rewrote a file")
+    assert(m2.dvs.values.map(_.card).sum > 10L)
+    // and OPTIMIZE still purges the accumulated streaming deltas
+    new GraftSession(spark).sql("OPTIMIZE gdv.lake.us PURGE DELETES")
+    assert(diskTable("us").log.latest().dvs.isEmpty)
+    assert(spark.table("gdv.lake.us").count() == 30L)
+  }
+
   test("the .changes STREAM recovers DV deletes across a restart window") {
     // batch .changes over a fresh window after more DV activity — the
     // stream shares partitionsFor with batch, proven by the earlier CDC
