@@ -45,7 +45,7 @@ object CommitRaceProbe {
         version = base.version + 1,
         files = base.files :+ marker,
         added = Seq(marker))
-      try { log.write(next); committed += 1 }
+      try { log.write(next, "WRITE"); committed += 1 }
       catch {
         // a lost claim race MUST surface as this clean conflict — any
         // other failure (corrupt manifest, lost update) fails the probe

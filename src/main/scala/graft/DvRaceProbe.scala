@@ -52,7 +52,7 @@ object DvRaceProbe {
         version = base.version + 1, added = Nil,
         deleteVectors = Some(
           base.dvs + (FileName -> DvEntry(rel, bits.cardinality))))
-      try { log.write(next); committed += 1 }
+      try { log.write(next, "DELETE"); committed += 1 }
       catch {
         // a lost claim race MUST surface as this clean conflict; the
         // retry re-reads the winner's sidecar and merges again

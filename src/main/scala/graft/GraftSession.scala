@@ -1519,7 +1519,10 @@ final class GraftSession(
           val t = cat.loadTable(ident).asInstanceOf[graft.sources.GraftDiskTable]
           return t.log.versions().map { v =>
             val m = t.log.read(v)
-            (v.toInt, s"COMMIT(files=${m.files.length}, added=${m.added.length})",
+            // the manifest's stamped operation kind (pre-field manifests
+            // fall back to the generic label)
+            val op = m.operation.getOrElse("COMMIT")
+            (v.toInt, s"$op(files=${m.files.length}, added=${m.added.length})",
               m.committedAtMs.getOrElse(0L))
           }.toDF("version", "operation", "committed_at_ms")
         case None => graft.sources.GraftMemCatalog.instance(parts.head) match {

@@ -488,7 +488,7 @@ class GraftDiskCatalog extends TableCatalog with SupportsNamespaces
       partitionCols = if (partCols.isEmpty) None else Some(partCols),
       fileStats = Some(harvested.map(h => h._1 -> h._2).toMap),
       fileSizes = Some(harvested.map(h => h._1 -> h._3).toMap))
-    log.commitInitial(m)
+    log.commitInitial(m, "CONVERT")
     new GraftDiskTable(fullName(ident), log, m, pinned = None)
   }
 
@@ -1381,7 +1381,13 @@ case class DiskManifest(
     // subset of `files` (commit paths prune entries when files leave the
     // snapshot; DiskCommitLog.write asserts it). Rides delta records in
     // full (O(DV'd files) JSON — bounded because OPTIMIZE purges).
-    deleteVectors: Option[Map[String, DvEntry]] = None) {
+    deleteVectors: Option[Map[String, DvEntry]] = None,
+    // What KIND of commit produced this version ("WRITE", "DELETE",
+    // "OPTIMIZE", "RESTORE", ...) — DESCRIBE HISTORY's audit label.
+    // Stamped by DiskCommitLog.write from its required argument, so a
+    // commit path cannot accidentally inherit its base's label; absent
+    // only on manifests written before the field existed.
+    operation: Option[String] = None) {
   lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
@@ -1604,10 +1610,10 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
     out.getOrElse(sys.error(s"gdisk: manifest v$v of $tableDir unreadable"))
   }
 
-  def commitInitial(m: DiskManifest): Unit = {
+  def commitInitial(m: DiskManifest, operation: String = "CREATE TABLE"): Unit = {
     fs.mkdirs(logDir)
     fs.mkdirs(dataDir)
-    write(m)
+    write(m, operation)
     // every v0 lands here (CREATE, staged CTAS, CONVERT adopt): stamp the
     // per-JVM creation record the transaction rollback attributes drops by
     GraftDiskCatalog.recordJvmCreation(tableDir.toUri.getPath)
@@ -1619,7 +1625,7 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
     * versions write the full manifest; the rest write delta records
     * (self-verified — an inexpressible state embeds the full manifest
     * inside the delta file, keeping the name deterministic per version). */
-  def write(m: DiskManifest): Unit = {
+  def write(m: DiskManifest, operation: String): Unit = {
     // commit-path invariant: a DV entry may only reference a live file
     // (every construction site prunes on file removal; catching a missed
     // one here turns a silent wrong-read into a loud commit failure)
@@ -1635,7 +1641,10 @@ class DiskCommitLog(val tableDir: HPath, conf: Configuration) {
       if (fs.exists(manifestPath(m.version)) || fs.exists(deltaPath(m.version)))
         throw new java.io.IOException(
           s"gdisk: version ${m.version} already claimed under $logDir")
-      val stamped = m.copy(committedAtMs = Some(System.currentTimeMillis()))
+      // operation stamped HERE (required argument, not caller-copied), so
+      // a manifest built via base.copy can never inherit a stale label
+      val stamped = m.copy(committedAtMs = Some(System.currentTimeMillis()),
+        operation = Some(operation))
       val prev = if (m.version == 0) None else tryResolve(m.version - 1)
       // interval from the PREVIOUS manifest, so two racers for the same
       // version number (same immutable base) always pick the same name
@@ -2032,7 +2041,7 @@ class GraftDiskTable(
       val base = log.latest()
       val next = base.copy(version = base.version + 1, added = Nil,
         analyzeStats = Some(stats))
-      try { log.write(next); return next.version }
+      try { log.write(next, "ANALYZE"); return next.version }
       catch {
         case e: java.io.IOException if attempts < 5 =>
           attempts += 1; Thread.sleep(50L * attempts)
@@ -2061,7 +2070,7 @@ class GraftDiskTable(
       val base = log.latest()
       val next = base.copy(version = base.version + 1, added = Nil,
         properties = base.properties + (key -> value))
-      try { log.write(next); done = true }
+      try { log.write(next, "SET TBLPROPERTIES"); done = true }
       catch {
         case e: java.io.IOException =>
           attempts += 1
@@ -2168,7 +2177,8 @@ class GraftDiskTable(
         try {
           log.write(loaded.copy(version = base.version + 1,
             files = newFiles, added = newFiles,
-            fileStats = Some(newStats), fileSizes = Some(newSizes)))
+            fileStats = Some(newStats), fileSizes = Some(newSizes)),
+            "REPLACE TABLE AS SELECT")
           committed = true
         } catch {
           case e: java.io.IOException =>
@@ -2180,7 +2190,7 @@ class GraftDiskTable(
     } else {
       log.commitInitial(loaded.copy(
         files = newFiles, added = newFiles, fileStats = Some(newStats),
-        fileSizes = Some(newSizes)))
+        fileSizes = Some(newSizes)), "CREATE TABLE AS SELECT")
     }
   }
 
@@ -2473,6 +2483,11 @@ class GraftDiskTable(
       val dropped: Set[String] =
         if (truncate) base.files.toSet
         else dropOf.fold(Set.empty[String])(f => f(base))
+      val opLabel =
+        if (truncate) "TRUNCATE"
+        else if (dropOf.isDefined) "INSERT OVERWRITE"
+        else if (epochUpdate.isDefined) "STREAMING WRITE"
+        else "WRITE"
       val kept =
         if (dropped.isEmpty) base.files else base.files.filterNot(dropped)
       enforceKeysDistributed(base, newFiles, existingFiles = kept)
@@ -2493,7 +2508,7 @@ class GraftDiskTable(
         deleteVectors =
           if (truncate) None else base.dvsAmong(kept))
       try {
-        log.write(next)
+        log.write(next, opLabel)
         committed = true
       } catch {
         case e: java.io.IOException =>
@@ -2777,7 +2792,7 @@ class GraftDiskTable(
                       log.dataDir.toString)
                   }
                   override def commit(messages: Array[WriterCommitMessage]): Unit =
-                    commitDeltaRowOps(messages, loaded)
+                    commitDeltaRowOps(messages, loaded, info.command().toString)
                   override def abort(messages: Array[WriterCommitMessage]): Unit = {
                     val msgs = messages.collect {
                       case m: GdiskDeltaCommit => m }
@@ -2798,7 +2813,8 @@ class GraftDiskTable(
     * key-preserving UPDATE does not collide with its own DV'd pre-image
     * and FK RESTRICT sees the post-delete parent set. */
   private def commitDeltaRowOps(
-      messages: Array[WriterCommitMessage], snapshot: DiskManifest): Unit =
+      messages: Array[WriterCommitMessage], snapshot: DiskManifest,
+      op: String): Unit =
     synchronized {
       val msgs = messages.collect { case m: GdiskDeltaCommit => m }
       val newFiles = msgs.flatMap(_.files.files).toSeq
@@ -2853,7 +2869,7 @@ class GraftDiskTable(
         enforceFkChildDistributed(candidate, newFiles, existingFiles = kept)
         enforceFkRestrictDistributed(kept ++ newFiles, Some(candidate))
         try {
-          log.write(candidate)
+          log.write(candidate, op)
           committed = true
         } catch {
           case e: java.io.IOException =>
@@ -2900,7 +2916,7 @@ class GraftDiskTable(
                   // surface as a clean conflict, not a mixed-layout table
                   commitReplace(removed, collectFiles(messages),
                     collectStats(messages), Some(loaded.schemaJson),
-                    collectSizes(messages))
+                    collectSizes(messages), op = info.command().toString)
                 }
                 override def abort(messages: Array[WriterCommitMessage]): Unit =
                   deleteFiles(collectFiles(messages))
@@ -3270,7 +3286,7 @@ class GraftDiskTable(
       // rewritten files materialized their deletes (the read above was
       // DV-subtracted); kept files retain theirs
       deleteVectors = base.dvsAmong(keep))
-    log.write(next)
+    log.write(next, "OPTIMIZE")
     (base.files.length, keep.length + moved.length)
   }
 
@@ -3401,7 +3417,7 @@ class GraftDiskTable(
         properties = base.properties +
           (GraftDiskCatalog.TagsProp ->
             GraftDiskCatalog.renderTags(tags + (name -> v))))
-      log.write(next)
+      log.write(next, "CREATE TAG")
       next.version
     }
 
@@ -3419,7 +3435,7 @@ class GraftDiskTable(
         if (rest.isEmpty) base.properties - GraftDiskCatalog.TagsProp
         else base.properties +
           (GraftDiskCatalog.TagsProp -> GraftDiskCatalog.renderTags(rest)))
-    log.write(next)
+    log.write(next, "DROP TAG")
     next.version
   }
 
@@ -3494,7 +3510,7 @@ class GraftDiskTable(
       partitionCols =
         if (resolved.isEmpty) None else Some(resolved.map(_._1)),
       partFuncs = if (resolved.isEmpty) None else Some(resolved.map(_._2)))
-    log.write(next)
+    log.write(next, "SET PARTITION SPEC")
     next.version
   }
 
@@ -3659,7 +3675,8 @@ class GraftDiskTable(
       removed: Seq[String], added: Seq[String],
       addedStats: Map[String, Map[String, ColStats]] = Map.empty,
       expectSchemaJson: Option[String] = None,
-      addedSizes: Map[String, Long] = Map.empty): Unit =
+      addedSizes: Map[String, Long] = Map.empty,
+      op: String = "REPLACE"): Unit =
     synchronized {
       require(pinned.isEmpty,
         s"gdisk: $tableName is a VERSION AS OF snapshot — snapshots are read-only")
@@ -3689,7 +3706,7 @@ class GraftDiskTable(
         // replaced files' DVs die with them — the rewrite read was
         // DV-subtracted, so the replacement files materialize the deletes
         deleteVectors = base.dvsAmong(kept))
-      try log.write(next)
+      try log.write(next, op)
       catch {
         case e: java.io.IOException => throw new IllegalStateException(
           s"gdisk: concurrent commit conflict on $tableName", e)
@@ -3718,7 +3735,7 @@ class GraftDiskTable(
         "data file(s) were removed by VACUUM")
     val reAdded = old.files.filterNot(base.files.toSet)
     log.write(old.copy(version = base.version + 1, added = reAdded,
-      committedAtMs = None))
+      committedAtMs = None), "RESTORE")
     base.version + 1
   }
 
@@ -3748,7 +3765,7 @@ class GraftDiskTable(
       val drop = metadataDeleteDrop(predicates).getOrElse(throw
         new IllegalStateException(s"gdisk: metadata DELETE on $tableName is " +
           "no longer provable (concurrent commit changed the file set)"))
-      if (drop.nonEmpty) commitReplace(drop, Nil)
+      if (drop.nonEmpty) commitReplace(drop, Nil, op = "DELETE")
     }
 
   private def metadataDeleteDrop(
@@ -3968,7 +3985,7 @@ class GraftDiskTable(
       // NEW deletion vectors, so a child referencing a DV'd key blocks
       enforceFkRestrictDistributed(kept, Some(candidate))
       try {
-        log.write(candidate)
+        log.write(candidate, "DELETE")
         committed = true
       } catch {
         case e: java.io.IOException =>
@@ -4126,7 +4143,7 @@ class GraftDiskTable(
     }
     log.write(next.copy(version = base.version + 1,
       added = if (change.isInstanceOf[TableChange.RenameColumn]) Nil
-        else next.added))
+        else next.added), "ALTER TABLE")
   }
 }
 

@@ -438,6 +438,23 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(dvd.head().getLong(0) == 1L)
   }
 
+  test("DESCRIBE HISTORY labels every commit with its operation kind") {
+    spark.sql("""CREATE TABLE gdv.lake.hist (id BIGINT, v STRING)
+      TBLPROPERTIES ('delete.mode'='dv')""")
+    spark.sql("INSERT INTO gdv.lake.hist SELECT id, 'a' FROM range(0, 30, 1, 1)")
+    spark.sql("DELETE FROM gdv.lake.hist WHERE id = 3") // merge-on-read
+    spark.sql("UPDATE gdv.lake.hist SET v = 'b' WHERE id = 4") // delta
+    val g = new GraftSession(spark)
+    g.sql("OPTIMIZE gdv.lake.hist PURGE DELETES")
+    g.sql("RESTORE TABLE gdv.lake.hist TO VERSION AS OF 1")
+    g.sql("ALTER TABLE gdv.lake.hist SET TBLPROPERTIES ('x'='1')")
+    val ops = g.sql("DESCRIBE HISTORY gdv.lake.hist")
+      .orderBy("version").collect()
+      .map(r => r.getString(1).takeWhile(_ != '(')).toSeq
+    assert(ops == Seq("CREATE TABLE", "WRITE", "DELETE", "UPDATE",
+      "OPTIMIZE", "RESTORE", "ALTER TABLE"), ops.toString)
+  }
+
   test("DESCRIBE DETAIL surfaces DV counts; the .changes microbatch stream serves DV deletes") {
     spark.sql("""CREATE TABLE gdv.lake.dd (id BIGINT, v STRING)
       TBLPROPERTIES ('delete.mode'='dv')""")

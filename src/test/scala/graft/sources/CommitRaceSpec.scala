@@ -66,7 +66,7 @@ class CommitRaceSpec extends AnyFunSuite {
       val marker = s"local-$committed.parquet"
       val next = base.copy(version = base.version + 1,
         files = base.files :+ marker, added = Seq(marker))
-      try { log.write(next); committed += 1 }
+      try { log.write(next, "WRITE"); committed += 1 }
       catch { case _: java.io.IOException => conflicts += 1 }
     }
 

@@ -67,7 +67,7 @@ class DvRaceSpec extends AnyFunSuite {
       val next = base.copy(version = base.version + 1, added = Nil,
         deleteVectors = Some(
           base.dvs + (file -> DvEntry(rel, bits.cardinality))))
-      try { log.write(next); committed += 1 }
+      try { log.write(next, "DELETE"); committed += 1 }
       catch { case _: java.io.IOException => conflicts += 1 }
     }
 

@@ -67,7 +67,7 @@ class ManifestScaleSpec extends AnyFunSuite {
         files = base.files :+ nf, added = Seq(nf),
         fileStats = Some(base.stats +
           (nf -> Map("id" -> ColStats(Some("0"), Some("9"), Some(0L), 10L)))),
-        fileSizes = Some(base.sizes + (nf -> 123L))))
+        fileSizes = Some(base.sizes + (nf -> 123L))), "WRITE")
     }
 
   /** Tests below depend on the 10 delta commits; idempotent for single-
@@ -174,7 +174,7 @@ class ManifestScaleSpec extends AnyFunSuite {
     }.toMap
     val next = base.copy(version = base.version + 1, added = Nil,
       deleteVectors = Some(entries))
-    val ((), wMs) = timedMs(log.write(next))
+    val ((), wMs) = timedMs(log.write(next, "DELETE"))
     assert(wMs < 10000, s"a 5k-entry DV delta commit took $wMs ms")
     // the delta record carries the DV map, NOT the 50k-file inventory
     val rec = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
