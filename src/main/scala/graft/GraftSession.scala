@@ -82,6 +82,9 @@ final class GraftSession(
     else if (raw.toUpperCase(Locale.ROOT).startsWith("ALTER TABLE ") &&
         raw.toUpperCase(Locale.ROOT).contains(" SET PARTITION SPEC"))
       setPartitionSpecVerb(raw)
+    else if (raw.toUpperCase(Locale.ROOT).startsWith("CREATE TABLE ") &&
+        raw.toUpperCase(Locale.ROOT).contains(" SHALLOW CLONE "))
+      shallowCloneVerb(raw)
     else if (raw.toUpperCase(Locale.ROOT).startsWith("CREATE MATERIALIZED VIEW "))
       createMaterializedView(raw)
     else if (raw.toUpperCase(Locale.ROOT).startsWith("REFRESH MATERIALIZED VIEW "))
@@ -356,6 +359,42 @@ final class GraftSession(
       "num_files", "size_bytes", "num_rows", "partition_columns",
       "num_buckets", "properties",
       "num_deletion_vectors", "num_deleted_rows")
+  }
+
+  /** `CREATE TABLE <cat>.<ns>.<t> SHALLOW CLONE <cat>.<ns>.<src>
+    * [VERSION AS OF v]` — zero-copy experiment branch of a gdisk table:
+    * the clone's data files, bloom sidecars, and deletion-vector sidecars
+    * HARD-LINK into its own dir (bytes shared until the last referencing
+    * table drops them), its commit log starts fresh at v0, and both
+    * tables evolve/OPTIMIZE/VACUUM/DROP independently from then on.
+    * Returns (table_name, source, version_cloned, num_files). */
+  private def shallowCloneVerb(q: String): DataFrame = {
+    val m = ("""(?is)CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s+SHALLOW\s+CLONE\s+""" +
+      """([A-Za-z_][\w.]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$""").r
+      .findFirstMatchIn(q).getOrElse(sys.error(s"cannot parse SHALLOW CLONE: $q"))
+    val dst = m.group(1).split('.')
+    val srcParts = m.group(2).split('.')
+    val version = Option(m.group(3)).map(_.toLong)
+    require(dst.length >= 3 && srcParts.length >= 3,
+      "SHALLOW CLONE targets catalog tables: CREATE TABLE " +
+        "<catalog>.<ns>.<t> SHALLOW CLONE <catalog>.<ns>.<src>")
+    val dstCat = graft.sources.GraftDiskCatalog.instance(dst.head).getOrElse(
+      sys.error(s"SHALLOW CLONE: '${dst.head}' is not a registered gdisk " +
+        "catalog (only file-backed tables can share bytes)"))
+    val srcCat = graft.sources.GraftDiskCatalog.instance(srcParts.head)
+      .getOrElse(sys.error(
+        s"SHALLOW CLONE: '${srcParts.head}' is not a registered gdisk catalog"))
+    val src = srcCat.loadTable(org.apache.spark.sql.connector.catalog
+      .Identifier.of(srcParts.tail.init, srcParts.last))
+      .asInstanceOf[graft.sources.GraftDiskTable]
+    val t = dstCat.cloneTable(src,
+      org.apache.spark.sql.connector.catalog.Identifier
+        .of(dst.tail.init, dst.last), version)
+    import spark.implicits._
+    Seq((m.group(1), m.group(2),
+      version.getOrElse(src.log.latestVersion()),
+      t.liveFiles.length.toLong))
+      .toDF("table_name", "source", "version_cloned", "num_files")
   }
 
   /** `CONVERT TO GDISK '<path>' AS <catalog>.<ns>.<table>` — adopt an

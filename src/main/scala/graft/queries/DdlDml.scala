@@ -531,6 +531,64 @@ object DdlDml extends QueryModule {
           -2.0
         ORDER BY grp""")),
 
+    // ---- ZERO-COPY SHALLOW CLONE under the oracle gate: the clone
+    // hard-links the source's files + deletion-vector sidecars (bytes
+    // shared; inode/vacuum-independence proofs are CloneSpec's), then the
+    // two tables DIVERGE — a DV delete on the clone, an append on the
+    // source — and the hash proves complete isolation in both
+    // directions plus the cloned snapshot's DV subtraction. ----
+    QueryDef(
+      "ddl_v2_disk_clone",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        Tables.register(s, dir, Seq("orders"))
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.ord_cs")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.ord_cc")
+        s.sql("""CREATE TABLE gdisk.verify.ord_cs (
+          o_orderkey BIGINT, o_totalprice DOUBLE)
+          TBLPROPERTIES ('delete.mode'='dv')""")
+        s.sql("""INSERT INTO gdisk.verify.ord_cs
+          SELECT o_orderkey, o_totalprice FROM orders""")
+        // v2: merge-on-read delete rides the clone as a shared sidecar
+        s.sql("DELETE FROM gdisk.verify.ord_cs WHERE o_orderkey % 4 = 1")
+        val g = new GraftSession(s)
+        g.sql("CREATE TABLE gdisk.verify.ord_cc SHALLOW CLONE gdisk.verify.ord_cs")
+        // diverge: clone deletes more, source appends — NO cross-talk
+        s.sql("DELETE FROM gdisk.verify.ord_cc WHERE o_orderkey % 4 = 2")
+        s.sql("""INSERT INTO gdisk.verify.ord_cs
+          SELECT o_orderkey + 10000000, 1.0 FROM orders WHERE o_orderkey % 100 = 0""")
+        g.sql("""SELECT 'src' AS side, count(*) AS n,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+          FROM gdisk.verify.ord_cs
+          UNION ALL
+          SELECT 'clone', count(*),
+            CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+          FROM gdisk.verify.ord_cc
+          ORDER BY side""")
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_orderkey % 4 <> 1)
+        SELECT 'src' AS side,
+          CAST((SELECT count(*) FROM base) +
+            (SELECT count(*) FROM orders WHERE o_orderkey % 100 = 0)
+            AS BIGINT) AS n,
+          CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(14,2))) FROM base) +
+            (SELECT count(*) FROM orders WHERE o_orderkey % 100 = 0)
+            AS DOUBLE) AS total
+        UNION ALL
+        SELECT 'clone',
+          CAST((SELECT count(*) FROM base WHERE o_orderkey % 4 <> 2) AS BIGINT),
+          CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(14,2))) FROM base
+                WHERE o_orderkey % 4 <> 2) AS DOUBLE)
+        ORDER BY side""")),
+
     // ---- BLOOM-INDEXED gdisk table under the oracle gate: four
     // interleaved ingests (mod-4 key classes) give every parquet file a
     // min/max range spanning the whole key domain — the worst case for

@@ -438,6 +438,31 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(dvd.head().getLong(0) == 1L)
   }
 
+  test("DVs compose with schema evolution: ADD/DROP COLUMN around a DV delete") {
+    spark.sql("""CREATE TABLE gdv.lake.se (id BIGINT, v STRING)
+      TBLPROPERTIES ('delete.mode'='dv')""")
+    spark.sql("INSERT INTO gdv.lake.se SELECT id, 'a' FROM range(0, 40, 1, 1)")
+    spark.sql("DELETE FROM gdv.lake.se WHERE id = 7")
+    // metadata-only ADD COLUMN: old files lack the column, read as NULL —
+    // and their DV subtraction must keep working with the widened schema
+    spark.sql("ALTER TABLE gdv.lake.se ADD COLUMN score DOUBLE")
+    assert(spark.table("gdv.lake.se").count() == 39L)
+    assert(spark.sql(
+      "SELECT count(*) FROM gdv.lake.se WHERE score IS NULL").head().getLong(0) == 39L)
+    spark.sql("INSERT INTO gdv.lake.se VALUES (100, 'n', 1.5)")
+    // a second DV delete UNDER the evolved schema
+    spark.sql("DELETE FROM gdv.lake.se WHERE id = 8")
+    assert(spark.table("gdv.lake.se").count() == 39L)
+    assert(spark.sql("SELECT count(*) FROM gdv.lake.se WHERE id IN (7, 8)")
+      .head().getLong(0) == 0L)
+    // DROP COLUMN (metadata-only) composes too
+    spark.sql("ALTER TABLE gdv.lake.se DROP COLUMN v")
+    assert(spark.table("gdv.lake.se").columns.toSeq == Seq("id", "score"))
+    assert(spark.table("gdv.lake.se").count() == 39L)
+    assert(spark.sql("SELECT score FROM gdv.lake.se WHERE id = 100")
+      .head().getDouble(0) == 1.5)
+  }
+
   test("DESCRIBE HISTORY labels every commit with its operation kind") {
     spark.sql("""CREATE TABLE gdv.lake.hist (id BIGINT, v STRING)
       TBLPROPERTIES ('delete.mode'='dv')""")
