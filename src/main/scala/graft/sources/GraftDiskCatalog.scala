@@ -4783,7 +4783,9 @@ class GdiskFileScan(
 case class FileTagPartition(
     inner: InputPartition, factory: PartitionReaderFactory, file: String,
     innerSchema: StructType, dvBytes: Option[Array[Byte]] = None)
-  extends InputPartition
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
 
 class FileAppendingReaderFactory(required: StructType)
   extends PartitionReaderFactory {
@@ -4849,7 +4851,9 @@ class FileAppendingReaderFactory(required: StructType)
 case class DvFilePartition(
     inner: InputPartition, factory: PartitionReaderFactory,
     dvBytes: Array[Byte], innerSchema: StructType, target: StructType)
-  extends InputPartition
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
 
 /** One CDC change group: `files` of manifest `m` feed `ctype` rows for
   * `version`. `dvBytes` (per-file compressed bitmaps) modulate the read:

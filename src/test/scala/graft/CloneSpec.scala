@@ -80,6 +80,20 @@ class CloneSpec extends AnyFunSuite {
     assert(spark.table("gcl.lake.cl").count() == 400L)
   }
 
+  test("a clone created inside a transaction rolls back without touching the source") {
+    spark.sql("CREATE TABLE gcl.lake.txsrc (id BIGINT)")
+    spark.sql("INSERT INTO gcl.lake.txsrc SELECT id FROM range(0, 25, 1, 1)")
+    val g = new GraftSession(spark)
+    g.sql("BEGIN")
+    g.sql("CREATE TABLE gcl.lake.txcl SHALLOW CLONE gcl.lake.txsrc")
+    assert(spark.table("gcl.lake.txcl").count() == 25L)
+    g.sql("ROLLBACK")
+    // the clone (created inside the tx, attributed to this JVM) dropped —
+    // and dropping its hard-linked names cannot touch the source's bytes
+    intercept[Exception](spark.table("gcl.lake.txcl").count())
+    assert(spark.table("gcl.lake.txsrc").count() == 25L)
+  }
+
   test("VERSION AS OF clones a historical snapshot; tags do not carry") {
     spark.sql("CREATE TABLE gcl.lake.vsrc (id BIGINT)")
     spark.sql("INSERT INTO gcl.lake.vsrc SELECT id FROM range(0, 10, 1, 1)")
