@@ -49,7 +49,64 @@ object MultimodalOps {
       Some(("bmp", le32(18), math.abs(le32(22))))
     else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8)
       jpegDims(b)
+    else if (b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
+         (b(0) == 'M' && b(1) == 'M' && u8(2) == 0 && u8(3) == 42)))
+      tiffDims(b)
     else None
+  }
+
+  /** TIFF: walk the first IFD (either byte order) to ImageWidth(256) /
+    * ImageLength(257). */
+  private def tiffDims(b: Array[Byte]): Option[(String, Int, Int)] =
+    tiffIfd(b).flatMap { case (entries, _) =>
+      for {
+        w <- entries.get(256).flatMap(_.headOption)
+        h <- entries.get(257).flatMap(_.headOption)
+      } yield ("tiff", w.toInt, h.toInt)
+    }
+
+  /** First-IFD tag map (tag → numeric values, SHORT/LONG types only) +
+    * the endian reader — the shared walk of [[tiffDims]] and
+    * [[tiffDecodeRgb]]. Inline vs out-of-line value placement follows
+    * the spec: values fitting 4 bytes live in the entry's value field,
+    * LEFT-justified in file byte order. */
+  private def tiffIfd(b: Array[Byte])
+      : Option[(Map[Int, Seq[Long]], Boolean)] = {
+    if (b.length < 8) return None
+    val le = b(0) == 'I'
+    def u8(i: Int) = b(i) & 0xff
+    def u16(i: Int): Int =
+      if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (le) (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+        (u8(i + 3).toLong << 24)
+      else (u8(i).toLong << 24) | ((u8(i + 1) << 16) | (u8(i + 2) << 8) |
+        u8(i + 3)).toLong
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val n = u16(ifd.toInt)
+    if (ifd + 2 + 12L * n + 4 > b.length) return None
+    val entries = (0 until n).flatMap { k =>
+      val e = ifd.toInt + 2 + 12 * k
+      val tag = u16(e)
+      val tpe = u16(e + 2)
+      val cnt = u32(e + 4)
+      // only SHORT(3)/LONG(4) entries matter here; other types
+      // (RATIONAL resolutions, ASCII software tags…) skip harmlessly
+      if (tpe != 3 && tpe != 4) None
+      else {
+        val width = if (tpe == 3) 2 else 4
+        val total = width * cnt
+        val base: Long = if (total <= 4) e + 8L else u32(e + 8)
+        if (base < 0 || base + total > b.length || cnt > 65536) None
+        else Some(tag -> (0L until cnt).map { j =>
+          val at = (base + j * width).toInt
+          if (tpe == 3) u16(at).toLong else u32(at)
+        })
+      }
+    }.toMap
+    Some((entries, le))
   }
 
   /** JPEG: walk the marker segments to the first SOFn (0xC0-0xCF excluding
@@ -150,6 +207,7 @@ object MultimodalOps {
       case Some(("png", _, _)) => ("png", ok(pngPixels(bytes)))
       case Some(("gif", _, _)) => ("gif", ok(gifPixels(bytes)))
       case Some(("jpeg", _, _)) => ("jpeg", ok(jpegPixels(bytes)))
+      case Some(("tiff", _, _)) => ("tiff", ok(tiffPixels(bytes)))
       case Some((other, _, _)) => (other, false)
       case None =>
         // audio/video containers: classify by magic, attempt the real
@@ -873,6 +931,177 @@ object MultimodalOps {
               chunk("IHDR", ihdr) ++ chunk("IDAT", zip.toByteArray) ++
               chunk("IEND", Array.empty[Byte])
           (docId, payload)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Decoded pixel statistics of one uncompressed TIFF (same shape as
+    * the PNG/BMP rows — channel sums + the top-left pixel probe). */
+  final case class TiffPixels(
+      doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      first_r: Int, first_g: Int, first_b: Int)
+
+  /** REAL TIFF pixel decode (scanner/archival corpora): IFD walk in
+    * EITHER byte order, uncompressed (Compression=1) 8-bit samples,
+    * grayscale (Photometric=1, 1 sample) or RGB (Photometric=2, 3
+    * samples), chunky planar layout, STRIP-organized data (RowsPerStrip
+    * + StripOffsets/StripByteCounts, SHORT or LONG typed, inline or
+    * out-of-line). Anything off-scope — compression, palettes, tiles,
+    * 16-bit, planar=2 — quarantines to None; total pixels capped. */
+  private[graft] def tiffDecodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val (entries, _) = tiffIfd(b).getOrElse(return None)
+    def one(tag: Int): Option[Long] = entries.get(tag).flatMap(_.headOption)
+    val w = one(256).getOrElse(return None).toInt
+    val h = one(257).getOrElse(return None).toInt
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+    if (one(259).getOrElse(1L) != 1L) return None // uncompressed only
+    val photometric = one(262).getOrElse(return None)
+    val spp = one(277).getOrElse(1L).toInt
+    val ok = (photometric == 1L && spp == 1) || (photometric == 2L && spp == 3)
+    if (!ok) return None
+    if (!entries.getOrElse(258, Seq(8L)).forall(_ == 8L)) return None
+    if (one(284).getOrElse(1L) != 1L) return None // chunky only
+    val rps = one(278).getOrElse(h.toLong)
+    if (rps <= 0) return None
+    val nStrips = ((h + rps - 1) / rps).toInt
+    val offsets = entries.getOrElse(273, return None)
+    val counts = entries.getOrElse(279, return None)
+    if (offsets.length != nStrips || counts.length != nStrips) return None
+    val out = new Array[Byte](w * h * 3)
+    var s = 0
+    while (s < nStrips) {
+      val r0 = (s * rps).toInt
+      val r1 = math.min(h.toLong, (s + 1) * rps).toInt
+      val expect = (r1 - r0).toLong * w * spp
+      val off = offsets(s)
+      if (counts(s) != expect || off < 0 || off + expect > b.length)
+        return None
+      var r = r0
+      while (r < r1) {
+        val rowBase = (off + (r - r0).toLong * w * spp).toInt
+        var x = 0
+        while (x < w) {
+          val o = (r * w + x) * 3
+          if (spp == 1) {
+            val g = b(rowBase + x)
+            out(o) = g; out(o + 1) = g; out(o + 2) = g
+          } else {
+            out(o) = b(rowBase + x * 3)
+            out(o + 1) = b(rowBase + x * 3 + 1)
+            out(o + 2) = b(rowBase + x * 3 + 2)
+          }
+          x += 1
+        }
+        r += 1
+      }
+      s += 1
+    }
+    Some((w, h, out))
+  }
+
+  def tiffPixels(b: Array[Byte]): Option[TiffPixels] =
+    tiffDecodeRgb(b).map { case (w, h, rgb) =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      while (i < rgb.length) {
+        sr += rgb(i) & 0xff; sg += rgb(i + 1) & 0xff; sb += rgb(i + 2) & 0xff
+        i += 3
+      }
+      TiffPixels(-1L, w, h, sr, sg, sb,
+        rgb(0) & 0xff, rgb(1) & 0xff, rgb(2) & 0xff)
+    }
+
+  /** Partition-parallel TIFF decode ([[extractBmpPixels]] shape). */
+  def extractTiffPixels(spark: SparkSession, media: DataFrame): Dataset[TiffPixels] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          tiffPixels(bytes).map(_.copy(doc_id = id))
+        }
+      }
+  }
+
+  /** Fixture adapter emitting REAL uncompressed TIFFs over the shared
+    * pixel-formula ladder: byte order alternates by row id (II/MM),
+    * every third doc is grayscale (Photometric=1; the gray value is the
+    * R-channel formula), the rest RGB, and RowsPerStrip=2 forces
+    * multi-strip layouts with out-of-line offset/count arrays — so the
+    * decoder's endian handling, strip walk, and inline-vs-offset value
+    * placement all sit under the oracle hash. */
+  def asTiffPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val w = 4 + (docId % 5).toInt
+          val h = 3 + (docId % 4).toInt
+          val le = docId % 2 == 0
+          val gray = docId % 3 == 0
+          val spp = if (gray) 1 else 3
+          val rps = 2
+          val nStrips = (h + rps - 1) / rps
+          val ifdOff = 8
+          val ifdSize = 2 + 9 * 12 + 4
+          var ext = ifdOff + ifdSize
+          val bitsOff = ext
+          if (!gray) ext += 6 // 3 SHORTs out of line
+          val soOff = ext
+          if (nStrips > 1) ext += 4 * nStrips
+          val scOff = ext
+          if (nStrips > 1) ext += 4 * nStrips
+          val dataOff = ext
+          val stripRows = (0 until nStrips).map(s =>
+            math.min(h, (s + 1) * rps) - s * rps)
+          val stripBytes = stripRows.map(_ * w * spp)
+          val stripOffs = stripBytes.scanLeft(dataOff)(_ + _).init
+          val buf = java.nio.ByteBuffer.allocate(dataOff + stripBytes.sum)
+            .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+                   else java.nio.ByteOrder.BIG_ENDIAN)
+          buf.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+          buf.putShort(42)
+          buf.putInt(ifdOff)
+          buf.putShort(9) // entry count
+          def entryShort1(tag: Int, v: Int): Unit = {
+            buf.putShort(tag.toShort); buf.putShort(3); buf.putInt(1)
+            buf.putShort(v.toShort); buf.putShort(0)
+          }
+          def entryLong1(tag: Int, v: Int): Unit = {
+            buf.putShort(tag.toShort); buf.putShort(4); buf.putInt(1)
+            buf.putInt(v)
+          }
+          def entryArr(tag: Int, tpe: Int, n: Int, off: Int): Unit = {
+            buf.putShort(tag.toShort); buf.putShort(tpe.toShort)
+            buf.putInt(n); buf.putInt(off)
+          }
+          entryShort1(256, w)
+          entryShort1(257, h)
+          if (gray) entryShort1(258, 8) else entryArr(258, 3, 3, bitsOff)
+          entryShort1(259, 1)
+          entryShort1(262, if (gray) 1 else 2)
+          if (nStrips > 1) entryArr(273, 4, nStrips, soOff)
+          else entryLong1(273, stripOffs.head)
+          entryShort1(277, spp)
+          entryShort1(278, rps)
+          if (nStrips > 1) entryArr(279, 4, nStrips, scOff)
+          else entryLong1(279, stripBytes.head)
+          buf.putInt(0) // no next IFD
+          if (!gray) { buf.putShort(8); buf.putShort(8); buf.putShort(8) }
+          if (nStrips > 1) {
+            stripOffs.foreach(buf.putInt)
+            stripBytes.foreach(buf.putInt)
+          }
+          for (y <- 0 until h; x <- 0 until w) {
+            val r = ((docId + 7L * x + 13L * y) % 256).toInt
+            if (gray) buf.put(r.toByte)
+            else {
+              buf.put(r.toByte)
+              buf.put(((docId * 3 + 5L * x + 11L * y) % 256).toByte)
+              buf.put(((docId * 5 + 3L * x + 17L * y) % 256).toByte)
+            }
+          }
+          (docId, buf.array())
         }
       }.toDF("doc_id", "payload")
   }

@@ -3141,6 +3141,47 @@ object ExtMultimodal extends QueryModule {
             / 1000.0, 6) AS first_luma
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // REAL TIFF pixel decode (scanner/archival corpora — formerly an
+    // unrecognized 'raw' class): IFD walk in BOTH byte orders (the
+    // fixture alternates II/MM by row id), uncompressed 8-bit grayscale
+    // and RGB, multi-strip layouts (RowsPerStrip=2 forces out-of-line
+    // offset/count arrays). The oracle recomputes channel statistics
+    // from the shared pixel formula without parsing — an endian, strip,
+    // or inline-vs-offset bug breaks the hash.
+    QueryDef(
+      "ext_multimodal_tiff_pixels",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asTiffPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        val npx = ($"width" * $"height").cast("double")
+        MultimodalOps.extractTiffPixels(s, media).toDF()
+          .select($"doc_id", $"width", $"height",
+            round($"sum_r" / npx, 6).as("mean_r"),
+            round($"sum_g" / npx, 6).as("mean_g"),
+            round($"sum_b" / npx, 6).as("mean_b"),
+            round(($"first_r" * 299 + $"first_g" * 587 + $"first_b" * 114) /
+              1000.0, 6).as("first_luma"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id, doc_id % 3 = 0 AS gray,
+            CAST(4 + doc_id % 5 AS INT) AS w, CAST(3 + doc_id % 4 AS INT) AS h, x, y,
+            (doc_id + 7*x + 13*y) % 256 AS r,
+            (doc_id*3 + 5*x + 11*y) % 256 AS g,
+            (doc_id*5 + 3*x + 17*y) % 256 AS b
+          FROM documents, unnest(range(0, 8)) AS tx(x), unnest(range(0, 6)) AS ty(y)
+          WHERE x < 4 + doc_id % 5 AND y < 3 + doc_id % 4)
+        SELECT doc_id, w AS width, h AS height,
+          round(sum(r) / CAST(w*h AS DOUBLE), 6) AS mean_r,
+          round(sum(CASE WHEN gray THEN r ELSE g END) / CAST(w*h AS DOUBLE), 6) AS mean_g,
+          round(sum(CASE WHEN gray THEN r ELSE b END) / CAST(w*h AS DOUBLE), 6) AS mean_b,
+          round((299*(doc_id % 256) +
+                 587*(CASE WHEN doc_id % 3 = 0 THEN doc_id ELSE doc_id*3 END % 256) +
+                 114*(CASE WHEN doc_id % 3 = 0 THEN doc_id ELSE doc_id*5 END % 256))
+            / 1000.0, 6) AS first_luma
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
     // REAL GIF pixel decode — LZW is the codec and the JVM ships none, so
     // this is a from-scratch variable-width LZW decoder (CLEAR/END codes,
     // KwKwK self-reference, code-width growth; the 16–32 × 12–24 fixture

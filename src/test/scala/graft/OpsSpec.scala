@@ -676,6 +676,74 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tiff decode: fixture formula, both endians, multi-strip; ImageIO cross-check") {
+    import graft.ops.MultimodalOps
+    // own fixtures: every lane (II/MM endian, gray/RGB, multi-strip)
+    val media = MultimodalOps.asTiffPayload(spark, docs.limit(24), "doc_id")
+    media.collect().foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val w = 4 + (id % 5).toInt
+      val h = 3 + (id % 4).toInt
+      assert(MultimodalOps.imageDims(bytes).contains(("tiff", w, h)), s"doc $id dims")
+      val (dw, dh, rgb) = MultimodalOps.tiffDecodeRgb(bytes)
+        .getOrElse(fail(s"doc $id quarantined"))
+      assert((dw, dh) == (w, h))
+      val gray = id % 3 == 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        val er = ((id + 7L * x + 13L * y) % 256).toInt
+        assert((rgb(o) & 0xff) == er, s"doc $id R($x,$y)")
+        val eg = if (gray) er else ((id * 3 + 5L * x + 11L * y) % 256).toInt
+        assert((rgb(o + 1) & 0xff) == eg, s"doc $id G($x,$y)")
+      }
+    }
+    // the JDK's OWN tiff writer (an unrelated implementation) must
+    // round-trip through our decoder pixel-exact
+    import java.awt.image.BufferedImage
+    val rnd = new scala.util.Random(5150)
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    assume(writers.hasNext, "JDK TIFF plugin absent")
+    for (tpe <- Seq(BufferedImage.TYPE_INT_RGB, BufferedImage.TYPE_BYTE_GRAY)) {
+      val img = new BufferedImage(9, 7, tpe)
+      for (y <- 0 until 7; x <- 0 until 9)
+        if (tpe == BufferedImage.TYPE_BYTE_GRAY)
+          img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+        else img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "tiff", bos))
+      val out = MultimodalOps.tiffDecodeRgb(bos.toByteArray)
+      assert(out.isDefined, s"ImageIO tiff (type $tpe) quarantined")
+      val (dw, dh, rgb) = out.get
+      assert((dw, dh) == (9, 7))
+      for (y <- 0 until 7; x <- 0 until 9) {
+        val o = (y * 9 + x) * 3
+        if (tpe == BufferedImage.TYPE_BYTE_GRAY) {
+          // getRGB would gamma-convert linear gray to sRGB — the file
+          // stores the RAW raster sample, which is what we decode
+          val exp = img.getRaster.getSample(x, y, 0)
+          assert((rgb(o) & 0xff) == exp, s"gray($x,$y)")
+          assert((rgb(o + 1) & 0xff) == exp && (rgb(o + 2) & 0xff) == exp)
+        } else {
+          val exp = img.getRGB(x, y)
+          assert((rgb(o) & 0xff) == ((exp >> 16) & 0xff), s"R($x,$y)")
+          assert((rgb(o + 1) & 0xff) == ((exp >> 8) & 0xff), s"G($x,$y)")
+          assert((rgb(o + 2) & 0xff) == (exp & 0xff), s"B($x,$y)")
+        }
+      }
+    }
+    // off-scope variants quarantine: flip a fixture's compression tag
+    val sample = media.limit(1).collect().head.getAs[Array[Byte]](1)
+    assert(MultimodalOps.tiffDecodeRgb(sample).isDefined)
+    // IFD starts at byte 8: entry k sits at 10 + 12k; compression is the
+    // 4th entry (tag 259) — its SHORT value field is at +8 of the entry
+    val corrupt = sample.clone()
+    val compEntry = 10 + 12 * 3 + 8
+    corrupt(compEntry) = 5 // LZW
+    assert(MultimodalOps.tiffDecodeRgb(corrupt).isEmpty,
+      "LZW-compressed TIFF must quarantine")
+  }
+
   test("gif pixel decode: from-scratch LZW vs the JDK's independent encoder") {
     // ImageIO's GIF writer is an unrelated LZW implementation: feed it an
     // INDEXED image with an explicit palette (no quantization/dither) and
