@@ -3368,28 +3368,30 @@ object ExtMultimodal extends QueryModule {
         import s.implicits._
         val docs = Tables.load(s, dir, "documents")
           .select($"doc_id".cast("long").as("doc_id"), $"text")
-        def lane(k: Int) = docs.filter($"doc_id" % 8 === k)
+        def lane(k: Int) = docs.filter($"doc_id" % 9 === k)
         val bmp = MultimodalOps.asBmpPayload(s, lane(0), "doc_id")
         val png = MultimodalOps.asPngPayload(s, lane(1), "doc_id")
         val gif = MultimodalOps.asGifPayload(s, lane(2), "doc_id")
         val jpg = MultimodalOps.asJpegPayload(s, lane(3), "doc_id")
         // the round-9 burn-down classes — formerly quarantined, now
-        // decoded for real: 16-bit PNG, IEEE-float WAV, IMA-ADPCM WAV
+        // decoded for real: 16-bit PNG, IEEE-float WAV, IMA-ADPCM WAV,
+        // uncompressed TIFF
         val png16 = MultimodalOps.asPng16Payload(s, lane(4), "doc_id")
         val wavF = MultimodalOps.asFloatWavPayload(s, lane(5), "doc_id")
         val wavA = MultimodalOps.asAdpcmWavPayload(s, lane(6), "doc_id")
+        val tif = MultimodalOps.asTiffPayload(s, lane(7), "doc_id")
         // opaque lane: '~' prefix so no text can spoof a container magic
         val raw = MultimodalOps.asBinaryPayload(
-          lane(7).select($"doc_id", concat(lit("~"), $"text").as("text")),
+          lane(8).select($"doc_id", concat(lit("~"), $"text").as("text")),
           "doc_id", "text")
-        val mixed = Seq(bmp, png, gif, jpg, png16, wavF, wavA, raw)
+        val mixed = Seq(bmp, png, gif, jpg, png16, wavF, wavA, tif, raw)
           .map(_.select($"doc_id", $"payload"))
           .reduce(_.unionAll(_))
           // truncation lane: headers survive (format still classifies),
           // pixel data does not (the real decoder quarantines) — hits
-          // half the bmp class (%16=0) and half the png class (%16=1)
+          // half the bmp class (%18=0) and half the png class (%18=1)
           .select($"doc_id",
-            when($"doc_id" % 16 === 0 || $"doc_id" % 16 === 1,
+            when($"doc_id" % 18 === 0 || $"doc_id" % 18 === 1,
               substring($"payload", 1, 30)).otherwise($"payload")
               .as("payload"))
         MultimodalOps.decodeReport(s, mixed).toDF()
@@ -3398,11 +3400,12 @@ object ExtMultimodal extends QueryModule {
           .orderBy($"format", $"decoded")
       },
       Some("""SELECT
-          CASE CAST(doc_id % 8 AS INT)
+          CASE CAST(doc_id % 9 AS INT)
             WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
             WHEN 3 THEN 'jpeg' WHEN 4 THEN 'png'
-            WHEN 5 THEN 'wav' WHEN 6 THEN 'wav' ELSE 'raw' END AS format,
-          (doc_id % 8 < 7 AND doc_id % 16 NOT IN (0, 1)) AS decoded,
+            WHEN 5 THEN 'wav' WHEN 6 THEN 'wav'
+            WHEN 7 THEN 'tiff' ELSE 'raw' END AS format,
+          (doc_id % 9 < 8 AND doc_id % 18 NOT IN (0, 1)) AS decoded,
           CAST(count(*) AS BIGINT) AS n
         FROM documents
         GROUP BY 1, 2 ORDER BY format, decoded""")),
