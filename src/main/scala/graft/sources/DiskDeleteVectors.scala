@@ -27,6 +27,11 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * immutable — a re-delete writes a NEW sidecar with the union and the
   * manifest swap makes it visible; VACUUM sweeps unreferenced ones. */
 object DiskDv {
+  /** Sidecar filesystem loads by this JVM — test observability for the
+    * "plan time opens zero sidecars" bound (local-mode tests tell driver
+    * from executor work apart by WHEN the counter moves, not by JVM). */
+  private[graft] val loads = new java.util.concurrent.atomic.AtomicLong()
+
   val DirName = "_dv"
   /** Manifest property that opts a table into merge-on-read deletes.
     * Default (absent / "cow") keeps the copy-on-write rewrite. */
@@ -75,13 +80,26 @@ object DiskDv {
   }
 
   def read(fs: FileSystem, dataDir: HPath, rel: String): DvBitmap = {
+    loads.incrementAndGet()
     val in = fs.open(sidecar(dataDir, rel))
     try deserialize(in.readAllBytes()) finally in.close()
   }
 
   def readBytes(fs: FileSystem, dataDir: HPath, rel: String): Array[Byte] = {
+    loads.incrementAndGet()
     val in = fs.open(sidecar(dataDir, rel))
     try in.readAllBytes() finally in.close()
+  }
+
+  /** Executor-side sidecar load by absolute path (the scan partitions
+    * ship paths, not bytes — sidecars are immutable, so the task-side
+    * read is race-free). */
+  def readAbsolute(path: String): DvBitmap = {
+    loads.incrementAndGet()
+    val p = new HPath(path)
+    val fs = p.getFileSystem(new Configuration())
+    val in = fs.open(p)
+    try deserialize(in.readAllBytes()) finally in.close()
   }
 
   /** List every sidecar under `data/_dv/` as data-dir-relative names
@@ -114,12 +132,46 @@ final class DvBitmap(
   }
 
   def set(idx: Long): Unit = {
+    if (idx < 0)
+      throw new IllegalArgumentException(
+        s"gdisk: negative parquet row index $idx — corrupt row-index column")
     val w = (idx >> 6).toInt
     if (w >= words.length)
       words = java.util.Arrays.copyOf(words, math.max(w + 1, words.length * 2))
     val bit = 1L << (idx & 63)
     if ((words(w) & bit) == 0L) { words(w) |= bit; card += 1 }
   }
+
+  /** [[set]] clamped against the file's recorded row count: an index at or
+    * past `bound` means a corrupt row-index column or a stale manifest, and
+    * silently honoring it would allocate `idx/64` longs (a 2^60 index is a
+    * multi-exabyte "file" — and an instant executor OOM). Error cleanly
+    * instead of letting the allocator discover it. */
+  def setBounded(idx: Long, bound: Long): Unit = {
+    if (idx < 0 || idx >= bound)
+      throw new IllegalArgumentException(
+        s"gdisk: parquet row index $idx outside the file's recorded row " +
+          s"count $bound — corrupt row index or stale manifest stats")
+    set(idx)
+  }
+
+  /** Highest set row index, or -1 when empty (the recorded-row-count
+    * sanity check after a sidecar union). */
+  def maxSetBit: Long = {
+    var wi = words.length - 1
+    while (wi >= 0 && words(wi) == 0L) wi -= 1
+    if (wi < 0) -1L
+    else (wi.toLong << 6) | (63 - java.lang.Long.numberOfLeadingZeros(words(wi)))
+  }
+
+  /** All set row indexes, ascending. */
+  def iterator: Iterator[Long] =
+    words.iterator.zipWithIndex.flatMap { case (w, wi) =>
+      if (w == 0L) Iterator.empty
+      else (0 until 64).iterator
+        .filter(b => ((w >>> b) & 1L) == 1L)
+        .map(b => (wi.toLong << 6) | b)
+    }
 
   /** In-place union with `other`. */
   def unionWith(other: DvBitmap): Unit = {
@@ -150,19 +202,116 @@ final class DvBitmap(
     new DvBitmap(out, c)
   }
 
-  /** Row indexes present here but NOT in `other` (CDC's "newly deleted
-    * by this commit" / "revived by this restore" diff). */
-  def minus(other: DvBitmap): Iterator[Long] =
-    words.iterator.zipWithIndex.flatMap { case (w0, wi) =>
-      val w = w0 & ~(if (wi < other.words.length) other.words(wi) else 0L)
-      if (w == 0L) Iterator.empty
-      else (0 until 64).iterator
-        .filter(b => ((w >>> b) & 1L) == 1L)
-        .map(b => (wi.toLong << 6) | b)
-    }
+  /** Row indexes present here but NOT in `other` — [[diff]]'s iterator
+    * form (one subtraction implementation, two shapes). */
+  def minus(other: DvBitmap): Iterator[Long] = diff(other).iterator
 }
 
 /** One manifest entry: sidecar (data-dir-relative) + deleted-row count,
   * so COUNT pushdown and CBO row estimates subtract without opening the
   * sidecar. */
 case class DvEntry(dv: String, card: Long)
+
+/** Per-file row-index harvest for the merge-on-read DELETE: aggregates the
+  * matched rows' parquet row indexes (grouped by file) straight into a
+  * [[DvBitmap]] and emits the serialized sidecar bytes. The buffer is
+  * O(rows/8) packed bits with map-side partial aggregation — a DELETE
+  * matching half of every 1 GB file costs each executor a ~1 MB bitmap per
+  * file, where the previous `collect_list` harvest materialized tens of
+  * millions of boxed longs in one aggregation row. `rowBound` (the largest
+  * recorded row count among the straddling files) rejects corrupt indexes
+  * before they allocate. */
+case class DvBitmapAgg(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    rowBound: Long,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[DvBitmap] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dv_bitmap_agg requires a BIGINT row-index column, got $other")
+    }
+
+  override def createAggregationBuffer(): DvBitmap = new DvBitmap()
+
+  override def update(buf: DvBitmap, input: InternalRow): DvBitmap = {
+    val v = child.eval(input)
+    if (v != null) buf.setBounded(v.asInstanceOf[Long], rowBound)
+    buf
+  }
+
+  override def merge(buf: DvBitmap, other: DvBitmap): DvBitmap = {
+    buf.unionWith(other)
+    buf
+  }
+
+  override def eval(buf: DvBitmap): Any = DiskDv.serialize(buf)
+  override def serialize(buf: DvBitmap): Array[Byte] = DiskDv.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): DvBitmap =
+    DiskDv.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DvBitmapAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DvBitmapAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DvBitmapAgg =
+    copy(child = newChildren.head)
+  override def prettyName: String = "dv_bitmap_agg"
+}
+
+/** Driver-side LRU cache of sidecar bytes for the paths that still ship
+  * bytes in closures (CDC change groups, the delta write's old-DV map).
+  * Sidecars are IMMUTABLE — a re-delete writes a new name — so the
+  * (dataDir, rel) key can never serve stale bytes; the cache turns the
+  * per-plan re-read of an unchanged trickle-upsert table's vectors into a
+  * hit. Bounded by entry count AND total bytes (compressed bitmaps are
+  * small, but thousands of wide ones must not pin the driver heap). */
+private[sources] object DvSidecarCache {
+  private val MaxEntries = 4096
+  private val MaxBytes = 64L << 20
+  private var totalBytes = 0L
+  private val map = new java.util.LinkedHashMap[String, Array[Byte]](
+    64, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, Array[Byte]]): Boolean = {
+      val evict = size() > MaxEntries || totalBytes > MaxBytes
+      if (evict) totalBytes -= e.getValue.length
+      evict
+    }
+  }
+
+  def get(fs: FileSystem, dataDir: HPath, rel: String): Array[Byte] = {
+    val key = s"$dataDir/$rel"
+    map.synchronized(Option(map.get(key))) match {
+      case Some(b) => b
+      case None =>
+        val b = DiskDv.readBytes(fs, dataDir, rel)
+        map.synchronized {
+          if (!map.containsKey(key)) { totalBytes += b.length; map.put(key, b) }
+        }
+        b
+    }
+  }
+}
+
+/** Test observability for the DELETE harvest: the executed plan of the last
+  * row-index aggregation, so specs can prove the bitmap aggregate (not a
+  * `collect_list`) is what actually ran. */
+private[graft] object DvDebug {
+  @volatile var lastHarvestPlan: String = ""
+}

@@ -561,4 +561,156 @@ class DeletionVectorSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(feed == Seq((44L, "delete")), feed.toString)
   }
+
+  test("planning a scan over 2000 DV'd files opens zero sidecars on the driver") {
+    // partitions ship sidecar PATHS; the bytes load at partition open on
+    // executors. Proven by fabricating a 2000-DV'd-file manifest (one
+    // real file + sidecar, cloned) and counting DiskDv loads across
+    // toBatch + planInputPartitions — the round-9 shape read every
+    // sidecar serially on the driver at every plan.
+    spark.sql("""CREATE TABLE gdv.lake.manydv (id BIGINT, v STRING)
+      TBLPROPERTIES ('delete.mode'='dv')""")
+    spark.sql("""INSERT INTO gdv.lake.manydv
+      SELECT id, concat('v', id) FROM range(0, 100, 1, 1)""")
+    spark.sql("DELETE FROM gdv.lake.manydv WHERE id = 3")
+    val t0 = diskTable("manydv")
+    val m = t0.log.latest()
+    val rel0 = m.files.head
+    val dv0 = m.dvs(rel0)
+    val dataDir = java.nio.file.Paths.get(s"$warehouse/lake/manydv/data")
+    val clones = (1 to 1999).map(i => f"clone-$i%04d.parquet")
+    clones.foreach(r => java.nio.file.Files.copy(
+      dataDir.resolve(rel0), dataDir.resolve(r)))
+    val st = m.stats(rel0)
+    val sz = m.sizes(rel0)
+    t0.log.write(m.copy(
+      version = m.version + 1,
+      files = m.files ++ clones, added = Nil,
+      fileStats = Some(m.stats ++ clones.map(_ -> st)),
+      fileSizes = Some(m.sizes ++ clones.map(_ -> sz)),
+      deleteVectors = Some(m.dvs ++ clones.map(_ -> dv0))), "WRITE")
+    val t = diskTable("manydv")
+    val sb = t.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    val scan = sb.build()
+    val before = DiskDv.loads.get()
+    val t1 = System.nanoTime()
+    val parts = scan.toBatch.planInputPartitions()
+    val planMs = (System.nanoTime() - t1) / 1000000L
+    assert(parts.length == 2000, s"${parts.length} partitions")
+    assert(DiskDv.loads.get() == before,
+      s"driver opened ${DiskDv.loads.get() - before} sidecars at plan time")
+    assert(planMs < 30000, s"planning 2000 DV'd files took $planMs ms")
+    // execution loads them task-side and still subtracts correctly
+    // (predicate defeats the manifest-count pushdown, so files are read)
+    assert(spark.sql("SELECT count(*) FROM gdv.lake.manydv WHERE v IS NOT NULL")
+      .head().getLong(0) == 2000L * 99)
+    assert(DiskDv.loads.get() > before, "executors never loaded the sidecars")
+  }
+
+  test("DvBitmap bounds: negative and past-recorded-rows indexes error cleanly") {
+    val b = new graft.sources.DvBitmap()
+    intercept[IllegalArgumentException](b.set(-1L))
+    intercept[IllegalArgumentException](b.setBounded(-1L, 100L))
+    intercept[IllegalArgumentException](b.setBounded(100L, 100L))
+    // the OOM shape the clamp exists for: a corrupt 2^60 index must error
+    // before the allocator discovers it means a 2^54-long word array
+    intercept[IllegalArgumentException](b.setBounded(1L << 60, 1000000L))
+    b.setBounded(99L, 100L)
+    b.setBounded(0L, 100L)
+    assert(b.cardinality == 2L && b.maxSetBit == 99L)
+    assert(new graft.sources.DvBitmap().maxSetBit == -1L)
+    // minus delegates to diff: one subtraction implementation, two shapes
+    val x = new graft.sources.DvBitmap()
+    Seq(1L, 64L, 65L, 300L).foreach(x.set)
+    val y = new graft.sources.DvBitmap()
+    Seq(64L, 300L).foreach(y.set)
+    assert(x.minus(y).toSeq == Seq(1L, 65L))
+    assert(x.diff(y).iterator.toSeq == Seq(1L, 65L))
+    assert(x.diff(y).cardinality == 2L)
+  }
+
+  test("wide-matching DELETE harvests row indexes through the bitmap aggregate") {
+    spark.sql("""CREATE TABLE gdv.lake.wideagg (id BIGINT, v STRING)
+      TBLPROPERTIES ('delete.mode'='dv')""")
+    spark.sql("""INSERT INTO gdv.lake.wideagg
+      SELECT id, concat('v', id) FROM range(0, 40000, 1, 4)""")
+    val digest = parquetBytesDigest("wideagg")
+    // matches ~half of EVERY file — the straddler shape that OOMed the
+    // collect_list harvest (one aggregation row per file holding all of
+    // its matched indexes as boxed longs)
+    spark.sql("DELETE FROM gdv.lake.wideagg WHERE id % 2 = 0")
+    val plan = graft.sources.DvDebug.lastHarvestPlan
+    assert(plan.contains("dv_bitmap_agg"),
+      s"harvest plan does not aggregate into DvBitmap:\n$plan")
+    assert(!plan.contains("collect_list"),
+      s"harvest plan still materializes boxed index lists:\n$plan")
+    assert(parquetBytesDigest("wideagg") == digest, "wide DV delete rewrote data")
+    assert(spark.table("gdv.lake.wideagg").count() == 20000L)
+    assert(spark.sql("SELECT count(*) FROM gdv.lake.wideagg WHERE id % 2 = 0")
+      .head().getLong(0) == 0L)
+    val m = diskTable("wideagg").log.latest()
+    assert(m.dvs.size == 4 && m.dvs.values.map(_.card).sum == 20000L, m.dvs)
+  }
+
+  test("a ~50% DELETE of a multi-file DV table completes in a 512m-heap JVM") {
+    // fork a REAL constrained JVM (the SpillProbe pattern): 12M rows in 4
+    // files, DELETE matching half of every file (512m is the floor Spark
+    // accepts for a driver JVM). The bitmap harvest costs
+    // O(rows/8) per file; the boxed-list shape this replaced held every
+    // matched index of a file in one aggregation buffer.
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    val cmd = Seq(javaBin, "-Xmx512m", "-cp",
+      System.getProperty("java.class.path")) ++
+      addOpens ++ Seq("graft.DvWideDeleteProbe")
+    val out = new StringBuilder
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    var line = reader.readLine()
+    while (line != null) { out.append(line).append('\n'); line = reader.readLine() }
+    val exit = proc.waitFor()
+    val text = out.toString
+    assert(exit == 0, s"dv wide-delete probe exited $exit:\n${text.takeRight(3000)}")
+    val ok = text.linesIterator.find(_.startsWith("DV_WIDE_DELETE_OK"))
+    assert(ok.exists(_.contains("survivors=6000000")), text.takeRight(1000))
+    assert(ok.exists(_.contains("planHasBitmapAgg=true")), ok.toString)
+  }
+
+  test("DV'd scans stay columnar: clean files pass through, DV'd files filter in batches") {
+    spark.sql("""CREATE TABLE gdv.lake.colnar (id BIGINT, v STRING)
+      TBLPROPERTIES ('delete.mode'='dv')""")
+    // 3 files; the delete touches only one of them
+    spark.sql("""INSERT INTO gdv.lake.colnar
+      SELECT id, concat('v', id) FROM range(0, 3000, 1, 3)""")
+    spark.sql("DELETE FROM gdv.lake.colnar WHERE id IN (100, 200, 300)")
+    assert(diskTable("colnar").log.latest().dvs.nonEmpty)
+    val df = spark.table("gdv.lake.colnar")
+    assert(df.queryExecution.toRdd.count() == 2997L)
+    val plan = df.queryExecution.executedPlan.toString
+    // a columnar scan surfaces as ColumnarToRow above the batch scan; the
+    // round-9 shape (any DV'd file flips the WHOLE scan row-based) does not
+    assert(plan.contains("ColumnarToRow"),
+      s"DV'd scan fell back to row-based reads:\n$plan")
+    // correctness through BOTH columnar paths: zero-copy pass-through
+    // batches (clean files + untouched batches) and the survivor-copy
+    // path (the DV'd batches), including a wide (~50%) vector
+    spark.sql("DELETE FROM gdv.lake.colnar WHERE id >= 2000 AND id % 2 = 0")
+    val wide = spark.table("gdv.lake.colnar")
+    assert(wide.queryExecution.toRdd.count() == 2497L)
+    assert(wide.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(spark.sql(
+      "SELECT count(*), sum(id) FROM gdv.lake.colnar WHERE id >= 2000")
+      .head().getLong(1) == (2001L to 2999L by 2).sum)
+    assert(spark.sql("SELECT v FROM gdv.lake.colnar WHERE id = 2001")
+      .head().getString(0) == "v2001")
+    // an all-rows-deleted region still reads correctly (fully-deleted
+    // batches are skipped, not emitted empty)
+    spark.sql("DELETE FROM gdv.lake.colnar WHERE id < 1000 AND id >= 500")
+    assert(spark.table("gdv.lake.colnar").count() == 1997L)
+  }
 }
