@@ -943,19 +943,26 @@ object MultimodalOps {
       first_r: Int, first_g: Int, first_b: Int)
 
   /** REAL TIFF pixel decode (scanner/archival corpora): IFD walk in
-    * EITHER byte order, uncompressed (Compression=1) 8-bit samples,
-    * grayscale (Photometric=1, 1 sample) or RGB (Photometric=2, 3
-    * samples), chunky planar layout, STRIP-organized data (RowsPerStrip
-    * + StripOffsets/StripByteCounts, SHORT or LONG typed, inline or
-    * out-of-line). Anything off-scope — compression, palettes, tiles,
-    * 16-bit, planar=2 — quarantines to None; total pixels capped. */
+    * EITHER byte order, 8-bit samples, grayscale (Photometric=1, 1
+    * sample) or RGB (Photometric=2, 3 samples), chunky planar layout,
+    * STRIP-organized data (RowsPerStrip + StripOffsets/StripByteCounts,
+    * SHORT or LONG typed, inline or out-of-line). Compression: NONE (1),
+    * LZW (5 — the scanner-pipeline default, decoded by the TIFF-variant
+    * LZW below), Deflate (8 / legacy 32946), and PackBits (32773), each
+    * optionally under the horizontal-differencing predictor (tag 317 =
+    * 2). Anything off-scope — palettes, tiles, 16-bit, planar=2, other
+    * codecs — quarantines to None; total pixels capped. */
   private[graft] def tiffDecodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     val (entries, _) = tiffIfd(b).getOrElse(return None)
     def one(tag: Int): Option[Long] = entries.get(tag).flatMap(_.headOption)
     val w = one(256).getOrElse(return None).toInt
     val h = one(257).getOrElse(return None).toInt
     if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
-    if (one(259).getOrElse(1L) != 1L) return None // uncompressed only
+    val compression = one(259).getOrElse(1L)
+    if (compression != 1L && compression != 5L && compression != 8L &&
+      compression != 32773L && compression != 32946L) return None
+    val predictor = one(317).getOrElse(1L)
+    if (predictor != 1L && predictor != 2L) return None
     val photometric = one(262).getOrElse(return None)
     val spp = one(277).getOrElse(1L).toInt
     val ok = (photometric == 1L && spp == 1) || (photometric == 2L && spp == 3)
@@ -975,21 +982,52 @@ object MultimodalOps {
       val r1 = math.min(h.toLong, (s + 1) * rps).toInt
       val expect = (r1 - r0).toLong * w * spp
       val off = offsets(s)
-      if (counts(s) != expect || off < 0 || off + expect > b.length)
-        return None
+      val cnt = counts(s)
+      if (expect > Int.MaxValue / 2 || off < 0 || cnt < 0 ||
+        off + cnt > b.length) return None
+      val strip: Array[Byte] = compression match {
+        case 1L =>
+          if (cnt != expect) return None
+          java.util.Arrays.copyOfRange(b, off.toInt, (off + cnt).toInt)
+        case 5L =>
+          tiffLzwDecode(b, off.toInt, cnt.toInt, expect.toInt)
+            .getOrElse(return None)
+        case 32773L =>
+          packBitsDecode(b, off.toInt, cnt.toInt, expect.toInt)
+            .getOrElse(return None)
+        case _ => // 8 / 32946: zlib deflate
+          inflateExact(b, off.toInt, cnt.toInt, expect.toInt)
+            .getOrElse(return None)
+      }
+      if (predictor == 2L) {
+        // horizontal differencing stores each sample as a delta to the
+        // previous PIXEL's same channel; integrate left-to-right per row
+        val rowBytes = w * spp
+        var r = 0
+        while (r < r1 - r0) {
+          val base = r * rowBytes
+          var i = spp
+          while (i < rowBytes) {
+            strip(base + i) =
+              ((strip(base + i) + strip(base + i - spp)) & 0xff).toByte
+            i += 1
+          }
+          r += 1
+        }
+      }
       var r = r0
       while (r < r1) {
-        val rowBase = (off + (r - r0).toLong * w * spp).toInt
+        val rowBase = (r - r0) * w * spp
         var x = 0
         while (x < w) {
           val o = (r * w + x) * 3
           if (spp == 1) {
-            val g = b(rowBase + x)
+            val g = strip(rowBase + x)
             out(o) = g; out(o + 1) = g; out(o + 2) = g
           } else {
-            out(o) = b(rowBase + x * 3)
-            out(o + 1) = b(rowBase + x * 3 + 1)
-            out(o + 2) = b(rowBase + x * 3 + 2)
+            out(o) = strip(rowBase + x * 3)
+            out(o + 1) = strip(rowBase + x * 3 + 1)
+            out(o + 2) = strip(rowBase + x * 3 + 2)
           }
           x += 1
         }
@@ -998,6 +1036,209 @@ object MultimodalOps {
       s += 1
     }
     Some((w, h, out))
+  }
+
+  /** TIFF-variant LZW decode (Compression=5): MSB-first variable-width
+    * codes over a FIXED 8-bit alphabet — 256=CLEAR, 257=EOI, first
+    * dictionary entry 258 — with the spec's EARLY code-size change: the
+    * decoder widens when its next free entry reaches 2^width − 1 (one
+    * entry sooner than the GIF-variant rule, because the encoder's table
+    * runs one entry ahead). Returns exactly `expected` bytes or None —
+    * never throws (quarantine contract). Sibling of the GIF [[lzwDecode]]
+    * (LSB-first, variable alphabet, late change). */
+  private[graft] def tiffLzwDecode(
+      b: Array[Byte], off: Int, len: Int, expected: Int): Option[Array[Byte]] = {
+    val Clear = 256
+    val Eoi = 257
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](expected)
+    val stack = new Array[Byte](4097)
+    var outN = 0
+    var next = 258
+    var width = 9
+    var prev = -1
+    var acc = 0L
+    var accBits = 0
+    var pos = off
+    val end = off + len
+    def firstByteOf(code: Int): Byte = {
+      var c = code
+      while (c >= 258) c = prefix(c)
+      c.toByte
+    }
+    while (outN < expected) {
+      while (accBits < width) {
+        if (pos >= end) return None // truncated stream
+        acc = (acc << 8) | (b(pos) & 0xffL)
+        accBits += 8
+        pos += 1
+      }
+      val code = ((acc >>> (accBits - width)) & ((1 << width) - 1)).toInt
+      accBits -= width
+      if (code == Clear) {
+        next = 258
+        width = 9
+        prev = -1
+      } else if (code == Eoi) {
+        return if (outN == expected) Some(out) else None
+      } else if (prev == -1) {
+        if (code >= 256) return None // first code must be a literal
+        out(outN) = code.toByte; outN += 1
+        prev = code
+      } else {
+        if (code > next || (code == next && next >= 4096)) return None
+        var sp = 0
+        var c = code
+        if (code == next) { stack(sp) = firstByteOf(prev); sp += 1; c = prev }
+        while (c >= 258) {
+          stack(sp) = suffix(c); sp += 1
+          c = prefix(c)
+        }
+        stack(sp) = c.toByte; sp += 1
+        if (outN + sp > expected) return None // overlong stream
+        while (sp > 0) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = firstByteOf(code)
+          next += 1
+          if (next == (1 << width) - 1 && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
+  /** TIFF-variant LZW encode (the fixture side of [[tiffLzwDecode]]):
+    * MSB-first emission, CLEAR up front and again before the table
+    * fills. The encoder widens when its next free entry reaches
+    * 2^width — one entry AFTER the decoder's bump point, because the
+    * decoder's table lags the encoder's by exactly one entry at read
+    * time (the same one-apart pairing as the GIF encoder/decoder, both
+    * shifted one entry earlier = the TIFF early change). */
+  private[graft] def tiffLzwEncode(data: Array[Byte]): Array[Byte] = {
+    val bytes = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var accBits = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      acc = (acc << width) | code
+      accBits += width
+      while (accBits >= 8) {
+        bytes.write(((acc >>> (accBits - 8)) & 0xff).toInt)
+        accBits -= 8
+      }
+    }
+    var dict = scala.collection.mutable.LongMap.empty[Int]
+    var next = 258
+    emit(256) // CLEAR opens the stream (TIFF 6.0 §13)
+    var prev = -1
+    var i = 0
+    while (i < data.length) {
+      val k = data(i) & 0xff
+      if (prev == -1) prev = k
+      else {
+        val key = (prev.toLong << 8) | k
+        dict.get(key) match {
+          case Some(c) => prev = c
+          case None =>
+            emit(prev)
+            dict(key) = next
+            next += 1
+            if (next == (1 << width) && width < 12) width += 1
+            if (next >= 4093) { // CLEAR before the table can overflow
+              emit(256)
+              dict = scala.collection.mutable.LongMap.empty[Int]
+              next = 258
+              width = 9
+            }
+            prev = k
+        }
+      }
+      i += 1
+    }
+    if (prev != -1) emit(prev)
+    emit(257) // EOI
+    if (accBits > 0) bytes.write(((acc << (8 - accBits)) & 0xff).toInt)
+    bytes.toByteArray
+  }
+
+  /** PackBits decode (Compression=32773, the Macintosh RLE): n in
+    * [0,127] copies n+1 literals, n in [-127,-1] repeats the next byte
+    * 1−n times, −128 is a no-op. Returns exactly `expected` bytes or
+    * None. */
+  private[graft] def packBitsDecode(
+      b: Array[Byte], off: Int, len: Int, expected: Int): Option[Array[Byte]] = {
+    val out = new Array[Byte](expected)
+    var pos = off
+    val end = off + len
+    var o = 0
+    while (o < expected) {
+      if (pos >= end) return None
+      val n = b(pos); pos += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        if (pos + cnt > end || o + cnt > expected) return None
+        System.arraycopy(b, pos, out, o, cnt)
+        pos += cnt; o += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        if (pos >= end || o + cnt > expected) return None
+        java.util.Arrays.fill(out, o, o + cnt, b(pos))
+        pos += 1; o += cnt
+      }
+    }
+    Some(out)
+  }
+
+  /** PackBits encode of ONE row (TIFF packs rows separately): runs of
+    * ≥2 become repeat packets, everything else literal packets of up to
+    * 128 bytes broken before any run of ≥3. */
+  private[graft] def packBitsEncode(row: Array[Byte], from: Int, until: Int)
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = from
+    while (i < until) {
+      var j = i
+      while (j + 1 < until && row(j + 1) == row(i) && j - i < 127) j += 1
+      val runLen = j - i + 1
+      if (runLen >= 2) {
+        out.write(1 - runLen)
+        out.write(row(i))
+        i = j + 1
+      } else {
+        val start = i
+        var k = i
+        while (k < until && k - start < 128 &&
+          !(k + 2 < until && row(k) == row(k + 1) && row(k + 1) == row(k + 2)))
+          k += 1
+        out.write(k - start - 1)
+        out.write(row, start, k - start)
+        i = k
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Zlib inflate to exactly `expected` bytes (TIFF Compression=8 /
+    * legacy 32946), or None on malformed/short/overlong streams. */
+  private def inflateExact(
+      b: Array[Byte], off: Int, len: Int, expected: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b, off, len)
+      val out = new Array[Byte](expected)
+      var o = 0
+      while (o < expected && !inf.finished()) {
+        val n = inf.inflate(out, o, expected - o)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        o += n
+      }
+      if (o == expected) Some(out) else None
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
   }
 
   def tiffPixels(b: Array[Byte]): Option[TiffPixels] =
@@ -1101,6 +1342,134 @@ object MultimodalOps {
               buf.put(((docId * 5 + 3L * x + 17L * y) % 256).toByte)
             }
           }
+          (docId, buf.array())
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Fixture adapter emitting COMPRESSED TIFFs over the shared pixel
+    * formulas — the codec matrix real scanner corpora ship (LZW is the
+    * Compression=5 default of scanner pipelines; PackBits and Deflate
+    * follow): docId % 7 cycles LZW / PackBits / Deflate / uncompressed,
+    * and LZW/Deflate rows with even docId additionally difference under
+    * the horizontal predictor (tag 317 = 2). Byte order still alternates
+    * II/MM, every third doc is grayscale, and RowsPerStrip=2 forces
+    * multi-strip layouts, so endianness × codec × predictor × strip walk
+    * all sit under one oracle hash. */
+  def asTiffCompressedPayload(
+      spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val w = 4 + (docId % 5).toInt
+          val h = 3 + (docId % 4).toInt
+          val le = docId % 2 == 0
+          val gray = docId % 3 == 0
+          val spp = if (gray) 1 else 3
+          val rps = 2
+          val nStrips = (h + rps - 1) / rps
+          val comp = (docId % 7).toInt match {
+            case 0 | 1 => 5
+            case 2 | 3 => 32773
+            case 4 | 5 => 8
+            case _ => 1
+          }
+          val predictor =
+            if ((comp == 5 || comp == 8) && docId % 2 == 0) 2 else 1
+          val rowBytes = w * spp
+          def rawRow(y: Int): Array[Byte] = Array.tabulate(rowBytes) { i =>
+            val x = i / spp
+            (if (gray) (docId + 7L * x + 13L * y) % 256
+             else i % 3 match {
+               case 0 => (docId + 7L * x + 13L * y) % 256
+               case 1 => (docId * 3 + 5L * x + 11L * y) % 256
+               case 2 => (docId * 5 + 3L * x + 17L * y) % 256
+             }).toByte
+          }
+          val stripData: IndexedSeq[Array[Byte]] = (0 until nStrips).map { s =>
+            val r0 = s * rps
+            val r1 = math.min(h, (s + 1) * rps)
+            val rows = (r0 until r1).map { y =>
+              val row = rawRow(y)
+              if (predictor == 2) {
+                // difference right-to-left: sample − previous pixel's
+                // same channel (the decoder integrates it back)
+                var i = rowBytes - 1
+                while (i >= spp) {
+                  row(i) = ((row(i) - row(i - spp)) & 0xff).toByte
+                  i -= 1
+                }
+              }
+              row
+            }
+            comp match {
+              case 5 => tiffLzwEncode(rows.reduce(_ ++ _))
+              case 32773 =>
+                rows.map(r => packBitsEncode(r, 0, r.length)).reduce(_ ++ _)
+              case 8 =>
+                val strip = rows.reduce(_ ++ _)
+                val d = new java.util.zip.Deflater()
+                d.setInput(strip); d.finish()
+                val bos = new java.io.ByteArrayOutputStream()
+                val buf = new Array[Byte](4096)
+                while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+                d.end()
+                bos.toByteArray
+              case _ => rows.reduce(_ ++ _)
+            }
+          }
+          val nEntries = if (predictor == 2) 10 else 9
+          val ifdOff = 8
+          val ifdSize = 2 + nEntries * 12 + 4
+          var ext = ifdOff + ifdSize
+          val bitsOff = ext
+          if (!gray) ext += 6 // 3 SHORTs out of line
+          val soOff = ext
+          if (nStrips > 1) ext += 4 * nStrips
+          val scOff = ext
+          if (nStrips > 1) ext += 4 * nStrips
+          val dataOff = ext
+          val stripBytes = stripData.map(_.length)
+          val stripOffs = stripBytes.scanLeft(dataOff)(_ + _).init
+          val buf = java.nio.ByteBuffer.allocate(dataOff + stripBytes.sum)
+            .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+                   else java.nio.ByteOrder.BIG_ENDIAN)
+          buf.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+          buf.putShort(42)
+          buf.putInt(ifdOff)
+          buf.putShort(nEntries.toShort)
+          def entryShort1(tag: Int, v: Int): Unit = {
+            buf.putShort(tag.toShort); buf.putShort(3); buf.putInt(1)
+            buf.putShort(v.toShort); buf.putShort(0)
+          }
+          def entryLong1(tag: Int, v: Int): Unit = {
+            buf.putShort(tag.toShort); buf.putShort(4); buf.putInt(1)
+            buf.putInt(v)
+          }
+          def entryArr(tag: Int, tpe: Int, n: Int, off: Int): Unit = {
+            buf.putShort(tag.toShort); buf.putShort(tpe.toShort)
+            buf.putInt(n); buf.putInt(off)
+          }
+          entryShort1(256, w)
+          entryShort1(257, h)
+          if (gray) entryShort1(258, 8) else entryArr(258, 3, 3, bitsOff)
+          entryShort1(259, comp)
+          entryShort1(262, if (gray) 1 else 2)
+          if (nStrips > 1) entryArr(273, 4, nStrips, soOff)
+          else entryLong1(273, stripOffs.head)
+          entryShort1(277, spp)
+          entryShort1(278, rps)
+          if (nStrips > 1) entryArr(279, 4, nStrips, scOff)
+          else entryLong1(279, stripBytes.head)
+          if (predictor == 2) entryShort1(317, 2)
+          buf.putInt(0) // no next IFD
+          if (!gray) { buf.putShort(8); buf.putShort(8); buf.putShort(8) }
+          if (nStrips > 1) {
+            stripOffs.foreach(buf.putInt)
+            stripBytes.foreach(buf.putInt)
+          }
+          stripData.foreach(buf.put)
           (docId, buf.array())
         }
       }.toDF("doc_id", "payload")

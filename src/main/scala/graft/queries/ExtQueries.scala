@@ -3182,6 +3182,50 @@ object ExtMultimodal extends QueryModule {
             / 1000.0, 6) AS first_luma
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // COMPRESSED TIFF pixel decode — the round-10 ledger burn-down: LZW
+    // (Compression=5, the scanner-pipeline default), PackBits (32773),
+    // and Deflate (8), each under the horizontal-differencing predictor
+    // (tag 317) on alternating rows, across both byte orders and
+    // multi-strip layouts. The fixture's codec matrix cycles by doc_id
+    // and the pixel formulas are unchanged, so the oracle recomputes the
+    // channel statistics WITHOUT any codec: an LZW bitstream, early
+    // code-size-change, PackBits packet, inflate, or predictor bug
+    // breaks the hash. OpsSpec additionally pins every lane against the
+    // JDK's own TIFF plugin in both directions.
+    QueryDef(
+      "ext_multimodal_tiff_compressed",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asTiffCompressedPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        val npx = ($"width" * $"height").cast("double")
+        MultimodalOps.extractTiffPixels(s, media).toDF()
+          .select($"doc_id", $"width", $"height",
+            round($"sum_r" / npx, 6).as("mean_r"),
+            round($"sum_g" / npx, 6).as("mean_g"),
+            round($"sum_b" / npx, 6).as("mean_b"),
+            round(($"first_r" * 299 + $"first_g" * 587 + $"first_b" * 114) /
+              1000.0, 6).as("first_luma"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id, doc_id % 3 = 0 AS gray,
+            CAST(4 + doc_id % 5 AS INT) AS w, CAST(3 + doc_id % 4 AS INT) AS h, x, y,
+            (doc_id + 7*x + 13*y) % 256 AS r,
+            (doc_id*3 + 5*x + 11*y) % 256 AS g,
+            (doc_id*5 + 3*x + 17*y) % 256 AS b
+          FROM documents, unnest(range(0, 8)) AS tx(x), unnest(range(0, 6)) AS ty(y)
+          WHERE x < 4 + doc_id % 5 AND y < 3 + doc_id % 4)
+        SELECT doc_id, w AS width, h AS height,
+          round(sum(r) / CAST(w*h AS DOUBLE), 6) AS mean_r,
+          round(sum(CASE WHEN gray THEN r ELSE g END) / CAST(w*h AS DOUBLE), 6) AS mean_g,
+          round(sum(CASE WHEN gray THEN r ELSE b END) / CAST(w*h AS DOUBLE), 6) AS mean_b,
+          round((299*(doc_id % 256) +
+                 587*(CASE WHEN doc_id % 3 = 0 THEN doc_id ELSE doc_id*3 END % 256) +
+                 114*(CASE WHEN doc_id % 3 = 0 THEN doc_id ELSE doc_id*5 END % 256))
+            / 1000.0, 6) AS first_luma
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
     // REAL GIF pixel decode — LZW is the codec and the JVM ships none, so
     // this is a from-scratch variable-width LZW decoder (CLEAR/END codes,
     // KwKwK self-reference, code-width growth; the 16–32 × 12–24 fixture
@@ -3379,7 +3423,15 @@ object ExtMultimodal extends QueryModule {
         val png16 = MultimodalOps.asPng16Payload(s, lane(4), "doc_id")
         val wavF = MultimodalOps.asFloatWavPayload(s, lane(5), "doc_id")
         val wavA = MultimodalOps.asAdpcmWavPayload(s, lane(6), "doc_id")
-        val tif = MultimodalOps.asTiffPayload(s, lane(7), "doc_id")
+        // round-10 burn-down: half the tiff lane ships COMPRESSED
+        // (LZW/PackBits/Deflate, some under the predictor) — formerly
+        // quarantined classes that now decode, shifting the ledger's
+        // quarantined→decoded share; a codec regression would flip
+        // their `decoded` flag and break the hash
+        val tif = MultimodalOps.asTiffPayload(
+            s, lane(7).filter($"doc_id" % 2 === 0), "doc_id")
+          .unionAll(MultimodalOps.asTiffCompressedPayload(
+            s, lane(7).filter($"doc_id" % 2 === 1), "doc_id"))
         // opaque lane: '~' prefix so no text can spoof a container magic
         val raw = MultimodalOps.asBinaryPayload(
           lane(8).select($"doc_id", concat(lit("~"), $"text").as("text")),

@@ -140,4 +140,11 @@ class BenchSpec extends AnyFunSuite {
       assert(m.nonEmpty && m.values.forall(_ > 0))
     }
   }
+
+  test("pinned stable-set entries are live registry queries") {
+    // a renamed/removed query would silently un-gate its bench entry —
+    // the pin must track the registry
+    val missing = Bench.pinnedStable.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"pinnedStable names not in registry: $missing")
+  }
 }

@@ -3,10 +3,13 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Merge-on-read READ-overhead probe (scratch; not in the correctness
-  * suite): quantifies what a deletion vector costs a scan — the composite
-  * batch runs row-based for a scan containing any DV'd file, which is the
-  * documented price until OPTIMIZE purges. Prints warm timings of the
-  * same aggregate over (a) the clean table, (b) after a 1-row DV delete,
+  * suite): quantifies what a deletion vector costs a scan. Since round
+  * 10 the composite batch stays COLUMNAR — clean files pass vectorized
+  * batches through, DV'd batches filter with a zero-copy fast path —
+  * so the residual cost is the per-file partition regrouping plus the
+  * row-index column on DV'd files (measured ~1.1× warm vs the 1.35× of
+  * the round-9 all-row-based shape). Prints warm timings of the same
+  * aggregate over (a) the clean table, (b) after a 1-row DV delete,
   * (c) after OPTIMIZE PURGE DELETES. Opt in with SPARK_GRAFT_PROFILE=1. */
 class DvReadOverheadScratch extends AnyFunSuite {
   test("dv read overhead at sf0.1 lineitem", org.scalatest.Tag("profile")) {

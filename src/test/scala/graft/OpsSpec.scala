@@ -739,9 +739,104 @@ class OpsSpec extends AnyFunSuite {
     // 4th entry (tag 259) — its SHORT value field is at +8 of the entry
     val corrupt = sample.clone()
     val compEntry = 10 + 12 * 3 + 8
-    corrupt(compEntry) = 5 // LZW
+    corrupt(compEntry) = 7 // JPEG-in-TIFF: genuinely out of scope
     assert(MultimodalOps.tiffDecodeRgb(corrupt).isEmpty,
-      "LZW-compressed TIFF must quarantine")
+      "JPEG-compressed TIFF must quarantine")
+  }
+
+  test("tiff compressed decode: LZW/PackBits/Deflate × predictor, ImageIO cross-checks both ways") {
+    import graft.ops.MultimodalOps
+    // own fixtures: codec × endian × gray/RGB × predictor matrix, every
+    // pixel against the generation formula
+    val media = MultimodalOps.asTiffCompressedPayload(
+      spark, docs.limit(28), "doc_id")
+    val collected = media.collect()
+    assert(collected.nonEmpty)
+    collected.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val w = 4 + (id % 5).toInt
+      val h = 3 + (id % 4).toInt
+      val gray = id % 3 == 0
+      val (dw, dh, rgb) = MultimodalOps.tiffDecodeRgb(bytes)
+        .getOrElse(fail(s"doc $id (comp lane ${id % 7}) quarantined"))
+      assert((dw, dh) == (w, h), s"doc $id dims")
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        val er = ((id + 7L * x + 13L * y) % 256).toInt
+        assert((rgb(o) & 0xff) == er, s"doc $id R($x,$y) comp=${id % 7}")
+        val eg = if (gray) er else ((id * 3 + 5L * x + 11L * y) % 256).toInt
+        assert((rgb(o + 1) & 0xff) == eg, s"doc $id G($x,$y) comp=${id % 7}")
+        val eb = if (gray) er else ((id * 5 + 3L * x + 17L * y) % 256).toInt
+        assert((rgb(o + 2) & 0xff) == eb, s"doc $id B($x,$y) comp=${id % 7}")
+      }
+      // the JDK's OWN tiff reader (an unrelated implementation) must
+      // agree on our fixture bytes — this pins the LZW bitstream, the
+      // early code-size change, PackBits packets, and the predictor to
+      // the public spec, not to our decoder's private conventions
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (ref != null) {
+        assert(ref.getWidth == w && ref.getHeight == h, s"doc $id ImageIO dims")
+        for (y <- 0 until h; x <- 0 until w) {
+          val o = (y * w + x) * 3
+          if (gray)
+            assert(ref.getRaster.getSample(x, y, 0) == (rgb(o) & 0xff),
+              s"doc $id ImageIO gray($x,$y)")
+          else {
+            assert(ref.getRaster.getSample(x, y, 0) == (rgb(o) & 0xff),
+              s"doc $id ImageIO R($x,$y)")
+            assert(ref.getRaster.getSample(x, y, 1) == (rgb(o + 1) & 0xff),
+              s"doc $id ImageIO G($x,$y)")
+            assert(ref.getRaster.getSample(x, y, 2) == (rgb(o + 2) & 0xff),
+              s"doc $id ImageIO B($x,$y)")
+          }
+        }
+      }
+    }
+    // and the reverse: ImageIO's OWN compressed writers round-trip
+    // through our decoder pixel-exact
+    import java.awt.image.BufferedImage
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    assume(writers.hasNext, "JDK TIFF plugin absent")
+    val writer = writers.next()
+    val available = writer.getDefaultWriteParam.getCompressionTypes.toSeq
+    val rnd = new scala.util.Random(31337)
+    for {
+      ctype <- Seq("LZW", "PackBits", "ZLib", "Deflate")
+        .filter(available.contains)
+      tpe <- Seq(BufferedImage.TYPE_INT_RGB, BufferedImage.TYPE_BYTE_GRAY)
+    } {
+      val img = new BufferedImage(33, 17, tpe)
+      for (y <- 0 until 17; x <- 0 until 33)
+        if (tpe == BufferedImage.TYPE_BYTE_GRAY)
+          img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+        else img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType(ctype)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close()
+      val out = MultimodalOps.tiffDecodeRgb(bos.toByteArray)
+      assert(out.isDefined, s"ImageIO $ctype tiff (type $tpe) quarantined")
+      val (dw, dh, rgb) = out.get
+      assert((dw, dh) == (33, 17))
+      for (y <- 0 until 17; x <- 0 until 33) {
+        val o = (y * 33 + x) * 3
+        if (tpe == BufferedImage.TYPE_BYTE_GRAY) {
+          val exp = img.getRaster.getSample(x, y, 0)
+          assert((rgb(o) & 0xff) == exp, s"$ctype gray($x,$y)")
+        } else {
+          val exp = img.getRGB(x, y)
+          assert((rgb(o) & 0xff) == ((exp >> 16) & 0xff), s"$ctype R($x,$y)")
+          assert((rgb(o + 1) & 0xff) == ((exp >> 8) & 0xff), s"$ctype G($x,$y)")
+          assert((rgb(o + 2) & 0xff) == (exp & 0xff), s"$ctype B($x,$y)")
+        }
+      }
+    }
   }
 
   test("gif pixel decode: from-scratch LZW vs the JDK's independent encoder") {
