@@ -274,10 +274,12 @@ object MultimodalOps {
           else if (size >= 40) le16(at + 32)
           else return None
         // codec scope: 1 = integer PCM (8/16/24/32-bit), 3 = IEEE float
-        // (32-bit), 0x11 = IMA ADPCM (4-bit). Anything else quarantines.
+        // (32-bit), 6/7 = G.711 A-law/µ-law (8-bit, the telephony
+        // corpora), 0x11 = IMA ADPCM (4-bit). Anything else quarantines.
         val bitsOk = tag match {
           case 1 => Seq(8, 16, 24, 32).contains(le16(at + 22))
           case 3 => le16(at + 22) == 32
+          case 6 | 7 => le16(at + 22) == 8
           case 0x11 => le16(at + 22) == 4
           case _ => false
         }
@@ -943,17 +945,21 @@ object MultimodalOps {
       first_r: Int, first_g: Int, first_b: Int)
 
   /** REAL TIFF pixel decode (scanner/archival corpora): IFD walk in
-    * EITHER byte order, 8-bit samples, grayscale (Photometric=1, 1
-    * sample) or RGB (Photometric=2, 3 samples), chunky planar layout,
-    * STRIP-organized data (RowsPerStrip + StripOffsets/StripByteCounts,
-    * SHORT or LONG typed, inline or out-of-line). Compression: NONE (1),
-    * LZW (5 — the scanner-pipeline default, decoded by the TIFF-variant
-    * LZW below), Deflate (8 / legacy 32946), and PackBits (32773), each
-    * optionally under the horizontal-differencing predictor (tag 317 =
-    * 2). Anything off-scope — palettes, tiles, 16-bit, planar=2, other
-    * codecs — quarantines to None; total pixels capped. */
+    * EITHER byte order, 8-BIT or 16-BIT samples (16-bit keeps the
+    * high-order byte, the png16 convention), grayscale (Photometric=1,
+    * 1 sample) or RGB (Photometric=2, 3 samples), CHUNKY or SEPARATE
+    * (PlanarConfiguration=2) sample layout, STRIP- or TILE-organized
+    * data (RowsPerStrip/StripOffsets/StripByteCounts or
+    * TileWidth/TileLength/TileOffsets/TileByteCounts, SHORT or LONG
+    * typed, inline or out-of-line; edge tiles padded per spec).
+    * Compression per segment: NONE (1), LZW (5 — the scanner-pipeline
+    * default), Deflate (8 / legacy 32946), PackBits (32773), each
+    * optionally under the horizontal-differencing predictor (tag
+    * 317 = 2, 8- and 16-bit variants). Anything off-scope — palettes,
+    * other depths, other codecs — quarantines to None; total pixels
+    * capped. */
   private[graft] def tiffDecodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    val (entries, _) = tiffIfd(b).getOrElse(return None)
+    val (entries, le) = tiffIfd(b).getOrElse(return None)
     def one(tag: Int): Option[Long] = entries.get(tag).flatMap(_.headOption)
     val w = one(256).getOrElse(return None).toInt
     val h = one(257).getOrElse(return None).toInt
@@ -965,75 +971,193 @@ object MultimodalOps {
     if (predictor != 1L && predictor != 2L) return None
     val photometric = one(262).getOrElse(return None)
     val spp = one(277).getOrElse(1L).toInt
-    val ok = (photometric == 1L && spp == 1) || (photometric == 2L && spp == 3)
+    val ok = photometric match {
+      case 0L | 1L => spp == 1 // WhiteIsZero / BlackIsZero grayscale
+      case 2L => spp == 3 // RGB
+      case 3L => spp == 1 && entries.contains(320) // palette-color
+      case _ => false
+    }
     if (!ok) return None
-    if (!entries.getOrElse(258, Seq(8L)).forall(_ == 8L)) return None
-    if (one(284).getOrElse(1L) != 1L) return None // chunky only
-    val rps = one(278).getOrElse(h.toLong)
-    if (rps <= 0) return None
-    val nStrips = ((h + rps - 1) / rps).toInt
-    val offsets = entries.getOrElse(273, return None)
-    val counts = entries.getOrElse(279, return None)
-    if (offsets.length != nStrips || counts.length != nStrips) return None
-    val out = new Array[Byte](w * h * 3)
-    var s = 0
-    while (s < nStrips) {
-      val r0 = (s * rps).toInt
-      val r1 = math.min(h.toLong, (s + 1) * rps).toInt
-      val expect = (r1 - r0).toLong * w * spp
-      val off = offsets(s)
-      val cnt = counts(s)
-      if (expect > Int.MaxValue / 2 || off < 0 || cnt < 0 ||
-        off + cnt > b.length) return None
-      val strip: Array[Byte] = compression match {
-        case 1L =>
-          if (cnt != expect) return None
-          java.util.Arrays.copyOfRange(b, off.toInt, (off + cnt).toInt)
-        case 5L =>
-          tiffLzwDecode(b, off.toInt, cnt.toInt, expect.toInt)
-            .getOrElse(return None)
-        case 32773L =>
-          packBitsDecode(b, off.toInt, cnt.toInt, expect.toInt)
-            .getOrElse(return None)
-        case _ => // 8 / 32946: zlib deflate
-          inflateExact(b, off.toInt, cnt.toInt, expect.toInt)
-            .getOrElse(return None)
+    val bitsSeq = entries.getOrElse(258, Seq(8L))
+    val bps =
+      if (bitsSeq.forall(_ == 8L)) 1
+      else if (bitsSeq.forall(_ == 16L) && photometric != 3L) 2
+      else return None
+    // palette: 3×256 16-bit entries, red block then green then blue;
+    // display downscale follows libtiff's CVT: (v·255)/65535
+    val colorMap: IndexedSeq[Long] =
+      if (photometric != 3L) IndexedSeq.empty
+      else entries(320) match {
+        case cm if cm.length == 768 => cm.toIndexedSeq
+        case _ => return None
       }
+    val planar = one(284).getOrElse(1L).toInt
+    if (planar != 1 && planar != 2) return None
+    val nPlanes = if (planar == 2) spp else 1
+    val sppSeg = if (planar == 2) 1 else spp
+    val out = new Array[Byte](w * h * 3)
+
+    def decompressSeg(off: Long, cnt: Long, expect: Int): Option[Array[Byte]] = {
+      if (off < 0 || cnt < 0 || off + cnt > b.length) return None
+      compression match {
+        case 1L =>
+          if (cnt != expect) None
+          else Some(java.util.Arrays.copyOfRange(
+            b, off.toInt, (off + cnt).toInt))
+        case 5L => tiffLzwDecode(b, off.toInt, cnt.toInt, expect)
+        case 32773L => packBitsDecode(b, off.toInt, cnt.toInt, expect)
+        case _ => inflateExact(b, off.toInt, cnt.toInt, expect)
+      }
+    }
+
+    /** Integrate the horizontal predictor in place over `rows` rows of
+      * `rowSamples` samples each (sample stride = samples per pixel in
+      * THIS segment; 16-bit arithmetic runs on the full sample in file
+      * byte order). */
+    def predictorFix(seg: Array[Byte], rows: Int, rowSamples: Int): Unit =
       if (predictor == 2L) {
-        // horizontal differencing stores each sample as a delta to the
-        // previous PIXEL's same channel; integrate left-to-right per row
-        val rowBytes = w * spp
         var r = 0
-        while (r < r1 - r0) {
-          val base = r * rowBytes
-          var i = spp
-          while (i < rowBytes) {
-            strip(base + i) =
-              ((strip(base + i) + strip(base + i - spp)) & 0xff).toByte
-            i += 1
+        while (r < rows) {
+          if (bps == 1) {
+            val base = r * rowSamples
+            var i = sppSeg
+            while (i < rowSamples) {
+              seg(base + i) =
+                ((seg(base + i) + seg(base + i - sppSeg)) & 0xff).toByte
+              i += 1
+            }
+          } else {
+            val base = r * rowSamples * 2
+            var i = sppSeg
+            while (i < rowSamples) {
+              val o = base + i * 2
+              val po = base + (i - sppSeg) * 2
+              val (lo, hi) = (if (le) (o, o + 1) else (o + 1, o))
+              val (plo, phi) = (if (le) (po, po + 1) else (po + 1, po))
+              val v = (((seg(hi) & 0xff) << 8 | (seg(lo) & 0xff)) +
+                ((seg(phi) & 0xff) << 8 | (seg(plo) & 0xff))) & 0xffff
+              seg(hi) = (v >> 8).toByte
+              seg(lo) = (v & 0xff).toByte
+              i += 1
+            }
           }
           r += 1
         }
       }
-      var r = r0
-      while (r < r1) {
-        val rowBase = (r - r0) * w * spp
-        var x = 0
-        while (x < w) {
-          val o = (r * w + x) * 3
-          if (spp == 1) {
-            val g = strip(rowBase + x)
-            out(o) = g; out(o + 1) = g; out(o + 2) = g
-          } else {
-            out(o) = strip(rowBase + x * 3)
-            out(o + 1) = strip(rowBase + x * 3 + 1)
-            out(o + 2) = strip(rowBase + x * 3 + 2)
-          }
-          x += 1
-        }
-        r += 1
+
+    /** 8-bit value of sample `idx` in a segment (16-bit keeps the
+      * high-order byte, read per the file byte order). */
+    def sampleAt(seg: Array[Byte], idx: Int): Byte =
+      if (bps == 1) seg(idx)
+      else if (le) seg(idx * 2 + 1)
+      else seg(idx * 2)
+
+    def store(x: Int, y: Int, channel: Int, v: Byte): Unit = {
+      val o = (y * w + x) * 3
+      photometric match {
+        case 0L => // WhiteIsZero: invert (exact on the high-byte scale)
+          val g = (255 - (v & 0xff)).toByte
+          out(o) = g; out(o + 1) = g; out(o + 2) = g
+        case 1L =>
+          out(o) = v; out(o + 1) = v; out(o + 2) = v
+        case 3L =>
+          val idx = v & 0xff
+          out(o) = (colorMap(idx) * 255L / 65535L).toByte
+          out(o + 1) = (colorMap(256 + idx) * 255L / 65535L).toByte
+          out(o + 2) = (colorMap(512 + idx) * 255L / 65535L).toByte
+        case _ =>
+          out(o + channel) = v
       }
-      s += 1
+    }
+
+    if (!entries.contains(322)) {
+      // STRIP layout; PlanarConfiguration=2 orders all of plane 0's
+      // strips first, then plane 1's, … (TIFF 6.0 §14)
+      val rps = one(278).getOrElse(h.toLong)
+      if (rps <= 0) return None
+      val stripsPerPlane = ((h + rps - 1) / rps).toInt
+      val offsets = entries.getOrElse(273, return None)
+      val counts = entries.getOrElse(279, return None)
+      if (offsets.length != stripsPerPlane * nPlanes ||
+        counts.length != offsets.length) return None
+      var p = 0
+      while (p < nPlanes) {
+        var s = 0
+        while (s < stripsPerPlane) {
+          val seg0 = p * stripsPerPlane + s
+          val r0 = (s * rps).toInt
+          val r1 = math.min(h.toLong, (s + 1) * rps).toInt
+          val rowSamples = w * sppSeg
+          val expect = (r1 - r0).toLong * rowSamples * bps
+          if (expect > Int.MaxValue / 2) return None
+          val seg = decompressSeg(offsets(seg0), counts(seg0), expect.toInt)
+            .getOrElse(return None)
+          predictorFix(seg, r1 - r0, rowSamples)
+          var r = r0
+          while (r < r1) {
+            val rowBase = (r - r0) * rowSamples
+            var x = 0
+            while (x < w) {
+              var c = 0
+              while (c < sppSeg) {
+                store(x, r, if (planar == 2) p else c,
+                  sampleAt(seg, rowBase + x * sppSeg + c))
+                c += 1
+              }
+              x += 1
+            }
+            r += 1
+          }
+          s += 1
+        }
+        p += 1
+      }
+    } else {
+      // TILE layout: row-major tiles, full-size (padded) at the right
+      // and bottom edges; planes ordered as with strips
+      val tw = one(322).getOrElse(return None).toInt
+      val th = one(323).getOrElse(return None).toInt
+      if (tw <= 0 || th <= 0 || tw.toLong * th > (1L << 24)) return None
+      val across = (w + tw - 1) / tw
+      val down = (h + th - 1) / th
+      val perPlane = across * down
+      val offsets = entries.getOrElse(324, return None)
+      val counts = entries.getOrElse(325, return None)
+      if (offsets.length != perPlane * nPlanes ||
+        counts.length != offsets.length) return None
+      val rowSamples = tw * sppSeg
+      val expectL = th.toLong * rowSamples * bps
+      if (expectL > Int.MaxValue / 2) return None
+      val expect = expectL.toInt
+      var p = 0
+      while (p < nPlanes) {
+        var t = 0
+        while (t < perPlane) {
+          val seg = decompressSeg(
+            offsets(p * perPlane + t), counts(p * perPlane + t), expect)
+            .getOrElse(return None)
+          predictorFix(seg, th, rowSamples)
+          val y0 = (t / across) * th
+          val x0 = (t % across) * tw
+          var r = 0
+          while (r < th && y0 + r < h) {
+            val rowBase = r * rowSamples
+            var x = 0
+            while (x < tw && x0 + x < w) {
+              var c = 0
+              while (c < sppSeg) {
+                store(x0 + x, y0 + r, if (planar == 2) p else c,
+                  sampleAt(seg, rowBase + x * sppSeg + c))
+                c += 1
+              }
+              x += 1
+            }
+            r += 1
+          }
+          t += 1
+        }
+        p += 1
+      }
     }
     Some((w, h, out))
   }
@@ -1470,6 +1594,336 @@ object MultimodalOps {
             stripBytes.foreach(buf.putInt)
           }
           stripData.foreach(buf.put)
+          (docId, buf.array())
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Fixture adapter for PALETTE-COLOR (Photometric=3 + ColorMap, the
+    * GIF-era archival class) and WHITE-IS-ZERO (Photometric=0, the
+    * fax/scan convention) TIFFs, alternating by row id and cycling the
+    * codec like [[asTiffCompressedPayload]]. The palette is the same
+    * affine ramp the GIF fixtures use (`(5i+1, 3i+7, 11i+13) mod 256`,
+    * scaled ×257 into TIFF's 16-bit map entries — the exact 8→16-bit
+    * expansion) and the stored pixel is
+    * the INDEX; the WhiteIsZero lane stores the INVERTED formula value
+    * so both lanes decode to the shared pixel formulas and one oracle
+    * covers the map lookup, the inversion, and the codecs. */
+  def asTiffPalettePayload(
+      spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val palette = docId % 2 == 0
+          val w = 4 + (docId % 5).toInt
+          val h = 3 + (docId % 4).toInt
+          val le = (docId / 8) % 2 == 0
+          val comp = ((docId / 2) % 4).toInt match {
+            case 1 => 5
+            case 2 => 32773
+            case 3 => 8
+            case _ => 1
+          }
+          val rps = 2
+          val nStrips = (h + rps - 1) / rps
+          def pix(x: Int, y: Int): Int = {
+            val f = ((docId + 7L * x + 13L * y) % 256).toInt
+            if (palette) f else 255 - f // index, or inverted gray
+          }
+          def compress(rows: Seq[Array[Byte]]): Array[Byte] = comp match {
+            case 5 => tiffLzwEncode(rows.reduce(_ ++ _))
+            case 32773 =>
+              rows.map(r => packBitsEncode(r, 0, r.length)).reduce(_ ++ _)
+            case 8 =>
+              val seg = rows.reduce(_ ++ _)
+              val d = new java.util.zip.Deflater()
+              d.setInput(seg); d.finish()
+              val bos = new java.io.ByteArrayOutputStream()
+              val tmp = new Array[Byte](4096)
+              while (!d.finished()) bos.write(tmp, 0, d.deflate(tmp))
+              d.end()
+              bos.toByteArray
+            case _ => rows.reduce(_ ++ _)
+          }
+          val segments = (0 until nStrips).map { st =>
+            compress((st * rps until math.min(h, (st + 1) * rps))
+              .map(y => Array.tabulate(w)(x => pix(x, y).toByte)))
+          }
+          val nSegs = segments.length
+          val nEntries = if (palette) 10 else 9
+          val ifdOff = 8
+          val ifdSize = 2 + nEntries * 12 + 4
+          var ext = ifdOff + ifdSize
+          val soOff = ext
+          if (nSegs > 1) ext += 4 * nSegs
+          val scOff = ext
+          if (nSegs > 1) ext += 4 * nSegs
+          val cmOff = ext
+          if (palette) ext += 768 * 2
+          val dataOff = ext
+          val segBytes = segments.map(_.length)
+          val segOffs = segBytes.scanLeft(dataOff)(_ + _).init
+          val buf = java.nio.ByteBuffer.allocate(dataOff + segBytes.sum)
+            .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+                   else java.nio.ByteOrder.BIG_ENDIAN)
+          buf.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+          buf.putShort(42)
+          buf.putInt(ifdOff)
+          buf.putShort(nEntries.toShort)
+          def entryShort1(tag: Int, v: Int): Unit = {
+            buf.putShort(tag.toShort); buf.putShort(3); buf.putInt(1)
+            buf.putShort(v.toShort); buf.putShort(0)
+          }
+          def entryLong1(tag: Int, v: Int): Unit = {
+            buf.putShort(tag.toShort); buf.putShort(4); buf.putInt(1)
+            buf.putInt(v)
+          }
+          def entryArr(tag: Int, tpe: Int, n: Int, off: Int): Unit = {
+            buf.putShort(tag.toShort); buf.putShort(tpe.toShort)
+            buf.putInt(n); buf.putInt(off)
+          }
+          entryShort1(256, w)
+          entryShort1(257, h)
+          entryShort1(258, 8)
+          entryShort1(259, comp)
+          entryShort1(262, if (palette) 3 else 0)
+          if (nSegs > 1) entryArr(273, 4, nSegs, soOff)
+          else entryLong1(273, segOffs.head)
+          entryShort1(277, 1)
+          entryShort1(278, rps)
+          if (nSegs > 1) entryArr(279, 4, nSegs, scOff)
+          else entryLong1(279, segBytes.head)
+          if (palette) entryArr(320, 3, 768, cmOff)
+          buf.putInt(0) // no next IFD
+          if (nSegs > 1) {
+            segOffs.foreach(buf.putInt)
+            segBytes.foreach(buf.putInt)
+          }
+          if (palette) {
+            // 16-bit map entries: the GIF affine ramp × 257 (the exact
+            // 8→16-bit expansion, so the libtiff CVT downscale — and any
+            // reasonable rounding — recovers the ramp value exactly)
+            (0 until 256).foreach(i =>
+              buf.putShort((((5 * i + 1) % 256) * 257).toShort))
+            (0 until 256).foreach(i =>
+              buf.putShort((((3 * i + 7) % 256) * 257).toShort))
+            (0 until 256).foreach(i =>
+              buf.putShort((((11 * i + 13) % 256) * 257).toShort))
+          }
+          segments.foreach(buf.put)
+          (docId, buf.array())
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Fixture adapter for the DEEP TIFF matrix — the remaining scanner
+    * classes beyond [[asTiffCompressedPayload]]: 16-BIT samples (high
+    * byte = the shared pixel formula, low byte an independent
+    * deterministic function so a wrong-byte read breaks the hash, the
+    * png16 convention), TILED layouts (16×16 tiles with padded edges on
+    * a larger canvas so multi-tile stitching is exercised), and
+    * PlanarConfiguration=2 (separate planes, plane-major segments).
+    * docId % 4 picks the layout lane (striped-16bit / tiled-8bit /
+    * planar-8bit / tiled-16bit-planar), (docId/4) % 4 the codec (none /
+    * LZW / PackBits / Deflate), (docId/2) % 2 the byte order, and LZW or
+    * Deflate rows with (docId/8) % 2 == 0 add the predictor — so depth ×
+    * tiling × planarity × codec × endianness × predictor all sit under
+    * one oracle hash. */
+  def asTiffDeepPayload(
+      spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val lane = (docId % 4).toInt
+          val tiled = lane == 1 || lane == 3
+          val bps = if (lane == 0 || lane == 3) 2 else 1
+          val planar = if (lane == 2 || lane == 3) 2 else 1
+          val w = (if (tiled) 20 else 4) + (docId % 5).toInt
+          val h = (if (tiled) 17 else 3) + (docId % 3).toInt
+          val le = (docId / 2) % 2 == 0
+          val gray = docId % 3 == 0
+          val spp = if (gray) 1 else 3
+          val comp = ((docId / 4) % 4).toInt match {
+            case 1 => 5
+            case 2 => 32773
+            case 3 => 8
+            case _ => 1
+          }
+          val predictor =
+            if ((comp == 5 || comp == 8) && (docId / 8) % 2 == 0) 2 else 1
+          val nPlanes = if (planar == 2) spp else 1
+          val sppSeg = if (planar == 2) 1 else spp
+          def hi(x: Int, y: Int, c: Int): Int = (c match {
+            case 0 => (docId + 7L * x + 13L * y) % 256
+            case 1 => (docId * 3 + 5L * x + 11L * y) % 256
+            case _ => (docId * 5 + 3L * x + 17L * y) % 256
+          }).toInt
+          def lo(x: Int, y: Int, c: Int): Int =
+            ((docId + 3L * (x + 7L * y + 11L * c)) % 256).toInt
+          // raw samples of one segment row: plane p (chunky: all
+          // channels), image row y, columns x0 until x1 (tile pads past
+          // w replicate the edge pixel; pad rows below h reuse row h-1 —
+          // any deterministic fill works, the decoder discards pads)
+          def rowBytes(p: Int, y0: Int, x0: Int, cols: Int): Array[Byte] = {
+            val outB = new Array[Byte](cols * sppSeg * bps)
+            val y = math.min(y0, h - 1)
+            var i = 0
+            var xi = 0
+            while (xi < cols) {
+              val x = math.min(x0 + xi, w - 1)
+              var c = 0
+              while (c < sppSeg) {
+                val ch = if (planar == 2) p else c
+                val hv = hi(x, y, ch)
+                if (bps == 1) { outB(i) = hv.toByte; i += 1 }
+                else {
+                  val lv = lo(x, y, ch)
+                  if (le) { outB(i) = lv.toByte; outB(i + 1) = hv.toByte }
+                  else { outB(i) = hv.toByte; outB(i + 1) = lv.toByte }
+                  i += 2
+                }
+                c += 1
+              }
+              xi += 1
+            }
+            outB
+          }
+          def diffRow(row: Array[Byte]): Array[Byte] = {
+            if (predictor != 2) return row
+            val samples = row.length / bps
+            if (bps == 1) {
+              var i = samples - 1
+              while (i >= sppSeg) {
+                row(i) = ((row(i) - row(i - sppSeg)) & 0xff).toByte
+                i -= 1
+              }
+            } else {
+              var i = samples - 1
+              while (i >= sppSeg) {
+                val o = i * 2; val po = (i - sppSeg) * 2
+                val (loI, hiI) = if (le) (o, o + 1) else (o + 1, o)
+                val (ploI, phiI) = if (le) (po, po + 1) else (po + 1, po)
+                val v = ((((row(hiI) & 0xff) << 8) | (row(loI) & 0xff)) -
+                  (((row(phiI) & 0xff) << 8) | (row(ploI) & 0xff))) & 0xffff
+                row(hiI) = (v >> 8).toByte
+                row(loI) = (v & 0xff).toByte
+                i -= 1
+              }
+            }
+            row
+          }
+          def compress(rows: Seq[Array[Byte]]): Array[Byte] = comp match {
+            case 5 => tiffLzwEncode(rows.reduce(_ ++ _))
+            case 32773 =>
+              rows.map(r => packBitsEncode(r, 0, r.length)).reduce(_ ++ _)
+            case 8 =>
+              val seg = rows.reduce(_ ++ _)
+              val d = new java.util.zip.Deflater()
+              d.setInput(seg); d.finish()
+              val bos = new java.io.ByteArrayOutputStream()
+              val tmp = new Array[Byte](4096)
+              while (!d.finished()) bos.write(tmp, 0, d.deflate(tmp))
+              d.end()
+              bos.toByteArray
+            case _ => rows.reduce(_ ++ _)
+          }
+          val rps = 2
+          val (tw, th) = (16, 16)
+          val segments: IndexedSeq[Array[Byte]] =
+            if (!tiled) {
+              val stripsPerPlane = (h + rps - 1) / rps
+              for {
+                p <- 0 until nPlanes
+                s <- 0 until stripsPerPlane
+              } yield compress((s * rps until math.min(h, (s + 1) * rps))
+                .map(y => diffRow(rowBytes(p, y, 0, w))))
+            } else {
+              val across = (w + tw - 1) / tw
+              val down = (h + th - 1) / th
+              for {
+                p <- 0 until nPlanes
+                t <- 0 until across * down
+              } yield {
+                val y0 = (t / across) * th
+                val x0 = (t % across) * tw
+                compress((0 until th)
+                  .map(r => diffRow(rowBytes(p, y0 + r, x0, tw))))
+              }
+            }
+          val nSegs = segments.length
+          // ascending tag order: 256,257,258,259,262,[273],277,[278],
+          // [279],[284],[317],[322..325]
+          val nEntries = 6 + (if (tiled) 4 else 3) +
+            (if (planar == 2) 1 else 0) + (if (predictor == 2) 1 else 0)
+          val ifdOff = 8
+          val ifdSize = 2 + nEntries * 12 + 4
+          var ext = ifdOff + ifdSize
+          val bitsOff = ext
+          if (!gray) ext += 6 // 3 SHORTs out of line
+          val soOff = ext
+          if (nSegs > 1) ext += 4 * nSegs
+          val scOff = ext
+          if (nSegs > 1) ext += 4 * nSegs
+          val dataOff = ext
+          val segBytes = segments.map(_.length)
+          val segOffs = segBytes.scanLeft(dataOff)(_ + _).init
+          val buf = java.nio.ByteBuffer.allocate(dataOff + segBytes.sum)
+            .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+                   else java.nio.ByteOrder.BIG_ENDIAN)
+          buf.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+          buf.putShort(42)
+          buf.putInt(ifdOff)
+          buf.putShort(nEntries.toShort)
+          def entryShort1(tag: Int, v: Int): Unit = {
+            buf.putShort(tag.toShort); buf.putShort(3); buf.putInt(1)
+            buf.putShort(v.toShort); buf.putShort(0)
+          }
+          def entryLong1(tag: Int, v: Int): Unit = {
+            buf.putShort(tag.toShort); buf.putShort(4); buf.putInt(1)
+            buf.putInt(v)
+          }
+          def entryArr(tag: Int, tpe: Int, n: Int, off: Int): Unit = {
+            buf.putShort(tag.toShort); buf.putShort(tpe.toShort)
+            buf.putInt(n); buf.putInt(off)
+          }
+          entryShort1(256, w)
+          entryShort1(257, h)
+          if (gray) entryShort1(258, 8 * bps)
+          else entryArr(258, 3, 3, bitsOff)
+          entryShort1(259, comp)
+          entryShort1(262, if (gray) 1 else 2)
+          if (!tiled) {
+            if (nSegs > 1) entryArr(273, 4, nSegs, soOff)
+            else entryLong1(273, segOffs.head)
+          }
+          entryShort1(277, spp)
+          if (!tiled) {
+            entryShort1(278, rps)
+            if (nSegs > 1) entryArr(279, 4, nSegs, scOff)
+            else entryLong1(279, segBytes.head)
+          }
+          if (planar == 2) entryShort1(284, 2)
+          if (predictor == 2) entryShort1(317, 2)
+          if (tiled) {
+            entryShort1(322, tw)
+            entryShort1(323, th)
+            if (nSegs > 1) entryArr(324, 4, nSegs, soOff)
+            else entryLong1(324, segOffs.head)
+            if (nSegs > 1) entryArr(325, 4, nSegs, scOff)
+            else entryLong1(325, segBytes.head)
+          }
+          buf.putInt(0) // no next IFD
+          if (!gray) {
+            val v = (8 * bps).toShort
+            buf.putShort(v); buf.putShort(v); buf.putShort(v)
+          }
+          if (nSegs > 1) {
+            segOffs.foreach(buf.putInt)
+            segBytes.foreach(buf.putInt)
+          }
+          segments.foreach(buf.put)
           (docId, buf.array())
         }
       }.toDF("doc_id", "payload")
@@ -3353,6 +3807,35 @@ object MultimodalOps {
               j += 1
             }
             Some(s)
+          // G.711 µ-law (tag 7): CCITT expansion — complement, then
+          // magnitude ((mant<<3)+BIAS)<<seg with BIAS=0x84, already on
+          // the 16-bit lattice (max ±32124)
+          case 7 =>
+            val s = new Array[Short](len)
+            var j = 0
+            while (j < len) {
+              val u = (~b(off + j)) & 0xff
+              val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)
+              s(j) = (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+              j += 1
+            }
+            Some(s)
+          // G.711 A-law (tag 6): XOR 0x55, segment expansion; the sign
+          // bit SET means positive (max ±32256)
+          case 6 =>
+            val s = new Array[Short](len)
+            var j = 0
+            while (j < len) {
+              val a = (b(off + j) ^ 0x55) & 0xff
+              val seg = (a >> 4) & 7
+              var t = (a & 0x0f) << 4
+              if (seg == 0) t += 8
+              else if (seg == 1) t += 0x108
+              else t = (t + 0x108) << (seg - 1)
+              s(j) = (if ((a & 0x80) != 0) t else -t).toShort
+              j += 1
+            }
+            Some(s)
           case 0x11 => adpcmDecode(b, off, len, ch, blockAlign)
           case _ => None
         }
@@ -3477,6 +3960,50 @@ object MultimodalOps {
     * word channel rotation, nibble unpack, table clamp at index 0.
     * (Step ADAPTATION under non-zero nibbles is pinned by
     * MultimodalSpec's independent-reference cross-check.) */
+  /** Fixture adapter for G.711 WAVs (format tags 7 = µ-law, 6 = A-law,
+    * alternating by row id — the telephony/call-center corpora): the
+    * 8-bit codewords derive from the row id (`(id·31 + i·7) mod 256`),
+    * so DuckDB recomputes the decoded 16-bit samples with the CCITT
+    * expansion ARITHMETIC (complement/XOR, segment shift, bias — pure
+    * integer CASE math, no codec) and the one oracle covers both
+    * companding laws, the codeword→linear tables, and the container
+    * walk. AudioPcmSpec pins the expansion against javax.sound's own
+    * ULAW/ALAW converters. */
+  def asG711WavPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val mulaw = docId % 2 == 0
+          val channels = 1 + ((docId / 2) % 2).toInt
+          val n = 128 + (docId % 8).toInt * 32
+          val rate = 8000
+          val blockAlign = channels
+          val buf = java.nio.ByteBuffer.allocate(44 + n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII"))
+          buf.putInt(36 + n)
+          buf.put("WAVE".getBytes("US-ASCII"))
+          buf.put("fmt ".getBytes("US-ASCII"))
+          buf.putInt(16)
+          buf.putShort(if (mulaw) 7 else 6)
+          buf.putShort(channels.toShort)
+          buf.putInt(rate)
+          buf.putInt(rate * blockAlign)
+          buf.putShort(blockAlign.toShort)
+          buf.putShort(8)
+          buf.put("data".getBytes("US-ASCII"))
+          buf.putInt(n)
+          var i = 0
+          while (i < n) {
+            buf.put(((docId * 31 + i.toLong * 7) % 256).toByte)
+            i += 1
+          }
+          (docId, buf.array())
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   def asAdpcmWavPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
     df.select(col(id).cast("long").as("doc_id")).as[Long]

@@ -3226,6 +3226,99 @@ object ExtMultimodal extends QueryModule {
             / 1000.0, 6) AS first_luma
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // PALETTE-COLOR and WHITE-IS-ZERO TIFF decode — the GIF-era archival
+    // and fax/scan photometric classes: Photometric=3 maps stored
+    // indexes through the 3×256 16-bit ColorMap (high byte, the display
+    // convention), Photometric=0 inverts; both cross the codec cycle.
+    // The palette is the GIF fixtures' affine ramp, so DuckDB recomputes
+    // the mapped channels from two closed formulas with no parsing — a
+    // map-layout (red/green/blue block order), high/low-byte, or
+    // inversion bug breaks the hash.
+    QueryDef(
+      "ext_multimodal_tiff_palette",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asTiffPalettePayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        val npx = ($"width" * $"height").cast("double")
+        MultimodalOps.extractTiffPixels(s, media).toDF()
+          .select($"doc_id", $"width", $"height",
+            round($"sum_r" / npx, 6).as("mean_r"),
+            round($"sum_g" / npx, 6).as("mean_g"),
+            round($"sum_b" / npx, 6).as("mean_b"),
+            round(($"first_r" * 299 + $"first_g" * 587 + $"first_b" * 114) /
+              1000.0, 6).as("first_luma"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id, doc_id % 2 = 0 AS pal,
+            CAST(4 + doc_id % 5 AS INT) AS w, CAST(3 + doc_id % 4 AS INT) AS h, x, y,
+            (doc_id + 7*x + 13*y) % 256 AS f
+          FROM documents, unnest(range(0, 8)) AS tx(x), unnest(range(0, 6)) AS ty(y)
+          WHERE x < 4 + doc_id % 5 AND y < 3 + doc_id % 4),
+        ch AS (
+          SELECT doc_id, w, h,
+            CASE WHEN pal THEN (5*f + 1) % 256 ELSE f END AS r,
+            CASE WHEN pal THEN (3*f + 7) % 256 ELSE f END AS g,
+            CASE WHEN pal THEN (11*f + 13) % 256 ELSE f END AS b
+          FROM px)
+        SELECT doc_id, w AS width, h AS height,
+          round(sum(r) / CAST(w*h AS DOUBLE), 6) AS mean_r,
+          round(sum(g) / CAST(w*h AS DOUBLE), 6) AS mean_g,
+          round(sum(b) / CAST(w*h AS DOUBLE), 6) AS mean_b,
+          round(CASE WHEN doc_id % 2 = 0
+            THEN 299*((5*(doc_id % 256) + 1) % 256) +
+                 587*((3*(doc_id % 256) + 7) % 256) +
+                 114*((11*(doc_id % 256) + 13) % 256)
+            ELSE 1000*(doc_id % 256) END / 1000.0, 6) AS first_luma
+        FROM ch GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
+    // DEEP TIFF matrix decode — the residual scanner classes: 16-BIT
+    // samples (high byte under the shared formula, low byte independent
+    // so a wrong-byte read breaks the hash), TILED layouts (16×16 tiles
+    // with padded edges on a larger canvas, multi-tile stitching), and
+    // PlanarConfiguration=2 (plane-major segments), crossed with the
+    // codec/predictor/endian matrix. The oracle recomputes channel
+    // statistics from the formulas with lane-dependent geometry and no
+    // codec; OpsSpec pins the lanes against the JDK TIFF plugin in both
+    // directions where it supports the variant.
+    QueryDef(
+      "ext_multimodal_tiff_deep",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asTiffDeepPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        val npx = ($"width" * $"height").cast("double")
+        MultimodalOps.extractTiffPixels(s, media).toDF()
+          .select($"doc_id", $"width", $"height",
+            round($"sum_r" / npx, 6).as("mean_r"),
+            round($"sum_g" / npx, 6).as("mean_g"),
+            round($"sum_b" / npx, 6).as("mean_b"),
+            round(($"first_r" * 299 + $"first_g" * 587 + $"first_b" * 114) /
+              1000.0, 6).as("first_luma"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id, doc_id % 3 = 0 AS gray,
+            CAST(CASE WHEN doc_id % 2 = 1 THEN 20 ELSE 4 END + doc_id % 5 AS INT) AS w,
+            CAST(CASE WHEN doc_id % 2 = 1 THEN 17 ELSE 3 END + doc_id % 3 AS INT) AS h,
+            x, y,
+            (doc_id + 7*x + 13*y) % 256 AS r,
+            (doc_id*3 + 5*x + 11*y) % 256 AS g,
+            (doc_id*5 + 3*x + 17*y) % 256 AS b
+          FROM documents, unnest(range(0, 25)) AS tx(x), unnest(range(0, 20)) AS ty(y)
+          WHERE x < CASE WHEN doc_id % 2 = 1 THEN 20 ELSE 4 END + doc_id % 5
+            AND y < CASE WHEN doc_id % 2 = 1 THEN 17 ELSE 3 END + doc_id % 3)
+        SELECT doc_id, w AS width, h AS height,
+          round(sum(r) / CAST(w*h AS DOUBLE), 6) AS mean_r,
+          round(sum(CASE WHEN gray THEN r ELSE g END) / CAST(w*h AS DOUBLE), 6) AS mean_g,
+          round(sum(CASE WHEN gray THEN r ELSE b END) / CAST(w*h AS DOUBLE), 6) AS mean_b,
+          round((299*(doc_id % 256) +
+                 587*(CASE WHEN doc_id % 3 = 0 THEN doc_id ELSE doc_id*3 END % 256) +
+                 114*(CASE WHEN doc_id % 3 = 0 THEN doc_id ELSE doc_id*5 END % 256))
+            / 1000.0, 6) AS first_luma
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
     // REAL GIF pixel decode — LZW is the codec and the JVM ships none, so
     // this is a from-scratch variable-width LZW decoder (CLEAR/END codes,
     // KwKwK self-reference, code-width growth; the 16–32 × 12–24 fixture
@@ -3421,7 +3514,12 @@ object ExtMultimodal extends QueryModule {
         // decoded for real: 16-bit PNG, IEEE-float WAV, IMA-ADPCM WAV,
         // uncompressed TIFF
         val png16 = MultimodalOps.asPng16Payload(s, lane(4), "doc_id")
-        val wavF = MultimodalOps.asFloatWavPayload(s, lane(5), "doc_id")
+        // half the float-WAV lane ships G.711 telephony audio instead —
+        // another formerly-quarantined class now decoding
+        val wavF = MultimodalOps.asFloatWavPayload(
+            s, lane(5).filter($"doc_id" % 2 === 0), "doc_id")
+          .unionAll(MultimodalOps.asG711WavPayload(
+            s, lane(5).filter($"doc_id" % 2 === 1), "doc_id"))
         val wavA = MultimodalOps.asAdpcmWavPayload(s, lane(6), "doc_id")
         // round-10 burn-down: half the tiff lane ships COMPRESSED
         // (LZW/PackBits/Deflate, some under the predictor) — formerly
@@ -3675,6 +3773,71 @@ object ExtMultimodal extends QueryModule {
           CAST(CASE WHEN channels = 2 AND ((p0 >= 0) != (p1 >= 0))
                THEN channels*17*nb - 1 ELSE 0 END AS INT) AS zero_crossings
         FROM base ORDER BY doc_id""")),
+
+    // G.711 µ-LAW / A-LAW WAV decode (format tags 7/6 — the telephony
+    // and call-center corpora; formerly a quarantine class): the fixture
+    // bytes are id-derived CODEWORDS and the oracle performs the CCITT
+    // expansion itself in pure integer SQL (complement / XOR 0x55,
+    // segment shift, bias) — so both companding laws' codeword→linear
+    // maps, the 8-bit container walk, and the stats pipeline sit under
+    // one hash. AudioPcmSpec pins the expansion against javax.sound's
+    // own ULAW/ALAW converters (an unrelated implementation).
+    QueryDef(
+      "ext_multimodal_audio_g711",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asG711WavPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        MultimodalOps.extractAudioPcm(s, media).toDF()
+          .select($"doc_id", $"channels", $"n_samples", $"peak",
+            $"sum_sq", $"dc_sum", $"clip_count", $"silence_count",
+            $"zero_crossings")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id,
+            CAST(1 + (doc_id // 2) % 2 AS INT) AS channels,
+            CAST(128 + (doc_id % 8) * 32 AS INT) AS n
+          FROM documents),
+        samp AS (
+          SELECT doc_id, channels, n, i,
+            CAST((doc_id*31 + i*7) % 256 AS INT) AS cw
+          FROM base, unnest(range(0, 352)) AS t(i)
+          WHERE i < n),
+        dec AS (
+          SELECT doc_id, channels, n, i,
+            CASE WHEN doc_id % 2 = 0 THEN
+              -- mu-law: complement, then ((mant<<3)+132)<<seg, bias 132
+              CASE WHEN (255 - cw) >= 128
+                THEN 132 - (((255 - cw) % 16) * 8 + 132) * (1 << (((255 - cw) // 16) % 8))
+                ELSE (((255 - cw) % 16) * 8 + 132) * (1 << (((255 - cw) // 16) % 8)) - 132
+              END
+            ELSE
+              -- A-law: XOR 0x55, segment expansion; sign bit SET = positive
+              (CASE WHEN xor(cw, 85) >= 128 THEN 1 ELSE -1 END) *
+              (CASE WHEN (xor(cw, 85) // 16) % 8 = 0
+                 THEN (xor(cw, 85) % 16) * 16 + 8
+                 WHEN (xor(cw, 85) // 16) % 8 = 1
+                 THEN (xor(cw, 85) % 16) * 16 + 264
+                 ELSE ((xor(cw, 85) % 16) * 16 + 264) *
+                      (1 << ((xor(cw, 85) // 16) % 8 - 1))
+               END)
+            END AS v
+          FROM samp),
+        flagged AS (
+          SELECT doc_id, channels, n, v,
+            CASE WHEN i > 0 AND (v >= 0) !=
+                 (lag(v) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+                 THEN 1 ELSE 0 END AS zc
+          FROM dec)
+        SELECT doc_id, channels, n AS n_samples,
+          CAST(max(abs(v)) AS INT) AS peak,
+          CAST(sum(v*v) AS BIGINT) AS sum_sq,
+          CAST(sum(v) AS BIGINT) AS dc_sum,
+          CAST(count(*) FILTER (WHERE abs(v) >= 32700) AS INT) AS clip_count,
+          CAST(count(*) FILTER (WHERE abs(v) < 64) AS INT) AS silence_count,
+          CAST(sum(zc) AS INT) AS zero_crossings
+        FROM flagged GROUP BY doc_id, channels, n ORDER BY doc_id""")),
 
     // REAL video frame extraction: the fixture emits genuine MJPEG-in-MP4
     // containers (ftyp + a moov whose stbl carries real stsd('jpeg')/

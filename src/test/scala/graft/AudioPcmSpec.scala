@@ -62,6 +62,71 @@ class AudioPcmSpec extends AnyFunSuite {
     }
   }
 
+  test("G.711 mu-law/A-law expansion matches javax.sound's own converters") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // every codeword 0..255, both laws: the JDK ships its OWN G.711
+    // tables (an unrelated CCITT implementation) — its ULAW/ALAW →
+    // PCM16 conversion must agree with our expansion on all 256 codes
+    for ((enc, mulaw) <- Seq(
+        (AudioFormat.Encoding.ULAW, true), (AudioFormat.Encoding.ALAW, false))) {
+      val codes = Array.tabulate(256)(_.toByte)
+      val src = new AudioInputStream(
+        new java.io.ByteArrayInputStream(codes),
+        new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false), 256L)
+      val pcm = AudioSystem.getAudioInputStream(
+        new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          8000f, 16, 1, 2, 8000f, false), src)
+      val raw = pcm.readAllBytes()
+      assert(raw.length == 512)
+      for (c <- 0 until 256) {
+        val jdk = ((raw(2 * c) & 0xff) | (raw(2 * c + 1) << 8)).toShort
+        val ours =
+          if (mulaw) {
+            val u = (~c) & 0xff
+            val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)
+            (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+          } else {
+            val a = (c ^ 0x55) & 0xff
+            val seg = (a >> 4) & 7
+            var t = (a & 0x0f) << 4
+            if (seg == 0) t += 8
+            else if (seg == 1) t += 0x108
+            else t = (t + 0x108) << (seg - 1)
+            (if ((a & 0x80) != 0) t else -t).toShort
+          }
+        assert(jdk == ours,
+          s"${if (mulaw) "ULAW" else "ALAW"} code $c: jdk=$jdk ours=$ours")
+      }
+    }
+    // and end-to-end through the WAV container: fixture bytes decode to
+    // what javax.sound produces for the same codeword stream
+    import spark.implicits._
+    for (docId <- Seq(0L, 1L, 2L, 3L, 7L)) {
+      val bytes = MultimodalOps.asG711WavPayload(
+        spark, Seq(docId).toDF("doc_id"), "doc_id")
+        .collect()(0).getAs[Array[Byte]]("payload") // bounded: 1 fixture row
+      val (ch, ours) = MultimodalOps.wavPcm(bytes)
+        .getOrElse(fail(s"g711 doc $docId quarantined"))
+      assert(ch == 1 + ((docId / 2) % 2).toInt)
+      val n = 128 + (docId % 8).toInt * 32
+      assert(ours.length == n)
+      val codes = Array.tabulate(n)(i =>
+        ((docId * 31 + i.toLong * 7) % 256).toByte)
+      val enc = if (docId % 2 == 0) AudioFormat.Encoding.ULAW
+                else AudioFormat.Encoding.ALAW
+      val src = new AudioInputStream(
+        new java.io.ByteArrayInputStream(codes),
+        new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false), n.toLong)
+      val pcm = AudioSystem.getAudioInputStream(
+        new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          8000f, 16, 1, 2, 8000f, false), src)
+      val raw = pcm.readAllBytes()
+      val jdk = Array.tabulate(raw.length / 2)(i =>
+        ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort)
+      assert(jdk.toSeq == ours.toSeq, s"doc $docId samples diverge")
+    }
+  }
+
   test("statistics match hand computation on a known stream") {
     // samples: 100, -200, 0, -32700, 32767, 63, -63, 5
     val s = Array[Short](100, -200, 0, -32700, 32767, 63, -63, 5)

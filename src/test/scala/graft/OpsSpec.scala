@@ -839,6 +839,164 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tiff deep matrix: 16-bit, tiled, planar=2 × codecs; ImageIO cross-checks") {
+    import graft.ops.MultimodalOps
+    val media = MultimodalOps.asTiffDeepPayload(spark, docs.limit(64), "doc_id")
+    val collected = media.collect()
+    assert(collected.nonEmpty)
+    var imageioChecked = 0
+    collected.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val lane = (id % 4).toInt
+      val tiled = lane == 1 || lane == 3
+      val bps = if (lane == 0 || lane == 3) 2 else 1
+      val planar = if (lane == 2 || lane == 3) 2 else 1
+      val w = (if (tiled) 20 else 4) + (id % 5).toInt
+      val h = (if (tiled) 17 else 3) + (id % 3).toInt
+      val gray = id % 3 == 0
+      val (dw, dh, rgb) = MultimodalOps.tiffDecodeRgb(bytes)
+        .getOrElse(fail(s"doc $id (lane $lane) quarantined"))
+      assert((dw, dh) == (w, h), s"doc $id dims")
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        val er = ((id + 7L * x + 13L * y) % 256).toInt
+        assert((rgb(o) & 0xff) == er, s"doc $id lane=$lane R($x,$y)")
+        val eg = if (gray) er else ((id * 3 + 5L * x + 11L * y) % 256).toInt
+        assert((rgb(o + 1) & 0xff) == eg, s"doc $id lane=$lane G($x,$y)")
+        val eb = if (gray) er else ((id * 5 + 3L * x + 17L * y) % 256).toInt
+        assert((rgb(o + 2) & 0xff) == eb, s"doc $id lane=$lane B($x,$y)")
+      }
+      // independent-implementation pin where the JDK plugin can read the
+      // variant (it declines some planar/depth combinations — that only
+      // skips the comparison, never the formula assert above)
+      val ref = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)) catch { case _: Exception => null }
+      if (ref != null && ref.getWidth == w && ref.getHeight == h) {
+        imageioChecked += 1
+        for (y <- 0 until h; x <- 0 until w) {
+          val o = (y * w + x) * 3
+          def refSample(band: Int): Int = {
+            val s = ref.getRaster.getSample(x, y, band)
+            if (bps == 2) s >> 8 else s
+          }
+          assert(refSample(0) == (rgb(o) & 0xff),
+            s"doc $id lane=$lane ImageIO band0($x,$y)")
+          if (!gray && ref.getRaster.getNumBands >= 3) {
+            assert(refSample(1) == (rgb(o + 1) & 0xff),
+              s"doc $id lane=$lane ImageIO band1($x,$y)")
+            assert(refSample(2) == (rgb(o + 2) & 0xff),
+              s"doc $id lane=$lane ImageIO band2($x,$y)")
+          }
+        }
+      }
+    }
+    assert(imageioChecked > 0, "JDK TIFF plugin verified none of the fixtures")
+    // reverse direction: the JDK's OWN tiled and 16-bit writers must
+    // round-trip through our decoder
+    import java.awt.image.BufferedImage
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    assume(writers.hasNext, "JDK TIFF plugin absent")
+    val writer = writers.next()
+    val rnd = new scala.util.Random(8086)
+    def writeTiff(img: BufferedImage, tile: Boolean, ctype: Option[String])
+        : Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val p = writer.getDefaultWriteParam
+      ctype.foreach { ct =>
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionType(ct)
+      }
+      if (tile) {
+        p.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setTiling(16, 16, 0, 0)
+      }
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close()
+      bos.toByteArray
+    }
+    // tiled RGB, uncompressed and LZW
+    for (ctype <- Seq(None, Some("LZW"))) {
+      val img = new BufferedImage(37, 21, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 21; x <- 0 until 37)
+        img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+      val out = MultimodalOps.tiffDecodeRgb(writeTiff(img, tile = true, ctype))
+      assert(out.isDefined, s"ImageIO tiled tiff ($ctype) quarantined")
+      val (dw, dh, rgb) = out.get
+      assert((dw, dh) == (37, 21))
+      for (y <- 0 until 21; x <- 0 until 37) {
+        val o = (y * 37 + x) * 3
+        val exp = img.getRGB(x, y)
+        assert((rgb(o) & 0xff) == ((exp >> 16) & 0xff), s"tiled $ctype R($x,$y)")
+        assert((rgb(o + 2) & 0xff) == (exp & 0xff), s"tiled $ctype B($x,$y)")
+      }
+    }
+    // 16-bit grayscale (the scanner depth), striped
+    val img16 = new BufferedImage(11, 9, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 9; x <- 0 until 11)
+      img16.getRaster.setSample(x, y, 0, rnd.nextInt(65536))
+    val out16 = MultimodalOps.tiffDecodeRgb(
+      writeTiff(img16, tile = false, ctype = None))
+    assert(out16.isDefined, "ImageIO 16-bit tiff quarantined")
+    val (dw16, dh16, rgb16) = out16.get
+    assert((dw16, dh16) == (11, 9))
+    for (y <- 0 until 9; x <- 0 until 11) {
+      val exp = img16.getRaster.getSample(x, y, 0) >> 8
+      assert((rgb16((y * 11 + x) * 3) & 0xff) == exp, s"16-bit gray($x,$y)")
+    }
+  }
+
+  test("tiff palette + WhiteIsZero photometrics decode and match ImageIO") {
+    import graft.ops.MultimodalOps
+    val media = MultimodalOps.asTiffPalettePayload(spark, docs.limit(32), "doc_id")
+    var imageioChecked = 0
+    media.collect().foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val pal = id % 2 == 0
+      val w = 4 + (id % 5).toInt
+      val h = 3 + (id % 4).toInt
+      val (dw, dh, rgb) = MultimodalOps.tiffDecodeRgb(bytes)
+        .getOrElse(fail(s"doc $id quarantined"))
+      assert((dw, dh) == (w, h))
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        val f = ((id + 7L * x + 13L * y) % 256).toInt
+        val (er, eg, eb) =
+          if (pal) ((5 * f + 1) % 256, (3 * f + 7) % 256, (11 * f + 13) % 256)
+          else (f, f, f)
+        assert((rgb(o) & 0xff) == er, s"doc $id R($x,$y)")
+        assert((rgb(o + 1) & 0xff) == eg, s"doc $id G($x,$y)")
+        assert((rgb(o + 2) & 0xff) == eb, s"doc $id B($x,$y)")
+      }
+      val ref = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)) catch { case _: Exception => null }
+      if (ref != null && ref.getWidth == w) {
+        imageioChecked += 1
+        for (y <- 0 until h; x <- 0 until w) {
+          val o = (y * w + x) * 3
+          if (pal) {
+            // palette surfaces through getRGB (the color model applies
+            // the map — no gamma, IndexColorModel is sRGB-direct)
+            val exp = ref.getRGB(x, y)
+            assert(((exp >> 16) & 0xff) == (rgb(o) & 0xff),
+              s"doc $id ImageIO R($x,$y)")
+            assert((exp & 0xff) == (rgb(o + 2) & 0xff),
+              s"doc $id ImageIO B($x,$y)")
+          } else {
+            // WhiteIsZero: the reader inverts during decode; compare the
+            // RAW raster sample (getRGB would gamma-convert linear gray)
+            assert(ref.getRaster.getSample(x, y, 0) == (rgb(o) & 0xff),
+              s"doc $id ImageIO gray($x,$y)")
+          }
+        }
+      }
+    }
+    assert(imageioChecked > 0, "JDK TIFF plugin verified none of the fixtures")
+  }
+
   test("gif pixel decode: from-scratch LZW vs the JDK's independent encoder") {
     // ImageIO's GIF writer is an unrelated LZW implementation: feed it an
     // INDEXED image with an explicit palette (no quantization/dither) and
