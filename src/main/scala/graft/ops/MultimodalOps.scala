@@ -2578,9 +2578,11 @@ object MultimodalOps {
           i += len
         case 0xc2 => // progressive DCT: its own multi-scan decoder
           return jpegDecodeProgressive(b)
-        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+        case 0xc3 => // lossless sequential: its own predictive decoder
+          return jpegDecodeLossless(b)
+        case 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
             0xcd | 0xce | 0xcf =>
-          return None // lossless/differential/arithmetic: out of scope
+          return None // differential/arithmetic: out of scope
         case 0xc4 => // DHT (possibly several tables in one segment)
           if (i + 2 > b.length) return None
           val len = be16(i)
@@ -2742,6 +2744,279 @@ object MultimodalOps {
     Some(JpegImage(width, height, ncomp,
       jpegUpsample(ncomp, width, height, hmax, vmax, compHs, compVs,
         cw, ch, cplanes)))
+  }
+
+  /** LOSSLESS sequential (SOF3) JPEG decoder — T.81 Annex H predictive
+    * coding, the DNG/medical/archival class: no DCT, no quantization;
+    * each sample's Huffman-coded category + EXTEND bits give a
+    * difference against one of the seven spatial predictors (Ra/Rb/Rc
+    * combinations, selected by the scan's Ss field), accumulated modulo
+    * 2^16. Scope (documented; everything else quarantines): precision
+    * 2–16 (outputs the 8-bit downscale, high byte for P>8), 1 or 3
+    * components at 1×1 sampling, point transform Al, no restart
+    * intervals (rare in lossless; DRI>0 quarantines rather than risking
+    * a divergent resync convention). Category 16 means diff=32768 with
+    * no extension bits (Annex H.2). No JVM or local library implements
+    * this process, so the pin is the fixture round-trip + formula oracle
+    * rather than a second decoder. */
+  private[graft] def jpegDecodeLossless(b: Array[Byte]): Option[JpegImage] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    val dcTabs = new Array[JpegHuff](4)
+    var width = 0; var height = 0; var ncomp = 0; var prec = 0
+    val compDc = new Array[Int](3)
+    var predictor = 0; var pt = 0
+    var i = 2
+    var sosAt = -1
+    while (sosAt < 0) {
+      if (i + 1 >= b.length) return None
+      if (u8(i) != 0xff) return None
+      var m = u8(i + 1)
+      i += 2
+      while (m == 0xff) { if (i >= b.length) return None; m = u8(i); i += 1 }
+      m match {
+        case 0xd8 => // stray SOI: ignore
+        case 0xd9 => return None // EOI before SOS
+        case 0xc3 => // SOF3
+          if (i + 2 > b.length) return None
+          val len = be16(i)
+          if (i + len > b.length || len < 8) return None
+          prec = u8(i + 2)
+          if (prec < 2 || prec > 16) return None
+          height = be16(i + 3); width = be16(i + 5)
+          ncomp = u8(i + 7)
+          if ((ncomp != 1 && ncomp != 3) || len < 8 + 3 * ncomp) return None
+          if (width <= 0 || height <= 0 ||
+            width > (1 << 14) || height > (1 << 14)) return None
+          var c = 0
+          while (c < ncomp) {
+            if (u8(i + 9 + 3 * c) != 0x11) return None // 1x1 sampling only
+            c += 1
+          }
+          i += len
+        case 0xc4 => // DHT (DC-class tables only matter in lossless)
+          if (i + 2 > b.length) return None
+          val len = be16(i)
+          if (i + len > b.length) return None
+          var p = i + 2
+          val end = i + len
+          while (p < end) {
+            val tcth = u8(p)
+            val tc = tcth >> 4; val th = tcth & 15
+            if (tc > 1 || th > 3 || p + 17 > end) return None
+            val counts = Array.tabulate(16)(j => u8(p + 1 + j))
+            val n = counts.sum
+            if (p + 17 + n > end || n > 256) return None
+            val vals = java.util.Arrays.copyOfRange(b, p + 17, p + 17 + n)
+            if (tc == 0) dcTabs(th) = new JpegHuff(counts, vals)
+            p += 17 + n
+          }
+          i += len
+        case 0xdd => // DRI: out of scope for the lossless process
+          if (i + 2 > b.length) return None
+          val len = be16(i)
+          if (i + len > b.length || len < 4) return None
+          if (be16(i + 2) != 0) return None
+          i += len
+        case 0xda => // SOS
+          if (i + 2 > b.length) return None
+          val len = be16(i)
+          if (i + len > b.length) return None
+          val ns = u8(i + 2)
+          if (ns != ncomp || len < 6 + 2 * ns) return None
+          var c = 0
+          while (c < ns) {
+            compDc(c) = u8(i + 4 + 2 * c) >> 4
+            if (compDc(c) > 3 || dcTabs(compDc(c)) == null) return None
+            c += 1
+          }
+          predictor = u8(i + 3 + 2 * ns) // Ss
+          if (predictor < 1 || predictor > 7) return None
+          if (u8(i + 4 + 2 * ns) != 0) return None // Se must be 0
+          pt = u8(i + 5 + 2 * ns) & 15 // Al = point transform
+          if (pt >= prec) return None
+          sosAt = i + len
+        case 0xdb => i += { // DQT: legal but unused in lossless; skip
+            if (i + 2 > b.length) return None
+            val len = be16(i); if (i + len > b.length) return None; len
+          }
+        case mm if mm >= 0xe0 && mm <= 0xfe => // APPn / COM
+          if (i + 2 > b.length) return None
+          val len = be16(i)
+          if (i + len > b.length) return None
+          i += len
+        case _ => return None
+      }
+    }
+    if (width == 0 || ncomp == 0) return None
+    val planes = Array.fill(ncomp)(new Array[Int](width * height))
+    val r = new JpegBitReader(b, sosAt)
+    val defaultPred = 1 << (prec - pt - 1)
+    try {
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          var c = 0
+          while (c < ncomp) {
+            val cat = r.decodeHuff(dcTabs(compDc(c)))
+            if (cat > 16) throw JpegBitReader.Bail
+            val diff = if (cat == 16) 32768 else r.receiveExtend(cat)
+            val plane = planes(c)
+            val pred =
+              if (x == 0 && y == 0) defaultPred
+              else if (y == 0) plane(x - 1) // first line: Ra
+              else if (x == 0) plane((y - 1) * width) // first column: Rb
+              else {
+                val ra = plane(y * width + x - 1)
+                val rb = plane((y - 1) * width + x)
+                val rc = plane((y - 1) * width + x - 1)
+                predictor match {
+                  case 1 => ra
+                  case 2 => rb
+                  case 3 => rc
+                  case 4 => ra + rb - rc
+                  case 5 => ra + ((rb - rc) >> 1)
+                  case 6 => rb + ((ra - rc) >> 1)
+                  case _ => (ra + rb) >> 1
+                }
+              }
+            plane(y * width + x) = (pred + diff) & 0xffff
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+    } catch { case JpegBitReader.Bail => return None }
+    // 8-bit display downscale: undo the point transform, then take the
+    // top 8 of the P significant bits
+    val shift = math.max(0, prec - 8) - pt
+    val out = planes.map { p =>
+      val q = new Array[Int](p.length)
+      var j = 0
+      while (j < p.length) {
+        val v = if (shift >= 0) p(j) >> shift else p(j) << -shift
+        q(j) = if (v < 0) 0 else if (v > 255) 255 else v
+        j += 1
+      }
+      q
+    }
+    Some(JpegImage(width, height, ncomp, out))
+  }
+
+  /** LOSSLESS (SOF3) fixture ENCODER — the Annex-H dual of
+    * [[jpegDecodeLossless]]: one DC-class Huffman table holding all 17
+    * categories as canonical 5-bit codes, the scan's Ss selecting the
+    * predictor, diffs coded modulo 2^16 (category 16 = 32768, no
+    * extension bits). `planes` carry full-precision samples
+    * (0 until 2^precision). */
+  private[graft] def jpegEncodeLossless(
+      w: Int, h: Int, planes: Array[Array[Int]],
+      precision: Int, predictor: Int): Array[Byte] = {
+    require(predictor >= 1 && predictor <= 7)
+    val ncomp = planes.length
+    val out = new java.io.ByteArrayOutputStream()
+    def be16v(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xc3); be16v(8 + 3 * ncomp) // SOF3
+    out.write(precision); be16v(h); be16v(w); out.write(ncomp)
+    for (c <- 1 to ncomp) { out.write(c); out.write(0x11); out.write(0) }
+    // DC table 0: categories 0..16, all canonical 5-bit codes
+    marker(0xc4); be16v(2 + 17 + 17)
+    out.write(0x00)
+    for (l <- 1 to 16) out.write(if (l == 5) 17 else 0)
+    for (s <- 0 to 16) out.write(s)
+    marker(0xda); be16v(6 + 2 * ncomp) // SOS
+    out.write(ncomp)
+    for (c <- 1 to ncomp) { out.write(c); out.write(0x00) }
+    out.write(predictor) // Ss
+    out.write(0) // Se
+    out.write(0) // AhAl: point transform 0
+    val bits = new JpegBitWriter(out)
+    val defaultPred = 1 << (precision - 1)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ncomp) {
+          val plane = planes(c)
+          val pred =
+            if (x == 0 && y == 0) defaultPred
+            else if (y == 0) plane(x - 1)
+            else if (x == 0) plane((y - 1) * w)
+            else {
+              val ra = plane(y * w + x - 1)
+              val rb = plane((y - 1) * w + x)
+              val rc = plane((y - 1) * w + x - 1)
+              predictor match {
+                case 1 => ra
+                case 2 => rb
+                case 3 => rc
+                case 4 => ra + rb - rc
+                case 5 => ra + ((rb - rc) >> 1)
+                case 6 => rb + ((ra - rc) >> 1)
+                case _ => (ra + rb) >> 1
+              }
+            }
+          val dm = (plane(y * w + x) - pred) & 0xffff
+          if (dm == 32768) bits.put(16, 5) // category 16: no extend bits
+          else {
+            val signed = if (dm > 32768) dm - 65536 else dm
+            val cat = jpegCategory(signed)
+            bits.put(cat, 5)
+            if (cat > 0)
+              bits.put(if (signed < 0) signed - 1 else signed, cat)
+          }
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    bits.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Fixture adapter for LOSSLESS JPEGs over the shared pixel formulas:
+    * the predictor cycles 1–7 by row id, precision alternates 8/16-bit
+    * (16-bit high byte = the formula, low byte an independent function —
+    * the png16 convention), and every third doc is single-component.
+    * Lossless JPEG applies NO color transform, so the coded components
+    * ARE the formula channels and the oracle recomputes the statistics
+    * with no codec. */
+  def asLosslessJpegPayload(
+      spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val w = 4 + (docId % 5).toInt
+          val h = 3 + (docId % 4).toInt
+          val gray = docId % 3 == 0
+          val ncomp = if (gray) 1 else 3
+          val prec = if ((docId / 2) % 2 == 0) 8 else 16
+          val predictor = 1 + (docId % 7).toInt
+          def hi(x: Int, y: Int, c: Int): Int = (c match {
+            case 0 => (docId + 7L * x + 13L * y) % 256
+            case 1 => (docId * 3 + 5L * x + 11L * y) % 256
+            case _ => (docId * 5 + 3L * x + 17L * y) % 256
+          }).toInt
+          val planes = Array.tabulate(ncomp) { c =>
+            Array.tabulate(w * h) { j =>
+              val x = j % w; val y = j / w
+              if (prec == 8) hi(x, y, c)
+              else (hi(x, y, c) << 8) |
+                ((docId + 3L * (x + 7L * y + 11L * c)) % 256).toInt
+            }
+          }
+          (docId, jpegEncodeLossless(w, h, planes, prec, predictor))
+        }
+      }.toDF("doc_id", "payload")
   }
 
   /** PROGRESSIVE (SOF2) JPEG decoder — the multi-scan sibling of

@@ -3226,6 +3226,47 @@ object ExtMultimodal extends QueryModule {
             / 1000.0, 6) AS first_luma
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // LOSSLESS (SOF3) JPEG decode — the T.81 Annex-H predictive process
+    // of DNG/medical/archival corpora (no DCT, no quantization; formerly
+    // quarantined): Huffman category + EXTEND bits give per-sample
+    // differences against the seven spatial predictors, modulo 2^16.
+    // The fixture cycles predictor × 8/16-bit precision × gray/RGB, and
+    // lossless applies NO color transform — the coded components ARE the
+    // formula channels, so the oracle recomputes the statistics exactly
+    // with no codec. JpegSpec pins every lane bit-for-bit, plus a
+    // category-16 checkerboard and truncation negatives.
+    QueryDef(
+      "ext_multimodal_jpeg_lossless",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asLosslessJpegPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        val npx = ($"width" * $"height").cast("double")
+        MultimodalOps.extractJpegPixels(s, media).toDF()
+          .select($"doc_id", $"width", $"height",
+            round($"sum_y" / npx, 6).as("mean_y"),
+            round($"sum_cb" / npx, 6).as("mean_cb"),
+            round($"sum_cr" / npx, 6).as("mean_cr"),
+            $"first_y", $"first_cb", $"first_cr")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id, doc_id % 3 = 0 AS gray,
+            CAST(4 + doc_id % 5 AS INT) AS w, CAST(3 + doc_id % 4 AS INT) AS h, x, y,
+            (doc_id + 7*x + 13*y) % 256 AS r,
+            (doc_id*3 + 5*x + 11*y) % 256 AS g,
+            (doc_id*5 + 3*x + 17*y) % 256 AS b
+          FROM documents, unnest(range(0, 8)) AS tx(x), unnest(range(0, 6)) AS ty(y)
+          WHERE x < 4 + doc_id % 5 AND y < 3 + doc_id % 4)
+        SELECT doc_id, w AS width, h AS height,
+          round(sum(r) / CAST(w*h AS DOUBLE), 6) AS mean_y,
+          round(sum(CASE WHEN gray THEN 128 ELSE g END) / CAST(w*h AS DOUBLE), 6) AS mean_cb,
+          round(sum(CASE WHEN gray THEN 128 ELSE b END) / CAST(w*h AS DOUBLE), 6) AS mean_cr,
+          CAST(doc_id % 256 AS INT) AS first_y,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 128 ELSE doc_id*3 % 256 END AS INT) AS first_cb,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 128 ELSE doc_id*5 % 256 END AS INT) AS first_cr
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
     // PALETTE-COLOR and WHITE-IS-ZERO TIFF decode — the GIF-era archival
     // and fax/scan photometric classes: Photometric=3 maps stored
     // indexes through the 3×256 16-bit ColorMap (high byte, the display
@@ -3509,7 +3550,12 @@ object ExtMultimodal extends QueryModule {
         val bmp = MultimodalOps.asBmpPayload(s, lane(0), "doc_id")
         val png = MultimodalOps.asPngPayload(s, lane(1), "doc_id")
         val gif = MultimodalOps.asGifPayload(s, lane(2), "doc_id")
-        val jpg = MultimodalOps.asJpegPayload(s, lane(3), "doc_id")
+        // half the jpeg lane ships LOSSLESS (SOF3) — the Annex-H class
+        // that used to quarantine
+        val jpg = MultimodalOps.asJpegPayload(
+            s, lane(3).filter($"doc_id" % 2 === 0), "doc_id")
+          .unionAll(MultimodalOps.asLosslessJpegPayload(
+            s, lane(3).filter($"doc_id" % 2 === 1), "doc_id"))
         // the round-9 burn-down classes — formerly quarantined, now
         // decoded for real: 16-bit PNG, IEEE-float WAV, IMA-ADPCM WAV,
         // uncompressed TIFF

@@ -609,6 +609,34 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(DiskDv.loads.get() > before, "executors never loaded the sidecars")
   }
 
+  test("DV'd scans of nested-column tables (array embeddings) read correctly") {
+    // the 100 TB embeddings shape: ARRAY<FLOAT> columns under a DV. The
+    // survivor-copy columnar path converts rows through Spark's own
+    // RowToColumnConverter (nested-capable); if the inner reader cannot
+    // serve nested batches the composite drops to the row wrapper — both
+    // paths must agree with the formula
+    spark.sql("""CREATE TABLE gdv.lake.emb (id BIGINT, vec ARRAY<FLOAT>)
+      TBLPROPERTIES ('delete.mode'='dv')""")
+    spark.sql("""INSERT INTO gdv.lake.emb
+      SELECT id, array(CAST(id AS FLOAT), CAST(id * 2 AS FLOAT),
+                       CAST(id % 7 AS FLOAT))
+      FROM range(0, 2000, 1, 2)""")
+    // wide delete on one file's range + sliver on the other
+    spark.sql("DELETE FROM gdv.lake.emb WHERE id < 1000 AND id % 2 = 0")
+    spark.sql("DELETE FROM gdv.lake.emb WHERE id = 1500")
+    assert(diskTable("emb").log.latest().dvs.nonEmpty)
+    val rows = spark.sql("""SELECT count(*) AS n,
+        sum(CAST(vec[0] AS DOUBLE)) AS s0, sum(CAST(vec[1] AS DOUBLE)) AS s1
+      FROM gdv.lake.emb""").head()
+    val ids = (0L until 2000L).filterNot(i => i < 1000 && i % 2 == 0)
+      .filterNot(_ == 1500L)
+    assert(rows.getLong(0) == ids.length.toLong)
+    assert(rows.getDouble(1) == ids.sum.toDouble)
+    assert(rows.getDouble(2) == ids.map(_ * 2).sum.toDouble)
+    assert(spark.sql("SELECT vec[2] FROM gdv.lake.emb WHERE id = 1501")
+      .head().getFloat(0) == (1501 % 7).toFloat)
+  }
+
   test("DvBitmap bounds: negative and past-recorded-rows indexes error cleanly") {
     val b = new graft.sources.DvBitmap()
     intercept[IllegalArgumentException](b.set(-1L))

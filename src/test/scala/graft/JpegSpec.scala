@@ -380,6 +380,64 @@ class JpegSpec extends AnyFunSuite {
     assert(maxDiff <= 2, s"progressive color diverges by $maxDiff")
   }
 
+  test("lossless (SOF3) fixtures decode bit-for-bit: all 7 predictors, 8/16-bit, gray+RGB") {
+    // no JVM/local library implements the T.81 lossless process, so the
+    // pin is the exact fixture contract (every predictor × precision ×
+    // component lane against the generation formula) plus structural
+    // negatives below — the same posture as the TIFF-LZW lane before
+    // its ImageIO cross-check existed
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val media = MultimodalOps.asLosslessJpegPayload(
+      spark, (0L until 56L).toDF("doc_id"), "doc_id")
+    media.collect().foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val w = 4 + (id % 5).toInt
+      val h = 3 + (id % 4).toInt
+      val gray = id % 3 == 0
+      val img = MultimodalOps.jpegDecodeLossless(bytes)
+        .getOrElse(fail(s"doc $id (predictor ${1 + id % 7}) quarantined"))
+      assert((img.width, img.height) == (w, h), s"doc $id dims")
+      assert(img.comps == (if (gray) 1 else 3))
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until img.comps) {
+        val e = (c match {
+          case 0 => (id + 7L * x + 13L * y) % 256
+          case 1 => (id * 3 + 5L * x + 11L * y) % 256
+          case _ => (id * 5 + 3L * x + 17L * y) % 256
+        }).toInt
+        assert(img.planes(c)(y * w + x) == e,
+          s"doc $id pred=${1 + id % 7} prec=${if ((id / 2) % 2 == 0) 8 else 16} c$c($x,$y)")
+      }
+      // the shared front door routes SOF3 through the lossless path
+      assert(MultimodalOps.jpegDecode(bytes).isDefined, s"doc $id front door")
+    }
+    // wide-diff torture: a checkerboard of 0/65535 at 16-bit forces
+    // category 16 (diff=32768, no extend bits) and its modulo wrap
+    val plane = Array.tabulate(6 * 4)(j => if ((j % 6 + j / 6) % 2 == 0) 0 else 65535)
+    for (pred <- 1 to 7) {
+      val bytes = MultimodalOps.jpegEncodeLossless(
+        6, 4, Array(plane), 16, pred)
+      val img = MultimodalOps.jpegDecodeLossless(bytes)
+        .getOrElse(fail(s"checkerboard pred=$pred quarantined"))
+      for (j <- 0 until 24)
+        assert(img.planes(0)(j) == (if ((j % 6 + j / 6) % 2 == 0) 0 else 255),
+          s"checkerboard pred=$pred sample $j")
+    }
+    // negatives: header truncation quarantines; so does an entropy
+    // stream cut mid-sample (drop everything after SOS + 2 bytes)
+    val ok = MultimodalOps.jpegEncodeLossless(6, 4, Array(plane), 16, 1)
+    assert(MultimodalOps.jpegDecodeLossless(ok.take(24)).isEmpty)
+    val sosEnd = {
+      // find SOS, keep its header + 2 entropy bytes only
+      var i = 2
+      while (!((ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xda)) i += 1
+      i + 2 + (((ok(i + 2) & 0xff) << 8) | (ok(i + 3) & 0xff)) + 2
+    }
+    assert(MultimodalOps.jpegDecodeLossless(ok.take(sosEnd)).isEmpty,
+      "mid-entropy truncation must quarantine")
+  }
+
   test("quarantine: garbage, malformed-progressive, and truncated payloads drop to None") {
     assert(MultimodalOps.jpegDecode(Array[Byte](1, 2, 3)).isEmpty)
     assert(MultimodalOps.jpegDecode(Array.fill[Byte](64)(0x55)).isEmpty)
