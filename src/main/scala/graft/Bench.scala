@@ -237,7 +237,7 @@ object Bench {
     // corpus_clean 1.8× watch item was undecidable for exactly that
     // reason).
     val streamRes: Option[(Map[String, Double], String)] =
-      streamBench(spark, sfDir)
+      streamBench(spark, sfDir, warmup = niceMode)
     val streamJson = streamRes.map(_._2).getOrElse("null")
     val streamMedians = streamRes.map(_._1).getOrElse(Map.empty[String, Double])
     // regression gate vs the COMMITTED previous-round medians: any stable-
@@ -355,7 +355,8 @@ object Bench {
     * embedded under the final metric line's `"stream"` key). Failures are
     * reported, never fatal: the batch bench is the contract. */
   private def streamBench(
-      spark: SparkSession, sfDir: String): Option[(Map[String, Double], String)] = {
+      spark: SparkSession, sfDir: String,
+      warmup: Boolean = false): Option[(Map[String, Double], String)] = {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingOps
     try {
@@ -373,6 +374,13 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       def leg(body: Int => Unit): Double = {
+        // quiet-lane runs reach here after only ~30 batch queries, so
+        // the streaming machinery (state stores, micro-batch planner,
+        // codegen) is JIT-cold: one UNTIMED pass per leg makes the lane's
+        // medians comparable to the full lane's warmed baseline — the
+        // round-10 adjudication showed a 2.5x cold-vs-warm gap that
+        // looked exactly like a real regression
+        if (warmup) timeOnce(body)
         val first = timeOnce(body)
         medianOf3(first, () => timeOnce(body))
       }
