@@ -215,6 +215,11 @@ object MultimodalOps {
         // non-16-bit WAV — lands as a format-tagged quarantine)
         if (cc(0, "RIFF") && cc(8, "WAVE")) ("wav", ok(wavPcm(bytes)))
         else if (cc(4, "ftyp")) ("mp4", ok(mp4Meta(bytes)))
+        else if (cc(0, "fLaC")) ("flac", ok(flacMeta(bytes)))
+        else if (bytes.length >= 3 && bytes(0) == 'I' && bytes(1) == 'D' &&
+          bytes(2) == '3') ("mp3", ok(mp3Meta(bytes)))
+        else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+          (bytes(1) & 0xe0) == 0xe0) ("mp3", ok(mp3Meta(bytes)))
         else ("raw", false) // opaque bytes
     }
   }
@@ -305,6 +310,91 @@ object MultimodalOps {
     }
   }
 
+  /** FLAC container triage — real byte-level parsing of the public FLAC
+    * format: verify the `fLaC` magic, walk the metadata-block chain
+    * (1-byte last-flag+type header, 24-bit BE length), and unpack the
+    * mandatory STREAMINFO block's packed fields (20-bit sample rate,
+    * 3-bit channels−1, 5-bit bits-per-sample−1, 36-bit total samples).
+    * `data_bytes` counts the audio frames after the last metadata block;
+    * duration derives from total samples / rate. Frame decode stays out
+    * of scope (triage routes; transcoding happens after). */
+  def flacMeta(b: Array[Byte]): Option[AudioMeta] = {
+    def u8(i: Int) = b(i) & 0xff
+    if (b.length < 8 + 34 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' ||
+      b(3) != 'C') return None
+    // first block must be STREAMINFO (type 0, length 34)
+    if ((u8(4) & 0x7f) != 0) return None
+    if (((u8(5) << 16) | (u8(6) << 8) | u8(7)) != 34) return None
+    val p = 8
+    val rate = (u8(p + 10) << 12) | (u8(p + 11) << 4) | (u8(p + 12) >> 4)
+    val ch = ((u8(p + 12) >> 1) & 7) + 1
+    val bps = (((u8(p + 12) & 1) << 4) | (u8(p + 13) >> 4)) + 1
+    val total = ((u8(p + 13) & 0xf).toLong << 32) |
+      (u8(p + 14).toLong << 24) | (u8(p + 15) << 16) |
+      (u8(p + 16) << 8) | u8(p + 17)
+    if (rate <= 0) return None
+    // walk remaining metadata blocks to the audio start
+    var i = 4L
+    var last = false
+    while (!last) {
+      if (i + 4 > b.length) return None
+      val hdr = u8(i.toInt)
+      last = (hdr & 0x80) != 0
+      val len = (u8(i.toInt + 1) << 16) | (u8(i.toInt + 2) << 8) | u8(i.toInt + 3)
+      i += 4L + len
+      if (i > b.length) return None
+    }
+    Some(AudioMeta(-1L, "flac", ch, rate, bps, b.length - i,
+      total.toDouble / rate * 1000.0))
+  }
+
+  /** MP3 triage — skip any ID3v2 tag (syncsafe 28-bit size), then parse
+    * the first MPEG audio frame header: version (1/2/2.5), layer
+    * (I/II/III), the per-(version,layer) bitrate table, sample rate,
+    * and channel mode. Duration is the stream estimate players use
+    * (audio bytes · 8 / bitrate — exact for CBR). Free-format and
+    * reserved headers quarantine. `bits` is 0 (not a PCM container). */
+  def mp3Meta(b: Array[Byte]): Option[AudioMeta] = {
+    def u8(i: Int) = b(i) & 0xff
+    var i = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((u8(6) & 0x7f) << 21) | ((u8(7) & 0x7f) << 14) |
+        ((u8(8) & 0x7f) << 7) | (u8(9) & 0x7f)
+      i = 10 + size
+    }
+    if (i + 4 > b.length) return None
+    if (u8(i) != 0xff || (u8(i + 1) & 0xe0) != 0xe0) return None
+    val versionBits = (u8(i + 1) >> 3) & 3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    val layerBits = (u8(i + 1) >> 1) & 3 // 3=I, 2=II, 1=III
+    if (versionBits == 1 || layerBits == 0) return None
+    val bitrateIdx = (u8(i + 2) >> 4) & 15
+    if (bitrateIdx == 0 || bitrateIdx == 15) return None // free/bad
+    val rateIdx = (u8(i + 2) >> 2) & 3
+    if (rateIdx == 3) return None
+    val mpeg1 = versionBits == 3
+    val kbps = (mpeg1, layerBits) match {
+      case (true, 3) => Seq(0, 32, 64, 96, 128, 160, 192, 224, 256, 288,
+        320, 352, 384, 416, 448)(bitrateIdx)
+      case (true, 2) => Seq(0, 32, 48, 56, 64, 80, 96, 112, 128, 160,
+        192, 224, 256, 320, 384)(bitrateIdx)
+      case (true, 1) => Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+        160, 192, 224, 256, 320)(bitrateIdx)
+      case (false, 3) => Seq(0, 32, 48, 56, 64, 80, 96, 112, 128, 144,
+        160, 176, 192, 224, 256)(bitrateIdx)
+      case _ => Seq(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+        144, 160)(bitrateIdx)
+    }
+    val rate = (versionBits match {
+      case 3 => Seq(44100, 48000, 32000)
+      case 2 => Seq(22050, 24000, 16000)
+      case _ => Seq(11025, 12000, 8000)
+    })(rateIdx)
+    val channels = if (((u8(i + 3) >> 6) & 3) == 3) 1 else 2
+    val audioBytes = (b.length - i).toLong
+    Some(AudioMeta(-1L, "mp3", channels, rate, 0, audioBytes,
+      audioBytes * 8.0 / (kbps * 1000.0) * 1000.0))
+  }
+
   /** The `fmt ` chunk's (formatTag, channels, blockAlign) — the decode
     * dispatch key [[wavPcm]] needs beyond [[wavMeta]]'s display fields. */
   private def wavFmtTag(b: Array[Byte]): Option[(Int, Int, Int)] = {
@@ -372,6 +462,94 @@ object MultimodalOps {
           (docId, buf.array())
         }
       }.toDF("doc_id", "payload")
+  }
+
+  /** Fixture adapter for FLAC containers: a real fLaC metadata chain —
+    * STREAMINFO with id-derived packed fields (rate/channels/bits/total
+    * samples across their bit boundaries), a VORBIS_COMMENT block as the
+    * LAST block so the chain walk is exercised, then id-sized fake audio
+    * frames. The oracle recomputes every field from the formulas. */
+  def asFlacPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val rate = Seq(8000, 16000, 22050, 44100, 48000, 96000)((docId % 6).toInt)
+          val ch = 1 + (docId % 2).toInt
+          val bps = Seq(16, 24)((docId / 2 % 2).toInt)
+          val total = 1000L + docId % 9000
+          val nAudio = 10 + (docId % 50).toInt
+          val nComment = 12
+          val buf = java.nio.ByteBuffer.allocate(4 + 4 + 34 + 4 + nComment + nAudio)
+          buf.put("fLaC".getBytes("US-ASCII"))
+          buf.put(0.toByte) // STREAMINFO, not last
+          buf.put(0.toByte); buf.put(0.toByte); buf.put(34.toByte)
+          buf.putShort(4096); buf.putShort(4096) // min/max blocksize
+          buf.put(new Array[Byte](6)) // min/max framesize unknown
+          buf.put((rate >> 12).toByte)
+          buf.put(((rate >> 4) & 0xff).toByte)
+          buf.put((((rate & 0xf) << 4) | ((ch - 1) << 1) |
+            ((bps - 1) >> 4)).toByte)
+          buf.put(((((bps - 1) & 0xf) << 4) | ((total >> 32) & 0xf).toInt).toByte)
+          buf.putInt((total & 0xffffffffL).toInt)
+          buf.put(new Array[Byte](16)) // md5
+          buf.put(0x84.toByte) // VORBIS_COMMENT, LAST
+          buf.put(0.toByte); buf.put(0.toByte); buf.put(nComment.toByte)
+          buf.put(new Array[Byte](nComment))
+          (0 until nAudio).foreach(j => buf.put(((docId + j) % 256).toByte))
+          (docId, buf.array())
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Fixture adapter for MP3 streams: even ids carry an ID3v2 tag
+    * (syncsafe size) before the first frame, odd ids hit the raw
+    * frame-sync classify branch; the header cycles the MPEG1 Layer III
+    * bitrate/samplerate indexes and the mono/stereo mode. */
+  def asMp3Payload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val id3 = docId % 2 == 0
+          val tag = (docId % 100).toInt
+          val bi = 1 + (docId % 14).toInt
+          val ri = (docId % 3).toInt
+          val mono = docId % 2 == 1
+          val m = 96 + (docId % 200).toInt
+          val buf = java.nio.ByteBuffer.allocate(
+            (if (id3) 10 + tag else 0) + 4 + m)
+          if (id3) {
+            buf.put("ID3".getBytes("US-ASCII"))
+            buf.put(3.toByte); buf.put(0.toByte); buf.put(0.toByte)
+            buf.put(((tag >> 21) & 0x7f).toByte)
+            buf.put(((tag >> 14) & 0x7f).toByte)
+            buf.put(((tag >> 7) & 0x7f).toByte)
+            buf.put((tag & 0x7f).toByte)
+            buf.put(new Array[Byte](tag))
+          }
+          buf.put(0xff.toByte)
+          buf.put(0xfb.toByte) // MPEG1, Layer III, no CRC
+          buf.put(((bi << 4) | (ri << 2)).toByte)
+          buf.put((if (mono) 0xc0 else 0x00).toByte)
+          (0 until m).foreach(j => buf.put(((docId * 3 + j) % 256).toByte))
+          (docId, buf.array())
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Partition-parallel audio-container triage across WAV, FLAC, and
+    * MP3 (magic-dispatched); unrecognized containers drop. */
+  def extractAudioContainers(
+      spark: SparkSession, media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          wavMeta(bytes).orElse(flacMeta(bytes)).orElse(mp3Meta(bytes))
+            .map(_.copy(doc_id = id))
+        }
+      }
   }
 
   /** Partition-parallel audio metadata extraction ([[extractMeta]] shape):
@@ -519,6 +697,381 @@ object MultimodalOps {
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           mp4Meta(bytes).map(_.copy(doc_id = id))
+        }
+      }
+  }
+
+  /** One MP4 track's CODEC identity + stream parameters — what 100 TB
+    * video triage actually scans (routing and dedup key on codec/profile/
+    * true coded dims BEFORE any frame decode): the stsd sample entry's
+    * FourCC, and for `avc1` the AVCDecoderConfigurationRecord's profile/
+    * level plus the TRUE coded dimensions parsed from the SPS itself
+    * (macroblock grid minus frame cropping — tkhd's 16.16 display size
+    * can disagree with the stream); for `mp4a` the sample entry's
+    * channel count and sample rate. Non-avc1 video codecs (hvc1, vp09,
+    * av01…) report their FourCC with -1 parameters — identified, not
+    * mis-parsed. */
+  final case class Mp4Codec(
+      doc_id: Long,
+      codec: String,
+      profile: Int,
+      level: Int,
+      coded_width: Int,
+      coded_height: Int,
+      audio_channels: Int,
+      audio_rate: Int)
+
+  /** MSB-first Exp-Golomb bit reader over an RBSP (emulation-prevention
+    * bytes already stripped). Throws [[JpegBitReader.Bail]] on overrun —
+    * reused as the shared stackless quarantine signal. */
+  private final class SpsBitReader(b: Array[Byte]) {
+    private var pos = 0
+    def bit(): Int = {
+      if ((pos >> 3) >= b.length) throw JpegBitReader.Bail
+      val v = (b(pos >> 3) >> (7 - (pos & 7))) & 1
+      pos += 1
+      v
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** ue(v): count leading zeros, read that many more bits. */
+    def ue(): Int = {
+      var zeros = 0
+      while (bit() == 0) {
+        zeros += 1
+        if (zeros > 31) throw JpegBitReader.Bail
+      }
+      (1 << zeros) - 1 + (if (zeros == 0) 0 else bits(zeros))
+    }
+    /** se(v): signed mapping of ue(v). */
+    def se(): Int = {
+      val k = ue()
+      if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+    }
+  }
+
+  /** Strip H.264 emulation-prevention bytes (00 00 03 → 00 00). */
+  private def stripEmulation(b: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(until - from)
+    var i = from
+    var zeros = 0
+    while (i < until) {
+      val v = b(i) & 0xff
+      if (zeros >= 2 && v == 3) zeros = 0 // skip the escape byte
+      else {
+        out.write(v)
+        zeros = if (v == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Parse an H.264 SEQUENCE PARAMETER SET (ITU-T H.264 §7.3.2.1.1) to
+    * (profile_idc, level_idc, coded width, coded height). Scope: frame
+    * coding (mbs-only or MBAFF), chroma 4:2:0/4:0:0/4:2:2/4:4:4 crop
+    * units, no seq_scaling_matrix (quarantines — the fixture space and
+    * the overwhelming majority of real streams omit it). */
+  private[graft] def parseSps(nal: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (nal.length < 4 || (nal(0) & 0x1f) != 7) return None
+    val r = new SpsBitReader(stripEmulation(nal, 1, nal.length))
+    try {
+      val profile = r.bits(8)
+      r.bits(8) // constraint flags + reserved
+      val level = r.bits(8)
+      r.ue() // seq_parameter_set_id
+      var chromaIdc = 1
+      if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+          .contains(profile)) {
+        chromaIdc = r.ue()
+        if (chromaIdc == 3) r.bit() // separate_colour_plane_flag
+        r.ue(); r.ue() // bit depths
+        r.bit() // qpprime_y_zero_transform_bypass
+        if (r.bit() == 1) return None // scaling matrix: out of scope
+      }
+      r.ue() // log2_max_frame_num_minus4
+      r.ue() match { // pic_order_cnt_type
+        case 0 => r.ue()
+        case 1 =>
+          r.bit(); r.se(); r.se()
+          val n = r.ue()
+          if (n > 255) return None
+          (0 until n).foreach(_ => r.se())
+        case _ => ()
+      }
+      r.ue() // max_num_ref_frames
+      r.bit() // gaps_in_frame_num_value_allowed
+      val widthMbs = r.ue() + 1
+      val heightUnits = r.ue() + 1
+      val frameMbsOnly = r.bit()
+      if (frameMbsOnly == 0) r.bit() // mb_adaptive_frame_field
+      r.bit() // direct_8x8_inference
+      var w = widthMbs * 16
+      var h = heightUnits * 16 * (2 - frameMbsOnly)
+      if (r.bit() == 1) { // frame_cropping
+        val (cx, cy) = chromaIdc match {
+          case 0 => (1, 2 - frameMbsOnly)
+          case 1 => (2, 2 * (2 - frameMbsOnly))
+          case 2 => (2, 2 - frameMbsOnly)
+          case _ => (1, 2 - frameMbsOnly)
+        }
+        val l = r.ue(); val rr = r.ue(); val t = r.ue(); val bb = r.ue()
+        w -= (l + rr) * cx
+        h -= (t + bb) * cy
+      }
+      if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) None
+      else Some((profile, level, w, h))
+    } catch { case JpegBitReader.Bail => None }
+  }
+
+  /** Walk moov/trak/mdia/minf/stbl to the FIRST stsd sample entry and
+    * report its codec identity ([[Mp4Codec]]). `avc1` entries parse the
+    * avcC record's first SPS; `mp4a` entries read the audio sample-entry
+    * fields; other FourCCs are identified with -1 parameters. */
+  def mp4CodecInfo(b: Array[Byte]): Option[Mp4Codec] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def cc(i: Int) = new String(b, i, 4, "US-ASCII")
+    if (b.length < 16 || cc(4) != "ftyp") return None
+    var found: Option[Mp4Codec] = None
+    def sampleEntry(at: Int, size: Long): Unit = {
+      val fourcc = cc(at + 4)
+      fourcc match {
+        case "avc1" | "avc3" =>
+          // VisualSampleEntry: 8 box header + 6 reserved + 2 dri + 70
+          // fixed bytes, then child boxes (avcC among them)
+          var j = at + 8 + 78
+          var info: Option[Mp4Codec] = None
+          while (info.isEmpty && j + 8 <= at + size) {
+            val bs = be32(j)
+            if (bs < 8 || j + bs > at + size) return
+            if (cc(j + 4) == "avcC" && bs >= 8 + 7) {
+              val p = j + 8
+              if (u8(p) != 1) return // configurationVersion
+              val nSps = u8(p + 5) & 0x1f
+              if (nSps >= 1 && p + 8 <= b.length) {
+                val spsLen = be16(p + 6)
+                if (p + 8 + spsLen <= j + bs) {
+                  val sps = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + spsLen)
+                  info = parseSps(sps).map { case (pr, lv, w, h) =>
+                    Mp4Codec(-1L, fourcc, pr, lv, w, h, -1, -1) }
+                }
+              }
+            }
+            j += bs.toInt
+          }
+          found = found.orElse(info)
+        case "mp4a" =>
+          // AudioSampleEntry: 8 header + 6 reserved + 2 dri + 8 reserved,
+          // then channelcount(16) samplesize(16) predefined(16)
+          // reserved(16) samplerate(16.16)
+          if (size >= 8 + 28) {
+            val base = at + 8 + 8
+            val chans = be16(base + 8)
+            val rate = be32(base + 16).toInt >>> 16
+            if (chans > 0 && rate > 0)
+              found = found.orElse(Some(
+                Mp4Codec(-1L, fourcc, -1, -1, -1, -1, chans, rate)))
+          }
+        case fc if fc.forall(c => c >= ' ' && c <= '~') =>
+          // identified, parameters out of scope (hvc1, vp09, av01, …)
+          found = found.orElse(Some(Mp4Codec(-1L, fc, -1, -1, -1, -1, -1, -1)))
+        case _ => ()
+      }
+    }
+    def walk(from: Long, until: Long, depth: Int): Boolean = {
+      var i = from
+      while (i + 8 <= until) {
+        val at = i.toInt
+        val size = be32(at)
+        val id = cc(at + 4)
+        if (size < 8 || i + size > until) return false
+        id match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" if depth < 6 =>
+            if (!walk(i + 8, i + size, depth + 1)) return false
+          case "stsd" if size >= 16 =>
+            // FullBox: version/flags + entry_count, then sample entries
+            val n = be32(at + 12)
+            if (n >= 1 && size >= 24) {
+              val eAt = at + 16
+              val eSize = be32(eAt)
+              if (eSize >= 8 && eAt + eSize <= i + size)
+                sampleEntry(eAt, eSize)
+            }
+          case _ => ()
+        }
+        i += size
+      }
+      true
+    }
+    if (!walk(0L, b.length.toLong, 0)) return None
+    found
+  }
+
+  /** MSB-first bit writer with Exp-Golomb, the dual of [[SpsBitReader]]
+    * (fixture side). */
+  private final class SpsBitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var n = 0
+    def bit(v: Int): Unit = {
+      acc = (acc << 1) | (v & 1)
+      n += 1
+      if (n == 8) { out.write(acc); acc = 0; n = 0 }
+    }
+    def bits(v: Int, w: Int): Unit =
+      (w - 1 to 0 by -1).foreach(i => bit((v >> i) & 1))
+    def ue(v: Int): Unit = {
+      val k = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(k)
+      bits(0, len - 1)
+      bits(k, len)
+    }
+    /** rbsp_stop_one_bit + byte alignment. */
+    def stop(): Array[Byte] = {
+      bit(1)
+      while (n != 0) bit(0)
+      out.toByteArray
+    }
+  }
+
+  /** Insert H.264 emulation-prevention bytes (00 00 {0..3} → 00 00 03 x). */
+  private def insertEmulation(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(rbsp.length + 4)
+    var zeros = 0
+    rbsp.foreach { byt =>
+      val v = byt & 0xff
+      if (zeros >= 2 && v <= 3) { out.write(3); zeros = 0 }
+      out.write(v)
+      zeros = if (v == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
+
+  /** Fixture adapter for the MP4 CODEC-TRIAGE matrix: every third doc is
+    * an `mp4a` audio track (channel/rate ladder in the sample entry),
+    * every seventh video doc an `hvc1` (identified, parameters out of
+    * scope), the rest `avc1` whose avcC carries a REAL synthesized SPS —
+    * profile 66/77/100 (the high-profile chroma block included), level
+    * ladder, macroblock grid + frame cropping so the TRUE coded
+    * dimensions differ from round numbers, written with proper
+    * emulation-prevention. The oracle recomputes every field from the id
+    * formulas; `parseSps` never sees them — it reads only the bits. */
+  def asCodecMp4Payload(
+      spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          def box(tp: String, body: Array[Byte]): Array[Byte] = {
+            val buf = java.nio.ByteBuffer.allocate(8 + body.length)
+              .order(java.nio.ByteOrder.BIG_ENDIAN)
+            buf.putInt(8 + body.length)
+            buf.put(tp.getBytes("US-ASCII"))
+            buf.put(body)
+            buf.array()
+          }
+          val audio = docId % 3 == 0
+          val entry: Array[Byte] =
+            if (audio) {
+              val chans = 1 + (docId % 2).toInt
+              val rate = Seq(8000, 16000, 22050, 44100, 48000)((docId / 3 % 5).toInt)
+              val body = java.nio.ByteBuffer.allocate(28)
+                .order(java.nio.ByteOrder.BIG_ENDIAN)
+              body.put(new Array[Byte](6)) // reserved
+              body.putShort(1) // data_reference_index
+              body.put(new Array[Byte](8)) // reserved
+              body.putShort(chans.toShort)
+              body.putShort(16) // samplesize
+              body.putShort(0); body.putShort(0)
+              body.putInt(rate << 16) // 16.16
+              box("mp4a", body.array())
+            } else if (docId % 7 == 0) {
+              // identified-only codec: a minimal hvc1 visual entry
+              val body = java.nio.ByteBuffer.allocate(78)
+                .order(java.nio.ByteOrder.BIG_ENDIAN)
+              body.put(new Array[Byte](6)); body.putShort(1)
+              body.put(new Array[Byte](70))
+              box("hvc1", body.array())
+            } else {
+              val profile = Seq(66, 77, 100)((docId / 4 % 3).toInt)
+              val level = Seq(30, 31, 40, 41)((docId % 4).toInt)
+              val wMbs = 20 + (docId % 3).toInt
+              val hMbs = 15 + (docId % 2).toInt
+              val cropR = (docId % 3).toInt - 1
+              val cropB = (docId % 2).toInt
+              val w = new SpsBitWriter
+              w.bits(profile, 8)
+              w.bits(0, 8) // constraint flags
+              w.bits(level, 8)
+              w.ue(0) // seq_parameter_set_id
+              if (profile == 100) {
+                w.ue(1) // chroma_format_idc 4:2:0
+                w.ue(0); w.ue(0) // bit depths
+                w.bit(0) // transform bypass
+                w.bit(0) // no scaling matrix
+              }
+              w.ue(0) // log2_max_frame_num_minus4
+              w.ue(0) // pic_order_cnt_type
+              w.ue(0) // log2_max_pic_order_cnt_lsb_minus4
+              w.ue(1) // max_num_ref_frames
+              w.bit(0) // gaps
+              w.ue(wMbs - 1)
+              w.ue(hMbs - 1)
+              w.bit(1) // frame_mbs_only
+              w.bit(1) // direct_8x8_inference
+              if (cropR > 0 || cropB > 0) {
+                w.bit(1)
+                w.ue(0); w.ue(cropR); w.ue(0); w.ue(cropB)
+              } else w.bit(0)
+              w.bit(0) // vui_parameters_present
+              val sps = Array(0x67.toByte) ++ insertEmulation(w.stop())
+              val pps = Array(0x68, 0xce, 0x38, 0x80).map(_.toByte)
+              val avcc = java.nio.ByteBuffer
+                .allocate(6 + 2 + sps.length + 1 + 2 + pps.length)
+                .order(java.nio.ByteOrder.BIG_ENDIAN)
+              avcc.put(1.toByte).put(profile.toByte).put(0.toByte)
+                .put(level.toByte)
+                .put(0xff.toByte) // lengthSizeMinusOne + reserved
+                .put(0xe1.toByte) // numSPS = 1 + reserved
+              avcc.putShort(sps.length.toShort).put(sps)
+              avcc.put(1.toByte).putShort(pps.length.toShort).put(pps)
+              val body = java.nio.ByteBuffer
+                .allocate(78).order(java.nio.ByteOrder.BIG_ENDIAN)
+              body.put(new Array[Byte](6)); body.putShort(1)
+              body.put(new Array[Byte](70))
+              box("avc1", body.array() ++ box("avcC", avcc.array()))
+            }
+          val stsd = {
+            val head = java.nio.ByteBuffer.allocate(8)
+              .order(java.nio.ByteOrder.BIG_ENDIAN)
+            head.putInt(0) // version/flags
+            head.putInt(1) // entry_count
+            box("stsd", head.array() ++ entry)
+          }
+          val moov = box("moov", box("trak", box("mdia",
+            box("minf", box("stbl", stsd)))))
+          val ftypBody = java.nio.ByteBuffer.allocate(8)
+            .put("isom".getBytes("US-ASCII")).putInt(512).array()
+          (docId, box("ftyp", ftypBody) ++ moov ++
+            box("mdat", s"d$docId".getBytes("US-ASCII")))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Partition-parallel codec triage ([[extractVideoMeta]] shape). */
+  def extractMp4Codec(spark: SparkSession, media: DataFrame): Dataset[Mp4Codec] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          mp4CodecInfo(bytes).map(_.copy(doc_id = id))
         }
       }
   }

@@ -3885,6 +3885,103 @@ object ExtMultimodal extends QueryModule {
           CAST(sum(zc) AS INT) AS zero_crossings
         FROM flagged GROUP BY doc_id, channels, n ORDER BY doc_id""")),
 
+    // FLAC + MP3 CONTAINER TRIAGE — the non-WAV audio corpora: real
+    // parsing of FLAC's STREAMINFO packed bit fields (20-bit rate, the
+    // channels/bits/total-samples boundaries, metadata-chain walk to the
+    // audio start) and MP3's frame-sync header (ID3v2 syncsafe skip,
+    // MPEG1 Layer III bitrate/samplerate tables, channel mode, the CBR
+    // duration estimate). Odd docs are MP3, even FLAC; MP3 docs split
+    // again between tagged and raw-sync classify branches. The oracle
+    // recomputes every field (including both duration formulas in the
+    // decoder's exact operation order) with no parser.
+    QueryDef(
+      "ext_multimodal_audio_triage",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val media = MultimodalOps.asFlacPayload(
+            s, docs.filter($"doc_id" % 2 === 0), "doc_id")
+          .unionAll(MultimodalOps.asMp3Payload(
+            s, docs.filter($"doc_id" % 2 === 1), "doc_id"))
+        MultimodalOps.extractAudioContainers(s, media).toDF()
+          .select($"doc_id", $"format", $"channels", $"sample_rate",
+            $"bits", $"data_bytes", round($"duration_ms", 6).as("duration_ms"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH flac AS (
+          SELECT doc_id, 'flac' AS format,
+            CAST(1 + doc_id % 2 AS INT) AS channels,
+            CAST(CASE doc_id % 6 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              WHEN 2 THEN 22050 WHEN 3 THEN 44100 WHEN 4 THEN 48000
+              ELSE 96000 END AS INT) AS sample_rate,
+            CAST(CASE (doc_id // 2) % 2 WHEN 0 THEN 16 ELSE 24 END AS INT) AS bits,
+            CAST(10 + doc_id % 50 AS BIGINT) AS data_bytes,
+            CAST(1000 + doc_id % 9000 AS BIGINT) AS total
+          FROM documents WHERE doc_id % 2 = 0),
+        mp3 AS (
+          SELECT doc_id, 'mp3' AS format,
+            CAST(1 AS INT) AS channels,
+            CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS INT) AS sample_rate,
+            CAST(0 AS INT) AS bits,
+            CAST(100 + doc_id % 200 AS BIGINT) AS data_bytes,
+            CAST(CASE 1 + doc_id % 14
+              WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+              WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+              WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+              WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END AS INT) AS kbps
+          FROM documents WHERE doc_id % 2 = 1)
+        SELECT doc_id, format, channels, sample_rate, bits, data_bytes,
+          round(CAST(total AS DOUBLE) / sample_rate * 1000.0, 6) AS duration_ms
+        FROM flac
+        UNION ALL
+        SELECT doc_id, format, channels, sample_rate, bits, data_bytes,
+          round(data_bytes * 8.0 / (kbps * 1000.0) * 1000.0, 6) AS duration_ms
+        FROM mp3
+        ORDER BY doc_id""")),
+
+    // MP4 CODEC TRIAGE — what a 100 TB video corpus scans BEFORE any
+    // frame decode: the stsd sample entry's codec FourCC, and for avc1
+    // the profile/level plus TRUE coded dimensions parsed from the SPS
+    // bitstream itself (Exp-Golomb, high-profile chroma block, frame
+    // cropping, emulation-prevention) — tkhd's display size can lie;
+    // the SPS cannot. mp4a tracks report channels/rate; hvc1 (and other
+    // codecs) identify without mis-parsing. The oracle recomputes every
+    // field from the id formulas with no parser.
+    QueryDef(
+      "ext_multimodal_mp4_codec",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asCodecMp4Payload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        MultimodalOps.extractMp4Codec(s, media).toDF()
+          .select($"doc_id", $"codec", $"profile", $"level",
+            $"coded_width", $"coded_height", $"audio_channels", $"audio_rate")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'mp4a'
+               WHEN doc_id % 7 = 0 THEN 'hvc1' ELSE 'avc1' END AS codec,
+          CAST(CASE WHEN doc_id % 3 = 0 OR doc_id % 7 = 0 THEN -1
+            ELSE CASE (doc_id // 4) % 3 WHEN 0 THEN 66 WHEN 1 THEN 77
+                 ELSE 100 END END AS INT) AS profile,
+          CAST(CASE WHEN doc_id % 3 = 0 OR doc_id % 7 = 0 THEN -1
+            ELSE CASE doc_id % 4 WHEN 0 THEN 30 WHEN 1 THEN 31
+                 WHEN 2 THEN 40 ELSE 41 END END AS INT) AS level,
+          CAST(CASE WHEN doc_id % 3 = 0 OR doc_id % 7 = 0 THEN -1
+            ELSE (20 + doc_id % 3) * 16 - 2 * (doc_id % 3 - 1)
+            END AS INT) AS coded_width,
+          CAST(CASE WHEN doc_id % 3 = 0 OR doc_id % 7 = 0 THEN -1
+            ELSE (15 + doc_id % 2) * 16 - 2 * (doc_id % 2)
+            END AS INT) AS coded_height,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 2
+               ELSE -1 END AS INT) AS audio_channels,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN
+            CASE (doc_id // 3) % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END
+            ELSE -1 END AS INT) AS audio_rate
+        FROM documents ORDER BY doc_id""")),
+
     // REAL video frame extraction: the fixture emits genuine MJPEG-in-MP4
     // containers (ftyp + a moov whose stbl carries real stsd('jpeg')/
     // stsz/stsc/stco sample tables + an mdat of concatenated T.81

@@ -997,6 +997,89 @@ class OpsSpec extends AnyFunSuite {
     assert(imageioChecked > 0, "JDK TIFF plugin verified none of the fixtures")
   }
 
+  test("mp4 codec triage: avc1 SPS parse, mp4a params, hvc1 identification") {
+    import graft.ops.MultimodalOps
+    val media = MultimodalOps.asCodecMp4Payload(spark, docs.limit(64), "doc_id")
+    media.collect().foreach { r =>
+      val id = r.getLong(0)
+      val info = MultimodalOps.mp4CodecInfo(r.getAs[Array[Byte]](1))
+        .getOrElse(fail(s"doc $id triage failed"))
+      if (id % 3 == 0) {
+        assert(info.codec == "mp4a")
+        assert(info.audio_channels == 1 + (id % 2).toInt)
+        assert(info.audio_rate ==
+          Seq(8000, 16000, 22050, 44100, 48000)((id / 3 % 5).toInt))
+      } else if (id % 7 == 0) {
+        assert(info.codec == "hvc1" && info.profile == -1)
+      } else {
+        assert(info.codec == "avc1")
+        assert(info.profile == Seq(66, 77, 100)((id / 4 % 3).toInt), s"doc $id")
+        assert(info.level == Seq(30, 31, 40, 41)((id % 4).toInt))
+        assert(info.coded_width ==
+          (20 + (id % 3).toInt) * 16 - 2 * ((id % 3).toInt - 1), s"doc $id w")
+        assert(info.coded_height ==
+          (15 + (id % 2).toInt) * 16 - 2 * (id % 2).toInt, s"doc $id h")
+      }
+    }
+    // negatives: a scaling-matrix SPS quarantines (out of scope, never
+    // mis-parsed); truncated and garbage NALs quarantine
+    assert(MultimodalOps.parseSps(Array(0x67, 0x42).map(_.toByte)).isEmpty)
+    assert(MultimodalOps.parseSps(Array[Byte](0x01, 0x02, 0x03, 0x04)).isEmpty)
+    // profile 100 with seq_scaling_matrix_present_flag = 1: bytes built
+    // by hand — profile 0x64, constraints 0, level 0x1e, then ue(0),
+    // ue(1), ue(0), ue(0), bypass 0, scaling 1 …
+    val scaling = {
+      val bits = "0110 0100" + "0000 0000" + "0001 1110" + // 100, 0, 30
+        "1" + "010" + "1" + "1" + "0" + "1" + "1111" // spsid, chroma=1, bd, bd, bypass, SCALING=1, pad
+      val clean = bits.replace(" ", "")
+      val bytes = clean.grouped(8).map(g =>
+        Integer.parseInt((g + "0000000").take(8), 2).toByte).toArray
+      Array(0x67.toByte) ++ bytes
+    }
+    assert(MultimodalOps.parseSps(scaling).isEmpty,
+      "scaling-matrix SPS must quarantine")
+  }
+
+  test("flac/mp3 triage: packed-field parse, classify branches, negatives") {
+    import graft.ops.MultimodalOps
+    val flac = MultimodalOps.asFlacPayload(spark, docs.limit(12), "doc_id")
+      .collect()
+    flac.foreach { r =>
+      val id = r.getLong(0)
+      val m = MultimodalOps.flacMeta(r.getAs[Array[Byte]](1))
+        .getOrElse(fail(s"flac $id quarantined"))
+      assert(m.sample_rate ==
+        Seq(8000, 16000, 22050, 44100, 48000, 96000)((id % 6).toInt))
+      assert(m.channels == 1 + (id % 2).toInt)
+      assert(m.bits == Seq(16, 24)((id / 2 % 2).toInt))
+      assert(m.data_bytes == 10 + id % 50)
+      // classify lane
+      assert(MultimodalOps.decodeStatusOf(r.getAs[Array[Byte]](1)) ==
+        ("flac", true))
+    }
+    val mp3 = MultimodalOps.asMp3Payload(spark, docs.limit(12), "doc_id")
+      .collect()
+    mp3.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val m = MultimodalOps.mp3Meta(bytes).getOrElse(fail(s"mp3 $id"))
+      assert(m.sample_rate == Seq(44100, 48000, 32000)((id % 3).toInt))
+      assert(m.channels == (if (id % 2 == 1) 1 else 2))
+      assert(m.data_bytes == 100 + id % 200)
+      assert(MultimodalOps.decodeStatusOf(bytes) == ("mp3", true))
+    }
+    // negatives: truncated STREAMINFO, wrong first-block type, a
+    // free-format MP3 header, and a reserved version all quarantine
+    val f0 = flac.head.getAs[Array[Byte]](1)
+    assert(MultimodalOps.flacMeta(f0.take(20)).isEmpty)
+    val wrongType = f0.clone(); wrongType(4) = 4 // first block not STREAMINFO
+    assert(MultimodalOps.flacMeta(wrongType).isEmpty)
+    assert(MultimodalOps.mp3Meta(Array(0xff, 0xfb, 0x00, 0x00)
+      .map(_.toByte)).isEmpty) // bitrate idx 0 = free format
+    assert(MultimodalOps.mp3Meta(Array(0xff, 0xeb, 0x10, 0x00)
+      .map(_.toByte)).isEmpty) // reserved version
+  }
+
   test("gif pixel decode: from-scratch LZW vs the JDK's independent encoder") {
     // ImageIO's GIF writer is an unrelated LZW implementation: feed it an
     // INDEXED image with an explicit palette (no quantization/dither) and
