@@ -206,7 +206,7 @@ object MultimodalOps {
       case Some(("bmp", _, _)) => ("bmp", ok(bmpPixels(bytes)))
       case Some(("png", _, _)) => ("png", ok(pngPixels(bytes)))
       case Some(("gif", _, _)) => ("gif", ok(gifPixels(bytes)))
-      case Some(("jpeg", _, _)) => ("jpeg", ok(jpegPixels(bytes)))
+      case Some(("jpeg", _, _)) => ("jpeg", ok(jpegDecode(bytes)))
       case Some(("tiff", _, _)) => ("tiff", ok(tiffPixels(bytes)))
       case Some((other, _, _)) => (other, false)
       case None =>
@@ -3067,13 +3067,15 @@ object MultimodalOps {
     * MCU entropy decode (DC prediction + EXTEND, AC run/size with ZRL
     * and EOB), dequantization, double-precision separable IDCT, level
     * shift. Scope (documented; everything else quarantines to None):
-    * 8-bit precision, 1 or 3 components, sampling factors 1–2 per axis —
+    * 8-bit precision, 1, 3, or 4 components (4 = Adobe CMYK at APP14
+    * transform 0; YCCK quarantines), sampling factors 1–2 per axis —
     * 4:4:4 AND the chroma-subsampled layouts real encoders emit by
     * default (4:2:0, 4:2:2, 4:4:0), decoded as interleaved MCUs at
     * component resolution and box-replicated up to full resolution
     * (T.81 leaves the upsampling filter to the decoder). Progressive
-    * (SOF2) files route to [[jpegDecodeProgressive]]; lossless /
-    * differential / arithmetic files are dropped, never mis-decoded.
+    * (SOF2) files route to [[jpegDecodeProgressive]], lossless (SOF3)
+    * to [[jpegDecodeLossless]]; differential / arithmetic files are
+    * dropped, never mis-decoded.
     * Returns planes in the CODED color space (Y or Y/Cb/Cr): the lossy
     * YCbCr→RGB rounding choice is left to callers, so per-component
     * statistics stay bit-exact against an oracle. */
@@ -3088,12 +3090,15 @@ object MultimodalOps {
     var restartInterval = 0
     // per component: quant-table id, sampling factors, then (at SOS)
     // DC/AC table ids
-    val compQ = new Array[Int](3)
-    val compId = new Array[Int](3)
-    val compDc = new Array[Int](3)
-    val compAc = new Array[Int](3)
-    val compHs = new Array[Int](3)
-    val compVs = new Array[Int](3)
+    val compQ = new Array[Int](4)
+    val compId = new Array[Int](4)
+    val compDc = new Array[Int](4)
+    val compAc = new Array[Int](4)
+    val compHs = new Array[Int](4)
+    val compVs = new Array[Int](4)
+    // Adobe APP14 color-transform byte: 4-component files are plain CMYK
+    // (0, decodable) or YCCK (2, quarantined — never mis-decoded)
+    var adobeTransform = 0
     var i = 2
     var sosAt = -1
     while (sosAt < 0) {
@@ -3112,7 +3117,8 @@ object MultimodalOps {
           if (u8(i + 2) != 8) return None // bit precision
           height = be16(i + 3); width = be16(i + 5)
           ncomp = u8(i + 7)
-          if ((ncomp != 1 && ncomp != 3) || len < 8 + 3 * ncomp) return None
+          if ((ncomp != 1 && ncomp != 3 && ncomp != 4) ||
+            len < 8 + 3 * ncomp) return None
           if (width <= 0 || height <= 0 ||
             width > (1 << 14) || height > (1 << 14)) return None
           var c = 0
@@ -3201,6 +3207,13 @@ object MultimodalOps {
           i += len
         case mm if mm >= 0xd0 && mm <= 0xd7 => // stray RST: ignore
         case 0x01 => // TEM, parameterless
+        case 0xee => // APP14: Adobe transform (last byte of the segment)
+          if (i + 2 > b.length) return None
+          val len = be16(i)
+          if (len < 2 || i + len > b.length) return None
+          if (len >= 14 && new String(b, i + 2, 5, "US-ASCII") == "Adobe")
+            adobeTransform = u8(i + 13)
+          i += len
         case _ => // APPn / COM / anything else with a length
           if (i + 2 > b.length) return None
           val len = be16(i)
@@ -3209,6 +3222,7 @@ object MultimodalOps {
       }
     }
     if (width == 0 || ncomp == 0) return None
+    if (ncomp == 4 && adobeTransform != 0) return None // YCCK: out of scope
     var c = 0
     while (c < ncomp) {
       if (qtabs(compQ(c)) == null || dcTabs(compDc(c)) == null ||
@@ -3234,7 +3248,7 @@ object MultimodalOps {
     val cplanes = Array.tabulate(ncomp)(c => new Array[Int](cw(c) * ch(c)))
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
-    val preds = new Array[Int](3)
+    val preds = new Array[Int](4)
     val reader = new JpegBitReader(b, sosAt)
     try {
       var mcu = 0
@@ -3995,7 +4009,7 @@ object MultimodalOps {
       first_cr: Int)
 
   def jpegPixels(b: Array[Byte]): Option[JpegPixels] =
-    jpegDecode(b).map { img =>
+    jpegDecode(b).filter(_.comps != 4).map { img =>
       val n = img.width * img.height
       def sum(p: Array[Int]): Long = {
         var s = 0L; var i = 0
@@ -4011,6 +4025,39 @@ object MultimodalOps {
           sum(img.planes(0)), 128L * n, 128L * n,
           img.planes(0)(0), 128, 128)
     }
+
+  /** Decoded statistics of one 4-component (CMYK) baseline JPEG —
+    * coded-space channel sums + the top-left pixel, the 4-band sibling
+    * of [[JpegPixels]]. */
+  final case class JpegCmykPixels(
+      doc_id: Long, width: Int, height: Int,
+      sum_c: Long, sum_m: Long, sum_y: Long, sum_k: Long,
+      first_c: Int, first_m: Int, first_y: Int, first_k: Int)
+
+  def cmykJpegPixels(b: Array[Byte]): Option[JpegCmykPixels] =
+    jpegDecode(b).filter(_.comps == 4).map { img =>
+      def sum(p: Array[Int]): Long = {
+        var s = 0L; var i = 0
+        while (i < p.length) { s += p(i); i += 1 }
+        s
+      }
+      JpegCmykPixels(-1L, img.width, img.height,
+        sum(img.planes(0)), sum(img.planes(1)),
+        sum(img.planes(2)), sum(img.planes(3)),
+        img.planes(0)(0), img.planes(1)(0), img.planes(2)(0), img.planes(3)(0))
+    }
+
+  /** Partition-parallel CMYK decode ([[extractJpegPixels]] shape). */
+  def extractCmykJpegPixels(
+      spark: SparkSession, media: DataFrame): Dataset[JpegCmykPixels] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          cmykJpegPixels(bytes).map(_.copy(doc_id = id))
+        }
+      }
+  }
 
   /** MSB-first bit writer with JPEG 0xFF00 byte stuffing. */
   private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
@@ -4110,6 +4157,96 @@ object MultimodalOps {
     bits.flush()
     marker(0xd9) // EOI
     out.toByteArray
+  }
+
+  /** 4-COMPONENT (CMYK) baseline fixture encoder — the Adobe print/
+    * scanner class: [[jpegEncodeConstantBlocks]] with four 1×1-sampled
+    * components and an Adobe APP14 marker (transform 0 = plain CMYK; a
+    * transform-2 YCCK header is the decoder's quarantine case). Same
+    * exactness contract: all-ones quant + constant blocks decode
+    * bit-for-bit. */
+  private[graft] def jpegEncodeCmykConstantBlocks(
+      bw: Int, bh: Int, planes: Array[Array[Int]],
+      restartInterval: Int, transform: Int = 0): Array[Byte] = {
+    require(planes.length == 4)
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xee); be16(14) // Adobe APP14
+    out.write("Adobe".getBytes("US-ASCII"))
+    be16(100); be16(0); be16(0) // version, flags0, flags1
+    out.write(transform)
+    marker(0xdb); be16(2 + 1 + 64) // DQT: 8-bit table 0, all ones
+    out.write(0)
+    for (_ <- 0 until 64) out.write(1)
+    val w = bw * 8; val h = bh * 8
+    marker(0xc0); be16(8 + 3 * 4) // SOF0, 4 components, 1x1 sampling
+    out.write(8); be16(h); be16(w); out.write(4)
+    for (c <- 1 to 4) { out.write(c); out.write(0x11); out.write(0) }
+    marker(0xc4); be16(2 + 17 + 12) // DC table 0 (see the 3-comp encoder)
+    out.write(0x00)
+    for (l <- 1 to 16) out.write(if (l == 4) 12 else 0)
+    for (t <- 0 to 11) out.write(t)
+    marker(0xc4); be16(2 + 17 + 1) // AC table 0: lone EOB
+    out.write(0x10)
+    for (l <- 1 to 16) out.write(if (l == 2) 1 else 0)
+    out.write(0x00)
+    if (restartInterval > 0) { marker(0xdd); be16(4); be16(restartInterval) }
+    marker(0xda); be16(6 + 2 * 4) // SOS
+    out.write(4)
+    for (c <- 1 to 4) { out.write(c); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+    val bits = new JpegBitWriter(out)
+    val preds = new Array[Int](4)
+    var mcu = 0
+    var rst = 0
+    while (mcu < bw * bh) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bits.flush()
+        marker(0xd0 + rst); rst = (rst + 1) % 8
+        java.util.Arrays.fill(preds, 0)
+      }
+      var c = 0
+      while (c < 4) {
+        val dc = 8 * (planes(c)(mcu) - 128)
+        val diff = dc - preds(c)
+        preds(c) = dc
+        val t = jpegCategory(diff)
+        bits.put(t, 4)
+        if (t > 0) bits.put(if (diff < 0) diff - 1 else diff, t)
+        bits.put(0, 2) // EOB
+        c += 1
+      }
+      mcu += 1
+    }
+    bits.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Fixture adapter for CMYK JPEGs over a four-channel block formula
+    * (the C/M/Y ladders reuse the shared pixel formulas; K gets its
+    * own), with DRI/RSTn on every fourth doc. */
+  def asCmykJpegPayload(
+      spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val bw = 1 + (docId % 3).toInt
+          val bh = 1 + (docId % 2).toInt
+          def plane(a: Long, bb: Long, cc: Long): Array[Int] =
+            Array.tabulate(bw * bh) { i =>
+              val bx = i % bw; val by = i / bw
+              ((a * docId + bb * bx + cc * by) % 256).toInt
+            }
+          val planes = Array(
+            plane(7, 11, 17), plane(3, 5, 7), plane(5, 13, 3), plane(11, 7, 19))
+          (docId, jpegEncodeCmykConstantBlocks(
+            bw, bh, planes, if (docId % 4 == 0) bw else 0))
+        }
+      }.toDF("doc_id", "payload")
   }
 
   /** Minimal baseline 4:2:0 JPEG ENCODER for the subsampled fixture

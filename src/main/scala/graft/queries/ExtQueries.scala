@@ -3226,6 +3226,51 @@ object ExtMultimodal extends QueryModule {
             / 1000.0, 6) AS first_luma
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // CMYK (4-COMPONENT) baseline JPEG decode — the Adobe print/scanner
+    // class (APP14 transform 0; formerly quarantined at the component
+    // check): the MCU walk runs four 1×1 components, DRI/RSTn on every
+    // fourth doc, and the oracle recomputes the four channel statistics
+    // from the block formulas with no codec. JpegSpec additionally pins
+    // every fixture against ImageIO's RAW RASTER read (its decode of the
+    // same entropy stream without color conversion) and proves YCCK
+    // (transform 2) quarantines.
+    QueryDef(
+      "ext_multimodal_jpeg_cmyk",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asCmykJpegPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        val npx = ($"width" * $"height").cast("double")
+        MultimodalOps.extractCmykJpegPixels(s, media).toDF()
+          .select($"doc_id", $"width", $"height",
+            round($"sum_c" / npx, 6).as("mean_c"),
+            round($"sum_m" / npx, 6).as("mean_m"),
+            round($"sum_y" / npx, 6).as("mean_y"),
+            round($"sum_k" / npx, 6).as("mean_k"),
+            $"first_c", $"first_m", $"first_y", $"first_k")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id,
+            CAST(8 * (1 + doc_id % 3) AS INT) AS w,
+            CAST(8 * (1 + doc_id % 2) AS INT) AS h,
+            (doc_id*7 + 11*bx + 17*by) % 256 AS c,
+            (doc_id*3 + 5*bx + 7*by) % 256 AS m,
+            (doc_id*5 + 13*bx + 3*by) % 256 AS y,
+            (doc_id*11 + 7*bx + 19*by) % 256 AS k
+          FROM documents, unnest(range(0, 3)) AS tx(bx), unnest(range(0, 2)) AS ty(by)
+          WHERE bx < 1 + doc_id % 3 AND by < 1 + doc_id % 2)
+        SELECT doc_id, w AS width, h AS height,
+          round(sum(c) / CAST(count(*) AS DOUBLE), 6) AS mean_c,
+          round(sum(m) / CAST(count(*) AS DOUBLE), 6) AS mean_m,
+          round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS mean_y,
+          round(sum(k) / CAST(count(*) AS DOUBLE), 6) AS mean_k,
+          CAST(doc_id * 7 % 256 AS INT) AS first_c,
+          CAST(doc_id * 3 % 256 AS INT) AS first_m,
+          CAST(doc_id * 5 % 256 AS INT) AS first_y,
+          CAST(doc_id * 11 % 256 AS INT) AS first_k
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
     // LOSSLESS (SOF3) JPEG decode — the T.81 Annex-H predictive process
     // of DNG/medical/archival corpora (no DCT, no quantization; formerly
     // quarantined): Huffman category + EXTEND bits give per-sample

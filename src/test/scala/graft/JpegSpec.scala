@@ -438,6 +438,56 @@ class JpegSpec extends AnyFunSuite {
       "mid-entropy truncation must quarantine")
   }
 
+  test("CMYK (4-component) baseline decodes; ImageIO's raw raster agrees; YCCK quarantines") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val media = MultimodalOps.asCmykJpegPayload(
+      spark, (0L until 24L).toDF("doc_id"), "doc_id")
+    var rasterChecked = 0
+    media.collect().foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val bw = 1 + (id % 3).toInt
+      val bh = 1 + (id % 2).toInt
+      val img = MultimodalOps.jpegDecode(bytes)
+        .getOrElse(fail(s"cmyk doc $id quarantined"))
+      assert(img.comps == 4 && img.width == bw * 8 && img.height == bh * 8)
+      val coeffs = Seq((7L, 11L, 17L), (3L, 5L, 7L), (5L, 13L, 3L), (11L, 7L, 19L))
+      for (c <- 0 until 4; by <- 0 until bh; bx <- 0 until bw) {
+        val (a, bb, cc) = coeffs(c)
+        val e = ((a * id + bb * bx + cc * by) % 256).toInt
+        assert(img.planes(c)((by * 8) * img.width + bx * 8) == e,
+          s"doc $id comp $c block ($bx,$by)")
+      }
+      // the JDK reader's RAW RASTER (no color conversion) is an
+      // independent decode of the same entropy stream — 4 bands,
+      // sample-exact
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (readers.hasNext) {
+        val rd = readers.next()
+        rd.setInput(iis)
+        val raster = try rd.readRaster(0, null) catch { case _: Exception => null }
+        if (raster != null && raster.getNumBands == 4) {
+          rasterChecked += 1
+          for (y <- 0 until img.height; x <- 0 until img.width; c <- 0 until 4)
+            assert(raster.getSample(x, y, c) == img.planes(c)(y * img.width + x),
+              s"doc $id ImageIO raster band $c ($x,$y)")
+        }
+        rd.dispose()
+      }
+    }
+    assert(rasterChecked > 0, "ImageIO raster-verified none of the CMYK fixtures")
+    // YCCK (Adobe transform 2) quarantines — identified, never mis-decoded
+    val ycck = MultimodalOps.jpegEncodeCmykConstantBlocks(
+      1, 1, Array.fill(4)(Array(100)), 0, transform = 2)
+    assert(MultimodalOps.jpegDecode(ycck).isEmpty)
+    // and the classifier reports the 4-comp file as decoded jpeg
+    val ok4 = media.limit(1).collect().head.getAs[Array[Byte]](1)
+    assert(MultimodalOps.decodeStatusOf(ok4) == ("jpeg", true))
+  }
+
   test("quarantine: garbage, malformed-progressive, and truncated payloads drop to None") {
     assert(MultimodalOps.jpegDecode(Array[Byte](1, 2, 3)).isEmpty)
     assert(MultimodalOps.jpegDecode(Array.fill[Byte](64)(0x55)).isEmpty)
