@@ -1109,14 +1109,66 @@ object MultimodalOps {
     val hRaw = le32(22)
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
-    if (w <= 0 || h == 0 || le16(26) != 1 || le16(28) != 24 || le32(30) != 0)
-      return None
+    val bits = le16(28)
+    val comp = le32(30)
+    if (w <= 0 || h == 0 || le16(26) != 1) return None
+    // scope: 24-bit and 32-bit BGR(X) uncompressed, 8-bit paletted
+    // uncompressed, and 8-bit RLE8 (bottom-up only, per the format) —
+    // the archival BMP variants; anything else quarantines
+    val ok = (bits == 24 && comp == 0) || (bits == 32 && comp == 0) ||
+      (bits == 8 && comp == 0) || (bits == 8 && comp == 1 && !topDown)
+    if (!ok) return None
     // stride math in Long: adversarial widths near 2^31/3 overflow Int,
     // producing a negative stride that defeats the bound check below and
     // crashes the task instead of quarantining the payload
     if (w > (1 << 20) || h > (1 << 20)) return None
-    val strideL = (w.toLong * 3 + 3) / 4 * 4
-    if (off < 54 || off.toLong + strideL * h > b.length) return None
+    // palette (8-bit lanes): 4-byte BGRX entries after the info header
+    val palAt = 14 + le32(14)
+    val palN =
+      if (bits != 8) 0
+      else { val cu = le32(46); if (cu > 0) cu else 256 }
+    if (bits == 8 && (palN > 256 || palAt + 4 * palN > b.length)) return None
+    // the pixel INDEX grid (8-bit) or direct rows; stored bottom-up
+    // unless topDown
+    val idx: Array[Byte] =
+      if (bits == 8 && comp == 1) {
+        // RLE8: (n,v) runs, 0,0=EOL 0,1=EOB 0,2=delta dx,dy
+        // 0,n>=3 = n absolute indexes (padded to even); skipped pixels 0
+        val out = new Array[Byte](w * h) // stored-order rows, bottom-up
+        var pos = off
+        var x = 0
+        var y = 0
+        var done = false
+        while (!done) {
+          if (pos + 2 > b.length) return None
+          val n = u8(pos); val v = u8(pos + 1); pos += 2
+          if (n > 0) {
+            // runs must not cross rows; pixels only while rows remain
+            // (EOL after the LAST row legitimately leaves y == h with
+            // only the EOB escape outstanding)
+            if (y >= h || x + n > w) return None
+            java.util.Arrays.fill(out, y * w + x, y * w + x + n, v.toByte)
+            x += n
+          } else v match {
+            case 0 => x = 0; y += 1 // EOL
+            case 1 => done = true // EOB
+            case 2 =>
+              if (pos + 2 > b.length) return None
+              x += u8(pos); y += u8(pos + 1); pos += 2
+              if (x > w || y > h) return None
+            case cnt =>
+              if (y >= h || x + cnt > w || pos + cnt > b.length) return None
+              System.arraycopy(b, pos, out, y * w + x, cnt)
+              x += cnt
+              pos += cnt + (cnt & 1) // absolute runs pad to even
+          }
+        }
+        out
+      } else null
+    val bpp = bits / 8
+    val strideL = (w.toLong * bpp + 3) / 4 * 4
+    if (comp == 0 && (off < 54 || off.toLong + strideL * h > b.length))
+      return None
     val stride = strideL.toInt
     var sr = 0L; var sg = 0L; var sb = 0L
     var fr = 0; var fg = 0; var fb = 0
@@ -1126,8 +1178,18 @@ object MultimodalOps {
       val base = off + stored * stride
       var x = 0
       while (x < w) {
-        val i = base + x * 3
-        val bb = u8(i); val g = u8(i + 1); val r = u8(i + 2) // BGR on disk
+        var r = 0; var g = 0; var bb = 0
+        if (bits == 8) {
+          val p =
+            if (comp == 1) idx(stored * w + x) & 0xff
+            else u8(base + x)
+          if (p >= palN) return None
+          bb = u8(palAt + 4 * p); g = u8(palAt + 4 * p + 1)
+          r = u8(palAt + 4 * p + 2)
+        } else {
+          val i = base + x * bpp
+          bb = u8(i); g = u8(i + 1); r = u8(i + 2) // BGR(X) on disk
+        }
         if (x == 0 && y == 0) { fr = r; fg = g; fb = bb }
         sr += r; sg += g; sb += bb
         x += 1
@@ -1135,6 +1197,111 @@ object MultimodalOps {
       y += 1
     }
     Some(BmpPixels(-1L, w, h, sr, sg, sb, fr, fg, fb))
+  }
+
+  /** Fixture adapter for the BMP VARIANT matrix beyond the 24-bit lane:
+    * 8-bit PALETTED (the GIF-affine-ramp palette, stored as BGRX
+    * entries), 8-bit RLE8 (real run/absolute/EOL/EOB encoding), and
+    * 32-bit BGRX — the archival classes. The stored pixel is the INDEX
+    * (8-bit lanes) or the channel formulas (32-bit), so one oracle
+    * covers the palette lookup, the RLE state machine, and the 4-byte
+    * stride; OpsSpec pins the lanes against ImageIO's BMP plugin in
+    * both directions (including its own BI_RLE8 writer). */
+  def asBmpVariantPayload(
+      spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val lane = (docId % 3).toInt // 0=pal8, 1=RLE8, 2=BGRX32
+          val w = 4 + (docId % 5).toInt
+          val h = 3 + (docId % 4).toInt
+          val topDown = lane == 2 && docId % 2 == 0
+          def idxAt(x: Int, y: Int): Int =
+            ((docId + 7L * x + 13L * y) % 256).toInt
+          val palN = 256
+          val palBytes =
+            if (lane == 2) Array.emptyByteArray
+            else (0 until palN).flatMap(i => Seq[Byte](
+              ((11 * i + 13) % 256).toByte, // B
+              ((3 * i + 7) % 256).toByte, // G
+              ((5 * i + 1) % 256).toByte, // R
+              0.toByte)).toArray
+          val pixelData: Array[Byte] = lane match {
+            case 0 => // paletted, bottom-up, 4-byte stride
+              val stride = (w + 3) / 4 * 4
+              val out = new Array[Byte](stride * h)
+              for (sy <- 0 until h; x <- 0 until w)
+                out(sy * stride + x) = idxAt(x, h - 1 - sy).toByte
+              out
+            case 1 => // RLE8 over bottom-up rows: runs + absolute packets
+              val out = new java.io.ByteArrayOutputStream()
+              for (sy <- 0 until h) {
+                val row = Array.tabulate(w)(x => idxAt(x, h - 1 - sy).toByte)
+                var x = 0
+                while (x < w) {
+                  var j = x
+                  while (j + 1 < w && row(j + 1) == row(x) && j - x < 254) j += 1
+                  val run = j - x + 1
+                  if (run >= 2 || w - x == 1) {
+                    out.write(run); out.write(row(x))
+                    x = j + 1
+                  } else {
+                    // literal stretch until the next run of ≥3 begins
+                    var k = x
+                    while (k < w && k - x < 254 &&
+                      !(k + 2 < w && row(k) == row(k + 1) &&
+                        row(k + 1) == row(k + 2))) k += 1
+                    val cnt = k - x
+                    if (cnt >= 3) { // absolute packet (RLE8 minimum 3)
+                      out.write(0); out.write(cnt)
+                      (0 until cnt).foreach(i => out.write(row(x + i)))
+                      if ((cnt & 1) == 1) out.write(0) // pad to even
+                    } else // 1-2 literals: single-pixel runs are legal
+                      (0 until cnt).foreach(i => {
+                        out.write(1); out.write(row(x + i))
+                      })
+                    x = k
+                  }
+                }
+                out.write(0); out.write(0) // EOL
+              }
+              out.write(0); out.write(1) // EOB
+              out.toByteArray
+            case _ => // 32-bit BGRX
+              val out = new Array[Byte](w * 4 * h)
+              for (sy <- 0 until h; x <- 0 until w) {
+                val y = if (topDown) sy else h - 1 - sy
+                val base = (sy * w + x) * 4
+                out(base) = ((docId * 5 + 3L * x + 17L * y) % 256).toByte
+                out(base + 1) = ((docId * 3 + 5L * x + 11L * y) % 256).toByte
+                out(base + 2) = ((docId + 7L * x + 13L * y) % 256).toByte
+                out(base + 3) = 0xff.toByte
+              }
+              out
+          }
+          val off = 54 + palBytes.length
+          val buf = java.nio.ByteBuffer.allocate(off + pixelData.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put('B'.toByte).put('M'.toByte)
+          buf.putInt(off + pixelData.length)
+          buf.putInt(0)
+          buf.putInt(off)
+          buf.putInt(40) // BITMAPINFOHEADER
+          buf.putInt(w)
+          buf.putInt(if (topDown) -h else h)
+          buf.putShort(1)
+          buf.putShort(if (lane == 2) 32 else 8)
+          buf.putInt(if (lane == 1) 1 else 0) // compression
+          buf.putInt(pixelData.length)
+          buf.putInt(2835); buf.putInt(2835)
+          buf.putInt(if (lane == 2) 0 else palN)
+          buf.putInt(0)
+          buf.put(palBytes)
+          buf.put(pixelData)
+          (docId, buf.array())
+        }
+      }.toDF("doc_id", "payload")
   }
 
   /** Fixture adapter (the image-pixel sibling of [[asWavPayload]]): emit

@@ -3226,6 +3226,56 @@ object ExtMultimodal extends QueryModule {
             / 1000.0, 6) AS first_luma
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // BMP VARIANT decode — the archival classes beyond the 24-bit lane:
+    // 8-bit PALETTED (BGRX map entries), 8-bit RLE8 (run / absolute /
+    // EOL / EOB state machine), and 32-bit BGRX (half top-down). The
+    // palette is the shared affine ramp and the stored pixel is the
+    // index, so the oracle recomputes the mapped channels from two
+    // closed formulas with no parser; OpsSpec pins the lanes against
+    // the JDK BMP plugin in both directions (including its own BI_RLE8
+    // writer through our decoder).
+    QueryDef(
+      "ext_multimodal_bmp_variants",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asBmpVariantPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        val npx = ($"width" * $"height").cast("double")
+        MultimodalOps.extractBmpPixels(s, media).toDF()
+          .select($"doc_id", $"width", $"height",
+            round($"sum_r" / npx, 6).as("mean_r"),
+            round($"sum_g" / npx, 6).as("mean_g"),
+            round($"sum_b" / npx, 6).as("mean_b"),
+            round(($"first_r" * 299 + $"first_g" * 587 + $"first_b" * 114) /
+              1000.0, 6).as("first_luma"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id, doc_id % 3 AS lane,
+            CAST(4 + doc_id % 5 AS INT) AS w, CAST(3 + doc_id % 4 AS INT) AS h, x, y,
+            (doc_id + 7*x + 13*y) % 256 AS f,
+            (doc_id*3 + 5*x + 11*y) % 256 AS g2,
+            (doc_id*5 + 3*x + 17*y) % 256 AS b2
+          FROM documents, unnest(range(0, 8)) AS tx(x), unnest(range(0, 6)) AS ty(y)
+          WHERE x < 4 + doc_id % 5 AND y < 3 + doc_id % 4),
+        ch AS (
+          SELECT doc_id, w, h,
+            CASE WHEN lane = 2 THEN f ELSE (5*f + 1) % 256 END AS r,
+            CASE WHEN lane = 2 THEN g2 ELSE (3*f + 7) % 256 END AS g,
+            CASE WHEN lane = 2 THEN b2 ELSE (11*f + 13) % 256 END AS b
+          FROM px)
+        SELECT doc_id, w AS width, h AS height,
+          round(sum(r) / CAST(w*h AS DOUBLE), 6) AS mean_r,
+          round(sum(g) / CAST(w*h AS DOUBLE), 6) AS mean_g,
+          round(sum(b) / CAST(w*h AS DOUBLE), 6) AS mean_b,
+          round(CASE WHEN doc_id % 3 = 2
+            THEN 299*(doc_id % 256) + 587*(doc_id*3 % 256) + 114*(doc_id*5 % 256)
+            ELSE 299*((5*(doc_id % 256) + 1) % 256) +
+                 587*((3*(doc_id % 256) + 7) % 256) +
+                 114*((11*(doc_id % 256) + 13) % 256) END / 1000.0, 6)
+            AS first_luma
+        FROM ch GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
     // CMYK (4-COMPONENT) baseline JPEG decode — the Adobe print/scanner
     // class (APP14 transform 0; formerly quarantined at the component
     // check): the MCU walk runs four 1×1 components, DRI/RSTn on every

@@ -1080,6 +1080,86 @@ class OpsSpec extends AnyFunSuite {
       .map(_.toByte)).isEmpty) // reserved version
   }
 
+  test("bmp variants: 8-bit palette, RLE8, 32-bit BGRX; ImageIO cross-checks both ways") {
+    import graft.ops.MultimodalOps
+    val media = MultimodalOps.asBmpVariantPayload(spark, docs.limit(36), "doc_id")
+    var imageioChecked = 0
+    media.collect().foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val lane = (id % 3).toInt
+      val w = 4 + (id % 5).toInt
+      val h = 3 + (id % 4).toInt
+      val px = MultimodalOps.bmpPixels(bytes)
+        .getOrElse(fail(s"bmp doc $id (lane $lane) quarantined"))
+      assert((px.width, px.height) == (w, h), s"doc $id dims")
+      def expected(x: Int, y: Int): (Int, Int, Int) = {
+        val f = ((id + 7L * x + 13L * y) % 256).toInt
+        if (lane == 2)
+          (f, ((id * 3 + 5L * x + 11L * y) % 256).toInt,
+            ((id * 5 + 3L * x + 17L * y) % 256).toInt)
+        else ((5 * f + 1) % 256, (3 * f + 7) % 256, (11 * f + 13) % 256)
+      }
+      val (er, eg, eb) = expected(0, 0)
+      assert((px.first_r, px.first_g, px.first_b) == ((er, eg, eb)),
+        s"doc $id lane=$lane first pixel")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r0, g0, b0) = expected(x, y)
+        sr += r0; sg += g0; sb += b0
+      }
+      assert((px.sum_r, px.sum_g, px.sum_b) == ((sr, sg, sb)),
+        s"doc $id lane=$lane sums")
+      // the JDK's BMP plugin must agree on the same bytes
+      val ref = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)) catch { case _: Exception => null }
+      if (ref != null && ref.getWidth == w) {
+        imageioChecked += 1
+        for (y <- 0 until h; x <- 0 until w) {
+          val (r0, g0, b0) = expected(x, y)
+          val exp = ref.getRGB(x, y)
+          assert(((exp >> 16) & 0xff, (exp >> 8) & 0xff, exp & 0xff) ==
+            ((r0, g0, b0)), s"doc $id lane=$lane ImageIO ($x,$y)")
+        }
+      }
+    }
+    assert(imageioChecked > 0, "JDK BMP plugin verified none of the fixtures")
+    // reverse: ImageIO's OWN BI_RLE8 writer round-trips through our decoder
+    import java.awt.image.BufferedImage
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("bmp")
+    assume(writers.hasNext, "JDK BMP plugin absent")
+    val writer = writers.next()
+    val available = writer.getDefaultWriteParam.getCompressionTypes.toSeq
+    if (available.contains("BI_RLE8")) {
+      val pal = Array.tabulate(256)(i =>
+        (((5 * i + 1) % 256) << 16) | (((3 * i + 7) % 256) << 8) | ((11 * i + 13) % 256))
+      val icm = new java.awt.image.IndexColorModel(
+        8, 256, pal, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+      val rnd = new scala.util.Random(777)
+      val img = new BufferedImage(23, 11, BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until 11; x <- 0 until 23)
+        img.getRaster.setSample(x, y, 0,
+          if (rnd.nextBoolean()) rnd.nextInt(256) else 42) // runs + literals
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType("BI_RLE8")
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close()
+      val out = MultimodalOps.bmpPixels(bos.toByteArray)
+      assert(out.isDefined, "ImageIO BI_RLE8 bmp quarantined")
+      val px = out.get
+      assert((px.width, px.height) == (23, 11))
+      val exp0 = img.getRGB(0, 0)
+      assert(px.first_r == ((exp0 >> 16) & 0xff) && px.first_b == (exp0 & 0xff))
+      var sr = 0L
+      for (y <- 0 until 11; x <- 0 until 23) sr += (img.getRGB(x, y) >> 16) & 0xff
+      assert(px.sum_r == sr, "RLE8 channel sum diverges from ImageIO's pixels")
+    }
+  }
+
   test("gif pixel decode: from-scratch LZW vs the JDK's independent encoder") {
     // ImageIO's GIF writer is an unrelated LZW implementation: feed it an
     // INDEXED image with an explicit palette (no quantization/dither) and
