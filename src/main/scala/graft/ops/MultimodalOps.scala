@@ -220,6 +220,9 @@ object MultimodalOps {
           bytes(2) == '3') ("mp3", ok(mp3Meta(bytes)))
         else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
           (bytes(1) & 0xe0) == 0xe0) ("mp3", ok(mp3Meta(bytes)))
+        else if (bytes.length >= 3 && bytes(0) == 'P' &&
+          (bytes(1) == '5' || bytes(1) == '6'))
+          ("pnm", ok(pnmPixels(bytes)))
         else ("raw", false) // opaque bytes
     }
   }
@@ -699,6 +702,121 @@ object MultimodalOps {
           mp4Meta(bytes).map(_.copy(doc_id = id))
         }
       }
+  }
+
+  /** Decoded pixel statistics of one binary netpbm image (P5 grayscale /
+    * P6 RGB — the research-corpus interchange format): channel sums +
+    * the top-left pixel, the PNG/BMP/TIFF row shape. */
+  final case class PnmPixels(
+      doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      first_r: Int, first_g: Int, first_b: Int)
+
+  /** REAL binary netpbm decode: the whitespace/comment-tolerant header
+    * grammar (`P5`/`P6`, `#` comments legal between tokens, ONE
+    * whitespace byte after maxval), then raw big-endian samples — 8-bit
+    * at maxval 255, 16-bit at maxval 65535 (high-byte downscale, the
+    * png16 convention). Other maxvals and the ASCII formats (P2/P3)
+    * quarantine. */
+  def pnmPixels(b: Array[Byte]): Option[PnmPixels] = {
+    if (b.length < 4 || b(0) != 'P' || (b(1) != '5' && b(1) != '6'))
+      return None
+    val rgb = b(1) == '6'
+    var i = 2
+    def isWs(c: Byte) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    def token(): Option[Int] = {
+      // skip whitespace and # comments (to end of line)
+      var going = true
+      while (going) {
+        while (i < b.length && isWs(b(i))) i += 1
+        if (i < b.length && b(i) == '#') {
+          while (i < b.length && b(i) != '\n') i += 1
+        } else going = false
+      }
+      if (i >= b.length || b(i) < '0' || b(i) > '9') return None
+      var v = 0L
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0')
+        if (v > Int.MaxValue) return None
+        i += 1
+      }
+      Some(v.toInt)
+    }
+    val w = token().getOrElse(return None)
+    val h = token().getOrElse(return None)
+    val maxval = token().getOrElse(return None)
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+    if (maxval != 255 && maxval != 65535) return None
+    if (i >= b.length || !isWs(b(i))) return None
+    i += 1 // exactly one whitespace byte before the raster
+    val bps = if (maxval == 255) 1 else 2
+    val spp = if (rgb) 3 else 1
+    if (i.toLong + w.toLong * h * spp * bps > b.length) return None
+    def sample(k: Int): Int =
+      if (bps == 1) b(i + k) & 0xff
+      else b(i + 2 * k) & 0xff // big-endian pair: high byte
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var fr = 0; var fg = 0; var fb = 0
+    var j = 0
+    val n = w * h
+    while (j < n) {
+      val r = sample(j * spp)
+      val g = if (rgb) sample(j * spp + 1) else r
+      val bb = if (rgb) sample(j * spp + 2) else r
+      if (j == 0) { fr = r; fg = g; fb = bb }
+      sr += r; sg += g; sb += bb
+      j += 1
+    }
+    Some(PnmPixels(-1L, w, h, sr, sg, sb, fr, fg, fb))
+  }
+
+  /** Partition-parallel PNM decode ([[extractBmpPixels]] shape). */
+  def extractPnmPixels(spark: SparkSession, media: DataFrame): Dataset[PnmPixels] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          pnmPixels(bytes).map(_.copy(doc_id = id))
+        }
+      }
+  }
+
+  /** Fixture adapter for binary netpbm: P5/P6 alternating with the
+    * shared pixel formulas, every other doc 16-bit (high byte = formula,
+    * low byte independent), headers salted with comments and mixed
+    * whitespace so the grammar is exercised, not just the golden path. */
+  def asPnmPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val w = 4 + (docId % 5).toInt
+          val h = 3 + (docId % 4).toInt
+          val gray = docId % 3 == 0
+          val deep = docId % 2 == 1
+          val header = (if (gray) "P5" else "P6") +
+            (if (docId % 4 == 0) s"\n# doc $docId fixture\n" else "\n") +
+            s"$w ${if (docId % 5 == 0) "\n# interleaved\n" else " "}$h\n" +
+            (if (deep) "65535" else "255") + "\n"
+          val spp = if (gray) 1 else 3
+          val bps = if (deep) 2 else 1
+          val data = new Array[Byte](w * h * spp * bps)
+          var k = 0
+          for (y <- 0 until h; x <- 0 until w; c <- 0 until spp) {
+            val hi = (c match {
+              case 0 => (docId + 7L * x + 13L * y) % 256
+              case 1 => (docId * 3 + 5L * x + 11L * y) % 256
+              case _ => (docId * 5 + 3L * x + 17L * y) % 256
+            }).toInt
+            if (deep) {
+              data(k) = hi.toByte
+              data(k + 1) = ((docId + 3L * (x + 7L * y + 11L * c)) % 256).toByte
+              k += 2
+            } else { data(k) = hi.toByte; k += 1 }
+          }
+          (docId, header.getBytes("US-ASCII") ++ data)
+        }
+      }.toDF("doc_id", "payload")
   }
 
   /** One MP4 track's CODEC identity + stream parameters — what 100 TB

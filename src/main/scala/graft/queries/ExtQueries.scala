@@ -3226,6 +3226,45 @@ object ExtMultimodal extends QueryModule {
             / 1000.0, 6) AS first_luma
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // BINARY NETPBM (P5/P6) decode — the research-corpus interchange
+    // format: whitespace/comment-tolerant header grammar, 8-bit and
+    // 16-bit (big-endian, high-byte downscale) rasters. The fixture
+    // salts headers with comments and mixed separators so the grammar —
+    // not just the golden path — sits under the oracle hash.
+    QueryDef(
+      "ext_multimodal_pnm_pixels",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asPnmPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        val npx = ($"width" * $"height").cast("double")
+        MultimodalOps.extractPnmPixels(s, media).toDF()
+          .select($"doc_id", $"width", $"height",
+            round($"sum_r" / npx, 6).as("mean_r"),
+            round($"sum_g" / npx, 6).as("mean_g"),
+            round($"sum_b" / npx, 6).as("mean_b"),
+            round(($"first_r" * 299 + $"first_g" * 587 + $"first_b" * 114) /
+              1000.0, 6).as("first_luma"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id, doc_id % 3 = 0 AS gray,
+            CAST(4 + doc_id % 5 AS INT) AS w, CAST(3 + doc_id % 4 AS INT) AS h, x, y,
+            (doc_id + 7*x + 13*y) % 256 AS r,
+            (doc_id*3 + 5*x + 11*y) % 256 AS g,
+            (doc_id*5 + 3*x + 17*y) % 256 AS b
+          FROM documents, unnest(range(0, 8)) AS tx(x), unnest(range(0, 6)) AS ty(y)
+          WHERE x < 4 + doc_id % 5 AND y < 3 + doc_id % 4)
+        SELECT doc_id, w AS width, h AS height,
+          round(sum(r) / CAST(w*h AS DOUBLE), 6) AS mean_r,
+          round(sum(CASE WHEN gray THEN r ELSE g END) / CAST(w*h AS DOUBLE), 6) AS mean_g,
+          round(sum(CASE WHEN gray THEN r ELSE b END) / CAST(w*h AS DOUBLE), 6) AS mean_b,
+          round((299*(doc_id % 256) +
+                 587*(CASE WHEN doc_id % 3 = 0 THEN doc_id ELSE doc_id*3 END % 256) +
+                 114*(CASE WHEN doc_id % 3 = 0 THEN doc_id ELSE doc_id*5 END % 256))
+            / 1000.0, 6) AS first_luma
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
     // BMP VARIANT decode — the archival classes beyond the 24-bit lane:
     // 8-bit PALETTED (BGRX map entries), 8-bit RLE8 (run / absolute /
     // EOL / EOB state machine), and 32-bit BGRX (half top-down). The

@@ -1160,6 +1160,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pnm decode: P5/P6, 8/16-bit, comment-salted headers, negatives") {
+    import graft.ops.MultimodalOps
+    MultimodalOps.asPnmPayload(spark, docs.limit(40), "doc_id")
+      .collect().foreach { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val w = 4 + (id % 5).toInt
+        val h = 3 + (id % 4).toInt
+        val gray = id % 3 == 0
+        val px = MultimodalOps.pnmPixels(bytes)
+          .getOrElse(fail(s"pnm doc $id quarantined"))
+        assert((px.width, px.height) == (w, h), s"doc $id dims")
+        assert(px.first_r == (id % 256).toInt, s"doc $id first_r")
+        assert(px.first_g ==
+          (if (gray) (id % 256) else (id * 3 % 256)).toInt, s"doc $id first_g")
+        var sr = 0L
+        for (y <- 0 until h; x <- 0 until w) sr += ((id + 7L * x + 13L * y) % 256)
+        assert(px.sum_r == sr, s"doc $id sum_r")
+        assert(MultimodalOps.decodeStatusOf(bytes) == ("pnm", true))
+      }
+    // negatives: ASCII formats, odd maxvals, truncated rasters, and a
+    // text doc that merely starts with P6 all quarantine
+    assert(MultimodalOps.pnmPixels("P3\n2 2\n255\n0 0 0".getBytes).isEmpty)
+    assert(MultimodalOps.pnmPixels(
+      ("P5\n2 2\n1023\n" + " " * 8).getBytes("ISO-8859-1")).isEmpty)
+    assert(MultimodalOps.pnmPixels("P6\n4 4\n255\nxx".getBytes).isEmpty)
+    assert(MultimodalOps.decodeStatusOf(
+      "P6 is a netpbm magic inside prose".getBytes) == ("pnm", false))
+  }
+
   test("gif pixel decode: from-scratch LZW vs the JDK's independent encoder") {
     // ImageIO's GIF writer is an unrelated LZW implementation: feed it an
     // INDEXED image with an explicit palette (no quantization/dither) and
