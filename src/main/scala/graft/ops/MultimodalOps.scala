@@ -223,6 +223,9 @@ object MultimodalOps {
         else if (bytes.length >= 3 && bytes(0) == 'P' &&
           (bytes(1) == '5' || bytes(1) == '6'))
           ("pnm", ok(pnmPixels(bytes)))
+        else if (bytes.length >= 6 && bytes(0) == 0 && bytes(1) == 0 &&
+          bytes(2) == 1 && bytes(3) == 0)
+          ("ico", ok(icoPixels(bytes)))
         else ("raw", false) // opaque bytes
     }
   }
@@ -815,6 +818,164 @@ object MultimodalOps {
             } else { data(k) = hi.toByte; k += 1 }
           }
           (docId, header.getBytes("US-ASCII") ++ data)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One ICO container's triage + decoded stats of its LARGEST member —
+    * the favicon class of web-crawl corpora. Members are PNG (delegated
+    * to the PNG decoder) or headerless DIBs (delegated to the BMP
+    * decoder after synthesizing the file header and halving the doubled
+    * XOR+AND-mask height). */
+  final case class IcoPixels(
+      doc_id: Long, n_members: Int, member_format: String,
+      width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      first_r: Int, first_g: Int, first_b: Int)
+
+  def icoPixels(b: Array[Byte]): Option[IcoPixels] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (b.length < 6 || le16(0) != 0 || le16(2) != 1) return None // icons only
+    val n = le16(4)
+    if (n < 1 || n > 64 || 6 + 16 * n > b.length) return None
+    // pick the largest member by directory dims (0 encodes 256)
+    val entries = (0 until n).map { k =>
+      val e = 6 + 16 * k
+      val w = if (u8(e) == 0) 256 else u8(e)
+      val h = if (u8(e + 1) == 0) 256 else u8(e + 1)
+      (w * h, le32(e + 8), le32(e + 12)) // area, size, offset
+    }
+    val (_, size, off) = entries.maxBy(_._1)
+    if (off < 6 || size < 16 || off.toLong + size > b.length) return None
+    val isPng = size >= 8 && u8(off) == 0x89 && b(off + 1) == 'P' &&
+      b(off + 2) == 'N' && b(off + 3) == 'G'
+    if (isPng) {
+      val member = java.util.Arrays.copyOfRange(b, off, off + size)
+      pngPixels(member).map(p => IcoPixels(-1L, n, "png",
+        p.width, p.height, p.sum_r, p.sum_g, p.sum_b,
+        p.first_r, p.first_g, p.first_b))
+    } else {
+      // headerless DIB: BITMAPINFOHEADER whose biHeight DOUBLES the
+      // pixel height (XOR image + AND mask); the XOR rows come first,
+      // so re-wrapping with a synthesized BM header and the TRUE height
+      // reads exactly the XOR image through the shared BMP decoder
+      if (size < 40 || le32(off) != 40) return None
+      val dblH = le32(off + 8)
+      if (dblH <= 0 || dblH % 2 != 0) return None
+      val fixed = new Array[Byte](14 + size)
+      fixed(0) = 'B'; fixed(1) = 'M'
+      System.arraycopy(b, off, fixed, 14, size)
+      val bits = le16(off + 14)
+      val clrUsed = le32(off + 32)
+      val palN =
+        if (bits > 8) 0 else if (clrUsed > 0) clrUsed else 1 << bits
+      val dataOff = 14 + 40 + 4 * palN
+      val bb = java.nio.ByteBuffer.wrap(fixed)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(2, fixed.length) // file size
+      bb.putInt(10, dataOff)
+      bb.putInt(14 + 8, dblH / 2) // true height
+      bmpPixels(fixed).map(p => IcoPixels(-1L, n, "dib",
+        p.width, p.height, p.sum_r, p.sum_g, p.sum_b,
+        p.first_r, p.first_g, p.first_b))
+    }
+  }
+
+  /** Partition-parallel ICO decode ([[extractBmpPixels]] shape). */
+  def extractIcoPixels(spark: SparkSession, media: DataFrame): Dataset[IcoPixels] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          icoPixels(bytes).map(_.copy(doc_id = id))
+        }
+      }
+  }
+
+  /** Fixture adapter for ICO favicons: 1–3 DIB members per doc (24-bit
+    * and 8-bit-palette lanes, AND mask present, bottom-up), the LARGEST
+    * carrying the shared pixel formulas — so the oracle recomputes the
+    * winner's statistics and a member-selection, offset, or doubled-
+    * height bug breaks the hash. */
+  def asIcoPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val nMembers = 1 + (docId % 3).toInt
+          val pal8 = docId % 2 == 1
+          // member k dims: the LAST member is the largest (selection
+          // must use the directory, not order)
+          def dims(k: Int) = (4 + k * 4 + (docId % 5).toInt,
+            3 + k * 4 + (docId % 4).toInt)
+          def dib(k: Int): Array[Byte] = {
+            val (w, h) = dims(k)
+            val big = k == nMembers - 1
+            def px(x: Int, y: Int, c: Int): Int =
+              if (!big) (x + y + c) % 256 // filler member
+              else (c match {
+                case 0 => (docId + 7L * x + 13L * y) % 256
+                case 1 => (docId * 3 + 5L * x + 11L * y) % 256
+                case _ => (docId * 5 + 3L * x + 17L * y) % 256
+              }).toInt
+            val palN = if (pal8) 256 else 0
+            val stride =
+              if (pal8) (w + 3) / 4 * 4 else (w * 3 + 3) / 4 * 4
+            val maskStride = (w + 31) / 32 * 4
+            val size = 40 + 4 * palN + stride * h + maskStride * h
+            val buf = java.nio.ByteBuffer.allocate(size)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            buf.putInt(40); buf.putInt(w); buf.putInt(2 * h) // doubled
+            buf.putShort(1); buf.putShort(if (pal8) 8 else 24)
+            buf.putInt(0); buf.putInt(0)
+            buf.putInt(0); buf.putInt(0); buf.putInt(palN); buf.putInt(0)
+            if (pal8) (0 until 256).foreach { i =>
+              buf.put(((11 * i + 13) % 256).toByte)
+              buf.put(((3 * i + 7) % 256).toByte)
+              buf.put(((5 * i + 1) % 256).toByte)
+              buf.put(0.toByte)
+            }
+            for (sy <- 0 until h) {
+              val y = h - 1 - sy // bottom-up
+              var written = 0
+              for (x <- 0 until w) {
+                if (pal8) {
+                  buf.put(((docId + 7L * x + 13L * y) % 256).toByte)
+                  written += 1
+                } else {
+                  buf.put(px(x, y, 2).toByte) // B
+                  buf.put(px(x, y, 1).toByte) // G
+                  buf.put(px(x, y, 0).toByte) // R
+                  written += 3
+                }
+              }
+              while (written % 4 != 0) { buf.put(0.toByte); written += 1 }
+            }
+            buf.put(new Array[Byte](maskStride * h)) // AND mask: opaque
+            buf.array()
+          }
+          val members = (0 until nMembers).map(dib)
+          val dirSize = 6 + 16 * nMembers
+          val offsets = members.map(_.length)
+            .scanLeft(dirSize)(_ + _).init
+          val buf = java.nio.ByteBuffer
+            .allocate(dirSize + members.map(_.length).sum)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.putShort(0); buf.putShort(1)
+          buf.putShort(nMembers.toShort)
+          for (k <- 0 until nMembers) {
+            val (w, h) = dims(k)
+            buf.put((w & 0xff).toByte).put((h & 0xff).toByte)
+            buf.put(0.toByte).put(0.toByte)
+            buf.putShort(1)
+            buf.putShort(if (pal8) 8 else 24)
+            buf.putInt(members(k).length)
+            buf.putInt(offsets(k))
+          }
+          members.foreach(buf.put)
+          (docId, buf.array())
         }
       }.toDF("doc_id", "payload")
   }

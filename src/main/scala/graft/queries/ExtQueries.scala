@@ -3226,6 +3226,58 @@ object ExtMultimodal extends QueryModule {
             / 1000.0, 6) AS first_luma
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // ICO (FAVICON) decode — the web-crawl class: parse the icon
+    // directory, select the LARGEST member (by directory dims, not
+    // order — the fixture puts it last), unwrap the headerless DIB's
+    // doubled XOR+AND-mask height, and delegate to the cross-checked
+    // BMP/PNG decoders. 24-bit and 8-bit-palette member lanes under one
+    // oracle; OpsSpec adds the PNG-member layout (ImageIO-written) and
+    // cursor/truncation negatives.
+    QueryDef(
+      "ext_multimodal_ico_pixels",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asIcoPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        val npx = ($"width" * $"height").cast("double")
+        MultimodalOps.extractIcoPixels(s, media).toDF()
+          .select($"doc_id", $"n_members", $"width", $"height",
+            round($"sum_r" / npx, 6).as("mean_r"),
+            round($"sum_g" / npx, 6).as("mean_g"),
+            round($"sum_b" / npx, 6).as("mean_b"),
+            round(($"first_r" * 299 + $"first_g" * 587 + $"first_b" * 114) /
+              1000.0, 6).as("first_luma"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id, doc_id % 2 = 1 AS pal,
+            CAST(1 + doc_id % 3 AS INT) AS n,
+            CAST(4 + (doc_id % 3) * 4 + doc_id % 5 AS INT) AS w,
+            CAST(3 + (doc_id % 3) * 4 + doc_id % 4 AS INT) AS h, x, y,
+            (doc_id + 7*x + 13*y) % 256 AS f,
+            (doc_id*3 + 5*x + 11*y) % 256 AS g2,
+            (doc_id*5 + 3*x + 17*y) % 256 AS b2
+          FROM documents, unnest(range(0, 16)) AS tx(x), unnest(range(0, 14)) AS ty(y)
+          WHERE x < 4 + (doc_id % 3) * 4 + doc_id % 5
+            AND y < 3 + (doc_id % 3) * 4 + doc_id % 4),
+        ch AS (
+          SELECT doc_id, n, w, h,
+            CASE WHEN pal THEN (5*f + 1) % 256 ELSE f END AS r,
+            CASE WHEN pal THEN (3*f + 7) % 256 ELSE g2 END AS g,
+            CASE WHEN pal THEN (11*f + 13) % 256 ELSE b2 END AS b
+          FROM px)
+        SELECT doc_id, n AS n_members, w AS width, h AS height,
+          round(sum(r) / CAST(w*h AS DOUBLE), 6) AS mean_r,
+          round(sum(g) / CAST(w*h AS DOUBLE), 6) AS mean_g,
+          round(sum(b) / CAST(w*h AS DOUBLE), 6) AS mean_b,
+          round(CASE WHEN doc_id % 2 = 1
+            THEN 299*((5*(doc_id % 256) + 1) % 256) +
+                 587*((3*(doc_id % 256) + 7) % 256) +
+                 114*((11*(doc_id % 256) + 13) % 256)
+            ELSE 299*(doc_id % 256) + 587*(doc_id*3 % 256) +
+                 114*(doc_id*5 % 256) END / 1000.0, 6) AS first_luma
+        FROM ch GROUP BY doc_id, n, w, h ORDER BY doc_id""")),
+
     // BINARY NETPBM (P5/P6) decode — the research-corpus interchange
     // format: whitespace/comment-tolerant header grammar, 8-bit and
     // 16-bit (big-endian, high-byte downscale) rasters. The fixture

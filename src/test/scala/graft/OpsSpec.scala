@@ -1190,6 +1190,61 @@ class OpsSpec extends AnyFunSuite {
       "P6 is a netpbm magic inside prose".getBytes) == ("pnm", false))
   }
 
+  test("ico decode: largest-member selection, DIB doubled-height unwrap, PNG members") {
+    import graft.ops.MultimodalOps
+    MultimodalOps.asIcoPayload(spark, docs.limit(24), "doc_id")
+      .collect().foreach { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val n = 1 + (id % 3).toInt
+        val w = 4 + (n - 1) * 4 + (id % 5).toInt
+        val h = 3 + (n - 1) * 4 + (id % 4).toInt
+        val pal8 = id % 2 == 1
+        val px = MultimodalOps.icoPixels(bytes)
+          .getOrElse(fail(s"ico doc $id quarantined"))
+        assert(px.n_members == n && px.member_format == "dib")
+        assert((px.width, px.height) == (w, h),
+          s"doc $id picked the wrong member")
+        def expected(x: Int, y: Int): (Int, Int, Int) = {
+          val f = ((id + 7L * x + 13L * y) % 256).toInt
+          if (pal8) ((5 * f + 1) % 256, (3 * f + 7) % 256, (11 * f + 13) % 256)
+          else (f, ((id * 3 + 5L * x + 11L * y) % 256).toInt,
+            ((id * 5 + 3L * x + 17L * y) % 256).toInt)
+        }
+        val (er, eg, eb) = expected(0, 0)
+        assert((px.first_r, px.first_g, px.first_b) == ((er, eg, eb)),
+          s"doc $id first pixel (flip or mask bug)")
+        var sr = 0L
+        for (y <- 0 until h; x <- 0 until w) sr += expected(x, y)._1
+        assert(px.sum_r == sr, s"doc $id sum_r")
+        assert(MultimodalOps.decodeStatusOf(bytes) == ("ico", true))
+      }
+    // a PNG member (the modern favicon layout) delegates to the PNG
+    // decoder — built with ImageIO's own PNG writer
+    val img = new java.awt.image.BufferedImage(
+      9, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(99)
+    for (y <- 0 until 7; x <- 0 until 9) img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+    val pngBos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", pngBos))
+    val png = pngBos.toByteArray
+    val ico = java.nio.ByteBuffer.allocate(6 + 16 + png.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ico.putShort(0); ico.putShort(1); ico.putShort(1)
+    ico.put(9.toByte).put(7.toByte).put(0.toByte).put(0.toByte)
+    ico.putShort(1); ico.putShort(32)
+    ico.putInt(png.length); ico.putInt(22)
+    ico.put(png)
+    val out = MultimodalOps.icoPixels(ico.array())
+      .getOrElse(fail("png-member ico quarantined"))
+    assert(out.member_format == "png" && (out.width, out.height) == ((9, 7)))
+    assert(out.first_r == ((img.getRGB(0, 0) >> 16) & 0xff))
+    // negatives: cursors (type 2) and truncated directories quarantine
+    val cur = ico.array().clone(); cur(2) = 2
+    assert(MultimodalOps.icoPixels(cur).isEmpty)
+    assert(MultimodalOps.icoPixels(ico.array().take(12)).isEmpty)
+  }
+
   test("gif pixel decode: from-scratch LZW vs the JDK's independent encoder") {
     // ImageIO's GIF writer is an unrelated LZW implementation: feed it an
     // INDEXED image with an explicit palette (no quantization/dither) and
