@@ -1399,14 +1399,22 @@ object MultimodalOps {
     if (!ok) return None
     // stride math in Long: adversarial widths near 2^31/3 overflow Int,
     // producing a negative stride that defeats the bound check below and
-    // crashes the task instead of quarantining the payload
-    if (w > (1 << 20) || h > (1 << 20)) return None
+    // crashes the task instead of quarantining the payload; the total-
+    // pixel cap also bounds the RLE8 output buffer (a 40-byte header
+    // must not command a multi-GiB allocation)
+    if (w > (1 << 20) || h > (1 << 20) || w.toLong * h > (1L << 24))
+      return None
+    if (off < 54 || off > b.length) return None
     // palette (8-bit lanes): 4-byte BGRX entries after the info header
-    val palAt = 14 + le32(14)
+    // (offset math in Long — a near-MaxInt biSize must fail the bound
+    // check, not wrap negative past it)
+    val palAtL = 14L + le32(14)
     val palN =
       if (bits != 8) 0
       else { val cu = le32(46); if (cu > 0) cu else 256 }
-    if (bits == 8 && (palN > 256 || palAt + 4 * palN > b.length)) return None
+    if (bits == 8 && (palN > 256 || palAtL < 54 ||
+      palAtL + 4L * palN > b.length)) return None
+    val palAt = palAtL.toInt
     // the pixel INDEX grid (8-bit) or direct rows; stored bottom-up
     // unless topDown
     val idx: Array[Byte] =
@@ -1446,8 +1454,7 @@ object MultimodalOps {
       } else null
     val bpp = bits / 8
     val strideL = (w.toLong * bpp + 3) / 4 * 4
-    if (comp == 0 && (off < 54 || off.toLong + strideL * h > b.length))
-      return None
+    if (comp == 0 && off.toLong + strideL * h > b.length) return None
     val stride = strideL.toInt
     var sr = 0L; var sg = 0L; var sb = 0L
     var fr = 0; var fg = 0; var fb = 0
@@ -2387,6 +2394,35 @@ object MultimodalOps {
       }
   }
 
+  /** Shared IFD entry writers for the TIFF fixture adapters (endianness
+    * comes from the caller's ByteBuffer); one definition for the four
+    * adapters, so an IFD-layout fix can never skew a single lane. */
+  private final class TiffIfdWriter(buf: java.nio.ByteBuffer) {
+    def entryShort1(tag: Int, v: Int): Unit = {
+      buf.putShort(tag.toShort); buf.putShort(3); buf.putInt(1)
+      buf.putShort(v.toShort); buf.putShort(0)
+    }
+    def entryLong1(tag: Int, v: Int): Unit = {
+      buf.putShort(tag.toShort); buf.putShort(4); buf.putInt(1)
+      buf.putInt(v)
+    }
+    def entryArr(tag: Int, tpe: Int, n: Int, off: Int): Unit = {
+      buf.putShort(tag.toShort); buf.putShort(tpe.toShort)
+      buf.putInt(n); buf.putInt(off)
+    }
+  }
+
+  /** One zlib-deflated TIFF segment (the Compression=8 fixture side). */
+  private def deflateSegment(seg: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(seg); d.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!d.finished()) bos.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    bos.toByteArray
+  }
+
   /** Fixture adapter emitting REAL uncompressed TIFFs over the shared
     * pixel-formula ladder: byte order alternates by row id (II/MM),
     * every third doc is grayscale (Photometric=1; the gray value is the
@@ -2427,18 +2463,8 @@ object MultimodalOps {
           buf.putShort(42)
           buf.putInt(ifdOff)
           buf.putShort(9) // entry count
-          def entryShort1(tag: Int, v: Int): Unit = {
-            buf.putShort(tag.toShort); buf.putShort(3); buf.putInt(1)
-            buf.putShort(v.toShort); buf.putShort(0)
-          }
-          def entryLong1(tag: Int, v: Int): Unit = {
-            buf.putShort(tag.toShort); buf.putShort(4); buf.putInt(1)
-            buf.putInt(v)
-          }
-          def entryArr(tag: Int, tpe: Int, n: Int, off: Int): Unit = {
-            buf.putShort(tag.toShort); buf.putShort(tpe.toShort)
-            buf.putInt(n); buf.putInt(off)
-          }
+          val ifdw = new TiffIfdWriter(buf)
+          import ifdw._
           entryShort1(256, w)
           entryShort1(257, h)
           if (gray) entryShort1(258, 8) else entryArr(258, 3, 3, bitsOff)
@@ -2530,15 +2556,7 @@ object MultimodalOps {
               case 5 => tiffLzwEncode(rows.reduce(_ ++ _))
               case 32773 =>
                 rows.map(r => packBitsEncode(r, 0, r.length)).reduce(_ ++ _)
-              case 8 =>
-                val strip = rows.reduce(_ ++ _)
-                val d = new java.util.zip.Deflater()
-                d.setInput(strip); d.finish()
-                val bos = new java.io.ByteArrayOutputStream()
-                val buf = new Array[Byte](4096)
-                while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
-                d.end()
-                bos.toByteArray
+              case 8 => deflateSegment(rows.reduce(_ ++ _))
               case _ => rows.reduce(_ ++ _)
             }
           }
@@ -2562,18 +2580,8 @@ object MultimodalOps {
           buf.putShort(42)
           buf.putInt(ifdOff)
           buf.putShort(nEntries.toShort)
-          def entryShort1(tag: Int, v: Int): Unit = {
-            buf.putShort(tag.toShort); buf.putShort(3); buf.putInt(1)
-            buf.putShort(v.toShort); buf.putShort(0)
-          }
-          def entryLong1(tag: Int, v: Int): Unit = {
-            buf.putShort(tag.toShort); buf.putShort(4); buf.putInt(1)
-            buf.putInt(v)
-          }
-          def entryArr(tag: Int, tpe: Int, n: Int, off: Int): Unit = {
-            buf.putShort(tag.toShort); buf.putShort(tpe.toShort)
-            buf.putInt(n); buf.putInt(off)
-          }
+          val ifdw = new TiffIfdWriter(buf)
+          import ifdw._
           entryShort1(256, w)
           entryShort1(257, h)
           if (gray) entryShort1(258, 8) else entryArr(258, 3, 3, bitsOff)
@@ -2634,15 +2642,7 @@ object MultimodalOps {
             case 5 => tiffLzwEncode(rows.reduce(_ ++ _))
             case 32773 =>
               rows.map(r => packBitsEncode(r, 0, r.length)).reduce(_ ++ _)
-            case 8 =>
-              val seg = rows.reduce(_ ++ _)
-              val d = new java.util.zip.Deflater()
-              d.setInput(seg); d.finish()
-              val bos = new java.io.ByteArrayOutputStream()
-              val tmp = new Array[Byte](4096)
-              while (!d.finished()) bos.write(tmp, 0, d.deflate(tmp))
-              d.end()
-              bos.toByteArray
+            case 8 => deflateSegment(rows.reduce(_ ++ _))
             case _ => rows.reduce(_ ++ _)
           }
           val segments = (0 until nStrips).map { st =>
@@ -2670,18 +2670,8 @@ object MultimodalOps {
           buf.putShort(42)
           buf.putInt(ifdOff)
           buf.putShort(nEntries.toShort)
-          def entryShort1(tag: Int, v: Int): Unit = {
-            buf.putShort(tag.toShort); buf.putShort(3); buf.putInt(1)
-            buf.putShort(v.toShort); buf.putShort(0)
-          }
-          def entryLong1(tag: Int, v: Int): Unit = {
-            buf.putShort(tag.toShort); buf.putShort(4); buf.putInt(1)
-            buf.putInt(v)
-          }
-          def entryArr(tag: Int, tpe: Int, n: Int, off: Int): Unit = {
-            buf.putShort(tag.toShort); buf.putShort(tpe.toShort)
-            buf.putInt(n); buf.putInt(off)
-          }
+          val ifdw = new TiffIfdWriter(buf)
+          import ifdw._
           entryShort1(256, w)
           entryShort1(257, h)
           entryShort1(258, 8)
@@ -2817,15 +2807,7 @@ object MultimodalOps {
             case 5 => tiffLzwEncode(rows.reduce(_ ++ _))
             case 32773 =>
               rows.map(r => packBitsEncode(r, 0, r.length)).reduce(_ ++ _)
-            case 8 =>
-              val seg = rows.reduce(_ ++ _)
-              val d = new java.util.zip.Deflater()
-              d.setInput(seg); d.finish()
-              val bos = new java.io.ByteArrayOutputStream()
-              val tmp = new Array[Byte](4096)
-              while (!d.finished()) bos.write(tmp, 0, d.deflate(tmp))
-              d.end()
-              bos.toByteArray
+            case 8 => deflateSegment(rows.reduce(_ ++ _))
             case _ => rows.reduce(_ ++ _)
           }
           val rps = 2
@@ -2875,18 +2857,8 @@ object MultimodalOps {
           buf.putShort(42)
           buf.putInt(ifdOff)
           buf.putShort(nEntries.toShort)
-          def entryShort1(tag: Int, v: Int): Unit = {
-            buf.putShort(tag.toShort); buf.putShort(3); buf.putInt(1)
-            buf.putShort(v.toShort); buf.putShort(0)
-          }
-          def entryLong1(tag: Int, v: Int): Unit = {
-            buf.putShort(tag.toShort); buf.putShort(4); buf.putInt(1)
-            buf.putInt(v)
-          }
-          def entryArr(tag: Int, tpe: Int, n: Int, off: Int): Unit = {
-            buf.putShort(tag.toShort); buf.putShort(tpe.toShort)
-            buf.putInt(n); buf.putInt(off)
-          }
+          val ifdw = new TiffIfdWriter(buf)
+          import ifdw._
           entryShort1(256, w)
           entryShort1(257, h)
           if (gray) entryShort1(258, 8 * bps)

@@ -281,19 +281,17 @@ case class DvBitmapAgg(
   * per-plan re-read of an unchanged trickle-upsert table's vectors into a
   * hit. Bounded by entry count AND total bytes (compressed bitmaps are
   * small, but thousands of wide ones must not pin the driver heap). */
-private[sources] object DvSidecarCache {
+private[graft] object DvSidecarCache {
   private val MaxEntries = 4096
   private val MaxBytes = 64L << 20
   private var totalBytes = 0L
-  private val map = new java.util.LinkedHashMap[String, Array[Byte]](
-    64, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[String, Array[Byte]]): Boolean = {
-      val evict = size() > MaxEntries || totalBytes > MaxBytes
-      if (evict) totalBytes -= e.getValue.length
-      evict
-    }
-  }
+  // access-ordered; eviction is an explicit LOOP after each insert —
+  // LinkedHashMap.removeEldestEntry evicts at most ONE entry per put,
+  // which lets a single wide sidecar pin the byte cap arbitrarily high
+  private val map =
+    new java.util.LinkedHashMap[String, Array[Byte]](64, 0.75f, true)
+
+  private[graft] def currentBytes: Long = map.synchronized(totalBytes)
 
   def get(fs: FileSystem, dataDir: HPath, rel: String): Array[Byte] = {
     val key = s"$dataDir/$rel"
@@ -303,6 +301,12 @@ private[sources] object DvSidecarCache {
         val b = DiskDv.readBytes(fs, dataDir, rel)
         map.synchronized {
           if (!map.containsKey(key)) { totalBytes += b.length; map.put(key, b) }
+          val it = map.entrySet().iterator()
+          while ((map.size() > MaxEntries || totalBytes > MaxBytes) &&
+            it.hasNext) {
+            totalBytes -= it.next().getValue.length
+            it.remove()
+          }
         }
         b
     }

@@ -4042,8 +4042,15 @@ class GraftDiskTable(
           val rowsByFile: Map[String, Long] = straddle.flatMap(f =>
             base.stats.get(f).flatMap(_.values.headOption).map(f -> _.rows))
             .toMap
-          val rowBound = if (rowsByFile.isEmpty) 1L << 34
-            else rowsByFile.values.max
+          // the aggregate's bound must cover EVERY straddler: a file
+          // with no recorded stats (older manifests carry partial
+          // fileStats) must not inherit a smaller file's row count and
+          // fail a legitimate DELETE — per-file exactness is enforced
+          // after the union, where the file is known
+          val rowBound =
+            if (rowsByFile.size == straddle.size && rowsByFile.nonEmpty)
+              rowsByFile.values.max
+            else 1L << 34
           // aggregate matched row indexes per file DIRECTLY into a packed
           // bitmap (O(rows/8) buffer, map-side partial agg) — a boxed
           // index list per file OOMs an executor exactly when DV mode

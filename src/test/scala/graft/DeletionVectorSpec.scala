@@ -637,6 +637,51 @@ class DeletionVectorSpec extends AnyFunSuite {
       .head().getFloat(0) == (1501 % 7).toFloat)
   }
 
+  test("a straddling DELETE over a file with NO recorded stats still succeeds") {
+    // older manifests carry partial fileStats; the harvest's row-index
+    // bound must not inherit a smaller file's row count for a stats-less
+    // file (that failed a legitimate DELETE with a 'corrupt row index'
+    // error until round 10's fix)
+    spark.sql("""CREATE TABLE gdv.lake.nostats (id BIGINT, v STRING)
+      TBLPROPERTIES ('delete.mode'='dv')""")
+    spark.sql("""INSERT INTO gdv.lake.nostats
+      SELECT id, concat('v', id) FROM range(0, 200, 1, 1)""")
+    spark.sql("""INSERT INTO gdv.lake.nostats
+      SELECT id, concat('v', id) FROM range(200, 4200, 1, 1)""")
+    val t = diskTable("nostats")
+    val m = t.log.latest()
+    // strip the BIG file's stats (the 4000-row one), keep the small's
+    val big = m.files.maxBy(f => m.stats.get(f)
+      .flatMap(_.values.headOption).map(_.rows).getOrElse(0L))
+    t.log.write(m.copy(
+      version = m.version + 1, added = Nil,
+      fileStats = Some(m.stats - big)), "WRITE")
+    // straddles BOTH files; big-file row indexes exceed the small
+    // file's 200-row count
+    spark.sql("DELETE FROM gdv.lake.nostats WHERE id % 2 = 1")
+    assert(spark.table("gdv.lake.nostats").count() == 2100L)
+    assert(spark.sql("SELECT count(*) FROM gdv.lake.nostats WHERE id % 2 = 1")
+      .head().getLong(0) == 0L)
+  }
+
+  test("DvSidecarCache trims by entry count (loop eviction, not one-per-put)") {
+    val dir = java.nio.file.Files.createTempDirectory("dv_cache_t")
+    val dd = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs = dd.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    var written = 0L
+    val rels = (0 until 4600).map { i =>
+      val bits = new graft.sources.DvBitmap()
+      bits.set(i.toLong)
+      val rel = graft.sources.DiskDv.write(fs, dd, bits)
+      written += fs.getFileStatus(graft.sources.DiskDv.sidecar(dd, rel)).getLen
+      rel
+    }
+    rels.foreach(r => graft.sources.DvSidecarCache.get(fs, dd, r))
+    val cached = graft.sources.DvSidecarCache.currentBytes
+    assert(cached < written,
+      s"cache never evicted: holds $cached of $written written bytes")
+  }
+
   test("DvBitmap bounds: negative and past-recorded-rows indexes error cleanly") {
     val b = new graft.sources.DvBitmap()
     intercept[IllegalArgumentException](b.set(-1L))

@@ -1124,6 +1124,25 @@ class OpsSpec extends AnyFunSuite {
       }
     }
     assert(imageioChecked > 0, "JDK BMP plugin verified none of the fixtures")
+    // adversarial headers QUARANTINE, never crash: a negative data
+    // offset on the RLE8 path, a near-MaxInt biSize that would wrap the
+    // palette offset negative, and a total-pixel bomb (w*h overflow /
+    // multi-GiB RLE output from a 40-byte payload)
+    val rle = MultimodalOps.asBmpVariantPayload(
+      spark, docs.filter(col("doc_id") % 3 === 1).limit(1), "doc_id")
+      .collect().head.getAs[Array[Byte]](1)
+    def patched(at: Int, v: Array[Byte]): Array[Byte] = {
+      val c = rle.clone(); System.arraycopy(v, 0, c, at, v.length); c
+    }
+    assert(MultimodalOps.bmpPixels(
+      patched(10, Array(0xff, 0xff, 0xff, 0xff).map(_.toByte))).isEmpty,
+      "negative bfOffBits must quarantine")
+    assert(MultimodalOps.bmpPixels(
+      patched(14, Array(0xf6, 0xff, 0xff, 0x7f).map(_.toByte))).isEmpty,
+      "palette-offset Int wrap must quarantine")
+    assert(MultimodalOps.bmpPixels(patched(18,
+      Array[Byte](0, 0x10, 0, 0, /* w=4096 */ 0x01, 0x10, 0, 0))).isEmpty,
+      "total-pixel bomb must quarantine")
     // reverse: ImageIO's OWN BI_RLE8 writer round-trips through our decoder
     import java.awt.image.BufferedImage
     val writers = javax.imageio.ImageIO.getImageWritersByFormatName("bmp")
