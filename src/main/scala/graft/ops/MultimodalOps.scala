@@ -822,6 +822,182 @@ object MultimodalOps {
       }.toDF("doc_id", "payload")
   }
 
+  /** Decoded pixel statistics of one TGA (Truevision — the game/graphics
+    * corpus format): channel sums + top-left pixel. */
+  final case class TgaPixels(
+      doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      first_r: Int, first_g: Int, first_b: Int)
+
+  /** REAL TGA decode: the 18-byte header (image id skipped), truecolor
+    * (type 2: 24-bit BGR / 32-bit BGRA) and grayscale (type 3: 8-bit),
+    * plus their RLE forms (types 10/11 — high-bit run packets and raw
+    * packets, pixels allowed to wrap row boundaries per spec), bottom-up
+    * or top-down per descriptor bit 5. Palette types and odd depths
+    * quarantine. */
+  def tgaPixels(b: Array[Byte]): Option[TgaPixels] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (b.length < 18) return None
+    val idLen = u8(0)
+    if (u8(1) != 0) return None // color-mapped: out of scope
+    val itype = u8(2)
+    val rle = itype == 10 || itype == 11
+    val gray = itype == 3 || itype == 11
+    if (itype != 2 && itype != 3 && itype != 10 && itype != 11) return None
+    val w = le16(12)
+    val h = le16(14)
+    val bpp = u8(16)
+    val topDown = (u8(17) & 0x20) != 0
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+    val bytesPerPx =
+      if (gray) { if (bpp != 8) return None; 1 }
+      else bpp match { case 24 => 3; case 32 => 4; case _ => return None }
+    var pos = 18 + idLen
+    val n = w * h
+    // decode into stored order (row 0 first as stored)
+    val px = new Array[Byte](n * bytesPerPx)
+    if (!rle) {
+      if (pos.toLong + n.toLong * bytesPerPx > b.length) return None
+      System.arraycopy(b, pos, px, 0, n * bytesPerPx)
+    } else {
+      var o = 0
+      while (o < n * bytesPerPx) {
+        if (pos >= b.length) return None
+        val hdr = u8(pos); pos += 1
+        val cnt = (hdr & 0x7f) + 1
+        if (o + cnt * bytesPerPx > n * bytesPerPx) return None
+        if ((hdr & 0x80) != 0) { // run packet: one pixel repeated
+          if (pos + bytesPerPx > b.length) return None
+          var k = 0
+          while (k < cnt) {
+            System.arraycopy(b, pos, px, o, bytesPerPx)
+            o += bytesPerPx; k += 1
+          }
+          pos += bytesPerPx
+        } else { // raw packet
+          if (pos + cnt * bytesPerPx > b.length) return None
+          System.arraycopy(b, pos, px, o, cnt * bytesPerPx)
+          o += cnt * bytesPerPx
+          pos += cnt * bytesPerPx
+        }
+      }
+    }
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var fr = 0; var fg = 0; var fb = 0
+    var y = 0
+    while (y < h) { // image rows, top-based
+      val stored = if (topDown) y else h - 1 - y
+      var x = 0
+      while (x < w) {
+        val i = (stored * w + x) * bytesPerPx
+        val (r, g, bb) =
+          if (gray) { val v = px(i) & 0xff; (v, v, v) }
+          else (px(i + 2) & 0xff, px(i + 1) & 0xff, px(i) & 0xff) // BGR(A)
+        if (x == 0 && y == 0) { fr = r; fg = g; fb = bb }
+        sr += r; sg += g; sb += bb
+        x += 1
+      }
+      y += 1
+    }
+    Some(TgaPixels(-1L, w, h, sr, sg, sb, fr, fg, fb))
+  }
+
+  /** Partition-parallel TGA decode ([[extractBmpPixels]] shape). */
+  def extractTgaPixels(spark: SparkSession, media: DataFrame): Dataset[TgaPixels] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          tgaPixels(bytes).map(_.copy(doc_id = id))
+        }
+      }
+  }
+
+  /** Fixture adapter for TGA over the shared pixel formulas: lanes cycle
+    * truecolor-24 / gray-8 / RLE-truecolor / RLE-gray (the RLE encoder
+    * emits genuine run + raw packets, wrapping rows as the format
+    * allows), origin alternates bottom-up/top-down, and an image-id
+    * blob salts the header offset. */
+  def asTgaPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val lane = (docId % 4).toInt
+          val gray = lane == 1 || lane == 3
+          val rle = lane >= 2
+          val w = 4 + (docId % 5).toInt
+          val h = 3 + (docId % 4).toInt
+          val topDown = docId % 2 == 1
+          val idLen = (docId % 7).toInt
+          val bytesPerPx = if (gray) 1 else 3
+          def px(x: Int, y: Int, c: Int): Int = (c match {
+            case 0 => (docId + 7L * x + 13L * y) % 256
+            case 1 => (docId * 3 + 5L * x + 11L * y) % 256
+            case _ => (docId * 5 + 3L * x + 17L * y) % 256
+          }).toInt
+          // stored-order pixel stream (bottom-up unless topDown)
+          val stream = new Array[Byte](w * h * bytesPerPx)
+          for (sy <- 0 until h; x <- 0 until w) {
+            val y = if (topDown) sy else h - 1 - sy
+            val o = (sy * w + x) * bytesPerPx
+            if (gray) stream(o) = px(x, y, 0).toByte
+            else {
+              stream(o) = px(x, y, 2).toByte // B
+              stream(o + 1) = px(x, y, 1).toByte
+              stream(o + 2) = px(x, y, 0).toByte // R
+            }
+          }
+          val body: Array[Byte] =
+            if (!rle) stream
+            else {
+              // real RLE: runs of identical PIXELS (may cross rows),
+              // raw packets otherwise, both capped at 128
+              val out = new java.io.ByteArrayOutputStream()
+              val n = w * h
+              def same(a: Int, b2: Int): Boolean =
+                (0 until bytesPerPx).forall(k =>
+                  stream(a * bytesPerPx + k) == stream(b2 * bytesPerPx + k))
+              var i = 0
+              while (i < n) {
+                var j = i
+                while (j + 1 < n && same(j + 1, i) && j - i < 127) j += 1
+                val run = j - i + 1
+                if (run >= 2) {
+                  out.write(0x80 | (run - 1))
+                  out.write(stream, i * bytesPerPx, bytesPerPx)
+                  i = j + 1
+                } else {
+                  var k = i
+                  while (k < n && k - i < 127 &&
+                    !(k + 1 < n && same(k + 1, k))) k += 1
+                  val cnt = k - i
+                  out.write(cnt - 1)
+                  out.write(stream, i * bytesPerPx, cnt * bytesPerPx)
+                  i = k
+                }
+              }
+              out.toByteArray
+            }
+          val buf = java.nio.ByteBuffer.allocate(18 + idLen + body.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put(idLen.toByte)
+          buf.put(0.toByte) // no color map
+          buf.put((if (gray) { if (rle) 11 else 3 }
+                   else { if (rle) 10 else 2 }).toByte)
+          buf.put(new Array[Byte](5)) // color-map spec
+          buf.putShort(0); buf.putShort(0) // origin
+          buf.putShort(w.toShort); buf.putShort(h.toShort)
+          buf.put((if (gray) 8 else 24).toByte)
+          buf.put((if (topDown) 0x20 else 0x00).toByte)
+          (0 until idLen).foreach(k => buf.put(((docId + k) % 256).toByte))
+          buf.put(body)
+          (docId, buf.array())
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** One ICO container's triage + decoded stats of its LARGEST member —
     * the favicon class of web-crawl corpora. Members are PNG (delegated
     * to the PNG decoder) or headerless DIBs (delegated to the BMP

@@ -1264,6 +1264,42 @@ class OpsSpec extends AnyFunSuite {
     assert(MultimodalOps.icoPixels(ico.array().take(12)).isEmpty)
   }
 
+  test("tga decode: truecolor/gray × RLE × origin, id-field skip, negatives") {
+    import graft.ops.MultimodalOps
+    MultimodalOps.asTgaPayload(spark, docs.limit(40), "doc_id")
+      .collect().foreach { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val lane = (id % 4).toInt
+        val gray = lane == 1 || lane == 3
+        val w = 4 + (id % 5).toInt
+        val h = 3 + (id % 4).toInt
+        val px = MultimodalOps.tgaPixels(bytes)
+          .getOrElse(fail(s"tga doc $id (lane $lane) quarantined"))
+        assert((px.width, px.height) == (w, h), s"doc $id dims")
+        assert(px.first_r == (id % 256).toInt, s"doc $id first_r")
+        assert(px.first_g ==
+          (if (gray) (id % 256) else (id * 3 % 256)).toInt, s"doc $id first_g")
+        var sr = 0L; var sg = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          sr += (id + 7L * x + 13L * y) % 256
+          sg += (if (gray) (id + 7L * x + 13L * y) else (id * 3 + 5L * x + 11L * y)) % 256
+        }
+        assert(px.sum_r == sr, s"doc $id lane=$lane sum_r")
+        assert(px.sum_g == sg, s"doc $id lane=$lane sum_g")
+      }
+    // negatives: palette type, odd depth, truncated RLE stream
+    val ok = MultimodalOps.asTgaPayload(spark, docs.limit(4), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .find(_._1 % 4 >= 2).get._2 // an RLE doc
+    assert(MultimodalOps.tgaPixels(ok.dropRight(3)).isEmpty,
+      "truncated RLE must quarantine")
+    val paletted = ok.clone(); paletted(1) = 1; paletted(2) = 1
+    assert(MultimodalOps.tgaPixels(paletted).isEmpty)
+    val odd = ok.clone(); odd(16) = 15
+    assert(MultimodalOps.tgaPixels(odd).isEmpty)
+  }
+
   test("gif pixel decode: from-scratch LZW vs the JDK's independent encoder") {
     // ImageIO's GIF writer is an unrelated LZW implementation: feed it an
     // INDEXED image with an explicit palette (no quantization/dither) and
