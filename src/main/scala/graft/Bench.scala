@@ -287,12 +287,16 @@ object Bench {
       // upward (round 8 did exactly that with an unconditional overwrite)
       val sameSf = parseSf(baselineJson).contains(sfDir)
       val oldBatch = parseMedians(baselineJson)
+      // UNION with the prior tracked set, never replace: the heavy-8
+      // membership shifts run to run, and an entry leaving it must keep
+      // its tracked median (dropping it silently un-gates the entry —
+      // the exact failure pinnedStable exists to prevent). Only entries
+      // gone from the REGISTRY drop (renamed/removed queries must not
+      // gate forever).
       val ratchetedBatch =
         if (!sameSf) medians
-        // quiet-host lane times a SUBSET — baseline entries it didn't
-        // re-measure must survive, not vanish
-        else if (niceMode) oldBatch ++ ratchet(oldBatch, medians)
-        else ratchet(oldBatch, medians)
+        else oldBatch.filter { case (n, _) => SparkEntry.queries.contains(n) } ++
+          ratchet(oldBatch, medians)
       // the stream baseline survives lanes that skip the stream bench
       val oldStream = parseMedians(baselineJson, "stream_medians")
       val ratchetedStream =

@@ -1592,7 +1592,7 @@ final class GraftSession(
     * reference's nulls-first ordering for DESC sorts. */
   private def rewriteQuery(q: String): String = {
     var out = q
-    val TvfStart = """(?i)read_(csv|json|parquet|orc)\s*\(""".r
+    val TvfStart = """(?i)read_(csv|json|parquet|orc|avro)\s*\(""".r
     var m = TvfStart.findFirstMatchIn(out)
     while (m.isDefined) {
       val mm = m.get
@@ -2114,6 +2114,9 @@ final class GraftSession(
       case "json" => spark.read.json(path)
       case "parquet" => spark.read.parquet(path)
       case "orc" => spark.read.orc(path)
+      // Spark 4 bundles the avro runtime but not spark-avro — the thin
+      // executor-parallel container reader fills the interchange gap
+      case "avro" => graft.sources.AvroOps.readAvro(spark, path)
     }
     tvfCounter += 1
     val view = s"tvf_${kind}_${Integer.toHexString((path + opts).hashCode).replace('-', 'n')}_$tvfCounter"

@@ -53,6 +53,8 @@ object MultimodalOps {
         ((b(0) == 'I' && b(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
          (b(0) == 'M' && b(1) == 'M' && u8(2) == 0 && u8(3) == 42)))
       tiffDims(b)
+    else if (WebpCodec.isWebp(b))
+      WebpCodec.triage(b).map(m => ("webp", m.width, m.height))
     else None
   }
 
@@ -208,6 +210,9 @@ object MultimodalOps {
       case Some(("gif", _, _)) => ("gif", ok(gifPixels(bytes)))
       case Some(("jpeg", _, _)) => ("jpeg", ok(jpegDecode(bytes)))
       case Some(("tiff", _, _)) => ("tiff", ok(tiffPixels(bytes)))
+      // lossless (VP8L) decodes for real; lossy VP8 and animations
+      // triage with true dimensions but quarantine observably
+      case Some(("webp", _, _)) => ("webp", ok(WebpCodec.pixels(bytes)))
       case Some((other, _, _)) => (other, false)
       case None =>
         // audio/video containers: classify by magic, attempt the real
@@ -215,7 +220,9 @@ object MultimodalOps {
         // non-16-bit WAV — lands as a format-tagged quarantine)
         if (cc(0, "RIFF") && cc(8, "WAVE")) ("wav", ok(wavPcm(bytes)))
         else if (cc(4, "ftyp")) ("mp4", ok(mp4Meta(bytes)))
-        else if (cc(0, "fLaC")) ("flac", ok(flacMeta(bytes)))
+        // decoded = FULL frame decode (CRC-verified); a STREAMINFO that
+        // triages but whose frames don't decode is a quarantine now
+        else if (cc(0, "fLaC")) ("flac", ok(FlacCodec.samples(bytes)))
         else if (bytes.length >= 3 && bytes(0) == 'I' && bytes(1) == 'D' &&
           bytes(2) == '3') ("mp3", ok(mp3Meta(bytes)))
         else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
@@ -605,26 +612,35 @@ object MultimodalOps {
     var width = -1
     var height = -1
     var mdatLen = -1L
-    // walk a box list in [from, until); moov and trak recurse one level
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    // walk a box list in [from, until); moov and trak recurse one level.
+    // size==1 carries a 64-bit largesize (common for mdat in large real
+    // files: header is 16 bytes); size==0 means "extends to end of the
+    // enclosing list" and is only legal for the last box.
     def walk(from: Long, until: Long, depth: Int): Boolean = {
       var i = from
       while (i + 8 <= until) {
         val at = i.toInt
-        val size = be32(at)
+        val raw = be32(at)
         val id = cc(at + 4)
-        if (size < 8 || i + size > until) return false
+        val hdr = if (raw == 1) 16L else 8L
+        val size =
+          if (raw == 1) { if (i + 16 > until) return false; be64(at + 8) }
+          else if (raw == 0) until - i
+          else raw
+        if (size < hdr || i + size > until) return false
         id match {
-          case "ftyp" if size >= 12 => brand = Some(cc(at + 8))
+          case "ftyp" if hdr == 8 && size >= 12 => brand = Some(cc(at + 8))
           case "moov" | "trak" if depth < 2 =>
-            if (!walk(i + 8, i + size, depth + 1)) return false
-          case "mvhd" if size >= 8 + 20 =>
+            if (!walk(i + hdr, i + size, depth + 1)) return false
+          case "mvhd" if hdr == 8 && size >= 8 + 20 =>
             timescale = be32(at + 8 + 12).toInt
             duration = be32(at + 8 + 16)
-          case "tkhd" if size >= 8 + 84 =>
+          case "tkhd" if hdr == 8 && size >= 8 + 84 =>
             // 16.16 fixed point; integral part only
             width = be32(at + 8 + 76).toInt >>> 16
             height = be32(at + 8 + 80).toInt >>> 16
-          case "mdat" => mdatLen = size - 8
+          case "mdat" => mdatLen = size - hdr
           case _ => () // free, udta, skip… — opaque, step over
         }
         i += size
@@ -833,8 +849,9 @@ object MultimodalOps {
     * (type 2: 24-bit BGR / 32-bit BGRA) and grayscale (type 3: 8-bit),
     * plus their RLE forms (types 10/11 — high-bit run packets and raw
     * packets, pixels allowed to wrap row boundaries per spec), bottom-up
-    * or top-down per descriptor bit 5. Palette types and odd depths
-    * quarantine. */
+    * or top-down per descriptor bit 5 and left-to-right or right-to-left
+    * per descriptor bit 4 (both legal per the Truevision spec). Palette
+    * types and odd depths quarantine. */
   def tgaPixels(b: Array[Byte]): Option[TgaPixels] = {
     def u8(i: Int) = b(i) & 0xff
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
@@ -849,6 +866,7 @@ object MultimodalOps {
     val h = le16(14)
     val bpp = u8(16)
     val topDown = (u8(17) & 0x20) != 0
+    val rightToLeft = (u8(17) & 0x10) != 0
     if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
     val bytesPerPx =
       if (gray) { if (bpp != 8) return None; 1 }
@@ -890,7 +908,8 @@ object MultimodalOps {
       val stored = if (topDown) y else h - 1 - y
       var x = 0
       while (x < w) {
-        val i = (stored * w + x) * bytesPerPx
+        val storedX = if (rightToLeft) w - 1 - x else x
+        val i = (stored * w + storedX) * bytesPerPx
         val (r, g, bb) =
           if (gray) { val v = px(i) & 0xff; (v, v, v) }
           else (px(i + 2) & 0xff, px(i + 1) & 0xff, px(i) & 0xff) // BGR(A)
@@ -1339,17 +1358,26 @@ object MultimodalOps {
         case _ => ()
       }
     }
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    // size==1 → 64-bit largesize (16-byte header; real-world mdat); such
+    // boxes are stepped over so triage still reaches moov/stsd. size==0 →
+    // box extends to the end of the enclosing list.
     def walk(from: Long, until: Long, depth: Int): Boolean = {
       var i = from
       while (i + 8 <= until) {
         val at = i.toInt
-        val size = be32(at)
+        val raw = be32(at)
         val id = cc(at + 4)
-        if (size < 8 || i + size > until) return false
+        val hdr = if (raw == 1) 16L else 8L
+        val size =
+          if (raw == 1) { if (i + 16 > until) return false; be64(at + 8) }
+          else if (raw == 0) until - i
+          else raw
+        if (size < hdr || i + size > until) return false
         id match {
           case "moov" | "trak" | "mdia" | "minf" | "stbl" if depth < 6 =>
-            if (!walk(i + 8, i + size, depth + 1)) return false
-          case "stsd" if size >= 16 =>
+            if (!walk(i + hdr, i + size, depth + 1)) return false
+          case "stsd" if hdr == 8 && size >= 16 =>
             // FullBox: version/flags + entry_count, then sample entries
             val n = be32(at + 12)
             if (n >= 1 && size >= 24) {
@@ -5724,13 +5752,20 @@ object MultimodalOps {
     def be32(i: Int): Long =
       ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
     def cc(i: Int) = new String(b, i, 4, "US-ASCII")
-    // first direct child box `tp` of [from, until)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    // first direct child box `tp` of [from, until); size==1 largesize
+    // boxes (16-byte header) are stepped over, size==0 runs to `until`
     def child(from: Long, until: Long, tp: String): Option[(Long, Long)] = {
       var i = from
       while (i + 8 <= until) {
-        val size = be32(i.toInt)
-        if (size < 8 || i + size > until) return None
-        if (cc(i.toInt + 4) == tp) return Some((i + 8, i + size))
+        val raw = be32(i.toInt)
+        val hdr = if (raw == 1) 16L else 8L
+        val size =
+          if (raw == 1) { if (i + 16 > until) return None; be64(i.toInt + 8) }
+          else if (raw == 0) until - i
+          else raw
+        if (size < hdr || i + size > until) return None
+        if (cc(i.toInt + 4) == tp) return Some((i + hdr, i + size))
         i += size
       }
       None

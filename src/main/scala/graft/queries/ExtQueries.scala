@@ -3266,6 +3266,91 @@ object ExtMultimodal extends QueryModule {
             / 1000.0, 6) AS first_luma
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // WebP triage — the #3 web-crawl image format: RIFF chunk walk to
+    // the codec variant (VP8L lossless / VP8 lossy / animation), dims
+    // from the VP8L 14-bit header, the VP8 keyframe start code, or the
+    // VP8X canvas, plus alpha/animation flags. The fixture cycles all
+    // four container layouts; every field recomputes from the row id.
+    QueryDef(
+      "ext_multimodal_webp",
+      (s, dir) => {
+        import s.implicits._
+        val media = WebpOps.asWebpTriagePayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        WebpOps.extractTriage(s, media).toDF()
+          .select($"doc_id", $"variant", $"width", $"height",
+            $"has_alpha", $"has_anim", $"extended")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+          CASE doc_id % 4 WHEN 2 THEN 'vp8' WHEN 3 THEN 'anim'
+            ELSE 'vp8l' END AS variant,
+          CAST(CASE WHEN doc_id % 4 = 2 THEN 100 + doc_id % 50
+            ELSE 4 + doc_id % 5 END AS INT) AS width,
+          CAST(CASE WHEN doc_id % 4 = 2 THEN 80 + doc_id % 30
+            ELSE 3 + doc_id % 4 END AS INT) AS height,
+          doc_id % 4 = 1 AS has_alpha,
+          doc_id % 4 = 3 AS has_anim,
+          doc_id % 4 IN (1, 3) AS extended
+        FROM documents ORDER BY doc_id""")),
+
+    // FULL VP8L (lossless WebP) pixel decode — canonical prefix codes,
+    // LZ77 backward references, color cache, and all four transforms
+    // (predictor / color / subtract-green / palette with 2-bit pixel
+    // bundling), one feature lane per doc_id % 5. The fixture encoder
+    // is an independently-written VP8L bitstream producer (no JDK WebP
+    // codec exists), and the oracle recomputes every channel statistic
+    // from the shared formulas without any codec — a Huffman, LZ77,
+    // cache, or transform-inverse bug breaks the hash. mean_a probes
+    // the alpha channel (lane 1 varies it), first_luma the top-left
+    // pixel where orientation/transform bugs show even if sums match.
+    QueryDef(
+      "ext_multimodal_webp_pixels",
+      (s, dir) => {
+        import s.implicits._
+        val media = WebpOps.asWebpPixelPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        val npx = ($"width" * $"height").cast("double")
+        WebpOps.extractPixels(s, media).toDF()
+          .select($"doc_id", $"width", $"height",
+            round($"sum_r" / npx, 6).as("mean_r"),
+            round($"sum_g" / npx, 6).as("mean_g"),
+            round($"sum_b" / npx, 6).as("mean_b"),
+            round($"sum_a" / npx, 6).as("mean_a"),
+            round(($"first_r" * 299 + $"first_g" * 587 + $"first_b" * 114) /
+              1000.0, 6).as("first_luma"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id, doc_id % 5 AS lane,
+            CAST(4 + doc_id % 5 AS INT) AS w, CAST(3 + doc_id % 4 AS INT) AS h, x, y,
+            CASE WHEN doc_id % 5 = 4
+              THEN (doc_id + 31*((x + 2*y + doc_id) % 4)) % 256
+              ELSE (doc_id + 7*x + 13*y) % 256 END AS r,
+            CASE WHEN doc_id % 5 = 4
+              THEN (doc_id*3 + 17*((x + 2*y + doc_id) % 4)) % 256
+              ELSE (doc_id*3 + 5*x + 11*y) % 256 END AS g,
+            CASE WHEN doc_id % 5 = 4
+              THEN (doc_id*5 + 11*((x + 2*y + doc_id) % 4)) % 256
+              ELSE (doc_id*5 + 3*x + 17*y) % 256 END AS b,
+            CASE WHEN doc_id % 5 = 1
+              THEN (doc_id*7 + 9*x + 2*y) % 256 ELSE 255 END AS a
+          FROM documents, unnest(range(0, 8)) AS tx(x), unnest(range(0, 6)) AS ty(y)
+          WHERE x < 4 + doc_id % 5 AND y < 3 + doc_id % 4)
+        SELECT doc_id, w AS width, h AS height,
+          round(sum(r) / CAST(w*h AS DOUBLE), 6) AS mean_r,
+          round(sum(g) / CAST(w*h AS DOUBLE), 6) AS mean_g,
+          round(sum(b) / CAST(w*h AS DOUBLE), 6) AS mean_b,
+          round(sum(a) / CAST(w*h AS DOUBLE), 6) AS mean_a,
+          round((299*(CASE WHEN doc_id % 5 = 4
+                  THEN (doc_id + 31*(doc_id % 4)) ELSE doc_id END % 256) +
+                587*(CASE WHEN doc_id % 5 = 4
+                  THEN (doc_id*3 + 17*(doc_id % 4)) ELSE doc_id*3 END % 256) +
+                114*(CASE WHEN doc_id % 5 = 4
+                  THEN (doc_id*5 + 11*(doc_id % 4)) ELSE doc_id*5 END % 256))
+            / 1000.0, 6) AS first_luma
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
     // ICO (FAVICON) decode — the web-crawl class: parse the icon
     // directory, select the LARGEST member (by directory dims, not
     // order — the fixture puts it last), unwrap the headerless DIB's
@@ -3792,7 +3877,12 @@ object ExtMultimodal extends QueryModule {
             s, lane(5).filter($"doc_id" % 2 === 0), "doc_id")
           .unionAll(MultimodalOps.asG711WavPayload(
             s, lane(5).filter($"doc_id" % 2 === 1), "doc_id"))
-        val wavA = MultimodalOps.asAdpcmWavPayload(s, lane(6), "doc_id")
+        // round-11 burn-down: half the adpcm lane ships full FLAC
+        // streams — frame decode shifts the class triage-only→decoded
+        val wavA = MultimodalOps.asAdpcmWavPayload(
+            s, lane(6).filter($"doc_id" % 18 === 6), "doc_id")
+          .unionAll(FlacCodec.asFlacPayload(
+            s, lane(6).filter($"doc_id" % 18 === 15), "doc_id"))
         // round-10 burn-down: half the tiff lane ships COMPRESSED
         // (LZW/PackBits/Deflate, some under the predictor) — formerly
         // quarantined classes that now decode, shifting the ledger's
@@ -3802,11 +3892,23 @@ object ExtMultimodal extends QueryModule {
             s, lane(7).filter($"doc_id" % 2 === 0), "doc_id")
           .unionAll(MultimodalOps.asTiffCompressedPayload(
             s, lane(7).filter($"doc_id" % 2 === 1), "doc_id"))
-        // opaque lane: '~' prefix so no text can spoof a container magic
+        // opaque lane: '~' prefix so no text can spoof a container magic;
+        // round-11 burn-down: half of it now ships WebP — VP8L lossless
+        // (decodes for real) or a lossy VP8 header (classifies but
+        // quarantines: DCT decode is documented out of scope)
         val raw = MultimodalOps.asBinaryPayload(
-          lane(8).select($"doc_id", concat(lit("~"), $"text").as("text")),
+          lane(8).filter($"doc_id" % 18 === 8)
+            .select($"doc_id", concat(lit("~"), $"text").as("text")),
           "doc_id", "text")
-        val mixed = Seq(bmp, png, gif, jpg, png16, wavF, wavA, tif, raw)
+        val webpL = WebpOps.asWebpPixelPayload(
+          s, lane(8).filter($"doc_id" % 36 === 17), "doc_id")
+        val webpV = lane(8).filter($"doc_id" % 36 === 35)
+          .select($"doc_id".cast("long")).as[Long]
+          .map(id => (id, graft.ops.Vp8lEncoder.lossyStubFile(
+            100 + (id % 50).toInt, 80 + (id % 30).toInt)))
+          .toDF("doc_id", "payload")
+        val mixed =
+          Seq(bmp, png, gif, jpg, png16, wavF, wavA, tif, raw, webpL, webpV)
           .map(_.select($"doc_id", $"payload"))
           .reduce(_.unionAll(_))
           // truncation lane: headers survive (format still classifies),
@@ -3825,9 +3927,14 @@ object ExtMultimodal extends QueryModule {
           CASE CAST(doc_id % 9 AS INT)
             WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
             WHEN 3 THEN 'jpeg' WHEN 4 THEN 'png'
-            WHEN 5 THEN 'wav' WHEN 6 THEN 'wav'
-            WHEN 7 THEN 'tiff' ELSE 'raw' END AS format,
-          (doc_id % 9 < 8 AND doc_id % 18 NOT IN (0, 1)) AS decoded,
+            WHEN 5 THEN 'wav'
+            WHEN 6 THEN CASE WHEN doc_id % 18 = 15 THEN 'flac'
+              ELSE 'wav' END
+            WHEN 7 THEN 'tiff'
+            ELSE CASE WHEN doc_id % 18 = 17 THEN 'webp' ELSE 'raw' END
+          END AS format,
+          ((doc_id % 9 < 8 AND doc_id % 18 NOT IN (0, 1))
+            OR doc_id % 36 = 17) AS decoded,
           CAST(count(*) AS BIGINT) AS n
         FROM documents
         GROUP BY 1, 2 ORDER BY format, decoded""")),
@@ -4165,6 +4272,47 @@ object ExtMultimodal extends QueryModule {
           round(data_bytes * 8.0 / (kbps * 1000.0) * 1000.0, 6) AS duration_ms
         FROM mp3
         ORDER BY doc_id""")),
+
+    // FULL FLAC FRAME DECODE — the audio sibling of the lossless-image
+    // lanes (STREAMINFO-only triage lives in ext_multimodal_audio_triage):
+    // frame sync walk with CRC-8/CRC-16 VERIFICATION, subframe types
+    // CONSTANT/VERBATIM/FIXED(0-4)/LPC, rice residuals (4- and 5-bit
+    // parameter methods), and left/side + mid/side stereo decorrelation,
+    // one strategy lane per doc_id % 7 and stereo mode per doc_id % 3.
+    // Samples derive from the row id, so the oracle recomputes peak /
+    // sum_abs / first / last integer-exactly with no codec — a rice,
+    // predictor, or decorrelation bug breaks the hash. The fixture
+    // encoder is an independently-written bitstream producer
+    // (javax.sound has no FLAC codec to pin against).
+    QueryDef(
+      "ext_multimodal_audio_flac",
+      (s, dir) => {
+        import s.implicits._
+        val media = FlacCodec.asFlacPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        FlacCodec.extractSamples(s, media).toDF()
+          .select($"doc_id", $"channels", $"sample_rate", $"bits",
+            $"n_samples", $"peak", $"sum_abs", $"first_s0", $"last_s0")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH par AS (
+          SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS nch,
+                 CAST(96 + doc_id % 64 AS INT) AS n,
+                 CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate
+          FROM documents),
+        smp AS (
+          SELECT p.doc_id, p.nch, p.n, p.rate,
+                 ((p.doc_id*7919 + c.c*104729 + i.i*31) % 65536) - 32768 AS v
+          FROM par p, unnest(range(0, 2)) AS c(c),
+               unnest(range(0, 160)) AS i(i)
+          WHERE c.c < p.nch AND i.i < p.n)
+        SELECT doc_id, nch AS channels, rate AS sample_rate, 16 AS bits,
+          CAST(n AS BIGINT) AS n_samples,
+          CAST(max(abs(v)) AS INT) AS peak,
+          CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+          CAST(((doc_id*7919) % 65536) - 32768 AS INT) AS first_s0,
+          CAST(((doc_id*7919 + (n-1)*31) % 65536) - 32768 AS INT) AS last_s0
+        FROM smp GROUP BY doc_id, nch, rate, n ORDER BY doc_id""")),
 
     // MP4 CODEC TRIAGE — what a 100 TB video corpus scans BEFORE any
     // frame decode: the stsd sample entry's codec FourCC, and for avc1

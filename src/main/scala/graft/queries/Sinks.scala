@@ -88,6 +88,27 @@ object Sinks extends QueryModule {
         WHERE o_orderkey < 2000 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
         ORDER BY o_orderkey""")),
 
+    // ---- Avro round trip (the interchange format Kafka/schema-registry
+    // pipelines speak; Spark 4 has the avro runtime but no spark-avro
+    // module, so writer AND reader are graft's own container-level
+    // implementations — the oracle against the source table proves
+    // both lossless, including the timestamp-micros logical type) ----
+    QueryDef(
+      "snk_avro_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val src = t(s, dir, "orders").filter($"o_orderkey" < 2000)
+        val path = out(dir, "orders_avro")
+        graft.sources.AvroOps.writeAvro(src, path)
+        graft.sources.AvroOps.readAvro(s, path)
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+            $"o_totalprice", $"o_orderdate", $"o_orderpriority")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""")),
+
     // ---- CSV round trip (schema-preserving re-read) ----
     QueryDef(
       "snk_csv_roundtrip",

@@ -112,6 +112,23 @@ object SourcesCatalog extends QueryModule {
         WHERE n_regionkey = 2 ORDER BY n_nationkey""")),
 
     QueryDef(
+      "src_read_avro_tvf",
+      (s, dir) => {
+        // stage an Avro copy of nation through OUR writer, then read it
+        // back through the TVF front door — writer + reader + routing
+        // proven end to end against the parquet oracle
+        val avroPath = s"$fixturesDir/nation_avro"
+        graft.sources.AvroOps.writeAvro(
+          s.read.parquet(s"$dir/nation.parquet"), avroPath)
+        val g = new GraftSession(s)
+        g.sql(s"""SELECT n_nationkey, n_name
+          FROM read_avro('$avroPath')
+          WHERE n_regionkey = 2 ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name FROM nation
+        WHERE n_regionkey = 2 ORDER BY n_nationkey""")),
+
+    QueryDef(
       "src_read_csv_tvf",
       (s, dir) => {
         val g = new GraftSession(s)

@@ -93,11 +93,13 @@ object DiskDv {
 
   /** Executor-side sidecar load by absolute path (the scan partitions
     * ship paths, not bytes — sidecars are immutable, so the task-side
-    * read is race-free). */
-  def readAbsolute(path: String): DvBitmap = {
+    * read is race-free). `conf` is the SESSION Hadoop configuration
+    * shipped inside the partition: a fresh `new Configuration()` here
+    * would ignore credentials/filesystem keys the session set. */
+  def readAbsolute(path: String, conf: Configuration): DvBitmap = {
     loads.incrementAndGet()
     val p = new HPath(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     try deserialize(in.readAllBytes()) finally in.close()
   }

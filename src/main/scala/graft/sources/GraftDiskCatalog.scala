@@ -4042,15 +4042,26 @@ class GraftDiskTable(
           val rowsByFile: Map[String, Long] = straddle.flatMap(f =>
             base.stats.get(f).flatMap(_.values.headOption).map(f -> _.rows))
             .toMap
+          // size-derived fallback bound for files with no recorded stats
+          // (older manifests carry partial fileStats): rows ≤ bytes×8
+          // caps the bitmap a corrupt index can command at the file's
+          // OWN size (rows/8 bitmap bytes ≤ file bytes) instead of the
+          // former flat 2^34, which admitted a ~2 GiB allocation per
+          // aggregation buffer. ×8 leaves headroom for RLE-heavy files
+          // whose row count exceeds their byte count; the 64 KiB floor
+          // covers degenerate tiny files.
+          val sizeBound: Map[String, Long] = straddle.flatMap(f =>
+            base.sizes.get(f).map(sz =>
+              f -> math.max(sz * 8L, 1L << 16))).toMap
           // the aggregate's bound must cover EVERY straddler: a file
-          // with no recorded stats (older manifests carry partial
-          // fileStats) must not inherit a smaller file's row count and
-          // fail a legitimate DELETE — per-file exactness is enforced
-          // after the union, where the file is known
+          // with no recorded stats must not inherit a smaller file's
+          // row count and fail a legitimate DELETE — per-file exactness
+          // is enforced after the union, where the file is known
+          val boundsByFile: Map[String, Long] = straddle.map(f =>
+            f -> rowsByFile.getOrElse(f,
+              sizeBound.getOrElse(f, 1L << 34))).toMap
           val rowBound =
-            if (rowsByFile.size == straddle.size && rowsByFile.nonEmpty)
-              rowsByFile.values.max
-            else 1L << 34
+            if (boundsByFile.nonEmpty) boundsByFile.values.max else 1L << 34
           // aggregate matched row indexes per file DIRECTLY into a packed
           // bitmap (O(rows/8) buffer, map-side partial agg) — a boxed
           // index list per file OOMs an executor exactly when DV mode
@@ -4080,10 +4091,20 @@ class GraftDiskTable(
             val bits = DiskDv.deserialize(row.getAs[Array[Byte]](1))
             oldDvs.get(rel).foreach(dv =>
               bits.unionWith(DiskDv.read(fsx, ddH, dv)))
-            rowsByFile.get(rel).foreach(rows =>
-              require(bits.maxSetBit < rows,
-                s"gdisk: deletion vector for $rel addresses row " +
-                  s"${bits.maxSetBit} but the file records only $rows rows"))
+            rowsByFile.get(rel) match {
+              case Some(rows) =>
+                require(bits.maxSetBit < rows,
+                  s"gdisk: deletion vector for $rel addresses row " +
+                    s"${bits.maxSetBit} but the file records only $rows rows")
+              case None =>
+                // stats-less file: the size-derived cap still rejects a
+                // corrupt index before a later reader trusts the sidecar
+                sizeBound.get(rel).foreach(cap =>
+                  require(bits.maxSetBit < cap,
+                    s"gdisk: deletion vector for $rel addresses row " +
+                      s"${bits.maxSetBit}, past the size-derived bound " +
+                      s"$cap for a stats-less file — corrupt row index"))
+            }
             val newRel = DiskDv.write(fsx, ddH, bits)
             (rel, newRel, bits.cardinality)
           }.collect() // O(straddling files) triples — DriverActionLint-bounded
@@ -4881,10 +4902,14 @@ class FileAppendingReaderFactory(required: StructType)
   * so the task-side read is race-free, and plan time never touches the
   * filesystem for them), the inner scan's actual output schema (pruned
   * data columns + the row-index request column + partition columns),
-  * and the outer schema rows must project back to. */
+  * and the outer schema rows must project back to. `hconf` carries the
+  * SESSION Hadoop configuration (credentials, custom filesystem keys) to
+  * the executor-side sidecar open — a fresh `new Configuration()` there
+  * would silently drop them on object stores. */
 case class DvFilePartition(
     inner: InputPartition, factory: PartitionReaderFactory,
-    dvSidecar: String, innerSchema: StructType, target: StructType)
+    dvSidecar: String, innerSchema: StructType, target: StructType,
+    hconf: org.apache.spark.util.SerializableConfiguration)
   extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
@@ -4912,7 +4937,7 @@ object RowDelegatingReaderFactory extends PartitionReaderFactory {
     p match {
       case FactoryPartition(inner, f) => f.createReader(inner)
       case dv: DvFilePartition =>
-        val bits = DiskDv.readAbsolute(dv.dvSidecar)
+        val bits = DiskDv.readAbsolute(dv.dvSidecar, dv.hconf.value)
         val r = dv.factory.createReader(dv.inner)
         val innerSchema = dv.innerSchema
         val riOrd = innerSchema.fieldIndex(GraftDiskCatalog.RowIndexColumnName)
@@ -4966,7 +4991,7 @@ object DvColumnarReaderFactory extends PartitionReaderFactory {
       p: InputPartition): PartitionReader[ColumnarBatch] = p match {
     case FactoryPartition(inner, f) => f.createColumnarReader(inner)
     case dv: DvFilePartition =>
-      val bits = DiskDv.readAbsolute(dv.dvSidecar)
+      val bits = DiskDv.readAbsolute(dv.dvSidecar, dv.hconf.value)
       val r = dv.factory.createColumnarReader(dv.inner)
       val innerSchema = dv.innerSchema
       val riOrd = innerSchema.fieldIndex(GraftDiskCatalog.RowIndexColumnName)
@@ -5267,12 +5292,14 @@ class GraftDiskScan(
           case other => sys.error(
             s"gdisk: unexpected non-file partition ${other.getClass}")
         }.groupBy(_.filePath.toUri.getPath)
+        val shippedConf = new org.apache.spark.util.SerializableConfiguration(
+          SparkSession.active.sessionState.newHadoopConf())
         byFile.toArray.zipWithIndex.map { case ((path, pfs), i) =>
           val rel = path.stripPrefix(ddPath).stripPrefix("/")
           DvFilePartition(FilePartition(i, pfs), factory,
             sidecars.getOrElse(rel, sys.error(
               s"gdisk: no deletion-vector sidecar for $rel")),
-            actual, target): InputPartition
+            actual, target, shippedConf): InputPartition
         }
       }
       // columnar end-to-end whenever every inner partition (both legs)

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{FlacCodec, FlacEncoder}
+
+/** FLAC frame decoder vs the independently-written fixture encoder:
+  * exact sample round-trips across subframe strategies, stereo modes,
+  * rice parameter methods, plus CRC and truncation negatives. */
+class FlacSpec extends AnyFunSuite {
+
+  private def sig(id: Long, nCh: Int, n: Int): Array[Array[Int]] =
+    Array.tabulate(nCh)(c => Array.tabulate(n)(i =>
+      (((id * 7919 + c * 104729L + i * 31L) % 65536) - 32768).toInt))
+
+  private def roundTrip(
+      chans: Array[Array[Int]], rate: Int, stereo: Int, strategy: Int,
+      label: String): Unit = {
+    val bytes = FlacEncoder.encode(chans, rate, 16, stereo, strategy)
+    val (nCh, r, bps, out) = FlacCodec.decode(bytes)
+      .getOrElse(fail(s"$label: decode returned None"))
+    assert((nCh, r, bps) == ((chans.length, rate, 16)), label)
+    out.zip(chans).zipWithIndex.foreach { case ((got, want), c) =>
+      assert(got.toSeq == want.toSeq, s"$label channel $c")
+    }
+  }
+
+  test("round-trip: fixed orders 0-4, LPC, verbatim × stereo modes") {
+    for (strategy <- 0 to 6; stereo <- 0 to 2) {
+      roundTrip(sig(strategy * 31 + stereo + 1, 2, 97), 44100, stereo,
+        strategy, s"st=$strategy sm=$stereo")
+      roundTrip(sig(strategy * 17 + stereo + 5, 1, 96), 8000, stereo,
+        strategy, s"mono st=$strategy")
+    }
+  }
+
+  test("round-trip: constant subframe and tiny blocks") {
+    val const = Array(Array.fill(50)(1234))
+    roundTrip(const, 16000, 0, 0, "constant")
+    roundTrip(Array(Array(7, -7)), 8000, 0, 3, "two samples")
+  }
+
+  test("high-order residuals escalate to the 5-bit rice method") {
+    // full-scale alternating samples blow up order-4 residuals past the
+    // 4-bit parameter range — the encoder must switch methods and the
+    // decoder must follow
+    val wild = Array(Array.tabulate(80)(i =>
+      if (i % 2 == 0) 32767 else -32768))
+    roundTrip(wild, 48000, 0, 4, "order-4 full-scale")
+  }
+
+  test("negatives: CRC corruption and truncation quarantine") {
+    val bytes = FlacEncoder.encode(sig(42, 2, 100), 44100, 16, 2, 2)
+    assert(FlacCodec.decode(bytes).isDefined)
+    assert(FlacCodec.decode(bytes.take(30)).isEmpty, "streaminfo cut")
+    assert(FlacCodec.decode(bytes.dropRight(1)).isEmpty, "frame cut")
+    // flip a sample byte mid-frame: CRC-16 must catch it
+    val mid = bytes.clone()
+    mid(bytes.length - 20) = (mid(bytes.length - 20) ^ 0x55).toByte
+    assert(FlacCodec.decode(mid).isEmpty, "corrupt frame body")
+    // flip a header byte: CRC-8 must catch it (byte 4 past magic+block
+    // header lands in the first frame header region only if stream is
+    // tiny — corrupt the sync itself instead)
+    val sync = bytes.clone()
+    val frameStart = sync.indexOfSlice(Array(0xff.toByte, 0xf8.toByte))
+    if (frameStart > 0) {
+      sync(frameStart + 2) = (sync(frameStart + 2) ^ 0x01).toByte
+      assert(FlacCodec.decode(sync).isEmpty, "corrupt frame header")
+    }
+    assert(FlacCodec.decode("not flac at all".getBytes).isEmpty)
+  }
+
+  test("stats lane: peak / sum_abs / first / last match the formula") {
+    val id = 123L
+    val chans = sig(id, 2, 96 + (id % 64).toInt)
+    val bytes = FlacEncoder.encode(chans, 44100, 16, (id % 3).toInt,
+      (id % 7).toInt)
+    val st = FlacCodec.samples(bytes).get
+    var peak = 0
+    var sumAbs = 0L
+    chans.foreach(_.foreach { s =>
+      peak = math.max(peak, math.abs(s)); sumAbs += math.abs(s)
+    })
+    assert(st.peak == peak && st.sum_abs == sumAbs)
+    assert(st.first_s0 == chans(0)(0) && st.last_s0 == chans(0).last)
+    assert(st.n_samples == chans(0).length.toLong)
+  }
+}

@@ -1298,6 +1298,26 @@ class OpsSpec extends AnyFunSuite {
     assert(MultimodalOps.tgaPixels(paletted).isEmpty)
     val odd = ok.clone(); odd(16) = 15
     assert(MultimodalOps.tgaPixels(odd).isEmpty)
+    // descriptor bit 4 (right-to-left pixel order): a 2x1 truecolor image
+    // stored [red, blue] with bit 4 set must report blue as the leftmost
+    // pixel — the orientation probe (first_*) flips, the sums do not
+    val rtl = java.nio.ByteBuffer.allocate(18 + 6)
+    rtl.put(0.toByte).put(0.toByte).put(2.toByte) // no id, no map, truecolor
+    rtl.put(new Array[Byte](9))                   // map spec + origin
+    rtl.putShort(java.lang.Short.reverseBytes(2)) // w=2 (LE)
+    rtl.putShort(java.lang.Short.reverseBytes(1)) // h=1 (LE)
+    rtl.put(24.toByte).put((0x20 | 0x10).toByte)  // top-down + right-to-left
+    rtl.put(Array[Byte](0, 0, 255.toByte))        // stored px0: BGR red
+    rtl.put(Array[Byte](255.toByte, 0, 0))        // stored px1: BGR blue
+    val flipped = MultimodalOps.tgaPixels(rtl.array())
+      .getOrElse(fail("right-to-left tga quarantined"))
+    assert((flipped.first_r, flipped.first_g, flipped.first_b) == ((0, 0, 255)),
+      "bit-4 image must decode mirrored: leftmost pixel is the stored-last one")
+    assert((flipped.sum_r, flipped.sum_b) == ((255L, 255L)))
+    // same bytes without bit 4: leftmost pixel is the stored-first (red)
+    val ltr = rtl.array().clone(); ltr(17) = 0x20
+    val straight = MultimodalOps.tgaPixels(ltr).get
+    assert((straight.first_r, straight.first_b) == ((255, 0)))
   }
 
   test("gif pixel decode: from-scratch LZW vs the JDK's independent encoder") {
@@ -1609,6 +1629,22 @@ class OpsSpec extends AnyFunSuite {
     assert((m.brand, m.timescale, m.width, m.height, m.mdat_bytes) ==
       ("isom", 1000, 640, 480, 777L))
     assert(math.abs(m.duration_ms - 2500.0) < 1e-9)
+
+    // 64-bit largesize mdat (size field == 1 + 8-byte largesize): the walk
+    // must step over it and still report the true payload length
+    val big = Array.fill[Byte](99)(2)
+    val bigMdat = be32(1) ++ "mdat".getBytes ++
+      be32(0) ++ be32(16 + big.length) ++ big
+    val m2 = MultimodalOps.mp4Meta(
+      box("ftyp", "isom".getBytes ++ be32(512)) ++
+        box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd))) ++
+        bigMdat).get
+    assert(m2.mdat_bytes == 99L, "largesize mdat must triage, not quarantine")
+    // truncated largesize header → corrupt
+    assert(MultimodalOps.mp4Meta(
+      box("ftyp", "isom".getBytes ++ be32(512)) ++
+        box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd))) ++
+        be32(1) ++ "mdat".getBytes ++ be32(0)).isEmpty)
 
     // not MP4 / box overruns payload / missing moov fields → None
     assert(MultimodalOps.mp4Meta("plain text bytes".getBytes).isEmpty)

@@ -1,0 +1,198 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Vp8lEncoder, WebpCodec}
+
+/** VP8L decoder vs the independently-written fixture encoder: pixel
+  * round-trips across every feature lane (plain Huffman literals, LZ77,
+  * color cache, meta prefix groups, all four transforms), triage of
+  * every container variant, and adversarial negatives. */
+class WebpSpec extends AnyFunSuite {
+
+  private def img(w: Int, h: Int, seed: Long): Array[Int] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(w * h)(0xff000000 | rnd.nextInt(0x1000000))
+  }
+
+  /** Low-entropy image (long runs + few colors) — makes LZ77/cache
+    * tokens actually fire. */
+  private def runsImg(w: Int, h: Int, seed: Long): Array[Int] = {
+    val rnd = new scala.util.Random(seed)
+    val colors = Array.fill(4)(0xff000000 | rnd.nextInt(0x1000000))
+    val px = new Array[Int](w * h)
+    var i = 0
+    var c = colors(0)
+    while (i < px.length) {
+      if (rnd.nextInt(5) == 0) c = colors(rnd.nextInt(4))
+      px(i) = c
+      i += 1
+    }
+    px
+  }
+
+  private def roundTrip(
+      px: Array[Int], w: Int, h: Int, opts: Vp8lEncoder.Opts,
+      label: String): Unit = {
+    val file = Vp8lEncoder.losslessFile(px, w, h, opts)
+    val out = WebpCodec.pixels(file)
+      .getOrElse(fail(s"$label: decode returned None"))
+    assert((out.width, out.height) == ((w, h)), label)
+    // exact per-channel sums + the top-left pixel (orientation probe)
+    var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+    px.foreach { p =>
+      sa += p >>> 24; sr += (p >>> 16) & 0xff
+      sg += (p >>> 8) & 0xff; sb += p & 0xff
+    }
+    assert((out.sum_r, out.sum_g, out.sum_b, out.sum_a) ==
+      ((sr, sg, sb, sa)), label)
+    assert((out.first_r, out.first_g, out.first_b, out.first_a) ==
+      (((px(0) >>> 16) & 0xff, (px(0) >>> 8) & 0xff, px(0) & 0xff,
+        px(0) >>> 24)), label)
+  }
+
+  test("vp8l round-trip: plain literals with real huffman codes") {
+    for (seed <- 1 to 8) {
+      val w = 3 + seed % 9; val h = 2 + seed % 7
+      roundTrip(img(w, h, seed), w, h, Vp8lEncoder.Opts(), s"plain/$seed")
+    }
+  }
+
+  test("vp8l round-trip: LZ77 horizontal + vertical backward references") {
+    for (seed <- 1 to 8) {
+      val w = 5 + seed % 12; val h = 4 + seed % 9
+      roundTrip(runsImg(w, h, seed), w, h,
+        Vp8lEncoder.Opts(lz77 = true), s"lz77/$seed")
+    }
+  }
+
+  test("vp8l round-trip: color cache (with and without lz77)") {
+    for (seed <- 1 to 6) {
+      val w = 6 + seed; val h = 5
+      roundTrip(runsImg(w, h, seed), w, h,
+        Vp8lEncoder.Opts(cacheBits = 4), s"cache/$seed")
+      roundTrip(runsImg(w, h, seed + 100), w, h,
+        Vp8lEncoder.Opts(cacheBits = 6, lz77 = true), s"cache+lz77/$seed")
+    }
+  }
+
+  test("vp8l round-trip: subtract-green transform") {
+    for (seed <- 1 to 6) {
+      val w = 4 + seed; val h = 3 + seed % 4
+      roundTrip(img(w, h, seed), w, h,
+        Vp8lEncoder.Opts(subtractGreen = true), s"subgreen/$seed")
+    }
+  }
+
+  test("vp8l round-trip: predictor transform, all 14 modes") {
+    for (mode <- 0 to 13) {
+      val w = 9; val h = 7
+      roundTrip(img(w, h, 1000 + mode), w, h,
+        Vp8lEncoder.Opts(predictor = Some((mode, 4))), s"pred/$mode")
+      // multi-block grid (block 4 < image): border rules per block
+      roundTrip(img(w, h, 2000 + mode), w, h,
+        Vp8lEncoder.Opts(predictor = Some((mode, 2))), s"pred4/$mode")
+    }
+  }
+
+  test("vp8l round-trip: color transform") {
+    for (seed <- 1 to 6) {
+      val w = 8; val h = 6
+      val g2r = (seed * 37) & 0xff
+      val g2b = (seed * 91) & 0xff
+      val r2b = (seed * 53) & 0xff
+      roundTrip(img(w, h, seed), w, h,
+        Vp8lEncoder.Opts(colorXform = Some((g2r, g2b, r2b, 3))),
+        s"colorxf/$seed")
+    }
+  }
+
+  test("vp8l round-trip: color-indexing palette with pixel bundling") {
+    for ((n, seed) <- Seq((2, 1), (3, 2), (4, 3), (7, 4), (16, 5), (40, 6))) {
+      val rnd = new scala.util.Random(seed.toLong)
+      val pal = Array.fill(n)(0xff000000 | rnd.nextInt(0x1000000)).distinct
+      val w = 11; val h = 5
+      val px = Array.tabulate(w * h)(i => pal(i % pal.length))
+      roundTrip(px, w, h, Vp8lEncoder.Opts(palette = Some(pal)),
+        s"palette/$n")
+    }
+  }
+
+  test("vp8l round-trip: stacked transforms (predictor + subtract-green)") {
+    for (seed <- 1 to 4) {
+      val w = 10; val h = 8
+      roundTrip(img(w, h, seed), w, h,
+        Vp8lEncoder.Opts(
+          predictor = Some(((seed * 3) % 14, 3)), subtractGreen = true),
+        s"stacked/$seed")
+    }
+  }
+
+  test("vp8l round-trip: meta prefix groups (entropy image)") {
+    for (seed <- 1 to 4) {
+      val w = 14; val h = 6
+      roundTrip(img(w, h, seed), w, h,
+        Vp8lEncoder.Opts(metaBits = Some(2)), s"meta/$seed")
+    }
+  }
+
+  test("triage: bare vp8l, vp8x+alpha, lossy vp8, animation") {
+    val px = img(7, 5, 42)
+    val bare = WebpCodec.triage(Vp8lEncoder.losslessFile(
+      px, 7, 5, Vp8lEncoder.Opts())).get
+    assert((bare.variant, bare.width, bare.height, bare.extended) ==
+      (("vp8l", 7, 5, false)))
+    assert(!bare.has_alpha && !bare.has_anim)
+
+    val ext = WebpCodec.triage(Vp8lEncoder.extendedFile(
+      px, 7, 5, Vp8lEncoder.Opts(alphaHint = true), alphaFlag = true)).get
+    assert((ext.variant, ext.extended, ext.has_alpha) ==
+      (("vp8l", true, true)))
+
+    val lossy = WebpCodec.triage(Vp8lEncoder.lossyStubFile(640, 480)).get
+    assert((lossy.variant, lossy.width, lossy.height) == (("vp8", 640, 480)))
+    // lossy pixel decode is out of scope → quarantine, not mis-decode
+    assert(WebpCodec.pixels(Vp8lEncoder.lossyStubFile(640, 480)).isEmpty)
+
+    val anim = WebpCodec.triage(Vp8lEncoder.animFile(px, 7, 5)).get
+    assert((anim.variant, anim.has_anim) == (("anim", true)))
+    assert(WebpCodec.pixels(Vp8lEncoder.animFile(px, 7, 5)).isEmpty)
+  }
+
+  test("negatives: truncation, bad version, dimension bomb, corrupt codes") {
+    val px = img(9, 6, 7)
+    val file = Vp8lEncoder.losslessFile(px, 9, 6, Vp8lEncoder.Opts())
+    assert(WebpCodec.pixels(file).isDefined)
+    // truncations at every prefix length must quarantine, never throw
+    for (cut <- Seq(4, 11, 12, 20, file.length - 3))
+      assert(WebpCodec.pixels(file.take(cut)).isEmpty, s"cut=$cut")
+    // VP8L version bits != 0 → unrecognized
+    val badVer = file.clone()
+    // chunk payload starts at 20 (RIFF hdr 12 + chunk hdr 8); version is
+    // the top 3 bits of the 4-byte LSB-first field after the 0x2F byte
+    badVer(24) = (badVer(24) | 0x20).toByte
+    assert(WebpCodec.pixels(badVer).isEmpty)
+    // dimension bomb: 16384×16384 header on a tiny payload
+    val bomb = file.clone()
+    bomb(21) = 0xff.toByte; bomb(22) = 0xff.toByte; bomb(23) = 0xff.toByte
+    assert(WebpCodec.pixels(bomb).isEmpty)
+    // flip bits mid-stream: must either decode to SOMETHING or None,
+    // never throw (Bail containment)
+    for (at <- 26 until math.min(file.length, 60)) {
+      val mut = file.clone()
+      mut(at) = (mut(at) ^ 0x5a).toByte
+      WebpCodec.pixels(mut) // no exception escapes
+    }
+  }
+
+  test("distance mapping: code 1 is the pixel above, code 2 the previous") {
+    assert(WebpCodec.mapDistance(1, 10) == 10)
+    assert(WebpCodec.mapDistance(2, 10) == 1)
+    assert(WebpCodec.mapDistance(121, 10) == 1)
+    assert(WebpCodec.mapDistance(200, 10) == 80)
+    // encoder inverse agrees on every neighborhood code
+    for (code <- 1 to 120) {
+      val d = WebpCodec.mapDistance(code, 64)
+      assert(WebpCodec.mapDistance(WebpCodec.distToCode(d, 64), 64) == d)
+    }
+  }
+}
