@@ -461,6 +461,14 @@ final class GraftSession(
     })
     require(fields.nonEmpty, s"ANALYZE TABLE: no analyzable columns in " +
       s"${m.group(1)}")
+    // numeric columns additionally get an EQUI-HEIGHT HISTOGRAM: bin
+    // endpoints from one percentile sketch in the same pass, per-bin
+    // NDVs from one ApproxCountDistinctForIntervals pass (Spark's own
+    // ANALYZE ... FOR COLUMNS machinery) — so skewed-predicate
+    // selectivity estimates follow the data, not uniformity
+    val HistBins = 16
+    val histFields = fields.filter(_.dataType.isInstanceOf[NumericType])
+    val pcts = (0 to HistBins).map(i => i.toDouble / HistBins)
     val aggs = fields.flatMap { f =>
       val c = col(f.name)
       val nd = if (approx) approx_count_distinct(c) else countDistinct(c)
@@ -469,7 +477,11 @@ final class GraftSession(
           avg(octet_length(c)).cast("long").as(s"avg__${f.name}"),
           max(octet_length(c)).cast("long").as(s"max__${f.name}"))
         case _ => Nil
-      })
+      }) ++ (if (histFields.contains(f)) Seq(
+        count(c).cast("long").as(s"cnt__${f.name}"),
+        percentile_approx(c.cast("double"),
+          array(pcts.map(lit): _*), lit(10000)).as(s"pct__${f.name}"))
+      else Nil)
     }
     // one row, O(columns) cells — the distributed job's only driver traffic
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -477,11 +489,50 @@ final class GraftSession(
       val i = row.fieldIndex(n)
       if (row.isNullAt(i)) None else Some(row.getLong(i))
     }
+    // endpoints per histogram column (null/empty column → no histogram)
+    val endpoints: Map[String, (Long, Seq[Double])] = histFields.flatMap { f =>
+      val i = row.fieldIndex(s"pct__${f.name}")
+      val nonNull = cell(s"cnt__${f.name}").getOrElse(0L)
+      if (row.isNullAt(i) || nonNull == 0) None
+      else {
+        val eps = row.getSeq[Double](i)
+        if (eps.length == HistBins + 1) Some(f.name -> (nonNull, eps))
+        else None
+      }
+    }.toMap
+    // pass 2: per-bin distinct counts over the fixed endpoints, ONE
+    // distributed aggregation for all columns (O(cols × bins) result)
+    val hists: Map[String, graft.sources.DiskHistogram] =
+      if (endpoints.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.ApproxCountDistinctForIntervals
+        import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal => CLit}
+        val binAggs: Seq[org.apache.spark.sql.Column] =
+          endpoints.toSeq.map { case (name, (_, eps)) =>
+            org.apache.spark.sql.graftshim.columnOf(
+              ApproxCountDistinctForIntervals(
+                org.apache.spark.sql.graftshim.expressionOf(
+                  col(name).cast("double")),
+                CreateArray(eps.map(e => CLit(e)
+                  : org.apache.spark.sql.catalyst.expressions.Expression)),
+                0.05d).toAggregateExpression()).as(s"ndvs__$name")
+          }
+        val rowB = df.agg(binAggs.head, binAggs.tail: _*).collect()(0)
+        endpoints.map { case (name, (nonNull, eps)) =>
+          val ndvs = rowB.getSeq[Long](rowB.fieldIndex(s"ndvs__$name"))
+          name -> graft.sources.DiskHistogram(
+            nonNull.toDouble / HistBins,
+            (0 until HistBins).map(i =>
+              graft.sources.DiskBin(eps(i), eps(i + 1),
+                math.max(1L, ndvs(i)))))
+        }
+      }
     val stats = fields.map { f =>
       f.name -> graft.sources.DiskNdv(
         cell(s"ndv__${f.name}").getOrElse(0L),
         if (f.dataType == StringType) cell(s"avg__${f.name}") else None,
-        if (f.dataType == StringType) cell(s"max__${f.name}") else None)
+        if (f.dataType == StringType) cell(s"max__${f.name}") else None,
+        hists.get(f.name))
     }.toMap
     t.commitAnalyzeStats(stats)
     import spark.implicits._

@@ -364,9 +364,13 @@ object MultimodalOps {
   /** MP3 triage — skip any ID3v2 tag (syncsafe 28-bit size), then parse
     * the first MPEG audio frame header: version (1/2/2.5), layer
     * (I/II/III), the per-(version,layer) bitrate table, sample rate,
-    * and channel mode. Duration is the stream estimate players use
-    * (audio bytes · 8 / bitrate — exact for CBR). Free-format and
-    * reserved headers quarantine. `bits` is 0 (not a PCM container). */
+    * and channel mode. Duration prefers the VBR headers real encoders
+    * write — Xing/Info at the (version, mode)-dependent offset inside
+    * the first frame, or Fraunhofer VBRI at frame+36 — computing
+    * frames × samples-per-frame / rate; without one it falls back to
+    * the CBR stream estimate (audio bytes · 8 / bitrate), which a VBR
+    * stream can mis-state by 2× and players do not trust. Free-format
+    * and reserved headers quarantine. `bits` is 0 (not PCM). */
   def mp3Meta(b: Array[Byte]): Option[AudioMeta] = {
     def u8(i: Int) = b(i) & 0xff
     var i = 0
@@ -404,8 +408,36 @@ object MultimodalOps {
     })(rateIdx)
     val channels = if (((u8(i + 3) >> 6) & 3) == 3) 1 else 2
     val audioBytes = (b.length - i).toLong
-    Some(AudioMeta(-1L, "mp3", channels, rate, 0, audioBytes,
-      audioBytes * 8.0 / (kbps * 1000.0) * 1000.0))
+    // VBR frame count: Xing/Info sits after the side info (MPEG1:
+    // 17 mono / 32 stereo bytes; MPEG2/2.5: 9 / 17), VBRI always at
+    // frame start + 36; both carry a BE32 total-frames field
+    def be32u(j: Int): Long =
+      ((u8(j) << 24) | (u8(j + 1) << 16) | (u8(j + 2) << 8) | u8(j + 3)).toLong &
+        0xffffffffL
+    def tag4(j: Int, t: String): Boolean =
+      j + 4 <= b.length && (0 until 4).forall(k => u8(j + k) == t(k))
+    val spf = layerBits match {
+      case 3 => 384 // Layer I
+      case 2 => 1152 // Layer II
+      case _ => if (mpeg1) 1152 else 576 // Layer III
+    }
+    val sideInfo =
+      if (mpeg1) { if (channels == 1) 17 else 32 }
+      else { if (channels == 1) 9 else 17 }
+    val xingAt = i + 4 + sideInfo
+    val vbrFrames: Option[Long] =
+      if ((tag4(xingAt, "Xing") || tag4(xingAt, "Info")) &&
+        xingAt + 12 <= b.length) {
+        val flags = be32u(xingAt + 4)
+        if ((flags & 1) != 0) Some(be32u(xingAt + 8)) else None
+      } else if (tag4(i + 36, "VBRI") && i + 36 + 18 <= b.length)
+        Some(be32u(i + 36 + 14))
+      else None
+    val durationMs = vbrFrames match {
+      case Some(f) => f * spf.toDouble / rate * 1000.0
+      case None => audioBytes * 8.0 / (kbps * 1000.0) * 1000.0
+    }
+    Some(AudioMeta(-1L, "mp3", channels, rate, 0, audioBytes, durationMs))
   }
 
   /** The `fmt ` chunk's (formatTag, channels, blockAlign) — the decode
@@ -518,7 +550,10 @@ object MultimodalOps {
   /** Fixture adapter for MP3 streams: even ids carry an ID3v2 tag
     * (syncsafe size) before the first frame, odd ids hit the raw
     * frame-sync classify branch; the header cycles the MPEG1 Layer III
-    * bitrate/samplerate indexes and the mono/stereo mode. */
+    * bitrate/samplerate indexes and the mono/stereo mode. Ids with
+    * doc_id % 4 == 3 additionally carry a REAL Xing VBR header (17-byte
+    * MPEG1-mono side info, then "Xing" + frames), so the VBR duration
+    * path sits under the oracle beside the CBR estimate. */
   def asMp3Payload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
     df.select(col(id).cast("long").as("doc_id")).as[Long]
@@ -545,7 +580,16 @@ object MultimodalOps {
           buf.put(0xfb.toByte) // MPEG1, Layer III, no CRC
           buf.put(((bi << 4) | (ri << 2)).toByte)
           buf.put((if (mono) 0xc0 else 0x00).toByte)
-          (0 until m).foreach(j => buf.put(((docId * 3 + j) % 256).toByte))
+          val xing = docId % 4 == 3 // odd → mono → 17-byte side info
+          var filled = 0
+          if (xing) {
+            buf.put(new Array[Byte](17))
+            buf.put("Xing".getBytes("US-ASCII"))
+            buf.putInt(1) // flags: frames present
+            buf.putInt((100 + docId % 900).toInt)
+            filled = 17 + 12
+          }
+          (filled until m).foreach(j => buf.put(((docId * 3 + j) % 256).toByte))
           (docId, buf.array())
         }
       }.toDF("doc_id", "payload")
@@ -1313,6 +1357,61 @@ object MultimodalOps {
     def cc(i: Int) = new String(b, i, 4, "US-ASCII")
     if (b.length < 16 || cc(4) != "ftyp") return None
     var found: Option[Mp4Codec] = None
+    /** Walk the sample entry's children to `esds`, parse the MPEG-4
+      * descriptor chain (ES → DecoderConfig → DecoderSpecificInfo) to
+      * the AudioSpecificConfig: (audioObjectType, rate, channels).
+      * Descriptor lengths are the 7-bit-continuation varint form. */
+    def esdsAudioConfig(from: Int, until: Int)
+        : Option[(Int, Option[Int], Option[Int])] = {
+      val AscRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+        24000, 22050, 16000, 12000, 11025, 8000, 7350)
+      var j = from
+      while (j + 8 <= until) {
+        val bs = be32(j)
+        if (bs < 8 || j + bs > until) return None
+        if (cc(j + 4) == "esds" && bs >= 8 + 4 + 5) {
+          var p = j + 8 + 4 // skip FullBox version/flags
+          def varlen(): Int = {
+            var v = 0
+            var k = 0
+            while (k < 4 && p < until && (u8(p) & 0x80) != 0) {
+              v = (v << 7) | (u8(p) & 0x7f); p += 1; k += 1
+            }
+            if (p >= until) return -1
+            v = (v << 7) | (u8(p) & 0x7f); p += 1
+            v
+          }
+          if (p >= until || u8(p) != 0x03) return None // ES_Descriptor
+          p += 1
+          if (varlen() < 0 || p + 3 > until) return None
+          p += 2 // ES_ID
+          val esFlags = u8(p); p += 1
+          if ((esFlags & 0x80) != 0) p += 2 // streamDependsOn
+          if ((esFlags & 0x40) != 0) { // URL string
+            if (p >= until) return None
+            p += 1 + u8(p)
+          }
+          if ((esFlags & 0x20) != 0) p += 2 // OCR ES id
+          if (p >= until || u8(p) != 0x04) return None // DecoderConfig
+          p += 1
+          if (varlen() < 0 || p + 13 > until) return None
+          p += 13 // objectTypeIndication(1) stream(1) buffer(3) rates(8)
+          if (p >= until || u8(p) != 0x05) return None // DecoderSpecificInfo
+          p += 1
+          val dsiLen = varlen()
+          if (dsiLen < 2 || p + 2 > until) return None
+          val aot = (u8(p) >> 3) & 0x1f
+          val freqIdx = ((u8(p) & 7) << 1) | (u8(p + 1) >> 7)
+          val chanCfg = (u8(p + 1) >> 3) & 0xf
+          val rate =
+            if (freqIdx < AscRates.length) Some(AscRates(freqIdx)) else None
+          val chans = if (chanCfg > 0) Some(chanCfg) else None
+          return Some((aot, rate, chans))
+        }
+        j += bs.toInt
+      }
+      None
+    }
     def sampleEntry(at: Int, size: Long): Unit = {
       val fourcc = cc(at + 4)
       fourcc match {
@@ -1343,14 +1442,22 @@ object MultimodalOps {
         case "mp4a" =>
           // AudioSampleEntry: 8 header + 6 reserved + 2 dri + 8 reserved,
           // then channelcount(16) samplesize(16) predefined(16)
-          // reserved(16) samplerate(16.16)
+          // reserved(16) samplerate(16.16); child boxes follow (esds).
           if (size >= 8 + 28) {
             val base = at + 8 + 8
             val chans = be16(base + 8)
             val rate = be32(base + 16).toInt >>> 16
-            if (chans > 0 && rate > 0)
+            // esds → AudioSpecificConfig: the sample entry's 16.16 rate
+            // field is 16-bit and LIES above 65535 Hz (and some muxers
+            // write 0) — the ASC's frequency index is authoritative, and
+            // its audioObjectType identifies the AAC profile
+            val asc = esdsAudioConfig(at + 8 + 28, (at + size).toInt)
+            val effRate = asc.flatMap(_._2).getOrElse(rate)
+            val effChans = asc.flatMap(_._3).getOrElse(chans)
+            val aot = asc.map(_._1).getOrElse(-1)
+            if (effChans > 0 && effRate > 0)
               found = found.orElse(Some(
-                Mp4Codec(-1L, fourcc, -1, -1, -1, -1, chans, rate)))
+                Mp4Codec(-1L, fourcc, aot, -1, -1, -1, effChans, effRate)))
           }
         case fc if fc.forall(c => c >= ' ' && c <= '~') =>
           // identified, parameters out of scope (hvc1, vp09, av01, …)
@@ -1473,7 +1580,26 @@ object MultimodalOps {
               body.putShort(16) // samplesize
               body.putShort(0); body.putShort(0)
               body.putInt(rate << 16) // 16.16
-              box("mp4a", body.array())
+              // esds child: ES → DecoderConfig(oti 0x40 = MPEG-4 audio)
+              // → DecoderSpecificInfo carrying the AudioSpecificConfig
+              // (AAC LC aot=2, the authoritative rate + channel config)
+              val freqIdx = rate match {
+                case 48000 => 3; case 44100 => 4; case 22050 => 7
+                case 16000 => 8; case _ => 11 // 8000
+              }
+              val esds = java.nio.ByteBuffer.allocate(28)
+                .order(java.nio.ByteOrder.BIG_ENDIAN)
+              esds.putInt(0) // FullBox version/flags
+              esds.put(0x03.toByte).put(22.toByte) // ES_Descriptor
+              esds.putShort(0).put(0.toByte) // ES_ID + flags
+              esds.put(0x04.toByte).put(17.toByte) // DecoderConfig
+              esds.put(0x40.toByte).put(0x15.toByte)
+              esds.put(new Array[Byte](3)) // bufferSizeDB
+              esds.putInt(0).putInt(0) // max/avg bitrate
+              esds.put(0x05.toByte).put(2.toByte) // DecoderSpecificInfo
+              esds.put(((2 << 3) | (freqIdx >> 1)).toByte)
+              esds.put((((freqIdx & 1) << 7) | (chans << 3)).toByte)
+              box("mp4a", body.array() ++ box("esds", esds.array()))
             } else if (docId % 7 == 0) {
               // identified-only codec: a minimal hvc1 visual entry
               val body = java.nio.ByteBuffer.allocate(78)

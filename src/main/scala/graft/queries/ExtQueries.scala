@@ -4269,7 +4269,11 @@ object ExtMultimodal extends QueryModule {
         FROM flac
         UNION ALL
         SELECT doc_id, format, channels, sample_rate, bits, data_bytes,
-          round(data_bytes * 8.0 / (kbps * 1000.0) * 1000.0, 6) AS duration_ms
+          CASE WHEN doc_id % 4 = 3
+            -- Xing VBR lane: frames × 1152 samples / rate
+            THEN round((100 + doc_id % 900) * 1152.0 / sample_rate * 1000.0, 6)
+            ELSE round(data_bytes * 8.0 / (kbps * 1000.0) * 1000.0, 6)
+          END AS duration_ms
         FROM mp3
         ORDER BY doc_id""")),
 
@@ -4336,7 +4340,8 @@ object ExtMultimodal extends QueryModule {
       Some("""SELECT doc_id,
           CASE WHEN doc_id % 3 = 0 THEN 'mp4a'
                WHEN doc_id % 7 = 0 THEN 'hvc1' ELSE 'avc1' END AS codec,
-          CAST(CASE WHEN doc_id % 3 = 0 OR doc_id % 7 = 0 THEN -1
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 2 -- esds AudioSpecificConfig aot: AAC LC
+            WHEN doc_id % 7 = 0 THEN -1
             ELSE CASE (doc_id // 4) % 3 WHEN 0 THEN 66 WHEN 1 THEN 77
                  ELSE 100 END END AS INT) AS profile,
           CAST(CASE WHEN doc_id % 3 = 0 OR doc_id % 7 = 0 THEN -1

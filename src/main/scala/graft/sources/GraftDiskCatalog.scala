@@ -1408,7 +1408,20 @@ object DiskConstraint {
   * counts are NOT here — those merge per scan from the per-file manifest
   * stats, so they stay exact under partition/stats pruning. */
 case class DiskNdv(
-    ndv: Long, avgLen: Option[Long] = None, maxLen: Option[Long] = None)
+    ndv: Long, avgLen: Option[Long] = None, maxLen: Option[Long] = None,
+    hist: Option[DiskHistogram] = None)
+
+/** One equi-height histogram bin: values in (lo, hi] (first bin
+  * [lo, hi]), `ndv` the approximate distinct count inside the bin —
+  * the catalyst `HistogramBin` shape, persisted in the manifest. */
+case class DiskBin(lo: Double, hi: Double, ndv: Long)
+
+/** Equi-height value-distribution histogram from ANALYZE TABLE:
+  * `height` = non-null rows per bin. Feeds CBO filter-selectivity
+  * through `Statistics.columnStats().histogram()`, so a skewed
+  * predicate's row estimate follows the DATA, not the uniformity
+  * assumption (which a hot key can put off by 10×+). */
+case class DiskHistogram(height: Double, bins: Seq[DiskBin])
 
 /** One commit: a COMPLETE snapshot of the table at `version` (schema,
   * defaults, constraints, the data files composing the version) plus the
@@ -2119,7 +2132,7 @@ class GraftDiskTable(
   private[sources] def liveHiveParts: Seq[String] = loaded.hiveParts
 
   /** Table-level ANALYZE statistics (empty until ANALYZE TABLE runs). */
-  private[sources] def liveAnalyzeStats: Map[String, DiskNdv] =
+  private[graft] def liveAnalyzeStats: Map[String, DiskNdv] =
     loaded.analyzeStats.getOrElse(Map.empty)
 
   /** Commit `stats` as a metadata-only version (files unchanged): the
@@ -4721,9 +4734,10 @@ class GraftDiskScanBuilder(
               val ndv = a.map(s => cap(s.ndv))
               if (mn.isEmpty && nulls.isEmpty && ndv.isEmpty) None
               else Some(fld.name -> GdiskColStat(mn, mx, nulls, ndv,
-                a.flatMap(_.avgLen), a.flatMap(_.maxLen)))
+                a.flatMap(_.avgLen), a.flatMap(_.maxLen),
+                a.flatMap(_.hist)))
             } else a.map(s => fld.name -> GdiskColStat(None, None, None,
-              Some(cap(s.ndv)), s.avgLen, s.maxLen))
+              Some(cap(s.ndv)), s.avgLen, s.maxLen, s.hist))
           }.toMap
         }
       val base = new GraftDiskScan(table, inner.build(), table.toPhysical(pruned),
@@ -5188,7 +5202,8 @@ class GdiskManifestAggScan(
 /** One column's scan-time CBO statistics, catalyst-internal min/max. */
 case class GdiskColStat(
     min: Option[Any], max: Option[Any], nullCount: Option[Long],
-    ndv: Option[Long], avgLen: Option[Long], maxLen: Option[Long])
+    ndv: Option[Long], avgLen: Option[Long], maxLen: Option[Long],
+    hist: Option[DiskHistogram] = None)
 
 class GraftDiskScan(
     table: GraftDiskTable, inner0: Scan, pruned: StructType,
@@ -5386,6 +5401,28 @@ class GraftDiskScan(
             override def nullCount(): java.util.OptionalLong = jl(cs.nullCount)
             override def avgLen(): java.util.OptionalLong = jl(cs.avgLen)
             override def maxLen(): java.util.OptionalLong = jl(cs.maxLen)
+            // ANALYZE's equi-height histogram — Spark's transformV2Stats
+            // carries it into catalyst ColumnStat.histogram, where
+            // FilterEstimation replaces the uniformity assumption with
+            // the actual value distribution (skewed-predicate estimates)
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] =
+              cs.hist match {
+                case Some(h) => java.util.Optional.of(
+                  new org.apache.spark.sql.connector.read.colstats.Histogram {
+                    override def height(): Double = h.height
+                    override def bins(): Array[
+                        org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                      h.bins.map { b =>
+                        new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                          override def lo(): Double = b.lo
+                          override def hi(): Double = b.hi
+                          override def ndv(): Long = b.ndv
+                        }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+                      }.toArray
+                  })
+                case None => java.util.Optional.empty()
+              }
           })
       }
       m
@@ -5405,35 +5442,73 @@ class GraftDiskScan(
 
   /** The micro-batch source implements ADMISSION CONTROL: with
     * `.option("maxFilesPerTrigger", n)` each micro-batch advances the
-    * version offset only as far as n cumulative added files (always at
-    * least one version, so an over-sized commit cannot stall the
-    * stream). Without it a restart against a long-ingested 100 TB table
-    * would swallow every pending version in ONE batch — this is the
-    * same back-pressure contract as Spark's own file source. */
+    * version offset only as far as n cumulative added files, and with
+    * `.option("maxBytesPerTrigger", b)` only as far as b cumulative
+    * added BYTES (manifest-recorded file sizes — the per-file count is
+    * blind to skewed file sizes: one commit of 10 fat files admits the
+    * same as 10 thin ones; the byte form is the real memory-pressure
+    * back-pressure, Spark's own file-source contract). Both limits
+    * always admit at least one version, so an over-sized commit cannot
+    * stall the stream; set together they compose (first budget
+    * exhausted wins). Without either, a restart against a
+    * long-ingested 100 TB table would swallow every pending version in
+    * ONE batch. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MicroBatchStream
       with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
-      import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+      import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxBytes, ReadMaxFiles}
       private val maxFiles: Option[Int] =
         Option(readOptions.get("maxFilesPerTrigger")).map(_.toInt)
+      private val maxBytes: Option[Long] =
+        Option(readOptions.get("maxBytesPerTrigger")).map(_.toLong)
       override def getDefaultReadLimit: ReadLimit =
-        maxFiles.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+        (maxFiles, maxBytes) match {
+          case (Some(f), Some(b)) =>
+            ReadLimit.compositeLimit(
+              Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+          case (Some(f), None) => ReadLimit.maxFiles(f)
+          case (None, Some(b)) => ReadLimit.maxBytes(b)
+          case _ => ReadLimit.allAvailable()
+        }
+      /** Flatten a (possibly composite) limit to (files, bytes) caps. */
+      private def caps(limit: ReadLimit): (Option[Int], Option[Long]) =
+        limit match {
+          case mf: ReadMaxFiles => (Some(mf.maxFiles()), None)
+          case mb: ReadMaxBytes => (None, Some(mb.maxBytes()))
+          case c: CompositeReadLimit =>
+            c.getReadLimits.map(caps).foldLeft(
+              (Option.empty[Int], Option.empty[Long])) { case (a, b) =>
+              (a._1.orElse(b._1), a._2.orElse(b._2))
+            }
+          case _ => (None, None)
+        }
       override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
         val from = start.asInstanceOf[CountOffset].n
-        limit match {
-          case mf: ReadMaxFiles =>
+        caps(limit) match {
+          case (None, None) => CountOffset(table.log.latestVersion())
+          case (fCap, bCap) =>
             var v = from
-            var admitted = 0
+            var admittedFiles = 0
+            var admittedBytes = 0L
             var stop = false
             table.log.versions().filter(_ > from).foreach { next =>
               if (!stop) {
-                val add = table.log.read(next).added.length
-                if (admitted > 0 && admitted + add > mf.maxFiles()) stop = true
-                else { admitted += add; v = next }
+                val m = table.log.read(next)
+                val addF = m.added.length
+                // unknown sizes (pre-round-8 manifests) count as Spark's
+                // default partition target so they still consume budget
+                val addB = m.added.map(f =>
+                  m.sizes.getOrElse(f, 128L << 20)).sum
+                val over =
+                  fCap.exists(c => admittedFiles + addF > c) ||
+                    bCap.exists(c => admittedBytes + addB > c)
+                if (admittedFiles > 0 && over) stop = true
+                else {
+                  admittedFiles += addF; admittedBytes += addB; v = next
+                }
               }
             }
             CountOffset(v)
-          case _ => CountOffset(table.log.latestVersion())
         }
       }
       override def initialOffset(): SOffset =

@@ -1604,6 +1604,61 @@ class DiskCatalogSpec extends AnyFunSuite {
     // uncapped: the backlog lands in one batch
     val all = run(Map.empty)
     assert(all == Seq(40L), all.toString)
+
+    // BYTE-based admission: the same backlog under a budget of one
+    // file's recorded size admits one version per micro-batch — the
+    // file-count limit is blind to fat files, this one is not
+    val cat = graft.sources.GraftDiskCatalog.instance("gdspec").get
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("lake"), "rl"))
+      .asInstanceOf[graft.sources.GraftDiskTable]
+    val m = t.log.read(t.log.latestVersion())
+    val oneFile = m.added.map(f => m.sizes(f)).max
+    val byBytes = run(Map("maxBytesPerTrigger" -> oneFile.toString))
+    assert(byBytes.length == 4 && byBytes.forall(_ == 10L), byBytes.toString)
+    // a budget covering two versions halves the batch count
+    val byTwo = run(Map("maxBytesPerTrigger" -> (oneFile * 2 + 16).toString))
+    assert(byTwo.length == 2 && byTwo.forall(_ == 20L), byTwo.toString)
+    // composed with the file cap, the tighter budget (files) wins
+    val both = run(Map("maxBytesPerTrigger" -> (oneFile * 2 + 16).toString,
+      "maxFilesPerTrigger" -> "1"))
+    assert(both.length == 4 && both.forall(_ == 10L), both.toString)
+  }
+
+  test("ANALYZE histograms: skewed-predicate estimates follow the data, not uniformity") {
+    spark.sql("CREATE TABLE gdspec.lake.hist (k BIGINT, v BIGINT)")
+    // 90% of rows carry the hot key v=1; the tail spreads over ~1000
+    // distinct values — the shape where uniform selectivity (rows/ndv)
+    // is off by ~900×
+    spark.sql("INSERT INTO gdspec.lake.hist SELECT id, " +
+      "CASE WHEN id < 9000 THEN 1 ELSE id - 8997 END " +
+      "FROM range(0, 10000, 1, 4)")
+    val g = new GraftSession(spark)
+    g.sql("ANALYZE TABLE gdspec.lake.hist COMPUTE APPROXIMATE STATISTICS")
+    // the histogram landed in the manifest: 16 equi-height bins
+    val cat = graft.sources.GraftDiskCatalog.instance("gdspec").get
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("lake"), "hist"))
+      .asInstanceOf[graft.sources.GraftDiskTable]
+    val vh = t.liveAnalyzeStats("v").hist
+      .getOrElse(fail("ANALYZE recorded no histogram for v"))
+    assert(vh.bins.length == 16 && vh.height > 0)
+    // most bins sit on the hot key: [1, 1]
+    assert(vh.bins.count(b => b.lo == 1.0 && b.hi == 1.0) >= 8)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      def estimate(pred: String): BigInt =
+        spark.sql(s"SELECT * FROM gdspec.lake.hist WHERE $pred")
+          .queryExecution.optimizedPlan.stats.rowCount
+          .getOrElse(fail(s"no CBO row estimate for $pred"))
+      // hot key: true 9000; uniform assumption would say ~10000/ndv ≈ 10
+      val hot = estimate("v = 1")
+      assert(hot >= 4500 && hot <= 18000,
+        s"hot-key estimate $hot should be within 2x of the true 9000")
+      // tail key: true ≈ 1; the histogram keeps it small, never ~9000
+      val tail = estimate("v = 900")
+      assert(tail <= 700, s"tail-key estimate $tail should stay small")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
   }
 
   test("RESTORE TABLE: a prior version re-serves as a new metadata-only commit") {

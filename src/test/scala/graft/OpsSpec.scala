@@ -1006,6 +1006,7 @@ class OpsSpec extends AnyFunSuite {
         .getOrElse(fail(s"doc $id triage failed"))
       if (id % 3 == 0) {
         assert(info.codec == "mp4a")
+        assert(info.profile == 2, "esds AudioSpecificConfig aot = AAC LC")
         assert(info.audio_channels == 1 + (id % 2).toInt)
         assert(info.audio_rate ==
           Seq(8000, 16000, 22050, 44100, 48000)((id / 3 % 5).toInt))
@@ -1053,10 +1054,16 @@ class OpsSpec extends AnyFunSuite {
       assert(m.channels == 1 + (id % 2).toInt)
       assert(m.bits == Seq(16, 24)((id / 2 % 2).toInt))
       assert(m.data_bytes == 10 + id % 50)
-      // classify lane
+      // classify lane: decoded now means FULL frame decode — this
+      // triage fixture carries STREAMINFO + opaque bytes, so it
+      // format-tags but QUARANTINES (honest ledger semantics)
       assert(MultimodalOps.decodeStatusOf(r.getAs[Array[Byte]](1)) ==
-        ("flac", true))
+        ("flac", false))
     }
+    // a full FLAC stream (frames + CRCs) classifies AND decodes
+    val full = graft.ops.FlacEncoder.encode(
+      Array(Array.tabulate(64)(i => i * 3 - 90)), 16000, 16, 0, 2)
+    assert(MultimodalOps.decodeStatusOf(full) == ("flac", true))
     val mp3 = MultimodalOps.asMp3Payload(spark, docs.limit(12), "doc_id")
       .collect()
     mp3.foreach { r =>
@@ -1318,6 +1325,85 @@ class OpsSpec extends AnyFunSuite {
     val ltr = rtl.array().clone(); ltr(17) = 0x20
     val straight = MultimodalOps.tgaPixels(ltr).get
     assert((straight.first_r, straight.first_b) == ((255, 0)))
+  }
+
+  test("adversarial header battery: ico/pnm/tga never throw, bombs quarantine") {
+    import graft.ops.MultimodalOps
+    // the same discipline the BMP decoder got in round 10: every byte
+    // prefix and every single-byte mutation either decodes or returns
+    // None — a task failure or a giant allocation is a corpus outage
+    val pnm = MultimodalOps.asPnmPayload(spark, docs.limit(6), "doc_id")
+      .collect().map(_.getAs[Array[Byte]](1))
+    val ico = MultimodalOps.asIcoPayload(spark, docs.limit(6), "doc_id")
+      .collect().map(_.getAs[Array[Byte]](1))
+    val tga = MultimodalOps.asTgaPayload(spark, docs.limit(6), "doc_id")
+      .collect().map(_.getAs[Array[Byte]](1))
+    def battery(name: String, payloads: Array[Array[Byte]],
+        decode: Array[Byte] => Option[_]): Unit = {
+      payloads.foreach { p =>
+        assert(decode(p).isDefined, s"$name baseline must decode")
+        // truncation sweep: every prefix quarantines or decodes, no throw
+        var cut = 0
+        while (cut < p.length) {
+          decode(p.take(cut))
+          cut += math.max(1, p.length / 37)
+        }
+        // mutation sweep: header region byte flips never escape
+        for (at <- 0 until math.min(p.length, 64)) {
+          val m = p.clone(); m(at) = (m(at) ^ 0xa5).toByte
+          decode(m)
+        }
+      }
+    }
+    battery("pnm", pnm, MultimodalOps.pnmPixels)
+    battery("ico", ico, MultimodalOps.icoPixels)
+    battery("tga", tga, MultimodalOps.tgaPixels)
+    // dimension bombs: a 300M-pixel header on a tiny payload must
+    // quarantine BEFORE allocating (guards, not OOM)
+    val pnmBomb = "P6 20000 20000 255\n".getBytes ++ Array.fill[Byte](64)(1)
+    assert(MultimodalOps.pnmPixels(pnmBomb).isEmpty)
+    val tgaBomb = tga(0).clone()
+    tgaBomb(12) = 0xff.toByte; tgaBomb(13) = 0x7f.toByte // w = 32767
+    tgaBomb(14) = 0xff.toByte; tgaBomb(15) = 0x7f.toByte // h = 32767
+    assert(MultimodalOps.tgaPixels(tgaBomb).isEmpty)
+    // ico: directory entry pointing past the payload (offset wrap)
+    val icoWrap = ico(0).clone()
+    if (icoWrap.length > 21) {
+      icoWrap(18) = 0xff.toByte; icoWrap(19) = 0xff.toByte
+      icoWrap(20) = 0xff.toByte; icoWrap(21) = 0x7f.toByte
+      MultimodalOps.icoPixels(icoWrap) // None or decode — never throws
+    }
+  }
+
+  test("mp3 VBR duration: Xing frame count wins over the CBR estimate; VBRI parses") {
+    import graft.ops.MultimodalOps
+    // hand-built MPEG1 Layer III mono frame (44100 Hz, bitrate idx 9)
+    def frame(extra: Array[Byte], pad: Int): Array[Byte] =
+      Array(0xff, 0xfb, 0x90, 0xc0).map(_.toByte) ++ extra ++
+        Array.fill[Byte](pad)(7)
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    // Xing after the 17-byte mono side info, frames flag set
+    val xing = frame(Array.fill[Byte](17)(0) ++ "Xing".getBytes ++
+      be32(1) ++ be32(250), 64)
+    val mx = MultimodalOps.mp3Meta(xing).get
+    assert(math.abs(mx.duration_ms - 250 * 1152.0 / 44100 * 1000.0) < 1e-9)
+    // same bytes without the tag: CBR byte estimate
+    val cbr = frame(Array.fill[Byte](33)(0), 64)
+    val mc = MultimodalOps.mp3Meta(cbr).get
+    assert(math.abs(mc.duration_ms -
+      cbr.length * 8.0 / (128 * 1000.0) * 1000.0) < 1e-9)
+    // VBRI sits at frame start + 36 regardless of mode
+    val vbri = frame(Array.fill[Byte](32)(0) ++ "VBRI".getBytes ++
+      Array.fill[Byte](10)(0) ++ be32(99) ++ Array.fill[Byte](4)(0), 32)
+    val mv = MultimodalOps.mp3Meta(vbri).get
+    assert(math.abs(mv.duration_ms - 99 * 1152.0 / 44100 * 1000.0) < 1e-9)
+    // Xing with frames flag CLEAR falls back to CBR
+    val noFrames = frame(Array.fill[Byte](17)(0) ++ "Xing".getBytes ++
+      be32(2) ++ be32(250), 64)
+    val mn = MultimodalOps.mp3Meta(noFrames).get
+    assert(math.abs(mn.duration_ms -
+      noFrames.length * 8.0 / (128 * 1000.0) * 1000.0) < 1e-9)
   }
 
   test("gif pixel decode: from-scratch LZW vs the JDK's independent encoder") {
