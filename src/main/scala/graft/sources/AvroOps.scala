@@ -227,12 +227,13 @@ object AvroOps {
         }
         rec
       case ArrayType(et, _) =>
-        v.asInstanceOf[Seq[Any]]
+        // Row array values may be mutable ArraySeq — match the root type
+        v.asInstanceOf[scala.collection.Seq[Any]]
           .map(toAvroValue(_, et, actual.getElementType)).asJava
       case MapType(_, vt, _) =>
-        v.asInstanceOf[Map[String, Any]].map { case (k, mv) =>
-          k -> toAvroValue(mv, vt, actual.getValueType)
-        }.asJava
+        v.asInstanceOf[scala.collection.Map[String, Any]].map {
+          case (k, mv) => k -> toAvroValue(mv, vt, actual.getValueType)
+        }.toMap.asJava
       case other =>
         throw new IllegalArgumentException(s"avro: unsupported write $other")
     }
@@ -240,45 +241,63 @@ object AvroOps {
 
   // ------------------------------------------------------------ read
 
-  private def listAvroFiles(spark: SparkSession, path: String): Seq[String] = {
+  private def listAvroFiles(
+      spark: SparkSession, path: String): Seq[(String, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
     val files =
       if (st.isDirectory)
-        fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
-          .filter(f => f.getName.endsWith(".avro") && !f.getName.startsWith("_"))
-      else Seq(p)
+        fs.listStatus(p).toSeq.filter(_.isFile)
+          .filter(f => f.getPath.getName.endsWith(".avro") &&
+            !f.getPath.getName.startsWith("_"))
+      else Seq(st)
     require(files.nonEmpty, s"avro: no .avro files under $path")
-    files.map(_.toString).sorted
+    files.map(f => (f.getPath.toString, f.getLen)).sortBy(_._1)
   }
 
-  /** Read an Avro container file/directory as a DataFrame: one task per
-    * file, executor-side decode, driver touches one header only. */
+  /** Read an Avro container file/directory as a DataFrame. Files larger
+    * than `spark.sql.files.maxPartitionBytes` split into byte ranges on
+    * the container's 16-byte sync markers (`DataFileReader.sync/
+    * pastSync` — the standard Hadoop input-split contract), so one fat
+    * file parallelizes across the cluster instead of serializing into
+    * one task. Executor-side decode; the driver touches one header. */
   def readAvro(spark: SparkSession, path: String): DataFrame = {
     val files = listAvroFiles(spark, path)
     val hconf = new SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val avroSchemaStr = {
       val in = new org.apache.avro.mapred.FsInput(
-        new HPath(files.head), hconf.value)
+        new HPath(files.head._1), hconf.value)
       val r = new DataFileReader[GenericRecord](
         in, new GenericDatumReader[GenericRecord]())
       try r.getSchema.toString finally r.close()
     }
     val schema = sparkSchemaOf(new ASchema.Parser().parse(avroSchemaStr))
+    val splitBytes = math.max(1L << 20,
+      spark.sessionState.conf.filesMaxPartitionBytes)
+    // end is the file-bounded range end, never Long.MaxValue —
+    // DataFileReader.pastSync adds SYNC_SIZE to it, which would overflow
+    val splits: Seq[(String, Long, Long)] = files.flatMap { case (f, len) =>
+      if (len <= splitBytes) Seq((f, 0L, len))
+      else (0L until len by splitBytes).map(off =>
+        (f, off, math.min(off + splitBytes, len)))
+    }
     val rdd = spark.sparkContext
-      .parallelize(files, files.size)
-      .flatMap { f =>
+      .parallelize(splits, splits.size)
+      .flatMap { case (f, start, end) =>
         val reader = new DataFileReader[GenericRecord](
           new org.apache.avro.mapred.FsInput(new HPath(f), hconf.value),
           new GenericDatumReader[GenericRecord]())
-        // iterate lazily; close at exhaustion
+        // sync(start) seeks to the first block boundary at/after start;
+        // pastSync(end) stops once the NEXT block starts past the range
+        // — together every block lands in exactly one split
+        reader.sync(start)
         new Iterator[Row] {
           private var closed = false
           override def hasNext: Boolean = {
-            val h = !closed && reader.hasNext
+            val h = !closed && reader.hasNext && !reader.pastSync(end)
             if (!h && !closed) { reader.close(); closed = true }
             h
           }

@@ -292,6 +292,12 @@ private[graft] object DvSidecarCache {
   // which lets a single wide sidecar pin the byte cap arbitrarily high
   private val map =
     new java.util.LinkedHashMap[String, Array[Byte]](64, 0.75f, true)
+  // per-key single-flight: concurrent misses on one sidecar (parallel
+  // CDC planning) share ONE filesystem read instead of racing and
+  // discarding the losers' bytes
+  private val inFlight =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.CompletableFuture[Array[Byte]]]()
 
   private[graft] def currentBytes: Long = map.synchronized(totalBytes)
 
@@ -300,17 +306,27 @@ private[graft] object DvSidecarCache {
     map.synchronized(Option(map.get(key))) match {
       case Some(b) => b
       case None =>
-        val b = DiskDv.readBytes(fs, dataDir, rel)
-        map.synchronized {
-          if (!map.containsKey(key)) { totalBytes += b.length; map.put(key, b) }
-          val it = map.entrySet().iterator()
-          while ((map.size() > MaxEntries || totalBytes > MaxBytes) &&
-            it.hasNext) {
-            totalBytes -= it.next().getValue.length
-            it.remove()
+        val mine = new java.util.concurrent.CompletableFuture[Array[Byte]]()
+        val winner = inFlight.putIfAbsent(key, mine)
+        if (winner != null) return winner.join() // someone else is reading
+        try {
+          val b = DiskDv.readBytes(fs, dataDir, rel)
+          map.synchronized {
+            if (!map.containsKey(key)) {
+              totalBytes += b.length; map.put(key, b)
+            }
+            val it = map.entrySet().iterator()
+            while ((map.size() > MaxEntries || totalBytes > MaxBytes) &&
+              it.hasNext) {
+              totalBytes -= it.next().getValue.length
+              it.remove()
+            }
           }
-        }
-        b
+          mine.complete(b)
+          b
+        } catch {
+          case e: Throwable => mine.completeExceptionally(e); throw e
+        } finally inFlight.remove(key, mine)
     }
   }
 }
