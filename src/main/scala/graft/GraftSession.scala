@@ -467,7 +467,22 @@ final class GraftSession(
     // ANALYZE ... FOR COLUMNS machinery) — so skewed-predicate
     // selectivity estimates follow the data, not uniformity
     val HistBins = 16
-    val histFields = fields.filter(_.dataType.isInstanceOf[NumericType])
+    val histFields = fields.filter(_.dataType match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType =>
+        true
+      case _ => false
+    })
+    // histogram domain must match catalyst's EstimationUtils.toDouble
+    // internal representation: numerics as-is, dates as epoch DAYS,
+    // timestamps as epoch MICROS (NTZ micros equal the LTZ cast's in
+    // the UTC sessions every graft entry point pins)
+    def histCol(f: StructField): org.apache.spark.sql.Column = f.dataType match {
+      case DateType => unix_date(col(f.name)).cast("double")
+      case TimestampType => unix_micros(col(f.name)).cast("double")
+      case TimestampNTZType =>
+        unix_micros(col(f.name).cast("timestamp")).cast("double")
+      case _ => col(f.name).cast("double")
+    }
     val pcts = (0 to HistBins).map(i => i.toDouble / HistBins)
     val aggs = fields.flatMap { f =>
       val c = col(f.name)
@@ -479,7 +494,7 @@ final class GraftSession(
         case _ => Nil
       }) ++ (if (histFields.contains(f)) Seq(
         count(c).cast("long").as(s"cnt__${f.name}"),
-        percentile_approx(c.cast("double"),
+        percentile_approx(histCol(f),
           array(pcts.map(lit): _*), lit(10000)).as(s"pct__${f.name}"))
       else Nil)
     }
@@ -507,12 +522,13 @@ final class GraftSession(
       else {
         import org.apache.spark.sql.catalyst.expressions.aggregate.ApproxCountDistinctForIntervals
         import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal => CLit}
+        val fieldOf = histFields.map(f => f.name -> f).toMap
         val binAggs: Seq[org.apache.spark.sql.Column] =
           endpoints.toSeq.map { case (name, (_, eps)) =>
             org.apache.spark.sql.graftshim.columnOf(
               ApproxCountDistinctForIntervals(
                 org.apache.spark.sql.graftshim.expressionOf(
-                  col(name).cast("double")),
+                  histCol(fieldOf(name))),
                 CreateArray(eps.map(e => CLit(e)
                   : org.apache.spark.sql.catalyst.expressions.Expression)),
                 0.05d).toAggregateExpression()).as(s"ndvs__$name")

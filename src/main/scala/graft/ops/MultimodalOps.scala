@@ -210,9 +210,11 @@ object MultimodalOps {
       case Some(("gif", _, _)) => ("gif", ok(gifPixels(bytes)))
       case Some(("jpeg", _, _)) => ("jpeg", ok(jpegDecode(bytes)))
       case Some(("tiff", _, _)) => ("tiff", ok(tiffPixels(bytes)))
-      // lossless (VP8L) decodes for real; lossy VP8 and animations
-      // triage with true dimensions but quarantine observably
-      case Some(("webp", _, _)) => ("webp", ok(WebpCodec.pixels(bytes)))
+      // lossless stills AND lossless animations decode for real; lossy
+      // VP8 triages with true dimensions but quarantines observably
+      case Some(("webp", _, _)) =>
+        ("webp", ok(WebpCodec.pixels(bytes)) ||
+          ok(WebpCodec.animPixels(bytes)))
       case Some((other, _, _)) => (other, false)
       case None =>
         // audio/video containers: classify by magic, attempt the real

@@ -709,6 +709,114 @@ object WebpCodec {
     }
   }
 
+  /** Composited animation statistics: frame count, canvas dims, total
+    * duration, and the FINAL canvas's channel sums — the state after
+    * every frame rendered with its blend/dispose semantics. */
+  final case class WebpAnim(
+      doc_id: Long, n_frames: Int, width: Int, height: Int,
+      duration_ms: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, sum_a: Long,
+      first_r: Int, first_g: Int, first_b: Int, first_a: Int)
+
+  /** FULL animated-WebP decode (lossless animations): walk the ANMF
+    * frame chunks, decode each frame's VP8L payload, and composite onto
+    * the canvas per RFC 9649 — frame offsets (stored /2), alpha-blend
+    * vs overwrite (B bit), dispose-to-background (D bit), canvas starts
+    * transparent black. Animations with any lossy (VP8) frame
+    * quarantine — same scope rule as the still path. */
+  def animPixels(b: Array[Byte]): Option[WebpAnim] = {
+    if (!isWebp(b)) return None
+    val cs = chunks(b)
+    val vp8x = cs.find(_._1 == "VP8X").getOrElse(return None)
+    if (vp8x._3 < 10 || (u8(b, vp8x._2) & 0x02) == 0) return None
+    val cw = le24(b, vp8x._2 + 4) + 1
+    val ch = le24(b, vp8x._2 + 7) + 1
+    if (cw.toLong * ch > (1L << 24)) return None
+    val frames = cs.filter(_._1 == "ANMF")
+    if (frames.isEmpty) return None
+    val canvas = new Array[Int](cw * ch) // transparent black
+    var totalMs = 0L
+    var prevDisposeRect: Option[(Int, Int, Int, Int)] = None
+    for ((_, at, len) <- frames) {
+      if (len < 16 + 8) return None
+      val fx = le24(b, at) * 2
+      val fy = le24(b, at + 3) * 2
+      val fw = le24(b, at + 6) + 1
+      val fh = le24(b, at + 9) + 1
+      val dur = le24(b, at + 12)
+      val flags = u8(b, at + 15)
+      val blendOverwrite = (flags & 0x02) != 0 // B: 1 = do not blend
+      val dispose = (flags & 0x01) != 0 // D: 1 = dispose to background
+      if (fx + fw > cw || fy + fh > ch) return None
+      // frame payload: sub-chunks after the 16-byte ANMF header
+      var j = at + 16
+      var vp8l: Option[(Int, Int)] = None
+      while (j + 8 <= at + len && vp8l.isEmpty) {
+        val clen = le32(b, j + 4)
+        if (clen < 0 || j + 8 + clen > at + len) return None
+        cc(b, j) match {
+          case "VP8L" => vp8l = Some((j + 8, clen.toInt))
+          case "VP8 " => return None // lossy frame: out of scope
+          case _ => () // ALPH et al — skip
+        }
+        j += 8 + clen.toInt + (clen.toInt & 1)
+      }
+      val (pAt, pLen) = vp8l.getOrElse(return None)
+      val (dw, dh, px) = decodeVp8l(b, pAt, pLen).getOrElse(return None)
+      if (dw != fw || dh != fh) return None
+      // dispose of the PREVIOUS frame happens when advancing to this one
+      prevDisposeRect.foreach { case (dx, dy, dwid, dhei) =>
+        var y = 0
+        while (y < dhei) {
+          java.util.Arrays.fill(canvas, (dy + y) * cw + dx,
+            (dy + y) * cw + dx + dwid, 0)
+          y += 1
+        }
+      }
+      var y = 0
+      while (y < fh) {
+        var x = 0
+        while (x < fw) {
+          val s = px(y * fw + x)
+          val i = (fy + y) * cw + (fx + x)
+          canvas(i) =
+            if (blendOverwrite) s
+            else { // src-over alpha blend (spec fractional arithmetic)
+              val as = s >>> 24
+              if (as == 255) s
+              else if (as == 0) canvas(i)
+              else {
+                val d = canvas(i)
+                val ad = d >>> 24
+                val blendA = as + ad * (255 - as) / 255
+                if (blendA == 0) 0
+                else {
+                  def chn(sc: Int, dc: Int): Int =
+                    (sc * as + dc * ad * (255 - as) / 255) / blendA
+                  (blendA << 24) |
+                    (chn((s >>> 16) & 0xff, (d >>> 16) & 0xff) << 16) |
+                    (chn((s >>> 8) & 0xff, (d >>> 8) & 0xff) << 8) |
+                    chn(s & 0xff, d & 0xff)
+                }
+              }
+            }
+          x += 1
+        }
+        y += 1
+      }
+      prevDisposeRect = if (dispose) Some((fx, fy, fw, fh)) else None
+      totalMs += dur
+    }
+    var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+    canvas.foreach { p =>
+      sa += p >>> 24; sr += (p >>> 16) & 0xff
+      sg += (p >>> 8) & 0xff; sb += p & 0xff
+    }
+    val f = canvas(0)
+    Some(WebpAnim(-1L, frames.length, cw, ch, totalMs, sr, sg, sb, sa,
+      (f >>> 16) & 0xff, (f >>> 8) & 0xff, f & 0xff, f >>> 24))
+  }
+
   /** Decode one VP8L chunk payload → (width, height, ARGB pixels). */
   def decodeVp8l(b: Array[Byte], at: Int, len: Int)
       : Option[(Int, Int, Array[Int])] =
@@ -1218,6 +1326,28 @@ object Vp8lEncoder {
     riff(chunk("VP8X", vp8x), chunk("ANIM", anim), chunk("ANMF", anmf))
   }
 
+  /** One animation frame for [[animMultiFile]]: pixels, canvas offset
+    * (must be even — the format stores offsets halved), duration in ms,
+    * blend-overwrite (B bit) and dispose-to-background (D bit). */
+  final case class AnimFrame(
+      px: Array[Int], w: Int, h: Int, x: Int, y: Int, durMs: Int,
+      overwrite: Boolean, dispose: Boolean)
+
+  /** Multi-frame lossless animation: VP8X(anim) + ANIM + one ANMF per
+    * frame, each carrying a genuine VP8L payload. */
+  def animMultiFile(cw: Int, ch: Int, frames: Seq[AnimFrame]): Array[Byte] = {
+    val vp8x = Array[Byte](0x02, 0, 0, 0) ++ le24b(cw - 1) ++ le24b(ch - 1)
+    val anim = le32b(0) ++ Array[Byte](0, 0)
+    val anmfs = frames.map { f =>
+      require(f.x % 2 == 0 && f.y % 2 == 0, "frame offsets store halved")
+      val flags = (if (f.overwrite) 0x02 else 0) | (if (f.dispose) 1 else 0)
+      val payload = chunk("VP8L", encode(f.px, f.w, f.h, Opts()))
+      chunk("ANMF", le24b(f.x / 2) ++ le24b(f.y / 2) ++ le24b(f.w - 1) ++
+        le24b(f.h - 1) ++ le24b(f.durMs) ++ Array(flags.toByte) ++ payload)
+    }
+    riff((chunk("VP8X", vp8x) +: chunk("ANIM", anim) +: anmfs): _*)
+  }
+
 }
 
 /** Spark-side WebP plumbing: fixture adapters + partition-parallel
@@ -1330,5 +1460,45 @@ object WebpOps {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         WebpCodec.triage(bytes).map(_.copy(doc_id = id))
       })
+  }
+
+  def extractAnim(
+      spark: SparkSession, media: DataFrame): Dataset[WebpCodec.WebpAnim] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        WebpCodec.animPixels(bytes).map(_.copy(doc_id = id))
+      })
+  }
+
+  /** Animation fixture: 2-4 full-canvas lossless frames in overwrite
+    * (no-blend) mode — the final canvas equals the LAST frame's
+    * formula, so the whole multi-frame walk + composition is oracle-
+    * checkable; partial-frame offsets, alpha blending, and disposal
+    * are pinned by WebpSpec against hand-computed canvases. */
+  def asWebpAnimPayload(
+      spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val w = 4 + (docId % 5).toInt
+          val h = 3 + (docId % 4).toInt
+          val n = 2 + (docId % 3).toInt
+          val frames = (0 until n).map { k =>
+            val px = Array.tabulate(w * h) { i =>
+              val x = i % w; val y = i / w
+              val r = ((docId + 7 * x + 13 * y + 29 * k) % 256).toInt
+              val g = ((docId * 3 + 5 * x + 11 * y + 31 * k) % 256).toInt
+              val b = ((docId * 5 + 3 * x + 17 * y + 37 * k) % 256).toInt
+              0xff000000 | (r << 16) | (g << 8) | b
+            }
+            Vp8lEncoder.AnimFrame(px, w, h, 0, 0,
+              40 + 10 * ((docId + k) % 4).toInt,
+              overwrite = true, dispose = false)
+          }
+          (docId, Vp8lEncoder.animMultiFile(w, h, frames))
+        }
+      }.toDF("doc_id", "payload")
   }
 }

@@ -3351,6 +3351,62 @@ object ExtMultimodal extends QueryModule {
             / 1000.0, 6) AS first_luma
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // ANIMATED WebP decode — multi-frame ANMF walk with per-frame VP8L
+    // decode and RFC 9649 canvas composition (offsets, blend/dispose
+    // bits, transparent-black start). The fixture's frames run in
+    // overwrite mode over the full canvas, so the composited result
+    // equals the LAST frame's formula and the oracle checks frame
+    // count, summed durations, and final-canvas channel statistics
+    // exactly; partial-frame offsets/alpha-blend/dispose semantics are
+    // pinned by WebpSpec against hand-computed canvases.
+    QueryDef(
+      "ext_multimodal_webp_anim",
+      (s, dir) => {
+        import s.implicits._
+        val media = WebpOps.asWebpAnimPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        val npx = ($"width" * $"height").cast("double")
+        WebpOps.extractAnim(s, media).toDF()
+          .select($"doc_id", $"n_frames", $"width", $"height",
+            $"duration_ms",
+            round($"sum_r" / npx, 6).as("mean_r"),
+            round($"sum_g" / npx, 6).as("mean_g"),
+            round($"sum_b" / npx, 6).as("mean_b"),
+            round($"sum_a" / npx, 6).as("mean_a"),
+            round(($"first_r" * 299 + $"first_g" * 587 + $"first_b" * 114) /
+              1000.0, 6).as("first_luma"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH par AS (
+          SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+            CAST(3 + doc_id % 4 AS INT) AS h,
+            CAST(2 + doc_id % 3 AS INT) AS n
+          FROM documents),
+        dur AS (
+          SELECT p.doc_id,
+            CAST(sum(40 + 10 * ((p.doc_id + k.k) % 4)) AS BIGINT) AS total
+          FROM par p, unnest(range(0, 4)) AS k(k)
+          WHERE k.k < p.n GROUP BY p.doc_id),
+        px AS (
+          SELECT p.doc_id, p.w, p.h, p.n, x, y,
+            (p.doc_id + 7*x + 13*y + 29*(p.n - 1)) % 256 AS r,
+            (p.doc_id*3 + 5*x + 11*y + 31*(p.n - 1)) % 256 AS g,
+            (p.doc_id*5 + 3*x + 17*y + 37*(p.n - 1)) % 256 AS b
+          FROM par p, unnest(range(0, 8)) AS tx(x), unnest(range(0, 6)) AS ty(y)
+          WHERE x < p.w AND y < p.h)
+        SELECT px.doc_id, n AS n_frames, w AS width, h AS height,
+          d.total AS duration_ms,
+          round(sum(r) / CAST(w*h AS DOUBLE), 6) AS mean_r,
+          round(sum(g) / CAST(w*h AS DOUBLE), 6) AS mean_g,
+          round(sum(b) / CAST(w*h AS DOUBLE), 6) AS mean_b,
+          CAST(255 AS DOUBLE) AS mean_a,
+          round((299*((px.doc_id + 29*(n-1)) % 256) +
+                 587*((px.doc_id*3 + 31*(n-1)) % 256) +
+                 114*((px.doc_id*5 + 37*(n-1)) % 256)) / 1000.0, 6)
+            AS first_luma
+        FROM px JOIN dur d ON px.doc_id = d.doc_id
+        GROUP BY px.doc_id, n, w, h, d.total ORDER BY px.doc_id""")),
+
     // ICO (FAVICON) decode — the web-crawl class: parse the icon
     // directory, select the LARGEST member (by directory dims, not
     // order — the fixture puts it last), unwrap the headerless DIB's

@@ -1,33 +1,20 @@
 package graft
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.AvroOps
 
 /** Avro reader/writer: full type-matrix round trips, nullability, and
   * the sync-marker split path (one fat file → many tasks, exact rows). */
-class AvroSpec extends AnyFunSuite with BeforeAndAfterAll {
+class AvroSpec extends AnyFunSuite {
 
-  private var spark: SparkSession = _
+  // the JVM-shared test session — NEVER stop() it (suites run after us)
+  private lazy val spark = TestSpark.spark
   private val tmp =
     java.nio.file.Files.createTempDirectory("graft_avro_spec").toString
-
-  override def beforeAll(): Unit = {
-    spark = SparkSession.builder()
-      .master("local[4]")
-      .appName("avro-spec")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-  }
-
-  override def afterAll(): Unit = if (spark != null) spark.stop()
 
   test("type matrix round-trips losslessly, including nulls") {
     val schema = StructType(Seq(

@@ -1658,6 +1658,21 @@ class DiskCatalogSpec extends AnyFunSuite {
       // tail key: true ≈ 1; the histogram keeps it small, never ~9000
       val tail = estimate("v = 900")
       assert(tail <= 700, s"tail-key estimate $tail should stay small")
+
+      // DATE columns histogram too (epoch-day domain): the 90%-hot
+      // ingest-date shape every event table has
+      spark.sql("CREATE TABLE gdspec.lake.hist2 (d DATE)")
+      spark.sql("INSERT INTO gdspec.lake.hist2 SELECT " +
+        "CASE WHEN id < 9000 THEN DATE'2024-01-01' " +
+        "ELSE date_add(DATE'2024-01-02', CAST(id % 365 AS INT)) END " +
+        "FROM range(0, 10000, 1, 4)")
+      g.sql("ANALYZE TABLE gdspec.lake.hist2 COMPUTE APPROXIMATE STATISTICS")
+      val hotDate = spark
+        .sql("SELECT * FROM gdspec.lake.hist2 WHERE d = DATE'2024-01-01'")
+        .queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(fail("no CBO row estimate for the date predicate"))
+      assert(hotDate >= 4500 && hotDate <= 18000,
+        s"hot-date estimate $hotDate should be within 2x of the true 9000")
     } finally spark.conf.unset("spark.sql.cbo.enabled")
   }
 
