@@ -3407,6 +3407,34 @@ object ExtMultimodal extends QueryModule {
         FROM px JOIN dur d ON px.doc_id = d.doc_id
         GROUP BY px.doc_id, n, w, h, d.total ORDER BY px.doc_id""")),
 
+    // WARC INGESTION (ISO 28500) — the container web crawls actually
+    // arrive in (Common Crawl ships WARC): record walk with
+    // Content-Length framing, warcinfo/request/response types, and the
+    // per-record-gzip-member layout (odd ids — concatenated deflate
+    // members), then the response record's HTTP message split to the
+    // document body. The body IS the document text, so the oracle
+    // recomputes URI/status/length/md5 with no parser — a framing,
+    // header, or gzip-member bug breaks the hash. This is the corpus
+    // front door feeding the HTML-strip / langid / dedup tier.
+    QueryDef(
+      "ext_text_warc_extract",
+      (s, dir) => {
+        import s.implicits._
+        val media = WarcOps.asWarcPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id", "text")
+        WarcOps.extractDocs(s, media).toDF()
+          .select($"doc_id", $"n_records", $"target_uri", $"http_status",
+            $"content_type", $"body_len", $"body_md5")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, CAST(3 AS INT) AS n_records,
+          'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+          CAST(200 AS INT) AS http_status,
+          'text/html; charset=utf-8' AS content_type,
+          CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+          md5(text) AS body_md5
+        FROM documents ORDER BY doc_id""")),
+
     // ICO (FAVICON) decode — the web-crawl class: parse the icon
     // directory, select the LARGEST member (by directory dims, not
     // order — the fixture puts it last), unwrap the headerless DIB's
