@@ -3435,6 +3435,97 @@ object ExtMultimodal extends QueryModule {
           md5(text) AS body_md5
         FROM documents ORDER BY doc_id""")),
 
+    // URL CURATION — host canonicalization (userinfo/port/www strip),
+    // registrable-domain extraction (two-level heuristic + the common
+    // multi-part ccTLD suffixes), fragment-dropping normalization: the
+    // keys a crawl corpus dedups and rate-buckets on BEFORE content
+    // models run. Pure codegen'd regexp chains (no UDF) that DuckDB
+    // replays verbatim. The fixture synthesizes mixed-case www URLs
+    // over four TLD shapes (incl. co.uk) from the row id.
+    QueryDef(
+      "ext_text_url_curation",
+      (s, dir) => {
+        import s.implicits._
+        val urls = Tables.load(s, dir, "documents").select($"doc_id",
+          concat(lit("HTTPS://WWW.Site"), ($"doc_id" % 50).cast("string"),
+            element_at(array(lit(".com"), lit(".org"), lit(".co.uk"),
+              lit(".de")), ($"doc_id" % 4).cast("int") + 1),
+            lit("/p/"), $"doc_id".cast("string"), lit("?b=2&a=1#frag"))
+            .as("url"))
+        urls.select($"doc_id",
+            UrlOps.normalize($"url").as("url_norm"),
+            UrlOps.host($"url").as("host"),
+            UrlOps.registrableDomain(UrlOps.host($"url")).as("domain"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH u AS (
+          SELECT doc_id,
+            'HTTPS://WWW.Site' || CAST(doc_id % 50 AS VARCHAR) ||
+            CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '.com'
+              WHEN 1 THEN '.org' WHEN 2 THEN '.co.uk' ELSE '.de' END ||
+            '/p/' || CAST(doc_id AS VARCHAR) || '?b=2&a=1#frag' AS url
+          FROM documents),
+        h AS (
+          SELECT doc_id, url,
+            regexp_replace(regexp_replace(regexp_replace(
+              lower(regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+              '^[^@]*@', ''), ':[0-9]+$', ''), '^www\.', '') AS host
+          FROM u)
+        SELECT doc_id,
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            || '://' || host ||
+            regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS url_norm,
+          host,
+          CASE WHEN regexp_matches(host,
+              '\.(co|com|org|net|ac|gov|edu)\.(uk|jp|au|nz|in|za|br|kr)$')
+            THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+            ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+        FROM h ORDER BY doc_id""")),
+
+    // the aggregate twin: per-domain corpus pressure (the rate-bucket /
+    // robots-budget key at crawl scale — one shuffle on the domain key)
+    QueryDef(
+      "ext_text_url_host_stats",
+      (s, dir) => {
+        import s.implicits._
+        val urls = Tables.load(s, dir, "documents").select($"doc_id",
+          concat(lit("HTTPS://WWW.Site"), ($"doc_id" % 50).cast("string"),
+            element_at(array(lit(".com"), lit(".org"), lit(".co.uk"),
+              lit(".de")), ($"doc_id" % 4).cast("int") + 1),
+            lit("/p/"), $"doc_id".cast("string"), lit("?b=2&a=1#frag"))
+            .as("url"))
+        urls.select(
+            UrlOps.registrableDomain(UrlOps.host($"url")).as("domain"),
+            UrlOps.host($"url").as("host"))
+          .groupBy($"domain")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"host").cast("long").as("n_hosts"))
+          .orderBy($"domain")
+      },
+      Some("""WITH u AS (
+          SELECT doc_id,
+            'HTTPS://WWW.Site' || CAST(doc_id % 50 AS VARCHAR) ||
+            CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '.com'
+              WHEN 1 THEN '.org' WHEN 2 THEN '.co.uk' ELSE '.de' END ||
+            '/p/' || CAST(doc_id AS VARCHAR) || '?b=2&a=1#frag' AS url
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(
+              lower(regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+              '^[^@]*@', ''), ':[0-9]+$', ''), '^www\.', '') AS host
+          FROM u)
+        SELECT CASE WHEN regexp_matches(host,
+              '\.(co|com|org|net|ac|gov|edu)\.(uk|jp|au|nz|in|za|br|kr)$')
+            THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+            ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        FROM h GROUP BY 1 ORDER BY domain""")),
+
     // ICO (FAVICON) decode — the web-crawl class: parse the icon
     // directory, select the LARGEST member (by directory dims, not
     // order — the fixture puts it last), unwrap the headerless DIB's
