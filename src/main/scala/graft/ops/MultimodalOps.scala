@@ -221,6 +221,13 @@ object MultimodalOps {
         // parser/decoder (a recognized-but-out-of-scope variant — e.g. a
         // non-16-bit WAV — lands as a format-tagged quarantine)
         if (cc(0, "RIFF") && cc(8, "WAVE")) ("wav", ok(wavPcm(bytes)))
+        // ISO-BMFF image brands (AVIF/HEIC — the #4/#5 web formats)
+        // dispatch BEFORE the video arm: they carry ftyp too, and
+        // mis-tagging them "mp4" hides the class from the ledger. Their
+        // dimensions triage (ispe); AV1/HEVC payload decode is out of
+        // scope and quarantines observably.
+        else if (cc(4, "ftyp") && avifHeicBrand(bytes).isDefined)
+          (avifHeicBrand(bytes).get, false)
         else if (cc(4, "ftyp")) ("mp4", ok(mp4Meta(bytes)))
         // decoded = FULL frame decode (CRC-verified); a STREAMINFO that
         // triages but whose frames don't decode is a quarantine now
@@ -699,6 +706,126 @@ object MultimodalOps {
         Some(VideoMeta(-1L, br, ts, d.toDouble / ts * 1000.0, w, h, m))
       case _ => None
     }
+  }
+
+  /** ISO-BMFF still-image brand of an ftyp file: "avif" or "heic"
+    * (None → not an image brand; the mp4 arm proceeds). Compatible
+    * brands are checked too — a `mif1`-major file with avif in its
+    * compatible list is an AVIF in the wild. */
+  def avifHeicBrand(b: Array[Byte]): Option[String] = {
+    def u8(i: Int) = b(i) & 0xff
+    def cc(i: Int) = new String(b, i, 4, "US-ASCII")
+    if (b.length < 16 || cc(4) != "ftyp") return None
+    val size = ((u8(0) << 24) | (u8(1) << 16) | (u8(2) << 8) | u8(3))
+    if (size < 16 || size > b.length) return None
+    def kind(brand: String): Option[String] = brand match {
+      case "avif" | "avis" => Some("avif")
+      case "heic" | "heix" | "hevc" | "heim" | "heis" => Some("heic")
+      case _ => None
+    }
+    kind(cc(8)).orElse {
+      // compatible brand list: 4CCs from offset 16 to the box end
+      (16 until (size - 3) by 4).iterator.flatMap(i => kind(cc(i)))
+        .nextOption()
+    }
+  }
+
+  /** Typed AVIF/HEIC triage row: brand + ispe dimensions. */
+  final case class BmffImageMeta(
+      doc_id: Long, format: String, width: Int, height: Int)
+
+  /** AVIF/HEIC dimension triage: walk `meta` (a FullBox — 4 bytes of
+    * version/flags after the header) → `iprp` → `ipco` → first `ispe`
+    * (image spatial extents: BE32 width, height after its own FullBox
+    * bytes). Handles 64-bit largesize boxes like the MP4 walkers. */
+  def avifHeicMeta(b: Array[Byte]): Option[BmffImageMeta] = {
+    val fmt = avifHeicBrand(b).getOrElse(return None)
+    def u8(i: Int) = b(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def cc(i: Int) = new String(b, i, 4, "US-ASCII")
+    var res: Option[(Int, Int)] = None
+    // fullBoxSkip: meta is a FullBox; plain containers (iprp/ipco) not
+    def walk(from: Long, until: Long, depth: Int): Boolean = {
+      var i = from
+      while (i + 8 <= until && res.isEmpty) {
+        val at = i.toInt
+        val raw = be32(at)
+        val id = cc(at + 4)
+        val hdr = if (raw == 1) 16L else 8L
+        val size =
+          if (raw == 1) { if (i + 16 > until) return false; be64(at + 8) }
+          else if (raw == 0) until - i
+          else raw
+        if (size < hdr || i + size > until) return false
+        id match {
+          case "meta" if depth == 0 && size >= hdr + 4 =>
+            if (!walk(i + hdr + 4, i + size, 1)) return false
+          case "iprp" | "ipco" if depth >= 1 && depth < 4 =>
+            if (!walk(i + hdr, i + size, depth + 1)) return false
+          case "ispe" if size >= hdr + 12 =>
+            val w = be32((i + hdr + 4).toInt).toInt
+            val h = be32((i + hdr + 8).toInt).toInt
+            if (w > 0 && h > 0) res = Some((w, h))
+          case _ => ()
+        }
+        i += size
+      }
+      true
+    }
+    if (!walk(0L, b.length.toLong, 0)) return None
+    res.map { case (w, h) => BmffImageMeta(-1L, fmt, w, h) }
+  }
+
+  /** Partition-parallel AVIF/HEIC triage. */
+  def extractBmffImages(
+      spark: SparkSession, media: DataFrame): Dataset[BmffImageMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        avifHeicMeta(bytes).map(_.copy(doc_id = id))
+      })
+  }
+
+  /** Fixture: minimal REAL AVIF/HEIC shells — ftyp(brand) + meta(hdlr
+    * 'pict' + iprp(ipco(ispe))) + a stub mdat; dims from the row id.
+    * Even ids AVIF, odd HEIC; every third file hides the image brand in
+    * the COMPATIBLE list behind a mif1 major (the wild layout). */
+  def asAvifHeicPayload(
+      spark: SparkSession, df: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id")).as[Long]
+      .mapPartitions(_.map { docId =>
+        def box(tp: String, body: Array[Byte]): Array[Byte] = {
+          val buf = java.nio.ByteBuffer.allocate(8 + body.length)
+          buf.putInt(8 + body.length)
+          buf.put(tp.getBytes("US-ASCII"))
+          buf.put(body)
+          buf.array()
+        }
+        val brand = if (docId % 2 == 0) "avif" else "heic"
+        val viaCompat = docId % 3 == 0
+        val ftyp =
+          if (viaCompat)
+            box("ftyp", "mif1".getBytes ++ Array[Byte](0, 0, 0, 0) ++
+              "mif1".getBytes ++ brand.getBytes)
+          else box("ftyp", brand.getBytes ++ Array[Byte](0, 0, 0, 0) ++
+            "mif1".getBytes)
+        val w = 64 + (docId % 1000).toInt
+        val h = 48 + (docId % 800).toInt
+        val ispe = {
+          val buf = java.nio.ByteBuffer.allocate(12)
+          buf.putInt(0) // FullBox version/flags
+          buf.putInt(w); buf.putInt(h)
+          box("ispe", buf.array())
+        }
+        val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++
+          "pict".getBytes ++ new Array[Byte](12))
+        val meta = box("meta", Array[Byte](0, 0, 0, 0) ++ hdlr ++
+          box("iprp", box("ipco", ispe)))
+        (docId, ftyp ++ meta ++ box("mdat", s"x$docId".getBytes))
+      }).toDF("doc_id", "payload")
   }
 
   /** Fixture adapter (the video sibling of [[asWavPayload]]): wrap a text

@@ -3435,6 +3435,29 @@ object ExtMultimodal extends QueryModule {
           md5(text) AS body_md5
         FROM documents ORDER BY doc_id""")),
 
+    // AVIF/HEIC TRIAGE — the #4/#5 web image formats (ISO-BMFF
+    // brands): ftyp brand dispatch incl. the compatible-brand list
+    // behind a mif1 major (the wild layout), then the meta→iprp→ipco→
+    // ispe walk to true pixel dimensions. AV1/HEVC payload decode is
+    // documented out of scope (a DCT codec, not exactly
+    // oracle-checkable) — these classify + dimension-triage and land
+    // in the ledger's quarantine lane rather than mis-tagging as mp4.
+    QueryDef(
+      "ext_multimodal_avif_heic",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.asAvifHeicPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        MultimodalOps.extractBmffImages(s, media).toDF()
+          .select($"doc_id", $"format", $"width", $"height")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END AS format,
+          CAST(64 + doc_id % 1000 AS INT) AS width,
+          CAST(48 + doc_id % 800 AS INT) AS height
+        FROM documents ORDER BY doc_id""")),
+
     // URL CURATION — host canonicalization (userinfo/port/www strip),
     // registrable-domain extraction (two-level heuristic + the common
     // multi-part ccTLD suffixes), fragment-dropping normalization: the

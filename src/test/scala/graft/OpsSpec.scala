@@ -1041,6 +1041,33 @@ class OpsSpec extends AnyFunSuite {
       "scaling-matrix SPS must quarantine")
   }
 
+  test("avif/heic triage: brand dispatch, ispe walk, classify, negatives") {
+    import graft.ops.MultimodalOps
+    val media = MultimodalOps.asAvifHeicPayload(spark, docs.limit(24), "doc_id")
+    media.collect().foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val m = MultimodalOps.avifHeicMeta(bytes)
+        .getOrElse(fail(s"doc $id triage failed"))
+      assert(m.format == (if (id % 2 == 0) "avif" else "heic"))
+      assert((m.width, m.height) ==
+        ((64 + (id % 1000).toInt, 48 + (id % 800).toInt)))
+      // the ledger tags the IMAGE brand (quarantined — no AV1/HEVC
+      // decode), never mp4
+      assert(MultimodalOps.decodeStatusOf(bytes) == ((m.format, false)))
+      // truncation sweep never throws
+      for (cut <- 0 until bytes.length by 9)
+        MultimodalOps.avifHeicMeta(bytes.take(cut))
+    }
+    // a genuine MP4 still routes to the video arm
+    val mp4 = MultimodalOps.asMp4Payload(spark, docs.limit(2), "doc_id", "text")
+      .collect()(0).getAs[Array[Byte]](1)
+    assert(MultimodalOps.decodeStatusOf(mp4) == (("mp4", true)))
+    // missing ispe → None (classify still tags the brand)
+    val noIspe = media.collect()(0).getAs[Array[Byte]](1).take(24) // ftyp only
+    assert(MultimodalOps.avifHeicMeta(noIspe).isEmpty)
+  }
+
   test("flac/mp3 triage: packed-field parse, classify branches, negatives") {
     import graft.ops.MultimodalOps
     val flac = MultimodalOps.asFlacPayload(spark, docs.limit(12), "doc_id")
