@@ -129,6 +129,28 @@ object SourcesCatalog extends QueryModule {
         WHERE n_regionkey = 2 ORDER BY n_nationkey""")),
 
     QueryDef(
+      "src_read_jsonl_zst",
+      (s, dir) => {
+        import s.implicits._
+        // the .jsonl.zst shard layout LLM corpora distribute in — write
+        // through OUR zstd sink (one shard per partition), read back
+        // through the shard-parallel decompressing reader + Spark's
+        // JSON parser; the oracle against the source table proves the
+        // whole loop lossless (order, types, text fidelity)
+        val src = s.read.parquet(s"$dir/documents.parquet")
+          .select($"doc_id", $"lang", $"n_chars", $"text")
+          .filter($"doc_id" < 300)
+        val path = s"$fixturesDir/docs_jsonl_zst"
+        graft.sources.ZstText.writeJsonlZst(src.repartition(4), path)
+        graft.sources.ZstText.readJsonl(s, path)
+          .select($"doc_id".cast("long").as("doc_id"), $"lang",
+            $"n_chars".cast("long").as("n_chars"), $"text")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars, text FROM documents
+        WHERE doc_id < 300 ORDER BY doc_id""")),
+
+    QueryDef(
       "src_read_csv_tvf",
       (s, dir) => {
         val g = new GraftSession(s)

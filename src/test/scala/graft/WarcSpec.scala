@@ -40,6 +40,39 @@ class WarcSpec extends AnyFunSuite {
       "framing must come from Content-Length, not separator scanning")
   }
 
+  test("zst/gz shard readers: both compressors, line fidelity, sink loop") {
+    import graft.sources.ZstText
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zst").toString
+    // hand-write one .zst and one .gz shard with known lines
+    val zstF = new java.io.File(s"$tmp/a.jsonl.zst")
+    val z = new com.github.luben.zstd.ZstdOutputStream(
+      new java.io.FileOutputStream(zstF), 3)
+    z.write("{\"k\":1,\"v\":\"uno\"}\n{\"k\":2,\"v\":\"dos\"}\n".getBytes("UTF-8"))
+    z.close()
+    val gzF = new java.io.File(s"$tmp/b.jsonl.gz")
+    val g = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(gzF))
+    g.write("{\"k\":3,\"v\":\"trés\"}\n".getBytes("UTF-8"))
+    g.close()
+    val lines = ZstText.readLines(spark, tmp).collect()
+    assert(lines.length == 3)
+    assert(lines.count(_._1.endsWith(".zst")) == 2)
+    val df = ZstText.readJsonl(spark, tmp).orderBy("k").collect()
+    assert(df.map(_.getAs[String]("v")).toSeq == Seq("uno", "dos", "trés"),
+      "UTF-8 content survives both decompressors")
+    // sink loop: write shards from a DataFrame, read back exactly
+    import spark.implicits._
+    val src = spark.range(500).select($"id",
+      md5($"id".cast("string")).as("h"))
+    ZstText.writeJsonlZst(src.repartition(3), s"$tmp/out")
+    val back = ZstText.readJsonl(spark, s"$tmp/out")
+    assert(back.count() == 500)
+    assert(back.agg(sum($"id".cast("long"))).head().getLong(0) ==
+      500L * 499 / 2)
+    assert(new java.io.File(s"$tmp/out/_SUCCESS").exists())
+  }
+
   test("malformed tails quarantine per record, prefix records survive") {
     val full = fixture(6L, "abcdef")
     // truncate inside the LAST record: the first two still parse
