@@ -303,9 +303,15 @@ object AvroOps {
           }
           override def next(): Row = {
             val rec = reader.next()
-            Row.fromSeq(schema.fields.map(fl => toRowValue(
-              rec.get(fl.name), fl.dataType,
-              rec.getSchema.getField(fl.name).schema())))
+            // fields absent from a shard's writer schema read as null
+            // (schema-evolution tolerance), never an NPE mid-task
+            Row.fromSeq(schema.fields.map { fl =>
+              Option(rec.getSchema.getField(fl.name)) match {
+                case Some(f) =>
+                  toRowValue(rec.get(fl.name), fl.dataType, f.schema())
+                case None => null
+              }
+            })
           }
         }
       }
