@@ -158,6 +158,20 @@ object WarcOps {
       }
   }
 
+  /** Response bodies as text — the handoff row the cleaning tier
+    * consumes (doc_id, UTF-8 body). */
+  def extractBodies(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseWarc(bytes).find(_.recType.equalsIgnoreCase("response"))
+          .flatMap(r => httpResponse(r.payload))
+          .map { case (_, _, body) =>
+            (id, new String(body, java.nio.charset.StandardCharsets.UTF_8))
+          }
+      }).toDF("doc_id", "body")
+  }
+
   /** Fixture: REAL WARC files — warcinfo + request + response records
     * with spec-exact framing; odd ids additionally gzip EACH record as
     * its own member and concatenate (the Common Crawl layout), so the

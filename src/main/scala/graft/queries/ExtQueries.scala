@@ -3435,6 +3435,54 @@ object ExtMultimodal extends QueryModule {
           md5(text) AS body_md5
         FROM documents ORDER BY doc_id""")),
 
+    // WARC → CLEAN COMPOSITION — the front door feeding the cleaning
+    // tier end to end in ONE plan: crawl files (gzip-member lane
+    // included) → record walk → HTTP body → the RE2 HTML-strip chain →
+    // the minimum-length quality gate. The oracle replays the identical
+    // pipeline in SQL (HTML wrap, strip passes in the spec'd order,
+    // WHERE gate), so container framing, transfer decode, strip, and
+    // gate semantics are all under one hash. Per-row codegen after the
+    // per-partition byte walk; zero shuffle.
+    QueryDef(
+      "pl_warc_ingest_clean",
+      (s, dir) => {
+        import s.implicits._
+        val pre = "<html><head><style>p{color:red}</style></head>" +
+          "<body><h1>Title</h1><p class=\"x\">"
+        val post = "</p><script>var x = \"<b>\";</script>" +
+          "<p>&amp; tail &lt;ok&gt;&nbsp;&#39;q&#39;</p></body></html>"
+        val staged = Tables.load(s, dir, "documents")
+          .select($"doc_id", concat(lit(pre), $"text", lit(post)).as("text"))
+        val media = WarcOps.asWarcPayload(s, staged, "doc_id", "text")
+        WarcOps.extractBodies(s, media)
+          .select($"doc_id", TextOps.stripHtml($"body").as("clean"))
+          .filter(length($"clean") >= 60)
+          .select($"doc_id", length($"clean").as("n_clean"),
+            md5($"clean".cast("binary")).as("clean_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id,
+            '<html><head><style>p{color:red}</style></head><body><h1>Title</h1><p class="x">'
+              || text ||
+            '</p><script>var x = "<b>";</script><p>&amp; tail &lt;ok&gt;&nbsp;&#39;q&#39;</p></body></html>'
+              AS x
+          FROM documents),
+        s0 AS (SELECT doc_id,
+          regexp_replace(x, '<script[^>]*>.*?</script>', ' ', 'gis') AS x FROM h),
+        s1 AS (SELECT doc_id,
+          regexp_replace(x, '<style[^>]*>.*?</style>', ' ', 'gis') AS x FROM s0),
+        s2 AS (SELECT doc_id, regexp_replace(x, '<[^>]+>', ' ', 'g') AS x FROM s1),
+        s3 AS (SELECT doc_id, regexp_replace(x, '&nbsp;', ' ', 'g') AS x FROM s2),
+        s4 AS (SELECT doc_id, regexp_replace(x, '&lt;', '<', 'g') AS x FROM s3),
+        s5 AS (SELECT doc_id, regexp_replace(x, '&gt;', '>', 'g') AS x FROM s4),
+        s6 AS (SELECT doc_id, regexp_replace(x, '&quot;', '"', 'g') AS x FROM s5),
+        s7 AS (SELECT doc_id, regexp_replace(x, '&#39;|&apos;', '''', 'g') AS x FROM s6),
+        s8 AS (SELECT doc_id, regexp_replace(x, '&amp;', '&', 'g') AS x FROM s7),
+        s9 AS (SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS x FROM s8)
+        SELECT doc_id, CAST(length(x) AS INTEGER) AS n_clean, md5(x) AS clean_md5
+        FROM s9 WHERE length(x) >= 60 ORDER BY doc_id""")),
+
     // AVIF/HEIC TRIAGE — the #4/#5 web image formats (ISO-BMFF
     // brands): ftyp brand dispatch incl. the compatible-brand list
     // behind a mif1 major (the wild layout), then the meta→iprp→ipco→
