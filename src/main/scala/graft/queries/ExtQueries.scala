@@ -3483,6 +3483,37 @@ object ExtMultimodal extends QueryModule {
         SELECT doc_id, CAST(length(x) AS INTEGER) AS n_clean, md5(x) AS clean_md5
         FROM s9 WHERE length(x) >= 60 ORDER BY doc_id""")),
 
+    // ROBOTS.TXT EVALUATION (RFC 9309) — the third crawl-curation leg:
+    // a corpus re-checks robots BEFORE training (pages fetched years
+    // ago may since be disallowed). Real group parsing (stacked
+    // User-agent lines, named-group precedence over *, comments,
+    // crawl-delay, sitemaps) and the spec's longest-match rule with
+    // Allow winning ties, `*` wildcards and `$` anchors. The fixture's
+    // decisions vary per doc (the /tmp3 probe flips on doc_id % 5), so
+    // the oracle pins the evaluator, not a constant.
+    QueryDef(
+      "ext_text_robots_eval",
+      (s, dir) => {
+        import s.implicits._
+        val files = RobotsOps.asRobotsPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        RobotsOps.extractDecisions(s, files).toDF()
+          .select($"doc_id", $"crawl_delay", $"n_rules", $"n_sitemaps",
+            $"private_blocked", $"private_ok_allowed", $"tmp_blocked",
+            $"pub_allowed", $"anchored_blocked", $"anchored_suffix_allowed")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+          CAST(doc_id % 10 AS DOUBLE) AS crawl_delay,
+          CAST(4 AS INT) AS n_rules, CAST(1 AS INT) AS n_sitemaps,
+          true AS private_blocked,
+          true AS private_ok_allowed,
+          doc_id % 5 = 3 AS tmp_blocked,
+          true AS pub_allowed,
+          true AS anchored_blocked,
+          true AS anchored_suffix_allowed
+        FROM documents ORDER BY doc_id""")),
+
     // AVIF/HEIC TRIAGE — the #4/#5 web image formats (ISO-BMFF
     // brands): ftyp brand dispatch incl. the compatible-brand list
     // behind a mif1 major (the wild layout), then the meta→iprp→ipco→

@@ -34,4 +34,46 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(one("https://localhost/x")._2 == "localhost")
     assert(one("not a url")._1 == "://") // empty extracts, no exception
   }
+
+  test("robots: group selection, longest-match, anchors, malformed lines") {
+    import graft.ops.RobotsOps
+    val r = RobotsOps.parse(
+      """User-agent: Googlebot
+        |User-agent: graftbot
+        |Disallow: /a
+        |Allow: /a/b
+        |
+        |User-agent: graftbot-images
+        |Disallow: /
+        |
+        |User-agent: *
+        |Disallow: /everything
+        |nonsense line without colon value?
+        |: empty key
+        |Crawl-delay: not-a-number
+        |""".stripMargin)
+    // longest agent-token match wins: graftbot-images over graftbot
+    val gi = RobotsOps.groupFor(r, "GraftBot-Images/2.0").get
+    assert(gi.rules == Seq(RobotsOps.RobotsRule(allow = false, "/")))
+    val gb = RobotsOps.groupFor(r, "graftbot/1.0").get
+    assert(gb.rules.size == 2)
+    assert(!RobotsOps.decide(gb, "/a/x"))
+    assert(RobotsOps.decide(gb, "/a/b/x"), "longer Allow wins")
+    assert(RobotsOps.decide(gb, "/other"))
+    // unknown agent falls to *
+    val star = RobotsOps.groupFor(r, "randombot").get
+    assert(!RobotsOps.decide(star, "/everything/else"))
+    // wildcard + anchor semantics
+    val g2 = RobotsOps.parse(
+      "User-agent: *\nDisallow: /*.pdf$\nDisallow: /x*y\n")
+      .groups.head
+    assert(!RobotsOps.decide(g2, "/docs/file.pdf"))
+    assert(RobotsOps.decide(g2, "/docs/file.pdfx"), "$ anchors the end")
+    assert(!RobotsOps.decide(g2, "/x123y"))
+    assert(RobotsOps.decide(g2, "/x123z"))
+    // empty Disallow means allow-all; empty file means allow-all
+    val g3 = RobotsOps.parse("User-agent: *\nDisallow:\n").groups.head
+    assert(RobotsOps.decide(g3, "/anything"))
+    assert(RobotsOps.parse("").groups.isEmpty)
+  }
 }
