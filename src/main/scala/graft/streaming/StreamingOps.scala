@@ -698,6 +698,49 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming twin of the WARC→clean batch pipeline
+    * ([[graft.ops.WarcOps]] + the RE2 strip chain + the length gate):
+    * crawl segments land as FILES, so the unbounded form tails a
+    * directory through Spark's binaryFile source — admission control
+    * (maxFilesPerTrigger/maxBytesPerTrigger) composes at the source
+    * the usual way. Per-file byte decode inside the micro-batch task;
+    * stateless thereafter, so outputs append exactly like the batch
+    * rows (parity pinned by WarcSpec). */
+  def warcIngestStream(
+      spark: SparkSession, path: String,
+      minChars: Int = 60): DataFrame = {
+    import spark.implicits._
+    // binaryFile's fixed schema must be stated explicitly for streams
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField => SF, StructType => ST, TimestampType}
+    val binarySchema = ST(Seq(
+      SF("path", StringType),
+      SF("modificationTime", TimestampType),
+      SF("length", LongType),
+      SF("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.warc")
+      .schema(binarySchema)
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) =>
+        graft.ops.WarcOps.parseWarc(bytes)
+          .filter(_.recType.equalsIgnoreCase("response"))
+          .flatMap { r =>
+            graft.ops.WarcOps.httpResponse(r.payload).map {
+              case (status, _, body) =>
+                (r.targetUri, status,
+                  new String(body, java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+      }.toDF("uri", "status", "body")
+      .withColumn("clean", graft.ops.TextOps.stripHtml(col("body")))
+      .filter(length(col("clean")) >= minChars)
+      .select(col("uri"), col("status"),
+        length(col("clean")).as("n_clean"),
+        md5(col("clean").cast("binary")).as("clean_md5"))
+  }
+
   def runToCompletion(
       spark: SparkSession, df: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {

@@ -73,6 +73,50 @@ class WarcSpec extends AnyFunSuite {
     assert(new java.io.File(s"$tmp/out/_SUCCESS").exists())
   }
 
+  test("streaming twin: binaryFile WARC tail matches the batch pipeline") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.WarcOps
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_stream").toString
+    // 30 docs wrapped in the HTML shell, one .warc FILE each (half the
+    // ids take the gzip-member lane via the fixture's odd-id rule)
+    val pre = "<html><body><p>"
+    val post = "</p><script>x</script></html>"
+    val staged = spark.range(30).select($"id".as("doc_id"),
+      concat(lit(pre), lit("text for doc "), $"id".cast("string"),
+        lit(" lorem ipsum dolor sit amet consectetur adipiscing elit"),
+        lit(post)).as("text"))
+    val payloads = WarcOps.asWarcPayload(spark, staged, "doc_id", "text")
+      .collect()
+    payloads.foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"seg-${r.getLong(0)}.warc"),
+        r.getAs[Array[Byte]](1))
+    }
+    val streamed = StreamingOps.runToCompletion(spark,
+      StreamingOps.warcIngestStream(spark, dir),
+      "warc_stream_parity", mode = "append")
+      .select("uri", "status", "n_clean", "clean_md5")
+      .collect().map(_.toSeq).toSet
+    val media = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(payloads.toSeq).asJava,
+      payloads.head.schema)
+    val batch = WarcOps.extractBodies(spark, media)
+      .select($"doc_id",
+        graft.ops.TextOps.stripHtml($"body").as("clean"))
+      .filter(length($"clean") >= 60)
+      .join(media.select($"doc_id"), "doc_id")
+      .select(
+        concat(lit("https://example.com/doc/"), $"doc_id".cast("string"))
+          .as("uri"),
+        lit(200).as("status"), length($"clean").as("n_clean"),
+        md5($"clean".cast("binary")).as("clean_md5"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty, "the gate must admit the long docs")
+    assert(streamed == batch, "stream and batch pipelines must agree")
+  }
+
   test("malformed tails quarantine per record, prefix records survive") {
     val full = fixture(6L, "abcdef")
     // truncate inside the LAST record: the first two still parse
