@@ -34,7 +34,7 @@ object FlacCodec {
   }
 
   /** MSB-first bit reader (FLAC is big-endian bit-packed). */
-  private final class Br(b: Array[Byte], var bytePos: Int, val end: Int) {
+  private[graft] final class Br(b: Array[Byte], var bytePos: Int, val end: Int) {
     var bitPos = 0
     def bits(n: Int): Int = {
       var v = 0
@@ -63,6 +63,9 @@ object FlacCodec {
     def signed(n: Int): Int = {
       val v = bits(n)
       if (n == 0) 0
+      // n == 32: the 32-bit read already IS the two's-complement value
+      // (1 << 32 == 1 in Int arithmetic would mis-decode it)
+      else if (n == 32) v
       else if ((v & (1 << (n - 1))) != 0) v - (1 << n)
       else v
     }
@@ -278,6 +281,10 @@ object FlacCodec {
           nCh = r.bits(3) + 1
           bps = r.bits(5) + 1
           total = r.bitsLong(36)
+          // STREAMINFO total-samples == 0 means UNKNOWN (RFC 9639), not
+          // an exact zero-frame count: decode until EOF like the
+          // unknown (-1) lane instead of "succeeding" with 0 samples
+          if (total == 0) total = -1L
           seenInfo = true
         }
         i += 4 + len

@@ -66,15 +66,33 @@ object RobotsOps {
     Robots(groups.result(), sitemaps.result())
   }
 
-  /** Group selection: the group whose agent token is the LONGEST
-    * prefix-of/substring match for `agent` wins; `*` is the fallback. */
+  /** Group selection per RFC 9309 §2.2.1: the most specific matching
+    * agent token (longest substring match) picks the tier, and ALL
+    * groups carrying a token at that tier are MERGED — real robots.txt
+    * files routinely repeat `User-agent` lines (separate Allow and
+    * Disallow blocks) and the spec says rules from groups matching the
+    * same user-agent combine. Rules concatenate (decide() then applies
+    * longest-match over the union), crawl-delay takes the minimum of
+    * the declared delays. `*` groups (all of them, merged) are the
+    * fallback when no named token matches. */
   def groupFor(r: Robots, agent: String): Option[RobotsGroup] = {
     val a = agent.toLowerCase
     val named = r.groups
       .flatMap(g => g.agents.filter(t => t != "*" && a.contains(t))
         .map(t => (t.length, g)))
-    if (named.nonEmpty) Some(named.maxBy(_._1)._2)
-    else r.groups.find(_.agents.contains("*"))
+    val tier =
+      if (named.nonEmpty) {
+        val best = named.map(_._1).max
+        named.collect { case (len, g) if len == best => g }.distinct
+      } else r.groups.filter(_.agents.contains("*"))
+    if (tier.isEmpty) None
+    else Some(RobotsGroup(
+      tier.flatMap(_.agents).distinct,
+      tier.flatMap(_.rules),
+      tier.flatMap(_.crawlDelay) match {
+        case Seq() => None
+        case ds => Some(ds.min)
+      }))
   }
 
   /** Path pattern match: anchored at the path start, `*` wildcards,
@@ -137,6 +155,67 @@ object RobotsOps {
           anchored_blocked = !decide(g, "/exact"),
           anchored_suffix_allowed = decide(g, "/exactly"))
       })
+  }
+
+  /** The composed crawl-curation gate — the real thing the three legs
+    * exist for: per-document URI → (host, path) with codegen'd
+    * extraction, the per-HOST robots.txt joined in by BROADCAST (a
+    * robots table is tiny next to a crawl — a few MB for millions of
+    * hosts), then the RFC 9309 longest-match verdict per (host, path).
+    * The robots file is parsed ONCE per host per task (memoized), not
+    * once per document; the doc side never shuffles for the join.
+    * Output: (doc_id, host, path, allowed, crawl_delay). */
+  def curationGate(
+      spark: SparkSession, docs: DataFrame, robots: DataFrame,
+      agent: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val withKeys = docs
+      .withColumn("host", UrlOps.host(col("uri")))
+      .withColumn("path", regexp_extract(col("uri"),
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+      .join(broadcast(robots), Seq("host"), "left")
+    withKeys
+      .select(col("doc_id").cast("long"), col("host"), col("path"),
+        col("robots_txt"))
+      .as[(Long, String, String, String)]
+      .mapPartitions { rows =>
+        val memo =
+          scala.collection.mutable.HashMap.empty[String, Option[RobotsGroup]]
+        rows.map { case (id, h, rawPath, robotsTxt) =>
+          val g = memo.getOrElseUpdate(h,
+            Option(robotsTxt).flatMap(t => groupFor(parse(t), agent)))
+          val path = if (rawPath == null || rawPath.isEmpty) "/" else rawPath
+          // no robots file for the host → allowed (RFC 9309 §2.3.1)
+          val allowed = g.forall(decide(_, path))
+          (id, h, path, allowed,
+            g.flatMap(_.crawlDelay).getOrElse(0.0))
+        }
+      }.toDF("doc_id", "host", "path", "allowed", "crawl_delay")
+  }
+
+  /** Curation fixture: one robots.txt per host `host{k}.example.com`
+    * (k = 0..16) in the REAL-WORLD repeated-group shape — the same
+    * agent named twice (a Disallow block, present only for even k, and
+    * a separate Allow + Crawl-delay block), plus a `*` group that
+    * disallows everything (so a selector that wrongly falls through to
+    * `*`, or merges tiers, blocks every path and breaks the oracle). */
+  def curationRobotsFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until 17).map { k =>
+      val disallowBlock =
+        if (k % 2 == 0) "User-agent: graftbot\nDisallow: /private\n\n"
+        else ""
+      val content = disallowBlock +
+        s"""User-agent: graftbot
+           |Allow: /private/ok
+           |Crawl-delay: ${k % 10}
+           |
+           |User-agent: *
+           |Disallow: /
+           |""".stripMargin
+      (s"host$k.example.com", content)
+    }.toDF("host", "robots_txt")
   }
 
   /** Fixture robots.txt from the row id: a `*` group with nested

@@ -3514,6 +3514,74 @@ object ExtMultimodal extends QueryModule {
           true AS anchored_suffix_allowed
         FROM documents ORDER BY doc_id""")),
 
+    // WARC QUARANTINE LEDGER — drops must be observable rows, never
+    // silent zero-record files: two deterministic fault lanes
+    // (doc_id%7==0 truncates the response gzip MEMBER mid-deflate;
+    // doc_id%7==3 declares an over-cap Content-Length whose payload is
+    // streamed past, not buffered) against the clean majority. The
+    // oracle recomputes every ledger column from the lane formulas, so
+    // a parser that either drops whole files on a bad member or stops
+    // surfacing the drop breaks the hash. Prior members of a truncated
+    // file must still parse (n_ok_records=2, not 0).
+    QueryDef(
+      "ext_text_warc_quarantine",
+      (s, dir) => {
+        import s.implicits._
+        val media = WarcOps.asWarcPayloadFaulty(
+          s, Tables.load(s, dir, "documents"), "doc_id", "text")
+        WarcOps.extractLedger(s, media).toDF()
+          .select($"doc_id", $"n_ok_records",
+            $"quarantined", $"first_reason", $"target_uri", $"body_len")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+          CAST(CASE WHEN doc_id % 7 IN (0, 3) THEN 2 ELSE 3 END AS INT)
+            AS n_ok_records,
+          doc_id % 7 IN (0, 3) AS quarantined,
+          CASE WHEN doc_id % 7 = 0 THEN 'gzip_truncated'
+               WHEN doc_id % 7 = 3 THEN 'record_too_large'
+               ELSE '' END AS first_reason,
+          CASE WHEN doc_id % 7 IN (0, 3) THEN ''
+               ELSE 'https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+               END AS target_uri,
+          CAST(CASE WHEN doc_id % 7 IN (0, 3) THEN -1
+               ELSE octet_length(encode(text)) END AS BIGINT) AS body_len
+        FROM documents ORDER BY doc_id""")),
+
+    // CRAWL CURATION COMPOSED — the three crawl legs as ONE plan, the
+    // gate a corpus actually runs before training: WARC record walk →
+    // response URI → codegen'd host/path split → per-HOST robots.txt
+    // joined by BROADCAST → RFC 9309 longest-match verdict (repeated
+    // same-agent groups MERGED per §2.2.1 — the fixture names graftbot
+    // twice, so a selector that keeps only one block mis-allows or
+    // mis-blocks and breaks the hash; the decoy `*` group disallows
+    // everything, so falling through to it blocks every row). Robots
+    // parse is memoized per host per task; the doc side never shuffles
+    // for the join.
+    QueryDef(
+      "pl_crawl_curation",
+      (s, dir) => {
+        import s.implicits._
+        val media = WarcOps.asWarcPayloadRouted(
+          s, Tables.load(s, dir, "documents"), "doc_id", "text")
+        val docs = WarcOps.extractDocs(s, media).toDF()
+          .select($"doc_id", $"target_uri".as("uri"))
+        RobotsOps.curationGate(
+            s, docs, RobotsOps.curationRobotsFixture(s), "graftbot/1.0")
+          .select($"doc_id", $"host", $"path", $"allowed", $"crawl_delay")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+          'host' || CAST(doc_id % 17 AS VARCHAR) || '.example.com' AS host,
+          CASE WHEN doc_id % 3 = 0
+                 THEN '/private/doc/' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 3 = 1
+                 THEN '/private/ok/doc/' || CAST(doc_id AS VARCHAR)
+               ELSE '/pub/doc/' || CAST(doc_id AS VARCHAR) END AS path,
+          NOT (doc_id % 3 = 0 AND (doc_id % 17) % 2 = 0) AS allowed,
+          CAST((doc_id % 17) % 10 AS DOUBLE) AS crawl_delay
+        FROM documents ORDER BY doc_id""")),
+
     // AVIF/HEIC TRIAGE — the #4/#5 web image formats (ISO-BMFF
     // brands): ftyp brand dispatch incl. the compatible-brand list
     // behind a mif1 major (the wild layout), then the meta→iprp→ipco→

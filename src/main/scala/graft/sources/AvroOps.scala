@@ -177,8 +177,15 @@ object AvroOps {
           java.time.ZoneOffset.UTC)
       case st: StructType =>
         val rec = v.asInstanceOf[GenericRecord]
-        Row.fromSeq(st.fields.map(f => toRowValue(
-          rec.get(f.name), f.dataType, rec.getSchema.getField(f.name).schema())))
+        // schema evolution applies at every nesting level: a NESTED field
+        // absent from a shard's writer schema reads as null, like the
+        // top-level path — never an NPE mid-task
+        Row.fromSeq(st.fields.map { f =>
+          Option(rec.getSchema.getField(f.name)) match {
+            case Some(wf) => toRowValue(rec.get(f.name), f.dataType, wf.schema())
+            case None => null
+          }
+        })
       case ArrayType(et, _) =>
         v.asInstanceOf[java.util.Collection[Any]].asScala
           .map(toRowValue(_, et, actual.getElementType)).toSeq
@@ -294,6 +301,13 @@ object AvroOps {
         // pastSync(end) stops once the NEXT block starts past the range
         // — together every block lands in exactly one split
         reader.sync(start)
+        // early-terminating consumers (LIMIT, take, failed downstream
+        // task) must not leak the handle for the executor's lifetime —
+        // drain-close alone only covers fully-consumed iterators
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try reader.close() catch { case _: Throwable => () }
+          })
         new Iterator[Row] {
           private var closed = false
           override def hasNext: Boolean = {

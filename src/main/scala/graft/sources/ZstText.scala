@@ -56,6 +56,13 @@ object ZstText {
         val reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(in,
             java.nio.charset.StandardCharsets.UTF_8))
+        // early-terminating consumers (LIMIT, take, failed downstream
+        // task) must not leak the decompressor + handle for the
+        // executor's lifetime — drain-close only covers full reads
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try reader.close() catch { case _: Throwable => () }
+          })
         new Iterator[(String, String)] {
           private var nextLine = reader.readLine()
           override def hasNext: Boolean = {

@@ -84,4 +84,29 @@ class FlacSpec extends AnyFunSuite {
     assert(st.first_s0 == chans(0)(0) && st.last_s0 == chans(0).last)
     assert(st.n_samples == chans(0).length.toLong)
   }
+
+  test("STREAMINFO total-samples == 0 means UNKNOWN: decode until EOF") {
+    val chans = sig(7L, 1, 128)
+    val bytes = FlacEncoder.encode(chans, 44100, 16, 0, 1)
+    // zero the 36-bit total-samples field: STREAMINFO content starts at
+    // byte 8 ('fLaC' + block header); total spans bits 108..144 → byte
+    // 21 low nibble through byte 25
+    bytes(21) = (bytes(21) & 0xf0).toByte
+    for (i <- 22 to 25) bytes(i) = 0
+    val (nCh, _, _, out) = FlacCodec.decode(bytes)
+      .getOrElse(fail("total=0 stream must decode, not report 0 samples"))
+    assert(nCh == 1)
+    assert(out(0).toSeq == chans(0).toSeq,
+      "all frames must decode when the declared total is unknown")
+  }
+
+  test("signed(32) is the identity two's-complement read") {
+    // a 32-bit negative sample pattern survives bits→signed: pack
+    // 0x80000001 (== Int.MinValue + 1) and read it back
+    val b = Array[Byte](0x80.toByte, 0, 0, 1)
+    val br = new FlacCodec.Br(b, 0, 4)
+    assert(br.signed(32) == Int.MinValue + 1)
+    val b2 = Array[Byte](0x7f, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+    assert(new FlacCodec.Br(b2, 0, 4).signed(32) == Int.MaxValue)
+  }
 }

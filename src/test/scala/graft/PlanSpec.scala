@@ -161,6 +161,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("pl_crawl_curation: robots broadcast, doc side never shuffles for the join") {
+    val p = plan("pl_crawl_curation")
+    // the per-host robots table rides a broadcast — a shuffled join
+    // would move the whole crawl for a few-MB dimension
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // doc side: per-partition byte walk → codegen'd host/path → verdict;
+    // the ONLY exchange is the final presentation sort's range partition
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 0, s"expected no hash exchange on the doc side:\n$p")
+  }
+
   test("bigram logprob and substring coverage: key-equi joins only, no cartesian") {
     for (q <- Seq("ext_text_bigram_logprob", "ext_dedup_substring_shared")) {
       val p = plan(q)

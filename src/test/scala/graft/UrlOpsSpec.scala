@@ -76,4 +76,43 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(RobotsOps.decide(g3, "/anything"))
     assert(RobotsOps.parse("").groups.isEmpty)
   }
+
+  test("robots: repeated user-agent groups MERGE (RFC 9309 §2.2.1)") {
+    import graft.ops.RobotsOps
+    // real-world shape: separate Allow and Disallow blocks for the same
+    // agent, plus two * groups — losing either block mis-allows paths
+    val r = RobotsOps.parse(
+      """User-agent: graftbot
+        |Disallow: /private
+        |
+        |User-agent: graftbot
+        |Allow: /private/ok
+        |Crawl-delay: 7
+        |
+        |User-agent: *
+        |Disallow: /star-a
+        |Crawl-delay: 3
+        |
+        |User-agent: *
+        |Disallow: /star-b
+        |""".stripMargin)
+    val g = RobotsOps.groupFor(r, "graftbot/1.0").get
+    assert(g.rules.size == 2, "both graftbot blocks must merge")
+    assert(!RobotsOps.decide(g, "/private/data"))
+    assert(RobotsOps.decide(g, "/private/ok/x"),
+      "the Allow from the second block must survive the merge")
+    assert(g.crawlDelay.contains(7.0))
+    val star = RobotsOps.groupFor(r, "otherbot").get
+    assert(!RobotsOps.decide(star, "/star-a/x") &&
+      !RobotsOps.decide(star, "/star-b/x"),
+      "ALL * groups merge, not just the first")
+    assert(star.crawlDelay.contains(3.0), "min crawl-delay across groups")
+    // specificity still wins over the merge: a longer-token group is
+    // NOT diluted by shorter-token matches
+    val r2 = RobotsOps.parse(
+      "User-agent: graftbot\nDisallow: /a\n\n" +
+        "User-agent: graftbot-images\nDisallow: /b\n")
+    val gi = RobotsOps.groupFor(r2, "graftbot-images/2.0").get
+    assert(gi.rules == Seq(RobotsOps.RobotsRule(allow = false, "/b")))
+  }
 }

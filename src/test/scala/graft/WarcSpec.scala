@@ -117,6 +117,122 @@ class WarcSpec extends AnyFunSuite {
     assert(streamed == batch, "stream and batch pipelines must agree")
   }
 
+  test(">256 MiB decompressed multi-member segment parses record-by-record") {
+    // three gzip members, each one record with a 96 MiB payload —
+    // 288 MiB decompressed total, past the old whole-file cap; the
+    // streaming walk must yield all three with no quarantine (bounded
+    // memory: one record at a time, never the whole decompression)
+    val payloadLen = 96 * (1 << 20)
+    val chunk = new Array[Byte](1 << 20)
+    java.util.Arrays.fill(chunk, 'a'.toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    for (i <- 0 until 3) {
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write((s"WARC/1.0\r\nWARC-Type: resource\r\n" +
+        s"WARC-Target-URI: https://example.com/big/$i\r\n" +
+        s"Content-Length: $payloadLen\r\n\r\n").getBytes("US-ASCII"))
+      var left = payloadLen
+      while (left > 0) {
+        val n = math.min(left, chunk.length)
+        gz.write(chunk, 0, n); left -= n
+      }
+      gz.write("\r\n\r\n".getBytes("US-ASCII"))
+      gz.finish()
+    }
+    val compressed = bos.toByteArray
+    assert(compressed.length < (1 << 22), "fixture must stay small on disk")
+    var n = 0
+    var total = 0L
+    graft.ops.WarcOps.parseWarcStream(
+      new java.io.ByteArrayInputStream(compressed)).foreach {
+      case Right(r) =>
+        n += 1
+        total += r.payload.length
+        assert(r.payload(0) == 'a'.toByte && r.payload.last == 'a'.toByte)
+      case Left(q) => fail(s"unexpected quarantine: $q")
+    }
+    assert(n == 3)
+    assert(total == 3L * payloadLen)
+    assert(total > (1L << 28), "must exceed the old per-file cap")
+  }
+
+  test("oversized record is skipped (not buffered) and later records parse") {
+    val full = fixture(8L, "short body") // plain layout (even id)
+    // parse with a tiny per-record cap: the response record's HTTP
+    // payload exceeds it, the two small records before it do not
+    val results = WarcOps.parseWarcStream(
+      new java.io.ByteArrayInputStream(full), maxRecordBytes = 60).toSeq
+    val recs = results.collect { case Right(r) => r }
+    val qs = results.collect { case Left(q) => q }
+    assert(recs.map(_.recType) == Seq("warcinfo", "request"))
+    assert(qs.exists(_.reason == "record_too_large"))
+    // a record AFTER the oversized one still parses: response first
+    val reordered = {
+      val s = new String(full, "ISO-8859-1")
+      val blocks = s.split("(?=WARC/1\\.0)").filter(_.nonEmpty)
+      (blocks(2) + blocks(0) + blocks(1)).getBytes("ISO-8859-1")
+    }
+    val r2 = WarcOps.parseWarcStream(
+      new java.io.ByteArrayInputStream(reordered), maxRecordBytes = 60).toSeq
+    assert(r2.collect { case Right(r) => r.recType } ==
+      Seq("warcinfo", "request"),
+      "records after the skipped oversized record must survive")
+    assert(r2.collect { case Left(q) => q }
+      .exists(_.reason == "record_too_large"))
+  }
+
+  test("truncated gzip member quarantines observably, prior members survive") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val staged = spark.range(21).select($"id".as("doc_id"),
+      concat(lit("document body for id "), $"id".cast("string"),
+        lit(" with some padding text to compress")).as("text"))
+    val ledger = WarcOps.extractLedger(spark,
+      WarcOps.asWarcPayloadFaulty(spark, staged, "doc_id", "text"))
+      .collect().map(l => l.doc_id -> l).toMap
+    for (id <- 0L until 21L) {
+      val l = ledger(id)
+      if (id % 7 == 0) {
+        assert(l.n_ok_records == 2, s"doc $id: warcinfo+request survive")
+        assert(l.quarantined && l.n_quarantine >= 1)
+        assert(l.first_reason == "gzip_truncated", s"doc $id: $l")
+        assert(l.target_uri == "" && l.body_len == -1L)
+      } else if (id % 7 == 3) {
+        assert(l.n_ok_records == 2 && l.quarantined)
+        assert(l.first_reason == "record_too_large", s"doc $id: $l")
+      } else {
+        assert(l.n_ok_records == 3 && !l.quarantined, s"doc $id: $l")
+        assert(l.first_reason == "")
+        assert(l.target_uri == s"https://example.com/doc/$id")
+      }
+    }
+  }
+
+  test("path-based ingest streams files with a quarantine lane") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_ingest").toString
+    val staged = spark.range(14).select($"id".as("doc_id"),
+      concat(lit("body text for doc "), $"id".cast("string")).as("text"))
+    WarcOps.asWarcPayloadFaulty(spark, staged, "doc_id", "text")
+      .collect().foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"seg-${r.getLong(0)}.warc.gz"),
+          r.getAs[Array[Byte]](1))
+      }
+    val rows = WarcOps.ingestFiles(spark, dir)
+    val docs = rows.filter($"lane" === "doc")
+    val quarantine = rows.filter($"lane" === "quarantine")
+    // ids 0,7 truncate (no doc row), 3,10 lie content-length (no doc
+    // row) → 10 of 14 produce documents; all four faults are VISIBLE
+    assert(docs.count() == 10)
+    assert(quarantine.select($"path").distinct().count() == 4)
+    assert(docs.select($"status").distinct().collect().map(_.getInt(0))
+      .toSeq == Seq(200))
+    // early termination (LIMIT) must not throw or leak
+    assert(rows.limit(3).collect().length == 3)
+  }
+
   test("malformed tails quarantine per record, prefix records survive") {
     val full = fixture(6L, "abcdef")
     // truncate inside the LAST record: the first two still parse
