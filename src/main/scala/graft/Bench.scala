@@ -219,10 +219,16 @@ object Bench {
     val heavyNames = res.seconds.toSeq
       .filter { case (n, _) => !isHeadline(n) && !res.errors.contains(n) }
       .sortBy(-_._2).take(8).map(_._1).toSet
+    // the quiet lane exists to adjudicate + re-ratchet: every entry it
+    // runs is baseline-tracked (or headline) by construction, so ALL of
+    // them get the median-of-3 treatment there — otherwise a tracked
+    // entry outside the run's heavy-8 (round 11: the WARC legs) can
+    // never receive a quiet-lane median and its ratchet value stays at
+    // whatever contended run first admitted it
     val stableRuns: Map[String, Seq[Double]] = res.seconds.collect {
       case (name, first)
-          if (isHeadline(name) || heavyNames(name) || pinnedStable(name)) &&
-            !res.errors.contains(name) =>
+          if (niceMode || isHeadline(name) || heavyNames(name) ||
+            pinnedStable(name)) && !res.errors.contains(name) =>
         rerun3(name, first)
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)

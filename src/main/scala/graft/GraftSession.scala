@@ -1659,13 +1659,15 @@ final class GraftSession(
     * reference's nulls-first ordering for DESC sorts. */
   private def rewriteQuery(q: String): String = {
     var out = q
-    val TvfStart = """(?i)read_(csv|json|parquet|orc|avro)\s*\(""".r
+    val TvfStart = """(?i)read_(csv|json|parquet|orc|avro|jdbc)\s*\(""".r
     var m = TvfStart.findFirstMatchIn(out)
     while (m.isDefined) {
       val mm = m.get
       val (inner, _) = matchParen(out.substring(mm.end - 1))
       val argsEnd = mm.end - 1 + inner.length + 2
-      val view = registerTvf(mm.group(1).toLowerCase(Locale.ROOT), inner)
+      val kind = mm.group(1).toLowerCase(Locale.ROOT)
+      val view =
+        if (kind == "jdbc") registerJdbcTvf(inner) else registerTvf(kind, inner)
       out = out.substring(0, mm.start) + view + out.substring(argsEnd)
       m = TvfStart.findFirstMatchIn(out)
     }
@@ -2187,6 +2189,46 @@ final class GraftSession(
     }
     tvfCounter += 1
     val view = s"tvf_${kind}_${Integer.toHexString((path + opts).hashCode).replace('-', 'n')}_$tvfCounter"
+    df.createOrReplaceTempView(view)
+    view
+  }
+
+  /** `read_jdbc('<url>', '<table or (query) alias>', partition_column=>
+    * 'c', lower_bound=>'0', upper_bound=>'100', num_partitions=>'8',
+    * user=>'u', password=>'p', ...)` → temp view over Spark's JDBC
+    * relation. The reference carries a (dead-code) Postgres connector
+    * (`qurious/src/datasource/connectorx/postgres.rs:1-255`) — this is
+    * that row made real for dimension pulls. The four partition options
+    * split the scan into `num_partitions` range-predicate queries, so a
+    * fat table is not one serialized task; filters and column pruning
+    * push into the remote SQL (asserted by JdbcTvfSpec). Extra options
+    * pass through (snake_case accepted for the Spark camelCase keys). */
+  private def registerJdbcTvf(argStr: String): String = {
+    val args = splitTopLevel(argStr, ',').map(_.trim)
+    require(args.length >= 2,
+      "read_jdbc('<url>', '<table or (query) alias>', options...)")
+    val url = unquote(args.head)
+    val table = unquote(args(1))
+    val keyMap = Map(
+      "partition_column" -> "partitionColumn",
+      "lower_bound" -> "lowerBound",
+      "upper_bound" -> "upperBound",
+      "num_partitions" -> "numPartitions",
+      "fetch_size" -> "fetchsize",
+      "query_timeout" -> "queryTimeout",
+      "session_init_statement" -> "sessionInitStatement")
+    val opts = args.drop(2).map { a =>
+      val kv = a.split("=>", 2)
+      require(kv.length == 2, s"cannot parse read_jdbc option: $a")
+      val k = kv(0).trim.toLowerCase(Locale.ROOT)
+      keyMap.getOrElse(k, k) -> unquote(kv(1).trim)
+    }.toMap
+    val df = opts.foldLeft(
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+      ) { case (r, (k, v)) => r.option(k, v) }.load()
+    tvfCounter += 1
+    val view = s"tvf_jdbc_${Integer.toHexString((url + table + opts).hashCode)
+      .replace('-', 'n')}_$tvfCounter"
     df.createOrReplaceTempView(view)
     view
   }

@@ -1,0 +1,217 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Office/book document containers — the other place text corpora come
+  * from beside the crawl: DOCX (OOXML, ECMA-376) and EPUB (OCF/OPF,
+  * ISO/IEC 23736) are both ZIP containers holding XML, so the real
+  * work is (a) a bounded ZIP entry walk and (b) the format's own
+  * document-structure walk:
+  *
+  *   - [[docxText]]: `word/document.xml` → paragraphs (`<w:p>`) of
+  *     runs (`<w:r>`/`<w:t>`), run text concatenated within a
+  *     paragraph, paragraphs joined with `\n`, `<w:tab/>` → tab, XML
+  *     entities decoded. Formatting/revision markup is ignored by
+  *     construction (only `w:t` text nodes surface).
+  *   - [[epubChapters]]: `META-INF/container.xml` → OPF rootfile →
+  *     manifest id→href map → SPINE ORDER (the reading order, which
+  *     need not be the zip or manifest order) → one row per XHTML
+  *     chapter. HTML stripping is left to the caller's column chain
+  *     ([[TextOps.stripHtml]]) so the oracle can replay it verbatim.
+  *
+  * Per-partition byte work over opaque payload columns, zero shuffle —
+  * the same discipline as the WARC/image/audio decode lanes. */
+object DocFormats {
+
+  /** ZIP entry walk over an in-memory payload: (name, bytes) per entry,
+    * each entry capped (decompression-bomb guard — a capped entry is
+    * skipped, not partially returned). */
+  def zipEntries(
+      b: Array[Byte], maxEntryBytes: Long = 1L << 28)
+      : Iterator[(String, Array[Byte])] = {
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(b))
+    Iterator.continually(
+        try zin.getNextEntry catch { case _: java.io.IOException => null })
+      .takeWhile(_ != null)
+      .flatMap { e =>
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = zin.read(buf)
+        var over = false
+        while (n >= 0 && !over) {
+          out.write(buf, 0, n)
+          if (out.size > maxEntryBytes) over = true
+          else n = zin.read(buf)
+        }
+        if (over) None else Some(e.getName -> out.toByteArray)
+      }
+  }
+
+  private def xmlUnescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&#39;", "'").replace("&amp;", "&")
+
+  private val WpRe = java.util.regex.Pattern.compile(
+    "<w:p[ >].*?</w:p>|<w:p/>", java.util.regex.Pattern.DOTALL)
+  private val WtRe = java.util.regex.Pattern.compile(
+    "<w:t(?: [^>]*)?>(.*?)</w:t>|<w:tab/>", java.util.regex.Pattern.DOTALL)
+
+  /** DOCX text: the `word/document.xml` paragraph/run walk. None when
+    * the payload is not a ZIP or carries no document part. */
+  def docxText(b: Array[Byte]): Option[String] =
+    zipEntries(b).collectFirst {
+      case (name, bytes) if name == "word/document.xml" =>
+        val xml = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        val paras = Seq.newBuilder[String]
+        val pm = WpRe.matcher(xml)
+        while (pm.find()) {
+          val sb = new StringBuilder
+          val tm = WtRe.matcher(pm.group())
+          while (tm.find())
+            sb.append(
+              if (tm.group(1) == null) "\t" else xmlUnescape(tm.group(1)))
+          paras += sb.toString
+        }
+        paras.result().mkString("\n")
+    }
+
+  /** EPUB chapters in SPINE order: (seq, xhtml source). None when the
+    * container/rootfile/manifest walk fails. */
+  def epubChapters(b: Array[Byte]): Option[Seq[(Int, String)]] = {
+    val entries = zipEntries(b).toMap
+    val container = entries.get("META-INF/container.xml")
+      .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+      .getOrElse(return None)
+    val opfPath = """full-path="([^"]+)"""".r
+      .findFirstMatchIn(container).map(_.group(1)).getOrElse(return None)
+    val opf = entries.get(opfPath)
+      .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+      .getOrElse(return None)
+    val opfDir = opfPath.lastIndexOf('/') match {
+      case -1 => ""
+      case i => opfPath.substring(0, i + 1)
+    }
+    // manifest: id -> href (attribute order in <item> is not fixed)
+    val items = """<item\b[^>]*>""".r.findAllIn(opf).flatMap { tag =>
+      for {
+        id <- """\bid="([^"]+)"""".r.findFirstMatchIn(tag).map(_.group(1))
+        href <- """\bhref="([^"]+)"""".r.findFirstMatchIn(tag).map(_.group(1))
+      } yield id -> href
+    }.toMap
+    val spine = """<itemref\b[^>]*\bidref="([^"]+)"""".r
+      .findAllMatchIn(opf).map(_.group(1)).toSeq
+    Some(spine.zipWithIndex.flatMap { case (idref, i) =>
+      items.get(idref)
+        .flatMap(href => entries.get(opfDir + href))
+        .map(bytes => (i,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+    })
+  }
+
+  /** DOCX payloads → (doc_id, n_entries, text). */
+  def extractDocx(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        docxText(bytes).map(t => (id, zipEntries(bytes).size, t))
+      }).toDF("doc_id", "n_entries", "text")
+  }
+
+  /** EPUB payloads → (doc_id, chapter_seq, xhtml) — one row per spine
+    * chapter, stripping left to the caller's column chain. */
+  def extractEpub(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        epubChapters(bytes).toSeq.flatten.map { case (i, xhtml) =>
+          (id, i, xhtml)
+        }
+      }).toDF("doc_id", "chapter_seq", "xhtml")
+  }
+
+  private def zipBytes(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (name, data) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(data)
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** DOCX fixture: a real ZIP with [Content_Types].xml + document.xml —
+    * two paragraphs, the first split across THREE runs (title word,
+    * tab, id) so run concatenation and `<w:tab/>` sit under the
+    * oracle, plus an entity-escape probe constant. Expected text:
+    * `Title\t<id>\n& <tag> ` + doc text. */
+  def asDocxPayload(
+      spark: SparkSession, df: DataFrame, id: String,
+      textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val doc =
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+            "<w:document xmlns:w=\"http://schemas.openxmlformats.org/" +
+            "wordprocessingml/2006/main\"><w:body>" +
+            "<w:p ><w:r><w:t>Title</w:t></w:r><w:r><w:tab/></w:r>" +
+            s"<w:r><w:t xml:space=\"preserve\">$docId</w:t></w:r></w:p>" +
+            "<w:p ><w:r><w:t xml:space=\"preserve\">&amp; &lt;tag&gt; " +
+            s"${xmlEscape(text)}</w:t></w:r></w:p>" +
+            "</w:body></w:document>"
+        val ct =
+          """<?xml version="1.0"?><Types xmlns="http://schemas.""" +
+            """openxmlformats.org/package/2006/content-types"/>"""
+        (docId, zipBytes(Seq(
+          "[Content_Types].xml" -> ct.getBytes("UTF-8"),
+          "word/document.xml" -> doc.getBytes("UTF-8"))))
+      }).toDF("doc_id", "payload")
+  }
+
+  /** EPUB fixture: mimetype + container.xml + OPF + two XHTML chapters
+    * whose SPINE order (head chapter, then body) reverses their
+    * manifest order — a reader that walks the zip or the manifest
+    * instead of the spine emits chapters swapped and breaks the hash. */
+  def asEpubPayload(
+      spark: SparkSession, df: DataFrame, id: String,
+      textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val container =
+          """<?xml version="1.0"?><container version="1.0" """ +
+            """xmlns="urn:oasis:names:tc:opendocument:xmlns:container">""" +
+            """<rootfiles><rootfile full-path="OEBPS/content.opf" """ +
+            """media-type="application/oebps-package+xml"/></rootfiles>""" +
+            "</container>"
+        val opf =
+          """<?xml version="1.0"?><package version="3.0" """ +
+            """xmlns="http://www.idpf.org/2007/opf"><manifest>""" +
+            """<item id="body" href="body.xhtml" """ +
+            """media-type="application/xhtml+xml"/>""" +
+            """<item href="head.xhtml" id="head" """ +
+            """media-type="application/xhtml+xml"/>""" +
+            """</manifest><spine><itemref idref="head"/>""" +
+            """<itemref idref="body"/></spine></package>"""
+        val head = "<html><body><h1>Chapter head " + docId +
+          "</h1></body></html>"
+        val body = "<html><body><p>" + xmlEscape(text) +
+          "</p></body></html>"
+        (docId, zipBytes(Seq(
+          "mimetype" -> "application/epub+zip".getBytes("US-ASCII"),
+          "META-INF/container.xml" -> container.getBytes("UTF-8"),
+          "OEBPS/content.opf" -> opf.getBytes("UTF-8"),
+          "OEBPS/head.xhtml" -> head.getBytes("UTF-8"),
+          "OEBPS/body.xhtml" -> body.getBytes("UTF-8"))))
+      }).toDF("doc_id", "payload")
+  }
+}

@@ -194,6 +194,24 @@ object RobotsOps {
       }.toDF("doc_id", "host", "path", "allowed", "crawl_delay")
   }
 
+  /** Per-host politeness frontier — what the crawl-delay the curation
+    * gate surfaced is FOR: the allowed documents of each host queue
+    * FIFO with the host's delay between fetches (RFC 9309's
+    * Crawl-delay convention), giving every URL a fetch sequence number
+    * and a start offset in seconds. ONE shuffle (the window's
+    * partition-by-host), which is also the right 100 TB shape: hosts
+    * are the natural unit of politeness, so per-host state never
+    * crosses partitions, and a mega-host costs one fat partition (its
+    * real-world crawl cost), never a global structure. */
+  def frontierSchedule(spark: SparkSession, gated: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("host")).orderBy(col("doc_id"))
+    gated.filter(col("allowed"))
+      .withColumn("fetch_seq", row_number().over(w))
+      .withColumn("fetch_offset_s",
+        (col("fetch_seq") - lit(1)).cast("double") * col("crawl_delay"))
+  }
+
   /** Curation fixture: one robots.txt per host `host{k}.example.com`
     * (k = 0..16) in the REAL-WORLD repeated-group shape — the same
     * agent named twice (a Disallow block, present only for even k, and

@@ -504,6 +504,26 @@ object WarcOps {
       })
   }
 
+  /** One ingest row: lane `doc` per response record, lane `quarantine`
+    * per drop — shared by the batch and streaming file front doors. */
+  private def ingestRows(
+      f: String, in: java.io.InputStream, maxRecordBytes: Long)
+      : Iterator[(String, String, String, Int, String, Long, String)] =
+    parseWarcStream(in, maxRecordBytes).flatMap {
+      case Left(q) =>
+        Some((f, "quarantine", "", -1, "", -1L, q.reason))
+      case Right(rec) if rec.recType.equalsIgnoreCase("response") =>
+        httpResponse(rec.payload).map { case (status, hdrs, body) =>
+          (f, "doc", rec.targetUri, status,
+            hdrs.getOrElse("content-type", ""), body.length.toLong, "")
+        }
+      case Right(_) => None
+    }
+
+  private val IngestCols = Seq(
+    "path", "lane", "uri", "status", "content_type", "n_body_bytes",
+    "reason")
+
   /** Path-based crawl ingestion — the at-scale front door: one task per
     * file, each file opened as a STREAM through the session Hadoop
     * filesystem (a 5 GB-decompressed Common Crawl segment flows through
@@ -537,19 +557,44 @@ object WarcOps {
         // handle for the executor's lifetime
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => in.close()))
-        parseWarcStream(in, maxRecordBytes).flatMap {
-          case Left(q) =>
-            Some((f, "quarantine", "", -1, "", -1L, q.reason))
-          case Right(rec) if rec.recType.equalsIgnoreCase("response") =>
-            httpResponse(rec.payload).map { case (status, hdrs, body) =>
-              (f, "doc", rec.targetUri, status,
-                hdrs.getOrElse("content-type", ""), body.length.toLong, "")
-            }
-          case Right(_) => None
-        }
+        ingestRows(f, in, maxRecordBytes)
       }
-      .toDF("path", "lane", "uri", "status", "content_type",
-        "n_body_bytes", "reason")
+      .toDF(IngestCols: _*)
+  }
+
+  /** Streaming twin of [[ingestFiles]]: tails a directory of crawl
+    * segments through the binaryFile source with ONLY the path column
+    * projected (content never rides the source row — each task opens
+    * its file as a stream, same bounded-memory walk as batch), and the
+    * quarantine lane appends exactly like the doc lane so drops stay
+    * observable under continuous ingestion. Admission control
+    * (maxFilesPerTrigger / maxBytesPerTrigger) composes at the source. */
+  def ingestFilesStream(
+      spark: SparkSession, dir: String,
+      maxRecordBytes: Long = DefaultMaxRecordBytes): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField => SF, StructType => ST, TimestampType}
+    val binarySchema = ST(Seq(
+      SF("path", StringType),
+      SF("modificationTime", TimestampType),
+      SF("length", LongType),
+      SF("content", BinaryType)))
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val cap = maxRecordBytes
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .schema(binarySchema)
+      .load(dir)
+      .select(col("path")).as[String]
+      .flatMap { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val in = p.getFileSystem(hconf.value).open(p)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
+        ingestRows(f, in, cap)
+      }
+      .toDF(IngestCols: _*)
   }
 
   /** Fixture: REAL WARC files — warcinfo + request + response records
@@ -569,6 +614,60 @@ object WarcOps {
         rows.map { case (docId, body) =>
           val records = fixtureRecords(docId, body,
             s"https://example.com/doc/$docId", lieContentLength = false)
+          val bytes =
+            if (docId % 2 == 1) records.map(gzipMember).reduce(_ ++ _)
+            else records.reduce(_ ++ _)
+          (docId, bytes)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** WET-layout extraction: Common Crawl's text derivative ships the
+    * SAME container with `WARC-Type: conversion` records whose payload
+    * IS the extracted plain text (no HTTP envelope) — the corpus most
+    * LLM pipelines actually start from. One row per conversion record:
+    * (doc_id, target_uri, text). */
+  def extractConversions(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseWarc(bytes).filter(_.recType.equalsIgnoreCase("conversion"))
+          .map { r =>
+            (id, r.targetUri,
+              new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
+          }
+      }).toDF("doc_id", "target_uri", "text")
+  }
+
+  /** WET fixture: warcinfo + one `conversion` record per doc whose
+    * payload is the document text verbatim (the WET contract); odd ids
+    * take the gzip-member lane. */
+  def asWetPayload(
+      spark: SparkSession, df: DataFrame, id: String,
+      textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("body"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (docId, body) =>
+          def record(
+              tpe: String, uri: String, ctype: String,
+              payload: Array[Byte]): Array[Byte] = {
+            val head = s"WARC/1.0\r\nWARC-Type: $tpe\r\n" +
+              s"WARC-Record-ID: <urn:graft:wet:$docId:$tpe>\r\n" +
+              "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+              (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+              s"Content-Type: $ctype\r\nContent-Length: ${payload.length}" +
+              "\r\n\r\n"
+            head.getBytes("UTF-8") ++ payload ++
+              "\r\n\r\n".getBytes("US-ASCII")
+          }
+          val records = Seq(
+            record("warcinfo", "", "application/warc-fields",
+              "software: graft-wet-fixture\r\n".getBytes("US-ASCII")),
+            record("conversion", s"https://example.com/doc/$docId",
+              "text/plain", body))
           val bytes =
             if (docId % 2 == 1) records.map(gzipMember).reduce(_ ++ _)
             else records.reduce(_ ++ _)

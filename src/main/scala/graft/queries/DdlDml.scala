@@ -1030,6 +1030,90 @@ object DdlDml extends QueryModule {
         FROM orders WHERE o_orderpriority LIKE '1%'
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- CBO histogram CONSUMPTION proof: the committed equi-height
+    // histograms must change PLANS, not just row estimates. The fact
+    // table is the classic skew shape (99% of rows on one hot value,
+    // a thin tail over ~8000 values); the probe side is too big to
+    // broadcast. Under min/max-uniform selectivity the tail predicate
+    // looks like ~50% of the fact (≈24 MB → sort-merge join); the
+    // histogram knows it is <1% (≈1.5 MB → broadcast the filtered
+    // fact). Both directions are REQUIRED in-builder on every run —
+    // with histograms served the join must broadcast, with them
+    // withheld (spark.graft.cbo.serveHistograms=false) it must not —
+    // so stats that stop flowing into the optimizer fail the entry,
+    // not just a spec. Result rows are identical either way; the
+    // oracle recomputes them from the generation formulas. ----
+    QueryDef(
+      "ddl_v2_cbo_hist_join",
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.gdisk").isEmpty) {
+          s.conf.set("spark.sql.catalog.gdisk",
+            classOf[graft.sources.GraftDiskCatalog].getName)
+          s.conf.set("spark.sql.catalog.gdisk.warehouse",
+            java.nio.file.Files.createTempDirectory("gdisk_verify").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdisk.verify")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.cbo_fact")
+        s.sql("DROP TABLE IF EXISTS gdisk.verify.cbo_probe")
+        s.sql("CREATE TABLE gdisk.verify.cbo_fact " +
+          "(k BIGINT, v BIGINT, pad STRING)")
+        s.sql("INSERT INTO gdisk.verify.cbo_fact SELECT id % 1000, " +
+          "CASE WHEN id % 100 < 99 THEN 1 ELSE 1 + (id % 8000) END, " +
+          "lpad(CAST(id AS STRING), 1600, 'x') FROM range(0, 30000, 1, 4)")
+        s.sql("CREATE TABLE gdisk.verify.cbo_probe (k BIGINT, tag STRING)")
+        s.sql("INSERT INTO gdisk.verify.cbo_probe SELECT id % 1000, " +
+          "concat('t', CAST(id % 7 AS STRING), '_', " +
+          "lpad(CAST(id AS STRING), 280, 'y')) " +
+          "FROM range(0, 100000, 1, 4)")
+        val g = new GraftSession(s)
+        g.sql("ANALYZE TABLE gdisk.verify.cbo_fact " +
+          "COMPUTE APPROXIMATE STATISTICS")
+        g.sql("ANALYZE TABLE gdisk.verify.cbo_probe " +
+          "COMPUTE APPROXIMATE STATISTICS")
+        val q = """SELECT substring(p.tag, 1, 2) AS tag2,
+            count(*) AS cnt, CAST(sum(f.v) AS BIGINT) AS sum_v,
+            CAST(sum(octet_length(f.pad)) AS BIGINT) AS sum_pad
+          FROM gdisk.verify.cbo_fact f
+          JOIN gdisk.verify.cbo_probe p ON f.k = p.k
+          WHERE f.v >= 4000
+          GROUP BY substring(p.tag, 1, 2) ORDER BY tag2"""
+        val cbo0 = s.conf.getOption("spark.sql.cbo.enabled")
+        val hist0 = s.conf.getOption("spark.graft.cbo.serveHistograms")
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        try {
+          s.conf.set("spark.graft.cbo.serveHistograms", "false")
+          val noHist = s.sql(q).queryExecution.executedPlan.toString
+          require(!noHist.contains("BroadcastHashJoin"),
+            "without the histogram the uniform estimate (~50% of the " +
+              s"fact) must NOT broadcast:\n$noHist")
+          s.conf.set("spark.graft.cbo.serveHistograms", "true")
+          val df = s.sql(q)
+          val withHist = df.queryExecution.executedPlan.toString
+          require(withHist.contains("BroadcastHashJoin"),
+            "histogram selectivity (<1% of the fact) must broadcast " +
+              s"the filtered fact side:\n$withHist")
+          df.count() // execute the broadcast-side plan under the window
+        } finally {
+          cbo0.fold(s.conf.unset("spark.sql.cbo.enabled"))(
+            s.conf.set("spark.sql.cbo.enabled", _))
+          hist0.fold(s.conf.unset("spark.graft.cbo.serveHistograms"))(
+            s.conf.set("spark.graft.cbo.serveHistograms", _))
+        }
+        s.sql(q)
+      },
+      Some("""WITH fact AS (
+          SELECT id % 1000 AS k,
+            CASE WHEN id % 100 < 99 THEN 1 ELSE 1 + (id % 8000) END AS v
+          FROM range(0, 30000) t(id)),
+        probe AS (
+          SELECT id % 1000 AS k, 't' || CAST(id % 7 AS VARCHAR) AS tag2
+          FROM range(0, 100000) t(id))
+        SELECT p.tag2, count(*) AS cnt, CAST(sum(f.v) AS BIGINT) AS sum_v,
+          CAST(count(*) AS BIGINT) * 1600 AS sum_pad
+        FROM fact f JOIN probe p ON f.k = p.k
+        WHERE f.v >= 4000
+        GROUP BY p.tag2 ORDER BY tag2""")),
+
     // ---- Atomic staged CTAS / RTAS (StagingTableCatalog): CREATE TABLE
     // AS SELECT stages its executor-side parquet writes and only claims a
     // manifest at commit (a failed CTAS leaves NO table); REPLACE TABLE

@@ -3582,6 +3582,201 @@ object ExtMultimodal extends QueryModule {
           CAST((doc_id % 17) % 10 AS DOUBLE) AS crawl_delay
         FROM documents ORDER BY doc_id""")),
 
+    // CRAWL FRONTIER SCHEDULING — what the curation gate's crawl-delay
+    // is FOR: the allowed documents of each host queue FIFO with the
+    // host's delay between fetches, yielding a fetch sequence number
+    // and start offset per URL. The full chain runs (WARC walk → URI →
+    // robots verdict → schedule) and the only data shuffle is the
+    // window's partition-by-host — hosts are the natural politeness
+    // unit at 100 TB, so per-host state never crosses partitions.
+    QueryDef(
+      "pl_crawl_frontier",
+      (s, dir) => {
+        import s.implicits._
+        val media = WarcOps.asWarcPayloadRouted(
+          s, Tables.load(s, dir, "documents"), "doc_id", "text")
+        val docs = WarcOps.extractDocs(s, media).toDF()
+          .select($"doc_id", $"target_uri".as("uri"))
+        val gated = RobotsOps.curationGate(
+          s, docs, RobotsOps.curationRobotsFixture(s), "graftbot/1.0")
+        RobotsOps.frontierSchedule(s, gated)
+          .select($"doc_id", $"host", $"fetch_seq",
+            $"fetch_offset_s".cast("double").as("fetch_offset_s"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH gate AS (
+          SELECT doc_id,
+            'host' || CAST(doc_id % 17 AS VARCHAR) || '.example.com' AS host,
+            CAST((doc_id % 17) % 10 AS DOUBLE) AS crawl_delay
+          FROM documents
+          WHERE NOT (doc_id % 3 = 0 AND (doc_id % 17) % 2 = 0))
+        SELECT doc_id, host,
+          CAST(row_number() OVER
+            (PARTITION BY host ORDER BY doc_id) AS INT) AS fetch_seq,
+          CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1
+            AS DOUBLE) * crawl_delay AS fetch_offset_s
+        FROM gate ORDER BY doc_id""")),
+
+    // WET EXTRACTION — Common Crawl's text derivative: the same WARC
+    // container but `WARC-Type: conversion` records whose payload IS
+    // the extracted plain text (no HTTP envelope). Most LLM pipelines
+    // start from WET, not WARC, so the front door must read both. The
+    // record walk, gzip-member lane, and Content-Length framing all
+    // sit under the oracle (text md5 recomputed by DuckDB with no
+    // parser).
+    QueryDef(
+      "ext_text_wet_extract",
+      (s, dir) => {
+        import s.implicits._
+        val media = WarcOps.asWetPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id", "text")
+        WarcOps.extractConversions(s, media)
+          .select($"doc_id", $"target_uri",
+            length($"text").as("n_chars"),
+            md5($"text".cast("binary")).as("text_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+          'https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+            AS target_uri,
+          CAST(length(text) AS INT) AS n_chars,
+          md5(text) AS text_md5
+        FROM documents ORDER BY doc_id""")),
+
+    // SITEMAP PARSING — the third crawl-discovery artifact beside
+    // robots.txt and the crawl itself (robots' Sitemap: lines point at
+    // these): sitemaps.org XML through Spark's native from_xml (typed
+    // struct schema, no UDF), exploded to one row per <url> with loc /
+    // lastmod (DATE-cast) / priority. The XML is built per doc with
+    // codegen'd transform/sequence, so row counts AND values vary per
+    // doc_id and the oracle pins the parser, not a constant.
+    QueryDef(
+      "ext_text_sitemap_parse",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types._
+        val xml = Tables.load(s, dir, "documents").select($"doc_id",
+          concat(lit("<urlset>"),
+            array_join(transform(sequence(lit(0), $"doc_id" % 3), j =>
+              concat(lit("<url><loc>https://host"),
+                ($"doc_id" % 17).cast("string"),
+                lit(".example.com/doc/"), $"doc_id".cast("string"),
+                lit("/page/"), j.cast("string"), lit("</loc><lastmod>"),
+                concat(lit("2026-01-"),
+                  lpad((lit(1) + $"doc_id" % 28).cast("string"), 2, "0")),
+                lit("</lastmod><priority>"),
+                ((($"doc_id" + j) % 10).cast("double") / 10.0)
+                  .cast("string"),
+                lit("</priority></url>"))), ""),
+            lit("</urlset>")).as("xml"))
+        val schema = StructType(Seq(StructField("url", ArrayType(
+          StructType(Seq(
+            StructField("loc", StringType),
+            StructField("lastmod", StringType),
+            StructField("priority", DoubleType)))))))
+        xml.select($"doc_id",
+            from_xml($"xml", schema,
+              new java.util.HashMap[String, String]()).as("s"))
+          .select($"doc_id", explode($"s.url").as("u"))
+          .select($"doc_id", $"u.loc".as("loc"),
+            $"u.lastmod".cast("date").as("lastmod"),
+            $"u.priority".as("priority"))
+          .orderBy($"doc_id", $"loc")
+      },
+      Some("""SELECT doc_id,
+          'https://host' || CAST(doc_id % 17 AS VARCHAR) ||
+            '.example.com/doc/' || CAST(doc_id AS VARCHAR) ||
+            '/page/' || CAST(j AS VARCHAR) AS loc,
+          CAST('2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+            AS DATE) AS lastmod,
+          CAST((doc_id + j) % 10 AS DOUBLE) / 10 AS priority
+        FROM documents CROSS JOIN range(0, 3) t(j)
+        WHERE j <= doc_id % 3
+        ORDER BY doc_id, loc""")),
+
+    // DOCX EXTRACTION (ECMA-376 OOXML) — document corpora ship as ZIP
+    // containers of XML, not crawl pages: a real ZIP entry walk
+    // (bounded, bomb-guarded) then the word/document.xml paragraph/run
+    // walk — run text CONCATENATES within a paragraph (the fixture
+    // splits the title across three runs incl. a <w:tab/>), paragraphs
+    // join with newline, XML entities decode. Oracle recomputes the
+    // exact expected text from the fixture shape with no parser.
+    QueryDef(
+      "ext_text_docx_extract",
+      (s, dir) => {
+        import s.implicits._
+        val media = DocFormats.asDocxPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id", "text")
+        DocFormats.extractDocx(s, media)
+          .select($"doc_id", $"n_entries",
+            length($"text").as("n_chars"),
+            md5($"text".cast("binary")).as("text_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, CAST(2 AS INT) AS n_entries,
+          CAST(length('Title' || chr(9) || CAST(doc_id AS VARCHAR) ||
+            chr(10) || '& <tag> ' || text) AS INT) AS n_chars,
+          md5('Title' || chr(9) || CAST(doc_id AS VARCHAR) ||
+            chr(10) || '& <tag> ' || text) AS text_md5
+        FROM documents ORDER BY doc_id""")),
+
+    // EPUB EXTRACTION (OCF/OPF) — the books lane: container.xml →
+    // rootfile → manifest id→href → SPINE reading order (the fixture
+    // reverses spine vs manifest order, so a zip- or manifest-order
+    // walk emits chapters swapped and breaks the hash), one row per
+    // XHTML chapter, then the SAME RE2 strip chain the crawl pipeline
+    // uses — which the oracle replays pass by pass.
+    QueryDef(
+      "ext_text_epub_extract",
+      (s, dir) => {
+        import s.implicits._
+        val media = DocFormats.asEpubPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id", "text")
+        DocFormats.extractEpub(s, media)
+          .select($"doc_id", $"chapter_seq",
+            TextOps.stripHtml($"xhtml").as("ctext"))
+          .select($"doc_id", $"chapter_seq",
+            length($"ctext").as("n_chars"),
+            md5($"ctext".cast("binary")).as("chapter_md5"))
+          .orderBy($"doc_id", $"chapter_seq")
+      },
+      Some("""WITH ch AS (
+          SELECT doc_id, 0 AS chapter_seq,
+            '<html><body><h1>Chapter head ' || CAST(doc_id AS VARCHAR) ||
+              '</h1></body></html>' AS x
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 1,
+            '<html><body><p>' ||
+              replace(replace(replace(text, '&', '&amp;'),
+                '<', '&lt;'), '>', '&gt;') || '</p></body></html>'
+          FROM documents),
+        s0 AS (SELECT doc_id, chapter_seq,
+          regexp_replace(x, '<script[^>]*>.*?</script>', ' ', 'gis') AS x
+          FROM ch),
+        s1 AS (SELECT doc_id, chapter_seq,
+          regexp_replace(x, '<style[^>]*>.*?</style>', ' ', 'gis') AS x
+          FROM s0),
+        s2 AS (SELECT doc_id, chapter_seq,
+          regexp_replace(x, '<[^>]+>', ' ', 'g') AS x FROM s1),
+        s3 AS (SELECT doc_id, chapter_seq,
+          regexp_replace(x, '&nbsp;', ' ', 'g') AS x FROM s2),
+        s4 AS (SELECT doc_id, chapter_seq,
+          regexp_replace(x, '&lt;', '<', 'g') AS x FROM s3),
+        s5 AS (SELECT doc_id, chapter_seq,
+          regexp_replace(x, '&gt;', '>', 'g') AS x FROM s4),
+        s6 AS (SELECT doc_id, chapter_seq,
+          regexp_replace(x, '&quot;', '"', 'g') AS x FROM s5),
+        s7 AS (SELECT doc_id, chapter_seq,
+          regexp_replace(x, '&#39;|&apos;', '''', 'g') AS x FROM s6),
+        s8 AS (SELECT doc_id, chapter_seq,
+          regexp_replace(x, '&amp;', '&', 'g') AS x FROM s7),
+        s9 AS (SELECT doc_id, chapter_seq,
+          trim(regexp_replace(x, '\s+', ' ', 'g')) AS x FROM s8)
+        SELECT doc_id, CAST(chapter_seq AS INT) AS chapter_seq,
+          CAST(length(x) AS INT) AS n_chars, md5(x) AS chapter_md5
+        FROM s9 ORDER BY doc_id, chapter_seq""")),
+
     // AVIF/HEIC TRIAGE — the #4/#5 web image formats (ISO-BMFF
     // brands): ftyp brand dispatch incl. the compatible-brand list
     // behind a mif1 major (the wild layout), then the meta→iprp→ipco→

@@ -129,6 +129,50 @@ object SourcesCatalog extends QueryModule {
         WHERE n_regionkey = 2 ORDER BY n_nationkey""")),
 
     QueryDef(
+      "src_read_jdbc_tvf",
+      (s, dir) => {
+        // the reference's (dead-code) Postgres connector row made real:
+        // load nation into an EMBEDDED Derby database (no network —
+        // Derby ships on the Spark classpath for the Hive metastore),
+        // then read it back through the TVF front door with a
+        // PARTITIONED scan (4 range-predicate queries on n_nationkey,
+        // never one serialized task). Oracle = the same rows straight
+        // from parquet, so type mapping, routing, and the partition
+        // ranges (which must tile exactly, no dup/drop rows) all sit
+        // under the hash.
+        val dbPath = s"$fixturesDir/jdbc_nation_db"
+        val rows = s.read.parquet(s"$dir/nation.parquet")
+          .selectExpr("n_nationkey", "n_name", "n_regionkey")
+          .collect() // 25-row dimension: fixture-sized, driver-local DB
+        val conn = java.sql.DriverManager.getConnection(
+          s"jdbc:derby:$dbPath;create=true")
+        try {
+          val st = conn.createStatement()
+          try st.execute("DROP TABLE nation")
+          catch { case _: java.sql.SQLException => () }
+          st.execute("CREATE TABLE nation (n_nationkey INT, " +
+            "n_name VARCHAR(64), n_regionkey INT)")
+          val ps = conn.prepareStatement("INSERT INTO nation VALUES (?,?,?)")
+          rows.foreach { r =>
+            ps.setInt(1, r.getInt(0))
+            ps.setString(2, r.getString(1))
+            ps.setInt(3, r.getInt(2))
+            ps.addBatch()
+          }
+          ps.executeBatch()
+        } finally conn.close()
+        val g = new GraftSession(s)
+        g.sql(s"""SELECT n_nationkey AS n_nationkey, n_name AS n_name
+          FROM read_jdbc('jdbc:derby:$dbPath', 'nation',
+                         partition_column=>'n_nationkey',
+                         lower_bound=>'0', upper_bound=>'25',
+                         num_partitions=>'4')
+          WHERE n_regionkey = 2 ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name FROM nation
+        WHERE n_regionkey = 2 ORDER BY n_nationkey""")),
+
+    QueryDef(
       "src_read_jsonl_zst",
       (s, dir) => {
         import s.implicits._

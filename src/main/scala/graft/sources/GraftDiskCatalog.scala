@@ -5408,6 +5408,14 @@ class GraftDiskScan(
             override def histogram(): java.util.Optional[
                 org.apache.spark.sql.connector.read.colstats.Histogram] =
               cs.hist match {
+                // spark.graft.cbo.serveHistograms=false withholds the
+                // histogram (min/max/ndv still served) — the A/B switch
+                // CboJoinFlipSpec and ddl_v2_cbo_hist_join use to prove
+                // the histogram alone changes the join strategy
+                case Some(_) if org.apache.spark.sql.SparkSession.active
+                    .conf.get("spark.graft.cbo.serveHistograms", "true")
+                    .equalsIgnoreCase("false") =>
+                  java.util.Optional.empty()
                 case Some(h) => java.util.Optional.of(
                   new org.apache.spark.sql.connector.read.colstats.Histogram {
                     override def height(): Double = h.height

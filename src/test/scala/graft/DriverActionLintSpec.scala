@@ -50,6 +50,10 @@ class DriverActionLintSpec extends AnyFunSuite {
         "estimate"),
     Allowed("SourcesCatalog.scala", ".collect().sortBy(_._1).toSeq", 1,
       "the 5-row region dimension (fixture-sized COPY/EXPORT input)"),
+    Allowed("SourcesCatalog.scala",
+      ".collect() // 25-row dimension: fixture-sized, driver-local DB", 1,
+      "the 25-row nation dimension staged into the embedded Derby " +
+        "database that backs the read_jdbc TVF oracle"),
     Allowed("SourcesCatalog.scala", "WHERE schema_name = 'staging'\"\"\").head().getLong(0)", 1,
       "a single scalar: information_schema.schemata count"),
     Allowed("StreamingOps.scala", "batch.collect().foreach { r =>", 1,

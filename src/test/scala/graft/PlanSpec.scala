@@ -173,6 +173,16 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx == 0, s"expected no hash exchange on the doc side:\n$p")
   }
 
+  test("pl_crawl_frontier: ONE data shuffle (the per-host politeness window)") {
+    val p = plan("pl_crawl_frontier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Window"), p)
+    // the robots join broadcasts and the window partitions by host —
+    // exactly one hash exchange end to end
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+  }
+
   test("bigram logprob and substring coverage: key-equi joins only, no cartesian") {
     for (q <- Seq("ext_text_bigram_logprob", "ext_dedup_substring_shared")) {
       val p = plan(q)

@@ -233,6 +233,30 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.limit(3).collect().length == 3)
   }
 
+  test("streaming ingest twin: doc AND quarantine lanes match batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_ingest_s").toString
+    val staged = spark.range(14).select($"id".as("doc_id"),
+      concat(lit("streamed body for doc "), $"id".cast("string")).as("text"))
+    WarcOps.asWarcPayloadFaulty(spark, staged, "doc_id", "text")
+      .collect().foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"seg-${r.getLong(0)}.warc.gz"),
+          r.getAs[Array[Byte]](1))
+      }
+    val streamed = graft.streaming.StreamingOps.runToCompletion(spark,
+      WarcOps.ingestFilesStream(spark, dir),
+      "warc_ingest_lanes", mode = "append")
+      .collect().map(_.toSeq).toSet
+    val batch = WarcOps.ingestFiles(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      "stream and batch front doors must emit identical doc+quarantine rows")
+    assert(batch.exists(_(1) == "quarantine"),
+      "the faulty fixture must surface quarantine rows in both")
+  }
+
   test("malformed tails quarantine per record, prefix records survive") {
     val full = fixture(6L, "abcdef")
     // truncate inside the LAST record: the first two still parse
