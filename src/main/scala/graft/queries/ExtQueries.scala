@@ -3777,6 +3777,33 @@ object ExtMultimodal extends QueryModule {
           CAST(length(x) AS INT) AS n_chars, md5(x) AS chapter_md5
         FROM s9 ORDER BY doc_id, chapter_seq""")),
 
+    // PDF EXTRACTION (ISO 32000) — the papers lane: object scan with
+    // /Length-framed (binary-safe) stream payloads, /FlateDecode
+    // inflate (odd ids compress; the fixture is a REAL single-page PDF
+    // with byte-accurate xref), then the BT/ET content walk — Tj, the
+    // TJ array form with kern numbers, Td/TD/T* line breaks, and the
+    // full literal-string escape set (the fixture probes \( \) \\ and
+    // octal \101). CID/Type0 and encrypted files yield no text and
+    // quarantine honestly (scope documented at PdfText).
+    QueryDef(
+      "ext_text_pdf_extract",
+      (s, dir) => {
+        import s.implicits._
+        val media = PdfText.asPdfPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id", "text")
+        PdfText.extractPdf(s, media)
+          .select($"doc_id", $"n_streams",
+            length($"text").as("n_chars"),
+            md5($"text".cast("binary")).as("text_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, CAST(1 AS INT) AS n_streams,
+          CAST(length('Title PDF ' || CAST(doc_id AS VARCHAR) || chr(10)
+            || text || chr(10) || '(esc) \ A probe') AS INT) AS n_chars,
+          md5('Title PDF ' || CAST(doc_id AS VARCHAR) || chr(10)
+            || text || chr(10) || '(esc) \ A probe') AS text_md5
+        FROM documents ORDER BY doc_id""")),
+
     // AVIF/HEIC TRIAGE — the #4/#5 web image formats (ISO-BMFF
     // brands): ftyp brand dispatch incl. the compatible-brand list
     // behind a mif1 major (the wild layout), then the meta→iprp→ipco→
