@@ -150,6 +150,57 @@ object StreamingOps {
     * epoch micros keep the encoder primitive-only). */
   final case class BandClaim(firstUs: Long, firstDoc: Long)
 
+  final case class FrontierClock(nextSeq: Int)
+
+  /** Streaming twin of [[graft.ops.RobotsOps.frontierSchedule]]: a live
+    * crawl assigns politeness slots CONTINUOUSLY, so the batch window
+    * becomes per-HOST keyed state (the next fetch sequence number) that
+    * carries across micro-batches — URLs arriving in later batches
+    * continue the host's queue instead of restarting it (spec-proven
+    * across two waves). Within a micro-batch, rows order by
+    * (ingest_ts, doc_id) — the batch twin's sort — so a single-batch
+    * replay is bit-identical to batch. Event-time timeout retires
+    * hosts idle past `idleHorizonMillis` (state is the crawl's working
+    * set, not its history; a host returning after the horizon starts a
+    * fresh politeness window). Input schema: (host, doc_id,
+    * crawl_delay, ingest_ts) — the gate's allowed rows. */
+  def frontierStream(
+      spark: SparkSession, schema: StructType, path: String,
+      watermark: String = "1 hour",
+      idleHorizonMillis: Long = 24L * 3600 * 1000): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def assign(
+        host: String,
+        rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
+        state: GroupState[FrontierClock])
+        : Iterator[(Long, String, Int, Double)] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val sorted = rows.toSeq.sortBy(r => (r._4.getTime, r._2))
+      var seq = state.getOption.map(_.nextSeq).getOrElse(1)
+      val out = sorted.map { case (_, doc, delay, _) =>
+        val s = seq
+        seq += 1
+        (doc, host, s, (s - 1).toDouble * delay)
+      }
+      if (sorted.nonEmpty) {
+        state.update(FrontierClock(seq))
+        state.setTimeoutTimestamp(
+          sorted.map(_._4.getTime).max + idleHorizonMillis)
+      }
+      out.iterator
+    }
+    spark.readStream.schema(schema).parquet(path)
+      .withWatermark("ingest_ts", watermark)
+      .select(col("host"), col("doc_id"),
+        col("crawl_delay").cast("double"), col("ingest_ts"))
+      .as[(String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(assign)
+      .toDF("doc_id", "host", "fetch_seq", "fetch_offset_s")
+  }
+
   /** Streaming near-duplicate GATE: the unbounded-ingest twin of
     * [[graft.ops.DedupOps.nearDupGateBatch]] — admit a document iff it is
     * the first claimant of EVERY one of its MinHash LSH band buckets

@@ -901,4 +901,52 @@ class StreamingSpec extends AnyFunSuite {
       .exists(_.getMessage.contains("id_present")),
       s"expected the fail-rule name in the failure chain: ${e.getMessage}")
   }
+
+  test("frontier stream: batch parity + per-host seq continues across waves") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_frontier").toString
+    // the curation gate's allowed rows, ingest_ts monotone in doc_id so
+    // the batch window's doc order equals the stream's (ts, doc) order
+    def wave(ids: Range) = spark.range(ids.start, ids.end)
+      .select($"id".as("doc_id"),
+        concat(lit("host"), ($"id" % 17).cast("string"),
+          lit(".example.com")).as("host"),
+        (($"id" % 17) % 10).cast("double").as("crawl_delay"),
+        lit(true).as("allowed"),
+        (to_timestamp(lit("2026-03-01 00:00:00")) + make_interval(
+          lit(0), lit(0), lit(0), lit(0), lit(0), lit(0),
+          $"id".cast("double"))).as("ingest_ts"))
+      .filter(!($"doc_id" % 3 === 0 && ($"doc_id" % 17) % 2 === 0))
+    val w1 = wave(0 until 100)
+    val w2 = wave(100 until 150)
+    val src = s"$tmp/gated"
+    w1.select($"host", $"doc_id", $"crawl_delay", $"ingest_ts")
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = StreamingOps.frontierStream(spark, schema, src)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("frontier_waves").start()
+    try {
+      q.processAllAvailable()
+      val afterW1 = spark.table("frontier_waves").count()
+      assert(afterW1 == w1.count(), "wave 1 fully scheduled")
+      w2.select($"host", $"doc_id", $"crawl_delay", $"ingest_ts")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("frontier_waves")
+      .select($"doc_id", $"host", $"fetch_seq",
+        $"fetch_offset_s".cast("double"))
+      .collect().map(_.toSeq).toSet
+    // batch twin over BOTH waves at once: per-host sequences must be
+    // identical — streamed wave-2 rows CONTINUE each host's queue
+    val want = graft.ops.RobotsOps.frontierSchedule(
+        spark, w1.unionByName(w2))
+      .select($"doc_id", $"host", $"fetch_seq",
+        $"fetch_offset_s".cast("double"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      "stream must equal the batch window, including cross-wave continuation")
+  }
 }
