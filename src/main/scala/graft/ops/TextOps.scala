@@ -196,6 +196,43 @@ object TextOps {
     trim(regexp_replace(e6, "\\s+", " "))
   }
 
+  /** Markdown → text (docs/README corpora): fenced code BLOCKS drop
+    * (code is not prose), inline code keeps its
+    * text, image/link syntax keeps alt/anchor text, header/quote/rule
+    * markers strip, emphasis asterisks strip, whitespace collapses.
+    * Pure codegen'd regexp chain; the oracle replays it pass by pass
+    * (RE2-safe subset, no backtracking blowup). */
+  def stripMarkdown(c: Column): Column = {
+    val noFence = regexp_replace(c, "(?s)```.*?```", " ")
+    val code = regexp_replace(noFence, "`([^`]*)`", "$1")
+    val img = regexp_replace(code, "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val link = regexp_replace(img, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val hdr = regexp_replace(link, "(?m)^#{1,6}[ \\t]*", "")
+    val quote = regexp_replace(hdr, "(?m)^>[ \\t]?", "")
+    val rule = regexp_replace(quote, "(?m)^-{3,}[ \\t]*$", "")
+    val emph = regexp_replace(rule, "\\*{1,3}", "")
+    trim(regexp_replace(emph, "\\s+", " "))
+  }
+
+  /** LaTeX → text (papers corpora, documented approximation): comments
+    * drop (escaped \% survives), display then inline math drops,
+    * \begin/\end vanish, single-brace-arg commands KEEP the braced
+    * text (\textbf{x} → x — including \cite keys, a stated tradeoff),
+    * remaining commands drop with their optional [..] args, stray
+    * braces strip, whitespace collapses. Same oracle discipline as
+    * [[stripMarkdown]]. */
+  def stripLatex(c: Column): Column = {
+    val noComment = regexp_replace(c, "(?m)(^|[^\\\\])%.*$", "$1 ")
+    val noDisp = regexp_replace(noComment, "\\$\\$[^$]*\\$\\$", " ")
+    val noMath = regexp_replace(noDisp, "\\$[^$]*\\$", " ")
+    val noEnv = regexp_replace(noMath, "\\\\(begin|end)\\{[^}]*\\}", " ")
+    val keepArg = regexp_replace(noEnv,
+      "\\\\[a-zA-Z]+(\\[[^\\]]*\\])?\\{([^}]*)\\}", "$2")
+    val noCmd = regexp_replace(keepArg, "\\\\[a-zA-Z]+(\\[[^\\]]*\\])?", " ")
+    val noBrace = regexp_replace(noCmd, "[{}]", "")
+    trim(regexp_replace(noBrace, "\\s+", " "))
+  }
+
   // ---- repetition / boilerplate detection ----
 
   /** Repeated-trigram ratio in [0,1]: 1 − distinct/total word trigrams.

@@ -2257,6 +2257,117 @@ object ExtText extends QueryModule {
         SELECT doc_id, CAST(length(x) AS INTEGER) AS n_clean, md5(x) AS clean_md5
         FROM s9 ORDER BY doc_id""")),
 
+    // ---- Markdown → text (README/docs corpora): each doc is wrapped in
+    // a synthetic markdown shell (header, quote, emphasis, inline code,
+    // link/image, fenced block, rule) and stripped by the spec'd pass
+    // order — fenced blocks DROP (code is not prose), inline code and
+    // link/image anchor text KEEP. Oracle replays the identical RE2
+    // chain in DuckDB (inline (?s)/(?m) flags work in both engines);
+    // md5 + length prove the transform byte-equal. Per-row codegen'd,
+    // zero shuffle. ----
+    QueryDef(
+      "ext_text_markdown_strip",
+      (s, dir) => {
+        import s.implicits._
+        val md = concat(
+          lit("# Doc "), $"doc_id".cast("string"),
+          lit("\n\n> quoted intro\n\n**lead** *in* `x = 1` and " +
+            "[home](https://h) ![logo](l.png)\n\n```\ncode body\n" +
+            "drop();\n```\n\n"),
+          $"text",
+          lit("\n\n---\n\ntail ***strong em***"))
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", TextOps.stripMarkdown(md).as("clean"))
+          .select($"doc_id", length($"clean").as("n_clean"),
+            md5($"clean".cast("binary")).as("clean_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id,
+            '# Doc ' || doc_id || chr(10) || chr(10) || '> quoted intro'
+              || chr(10) || chr(10)
+              || '**lead** *in* `x = 1` and [home](https://h) ![logo](l.png)'
+              || chr(10) || chr(10) || '```' || chr(10) || 'code body'
+              || chr(10) || 'drop();' || chr(10) || '```'
+              || chr(10) || chr(10) || text
+              || chr(10) || chr(10) || '---' || chr(10) || chr(10)
+              || 'tail ***strong em***' AS x
+          FROM documents),
+        s0 AS (SELECT doc_id,
+          regexp_replace(x, '(?s)```.*?```', ' ', 'g') AS x FROM h),
+        s1 AS (SELECT doc_id,
+          regexp_replace(x, '`([^`]*)`', '\1', 'g') AS x FROM s0),
+        s2 AS (SELECT doc_id,
+          regexp_replace(x, '!\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS x FROM s1),
+        s3 AS (SELECT doc_id,
+          regexp_replace(x, '\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS x FROM s2),
+        s4 AS (SELECT doc_id,
+          regexp_replace(x, '(?m)^#{1,6}[ \t]*', '', 'g') AS x FROM s3),
+        s5 AS (SELECT doc_id,
+          regexp_replace(x, '(?m)^>[ \t]?', '', 'g') AS x FROM s4),
+        s6 AS (SELECT doc_id,
+          regexp_replace(x, '(?m)^-{3,}[ \t]*$', '', 'g') AS x FROM s5),
+        s7 AS (SELECT doc_id,
+          regexp_replace(x, '\*{1,3}', '', 'g') AS x FROM s6),
+        s8 AS (SELECT doc_id,
+          trim(regexp_replace(x, '\s+', ' ', 'g')) AS x FROM s7)
+        SELECT doc_id, CAST(length(x) AS INTEGER) AS n_clean,
+          md5(x) AS clean_md5
+        FROM s8 ORDER BY doc_id""")),
+
+    // ---- LaTeX → text (papers corpora, documented approximation): the
+    // shell exercises comments (escaped \% survives), display+inline
+    // math (drop), \begin/\end (vanish), braced-arg commands (KEEP the
+    // braced text — \textbf{x} → x, \cite keys included, a stated
+    // tradeoff), bare commands with optional [..] args (drop), stray
+    // braces (strip). Same oracle discipline as markdown above. ----
+    QueryDef(
+      "ext_text_latex_strip",
+      (s, dir) => {
+        import s.implicits._
+        val tex = concat(
+          lit("\\section{Doc "), $"doc_id".cast("string"),
+          lit("} % setup comment\n\\begin{abstract}\n\\textbf{Lead} " +
+            "\\emph{in} $x_i + 1$ and $$\\sum_j y_j$$ \\cite[p.1]{key} " +
+            "\\mystery\n\\end{abstract}\n"),
+          $"text",
+          lit("\n100\\% done {grouped}"))
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", TextOps.stripLatex(tex).as("clean"))
+          .select($"doc_id", length($"clean").as("n_clean"),
+            md5($"clean".cast("binary")).as("clean_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id,
+            '\section{Doc ' || doc_id || '} % setup comment' || chr(10)
+              || '\begin{abstract}' || chr(10)
+              || '\textbf{Lead} \emph{in} $x_i + 1$ and $$\sum_j y_j$$'
+              || ' \cite[p.1]{key} \mystery' || chr(10)
+              || '\end{abstract}' || chr(10) || text || chr(10)
+              || '100\% done {grouped}' AS x
+          FROM documents),
+        s0 AS (SELECT doc_id,
+          regexp_replace(x, '(?m)(^|[^\\])%.*$', '\1 ', 'g') AS x FROM h),
+        s1 AS (SELECT doc_id,
+          regexp_replace(x, '\$\$[^$]*\$\$', ' ', 'g') AS x FROM s0),
+        s2 AS (SELECT doc_id,
+          regexp_replace(x, '\$[^$]*\$', ' ', 'g') AS x FROM s1),
+        s3 AS (SELECT doc_id,
+          regexp_replace(x, '\\(begin|end)\{[^}]*\}', ' ', 'g') AS x FROM s2),
+        s4 AS (SELECT doc_id,
+          regexp_replace(x, '\\[a-zA-Z]+(\[[^\]]*\])?\{([^}]*)\}', '\2', 'g')
+            AS x FROM s3),
+        s5 AS (SELECT doc_id,
+          regexp_replace(x, '\\[a-zA-Z]+(\[[^\]]*\])?', ' ', 'g') AS x FROM s4),
+        s6 AS (SELECT doc_id,
+          regexp_replace(x, '[{}]', '', 'g') AS x FROM s5),
+        s7 AS (SELECT doc_id,
+          trim(regexp_replace(x, '\s+', ' ', 'g')) AS x FROM s6)
+        SELECT doc_id, CAST(length(x) AS INTEGER) AS n_clean,
+          md5(x) AS clean_md5
+        FROM s7 ORDER BY doc_id""")),
+
     // ---- sentence segmentation battery: regexp sentence split (the
     // chunking prerequisite for context-window packing). Fixture text has
     // no punctuation, so sentence breaks are INJECTED first (every 5 words

@@ -246,6 +246,34 @@ class OpsSpec extends AnyFunSuite {
     assert(enc == "<script>x</script>", enc)
   }
 
+  test("stripMarkdown: fences drop, inline code/link/image text keeps") {
+    val md = "# Title\n\n> quote\n\n**bold** *em* `x=1`\n\n```\ncode\n" +
+      "gone\n```\n\n[anchor](https://a) ![alt](i.png)\n\n---\n\nbody"
+    val got = Seq(md).toDF("m")
+      .select(TextOps.stripMarkdown($"m")).head().getString(0)
+    assert(got == "Title quote bold em x=1 anchor alt body", got)
+    // a fence spanning lines must not leak its interior (the (?s) flag)
+    val multi = Seq("a\n```\nx\ny\nz\n```\nb").toDF("m")
+      .select(TextOps.stripMarkdown($"m")).head().getString(0)
+    assert(multi == "a b", multi)
+    // header marker only strips at line START (mid-line # survives)
+    val mid = Seq("issue #42 rocks").toDF("m")
+      .select(TextOps.stripMarkdown($"m")).head().getString(0)
+    assert(mid == "issue #42 rocks", mid)
+  }
+
+  test("stripLatex: math/commands drop, braced args keep, \\% survives") {
+    val tex = "\\section{Head} % comment\n\\begin{doc}\n\\textbf{Bold} " +
+      "$x^2$ $$\\sum y$$ \\cite[p.3]{ref} \\nl\n\\end{doc}\n100\\% sure"
+    val got = Seq(tex).toDF("t")
+      .select(TextOps.stripLatex($"t")).head().getString(0)
+    assert(got == "Head Bold ref 100\\% sure", got)
+    // unescaped % comments to end-of-line; the char BEFORE it survives
+    val cm = Seq("keep x% drop this\nnext").toDF("t")
+      .select(TextOps.stripLatex($"t")).head().getString(0)
+    assert(cm == "keep x next", cm)
+  }
+
   test("URL canonicalization agrees with Spark's native parse_url on host/path") {
     // the registry entry derives host/path via the RE2 regexp chain (so the
     // identical chain runs in DuckDB); Spark's java.net-based parse_url must
