@@ -210,11 +210,14 @@ object MultimodalOps {
       case Some(("gif", _, _)) => ("gif", ok(gifPixels(bytes)))
       case Some(("jpeg", _, _)) => ("jpeg", ok(jpegDecode(bytes)))
       case Some(("tiff", _, _)) => ("tiff", ok(tiffPixels(bytes)))
-      // lossless stills AND lossless animations decode for real; lossy
-      // VP8 triages with true dimensions but quarantines observably
+      // lossless stills, lossless animations, AND (round 12) lossy VP8
+      // key-frame luma decode for real; lossy variants outside the
+      // documented scope (interframes, B_PRED, loop-filtered, foreign
+      // probability tables) still quarantine observably
       case Some(("webp", _, _)) =>
         ("webp", ok(WebpCodec.pixels(bytes)) ||
-          ok(WebpCodec.animPixels(bytes)))
+          ok(WebpCodec.animPixels(bytes)) ||
+          ok(Vp8Codec.lumaFromWebp(bytes)))
       case Some((other, _, _)) => (other, false)
       case None =>
         // audio/video containers: classify by magic, attempt the real

@@ -3518,6 +3518,62 @@ object ExtMultimodal extends QueryModule {
         FROM px JOIN dur d ON px.doc_id = d.doc_id
         GROUP BY px.doc_id, n, w, h, d.total ORDER BY px.doc_id""")),
 
+    // LOSSY VP8 (WebP) key-frame LUMA decode — the round-12 burn-down
+    // of the largest formerly-quarantined image class. Unlike JPEG's
+    // float-specified IDCT, VP8 reconstruction is INTEGER-EXACT by
+    // RFC 6386 (bool coder, inverse WHT, 20091/35468 inverse DCT, 16×16
+    // intra predictors), so decoded pixels are oracle-checkable. The
+    // fixture is a from-scratch VP8 bool ENCODER (Vp8Encoder, the
+    // lossless Vp8lEncoder discipline applied to the lossy stream):
+    // 4-MB frames whose Y2-DC-only residuals make each reconstructed MB
+    // uniform, following a closed-form integer recurrence across the
+    // DC/V/H/TM mode ladder that the oracle replays — floor-shift
+    // semantics included — with no codec in SQL. A bool-coder, token,
+    // dequant, IWHT, IDCT, prediction, or clamp bug breaks the hash.
+    // mb0..mb3 pin each MB; y_mean over the full plane proves
+    // uniformity. Per-row byte work, zero shuffle.
+    QueryDef(
+      "ext_multimodal_webp_lossy",
+      (s, dir) => {
+        import s.implicits._
+        val media = Vp8Ops.asVp8LossyPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id")
+        Vp8Ops.extractLuma(s, media).toDF()
+          .select($"doc_id", $"width", $"height", $"qi", $"modes",
+            $"mb0", $"mb1", $"mb2", $"mb3", $"y_mean")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH p AS (
+          SELECT doc_id,
+            CAST((doc_id % 16) * 8 AS INT) AS qi,
+            (4 + 2*((doc_id % 16) * 8)) * 2 AS q2
+          FROM documents),
+        r AS (
+          SELECT doc_id, qi, q2,
+            CAST((doc_id + 0) % 4 AS INT) AS m0, CAST((doc_id + 1) % 4 AS INT) AS m1,
+            CAST((doc_id + 2) % 4 AS INT) AS m2, CAST((doc_id + 3) % 4 AS INT) AS m3,
+            CAST(floor((CAST(floor(((((doc_id*7 + 0) % 13) - 6) * q2 + 3)/8.0) AS BIGINT) + 4)/8.0) AS BIGINT) AS r0,
+            CAST(floor((CAST(floor(((((doc_id*7 + 5) % 13) - 6) * q2 + 3)/8.0) AS BIGINT) + 4)/8.0) AS BIGINT) AS r1,
+            CAST(floor((CAST(floor(((((doc_id*7 + 10) % 13) - 6) * q2 + 3)/8.0) AS BIGINT) + 4)/8.0) AS BIGINT) AS r2,
+            CAST(floor((CAST(floor(((((doc_id*7 + 15) % 13) - 6) * q2 + 3)/8.0) AS BIGINT) + 4)/8.0) AS BIGINT) AS r3
+          FROM p),
+        c0 AS (SELECT *, greatest(0, least(255,
+            CASE m0 WHEN 0 THEN 128 WHEN 1 THEN 127 ELSE 129 END + r0)) AS u0 FROM r),
+        c1 AS (SELECT *, greatest(0, least(255,
+            CASE WHEN m1 = 1 THEN 127 ELSE u0 END + r1)) AS u1 FROM c0),
+        c2 AS (SELECT *, greatest(0, least(255,
+            CASE WHEN m2 = 1 THEN 127 ELSE u1 END + r2)) AS u2 FROM c1),
+        c3 AS (SELECT *, greatest(0, least(255,
+            CASE WHEN m3 = 1 THEN 127 ELSE u2 END + r3)) AS u3 FROM c2)
+        SELECT doc_id, CAST(64 AS INT) AS width, CAST(16 AS INT) AS height,
+          qi,
+          substr('DVHT', m0+1, 1) || substr('DVHT', m1+1, 1) ||
+          substr('DVHT', m2+1, 1) || substr('DVHT', m3+1, 1) AS modes,
+          CAST(u0 AS INT) AS mb0, CAST(u1 AS INT) AS mb1,
+          CAST(u2 AS INT) AS mb2, CAST(u3 AS INT) AS mb3,
+          round((u0+u1+u2+u3)/4.0, 6) AS y_mean
+        FROM c3 ORDER BY doc_id""")),
+
     // WARC INGESTION (ISO 28500) — the container web crawls actually
     // arrive in (Common Crawl ships WARC): record walk with
     // Content-Length framing, warcinfo/request/response types, and the
@@ -4580,11 +4636,11 @@ object ExtMultimodal extends QueryModule {
           "doc_id", "text")
         val webpL = WebpOps.asWebpPixelPayload(
           s, lane(8).filter($"doc_id" % 36 === 17), "doc_id")
-        val webpV = lane(8).filter($"doc_id" % 36 === 35)
-          .select($"doc_id".cast("long")).as[Long]
-          .map(id => (id, graft.ops.Vp8lEncoder.lossyStubFile(
-            100 + (id % 50).toInt, 80 + (id % 30).toInt)))
-          .toDF("doc_id", "payload")
+        // round-12 burn-down: the lossy half of the webp class carries
+        // REAL VP8 key frames now — luma decode flips it
+        // quarantined→decoded in the ledger
+        val webpV = Vp8Ops.asVp8LossyPayload(
+          s, lane(8).filter($"doc_id" % 36 === 35), "doc_id")
         val mixed =
           Seq(bmp, png, gif, jpg, png16, wavF, wavA, tif, raw, webpL, webpV)
           .map(_.select($"doc_id", $"payload"))
@@ -4612,7 +4668,7 @@ object ExtMultimodal extends QueryModule {
             ELSE CASE WHEN doc_id % 18 = 17 THEN 'webp' ELSE 'raw' END
           END AS format,
           ((doc_id % 9 < 8 AND doc_id % 18 NOT IN (0, 1))
-            OR doc_id % 36 = 17) AS decoded,
+            OR doc_id % 36 IN (17, 35)) AS decoded,
           CAST(count(*) AS BIGINT) AS n
         FROM documents
         GROUP BY 1, 2 ORDER BY format, decoded""")),
