@@ -372,13 +372,15 @@ object Vp8Codec {
   // frame decode
   // ------------------------------------------------------------------
 
-  /** Decoded luma frame: full Y plane (row-major, cropped to w×h) plus
-    * the header facts the registry entry surfaces. */
+  /** Decoded frame: full Y plane (row-major, cropped to w×h), U/V
+    * planes (cropped to ⌈w/2⌉×⌈h/2⌉), and the header facts the
+    * registry entry surfaces. */
   final case class Vp8Luma(
       doc_id: Long, width: Int, height: Int,
       mb_cols: Int, mb_rows: Int, qi: Int,
-      modes: String, // one char per MB, raster order: D/V/H/T
-      y: Array[Byte])
+      modes: String,    // one char per MB, raster order: D/V/H/T
+      uv_modes: String, // same encoding for the chroma mode
+      y: Array[Byte], u: Array[Byte], v: Array[Byte])
 
   private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
@@ -448,13 +450,14 @@ object Vp8Codec {
     // ---- per-MB mode parse (continues in partition 1) ----
     val skip = new Array[Boolean](nMb)
     val ymode = new Array[Int](nMb)
+    val uvmode = new Array[Int](nMb)
     var mi = 0
     while (mi < nMb) {
       skip(mi) = mbNoCoeffSkip && p1.bool(probSkip) == 1
       val ym = p1.tree(kfYmodeTree, kfYmodeProb)
       if (ym == B_PRED) return Left("b_pred")
       ymode(mi) = ym
-      p1.tree(uvModeTree, kfUvModeProb) // uvmode: parsed, not reconstructed
+      uvmode(mi) = p1.tree(uvModeTree, kfUvModeProb)
       mi += 1
     }
     if (p1.overrun) return Left("truncated")
@@ -471,6 +474,68 @@ object Vp8Codec {
     val planeW = mbCols * 16
     val planeH = mbRows * 16
     val plane = new Array[Byte](planeW * planeH)
+    val cPlaneW = mbCols * 8
+    val uPlane = new Array[Byte](cPlaneW * mbRows * 8)
+    val vPlane = new Array[Byte](cPlaneW * mbRows * 8)
+
+    /** §12.2 whole-MB intra prediction, generic over block size (16 for
+      * luma, 8 for chroma): fills `pred` (size×size) from the
+      * reconstructed plane's edges. Edge conventions shared with the
+      * fixture oracle: virtual above row = 127, virtual left column =
+      * 129, above-left = 127 when the above row is virtual else 129
+      * when the left column is virtual else the corner pixel. */
+    def predict(pred: Array[Int], size: Int, mode: Int, pl: Array[Byte],
+        plW: Int, mx: Int, my: Int): Unit = {
+      val haveAbove = my > 0
+      val haveLeft = mx > 0
+      val px0 = mx * size
+      val py0 = my * size
+      def aboveAt(c: Int): Int =
+        if (haveAbove) pl((py0 - 1) * plW + px0 + c) & 0xff else 127
+      def leftAt(r: Int): Int =
+        if (haveLeft) pl((py0 + r) * plW + px0 - 1) & 0xff else 129
+      val aboveLeft =
+        if (!haveAbove) 127
+        else if (!haveLeft) 129
+        else pl((py0 - 1) * plW + px0 - 1) & 0xff
+      val shift = if (size == 16) 4 else 3
+      mode match {
+        case DC_PRED =>
+          val dc =
+            if (!haveAbove && !haveLeft) 128
+            else {
+              var s = 0; var n = 0
+              if (haveAbove) { var c = 0; while (c < size) { s += aboveAt(c); c += 1 }; n += size }
+              if (haveLeft) { var r = 0; while (r < size) { s += leftAt(r); r += 1 }; n += size }
+              (s + n / 2) >> (if (n == 2 * size) shift + 1 else shift)
+            }
+          java.util.Arrays.fill(pred, dc)
+        case V_PRED =>
+          var r = 0
+          while (r < size) {
+            var c = 0; while (c < size) { pred(r * size + c) = aboveAt(c); c += 1 }
+            r += 1
+          }
+        case H_PRED =>
+          var r = 0
+          while (r < size) {
+            val v = leftAt(r)
+            var c = 0; while (c < size) { pred(r * size + c) = v; c += 1 }
+            r += 1
+          }
+        case _ => // TM_PRED
+          var r = 0
+          while (r < size) {
+            val l = leftAt(r)
+            var c = 0
+            while (c < size) {
+              pred(r * size + c) = clamp255(l + aboveAt(c) - aboveLeft)
+              c += 1
+            }
+            r += 1
+          }
+      }
+    }
 
     /** One block's token decode: fills `coeffs` (natural order) with
       * DEQUANTIZED values from `first`; returns true iff any nonzero. */
@@ -517,6 +582,7 @@ object Vp8Codec {
     val y2c = new Array[Int](16)
     val blk = new Array[Int](16)
     val modeChars = new StringBuilder
+    val uvModeChars = new StringBuilder
 
     var my = 0
     while (my < mbRows) {
@@ -529,63 +595,19 @@ object Vp8Codec {
         val m = my * mbCols + mx
         val mode = ymode(m)
         modeChars.append("DVHT".charAt(mode))
+        uvModeChars.append("DVHT".charAt(uvmode(m)))
 
-        // ---- 16×16 luma prediction from reconstructed edges ----
-        val haveAbove = my > 0
-        val haveLeft = mx > 0
-        val px0 = mx * 16
-        val py0 = my * 16
-        def aboveAt(c: Int): Int =
-          if (haveAbove) plane((py0 - 1) * planeW + px0 + c) & 0xff else 127
-        def leftAt(r: Int): Int =
-          if (haveLeft) plane((py0 + r) * planeW + px0 - 1) & 0xff else 129
-        // above-left convention (shared with the fixture oracle): 127
-        // when the above row is virtual, 129 when only the left column
-        // is virtual, else the reconstructed corner pixel
-        val aboveLeft =
-          if (!haveAbove) 127
-          else if (!haveLeft) 129
-          else plane((py0 - 1) * planeW + px0 - 1) & 0xff
         val pred = new Array[Int](256)
-        mode match {
-          case DC_PRED =>
-            val dc =
-              if (!haveAbove && !haveLeft) 128
-              else {
-                var s = 0; var n = 0
-                if (haveAbove) { var c = 0; while (c < 16) { s += aboveAt(c); c += 1 }; n += 16 }
-                if (haveLeft) { var r = 0; while (r < 16) { s += leftAt(r); r += 1 }; n += 16 }
-                (s + n / 2) >> (if (n == 32) 5 else 4)
-              }
-            java.util.Arrays.fill(pred, dc)
-          case V_PRED =>
-            var r = 0
-            while (r < 16) {
-              var c = 0; while (c < 16) { pred(r * 16 + c) = aboveAt(c); c += 1 }
-              r += 1
-            }
-          case H_PRED =>
-            var r = 0
-            while (r < 16) {
-              val v = leftAt(r)
-              var c = 0; while (c < 16) { pred(r * 16 + c) = v; c += 1 }
-              r += 1
-            }
-          case _ => // TM_PRED
-            var r = 0
-            while (r < 16) {
-              val l = leftAt(r)
-              var c = 0
-              while (c < 16) {
-                pred(r * 16 + c) = clamp255(l + aboveAt(c) - aboveLeft)
-                c += 1
-              }
-              r += 1
-            }
-        }
+        predict(pred, 16, mode, plane, planeW, mx, my)
+        val predU = new Array[Int](64)
+        val predV = new Array[Int](64)
+        predict(predU, 8, uvmode(m), uPlane, cPlaneW, mx, my)
+        predict(predV, 8, uvmode(m), vPlane, cPlaneW, mx, my)
 
         // ---- residual ----
         val res = new Array[Int](256)
+        val resU = new Array[Int](64)
+        val resV = new Array[Int](64)
         if (skip(m)) {
           // skipped MB: contexts clear (16×16 modes carry a Y2 block)
           var i = 0
@@ -620,7 +642,7 @@ object Vp8Codec {
             }
             sb += 1
           }
-          // chroma blocks: parsed for stream sync, pixels not rebuilt
+          // chroma blocks (4 U then 4 V, coeffs start at 0)
           var cb = 0
           while (cb < 8) {
             val isU = cb < 4
@@ -629,17 +651,37 @@ object Vp8Codec {
             val ctx = (if (la(br)) 1 else 0) + (if (aa(mx * 2 + bc)) 1 else 0)
             val nz = decodeBlock(blk, PLANE_UV, 0, ctx, q.uvdc, q.uvac)
             aa(mx * 2 + bc) = nz; la(br) = nz
+            val r4 = idct4x4(blk)
+            val dst = if (isU) resU else resV
+            var i = 0
+            while (i < 16) {
+              dst((br * 4 + i / 4) * 8 + bc * 4 + i % 4) = r4(i)
+              i += 1
+            }
             cb += 1
           }
         }
 
         // ---- reconstruct ----
+        val px0 = mx * 16
+        val py0 = my * 16
         var r = 0
         while (r < 16) {
           var c = 0
           while (c < 16) {
             plane((py0 + r) * planeW + px0 + c) =
               clamp255(pred(r * 16 + c) + res(r * 16 + c)).toByte
+            c += 1
+          }
+          r += 1
+        }
+        r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            val at8 = (my * 8 + r) * cPlaneW + mx * 8 + c
+            uPlane(at8) = clamp255(predU(r * 8 + c) + resU(r * 8 + c)).toByte
+            vPlane(at8) = clamp255(predV(r * 8 + c) + resV(r * 8 + c)).toByte
             c += 1
           }
           r += 1
@@ -657,7 +699,18 @@ object Vp8Codec {
       System.arraycopy(plane, r * planeW, y, r * w, w)
       r += 1
     }
-    Right(Vp8Luma(-1L, w, h, mbCols, mbRows, qi, modeChars.toString, y))
+    val cw = (w + 1) / 2
+    val ch = (h + 1) / 2
+    val u = new Array[Byte](cw * ch)
+    val v = new Array[Byte](cw * ch)
+    r = 0
+    while (r < ch) {
+      System.arraycopy(uPlane, r * cPlaneW, u, r * cw, cw)
+      System.arraycopy(vPlane, r * cPlaneW, v, r * cw, cw)
+      r += 1
+    }
+    Right(Vp8Luma(-1L, w, h, mbCols, mbRows, qi, modeChars.toString,
+      uvModeChars.toString, y, u, v))
   }
 
   /** RIFF walk → first "VP8 " chunk → [[decodeFrame]]. None = not a
@@ -707,10 +760,15 @@ object Vp8Encoder {
   import Vp8Codec._
 
   /** One MB of fixture content: 16×16 intra mode (DC/V/H/TM), the
-    * quantized Y2 DC value (0 → the MB is coded as skipped), and
-    * optional (subBlock, zigzagPos≥1, quantizedValue) luma AC terms. */
+    * quantized Y2 DC value, optional (subBlock, zigzagPos≥1,
+    * quantizedValue) luma AC terms, and per-plane quantized chroma DC
+    * values (each of the 4 U / 4 V blocks carries the same DC, keeping
+    * the MB's chroma uniform for the closed-form oracle). A fully zero
+    * MbSpec is coded as SKIPPED. */
   final case class MbSpec(mode: Int, y2dc: Int,
-      ac: Seq[(Int, Int, Int)] = Nil)
+      ac: Seq[(Int, Int, Int)] = Nil, uDc: Int = 0, vDc: Int = 0) {
+    def isSkip: Boolean = y2dc == 0 && ac.isEmpty && uDc == 0 && vDc == 0
+  }
 
   private def writeToken(e: BoolEnc, probs: Array[Int], v: Int,
       startNode: Int): Unit = {
@@ -782,8 +840,7 @@ object Vp8Encoder {
     p1.literal(1, 1) // mb_no_coeff_skip enabled
     p1.literal(8, probSkip)
     mbs.foreach { mb =>
-      val skip = mb.y2dc == 0 && mb.ac.isEmpty
-      p1.bool(probSkip, skip)
+      p1.bool(probSkip, mb.isSkip)
       p1.tree(kfYmodeTree, kfYmodeProb, mb.mode)
       p1.tree(uvModeTree, kfUvModeProb, uvMode)
     }
@@ -804,8 +861,7 @@ object Vp8Encoder {
       var mx = 0
       while (mx < mbCols) {
         val mb = mbs(my * mbCols + mx)
-        val skip = mb.y2dc == 0 && mb.ac.isEmpty
-        if (skip) {
+        if (mb.isSkip) {
           var k = 0
           while (k < 4) { aboveY(mx * 4 + k) = false; leftY(k) = false; k += 1 }
           k = 0
@@ -868,15 +924,23 @@ object Vp8Encoder {
             aboveY(mx * 4 + bc) = nz; leftY(br) = nz
             sb += 1
           }
-          // 8 chroma blocks: all-zero (EOB at position 0)
+          // 8 chroma blocks: the plane's shared DC (or EOB-empty)
           var cb = 0
           while (cb < 8) {
             val isU = cb < 4
+            val dc = if (isU) mb.uDc else mb.vDc
             val bc = cb % 2; val br = (cb % 4) / 2
             val (la, aa) = if (isU) (leftU, aboveU) else (leftV, aboveV)
             val ctx = (if (la(br)) 1 else 0) + (if (aa(mx * 2 + bc)) 1 else 0)
-            p2.tree(coefTree, probs(PLANE_UV)(coefBands(0))(ctx), EOB)
-            aa(mx * 2 + bc) = false; la(br) = false
+            if (dc != 0) {
+              writeToken(p2, probs(PLANE_UV)(coefBands(0))(ctx), dc, 0)
+              val eobCtx = if (math.abs(dc) == 1) 1 else 2
+              p2.tree(coefTree, probs(PLANE_UV)(coefBands(1))(eobCtx), EOB)
+              aa(mx * 2 + bc) = true; la(br) = true
+            } else {
+              p2.tree(coefTree, probs(PLANE_UV)(coefBands(0))(ctx), EOB)
+              aa(mx * 2 + bc) = false; la(br) = false
+            }
             cb += 1
           }
         }
@@ -922,19 +986,26 @@ object Vp8Ops {
   import org.apache.spark.sql.functions.col
   import Vp8Encoder.MbSpec
 
-  /** The registry row: per-MB reconstructed values (each MB of the
-    * fixture is uniform by construction, so one value per MB plus the
-    * whole-plane mean PROVES uniformity to the oracle) and the header
-    * facts the decoder parsed. */
+  /** The registry row: per-MB reconstructed values for all THREE
+    * planes (each MB of the fixture is uniform per plane by
+    * construction, so one value per MB plus the whole-plane means
+    * PROVES uniformity to the oracle) and the header facts the decoder
+    * parsed. */
   final case class Vp8LumaRow(
-      doc_id: Long, width: Int, height: Int, qi: Int, modes: String,
-      mb0: Int, mb1: Int, mb2: Int, mb3: Int, y_mean: Double)
+      doc_id: Long, width: Int, height: Int, qi: Int,
+      modes: String, uv_modes: String,
+      mb0: Int, mb1: Int, mb2: Int, mb3: Int,
+      mu0: Int, mu1: Int, mu2: Int, mu3: Int,
+      mv0: Int, mv1: Int, mv2: Int, mv3: Int,
+      y_mean: Double, u_mean: Double, v_mean: Double)
 
-  /** Fixture: one 64×16 key frame (4 MBs) per doc. Mode ladder
-    * (doc_id+k)%4 walks DC/V/H/TM across the row; the Y2 DC residual
-    * ((doc_id*7+k*5)%13)−6 covers negatives and the zero→SKIP lane; qi
-    * ladder (doc_id%16)*8 sweeps the quantizer range. The oracle
-    * replays the closed-form integer recurrence — no codec in SQL. */
+  /** Fixture: one 64×16 key frame (4 MBs) per doc. Luma mode ladder
+    * (doc_id+k)%4 walks DC/V/H/TM across the row and the chroma mode
+    * doc_id%4 sweeps all four per doc; residuals (Y2 DC for luma, a
+    * shared per-plane chroma DC) cover negatives and the zero→SKIP
+    * lane; qi ladder (doc_id%16)*8 sweeps the quantizer range. The
+    * oracle replays the closed-form integer recurrences — no codec in
+    * SQL. */
   def asVp8LossyPayload(
       spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
@@ -944,10 +1015,12 @@ object Vp8Ops {
           val qi = ((docId % 16) * 8).toInt
           val mbs = (0 until 4).map { k =>
             MbSpec(((docId + k) % 4).toInt,
-              (((docId * 7 + k * 5) % 13) - 6).toInt)
+              (((docId * 7 + k * 5) % 13) - 6).toInt,
+              uDc = (((docId * 3 + k * 7) % 11) - 5).toInt,
+              vDc = (((docId * 5 + k * 3) % 9) - 4).toInt)
           }
           (docId, Vp8Encoder.webpFile(64, 16, qi, mbs,
-            uvMode = (docId % 3).toInt))
+            uvMode = (docId % 4).toInt))
         }
       }.toDF("doc_id", "payload")
   }
@@ -958,14 +1031,21 @@ object Vp8Ops {
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         Vp8Codec.lumaFromWebp(bytes).map { l =>
-          var sum = 0L
-          var i = 0
-          while (i < l.y.length) { sum += l.y(i) & 0xff; i += 1 }
+          def meanOf(p: Array[Byte]): Double = {
+            var sum = 0L
+            var i = 0
+            while (i < p.length) { sum += p(i) & 0xff; i += 1 }
+            math.rint(sum.toDouble / p.length * 1e6) / 1e6
+          }
           def mb(k: Int): Int =
             if (k < l.mb_cols) l.y(k * 16) & 0xff else -1
-          Vp8LumaRow(id, l.width, l.height, l.qi, l.modes,
+          def cmb(p: Array[Byte], k: Int): Int =
+            if (k < l.mb_cols) p(k * 8) & 0xff else -1
+          Vp8LumaRow(id, l.width, l.height, l.qi, l.modes, l.uv_modes,
             mb(0), mb(1), mb(2), mb(3),
-            math.rint(sum.toDouble / l.y.length * 1e6) / 1e6)
+            cmb(l.u, 0), cmb(l.u, 1), cmb(l.u, 2), cmb(l.u, 3),
+            cmb(l.v, 0), cmb(l.v, 1), cmb(l.v, 2), cmb(l.v, 3),
+            meanOf(l.y), meanOf(l.u), meanOf(l.v))
         }
       })
   }

@@ -3530,8 +3530,10 @@ object ExtMultimodal extends QueryModule {
     // DC/V/H/TM mode ladder that the oracle replays — floor-shift
     // semantics included — with no codec in SQL. A bool-coder, token,
     // dequant, IWHT, IDCT, prediction, or clamp bug breaks the hash.
-    // mb0..mb3 pin each MB; y_mean over the full plane proves
-    // uniformity. Per-row byte work, zero shuffle.
+    // mb0..mb3 / mu0..mu3 / mv0..mv3 pin each MB on all THREE planes
+    // (chroma reconstructs via its own 8×8 prediction + per-block DC
+    // IDCT path — no WHT); the per-plane means prove uniformity.
+    // Per-row byte work, zero shuffle.
     QueryDef(
       "ext_multimodal_webp_lossy",
       (s, dir) => {
@@ -3539,39 +3541,72 @@ object ExtMultimodal extends QueryModule {
         val media = Vp8Ops.asVp8LossyPayload(
           s, Tables.load(s, dir, "documents"), "doc_id")
         Vp8Ops.extractLuma(s, media).toDF()
-          .select($"doc_id", $"width", $"height", $"qi", $"modes",
-            $"mb0", $"mb1", $"mb2", $"mb3", $"y_mean")
+          .select($"doc_id", $"width", $"height", $"qi",
+            $"modes", $"uv_modes",
+            $"mb0", $"mb1", $"mb2", $"mb3",
+            $"mu0", $"mu1", $"mu2", $"mu3",
+            $"mv0", $"mv1", $"mv2", $"mv3",
+            $"y_mean", $"u_mean", $"v_mean")
           .orderBy($"doc_id")
       },
       Some("""WITH p AS (
           SELECT doc_id,
             CAST((doc_id % 16) * 8 AS INT) AS qi,
-            (4 + 2*((doc_id % 16) * 8)) * 2 AS q2
+            (4 + 2*((doc_id % 16) * 8)) * 2 AS q2,
+            least(132, 4 + 2*((doc_id % 16) * 8)) AS qc,
+            CAST(doc_id % 4 AS INT) AS muv
           FROM documents),
         r AS (
-          SELECT doc_id, qi, q2,
+          SELECT doc_id, qi, muv,
             CAST((doc_id + 0) % 4 AS INT) AS m0, CAST((doc_id + 1) % 4 AS INT) AS m1,
             CAST((doc_id + 2) % 4 AS INT) AS m2, CAST((doc_id + 3) % 4 AS INT) AS m3,
             CAST(floor((CAST(floor(((((doc_id*7 + 0) % 13) - 6) * q2 + 3)/8.0) AS BIGINT) + 4)/8.0) AS BIGINT) AS r0,
             CAST(floor((CAST(floor(((((doc_id*7 + 5) % 13) - 6) * q2 + 3)/8.0) AS BIGINT) + 4)/8.0) AS BIGINT) AS r1,
             CAST(floor((CAST(floor(((((doc_id*7 + 10) % 13) - 6) * q2 + 3)/8.0) AS BIGINT) + 4)/8.0) AS BIGINT) AS r2,
-            CAST(floor((CAST(floor(((((doc_id*7 + 15) % 13) - 6) * q2 + 3)/8.0) AS BIGINT) + 4)/8.0) AS BIGINT) AS r3
+            CAST(floor((CAST(floor(((((doc_id*7 + 15) % 13) - 6) * q2 + 3)/8.0) AS BIGINT) + 4)/8.0) AS BIGINT) AS r3,
+            CAST(floor(((((doc_id*3 + 0) % 11) - 5) * qc + 4)/8.0) AS BIGINT) AS ru0,
+            CAST(floor(((((doc_id*3 + 7) % 11) - 5) * qc + 4)/8.0) AS BIGINT) AS ru1,
+            CAST(floor(((((doc_id*3 + 14) % 11) - 5) * qc + 4)/8.0) AS BIGINT) AS ru2,
+            CAST(floor(((((doc_id*3 + 21) % 11) - 5) * qc + 4)/8.0) AS BIGINT) AS ru3,
+            CAST(floor(((((doc_id*5 + 0) % 9) - 4) * qc + 4)/8.0) AS BIGINT) AS rv0,
+            CAST(floor(((((doc_id*5 + 3) % 9) - 4) * qc + 4)/8.0) AS BIGINT) AS rv1,
+            CAST(floor(((((doc_id*5 + 6) % 9) - 4) * qc + 4)/8.0) AS BIGINT) AS rv2,
+            CAST(floor(((((doc_id*5 + 9) % 9) - 4) * qc + 4)/8.0) AS BIGINT) AS rv3
           FROM p),
-        c0 AS (SELECT *, greatest(0, least(255,
-            CASE m0 WHEN 0 THEN 128 WHEN 1 THEN 127 ELSE 129 END + r0)) AS u0 FROM r),
-        c1 AS (SELECT *, greatest(0, least(255,
-            CASE WHEN m1 = 1 THEN 127 ELSE u0 END + r1)) AS u1 FROM c0),
-        c2 AS (SELECT *, greatest(0, least(255,
-            CASE WHEN m2 = 1 THEN 127 ELSE u1 END + r2)) AS u2 FROM c1),
-        c3 AS (SELECT *, greatest(0, least(255,
-            CASE WHEN m3 = 1 THEN 127 ELSE u2 END + r3)) AS u3 FROM c2)
+        c0 AS (SELECT *,
+          greatest(0, least(255, CASE m0 WHEN 0 THEN 128 WHEN 1 THEN 127 ELSE 129 END + r0)) AS u0,
+          greatest(0, least(255, CASE muv WHEN 0 THEN 128 WHEN 1 THEN 127 ELSE 129 END + ru0)) AS cu0,
+          greatest(0, least(255, CASE muv WHEN 0 THEN 128 WHEN 1 THEN 127 ELSE 129 END + rv0)) AS cv0
+          FROM r),
+        c1 AS (SELECT *,
+          greatest(0, least(255, CASE WHEN m1 = 1 THEN 127 ELSE u0 END + r1)) AS u1,
+          greatest(0, least(255, CASE WHEN muv = 1 THEN 127 ELSE cu0 END + ru1)) AS cu1,
+          greatest(0, least(255, CASE WHEN muv = 1 THEN 127 ELSE cv0 END + rv1)) AS cv1
+          FROM c0),
+        c2 AS (SELECT *,
+          greatest(0, least(255, CASE WHEN m2 = 1 THEN 127 ELSE u1 END + r2)) AS u2,
+          greatest(0, least(255, CASE WHEN muv = 1 THEN 127 ELSE cu1 END + ru2)) AS cu2,
+          greatest(0, least(255, CASE WHEN muv = 1 THEN 127 ELSE cv1 END + rv2)) AS cv2
+          FROM c1),
+        c3 AS (SELECT *,
+          greatest(0, least(255, CASE WHEN m3 = 1 THEN 127 ELSE u2 END + r3)) AS u3,
+          greatest(0, least(255, CASE WHEN muv = 1 THEN 127 ELSE cu2 END + ru3)) AS cu3,
+          greatest(0, least(255, CASE WHEN muv = 1 THEN 127 ELSE cv2 END + rv3)) AS cv3
+          FROM c2)
         SELECT doc_id, CAST(64 AS INT) AS width, CAST(16 AS INT) AS height,
           qi,
           substr('DVHT', m0+1, 1) || substr('DVHT', m1+1, 1) ||
           substr('DVHT', m2+1, 1) || substr('DVHT', m3+1, 1) AS modes,
+          repeat(substr('DVHT', muv+1, 1), 4) AS uv_modes,
           CAST(u0 AS INT) AS mb0, CAST(u1 AS INT) AS mb1,
           CAST(u2 AS INT) AS mb2, CAST(u3 AS INT) AS mb3,
-          round((u0+u1+u2+u3)/4.0, 6) AS y_mean
+          CAST(cu0 AS INT) AS mu0, CAST(cu1 AS INT) AS mu1,
+          CAST(cu2 AS INT) AS mu2, CAST(cu3 AS INT) AS mu3,
+          CAST(cv0 AS INT) AS mv0, CAST(cv1 AS INT) AS mv1,
+          CAST(cv2 AS INT) AS mv2, CAST(cv3 AS INT) AS mv3,
+          round((u0+u1+u2+u3)/4.0, 6) AS y_mean,
+          round((cu0+cu1+cu2+cu3)/4.0, 6) AS u_mean,
+          round((cv0+cv1+cv2+cv3)/4.0, 6) AS v_mean
         FROM c3 ORDER BY doc_id""")),
 
     // WARC INGESTION (ISO 28500) — the container web crawls actually

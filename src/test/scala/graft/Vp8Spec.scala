@@ -164,6 +164,42 @@ class Vp8Spec extends AnyFunSuite {
       assert((luma.y(k * 16) & 0xff) == expect(k), s"mb$k")
   }
 
+  test("chroma planes reconstruct their own closed-form chain") {
+    for (doc <- Seq(2L, 5L, 13L, 40L, 77L)) {
+      val qi = ((doc % 16) * 8).toInt
+      val qc = math.min(132, 4 + 2 * qi)
+      val muv = (doc % 4).toInt
+      val mbs = (0 until 4).map { k =>
+        MbSpec(((doc + k) % 4).toInt, (((doc * 7 + k * 5) % 13) - 6).toInt,
+          uDc = (((doc * 3 + k * 7) % 11) - 5).toInt,
+          vDc = (((doc * 5 + k * 3) % 9) - 4).toInt)
+      }
+      val luma = Vp8Codec.decodeWebp(
+        Vp8Encoder.webpFile(64, 16, qi, mbs, uvMode = muv)).toOption.get
+      assert(luma.uv_modes == ("" + "DVHT"(muv)) * 4)
+      // model: chroma DC goes straight through the IDCT (no WHT)
+      def chain(vs: Seq[Int]): Seq[Int] = {
+        var prev = -1
+        vs.map { v =>
+          val r = (v * qc + 4) >> 3
+          val base =
+            if (prev < 0) Seq(128, 127, 129, 129)(muv)
+            else if (muv == 1) 127
+            else prev
+          val u = math.max(0, math.min(255, base + r)); prev = u; u
+        }
+      }
+      val eu = chain(mbs.map(_.uDc))
+      val ev = chain(mbs.map(_.vDc))
+      for (k <- 0 until 4; i <- 0 until 8; j <- 0 until 8) {
+        assert((luma.u(i * 32 + k * 8 + j) & 0xff) == eu(k),
+          s"doc=$doc U mb$k ($i,$j)")
+        assert((luma.v(i * 32 + k * 8 + j) & 0xff) == ev(k),
+          s"doc=$doc V mb$k ($i,$j)")
+      }
+    }
+  }
+
   // ------------------------------------------------- quarantine lanes
 
   test("quarantine: interframe, b_pred, loop filter, stub, truncation") {
