@@ -242,10 +242,11 @@ object Bench {
     // streaming can never adjudicate a stream-gate flag (round 9's
     // corpus_clean 1.8× watch item was undecidable for exactly that
     // reason).
-    val streamRes: Option[(Map[String, Double], String)] =
+    val streamRes: Option[(Map[String, Double], Map[String, Double], String)] =
       streamBench(spark, sfDir, warmup = niceMode)
-    val streamJson = streamRes.map(_._2).getOrElse("null")
+    val streamJson = streamRes.map(_._3).getOrElse("null")
     val streamMedians = streamRes.map(_._1).getOrElse(Map.empty[String, Double])
+    val streamMins = streamRes.map(_._2).getOrElse(Map.empty[String, Double])
     // regression gate vs the COMMITTED previous-round medians: any stable-
     // set entry whose median grew past the gate is machine-visible in the
     // driver's JSON without judge spelunking. A baseline measured at a
@@ -273,7 +274,7 @@ object Bench {
     val regsJson = gateJson(runGate(medians, mins, "medians"))
     val streamRegsJson =
       if (streamMedians.isEmpty) """{"skipped":"stream bench not run"}"""
-      else gateJson(runGate(streamMedians, Map.empty, "stream_medians"))
+      else gateJson(runGate(streamMedians, streamMins, "stream_medians"))
     val loadJson = load0.map(l => f"$l%.2f").getOrElse("null")
     def line(ms: Map[String, Double], mn: Map[String, Double]): String =
       s"""{"metric":"total","value":${fmt(res.total)},"unit":"sec","queries":${qsJson(ms)},"queries_min":${qsJson(mn)},"n_queries":${res.seconds.size},"errors":$errs,"regressions":$regsJson,"stream":$streamJson,"stream_regressions":$streamRegsJson,"loadavg":$loadJson,"nice":$niceMode,"sf":"$sfDir"}"""
@@ -343,13 +344,21 @@ object Bench {
     * loadavg skip adjudicate that run anyway). A failing rep falls back
     * to the completed timings. */
   def medianOf3(firstSec: Double, rerun: () => Double,
-      capSec: Double = 60.0): Double = {
-    if (firstSec > capSec) firstSec
+      capSec: Double = 60.0): Double =
+    medianMinOf3(firstSec, rerun, capSec)._1
+
+  /** [[medianOf3]] that also returns the min-of-reps — the honest
+    * per-plan signal the min-aware gate adjudicates contention with
+    * (a real regression raises every rep; co-tenant noise leaves the
+    * min near baseline). */
+  def medianMinOf3(firstSec: Double, rerun: () => Double,
+      capSec: Double = 60.0): (Double, Double) = {
+    if (firstSec > capSec) (firstSec, firstSec)
     else {
       val reps = firstSec +: (0 until 2).flatMap { _ =>
         try Some(rerun()) catch { case _: Throwable => None }
       }
-      reps.sorted.apply(reps.size / 2)
+      (reps.sorted.apply(reps.size / 2), reps.min)
     }
   }
 
@@ -361,12 +370,16 @@ object Bench {
     * median-of-3 (round 8's single-shot numbers showed a 14× throughput
     * "collapse" that was adjudicated as co-tenant noise only by hand) and
     * the per-leg `_sec` medians feed the committed `stream_medians`
-    * baseline + gate. Returns (per-leg seconds medians, the JSON object
-    * embedded under the final metric line's `"stream"` key). Failures are
+    * baseline + gate, and the per-leg MINS feed the same min-aware
+    * adjudication the batch stable set gets (round 11's two stream
+    * flags could not be min-adjudicated without them). Returns
+    * (per-leg medians, per-leg mins, the JSON object embedded under
+    * the final metric line's `"stream"` key). Failures are
     * reported, never fatal: the batch bench is the contract. */
   private def streamBench(
       spark: SparkSession, sfDir: String,
-      warmup: Boolean = false): Option[(Map[String, Double], String)] = {
+      warmup: Boolean = false)
+      : Option[(Map[String, Double], Map[String, Double], String)] = {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingOps
     try {
@@ -383,7 +396,7 @@ object Bench {
         body(rep)
         (System.nanoTime() - t0) / 1e9
       }
-      def leg(body: Int => Unit): Double = {
+      def leg(body: Int => Unit): (Double, Double) = {
         // quiet-lane runs reach here after only ~30 batch queries, so
         // the streaming machinery (state stores, micro-batch planner,
         // codegen) is JIT-cold: one UNTIMED pass per leg makes the lane's
@@ -392,11 +405,11 @@ object Bench {
         // looked exactly like a real regression
         if (warmup) timeOnce(body)
         val first = timeOnce(body)
-        medianOf3(first, () => timeOnce(body))
+        medianMinOf3(first, () => timeOnce(body))
       }
       // memory-sink names are rep-unique so re-runs never collide on the
       // registered result table
-      val cleanSec = leg { r =>
+      val (cleanSec, cleanMin) = leg { r =>
         StreamingOps.runToCompletion(spark,
           StreamingOps.corpusCleanStream(spark, docs.schema, docDir),
           s"bench_stream_clean_$r", mode = "append").count()
@@ -407,7 +420,7 @@ object Bench {
       val evDir = s"$tmp/events"
       events.write.mode("overwrite").parquet(evDir)
       val nEv = events.count()
-      val sessSec = leg { r =>
+      val (sessSec, sessMin) = leg { r =>
         val stream = spark.readStream.schema(events.schema).parquet(evDir)
         StreamingOps.runToCompletion(spark,
           StreamingOps.sessionWindowCounts(stream, "30 minutes", Some("1 hour")),
@@ -429,7 +442,7 @@ object Bench {
       staged.write.mode("overwrite").parquet(gateDir)
       val checkConf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
       spark.conf.set(checkConf, "false")
-      val gateSec =
+      val (gateSec, gateMin) =
         try leg { r =>
           StreamingOps.runToCompletion(spark,
             StreamingOps.nearDupGateStream(spark, staged.schema, gateDir,
@@ -452,7 +465,7 @@ object Bench {
         .select(col("doc_id"), col("lang"), col("n_chars"))
       val expDir = s"$tmp/exp_src"
       expSrc.write.mode("overwrite").parquet(expDir)
-      val expSec = leg { r =>
+      val (expSec, expMin) = leg { r =>
         val expQ = StreamingOps.expectationsGateStream(spark, expSrc.schema,
           expDir, exps, s"$tmp/exp_clean_$r", s"$tmp/exp_quarantine_$r",
           s"$tmp/exp_metrics_$r", s"$tmp/exp_ckpt_$r")
@@ -463,10 +476,15 @@ object Bench {
         "session_window_sec" -> sessSec,
         "near_dup_gate_sec" -> gateSec,
         "expectations_gate_sec" -> expSec)
+      val minsM = Map(
+        "corpus_clean_sec" -> cleanMin,
+        "session_window_sec" -> sessMin,
+        "near_dup_gate_sec" -> gateMin,
+        "expectations_gate_sec" -> expMin)
       val obj =
-        s"""{"corpus_clean_rows":$nDocs,"corpus_clean_sec":${fmt(cleanSec)},"corpus_clean_rows_per_sec":${fmt(nDocs / cleanSec)},"session_window_rows":$nEv,"session_window_sec":${fmt(sessSec)},"session_window_rows_per_sec":${fmt(nEv / sessSec)},"near_dup_gate_rows":$nDocs,"near_dup_gate_sec":${fmt(gateSec)},"near_dup_gate_rows_per_sec":${fmt(nDocs / gateSec)},"expectations_gate_rows":$nDocs,"expectations_gate_sec":${fmt(expSec)},"expectations_gate_rows_per_sec":${fmt(nDocs / expSec)}}"""
+        s"""{"corpus_clean_rows":$nDocs,"corpus_clean_sec":${fmt(cleanSec)},"corpus_clean_rows_per_sec":${fmt(nDocs / cleanSec)},"session_window_rows":$nEv,"session_window_sec":${fmt(sessSec)},"session_window_rows_per_sec":${fmt(nEv / sessSec)},"near_dup_gate_rows":$nDocs,"near_dup_gate_sec":${fmt(gateSec)},"near_dup_gate_rows_per_sec":${fmt(nDocs / gateSec)},"expectations_gate_rows":$nDocs,"expectations_gate_sec":${fmt(expSec)},"expectations_gate_rows_per_sec":${fmt(nDocs / expSec)},"mins":${minsM.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")}}"""
       System.err.println(s"""{"stream_bench":$obj}""")
-      Some((secs, obj))
+      Some((secs, minsM, obj))
     } catch {
       case e: Throwable =>
         System.err.println(

@@ -77,6 +77,41 @@ object DocFormats {
         paras.result().mkString("\n")
     }
 
+  private val OdtParaRe = java.util.regex.Pattern.compile(
+    "<text:(p|h)[ >].*?</text:\\1>|<text:(p|h)/>",
+    java.util.regex.Pattern.DOTALL)
+  private val OdtSpaceRe = java.util.regex.Pattern.compile(
+    """<text:s(?: text:c="(\d+)")?\s*/>""")
+
+  /** ODT (OpenDocument Text) text: the `content.xml` paragraph/heading
+    * walk — `<text:p>`/`<text:h>` in document order, `<text:tab/>` →
+    * TAB, `<text:line-break/>` → newline, `<text:s text:c="n"/>` → n
+    * spaces (1 when the count attribute is absent), remaining markup
+    * (spans, links) contributes its inner text, entities decode.
+    * None when the payload is not a ZIP or carries no content part. */
+  def odtText(b: Array[Byte]): Option[String] =
+    zipEntries(b).collectFirst {
+      case (name, bytes) if name == "content.xml" =>
+        val xml = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        val paras = Seq.newBuilder[String]
+        val pm = OdtParaRe.matcher(xml)
+        while (pm.find()) {
+          var p = pm.group()
+          p = p.replace("<text:tab/>", "\t")
+            .replace("<text:line-break/>", "\n")
+          val sm = OdtSpaceRe.matcher(p)
+          val sb = new StringBuffer
+          while (sm.find()) {
+            val n = Option(sm.group(1)).map(_.toInt).getOrElse(1)
+            sm.appendReplacement(sb,
+              java.util.regex.Matcher.quoteReplacement(" " * n))
+          }
+          sm.appendTail(sb)
+          paras += xmlUnescape(sb.toString.replaceAll("<[^>]+>", ""))
+        }
+        paras.result().mkString("\n")
+    }
+
   /** EPUB chapters in SPINE order: (seq, xhtml source). None when the
     * container/rootfile/manifest walk fails. */
   def epubChapters(b: Array[Byte]): Option[Seq[(Int, String)]] = {
@@ -116,6 +151,15 @@ object DocFormats {
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         docxText(bytes).map(t => (id, zipEntries(bytes).size, t))
+      }).toDF("doc_id", "n_entries", "text")
+  }
+
+  /** ODT payloads → (doc_id, n_entries, text). */
+  def extractOdt(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        odtText(bytes).map(t => (id, zipEntries(bytes).size, t))
       }).toDF("doc_id", "n_entries", "text")
   }
 
@@ -173,6 +217,42 @@ object DocFormats {
         (docId, zipBytes(Seq(
           "[Content_Types].xml" -> ct.getBytes("UTF-8"),
           "word/document.xml" -> doc.getBytes("UTF-8"))))
+      }).toDF("doc_id", "payload")
+  }
+
+  /** ODT fixture: mimetype + manifest + content.xml — a heading split
+    * across a span + tab + id (span markup must contribute inner text),
+    * an entity-escape probe paragraph with the doc text, and a third
+    * paragraph exercising `<text:s text:c="3"/>` run-length spaces,
+    * `<text:line-break/>`, and a count-less `<text:s/>`. Expected text:
+    * `Title\t<id>\n& <tag> <text>\na   b\nc `. */
+  def asOdtPayload(
+      spark: SparkSession, df: DataFrame, id: String,
+      textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val content =
+          """<?xml version="1.0" encoding="UTF-8"?>""" +
+            "<office:document-content " +
+            "xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" " +
+            "xmlns:text=\"urn:oasis:names:tc:opendocument:xmlns:text:1.0\">" +
+            "<office:body><office:text>" +
+            "<text:h text:outline-level=\"1\"><text:span>Title</text:span>" +
+            s"<text:tab/>$docId</text:h>" +
+            s"<text:p>&amp; &lt;tag&gt; ${xmlEscape(text)}</text:p>" +
+            "<text:p>a<text:s text:c=\"3\"/>b<text:line-break/>" +
+            "c<text:s/></text:p>" +
+            "</office:text></office:body></office:document-content>"
+        val manifest =
+          """<?xml version="1.0"?><manifest:manifest xmlns:manifest=""" +
+            "\"urn:oasis:names:tc:opendocument:xmlns:manifest:1.0\"/>"
+        (docId, zipBytes(Seq(
+          "mimetype" ->
+            "application/vnd.oasis.opendocument.text".getBytes("US-ASCII"),
+          "META-INF/manifest.xml" -> manifest.getBytes("UTF-8"),
+          "content.xml" -> content.getBytes("UTF-8"))))
       }).toDF("doc_id", "payload")
   }
 

@@ -3845,6 +3845,72 @@ object ExtMultimodal extends QueryModule {
           md5(text) AS text_md5
         FROM documents ORDER BY doc_id""")),
 
+    // CDXJ INDEX PARSING — the capture index Common Crawl publishes
+    // beside its WARCs (and the way real pipelines FIND pages without
+    // scanning petabytes of WARC): one line per capture, `SURT-key
+    // timestamp JSON`. The parse is all native codegen — a 3-way
+    // limited split (the JSON block contains spaces), SURT host before
+    // the ')', the 14-digit timestamp through to_timestamp (UTC
+    // session → epoch), the metadata block through from_json with
+    // numeric casts. Records-per-doc varies (1-2) so explode counts
+    // sit under the oracle too. Zero shuffle.
+    QueryDef(
+      "ext_text_cdxj_parse",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.StructType
+        val lines = Tables.load(s, dir, "documents")
+          .select($"doc_id", explode(sequence(lit(0), $"doc_id" % 2)).as("j"))
+          .withColumn("line", concat(
+            lit("com,example,host"), ($"doc_id" % 17).cast("string"),
+            lit(")/doc/"), $"doc_id".cast("string"),
+            lit("/page/"), $"j".cast("string"),
+            lit(" 2026010100"),
+            lpad(($"doc_id" % 60).cast("string"), 2, "0"), lit("00 "),
+            lit("{\"url\": \"https://host"), ($"doc_id" % 17).cast("string"),
+            lit(".example.com/doc/"), $"doc_id".cast("string"),
+            lit("/page/"), $"j".cast("string"),
+            lit("\", \"mime\": \"text/html\", \"status\": \""),
+            (lit(200) + ($"doc_id" % 2) * 100).cast("string"),
+            lit("\", \"length\": \""),
+            (($"doc_id" * 37 + $"j") % 100000).cast("string"),
+            lit("\", \"offset\": \""),
+            (($"doc_id" * 911) % 1000000).cast("string"),
+            lit("\", \"filename\": \"crawl-"), ($"doc_id" % 5).cast("string"),
+            lit(".warc.gz\"}")))
+        val parts = split($"line", " ", 3)
+        lines.select($"doc_id", $"j",
+            parts.getItem(0).as("surt"),
+            parts.getItem(1).as("ts14"),
+            from_json(parts.getItem(2), StructType.fromDDL(
+              "url STRING, mime STRING, status STRING, length STRING, " +
+                "offset STRING, filename STRING")).as("m"))
+          .select($"doc_id", $"j".cast("int").as("rec_seq"),
+            substring_index($"surt", ")", 1).as("surt_host"),
+            unix_timestamp(to_timestamp($"ts14", "yyyyMMddHHmmss"))
+              .as("ts_unix"),
+            $"m.url".as("url"), $"m.mime".as("mime"),
+            $"m.status".cast("int").as("status"),
+            $"m.length".cast("bigint").as("rec_length"),
+            $"m.filename".as("warc_file"))
+          .orderBy($"doc_id", $"rec_seq")
+      },
+      Some("""SELECT doc_id, CAST(j AS INT) AS rec_seq,
+          'com,example,host' || CAST(doc_id % 17 AS VARCHAR) AS surt_host,
+          CAST(epoch(strptime('2026010100' ||
+            lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || '00',
+            '%Y%m%d%H%M%S')) AS BIGINT) AS ts_unix,
+          'https://host' || CAST(doc_id % 17 AS VARCHAR) ||
+            '.example.com/doc/' || CAST(doc_id AS VARCHAR) ||
+            '/page/' || CAST(j AS VARCHAR) AS url,
+          'text/html' AS mime,
+          CAST(200 + (doc_id % 2) * 100 AS INT) AS status,
+          CAST((doc_id * 37 + j) % 100000 AS BIGINT) AS rec_length,
+          'crawl-' || CAST(doc_id % 5 AS VARCHAR) || '.warc.gz' AS warc_file
+        FROM documents CROSS JOIN range(0, 2) t(j)
+        WHERE j <= doc_id % 2
+        ORDER BY doc_id, rec_seq""")),
+
     // SITEMAP PARSING — the third crawl-discovery artifact beside
     // robots.txt and the crawl itself (robots' Sitemap: lines point at
     // these): sitemaps.org XML through Spark's native from_xml (typed
@@ -3896,6 +3962,73 @@ object ExtMultimodal extends QueryModule {
         WHERE j <= doc_id % 3
         ORDER BY doc_id, loc""")),
 
+    // JUPYTER NOTEBOOK extraction — code corpora ship .ipynb (nbformat
+    // 4 JSON): Spark's native from_json over the nested cells schema,
+    // then higher-order filter/transform/array_join split the cell
+    // classes — markdown cells join and strip through the SAME
+    // [[TextOps.stripMarkdown]] chain as the docs lane, code cells keep
+    // their source verbatim (line array joined), raw cells drop. The
+    // notebook JSON is BUILT per doc (escaped newlines included) so
+    // from_json parses real nbformat shape; the oracle recomputes the
+    // expected texts closed-form with no JSON in SQL. Per-row codegen'd
+    // construction + native JSON path, zero shuffle.
+    QueryDef(
+      "ext_text_ipynb_extract",
+      (s, dir) => {
+        import s.implicits._
+        val nb = concat(
+          lit("{\"nbformat\":4,\"nbformat_minor\":5,\"metadata\":{}," +
+            "\"cells\":[" +
+            "{\"cell_type\":\"markdown\",\"metadata\":{}," +
+            "\"source\":[\"# Doc "),
+          $"doc_id".cast("string"),
+          lit("\\n\",\"\\n\",\"**lead** para\\n\"]}," +
+            "{\"cell_type\":\"code\",\"execution_count\":1," +
+            "\"metadata\":{},\"outputs\":[],\"source\":[\"x = "),
+          ($"doc_id" % 50).cast("string"),
+          lit("\\n\",\"print(x)\\n\"]}," +
+            "{\"cell_type\":\"raw\",\"metadata\":{}," +
+            "\"source\":[\"ignored\\n\"]}," +
+            "{\"cell_type\":\"markdown\",\"metadata\":{}," +
+            "\"source\":[\"tail `code` [a](b)\\n\"]}]}"))
+        def cellsOf(kind: String) = filter($"p.cells",
+          c => c.getField("cell_type") === kind)
+        def textOf(kind: String) = array_join(
+          transform(cellsOf(kind), c => array_join(c.getField("source"), "")),
+          " ")
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", from_json(nb,
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "cells ARRAY<STRUCT<cell_type: STRING, source: ARRAY<STRING>>>"))
+            .as("p"))
+          .select($"doc_id",
+            size($"p.cells").as("n_cells"),
+            size(cellsOf("markdown")).as("n_md"),
+            size(cellsOf("code")).as("n_code"),
+            TextOps.stripMarkdown(textOf("markdown")).as("md_text"),
+            textOf("code").as("code_text"))
+          .select($"doc_id", $"n_cells", $"n_md", $"n_code",
+            length($"md_text").as("md_len"),
+            md5($"md_text".cast("binary")).as("md_md5"),
+            length($"code_text").as("code_len"),
+            md5($"code_text".cast("binary")).as("code_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH e AS (
+          SELECT doc_id,
+            'Doc ' || CAST(doc_id AS VARCHAR) || ' lead para tail code a'
+              AS md_text,
+            'x = ' || CAST(doc_id % 50 AS VARCHAR) || chr(10) ||
+              'print(x)' || chr(10) AS code_text
+          FROM documents)
+        SELECT doc_id, CAST(4 AS INT) AS n_cells, CAST(2 AS INT) AS n_md,
+          CAST(1 AS INT) AS n_code,
+          CAST(length(md_text) AS INT) AS md_len,
+          md5(md_text) AS md_md5,
+          CAST(length(code_text) AS INT) AS code_len,
+          md5(code_text) AS code_md5
+        FROM e ORDER BY doc_id""")),
+
     // DOCX EXTRACTION (ECMA-376 OOXML) — document corpora ship as ZIP
     // containers of XML, not crawl pages: a real ZIP entry walk
     // (bounded, bomb-guarded) then the word/document.xml paragraph/run
@@ -3921,6 +4054,84 @@ object ExtMultimodal extends QueryModule {
           md5('Title' || chr(9) || CAST(doc_id AS VARCHAR) ||
             chr(10) || '& <tag> ' || text) AS text_md5
         FROM documents ORDER BY doc_id""")),
+
+    // ODT EXTRACTION (OpenDocument Text) — the office-suite sibling of
+    // DOCX: content.xml paragraph/heading walk in document order, span
+    // markup contributing inner text, <text:tab/> → TAB,
+    // <text:line-break/> → newline, <text:s text:c="n"/> run-length
+    // spaces (count-less form → one space), entities decoded. The
+    // oracle recomputes the exact expected text from the fixture shape
+    // with no parser — a paragraph-order, whitespace-element, or
+    // entity bug breaks the hash.
+    QueryDef(
+      "ext_text_odt_extract",
+      (s, dir) => {
+        import s.implicits._
+        val media = DocFormats.asOdtPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id", "text")
+        DocFormats.extractOdt(s, media)
+          .select($"doc_id", $"n_entries",
+            length($"text").as("n_chars"),
+            md5($"text".cast("binary")).as("text_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH e AS (
+          SELECT doc_id,
+            'Title' || chr(9) || CAST(doc_id AS VARCHAR) || chr(10) ||
+              '& <tag> ' || text || chr(10) ||
+              'a   b' || chr(10) || 'c ' AS t
+          FROM documents)
+        SELECT doc_id, CAST(3 AS INT) AS n_entries,
+          CAST(length(t) AS INT) AS n_chars, md5(t) AS text_md5
+        FROM e ORDER BY doc_id""")),
+
+    // MBOX / MIME EMAIL extraction — the mailing-list corpus lane
+    // (RFC 4155 framing, RFC 2045/2046 MIME, RFC 2047 encoded words):
+    // three messages per doc exercise header FOLDING (continuation
+    // line), a Q encoded-word subject (underscore→space, =HH), a
+    // quoted-printable body (=HH + soft line break) with an
+    // mbox-stuffed ">From " line, and a multipart/alternative whose
+    // text/plain part is base64 while the html sibling is skipped.
+    // The oracle recomputes every subject/sender/body closed-form —
+    // no MIME code in SQL; a framing, unfolding, encoded-word,
+    // decoding, or part-selection bug breaks the hash. Per-partition
+    // string work, zero shuffle.
+    QueryDef(
+      "ext_text_mbox_extract",
+      (s, dir) => {
+        import s.implicits._
+        val media = MailOps.asMboxPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id", "text")
+        MailOps.extract(s, media)
+          .select($"doc_id", $"msg_seq", $"subject", $"from",
+            $"content_type",
+            length($"body").as("body_len"),
+            md5($"body".cast("binary")).as("body_md5"))
+          .orderBy($"doc_id", $"msg_seq")
+      },
+      Some("""WITH m AS (
+          SELECT doc_id, seq,
+            CASE seq
+              WHEN 0 THEN 'plain report part ' || CAST(doc_id AS VARCHAR)
+              WHEN 1 THEN 'Re: item ' || CAST(doc_id AS VARCHAR)
+              ELSE 'digest ' || CAST(doc_id AS VARCHAR) END AS subject,
+            CASE seq
+              WHEN 0 THEN 'Alice <a' || CAST(doc_id AS VARCHAR) || '@example.com>'
+              WHEN 1 THEN 'Bob <b' || CAST(doc_id AS VARCHAR) || '@example.com>'
+              ELSE 'Carol <c' || CAST(doc_id AS VARCHAR) || '@example.com>'
+              END AS "from",
+            CASE seq WHEN 2 THEN 'multipart/alternative'
+              ELSE 'text/plain' END AS content_type,
+            CASE seq
+              WHEN 0 THEN trim(text)
+              WHEN 1 THEN 'qp hi softbreak' || chr(10) ||
+                'From the archive ' || CAST(doc_id AS VARCHAR)
+              ELSE 'b64 body ' || CAST(doc_id AS VARCHAR) END AS body
+          FROM documents CROSS JOIN (VALUES (0), (1), (2)) t(seq))
+        SELECT doc_id, CAST(seq AS INT) AS msg_seq, subject, "from",
+          content_type, CAST(length(body) AS INT) AS body_len,
+          md5(body) AS body_md5
+        FROM m ORDER BY doc_id, msg_seq""")),
 
     // EPUB EXTRACTION (OCF/OPF) — the books lane: container.xml →
     // rootfile → manifest id→href → SPINE reading order (the fixture

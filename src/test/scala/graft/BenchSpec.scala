@@ -119,6 +119,27 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.medianOf3(1.0, () => sys.error("boom")) == 1.0)
   }
 
+  test("medianMinOf3 carries the min-of-reps for the stream gate") {
+    var reps = List(5.0, 2.0)
+    def rerun(): Double = { val h = reps.head; reps = reps.tail; h }
+    assert(Bench.medianMinOf3(3.0, () => rerun()) == ((3.0, 2.0)))
+    // capped legs report the single rep as both median and min
+    assert(Bench.medianMinOf3(200.0, () => 1.0) == ((200.0, 200.0)))
+    // a min-at-parity stream leg must adjudicate like the batch set:
+    // median 3x base but min at base -> not flagged
+    val regs = Bench.regressions(
+      Map("near_dup_gate_sec" -> 2.0),
+      Map("near_dup_gate_sec" -> 6.0),
+      currentMins = Map("near_dup_gate_sec" -> 2.1))
+    assert(regs.isEmpty, regs)
+    // median AND min both over -> flagged
+    val real = Bench.regressions(
+      Map("near_dup_gate_sec" -> 2.0),
+      Map("near_dup_gate_sec" -> 6.0),
+      currentMins = Map("near_dup_gate_sec" -> 5.9))
+    assert(real.contains("near_dup_gate_sec"), real)
+  }
+
   test("baseline sf parses from the report JSON") {
     assert(Bench.parseSf("""{"medians":{},"sf":"/root/testdata/sf0.1"}""")
       .contains("/root/testdata/sf0.1"))

@@ -34,6 +34,32 @@ class DocFormatsSpec extends AnyFunSuite {
     assert(ch(1)._2.contains("hello book"))
   }
 
+  test("odt: whitespace elements, spans, empty paragraphs, entities") {
+    def odtOf(contentBody: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("content.xml"))
+      z.write(("<office:document-content><office:body><office:text>" +
+        contentBody + "</office:text></office:body>" +
+        "</office:document-content>").getBytes("UTF-8"))
+      z.closeEntry(); z.close()
+      bos.toByteArray
+    }
+    // empty paragraph form <text:p/> contributes an empty line
+    val t = DocFormats.odtText(odtOf(
+      "<text:h text:outline-level=\"1\">H<text:span>ead</text:span></text:h>" +
+        "<text:p/>" +
+        "<text:p>a<text:s text:c=\"2\"/>b<text:tab/>c<text:line-break/>d" +
+        "<text:s/>&amp;&lt;x&gt;</text:p>")).get
+    assert(t == "Head\n\na  b\tc\nd &<x>", t.replace("\n", "\\n"))
+    // link/span markup drops but keeps inner text
+    val t2 = DocFormats.odtText(odtOf(
+      "<text:p><text:a xlink:href=\"https://x\">anchor</text:a> tail</text:p>"))
+      .get
+    assert(t2 == "anchor tail", t2)
+    assert(DocFormats.odtText("not a zip".getBytes).isEmpty)
+  }
+
   test("negatives: non-zip and zip-without-document yield None, no throw") {
     assert(DocFormats.docxText("not a zip".getBytes).isEmpty)
     assert(DocFormats.epubChapters(Array[Byte](0x50, 0x4b, 3, 4)).isEmpty)
