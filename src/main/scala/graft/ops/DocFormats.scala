@@ -154,6 +154,87 @@ object DocFormats {
       }).toDF("doc_id", "n_entries", "text")
   }
 
+  /** Destination groups whose content is formatting metadata, not
+    * document text (RTF 1.9 spec §"Destination Text"). */
+  private val RtfSkipDest = Set(
+    "fonttbl", "colortbl", "stylesheet", "info", "pict", "themedata",
+    "header", "footer")
+
+  /** RTF → text (the legacy office corpus lane): control-word walk —
+    * `\par`/`\line` → newline, `\tab` → TAB, `\'hh` hex bytes decode
+    * as cp1252-approximated latin-1, `\uN` unicode with its fallback
+    * character consumed, `\\ \{ \}` escapes, destination groups
+    * (fonttbl/colortbl/stylesheet/info/pict/… and every `{\*…}`
+    * starred group) SKIP with proper brace nesting, raw newlines
+    * ignored per spec. None when the magic is absent. */
+  def rtfText(src: String): Option[String] = {
+    if (!src.startsWith("{\\rtf")) return None
+    val sb = new StringBuilder
+    val len = src.length
+    var i = 0
+    var skipDepth = 0
+    var pendingDest = false
+    while (i < len) {
+      src.charAt(i) match {
+        case '{' =>
+          if (skipDepth > 0) skipDepth += 1 else pendingDest = true
+          i += 1
+        case '}' =>
+          if (skipDepth > 0) skipDepth -= 1
+          pendingDest = false
+          i += 1
+        case '\\' if i + 1 < len =>
+          val d = src.charAt(i + 1)
+          if (d == '\\' || d == '{' || d == '}') {
+            if (skipDepth == 0) sb.append(d)
+            pendingDest = false
+            i += 2
+          } else if (d == '\'' && i + 3 < len) {
+            if (skipDepth == 0)
+              sb.append(Integer.parseInt(src.substring(i + 2, i + 4), 16)
+                .toChar)
+            pendingDest = false
+            i += 4
+          } else if (d == '*') {
+            // {\*\dest ...}: an unrecognized starred destination skips
+            if (skipDepth == 0 && pendingDest) skipDepth = 1
+            i += 2
+          } else if (d.isLetter) {
+            var j = i + 1
+            while (j < len && src.charAt(j).isLetter) j += 1
+            val word = src.substring(i + 1, j)
+            var k = j
+            if (k < len && (src.charAt(k) == '-' || src.charAt(k).isDigit)) {
+              k += 1
+              while (k < len && src.charAt(k).isDigit) k += 1
+            }
+            val param = src.substring(j, k)
+            if (k < len && src.charAt(k) == ' ') k += 1 // delimiter space
+            if (skipDepth == 0) {
+              if (pendingDest && RtfSkipDest(word)) skipDepth = 1
+              else word match {
+                case "par" | "line" => sb.append('\n')
+                case "tab" => sb.append('\t')
+                case "u" if param.nonEmpty =>
+                  sb.append((((param.toInt % 65536) + 65536) % 65536).toChar)
+                  if (k < len && src.charAt(k) != '\\' &&
+                    src.charAt(k) != '{' && src.charAt(k) != '}') k += 1
+                case _ => ()
+              }
+            }
+            pendingDest = false
+            i = k
+          } else i += 2
+        case '\n' | '\r' => i += 1
+        case c =>
+          if (skipDepth == 0) sb.append(c)
+          pendingDest = false
+          i += 1
+      }
+    }
+    Some(sb.toString)
+  }
+
   /** ODT payloads → (doc_id, n_entries, text). */
   def extractOdt(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
@@ -161,6 +242,37 @@ object DocFormats {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         odtText(bytes).map(t => (id, zipEntries(bytes).size, t))
       }).toDF("doc_id", "n_entries", "text")
+  }
+
+  /** RTF payloads (string column `rtf`) → (doc_id, text). */
+  def extractRtf(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("rtf")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, src) =>
+        rtfText(src).map(t => (id, t))
+      }).toDF("doc_id", "text")
+  }
+
+  /** RTF fixture: header destinations (fonttbl/colortbl), a starred
+    * generator group, a tabbed title, an entity-free plain paragraph
+    * with the doc text, and a hex-escape + unicode-escape probe line.
+    * Expected text: `Title\t<id>\n& <tag> <text>\ncafé αnd\n`. */
+  def asRtfPayload(
+      spark: SparkSession, df: DataFrame, id: String,
+      textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("doc_id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val rtf = "{\\rtf1\\ansi\\deff0" +
+          "{\\fonttbl{\\f0\\fswiss Calibri;}}" +
+          "{\\*\\generator graft}" +
+          "{\\colortbl;\\red0\\green0\\blue0;}" +
+          s"\\f0\\fs22 Title\\tab $docId\\par\n" +
+          s"& <tag> $text\\par\n" +
+          "caf\\'e9 \\u945?nd\\par}"
+        (docId, rtf)
+      }).toDF("doc_id", "rtf")
   }
 
   /** EPUB payloads → (doc_id, chapter_seq, xhtml) — one row per spine

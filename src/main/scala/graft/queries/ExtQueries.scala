@@ -4133,6 +4133,35 @@ object ExtMultimodal extends QueryModule {
           md5(body) AS body_md5
         FROM m ORDER BY doc_id, msg_seq""")),
 
+    // RTF EXTRACTION — the legacy-office corpus lane: control-word walk
+    // with \par/\line/\tab text controls, \'hh hex escapes (latin-1),
+    // \uN unicode with fallback-char consumption, literal \\ \{ \}
+    // escapes, and destination-group skipping (fonttbl/colortbl/
+    // stylesheet/info + every starred {\*...} group) under proper brace
+    // nesting. Oracle recomputes the exact expected text (chr(233)/
+    // chr(945) pin the hex and unicode escapes byte-for-byte).
+    QueryDef(
+      "ext_text_rtf_extract",
+      (s, dir) => {
+        import s.implicits._
+        val media = DocFormats.asRtfPayload(
+          s, Tables.load(s, dir, "documents"), "doc_id", "text")
+        DocFormats.extractRtf(s, media)
+          .select($"doc_id",
+            length($"text").as("n_chars"),
+            md5($"text".cast("binary")).as("text_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH e AS (
+          SELECT doc_id,
+            'Title' || chr(9) || CAST(doc_id AS VARCHAR) || chr(10) ||
+              '& <tag> ' || text || chr(10) ||
+              'caf' || chr(233) || ' ' || chr(945) || 'nd' || chr(10) AS t
+          FROM documents)
+        SELECT doc_id, CAST(length(t) AS INT) AS n_chars,
+          md5(t) AS text_md5
+        FROM e ORDER BY doc_id""")),
+
     // EPUB EXTRACTION (OCF/OPF) — the books lane: container.xml →
     // rootfile → manifest id→href → SPINE reading order (the fixture
     // reverses spine vs manifest order, so a zip- or manifest-order

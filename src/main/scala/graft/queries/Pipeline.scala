@@ -375,6 +375,71 @@ object Pipeline extends QueryModule {
            OR (lang = 'zh' AND hx < '1999')
         GROUP BY lang ORDER BY lang""")),
 
+    // ---- DOC-level benchmark decontamination — the drop-the-document
+    // sibling of [[pl_decontaminate_spans]] (which rewrites spans):
+    // flag train docs sharing any 8-token n-gram with the benchmark
+    // set, the PaLM/Llama whole-doc filter rule (8-grams, vs the span
+    // entry's trigram surgery). The benchmark side (eval sets are
+    // SMALL) distincts its n-grams and BROADCASTS; the train side
+    // explodes n-grams map-side, so at 100 TB the only shuffle is the
+    // per-doc hit count. The fixture INJECTS leakage (docs %31==5
+    // append an 8-token span from benchmark doc 0 at a varying offset),
+    // since naturally-disjoint synthetic text would make the entry
+    // trivially empty; the oracle replays the full n-gram join — no
+    // closed-form shortcut, so tokenization, windowing, injection,
+    // dedup, and the join all sit under the hash. ----
+    QueryDef(
+      "pl_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val n = 8
+        val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        // limit(1) states the 1-row bound in the plan (doc_id is unique)
+        // so the plan lint can PROVE the cross join is broadcast-bounded
+        val bench0 = docs.filter($"doc_id" === 0).limit(1)
+          .select(split($"text", " ").as("b0"))
+        val train = docs.filter($"doc_id" % 97 =!= 0)
+          .crossJoin(broadcast(bench0))
+          .select($"doc_id",
+            when($"doc_id" % 31 === 5,
+              concat($"text", lit(" "),
+                array_join(slice($"b0",
+                  (lit(1) + $"doc_id" % 3).cast("int"), lit(n)), " ")))
+              .otherwise($"text").as("text"))
+        def grams(c: org.apache.spark.sql.Column) = {
+          val tk = split(c, " ")
+          transform(
+            sequence(lit(1), greatest(lit(1), size(tk) - (n - 1))),
+            i => array_join(slice(tk, i, lit(n)), " "))
+        }
+        val benchGrams = docs.filter($"doc_id" % 97 === 0)
+          .select(explode(grams($"text")).as("gram")).distinct()
+        train.select($"doc_id", explode(grams($"text")).as("gram"))
+          .join(broadcast(benchGrams), "gram")
+          .groupBy($"doc_id")
+          .agg(countDistinct($"gram").as("n_hits"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+        b0 AS (SELECT string_split(text, ' ') AS b0 FROM d WHERE doc_id = 0),
+        tr AS (SELECT doc_id,
+            CASE WHEN doc_id % 31 = 5 THEN text || ' ' ||
+              array_to_string((SELECT b0 FROM b0)[(1 + doc_id % 3):(8 + doc_id % 3)], ' ')
+            ELSE text END AS text
+          FROM d WHERE doc_id % 97 <> 0),
+        tg AS (SELECT doc_id,
+            unnest([array_to_string(tk[i:i+7], ' ')
+              FOR i IN generate_series(1, greatest(1, len(tk)-7))]) AS gram
+          FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM tr)),
+        bg AS (SELECT DISTINCT
+            unnest([array_to_string(tk[i:i+7], ' ')
+              FOR i IN generate_series(1, greatest(1, len(tk)-7))]) AS gram
+          FROM (SELECT string_split(text, ' ') AS tk FROM d
+                WHERE doc_id % 97 = 0))
+        SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_hits
+        FROM tg JOIN bg USING (gram)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- temperature-rebalanced language mixing (the multilingual-corpus
     // α-sampling rule): per-language keep-rate ∝ N_l^(α-1), normalized so
     // the SMALLEST language keeps everything — α = 0.5 upsamples rare

@@ -792,6 +792,39 @@ object StreamingOps {
         md5(col("clean").cast("binary")).as("clean_md5"))
   }
 
+  /** Streaming twin of the mbox/MIME front door ([[graft.ops.MailOps]]):
+    * mailbox files land in a directory and each message extracts as it
+    * arrives — same framing/unfolding/encoded-word/multipart walk as
+    * the batch lane, per-file flatMap, bounded memory (one mailbox
+    * decoded at a time), zero shuffle. Only the file path is projected
+    * besides content, matching the WARC twin's discipline. */
+  def mboxIngestStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField => SF, StructType => ST, TimestampType}
+    val binarySchema = ST(Seq(
+      SF("path", StringType),
+      SF("modificationTime", TimestampType),
+      SF("length", LongType),
+      SF("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.mbox")
+      .schema(binarySchema)
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val file = p.substring(p.lastIndexOf('/') + 1)
+        val mbox = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        graft.ops.MailOps.extractMbox(0L, mbox).map { m =>
+          (file, m.msg_seq, m.subject, m.from, m.content_type, m.body)
+        }
+      }.toDF("file", "msg_seq", "subject", "from", "content_type", "body")
+      .select(col("file"), col("msg_seq"), col("subject"), col("from"),
+        col("content_type"),
+        length(col("body")).as("body_len"),
+        md5(col("body").cast("binary")).as("body_md5"))
+  }
+
   def runToCompletion(
       spark: SparkSession, df: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {

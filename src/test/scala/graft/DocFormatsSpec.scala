@@ -60,6 +60,25 @@ class DocFormatsSpec extends AnyFunSuite {
     assert(DocFormats.odtText("not a zip".getBytes).isEmpty)
   }
 
+  test("rtf: escapes, unicode fallback, destination nesting, literals") {
+    // literal braces and backslash; \line like \par
+    val t1 = DocFormats.rtfText(
+      "{\\rtf1 a\\{b\\}c\\\\d\\line e}").get
+    assert(t1 == "a{b}c\\d\ne", t1)
+    // nested groups inside a skipped destination stay skipped
+    val t2 = DocFormats.rtfText(
+      "{\\rtf1{\\fonttbl{\\f0{\\deep x}y}z}kept}").get
+    assert(t2 == "kept", t2)
+    // \uN with a SPACE delimiter still consumes the fallback char
+    val t3 = DocFormats.rtfText("{\\rtf1 \\u945 ?x}").get
+    assert(t3 == "αx", t3)
+    // negative \uN params wrap to the 16-bit code unit
+    val t4 = DocFormats.rtfText("{\\rtf1 \\u-3512?}").get
+    assert(t4 == "", t4)
+    // non-rtf input is None
+    assert(DocFormats.rtfText("plain text").isEmpty)
+  }
+
   test("negatives: non-zip and zip-without-document yield None, no throw") {
     assert(DocFormats.docxText("not a zip".getBytes).isEmpty)
     assert(DocFormats.epubChapters(Array[Byte](0x50, 0x4b, 3, 4)).isEmpty)

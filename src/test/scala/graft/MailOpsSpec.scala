@@ -63,4 +63,38 @@ class MailOpsSpec extends AnyFunSuite {
       Map("content-type" -> "application/pdf"), "%PDF") == "")
     assert(MailOps.textOf(Map.empty, " plain \n") == "plain")
   }
+
+  test("streaming twin: mbox files extract with batch parity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mbox").toString
+    val staged = spark.range(12).select($"id".as("doc_id"),
+      concat(lit("body words for doc "), $"id".cast("string")).as("text"))
+    val payloads = MailOps.asMboxPayload(spark, staged, "doc_id", "text")
+      .collect()
+    payloads.foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"box-${r.getLong(0)}.mbox"),
+        r.getString(1).getBytes("UTF-8"))
+    }
+    val streamed = graft.streaming.StreamingOps.runToCompletion(spark,
+      graft.streaming.StreamingOps.mboxIngestStream(spark, dir),
+      "mbox_stream_parity", mode = "append")
+      .withColumn("doc_id",
+        regexp_extract($"file", "box-(\\d+)\\.mbox", 1).cast("long"))
+      .select("doc_id", "msg_seq", "subject", "from", "content_type",
+        "body_len", "body_md5")
+      .collect().map(_.toSeq).toSet
+    val media = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(payloads.toSeq).asJava,
+      payloads.head.schema)
+    val batch = MailOps.extract(spark, media)
+      .select($"doc_id", $"msg_seq", $"subject", $"from", $"content_type",
+        length($"body").as("body_len"),
+        md5($"body".cast("binary")).as("body_md5"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.size == 36, s"12 mailboxes x 3 messages: ${streamed.size}")
+    assert(streamed == batch, "stream and batch mail pipelines must agree")
+  }
 }

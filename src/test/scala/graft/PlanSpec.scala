@@ -394,6 +394,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Union"), p)
   }
 
+  test("pl_decontaminate: bench n-grams broadcast, no train-side shuffle before the join") {
+    val p = plan("pl_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark 8-gram set must ride a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("pl_decontaminate_spans: probe trigrams broadcast, no cartesian") {
     val p = plan("pl_decontaminate_spans")
     assert(p.contains("BroadcastHashJoin"),
