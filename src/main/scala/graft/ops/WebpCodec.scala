@@ -1433,8 +1433,17 @@ object WebpOps {
             case 0 => Vp8lEncoder.losslessFile(px, w, h, Vp8lEncoder.Opts())
             case 1 => Vp8lEncoder.extendedFile(px, w, h,
               Vp8lEncoder.Opts(alphaHint = true), alphaFlag = true)
-            case 2 => Vp8lEncoder.lossyStubFile(
-              100 + (docId % 50).toInt, 80 + (docId % 30).toInt)
+            case 2 =>
+              // round 12: a REAL decodable key frame (same dims formula
+              // the oracle pins), not the header-only stub — the triage
+              // corpus carries no fake files anymore
+              val lw = 100 + (docId % 50).toInt
+              val lh = 80 + (docId % 30).toInt
+              val nMb = ((lw + 15) / 16) * ((lh + 15) / 16)
+              Vp8Encoder.webpFile(lw, lh, qi = (docId % 97).toInt,
+                (0 until nMb).map(k =>
+                  Vp8Encoder.MbSpec(((docId + k) % 4).toInt,
+                    ((docId + k * 3) % 5).toInt - 2)))
             case _ => Vp8lEncoder.animFile(px, w, h)
           }
           (docId, bytes)

@@ -4133,6 +4133,145 @@ object ExtMultimodal extends QueryModule {
           md5(body) AS body_md5
         FROM m ORDER BY doc_id, msg_seq""")),
 
+    // SUBTITLE EXTRACTION (SRT + WebVTT) — the video-corpus text lane:
+    // even docs ship SubRip (numeric cue index, comma decimals), odd
+    // docs WebVTT (header line, dot decimals, no index). One parser
+    // handles both: header strip, blank-line cue split, a timecode
+    // regex tolerant of both decimal separators, hh/mm/ss/ms → millis
+    // arithmetic, and the cue text isolated by stripping the optional
+    // index + timecode lines. All native codegen'd expressions — the
+    // fixture is BUILT with concat/lpad so the oracle recomputes every
+    // cue row closed-form (timecode math included) with no parser.
+    QueryDef(
+      "ext_text_subtitles",
+      (s, dir) => {
+        import s.implicits._
+        val ss1 = lpad(($"doc_id" % 50 + 1).cast("string"), 2, "0")
+        val ss2 = lpad(($"doc_id" % 50 + 3).cast("string"), 2, "0")
+        val mm = lpad(($"doc_id" % 40 + 1).cast("string"), 2, "0")
+        val sep = when($"doc_id" % 2 === 0, lit(",")).otherwise(lit("."))
+        val idx1 = when($"doc_id" % 2 === 0, lit("1\n")).otherwise(lit(""))
+        val idx2 = when($"doc_id" % 2 === 0, lit("2\n")).otherwise(lit(""))
+        val hdr = when($"doc_id" % 2 === 0, lit(""))
+          .otherwise(lit("WEBVTT\n\n"))
+        val sub = concat(hdr,
+          idx1, lit("00:00:"), ss1, sep, lit("000 --> 00:00:"), ss2, sep,
+          lit("500\nAlpha "), $"doc_id".cast("string"), lit("\n\n"),
+          idx2, lit("00:"), mm, lit(":10"), sep, lit("250 --> 00:"), mm,
+          lit(":12"), sep, lit("750\nBeta line\ngamma "),
+          $"doc_id".cast("string"))
+        val cues = Tables.load(s, dir, "documents")
+          .select($"doc_id", sub.as("sub"))
+          .select($"doc_id",
+            posexplode(split(regexp_replace($"sub", "^WEBVTT\\n\\n", ""),
+              "\\n\\n")).as(Seq("pos", "cue")))
+        val tcRe = "(\\d{2}):(\\d{2}):(\\d{2})[,.](\\d{3}) --> " +
+          "(\\d{2}):(\\d{2}):(\\d{2})[,.](\\d{3})"
+        def ms(off: Int) =
+          regexp_extract($"cue", tcRe, off).cast("bigint") * 3600000L +
+            regexp_extract($"cue", tcRe, off + 1).cast("bigint") * 60000L +
+            regexp_extract($"cue", tcRe, off + 2).cast("bigint") * 1000L +
+            regexp_extract($"cue", tcRe, off + 3).cast("bigint")
+        val text = regexp_replace($"cue",
+          "^(\\d+\\n)?.* --> .*\\n", "")
+        cues.select($"doc_id",
+            when($"doc_id" % 2 === 0, lit("srt")).otherwise(lit("vtt"))
+              .as("fmt"),
+            ($"pos" + 1).cast("int").as("cue_seq"),
+            ms(1).as("start_ms"), ms(5).as("end_ms"),
+            (ms(5) - ms(1)).as("dur_ms"),
+            size(split(text, "\\n")).as("n_lines"),
+            md5(text.cast("binary")).as("text_md5"))
+          .orderBy($"doc_id", $"cue_seq")
+      },
+      Some("""WITH c AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS fmt,
+            seq,
+            CASE seq
+              WHEN 1 THEN (doc_id % 50 + 1) * 1000
+              ELSE (doc_id % 40 + 1) * 60000 + 10250 END AS start_ms,
+            CASE seq
+              WHEN 1 THEN (doc_id % 50 + 3) * 1000 + 500
+              ELSE (doc_id % 40 + 1) * 60000 + 12750 END AS end_ms,
+            CASE seq WHEN 1 THEN 1 ELSE 2 END AS n_lines,
+            CASE seq
+              WHEN 1 THEN 'Alpha ' || CAST(doc_id AS VARCHAR)
+              ELSE 'Beta line' || chr(10) || 'gamma ' ||
+                CAST(doc_id AS VARCHAR) END AS text
+          FROM documents CROSS JOIN (VALUES (1), (2)) t(seq))
+        SELECT doc_id, fmt, CAST(seq AS INT) AS cue_seq,
+          CAST(start_ms AS BIGINT) AS start_ms,
+          CAST(end_ms AS BIGINT) AS end_ms,
+          CAST(end_ms - start_ms AS BIGINT) AS dur_ms,
+          CAST(n_lines AS INT) AS n_lines,
+          md5(text) AS text_md5
+        FROM c ORDER BY doc_id, cue_seq""")),
+
+    // ACCESS-LOG PARSING (Combined Log Format) — the web-server log
+    // corpus lane: one regexp with 11 capture groups (host, ident,
+    // user, bracketed timestamp, quoted request split to method/path/
+    // proto, status, size with the '-' → NULL convention, referer,
+    // user-agent), strftime timestamp parse (dd/MMM/yyyy:HH:mm:ss Z,
+    // UTC session) to epoch seconds. Fixture lines are BUILT with
+    // concat/lpad formulas so the oracle recomputes every field —
+    // including the timestamp arithmetic via make_timestamp — with no
+    // regex in SQL. Pure codegen, zero shuffle.
+    QueryDef(
+      "ext_text_access_log",
+      (s, dir) => {
+        import s.implicits._
+        val dd = lpad(($"doc_id" % 28 + 1).cast("string"), 2, "0")
+        val hh = lpad(($"doc_id" % 24).cast("string"), 2, "0")
+        val mi = lpad(($"doc_id" % 60).cast("string"), 2, "0")
+        val ss = lpad((($"doc_id" * 7) % 60).cast("string"), 2, "0")
+        val method = when($"doc_id" % 3 === 0, "GET")
+          .when($"doc_id" % 3 === 1, "POST").otherwise("HEAD")
+        val sizeF = when($"doc_id" % 5 === 0, lit("-"))
+          .otherwise((($"doc_id" * 13) % 9999).cast("string"))
+        val line = concat(
+          lit("10."), ($"doc_id" % 256).cast("string"),
+          lit(".0."), ($"doc_id" % 200).cast("string"),
+          lit(" - frank"), ($"doc_id" % 9).cast("string"),
+          lit(" ["), dd, lit("/Jan/2026:"), hh, lit(":"), mi, lit(":"), ss,
+          lit(" +0000] \""), method, lit(" /doc/"), $"doc_id".cast("string"),
+          lit(" HTTP/1.1\" "),
+          (lit(200) + ($"doc_id" % 2) * 204).cast("string"),
+          lit(" "), sizeF,
+          lit(" \"-\" \"Mozilla/5.0 (bot "), ($"doc_id" % 7).cast("string"),
+          lit(")\""))
+        val re = "^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] " +
+          "\"(\\S+) (\\S+) (\\S+)\" (\\d{3}) (\\S+) \"([^\"]*)\" \"([^\"]*)\"$"
+        def g(i: Int) = regexp_extract($"line", re, i)
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", line.as("line"))
+          .select($"doc_id",
+            g(1).as("host"), g(3).as("user"),
+            unix_timestamp(to_timestamp(g(4), "dd/MMM/yyyy:HH:mm:ss Z"))
+              .as("ts_unix"),
+            g(5).as("method"), g(6).as("path"),
+            g(8).cast("int").as("status"),
+            when(g(9) === "-", lit(null)).otherwise(g(9))
+              .cast("bigint").as("bytes"),
+            g(11).as("agent"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+          '10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+            CAST(doc_id % 200 AS VARCHAR) AS host,
+          'frank' || CAST(doc_id % 9 AS VARCHAR) AS "user",
+          CAST(epoch(make_timestamp(2026, 1, CAST(doc_id % 28 + 1 AS INT),
+            CAST(doc_id % 24 AS INT), CAST(doc_id % 60 AS INT),
+            CAST((doc_id * 7) % 60 AS INT))) AS BIGINT) AS ts_unix,
+          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'GET'
+            WHEN 1 THEN 'POST' ELSE 'HEAD' END AS method,
+          '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+          CAST(200 + (doc_id % 2) * 204 AS INT) AS status,
+          CASE WHEN doc_id % 5 = 0 THEN NULL
+            ELSE CAST((doc_id * 13) % 9999 AS BIGINT) END AS bytes,
+          'Mozilla/5.0 (bot ' || CAST(doc_id % 7 AS VARCHAR) || ')' AS agent
+        FROM documents ORDER BY doc_id""")),
+
     // RTF EXTRACTION — the legacy-office corpus lane: control-word walk
     // with \par/\line/\tab text controls, \'hh hex escapes (latin-1),
     // \uN unicode with fallback-char consumption, literal \\ \{ \}

@@ -200,6 +200,22 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("non-MB-multiple dims decode and crop (the triage-lane shape)") {
+    // 100×80: 7×5 MB grid, plane 112×80, cropped to 100 wide
+    val nMb = 7 * 5
+    val mbs = (0 until nMb).map(k => MbSpec(k % 4, (k % 5) - 2))
+    val out = Vp8Codec.decodeWebp(Vp8Encoder.webpFile(100, 80, 30, mbs))
+    assert(out.isRight, out)
+    val l = out.toOption.get
+    assert(l.width == 100 && l.height == 80)
+    assert(l.y.length == 100 * 80)
+    assert(l.u.length == 50 * 40 && l.v.length == 50 * 40)
+    assert(l.modes.length == nMb)
+    // the cropped right edge belongs to MB column 6 (pixels 96..99)
+    val edge = l.y(99) & 0xff
+    assert((0 to 255).contains(edge))
+  }
+
   // ------------------------------------------------- quarantine lanes
 
   test("quarantine: interframe, b_pred, loop filter, stub, truncation") {
