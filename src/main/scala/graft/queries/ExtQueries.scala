@@ -4133,6 +4133,57 @@ object ExtMultimodal extends QueryModule {
           md5(body) AS body_md5
         FROM m ORDER BY doc_id, msg_seq""")),
 
+    // YAML FRONT-MATTER extraction — the static-site/docs corpus shape
+    // (Jekyll/Hugo: a `--- … ---` header of key: value lines before the
+    // markdown body): the block isolates via a lazy DOTALL regex, keys
+    // parse with Spark's NATIVE str_to_map (no UDF), values type-cast
+    // (date → DATE, draft → BOOLEAN), and the remaining body strips
+    // through the same [[TextOps.stripMarkdown]] chain as the docs
+    // lane. Fixture built with concat/lpad; oracle recomputes every
+    // field closed-form. Pure codegen, zero shuffle.
+    QueryDef(
+      "ext_text_frontmatter",
+      (s, dir) => {
+        import s.implicits._
+        val dd = lpad(($"doc_id" % 28 + 1).cast("string"), 2, "0")
+        val doc = concat(
+          lit("---\ntitle: Doc "), $"doc_id".cast("string"),
+          lit("\ndate: 2026-01-"), dd,
+          lit("\ndraft: "),
+          when($"doc_id" % 3 === 0, "true").otherwise("false"),
+          lit("\ntags: a,b"), ($"doc_id" % 4).cast("string"),
+          lit("\n---\n# Heading\n\n**lead** "), $"text")
+        val fm = regexp_extract($"md", "(?s)^---\\n(.*?)\\n---\\n", 1)
+        val body = regexp_replace($"md", "(?s)^---\\n.*?\\n---\\n", "")
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text", doc.as("md"))
+          .select($"doc_id", str_to_map(fm, lit("\n"), lit(": ")).as("kv"),
+            body.as("body"))
+          .select($"doc_id",
+            $"kv".getItem("title").as("title"),
+            $"kv".getItem("date").cast("date").as("pub_date"),
+            ($"kv".getItem("draft") === "true").as("draft"),
+            size(split($"kv".getItem("tags"), ",")).cast("int")
+              .as("n_tags"),
+            length(TextOps.stripMarkdown($"body")).as("n_body"),
+            md5(TextOps.stripMarkdown($"body").cast("binary"))
+              .as("body_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH e AS (
+          SELECT doc_id,
+            'Heading lead ' || text AS clean
+          FROM documents)
+        SELECT doc_id,
+          'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+          CAST('2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+            AS DATE) AS pub_date,
+          doc_id % 3 = 0 AS draft,
+          CAST(2 AS INT) AS n_tags,
+          CAST(length(clean) AS INT) AS n_body,
+          md5(clean) AS body_md5
+        FROM e ORDER BY doc_id""")),
+
     // SUBTITLE EXTRACTION (SRT + WebVTT) — the video-corpus text lane:
     // even docs ship SubRip (numeric cue index, comma decimals), odd
     // docs WebVTT (header line, dot decimals, no index). One parser
