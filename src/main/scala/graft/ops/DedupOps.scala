@@ -156,9 +156,26 @@ object DedupOps {
       .select(col("corpus_id"), col("probe_id"), col("containment"))
   }
 
-  /** All pairs (a < b) with shingle-set Jaccard ≥ threshold, by inverted-
-    * index self-join: |A∩B| from matching shingles, |A∪B| from the per-doc
-    * set sizes carried alongside.
+  /** Ordered (i < j) pairs generated INSIDE a per-key posting list: for a
+    * sorted array of (id, sz) structs, every 2-combination with the lower
+    * id first. Semantically identical to the equi-self-join on the key +
+    * `id_a < id_b` filter, but the pairs are produced by a codegen'd
+    * nested transform over an already-aggregated list — no second scan of
+    * the index, no sort-merge join, and half the pre-filter row count
+    * (combinations, not ordered pairs). */
+  private def postingPairs(lst: Column): Column =
+    flatten(transform(lst, (x, i) =>
+      transform(slice(lst, i + lit(2), size(lst)), y =>
+        struct(x.as("a"), y.as("b")))))
+
+  /** All pairs (a < b) with shingle-set Jaccard ≥ threshold, from the
+    * inverted index: |A∩B| from matching shingles, |A∪B| from the per-doc
+    * set sizes carried alongside. Candidate pairs are generated per
+    * posting list: ONE hash aggregation groups the index by shingle
+    * (replacing the former window df-count + sort-merge self-join — same
+    * exchange count, zero sorts), the df cut becomes a plain size filter
+    * on the list, and the bounded lists (≤ maxDf entries) emit their
+    * 2-combinations in codegen.
     *
     * With `maxDf > 0`, shingles in more than `maxDf` docs are excluded from
     * the index. Tradeoff is recall-only: a dropped shingle leaves `sz_a`/
@@ -170,18 +187,16 @@ object DedupOps {
   def jaccardPairs(
       df: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.8, maxDf: Int = 0): DataFrame = {
-    val idx = shingleIndex(df, id, text, n, maxDf)
-    // Self-join with aliases ABOVE identical subplans: both join inputs are
-    // the same scan→shingle→explode tree, so Catalyst's ReuseExchange ships
-    // one shuffle instead of two (renaming below the exchange would make
-    // the subtrees differ and double the shuffle).
-    val a = idx.alias("a")
-    val b = idx.alias("b")
-    a.join(b, col("a.shingle") === col("b.shingle"))
-      .filter(col("a.id") < col("b.id"))
+    val idx = shingleIndex(df, id, text, n, maxDf = 0)
+    val posting = idx.groupBy(col("shingle"))
+      .agg(array_sort(collect_list(struct(col("id"), col("sz")))).as("lst"))
+      .filter(size(col("lst")) >= 2 &&
+        (if (maxDf > 0) size(col("lst")) <= maxDf else lit(true)))
+    posting
+      .select(explode(postingPairs(col("lst"))).as("p"))
       .select(
-        col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+        col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        col("p.a.sz").as("sz_a"), col("p.b.sz").as("sz_b"))
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",

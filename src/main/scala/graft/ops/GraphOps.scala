@@ -24,20 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Components of the undirected graph given by `edges` (cols `src`, `dst`)
-    * over `vertices` (col `id`). Returns (id, component) where component is
-    * the minimum vertex id in the component. Isolated vertices keep their
-    * own id.
-    */
-  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    // materialize the (possibly expensive) edge pipeline ONCE — every
-    // propagation round re-scans it, and without this a jaccard/LSH
-    // candidate join upstream would recompute per round
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = vertices.select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+  /** Min-label fixpoint over the symmetric edge list, seeded from `seed`
+    * (one (id, component=id) row per SEEDED vertex). Labels flow along
+    * edges each round; non-seed endpoints acquire labels by propagation
+    * exactly as before. Convergence is detected by a (row count, label
+    * sum) probe on the checkpointed next table — labels only ever
+    * decrease and rows only ever appear, so (count, sum) unchanged ⇔
+    * fixpoint — ONE tiny aggregate per round instead of the former
+    * next×old join+count (a full extra shuffle per round). */
+  private def minLabelFixpoint(
+      sym: DataFrame, seed: DataFrame): DataFrame = {
+    var labels = seed.localCheckpoint()
+    def probe(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("component").cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var state = probe(labels)
     var converged = false
     while (!converged) {
       // neighbor labels flow along every (symmetric) edge
@@ -46,29 +49,61 @@ object GraphOps {
       val next = labels.union(prop)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") < col("o.component"))
-        .count()
+      val nextState = probe(next)
       labels = next
-      converged = changed == 0
+      converged = nextState == state
+      state = nextState
     }
     labels
+  }
+
+  /** Components of the undirected graph given by `edges` (cols `src`, `dst`)
+    * over `vertices` (col `id`). Returns (id, component) where component is
+    * the minimum vertex id in the component. Isolated vertices keep their
+    * own id.
+    *
+    * The fixpoint iterates ONLY over vertices that are edge endpoints —
+    * isolated vertices (the overwhelming majority of a lightly-duplicated
+    * corpus) can never change label, so they skip every propagation round
+    * and rejoin the result at the end. */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    // materialize the (possibly expensive) edge pipeline ONCE — every
+    // propagation round re-scans it, and without this a jaccard/LSH
+    // candidate join upstream would recompute per round
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val endpoints = sym.select(col("src").as("id")).distinct()
+    val seed = vertices.select(col("id"))
+      .join(endpoints, Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("component"))
+    val labels = minLabelFixpoint(sym, seed)
+    val isolated = vertices.select(col("id"))
+      .join(endpoints, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    labels.union(isolated)
   }
 
   /** Duplicate clusters from a near-dup pair list: every doc mapped to the
     * min doc id of its duplicate group. Docs with no near-dup partner map to
     * themselves. Output one row per doc in a non-singleton cluster:
     * (doc_id, cluster_id, is_keeper).
-    */
+    *
+    * Every pair (a, b) has a ≠ b, so every edge endpoint is in a
+    * non-singleton component by construction — the fixpoint label table
+    * (seeded from endpoints only) IS the answer, and the former
+    * component-size aggregate + join existed solely to drop isolated
+    * vertices the endpoint seeding never admits. */
   def dedupClusters(docs: DataFrame, docId: Column, pairs: DataFrame,
       idA: Column, idB: Column): DataFrame = {
-    val verts = docs.select(docId.as("id"))
     val edges = pairs.select(idA.as("src"), idB.as("dst"))
-    val comp = connectedComponents(verts, edges)
-    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
-    comp.join(sizes, "component")
-      .filter(col("cluster_size") > 1)
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val seed = docs.select(docId.as("id"))
+      .join(sym.select(col("src").as("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("component"))
+    minLabelFixpoint(sym, seed)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"),
         (col("id") === col("component")).as("is_keeper"))
   }

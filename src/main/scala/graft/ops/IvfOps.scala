@@ -65,9 +65,12 @@ object IvfOps {
     * (dist, cell) struct array — O(K) with no sort, and a when-chain fold
     * would duplicate subtrees exponentially). */
   def assignCells(df: DataFrame, vec: Column, centroids: Array[Array[Double]]): DataFrame = {
-    val distArr = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(VectorOps.sqDist(vec, array(c.map(lit(_)): _*)).as("d"), lit(i).as("cell"))
-    }: _*)
+    // centroid matrix as ONE typedlit literal — per-value lit(..) trees
+    // (K×dim expression nodes) cost the analyzer/optimizer far more than
+    // the executed argmin does (see PqOps.encode)
+    val distArr = transform(typedlit(centroids.map(_.toSeq).toSeq),
+      (c, i) => struct(VectorOps.sqDist(vec, c).as("d"),
+        i.cast("int").as("cell")))
     df.withColumn("cell", array_min(distArr).getField("cell"))
   }
 
@@ -84,10 +87,9 @@ object IvfOps {
     // per query: the nprobe nearest cells
     val q0 = queries.select(qId.as("q_id"), VectorOps.vecD(qVec).as("q_v"))
       .withColumn("q_n", VectorOps.l2norm(col("q_v")))
-    val probeCols = array((0 until centroids.length).map { i =>
-      struct(VectorOps.sqDist(col("q_v"), array(centroids(i).map(lit(_)): _*)).as("d"),
-        lit(i).as("cell"))
-    }: _*)
+    val probeCols = transform(typedlit(centroids.map(_.toSeq).toSeq),
+      (c, i) => struct(VectorOps.sqDist(col("q_v"), c).as("d"),
+        i.cast("int").as("cell")))
     val qProbes = q0
       .withColumn("probes", slice(array_sort(probeCols), 1, nprobe))
       .select(col("q_id"), col("q_v"), col("q_n"), explode(col("probes.cell")).as("cell"))

@@ -49,39 +49,35 @@ object MlOps {
   def trainHashedLR(
       df: DataFrame, id: Column, text: Column, labelCol: Column,
       buckets: Int = 256, iters: Int = 30, step: Double = 10.0): HashedLR = {
-    // binary presence features (x=1 per distinct bucket): the standard
-    // binary bag-of-words scaling — per-bucket gradients are O(residual),
-    // not O(residual/doc_len), so full-batch GD converges in tens of
-    // iterations without per-feature step tuning
-    // `nb` (the doc's distinct-bucket count) rides every feature row so the
-    // per-doc loss and bias-gradient terms can be smeared across that doc's
-    // rows (each row carries term/nb) and recovered EXACTLY by the same
-    // bucket-keyed aggregate that reduces the weight gradient — one action,
-    // one aggregate pass per iteration instead of the former two (separate
-    // loss collect + gradient collect).
-    val wNb = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-    val feats = hashedFeatures(df, id, text, buckets)
-      .join(df.select(id.as("id"), labelCol.cast("double").as("y")), Seq("id"))
-      .select(col("id"), col("y"), col("bucket"), lit(1.0).as("x"))
-      .withColumn("nb", count(lit(1)).over(wNb).cast("double"))
+    // binary presence features (x=1 per distinct bucket), held as ONE row
+    // per doc: the doc's distinct-bucket array + its size `nb`. Building
+    // the table is a shuffle-FREE projection (array_distinct over the
+    // per-token bucket map — no explode/groupBy, no window), and each
+    // iteration's margin z = Σ_{b∈bks} w_b is a map-side array fold over
+    // the cached doc-grain rows instead of the former per-iteration
+    // id-keyed window (which re-sorted the exploded feature table every
+    // round). The bucket-keyed gradient aggregate reads the same rows via
+    // one explode; per-doc loss/bias terms smear as term/nb across that
+    // doc's nb exploded rows and telescope back exactly, so one action per
+    // iteration still fetches gradient + loss + bias.
+    val bks = array_distinct(transform(TextOps.tokens(text), t =>
+      pmod(conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("int"),
+        lit(buckets))))
+    val feats = df.filter(length(trim(text)) > 0)
+      .select(id.as("id"), labelCol.cast("double").as("y"), bks.as("bks"))
+      .withColumn("nb", size(col("bks")).cast("double"))
       .cache()
-    val nDocs = feats.select(countDistinct(col("id"))).head.getLong(0).toDouble
+    val nDocs = feats.count().toDouble
 
     var w = new Array[Double](buckets)
     var b = 0.0
     val losses = Seq.newBuilder[Double]
     for (_ <- 0 until iters) {
-      val wLit = array(w.map(lit(_)): _*)
-      // per-doc margin via a window over the id partition the cached
-      // feature table ALREADY has (the `nb` window's exchange happened
-      // once, before the cache) — z lands on every feature row with no
-      // per-iteration id-shuffle and no join, so each round is one
-      // map-side pass over the cache + the single tiny bucket-keyed
-      // aggregate below (weights are plan literals, shipped with the
-      // task binary — no weight-table join either)
+      val wLit = typedlit(w.toSeq)
       val eps = 1e-12
       val withZ = feats.withColumn("z",
-        sum(col("x") * element_at(wLit, col("bucket") + 1)).over(wNb))
+        aggregate(col("bks"), lit(0.0),
+          (acc, bk) => acc + element_at(wLit, bk + 1)))
       val scored = withZ
         .withColumn("p", lit(1.0) / (lit(1.0) + exp(-(col("z") + lit(b)))))
         .withColumn("r", col("p") - col("y"))
@@ -93,8 +89,10 @@ object MlOps {
       // Σ_rows lt/nb telescopes back to Σ_docs lt because a doc
       // contributes exactly nb rows
       val grad = scored
+        .select(col("r"), col("lt"), col("nb"),
+          explode(col("bks")).as("bucket"))
         .groupBy(col("bucket"))
-        .agg(sum(col("x") * col("r")).as("g"),
+        .agg(sum(col("r")).as("g"),
           sum(col("lt") / col("nb")).as("lp"),
           sum(col("r") / col("nb")).as("rp"))
         .collect()

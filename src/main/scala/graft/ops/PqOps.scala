@@ -81,20 +81,21 @@ object PqOps {
     * codegen'd projection. Adds `codes: array<int>`. */
   def encode(df: DataFrame, vec: Column, books: Array[Array[Array[Double]]]): DataFrame = {
     val sub = books(0)(0).length
-    // (centroid, ‖centroid‖²) literal structs: argmin of ‖s−c‖² = argmin
-    // of ‖c‖² − 2·s·c (‖s‖² is constant per row×subspace), with the
-    // centroid norms precomputed INTO the literal — the inner expression
-    // runs corpus×m×k times (the hottest loop in PQ), so it is one native
-    // dot_product + one lookup, not an interpreted aggregate(zip_with(...))
-    val bookLit = array(books.map(book =>
-      array(book.map { c =>
-        val n2 = c.map(x => x * x).sum
-        struct(array(c.map(lit(_)): _*).as("cent"), lit(n2).as("n2"))
-      }: _*)): _*)
-    val codes = transform(bookLit, (book, j) => {
+    // Centroids and their precomputed norms ride as TWO typedlit literals
+    // (single Literal nodes), not per-value lit(..) trees: an m=32, k=16
+    // codebook as nested array(lit(..)) expressions is ~1500 expression
+    // nodes that every analyzer/optimizer rule re-walks — measured as
+    // seconds of driver plan time per query while the executed kernel is
+    // identical. argmin of ‖s−c‖² = argmin of ‖c‖² − 2·s·c (‖s‖² is
+    // constant per row×subspace); the inner expression runs corpus×m×k
+    // times, so it stays one native dot_product + one lookup.
+    val centsLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val n2Lit = typedlit(books.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
+    val codes = transform(centsLit, (book, j) => {
       val s = slice(vec, j * sub + 1, lit(sub))
-      val distArr = transform(book, (entry, c) => struct(
-        (entry.getField("n2") - lit(2.0) * VectorOps.dot(s, entry.getField("cent"))).as("d"),
+      val n2s = element_at(n2Lit, j + 1)
+      val distArr = transform(book, (cent, c) => struct(
+        (element_at(n2s, c + 1) - lit(2.0) * VectorOps.dot(s, cent)).as("d"),
         c.as("code")))
       array_min(distArr).getField("code")
     })
@@ -119,10 +120,11 @@ object PqOps {
       col("n_v"), books)
       .select(col("n_id"), col("codes"))
     // per-query LUT: lut[j][c] = squared distance from the query's j-th
-    // subvector to codebook centroid c of subspace j
+    // subvector to codebook centroid c of subspace j (codebooks as ONE
+    // typedlit literal — see [[encode]] on why per-value lit trees cost
+    // seconds of driver plan time)
     val q0 = queries.select(qId.as("q_id"), VectorOps.vecD(qVec).as("q_v"))
-    val bookLit = array(books.map(book =>
-      array(book.map(c => array(c.map(lit(_)): _*)): _*)): _*)
+    val bookLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
     val lut = transform(bookLit, (book, j) => {
       val s = slice(col("q_v"), j * sub + 1, lit(sub))
       transform(book, cent => VectorOps.sqDist(s, cent))
@@ -171,12 +173,10 @@ object PqOps {
       col("n_v"), books)
       .select(col("n_id"), col("cell"), col("codes"))
     val q0 = queries.select(qId.as("q_id"), VectorOps.vecD(qVec).as("q_v"))
-    val probeArr = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(VectorOps.sqDist(col("q_v"), array(c.map(lit(_)): _*)).as("d"),
-        lit(i).as("cell"))
-    }: _*)
-    val bookLit = array(books.map(book =>
-      array(book.map(c => array(c.map(lit(_)): _*)): _*)): _*)
+    val probeArr = transform(typedlit(centroids.map(_.toSeq).toSeq),
+      (c, i) => struct(VectorOps.sqDist(col("q_v"), c).as("d"),
+        i.cast("int").as("cell")))
+    val bookLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
     val lut = transform(bookLit, (book, j) => {
       val s = slice(col("q_v"), j * sub + 1, lit(sub))
       transform(book, cent => VectorOps.sqDist(s, cent))

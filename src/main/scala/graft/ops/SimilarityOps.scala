@@ -47,13 +47,22 @@ object SimilarityOps {
     Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit LSH bucket id for a double-array vector column. */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (plane, i)) =>
-      val planeCol = array(plane.map(lit(_)): _*)
-      val d = VectorOps.dot(vec, planeCol)
-      acc.bitwiseOR(when(d >= 0, lit(1L << i)).otherwise(lit(0L)))
-    }
+  /** Sign-bit LSH bucket id for a double-array vector column. The plane
+    * matrix rides as ONE typedlit literal (a bits×dim per-value lit(..)
+    * tree costs the analyzer/optimizer far more than the executed dot
+    * products — see PqOps.encode); the OR-fold over per-plane sign bits
+    * is commutative, so the bucket value is bit-identical to the old
+    * per-plane fold. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graftshim._
+    def shl(a: Column, b: Column): Column = columnOf(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        expressionOf(a), expressionOf(b)))
+    aggregate(
+      transform(typedlit(planes.map(_.toSeq).toSeq), (plane, i) =>
+        when(VectorOps.dot(vec, plane) >= 0, shl(lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
 
   /** Bucketed candidates: input plus a `bucket` column. */
   def lshBuckets(df: DataFrame, vec: Column, planes: Array[Array[Double]]): DataFrame =

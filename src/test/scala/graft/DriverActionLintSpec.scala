@@ -32,6 +32,10 @@ class DriverActionLintSpec extends AnyFunSuite {
     Allowed("MlOps.scala", ".collect()", 1,
       "O(hash buckets) gradient aggregate per LR iteration (the one " +
         "combinable action per round, r4 verdict ask #4)"),
+    Allowed("GraphOps.scala",
+      "sum(col(\"component\").cast(\"decimal(38,0)\"))).head()", 1,
+      "one-row (count, label-sum) convergence probe per propagation round " +
+        "— two scalars, never row-sized"),
     Allowed("PqOps.scala", ".collect().map(_.getSeq[Double](1).toArray)", 1,
       "O(k·dim) k-means centroids per codebook training round"),
     Allowed("IvfOps.scala", ".collect().map(_.getSeq[Double](1).toArray)", 1,
