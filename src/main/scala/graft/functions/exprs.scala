@@ -303,6 +303,112 @@ object Exprs {
     new GenericArrayData(counts)
   }
 
+  private val textStopwords = {
+    val s = new java.util.HashSet[String]()
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+      .foreach(s.add)
+    s
+  }
+  // marker sets in graft.ops.TextOps.langMarkers order (en, de, fr, es)
+  private val langMarkerSets: Array[java.util.HashSet[String]] = Array(
+    Seq("the", "a", "of", "and"), Seq("der", "die", "und", "ist"),
+    Seq("le", "la", "et", "est"), Seq("el", "la", "y", "es")).map { words =>
+    val s = new java.util.HashSet[String]()
+    words.foreach(s.add)
+    s
+  }
+  private val langNames = Array("en", "de", "fr", "es").map(UTF8String.fromString)
+  private val langUnd = UTF8String.fromString("und")
+
+  /** One-pass text statistics over the whitespace tokens of
+    * lower(trim(text)) — the counts every TextOps quality/language leaf is
+    * a ratio of, computed with ONE tokenization per row instead of one
+    * interpreted higher-order-function chain per metric (HOF lambdas are
+    * CodegenFallback; a quality+langid projection re-split and re-walked
+    * the token array up to 10×). Every field reproduces the corresponding
+    * column composition bit-for-bit:
+    *
+    *   - n_tokens   = size(split(lower(trim(c)), "\\s+"))
+    *   - n_distinct = size(array_distinct(tokens))
+    *   - n_stop     = size(filter(tokens, isInCollection(stopwords)))
+    *   - sum_len    = aggregate(tokens, 0L, acc + length(w))  (codepoints)
+    *   - n_alpha    = size(filter(tokens, rlike("[a-z]")))
+    *   - lang       = the langMarkers fold (max count, ties → earlier
+    *                  marker entry, all-zero → 'und'), repeats counted
+    *   - n_nonspace = length(regexp_replace(lowtrim, "\\s+", ""))
+    *   - n_alnum    = length(regexp_replace(nonspace, "[^a-z0-9]", ""))
+    *
+    * Divisions/NULL semantics stay column-side in TextOps so the final
+    * doubles are the identical IEEE expressions. */
+  def textStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.trim().toLowerCase().toString
+    val toks = str.split("\\s+", -1)
+    val seen = new java.util.HashSet[String]()
+    var nStop = 0
+    var sumLen = 0L
+    var nAlpha = 0
+    val langScores = new Array[Int](4)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      seen.add(t)
+      sumLen += t.codePointCount(0, t.length)
+      if (textStopwords.contains(t)) nStop += 1
+      var hasAlpha = false
+      var j = 0
+      while (!hasAlpha && j < t.length) {
+        val ch = t.charAt(j)
+        hasAlpha = ch >= 'a' && ch <= 'z'
+        j += 1
+      }
+      if (hasAlpha) nAlpha += 1
+      var m = 0
+      while (m < 4) {
+        if (langMarkerSets(m).contains(t)) langScores(m) += 1
+        m += 1
+      }
+      i += 1
+    }
+    var best = langUnd
+    var bestScore = 0
+    var m = 0
+    while (m < 4) {
+      if (langScores(m) > bestScore) { best = langNames(m); bestScore = langScores(m) }
+      m += 1
+    }
+    var nonspace = 0
+    var alnum = 0
+    i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
+        cp == '\f' || cp == '\r'
+      if (!isWs) {
+        nonspace += 1
+        if ((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')) alnum += 1
+      }
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length, seen.size, nStop, sumLen, nAlpha, best,
+        nonspace, alnum))
+  }
+
+  /** Count of non-decreasing `bounds` entries strictly below `x` — the
+    * first index where bounds(i) >= x, by binary search. Comparison is
+    * java.lang.Double.compare (Spark's DoubleType ordering: NaN greatest,
+    * -0.0 < 0.0), so the count matches the `b < x` HOF filter this
+    * replaces on every input including NaN. */
+  def countBelow(bounds: Array[Double], x: Double): Long = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (java.lang.Double.compare(bounds(mid), x) < 0) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
   /** Sequential-fold dot product of two double arrays — bit-identical to
     * aggregate(zip_with(a,b,*), 0.0, +) and to DuckDB's
     * list_sum(list_transform(list_zip(a,b), …)). */
@@ -462,6 +568,57 @@ case class StripAccents(child: Expression) extends UnaryExpression {
   override def prettyName: String = "strip_accents"
 }
 
+/** Count of `bounds` entries strictly below the input — the equi-depth
+  * rank against a non-decreasing quantile-boundary array. Semantically
+  * size(filter(array(bounds…), b => b < x)), but a binary search against a
+  * referenced double[] instead of an interpreted 255-lambda HOF walk per
+  * row (paid twice in a z-order rewrite: the range-partition sampling pass
+  * and the final pass). */
+case class CountBelow(child: Expression, bounds: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"count_below requires double, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Exprs.countBelow(bounds, input.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("countBelowBounds", bounds, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Exprs.countBelow($ref, $c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CountBelow =
+    copy(child = newChild)
+  override def prettyName: String = "count_below"
+}
+
+case class TextStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TextStats.schema
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"text_stats requires string, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Exprs.textStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Exprs.textStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+  override def prettyName: String = "text_stats"
+}
+
+object TextStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("sum_len", LongType, nullable = false),
+    StructField("n_alpha", IntegerType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("n_nonspace", IntegerType, nullable = false),
+    StructField("n_alnum", IntegerType, nullable = false)))
+}
+
 case class HashEmbedExpr(child: Expression, dim: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -481,6 +638,9 @@ object NativeFunctions {
   import org.apache.spark.sql.graftshim._
 
   def word_shingles(c: Column, n: Int): Column = columnOf(WordShingles(expressionOf(c), n))
+  def text_stats(c: Column): Column = columnOf(TextStats(expressionOf(c)))
+  def count_below(c: Column, bounds: Array[Double]): Column =
+    columnOf(CountBelow(expressionOf(c), bounds))
   def hash_embed(c: Column, dim: Int): Column = columnOf(HashEmbedExpr(expressionOf(c), dim))
   def minhash_sig(c: Column, numHashes: Int): Column = columnOf(MinHashSig(expressionOf(c), numHashes))
   def neutral_minhash_sig(c: Column, numHashes: Int): Column =

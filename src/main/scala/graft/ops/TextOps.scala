@@ -13,8 +13,19 @@ object TextOps {
   /** Whitespace tokens of lowercased text. */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
+  /** One-pass token/char statistics struct ([[graft.functions.TextStats]]):
+    * every quality/language leaf below reads a field of it instead of
+    * re-running an interpreted higher-order-function chain over a fresh
+    * tokenization (HOFs are CodegenFallback — a quality+langid projection
+    * cost ~10 interpreted array walks per row). Field values are
+    * bit-identical to the HOF compositions they replace (OpsSpec parity);
+    * the ratio DIVISIONS stay here in column space, unchanged, so the
+    * final doubles are the same IEEE expressions as before. */
+  private def stats(c: Column): Column =
+    graft.functions.NativeFunctions.text_stats(c)
+
   /** Whitespace token count. */
-  def tokenCount(c: Column): Column = size(tokens(c))
+  def tokenCount(c: Column): Column = stats(c).getField("n_tokens")
 
   /** BPE-ish subword count estimate: word-piece regex splits on letter/digit
     * boundaries, then ceil(chars/4) per long run approximates merges. The
@@ -53,8 +64,8 @@ object TextOps {
   /** Ratio of distinct tokens to tokens — low values indicate repetitive,
     * low-quality text. */
   def uniqueTokenRatio(c: Column): Column = {
-    val toks = tokens(c)
-    size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+    val s = stats(c)
+    s.getField("n_distinct").cast("double") / s.getField("n_tokens").cast("double")
   }
 
   /** Ratio of tokens that are common-word stopwords. */
@@ -62,24 +73,30 @@ object TextOps {
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
   def stopwordRatio(c: Column): Column = {
-    val toks = tokens(c)
-    size(filter(toks, t => t.isInCollection(stopwords))).cast("double") /
-      size(toks).cast("double")
+    val s = stats(c)
+    s.getField("n_stop").cast("double") / s.getField("n_tokens").cast("double")
   }
 
   /** Mean token length in characters. */
   def meanTokenLen(c: Column): Column = {
-    val toks = tokens(c)
-    aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
-      size(toks).cast("double")
+    val s = stats(c)
+    s.getField("sum_len").cast("double") / s.getField("n_tokens").cast("double")
   }
 
   /** Composite quality score in [0,1]: rewards vocabulary diversity and a
-    * sane stopword share, penalizes degenerate token lengths. */
+    * sane stopword share, penalizes degenerate token lengths. ONE stats
+    * struct feeds all three legs (shared subtree → one kernel pass per
+    * row under subexpression elimination). */
   def qualityScore(c: Column): Column = {
-    val diversity = uniqueTokenRatio(c)
-    val stopOk = when(stopwordRatio(c).between(0.01, 0.6), lit(1.0)).otherwise(lit(0.5))
-    val lenOk = when(meanTokenLen(c).between(2.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    val s = stats(c)
+    val nTok = s.getField("n_tokens").cast("double")
+    val diversity = s.getField("n_distinct").cast("double") / nTok
+    val stopOk = when(
+      (s.getField("n_stop").cast("double") / nTok).between(0.01, 0.6),
+      lit(1.0)).otherwise(lit(0.5))
+    val lenOk = when(
+      (s.getField("sum_len").cast("double") / nTok).between(2.0, 12.0),
+      lit(1.0)).otherwise(lit(0.5))
     diversity * lit(0.6) + stopOk * lit(0.2) + lenOk * lit(0.2)
   }
 
@@ -96,17 +113,16 @@ object TextOps {
     * Gopher "80% of words contain an alphabetic character" rule (Rae et al.
     * 2021, public report). */
   def alphaWordRatio(c: Column): Column = {
-    val toks = tokens(c)
-    size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
-      size(toks).cast("double")
+    val s = stats(c)
+    s.getField("n_alpha").cast("double") / s.getField("n_tokens").cast("double")
   }
 
   /** Share of non-space characters that are letters or digits — low values
     * mean symbol soup (markup, tables, encoding junk). */
   def symbolRatio(c: Column): Column = {
-    val noSpace = regexp_replace(lower(trim(c)), "\\s+", "")
-    lit(1.0) - length(regexp_replace(noSpace, "[^a-z0-9]", "")).cast("double") /
-      nullif(length(noSpace), lit(0)).cast("double")
+    val s = stats(c)
+    lit(1.0) - s.getField("n_alnum").cast("double") /
+      nullif(s.getField("n_nonspace"), lit(0)).cast("double")
   }
 
   /** Share of lines that start like bullets — boilerplate/list-dump signal. */
@@ -134,19 +150,7 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "est"),
     "es" -> Seq("el", "la", "y", "es"))
 
-  def langId(c: Column): Column = {
-    val toks = tokens(c)
-    def score(words: Seq[String]): Column =
-      size(filter(toks, t => t.isInCollection(words)))
-    val scores = langMarkers.map { case (lang, words) => lang -> score(words) }
-    // highest score wins; ties resolve in langMarkers order; all-zero → 'und'
-    val best = scores.foldLeft((lit("und"), lit(0))) {
-      case ((bestLang, bestScore), (lang, sc)) =>
-        (when(sc > bestScore, lit(lang)).otherwise(bestLang),
-          when(sc > bestScore, sc).otherwise(bestScore))
-    }
-    best._1
-  }
+  def langId(c: Column): Column = stats(c).getField("lang")
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text. Exact
     * dedup on near-identical whitespace variants; cheap to compute anywhere. */

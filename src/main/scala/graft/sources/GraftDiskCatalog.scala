@@ -3742,18 +3742,19 @@ class GraftDiskTable(
     }
     val bits = math.min(8, 63 / math.max(2, zorderBy.length))
     val buckets = 1 << bits
-    val probs = array(
-      (1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    val probs = typedlit((1 until buckets).map(i => i.toDouble / buckets))
     val boundRow = df.select(zorderBy.map(c =>
       percentile_approx(surrogate(c), probs, lit(10000)).as(c)): _*).head()
     val rankCols = zorderBy.zipWithIndex.map { case (c, j) =>
       val bs = if (boundRow.isNullAt(j)) Seq.empty[Double]
         else boundRow.getSeq[Double](j)
-      // strictly-below count = equi-depth rank in [0, buckets)
+      // strictly-below count = equi-depth rank in [0, buckets); native
+      // binary search — the size(filter(array(255 lits), b < x)) HOF form
+      // was an interpreted 255-lambda walk per row per z column, and the
+      // range-partitioner's sampling pass pays it a second time
       if (bs.isEmpty) lit(0L)
       else coalesce(
-        size(filter(
-          array(bs.map(lit): _*), b => b < surrogate(c))).cast("long"),
+        graft.functions.NativeFunctions.count_below(surrogate(c), bs.toArray),
         lit(0L))
     }
     val zcol =

@@ -1856,4 +1856,53 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(math.abs(cos(v1, v2) - cos(d1, d2)) < 0.01)
   }
+
+  test("text_stats kernel fields match the HOF compositions bit-for-bit") {
+    // the original column compositions the native kernel replaced — every
+    // leaf must agree on the full corpus, including the whitespace/empty
+    // edge rows appended below
+    val toksOf = (c: org.apache.spark.sql.Column) => split(lower(trim(c)), "\\s+")
+    val probe = docs.select($"doc_id".cast("string").as("id"), $"text")
+      .unionByName(Seq(
+        ("e1", ""), ("e2", "   "), ("e3", "\tder die und ist le la"),
+        ("e4", "THE the tHe ... 12345 caf\u00e9 \u00e9l\u00e9phant"),
+        ("e5", "a\nb\u000bc\fd\re f"), ("e6", "el la y es es es"))
+        .toDF("id", "text"))
+    val toks = toksOf($"text")
+    val old = probe.select(
+      $"id",
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      size(filter(toks, t => t.isInCollection(TextOps.stopwords))).as("n_stop"),
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+      size(filter(toks, t => t.rlike("[a-z]"))).as("n_alpha"),
+      {
+        def score(words: Seq[String]) = size(filter(toks, t => t.isInCollection(words)))
+        TextOps.langMarkers.foldLeft((lit("und"), lit(0))) {
+          case ((bl, bs), (lang, words)) =>
+            (when(score(words) > bs, lit(lang)).otherwise(bl),
+              when(score(words) > bs, score(words)).otherwise(bs))
+        }._1.as("lang")
+      },
+      length(regexp_replace(lower(trim($"text")), "\\s+", "")).as("n_nonspace"),
+      length(regexp_replace(regexp_replace(lower(trim($"text")), "\\s+", ""),
+        "[^a-z0-9]", "")).as("n_alnum"))
+    val st = graft.functions.NativeFunctions.text_stats($"text")
+    val niu = probe.select(
+      $"id",
+      st.getField("n_tokens").as("n_tokens"),
+      st.getField("n_distinct").as("n_distinct"),
+      st.getField("n_stop").as("n_stop"),
+      st.getField("sum_len").as("sum_len"),
+      st.getField("n_alpha").as("n_alpha"),
+      st.getField("lang").as("lang"),
+      st.getField("n_nonspace").as("n_nonspace"),
+      st.getField("n_alnum").as("n_alnum"))
+    val oldRows = old.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val newRows = niu.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(oldRows.keySet == newRows.keySet)
+    oldRows.foreach { case (id, expected) =>
+      assert(newRows(id) == expected, s"text_stats mismatch for doc $id: got ${newRows(id)}, want $expected")
+    }
+  }
 }
