@@ -409,6 +409,81 @@ object Exprs {
     lo.toLong
   }
 
+  /** PQ asymmetric-distance lookup: Σ_j lut[j][codes[j]] — bit-identical
+    * to aggregate(zip_with(codes, lut, (c, l) => element_at(l, c+1)), 0.0,
+    * +) (same sequential double adds), but one tight loop instead of an
+    * interpreted zip_with allocation + fold per candidate row (the ADC
+    * scan is the hottest loop of a PQ index probe). */
+  def pqAdc(codes: ArrayData, lut: ArrayData): Double = {
+    val n = math.min(codes.numElements(), lut.numElements())
+    var acc = 0.0
+    var j = 0
+    while (j < n) {
+      acc += lut.getArray(j).getDouble(codes.getInt(j))
+      j += 1
+    }
+    acc
+  }
+
+  /** Squared euclidean distance, sequential fold — bit-identical to
+    * aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)), 0.0, +) INCLUDING the
+    * null semantics: zip_with pads the shorter array with nulls and the
+    * fold then yields null, so unequal lengths (or a null element) return
+    * null here too. Boxed return for that reason. */
+  def sqDist(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val t = a.getDouble(i) - b.getDouble(i)
+      acc += t * t
+      i += 1
+    }
+    acc
+  }
+
+  /** PQ encode: per subspace j, the codebook index minimizing
+    * ‖s−c‖² = ‖c‖² − 2·s·c over the subvector s — bit-identical to the
+    * column form transform(books, (book,j) => array_min(transform(book,
+    * (cent,c) => struct(n2−2·dot, c))).code): same sequential-fold dot,
+    * same precomputed ‖c‖², ties → lowest code, Spark double ordering.
+    * One tight loop instead of ~m×k interpreted lambda evaluations (plus
+    * slice/struct allocations) per row — the corpus-side hot loop of PQ. */
+  def pqEncode(v: ArrayData, cents: Array[Array[Array[Double]]],
+      n2: Array[Array[Double]]): ArrayData = {
+    val m = cents.length
+    val sub = cents(0)(0).length
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val base = j * sub
+      val book = cents(j)
+      val bn2 = n2(j)
+      var best = 0
+      var bestD = Double.NaN
+      // slice-past-end parity: slice(vec, base+1, sub) shortens when the
+      // vector is narrower than m·sub, and dot folds the shorter length
+      val upto = math.max(0, math.min(sub, v.numElements() - base))
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var dotAcc = 0.0
+        var i = 0
+        while (i < upto) { dotAcc += v.getDouble(base + i) * cent(i); i += 1 }
+        val d = bn2(c) - 2.0 * dotAcc
+        if (c == 0 || java.lang.Double.compare(d, bestD) < 0) {
+          bestD = d; best = c
+        }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Sequential-fold dot product of two double arrays — bit-identical to
     * aggregate(zip_with(a,b,*), 0.0, +) and to DuckDB's
     * list_sum(list_transform(list_zip(a,b), …)). */
@@ -592,6 +667,71 @@ case class CountBelow(child: Expression, bounds: Array[Double])
   override def prettyName: String = "count_below"
 }
 
+/** Squared euclidean distance — see [[Exprs.sqDist]]. Nullable (unequal
+  * lengths / null elements yield null, matching the HOF form). */
+case class SqDistExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"sq_dist requires two array<double>, got $other")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Exprs.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double r = graft.functions.Exprs.sqDist($a, $b);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "sq_dist"
+}
+
+/** PQ codes per subspace — see [[Exprs.pqEncode]]. */
+case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  @transient private lazy val n2: Array[Array[Double]] =
+    books.map(_.map(c => c.map(x => x * x).sum))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"pq_encode requires array<double>, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Exprs.pqEncode(input.asInstanceOf[ArrayData], books, n2)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refB = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    val refN = ctx.addReferenceObj("pqN2", n2, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Exprs.pqEncode($c, $refB, $refN)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
+/** Σ_j lut[j][codes[j]] — see [[Exprs.pqAdc]]. */
+case class PqAdcDist(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc requires (array<int>, array<array<double>>), got $other")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Exprs.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Exprs.pqAdc($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcDist =
+    copy(left = l, right = r)
+  override def prettyName: String = "pq_adc"
+}
+
 case class TextStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = TextStats.schema
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -641,6 +781,12 @@ object NativeFunctions {
   def text_stats(c: Column): Column = columnOf(TextStats(expressionOf(c)))
   def count_below(c: Column, bounds: Array[Double]): Column =
     columnOf(CountBelow(expressionOf(c), bounds))
+  def pq_adc(codes: Column, lut: Column): Column =
+    columnOf(PqAdcDist(expressionOf(codes), expressionOf(lut)))
+  def sq_dist(a: Column, b: Column): Column =
+    columnOf(SqDistExpr(expressionOf(a), expressionOf(b)))
+  def pq_encode(v: Column, books: Array[Array[Array[Double]]]): Column =
+    columnOf(PqEncode(expressionOf(v), books))
   def hash_embed(c: Column, dim: Int): Column = columnOf(HashEmbedExpr(expressionOf(c), dim))
   def minhash_sig(c: Column, numHashes: Int): Column = columnOf(MinHashSig(expressionOf(c), numHashes))
   def neutral_minhash_sig(c: Column, numHashes: Int): Column =

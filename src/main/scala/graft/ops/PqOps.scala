@@ -79,28 +79,17 @@ object PqOps {
     * (outer with index = subspace, inner with index = code), so the
     * literal appears once and the whole encode is a single shuffle-free
     * codegen'd projection. Adds `codes: array<int>`. */
-  def encode(df: DataFrame, vec: Column, books: Array[Array[Array[Double]]]): DataFrame = {
-    val sub = books(0)(0).length
-    // Centroids and their precomputed norms ride as TWO typedlit literals
-    // (single Literal nodes), not per-value lit(..) trees: an m=32, k=16
-    // codebook as nested array(lit(..)) expressions is ~1500 expression
-    // nodes that every analyzer/optimizer rule re-walks — measured as
-    // seconds of driver plan time per query while the executed kernel is
-    // identical. argmin of ‖s−c‖² = argmin of ‖c‖² − 2·s·c (‖s‖² is
-    // constant per row×subspace); the inner expression runs corpus×m×k
-    // times, so it stays one native dot_product + one lookup.
-    val centsLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
-    val n2Lit = typedlit(books.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
-    val codes = transform(centsLit, (book, j) => {
-      val s = slice(vec, j * sub + 1, lit(sub))
-      val n2s = element_at(n2Lit, j + 1)
-      val distArr = transform(book, (cent, c) => struct(
-        (element_at(n2s, c + 1) - lit(2.0) * VectorOps.dot(s, cent)).as("d"),
-        c.as("code")))
-      array_min(distArr).getField("code")
-    })
-    df.withColumn("codes", codes)
-  }
+  def encode(df: DataFrame, vec: Column, books: Array[Array[Array[Double]]]): DataFrame =
+    // Native kernel ([[graft.functions.PqEncode]]): the codebook rides as
+    // a plan REFERENCE (one object, not an expression tree) and the whole
+    // m×k argmin of ‖c‖² − 2·s·c runs as one tight loop per row. The
+    // column-composed transform/array_min form was ~m×k interpreted
+    // lambda evaluations + slice/struct allocations per row (HOFs are
+    // CodegenFallback) — measured ~600 µs/row at m=32, k=16, i.e. the
+    // whole corpus-side cost of a PQ probe. Bit-identical argmin
+    // (sequential-fold dot, precomputed norms, ties → lowest code).
+    df.withColumn("codes",
+      graft.functions.NativeFunctions.pq_encode(vec, books))
 
   /** PQ-ADC top-k: approximate L2 distance from query `q` to a candidate is
     * Σ_j lut[j][codes[j]] where lut[j][c] = ‖q_j − book[j][c]‖². The per-
@@ -130,10 +119,11 @@ object PqOps {
       transform(book, cent => VectorOps.sqDist(s, cent))
     })
     val qLut = q0.select(col("q_id"), lut.as("lut"))
-    val approxDist = aggregate(
-      zip_with(col("codes"), col("lut"),
-        (code, lutJ) => element_at(lutJ, code + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    // native ADC lookup — the zip_with+aggregate HOF form is interpreted
+    // per candidate row (the hottest loop of the probe); same sequential
+    // double adds, bit-identical sum
+    val approxDist =
+      graft.functions.NativeFunctions.pq_adc(col("codes"), col("lut"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
     coded.join(broadcast(qLut))
       .filter(col("q_id") =!= col("n_id"))
@@ -185,10 +175,11 @@ object PqOps {
       .withColumn("lut", lut)
       .withColumn("probes", slice(array_sort(probeArr), 1, nprobe))
       .select(col("q_id"), col("lut"), explode(col("probes.cell")).as("cell"))
-    val approxDist = aggregate(
-      zip_with(col("codes"), col("lut"),
-        (code, lutJ) => element_at(lutJ, code + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    // native ADC lookup — the zip_with+aggregate HOF form is interpreted
+    // per candidate row (the hottest loop of the probe); same sequential
+    // double adds, bit-identical sum
+    val approxDist =
+      graft.functions.NativeFunctions.pq_adc(col("codes"), col("lut"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
     coded.join(broadcast(qProbes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))

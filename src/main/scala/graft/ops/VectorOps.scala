@@ -31,9 +31,13 @@ object VectorOps {
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** Squared euclidean distance. */
+  /** Squared euclidean distance. Native expression
+    * ([[graft.functions.SqDistExpr]]) — bit-identical to
+    * aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)), 0.0, +) including the
+    * null/length semantics, without the interpreted zip_with allocation +
+    * fold per call (cell assignment evaluates this K times per row). */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    graft.functions.NativeFunctions.sq_dist(a, b)
 
   // ------------------------------------------------ int8 scalar quantization
 
