@@ -425,6 +425,28 @@ object Exprs {
     acc
   }
 
+  /** Bloom membership probe over a packed word array — bit-identical to
+    * the column-composed Kirsch–Mitzenmacher probe in
+    * [[graft.ops.BloomOps.mightContain]]: h1 = xxhash64(key) (Spark XXH64,
+    * seed 42), h2 = 2·murmur3(key)+1 (Spark hash() int result,
+    * sign-extended), position i = pmod(h1 + i·h2, m). One tight loop with
+    * the words as a plan REFERENCE instead of a 2048-literal array tree
+    * re-walked by every analyzer rule and an interpreted per-block lambda. */
+  def bloomMightContain(s: UTF8String, words: Array[Long], numHashes: Int): Boolean = {
+    val m = words.length * 64L
+    val h1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, 42L)
+    val h2 = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(s, StringType, 42L).toInt.toLong * 2L + 1L
+    var i = 0
+    while (i < numHashes) {
+      val x = h1 + i.toLong * h2
+      val pos = ((x % m) + m) % m
+      if (((words((pos / 64).toInt) >> (pos % 64).toInt) & 1L) != 1L) return false
+      i += 1
+    }
+    true
+  }
+
   /** Squared euclidean distance, sequential fold — bit-identical to
     * aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)), 0.0, +) INCLUDING the
     * null semantics: zip_with pads the shorter array with nulls and the
@@ -667,6 +689,26 @@ case class CountBelow(child: Expression, bounds: Array[Double])
   override def prettyName: String = "count_below"
 }
 
+/** Bloom membership probe for string keys — see [[Exprs.bloomMightContain]]. */
+case class BloomMightContain(child: Expression, words: Array[Long], numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"bloom_might_contain requires string, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Exprs.bloomMightContain(input.asInstanceOf[UTF8String], words, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomWords", words, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Exprs.bloomMightContain($c, $ref, $numHashes)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_might_contain"
+}
+
 /** Squared euclidean distance — see [[Exprs.sqDist]]. Nullable (unequal
   * lengths / null elements yield null, matching the HOF form). */
 case class SqDistExpr(left: Expression, right: Expression) extends BinaryExpression {
@@ -787,6 +829,8 @@ object NativeFunctions {
     columnOf(SqDistExpr(expressionOf(a), expressionOf(b)))
   def pq_encode(v: Column, books: Array[Array[Array[Double]]]): Column =
     columnOf(PqEncode(expressionOf(v), books))
+  def bloom_might_contain(c: Column, words: Array[Long], numHashes: Int): Column =
+    columnOf(BloomMightContain(expressionOf(c), words, numHashes))
   def hash_embed(c: Column, dim: Int): Column = columnOf(HashEmbedExpr(expressionOf(c), dim))
   def minhash_sig(c: Column, numHashes: Int): Column = columnOf(MinHashSig(expressionOf(c), numHashes))
   def neutral_minhash_sig(c: Column, numHashes: Int): Column =

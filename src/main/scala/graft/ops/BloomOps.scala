@@ -55,9 +55,23 @@ object BloomOps {
     arr
   }
 
-  /** Membership test against a built filter — shuffle-free, join-free,
-    * codegen'd; false positives possible, false negatives impossible. */
+  /** Membership test against a built filter — shuffle-free, join-free;
+    * false positives possible, false negatives impossible. Native
+    * expression ([[graft.functions.BloomMightContain]]): the packed words
+    * ride as one plan reference instead of an m/64-literal array tree,
+    * and the probe is a tight loop rather than numHashes chained
+    * column hash evaluations — bit-identical to [[mightContainColumns]]
+    * (BloomSpec parity). */
   def mightContain(key: Column, words: Array[Long], numHashes: Int = 7): Column = {
+    require(words.nonEmpty)
+    graft.functions.NativeFunctions.bloom_might_contain(key, words, numHashes)
+  }
+
+  /** Column-composed executable spec of [[mightContain]] — the parity
+    * anchor BloomSpec checks the native kernel against, not the hot
+    * path. */
+  private[graft] def mightContainColumns(
+      key: Column, words: Array[Long], numHashes: Int = 7): Column = {
     require(words.nonEmpty)
     val m = words.length * 64L
     val wordsLit = array(words.map(lit(_)): _*)

@@ -56,4 +56,20 @@ class BloomSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
+
+  test("native probe matches the column-composed probe bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val docs2 = Tables.load(spark, TestSpark.sfDir, "documents")
+    val filt = BloomOps.buildFilter(
+      docs2.filter($"doc_id" % 3 === 0).select($"text"), $"text",
+      numBits = 1L << 14, numHashes = 7)
+    val both = docs2.select($"doc_id",
+        BloomOps.mightContain($"text", filt, 7).as("native"),
+        BloomOps.mightContainColumns($"text", filt, 7).as("composed"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getBoolean(1) == r.getBoolean(2),
+        s"doc ${r.getLong(0)}: native=${r.getBoolean(1)} composed=${r.getBoolean(2)}")
+    }
+  }
 }
