@@ -411,20 +411,21 @@ object DedupOps {
     val ex0 = k.select(col("k"), explode(variants).as("v"))
     // hot-variant guard (same discipline as [[jaccardPairs]]' maxDf): a
     // degenerate key cluster (all-same-char keys, boilerplate prefixes)
-    // could land O(df²) candidates on one variant bucket; capping variant
-    // document frequency bounds every posting list. 0 = off (the oracle
+    // could land O(df²) candidates on one variant bucket; capping the
+    // posting-list length bounds every bucket. 0 = off (the oracle
     // anchor); pairs joined ONLY through capped variants are the recall
-    // cost, and only when every shared variant is hot.
-    val ex = if (maxDf <= 0) ex0 else {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("v"))
-      ex0.withColumn("__df", count(lit(1)).over(w))
-        .filter(col("__df") <= maxDf).drop("__df")
-    }
-    val a = ex.select(col("v"), col("k").as("k_a"))
-    val b = ex.select(col("v"), col("k").as("k_b"))
-    a.join(b, Seq("v"))
-      .filter(col("k_a") < col("k_b"))
-      .select(col("k_a"), col("k_b"))
+    // cost, and only when every shared variant is hot. Candidates come
+    // from per-variant posting-list combinations ([[postingPairs]]
+    // shape — one hash aggregation, no sort-merge self-join).
+    val posting = ex0.groupBy(col("v"))
+      .agg(array_sort(collect_list(col("k"))).as("ks"))
+      .filter(size(col("ks")) >= 2 &&
+        (if (maxDf > 0) size(col("ks")) <= maxDf else lit(true)))
+    posting
+      .select(explode(flatten(transform(col("ks"), (x, i) =>
+        transform(slice(col("ks"), i + lit(2), size(col("ks"))), y =>
+          struct(x.as("k_a"), y.as("k_b")))))).as("p"))
+      .select(col("p.k_a").as("k_a"), col("p.k_b").as("k_b"))
       .dropDuplicates("k_a", "k_b")
       .filter(levenshtein(col("k_a"), col("k_b")) <= 1)
   }
@@ -458,14 +459,20 @@ object DedupOps {
     // would replicate every document's full shingle set ×bands; instead
     // the arrays are re-attached to the (far smaller) deduped candidate
     // pair list by two id-keyed joins before exact verification.
+    // candidate pairs from per-bucket posting lists (one hash aggregation
+    // + codegen'd 2-combinations — the [[postingPairs]] shape, no
+    // sort-merge self-join); each bucket moves (id) scalars only
     val buckets = sig
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val l = buckets.select(col("band"), col("sig"), col("id").as("id_a"))
-    val r = buckets.select(col("band"), col("sig"), col("id").as("id_b"))
-    val candPairs = l.join(r, Seq("band", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    val candPairs = buckets
+      .groupBy(col("band"), col("sig"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val candidates = candPairs
       .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -502,14 +509,19 @@ object DedupOps {
         md5(concat_ws(",", slice(col("mh"), b * rowsPerBand + 1, rowsPerBand)))
           .as("sig"))
     }
+    // per-bucket posting-list combinations (same shape as
+    // [[minhashLshPairs]] — no sort-merge self-join)
     val buckets = sig
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val l = buckets.select(col("band"), col("sig"), col("id").as("id_a"))
-    val r = buckets.select(col("band"), col("sig"), col("id").as("id_b"))
-    val candPairs = l.join(r, Seq("band", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    val candPairs = buckets
+      .groupBy(col("band"), col("sig"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val candidates = candPairs
       .join(sig.select(col("id").as("id_a"), col("sh").as("sh_a"),
@@ -578,15 +590,17 @@ object DedupOps {
         shiftright(col("sig"), c * bitsPerChunk)
           .bitwiseAND(lit((1L << bitsPerChunk) - 1)).as("v"))
     }
+    // per-chunk posting-list combinations ([[postingPairs]] shape)
     val buckets = sigs
       .select(col("id"), col("sig"), explode(array(chunkCols: _*)).as("ck"))
       .select(col("id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
-    val a = buckets.select(col("c"), col("v"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = buckets.select(col("c"), col("v"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("c", "v"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    buckets
+      .groupBy(col("c"), col("v"))
+      .agg(array_sort(collect_list(struct(col("id"), col("sig")))).as("lst"))
+      .filter(size(col("lst")) >= 2)
+      .select(explode(postingPairs(col("lst"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
   }
