@@ -25,9 +25,22 @@ object SpillProbe {
       // leave little to execution memory and lower the element-count spill
       // triggers so sorts/joins/windows genuinely spill — but not so low
       // that THOUSANDS of spill files' read-ahead buffers (2 MB each)
-      // become their own OOM (the 64-element setting did exactly that)
+      // become their own OOM (the 64-element setting did exactly that).
+      // 2048 (was 20000): the r12 posting-list dedup rewrite replaced the
+      // window+sort-merge self-join — whose 4096-element buffers were what
+      // actually spilled here — with hash aggregations whose sort-based
+      // fallback spills through THIS threshold, and the sf0.001 index is
+      // ~15k rows, under the old 20000.
       .config("spark.memory.fraction", "0.2")
       .config("spark.shuffle.spill.numElementsForceSpillThreshold", "20000")
+      // cap the memory MANAGER's view of the heap (the documented testing
+      // knob): 0.2 × (450 MB − 300 MB reserved) ≈ 30 MB of execution
+      // memory across 4 cores, so the fixture-sized aggregates/sorts/
+      // joins/windows must take their spill paths to complete at all —
+      // the r12 posting-list rewrite removed the window/SMJ buffers whose
+      // element thresholds used to force synthetic spills here, and the
+      // fixture SFs are too small to pressure a genuine 1 GiB pool
+      .config("spark.testing.memory", (450L * 1024 * 1024).toString)
       .config("spark.sql.windowExec.buffer.spill.threshold", "4096")
       .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "4096")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "64")

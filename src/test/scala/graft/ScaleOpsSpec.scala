@@ -110,7 +110,13 @@ class ScaleOpsSpec extends AnyFunSuite {
       .getInputArguments.toArray.map(_.toString)
       .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
     val cmd = Seq(javaBin, "-Xmx1g", "-cp", System.getProperty("java.class.path")) ++
-      addOpens ++ Seq("graft.SpillProbe", TestSpark.sfDir)
+      // sf0.1, not the suite's sf0.001: the r12 posting-list rewrite
+      // removed the window/SMJ buffers whose element-count thresholds used
+      // to force synthetic spills on fixture-sized data; the probe now
+      // proves REAL memory-pressure spilling (spark.testing.memory caps
+      // the pool at ~30 MB execution), which needs the 1.4M-row shingle
+      // index only sf0.1 provides (~0.5 GB actually spills, ~30 s)
+      addOpens ++ Seq("graft.SpillProbe", "/root/testdata/sf0.1")
     val out = new StringBuilder
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val reader = new java.io.BufferedReader(
