@@ -122,16 +122,21 @@ object GraphOps {
     * oracle can unroll the same iterations.
     */
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+    val sym0 = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val verts = sym.select(col("src").as("id")).distinct()
+    val deg = sym0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // outdeg is a per-round constant: attach it to the edge list ONCE so
+    // every iteration is a single join + aggregate instead of two joins
+    // (the degree join repeated per round moved nothing new)
+    val sym = sym0.join(deg, Seq("src"))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint()
+    val verts = sym0.select(col("src").as("id")).distinct()
     val n = verts.count().toDouble
     var ranks = verts.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint()
     for (_ <- 0 until iters) {
       val contrib = sym.join(ranks, sym("src") === ranks("id"))
-        .join(deg, Seq("src"))
         .select(sym("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
       ranks = contrib.groupBy(col("id"))
         .agg((lit((1 - damping) / n) + lit(damping) * sum(col("c"))).as("rank"))
