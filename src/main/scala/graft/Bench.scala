@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * never masquerade as a good benchmark entry.
   *
   * Headline (TPC-H) queries are re-timed twice after the full pass and
-  * reported as per-query MEDIAN of 3 (plus a `queries_min` map): one-shot
+  * reported as per-query MEDIAN of 3 (plus a `queries_min` map when the
+  * stdout line budget allows — the full maps always land in
+  * target/bench_report.json): one-shot
   * timings on a shared noisy host swing several × run-to-run (r3 showed a
   * pure scan-filter-agg "regressing" 2.2× on scheduling noise), which buries
   * real plan regressions. `value` stays the single-pass total so round-over-
@@ -159,6 +161,54 @@ object Bench {
 
   private def fmt(v: Double): String = f"$v%.3f"
 
+  private[graft] def qsJson(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
+    .map { case (k, v) => jsonStr(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+
+  /** One metric-line candidate; `mins` and the stream payload are the
+    * droppable parts (they always survive in target/bench_report.json and
+    * the stderr dumps — stdout is the budgeted surface). */
+  private[graft] def metricLine(
+      totalSec: Double, nQueries: Int,
+      medians: Map[String, Double], mins: Option[Map[String, Double]],
+      errsJson: String, regsJson: String, streamJson: String,
+      streamRegsJson: String, loadJson: String, nice: Boolean,
+      sfDir: String): String = {
+    val minsPart = mins.map(m => s""""queries_min":${qsJson(m)},""").getOrElse("")
+    s"""{"metric":"total","value":${fmt(totalSec)},"unit":"sec","queries":${qsJson(medians)},$minsPart"n_queries":$nQueries,"errors":$errsJson,"regressions":$regsJson,"stream":$streamJson,"stream_regressions":$streamRegsJson,"loadavg":$loadJson,"nice":$nice,"sf":"$sfDir"}"""
+  }
+
+  /** The driver parses the metric line from a bounded (~2000 char) tail
+    * of the captured output that also carries sbt's trailing "[success]"
+    * line, so the PRINTED line must stay well under that. Rounds 8-12
+    * length-checked only the full line and fell back to a headline-only
+    * line that was itself never budgeted — once the stream `mins` map
+    * existed, the fallback overflowed too and the driver recorded
+    * `parsed: null` five rounds running. Every candidate is budgeted
+    * now; the richest that fits wins, and the last-resort candidate
+    * (headline queries, no mins, no stream payload) is small by
+    * construction. Returns (chosen, fullLine). */
+  private[graft] def chooseMetricLine(
+      totalSec: Double, nQueries: Int,
+      medians: Map[String, Double], mins: Map[String, Double],
+      errsJson: String, regsJson: String,
+      streamFull: String, streamLean: String,
+      streamRegsJson: String, loadJson: String, nice: Boolean,
+      sfDir: String, budget: Int = 1700): (String, String) = {
+    def mk(ms: Map[String, Double], mn: Option[Map[String, Double]],
+        stream: String): String =
+      metricLine(totalSec, nQueries, ms, mn, errsJson, regsJson, stream,
+        streamRegsJson, loadJson, nice, sfDir)
+    val headMeds = medians.filter(kv => isHeadline(kv._1))
+    val full = mk(medians, Some(mins), streamFull)
+    val candidates = Seq(
+      full,
+      mk(medians, None, streamFull),
+      mk(headMeds, None, streamFull),
+      mk(headMeds, None, streamLean),
+      mk(headMeds, None, "null"))
+    (candidates.find(_.length <= budget).getOrElse(candidates.last), full)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -194,8 +244,6 @@ object Bench {
     catch { case _: Throwable => }
     val load0 = loadAvg()
     val res = runAll(spark, sfDir, benchQueries)
-    def qsJson(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
-      .map { case (k, v) => jsonStr(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val errs = res.errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }.mkString("{", ",", "}")
     System.err.println(
@@ -242,8 +290,16 @@ object Bench {
     // streaming can never adjudicate a stream-gate flag (round 9's
     // corpus_clean 1.8× watch item was undecidable for exactly that
     // reason).
-    val streamRes: Option[(Map[String, Double], Map[String, Double], String)] =
-      streamBench(spark, sfDir, warmup = niceMode)
+    // Both lanes warm each stream leg with one untimed pass: r12's
+    // stream gate flagged expectations_gate 0.631->3.026 purely because
+    // the committed baseline was a WARMED nice-lane median while the full
+    // lane measured JIT-cold legs — the gate must compare like with like
+    // (the warmup pass is untimed in both lanes, so no timed number gets
+    // faster; the full lane's medians just stop carrying one-off
+    // micro-batch-planner/codegen bootstrap).
+    val streamRes
+        : Option[(Map[String, Double], Map[String, Double], String, String)] =
+      streamBench(spark, sfDir, warmup = true)
     val streamJson = streamRes.map(_._3).getOrElse("null")
     val streamMedians = streamRes.map(_._1).getOrElse(Map.empty[String, Double])
     val streamMins = streamRes.map(_._2).getOrElse(Map.empty[String, Double])
@@ -276,9 +332,10 @@ object Bench {
       if (streamMedians.isEmpty) """{"skipped":"stream bench not run"}"""
       else gateJson(runGate(streamMedians, streamMins, "stream_medians"))
     val loadJson = load0.map(l => f"$l%.2f").getOrElse("null")
-    def line(ms: Map[String, Double], mn: Map[String, Double]): String =
-      s"""{"metric":"total","value":${fmt(res.total)},"unit":"sec","queries":${qsJson(ms)},"queries_min":${qsJson(mn)},"n_queries":${res.seconds.size},"errors":$errs,"regressions":$regsJson,"stream":$streamJson,"stream_regressions":$streamRegsJson,"loadavg":$loadJson,"nice":$niceMode,"sf":"$sfDir"}"""
-    val full = line(medians, mins)
+    val streamLean = streamRes.map(_._4).getOrElse("null")
+    val (out, full) = chooseMetricLine(res.total, res.seconds.size,
+      medians, mins, errs, regsJson, streamJson, streamLean,
+      streamRegsJson, loadJson, niceMode, sfDir)
     // Full machine-readable report on disk: the driver's captured output
     // tail is bounded, so the complete per-query breakdown + stability
     // re-runs live in the repo where a reviewer can read them.
@@ -310,18 +367,14 @@ object Bench {
         if (streamMedians.isEmpty) { if (sameSf) oldStream else Map.empty[String, Double] }
         else if (sameSf) ratchet(oldStream, streamMedians)
         else streamMedians
+      // `lane` records which lane last wrote the ratchet (audit trail for
+      // the like-vs-like gate question; the stream warmup is now applied
+      // in both lanes so the legs themselves are comparable either way)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_baseline.json"),
-        s"""{"medians":${qsJson(ratchetedBatch)},"stream_medians":${qsJson(ratchetedStream)},"sf":"$sfDir"}""")
+        s"""{"medians":${qsJson(ratchetedBatch)},"stream_medians":${qsJson(ratchetedStream)},"sf":"$sfDir","lane":"${if (niceMode) "nice" else "full"}"}""")
     } catch { case _: Throwable => () }
-    // the driver parses the JSON from a bounded output tail — if the
-    // heavy-hitter entries would push the line past it, keep them only in
-    // the stderr dump and print the headline-only line
-    val out =
-      if (full.length <= 1900) full
-      else line(medians.filter(kv => isHeadline(kv._1)),
-                mins.filter(kv => isHeadline(kv._1)))
-    if (full.length > 1900) System.err.println(
+    if (out != full) System.err.println(
       s"""{"heavy_medians":${qsJson(medians.filter(kv => heavyNames(kv._1)))}}""")
     println(out)
     spark.stop()
@@ -379,7 +432,7 @@ object Bench {
   private def streamBench(
       spark: SparkSession, sfDir: String,
       warmup: Boolean = false)
-      : Option[(Map[String, Double], Map[String, Double], String)] = {
+      : Option[(Map[String, Double], Map[String, Double], String, String)] = {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingOps
     try {
@@ -481,10 +534,14 @@ object Bench {
         "session_window_sec" -> sessMin,
         "near_dup_gate_sec" -> gateMin,
         "expectations_gate_sec" -> expMin)
-      val obj =
-        s"""{"corpus_clean_rows":$nDocs,"corpus_clean_sec":${fmt(cleanSec)},"corpus_clean_rows_per_sec":${fmt(nDocs / cleanSec)},"session_window_rows":$nEv,"session_window_sec":${fmt(sessSec)},"session_window_rows_per_sec":${fmt(nEv / sessSec)},"near_dup_gate_rows":$nDocs,"near_dup_gate_sec":${fmt(gateSec)},"near_dup_gate_rows_per_sec":${fmt(nDocs / gateSec)},"expectations_gate_rows":$nDocs,"expectations_gate_sec":${fmt(expSec)},"expectations_gate_rows_per_sec":${fmt(nDocs / expSec)},"mins":${minsM.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")}}"""
+      // lean variant (no per-leg mins) for the budgeted stdout line; the
+      // full variant (with mins) goes to stderr + target/bench_report.json
+      val lean =
+        s"""{"corpus_clean_rows":$nDocs,"corpus_clean_sec":${fmt(cleanSec)},"corpus_clean_rows_per_sec":${fmt(nDocs / cleanSec)},"session_window_rows":$nEv,"session_window_sec":${fmt(sessSec)},"session_window_rows_per_sec":${fmt(nEv / sessSec)},"near_dup_gate_rows":$nDocs,"near_dup_gate_sec":${fmt(gateSec)},"near_dup_gate_rows_per_sec":${fmt(nDocs / gateSec)},"expectations_gate_rows":$nDocs,"expectations_gate_sec":${fmt(expSec)},"expectations_gate_rows_per_sec":${fmt(nDocs / expSec)}}"""
+      val obj = lean.dropRight(1) +
+        s""","mins":${minsM.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")}}"""
       System.err.println(s"""{"stream_bench":$obj}""")
-      Some((secs, minsM, obj))
+      Some((secs, minsM, obj, lean))
     } catch {
       case e: Throwable =>
         System.err.println(

@@ -26,11 +26,11 @@ object SpillProbe {
       // triggers so sorts/joins/windows genuinely spill — but not so low
       // that THOUSANDS of spill files' read-ahead buffers (2 MB each)
       // become their own OOM (the 64-element setting did exactly that).
-      // 2048 (was 20000): the r12 posting-list dedup rewrite replaced the
-      // window+sort-merge self-join — whose 4096-element buffers were what
-      // actually spilled here — with hash aggregations whose sort-based
-      // fallback spills through THIS threshold, and the sf0.001 index is
-      // ~15k rows, under the old 20000.
+      // The force-spill threshold stays at 20000: it is NOT the probe's
+      // spill mechanism anymore — real memory pressure is, via the
+      // spark.testing.memory pool cap below (the r12 posting-list rewrite
+      // removed the window/SMJ element-count buffers the old thresholds
+      // used to trip).
       .config("spark.memory.fraction", "0.2")
       .config("spark.shuffle.spill.numElementsForceSpillThreshold", "20000")
       // cap the memory MANAGER's view of the heap (the documented testing

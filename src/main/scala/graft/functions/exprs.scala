@@ -409,6 +409,68 @@ object Exprs {
     lo.toLong
   }
 
+  /** Count of non-null `bounds` elements strictly below `x` under SPARK's
+    * double ordering (NaN greatest, -0.0 == 0.0) — exactly
+    * size(filter(bounds, b => b < x)) for a non-null bounds array (null
+    * elements are skipped, as the lambda's null comparison drops them).
+    * The runtime-column twin of [[countBelow]]: bounds here are a
+    * percentile_approx result riding every row via a broadcast, a few
+    * dozen entries — a linear scan beats set-up-heavy alternatives and
+    * is trivially parity-provable against the HOF. */
+  def countBelowArr(bounds: ArrayData, x: Double): Long = {
+    var i = 0
+    var c = 0L
+    val n = bounds.numElements()
+    while (i < n) {
+      if (!bounds.isNullAt(i)) {
+        val b = bounds.getDouble(i)
+        // Spark `<`: false when equal (-0.0 == 0.0) or b is NaN; true
+        // when x is NaN and b is not (NaN sorts greatest)
+        if (b != x && !java.lang.Double.isNaN(b) &&
+            (java.lang.Double.isNaN(x) || b < x)) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** Multiset overlap Σ_t min(count_a(t), count_b(t)) — identical to
+    * aggregate(array_distinct(a), 0, (acc, t) -> acc +
+    * least(size(filter(a, x -> x = t)), size(filter(b, x -> x = t))))
+    * (the ROUGE-n overlap numerator: both are exact integer sums of the
+    * same per-token minima), but one hash-count pass instead of an
+    * interpreted O(|distinct a| · (|a| + |b|)) lambda walk per pair.
+    * Null elements never match the HOF's null-propagating `=`, so they
+    * are skipped here too. */
+  def multisetOverlap(a: ArrayData, b: ArrayData): Int = {
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var i = 0
+    val na = a.numElements()
+    while (i < na) {
+      if (!a.isNullAt(i)) {
+        val t = a.getUTF8String(i)
+        val c = counts.get(t)
+        counts.put(t, if (c == null) 1 else c + 1)
+      }
+      i += 1
+    }
+    var ov = 0
+    var j = 0
+    val nb = b.numElements()
+    while (j < nb) {
+      if (!b.isNullAt(j)) {
+        val t = b.getUTF8String(j)
+        val c = counts.get(t)
+        if (c != null && c > 0) {
+          ov += 1
+          counts.put(t, c - 1)
+        }
+      }
+      j += 1
+    }
+    ov
+  }
+
   /** PQ asymmetric-distance lookup: Σ_j lut[j][codes[j]] — bit-identical
     * to aggregate(zip_with(codes, lut, (c, l) => element_at(l, c+1)), 0.0,
     * +) (same sequential double adds), but one tight loop instead of an
@@ -689,6 +751,57 @@ case class CountBelow(child: Expression, bounds: Array[Double])
   override def prettyName: String = "count_below"
 }
 
+/** Two-column [[CountBelow]]: count of `right` (bounds array) elements
+  * strictly below `left` (the value), for bounds that are a RUNTIME column
+  * (a percentile_approx result broadcast onto every row) rather than a
+  * plan literal. Replaces the interpreted size(filter(bounds, b => b < x))
+  * HOF in [[graft.ops.LayoutOps.globalRowNumber]] — Spark double ordering
+  * and null-element handling match the lambda exactly (value/bounds NULL
+  * inputs are out of the caller's contract: rangeKey is required
+  * non-null and percentile_approx bounds come from a non-empty input). */
+case class CountBelowCol(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (DoubleType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"count_below_arr requires (double, array<double>), got $other")
+    }
+  override def nullSafeEval(x: Any, arr: Any): Any =
+    Exprs.countBelowArr(arr.asInstanceOf[ArrayData], x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, arr) => s"graft.functions.Exprs.countBelowArr($arr, $x)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountBelowCol =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "count_below_arr"
+}
+
+/** Multiset n-gram overlap — see [[Exprs.multisetOverlap]]. */
+case class MultisetOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"multiset_overlap requires two array<string>, got $other")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Exprs.multisetOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Exprs.multisetOverlap($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MultisetOverlap =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "multiset_overlap"
+}
+
 /** Bloom membership probe for string keys — see [[Exprs.bloomMightContain]]. */
 case class BloomMightContain(child: Expression, words: Array[Long], numHashes: Int)
     extends UnaryExpression {
@@ -823,6 +936,10 @@ object NativeFunctions {
   def text_stats(c: Column): Column = columnOf(TextStats(expressionOf(c)))
   def count_below(c: Column, bounds: Array[Double]): Column =
     columnOf(CountBelow(expressionOf(c), bounds))
+  def count_below_arr(value: Column, bounds: Column): Column =
+    columnOf(CountBelowCol(expressionOf(value), expressionOf(bounds)))
+  def multiset_overlap(a: Column, b: Column): Column =
+    columnOf(MultisetOverlap(expressionOf(a), expressionOf(b)))
   def pq_adc(codes: Column, lut: Column): Column =
     columnOf(PqAdcDist(expressionOf(codes), expressionOf(lut)))
   def sq_dist(a: Column, b: Column): Column =

@@ -163,19 +163,72 @@ object DedupOps {
     * nested transform over an already-aggregated list — no second scan of
     * the index, no sort-merge join, and half the pre-filter row count
     * (combinations, not ordered pairs). */
-  private def postingPairs(lst: Column): Column =
+  private[ops] def postingPairs(lst: Column): Column =
     flatten(transform(lst, (x, i) =>
       transform(slice(lst, i + lit(2), size(lst)), y =>
         struct(x.as("a"), y.as("b")))))
 
+  /** Per-bucket (a < b) candidate pairs with BOUNDED per-task state — the
+    * shared candidate generator of the jaccard / minhash-LSH / simhash /
+    * fuzzy-key families (guide §2.5: skew).
+    *
+    * The bucket document frequency is counted FIRST by a window over the
+    * bucket key (one exchange — the same one the aggregation needs; the
+    * window buffer is spillable, unlike an aggregation's collect_list
+    * buffer), so:
+    *   - buckets outside [2, maxDf] are dropped BEFORE any list is
+    *     collected (the old `size(lst) <= maxDf` filter built the full
+    *     hot-bucket list and then threw it away — at corpus scale a
+    *     boilerplate shingle is an OOM, not a filter);
+    *   - with no df cap (maxDf = 0), buckets hotter than `hotDf` keep
+    *     their exact pair set but route through a spillable equi-self-join
+    *     lane instead of a single collect_list row + one O(df²) in-memory
+    *     pair array (`postingPairs` materializes the combination array per
+    *     row before exploding, so the list lane is also bounded by the
+    *     array it allocates — hotDf² structs).
+    *
+    * Pair-set equality with the plain posting-list form: every bucket is
+    * handled by exactly one lane; the list lane emits each unordered
+    * in-bucket pair once, lower item first (sorted list); the join lane
+    * emits exactly the `a < b` half of the cross product — same pairs,
+    * same per-bucket multiplicity, same orientation. Items must be
+    * non-null and totally ordered (ids, strings, or structs compared
+    * field-lexicographically — array_sort and `<` agree on all of them).
+    * Returns columns (a, b) of the item type. */
+  private[graft] def bucketPairs(
+      buckets: DataFrame, keys: Seq[String], item: Column,
+      maxDf: Int = 0, hotDf: Int = 512): DataFrame = {
+    val kc = keys.map(col)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(kc: _*)
+    val idx = buckets.select(kc :+ item.as("it"): _*)
+      .withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") >= 2 &&
+        (if (maxDf > 0) col("__df") <= maxDf else lit(true)))
+    val cap = if (maxDf > 0) math.min(maxDf, hotDf) else hotDf
+    val cold = idx.filter(col("__df") <= cap)
+      .groupBy(kc: _*)
+      .agg(array_sort(collect_list(col("it"))).as("lst"))
+      .select(explode(postingPairs(col("lst"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    if (maxDf > 0 && maxDf <= hotDf) cold
+    else {
+      val hot = idx.filter(col("__df") > cap)
+      val l = hot.select(kc :+ col("it").as("a"): _*)
+      val r = hot.select(kc :+ col("it").as("b"): _*)
+      val hotPairs = l.join(r, keys)
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+      cold.unionByName(hotPairs)
+    }
+  }
+
   /** All pairs (a < b) with shingle-set Jaccard ≥ threshold, from the
     * inverted index: |A∩B| from matching shingles, |A∪B| from the per-doc
-    * set sizes carried alongside. Candidate pairs are generated per
-    * posting list: ONE hash aggregation groups the index by shingle
-    * (replacing the former window df-count + sort-merge self-join — same
-    * exchange count, zero sorts), the df cut becomes a plain size filter
-    * on the list, and the bounded lists (≤ maxDf entries) emit their
-    * 2-combinations in codegen.
+    * set sizes carried alongside. Candidate pairs come from the
+    * skew-bounded [[bucketPairs]] generator over the index (posting-list
+    * 2-combinations for normal shingles, the spillable join lane for
+    * unguarded hot ones), and the maxDf cut is applied BEFORE any list is
+    * collected.
     *
     * With `maxDf > 0`, shingles in more than `maxDf` docs are excluded from
     * the index. Tradeoff is recall-only: a dropped shingle leaves `sz_a`/
@@ -183,20 +236,31 @@ object DedupOps {
     * Jaccard only ever *under*-estimates — pairs whose overlap rides solely
     * on corpus-common shingles are missed, never false-positived. For
     * unbounded corpora prefer [[minhashLshPairs]] (constant amplification
-    * per doc regardless of shingle popularity). */
+    * per doc regardless of shingle popularity).
+    *
+    * A PPJoin prefix-filter variant (index only the first
+    * |S| − ⌈t·|S|⌉ + 1 shingles per doc under a global order, verify
+    * candidates with array_intersect) was built and measured this round:
+    * it cut the posting index 4.7× at sf0.1 as theory promises, but on
+    * this corpus' flat (non-Zipf) shingle-frequency profile even
+    * rare-first prefixes produced 119k candidates for 256 qualifying
+    * pairs, and the verify-by-join shape ran 3× slower end-to-end than
+    * this counting aggregation (6.4 s vs 2.2 s isolated). Rejected per
+    * guide §1.1 — the counting shape IS the cheaper plan when overlap
+    * is decided by many medium-frequency shingles rather than few rare
+    * ones; OPTIMIZATION_r13.md records the full experiment. */
   def jaccardPairs(
       df: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.8, maxDf: Int = 0): DataFrame = {
-    val idx = shingleIndex(df, id, text, n, maxDf = 0)
-    val posting = idx.groupBy(col("shingle"))
-      .agg(array_sort(collect_list(struct(col("id"), col("sz")))).as("lst"))
-      .filter(size(col("lst")) >= 2 &&
-        (if (maxDf > 0) size(col("lst")) <= maxDf else lit(true)))
-    posting
-      .select(explode(postingPairs(col("lst"))).as("p"))
+    // spread before shingling: a single-file fixture input would
+    // otherwise tokenize+shingle the whole corpus in ONE task
+    val idx = shingleIndex(
+      Partitioning.spread(df.select(id.as("__sid"), text.as("__text"))),
+      col("__sid"), col("__text"), n, maxDf = 0)
+    bucketPairs(idx, Seq("shingle"), struct(col("id"), col("sz")), maxDf)
       .select(
-        col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        col("p.a.sz").as("sz_a"), col("p.b.sz").as("sz_b"))
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
@@ -415,17 +479,11 @@ object DedupOps {
     // posting-list length bounds every bucket. 0 = off (the oracle
     // anchor); pairs joined ONLY through capped variants are the recall
     // cost, and only when every shared variant is hot. Candidates come
-    // from per-variant posting-list combinations ([[postingPairs]]
-    // shape — one hash aggregation, no sort-merge self-join).
-    val posting = ex0.groupBy(col("v"))
-      .agg(array_sort(collect_list(col("k"))).as("ks"))
-      .filter(size(col("ks")) >= 2 &&
-        (if (maxDf > 0) size(col("ks")) <= maxDf else lit(true)))
-    posting
-      .select(explode(flatten(transform(col("ks"), (x, i) =>
-        transform(slice(col("ks"), i + lit(2), size(col("ks"))), y =>
-          struct(x.as("k_a"), y.as("k_b")))))).as("p"))
-      .select(col("p.k_a").as("k_a"), col("p.k_b").as("k_b"))
+    // from the skew-bounded [[bucketPairs]] generator (window-counted df,
+    // posting-list combinations, hot buckets through the spillable join
+    // lane — no sort-merge self-join in the common case).
+    bucketPairs(ex0, Seq("v"), col("k"), maxDf)
+      .select(col("a").as("k_a"), col("b").as("k_b"))
       .dropDuplicates("k_a", "k_b")
       .filter(levenshtein(col("k_a"), col("k_b")) <= 1)
   }
@@ -454,25 +512,20 @@ object DedupOps {
         md5(concat_ws(",", slice(col("mh"), b * rowsPerBand + 1, rowsPerBand)))
           .as("sig"))
     }
-    // The band-bucket self-join moves ONLY (id, band, sig) — three scalars
-    // per bucket row. Shipping the shingle arrays through this shuffle
-    // would replicate every document's full shingle set ×bands; instead
-    // the arrays are re-attached to the (far smaller) deduped candidate
-    // pair list by two id-keyed joins before exact verification.
-    // candidate pairs from per-bucket posting lists (one hash aggregation
-    // + codegen'd 2-combinations — the [[postingPairs]] shape, no
-    // sort-merge self-join); each bucket moves (id) scalars only
+    // The band-bucket candidate stage moves ONLY (id, band, sig) — three
+    // scalars per bucket row. Shipping the shingle arrays through this
+    // shuffle would replicate every document's full shingle set ×bands;
+    // instead the arrays are re-attached to the (far smaller) deduped
+    // candidate pair list by two id-keyed joins before exact verification.
+    // Candidates come from the skew-bounded [[bucketPairs]] generator:
+    // posting-list combinations for normal buckets, the spillable join
+    // lane for degenerate hot buckets (a band signature shared by a huge
+    // near-identical cohort must not serialize into one aggregation row).
     val buckets = sig
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val candPairs = buckets
-      .groupBy(col("band"), col("sig"))
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val candPairs = bucketPairs(buckets, Seq("band", "sig"), col("id"))
+      .select(col("a").as("id_a"), col("b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val candidates = candPairs
       .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -509,19 +562,13 @@ object DedupOps {
         md5(concat_ws(",", slice(col("mh"), b * rowsPerBand + 1, rowsPerBand)))
           .as("sig"))
     }
-    // per-bucket posting-list combinations (same shape as
-    // [[minhashLshPairs]] — no sort-merge self-join)
+    // skew-bounded per-bucket candidates (same [[bucketPairs]] shape as
+    // [[minhashLshPairs]] — no sort-merge self-join in the common case)
     val buckets = sig
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val candPairs = buckets
-      .groupBy(col("band"), col("sig"))
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val candPairs = bucketPairs(buckets, Seq("band", "sig"), col("id"))
+      .select(col("a").as("id_a"), col("b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val candidates = candPairs
       .join(sig.select(col("id").as("id_a"), col("sh").as("sh_a"),
@@ -590,17 +637,15 @@ object DedupOps {
         shiftright(col("sig"), c * bitsPerChunk)
           .bitwiseAND(lit((1L << bitsPerChunk) - 1)).as("v"))
     }
-    // per-chunk posting-list combinations ([[postingPairs]] shape)
+    // skew-bounded per-chunk candidates ([[bucketPairs]]): a degenerate
+    // chunk value (near-empty texts share whole signature chunks) must
+    // not serialize its bucket into one aggregation row
     val buckets = sigs
       .select(col("id"), col("sig"), explode(array(chunkCols: _*)).as("ck"))
       .select(col("id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
-    buckets
-      .groupBy(col("c"), col("v"))
-      .agg(array_sort(collect_list(struct(col("id"), col("sig")))).as("lst"))
-      .filter(size(col("lst")) >= 2)
-      .select(explode(postingPairs(col("lst"))).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).as("hamming"))
+    bucketPairs(buckets, Seq("c", "v"), struct(col("id"), col("sig")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
   }

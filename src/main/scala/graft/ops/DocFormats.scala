@@ -261,7 +261,8 @@ object DocFormats {
       spark: SparkSession, df: DataFrame, id: String,
       textCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id"), col(textCol).as("t"))
+    Partitioning.spread(
+        df.select(col(id).cast("long").as("doc_id"), col(textCol).as("t")))
       .as[(Long, String)]
       .mapPartitions(_.map { case (docId, text) =>
         val rtf = "{\\rtf1\\ansi\\deff0" +
@@ -311,7 +312,8 @@ object DocFormats {
       spark: SparkSession, df: DataFrame, id: String,
       textCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id"), col(textCol).as("t"))
+    Partitioning.spread(
+        df.select(col(id).cast("long").as("doc_id"), col(textCol).as("t")))
       .as[(Long, String)]
       .mapPartitions(_.map { case (docId, text) =>
         val doc =
@@ -342,7 +344,8 @@ object DocFormats {
       spark: SparkSession, df: DataFrame, id: String,
       textCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id"), col(textCol).as("t"))
+    Partitioning.spread(
+        df.select(col(id).cast("long").as("doc_id"), col(textCol).as("t")))
       .as[(Long, String)]
       .mapPartitions(_.map { case (docId, text) =>
         val content =
@@ -376,7 +379,8 @@ object DocFormats {
       spark: SparkSession, df: DataFrame, id: String,
       textCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id"), col(textCol).as("t"))
+    Partitioning.spread(
+        df.select(col(id).cast("long").as("doc_id"), col(textCol).as("t")))
       .as[(Long, String)]
       .mapPartitions(_.map { case (docId, text) =>
         val container =

@@ -420,7 +420,8 @@ object FlacCodec {
   def asFlacPayload(
       spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions(_.map { docId =>
         val nCh = 1 + (docId % 2).toInt
         val n = 96 + (docId % 64).toInt

@@ -34,13 +34,22 @@ object GraphOps {
     * next×old join+count (a full extra shuffle per round). */
   private def minLabelFixpoint(
       sym: DataFrame, seed: DataFrame): DataFrame = {
+    // the one-row (count, sum) probe is EXACT only for numeric labels
+    // (monotone-decreasing labels make the sum strictly decrease on any
+    // change); for any other id type the decimal cast is null and the
+    // probe would degenerate to a row count — those callers get the exact
+    // per-round changed-row check instead (one left_anti + isEmpty over
+    // the label table, the pre-r12 shape, paid only on the rare
+    // non-numeric path)
+    val numericIds = seed.schema("component").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     var labels = seed.localCheckpoint()
     def probe(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
         sum(col("component").cast("decimal(38,0)"))).head()
       (r.getLong(0), r.getDecimal(1))
     }
-    var state = probe(labels)
+    var state = if (numericIds) probe(labels) else null
     var converged = false
     while (!converged) {
       // neighbor labels flow along every (symmetric) edge
@@ -49,10 +58,15 @@ object GraphOps {
       val next = labels.union(prop)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
         .localCheckpoint()
-      val nextState = probe(next)
+      if (numericIds) {
+        val nextState = probe(next)
+        converged = nextState == state
+        state = nextState
+      } else {
+        converged = next
+          .join(labels, Seq("id", "component"), "left_anti").isEmpty
+      }
       labels = next
-      converged = nextState == state
-      state = nextState
     }
     labels
   }
@@ -173,12 +187,22 @@ object GraphOps {
       .localCheckpoint()
     // wedges pivot on the lowest-ranked vertex; close against an oriented
     // edge — which exists iff the graph edge exists, since the wedge's
-    // endpoint order matches the orientation order
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") &&
-          (col("e1.dt") < col("e2.dt") ||
-            (col("e1.dt") === col("e2.dt") && col("e1.dst") < col("e2.dst"))))
-      .select(col("e1.src").as("pivot"), col("e1.dst").as("a"), col("e2.dst").as("b"))
+    // endpoint order matches the orientation order. Wedges come from
+    // per-pivot adjacency-list 2-combinations (the posting-list shape the
+    // dedup candidate generators use: one hash aggregation + codegen'd
+    // combinations instead of a sort-merge self-join re-scanning the
+    // oriented edges). The list is sorted by (dt, dst) — the SAME total
+    // order the old join predicate compared — so the wedge set is
+    // identical; per-pivot list length is bounded by the orientation's
+    // O(√m) out-degree cap (Suri & Vassilvitskii), so no aggregation row
+    // can blow up.
+    val wedges = oriented
+      .groupBy(col("src"))
+      .agg(array_sort(collect_list(struct(col("dt"), col("dst")))).as("lst"))
+      .filter(size(col("lst")) >= 2)
+      .select(col("src").as("pivot"),
+        explode(DedupOps.postingPairs(col("lst"))).as("p"))
+      .select(col("pivot"), col("p.a.dst").as("a"), col("p.b.dst").as("b"))
     val triangles = wedges.join(oriented.as("e3"),
       col("a") === col("e3.src") && col("b") === col("e3.dst"))
     // each triangle increments all three corners

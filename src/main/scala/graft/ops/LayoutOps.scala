@@ -68,11 +68,20 @@ object LayoutOps {
       outCol: String = "global_rn"): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val probs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    // bounds in DOUBLE space (percentile_approx over a long column would
+    // return array<long>): long→double is monotone, and bucket assignment
+    // only needs monotonicity — ranks come from the within-bucket sort
     val bounds = df.agg(
-      percentile_approx(rangeKey, probs, lit(10000)).as("__bounds"))
+      percentile_approx(rangeKey.cast("double"), probs, lit(10000))
+        .as("__bounds"))
+    // native two-column binary rank instead of an interpreted per-row
+    // size(filter(bounds, λ)) HOF (the lambda is CodegenFallback — it was
+    // the per-row cost of every globalRowNumber consumer); same Spark `<`
+    // double ordering, same null-element handling
     val withBucket = df.crossJoin(broadcast(bounds))
-      .withColumn("__bkt",
-        size(filter(col("__bounds"), b => b < rangeKey)))
+      .withColumn("__bkt", graft.functions.NativeFunctions
+        .count_below_arr(rangeKey.cast("double"), col("__bounds"))
+        .cast("int"))
       .drop("__bounds")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__bkt")).orderBy(order: _*)

@@ -138,9 +138,9 @@ object MultimodalOps {
   /** Wrap a text table as a binary media table (fixture adapter: the driver
     * data has no real media; payload = UTF-8 bytes). */
   def asBinaryPayload(df: DataFrame, id: String, payloadSrc: String): DataFrame =
-    df.select(
+    Partitioning.spread(df.select(
       col(id).cast("long").as("doc_id"),
-      encode(col(payloadSrc), "UTF-8").as("payload"))
+      encode(col(payloadSrc), "UTF-8").as("payload")))
 
   /** Deterministic fallback for payloads NO recognized container claims
     * (format "raw"): synthesizes stable dimensions from a content hash so
@@ -488,8 +488,8 @@ object MultimodalOps {
   def asWavPayload(spark: SparkSession, df: DataFrame, id: String,
       payloadSrc: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id"),
-        encode(col(payloadSrc), "UTF-8").as("data"))
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id"),
+        encode(col(payloadSrc), "UTF-8").as("data")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (docId, data) =>
@@ -528,7 +528,8 @@ object MultimodalOps {
     * frames. The oracle recomputes every field from the formulas. */
   def asFlacPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val rate = Seq(8000, 16000, 22050, 44100, 48000, 96000)((docId % 6).toInt)
@@ -568,7 +569,8 @@ object MultimodalOps {
     * path sits under the oracle beside the CBR estimate. */
   def asMp3Payload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val id3 = docId % 2 == 0
@@ -798,7 +800,8 @@ object MultimodalOps {
   def asAvifHeicPayload(
       spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions(_.map { docId =>
         def box(tp: String, body: Array[Byte]): Array[Byte] = {
           val buf = java.nio.ByteBuffer.allocate(8 + body.length)
@@ -840,8 +843,8 @@ object MultimodalOps {
   def asMp4Payload(spark: SparkSession, df: DataFrame, id: String,
       payloadSrc: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id"),
-        encode(col(payloadSrc), "UTF-8").as("data"))
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id"),
+        encode(col(payloadSrc), "UTF-8").as("data")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (docId, data) =>
@@ -982,7 +985,8 @@ object MultimodalOps {
     * whitespace so the grammar is exercised, not just the golden path. */
   def asPnmPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val w = 4 + (docId % 5).toInt
@@ -1116,7 +1120,8 @@ object MultimodalOps {
     * blob salts the header offset. */
   def asTgaPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val lane = (docId % 4).toInt
@@ -1272,7 +1277,8 @@ object MultimodalOps {
     * height bug breaks the hash. */
   def asIcoPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val nMembers = 1 + (docId % 3).toInt
@@ -1687,7 +1693,8 @@ object MultimodalOps {
   def asCodecMp4Payload(
       spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           def box(tp: String, body: Array[Byte]): Array[Byte] = {
@@ -1958,7 +1965,8 @@ object MultimodalOps {
   def asBmpVariantPayload(
       spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val lane = (docId % 3).toInt // 0=pal8, 1=RLE8, 2=BGRX32
@@ -2062,7 +2070,8 @@ object MultimodalOps {
     * [[bmpPixels]] never sees the formula — it reads only the byte layout. */
   def asBmpPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val w = 4 + (docId % 5).toInt
@@ -2333,7 +2342,8 @@ object MultimodalOps {
     * reads only bytes. */
   def asPngPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val w = 4 + (docId % 5).toInt
@@ -2894,7 +2904,8 @@ object MultimodalOps {
     * placement all sit under the oracle hash. */
   def asTiffPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val w = 4 + (docId % 5).toInt
@@ -2970,7 +2981,8 @@ object MultimodalOps {
   def asTiffCompressedPayload(
       spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val w = 4 + (docId % 5).toInt
@@ -3081,7 +3093,8 @@ object MultimodalOps {
   def asTiffPalettePayload(
       spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val palette = docId % 2 == 0
@@ -3184,7 +3197,8 @@ object MultimodalOps {
   def asTiffDeepPayload(
       spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val lane = (docId % 4).toInt
@@ -3372,7 +3386,8 @@ object MultimodalOps {
     * the 6-byte pixel stride. */
   def asPng16Payload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val w = 4 + (docId % 5).toInt
@@ -3704,7 +3719,8 @@ object MultimodalOps {
     * the formulas — it reads only bytes. */
   def asGifPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val w = 16 + (docId % 17).toInt
@@ -4439,7 +4455,8 @@ object MultimodalOps {
   def asLosslessJpegPayload(
       spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val w = 4 + (docId % 5).toInt
@@ -5111,7 +5128,8 @@ object MultimodalOps {
   def asCmykJpegPayload(
       spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val bw = 1 + (docId % 3).toInt
@@ -5361,7 +5379,8 @@ object MultimodalOps {
   def asJpegProgressivePayload(
       spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val mcusX = 1 + (docId % 2).toInt
@@ -5387,7 +5406,8 @@ object MultimodalOps {
     * statistics from the formulas without a codec. */
   def asJpeg420Payload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val mcusX = 1 + (docId % 2).toInt
@@ -5414,7 +5434,8 @@ object MultimodalOps {
     * [[jpegDecode]] never sees the formula — it reads only bytes. */
   def asJpegPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val bw = 1 + (docId % 3).toInt
@@ -5720,7 +5741,8 @@ object MultimodalOps {
     * breaks the hash. */
   def asPcmWavPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val channels = 1 + (docId % 2).toInt
@@ -5761,7 +5783,8 @@ object MultimodalOps {
     * 4-byte stride, and IEEE-754 bit decode. */
   def asFloatWavPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val channels = 1 + (docId % 2).toInt
@@ -5816,7 +5839,8 @@ object MultimodalOps {
     * ULAW/ALAW converters. */
   def asG711WavPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val mulaw = docId % 2 == 0
@@ -5851,7 +5875,8 @@ object MultimodalOps {
 
   def asAdpcmWavPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val channels = 1 + (docId % 2).toInt
@@ -5899,7 +5924,8 @@ object MultimodalOps {
     * exercise each width's stride, sign extension, and the GUID unwrap. */
   def asWidthWavPayload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val lane = (docId % 4).toInt // 0=8-bit 1=24-bit 2=32-bit 3=ext24
@@ -6084,7 +6110,8 @@ object MultimodalOps {
     * the hash. */
   def asMjpegMp4Payload(spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val bw = 1 + (docId % 3).toInt

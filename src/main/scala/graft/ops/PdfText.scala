@@ -233,7 +233,8 @@ object PdfText {
       spark: SparkSession, df: DataFrame, id: String,
       textCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id"), col(textCol).as("t"))
+    Partitioning.spread(
+        df.select(col(id).cast("long").as("doc_id"), col(textCol).as("t")))
       .as[(Long, String)]
       .mapPartitions(_.map { case (docId, text) =>
         val esc = text.replace("\\", "\\\\")

@@ -243,7 +243,8 @@ object RobotsOps {
   def asRobotsPayload(
       spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions(_.map { docId =>
         val delay = (docId % 10).toInt
         val content =

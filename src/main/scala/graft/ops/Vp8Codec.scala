@@ -1009,7 +1009,8 @@ object Vp8Ops {
   def asVp8LossyPayload(
       spark: SparkSession, df: DataFrame, id: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id")).as[Long]
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { docId =>
           val qi = ((docId % 16) * 8).toInt

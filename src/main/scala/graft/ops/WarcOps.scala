@@ -607,15 +607,16 @@ object WarcOps {
       spark: SparkSession, df: DataFrame, id: String,
       textCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id"),
-        encode(col(textCol), "UTF-8").as("body"))
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("body")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        val gz = new MemberGzipper()
         rows.map { case (docId, body) =>
           val records = fixtureRecords(docId, body,
             s"https://example.com/doc/$docId", lieContentLength = false)
           val bytes =
-            if (docId % 2 == 1) records.map(gzipMember).reduce(_ ++ _)
+            if (docId % 2 == 1) records.map(gz.member).reduce(_ ++ _)
             else records.reduce(_ ++ _)
           (docId, bytes)
         }
@@ -646,10 +647,11 @@ object WarcOps {
       spark: SparkSession, df: DataFrame, id: String,
       textCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id"),
-        encode(col(textCol), "UTF-8").as("body"))
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("body")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        val gz = new MemberGzipper()
         rows.map { case (docId, body) =>
           def record(
               tpe: String, uri: String, ctype: String,
@@ -669,7 +671,7 @@ object WarcOps {
             record("conversion", s"https://example.com/doc/$docId",
               "text/plain", body))
           val bytes =
-            if (docId % 2 == 1) records.map(gzipMember).reduce(_ ++ _)
+            if (docId % 2 == 1) records.map(gz.member).reduce(_ ++ _)
             else records.reduce(_ ++ _)
           (docId, bytes)
         }
@@ -685,10 +687,11 @@ object WarcOps {
       spark: SparkSession, df: DataFrame, id: String,
       textCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id"),
-        encode(col(textCol), "UTF-8").as("body"))
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("body")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        val gz = new MemberGzipper()
         rows.map { case (docId, body) =>
           val pathFamily = (docId % 3) match {
             case 0 => "/private/doc/"
@@ -700,7 +703,7 @@ object WarcOps {
           val records = fixtureRecords(docId, body, uri,
             lieContentLength = false)
           val bytes =
-            if (docId % 2 == 1) records.map(gzipMember).reduce(_ ++ _)
+            if (docId % 2 == 1) records.map(gz.member).reduce(_ ++ _)
             else records.reduce(_ ++ _)
           (docId, bytes)
         }
@@ -718,15 +721,16 @@ object WarcOps {
       spark: SparkSession, df: DataFrame, id: String,
       textCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long").as("doc_id"),
-        encode(col(textCol), "UTF-8").as("body"))
+    Partitioning.spread(df.select(col(id).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("body")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        val gz = new MemberGzipper()
         rows.map { case (docId, body) =>
           val records = fixtureRecords(docId, body,
             s"https://example.com/doc/$docId",
             lieContentLength = docId % 7 == 3)
-          val members = records.map(gzipMember)
+          val members = records.map(gz.member)
           val bytes =
             if (docId % 7 == 0)
               (members.init :+ members.last.take(24)).reduce(_ ++ _)
@@ -736,12 +740,42 @@ object WarcOps {
       }.toDF("doc_id", "payload")
   }
 
-  private def gzipMember(r: Array[Byte]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val gz = new java.util.zip.GZIPOutputStream(bos)
-    gz.write(r); gz.finish()
-    bos.toByteArray
+  /** Per-partition reusable gzip-member encoder for the fixtures. The old
+    * shape (a fresh GZIPOutputStream per record at the default compression
+    * level) paid a Deflater allocation + native init and level-6 deflate
+    * for every ~1-4 KB record — the dominant cost of the WARC/WET fixture
+    * lanes. One Deflater at BEST_SPEED, reset between members, produces a
+    * spec-valid RFC 1952 member stream; the compressed bytes differ from
+    * the old ones but every declared output is computed from the PARSED
+    * payloads, which are bit-identical. */
+  private final class MemberGzipper {
+    private val defl = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_SPEED, true)
+    private val crc = new java.util.zip.CRC32
+    private val buf = new Array[Byte](1 << 16)
+    def member(r: Array[Byte]): Array[Byte] = {
+      defl.reset(); crc.reset()
+      crc.update(r)
+      defl.setInput(r); defl.finish()
+      val bos = new java.io.ByteArrayOutputStream(r.length / 2 + 32)
+      // RFC 1952 header: magic, CM=deflate, FLG=0, MTIME=0, XFL=0, OS=0
+      bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
+      while (!defl.finished()) {
+        val n = defl.deflate(buf)
+        bos.write(buf, 0, n)
+      }
+      def le32(v: Long): Unit = {
+        bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+        bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+      }
+      le32(crc.getValue)
+      le32(r.length.toLong & 0xffffffffL)
+      bos.toByteArray
+    }
   }
+
+  private def gzipMember(r: Array[Byte]): Array[Byte] =
+    new MemberGzipper().member(r)
 
   /** The three fixture records (warcinfo, request, response) for one
     * doc; `lieContentLength` frames the response with a 1 TiB

@@ -815,12 +815,14 @@ object ExtDedup extends QueryModule {
             Seq("id_a"))
           .join(grams.select($"doc_id".as("id_b"), $"u".as("ub"), $"b".as("bb")),
             Seq("id_b"))
-          .withColumn("ov1", expr(
-            """aggregate(array_distinct(ua), 0, (acc, t) -> acc +
-               least(size(filter(ua, x -> x = t)), size(filter(ub, x -> x = t))))"""))
-          .withColumn("ov2", expr(
-            """aggregate(array_distinct(ba), 0, (acc, t) -> acc +
-               least(size(filter(ba, x -> x = t)), size(filter(bb, x -> x = t))))"""))
+          // native multiset-overlap kernel (one hash-count pass per pair)
+          // in place of the interpreted O(|distinct|·(|a|+|b|)) HOF fold —
+          // same exact integer Σ_t min(count_a, count_b) (OverlapKernelSpec
+          // pins parity against the HOF twin)
+          .withColumn("ov1", graft.functions.NativeFunctions
+            .multiset_overlap($"ua", $"ub"))
+          .withColumn("ov2", graft.functions.NativeFunctions
+            .multiset_overlap($"ba", $"bb"))
           .select($"id_a", $"id_b",
             round($"ov1" / size($"ub").cast("double"), 6).as("rouge1_p"),
             round($"ov1" / size($"ua").cast("double"), 6).as("rouge1_r"),

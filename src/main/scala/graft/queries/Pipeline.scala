@@ -1730,11 +1730,15 @@ object Pipeline extends QueryModule {
         // four funnel branches — but nothing executes at construction time
         // (an eager checkpoint here ran the fingerprint window during
         // plan-only inspection and outside any bench-timed region)
+        // first-per-fingerprint via min(struct) aggregation, not a window:
+        // partial (map-side) aggregation collapses duplicate groups before
+        // the shuffle and there is no per-partition sort — same surviving
+        // rows (doc_id is unique, so min(struct(doc_id, text)) IS the
+        // min-doc_id row of the fp group)
         val s1 = docs
-          .withColumn("fp", TextOps.fingerprint($"text"))
-          .withColumn("rk",
-            row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")))
-          .filter($"rk" === 1).select($"doc_id", $"text")
+          .groupBy(TextOps.fingerprint($"text").as("fp"))
+          .agg(min(struct($"doc_id", $"text")).as("keep"))
+          .select($"keep.doc_id".as("doc_id"), $"keep.text".as("text"))
           .localCheckpoint(eager = false)
         val ld = DedupOps.lineDedup(s1, $"doc_id", $"text",
           lineTokens = 8, minDf = 2)

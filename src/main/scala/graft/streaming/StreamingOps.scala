@@ -138,6 +138,12 @@ object StreamingOps {
     spark.readStream
       .schema(schema)
       .parquet(path)
+      // spread the micro-batch BEFORE the classify projection: a trigger
+      // that admits few (or one) files would otherwise run the whole
+      // text_stats/fingerprint pass in as many tasks as files (guide §2.5
+      // input skew); the exchange moves (doc_id, text, ts) once per batch
+      // and buys full-core classify parallelism regardless of file layout
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("lang_guess", graft.ops.TextOps.langId(col("text")))
       .withColumn("quality", graft.ops.TextOps.qualityScore(col("text")))
       .withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
@@ -263,6 +269,10 @@ object StreamingOps {
     }
 
     val docs = spark.readStream.schema(schema).parquet(path)
+      // spread BEFORE the signature projection: shingling + the 64-hash
+      // minhash kernel are the map-side cost, and a trigger admitting few
+      // files would run them in as many tasks as files (guide §2.5)
+      .repartition(spark.sparkContext.defaultParallelism)
       .withWatermark("ingest_ts", watermark)
       .select(col("doc_id"), col("ingest_ts"),
         graft.ops.TextOps.shingles(col("text"), n).as("sh"))

@@ -162,6 +162,43 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("metric line stays under the driver's output-tail budget") {
+    // reconstruct round 12's real overflow shape: 22 headline medians +
+    // 22 mins + 12 tracked heavy entries + a stream object WITH a mins
+    // map — the old headline-only fallback was ~2100 chars and the driver
+    // recorded parsed:null for five straight rounds
+    val head = (1 to 22).map(i => s"q${i}_some_query_name_$i" -> 0.123).toMap
+    val heavy = (1 to 12).map(i => s"ext_heavy_entry_number_$i" -> 3.456).toMap
+    val medians = head ++ heavy
+    val streamLean =
+      """{"corpus_clean_rows":5000,"corpus_clean_sec":3.743,"corpus_clean_rows_per_sec":1335.912,"session_window_rows":100000,"session_window_sec":4.092,"session_window_rows_per_sec":24440.237,"near_dup_gate_rows":5000,"near_dup_gate_sec":6.240,"near_dup_gate_rows_per_sec":801.301,"expectations_gate_rows":5000,"expectations_gate_sec":3.026,"expectations_gate_rows_per_sec":1652.469}"""
+    val streamFull = streamLean.dropRight(1) +
+      ""","mins":{"corpus_clean_sec":3.703,"expectations_gate_sec":1.397,"near_dup_gate_sec":6.114,"session_window_sec":3.150}}"""
+    val (out, full) = Bench.chooseMetricLine(
+      totalSec = 123.456, nQueries = 395, medians = medians, mins = medians,
+      errsJson = "{}",
+      regsJson = """{"ext_text_warc_extract":{"base":1.036,"now":10.357}}""",
+      streamFull = streamFull, streamLean = streamLean,
+      streamRegsJson = """{"expectations_gate_sec":{"base":0.631,"now":3.026}}""",
+      loadJson = "3.80", nice = false, sfDir = "/root/testdata/sf0.1")
+    assert(full.length > 1700, s"test shape no longer overflows (${full.length})")
+    assert(out.length <= 1700, s"chosen line over budget: ${out.length}")
+    // contract keys survive every fallback, and the headline queries stay
+    for (k <- Seq("\"metric\"", "\"value\"", "\"unit\"", "\"queries\"",
+        "\"sf\"", "\"errors\"", "\"regressions\"", "\"stream\"",
+        "\"stream_regressions\"", "\"n_queries\":395"))
+      assert(out.contains(k), s"missing $k in $out")
+    assert(out.contains("q1_some_query_name_1"))
+    // a small run keeps the full line (mins + heavy entries included)
+    val smallM = Map("q1_pricing_summary" -> 0.5)
+    val (outS, fullS) = Bench.chooseMetricLine(1.0, 22, smallM, smallM,
+      "{}", "{}", streamFull, streamLean, "{}", "1.00", false, "/d")
+    assert(outS == fullS && outS.contains("queries_min"))
+    // the last-resort candidate is itself under budget for this shape
+    assert(Bench.metricLine(123.456, 395, head, None, "{}", "{}", "null",
+      "{}", "3.80", false, "/root/testdata/sf0.1").length <= 1700)
+  }
+
   test("pinned stable-set entries are live registry queries") {
     // a renamed/removed query would silently un-gate its bench entry —
     // the pin must track the registry

@@ -23,6 +23,19 @@ class GraphOpsSpec extends AnyFunSuite {
       5L -> 0L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 
+  test("string-id components converge exactly (non-numeric probe fallback)") {
+    // the (count, decimal-sum) convergence probe is null for string ids —
+    // the fallback changed-row check must keep iterating through the path
+    // graph's multi-round label descent instead of exiting on the first
+    // count-stable round with wrong labels
+    val verts = Seq("a", "b", "c", "d", "z").toDF("id")
+    val edges = Seq(("d", "c"), ("c", "b"), ("b", "a")).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(verts, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "z" -> "z"))
+  }
+
   test("dedupClustersBy keeps the highest-quality copy, min id on ties") {
     // cluster {1,2,3}: 2 has top quality; cluster {5,6}: tie -> 5 keeps
     val docs = Seq((1L, 10L), (2L, 99L), (3L, 50L), (4L, 7L), (5L, 20L),

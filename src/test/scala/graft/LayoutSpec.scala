@@ -82,6 +82,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("count_below_arr matches the size(filter) HOF it replaced (incl. NaN/-0.0/nulls)") {
+    // the globalRowNumber bucket rank: parity on every double edge case —
+    // Spark `<` ordering (NaN greatest, -0.0 == 0.0), null elements dropped
+    val bounds = Seq(
+      Seq[java.lang.Double](-5.0, -0.0, 1.5, 1.5, Double.NaN),
+      Seq[java.lang.Double](0.0, null, 3.0),
+      Seq[java.lang.Double]())
+    val xs = Seq(-10.0, -0.0, 0.0, 1.5, 2.0, Double.NaN, 1e308, -1e308)
+    val df = (for (b <- bounds; x <- xs) yield (x, b)).toDF("x", "bounds")
+    val rows = df.select(
+        graft.functions.NativeFunctions.count_below_arr($"x", $"bounds").as("native"),
+        size(filter($"bounds", b => b < $"x")).cast("long").as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("z-order locality: adjacent z-values are near in space") {
     // the defining property vs a linear key: walking the curve stays local
     val n = 1 << 12 // full 64x64 grid as a z-ordered walk

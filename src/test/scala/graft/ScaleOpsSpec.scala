@@ -109,14 +109,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
       .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    // sf0.1, not the suite's sf0.001: the r12 posting-list rewrite
+    // removed the window/SMJ buffers whose element-count thresholds used
+    // to force synthetic spills on fixture-sized data; the probe now
+    // proves REAL memory-pressure spilling (spark.testing.memory caps
+    // the pool at ~30 MB execution), which needs the 1.4M-row shingle
+    // index only sf0.1 provides (~0.5 GB actually spills, ~30 s).
+    // The directory is the suite fixture root's sf0.1 sibling (no
+    // hardcoded machine layout); absent => cancel, not fail.
+    val sf01 = java.nio.file.Paths.get(TestSpark.sfDir).getParent
+      .resolve("sf0.1").toString
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf01)),
+      s"sf0.1 fixture not found at $sf01 — skipping the forked spill probe")
     val cmd = Seq(javaBin, "-Xmx1g", "-cp", System.getProperty("java.class.path")) ++
-      // sf0.1, not the suite's sf0.001: the r12 posting-list rewrite
-      // removed the window/SMJ buffers whose element-count thresholds used
-      // to force synthetic spills on fixture-sized data; the probe now
-      // proves REAL memory-pressure spilling (spark.testing.memory caps
-      // the pool at ~30 MB execution), which needs the 1.4M-row shingle
-      // index only sf0.1 provides (~0.5 GB actually spills, ~30 s)
-      addOpens ++ Seq("graft.SpillProbe", "/root/testdata/sf0.1")
+      addOpens ++ Seq("graft.SpillProbe", sf01)
     val out = new StringBuilder
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val reader = new java.io.BufferedReader(
