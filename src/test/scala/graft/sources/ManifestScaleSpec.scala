@@ -30,6 +30,21 @@ class ManifestScaleSpec extends AnyFunSuite {
     (r, (System.nanoTime() - t0) / 1000000L)
   }
 
+  /** Timing for a PURE (re-runnable) body with co-tenant adjudication:
+    * one re-time when the first attempt exceeds `limitMs`, min of the
+    * two — the same min-of-reps signal the bench gate uses. A genuine
+    * scalability regression fails both attempts deterministically; a
+    * host-load spike does not (this suite's 15 s CDC-diff bound measured
+    * 40 s once under loadavg ≈ 10 and 2.x s on the same code quiet). */
+  private def timedMsMin[A](limitMs: Long)(f: => A): (A, Long) = {
+    val (r, ms) = timedMs(f)
+    if (ms < limitMs) (r, ms)
+    else {
+      val (r2, ms2) = timedMs(f)
+      (r2, math.min(ms, ms2))
+    }
+  }
+
   // 500 day dirs x 100 files; file i holds ids [i*1000, i*1000+999]
   private lazy val files: Vector[String] = (0 until NFiles).map { i =>
     val day = LocalDate.of(2024, 1, 1).plusDays((i / FilesPerDay).toLong)
@@ -152,7 +167,7 @@ class ManifestScaleSpec extends AnyFunSuite {
   test(".changes window cost scales with the window, not the table") {
     ensureDeltas()
     val table = new GraftDiskTable("scale.t", log, log.latest(), pinned = None)
-    val (groups, ms) = timedMs(table.changeGroups(8L, 10L))
+    val (groups, ms) = timedMsMin(3000)(table.changeGroups(8L, 10L))
     val inserted = groups.filter(_.ctype == "insert").flatMap(_.files)
     assert(inserted ==
       Seq("day=2024-12-31/extra-9.parquet", "day=2024-12-31/extra-10.parquet"))
@@ -184,13 +199,14 @@ class ManifestScaleSpec extends AnyFunSuite {
       s"DV delta record is ${rec.length} bytes — did the file bulk leak in?")
     // cold reconstruction through the delta resolves and serves the map
     val cold = new DiskCommitLog(tableDir, conf)
-    val (m2, rMs) = timedMs(cold.read(next.version))
+    val (m2, rMs) = timedMsMin(10000)(
+      new DiskCommitLog(tableDir, conf).read(next.version))
     assert(m2.dvs.size == 5000)
     assert(rMs < 10000, s"cold DV-commit reconstruction took $rMs ms")
     // the CDC diff opens exactly the changed sidecars — O(sidecars),
     // bounded, and classified as a keepOnly delete group
     val table = new GraftDiskTable("scale.t", log, next, pinned = None)
-    val (groups, cMs) = timedMs(
+    val (groups, cMs) = timedMsMin(15000)(
       table.changeGroups(next.version - 1, next.version))
     assert(cMs < 15000, s"5k-sidecar CDC diff took $cMs ms")
     val dvGroup = groups.find(_.keepOnly).getOrElse(
